@@ -1,0 +1,112 @@
+"""Filter-expression compiler: coltt filter AST → Spark ``Column``.
+
+Reference parity: the proto filter tree (leaf ``Filter{index_name, op,
+value}`` with ops EQ NEQ GT GTE LT LTE, composites AND/OR with arbitrary
+nesting — ``idl/proto/v4/edge.proto:139-164``) is evaluated there
+against a roaring-bitmap inverted index (``pkg/inverted/search.go``),
+including a cross-type coercion matrix (string "5" matches integer 5,
+ints compare against floats, bools against "true"/"false" —
+``pkg/inverted/bitmap_index.go:99-356``).
+
+Spark-first choice: no index structure is materialized. The tree
+compiles to a boolean ``Column``; Catalyst pushes it below the
+projection into the Parquet scan (row-group min/max + dictionary
+pruning), which is the same work the bitmap index did, but free and
+already distributed. AND → ``&``, OR → ``|`` — bitmap intersect/union
+becomes predicate logic on the scan.
+
+AST accepted (dict-shaped, mirroring the proto):
+
+    {"index_name": "type", "op": "gte", "value": 5}                    # leaf
+    {"op": "and"|"or", "expressions": [<ast>, ...]}                    # composite
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OPS = ("eq", "neq", "gt", "gte", "lt", "lte")
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _coerce(col: Column, col_type: T.DataType, value: Any) -> tuple[Column, Column]:
+    """Replicate the reference coercion matrix for (column, literal).
+
+    - numeric column vs string literal: parse the string as a number
+      ("5" matches 5); an unparseable string matches nothing (the
+      bitmap scan finds no coercible value).
+    - string column vs numeric literal: cast the column to double;
+      non-numeric strings become NULL and fail every comparison.
+    - boolean column vs string literal: accept "true"/"false".
+    - otherwise compare natively.
+    """
+    if isinstance(col_type, _NUMERIC_TYPES):
+        if isinstance(value, str):
+            try:
+                value = float(value)
+            except ValueError:
+                return F.lit(None).cast("double"), F.lit(None).cast("double")
+        if isinstance(value, bool):
+            value = float(value)
+        return col.cast("double"), F.lit(float(value))
+    if isinstance(col_type, T.StringType):
+        if isinstance(value, bool):
+            return col, F.lit("true" if value else "false")
+        if isinstance(value, (int, float)):
+            return col.cast("double"), F.lit(float(value))
+        return col, F.lit(value)
+    if isinstance(col_type, T.BooleanType):
+        if isinstance(value, str):
+            return col, F.lit(value.strip().lower() == "true")
+        if isinstance(value, (int, float)):
+            return col, F.lit(bool(value))
+        return col, F.lit(value)
+    return col, F.lit(value)
+
+
+def _leaf(df: DataFrame, name: str, op: str, value: Any) -> Column:
+    field = dict(zip(df.schema.names, df.schema.fields))  # name -> StructField
+    if name not in field:
+        raise KeyError(f"filter references unknown column {name!r}")
+    lhs, rhs = _coerce(F.col(name), field[name].dataType, value)
+    if op == "eq":
+        return lhs == rhs
+    if op == "neq":
+        return lhs != rhs
+    if op == "gt":
+        return lhs > rhs
+    if op == "gte":
+        return lhs >= rhs
+    if op == "lt":
+        return lhs < rhs
+    if op == "lte":
+        return lhs <= rhs
+    raise ValueError(f"unknown op {op!r}; expected one of {OPS}")
+
+
+def compile_filter(df: DataFrame, ast: dict[str, Any]) -> Column:
+    """Compile a filter AST into a boolean Column against ``df``."""
+    if "index_name" in ast:
+        return _leaf(df, ast["index_name"], str(ast["op"]).lower(), ast["value"])
+    op = str(ast.get("op", "")).lower()
+    exprs = ast.get("expressions", [])
+    if op not in ("and", "or") or not exprs:
+        raise ValueError(f"bad composite node: {ast!r}")
+    out = compile_filter(df, exprs[0])
+    for child in exprs[1:]:
+        nxt = compile_filter(df, child)
+        out = (out & nxt) if op == "and" else (out | nxt)
+    return out

@@ -1,0 +1,143 @@
+"""Search operators — the reference's query surface, as DataFrame plans.
+
+Reference parity (SURVEY §2.4):
+
+- ``vertex_search``  ⇔ edge ``VertexSearch`` (FLAT exhaustive KNN,
+  ``edge/none_vectorstore.go:129-180``): 16 shard goroutines each keep a
+  bounded priority queue, then merge. Spark expresses the identical
+  physical pattern declaratively: ``ORDER BY dist LIMIT k`` compiles to
+  ``TakeOrderedAndProject`` — per-partition top-K, merge of K·P rows at
+  the driver. No shuffle of the scanned data, scales to any partition
+  count.
+- ``filterable_vertex_search`` ⇔ ``FilterableVertexSearch``
+  (``edge/none_vectorstore.go:182-253``): predicate first, score only
+  survivors. Catalyst pushes the compiled predicate into the Parquet
+  scan, which replaces the roaring-bitmap candidate set.
+- ``filter_search`` ⇔ core ``FilterSearch`` (``core/core.go:697-758``):
+  pure metadata query, hardcoded score 100.
+- ``multi_vector_search`` ⇔ experimental CFLAT ``MultiVertexSearch``
+  (``experimental/multi_vector_vertex.go:85-137``): per-field weighted
+  score fusion, ratios must sum to 100
+  (``experimental/experimental_analyzer.go:143-154``).
+- ``compare_dist`` ⇔ ``CompareDist`` (``core/core.go:841-867``).
+
+Results are sorted best-first (ascending raw distance) with the primary
+key as deterministic tie-break; ``offset``/``limit`` paginate like
+edge v4 (``idl/proto/v4/edge.proto:122-124``). The reference edge heap
+has an eviction inversion (SURVEY §2.4 note) — this implements the
+intended true top-K.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coltt_spark.filters import compile_filter
+from coltt_spark.functions.vector import score as score_expr
+from coltt_spark.functions.vector import vector_distance
+
+
+def _paginate_topk(scored: DataFrame, limit: int, offset: int, tie_break: str) -> DataFrame:
+    """True top-(offset+limit) then slice — compiles to a single
+    TakeOrderedAndProject (per-partition top-K + driver merge); the
+    offset is applied on the ≤ offset+limit collected rows, never on
+    the full scan."""
+    ordered = scored.orderBy(F.col("dist").asc(), F.col(tie_break).asc())
+    if offset:
+        return ordered.offset(offset).limit(limit)
+    return ordered.limit(limit)
+
+
+def vertex_search(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    vector_col: str = "vector",
+    distance: str = "cosine",
+    limit: int = 10,
+    offset: int = 0,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """FLAT exhaustive KNN: distance to ``query`` over every row,
+    best-first top-K with pagination. Adds ``dist`` and ``score``."""
+    tie_break = tie_break or df.columns[0]
+    scored = df.withColumn("dist", vector_distance(distance, F.col(vector_col), list(query)))
+    return _paginate_topk(scored, limit, offset, tie_break).withColumn(
+        "score", score_expr(distance, F.col("dist"))
+    )
+
+
+def filterable_vertex_search(
+    df: DataFrame,
+    query: Sequence[float],
+    filter_ast: dict[str, Any],
+    *,
+    vector_col: str = "vector",
+    distance: str = "cosine",
+    limit: int = 10,
+    offset: int = 0,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Filtered KNN: compile the filter AST, push it below the scoring
+    projection (Catalyst sinks it into the scan), then top-K."""
+    return vertex_search(
+        df.filter(compile_filter(df, filter_ast)),
+        query,
+        vector_col=vector_col,
+        distance=distance,
+        limit=limit,
+        offset=offset,
+        tie_break=tie_break,
+    )
+
+
+def filter_search(df: DataFrame, filter_ast: dict[str, Any], *, limit: int | None = None) -> DataFrame:
+    """Pure metadata query; every hit scores 100 like the reference."""
+    out = df.filter(compile_filter(df, filter_ast)).withColumn("score", F.lit(100.0))
+    return out.limit(limit) if limit else out
+
+
+def multi_vector_search(
+    df: DataFrame,
+    fields: dict[str, dict[str, Any]],
+    *,
+    distance: str = "cosine",
+    limit: int = 10,
+    offset: int = 0,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """CFLAT multi-vector weighted fusion.
+
+    ``fields`` maps vector-column name → ``{"query": [...], "ratio":
+    int, "include": bool}``. Included ratios must sum to 100. Fused
+    score = Σ included score_f · ratio_f/100, sorted descending (higher
+    is better).
+    """
+    included = {k: v for k, v in fields.items() if v.get("include", True)}
+    total = sum(int(v["ratio"]) for v in included.values())
+    if total != 100:
+        raise ValueError(f"included field ratios must sum to 100, got {total}")
+    tie_break = tie_break or df.columns[0]
+    fused: Column = F.lit(0.0)
+    for name, spec in included.items():
+        d = vector_distance(distance, F.col(name), list(spec["query"]))
+        fused = fused + score_expr(distance, d) * F.lit(int(spec["ratio"]) / 100.0)
+    scored = df.withColumn("score", fused)
+    ordered = scored.orderBy(F.col("score").desc(), F.col(tie_break).asc())
+    if offset:
+        ordered = ordered.offset(offset)
+    return ordered.limit(limit)
+
+
+def compare_dist(
+    spark, a: Sequence[float], b: Sequence[float], *, distance: str = "cosine"
+) -> DataFrame:
+    """Scalar distance between two literal vectors → one-row DataFrame."""
+    one = spark.range(1).select(
+        vector_distance(distance, list(a), list(b)).alias("dist")
+    )
+    return one.withColumn("score", score_expr(distance, F.col("dist")))

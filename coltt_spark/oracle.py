@@ -1,0 +1,74 @@
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and
+order-insensitive values. Used by the test suite so regressions are
+caught before the driver's per-round CORRECTNESS check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from coltt_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(value: Any) -> Any:
+    """Canonicalize a cell for order-insensitive comparison."""
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 / 1e-13 noise left after upstream round(…, 4)
+        return round(value, 6)
+    if isinstance(value, list):
+        return tuple(_canon(v) for v in value)
+    return value
+
+
+def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    sp_cols = sorted(spark_df.columns)
+    sp_rows = sorted(
+        tuple(_canon(row[c]) for c in sp_cols) for row in spark_df.collect()
+    )
+    rel = con.execute(sql)
+    dk_cols_raw = [d[0] for d in rel.description]
+    dk_cols = sorted(dk_cols_raw)
+    idx = [dk_cols_raw.index(c) for c in dk_cols]
+    dk_rows = sorted(tuple(_canon(r[i]) for i in idx) for r in rel.fetchall())
+    if sp_cols != dk_cols:
+        return False, f"columns differ: spark={sp_cols} duckdb={dk_cols}"
+    if len(sp_rows) != len(dk_rows):
+        return False, f"row count differs: spark={len(sp_rows)} duckdb={len(dk_rows)}"
+    for i, (a, b) in enumerate(zip(sp_rows, dk_rows)):
+        if a != b:
+            return False, f"row {i} differs:\n  spark ={a}\n  duckdb={b}"
+    return True, "ok"
+
+
+def check_query(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[bool, str]:
+    from coltt_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        n = df.count()
+        return n >= 0, f"rows-only check: {n} rows"
+    con = duckdb_conn(sf_dir)
+    try:
+        return compare(df, con, ORACLES[name])
+    finally:
+        con.close()

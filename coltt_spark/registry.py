@@ -1,0 +1,316 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, with a matching DuckDB oracle SQL string where the
+semantics are SQL-expressible.
+
+This is the driver-facing correctness surface (SURVEY §2 inventory):
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin wrappers over
+:data:`QUERIES` / :data:`ORACLES`.
+
+Conventions that make the order-insensitive value-hash comparison
+stable:
+
+- every computed column is aliased identically on both sides;
+- floating-point outputs are rounded to 4 decimals on both sides
+  (both engines compute in float64 over identical left-fold order, so
+  pre-round values agree to ~1e-12 relative);
+- top-K uses the raw distance for ordering with the primary key as a
+  deterministic tie-break, mirrored in the oracle's ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.search import (
+    compare_dist,
+    filter_search,
+    filterable_vertex_search,
+    multi_vector_search,
+    vertex_search,
+)
+from coltt_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+
+#: DuckDB expression for cosine distance between DOUBLE[] ``a`` and ``b``.
+_DD_COS = (
+    "abs(1.0 - list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+_QV_SQL = "SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Deterministic query vector: the embedding of ``vec_id`` (also
+    reproducible inside the oracle SQL as a CTE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0])
+
+
+def _rounded(df: DataFrame, cols: Sequence[str], round_cols: Sequence[str]) -> DataFrame:
+    return df.select(*cols, *[F.round(c, 4).alias(c) for c in round_cols])
+
+
+# ---------------------------------------------------------------------------
+# KNN search family (edge VertexSearch / FilterableVertexSearch parity)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = vertex_search(
+        emb, _query_vec(spark, sf_dir), vector_col="embedding", distance="cosine", limit=10
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_KNN_COSINE = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = vertex_search(
+        emb, _query_vec(spark, sf_dir), vector_col="embedding", distance="euclidean", limit=10
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_KNN_EUCLIDEAN = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = vertex_search(
+        emb, _query_vec(spark, sf_dir), vector_col="embedding", distance="manhattan", limit=10
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_KNN_MANHATTAN = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> abs(p[1] - p[2]))) AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter shapes from the reference e2e goldens (AND of two + OR)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ast = {
+        "op": "or",
+        "expressions": [
+            {
+                "op": "and",
+                "expressions": [
+                    {"index_name": "label", "op": "gte", "value": 5},
+                    {"index_name": "vec_id", "op": "lt", "value": 400},
+                ],
+            },
+            {"index_name": "label", "op": "eq", "value": 1},
+        ],
+    }
+    res = filterable_vertex_search(
+        emb, _query_vec(spark, sf_dir), ast, vector_col="embedding", distance="cosine", limit=10
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_KNN_FILTERED = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+  WHERE (e.label >= 5 AND e.vec_id < 400) OR e.label = 1
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edge v4 offset+limit pagination (idl/proto/v4/edge.proto:122-124)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = vertex_search(
+        emb, _query_vec(spark, sf_dir), vector_col="embedding",
+        distance="cosine", limit=10, offset=5,
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_KNN_PAGINATION = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10 OFFSET 5
+"""
+
+
+def q_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure metadata query, score hardcoded 100 (core FilterSearch)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ast = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "label", "op": "neq", "value": 3},
+            {"index_name": "vec_id", "op": "lte", "value": 100},
+            {"index_name": "label", "op": "gt", "value": 6},
+        ],
+    }
+    return filter_search(emb, ast).select("vec_id", "label", "score")
+
+
+_ORACLE_FILTER_SEARCH = """
+SELECT vec_id, label, 100.0 AS score
+FROM embeddings
+WHERE label <> 3 AND vec_id <= 100 AND label > 6
+"""
+
+
+def q_filter_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type coercion probes: string "300" vs bigint column, float
+    literal vs bigint (pkg/inverted/bitmap_index.go:99-356 semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ast = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "n_chars", "op": "gte", "value": "300"},
+            {"index_name": "doc_id", "op": "lt", "value": 250.5},
+            {"index_name": "lang", "op": "neq", "value": "zh"},
+        ],
+    }
+    return filter_search(docs, ast).select("doc_id", "lang", "n_chars", "score")
+
+
+_ORACLE_FILTER_COERCION = """
+SELECT doc_id, lang, n_chars, 100.0 AS score
+FROM documents
+WHERE n_chars >= 300 AND doc_id < 250.5 AND lang <> 'zh'
+"""
+
+
+def q_multi_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CFLAT weighted fusion: the dim-64 embedding split into two named
+    dim-32 vector fields, fused 70/30 (experimental MultiVertexSearch)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = emb.select(
+        "vec_id",
+        "label",
+        F.slice("embedding", 1, 32).alias("head_vec"),
+        F.slice("embedding", 33, 32).alias("tail_vec"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    res = multi_vector_search(
+        two,
+        {
+            "head_vec": {"query": qv[:32], "ratio": 70, "include": True},
+            "tail_vec": {"query": qv[32:], "ratio": 30, "include": True},
+        },
+        distance="cosine",
+        limit=10,
+    )
+    return _rounded(res, ["vec_id", "label"], ["score"])
+
+
+_ORACLE_MULTI_VECTOR = f"""
+WITH q AS (
+  SELECT (embedding::DOUBLE[])[1:32] AS qh, (embedding::DOUBLE[])[33:64] AS qt
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD_COS.format(a="(e.embedding::DOUBLE[])[1:32]", b="q.qh")} AS dh,
+         {_DD_COS.format(a="(e.embedding::DOUBLE[])[33:64]", b="q.qt")} AS dt
+  FROM embeddings e, q
+),
+s AS (
+  SELECT vec_id, label,
+         (2.0 - dh) / 2.0 * 100.0 * 0.7 + (2.0 - dt) / 2.0 * 100.0 * 0.3 AS score
+  FROM d
+)
+SELECT vec_id, label, round(score, 4) AS score
+FROM s ORDER BY s.score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_compare_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = compare_dist(
+        spark, [1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0], distance="euclidean"
+    )
+    return res.select(F.round("dist", 4).alias("dist"), F.round("score", 4).alias("score"))
+
+
+_ORACLE_COMPARE_DIST = """
+WITH d AS (
+  SELECT sqrt(list_sum(list_transform(
+    list_zip([1.0, 2.0, 3.0, 4.0]::DOUBLE[], [4.0, 3.0, 2.0, 1.0]::DOUBLE[]),
+    p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+)
+SELECT round(dist, 4) AS dist, round(greatest(0.0, 100.0 - dist), 4) AS score FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_cosine": q_knn_cosine,
+    "knn_euclidean": q_knn_euclidean,
+    "knn_manhattan": q_knn_manhattan,
+    "knn_filtered": q_knn_filtered,
+    "knn_pagination": q_knn_pagination,
+    "filter_search": q_filter_search,
+    "filter_coercion": q_filter_coercion,
+    "multi_vector_search": q_multi_vector,
+    "compare_dist": q_compare_dist,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_cosine": _ORACLE_KNN_COSINE,
+    "knn_euclidean": _ORACLE_KNN_EUCLIDEAN,
+    "knn_manhattan": _ORACLE_KNN_MANHATTAN,
+    "knn_filtered": _ORACLE_KNN_FILTERED,
+    "knn_pagination": _ORACLE_KNN_PAGINATION,
+    "filter_search": _ORACLE_FILTER_SEARCH,
+    "filter_coercion": _ORACLE_FILTER_COERCION,
+    "multi_vector_search": _ORACLE_MULTI_VECTOR,
+    "compare_dist": _ORACLE_COMPARE_DIST,
+}

@@ -1,0 +1,27 @@
+"""Mirror of the driver's correctness gate: every registry query with
+an oracle must match DuckDB on sf0.01 (row count + columns + values);
+oracle-less queries must at least run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from coltt_spark.oracle import check_query
+from coltt_spark.registry import QUERIES
+
+from .conftest import SF_CORRECT
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    ok, msg = check_query(spark, SF_CORRECT, name)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
