@@ -1,0 +1,299 @@
+"""Collection catalog: DDL/DML surface of the engine.
+
+Reference parity (SURVEY §2.1/§2.2): Create/Get/Delete/Load/Release/
+Flush collection (``edge/edge.go:78-553``) and the Index write path —
+PK upsert with last-writer-wins, equality-filter delete
+(``edge/edge.go:555-608``, ``edge/none_vectorstore.go:66-127``).
+
+Spark-first storage: a collection is a directory of versioned Parquet
+snapshots plus a JSON manifest (dim, distance, quantization, index
+design, current version) — the manifest plays the role of coltt's
+MinIO ``.meta.json`` blob and the version swap plays the diskv commit
+log: every flush writes ``v{N+1}`` then atomically repoints the
+manifest, so readers never observe a half-written table (same
+guarantee Delta's transaction log provides; plain Parquet keeps the
+container dependency-free).
+
+Write model: like the reference (in-memory until Flush), upserts and
+deletes update a lazy DataFrame view immediately; ``flush()``
+materializes. Upsert compiles to ``new_batch ∪ (current ⟕anti
+new_keys)`` — a broadcast anti-join when the batch is small, which is
+the scalable MERGE shape. At 100 TB you would swap the storage layer
+for Delta ``MERGE INTO`` keyed on the PK; the operator surface here is
+deliberately identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coltt_spark.filters import compile_filter
+from coltt_spark.functions.vector import l2_normalize, score as score_expr, vector_distance
+from coltt_spark.operators.search import _paginate_topk
+from coltt_spark.schema import IndexDesign, validate_metadata, validate_vector
+
+DISTANCES = ("cosine", "euclidean", "manhattan")
+QUANTIZATIONS = ("none", "f16", "bf16", "f8")
+
+_VEC = "vector"
+_COMMIT = "_commit_id"
+
+
+@dataclass
+class Manifest:
+    name: str
+    dim: int
+    distance: str
+    quantization: str
+    index_design: IndexDesign
+    version: int = 0
+    next_commit: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "dim": self.dim,
+            "distance": self.distance,
+            "quantization": self.quantization,
+            "index_design": self.index_design.to_json(),
+            "version": self.version,
+            "next_commit": self.next_commit,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> Manifest:
+        return cls(
+            name=d["name"],
+            dim=d["dim"],
+            distance=d["distance"],
+            quantization=d["quantization"],
+            index_design=IndexDesign.from_json(d["index_design"]),
+            version=d["version"],
+            next_commit=d["next_commit"],
+        )
+
+
+class Collection:
+    """Handle over one collection: lazy current view + manifest."""
+
+    def __init__(self, spark: SparkSession, root: str, manifest: Manifest):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+        self._view: DataFrame = self._read_version()
+        self._cached = False
+
+    # -- storage ------------------------------------------------------
+
+    def _data_dir(self, version: int | None = None) -> str:
+        v = self.manifest.version if version is None else version
+        return os.path.join(self.root, f"v{v}")
+
+    def _storage_schema(self) -> T.StructType:
+        fields = list(self.manifest.index_design.metadata_struct().fields)
+        fields.append(T.StructField(_VEC, T.ArrayType(T.FloatType()), False))
+        fields.append(T.StructField(_COMMIT, T.LongType(), False))
+        return T.StructType(fields)
+
+    def _read_version(self) -> DataFrame:
+        return self.spark.read.schema(self._storage_schema()).parquet(self._data_dir())
+
+    def _write_manifest(self) -> None:
+        tmp = os.path.join(self.root, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.manifest.to_json(), f, indent=2)
+        os.replace(tmp, os.path.join(self.root, "manifest.json"))
+
+    # -- DML ----------------------------------------------------------
+
+    def upsert(self, rows: list[dict[str, Any]]) -> int:
+        """PK upsert, last-writer-wins (edge Index(CHANGED) semantics).
+
+        Each row = metadata dict + ``vector``. Validation mirrors
+        standardAnalyzer; within a batch the last occurrence of a PK
+        wins (matching sequential per-row gRPC application).
+        """
+        m = self.manifest
+        design = m.index_design
+        cleaned: dict[str, dict[str, Any]] = {}
+        for row in rows:
+            meta = validate_metadata(design, {k: v for k, v in row.items() if k != _VEC})
+            vec = validate_vector(m.dim, row.get(_VEC))
+            meta[_VEC] = vec
+            cleaned[meta[design.primary_key]] = meta  # batch-internal LWW
+        batch = list(cleaned.values())
+        for i, r in enumerate(batch):
+            r[_COMMIT] = m.next_commit + i
+        m.next_commit += len(batch)
+
+        new = self.spark.createDataFrame(batch, self._storage_schema())
+        if m.distance == "cosine":
+            # normalize-at-write so cosine ≡ |1-dot| at query time
+            # (edge/none_vectorstore.go:95-97)
+            new = new.withColumn(_VEC, l2_normalize(F.col(_VEC)).cast("array<float>"))
+        pk = design.primary_key
+        survivors = self._view.join(F.broadcast(new.select(pk)), on=pk, how="left_anti")
+        self._view = survivors.unionByName(new.select(survivors.columns))
+        return len(batch)
+
+    def delete_where(self, filter_ast: dict[str, Any]) -> None:
+        """Equality/range-filter delete (edge Index(DELETE))."""
+        pred = compile_filter(self._view, filter_ast)
+        self._view = self._view.filter(~pred)
+
+    # -- queries ------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """Current state as a DataFrame (metadata + vector)."""
+        return self._view.drop(_COMMIT)
+
+    def search(
+        self,
+        query: list[float],
+        *,
+        filter_ast: dict[str, Any] | None = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Filtered FLAT KNN over the collection (edge Search path)."""
+        m = self.manifest
+        qv = validate_vector(m.dim, query)
+        df = self._view
+        if filter_ast is not None:
+            df = df.filter(compile_filter(df, filter_ast))
+        if m.distance == "cosine":
+            # stored vectors are unit; |1 - dot| on a normalized query
+            import numpy as np
+
+            q = np.asarray(qv, dtype=np.float64)
+            n = float(np.linalg.norm(q))
+            qv = list(q / n) if n else qv
+            dist = F.abs(
+                F.lit(1.0)
+                - F.aggregate(
+                    F.zip_with(
+                        F.col(_VEC).cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in qv]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        else:
+            dist = vector_distance(m.distance, F.col(_VEC), qv)
+        scored = df.withColumn("dist", dist)
+        top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
+        return top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+
+    def count(self) -> int:
+        return self._view.count()
+
+    # -- lifecycle ----------------------------------------------------
+
+    def flush(self) -> None:
+        """Materialize the in-memory view to a new snapshot version and
+        atomically repoint the manifest (durability boundary, like
+        coltt Flush → MinIO)."""
+        old_v = self.manifest.version
+        new_v = old_v + 1
+        self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
+        self.manifest.version = new_v
+        self._write_manifest()
+        self._view = self._read_version()
+        old_dir = self._data_dir(old_v)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+
+    def load(self) -> None:
+        """Pin the collection in memory (LoadCollection ⇔ cache)."""
+        self._view = self._view.cache()
+        self._cached = True
+
+    def release(self) -> None:
+        """Persist then evict (ReleaseCollection semantics)."""
+        self.flush()
+        if self._cached:
+            self._view.unpersist()
+            self._cached = False
+
+    def info(self) -> dict[str, Any]:
+        return {**self.manifest.to_json(), "rows": self.count(), "loaded": self._cached}
+
+
+class Catalog:
+    """Warehouse of collections (CreateCollection / GetCollection /
+    DeleteCollection ⇔ directory + manifest lifecycle)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._open: dict[str, Collection] = {}
+
+    def _root(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def create_collection(
+        self,
+        name: str,
+        *,
+        dim: int,
+        distance: str = "cosine",
+        quantization: str = "none",
+        fields: list | None = None,
+    ) -> Collection:
+        if distance not in DISTANCES:
+            raise ValueError(f"distance must be one of {DISTANCES}")
+        if quantization not in QUANTIZATIONS:
+            raise ValueError(f"quantization must be one of {QUANTIZATIONS}")
+        root = self._root(name)
+        if os.path.exists(root):
+            raise ValueError(f"collection {name!r} already exists")
+        design = IndexDesign(fields or [])
+        manifest = Manifest(name, dim, distance, quantization, design, version=0)
+        os.makedirs(root)
+        coll = Collection.__new__(Collection)
+        coll.spark, coll.root, coll.manifest, coll._cached = self.spark, root, manifest, False
+        # seed v0 with an empty snapshot so reads always succeed
+        empty = self.spark.createDataFrame([], coll._storage_schema())
+        empty.write.mode("overwrite").parquet(coll._data_dir(0))
+        coll._write_manifest()
+        coll._view = coll._read_version()
+        self._open[name] = coll
+        return coll
+
+    def get_collection(self, name: str) -> Collection:
+        if name in self._open:
+            return self._open[name]
+        root = self._root(name)
+        path = os.path.join(root, "manifest.json")
+        if not os.path.exists(path):
+            raise KeyError(f"collection {name!r} does not exist")
+        with open(path) as f:
+            manifest = Manifest.from_json(json.load(f))
+        coll = Collection(self.spark, root, manifest)
+        self._open[name] = coll
+        return coll
+
+    def drop_collection(self, name: str) -> None:
+        self._open.pop(name, None)
+        root = self._root(name)
+        if not os.path.isdir(root):
+            raise KeyError(f"collection {name!r} does not exist")
+        shutil.rmtree(root)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isfile(os.path.join(self.warehouse, d, "manifest.json"))
+        )

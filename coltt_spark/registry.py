@@ -289,6 +289,95 @@ SELECT round(dist, 4) AS dist, round(greatest(0.0, 100.0 - dist), 4) AS score FR
 
 
 # ---------------------------------------------------------------------------
+# catalog DML semantics (edge Index upsert / delete paths)
+
+
+def _embeddings_collection(spark: SparkSession, sf_dir: str):
+    """Build a collection from the embeddings table, apply an upsert
+    batch (vec_id < 10 → label+100) and a filter-delete (label = 5).
+    Deterministic: same final state every run."""
+    import tempfile
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_"))
+    coll = cat.create_collection(
+        "emb",
+        dim=len(emb[0]["embedding"]),
+        distance="euclidean",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+    )
+    coll.upsert(
+        [
+            {"id": str(r["vec_id"]), "label": int(r["label"]), "vector": list(r["embedding"])}
+            for r in emb
+        ]
+    )
+    coll.upsert(
+        [
+            {"id": str(r["vec_id"]), "label": int(r["label"]) + 100, "vector": list(r["embedding"])}
+            for r in emb
+            if r["vec_id"] < 10
+        ]
+    )
+    coll.delete_where({"index_name": "label", "op": "eq", "value": 5})
+    return coll
+
+
+def q_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final collection state after upsert (LWW) + filter-delete."""
+    coll = _embeddings_collection(spark, sf_dir)
+    return coll.df().select("id", F.col("label").cast("long").alias("label"))
+
+
+_ORACLE_UPSERT_DELETE = """
+WITH final AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id,
+         CAST(CASE WHEN vec_id < 10 THEN label + 100 ELSE label END AS BIGINT) AS label
+  FROM embeddings
+)
+SELECT id, label FROM final WHERE label <> 5
+"""
+
+
+def q_collection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-after-upsert: euclidean KNN restricted to the upserted
+    rows (label >= 100), exercising the full collection read path."""
+    coll = _embeddings_collection(spark, sf_dir)
+    res = coll.search(
+        _query_vec(spark, sf_dir),
+        filter_ast={"index_name": "label", "op": "gte", "value": 100},
+        limit=5,
+    )
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_ORACLE_COLLECTION_SEARCH = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label + 100 AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+  WHERE e.vec_id < 10
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -301,6 +390,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_coercion": q_filter_coercion,
     "multi_vector_search": q_multi_vector,
     "compare_dist": q_compare_dist,
+    "upsert_delete": q_upsert_delete,
+    "collection_search": q_collection_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -313,4 +404,6 @@ ORACLES: dict[str, str] = {
     "filter_coercion": _ORACLE_FILTER_COERCION,
     "multi_vector_search": _ORACLE_MULTI_VECTOR,
     "compare_dist": _ORACLE_COMPARE_DIST,
+    "upsert_delete": _ORACLE_UPSERT_DELETE,
+    "collection_search": _ORACLE_COLLECTION_SEARCH,
 }

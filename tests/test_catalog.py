@@ -1,0 +1,168 @@
+"""Catalog lifecycle + upsert/delete semantics + persistence parity
+(FIXTURES.md F1/F5 shapes: typed schema, filter matrix, save/load
+round-trip equality)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from coltt_spark.catalog import Catalog
+from coltt_spark.schema import IndexDesign, IndexField, validate_metadata
+
+FIELDS = [
+    IndexField("id", "string", primary_key=True),
+    IndexField("type", "integer"),
+    IndexField("size", "integer"),
+    IndexField("volume", "float"),
+    IndexField("expand", "boolean", enable_null=True),
+]
+
+
+def _rows(n, dim=8, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "id": f"id-{i}",
+                "type": rng.randint(1, 10),
+                "size": rng.randint(1, 10),
+                "volume": rng.random(),
+                "expand": rng.random() < 0.5 if rng.random() > 0.1 else None,
+                "vector": [rng.gauss(0, 1) for _ in range(dim)],
+            }
+        )
+    return out
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_upsert_search_flow(catalog):
+    coll = catalog.create_collection("items", dim=8, distance="cosine", fields=FIELDS)
+    assert coll.upsert(_rows(200)) == 200
+    assert coll.count() == 200
+
+    q = _rows(1, seed=99)[0]["vector"]
+    hits = coll.search(q, limit=10).collect()
+    assert len(hits) == 10
+    dists = [r["dist"] for r in hits]
+    assert dists == sorted(dists)
+    assert all(0 <= r["score"] <= 100 for r in hits)
+
+    filt = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "type", "op": "gte", "value": 5},
+            {"index_name": "size", "op": "lt", "value": 4},
+        ],
+    }
+    fhits = coll.search(q, filter_ast=filt, limit=10).collect()
+    assert all(r["type"] >= 5 and r["size"] < 4 for r in fhits)
+
+
+def test_upsert_last_writer_wins(catalog):
+    coll = catalog.create_collection("upd", dim=4, distance="euclidean", fields=FIELDS)
+    coll.upsert(
+        [
+            {"id": "a", "type": 1, "size": 1, "volume": 0.1, "vector": [1, 0, 0, 0]},
+            {"id": "b", "type": 2, "size": 2, "volume": 0.2, "vector": [0, 1, 0, 0]},
+        ]
+    )
+    # overwrite "a" twice in one batch — last occurrence wins
+    coll.upsert(
+        [
+            {"id": "a", "type": 7, "size": 7, "volume": 0.7, "vector": [0, 0, 1, 0]},
+            {"id": "a", "type": 9, "size": 9, "volume": 0.9, "vector": [0, 0, 0, 1]},
+        ]
+    )
+    rows = {r["id"]: r for r in coll.df().collect()}
+    assert coll.count() == 2
+    assert rows["a"]["type"] == 9 and rows["a"]["vector"] == [0.0, 0.0, 0.0, 1.0]
+    assert rows["b"]["type"] == 2
+
+
+def test_delete_where(catalog):
+    coll = catalog.create_collection("del", dim=4, distance="euclidean", fields=FIELDS)
+    coll.upsert(_rows(100, dim=4))
+    before = coll.count()
+    n_five = coll.df().filter("type = 5").count()
+    coll.delete_where({"index_name": "type", "op": "eq", "value": 5})
+    assert coll.count() == before - n_five
+    assert coll.df().filter("type = 5").count() == 0
+
+
+def test_flush_reload_roundtrip(catalog, spark, tmp_path):
+    """F5: search results identical before and after persist→reload,
+    including ~10% deletions (e2e/hnsw/e2e_hnsw.go:32-74 shape)."""
+    coll = catalog.create_collection("rt", dim=8, distance="cosine", fields=FIELDS)
+    coll.upsert(_rows(300))
+    coll.delete_where({"index_name": "type", "op": "lte", "value": 1})
+    q = _rows(1, seed=123)[0]["vector"]
+    before = [(r["id"], round(r["dist"], 6)) for r in coll.search(q, limit=20).collect()]
+    coll.flush()
+
+    fresh = Catalog(spark, str(tmp_path / "warehouse")).get_collection("rt")
+    after = [(r["id"], round(r["dist"], 6)) for r in fresh.search(q, limit=20).collect()]
+    assert before == after
+
+
+def test_release_and_load(catalog):
+    coll = catalog.create_collection("rl", dim=4, distance="euclidean", fields=FIELDS)
+    coll.upsert(_rows(50, dim=4))
+    coll.load()
+    assert coll.info()["loaded"] is True
+    coll.release()
+    assert coll.info()["loaded"] is False
+    assert coll.count() == 50
+
+
+def test_catalog_listing_and_drop(catalog):
+    catalog.create_collection("c1", dim=4, fields=FIELDS)
+    catalog.create_collection("c2", dim=4, fields=FIELDS)
+    assert catalog.list_collections() == ["c1", "c2"]
+    catalog.drop_collection("c1")
+    assert catalog.list_collections() == ["c2"]
+    with pytest.raises(KeyError):
+        catalog.get_collection("c1")
+    with pytest.raises(ValueError):
+        catalog.create_collection("c2", dim=4, fields=FIELDS)
+
+
+def test_validation_matrix():
+    design = IndexDesign(FIELDS)
+    # null → default on enable_null field (edge_analyzer.go:86-99)
+    meta = validate_metadata(
+        design, {"id": "x", "type": 1, "size": 2, "volume": 0.5, "expand": None}
+    )
+    assert meta["expand"] is False
+    # integral float coerced to int (edge_analyzer.go:60-70)
+    meta = validate_metadata(design, {"id": "x", "type": 3.0, "size": 2, "volume": 1})
+    assert meta["type"] == 3 and isinstance(meta["type"], int)
+    assert meta["volume"] == 1.0 and isinstance(meta["volume"], float)
+    with pytest.raises(TypeError):
+        validate_metadata(design, {"id": "x", "type": 3.5, "size": 2, "volume": 0.5})
+    with pytest.raises(ValueError):
+        validate_metadata(design, {"id": "x", "type": 1, "size": None, "volume": 0.5})
+    with pytest.raises(ValueError):
+        validate_metadata(design, {"id": "x", "type": 1, "size": 2, "volume": 0.5, "bogus": 1})
+    with pytest.raises(ValueError):
+        validate_metadata(design, {"type": 1, "size": 2, "volume": 0.5})
+    with pytest.raises(ValueError):
+        IndexDesign([IndexField("pk", "integer", primary_key=True)])
+
+
+def test_vector_validation(catalog):
+    coll = catalog.create_collection("vv", dim=4, fields=FIELDS)
+    base = {"id": "x", "type": 1, "size": 1, "volume": 0.5}
+    with pytest.raises(ValueError):
+        coll.upsert([{**base, "vector": [1.0, 2.0]}])  # wrong dim
+    with pytest.raises(ValueError):
+        coll.upsert([{**base, "vector": [1.0, 2.0, math.nan, 4.0]}])
+    with pytest.raises(ValueError):
+        coll.upsert([{**base}])  # missing vector
