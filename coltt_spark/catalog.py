@@ -35,9 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import numpy as np
+
 from coltt_spark.filters import compile_filter
-from coltt_spark.functions.vector import l2_normalize, score as score_expr, vector_distance
-from coltt_spark.operators.search import _paginate_topk
+from coltt_spark.functions.quantization import dequantize, quantize_np
+from coltt_spark.functions.vector import score as score_expr, vector_distance
+from coltt_spark.operators.search import _paginate_topk, multi_vector_search
+from coltt_spark.schema import SPARK_TYPES as _SPARK_META
 from coltt_spark.schema import IndexDesign, validate_metadata, validate_vector
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
@@ -97,9 +101,22 @@ class Collection:
         v = self.manifest.version if version is None else version
         return os.path.join(self.root, f"v{v}")
 
+    def _vector_cols(self) -> list[str]:
+        """Named vector fields from the index design (experimental
+        CFLAT multi-vector records), or the default single ``vector``
+        column when none are declared."""
+        named = [f.name for f in self.manifest.index_design.fields if f.type == "vector"]
+        return named or [_VEC]
+
     def _storage_schema(self) -> T.StructType:
-        fields = list(self.manifest.index_design.metadata_struct().fields)
-        fields.append(T.StructField(_VEC, T.ArrayType(T.FloatType()), False))
+        quantized = self.manifest.quantization != "none"
+        vec_type: T.DataType = T.BinaryType() if quantized else T.ArrayType(T.FloatType())
+        fields: list[T.StructField] = [
+            T.StructField(f.name, vec_type if f.type == "vector" else _SPARK_META[f.type], False)
+            for f in self.manifest.index_design.fields
+        ]
+        if not any(f.type == "vector" for f in self.manifest.index_design.fields):
+            fields.append(T.StructField(_VEC, vec_type, False))
         fields.append(T.StructField(_COMMIT, T.LongType(), False))
         return T.StructType(fields)
 
@@ -123,11 +140,22 @@ class Collection:
         """
         m = self.manifest
         design = m.index_design
+        vcols = self._vector_cols()
         cleaned: dict[str, dict[str, Any]] = {}
         for row in rows:
-            meta = validate_metadata(design, {k: v for k, v in row.items() if k != _VEC})
-            vec = validate_vector(m.dim, row.get(_VEC))
-            meta[_VEC] = vec
+            meta = validate_metadata(design, {k: v for k, v in row.items() if k not in vcols})
+            for vc in vcols:
+                vec = validate_vector(m.dim, row.get(vc))
+                if m.distance == "cosine":
+                    # normalize-at-write so cosine ≡ |1-dot| at query
+                    # time (edge/none_vectorstore.go:95-97); quantize
+                    # AFTER normalizing, like the reference
+                    a = np.asarray(vec, dtype=np.float64)
+                    n = float(np.linalg.norm(a))
+                    vec = [float(x) for x in a / n] if n else vec
+                meta[vc] = (
+                    quantize_np(m.quantization, vec) if m.quantization != "none" else vec
+                )
             cleaned[meta[design.primary_key]] = meta  # batch-internal LWW
         batch = list(cleaned.values())
         for i, r in enumerate(batch):
@@ -135,10 +163,6 @@ class Collection:
         m.next_commit += len(batch)
 
         new = self.spark.createDataFrame(batch, self._storage_schema())
-        if m.distance == "cosine":
-            # normalize-at-write so cosine ≡ |1-dot| at query time
-            # (edge/none_vectorstore.go:95-97)
-            new = new.withColumn(_VEC, l2_normalize(F.col(_VEC)).cast("array<float>"))
         pk = design.primary_key
         survivors = self._view.join(F.broadcast(new.select(pk)), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
@@ -151,36 +175,49 @@ class Collection:
 
     # -- queries ------------------------------------------------------
 
+    def _dequantized(self) -> DataFrame:
+        """Current view with vector columns restored to float32 arrays
+        (the reference's decompress-then-float32-similarity contract,
+        edge/f16_quantization.go:35-45)."""
+        df = self._view
+        if self.manifest.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(self.manifest.quantization, vc))
+        return df
+
     def df(self) -> DataFrame:
-        """Current state as a DataFrame (metadata + vector)."""
-        return self._view.drop(_COMMIT)
+        """Current state as a DataFrame (metadata + float32 vectors)."""
+        return self._dequantized().drop(_COMMIT)
 
     def search(
         self,
         query: list[float],
         *,
         filter_ast: dict[str, Any] | None = None,
+        vector_field: str | None = None,
         limit: int = 10,
         offset: int = 0,
     ) -> DataFrame:
         """Filtered FLAT KNN over the collection (edge Search path)."""
         m = self.manifest
         qv = validate_vector(m.dim, query)
-        df = self._view
+        vcols = self._vector_cols()
+        vc = vector_field or (vcols[0] if len(vcols) == 1 else None)
+        if vc is None or vc not in vcols:
+            raise ValueError(f"vector_field must be one of {vcols}")
+        df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
         if m.distance == "cosine":
             # stored vectors are unit; |1 - dot| on a normalized query
-            import numpy as np
-
             q = np.asarray(qv, dtype=np.float64)
             n = float(np.linalg.norm(q))
-            qv = list(q / n) if n else qv
+            qv = [float(x) for x in q / n] if n else qv
             dist = F.abs(
                 F.lit(1.0)
                 - F.aggregate(
                     F.zip_with(
-                        F.col(_VEC).cast("array<double>"),
+                        F.col(vc).cast("array<double>"),
                         F.array(*[F.lit(float(x)) for x in qv]),
                         lambda x, y: x * y,
                     ),
@@ -189,10 +226,38 @@ class Collection:
                 )
             )
         else:
-            dist = vector_distance(m.distance, F.col(_VEC), qv)
+            dist = vector_distance(m.distance, F.col(vc), qv)
         scored = df.withColumn("dist", dist)
         top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
         return top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+
+    def multi_search(
+        self,
+        fields: dict[str, dict[str, Any]],
+        *,
+        filter_ast: dict[str, Any] | None = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> DataFrame:
+        """CFLAT weighted multi-vector fusion over named vector fields
+        (experimental MultiVertexSearch; ratios must sum to 100)."""
+        vcols = set(self._vector_cols())
+        bad = set(fields) - vcols
+        if bad:
+            raise ValueError(f"unknown vector fields {sorted(bad)}; declared: {sorted(vcols)}")
+        for spec in fields.values():
+            validate_vector(self.manifest.dim, spec.get("query"))
+        df = self._dequantized().drop(_COMMIT)
+        if filter_ast is not None:
+            df = df.filter(compile_filter(df, filter_ast))
+        return multi_vector_search(
+            df,
+            fields,
+            distance=self.manifest.distance,
+            limit=limit,
+            offset=offset,
+            tie_break=self.manifest.index_design.primary_key,
+        )
 
     def count(self) -> int:
         return self._view.count()

@@ -1,0 +1,135 @@
+"""Vector quantization: float32 → f16 / bf16 / f8 compact storage.
+
+Reference parity: picking a ``Quantization`` selects a vector store
+with identical logic but compressed vectors (``edge/vectorstore.go:69-80``,
+``edge/quantization.go:27-32``); similarity always decompresses back to
+float32 and reuses the float32 kernels — quantization saves memory,
+not compute (``edge/f16_quantization.go:35-45``). IEEE conversion lives
+in ``pkg/compresshelper/{float16,float8,bf16}.go``; this module
+re-derives the public formats from scratch with vectorized numpy:
+
+- f16  — IEEE 754 binary16 (numpy native)
+- bf16 — bfloat16: round-to-nearest-even truncation of the top 16
+  bits of binary32
+- f8   — E4M3FN minifloat (1 sign / 4 exp / 3 mantissa, bias 7, no
+  infinities, max finite 448) — the public ML float8 convention
+
+Spark mapping: a quantized vector is a compact ``binary`` cell (2 or
+1 bytes per element vs 4); Parquet stores it raw. Quantize/dequantize
+are Arrow-batched pandas UDFs (the only Python in the path — one
+decode pass per scan, amortized across the whole batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+KINDS = ("f16", "bf16", "f8")
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (shared by UDFs and tests)
+
+
+def _f8_encode(arr: np.ndarray) -> np.ndarray:
+    """float32 → E4M3FN byte per element (round-half-up on mantissa)."""
+    bits = np.ascontiguousarray(arr, dtype=np.float32).view(np.uint32)
+    sign = ((bits >> 31) & 1).astype(np.uint8)
+    exp = ((bits >> 23) & 0xFF).astype(np.int32) - 127  # unbiased
+    mant = (bits & 0x7FFFFF).astype(np.uint32)
+
+    out = np.zeros(arr.shape, dtype=np.uint8)
+    a = np.abs(arr.astype(np.float32))
+
+    # normal range: unbiased exponent in [-6, 8]
+    norm = (a != 0) & (exp >= -6) & (exp <= 8)
+    m8 = ((mant + (1 << 19)) >> 20).astype(np.uint32)  # round mantissa to 3 bits
+    e8 = (exp + 7).astype(np.uint32)
+    carry = m8 > 7  # mantissa rounding overflowed into the exponent
+    m8 = np.where(carry, 0, m8)
+    e8 = np.where(carry, e8 + 1, e8)
+    over = norm & (e8 > 15) | (a != 0) & (exp > 8)
+    out[norm] = ((e8[norm] << 3) | m8[norm]).astype(np.uint8)
+
+    # subnormal range: |x| < 2^-6 → m = round(|x| * 2^9), exponent field 0
+    sub = (a != 0) & (exp < -6)
+    msub = np.clip(np.round(a * 512.0), 0, 7).astype(np.uint8)
+    out[sub] = msub[sub]
+
+    # overflow clamps to max finite 0b1111_110 (= 448); E4M3FN has no inf
+    out[over] = 0x7E
+    out |= sign << 7
+    return out
+
+
+def _f8_decode(b: np.ndarray) -> np.ndarray:
+    """E4M3FN byte → float32."""
+    b = b.astype(np.uint8)
+    sign = np.where((b >> 7) & 1, np.float32(-1.0), np.float32(1.0))
+    e = ((b >> 3) & 0xF).astype(np.int32)
+    m = (b & 0x7).astype(np.float32)
+    normal = np.ldexp((1.0 + m / 8.0).astype(np.float32), e - 7)
+    subnormal = np.ldexp((m / 8.0).astype(np.float32), -6)
+    return (sign * np.where(e > 0, normal, subnormal)).astype(np.float32)
+
+
+def _bf16_encode(arr: np.ndarray) -> np.ndarray:
+    """float32 → bfloat16 uint16 (round-to-nearest-even truncation)."""
+    bits = np.ascontiguousarray(arr, dtype=np.float32).view(np.uint32)
+    rounded = bits + 0x7FFF + ((bits >> 16) & 1)
+    return (rounded >> 16).astype(np.uint16)
+
+
+def _bf16_decode(u: np.ndarray) -> np.ndarray:
+    return (u.astype(np.uint32) << 16).view(np.float32)
+
+
+def quantize_np(kind: str, arr) -> bytes:
+    a = np.asarray(arr, dtype=np.float32)
+    if kind == "f16":
+        return a.astype(np.float16).tobytes()
+    if kind == "bf16":
+        return _bf16_encode(a).tobytes()
+    if kind == "f8":
+        return _f8_encode(a).tobytes()
+    raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
+
+
+def dequantize_np(kind: str, raw: bytes) -> np.ndarray:
+    if kind == "f16":
+        return np.frombuffer(raw, dtype=np.float16).astype(np.float32)
+    if kind == "bf16":
+        return _bf16_decode(np.frombuffer(raw, dtype=np.uint16))
+    if kind == "f8":
+        return _f8_decode(np.frombuffer(raw, dtype=np.uint8))
+    raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions (Arrow-batched)
+
+
+def quantize(kind: str, col: Column | str) -> Column:
+    if kind not in KINDS:
+        raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
+
+    @pandas_udf(T.BinaryType())
+    def _q(s):
+        return s.map(lambda v: quantize_np(kind, v))
+
+    return _q(F.col(col) if isinstance(col, str) else col)
+
+
+def dequantize(kind: str, col: Column | str) -> Column:
+    if kind not in KINDS:
+        raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _dq(s):
+        return s.map(lambda b: dequantize_np(kind, b))
+
+    return _dq(F.col(col) if isinstance(col, str) else col)

@@ -377,6 +377,43 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
 """
 
 
+def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine KNN over an f16-quantized collection (edge f16 vector
+    store parity). No DuckDB oracle — binary16 isn't expressible in
+    SQL; precision/recall parity is covered by tests/test_quantization.
+    """
+    import tempfile
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_f16_"))
+    coll = cat.create_collection(
+        "emb_f16",
+        dim=len(emb[0]["embedding"]),
+        distance="cosine",
+        quantization="f16",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+    )
+    coll.upsert(
+        [
+            {"id": str(r["vec_id"]), "label": int(r["label"]), "vector": list(r["embedding"])}
+            for r in emb
+        ]
+    )
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -392,6 +429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_dist": q_compare_dist,
     "upsert_delete": q_upsert_delete,
     "collection_search": q_collection_search,
+    "knn_f16": q_knn_f16,
 }
 
 ORACLES: dict[str, str] = {

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 FIELD_TYPES = ("string", "integer", "float", "boolean", "vector")
 
-_SPARK_TYPE = {
+SPARK_TYPES = _SPARK_TYPE = {
     "string": T.StringType(),
     "integer": T.LongType(),
     "float": T.DoubleType(),

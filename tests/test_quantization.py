@@ -1,0 +1,131 @@
+"""Quantization precision + quantized-collection search + CFLAT
+multi-vector collections (compresshelper_test.go / F1 quantization
+matrix / F4 shapes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coltt_spark.catalog import Catalog
+from coltt_spark.functions.quantization import dequantize_np, quantize_np
+from coltt_spark.schema import IndexField
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize(
+    "kind,rtol",
+    [("f16", 1e-3), ("bf16", 8e-3), ("f8", 7e-2)],
+)
+def test_roundtrip_precision(kind, rtol):
+    x = rng.normal(0, 1, 4096).astype(np.float32)
+    back = dequantize_np(kind, quantize_np(kind, x))
+    assert back.dtype == np.float32
+    assert np.allclose(back, x, rtol=rtol, atol=rtol)
+
+
+def test_f16_matches_numpy_half():
+    x = rng.normal(0, 3, 1024).astype(np.float32)
+    back = dequantize_np("f16", quantize_np("f16", x))
+    assert np.array_equal(back, x.astype(np.float16).astype(np.float32))
+
+
+def test_bf16_is_truncation_of_f32():
+    x = rng.normal(0, 1, 1024).astype(np.float32)
+    back = dequantize_np("bf16", quantize_np("bf16", x))
+    # bf16 keeps ~8 mantissa bits: relative error < 2^-8
+    err = np.abs(back - x) / np.maximum(np.abs(x), 1e-30)
+    assert err.max() < 2**-8
+
+
+def test_f8_e4m3_properties():
+    # exact values representable in E4M3 round-trip exactly
+    exact = np.array([0.0, 1.0, -1.0, 0.5, 2.0, 448.0, -448.0, 0.015625], dtype=np.float32)
+    assert np.array_equal(dequantize_np("f8", quantize_np("f8", exact)), exact)
+    # overflow clamps to max finite 448 (E4M3FN has no inf)
+    big = np.array([1e9, -1e9], dtype=np.float32)
+    assert np.array_equal(dequantize_np("f8", quantize_np("f8", big)), [448.0, -448.0])
+    # storage is 1 byte per element
+    assert len(quantize_np("f8", exact)) == len(exact)
+    assert len(quantize_np("f16", exact)) == 2 * len(exact)
+
+
+@pytest.mark.parametrize("kind", ["f16", "bf16", "f8"])
+def test_quantized_collection_search(spark, tmp_path, kind):
+    """F1 quantization matrix: search over a quantized collection
+    ranks (near-)identically to the unquantized collection."""
+    cat = Catalog(spark, str(tmp_path / f"wh_{kind}"))
+    fields = [IndexField("id", "string", primary_key=True), IndexField("g", "integer")]
+    rows = [
+        {"id": f"r{i}", "g": i % 5, "vector": rng.normal(0, 1, 16).astype(float).tolist()}
+        for i in range(300)
+    ]
+    plain = cat.create_collection("plain", dim=16, distance="cosine", fields=fields)
+    quant = cat.create_collection(kind, dim=16, distance="cosine", quantization=kind, fields=fields)
+    plain.upsert(rows)
+    quant.upsert(rows)
+
+    q = rng.normal(0, 1, 16).astype(float).tolist()
+    exact = [r["id"] for r in plain.search(q, limit=10).collect()]
+    approx = [r["id"] for r in quant.search(q, limit=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10  # recall@10 utility shape
+    min_overlap = {"f16": 1.0, "bf16": 0.9, "f8": 0.6}[kind]
+    assert overlap >= min_overlap, f"{kind}: recall@10 {overlap}"
+    # quantized storage survives flush → reload
+    quant.flush()
+    fresh = Catalog(spark, str(tmp_path / f"wh_{kind}")).get_collection(kind)
+    assert [r["id"] for r in fresh.search(q, limit=10).collect()] == approx
+
+
+def test_multi_vector_collection(spark, tmp_path):
+    """F4 match_profiles: two named vector fields, weighted fusion."""
+    cat = Catalog(spark, str(tmp_path / "wh_mv"))
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("group_name", "string"),
+        IndexField("personality_vec", "vector"),
+        IndexField("ideal_type_vec", "vector"),
+    ]
+    coll = cat.create_collection("profiles", dim=8, distance="cosine", fields=fields)
+    rows = [
+        {
+            "id": f"p{i}",
+            "group_name": "ABCDE"[i % 5],
+            "personality_vec": rng.normal(0, 1, 8).astype(float).tolist(),
+            "ideal_type_vec": rng.normal(0, 1, 8).astype(float).tolist(),
+        }
+        for i in range(200)
+    ]
+    coll.upsert(rows)
+    qp = rng.normal(0, 1, 8).astype(float).tolist()
+    qi = rng.normal(0, 1, 8).astype(float).tolist()
+
+    res = coll.multi_search(
+        {
+            "personality_vec": {"query": qp, "ratio": 70, "include": True},
+            "ideal_type_vec": {"query": qi, "ratio": 30, "include": True},
+        },
+        limit=10,
+    ).collect()
+    assert len(res) == 10
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+    # single-field include with ratio 100; per-field search needs a name
+    only = coll.multi_search(
+        {
+            "personality_vec": {"query": qp, "ratio": 100, "include": True},
+            "ideal_type_vec": {"query": qi, "ratio": 50, "include": False},
+        },
+        limit=5,
+    ).collect()
+    named = coll.search(qp, vector_field="personality_vec", limit=5).collect()
+    assert [r["id"] for r in only] == [r["id"] for r in named]
+
+    with pytest.raises(ValueError):
+        coll.multi_search({"personality_vec": {"query": qp, "ratio": 60, "include": True}})
+    with pytest.raises(ValueError):
+        coll.multi_search({"bogus": {"query": qp, "ratio": 100, "include": True}})
+    with pytest.raises(ValueError):
+        coll.search(qp)  # ambiguous: two vector fields, no name given
