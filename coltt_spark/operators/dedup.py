@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, ordered by cost/recall trade-off:
+
+- :func:`exact_dedup` — hash-groupBy on canonicalized text. One
+  shuffle on the group key with map-side partial aggregation.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over word-shingle sets
+  via a shingle-inverted-list self-join (no cross join: pairs only
+  materialize for documents sharing a shingle).
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding; the
+  scale path. Candidate pairs come from an equi-join on (band,
+  band-hash) buckets, so the shuffle is O(docs·bands), never O(n²).
+- :func:`simhash_pairs` — 60-bit SimHash + pigeonhole blocking on
+  15-bit chunks; near-dups differ in ≤3 bits ⇒ share ≥1 of 4 chunks.
+- :func:`embedding_neardup_pairs` — cosine similarity over an
+  embedding column; exact within blocks (or brute-force when
+  ``block_col`` is None — small corpora / verification only).
+
+All hashes are md5-derived (:mod:`coltt_spark.functions.text`), so
+every operator is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.text import (
+    MINHASH_PARAMS,
+    hash60,
+    minhash_term,
+    norm_text,
+    word_shingles,
+)
+from coltt_spark.functions.vector import dot, l2_norm
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on canonicalized text: keep the smallest id per
+    group. Returns (survivor id, group size)."""
+    return (
+        df.select(F.col(id_col), norm_text(text_col).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs — the inverted-list base for
+    Jaccard and MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
+        .select(id_col, hash60(F.col("_sh")).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold). Inverted-list self-join: only documents sharing at
+    least one shingle ever pair up, so sparsity — not n² — bounds the
+    shuffle."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """k=16 MinHash signature columns mh0..mh15 per document.
+    Documents with no shingles (fewer than n tokens) are dropped —
+    they have no set to sketch."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified against exact
+    Jaccard (candidates only — the verify join touches O(candidates)
+    rows, not O(n²)).
+
+    k=16 signature split into ``bands`` bands of k/bands rows; a pair
+    is a candidate iff some band hashes identically. With 4 bands × 4
+    rows the s-curve crosses ~0.5 at s ≈ 0.66 — tune ``bands`` up for
+    lower thresholds.
+    """
+    k = len(MINHASH_PARAMS)
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band_idx", "_b.band_hash")
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    candidates = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
+    return (
+        candidates.join(exact, on=["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document: bit j of the fingerprint is the
+    sign of Σ_tokens (±1 depending on bit j of the token hash).
+    Distinct tokens weighted once (set semantics)."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(
+            F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
+        )).alias("_t"))
+        .select(id_col, hash60(F.col("_t")).alias("h"))
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = sum(
+        (F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
+        for j in range(bits)
+    )
+    return bit_sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Blocking: the 60-bit fingerprint splits into 4 chunks of 15 bits;
+    by pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so
+    candidates come from 4 equi-joins (union), never a cross join.
+    """
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), 15 * c)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", "_c.chunk_idx", "_c.chunk_val")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos_sim ≥ threshold).
+
+    With ``block_col`` the self-join is an equi-join within blocks
+    (e.g. an LSH bucket or cluster id) — the scale path. Without it
+    the join is a full O(n²) cross product: verification/small-corpus
+    use only.
+    """
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    base = df.select(*cols)
+    a = base.select(
+        *[c.alias(f"{n}_a") for c, n in zip([F.col(id_col), F.col(vec_col)], [id_col, vec_col])],
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = base.select(
+        *[c.alias(f"{n}_b") for c, n in zip([F.col(id_col), F.col(vec_col)], [id_col, vec_col])],
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    va, vb = F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")
+    return (
+        joined.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("cos_sim", dot(va, vb) / (l2_norm(va) * l2_norm(vb)))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

@@ -445,3 +445,9 @@ ORACLES: dict[str, str] = {
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
 }
+
+# merge section registries (dedup, text analysis, ann, analytics, …)
+from coltt_spark.registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
+
+QUERIES.update(DEDUP_QUERIES)
+ORACLES.update(DEDUP_ORACLES)

@@ -1,0 +1,221 @@
+"""Dedup section of the query registry (training-data pipeline ops).
+
+Oracle SQL for MinHash/SimHash is generated from the same constants
+the Spark operators use (md5-derived 60-bit hashes + a fixed
+universal-hash family), so even the sketch-based strategies are fully
+value-checked against DuckDB, not just row-counted.
+
+The synthetic corpus has no exact or embedding-level duplicates, so
+two queries plant deterministic ones (case/whitespace mangles for
+exact dedup; scaled vector copies — cosine-invariant — for embedding
+near-dup) in both the Spark plan and the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.text import HASH_P, MINHASH_PARAMS
+from coltt_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from coltt_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+
+_DD_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM documents
+),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+      ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing)
+"""
+
+_DD_JACCARD = f"""
+WITH {_DD_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shd a JOIN shd b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (planted case/whitespace duplicates)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    return exact_dedup(corpus, "doc_id", "text")
+
+
+_ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM corpus)
+GROUP BY norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+{_DD_JACCARD}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        f"min(({a}::BIGINT * (sh % {HASH_P}) + {b}) % {HASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = ", ".join(
+        "md5(concat_ws('-', " + ", ".join(f"mh{b * 4 + r}" for r in range(4)) + f")) AS band{b}"
+        for b in range(4)
+    )
+    lateral = ", ".join(f"({b}, band{b})" for b in range(4))
+    return f"""
+{_DD_JACCARD},
+sig AS (SELECT doc_id, {mh} FROM shd GROUP BY doc_id),
+banded AS (SELECT doc_id, {bands} FROM sig),
+stacked AS (
+  SELECT doc_id, b.band_idx, b.band_hash FROM banded,
+  LATERAL (VALUES {lateral}) AS b(band_idx, band_hash)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (restricted to doc_id < 200 to bound the pair output)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    saggs = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits))
+    # the oracle brute-forces all pairs — blocking on 15-bit chunks is
+    # lossless for hamming ≤ 3 (pigeonhole), so results are identical
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+  FROM documents WHERE doc_id < 200
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+bs AS (SELECT doc_id, {saggs} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {packed} AS simhash FROM bs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (planted scaled copies, cosine-invariant)
+
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+_ORACLE_NEARDUP_COSINE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.2)
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.embedding, b.embedding) /
+    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+     sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_sim
+  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
+"""
+
+
+DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "neardup_cosine": q_neardup_cosine,
+}
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "neardup_cosine": _ORACLE_NEARDUP_COSINE,
+}

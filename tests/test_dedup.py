@@ -1,0 +1,73 @@
+"""Structural properties of the dedup operators (value-level parity
+vs DuckDB is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from coltt_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_lsh_catches_high_jaccard_pairs(spark):
+    """At jaccard ≥ 0.8 the 4×4 banding s-curve passes ≥ ~88% per
+    pair; on the planted near-dups it should catch them all."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ≈ jaccard (k=16 ⇒ coarse, allow 0.35)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    a = sig.select([F.col(c).alias(f"{c}_a") for c in sig.columns])
+    b = sig.select([F.col(c).alias(f"{c}_b") for c in sig.columns])
+    joined = pairs.join(a, pairs.id_a == a.doc_id_a).join(b, pairs.id_b == b.doc_id_b)
+    agree = sum(
+        F.when(F.col(f"mh{i}_a") == F.col(f"mh{i}_b"), 1).otherwise(0) for i in range(16)
+    ) / F.lit(16.0)
+    rows = joined.select("jaccard", agree.alias("est")).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["jaccard"]) < 0.35
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """Chunk-blocked pairs == brute-force pairs for hamming ≤ 3."""
+    from coltt_spark.operators.dedup import simhash
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(F.col("doc_id") < 150)
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sig = simhash(docs, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute
