@@ -1,0 +1,126 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure Catalyst expressions (regexp + array lambdas inside
+whole-stage codegen) — no Python in the row path, so a 100 TB
+documents scan runs at parquet-read speed with the filter/projection
+pushed down. Each has an exact DuckDB-SQL equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.text import HASH_P, hash60, tokens
+
+# marker stopwords per language for the n-gram/stopword heuristic.
+# Deterministic and tiny by design — the oracle re-states the same
+# sets; swap in real wordlists at deployment.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "dans", "pour", "sur"),
+}
+
+#: fixed language evaluation order — ties resolve to the earliest
+_LANG_ORDER = ("en", "de", "es", "fr")
+
+#: rolling-hash base (fingerprint); with HASH_P < 2^31 the fold value
+#: stays under 2^39 — no int64 overflow in either engine.
+FP_BASE = 131
+
+#: BPE-ish token pattern: letter runs, digit runs, single symbols
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_score(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-token
+    occurrences (with multiplicity), argmax with fixed-order
+    tie-break, ``und`` when nothing matches."""
+    toks = tokens(text_col)
+    scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword heuristics + a composite
+    quality score in [0, 1].
+
+    score = 0.4·min(1, tokens/100) + 0.3·(1 − punct_ratio)
+          + 0.3·min(1, stopword_ratio·5)
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letter
+    runs / digit runs / single symbols — a cheap proxy for subword
+    tokenizer cost estimation)."""
+    t = F.col(text_col)
+    ws = F.size(F.array_remove(F.split(F.trim(t), r"\s+"), ""))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 of canonical text (exact-dup key)
+    plus an order-sensitive rolling polynomial hash over token hashes
+    (acc·B + h mod p left fold — two docs with the same token
+    *multiset* but different order fingerprint differently)."""
+    from coltt_spark.functions.text import norm_text
+
+    toks = tokens(text_col)
+    hs = F.transform(toks, lambda x: hash60(x) % F.lit(HASH_P))
+    rolling = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(FP_BASE) + x) % F.lit(HASH_P),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm_text(text_col)).alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )

@@ -448,6 +448,9 @@ ORACLES: dict[str, str] = {
 
 # merge section registries (dedup, text analysis, ann, analytics, …)
 from coltt_spark.registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
+from coltt_spark.registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(DEDUP_QUERIES)
 ORACLES.update(DEDUP_ORACLES)
+QUERIES.update(TEXT_QUERIES)
+ORACLES.update(TEXT_ORACLES)

@@ -1,0 +1,125 @@
+"""Text-analysis section of the query registry."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from coltt_spark.functions.text import HASH_P
+from coltt_spark.operators.textstats import (
+    _LANG_ORDER,
+    BPE_PATTERN,
+    FP_BASE,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    text_quality,
+    token_count,
+)
+from coltt_spark.sources.tables import load_table
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_oracle() -> str:
+    def marker_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+    scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({marker_list(lang)}, t))) AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_ORDER) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANG_ORDER)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sc AS (SELECT doc_id, {scores} FROM toks),
+b AS (SELECT *, {best} AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+       CAST(best AS BIGINT) AS marker_hits
+FROM b
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_oracle() -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS tk,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> list_contains({stop}, t))) / len(tk)
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(1.0, stopword_ratio * 5), 4) AS quality_score
+FROM m
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_ORACLE_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+h AS (
+  SELECT doc_id, text,
+         list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {HASH_P}) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (acc, x) -> (acc * {FP_BASE} + x) % {HASH_P})
+       END AS rolling_fp
+FROM h
+"""
+
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+}
+
+TEXT_ORACLES: dict[str, str] = {
+    "text_lang_id": _lang_oracle(),
+    "text_quality": _quality_oracle(),
+    "token_count": _ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": _ORACLE_FINGERPRINT,
+}
