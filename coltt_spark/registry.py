@@ -447,6 +447,7 @@ ORACLES: dict[str, str] = {
 }
 
 # merge section registries (dedup, text analysis, ann, analytics, …)
+from coltt_spark.registry_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
 from coltt_spark.registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from coltt_spark.registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
@@ -454,3 +455,5 @@ QUERIES.update(DEDUP_QUERIES)
 ORACLES.update(DEDUP_ORACLES)
 QUERIES.update(TEXT_QUERIES)
 ORACLES.update(TEXT_ORACLES)
+QUERIES.update(ANN_QUERIES)
+ORACLES.update(ANN_ORACLES)

@@ -1,0 +1,102 @@
+"""ANN section of the query registry."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.ann import brute_topk, ivf_topk, lsh_topk
+from coltt_spark.sources.tables import load_table
+
+_DD_COS = (
+    "abs(1.0 - list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _queries_from_embeddings(spark: SparkSession, sf_dir: str, ids=(0, 1, 2)):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin(*ids)).select("vec_id", "embedding").collect()
+    return {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+
+def _ann_exact(strategy: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        res = brute_topk(
+            emb,
+            _queries_from_embeddings(spark, sf_dir),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=5,
+            distance="cosine",
+            strategy=strategy,
+        )
+        return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
+
+    return q
+
+
+_ORACLE_ANN_EXACT = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, round(dist, 4) AS dist FROM r WHERE rn <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate KNN — rows-only check (the hyperplane
+    constants are impractical as inline SQL); recall vs exact is
+    asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lsh_topk(
+        emb,
+        _queries_from_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        nbits=6,
+        n_tables=6,
+    )
+    return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN — rows-only check; recall vs exact is
+    asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = ivf_topk(
+        emb,
+        _queries_from_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+    return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
+
+
+ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_topk_batch": _ann_exact("window"),
+    "ann_topk_blas": _ann_exact("blas"),
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+}
+
+ANN_ORACLES: dict[str, str] = {
+    "ann_topk_batch": _ORACLE_ANN_EXACT,
+    "ann_topk_blas": _ORACLE_ANN_EXACT,
+}

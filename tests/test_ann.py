@@ -1,0 +1,69 @@
+"""ANN recall + strategy-equivalence tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.ann import brute_topk, ivf_topk, lsh_topk, recall_at_k
+from coltt_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+K = 10
+
+
+def _queries(spark, n=5):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = emb.filter(F.col("vec_id") < n).select("vec_id", "embedding").collect()
+    return {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+
+def test_blas_equals_window(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    a = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K, strategy="window")
+    b = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K, strategy="blas")
+    ra = sorted((r["query_id"], r["vec_id"], round(r["dist"], 8)) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"], round(r["dist"], 8)) for r in b.collect())
+    assert ra == rb
+
+
+def test_blas_euclidean_equals_window(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark, 3)
+    a = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                   distance="euclidean", strategy="window")
+    b = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                   distance="euclidean", strategy="blas")
+    ra = sorted((r["query_id"], r["vec_id"], round(r["dist"], 6)) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"], round(r["dist"], 6)) for r in b.collect())
+    assert ra == rb
+
+
+def test_lsh_recall(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
+    approx = lsh_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                      nbits=6, n_tables=6)
+    r = recall_at_k(approx, truth, id_col="vec_id", k=K)
+    # the synthetic embeddings are near-uniform (weak neighbor
+    # structure) — 0.55 is the honest bar at ~35% candidate fraction
+    assert r >= 0.55, f"LSH recall@{K} = {r}"
+
+
+def test_ivf_recall_and_candidate_fraction(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
+    approx = ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                      n_centroids=16, nprobe=4)
+    r = recall_at_k(approx, truth, id_col="vec_id", k=K)
+    assert r >= 0.5, f"IVF recall@{K} = {r}"
+
+
+def test_recall_identity(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark, 3)
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
+    assert recall_at_k(truth, truth, id_col="vec_id", k=K) == 1.0
