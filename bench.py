@@ -24,8 +24,12 @@ def main() -> None:
 
     spark = get_spark(app_name="coltt_spark_bench")
     # warm the JVM / parquet footer caches so per-query numbers measure
-    # the plan, not session startup
+    # the plan, not session startup or first-read footer parsing
+    from coltt_spark.sources.tables import load_tables
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -22,6 +22,7 @@ every operator is reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,11 +147,27 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
+    # verify ONLY candidate pairs against exact jaccard: re-attach the
+    # two shingle lists by key, count the intersection. Cost is
+    # O(candidates · shingles-per-doc), never the all-co-shingle-pairs
+    # blowup of the exact operator.
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    inter = (
+        candidates.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
     return (
-        candidates.join(exact, on=["id_a", "id_b"])
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
@@ -228,14 +245,23 @@ def embedding_neardup_pairs(
     *,
     threshold: float = 0.95,
     block_col: str | None = None,
+    strategy: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos_sim ≥ threshold).
 
     With ``block_col`` the self-join is an equi-join within blocks
     (e.g. an LSH bucket or cluster id) — the scale path. Without it
-    the join is a full O(n²) cross product: verification/small-corpus
-    use only.
+    the pair space is O(n²): ``strategy="expr"`` evaluates it as a
+    Catalyst cross join (exact left-fold arithmetic, oracle-grade);
+    ``strategy="blas"`` broadcasts the corpus matrix and computes one
+    numpy matmul per partition — orders of magnitude faster, values
+    equal to the expr path up to BLAS summation order (≪1e-12, safe
+    under round-4 output).
     """
+    if strategy == "blas":
+        if block_col is not None:
+            raise ValueError("blas strategy implies all-pairs; drop block_col")
+        return _neardup_blas(df, id_col, vec_col, threshold=threshold)
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     base = df.select(*cols)
     a = base.select(
@@ -258,3 +284,54 @@ def embedding_neardup_pairs(
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+def _neardup_blas(df: DataFrame, id_col: str, vec_col: str, *, threshold: float) -> DataFrame:
+    """All-pairs cosine via broadcast corpus matrix + one matmul per
+    partition. Each partition compares only its own rows against the
+    full corpus (upper triangle enforced by id), so work distributes
+    evenly and nothing but the final survivors shuffles."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy(dtype=np.int64)
+    X = np.stack(corpus[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((ids, Xn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ids_b, Xn_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            S = Mn @ Xn_b.T  # (m, n)
+            mask = (S >= threshold) & (my_ids[:, None] < ids_b[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": my_ids[ai],
+                    "id_b": ids_b[bj],
+                    "cos_sim": S[ai, bj],
+                }
+            )
+
+    local = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInPandas(kernel, out_schema)
+    return local.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payload columns with typed metadata; the
+decode / feature-extract / resize / frame-sample stages run as
+Arrow-batched ``mapInPandas`` so a real decoder (PIL / torchaudio /
+pyav) drops in without touching the Spark plan. Those libraries are
+not in this container, so the decode kernel is a DETERMINISTIC FAKE
+(clearly marked below): it derives "pixels" from the payload bytes.
+The Spark-side contract — schema, partitioning, UDF signatures, Arrow
+batch shape — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: schema of a decoded-feature row
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Fabricate a media table from documents: a deterministic binary
+    payload (md5 digest bytes of the text — stand-in for real bytes)
+    plus typed metadata (width/height/duration derived from payload
+    hash, media_type round-robin)."""
+    h = F.md5(F.col("text"))
+    return documents.select(
+        F.col("doc_id"),
+        F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.unhex(h).alias("payload"),
+        F.struct(
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 512 + 1).alias("width"),
+            (F.conv(F.substring(h, 3, 2), 16, 10).cast("long") % 512 + 1).alias("height"),
+            (F.conv(F.substring(h, 5, 2), 16, 10).cast("long") % 300 + 1).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder — replace with PIL/pyav in a real
+    deployment. Tiles the payload bytes to ``out_len`` float32s in
+    [0, 1]."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    tiled = np.resize(raw, out_len)
+    return (tiled / 255.0).astype(np.float32)
+
+
+def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
+    """Decode + feature-extract per media row (Arrow-batched). With a
+    real decoder this is where image embeddings / mel spectrograms
+    are computed; the plan shape (scan → mapInPandas → downstream) is
+    identical."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = pdf["payload"].map(lambda b: _fake_decode(b, dim))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        kernel, FEATURES_SCHEMA
+    )
+
+
+def resize_image(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize stage: recompute metadata JVM-side, re-derive the payload
+    in the decode kernel (fake: payload tiled to width·height bytes).
+    A real implementation swaps ``_fake_decode`` for PIL's resize."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            resized = pdf["payload"].map(
+                lambda b: np.resize(np.frombuffer(b, dtype=np.uint8), width * height).tobytes()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    imgs = media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video payloads: emits ``n_frames``
+    rows per video (frame_idx, frame payload slice). Real decoders
+    replace the byte-slicing with pyav keyframe extraction."""
+    vids = media.filter(F.col("media_type") == "video")
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    sliced = vids.select("doc_id", "payload", idx)
+    frame_len = F.greatest(F.floor(F.length("payload") / n_frames), F.lit(1)).cast("int")
+    return sliced.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.substring(
+            F.col("payload"), (F.col("frame_idx") * frame_len + 1).cast("int"), frame_len
+        ).alias("frame"),
+    )

@@ -45,11 +45,20 @@ _DD_COS = (
 _QV_SQL = "SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0"
 
 
+_QV_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Deterministic query vector: the embedding of ``vec_id`` (also
-    reproducible inside the oracle SQL as a CTE)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return list(emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0])
+    reproducible inside the oracle SQL as a CTE). Cached per sf_dir so
+    repeated queries don't re-run the lookup job."""
+    key = (sf_dir, vec_id)
+    if key not in _QV_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QV_CACHE[key] = list(
+            emb.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+        )
+    return _QV_CACHE[key]
 
 
 def _rounded(df: DataFrame, cols: Sequence[str], round_cols: Sequence[str]) -> DataFrame:
@@ -447,8 +456,10 @@ ORACLES: dict[str, str] = {
 }
 
 # merge section registries (dedup, text analysis, ann, analytics, …)
+from coltt_spark.registry_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from coltt_spark.registry_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
 from coltt_spark.registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
+from coltt_spark.registry_media import MEDIA_ORACLES, MEDIA_QUERIES  # noqa: E402
 from coltt_spark.registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(DEDUP_QUERIES)
@@ -457,3 +468,7 @@ QUERIES.update(TEXT_QUERIES)
 ORACLES.update(TEXT_ORACLES)
 QUERIES.update(ANN_QUERIES)
 ORACLES.update(ANN_ORACLES)
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLES.update(ANALYTICS_ORACLES)
+QUERIES.update(MEDIA_QUERIES)
+ORACLES.update(MEDIA_ORACLES)

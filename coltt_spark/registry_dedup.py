@@ -183,7 +183,9 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
     )
     corpus = emb.unionByName(copies)
-    return embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+    return embedding_neardup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, strategy="blas"
+    )
 
 
 _ORACLE_NEARDUP_COSINE = """

@@ -1,0 +1,71 @@
+"""Multimodal section of the query registry."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.multimodal import extract_features, media_table, sample_frames
+from coltt_spark.sources.tables import load_table
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+_ORACLE_MEDIA_METADATA = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS payload_bytes,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT % 512 + 1 AS width,
+       ('0x' || substr(md5(text), 3, 2))::BIGINT % 512 + 1 AS height
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extraction plumbing (mapInPandas) — rows-only
+    check; determinism and batch shape are covered by
+    tests/test_multimodal.py."""
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.size("features").cast("long").alias("n_features"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return frames.select("doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes"))
+
+
+_ORACLE_MEDIA_FRAMES = """
+SELECT doc_id, CAST(f.i AS BIGINT) AS frame_idx, CAST(4 AS BIGINT) AS frame_bytes
+FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i) AS f(i)
+WHERE doc_id % 3 = 2
+"""
+
+
+MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+}
+
+MEDIA_ORACLES: dict[str, str] = {
+    "media_metadata": _ORACLE_MEDIA_METADATA,
+    "media_frames": _ORACLE_MEDIA_FRAMES,
+}

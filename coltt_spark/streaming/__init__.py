@@ -1,0 +1,13 @@
+from coltt_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_memory,
+    session_stream,
+)
+
+__all__ = [
+    "hourly_counts_stream",
+    "read_events_stream",
+    "run_to_memory",
+    "session_stream",
+]
