@@ -460,6 +460,7 @@ from coltt_spark.registry_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES 
 from coltt_spark.registry_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
 from coltt_spark.registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from coltt_spark.registry_media import MEDIA_ORACLES, MEDIA_QUERIES  # noqa: E402
+from coltt_spark.registry_schemaless import SCHEMALESS_ORACLES, SCHEMALESS_QUERIES  # noqa: E402
 from coltt_spark.registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(DEDUP_QUERIES)
@@ -472,3 +473,5 @@ QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
 QUERIES.update(MEDIA_QUERIES)
 ORACLES.update(MEDIA_ORACLES)
+QUERIES.update(SCHEMALESS_QUERIES)
+ORACLES.update(SCHEMALESS_ORACLES)

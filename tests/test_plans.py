@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: pin the plan shapes that keep the
+engine fast at 100 TB (SURVEY §4 mappings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.analytics import top_revenue_orders
+from coltt_spark.operators.search import filterable_vertex_search, vertex_search
+from coltt_spark.plans import (
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    has_take_ordered,
+    wholestage_codegen_spans,
+)
+from coltt_spark.plans.inspect import has_shuffle
+from coltt_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _q(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb, list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+
+def test_knn_is_take_ordered_no_shuffle(spark):
+    """FLAT KNN must compile to TakeOrderedAndProject straight over
+    the scan: per-partition top-K + driver merge, zero Exchange."""
+    emb, qv = _q(spark)
+    plan_df = vertex_search(emb, qv, vector_col="embedding", limit=10)
+    assert has_take_ordered(plan_df)
+    assert not has_shuffle(plan_df)
+    assert wholestage_codegen_spans(plan_df) >= 1
+
+
+def test_filtered_knn_pushes_predicate_to_scan(spark):
+    """The compiled filter must reach the Parquet scan (PushedFilters)
+    — this is the bitmap-index replacement doing its job."""
+    emb, qv = _q(spark)
+    ast = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "label", "op": "gte", "value": 5},
+            {"index_name": "vec_id", "op": "lt", "value": 400},
+        ],
+    }
+    plan_df = filterable_vertex_search(emb, qv, ast, vector_col="embedding")
+    assert has_pushed_filters(plan_df)
+    assert has_take_ordered(plan_df)
+
+
+def test_dimension_join_broadcasts(spark):
+    """Filtered customers must broadcast into the orders/lineitem side
+    — the fact table never shuffles for the dimension join."""
+    plan_df = top_revenue_orders(
+        load_table(spark, SF_SMOKE, "customer"),
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    assert has_broadcast_hash_join(plan_df)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A two-column projection must not read the full documents
+    schema (ReadSchema shows only what's needed)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    from coltt_spark.plans import executed_plan
+
+    plan = executed_plan(docs)
+    assert "text" not in plan.split("ReadSchema")[-1]
