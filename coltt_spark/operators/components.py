@@ -1,0 +1,70 @@
+"""Connected components over near-duplicate pair edges → dedup groups.
+
+Pair-level dedup (MinHash/SimHash/Jaccard) emits edges; a pipeline
+keeps ONE document per connected component. This resolves components
+with distributed min-label propagation: every vertex starts labeled
+with its own id, and each round adopts the minimum label among itself
+and its neighbors until fixpoint — the component root is its smallest
+member id (deterministic canonical survivor).
+
+Scale: each round is one equi-join edges⋈labels + one aggregation —
+no adjacency ever sits on one machine. Rounds ≈ graph diameter, and
+near-dup graphs are overwhelmingly tiny cliques (diameter ≤ 2), so
+convergence takes 1–3 rounds. ``localCheckpoint`` truncates lineage
+between rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve (id, root) for every vertex appearing in ``pairs``.
+    ``root`` = min id of the component."""
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("root", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "s"), on="s")
+            .groupBy("t")
+            .agg(F.min("root").alias("nb_root"))
+            .withColumnRenamed("t", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("root"), F.coalesce("nb_root", F.col("root"))).alias("root"),
+                (F.col("nb_root") < F.col("root")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """(id, root, group_size) for every document in a duplicate group;
+    the pipeline keeps rows where id == root."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    sizes = comp.groupBy("root").agg(F.count("*").alias("group_size"))
+    return comp.join(sizes, on="root").select("id", "root", "group_size")

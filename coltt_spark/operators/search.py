@@ -141,3 +141,57 @@ def compare_dist(
         vector_distance(distance, list(a), list(b)).alias("dist")
     )
     return one.withColumn("score", score_expr(distance, F.col("dist")))
+
+
+def add_quantized_column(
+    df: DataFrame, *, vector_col: str = "vector", kind: str = "f8", out_col: str | None = None
+) -> DataFrame:
+    """Materialize a compact quantized copy of a vector column (write
+    it once at ingest; phase 1 of :func:`two_phase_topk` then scans
+    1-2 bytes/element instead of 4)."""
+    from coltt_spark.functions.quantization import quantize
+
+    return df.withColumn(out_col or f"{vector_col}_{kind}", quantize(kind, vector_col))
+
+
+def two_phase_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    vector_col: str = "vector",
+    quant_col: str | None = None,
+    kind: str = "f8",
+    distance: str = "cosine",
+    limit: int = 10,
+    expand: int = 4,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Two-phase quantized-rank → exact-rerank KNN (the optimization
+    SURVEY §4 flags as the one custom rewrite worth having).
+
+    Phase 1 ranks by distance over the compact quantized column and
+    keeps ``expand·limit`` candidates (a TakeOrderedAndProject over
+    the small column — at scale this is the only full scan, reading a
+    quarter of the bytes). Phase 2 recomputes the exact distance on
+    the full-precision vectors of the candidates only and returns the
+    true top ``limit``.
+    """
+    from coltt_spark.functions.quantization import dequantize
+
+    tie_break = tie_break or df.columns[0]
+    qc = quant_col or f"{vector_col}_{kind}"
+    if qc not in df.columns:
+        df = add_quantized_column(df, vector_col=vector_col, kind=kind, out_col=qc)
+    coarse = df.withColumn(
+        "_coarse_dist", vector_distance(distance, dequantize(kind, qc), list(query))
+    )
+    cand = coarse.orderBy(F.col("_coarse_dist").asc(), F.col(tie_break).asc()).limit(
+        expand * limit
+    )
+    exact = cand.withColumn(
+        "dist", vector_distance(distance, F.col(vector_col), list(query))
+    )
+    top = exact.orderBy(F.col("dist").asc(), F.col(tie_break).asc()).limit(limit)
+    return top.withColumn("score", score_expr(distance, F.col("dist"))).drop(
+        "_coarse_dist", qc
+    )

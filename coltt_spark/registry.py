@@ -423,6 +423,29 @@ def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase quantized-rank → exact-rerank cosine KNN (the SURVEY
+    §4 optimization). Phase 1 scans an f16 copy (half the bytes) and
+    keeps 4·k candidates; phase 2 reranks them at full precision, so
+    the result — and the oracle — is identical to exact ``knn_cosine``
+    as long as the coarse top-4k contains the true top-k (f16 error
+    ~5e-4 relative, orders of magnitude under the rank-40 margin)."""
+    from coltt_spark.operators.search import two_phase_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = two_phase_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        vector_col="embedding",
+        kind="f16",
+        distance="cosine",
+        limit=10,
+        expand=4,
+        tie_break="vec_id",
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -439,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_delete": q_upsert_delete,
     "collection_search": q_collection_search,
     "knn_f16": q_knn_f16,
+    "knn_two_phase": q_knn_two_phase,
 }
 
 ORACLES: dict[str, str] = {
@@ -453,6 +477,7 @@ ORACLES: dict[str, str] = {
     "compare_dist": _ORACLE_COMPARE_DIST,
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
+    "knn_two_phase": _ORACLE_KNN_COSINE,
 }
 
 # merge section registries (dedup, text analysis, ann, analytics, …)

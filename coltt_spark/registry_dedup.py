@@ -109,7 +109,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``lsh_pairs`` — the verified
+    MinHash+LSH near-dup pairs (jaccard ≥ 0.5)."""
     mh = ", ".join(
         f"min(({a}::BIGINT * (sh % {HASH_P}) + {b}) % {HASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -131,10 +133,52 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM stacked a JOIN stacked b USING (band_idx, band_hash)
   WHERE a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b, j.jaccard
+  FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.5
 )
-SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
-FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
-WHERE j.jaccard >= 0.5
+"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+{_minhash_ctes()}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM lsh_pairs
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group resolution: connected components over the
+    MinHash+LSH pair edges (min-label propagation; root = canonical
+    survivor)."""
+    from coltt_spark.operators.components import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
+    return dedup_groups(pairs)
+
+
+def _groups_oracle() -> str:
+    """Transitive closure via recursive CTE over the same LSH pairs."""
+    ctes = _minhash_ctes().strip()
+    assert ctes.startswith("WITH ")
+    return f"""
+WITH RECURSIVE {ctes[5:]},
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS id, least(s, min(t)) AS root FROM reach GROUP BY s),
+sizes AS (SELECT root, count(*) AS group_size FROM comp GROUP BY root)
+SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 """
 
 
@@ -210,6 +254,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "neardup_cosine": q_neardup_cosine,
 }
@@ -218,6 +263,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_groups": _groups_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "neardup_cosine": _ORACLE_NEARDUP_COSINE,
 }

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from coltt_spark.operators.ann import brute_topk, ivf_topk, lsh_topk, recall_at_k
 from coltt_spark.sources.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, SF_SMOKE
 
 K = 10
 
@@ -67,3 +67,21 @@ def test_recall_identity(spark):
     qs = _queries(spark, 3)
     truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
     assert recall_at_k(truth, truth, id_col="vec_id", k=K) == 1.0
+
+
+def test_two_phase_equals_exact(spark):
+    """f16-coarse two-phase KNN returns exactly the full-precision
+    top-k (phase-2 rerank is exact; f16 coarse error << rank margin)."""
+    from coltt_spark.operators.search import two_phase_topk, vertex_search
+    from coltt_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    exact = vertex_search(
+        emb, q, vector_col="embedding", distance="cosine", limit=10, tie_break="vec_id"
+    )
+    two = two_phase_topk(
+        emb, q, vector_col="embedding", kind="f16", distance="cosine",
+        limit=10, expand=4, tie_break="vec_id",
+    )
+    assert [r["vec_id"] for r in two.collect()] == [r["vec_id"] for r in exact.collect()]

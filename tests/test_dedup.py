@@ -71,3 +71,18 @@ def test_simhash_blocking_is_lossless(spark):
         .collect()
     }
     assert blocked == brute
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain needs >1 label-propagation round; all collapse
+    to root 1. A disjoint pair keeps its own root."""
+    from coltt_spark.operators.components import connected_components, dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["root"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    groups = {r["id"]: (r["root"], r["group_size"]) for r in dedup_groups(pairs).collect()}
+    assert groups[5] == (1, 5)
+    assert groups[11] == (10, 2)
