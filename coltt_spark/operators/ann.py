@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -153,25 +154,21 @@ def lsh_planes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(0.0, 1.0, (nbits, dim))
 
 
-def _signature(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id of a vector column under fixed hyperplanes —
-    a pure Catalyst expression (one dot product per plane)."""
-    bits = []
-    for j, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _signatures_np(X: np.ndarray, tables: list[np.ndarray]) -> np.ndarray:
+    """(n, n_tables) sign-bit bucket ids: one matmul against ALL
+    tables' hyperplanes stacked, bits packed little-endian per table.
+    (A per-plane Catalyst expression tree — nbits·n_tables aggregates
+    each embedding a dim-length literal — costs more in analysis +
+    codegen than the whole scan; one BLAS matmul per Arrow batch is
+    the scale path.)"""
+    P = np.concatenate(tables, axis=0)  # (n_tables·nbits, dim)
+    bits = (X @ P.T) > 0
+    nbits = tables[0].shape[0]
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    out = np.empty((X.shape[0], len(tables)), dtype=np.int64)
+    for t in range(len(tables)):
+        out[:, t] = bits[:, t * nbits : (t + 1) * nbits] @ weights
+    return out
 
 
 def lsh_topk(
@@ -197,37 +194,41 @@ def lsh_topk(
     dim = len(next(iter(queries.values())))
     tables = [lsh_planes(dim, nbits, seed + t) for t in range(n_tables)]
 
-    bucketed = corpus.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), _signature(vec_col, planes).alias("bucket")
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select(id_col, vec_col, "_tb.tbl", "_tb.bucket")
+    from pyspark.sql.functions import pandas_udf
 
-    qdf = _query_df(corpus.sparkSession, queries)
-    probe_structs = []
-    for t, planes in enumerate(tables):
-        sig = _signature("qv", planes)
-        probe_structs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-        if multiprobe:
-            probe_structs.extend(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    sig.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list(_signatures_np(X, tables)))
+
+    bucketed = corpus.select(
+        id_col, vec_col, F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket")
+    )
+
+    # query buckets (+1-bit probes) are literals — computed driver-side
+    probe_rows = []
+    for qid, v in queries.items():
+        qv = [float(x) for x in v]
+        sigs = _signatures_np(np.asarray(qv, dtype=np.float64)[None, :], tables)[0]
+        for t, s in enumerate(sigs):
+            probe_rows.append((int(qid), qv, t, int(s)))
+            if multiprobe:
+                probe_rows.extend(
+                    (int(qid), qv, t, int(s) ^ (1 << j)) for j in range(nbits)
                 )
-                for j in range(nbits)
-            )
-    qdf = qdf.select(
-        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("_tb")
-    ).select("query_id", "qv", "_tb.tbl", "_tb.bucket")
+    qdf = corpus.sparkSession.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+                T.StructField("tbl", T.IntegerType(), False),
+                T.StructField("bucket", T.LongType(), False),
+            ]
+        ),
+    )
 
     cand = (
         bucketed.join(F.broadcast(qdf), on=["tbl", "bucket"])

@@ -33,6 +33,10 @@ def connected_components(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
+        # materialize once — every propagation round joins against edges,
+        # and without this the full upstream pair pipeline (e.g. MinHash
+        # shingling + band join) would re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("s").alias("id"))

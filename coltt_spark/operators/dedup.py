@@ -34,6 +34,7 @@ from coltt_spark.functions.text import (
     word_shingles,
 )
 from coltt_spark.functions.vector import dot, l2_norm
+from coltt_spark.sources.tables import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -50,6 +51,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle-hash) pairs — the inverted-list base for
     Jaccard and MinHash."""
+    df = ensure_parallelism(df, id_col)
     return (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
         .select(id_col, hash60(F.col("_sh")).alias("sh"))
@@ -118,7 +120,15 @@ def minhash_lsh_pairs(
     """
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n)
+    # the shingle table feeds BOTH the signature aggregation and the
+    # candidate-verify join; materialize it once (explode+hash+distinct
+    # is the dominant cost) instead of recomputing the lineage per use
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    aggs = [
+        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -151,7 +161,6 @@ def minhash_lsh_pairs(
     # two shingle lists by key, count the intersection. Cost is
     # O(candidates · shingles-per-doc), never the all-co-shingle-pairs
     # blowup of the exact operator.
-    sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     inter = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
@@ -175,6 +184,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     """60-bit SimHash per document: bit j of the fingerprint is the
     sign of Σ_tokens (±1 depending on bit j of the token hash).
     Distinct tokens weighted once (set semantics)."""
+    df = ensure_parallelism(df, id_col)
     tok = (
         df.select(F.col(id_col), F.explode(F.array_distinct(
             F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")

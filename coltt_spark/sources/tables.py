@@ -60,3 +60,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow input across the cluster before per-row-heavy
+    work (shingling, hashing, UDF batches).
+
+    Small parquet files scan as ONE split (files.maxPartitionBytes),
+    so everything downstream of the scan runs on one core; at real
+    scale the input already has thousands of splits and this is a
+    no-op — the guard only repartitions when the scan has fewer
+    splits than the session's parallelism, so it never adds a shuffle
+    of a large input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
