@@ -520,3 +520,11 @@ QUERIES.update(MEDIA_QUERIES)
 ORACLES.update(MEDIA_ORACLES)
 QUERIES.update(SCHEMALESS_QUERIES)
 ORACLES.update(SCHEMALESS_ORACLES)
+
+from coltt_spark.registry_streaming import (  # noqa: E402
+    STREAMING_ORACLES,
+    STREAMING_QUERIES,
+)
+
+QUERIES.update(STREAMING_QUERIES)
+ORACLES.update(STREAMING_ORACLES)

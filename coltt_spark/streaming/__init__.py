@@ -3,6 +3,7 @@ from coltt_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_stream,
+    stream_dedup,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "session_stream",
+    "stream_dedup",
 ]

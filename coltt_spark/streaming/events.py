@@ -56,12 +56,14 @@ def hourly_counts_stream(events: DataFrame, *, watermark: str = "2 hours") -> Da
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n_events",
             "total_value",
+            "avg_value",
         )
     )
 
@@ -97,3 +99,34 @@ def run_to_memory(sdf: DataFrame, name: str, *, mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def stream_dedup(events: DataFrame, *, key_cols=("event_id",)) -> DataFrame:
+    """Streaming first-seen deduplication with explicit per-key state
+    (``applyInPandasWithState``) — the custom stateful operator shape:
+    a key's first row is emitted, every later duplicate is suppressed
+    for as long as the key's state lives.
+
+    State per key is a single "seen" flag, so memory is O(distinct
+    keys in flight), and keys hash-partition across executors — the
+    same layout that serves billions of keys on a real cluster. (For
+    bounded TTL state, layer ``withWatermark`` + an event-time timeout
+    on top; the bounded-replay tests run with unexpiring state.)
+    """
+    import pandas as pd  # noqa: F401  (pdfs arrive as pandas frames)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = events.schema
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def first_seen(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf) and seen == 0:
+                seen = 1
+                yield pdf.iloc[[0]]
+        state.update((seen,))
+
+    return events.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -69,3 +69,18 @@ def test_media_resize_and_frames(spark):
     frames = sample_frames(media, n_frames=4)
     assert frames.count() == 4 * n_videos
     assert frames.filter(F.length("frame") == 0).count() == 0
+
+
+def test_stream_dedup_first_seen(spark):
+    """Doubling the stream (union with itself) then running the
+    stateful first-seen dedup yields each event exactly once."""
+    from coltt_spark.streaming import stream_dedup
+
+    s = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        stream_dedup(s.union(s), key_cols=("event_id",)), "dedup_t", mode="append"
+    )
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == n_events
+    assert len(set(ids)) == n_events
