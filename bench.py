@@ -17,6 +17,64 @@ import sys
 import time
 
 
+def _bench_flat_1m(spark, sf_dir: str) -> dict:
+    """The BASELINE.md headline: exhaustive FLAT KNN over ~1M vectors
+    (reference: 0.02-0.3 s/query at 128-dim, in-memory). The corpus is
+    the embeddings table tiled to 1M rows with distinct ids, cached
+    (the reference scans RAM), scanned by the same
+    TakeOrderedAndProject plan the registry KNN queries use. Reports
+    the mean of 3 warm queries."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.search import vertex_search
+    from coltt_spark.sources.tables import load_table
+
+    from coltt_spark.operators.search import vertex_search_wide, widen_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    n = emb.count()
+    reps = max(1, 1_000_000 // n)
+    q = [float(x) for x in first["embedding"]]
+    corpus = (
+        emb.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def timed(df, search):
+        cached = df.cache()
+        rows = cached.count()  # materialize the cache before timing
+        search(cached).collect()  # warm-up: whole-stage codegen compile
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            search(cached).collect()
+            runs.append(time.perf_counter() - t0)
+        cached.unpersist()
+        return rows, round(sum(runs) / len(runs), 4)
+
+    rows, sec_array = timed(
+        corpus,
+        lambda df: vertex_search(
+            df, q, vector_col="embedding", distance="cosine", limit=10,
+            tie_break="vec_id",
+        ),
+    )
+    _, sec_wide = timed(
+        widen_vectors(corpus, vector_col="embedding", dim=len(q)),
+        lambda df: vertex_search_wide(
+            df, q, distance="cosine", limit=10, tie_break="vec_id"
+        ),
+    )
+    return {
+        "rows": rows,
+        "dim": len(q),
+        "sec_per_query": sec_wide,  # headline: the wide columnar layout
+        "sec_per_query_array_layout": sec_array,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from coltt_spark import get_spark
@@ -37,6 +95,9 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    flat_1m = _bench_flat_1m(spark, sf_dir)
+    timings["knn_1m_flat"] = flat_1m["sec_per_query"]
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -47,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "flat_1m": flat_1m,
             }
         )
     )

@@ -443,6 +443,20 @@ def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine KNN over the columnar wide layout (one double column per
+    dimension) — identical semantics to ``knn_cosine`` (same oracle),
+    executed as a whole-stage-codegen multiply-add chain with no
+    per-row array allocation."""
+    from coltt_spark.operators.search import vertex_search_wide, widen_vectors
+
+    q = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = widen_vectors(emb, vector_col="embedding", dim=len(q))
+    res = vertex_search_wide(wide, q, distance="cosine", limit=10, tie_break="vec_id")
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
 def q_knn_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase quantized-rank → exact-rerank cosine KNN (the SURVEY
     §4 optimization). Phase 1 scans an f16 copy (half the bytes) and
@@ -483,6 +497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search": q_collection_search,
     "knn_f16": q_knn_f16,
     "knn_two_phase": q_knn_two_phase,
+    "knn_wide": q_knn_wide,
 }
 
 ORACLES: dict[str, str] = {
@@ -498,6 +513,7 @@ ORACLES: dict[str, str] = {
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
     "knn_two_phase": _ORACLE_KNN_COSINE,
+    "knn_wide": _ORACLE_KNN_COSINE,
 }
 
 # merge section registries (dedup, text analysis, ann, analytics, …)

@@ -85,3 +85,26 @@ def test_two_phase_equals_exact(spark):
         limit=10, expand=4, tie_break="vec_id",
     )
     assert [r["vec_id"] for r in two.collect()] == [r["vec_id"] for r in exact.collect()]
+
+
+def test_wide_layout_equals_array_layout(spark):
+    """The wide columnar FLAT scan returns the same top-k (ids and
+    4-decimal distances) as the array-layout scan, for every distance."""
+    from coltt_spark.operators.search import (
+        vertex_search,
+        vertex_search_wide,
+        widen_vectors,
+    )
+    from coltt_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    wide = widen_vectors(emb, vector_col="embedding", dim=len(q))
+    for dist in ("cosine", "euclidean", "manhattan"):
+        a = vertex_search(
+            emb, q, vector_col="embedding", distance=dist, limit=10, tie_break="vec_id"
+        ).select("vec_id", F.round("dist", 4).alias("d")).collect()
+        w = vertex_search_wide(
+            wide, q, distance=dist, limit=10, tie_break="vec_id"
+        ).select("vec_id", F.round("dist", 4).alias("d")).collect()
+        assert [(r["vec_id"], r["d"]) for r in a] == [(r["vec_id"], r["d"]) for r in w]
