@@ -257,12 +257,14 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
-    """IVF approximate KNN. Centroids are a deterministic sample of
-    the corpus (every ⌈n/n_centroids⌉-th row by id — stand-in for a
-    k-means job, which would slot in unchanged); rows shuffle once on
-    their nearest-centroid id, queries probe the ``nprobe`` nearest
-    lists and rerank exactly inside them."""
+    """IVF approximate KNN. Centroids start as a deterministic sample
+    of the corpus (every ⌈n/n_centroids⌉-th row by id), optionally
+    refined by ``kmeans_iters`` rounds of distributed spherical
+    k-means (:func:`kmeans_refine`); rows shuffle once on their
+    nearest-centroid id, queries probe the ``nprobe`` nearest lists
+    and rerank exactly inside them."""
     spark = corpus.sparkSession
     n = corpus.count()
     step = max(1, n // n_centroids)
@@ -275,6 +277,8 @@ def ivf_topk(
     )
     C = np.array([list(map(float, r[vec_col])) for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    if kmeans_iters:
+        Cn = kmeans_refine(corpus, Cn, vec_col=vec_col, iters=kmeans_iters)
     bc = spark.sparkContext.broadcast(Cn)
 
     assign_schema = T.StructType(
@@ -327,6 +331,61 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", F.col(id_col), "dist")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame, Cn: np.ndarray, *, vec_col: str, iters: int = 3
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) refinement of normalized
+    centroids. Each round is one pass over the corpus: broadcast the
+    centroids, assign every row to its max-cosine centroid inside an
+    Arrow batch (one matmul), and reduce per-centroid per-dimension
+    sums JVM-side (map-side partial aggregation — only k·dim numbers
+    cross the wire). Empty clusters keep their previous centroid.
+    Centroid count and dim stay tiny, so the driver-side update is
+    O(k·dim)."""
+    spark = corpus.sparkSession
+    k_, dim = Cn.shape
+    out_schema = T.StructType(
+        [T.StructField("centroid", T.IntegerType(), False),
+         T.StructField("v", T.ArrayType(T.DoubleType()), False)]
+    )
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(Cn)
+
+        def assign(batches: Iterator) -> Iterator:
+            Cn_b = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                yield pd.DataFrame(
+                    {
+                        "centroid": np.argmax(Xn @ Cn_b.T, axis=1).astype(np.int32),
+                        "v": list(X),
+                    }
+                )
+
+        sums = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+            .mapInPandas(assign, out_schema)
+            .groupBy("centroid")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        newC = Cn.copy()
+        for r in sums:
+            c = r["centroid"]
+            mean = np.array([r[f"s{i}"] for i in range(dim)]) / r["_n"]
+            nrm = np.linalg.norm(mean)
+            if nrm > 1e-30:
+                newC[c] = mean / nrm
+        Cn = newC
+    return Cn
 
 
 def recall_at_k(approx: DataFrame, truth: DataFrame, *, id_col: str, k: int) -> float:

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from coltt_spark.functions.text import HASH_P, hash60, tokens
+from coltt_spark.sources.tables import ensure_parallelism
 
 # marker stopwords per language for the n-gram/stopword heuristic.
 # Deterministic and tiny by design — the oracle re-states the same
@@ -46,6 +47,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-marker language ID: score each language by marker-token
     occurrences (with multiplicity), argmax with fixed-order
     tie-break, ``und`` when nothing matches."""
+    df = ensure_parallelism(df, id_col)
     toks = tokens(text_col)
     scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
     best = F.greatest(*scores.values())
@@ -67,6 +69,7 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score = 0.4·min(1, tokens/100) + 0.3·(1 − punct_ratio)
           + 0.3·min(1, stopword_ratio·5)
     """
+    df = ensure_parallelism(df, id_col)
     t = F.col(text_col)
     toks = tokens(text_col)
     n_chars = F.length(t)
@@ -95,6 +98,7 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (letter
     runs / digit runs / single symbols — a cheap proxy for subword
     tokenizer cost estimation)."""
+    df = ensure_parallelism(df, id_col)
     t = F.col(text_col)
     ws = F.size(F.array_remove(F.split(F.trim(t), r"\s+"), ""))
     bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_PATTERN), 0))
@@ -110,6 +114,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     plus an order-sensitive rolling polynomial hash over token hashes
     (acc·B + h mod p left fold — two docs with the same token
     *multiset* but different order fingerprint differently)."""
+    df = ensure_parallelism(df, id_col)
     from coltt_spark.functions.text import norm_text
 
     toks = tokens(text_col)

@@ -108,3 +108,28 @@ def test_wide_layout_equals_array_layout(spark):
             wide, q, distance=dist, limit=10, tie_break="vec_id"
         ).select("vec_id", F.round("dist", 4).alias("d")).collect()
         assert [(r["vec_id"], r["d"]) for r in a] == [(r["vec_id"], r["d"]) for r in w]
+
+
+def test_ivf_kmeans_refinement(spark):
+    """Lloyd-refined centroids keep IVF recall at least as good as the
+    sampled ones, and the refined centroids stay unit-norm."""
+    import numpy as np
+
+    from coltt_spark.operators.ann import kmeans_refine
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark, 5)
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
+    base = ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                    n_centroids=8, nprobe=3)
+    refined = ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                       n_centroids=8, nprobe=3, kmeans_iters=3)
+    r_base = recall_at_k(base, truth, id_col="vec_id", k=K)
+    r_ref = recall_at_k(refined, truth, id_col="vec_id", k=K)
+    assert r_ref >= r_base - 0.1  # refinement must not collapse recall
+
+    rows = emb.select("embedding").limit(64).collect()
+    C = np.array([list(map(float, r["embedding"])) for r in rows[:8]], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    out = kmeans_refine(emb, Cn, vec_col="embedding", iters=2)
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-9)
