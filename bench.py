@@ -67,11 +67,40 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
             df, q, distance="cosine", limit=10, tie_break="vec_id"
         ),
     )
+    # IVF scale path: build the index once and persist it PARTITIONED
+    # BY centroid (the deployment shape) — probes then prune to the
+    # nprobe/n_centroids partitions they touch instead of scanning
+    import shutil
+    import tempfile
+
+    from coltt_spark.operators.ann import ivf_build, ivf_probe
+
+    t0 = time.perf_counter()
+    assigned, Cn = ivf_build(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=64
+    )
+    idx_dir = tempfile.mkdtemp(prefix="coltt_ivf_idx_")
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(idx_dir)
+    ivf_build_sec = round(time.perf_counter() - t0, 4)
+    idx = spark.read.parquet(idx_dir)
+    qd = {0: q}
+    ivf_probe(idx, Cn, qd, id_col="vec_id", vec_col="embedding", k=10,
+              nprobe=8).collect()  # warm-up
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivf_probe(idx, Cn, qd, id_col="vec_id", vec_col="embedding", k=10,
+                  nprobe=8).collect()
+        runs.append(time.perf_counter() - t0)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     return {
         "rows": rows,
         "dim": len(q),
         "sec_per_query": sec_wide,  # headline: the wide columnar layout
         "sec_per_query_array_layout": sec_array,
+        "ivf_build_sec": ivf_build_sec,
+        "ivf_sec_per_query": round(sum(runs) / len(runs), 4),
     }
 
 

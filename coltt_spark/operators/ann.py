@@ -264,7 +264,34 @@ def ivf_topk(
     refined by ``kmeans_iters`` rounds of distributed spherical
     k-means (:func:`kmeans_refine`); rows shuffle once on their
     nearest-centroid id, queries probe the ``nprobe`` nearest lists
-    and rerank exactly inside them."""
+    and rerank exactly inside them.
+
+    One-shot convenience over :func:`ivf_build` + :func:`ivf_probe` —
+    a serving deployment builds (and caches / writes, partitioned by
+    ``centroid``) once and probes many times."""
+    assigned, Cn = ivf_build(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters,
+    )
+    return ivf_probe(assigned, Cn, queries, id_col=id_col, vec_col=vec_col,
+                     k=k, nprobe=nprobe)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF index: pick (and optionally Lloyd-refine)
+    centroids, then assign every row to its max-cosine centroid — one
+    matmul per Arrow batch. Returns (assigned corpus with a
+    ``centroid`` column, normalized centroid matrix). The assigned
+    DataFrame is the persistent index: cache it or write it
+    partitioned by ``centroid`` so probes prune to the lists they
+    touch."""
     spark = corpus.sparkSession
     n = corpus.count()
     step = max(1, n // n_centroids)
@@ -304,8 +331,22 @@ def ivf_topk(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast("array<float>").alias(vec_col),
     ).mapInPandas(assign, assign_schema)
+    return assigned, Cn
 
-    # queries probe their nprobe nearest centroid lists
+
+def ivf_probe(
+    assigned: DataFrame,
+    Cn: np.ndarray,
+    queries: dict[int, Sequence[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a built IVF index: each query joins (broadcast) against
+    its ``nprobe`` nearest centroid lists only, exact rerank inside —
+    the scan touches ~nprobe/n_centroids of the corpus."""
     probe_rows = []
     for qid, v in queries.items():
         q = np.asarray(list(map(float, v)), dtype=np.float64)
@@ -320,10 +361,16 @@ def ivf_topk(
             T.StructField("centroid", T.IntegerType(), False),
         ]
     )
-    probes = spark.createDataFrame(probe_rows, probe_schema)
+    probes = assigned.sparkSession.createDataFrame(probe_rows, probe_schema)
 
-    cand = assigned.join(F.broadcast(probes), on="centroid").withColumn(
-        "dist", vector_distance("cosine", F.col(vec_col), F.col("qv"))
+    # literal isin on the union of probed lists: redundant with the
+    # join, but it's a static predicate Catalyst pushes into the scan,
+    # so a centroid-partitioned index prunes to the probed partitions
+    touched = sorted({c for _, _, c in probe_rows})
+    cand = (
+        assigned.filter(F.col("centroid").isin(touched))
+        .join(F.broadcast(probes), on="centroid")
+        .withColumn("dist", vector_distance("cosine", F.col(vec_col), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
