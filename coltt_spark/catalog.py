@@ -38,11 +38,11 @@ from pyspark.sql import types as T
 import numpy as np
 
 from coltt_spark.filters import compile_filter
-from coltt_spark.functions.quantization import dequantize, quantize_np
+from coltt_spark.functions.quantization import dequantize, quantize, quantize_np
 from coltt_spark.functions.vector import score as score_expr, vector_distance
 from coltt_spark.operators.search import _paginate_topk, multi_vector_search
 from coltt_spark.schema import SPARK_TYPES as _SPARK_META
-from coltt_spark.schema import IndexDesign, validate_metadata, validate_vector
+from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, validate_vector
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
 QUANTIZATIONS = ("none", "f16", "bf16", "f8")
@@ -167,6 +167,112 @@ class Collection:
         survivors = self._view.join(F.broadcast(new.select(pk)), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
         return len(batch)
+
+    def upsert_df(self, df: DataFrame, *, dedupe_batch: bool = True) -> int:
+        """Bulk DataFrame-native upsert — the ingest path that scales.
+
+        Same semantics as :meth:`upsert` (standardAnalyzer-style
+        validation, PK last-writer-wins against the current view,
+        normalize-at-write for cosine, quantize-at-write), but every
+        transform is a Catalyst expression or Arrow-batched kernel —
+        no row ever touches the driver, so the same call ingests 100
+        rows or 100 TB. Input: one column per metadata field (missing
+        nullable fields get the type default) plus each vector column
+        as ``array<numeric>``. Bad rows (wrong dim, NaN/Inf, null PK)
+        fail the job via ``raise_error`` — the bulk analogue of the
+        per-row ValueError.
+
+        Commit ids are snowflake-like: sparse, strictly above every
+        earlier batch (``lit(next_commit) + monotonically_increasing_id``,
+        then the manifest skips a block). With ``dedupe_batch`` PK
+        duplicates inside the batch resolve to the highest commit id;
+        pass ``False`` when the batch is known PK-unique to skip that
+        shuffle.
+        """
+        m = self.manifest
+        design = m.index_design
+        vcols = self._vector_cols()
+        meta_fields = [f for f in design.fields if f.type != "vector"]
+        known = {f.name for f in meta_fields} | set(vcols)
+        unknown = set(df.columns) - known
+        if unknown:
+            raise ValueError(f"unknown metadata keys: {sorted(unknown)}")
+
+        cols: list = []
+        for f in meta_fields:
+            t = _SPARK_META[f.type]
+            if f.name not in df.columns:
+                if f.primary_key or not f.enable_null:
+                    raise ValueError(f"field {f.name!r} is required")
+                cols.append(F.lit(_NULL_DEFAULT[f.type]).cast(t).alias(f.name))
+                continue
+            c = F.col(f.name).cast(t)
+            if f.primary_key or not f.enable_null:
+                c = F.coalesce(
+                    c, F.raise_error(f"field {f.name!r} may not be null").cast(t)
+                )
+            else:
+                c = F.coalesce(c, F.lit(_NULL_DEFAULT[f.type]).cast(t))
+            cols.append(c.alias(f.name))
+
+        prepared = df.select(
+            *cols, *[F.col(vc).cast(T.ArrayType(T.DoubleType())).alias(vc) for vc in vcols]
+        )
+        for vc in vcols:
+            vd = F.col(vc)
+            ok = (F.size(vd) == m.dim) & ~F.exists(
+                vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+            )
+            guarded = F.coalesce(
+                F.when(ok, vd),
+                F.raise_error(f"vector {vc!r}: missing, wrong dim, or NaN/Inf").cast(
+                    T.ArrayType(T.DoubleType())
+                ),
+            )
+            prepared = prepared.withColumn(vc, guarded)
+            if m.distance == "cosine":
+                # normalize-at-write so cosine ≡ |1-dot| at query time
+                # (edge/none_vectorstore.go:95-97); quantize AFTER
+                # normalizing, like the reference
+                norm = F.sqrt(
+                    F.aggregate(F.col(vc), F.lit(0.0), lambda a, x: a + x * x)
+                )
+                prepared = prepared.withColumn("_nrm", norm).withColumn(
+                    vc,
+                    F.when(
+                        F.col("_nrm") > 0,
+                        F.transform(F.col(vc), lambda x: x / F.col("_nrm")),
+                    ).otherwise(F.col(vc)),
+                ).drop("_nrm")
+            vf = F.transform(F.col(vc), lambda x: x.cast("float"))
+            prepared = prepared.withColumn(
+                vc, quantize(m.quantization, vf) if m.quantization != "none" else vf
+            )
+
+        prepared = prepared.withColumn(
+            _COMMIT, F.lit(m.next_commit) + F.monotonically_increasing_id()
+        )
+        m.next_commit += 1 << 45  # block above any partitionId<<33 offset
+        pk = design.primary_key
+        if dedupe_batch:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(pk).orderBy(F.col(_COMMIT).desc())
+            prepared = (
+                prepared.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        order = [f.name for f in design.fields] + (
+            [] if any(f.type == "vector" for f in design.fields) else [_VEC]
+        )
+        new = prepared.select(*order, _COMMIT).localCheckpoint(eager=True)
+        n = new.count()
+        # no broadcast hint: the batch may be any size — AQE picks the
+        # join strategy from the materialized checkpoint stats
+        survivors = self._view.join(new.select(pk), on=pk, how="left_anti")
+        self._view = survivors.unionByName(new.select(survivors.columns))
+        return n
 
     def delete_where(self, filter_ast: dict[str, Any]) -> None:
         """Equality/range-filter delete (edge Index(DELETE))."""

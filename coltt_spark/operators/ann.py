@@ -361,12 +361,31 @@ def ivf_probe(
             T.StructField("centroid", T.IntegerType(), False),
         ]
     )
-    probes = assigned.sparkSession.createDataFrame(probe_rows, probe_schema)
-
     # literal isin on the union of probed lists: redundant with the
     # join, but it's a static predicate Catalyst pushes into the scan,
     # so a centroid-partitioned index prunes to the probed partitions
     touched = sorted({c for _, _, c in probe_rows})
+
+    if len(queries) == 1:
+        # serving fast path: the query vector becomes a literal and the
+        # per-query top-k a global ORDER BY .. LIMIT k, which Spark
+        # executes as TakeOrderedAndProject — per-partition top-k,
+        # driver merge, no broadcast join and no window exchange
+        ((qid, v),) = queries.items()
+        qlit = F.array(*[F.lit(float(x)) for x in v])
+        return (
+            assigned.filter(F.col("centroid").isin(touched))
+            .withColumn("dist", vector_distance("cosine", F.col(vec_col), qlit))
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.col(id_col),
+                "dist",
+            )
+        )
+
+    probes = assigned.sparkSession.createDataFrame(probe_rows, probe_schema)
     cand = (
         assigned.filter(F.col("centroid").isin(touched))
         .join(F.broadcast(probes), on="centroid")

@@ -183,27 +183,40 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
     """60-bit SimHash per document: bit j of the fingerprint is the
     sign of Σ_tokens (±1 depending on bit j of the token hash).
-    Distinct tokens weighted once (set semantics)."""
+    Distinct tokens weighted once (set semantics).
+
+    Tokenizing and hashing stay JVM-side (codegen'd, oracle-identical
+    md5); the per-document bit counting runs as one Arrow-batched
+    numpy pass per group. A pure-SQL formulation needs a 60-column
+    aggregate whose generated class takes multi-second to compile —
+    the Arrow path is compile-free and exact integer math, so results
+    are bit-identical."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     df = ensure_parallelism(df, id_col)
     tok = (
         df.select(F.col(id_col), F.explode(F.array_distinct(
             F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
         )).alias("_t"))
-        .select(id_col, hash60(F.col("_t")).alias("h"))
+        .select(F.col(id_col).cast("long").alias(id_col), hash60(F.col("_t")).alias("h"))
     )
-    bit_sums = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
         ]
     )
-    packed = sum(
-        (F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
-        for j in range(bits)
-    )
-    return bit_sums.select(F.col(id_col), packed.alias("simhash"))
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(np.int64)
+        ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+        s = 2 * ones - len(h)  # Σ ±1 = ones - (count - ones)
+        sim = int(((s > 0).astype(np.int64) << shifts).sum())
+        return pd.DataFrame({id_col: [int(pdf[id_col].iloc[0])], "simhash": [sim]})
+
+    return tok.groupBy(id_col).applyInPandas(fp, out_schema)
 
 
 def simhash_pairs(
@@ -215,7 +228,10 @@ def simhash_pairs(
     by pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so
     candidates come from 4 equi-joins (union), never a cross join.
     """
-    sig = simhash(df, id_col, text_col)
+    # materialize the signature table (n rows, two longs) before the
+    # self-join: both join branches would otherwise recompute the whole
+    # tokenize→hash→count lineage
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),

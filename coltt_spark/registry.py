@@ -318,29 +318,33 @@ def _embeddings_collection(spark: SparkSession, sf_dir: str):
     if (sf_dir, "euclidean") in _COLL_CACHE:
         return _COLL_CACHE[(sf_dir, "euclidean")]
 
-    emb = load_table(spark, sf_dir, "embeddings").collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
     cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_"))
     coll = cat.create_collection(
         "emb",
-        dim=len(emb[0]["embedding"]),
+        dim=dim,
         distance="euclidean",
         fields=[
             IndexField("id", "string", primary_key=True),
             IndexField("label", "integer"),
         ],
     )
-    coll.upsert(
-        [
-            {"id": str(r["vec_id"]), "label": int(r["label"]), "vector": list(r["embedding"])}
-            for r in emb
-        ]
+    # bulk DataFrame ingest (upsert_df): the whole batch stays
+    # distributed — rows never round-trip through the driver
+    base = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").alias("vector"),
     )
-    coll.upsert(
-        [
-            {"id": str(r["vec_id"]), "label": int(r["label"]) + 100, "vector": list(r["embedding"])}
-            for r in emb
-            if r["vec_id"] < 10
-        ]
+    coll.upsert_df(base, dedupe_batch=False)
+    coll.upsert_df(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").cast("string").alias("id"),
+            (F.col("label") + 100).cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
     )
     coll.delete_where({"index_name": "label", "op": "eq", "value": 5})
     _COLL_CACHE[(sf_dir, "euclidean")] = coll
@@ -415,11 +419,12 @@ def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("score"),
         )
 
-    emb = load_table(spark, sf_dir, "embeddings").collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
     cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_f16_"))
     coll = cat.create_collection(
         "emb_f16",
-        dim=len(emb[0]["embedding"]),
+        dim=dim,
         distance="cosine",
         quantization="f16",
         fields=[
@@ -427,11 +432,13 @@ def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
             IndexField("label", "integer"),
         ],
     )
-    coll.upsert(
-        [
-            {"id": str(r["vec_id"]), "label": int(r["label"]), "vector": list(r["embedding"])}
-            for r in emb
-        ]
+    coll.upsert_df(
+        emb.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("label").cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
     )
     _COLL_CACHE[(sf_dir, "f16")] = coll
     res = coll.search(_query_vec(spark, sf_dir), limit=10)

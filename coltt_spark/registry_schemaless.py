@@ -14,16 +14,21 @@ from coltt_spark.sources.tables import load_table
 def _docs_collection(spark: SparkSession, sf_dir: str) -> SchemalessCollection:
     """Documents as a schemaless collection: every metadata value
     auto-stringified; _id = insertion order (doc_id ascending)."""
-    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
+    docs = load_table(spark, sf_dir, "documents")
     coll = SchemalessCollection(spark, dim=4, distance="euclidean")
-    coll.insert(
-        [
-            {
-                "metadata": {"lang": r["lang"], "source": r["source"], "n_chars": int(r["n_chars"])},
-                "vector": [float(r["doc_id"] % m) for m in (7, 5, 3, 2)],
-            }
-            for r in docs
-        ]
+    coll.insert_df(
+        docs.select(
+            F.create_map(
+                F.lit("lang"), F.col("lang"),
+                F.lit("source"), F.col("source"),
+                F.lit("n_chars"), F.col("n_chars").cast("long").cast("string"),
+            ).alias("metadata"),
+            F.array(*[(F.col("doc_id") % m).cast("double") for m in (7, 5, 3, 2)]).alias(
+                "vector"
+            ),
+            "doc_id",
+        ),
+        order_col="doc_id",
     )
     return coll
 
@@ -52,13 +57,18 @@ FROM numbered WHERE lang = 'en' AND n_chars = 128
 
 
 def _emb_schemaless(spark: SparkSession, sf_dir: str) -> SchemalessCollection:
-    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
-    coll = SchemalessCollection(spark, dim=len(emb[0]["embedding"]), distance="euclidean")
-    coll.insert(
-        [
-            {"metadata": {"label": int(r["label"])}, "vector": list(r["embedding"])}
-            for r in emb
-        ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = SchemalessCollection(spark, dim=dim, distance="euclidean")
+    coll.insert_df(
+        emb.select(
+            F.create_map(
+                F.lit("label"), F.col("label").cast("long").cast("string")
+            ).alias("metadata"),
+            F.col("embedding").alias("vector"),
+            "vec_id",
+        ),
+        order_col="vec_id",
     )
     return coll
 

@@ -79,6 +79,52 @@ class SchemalessCollection:
         self._view = self._view.unionByName(new)
         return ids
 
+    def insert_df(self, df: DataFrame, *, order_col: str | None = None) -> int:
+        """Bulk DataFrame insert — no row touches the driver.
+
+        ``df`` needs a ``metadata`` ``map<string,string>`` column
+        (Go-style stringification is the caller's job in bulk — use
+        ``cast("string")`` per value) and a ``vector`` array column.
+        With ``order_col`` the assigned ``_id``\\ s are dense and
+        sequential in that order (the reference's arrival-order ids;
+        costs one global sort — fine for a bounded ingest batch).
+        Without it, ids are sparse snowflake-like
+        (``monotonically_increasing_id`` offset) — the 100 TB path.
+        """
+        from pyspark.sql import Window
+
+        base = df.select(
+            F.col("metadata").cast("map<string,string>").alias("metadata"),
+            F.col("vector").cast(T.ArrayType(T.DoubleType())).alias("vector"),
+            *([F.col(order_col).alias("_ord")] if order_col else []),
+        )
+        ok = (F.size(F.col("vector")) == self.dim) & ~F.exists(
+            F.col("vector"), lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+        base = base.withColumn(
+            "vector",
+            F.coalesce(
+                F.when(ok, F.col("vector")),
+                F.raise_error("vector: missing, wrong dim, or NaN/Inf").cast(
+                    T.ArrayType(T.DoubleType())
+                ),
+            ).cast(T.ArrayType(T.FloatType())),
+        )
+        if order_col is not None:
+            w = Window.orderBy("_ord")
+            base = base.withColumn(
+                "_id", F.row_number().over(w).cast("long") - 1 + F.lit(self._next_id)
+            ).drop("_ord")
+        else:
+            base = base.withColumn(
+                "_id", F.lit(self._next_id) + F.monotonically_increasing_id()
+            )
+        new = base.select("_id", "metadata", "vector").localCheckpoint(eager=True)
+        n = new.count()
+        self._next_id += n if order_col is not None else 1 << 45
+        self._view = self._view.unionByName(new)
+        return n
+
     def update(self, _id: int, row: dict[str, Any]) -> int:
         """Remove + reinsert under a fresh id; inserts if absent
         (core Update semantics)."""

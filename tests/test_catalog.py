@@ -166,3 +166,106 @@ def test_vector_validation(catalog):
         coll.upsert([{**base, "vector": [1.0, 2.0, math.nan, 4.0]}])
     with pytest.raises(ValueError):
         coll.upsert([{**base}])  # missing vector
+
+
+def test_upsert_df_matches_row_upsert(catalog, spark):
+    """Bulk DataFrame ingest produces the same final state as the
+    per-row path: same rows, same float32 vectors, LWW across
+    batches."""
+    rows = _rows(150)
+    coll_row = catalog.create_collection("bulk_a", dim=8, distance="cosine", fields=FIELDS)
+    coll_row.upsert(rows)
+    coll_df = catalog.create_collection("bulk_b", dim=8, distance="cosine", fields=FIELDS)
+    pdf = spark.createDataFrame(
+        [
+            (r["id"], r["type"], r["size"], r["volume"], r["expand"], r["vector"])
+            for r in rows
+        ],
+        "id string, type int, size int, volume double, expand boolean, vector array<double>",
+    )
+    assert coll_df.upsert_df(pdf) == 150
+
+    a = {r["id"]: r for r in coll_row.df().collect()}
+    b = {r["id"]: r for r in coll_df.df().collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        ra, rb = a[k], b[k]
+        assert (ra["type"], ra["size"], ra["expand"]) == (rb["type"], rb["size"], rb["expand"])
+        assert ra["volume"] == pytest.approx(rb["volume"])
+        # normalize-at-write in float64, stored float32 — bitwise equal
+        assert ra["vector"] == rb["vector"]
+
+    # cross-batch LWW: second upsert_df overwrites
+    pdf2 = spark.createDataFrame(
+        [("id-0", 99, 99, 9.9, True, [1.0] * 8)],
+        "id string, type int, size int, volume double, expand boolean, vector array<double>",
+    )
+    coll_df.upsert_df(pdf2)
+    got = {r["id"]: r for r in coll_df.df().collect()}
+    assert got["id-0"]["type"] == 99 and len(got) == 150
+
+
+def test_upsert_df_validation_and_defaults(catalog, spark):
+    coll = catalog.create_collection("bulk_v", dim=4, fields=FIELDS)
+    # missing nullable column → type default; missing non-nullable → error
+    pdf = spark.createDataFrame(
+        [("x", 1, 2, 0.5, [1.0, 0.0, 0.0, 0.0])],
+        "id string, type int, size int, volume double, vector array<double>",
+    )
+    coll.upsert_df(pdf)
+    row = coll.df().collect()[0]
+    assert row["expand"] is False
+    with pytest.raises(ValueError):
+        coll.upsert_df(pdf.drop("id"))
+    with pytest.raises(ValueError):
+        coll.upsert_df(pdf.withColumnRenamed("type", "bogus"))
+    # wrong dim / NaN fail at execution (raise_error in the plan)
+    import math as _math
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad_dim = spark.createDataFrame(
+        [("y", 1, 2, 0.5, [1.0, 2.0])],
+        "id string, type int, size int, volume double, vector array<double>",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        coll.upsert_df(bad_dim)
+    bad_nan = spark.createDataFrame(
+        [("z", 1, 2, 0.5, [1.0, 2.0, _math.nan, 4.0])],
+        "id string, type int, size int, volume double, vector array<double>",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        coll.upsert_df(bad_nan)
+
+
+def test_upsert_df_quantized_and_batch_dedupe(catalog, spark):
+    rows = _rows(60, dim=8, seed=3)
+    coll_row = catalog.create_collection(
+        "bulk_q_a", dim=8, distance="cosine", quantization="f16", fields=FIELDS
+    )
+    coll_row.upsert(rows)
+    coll_df = catalog.create_collection(
+        "bulk_q_b", dim=8, distance="cosine", quantization="f16", fields=FIELDS
+    )
+    pdf = spark.createDataFrame(
+        [
+            (r["id"], r["type"], r["size"], r["volume"], r["expand"], r["vector"])
+            for r in rows
+        ],
+        "id string, type int, size int, volume double, expand boolean, vector array<double>",
+    )
+    coll_df.upsert_df(pdf)
+    a = {r["id"]: bytes(r["vector"]) for r in coll_row._view.select("id", "vector").collect()}
+    b = {r["id"]: bytes(r["vector"]) for r in coll_df._view.select("id", "vector").collect()}
+    assert a == b  # identical f16 bytes
+
+    # duplicate PKs inside one batch: highest commit id survives
+    dup = spark.createDataFrame(
+        [("d", 1, 1, 0.1, False, [1.0] * 8), ("d", 2, 2, 0.2, False, [2.0] * 8)],
+        "id string, type int, size int, volume double, expand boolean, vector array<double>",
+    )
+    n = coll_df.upsert_df(dup.coalesce(1))
+    assert n == 1
+    got = [r for r in coll_df.df().collect() if r["id"] == "d"]
+    assert len(got) == 1 and got[0]["type"] == 2
