@@ -67,6 +67,15 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
             df, q, distance="cosine", limit=10, tie_break="vec_id"
         ),
     )
+    from coltt_spark.operators.ann import brute_topk
+
+    _, sec_blas = timed(
+        corpus,
+        lambda df: brute_topk(
+            df, {0: q}, id_col="vec_id", vec_col="embedding", k=10,
+            distance="cosine", strategy="blas",
+        ),
+    )
     # IVF scale path: build the index once and persist it PARTITIONED
     # BY centroid (the deployment shape) — probes then prune to the
     # nprobe/n_centroids partitions they touch instead of scanning
@@ -94,11 +103,16 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         runs.append(time.perf_counter() - t0)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    strategies = {"wide": sec_wide, "array": sec_array, "blas": sec_blas}
+    best = min(strategies, key=strategies.get)
     return {
         "rows": rows,
         "dim": len(q),
-        "sec_per_query": sec_wide,  # headline: the wide columnar layout
+        "sec_per_query": strategies[best],  # headline: fastest exact scan
+        "strategy": best,
+        "sec_per_query_wide": sec_wide,
         "sec_per_query_array_layout": sec_array,
+        "sec_per_query_blas": sec_blas,
         "ivf_build_sec": ivf_build_sec,
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),
     }
@@ -115,8 +129,25 @@ def main() -> None:
     from coltt_spark.sources.tables import load_tables
 
     spark.range(1000).selectExpr("sum(id)").collect()
-    for df in load_tables(spark, sf_dir).values():
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
         df.count()
+    # steady-state warm-up (the reference's numbers are warm in-memory
+    # scans): compile the shared distance/top-k plan shape once and
+    # spin up the Python/Arrow worker pool before the clock starts
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from coltt_spark.operators.search import vertex_search
+
+    emb_small = tables["embeddings"].limit(256)
+    qv = [float(x) for x in emb_small.select("embedding").first()["embedding"]]
+    vertex_search(
+        emb_small, qv, vector_col="embedding", distance="cosine", limit=5
+    ).collect()
+    emb_small.select("vec_id").mapInPandas(
+        lambda it: it, T.StructType([T.StructField("vec_id", T.LongType())])
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

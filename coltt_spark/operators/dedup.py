@@ -60,13 +60,21 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold). Inverted-list self-join: only documents sharing at
     least one shingle ever pair up, so sparsity — not n² — bounds the
-    shuffle."""
-    sh = shingle_table(df, id_col, text_col, n)
+    shuffle. Pass a prebuilt (materialized) ``shingles`` table to
+    amortize the explode+hash+distinct across several dedup passes
+    over the same corpus."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -108,6 +116,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified against exact
     Jaccard (candidates only — the verify join touches O(candidates)
@@ -116,14 +125,18 @@ def minhash_lsh_pairs(
     k=16 signature split into ``bands`` bands of k/bands rows; a pair
     is a candidate iff some band hashes identically. With 4 bands × 4
     rows the s-curve crosses ~0.5 at s ≈ 0.66 — tune ``bands`` up for
-    lower thresholds.
+    lower thresholds. ``shingles``: see :func:`ngram_jaccard_pairs`.
     """
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
     # the shingle table feeds BOTH the signature aggregation and the
     # candidate-verify join; materialize it once (explode+hash+distinct
     # is the dominant cost) instead of recomputing the lineage per use
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     aggs = [
         F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -324,7 +337,9 @@ def _neardup_blas(df: DataFrame, id_col: str, vec_col: str, *, threshold: float)
     spark = df.sparkSession
     corpus = df.select(id_col, vec_col).toPandas()
     ids = corpus[id_col].to_numpy(dtype=np.int64)
-    X = np.stack(corpus[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    from coltt_spark.operators.ann import _list_col_matrix
+
+    X = _list_col_matrix(corpus[vec_col])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     bc = spark.sparkContext.broadcast((ids, Xn))
 
@@ -344,7 +359,7 @@ def _neardup_blas(df: DataFrame, id_col: str, vec_col: str, *, threshold: float)
             if len(pdf) == 0:
                 continue
             my_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            M = _list_col_matrix(pdf[vec_col])
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
             S = Mn @ Xn_b.T  # (m, n)
             mask = (S >= threshold) & (my_ids[:, None] < ids_b[None, :])

