@@ -76,12 +76,39 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
             distance="cosine", strategy="blas",
         ),
     )
-    # IVF scale path: build the index once and persist it PARTITIONED
-    # BY centroid (the deployment shape) — probes then prune to the
-    # nprobe/n_centroids partitions they touch instead of scanning
     import shutil
     import tempfile
 
+    # packed block-matrix layout: ~32k vectors per row as one
+    # contiguous f32 buffer, one BLAS matvec per block
+    from coltt_spark.operators.blocks import (
+        block_index_topk,
+        block_topk,
+        pack_blocks,
+        write_block_index,
+    )
+
+    blocks = pack_blocks(corpus, id_col="vec_id", vec_col="embedding", dim=len(q))
+    _, sec_block = timed(
+        blocks, lambda df: block_topk(df, q, dim=len(q), k=10, distance="cosine")
+    )
+    # written block index + executor-side decoded cache (serving shape:
+    # the per-query plan ships file paths, not vectors)
+    bidx_dir = tempfile.mkdtemp(prefix="coltt_block_idx_")
+    t0 = time.perf_counter()
+    write_block_index(blocks, bidx_dir)
+    block_build_sec = round(time.perf_counter() - t0, 4)
+    block_index_topk(spark, bidx_dir, q, dim=len(q), k=10).collect()  # warm cache
+    runs_bi = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block_index_topk(spark, bidx_dir, q, dim=len(q), k=10).collect()
+        runs_bi.append(time.perf_counter() - t0)
+    shutil.rmtree(bidx_dir, ignore_errors=True)
+    sec_block_idx = round(sum(runs_bi) / len(runs_bi), 4)
+    # IVF scale path: build the index once and persist it PARTITIONED
+    # BY centroid (the deployment shape) — probes then prune to the
+    # nprobe/n_centroids partitions they touch instead of scanning
     from coltt_spark.operators.ann import ivf_build, ivf_probe
 
     t0 = time.perf_counter()
@@ -103,7 +130,13 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         runs.append(time.perf_counter() - t0)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    strategies = {"wide": sec_wide, "array": sec_array, "blas": sec_blas}
+    strategies = {
+        "wide": sec_wide,
+        "array": sec_array,
+        "blas": sec_blas,
+        "block": sec_block,
+        "block_index": sec_block_idx,
+    }
     best = min(strategies, key=strategies.get)
     return {
         "rows": rows,
@@ -113,6 +146,9 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_wide": sec_wide,
         "sec_per_query_array_layout": sec_array,
         "sec_per_query_blas": sec_blas,
+        "sec_per_query_block": sec_block,
+        "sec_per_query_block_index": sec_block_idx,
+        "block_index_build_sec": block_build_sec,
         "ivf_build_sec": ivf_build_sec,
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),
     }

@@ -464,6 +464,32 @@ def q_knn_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded(res, ["vec_id", "label"], ["dist", "score"])
 
 
+def q_knn_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine KNN over the packed block-matrix layout (~32k vectors
+    per row as one contiguous buffer, scanned by one BLAS matvec per
+    block) — identical semantics to ``knn_cosine`` (same oracle).
+    float64 blocks for oracle parity; metadata (``label``) is
+    recovered by broadcasting the 10 winners into a PK join, the
+    lookup a block index needs anyway because it stores only
+    (id, vector)."""
+    from coltt_spark.functions.vector import score as score_expr
+    from coltt_spark.operators.blocks import block_topk, pack_blocks
+
+    q = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocks = pack_blocks(
+        emb, id_col="vec_id", vec_col="embedding", dim=len(q), dtype="float64"
+    )
+    top = block_topk(blocks, q, dim=len(q), k=10, distance="cosine", dtype="float64")
+    res = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(top.withColumnRenamed("id", "vec_id")), on="vec_id")
+        .withColumn("score", score_expr("cosine", F.col("dist")))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
 def q_knn_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase quantized-rank → exact-rerank cosine KNN (the SURVEY
     §4 optimization). Phase 1 scans an f16 copy (half the bytes) and
@@ -505,6 +531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_f16": q_knn_f16,
     "knn_two_phase": q_knn_two_phase,
     "knn_wide": q_knn_wide,
+    "knn_block": q_knn_block,
 }
 
 ORACLES: dict[str, str] = {
@@ -521,6 +548,7 @@ ORACLES: dict[str, str] = {
     "collection_search": _ORACLE_COLLECTION_SEARCH,
     "knn_two_phase": _ORACLE_KNN_COSINE,
     "knn_wide": _ORACLE_KNN_COSINE,
+    "knn_block": _ORACLE_KNN_COSINE,
 }
 
 # merge section registries (dedup, text analysis, ann, analytics, …)

@@ -1,0 +1,86 @@
+"""Packed block-matrix layout: equivalence with the row-layout FLAT
+scan, multi-block packing, and the written-index serving path."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.blocks import (
+    block_index_topk,
+    block_topk,
+    pack_blocks,
+    write_block_index,
+)
+from coltt_spark.operators.search import vertex_search
+from coltt_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+K = 10
+
+
+def _q(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+def _truth(spark, distance):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    res = vertex_search(
+        emb, _q(spark), vector_col="embedding", distance=distance, limit=K,
+        tie_break="vec_id",
+    )
+    return [(r["vec_id"], round(r["dist"], 6)) for r in res.collect()]
+
+
+def test_block_topk_matches_row_layout_all_distances(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = _q(spark)
+    blocks = pack_blocks(
+        emb, id_col="vec_id", vec_col="embedding", dim=len(q), dtype="float64"
+    ).cache()
+    try:
+        for distance in ("cosine", "euclidean", "manhattan"):
+            got = block_topk(
+                blocks, q, dim=len(q), k=K, distance=distance, dtype="float64"
+            ).collect()
+            assert [(r["id"], round(r["dist"], 6)) for r in got] == _truth(
+                spark, distance
+            )
+    finally:
+        blocks.unpersist()
+
+
+def test_pack_splits_into_multiple_blocks(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings").repartition(2)
+    q = _q(spark)
+    n = emb.count()
+    blocks = pack_blocks(
+        emb, id_col="vec_id", vec_col="embedding", dim=len(q), block_rows=100
+    )
+    rows = blocks.collect()
+    assert len(rows) >= n // 100  # forced many small blocks
+    assert sum(r["n"] for r in rows) == n
+    assert len({r["block_id"] for r in rows}) == len(rows)
+    got = block_topk(blocks, q, dim=len(q), k=K, distance="cosine").collect()
+    # float32 storage: ids must match the float64 truth (margin >> f32 eps)
+    assert [r["id"] for r in got] == [i for i, _ in _truth(spark, "cosine")]
+
+
+def test_written_index_serving_path(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = _q(spark)
+    blocks = pack_blocks(emb, id_col="vec_id", vec_col="embedding", dim=len(q))
+    path = tempfile.mkdtemp(prefix="blockidx_")
+    try:
+        write_block_index(blocks, path, n_files=4)
+        for _ in range(2):  # second pass exercises the worker cache
+            got = block_index_topk(
+                spark, path, q, dim=len(q), k=K, distance="cosine"
+            ).collect()
+            assert [r["id"] for r in got] == [i for i, _ in _truth(spark, "cosine")]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
