@@ -77,10 +77,40 @@ def test_written_index_serving_path(spark):
     path = tempfile.mkdtemp(prefix="blockidx_")
     try:
         write_block_index(blocks, path, n_files=4)
-        for _ in range(2):  # second pass exercises the worker cache
+        for max_tasks in (None, 2):  # second pass: grouped tasks + warm spool
             got = block_index_topk(
-                spark, path, q, dim=len(q), k=K, distance="cosine"
+                spark, path, q, dim=len(q), k=K, distance="cosine", max_tasks=max_tasks
             ).collect()
             assert [r["id"] for r in got] == [i for i, _ in _truth(spark, "cosine")]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_written_index_batch_queries(spark):
+    from coltt_spark.operators.blocks import block_index_topk_batch
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    dim = len(next(iter(qs.values())))
+    blocks = pack_blocks(emb, id_col="vec_id", vec_col="embedding", dim=dim)
+    path = tempfile.mkdtemp(prefix="blockidx_b_")
+    try:
+        write_block_index(blocks, path, n_files=4)
+        for distance in ("cosine", "euclidean"):
+            got = block_index_topk_batch(
+                spark, path, qs, dim=dim, k=K, distance=distance, max_tasks=2
+            ).collect()
+            by_q = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append(r["id"])
+            assert set(by_q) == set(qs)
+            for qid, vec in qs.items():
+                single = block_index_topk(
+                    spark, path, vec, dim=dim, k=K, distance=distance
+                ).collect()
+                assert by_q[qid] == [r["id"] for r in single]
     finally:
         shutil.rmtree(path, ignore_errors=True)
