@@ -13,6 +13,7 @@ import os
 from typing import Any
 
 import duckdb
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from coltt_spark.sources.tables import TABLE_NAMES
@@ -27,13 +28,24 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(value: Any) -> Any:
-    """Canonicalize a cell for order-insensitive comparison."""
-    if isinstance(value, float):
+    """Canonicalize a cell for order-insensitive comparison.
+
+    Type-strict: an int and a float with equal value canonicalize to
+    DIFFERENT tokens. The driver's gate hashes typed values, so a
+    DuckDB HUGEINT fetched as float64 (99111.0) must NOT locally
+    equal Spark's int64 (99111) — Python's `99111 == 99111.0` hid
+    exactly that mismatch in round 1 (`events_json`).
+    """
+    if isinstance(value, (bool, np.bool_)):
+        return ("b", bool(value))
+    if isinstance(value, (float, np.floating)):
         if math.isnan(value):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0 / 1e-13 noise left after upstream round(…, 4)
-        return round(value, 6)
-    if isinstance(value, list):
+        return ("f", round(float(value), 6) + 0.0)
+    if isinstance(value, (int, np.integer)):
+        return ("i", int(value))
+    if isinstance(value, (list, tuple, np.ndarray)):
         return tuple(_canon(v) for v in value)
     return value
 
@@ -41,13 +53,24 @@ def _canon(value: Any) -> Any:
 def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     sp_cols = sorted(spark_df.columns)
     sp_rows = sorted(
-        tuple(_canon(row[c]) for c in sp_cols) for row in spark_df.collect()
+        (tuple(_canon(row[c]) for c in sp_cols) for row in spark_df.collect()),
+        key=repr,
     )
-    rel = con.execute(sql)
-    dk_cols_raw = [d[0] for d in rel.description]
+    # Fetch through pandas, NOT fetchall(): the driver's gate fetches via
+    # pandas/arrow, where a DuckDB HUGEINT (e.g. sum(BIGINT)) lands as
+    # float64 — fetchall() would hand back a Python int and hide the
+    # type mismatch the driver sees (round-1 `events_json`).
+    dk_df = con.execute(sql).df()
+    dk_cols_raw = list(dk_df.columns)
     dk_cols = sorted(dk_cols_raw)
     idx = [dk_cols_raw.index(c) for c in dk_cols]
-    dk_rows = sorted(tuple(_canon(r[i]) for i in idx) for r in rel.fetchall())
+    dk_rows = sorted(
+        (
+            tuple(_canon(r[i]) for i in idx)
+            for r in dk_df.itertuples(index=False, name=None)
+        ),
+        key=repr,
+    )
     if sp_cols != dk_cols:
         return False, f"columns differ: spark={sp_cols} duckdb={dk_cols}"
     if len(sp_rows) != len(dk_rows):

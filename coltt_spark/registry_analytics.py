@@ -146,7 +146,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
 FROM events
 GROUP BY event_type
