@@ -126,6 +126,38 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         runs_bb.append(time.perf_counter() - t0)
     shutil.rmtree(bidx_dir, ignore_errors=True)
     sec_block_batch64 = round(sum(runs_bb) / len(runs_bb) / 64, 4)
+    # product API path: a layout="blocks" collection — upsert_df
+    # ingest, flush packs the written block index, Collection.search
+    # serves from it (block scan + broadcast metadata join)
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    wh = tempfile.mkdtemp(prefix="coltt_wh_bench_")
+    t0 = time.perf_counter()
+    coll = Catalog(spark, wh).create_collection(
+        "bench_blocks",
+        dim=len(q),
+        distance="cosine",
+        fields=[IndexField("vid", "string", primary_key=True)],
+        layout="blocks",
+    )
+    coll.upsert_df(
+        corpus.select(
+            F.col("vec_id").cast("string").alias("vid"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    coll_build_sec = round(time.perf_counter() - t0, 4)
+    coll.search(q, limit=10).collect()  # warm: spool decode + codegen
+    runs_cs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        coll.search(q, limit=10).collect()
+        runs_cs.append(time.perf_counter() - t0)
+    sec_collection = round(sum(runs_cs) / len(runs_cs), 4)
+    shutil.rmtree(wh, ignore_errors=True)
     # IVF scale path: build the index once and persist it PARTITIONED
     # BY centroid (the deployment shape) — probes then prune to the
     # nprobe/n_centroids partitions they touch instead of scanning
@@ -169,6 +201,8 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_block": sec_block,
         "sec_per_query_block_index": sec_block_idx,
         "sec_per_query_block_index_batch64": sec_block_batch64,
+        "sec_per_query_collection": sec_collection,
+        "collection_build_sec": coll_build_sec,
         "block_index_build_sec": block_build_sec,
         "ivf_build_sec": ivf_build_sec,
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),

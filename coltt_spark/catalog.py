@@ -46,6 +46,7 @@ from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, va
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
 QUANTIZATIONS = ("none", "f16", "bf16", "f8")
+LAYOUTS = ("rows", "blocks")
 
 _VEC = "vector"
 _COMMIT = "_commit_id"
@@ -60,6 +61,8 @@ class Manifest:
     index_design: IndexDesign
     version: int = 0
     next_commit: int = 0
+    layout: str = "rows"
+    block_dtype: str = "float32"
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -70,6 +73,8 @@ class Manifest:
             "index_design": self.index_design.to_json(),
             "version": self.version,
             "next_commit": self.next_commit,
+            "layout": self.layout,
+            "block_dtype": self.block_dtype,
         }
 
     @classmethod
@@ -82,6 +87,8 @@ class Manifest:
             index_design=IndexDesign.from_json(d["index_design"]),
             version=d["version"],
             next_commit=d["next_commit"],
+            layout=d.get("layout", "rows"),
+            block_dtype=d.get("block_dtype", "float32"),
         )
 
 
@@ -94,12 +101,18 @@ class Collection:
         self.manifest = manifest
         self._view: DataFrame = self._read_version()
         self._cached = False
+        self._dirty = False  # unflushed DML ⇒ block index (if any) is stale
 
     # -- storage ------------------------------------------------------
 
     def _data_dir(self, version: int | None = None) -> str:
         v = self.manifest.version if version is None else version
         return os.path.join(self.root, f"v{v}")
+
+    def _blocks_dir(self, vector_col: str, version: int | None = None) -> str:
+        v = self.manifest.version if version is None else version
+        return os.path.join(self.root, f"v{v}_blocks", vector_col)
+
 
     def _vector_cols(self) -> list[str]:
         """Named vector fields from the index design (experimental
@@ -166,6 +179,7 @@ class Collection:
         pk = design.primary_key
         survivors = self._view.join(F.broadcast(new.select(pk)), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
+        self._dirty = True
         return len(batch)
 
     def upsert_df(self, df: DataFrame, *, dedupe_batch: bool = True) -> int:
@@ -272,12 +286,14 @@ class Collection:
         # join strategy from the materialized checkpoint stats
         survivors = self._view.join(new.select(pk), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
+        self._dirty = True
         return n
 
     def delete_where(self, filter_ast: dict[str, Any]) -> None:
         """Equality/range-filter delete (edge Index(DELETE))."""
         pred = compile_filter(self._view, filter_ast)
         self._view = self._view.filter(~pred)
+        self._dirty = True
 
     # -- queries ------------------------------------------------------
 
@@ -304,13 +320,30 @@ class Collection:
         limit: int = 10,
         offset: int = 0,
     ) -> DataFrame:
-        """Filtered FLAT KNN over the collection (edge Search path)."""
+        """Filtered FLAT KNN over the collection (edge Search path).
+
+        ``layout="blocks"`` collections serve unfiltered searches from
+        the packed block index written at flush — one BLAS matvec per
+        block file through the node-local mmap spool, k rows per block
+        moved — the same packed-shard fast path every reference search
+        takes (``edge/none_vectorstore.go:129-180``). Falls back to
+        the row scan when a metadata filter is present (the filter
+        needs the row table anyway) or when unflushed DML makes the
+        index stale.
+        """
         m = self.manifest
         qv = validate_vector(m.dim, query)
         vcols = self._vector_cols()
         vc = vector_field or (vcols[0] if len(vcols) == 1 else None)
         if vc is None or vc not in vcols:
             raise ValueError(f"vector_field must be one of {vcols}")
+        if (
+            m.layout == "blocks"
+            and filter_ast is None
+            and not self._dirty
+            and os.path.isdir(self._blocks_dir(vc))
+        ):
+            return self._search_blocks(qv, vc, limit=limit, offset=offset)
         df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
@@ -336,6 +369,45 @@ class Collection:
         scored = df.withColumn("dist", dist)
         top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
         return top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+
+    def _search_blocks(
+        self, qv: list[float], vc: str, *, limit: int, offset: int
+    ) -> DataFrame:
+        """Serve a KNN from the written block index: top-(offset+limit)
+        ``(_commit_id, dist)`` from the block scan (only file paths and
+        k rows per task cross any boundary), then a broadcast join of
+        those ≤ offset+limit winners back to the snapshot for metadata
+        — and the winners come back WITH their metadata (packed as a
+        per-block payload), so the whole search is ONE lazy job: scan
+        → per-file top-k rows → TakeOrderedAndProject merge. Results
+        carry metadata + dist + score but not the stored vector, like
+        the reference's search response."""
+        from coltt_spark.operators.blocks import block_index_scan
+
+        m = self.manifest
+        if m.distance == "cosine":
+            q = np.asarray(qv, dtype=np.float64)
+            n = float(np.linalg.norm(q))
+            qv = [float(x) for x in q / n] if n else qv
+        payload_schema = T.StructType(
+            [
+                f for f in self._storage_schema()
+                if f.name not in self._vector_cols() and f.name != _COMMIT
+            ]
+        )
+        local = block_index_scan(
+            self.spark,
+            self._blocks_dir(vc),
+            qv,
+            dim=m.dim,
+            k=offset + limit,
+            distance=m.distance,
+            dtype=m.block_dtype,
+            payload_schema=payload_schema,
+            id_alias=_COMMIT,  # payload may carry a user column named "id"
+        )
+        paged = _paginate_topk(local.drop(_COMMIT), limit, offset, m.index_design.primary_key)
+        return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
 
     def multi_search(
         self,
@@ -373,16 +445,51 @@ class Collection:
     def flush(self) -> None:
         """Materialize the in-memory view to a new snapshot version and
         atomically repoint the manifest (durability boundary, like
-        coltt Flush → MinIO)."""
+        coltt Flush → MinIO). For ``layout="blocks"`` collections this
+        is also where vectors are packed into the block index — the
+        Spark analogue of the reference rebuilding its packed shard
+        store on Flush (``edge/none_vectorstore.go:129-180``): pack
+        before the manifest repoint so readers only ever see a version
+        whose index is complete."""
         old_v = self.manifest.version
         new_v = old_v + 1
         self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
+        if self.manifest.layout == "blocks":
+            self._write_blocks(new_v)
         self.manifest.version = new_v
         self._write_manifest()
         self._view = self._read_version()
-        old_dir = self._data_dir(old_v)
-        if os.path.isdir(old_dir):
-            shutil.rmtree(old_dir)
+        self._dirty = False
+        for old_dir in (self._data_dir(old_v), os.path.join(self.root, f"v{old_v}_blocks")):
+            if os.path.isdir(old_dir):
+                shutil.rmtree(old_dir)
+
+    def _write_blocks(self, version: int) -> None:
+        """Pack each vector column of snapshot ``version`` into a
+        written block index keyed by ``_commit_id`` (unique int64 per
+        live row — the block store's surrogate id, joined back to the
+        snapshot at query time to recover metadata/PK)."""
+        from coltt_spark.operators.blocks import pack_blocks, write_block_index
+
+        m = self.manifest
+        df = self.spark.read.schema(self._storage_schema()).parquet(self._data_dir(version))
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        meta_cols = [
+            f.name for f in self._storage_schema()
+            if f.name not in self._vector_cols() and f.name != _COMMIT
+        ]
+        for vc in self._vector_cols():
+            blocks = pack_blocks(
+                df.select(_COMMIT, *meta_cols, vc),
+                id_col=_COMMIT,
+                vec_col=vc,
+                dim=m.dim,
+                dtype=m.block_dtype,
+                payload_cols=meta_cols,  # winners return metadata in-scan
+            )
+            write_block_index(blocks, self._blocks_dir(vc, version))
 
     def load(self) -> None:
         """Pin the collection in memory (LoadCollection ⇔ cache)."""
@@ -421,19 +528,27 @@ class Catalog:
         distance: str = "cosine",
         quantization: str = "none",
         fields: list | None = None,
+        layout: str = "rows",
+        block_dtype: str = "float32",
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
         if quantization not in QUANTIZATIONS:
             raise ValueError(f"quantization must be one of {QUANTIZATIONS}")
+        if layout not in LAYOUTS:
+            raise ValueError(f"layout must be one of {LAYOUTS}")
         root = self._root(name)
         if os.path.exists(root):
             raise ValueError(f"collection {name!r} already exists")
         design = IndexDesign(fields or [])
-        manifest = Manifest(name, dim, distance, quantization, design, version=0)
+        manifest = Manifest(
+            name, dim, distance, quantization, design, version=0,
+            layout=layout, block_dtype=block_dtype,
+        )
         os.makedirs(root)
         coll = Collection.__new__(Collection)
         coll.spark, coll.root, coll.manifest, coll._cached = self.spark, root, manifest, False
+        coll._dirty = False
         # seed v0 with an empty snapshot so reads always succeed
         empty = self.spark.createDataFrame([], coll._storage_schema())
         empty.write.mode("overwrite").parquet(coll._data_dir(0))

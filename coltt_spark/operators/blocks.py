@@ -42,8 +42,19 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("ids", T.BinaryType(), False),  # int64 little-endian
         T.StructField("vecs", T.BinaryType(), False),  # row-major (n, dim)
         T.StructField("norms", T.BinaryType(), False),  # L2 norms, same dtype
+        T.StructField("payload", T.BinaryType(), True),  # Arrow IPC stream | null
     ]
 )
+
+
+def _ser_payload(pdf: pd.DataFrame):
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
 
 
 def pack_blocks(
@@ -54,17 +65,22 @@ def pack_blocks(
     dim: int,
     block_rows: int = 32768,
     dtype: str = "float32",
+    payload_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Pack (id, vector) rows into contiguous matrix blocks.
+    """Pack (id, vector[, payload…]) rows into contiguous matrix blocks.
 
     One output row per ≤ ``block_rows`` input rows: ids as an int64
     buffer, vectors as a row-major ``dtype`` matrix buffer, L2 norms
     precomputed (the reference precomputes normalization at write time
     for the same reason — ``edge/none_vectorstore.go:95-97``).
+    ``payload_cols`` rides along as an Arrow IPC batch per block (the
+    reference's shard store likewise keeps metadata next to vectors),
+    so a scan can return winners' metadata without a second lookup.
     Block ids are unique across partitions (partition id in the high
     bits), and packing never shuffles: each partition packs locally.
     """
     np_dtype = _DTYPES[dtype]
+    pcols = list(payload_cols or [])
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -73,9 +89,10 @@ def pack_blocks(
         seq = 0
         buf_ids: list[np.ndarray] = []
         buf_X: list[np.ndarray] = []
+        buf_P: list[pd.DataFrame] = []
         pending = 0
 
-        def emit(ids: np.ndarray, X: np.ndarray) -> pd.DataFrame:
+        def emit(ids: np.ndarray, X: np.ndarray, P: pd.DataFrame | None) -> pd.DataFrame:
             nonlocal seq
             norms = np.linalg.norm(X, axis=1).astype(np_dtype)
             row = pd.DataFrame(
@@ -85,6 +102,7 @@ def pack_blocks(
                     "ids": [ids.astype(np.int64).tobytes()],
                     "vecs": [np.ascontiguousarray(X, dtype=np_dtype).tobytes()],
                     "norms": [norms.tobytes()],
+                    "payload": [_ser_payload(P) if P is not None else None],
                 }
             )
             seq += 1
@@ -95,19 +113,32 @@ def pack_blocks(
                 continue
             buf_ids.append(pdf[id_col].to_numpy(dtype=np.int64))
             buf_X.append(np.array(pdf[vec_col].tolist(), dtype=np_dtype))
+            if pcols:
+                buf_P.append(pdf[pcols])
             pending += len(pdf)
             while pending >= block_rows:
                 ids = np.concatenate(buf_ids)
                 X = np.concatenate(buf_X, axis=0)
-                yield emit(ids[:block_rows], X[:block_rows])
+                P = pd.concat(buf_P, ignore_index=True) if pcols else None
+                yield emit(
+                    ids[:block_rows],
+                    X[:block_rows],
+                    P.iloc[:block_rows] if P is not None else None,
+                )
                 buf_ids, buf_X = [ids[block_rows:]], [X[block_rows:]]
+                buf_P = [P.iloc[block_rows:].reset_index(drop=True)] if P is not None else []
                 pending -= block_rows
         if pending:
-            yield emit(np.concatenate(buf_ids), np.concatenate(buf_X, axis=0))
+            yield emit(
+                np.concatenate(buf_ids),
+                np.concatenate(buf_X, axis=0),
+                pd.concat(buf_P, ignore_index=True) if pcols else None,
+            )
 
     src = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast(f"array<{'float' if dtype == 'float32' else 'double'}>"),
+        *pcols,
     )
     return src.mapInPandas(pack, BLOCK_SCHEMA)
 
@@ -120,8 +151,14 @@ def _scan_block(
     *,
     distance: str,
     k: int,
+    payload=None,
+    id_alias: str = "id",
 ) -> pd.DataFrame:
-    """One block → its local top-k (id, dist). One BLAS matvec."""
+    """One block → its local top-k (id, dist[, payload…]). One BLAS
+    matvec; ``payload`` (a ``pa.Table`` row-aligned with ``ids``)
+    contributes only the winners' rows via ``take``. The surrogate id
+    column is emitted under ``id_alias`` so a payload column named
+    ``id`` (e.g. a user PK) cannot collide with it."""
     if distance == "manhattan":
         D = np.abs(X - q[None, :]).sum(axis=1)
     else:
@@ -138,15 +175,27 @@ def _scan_block(
             raise ValueError(f"unknown distance {distance!r}")
     kk = min(k, len(ids))
     sel = np.argpartition(D, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-    return pd.DataFrame({"id": ids[sel], "dist": D[sel].astype(np.float64)})
+    out = pd.DataFrame({id_alias: ids[sel], "dist": D[sel].astype(np.float64)})
+    if payload is not None:
+        pw = payload.take(sel).to_pandas()
+        for c in pw.columns:
+            out[c] = pw[c].to_numpy()
+    return out
 
 
-def _decode(row, dim: int, np_dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decode(row, dim: int, np_dtype, *, with_payload: bool = False):
     n = int(row["n"])
     ids = np.frombuffer(row["ids"], dtype=np.int64, count=n)
     X = np.frombuffer(row["vecs"], dtype=np_dtype, count=n * dim).reshape(n, dim)
     norms = np.frombuffer(row["norms"], dtype=np_dtype, count=n)
-    return ids, X, norms
+    if not with_payload:
+        return ids, X, norms
+    payload = None
+    if row.get("payload") is not None:
+        import pyarrow as pa
+
+        payload = pa.ipc.open_stream(row["payload"]).read_all()
+    return ids, X, norms, payload
 
 
 def block_topk(
@@ -201,13 +250,41 @@ def write_block_index(
     blocks.repartition(n_files, "block_id").write.mode("overwrite").parquet(path)
 
 
-def _spool_file(path: str, dim: int, np_dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decode_index_file(path: str, dim: int, np_dtype):
+    """Decode one block-index Parquet file into contiguous
+    (ids, X, norms, payload) arrays (payload: ``pa.Table`` | None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    has_payload = "payload" in tbl.column_names
+    ids_parts, X_parts, norms_parts, payload_parts = [], [], [], []
+    for i in range(tbl.num_rows):
+        n = tbl["n"][i].as_py()
+        ids_parts.append(np.frombuffer(tbl["ids"][i].as_py(), dtype=np.int64, count=n))
+        X_parts.append(
+            np.frombuffer(tbl["vecs"][i].as_py(), dtype=np_dtype, count=n * dim).reshape(n, dim)
+        )
+        norms_parts.append(np.frombuffer(tbl["norms"][i].as_py(), dtype=np_dtype, count=n))
+        if has_payload:
+            raw = tbl["payload"][i].as_py()
+            if raw is not None:
+                payload_parts.append(pa.ipc.open_stream(raw).read_all())
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    X = np.concatenate(X_parts, axis=0) if X_parts else np.empty((0, dim), np_dtype)
+    norms = np.concatenate(norms_parts) if norms_parts else np.empty(0, np_dtype)
+    payload = pa.concat_tables(payload_parts) if payload_parts else None
+    return ids, X, norms, payload
+
+
+def _spool_file(path: str, dim: int, np_dtype):
     """Decode one block-index Parquet file into node-local raw ``.npy``
-    sidecars and return them memory-mapped.
+    / Arrow sidecars and return them memory-mapped, as
+    (ids, X, norms, payload) with payload a ``pa.Table`` or None.
 
     This is the "local SSD cache" pattern (Databricks IO cache,
     Presto/Trino Alluxio tier): the first task that touches a file
-    decodes Parquet → contiguous (ids, X, norms) arrays spooled under
+    decodes Parquet → contiguous arrays spooled under
     ``$COLTT_BLOCK_SPOOL`` (atomic dir rename, so concurrent workers
     race benignly); every later query — from ANY worker process on the
     node — opens the arrays with ``np.load(mmap_mode='r')`` in ~µs and
@@ -215,54 +292,61 @@ def _spool_file(path: str, dim: int, np_dtype) -> tuple[np.ndarray, np.ndarray, 
     cache, warm state is node-wide and survives worker recycling.
     Keyed by (path, mtime, size, dtype) so a rewritten index
     invalidates; total spool bounded by COLTT_BLOCK_SPOOL_BYTES
-    (default 32 GiB, LRU by atime)."""
+    (default 32 GiB, LRU by an explicitly-touched entry mtime —
+    atime is unreliable on relatime/noatime mounts). A concurrent
+    prune may delete an entry between the isdir check and the loads;
+    loads are retried once (re-spool on miss) and finally fall back
+    to a direct in-memory decode."""
     import hashlib
+
+    import pyarrow as pa
 
     st = os.stat(path)
     key = hashlib.sha1(
         f"{path}:{st.st_mtime_ns}:{st.st_size}:{np.dtype(np_dtype).name}".encode()
     ).hexdigest()
     entry = os.path.join(_SPOOL_DIR, key)
-    if not os.path.isdir(entry):
-        import pyarrow.parquet as pq
+    for _attempt in range(2):
+        if not os.path.isdir(entry):
+            ids, X, norms, payload = _decode_index_file(path, dim, np_dtype)
+            tmp = entry + f".tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            np.save(os.path.join(tmp, "ids.npy"), ids)
+            np.save(os.path.join(tmp, "vecs.npy"), X)
+            np.save(os.path.join(tmp, "norms.npy"), norms)
+            if payload is not None:
+                with pa.OSFile(os.path.join(tmp, "payload.arrow"), "wb") as f:
+                    with pa.ipc.new_file(f, payload.schema) as w:
+                        w.write_table(payload)
+            try:
+                os.rename(tmp, entry)  # atomic publish; loser of the race cleans up
+            except OSError:
+                import shutil
 
-        tbl = pq.read_table(path)
-        ids_parts, X_parts, norms_parts = [], [], []
-        for i in range(tbl.num_rows):
-            n = tbl["n"][i].as_py()
-            ids_parts.append(np.frombuffer(tbl["ids"][i].as_py(), dtype=np.int64, count=n))
-            X_parts.append(
-                np.frombuffer(tbl["vecs"][i].as_py(), dtype=np_dtype, count=n * dim).reshape(n, dim)
-            )
-            norms_parts.append(np.frombuffer(tbl["norms"][i].as_py(), dtype=np_dtype, count=n))
-        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
-        X = (
-            np.concatenate(X_parts, axis=0)
-            if X_parts
-            else np.empty((0, dim), np_dtype)
-        )
-        norms = np.concatenate(norms_parts) if norms_parts else np.empty(0, np_dtype)
-        tmp = entry + f".tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        np.save(os.path.join(tmp, "ids.npy"), ids)
-        np.save(os.path.join(tmp, "vecs.npy"), X)
-        np.save(os.path.join(tmp, "norms.npy"), norms)
+                shutil.rmtree(tmp, ignore_errors=True)
+            _prune_spool()
         try:
-            os.rename(tmp, entry)  # atomic publish; loser of the race cleans up
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-        _prune_spool()
-    return (
-        np.load(os.path.join(entry, "ids.npy"), mmap_mode="r"),
-        np.load(os.path.join(entry, "vecs.npy"), mmap_mode="r"),
-        np.load(os.path.join(entry, "norms.npy"), mmap_mode="r"),
-    )
+            os.utime(entry)  # LRU recency marker (dir mtime)
+            payload_path = os.path.join(entry, "payload.arrow")
+            payload = (
+                pa.ipc.open_file(pa.memory_map(payload_path)).read_all()
+                if os.path.exists(payload_path)
+                else None
+            )
+            return (
+                np.load(os.path.join(entry, "ids.npy"), mmap_mode="r"),
+                np.load(os.path.join(entry, "vecs.npy"), mmap_mode="r"),
+                np.load(os.path.join(entry, "norms.npy"), mmap_mode="r"),
+                payload,
+            )
+        except (FileNotFoundError, OSError):
+            continue  # pruned under us — re-spool once
+    return _decode_index_file(path, dim, np_dtype)  # last resort: no spool
 
 
 def _prune_spool() -> None:
-    """Best-effort LRU (atime) eviction keeping the spool under budget."""
+    """Best-effort LRU eviction keeping the spool under budget,
+    ordered by the entry-dir mtime that readers explicitly touch."""
     try:
         entries = []
         total = 0
@@ -270,12 +354,10 @@ def _prune_spool() -> None:
             p = os.path.join(_SPOOL_DIR, name)
             if not os.path.isdir(p):
                 continue
-            size = atime = 0
+            size = 0
             for f in os.listdir(p):
-                s = os.stat(os.path.join(p, f))
-                size += s.st_size
-                atime = max(atime, s.st_atime_ns)
-            entries.append((atime, size, p))
+                size += os.stat(os.path.join(p, f)).st_size
+            entries.append((os.stat(p).st_mtime_ns, size, p))
             total += size
         entries.sort()
         for _, size, p in entries:
@@ -300,16 +382,72 @@ def _index_files(path: str) -> list[str]:
     return files
 
 
+def default_max_tasks(spark: SparkSession) -> int:
+    """Default task-group count for block-index scans. Local mode pays
+    ~10-70 ms Python dispatch per task, so fewer, fatter tasks win;
+    a real cluster wants one task per file. Heuristic: a quarter of
+    the parallelism, floor 8 — override with COLTT_BLOCK_MAX_TASKS."""
+    env = os.environ.get("COLTT_BLOCK_MAX_TASKS")
+    if env:
+        return int(env)
+    return max(8, spark.sparkContext.defaultParallelism // 4)
+
+
 def _file_group_df(spark: SparkSession, files: list[str], max_tasks: int | None):
     """One row per task, each carrying a ';'-joined group of file
     paths — built with ``parallelize(…, n)`` so the per-query plan has
     NO shuffle, just one narrow Python stage. ``max_tasks`` trades
     per-task dispatch overhead (~10-70 ms each on local mode) against
     per-task scan size; at cluster scale pass len(files)."""
-    n_tasks = min(len(files), max_tasks or len(files))
+    n_tasks = min(len(files), max_tasks or default_max_tasks(spark))
     groups = [files[i::n_tasks] for i in range(n_tasks)]
     rdd = spark.sparkContext.parallelize([(";".join(g),) for g in groups], n_tasks)
     return spark.createDataFrame(rdd, "paths string")
+
+
+def block_index_scan(
+    spark: SparkSession,
+    path: str,
+    query: Sequence[float],
+    *,
+    dim: int,
+    k: int = 10,
+    distance: str = "cosine",
+    dtype: str = "float32",
+    max_tasks: int | None = None,
+    payload_schema: T.StructType | None = None,
+    id_alias: str = "id",
+) -> DataFrame:
+    """Per-file local top-k over a written block index (no global
+    order/limit — compose your own, e.g. a different tie-break). With
+    ``payload_schema``, each winner row carries its packed payload
+    columns, so a caller gets id+dist+metadata in ONE job; pass
+    ``id_alias`` when a payload column is itself named ``id``."""
+    np_dtype = _DTYPES[dtype]
+    q = np.asarray([float(x) for x in query], dtype=np_dtype)
+    fdf = _file_group_df(spark, _index_files(path), max_tasks)
+    out_fields = [
+        T.StructField(id_alias, T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+    ]
+    if payload_schema is not None:
+        out_fields += list(payload_schema)
+    out_schema = T.StructType(out_fields)
+    want_payload = payload_schema is not None
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for paths in pdf["paths"]:
+                for p in paths.split(";"):
+                    ids, X, norms, payload = _spool_file(p, dim, np_dtype)
+                    if len(ids):
+                        yield _scan_block(
+                            ids, X, norms, q, distance=distance, k=k,
+                            payload=payload if want_payload else None,
+                            id_alias=id_alias,
+                        )
+
+    return fdf.mapInPandas(scan, out_schema)
 
 
 def block_index_topk(
@@ -331,22 +469,10 @@ def block_index_topk(
     names and k·n_tasks result rows ever crosses the JVM↔Python or
     executor↔driver boundary, and the vector data itself is read
     through the OS page cache."""
-    np_dtype = _DTYPES[dtype]
-    q = np.asarray([float(x) for x in query], dtype=np_dtype)
-    fdf = _file_group_df(spark, _index_files(path), max_tasks)
-    out_schema = T.StructType(
-        [T.StructField("id", T.LongType(), False), T.StructField("dist", T.DoubleType(), False)]
+    local = block_index_scan(
+        spark, path, query, dim=dim, k=k, distance=distance, dtype=dtype,
+        max_tasks=max_tasks,
     )
-
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for paths in pdf["paths"]:
-                for p in paths.split(";"):
-                    ids, X, norms = _spool_file(p, dim, np_dtype)
-                    if len(ids):
-                        yield _scan_block(ids, X, norms, q, distance=distance, k=k)
-
-    local = fdf.mapInPandas(scan, out_schema)
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
 
 
@@ -384,7 +510,7 @@ def block_index_topk_batch(
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
-                    ids, X, norms = _spool_file(p, dim, np_dtype)
+                    ids, X, norms, _payload = _spool_file(p, dim, np_dtype)
                     n = len(ids)
                     if not n:
                         continue

@@ -399,6 +399,67 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
 """
 
 
+def q_collection_search_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered KNN served from a ``layout="blocks"`` collection —
+    the product-API fast path: vectors packed into the written block
+    index at flush, scanned by one BLAS matvec per file through the
+    node-local spool, winners joined back to the (vector-pruned)
+    snapshot for metadata. float64 blocks for oracle parity; semantics
+    identical to a row-layout euclidean search over the same data."""
+    import tempfile
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    if (sf_dir, "blocks") not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_blk_"))
+        coll = cat.create_collection(
+            "emb_blocks",
+            dim=dim,
+            distance="euclidean",
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
+            layout="blocks",
+            block_dtype="float64",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()  # packs the block index
+        _COLL_CACHE[(sf_dir, "blocks")] = coll
+    coll = _COLL_CACHE[(sf_dir, "blocks")]
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_ORACLE_COLLECTION_SEARCH_BLOCKS = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
+"""
+
+
 def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine KNN over an f16-quantized collection (edge f16 vector
     store parity). No DuckDB oracle — binary16 isn't expressible in
@@ -528,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_dist": q_compare_dist,
     "upsert_delete": q_upsert_delete,
     "collection_search": q_collection_search,
+    "collection_search_blocks": q_collection_search_blocks,
     "knn_f16": q_knn_f16,
     "knn_two_phase": q_knn_two_phase,
     "knn_wide": q_knn_wide,
@@ -546,6 +608,7 @@ ORACLES: dict[str, str] = {
     "compare_dist": _ORACLE_COMPARE_DIST,
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
+    "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
     "knn_two_phase": _ORACLE_KNN_COSINE,
     "knn_wide": _ORACLE_KNN_COSINE,
     "knn_block": _ORACLE_KNN_COSINE,

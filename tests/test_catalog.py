@@ -269,3 +269,59 @@ def test_upsert_df_quantized_and_batch_dedupe(catalog, spark):
     assert n == 1
     got = [r for r in coll_df.df().collect() if r["id"] == "d"]
     assert len(got) == 1 and got[0]["type"] == 2
+
+
+def test_blocks_layout_search_parity(catalog):
+    """layout="blocks": after flush, unfiltered search serves from the
+    packed block index and must rank exactly like the row scan; dirty
+    (unflushed) state and filtered searches fall back to the row path."""
+    rows = _rows(300, dim=8, seed=11)
+    coll_rows = catalog.create_collection("ref_rows", dim=8, distance="cosine", fields=FIELDS)
+    coll_rows.upsert(rows)
+    coll_blk = catalog.create_collection(
+        "blk", dim=8, distance="cosine", fields=FIELDS,
+        layout="blocks", block_dtype="float64",
+    )
+    coll_blk.upsert(rows)
+
+    q = _rows(1, seed=42)[0]["vector"]
+    expected = [(r["id"], round(r["dist"], 6)) for r in coll_rows.search(q, limit=15).collect()]
+
+    # dirty (pre-flush): block index absent, row fallback still correct
+    assert [(r["id"], round(r["dist"], 6)) for r in coll_blk.search(q, limit=15).collect()] == expected
+
+    coll_blk.flush()
+    assert not coll_blk._dirty
+    import os
+
+    assert os.path.isdir(coll_blk._blocks_dir("vector"))
+    got = [(r["id"], round(r["dist"], 6)) for r in coll_blk.search(q, limit=15).collect()]
+    assert got == expected
+    # block-served results carry metadata but not the stored vector
+    cols = set(coll_blk.search(q, limit=3).columns)
+    assert {"id", "type", "dist", "score"} <= cols and "vector" not in cols
+
+    # pagination through the block path
+    page = [(r["id"], round(r["dist"], 6)) for r in coll_blk.search(q, limit=5, offset=5).collect()]
+    assert page == expected[5:10]
+
+    # filtered search falls back to the row path, same results as row layout
+    filt = {"index_name": "type", "op": "lte", "value": 5}
+    a = [(r["id"],) for r in coll_rows.search(q, filter_ast=filt, limit=10).collect()]
+    b = [(r["id"],) for r in coll_blk.search(q, filter_ast=filt, limit=10).collect()]
+    assert a == b
+
+    # DML marks the index stale; post-flush it serves the new state
+    coll_blk.upsert(_rows(5, dim=8, seed=77))
+    assert coll_blk._dirty
+    coll_blk.flush()
+    coll_rows.upsert(_rows(5, dim=8, seed=77))
+    expected2 = [(r["id"], round(r["dist"], 6)) for r in coll_rows.search(q, limit=15).collect()]
+    got2 = [(r["id"], round(r["dist"], 6)) for r in coll_blk.search(q, limit=15).collect()]
+    assert got2 == expected2
+
+    # reopening from disk keeps serving from blocks
+    fresh = Catalog(coll_blk.spark, catalog.warehouse).get_collection("blk")
+    assert fresh.manifest.layout == "blocks"
+    got3 = [(r["id"], round(r["dist"], 6)) for r in fresh.search(q, limit=15).collect()]
+    assert got3 == expected2
