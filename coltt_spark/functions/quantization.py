@@ -110,6 +110,66 @@ def dequantize_np(kind: str, raw: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# batch kernels: one numpy op over the WHOLE Arrow batch, never per row
+
+
+def _encode_flat(kind: str, flat: np.ndarray) -> np.ndarray:
+    if kind == "f16":
+        return flat.astype(np.float16)
+    if kind == "bf16":
+        return _bf16_encode(flat)
+    return _f8_encode(flat)
+
+
+def _decode_flat(kind: str, raw: bytes) -> np.ndarray:
+    if kind == "f16":
+        return np.frombuffer(raw, dtype=np.float16).astype(np.float32)
+    if kind == "bf16":
+        return _bf16_decode(np.frombuffer(raw, dtype=np.uint16))
+    return _f8_decode(np.frombuffer(raw, dtype=np.uint8))
+
+
+def quantize_batch(kind: str, s) -> "list[bytes | None]":
+    """Encode a pandas Series of float vectors in one pass: concatenate
+    all rows, one vectorized encode, re-split by byte offsets. The only
+    per-row work left is a C-level ``bytes`` slice."""
+    vals = s.to_numpy()
+    idx = [i for i, v in enumerate(vals) if v is not None]
+    out: list[bytes | None] = [None] * len(vals)
+    if not idx:
+        return out
+    present = [np.asarray(vals[i], dtype=np.float32) for i in idx]
+    lens = np.fromiter((len(v) for v in present), dtype=np.int64, count=len(present))
+    enc = _encode_flat(kind, np.concatenate(present))
+    raw = enc.tobytes()
+    bounds = np.concatenate(([0], np.cumsum(lens))) * enc.dtype.itemsize
+    for j, i in enumerate(idx):
+        out[i] = raw[bounds[j] : bounds[j + 1]]
+    return out
+
+
+def dequantize_batch(kind: str, s) -> "pd.Series":
+    """Decode a pandas Series of quantized byte cells in one pass:
+    join buffers, one vectorized decode, ``np.split`` back into
+    per-row float32 views."""
+    import pandas as pd
+
+    vals = s.to_numpy()
+    idx = [i for i, b in enumerate(vals) if b is not None]
+    out: list = [None] * len(vals)
+    if not idx:
+        return pd.Series(out)
+    present = [bytes(vals[i]) for i in idx]
+    dec = _decode_flat(kind, b"".join(present))
+    width = {"f16": 2, "bf16": 2, "f8": 1}[kind]
+    lens = np.fromiter((len(b) // width for b in present), dtype=np.int64, count=len(present))
+    parts = np.split(dec, np.cumsum(lens)[:-1])
+    for j, i in enumerate(idx):
+        out[i] = parts[j]
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
 # Spark column functions (Arrow-batched)
 
 
@@ -119,7 +179,9 @@ def quantize(kind: str, col: Column | str) -> Column:
 
     @pandas_udf(T.BinaryType())
     def _q(s):
-        return s.map(lambda v: quantize_np(kind, v))
+        import pandas as pd
+
+        return pd.Series(quantize_batch(kind, s))
 
     return _q(F.col(col) if isinstance(col, str) else col)
 
@@ -130,6 +192,6 @@ def dequantize(kind: str, col: Column | str) -> Column:
 
     @pandas_udf(T.ArrayType(T.FloatType()))
     def _dq(s):
-        return s.map(lambda b: dequantize_np(kind, b))
+        return dequantize_batch(kind, s)
 
     return _dq(F.col(col) if isinstance(col, str) else col)

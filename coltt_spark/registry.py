@@ -460,48 +460,41 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
 """
 
 
-def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine KNN over an f16-quantized collection (edge f16 vector
-    store parity). No DuckDB oracle — binary16 isn't expressible in
-    SQL; precision/recall parity is covered by tests/test_quantization.
-    """
+def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Cosine KNN over a ``kind``-quantized collection (edge treats
+    f16/bf16/f8 stores as peers of the float store —
+    ``edge/vectorstore.go:69-80``). No DuckDB oracle — these binary
+    formats aren't expressible in SQL; precision/recall floors are
+    covered per-kind by tests/test_quantization."""
     import tempfile
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
 
-    if (sf_dir, "f16") in _COLL_CACHE:
-        coll = _COLL_CACHE[(sf_dir, "f16")]
-        res = coll.search(_query_vec(spark, sf_dir), limit=10)
-        return res.select(
-            "id",
-            F.col("label").cast("long").alias("label"),
-            F.round("dist", 4).alias("dist"),
-            F.round("score", 4).alias("score"),
+    if (sf_dir, kind) not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, tempfile.mkdtemp(prefix=f"coltt_wh_{kind}_"))
+        coll = cat.create_collection(
+            f"emb_{kind}",
+            dim=dim,
+            distance="cosine",
+            quantization=kind,
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
         )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_f16_"))
-    coll = cat.create_collection(
-        "emb_f16",
-        dim=dim,
-        distance="cosine",
-        quantization="f16",
-        fields=[
-            IndexField("id", "string", primary_key=True),
-            IndexField("label", "integer"),
-        ],
-    )
-    coll.upsert_df(
-        emb.select(
-            F.col("vec_id").cast("string").alias("id"),
-            F.col("label").cast("int").alias("label"),
-            F.col("embedding").alias("vector"),
-        ),
-        dedupe_batch=False,
-    )
-    _COLL_CACHE[(sf_dir, "f16")] = coll
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        _COLL_CACHE[(sf_dir, kind)] = coll
+    coll = _COLL_CACHE[(sf_dir, kind)]
     res = coll.search(_query_vec(spark, sf_dir), limit=10)
     return res.select(
         "id",
@@ -509,6 +502,18 @@ def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 4).alias("dist"),
         F.round("score", 4).alias("score"),
     )
+
+
+def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantized_knn(spark, sf_dir, "f16")
+
+
+def q_knn_bf16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantized_knn(spark, sf_dir, "bf16")
+
+
+def q_knn_f8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantized_knn(spark, sf_dir, "f8")
 
 
 def q_knn_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search": q_collection_search,
     "collection_search_blocks": q_collection_search_blocks,
     "knn_f16": q_knn_f16,
+    "knn_bf16": q_knn_bf16,
+    "knn_f8": q_knn_f8,
     "knn_two_phase": q_knn_two_phase,
     "knn_wide": q_knn_wide,
     "knn_block": q_knn_block,
