@@ -263,12 +263,13 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
-    """IVF approximate KNN. Centroids start as a deterministic sample
-    of the corpus (every ⌈n/n_centroids⌉-th row by id), optionally
-    refined by ``kmeans_iters`` rounds of distributed spherical
-    k-means (:func:`kmeans_refine`); rows shuffle once on their
+    """IVF approximate KNN. Centroids start as a deterministic
+    hash-mod sample of the corpus (:func:`seed_centroids`), refined by
+    ``kmeans_iters`` rounds of distributed spherical k-means
+    (:func:`kmeans_refine` — sampled seeds need at least one Lloyd
+    round for stable recall); rows shuffle once on their
     nearest-centroid id, queries probe the ``nprobe`` nearest lists
     and rerank exactly inside them.
 
@@ -281,6 +282,23 @@ def ivf_topk(
     )
     return ivf_probe(assigned, Cn, queries, id_col=id_col, vec_col=vec_col,
                      k=k, nprobe=nprobe)
+
+
+def seed_centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_centroids: int, n: int
+) -> DataFrame:
+    """Seed-centroid candidates without a global sort: a deterministic
+    hash-mod filter keeps ~2·n_centroids rows fully in parallel (an
+    un-partitioned Window here would drag the whole corpus through ONE
+    task at scale — tests/test_plans.py pins the Window-free plan),
+    then limit picks the seeds; Lloyd refinement corrects any
+    seed-quality loss vs strided selection."""
+    step = max(1, n // (2 * n_centroids))
+    return (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .limit(n_centroids)
+    )
 
 
 def ivf_build(
@@ -300,14 +318,10 @@ def ivf_build(
     touch."""
     spark = corpus.sparkSession
     n = corpus.count()
-    step = max(1, n // n_centroids)
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col(id_col))))
-        .filter((F.col("_rn") - 1) % step == 0)
-        .limit(n_centroids)
-        .collect()
-    )
+    cent_rows = seed_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                               n_centroids=n_centroids, n=n).collect()
+    if len(cent_rows) < min(n, n_centroids):  # tiny/skewed id space: take any rows
+        cent_rows = corpus.select(id_col, vec_col).limit(n_centroids).collect()
     C = np.array([list(map(float, r[vec_col])) for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     if kmeans_iters:
@@ -420,23 +434,31 @@ def kmeans_refine(
     k_, dim = Cn.shape
     out_schema = T.StructType(
         [T.StructField("centroid", T.IntegerType(), False),
-         T.StructField("v", T.ArrayType(T.DoubleType()), False)]
+         T.StructField("_n", T.LongType(), False),
+         T.StructField("psum", T.ArrayType(T.DoubleType()), False)]
     )
+    zero = F.array_repeat(F.lit(0.0), dim)
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(Cn)
 
         def assign(batches: Iterator) -> Iterator:
+            # Map-side combine in Python: each Arrow batch reduces to ≤k
+            # partial rows (centroid, count, sum-vector), so only
+            # n_batches·k small rows — not the corpus — cross the
+            # Python→JVM boundary and the shuffle.
             Cn_b = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                a = np.argmax(Xn @ Cn_b.T, axis=1)
+                S = np.zeros((len(Cn_b), X.shape[1]))
+                np.add.at(S, a, X)
+                counts = np.bincount(a, minlength=len(Cn_b))
+                nz = np.flatnonzero(counts)
                 yield pd.DataFrame(
-                    {
-                        "centroid": np.argmax(Xn @ Cn_b.T, axis=1).astype(np.int32),
-                        "v": list(X),
-                    }
+                    {"centroid": nz.astype(np.int32), "_n": counts[nz], "psum": list(S[nz])}
                 )
 
         sums = (
@@ -444,18 +466,23 @@ def kmeans_refine(
             .mapInPandas(assign, out_schema)
             .groupBy("centroid")
             .agg(
-                F.count("*").alias("_n"),
-                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+                F.sum("_n").alias("_n"),
+                # element-wise fold of the few partials per centroid,
+                # JVM-side — no dim-wide column explosion in codegen
+                F.aggregate(
+                    F.collect_list("psum"),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
             )
             .collect()
         )
         newC = Cn.copy()
         for r in sums:
-            c = r["centroid"]
-            mean = np.array([r[f"s{i}"] for i in range(dim)]) / r["_n"]
+            mean = np.array(r["s"]) / r["_n"]
             nrm = np.linalg.norm(mean)
             if nrm > 1e-30:
-                newC[c] = mean / nrm
+                newC[r["centroid"]] = mean / nrm
         Cn = newC
     return Cn
 

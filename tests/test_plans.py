@@ -69,3 +69,17 @@ def test_column_pruning_reaches_scan(spark):
 
     plan = executed_plan(docs)
     assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_ivf_seed_sampling_has_no_global_window(spark):
+    """IVF seed selection must stay parallel: a hash-mod filter, not a
+    row_number over an un-partitioned Window (which funnels the whole
+    corpus through one task at scale)."""
+    from coltt_spark.operators.ann import seed_centroids
+    from coltt_spark.plans import executed_plan
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cand = seed_centroids(emb, id_col="vec_id", vec_col="embedding",
+                          n_centroids=8, n=emb.count())
+    assert "Window" not in executed_plan(cand)
+    assert len(cand.collect()) == 8
