@@ -67,14 +67,29 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     shingles: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold). Inverted-list self-join: only documents sharing at
     least one shingle ever pair up, so sparsity — not n² — bounds the
     shuffle. Pass a prebuilt (materialized) ``shingles`` table to
     amortize the explode+hash+distinct across several dedup passes
-    over the same corpus."""
+    over the same corpus.
+
+    ``max_doc_freq`` drops shingles shared by more than that many
+    documents before the self-join (Jaccard is then over the filtered
+    shingle universe — standard stop-shingle removal). Without it, ONE
+    boilerplate shingle shared by 10⁶ documents materializes ~10¹²
+    join pairs; with it the join fan-out per shingle is bounded at
+    max_doc_freq², which is what makes exact Jaccard survive a web
+    corpus. Always set it at scale."""
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        keep = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_doc_freq
+        )
+        # equi-join on sh, co-partitioned with the pair join that follows
+        sh = sh.join(keep.select("sh"), on="sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -199,11 +214,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     Distinct tokens weighted once (set semantics).
 
     Tokenizing and hashing stay JVM-side (codegen'd, oracle-identical
-    md5); the per-document bit counting runs as one Arrow-batched
-    numpy pass per group. A pure-SQL formulation needs a 60-column
-    aggregate whose generated class takes multi-second to compile —
-    the Arrow path is compile-free and exact integer math, so results
-    are bit-identical."""
+    md5), and the shuffle is one JVM ``collect_list`` per document.
+    The bit counting then runs as ONE Arrow-batched numpy pass over
+    thousands of documents at a time (ragged lists flattened, per-doc
+    segment sums via ``np.add.reduceat``) — never a Python call per
+    document, which is the difference between 10⁴ and 10⁹ interpreter
+    invocations at corpus scale. A pure-SQL 60-column aggregate would
+    also work (one-time codegen); the Arrow path keeps exact integer
+    math with one code path for any ``bits``."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -214,6 +232,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
         )).alias("_t"))
         .select(F.col(id_col).cast("long").alias(id_col), hash60(F.col("_t")).alias("h"))
     )
+    agg = tok.groupBy(id_col).agg(F.collect_list("h").alias("_hs"))
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -222,14 +241,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     )
     shifts = np.arange(bits, dtype=np.int64)
 
-    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy(np.int64)
-        ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
-        s = 2 * ones - len(h)  # Σ ±1 = ones - (count - ones)
-        sim = int(((s > 0).astype(np.int64) << shifts).sum())
-        return pd.DataFrame({id_col: [int(pdf[id_col].iloc[0])], "simhash": [sim]})
+    def fp(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+            flat = np.concatenate(lists)
+            bits_m = (flat[:, None] >> shifts) & 1  # (tokens, bits)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ones = np.add.reduceat(bits_m, starts, axis=0)  # (docs, bits)
+            s = 2 * ones - lens[:, None]  # Σ ±1 = ones - (count - ones)
+            sim = ((s > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64), "simhash": sim})
 
-    return tok.groupBy(id_col).applyInPandas(fp, out_schema)
+    return agg.mapInPandas(fp, out_schema)
 
 
 def simhash_pairs(
@@ -277,6 +303,29 @@ def simhash_pairs(
     )
 
 
+def sign_block(vec_col, *, bits: int = 16):
+    """Axis-aligned sign-LSH block id: bit i of the block is
+    ``[x_i >= 0]`` over the first ``bits`` components. This is
+    hyperplane LSH with coordinate hyperplanes — positive rescalings
+    (and near-dups that keep component signs) land in the same block —
+    chosen over random hyperplanes so the blocking is exactly
+    expressible in the DuckDB oracle and blocked near-dup stays
+    value-checked end-to-end."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(c[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def sign_block_sql(vec_expr: str, *, bits: int = 16) -> str:
+    """The DuckDB-SQL mirror of :func:`sign_block` (1-based list
+    indexing), so oracles can reproduce the blocking bit-for-bit."""
+    return " + ".join(
+        f"(CASE WHEN {vec_expr}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -297,6 +346,8 @@ def embedding_neardup_pairs(
     equal to the expr path up to BLAS summation order (≪1e-12, safe
     under round-4 output).
     """
+    if strategy not in ("expr", "blas"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "blas":
         if block_col is not None:
             raise ValueError("blas strategy implies all-pairs; drop block_col")
@@ -325,16 +376,31 @@ def embedding_neardup_pairs(
     )
 
 
+_BLAS_MAX_ROWS = 200_000
+
+
 def _neardup_blas(df: DataFrame, id_col: str, vec_col: str, *, threshold: float) -> DataFrame:
     """All-pairs cosine via broadcast corpus matrix + one matmul per
     partition. Each partition compares only its own rows against the
     full corpus (upper triangle enforced by id), so work distributes
-    evenly and nothing but the final survivors shuffles."""
+    evenly and nothing but the final survivors shuffles.
+
+    Small-corpus verification path ONLY: it materializes the corpus on
+    the driver and broadcasts the normalized matrix, so it is hard-
+    capped at ``_BLAS_MAX_ROWS`` rows — beyond that, block the corpus
+    (:func:`sign_block` or an IVF/LSH bucket) and use the distributed
+    ``block_col`` equi-join instead."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    n = df.count()
+    if n > _BLAS_MAX_ROWS:
+        raise ValueError(
+            f"blas all-pairs strategy is driver-bound and capped at {_BLAS_MAX_ROWS} rows "
+            f"(got {n}); use block_col (e.g. sign_block) for the distributed path"
+        )
     corpus = df.select(id_col, vec_col).toPandas()
     ids = corpus[id_col].to_numpy(dtype=np.int64)
     from coltt_spark.operators.ann import _list_col_matrix

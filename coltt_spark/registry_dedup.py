@@ -25,6 +25,8 @@ from coltt_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingle_table,
+    sign_block,
+    sign_block_sql,
     simhash_pairs,
 )
 from coltt_spark.sources.tables import load_table
@@ -104,16 +106,37 @@ GROUP BY norm
 # n-gram Jaccard
 
 
+_NGRAM_MAX_DF = 5  # active at every SF (hot shingles exist even at sf0.01)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with the hot-shingle cutoff active: shingles in
+    more than ``_NGRAM_MAX_DF`` documents are dropped before the
+    self-join, bounding per-shingle join fan-out at df² — the guard
+    that keeps the inverted-list join alive when one boilerplate
+    shingle spans 10⁶ documents."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6,
         shingles=_doc_shingles(spark, sf_dir),
+        max_doc_freq=_NGRAM_MAX_DF,
     )
 
 
 _ORACLE_NGRAM_JACCARD = f"""
-{_DD_JACCARD}
+WITH {_DD_SHINGLES},
+keep AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= {_NGRAM_MAX_DF}),
+shf AS (SELECT shd.* FROM shd JOIN keep USING (sh)),
+sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
 """
 
@@ -207,12 +230,13 @@ SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 
 
 # ---------------------------------------------------------------------------
-# SimHash (restricted to doc_id < 200 to bound the pair output)
+# SimHash (unrestricted corpus; batched-kernel fingerprints)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -226,7 +250,7 @@ def _simhash_oracle(bits: int = 60) -> str:
 WITH tok AS (
   SELECT DISTINCT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
-  FROM documents WHERE doc_id < 200
+  FROM documents
 ),
 th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
 bs AS (SELECT doc_id, {saggs} FROM th GROUP BY doc_id),
@@ -243,6 +267,12 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dup — the 100 TB shape: sign-LSH block
+    ids (axis-aligned hyperplanes, SQL-mirrorable) turn the self-join
+    into a within-block equi-join; no driver collect anywhere in the
+    plan. The planted ×1.2 copies keep every component sign, so they
+    land in their original's block by construction (recall 1.0 on the
+    planted pairs, asserted in tests/test_dedup.py)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -250,25 +280,30 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
     )
-    corpus = emb.unionByName(copies)
+    corpus = emb.unionByName(copies).withColumn(
+        "blk", sign_block("embedding", bits=16)
+    )
     return embedding_neardup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.95, strategy="blas"
+        corpus, "vec_id", "embedding", threshold=0.95, block_col="blk"
     )
 
 
-_ORACLE_NEARDUP_COSINE = """
+_ORACLE_NEARDUP_COSINE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.2)
   FROM embeddings WHERE vec_id % 50 = 0
 ),
+blocked AS (
+  SELECT vec_id, embedding, {sign_block_sql('embedding', bits=16)} AS blk FROM corpus
+),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     list_dot_product(a.embedding, b.embedding) /
     (sqrt(list_dot_product(a.embedding, a.embedding)) *
      sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_sim
-  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+  FROM blocked a, blocked b WHERE a.vec_id < b.vec_id AND a.blk = b.blk
 )
 SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
 """

@@ -86,3 +86,53 @@ def test_connected_components_chain(spark):
     groups = {r["id"]: (r["root"], r["group_size"]) for r in dedup_groups(pairs).collect()}
     assert groups[5] == (1, 5)
     assert groups[11] == (10, 2)
+
+
+def test_blocked_neardup_finds_planted_copies(spark):
+    """sign_block keeps positive-scaled copies in their original's
+    block, so the distributed within-block equi-join recalls every
+    planted pair; the blas path (small-corpus verification) agrees."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.dedup import embedding_neardup_pairs, sign_block
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).withColumn("blk", sign_block("embedding", bits=16))
+    pairs = embedding_neardup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, block_col="blk"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (int(r["vec_id"]), int(r["vec_id"]) + 100000)
+        for r in emb.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect()
+    }
+    assert planted <= got  # recall 1.0 on planted pairs
+
+
+def test_blas_neardup_caps_driver_collect(spark):
+    """The blas all-pairs path must refuse corpora it would have to
+    materialize on the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import coltt_spark.operators.dedup as d
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("v")
+    )
+    old = d._BLAS_MAX_ROWS
+    d._BLAS_MAX_ROWS = 5
+    try:
+        with pytest.raises(ValueError, match="block_col"):
+            d.embedding_neardup_pairs(df, "vec_id", "v", strategy="blas")
+    finally:
+        d._BLAS_MAX_ROWS = old
