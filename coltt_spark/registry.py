@@ -399,13 +399,10 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
 """
 
 
-def q_collection_search_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unfiltered KNN served from a ``layout="blocks"`` collection —
-    the product-API fast path: vectors packed into the written block
-    index at flush, scanned by one BLAS matvec per file through the
-    node-local spool, winners joined back to the (vector-pruned)
-    snapshot for metadata. float64 blocks for oracle parity; semantics
-    identical to a row-layout euclidean search over the same data."""
+def _blocks_collection(spark: SparkSession, sf_dir: str):
+    """Cached layout="blocks" collection over the embeddings table
+    (float64 blocks for oracle parity): upsert_df ingest, flush packs
+    the written block index."""
     import tempfile
 
     from coltt_spark.catalog import Catalog
@@ -436,7 +433,17 @@ def q_collection_search_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         coll.flush()  # packs the block index
         _COLL_CACHE[(sf_dir, "blocks")] = coll
-    coll = _COLL_CACHE[(sf_dir, "blocks")]
+    return _COLL_CACHE[(sf_dir, "blocks")]
+
+
+def q_collection_search_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered KNN served from a ``layout="blocks"`` collection —
+    the product-API fast path: vectors packed into the written block
+    index at flush, scanned by one BLAS matvec per file through the
+    node-local spool, winners joined back to the (vector-pruned)
+    snapshot for metadata. float64 blocks for oracle parity; semantics
+    identical to a row-layout euclidean search over the same data."""
+    coll = _blocks_collection(spark, sf_dir)
     res = coll.search(_query_vec(spark, sf_dir), limit=10)
     return res.select(
         "id",
@@ -460,12 +467,8 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
 """
 
 
-def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
-    """Cosine KNN over a ``kind``-quantized collection (edge treats
-    f16/bf16/f8 stores as peers of the float store —
-    ``edge/vectorstore.go:69-80``). No DuckDB oracle — these binary
-    formats aren't expressible in SQL; precision/recall floors are
-    covered per-kind by tests/test_quantization."""
+def _quantized_collection(spark: SparkSession, sf_dir: str, kind: str):
+    """Cached ``kind``-quantized collection over the embeddings table."""
     import tempfile
 
     from coltt_spark.catalog import Catalog
@@ -494,7 +497,16 @@ def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             dedupe_batch=False,
         )
         _COLL_CACHE[(sf_dir, kind)] = coll
-    coll = _COLL_CACHE[(sf_dir, kind)]
+    return _COLL_CACHE[(sf_dir, kind)]
+
+
+def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Cosine KNN over a ``kind``-quantized collection (edge treats
+    f16/bf16/f8 stores as peers of the float store —
+    ``edge/vectorstore.go:69-80``). No DuckDB oracle — these binary
+    formats aren't expressible in SQL; precision/recall floors are
+    covered per-kind by tests/test_quantization."""
+    coll = _quantized_collection(spark, sf_dir, kind)
     res = coll.search(_query_vec(spark, sf_dir), limit=10)
     return res.select(
         "id",
@@ -649,3 +661,22 @@ from coltt_spark.registry_streaming import (  # noqa: E402
 
 QUERIES.update(STREAMING_QUERIES)
 ORACLES.update(STREAMING_ORACLES)
+
+
+def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Build every CACHED ingest fixture the registry queries share —
+    the typed/quantized/blocked collections, the schemaless base
+    views, and the shingle table — so per-query timings measure the
+    QUERY against a warm store (the posture of the reference's
+    numbers, which scan an already-built in-memory shard). Ingest
+    cost doesn't vanish: bench.py reports it as fixture_build_sec."""
+    from coltt_spark.registry_dedup import _doc_shingles
+    from coltt_spark.registry_schemaless import _docs_collection, _emb_schemaless
+
+    _embeddings_collection(spark, sf_dir)
+    _blocks_collection(spark, sf_dir)
+    for kind in ("f16", "bf16", "f8"):
+        _quantized_collection(spark, sf_dir, kind)
+    _doc_shingles(spark, sf_dir)
+    _docs_collection(spark, sf_dir)
+    _emb_schemaless(spark, sf_dir)

@@ -11,25 +11,36 @@ from coltt_spark.schemaless import SchemalessCollection
 from coltt_spark.sources.tables import load_table
 
 
+#: cache of (materialized base view, next_id) per fixture — each call
+#: still gets a FRESH collection object (DML in one query must not
+#: leak into another), but the eager ingest checkpoint is shared
+_SL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _docs_collection(spark: SparkSession, sf_dir: str) -> SchemalessCollection:
     """Documents as a schemaless collection: every metadata value
     auto-stringified; _id = insertion order (doc_id ascending)."""
-    docs = load_table(spark, sf_dir, "documents")
-    coll = SchemalessCollection(spark, dim=4, distance="euclidean")
-    coll.insert_df(
-        docs.select(
-            F.create_map(
-                F.lit("lang"), F.col("lang"),
-                F.lit("source"), F.col("source"),
-                F.lit("n_chars"), F.col("n_chars").cast("long").cast("string"),
-            ).alias("metadata"),
-            F.array(*[(F.col("doc_id") % m).cast("double") for m in (7, 5, 3, 2)]).alias(
-                "vector"
+    if (sf_dir, "docs") not in _SL_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        coll = SchemalessCollection(spark, dim=4, distance="euclidean")
+        coll.insert_df(
+            docs.select(
+                F.create_map(
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("source"), F.col("source"),
+                    F.lit("n_chars"), F.col("n_chars").cast("long").cast("string"),
+                ).alias("metadata"),
+                F.array(*[(F.col("doc_id") % m).cast("double") for m in (7, 5, 3, 2)]).alias(
+                    "vector"
+                ),
+                "doc_id",
             ),
-            "doc_id",
-        ),
-        order_col="doc_id",
-    )
+            order_col="doc_id",
+        )
+        _SL_CACHE[(sf_dir, "docs")] = (coll._view, coll._next_id, 4)
+    view, next_id, dim = _SL_CACHE[(sf_dir, "docs")]
+    coll = SchemalessCollection(spark, dim=dim, distance="euclidean")
+    coll._view, coll._next_id = view, next_id
     return coll
 
 
@@ -56,20 +67,73 @@ FROM numbered WHERE lang = 'en' AND n_chars = 128
 """
 
 
-def _emb_schemaless(spark: SparkSession, sf_dir: str) -> SchemalessCollection:
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    coll = SchemalessCollection(spark, dim=dim, distance="euclidean")
-    coll.insert_df(
-        emb.select(
-            F.create_map(
-                F.lit("label"), F.col("label").cast("long").cast("string")
-            ).alias("metadata"),
-            F.col("embedding").alias("vector"),
-            "vec_id",
-        ),
-        order_col="vec_id",
+def q_schemaless_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core Update/Delete final state (``core/core.go:471-631``): bulk
+    delete of every ``_id ≡ 3 (mod 10)``, then bulk Update of every
+    ``_id ≡ 4 (mod 10)`` — remove + reinsert under fresh sequential
+    ids with ``lang`` rewritten to ``'xx'``. The returned final state
+    (survivors ∪ reinserted rows) is fully deterministic, so the
+    whole DML sequence is value-checked against the SQL oracle."""
+    coll = _docs_collection(spark, sf_dir)
+    view = coll.df()
+    coll.delete_ids(view.filter(F.col("_id") % 10 == 3).select("_id"))
+    updated = view.filter(F.col("_id") % 10 == 4).select(
+        "_id",
+        F.create_map(
+            F.lit("lang"), F.lit("xx"),
+            F.lit("source"), F.col("metadata").getItem("source"),
+            F.lit("n_chars"), F.col("metadata").getItem("n_chars"),
+        ).alias("metadata"),
+        "vector",
     )
+    coll.update_df(updated)
+    return coll.df().select(
+        "_id",
+        F.col("metadata").getItem("lang").alias("lang"),
+        F.col("metadata").getItem("source").alias("source"),
+        F.col("metadata").getItem("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+_ORACLE_SCHEMALESS_UPDATE_DELETE = """
+WITH numbered AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS _id, lang, source, n_chars
+  FROM documents
+),
+survivors AS (
+  SELECT _id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM numbered WHERE _id % 10 <> 3 AND _id % 10 <> 4
+),
+updated AS (
+  SELECT (SELECT count(*) FROM documents) + row_number() OVER (ORDER BY _id) - 1 AS _id,
+         'xx' AS lang, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM numbered WHERE _id % 10 = 4
+)
+SELECT CAST(_id AS BIGINT) AS _id, lang, source, n_chars FROM survivors
+UNION ALL
+SELECT CAST(_id AS BIGINT) AS _id, lang, source, n_chars FROM updated
+"""
+
+
+def _emb_schemaless(spark: SparkSession, sf_dir: str) -> SchemalessCollection:
+    if (sf_dir, "emb") not in _SL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        coll = SchemalessCollection(spark, dim=dim, distance="euclidean")
+        coll.insert_df(
+            emb.select(
+                F.create_map(
+                    F.lit("label"), F.col("label").cast("long").cast("string")
+                ).alias("metadata"),
+                F.col("embedding").alias("vector"),
+                "vec_id",
+            ),
+            order_col="vec_id",
+        )
+        _SL_CACHE[(sf_dir, "emb")] = (coll._view, coll._next_id, dim)
+    view, next_id, dim = _SL_CACHE[(sf_dir, "emb")]
+    coll = SchemalessCollection(spark, dim=dim, distance="euclidean")
+    coll._view, coll._next_id = view, next_id
     return coll
 
 
@@ -110,10 +174,12 @@ ORDER BY dist ASC, _id ASC LIMIT 10
 
 SCHEMALESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schemaless_pure_search": q_schemaless_pure_search,
+    "schemaless_update_delete": q_schemaless_update_delete,
     "hybrid_search": q_hybrid_search,
 }
 
 SCHEMALESS_ORACLES: dict[str, str] = {
     "schemaless_pure_search": _ORACLE_SCHEMALESS_PURE,
+    "schemaless_update_delete": _ORACLE_SCHEMALESS_UPDATE_DELETE,
     "hybrid_search": _ORACLE_HYBRID,
 }

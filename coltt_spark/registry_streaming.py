@@ -21,6 +21,7 @@ from coltt_spark.streaming import (
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
+    session_stream,
 )
 
 #: memory-sink table names must be fresh per run within a session
@@ -61,12 +62,47 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user via the native
+    ``session_window`` state store, replayed to completion — the
+    streaming twin of ``events_sessionize``, sharing its lag/gap SQL
+    semantics (oracle below drops the batch query's surrogate
+    session_id/session_end, which the streaming operator does not
+    expose)."""
+    sdf = session_stream(read_events_stream(spark, sf_dir))
+    return run_to_memory(sdf, f"q_stream_sessionize_{next(_MEM_SEQ)}")
+
+
+_ORACLE_STREAM_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "stream_hourly": _ORACLE_EVENTS_HOURLY,
+    "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
 }

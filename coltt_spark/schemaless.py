@@ -127,12 +127,38 @@ class SchemalessCollection:
 
     def update(self, _id: int, row: dict[str, Any]) -> int:
         """Remove + reinsert under a fresh id; inserts if absent
-        (core Update semantics)."""
+        (core Update semantics, ``core/core.go:471-564``)."""
         self.delete(_id)
         return self.insert([row])[0]
 
     def delete(self, _id: int) -> None:
+        """Delete by engine id (``core/core.go:566-631``)."""
         self._view = self._view.filter(F.col("_id") != _id)
+
+    def delete_ids(self, ids: "list[int] | DataFrame") -> None:
+        """Bulk Delete: drop every listed ``_id``. A DataFrame of ids
+        anti-joins (broadcast — the delete set is small relative to
+        the collection); a Python list compiles to an ``isin``
+        predicate evaluated during the scan."""
+        if isinstance(ids, DataFrame):
+            self._view = self._view.join(
+                F.broadcast(ids.select(F.col(ids.columns[0]).alias("_id"))),
+                on="_id",
+                how="left_anti",
+            )
+        else:
+            self._view = self._view.filter(~F.col("_id").isin([int(i) for i in ids]))
+
+    def update_df(self, df: DataFrame) -> int:
+        """Bulk Update — the distributed form of core's
+        remove-then-reinsert: drop the given ``_id``\\ s, reinsert the
+        new (metadata, vector) rows under fresh ids assigned in
+        old-id order (deterministic, so final state is
+        oracle-checkable). ``df`` columns: ``_id, metadata, vector``.
+        Returns the number of reinserted rows."""
+        new = df.select(F.col("_id").alias("_old"), "metadata", "vector")
+        self.delete_ids(new.select("_old"))
+        return self.insert_df(new.select("metadata", "vector", "_old"), order_col="_old")
 
     # -- queries ---------------------------------------------------------
 

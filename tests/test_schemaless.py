@@ -63,3 +63,30 @@ def test_parquet_roundtrip(spark, tmp_path):
     a = sorted((r["_id"], r["metadata"]["a"]) for r in coll.df().collect())
     b = sorted((r["_id"], r["metadata"].get("a")) for r in back.df().collect() if r["_id"] != 10)
     assert a == b
+
+
+def test_bulk_update_delete(spark):
+    """Bulk delete_ids / update_df: distributed remove+reinsert with
+    deterministic fresh ids in old-id order."""
+    from pyspark.sql import functions as F
+
+    coll = SchemalessCollection(spark, dim=2, distance="euclidean")
+    coll.insert(
+        [{"metadata": {"k": i}, "vector": [float(i), 0.0]} for i in range(6)]
+    )
+    coll.delete_ids([1, 3])
+    assert {r["_id"] for r in coll.df().collect()} == {0, 2, 4, 5}
+    # bulk update of ids 4,5 -> reinserted as 6,7 (old-id order)
+    upd = coll.df().filter(F.col("_id") >= 4).select(
+        "_id",
+        F.create_map(F.lit("k"), F.lit("updated")).alias("metadata"),
+        "vector",
+    )
+    n = coll.update_df(upd)
+    assert n == 2
+    rows = {r["_id"]: r["metadata"] for r in coll.df().collect()}
+    assert set(rows) == {0, 2, 6, 7}
+    assert rows[6]["k"] == "updated" and rows[7]["k"] == "updated"
+    # delete_ids with a DataFrame of ids (anti-join path)
+    coll.delete_ids(coll.df().filter(F.col("_id") == 2).select("_id"))
+    assert {r["_id"] for r in coll.df().collect()} == {0, 6, 7}
