@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass
 from typing import Any
@@ -63,6 +64,7 @@ class Manifest:
     next_commit: int = 0
     layout: str = "rows"
     block_dtype: str = "float32"
+    versioning: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -75,6 +77,7 @@ class Manifest:
             "next_commit": self.next_commit,
             "layout": self.layout,
             "block_dtype": self.block_dtype,
+            "versioning": self.versioning,
         }
 
     @classmethod
@@ -89,6 +92,7 @@ class Manifest:
             next_commit=d["next_commit"],
             layout=d.get("layout", "rows"),
             block_dtype=d.get("block_dtype", "float32"),
+            versioning=d.get("versioning", False),
         )
 
 
@@ -460,9 +464,44 @@ class Collection:
         self._write_manifest()
         self._view = self._read_version()
         self._dirty = False
-        for old_dir in (self._data_dir(old_v), os.path.join(self.root, f"v{old_v}_blocks")):
-            if os.path.isdir(old_dir):
-                shutil.rmtree(old_dir)
+        if not self.manifest.versioning:
+            for old_dir in (self._data_dir(old_v), os.path.join(self.root, f"v{old_v}_blocks")):
+                if os.path.isdir(old_dir):
+                    shutil.rmtree(old_dir)
+
+    def versions(self) -> list[int]:
+        """Snapshot versions currently retained on storage."""
+        out = []
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and os.path.isdir(os.path.join(self.root, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot version (edge v4
+        ``versioning`` buckets keep prior object versions until the
+        lifecycle job prunes them — ``edge/edge_helper.go:97-105``)."""
+        if not os.path.isdir(self._data_dir(version)):
+            raise ValueError(
+                f"version {version} is not retained (have {self.versions()})"
+            )
+        return self.spark.read.schema(self._storage_schema()).parquet(
+            self._data_dir(version)
+        )
+
+    def lifecycle_cleanup(self) -> None:
+        """Prune every non-latest snapshot version — the Spark analogue
+        of the reference's BucketLifeCycleJob → VersionCleanUp, which
+        removes all non-latest object versions from a versioned bucket
+        (``edge/edge_helper.go:97-105``,
+        ``pkg/minio/bucket_handler.go:106-119``)."""
+        cur = self.manifest.version
+        for v in self.versions():
+            if v != cur:
+                for d in (self._data_dir(v), os.path.join(self.root, f"v{v}_blocks")):
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
 
     def _write_blocks(self, version: int) -> None:
         """Pack each vector column of snapshot ``version`` into a
@@ -530,6 +569,7 @@ class Catalog:
         fields: list | None = None,
         layout: str = "rows",
         block_dtype: str = "float32",
+        versioning: bool = False,
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
@@ -543,7 +583,7 @@ class Catalog:
         design = IndexDesign(fields or [])
         manifest = Manifest(
             name, dim, distance, quantization, design, version=0,
-            layout=layout, block_dtype=block_dtype,
+            layout=layout, block_dtype=block_dtype, versioning=versioning,
         )
         os.makedirs(root)
         coll = Collection.__new__(Collection)

@@ -325,3 +325,32 @@ def test_blocks_layout_search_parity(catalog):
     assert fresh.manifest.layout == "blocks"
     got3 = [(r["id"], round(r["dist"], 6)) for r in fresh.search(q, limit=15).collect()]
     assert got3 == expected2
+
+
+def test_versioning_retains_and_cleans_snapshots(catalog):
+    """versioning=True: flush retains prior snapshot versions for
+    time-travel reads until lifecycle_cleanup prunes non-latest
+    (edge v4 versioned buckets + BucketLifeCycleJob parity)."""
+    coll = catalog.create_collection(
+        "vers", dim=4, distance="euclidean", fields=FIELDS, versioning=True
+    )
+    coll.upsert(_rows(10, dim=4, seed=1))
+    coll.flush()  # v1
+    coll.delete_where({"index_name": "type", "op": "gte", "value": 0})  # wipe
+    coll.upsert(_rows(3, dim=4, seed=2))
+    coll.flush()  # v2
+    assert coll.versions() == [0, 1, 2]
+    assert coll.read_version(1).count() == 10
+    assert coll.df().count() == 3
+    coll.lifecycle_cleanup()
+    assert coll.versions() == [2]
+    import pytest
+
+    with pytest.raises(ValueError, match="not retained"):
+        coll.read_version(1)
+
+    # default (unversioned) collections still delete eagerly at flush
+    coll2 = catalog.create_collection("unvers", dim=4, distance="euclidean", fields=FIELDS)
+    coll2.upsert(_rows(5, dim=4, seed=3))
+    coll2.flush()
+    assert coll2.versions() == [1]
