@@ -126,6 +126,36 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         runs_bb.append(time.perf_counter() - t0)
     shutil.rmtree(bidx_dir, ignore_errors=True)
     sec_block_batch64 = round(sum(runs_bb) / len(runs_bb) / 64, 4)
+    # equal-dim datum vs BASELINE.md (reference FLAT scan is 1M×128):
+    # the same block-index serving path over a 128-dim corpus
+    # (embedding ⊕ embedding — scan cost depends on bytes, not values)
+    corpus128 = corpus.select(
+        "vec_id", F.concat("embedding", "embedding").alias("embedding")
+    )
+    q128 = q + q
+    bidx128 = tempfile.mkdtemp(prefix="coltt_block_idx128_")
+    write_block_index(
+        pack_blocks(corpus128, id_col="vec_id", vec_col="embedding", dim=128),
+        bidx128,
+    )
+    bi128_kw = dict(dim=128, k=10, max_tasks=8)
+    for _ in range(3):
+        block_index_topk(spark, bidx128, q128, **bi128_kw).collect()
+    runs_128 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block_index_topk(spark, bidx128, q128, **bi128_kw).collect()
+        runs_128.append(time.perf_counter() - t0)
+    qs128 = {i: v + v for i, v in qs.items()}
+    block_index_topk_batch(spark, bidx128, qs128, **bi128_kw).collect()  # warm
+    runs_128b = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block_index_topk_batch(spark, bidx128, qs128, **bi128_kw).collect()
+        runs_128b.append(time.perf_counter() - t0)
+    shutil.rmtree(bidx128, ignore_errors=True)
+    sec_block_idx_128 = round(sum(runs_128) / len(runs_128), 4)
+    sec_block_batch64_128 = round(sum(runs_128b) / len(runs_128b) / 64, 4)
     # product API path: a layout="blocks" collection — upsert_df
     # ingest, flush packs the written block index, Collection.search
     # serves from it (block scan + broadcast metadata join)
@@ -201,6 +231,8 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_block": sec_block,
         "sec_per_query_block_index": sec_block_idx,
         "sec_per_query_block_index_batch64": sec_block_batch64,
+        "sec_per_query_block_index_dim128": sec_block_idx_128,
+        "sec_per_query_block_index_batch64_dim128": sec_block_batch64_128,
         "sec_per_query_collection": sec_collection,
         "collection_build_sec": coll_build_sec,
         "block_index_build_sec": block_build_sec,
