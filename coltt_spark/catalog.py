@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 import numpy as np
 
-from coltt_spark.filters import compile_filter
+from coltt_spark.filters import compile_filter, validate_delete_key
 from coltt_spark.functions.quantization import dequantize, quantize, quantize_np
 from coltt_spark.functions.vector import score as score_expr, vector_distance
 from coltt_spark.operators.search import _paginate_topk, multi_vector_search
@@ -294,7 +294,11 @@ class Collection:
         return n
 
     def delete_where(self, filter_ast: dict[str, Any]) -> None:
-        """Equality/range-filter delete (edge Index(DELETE))."""
+        """Equality/range-filter delete (edge Index(DELETE)). The
+        delete key is strictly validated first — unknown index or
+        type-mismatched literal raises (dropKeyAnalyzer intended
+        semantics), unlike query filters which coerce."""
+        validate_delete_key(self._view, filter_ast)
         pred = compile_filter(self._view, filter_ast)
         self._view = self._view.filter(~pred)
         self._dirty = True

@@ -110,3 +110,45 @@ def compile_filter(df: DataFrame, ast: dict[str, Any]) -> Column:
         nxt = compile_filter(df, child)
         out = (out & nxt) if op == "and" else (out | nxt)
     return out
+
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def validate_delete_key(df: DataFrame, ast: dict[str, Any]) -> None:
+    """Strict delete-key validation — the INTENDED semantics of edge's
+    ``dropKeyAnalyzer`` (``edge/edge_analyzer.go:111-149``): every
+    referenced index must exist, and the literal's type must match the
+    declared column type — string↔str, int↔int (integral floats
+    allowed, matching the reference's float64-with-integer-value
+    case), float↔float, bool↔bool. Unlike query filters, the DELETE
+    path performs NO cross-type coercion: a type mismatch is an error,
+    not an empty match. (The reference function switches on the value
+    where it means to switch on the declared type — a quirk we do not
+    replicate.)"""
+    if "index_name" in ast:
+        name = ast["index_name"]
+        field = dict(zip(df.schema.names, df.schema.fields))
+        if name not in field:
+            raise KeyError(f"delete key references unknown index {name!r}")
+        value, dt = ast.get("value"), field[name].dataType
+        ok = True
+        if isinstance(dt, T.StringType):
+            ok = isinstance(value, str)
+        elif isinstance(dt, _INT_TYPES):
+            ok = (isinstance(value, int) and not isinstance(value, bool)) or (
+                isinstance(value, float) and value == int(value)
+            )
+        elif isinstance(dt, _FLOAT_TYPES):
+            ok = isinstance(value, float)
+        elif isinstance(dt, T.BooleanType):
+            ok = isinstance(value, bool)
+        if not ok:
+            raise TypeError(
+                f"delete key [{name}] type error: {type(value).__name__} "
+                f"does not match declared type {dt.simpleString()}"
+            )
+        return
+    for child in ast.get("expressions", []):
+        validate_delete_key(df, child)

@@ -298,8 +298,10 @@ def simhash_pairs(
         a.join(b, on=["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
-        .distinct()
+        # filter BEFORE the dedup shuffle: most candidate pairs fail
+        # the hamming bound, so distinct() only sees survivors
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -354,3 +354,27 @@ def test_versioning_retains_and_cleans_snapshots(catalog):
     coll2.upsert(_rows(5, dim=4, seed=3))
     coll2.flush()
     assert coll2.versions() == [1]
+
+
+def test_delete_key_strict_validation(catalog):
+    """delete_where validates the delete key strictly (dropKeyAnalyzer
+    intended semantics): unknown index and type-mismatched literals
+    raise; query-path coercion does NOT apply to deletes."""
+    import pytest
+
+    coll = catalog.create_collection("delval", dim=4, distance="euclidean", fields=FIELDS)
+    coll.upsert(_rows(5, dim=4, seed=9))
+    with pytest.raises(KeyError, match="unknown index"):
+        coll.delete_where({"index_name": "nope", "op": "eq", "value": 1})
+    # FIELDS declares integer "type": a string literal is rejected on
+    # the delete path (a query filter would coerce "2" -> 2)
+    with pytest.raises(TypeError, match="type error"):
+        coll.delete_where({"index_name": "type", "op": "eq", "value": "2"})
+    with pytest.raises(TypeError, match="type error"):
+        coll.delete_where({"index_name": "type", "op": "eq", "value": True})
+    # integral float matches an int index (reference float64 case)
+    coll.delete_where({"index_name": "type", "op": "eq", "value": 2.0})
+    assert all(r["type"] != 2 for r in coll.df().collect())
+    # string PK column requires a string literal
+    with pytest.raises(TypeError, match="type error"):
+        coll.delete_where({"index_name": "id", "op": "eq", "value": 3})
