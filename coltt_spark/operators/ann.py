@@ -297,6 +297,10 @@ def seed_centroids(
     return (
         corpus.select(id_col, vec_col)
         .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        # a bare limit() keeps whichever partitions answer first; the
+        # hash sort makes the pick deterministic and costs only a sort
+        # of the ~2·n_centroids survivors
+        .orderBy(F.xxhash64(F.col(id_col)))
         .limit(n_centroids)
     )
 

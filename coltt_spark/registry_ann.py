@@ -56,9 +56,76 @@ SELECT query_id, vec_id, round(dist, 4) AS dist FROM r WHERE rn <= 5
 """
 
 
+def _lsh_oracle(*, dim: int = 64, nbits: int = 6, n_tables: int = 6,
+                seed: int = 42, k: int = 5) -> str:
+    """Value-check the ENTIRE LSH pipeline in SQL: the hyperplanes are
+    seed-deterministic, so they inline as literals (n_tables·nbits
+    rows of DOUBLE[dim]) and DuckDB reproduces signatures (strict
+    ``dot > 0`` sign bits, little-endian packed per table), the ±1-bit
+    multiprobe buckets, the (table, bucket) candidate equi-join, and
+    the exact cosine rerank — the same treatment the MinHash oracle
+    gets. Floating-point safe because sign bits only flip when a dot
+    product sits within summation-order error of zero (never the case
+    on the fixed test embeddings, |dot| ≫ 1e-12)."""
+    from coltt_spark.operators.ann import lsh_planes
+
+    rows = []
+    for t in range(n_tables):
+        pl = lsh_planes(dim, nbits, seed + t)
+        for j in range(nbits):
+            vec = ", ".join(repr(float(x)) for x in pl[j])
+            rows.append(f"({t}, {j}, [{vec}]::DOUBLE[])")
+    planes = ",\n    ".join(rows)
+    probes_j = ", ".join(str(j) for j in range(nbits))
+    return f"""
+WITH planes(tbl, bit, pv) AS (VALUES
+    {planes}
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+csig AS (
+  SELECT e.vec_id, p.tbl,
+         SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+             THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl
+),
+qsig AS (
+  SELECT q.query_id, p.tbl,
+         SUM(CASE WHEN list_dot_product(q.qv, p.pv) > 0
+             THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+  FROM qs q CROSS JOIN planes p GROUP BY q.query_id, p.tbl
+),
+probes AS (
+  SELECT query_id, tbl, bucket FROM qsig
+  UNION ALL
+  SELECT query_id, tbl, xor(bucket, (1::BIGINT << j.j)) AS bucket
+  FROM qsig CROSS JOIN (SELECT unnest([{probes_j}]) AS j) j
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM csig c JOIN probes p ON c.tbl = p.tbl AND c.bucket = p.bucket
+),
+d AS (
+  SELECT cand.query_id, cand.vec_id,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN qs q ON q.query_id = cand.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, round(dist, 4) AS dist FROM r WHERE rn <= {k}
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate KNN — rows-only check (the hyperplane
-    constants are impractical as inline SQL); recall vs exact is
+    """LSH-bucketed approximate KNN, value-checked end-to-end: the
+    oracle (:func:`_lsh_oracle`) inlines the seed-deterministic
+    hyperplanes as SQL literals and replays signatures → multiprobe →
+    candidate join → exact rerank; recall vs exact is additionally
     asserted in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = lsh_topk(
@@ -99,4 +166,5 @@ ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ANN_ORACLES: dict[str, str] = {
     "ann_topk_batch": _ORACLE_ANN_EXACT,
     "ann_topk_blas": _ORACLE_ANN_EXACT,
+    "ann_lsh": _lsh_oracle(),
 }

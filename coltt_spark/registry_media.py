@@ -33,9 +33,12 @@ FROM documents
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extraction plumbing (mapInPandas) — rows-only
-    check; determinism and batch shape are covered by
-    tests/test_multimodal.py."""
+    """Decode + feature-extraction through the real mapInPandas
+    plumbing, VALUE-checked: the deterministic fake decoder (md5
+    payload bytes tiled /255 as float32) is reproducible in SQL, so
+    the oracle replays byte extraction, the float32 rounding
+    (``::REAL``), and the same left-fold double sum — the Arrow batch
+    path's output is hash-compared, not just row-counted."""
     media = media_table(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media, dim=16)
     return feats.select(
@@ -44,6 +47,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").cast("long").alias("n_features"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
     )
+
+
+_ORACLE_MEDIA_FEATURES = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       16::BIGINT AS n_features,
+       round(list_sum(list_transform(range(0, 16),
+             i -> (CAST(('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT / 255.0 AS REAL))::DOUBLE
+       )), 4) AS feat_sum
+FROM documents
+"""
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,5 +81,6 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 MEDIA_ORACLES: dict[str, str] = {
     "media_metadata": _ORACLE_MEDIA_METADATA,
+    "media_features": _ORACLE_MEDIA_FEATURES,
     "media_frames": _ORACLE_MEDIA_FRAMES,
 }
