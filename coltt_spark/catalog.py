@@ -357,9 +357,7 @@ class Collection:
             df = df.filter(compile_filter(df, filter_ast))
         if m.distance == "cosine":
             # stored vectors are unit; |1 - dot| on a normalized query
-            q = np.asarray(qv, dtype=np.float64)
-            n = float(np.linalg.norm(q))
-            qv = [float(x) for x in q / n] if n else qv
+            qv = self._normalize_query(qv)
             dist = F.abs(
                 F.lit(1.0)
                 - F.aggregate(
@@ -376,7 +374,20 @@ class Collection:
             dist = vector_distance(m.distance, F.col(vc), qv)
         scored = df.withColumn("dist", dist)
         top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
-        return top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+        out = top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+        if m.layout == "blocks":
+            # keep the schema identical to the fast path regardless of
+            # which path served the call (dirty state / filter present):
+            # blocks results never carry the stored vector columns
+            out = out.drop(*vcols)
+        return out
+
+    @staticmethod
+    def _normalize_query(qv: list[float]) -> list[float]:
+        """Unit-normalize a cosine query in float64 (zero-norm guard)."""
+        q = np.asarray(qv, dtype=np.float64)
+        n = float(np.linalg.norm(q))
+        return [float(x) for x in q / n] if n else qv
 
     def _search_blocks(
         self, qv: list[float], vc: str, *, limit: int, offset: int
@@ -394,9 +405,7 @@ class Collection:
 
         m = self.manifest
         if m.distance == "cosine":
-            q = np.asarray(qv, dtype=np.float64)
-            n = float(np.linalg.norm(q))
-            qv = [float(x) for x in q / n] if n else qv
+            qv = self._normalize_query(qv)
         payload_schema = T.StructType(
             [
                 f for f in self._storage_schema()

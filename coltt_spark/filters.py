@@ -141,7 +141,11 @@ def validate_delete_key(df: DataFrame, ast: dict[str, Any]) -> None:
                 isinstance(value, float) and value == int(value)
             )
         elif isinstance(dt, _FLOAT_TYPES):
-            ok = isinstance(value, float)
+            # ints are exact float values — mirror the integral-float
+            # allowance on int columns, so delete({volume: 1}) works
+            ok = isinstance(value, float) or (
+                isinstance(value, int) and not isinstance(value, bool)
+            )
         elif isinstance(dt, T.BooleanType):
             ok = isinstance(value, bool)
         if not ok:

@@ -311,7 +311,7 @@ def ivf_build(
     id_col: str,
     vec_col: str,
     n_centroids: int = 16,
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 1,
 ) -> tuple[DataFrame, np.ndarray]:
     """Build the IVF index: pick (and optionally Lloyd-refine)
     centroids, then assign every row to its max-cosine centroid — one

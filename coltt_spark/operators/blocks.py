@@ -174,7 +174,18 @@ def _scan_block(
         else:
             raise ValueError(f"unknown distance {distance!r}")
     kk = min(k, len(ids))
-    sel = np.argpartition(D, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+    if kk < len(ids):
+        # argpartition alone breaks distance ties arbitrarily; rows
+        # tying exactly at the k-th distance must resolve by smallest
+        # id (the row path's orderBy(dist, pk) contract), so gather
+        # ALL rows at <= the k-th distance and lexsort the candidates
+        part = np.argpartition(D, kk - 1)
+        kth = D[part[kk - 1]]
+        cand = np.flatnonzero(D <= kth)
+        order = np.lexsort((ids[cand], D[cand]))
+        sel = cand[order[:kk]]
+    else:
+        sel = np.arange(len(ids))
     out = pd.DataFrame({id_alias: ids[sel], "dist": D[sel].astype(np.float64)})
     if payload is not None:
         pw = payload.take(sel).to_pandas()
@@ -301,9 +312,13 @@ def _spool_file(path: str, dim: int, np_dtype):
 
     import pyarrow as pa
 
+    import shutil
+
     st = os.stat(path)
+    # v2: the version tag invalidates pre-payload-marker entries left
+    # by older code in a persistent spool dir
     key = hashlib.sha1(
-        f"{path}:{st.st_mtime_ns}:{st.st_size}:{np.dtype(np_dtype).name}".encode()
+        f"v2:{path}:{st.st_mtime_ns}:{st.st_size}:{np.dtype(np_dtype).name}".encode()
     ).hexdigest()
     entry = os.path.join(_SPOOL_DIR, key)
     for _attempt in range(2):
@@ -318,21 +333,24 @@ def _spool_file(path: str, dim: int, np_dtype):
                 with pa.OSFile(os.path.join(tmp, "payload.arrow"), "wb") as f:
                     with pa.ipc.new_file(f, payload.schema) as w:
                         w.write_table(payload)
+            else:
+                # distinguishes "index has no payload" from "payload
+                # sidecar lost" when reading the entry back
+                open(os.path.join(tmp, "no_payload"), "wb").close()
             try:
                 os.rename(tmp, entry)  # atomic publish; loser of the race cleans up
             except OSError:
-                import shutil
-
                 shutil.rmtree(tmp, ignore_errors=True)
             _prune_spool()
         try:
             os.utime(entry)  # LRU recency marker (dir mtime)
             payload_path = os.path.join(entry, "payload.arrow")
-            payload = (
-                pa.ipc.open_file(pa.memory_map(payload_path)).read_all()
-                if os.path.exists(payload_path)
-                else None
-            )
+            if os.path.exists(payload_path):
+                payload = pa.ipc.open_file(pa.memory_map(payload_path)).read_all()
+            elif os.path.exists(os.path.join(entry, "no_payload")):
+                payload = None
+            else:
+                raise FileNotFoundError(payload_path)  # incomplete entry
             return (
                 np.load(os.path.join(entry, "ids.npy"), mmap_mode="r"),
                 np.load(os.path.join(entry, "vecs.npy"), mmap_mode="r"),
@@ -340,7 +358,10 @@ def _spool_file(path: str, dim: int, np_dtype):
                 payload,
             )
         except (FileNotFoundError, OSError):
-            continue  # pruned under us — re-spool once
+            # pruned under us or incomplete — drop the husk (open mmaps
+            # in other processes survive the unlink) and re-spool once
+            shutil.rmtree(entry, ignore_errors=True)
+            continue
     return _decode_index_file(path, dim, np_dtype)  # last resort: no spool
 
 
@@ -431,6 +452,12 @@ def block_index_scan(
         T.StructField("dist", T.DoubleType(), False),
     ]
     if payload_schema is not None:
+        clash = {id_alias, "dist"} & {f.name for f in payload_schema}
+        if clash:
+            raise ValueError(
+                f"payload columns {sorted(clash)} collide with the scan's "
+                f"output columns; rename them or pass a different id_alias"
+            )
         out_fields += list(payload_schema)
     out_schema = T.StructType(out_fields)
     want_payload = payload_schema is not None
@@ -537,12 +564,20 @@ def block_index_topk_batch(
                         else:
                             raise ValueError(f"unknown distance {distance!r}")
                     kk = min(k, n)
-                    sel = (
-                        np.argpartition(D, kk - 1, axis=0)[:kk]
-                        if kk < n
-                        else np.tile(np.arange(n)[:, None], (1, len(qids)))
-                    )  # (kk, B)
                     B = len(qids)
+                    if kk < n:
+                        # same id tie-break at the k-th distance as the
+                        # single-query scan; B is small so the per-query
+                        # loop costs B candidate lexsorts, not a shuffle
+                        part = np.argpartition(D, kk - 1, axis=0)
+                        sel = np.empty((kk, B), dtype=np.int64)
+                        for j in range(B):
+                            kth = D[part[kk - 1, j], j]
+                            cand = np.flatnonzero(D[:, j] <= kth)
+                            order = np.lexsort((ids[cand], D[cand, j]))
+                            sel[:, j] = cand[order[:kk]]
+                    else:
+                        sel = np.tile(np.arange(n)[:, None], (1, B))  # (kk, B)
                     yield pd.DataFrame(
                         {
                             "query_id": np.repeat(qid_arr[None, :], kk, axis=0).ravel(),

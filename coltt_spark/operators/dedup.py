@@ -248,9 +248,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
             lists = [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
             lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
             flat = np.concatenate(lists)
-            bits_m = (flat[:, None] >> shifts) & 1  # (tokens, bits)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            ones = np.add.reduceat(bits_m, starts, axis=0)  # (docs, bits)
+            # per-bit segment sums: peak extra memory is one (tokens,)
+            # temp per iteration, not a (tokens, bits) matrix — a 10M-
+            # token Arrow batch would otherwise stage a ~4.8 GB int64
+            # matrix before reduceat
+            ones = np.empty((len(lists), bits), dtype=np.int64)
+            for j in range(bits):
+                ones[:, j] = np.add.reduceat((flat >> j) & 1, starts)
             s = 2 * ones - lens[:, None]  # Σ ±1 = ones - (count - ones)
             sim = ((s > 0).astype(np.int64) << shifts).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64), "simhash": sim})

@@ -8,6 +8,8 @@ caught before the driver's per-round CORRECTNESS check.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 from typing import Any
@@ -36,6 +38,8 @@ def _canon(value: Any) -> Any:
     equal Spark's int64 (99111) — Python's `99111 == 99111.0` hid
     exactly that mismatch in round 1 (`events_json`).
     """
+    if value is None:
+        return ("n",)
     if isinstance(value, (bool, np.bool_)):
         return ("b", bool(value))
     if isinstance(value, (float, np.floating)):
@@ -45,6 +49,15 @@ def _canon(value: Any) -> Any:
         return ("f", round(float(value), 6) + 0.0)
     if isinstance(value, (int, np.integer)):
         return ("i", int(value))
+    # tag temporals/decimals so repr-sorted rows align between Spark's
+    # datetime.datetime and pandas' Timestamp (whose reprs sort
+    # differently) — both canonicalize to the same ISO string
+    if isinstance(value, datetime.datetime):
+        return ("t", value.isoformat())
+    if isinstance(value, datetime.date):
+        return ("d", value.isoformat())
+    if isinstance(value, decimal.Decimal):
+        return ("D", str(value))
     if isinstance(value, (list, tuple, np.ndarray)):
         return tuple(_canon(v) for v in value)
     return value

@@ -80,7 +80,9 @@ WITH lagged AS (
   FROM events
 ),
 flagged AS (
-  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+  -- >= not >: Spark's session_window half-open [start, start+gap)
+  -- does NOT merge an event landing exactly at the gap boundary
+  SELECT *, CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ),
 sess AS (

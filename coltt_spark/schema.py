@@ -67,6 +67,12 @@ class IndexDesign:
         names = [f.name for f in self.fields]
         if len(set(names)) != len(names):
             raise ValueError("duplicate field names in index design")
+        reserved = {"dist", "score", "_commit_id"} & set(names)
+        if reserved:
+            # search() synthesizes dist/score and the store owns
+            # _commit_id; a metadata field by the same name would be
+            # silently shadowed in results
+            raise ValueError(f"reserved field names: {sorted(reserved)}")
 
     @property
     def primary_key(self) -> str:
