@@ -26,6 +26,7 @@ deliberately identical.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import shutil
@@ -384,10 +385,18 @@ class Collection:
 
     @staticmethod
     def _normalize_query(qv: list[float]) -> list[float]:
-        """Unit-normalize a cosine query in float64 (zero-norm guard)."""
-        q = np.asarray(qv, dtype=np.float64)
-        n = float(np.linalg.norm(q))
-        return [float(x) for x in q / n] if n else qv
+        """Unit-normalize a cosine query in float64 (zero-norm guard).
+
+        The norm is a SEQUENTIAL left-to-right sum (not numpy pairwise)
+        so a SQL oracle's ``sqrt(list_dot_product(q, q))`` — also a
+        sequential fold — reproduces it bit-for-bit; that exactness is
+        what lets the quantized-KNN oracles replay f16/bf16/f8 rounding
+        on identical inputs."""
+        acc = 0.0
+        for x in qv:
+            acc += float(x) * float(x)
+        n = math.sqrt(acc)
+        return [float(x) / n for x in qv] if n else [float(x) for x in qv]
 
     def _search_blocks(
         self, qv: list[float], vc: str, *, limit: int, offset: int

@@ -132,7 +132,12 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     gap exceeds ``gap_minutes``. lag → flag → running sum, all inside
     one per-user window partition (single shuffle on user_id)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Parquet tz-naive timestamps read as TIMESTAMP_NTZ (Spark 4), which
+    # cannot cast straight to BIGINT; bounce through TIMESTAMP_LTZ (a
+    # no-op if the column is already LTZ). Gap arithmetic is invariant
+    # to the fixed session-zone offset the bounce applies.
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess = events.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))

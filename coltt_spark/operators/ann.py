@@ -293,14 +293,18 @@ def seed_centroids(
     task at scale — tests/test_plans.py pins the Window-free plan),
     then limit picks the seeds; Lloyd refinement corrects any
     seed-quality loss vs strided selection."""
+    from coltt_spark.functions.text import hash60
+
     step = max(1, n // (2 * n_centroids))
+    h = hash60(F.col(id_col).cast("string"))
     return (
         corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .filter(F.pmod(h, F.lit(step)) == 0)
         # a bare limit() keeps whichever partitions answer first; the
         # hash sort makes the pick deterministic and costs only a sort
-        # of the ~2·n_centroids survivors
-        .orderBy(F.xxhash64(F.col(id_col)))
+        # of the ~2·n_centroids survivors; md5-derived (hash60) so a
+        # SQL oracle reproduces the exact same seed pick
+        .orderBy(h)
         .limit(n_centroids)
     )
 

@@ -503,9 +503,11 @@ def _quantized_collection(spark: SparkSession, sf_dir: str, kind: str):
 def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """Cosine KNN over a ``kind``-quantized collection (edge treats
     f16/bf16/f8 stores as peers of the float store —
-    ``edge/vectorstore.go:69-80``). No DuckDB oracle — these binary
-    formats aren't expressible in SQL; precision/recall floors are
-    covered per-kind by tests/test_quantization."""
+    ``edge/vectorstore.go:69-80``). Value-checked end-to-end: the
+    oracle (:func:`_quantized_oracle`) replays normalize-at-write, the
+    float32 cast, the exact f16/bf16/f8 rounding, and the
+    decompress-then-dot search in SQL; precision/recall floors are
+    additionally covered per-kind by tests/test_quantization."""
     coll = _quantized_collection(spark, sf_dir, kind)
     res = coll.search(_query_vec(spark, sf_dir), limit=10)
     return res.select(
@@ -514,6 +516,82 @@ def _quantized_knn(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         F.round("dist", 4).alias("dist"),
         F.round("score", 4).alias("score"),
     )
+
+
+def _sql_dequantized(kind: str, col: str) -> str:
+    """SQL expression reproducing quantize→dequantize of a float32
+    list EXACTLY (bit-for-bit vs functions/quantization.py, verified
+    over 24k values incl. subnormals/ties/clamps).
+
+    Every step is exact double arithmetic: a float32 value is exactly
+    representable as DOUBLE, power-of-two scaling is exact, and the
+    scaled significand (≤ 2^11) makes ``floor``/comparisons/products
+    exact — so round-to-nearest-even (f16/bf16), E4M3FN's
+    round-half-up mantissa with RNE subnormals, and the 448 clamp all
+    replay without rounding drift. ``floor(log2 |x|)`` gets a ±1
+    correction step because libm's log2 is only faithfully rounded.
+    """
+    mant = {"f16": 10, "bf16": 7, "f8": 3}[kind]
+    lo = {"f16": -14, "bf16": -126, "f8": -6}[kind]
+    t0 = (
+        f"list_transform({col}, x -> struct_pack(x := x, "
+        f"e := CASE WHEN x = 0 THEN 0.0 ELSE floor(log2(abs(x))) END))"
+    )
+    t1 = (
+        f"list_transform({t0}, p -> struct_pack(x := p.x, ee := greatest("
+        f"CASE WHEN abs(p.x) < power(2.0, p.e) THEN p.e - 1 "
+        f"WHEN abs(p.x) >= power(2.0, p.e + 1) THEN p.e + 1 ELSE p.e END, {lo}.0)))"
+    )
+    t2 = (
+        f"list_transform({t1}, p -> struct_pack(x := p.x, ee := p.ee, "
+        f"y := abs(p.x) * power(2.0, {mant} - p.ee)))"
+    )
+    fy, r = "floor(p.y)", "(p.y - floor(p.y))"
+    if kind in ("f16", "bf16"):
+        inc = f"(CASE WHEN {r} > 0.5 THEN 1 WHEN {r} < 0.5 THEN 0 ELSE CAST({fy} AS BIGINT) % 2 END)"
+        val = f"(sign(p.x) * ({fy} + {inc}) * power(2.0, p.ee - {mant}))"
+    else:
+        inc_up = f"(CASE WHEN {r} >= 0.5 THEN 1 ELSE 0 END)"
+        inc_rne = f"(CASE WHEN {r} > 0.5 THEN 1 WHEN {r} < 0.5 THEN 0 ELSE CAST({fy} AS BIGINT) % 2 END)"
+        m = (
+            f"(CASE WHEN p.ee = -6 AND abs(p.x) < power(2.0, -6) "
+            f"THEN least({fy} + {inc_rne}, 7) ELSE {fy} + {inc_up} END)"
+        )
+        val = f"(sign(p.x) * least({m} * power(2.0, p.ee - 3), 448.0))"
+    return f"list_transform({t2}, p -> CASE WHEN p.x = 0 THEN 0.0 ELSE {val} END)"
+
+
+def _quantized_oracle(kind: str) -> str:
+    """Replay the whole quantized-collection search in SQL: cosine
+    normalize-at-write in double (sequential fold, bit-identical to
+    Spark's ``F.aggregate``), cast to float32 (``::REAL``, RNE — same
+    as Spark's ``cast("float")``), quantize→dequantize via
+    :func:`_sql_dequantized`, then ``|1 − dot(stored, normalized
+    query)|`` like the reference's decompress-then-float32-similarity
+    contract (``edge/f16_quantization.go:35-45``). Tie-break is the
+    string primary key, matching ``_paginate_topk``."""
+    nrm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    stored32 = (
+        f"list_transform(embedding::DOUBLE[], x -> "
+        f"CAST(CASE WHEN {nrm} > 0 THEN x / {nrm} ELSE x END AS REAL)::DOUBLE)"
+    )
+    qnrm = "sqrt(list_dot_product(qv, qv))"
+    return f"""
+WITH q0 AS ({_QV_SQL}),
+qn AS (SELECT list_transform(qv, x -> x / {qnrm}) AS qv FROM q0),
+stored AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS BIGINT) AS label,
+         {_sql_dequantized(kind, stored32)} AS v
+  FROM embeddings
+),
+d AS (
+  SELECT id, label, abs(1.0 - list_dot_product(s.v, qn.qv)) AS dist
+  FROM stored s, qn
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
+"""
 
 
 def q_knn_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +706,9 @@ ORACLES: dict[str, str] = {
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
+    "knn_f16": _quantized_oracle("f16"),
+    "knn_bf16": _quantized_oracle("bf16"),
+    "knn_f8": _quantized_oracle("f8"),
     "knn_two_phase": _ORACLE_KNN_COSINE,
     "knn_wide": _ORACLE_KNN_COSINE,
     "knn_block": _ORACLE_KNN_COSINE,

@@ -17,34 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events parquet stores ts as TIMESTAMP(NANOS) → read as int64 and
-#: convert (same normalization as sources/tables.py)
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source
     needs a directory to watch (in production: the landing dir new
     files arrive in); for the single-file testdata we stage a symlink
-    directory."""
+    directory.
+
+    The ``ts`` physical type depends on the writer: TIMESTAMP(NANOS)
+    reads as int64 (``nanosAsLong``) and needs a micros conversion,
+    TIMESTAMP(MICROS) reads as a timestamp directly — probe the footer
+    with a batch read and mirror whatever sources/tables.py would do."""
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="coltt_stream_")
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    sdf = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stage)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        os.symlink(path, link)
+    sdf = spark.readStream.schema(batch_schema).parquet(stage)
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks/windows require TIMESTAMP_LTZ; NTZ → LTZ is a no-op
+    # rendering-wise because the session zone is pinned to UTC
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def hourly_counts_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
