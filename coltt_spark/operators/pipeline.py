@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: chunking, decontamination,
+stratified sampling, shard export, sequence packing.
+
+These are the dataset-preparation steps between a raw document corpus
+and a tokenizer-ready training set — the operations the reference's
+vector-database scope stops short of, added here as first-class
+engine components (the 100 TB curation story alongside dedup/ANN).
+
+Every operator is a pure DataFrame plan over built-in functions (no
+Python in the row path) with an exact DuckDB-SQL oracle, and each
+docstring states its shuffle shape — the property that decides
+whether it survives a 1000-executor corpus:
+
+- :func:`chunk_documents` — narrow (zero shuffles)
+- :func:`decontaminate` — broadcast join (benchmark side is small)
+- :func:`stratified_sample` — one shuffle on the stratum key
+- :func:`shard_assign` — one agg shuffle emitting ``n_shards`` rows
+- :func:`pack_sequences` — per-shard windows, no global ordering
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.text import hash60, tokens, word_shingles
+from coltt_spark.sources.tables import ensure_parallelism
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into chunks
+    of ``size`` tokens starting every ``stride`` tokens (overlap =
+    ``size - stride``). The final window keeps its tail even when
+    shorter than ``size``; windows that would start past the last
+    token are not emitted, and an empty document yields no chunks.
+
+    Scale: a narrow transform — tokenize, build start offsets with
+    ``sequence``, ``posexplode`` — all inside whole-stage codegen with
+    ZERO shuffles; 100 TB of documents chunk at parquet-scan speed.
+    The ~``size/stride``× row blow-up happens after the scan, so
+    downstream stages (tokenizer cost estimation, embedding) see more
+    rows but no repartition is forced here.
+    """
+    df = ensure_parallelism(df, id_col)
+    toks = tokens(text_col)
+    starts = F.when(F.size(toks) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    )
+    e = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_hits`` distinct word ``ngram``-shingles with any
+    benchmark (eval-set) document — the standard n-gram-overlap
+    contamination check run before training on scraped corpora.
+
+    Returns (train id, n_hit_shingles, n_benchmark_docs) per
+    contaminated training document.
+
+    Scale: benchmark suites are tiny (thousands of documents) next to
+    a 100 TB corpus, so the benchmark shingle table is
+    ``broadcast()`` — the corpus side streams through the hash join
+    with NO shuffle and no skew exposure; dedup-style inverted-list
+    self-joins are unnecessary here because the join is bipartite and
+    one side is small. Distinct-shingle sets per doc are computed
+    with ``array_distinct`` before exploding, bounding the join input
+    to distinct (doc, shingle) pairs.
+    """
+    train = ensure_parallelism(train, id_col)
+
+    def shingle_hashes(df: DataFrame, out: str) -> DataFrame:
+        sh = F.array_distinct(word_shingles(text_col, ngram))
+        return df.select(
+            F.col(id_col).alias(out), F.explode(sh).alias("_s")
+        ).withColumn("_h", hash60(F.col("_s"))).drop("_s")
+
+    t = shingle_hashes(train, "train_id")
+    b = shingle_hashes(benchmark, "bench_id")
+    hits = (
+        t.join(F.broadcast(b), on="_h")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("_h").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_hit_shingles") >= min_hits)
+    )
+    return hits.select(
+        F.col("train_id").alias(id_col), "n_hit_shingles", "n_benchmark_docs"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    *,
+    quota: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: within each stratum, rank
+    rows by the md5-derived ``hash60(id)`` (a reproducible shuffle
+    order independent of storage layout) and keep the first ``quota``.
+    Re-running on the same corpus — or on the same corpus re-sorted —
+    selects the same rows, which is what makes the sample auditable.
+
+    Scale: ONE shuffle, on the stratum key. A stratum far larger than
+    the rest makes that window skewed; for quota ≪ stratum size the
+    fix is pre-filtering by hash threshold (keep ``hash60(id) <
+    quota·margin/|stratum|·2^60``) before ranking, which this
+    operator's fraction-threshold cousin (`hash60(id) % d == 0`)
+    does shuffle-free. The quota form is exact, which training-mix
+    specs usually require.
+    """
+    df = ensure_parallelism(df, id_col)
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col("_rk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    token_col: str | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Deterministic shard assignment for dataset export:
+    ``shard = hash60(id) % n_shards`` — the stable analogue of the
+    reference's FNV-mod-16 shard routing (``pkg/sharding/shard.go:
+    34-47``) — plus per-shard statistics (row count, token total)
+    validating balance before the actual ``write.partitionBy("shard")``.
+
+    Scale: the assignment column is a narrow expression; the stats are
+    ONE aggregation shuffle that emits ``n_shards`` rows. The export
+    itself reuses the column: ``df.withColumn("shard", …)
+    .repartition(n_shards, "shard").write.partitionBy("shard")`` gives
+    one output directory per shard with co-located writes.
+    """
+    df = ensure_parallelism(df, id_col)
+    if token_col is None:
+        if text_col is None:
+            raise ValueError("pass token_col or text_col")
+        tok_n = F.size(tokens(text_col))
+    else:
+        tok_n = F.col(token_col)
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    return (
+        df.select(shard.alias("shard"), tok_n.alias("_t"), F.col(id_col))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy in-order sequence packing: concatenate documents (in
+    deterministic hash-shard order) into training sequences of up to
+    ``budget`` tokens. A document whose tokens would overflow the
+    current sequence starts the next one (documents are never split;
+    a document longer than ``budget`` occupies a sequence alone).
+    Returns per-sequence stats (docs packed, token fill).
+
+    The greedy fold is a running-total window: ``seq_id = floor(
+    (cumsum − n_tokens) / budget)`` reproduces first-fit-in-order
+    packing *with bin overflow carried forward* — the streaming-
+    friendly convention (same as concat-then-split-at-budget
+    boundaries, documents kept whole by assignment to the bin their
+    first token falls in).
+
+    Scale: packing is per-shard — the window partitions by the
+    deterministic shard key, so there is no global sort and no
+    single-task bottleneck; each shard packs independently exactly
+    like per-worker packing in a streaming tokenizer. ONE shuffle on
+    the shard key (and the final tiny stats agg).
+    """
+    df = ensure_parallelism(df, id_col)
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    base = df.select(
+        shard.alias("shard"),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("_t"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        hash60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    packed = base.withColumn("_cum", F.sum("_t").over(w)).withColumn(
+        "seq_id", F.floor((F.col("_cum") - F.col("_t")) / budget)
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").cast("long").alias("seq_tokens"),
+        )
+    )

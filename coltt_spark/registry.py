@@ -735,6 +735,11 @@ ORACLES.update(MEDIA_ORACLES)
 QUERIES.update(SCHEMALESS_QUERIES)
 ORACLES.update(SCHEMALESS_ORACLES)
 
+from coltt_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)
+
 from coltt_spark.registry_streaming import (  # noqa: E402
     STREAMING_ORACLES,
     STREAMING_QUERIES,

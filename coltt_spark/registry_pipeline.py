@@ -1,0 +1,170 @@
+"""Training-data pipeline section of the query registry.
+
+Queries over the ``documents`` table exercising
+:mod:`coltt_spark.operators.pipeline` — chunking, benchmark
+decontamination, stratified sampling, shard export, sequence packing
+— each with an exact DuckDB oracle (same md5-derived ``hash60`` and
+tokenizer recipes the dedup/text oracles already share).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from coltt_spark.operators.pipeline import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    shard_assign,
+    stratified_sample,
+)
+from coltt_spark.sources.tables import load_table
+
+#: shared DuckDB fragments — the portable tokenizer and 60-bit hash
+_DD_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+_DD_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 64, stride 48) of every document
+    — the tokenize-and-window step in front of an embedding or
+    training pipeline. Zero-shuffle narrow plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=64, stride=48)
+
+
+_ORACLE_DOC_CHUNK = f"""
+WITH t AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+g AS (SELECT unnest(generate_series(0, (SELECT max(len(toks)) FROM t) // 48)) AS i),
+c AS (
+  SELECT doc_id, g.i AS chunk_id, toks[g.i * 48 + 1 : g.i * 48 + 64] AS chunk
+  FROM t CROSS JOIN g
+  WHERE g.i * 48 < len(toks)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every tenth document plays the held
+    -out eval set; training documents sharing any distinct 5-gram
+    shingle with it are flagged (the planted near-duplicate pairs in
+    the corpus are exactly what this catches). Benchmark side is
+    broadcast — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter((docs.doc_id % 10) == 0)
+    train = docs.filter((docs.doc_id % 10) != 0)
+    return decontaminate(train, bench, "doc_id", "text", ngram=5, min_hits=1)
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+      ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS s
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, {_DD_H60.format(x="s")} AS sh FROM shing),
+b AS (SELECT doc_id AS bench_id, sh FROM shd WHERE doc_id % 10 = 0),
+t AS (SELECT doc_id, sh FROM shd WHERE doc_id % 10 <> 0)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+FROM t JOIN b USING (sh)
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.sh) >= 1
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (25 docs per ``lang``)
+    ranked by the md5-derived hash — the reproducible training-mix
+    sampler. One shuffle, on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", quota=25)
+
+
+_ORACLE_SAMPLE_STRATIFIED = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY {_DD_H60.format(x="doc_id::VARCHAR")} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM r WHERE rk <= 25
+"""
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way shard assignment + per-shard balance stats
+    (the pre-flight check before ``write.partitionBy("shard")``) —
+    the stable analogue of the reference's FNV-mod-16 shard routing
+    (``pkg/sharding/shard.go:34-47``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assign(docs, "doc_id", n_shards=8, text_col="text")
+
+
+_ORACLE_EXPORT_SHARDS = f"""
+WITH t AS (
+  SELECT CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 8 AS INT) AS shard,
+         len({_DD_TOKS}) AS nt, doc_id
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM t GROUP BY shard
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing into 256-token training
+    sequences, independently per deterministic shard (no global sort
+    — the per-worker packing shape a streaming tokenizer uses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=256, n_shards=8)
+
+
+_ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 8 AS INT) AS shard,
+         {_DD_H60.format(x="doc_id::VARCHAR")} AS h,
+         doc_id, len({_DD_TOKS}) AS nt
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, nt,
+         sum(nt) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (SELECT shard, floor((cum - nt) / 256) AS seq_id, doc_id, nt FROM c)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS seq_tokens
+FROM p GROUP BY shard, seq_id
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_chunk": q_doc_chunk,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "export_shards": q_export_shards,
+    "pack_sequences": q_pack_sequences,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "doc_chunk": _ORACLE_DOC_CHUNK,
+    "decontaminate": _ORACLE_DECONTAMINATE,
+    "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
+    "export_shards": _ORACLE_EXPORT_SHARDS,
+    "pack_sequences": _ORACLE_PACK_SEQUENCES,
+}

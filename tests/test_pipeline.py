@@ -1,0 +1,92 @@
+"""Edge-case tests for the training-data pipeline operators (the
+oracle parity tests cover the happy path on the documents table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.pipeline import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    shard_assign,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_and_tail(spark):
+    # 10 tokens, size 4, stride 3 → starts 0,3,6,9; last chunk is the tail
+    text = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), "doc_id", "text", size=4, stride=3
+    ).orderBy("chunk_id").collect()
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[3]["chunk_text"] == "w9"
+
+
+def test_chunk_empty_and_short_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, ""), (2, "   "), (3, "only two")]),
+        "doc_id", "text", size=4, stride=3,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc  # empty docs emit nothing
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 2
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    train = _docs(spark, [(1, shared + " tail one"), (2, "nothing in common here at all")])
+    bench = _docs(spark, [(100, shared + " other ending")])
+    hit = decontaminate(train, bench, "doc_id", "text", ngram=5, min_hits=1).collect()
+    assert [r["doc_id"] for r in hit] == [1]
+    # raising min_hits above the overlap count empties the result
+    none = decontaminate(train, bench, "doc_id", "text", ngram=5, min_hits=99).collect()
+    assert none == []
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i, _ in rows], "doc_id long, lang string"
+    )
+    a = stratified_sample(df, "doc_id", "lang", quota=10).collect()
+    b = stratified_sample(df.orderBy(F.rand(7)), "doc_id", "lang", quota=10).collect()
+    # quota respected per stratum, and the pick ignores input order
+    counts = {}
+    for r in a:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"a": 10, "b": 10}
+    assert sorted((r["doc_id"], r["lang"]) for r in a) == sorted(
+        (r["doc_id"], r["lang"]) for r in b
+    )
+
+
+def test_shard_assign_covers_all_rows(spark):
+    df = _docs(spark, [(i, "tok " * 5) for i in range(64)])
+    out = shard_assign(df, "doc_id", n_shards=4, text_col="text").collect()
+    assert sum(r["n_docs"] for r in out) == 64
+    assert all(0 <= r["shard"] < 4 for r in out)
+    assert all(r["total_tokens"] == r["n_docs"] * 5 for r in out)
+
+
+def test_pack_sequences_budget_and_oversize(spark):
+    # one shard → deterministic fold; doc of 300 tokens > budget 256
+    docs = _docs(
+        spark,
+        [(1, "t " * 300), (2, "t " * 100), (3, "t " * 100), (4, "t " * 100)],
+    )
+    out = pack_sequences(docs, "doc_id", "text", budget=256, n_shards=1).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    assert sum(r["seq_tokens"] for r in out) == 600
+    # every sequence starts a doc below the budget boundary: no seq_id gaps
+    seqs = sorted(r["seq_id"] for r in out)
+    assert seqs == sorted(set(seqs))
