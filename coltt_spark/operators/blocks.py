@@ -251,6 +251,11 @@ _SPOOL_DIR = os.environ.get(
 )
 _SPOOL_MAX_BYTES = int(os.environ.get("COLTT_BLOCK_SPOOL_BYTES", 32 << 30))
 
+#: per-process cache of mmap-backed payload tables, keyed by
+#: (sidecar path, mtime) — bounded FIFO; entries are views over the
+#: OS page cache, so the Python-side footprint is metadata only
+_PAYLOAD_CACHE: dict[tuple[str, int], "object"] = {}
+
 
 def write_block_index(
     blocks: DataFrame, path: str, *, n_files: int | None = None
@@ -346,7 +351,19 @@ def _spool_file(path: str, dim: int, np_dtype):
             os.utime(entry)  # LRU recency marker (dir mtime)
             payload_path = os.path.join(entry, "payload.arrow")
             if os.path.exists(payload_path):
-                payload = pa.ipc.open_file(pa.memory_map(payload_path)).read_all()
+                # process-level cache of the (mmap-backed, zero-copy)
+                # payload table: reused Python workers answer every
+                # later query with a dict hit instead of re-walking the
+                # IPC file's record batches (~10 ms × files × tasks per
+                # query — the gap between Collection.search and the
+                # raw block scan)
+                ck = (payload_path, os.stat(payload_path).st_mtime_ns)
+                payload = _PAYLOAD_CACHE.get(ck)
+                if payload is None:
+                    payload = pa.ipc.open_file(pa.memory_map(payload_path)).read_all()
+                    if len(_PAYLOAD_CACHE) >= 64:
+                        _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
+                    _PAYLOAD_CACHE[ck] = payload
             elif os.path.exists(os.path.join(entry, "no_payload")):
                 payload = None
             else:

@@ -213,18 +213,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     sign of Σ_tokens (±1 depending on bit j of the token hash).
     Distinct tokens weighted once (set semantics).
 
-    Tokenizing and hashing stay JVM-side (codegen'd, oracle-identical
-    md5), and the shuffle is one JVM ``collect_list`` per document.
-    The bit counting then runs as ONE Arrow-batched numpy pass over
-    thousands of documents at a time (ragged lists flattened, per-doc
-    segment sums via ``np.add.reduceat``) — never a Python call per
-    document, which is the difference between 10⁴ and 10⁹ interpreter
-    invocations at corpus scale. A pure-SQL 60-column aggregate would
-    also work (one-time codegen); the Arrow path keeps exact integer
-    math with one code path for any ``bits``."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
+    Entirely JVM-side: tokenize + md5 hash (codegen'd,
+    oracle-identical), then ONE hash aggregation with ``bits``+1
+    per-bit popcount sums — map-side partial combine means the shuffle
+    carries ≤ 61 longs per document per task instead of every token
+    hash, and there are no Python workers to spin up (the previous
+    Arrow-batched variant paid worker startup plus a ``collect_list``
+    of all token hashes through the shuffle). The wide aggregate is a
+    one-time codegen compile that amortizes across any corpus size —
+    the shape a 10⁹-document scan wants."""
     df = ensure_parallelism(df, id_col)
     tok = (
         df.select(F.col(id_col), F.explode(F.array_distinct(
@@ -232,35 +229,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
         )).alias("_t"))
         .select(F.col(id_col).cast("long").alias(id_col), hash60(F.col("_t")).alias("h"))
     )
-    agg = tok.groupBy(id_col).agg(F.collect_list("h").alias("_hs"))
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
-    )
-    shifts = np.arange(bits, dtype=np.int64)
-
-    def fp(batches) -> "pd.DataFrame":
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lists = [np.asarray(x, dtype=np.int64) for x in pdf["_hs"]]
-            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-            flat = np.concatenate(lists)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            # per-bit segment sums: peak extra memory is one (tokens,)
-            # temp per iteration, not a (tokens, bits) matrix — a 10M-
-            # token Arrow batch would otherwise stage a ~4.8 GB int64
-            # matrix before reduceat
-            ones = np.empty((len(lists), bits), dtype=np.int64)
-            for j in range(bits):
-                ones[:, j] = np.add.reduceat((flat >> j) & 1, starts)
-            s = 2 * ones - lens[:, None]  # Σ ±1 = ones - (count - ones)
-            sim = ((s > 0).astype(np.int64) << shifts).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64), "simhash": sim})
-
-    return agg.mapInPandas(fp, out_schema)
+    # 3 bit-counters packed per sum (21 bits each — exact up to 2M
+    # distinct tokens/doc): each token adds bit_j << (21·slot), so one
+    # int64 sum carries 3 independent per-bit popcounts. bits/3 agg
+    # columns instead of `bits` — 3× less codegen and hashmap update
+    # work for the same exact result.
+    packs = []
+    for g in range(0, bits, 3):
+        term = None
+        for s, j in enumerate(range(g, min(g + 3, bits))):
+            t = F.shiftleft(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)), 21 * s)
+            term = t if term is None else term + t
+        packs.append(F.sum(term).alias(f"_p{g // 3}"))
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packs)
+    sim = None
+    for j in range(bits):
+        ones_j = F.shiftright(F.col(f"_p{j // 3}"), 21 * (j % 3)).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
+        term = F.when(F.lit(2) * ones_j - F.col("_n") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -271,14 +260,22 @@ def simhash_pairs(
     Blocking: the 60-bit fingerprint splits into 4 chunks of 15 bits;
     by pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so
     candidates come from 4 equi-joins (union), never a cross join.
-    """
+
+    The chunk self-join runs over DISTINCT signatures, not documents:
+    exact-duplicate clusters share one signature, so a 10⁵-document
+    template cluster contributes ONE row per join bucket instead of
+    10⁵ (the join-skew killer on template-heavy corpora), and every
+    qualifying signature pair expands back to document pairs at the
+    end. A document pair maps to exactly one ordered signature pair,
+    so no distinct() over the (inherently quadratic-in-cluster-size)
+    pair output is needed."""
     # materialize the signature table (n rows, two longs) before the
     # self-join: both join branches would otherwise recompute the whole
     # tokenize→hash→count lineage
     sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
-    chunks = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
+    usig = sig.select("simhash").distinct()
+    chunks = usig.select(
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -292,21 +289,37 @@ def simhash_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select(id_col, "simhash", "_c.chunk_idx", "_c.chunk_val")
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk_val"
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk_val"
-    )
-    return (
+    ).select("simhash", "_c.chunk_idx", "_c.chunk_val")
+    a = chunks.select(F.col("simhash").alias("sim_a"), "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("simhash").alias("sim_b"), "chunk_idx", "chunk_val")
+    sig_pairs = (
         a.join(b, on=["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
-        # filter BEFORE the dedup shuffle: most candidate pairs fail
-        # the hamming bound, so distinct() only sees survivors
+        # <= keeps the (s, s) diagonal: exact-duplicate cliques expand
+        # to within-cluster pairs below
+        .filter(F.col("sim_a") <= F.col("sim_b"))
+        .select(
+            "sim_a",
+            "sim_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair of signatures appears once per agreeing chunk (≤ 4) —
+        # distinct() over signature pairs, a far smaller set than
+        # document pairs
         .distinct()
+    )
+    da = sig.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("sim_a"))
+    db = sig.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("sim_b"))
+    return (
+        sig_pairs.join(da, on="sim_a")
+        .join(db, on="sim_b")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter((F.col("sim_a") < F.col("sim_b")) | (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
     )
 
 
