@@ -83,3 +83,46 @@ def test_ivf_seed_sampling_has_no_global_window(spark):
                           n_centroids=8, n=emb.count())
     assert "Window" not in executed_plan(cand)
     assert len(cand.collect()) == 8
+
+
+def test_chunking_is_narrow(spark):
+    """Document chunking must not shuffle: tokenize → offsets →
+    posexplode is a narrow pipeline over the scan (the only Exchange
+    allowed is the small-input parallelism guard's round-robin)."""
+    from coltt_spark.operators.pipeline import chunk_documents
+    from coltt_spark.plans import executed_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = executed_plan(chunk_documents(docs, "doc_id", "text"))
+    # the only allowed Exchange is the explicit small-input guard
+    # (REPARTITION_BY_NUM); an ENSURE_REQUIREMENTS exchange would mean
+    # an agg/join shuffle snuck into the chunking path
+    assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side of the contamination join must broadcast —
+    the corpus side streams through with no shuffle-for-join."""
+    from coltt_spark.operators.pipeline import decontaminate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter((docs.doc_id % 10) == 0)
+    train = docs.filter((docs.doc_id % 10) != 0)
+    assert has_broadcast_hash_join(
+        decontaminate(train, bench, "doc_id", "text", ngram=5)
+    )
+
+
+def test_pack_sequences_has_no_global_window(spark):
+    """Sequence packing must fold per shard: every Window in the plan
+    is partitioned (no empty partition spec = no single-task global
+    sort at corpus scale)."""
+    import re
+
+    from coltt_spark.operators.pipeline import pack_sequences
+    from coltt_spark.plans import executed_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = executed_plan(pack_sequences(docs, "doc_id", "text"))
+    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in frag  # every window keyed by the shard column
