@@ -114,3 +114,50 @@ def test_written_index_batch_queries(spark):
                 assert by_q[qid] == [r["id"] for r in single]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_collection_search_batch_paths_agree(spark):
+    """Collection.search_batch: the blocks fast path (one X@Qᵀ per
+    file + broadcast metadata join) and the row-layout fallback must
+    return identical result sets."""
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(300)
+    dim = len(emb.select("embedding").first()["embedding"])
+    rows = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding").collect()
+    qs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+    def build(layout):
+        wh = tempfile.mkdtemp(prefix=f"coltt_wh_sb_{layout}_")
+        coll = Catalog(spark, wh).create_collection(
+            f"sb_{layout}", dim=dim, distance="euclidean",
+            fields=[IndexField("id", "string", primary_key=True)],
+            layout=layout, block_dtype="float64",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()
+        return wh, coll
+
+    wh_b, blocks = build("blocks")
+    wh_r, rowlay = build("rows")
+    try:
+        got_b = sorted(
+            (r["query_id"], r["id"], round(r["dist"], 6))
+            for r in blocks.search_batch(qs, limit=5).collect()
+        )
+        got_r = sorted(
+            (r["query_id"], r["id"], round(r["dist"], 6))
+            for r in rowlay.search_batch(qs, limit=5).collect()
+        )
+        assert got_b == got_r
+        assert len(got_b) == 2 * 5
+    finally:
+        shutil.rmtree(wh_b, ignore_errors=True)
+        shutil.rmtree(wh_r, ignore_errors=True)
