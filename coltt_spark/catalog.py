@@ -48,7 +48,7 @@ from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, va
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
 QUANTIZATIONS = ("none", "f16", "bf16", "f8")
-LAYOUTS = ("rows", "blocks")
+LAYOUTS = ("rows", "blocks", "ivf")
 
 _VEC = "vector"
 _COMMIT = "_commit_id"
@@ -66,6 +66,9 @@ class Manifest:
     layout: str = "rows"
     block_dtype: str = "float32"
     versioning: bool = False
+    ivf_centroids: int = 16
+    ivf_nprobe: int = 4
+    ivf_kmeans_iters: int = 1
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -79,6 +82,9 @@ class Manifest:
             "layout": self.layout,
             "block_dtype": self.block_dtype,
             "versioning": self.versioning,
+            "ivf_centroids": self.ivf_centroids,
+            "ivf_nprobe": self.ivf_nprobe,
+            "ivf_kmeans_iters": self.ivf_kmeans_iters,
         }
 
     @classmethod
@@ -94,6 +100,9 @@ class Manifest:
             layout=d.get("layout", "rows"),
             block_dtype=d.get("block_dtype", "float32"),
             versioning=d.get("versioning", False),
+            ivf_centroids=d.get("ivf_centroids", 16),
+            ivf_nprobe=d.get("ivf_nprobe", 4),
+            ivf_kmeans_iters=d.get("ivf_kmeans_iters", 1),
         )
 
 
@@ -117,6 +126,10 @@ class Collection:
     def _blocks_dir(self, vector_col: str, version: int | None = None) -> str:
         v = self.manifest.version if version is None else version
         return os.path.join(self.root, f"v{v}_blocks", vector_col)
+
+    def _ivf_dir(self, vector_col: str, version: int | None = None) -> str:
+        v = self.manifest.version if version is None else version
+        return os.path.join(self.root, f"v{v}_ivf", vector_col)
 
 
     def _vector_cols(self) -> list[str]:
@@ -353,6 +366,13 @@ class Collection:
             and os.path.isdir(self._blocks_dir(vc))
         ):
             return self._search_blocks(qv, vc, limit=limit, offset=offset)
+        if (
+            m.layout == "ivf"
+            and filter_ast is None
+            and not self._dirty
+            and os.path.isdir(self._ivf_dir(vc))
+        ):
+            return self._search_ivf(qv, vc, limit=limit, offset=offset)
         df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
@@ -376,10 +396,10 @@ class Collection:
         scored = df.withColumn("dist", dist)
         top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
         out = top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
-        if m.layout == "blocks":
+        if m.layout in ("blocks", "ivf"):
             # keep the schema identical to the fast path regardless of
             # which path served the call (dirty state / filter present):
-            # blocks results never carry the stored vector columns
+            # index-served results never carry the stored vector columns
             out = out.drop(*vcols)
         return out
 
@@ -547,12 +567,18 @@ class Collection:
         self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
         if self.manifest.layout == "blocks":
             self._write_blocks(new_v)
+        elif self.manifest.layout == "ivf":
+            self._write_ivf(new_v)
         self.manifest.version = new_v
         self._write_manifest()
         self._view = self._read_version()
         self._dirty = False
         if not self.manifest.versioning:
-            for old_dir in (self._data_dir(old_v), os.path.join(self.root, f"v{old_v}_blocks")):
+            for old_dir in (
+                self._data_dir(old_v),
+                os.path.join(self.root, f"v{old_v}_blocks"),
+                os.path.join(self.root, f"v{old_v}_ivf"),
+            ):
                 if os.path.isdir(old_dir):
                     shutil.rmtree(old_dir)
 
@@ -617,6 +643,71 @@ class Collection:
             )
             write_block_index(blocks, self._blocks_dir(vc, version))
 
+    def _write_ivf(self, version: int) -> None:
+        """Build the IVF index for snapshot ``version``: deterministic
+        md5-seeded centroids + Lloyd refinement (operators/ann.py),
+        then the assigned rows written PARTITIONED BY centroid — the
+        deployment shape where a probe's scan prunes to the
+        ``nprobe/n_centroids`` partitions it touches (the Spark
+        analogue of HNSW's sub-linear candidate generation,
+        ``core/vectorindex/hnsw.go:243-278``, by partition pruning
+        instead of graph walks). Centroids land beside the data as
+        ``centroids.npy``."""
+        from coltt_spark.operators.ann import ivf_build
+
+        m = self.manifest
+        df = self.spark.read.schema(self._storage_schema()).parquet(self._data_dir(version))
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        pk = m.index_design.primary_key
+        for vc in self._vector_cols():
+            assigned, Cn = ivf_build(
+                df.select(pk, vc),
+                id_col=pk,
+                vec_col=vc,
+                n_centroids=m.ivf_centroids,
+                kmeans_iters=m.ivf_kmeans_iters,
+            )
+            out = self._ivf_dir(vc, version)
+            # data under <dir>/data keeps the partition discovery away
+            # from the centroids sidecar
+            assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+                os.path.join(out, "data")
+            )
+            np.save(os.path.join(out, "centroids.npy"), Cn)
+
+    def _search_ivf(
+        self, qv: list[float], vc: str, *, limit: int, offset: int, nprobe: int | None = None
+    ) -> DataFrame:
+        """Serve an approximate KNN from the IVF index: rank centroids
+        on the driver (k·dim floats), scan ONLY the probed centroid
+        partitions (``centroid IN (…)`` is a partition filter — the
+        files of unprobed lists are never opened), exact-rerank inside
+        them, and broadcast-join the winners back to the snapshot for
+        metadata."""
+        m = self.manifest
+        nprobe = nprobe or m.ivf_nprobe
+        if m.distance == "cosine":
+            qv = self._normalize_query(qv)
+        Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
+        q = np.asarray(qv, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        probes = [int(c) for c in np.argsort(-(Cn @ qn))[:nprobe]]
+        pk = m.index_design.primary_key
+        assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
+        winners = (
+            assigned.filter(F.col("centroid").isin(probes))
+            .withColumn("dist", vector_distance(m.distance, F.col(vc), qv))
+            .orderBy(F.col("dist").asc(), F.col(pk).asc())
+            .limit(offset + limit)
+            .select(pk, "dist")
+        )
+        meta = self._view.drop(*self._vector_cols(), _COMMIT)
+        out = F.broadcast(winners).join(meta, on=pk)
+        paged = _paginate_topk(out, limit, offset, pk)
+        return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
+
     def load(self) -> None:
         """Pin the collection in memory (LoadCollection ⇔ cache)."""
         self._view = self._view.cache()
@@ -657,6 +748,9 @@ class Catalog:
         layout: str = "rows",
         block_dtype: str = "float32",
         versioning: bool = False,
+        ivf_centroids: int = 16,
+        ivf_nprobe: int = 4,
+        ivf_kmeans_iters: int = 1,
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
@@ -671,6 +765,8 @@ class Catalog:
         manifest = Manifest(
             name, dim, distance, quantization, design, version=0,
             layout=layout, block_dtype=block_dtype, versioning=versioning,
+            ivf_centroids=ivf_centroids, ivf_nprobe=ivf_nprobe,
+            ivf_kmeans_iters=ivf_kmeans_iters,
         )
         os.makedirs(root)
         coll = Collection.__new__(Collection)

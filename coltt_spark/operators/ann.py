@@ -336,9 +336,13 @@ def ivf_build(
         Cn = kmeans_refine(corpus, Cn, vec_col=vec_col, iters=kmeans_iters)
     bc = spark.sparkContext.broadcast(Cn)
 
+    # ids keep their source type (long vec_ids, string PKs, …) — the
+    # centroid column is the only addition
+    id_type = corpus.schema[id_col].dataType
+    id_type = T.LongType() if isinstance(id_type, (T.IntegerType, T.ShortType)) else id_type
     assign_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType(), False),
+            T.StructField(id_col, id_type, False),
             T.StructField(vec_col, T.ArrayType(T.FloatType()), False),
             T.StructField("centroid", T.IntegerType(), False),
         ]
@@ -356,7 +360,7 @@ def ivf_build(
             yield pdf
 
     assigned = corpus.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).cast(id_type).alias(id_col),
         F.col(vec_col).cast("array<float>").alias(vec_col),
     ).mapInPandas(assign, assign_schema)
     return assigned, Cn

@@ -467,6 +467,132 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
 """
 
 
+def _ivf_collection(spark: SparkSession, sf_dir: str):
+    """Cached ``layout="ivf"`` cosine collection over the embeddings
+    table — flush builds the md5-seeded, Lloyd-refined IVF index
+    written PARTITIONED BY centroid."""
+    import tempfile
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    if (sf_dir, "ivf") not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_ivf_"))
+        coll = cat.create_collection(
+            "emb_ivf",
+            dim=dim,
+            distance="cosine",
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
+            layout="ivf",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()  # builds the partitioned IVF index
+        _COLL_CACHE[(sf_dir, "ivf")] = coll
+    return _COLL_CACHE[(sf_dir, "ivf")]
+
+
+def q_collection_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the product API: an ``layout="ivf"`` collection
+    serves the search from its centroid-partitioned index — centroids
+    ranked on the driver, ``centroid IN (…)`` pruning the scan to the
+    probed partitions (the Spark stand-in for HNSW's sub-linear
+    candidate walk, ``core/vectorindex/hnsw.go:243-278``), exact
+    rerank inside. Value-checked end-to-end: the oracle replays
+    normalize-at-write + float32 cast, the md5 seed pick, one Lloyd
+    round, probe ranking, and the rerank in SQL."""
+    coll = _ivf_collection(spark, sf_dir)
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _collection_ivf_oracle(*, n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """SQL replay of the WHOLE ivf-collection search — the §2.4 HNSW
+    row served Spark-style. Stored vectors are the collection's
+    normalize-at-write float32 values (``::REAL`` cast), ids are the
+    string PK (md5-compatible with the ``hash60`` seed pick), and the
+    pipeline is the same seed → Lloyd → assign → probe → rerank chain
+    as :func:`coltt_spark.registry_ann._ivf_oracle`."""
+    nrm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    stored = (
+        f"list_transform(embedding::DOUBLE[], x -> "
+        f"CAST(CASE WHEN {nrm} > 0 THEN x / {nrm} ELSE x END AS REAL)::DOUBLE)"
+    )
+    u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
+    dd_cos = (
+        "abs(1.0 - list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    return f"""
+WITH h AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, label, {stored} AS v,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+),
+nn AS (SELECT greatest(count(*) // {2 * n_centroids}, 1) AS step FROM embeddings),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY hh) - 1 AS cid
+  FROM h, nn WHERE hh % step = 0
+  ORDER BY hh LIMIT {n_centroids}
+),
+c0 AS (SELECT cid, {u.format(v="v")} AS cv FROM seeds),
+a0 AS (
+  SELECT h.id, h.v, c.cid,
+         row_number() OVER (PARTITION BY h.id
+             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
+  FROM h CROSS JOIN c0 c
+),
+g AS (SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS ord),
+m0 AS (
+  SELECT t.cid, g.ord, avg(t.v[g.ord]) AS mx
+  FROM (SELECT cid, v FROM a0 WHERE rn = 1) t CROSS JOIN g
+  GROUP BY t.cid, g.ord
+),
+c1m AS (SELECT cid, list(mx ORDER BY ord) AS mv FROM m0 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid, COALESCE({u.format(v="c1m.mv")}, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1m USING (cid)
+),
+a1 AS (
+  SELECT h.id, h.label, h.v, c.cid,
+         row_number() OVER (PARTITION BY h.id
+             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
+  FROM h CROSS JOIN c1 c
+),
+q0 AS ({_QV_SQL}),
+qn AS (SELECT {u.format(v="qv")} AS q1 FROM q0),
+probes AS (
+  SELECT c.cid,
+         row_number() OVER (ORDER BY list_dot_product({u.format(v="q1")}, c.cv) DESC, c.cid ASC) AS pr
+  FROM qn CROSS JOIN c1 c
+),
+d AS (
+  SELECT a.id, a.label, {dd_cos.format(a="a.v", b="qn.q1")} AS dist
+  FROM (SELECT id, label, v, cid FROM a1 WHERE rn = 1) a
+  JOIN (SELECT cid FROM probes WHERE pr <= {nprobe}) p ON a.cid = p.cid, qn
+)
+SELECT id, CAST(label AS BIGINT) AS label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT {k}
+"""
+
+
 def q_collection_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk KNN through the product API: all queries answered in ONE
     job from the packed block index (one BLAS ``X @ Qᵀ`` per file) —
@@ -734,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search": q_collection_search,
     "collection_search_blocks": q_collection_search_blocks,
     "collection_search_batch": q_collection_search_batch,
+    "collection_search_ivf": q_collection_search_ivf,
     "knn_f16": q_knn_f16,
     "knn_bf16": q_knn_bf16,
     "knn_f8": q_knn_f8,
@@ -756,6 +883,7 @@ ORACLES: dict[str, str] = {
     "collection_search": _ORACLE_COLLECTION_SEARCH,
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
+    "collection_search_ivf": _collection_ivf_oracle(),
     "knn_f16": _quantized_oracle("f16"),
     "knn_bf16": _quantized_oracle("bf16"),
     "knn_f8": _quantized_oracle("f8"),
@@ -811,6 +939,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     _embeddings_collection(spark, sf_dir)
     _blocks_collection(spark, sf_dir)
+    _ivf_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8"):
         _quantized_collection(spark, sf_dir, kind)
     _doc_shingles(spark, sf_dir)

@@ -126,3 +126,35 @@ def test_pack_sequences_has_no_global_window(spark):
     plan = executed_plan(pack_sequences(docs, "doc_id", "text"))
     for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "shard" in frag  # every window keyed by the shard column
+
+
+def test_ivf_collection_probe_prunes_partitions(spark):
+    """An ivf-layout collection's search must prune the scan to the
+    probed centroid partitions (PartitionFilters on the centroid
+    column) — unprobed inverted lists' files are never opened."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = Catalog(spark, tempfile.mkdtemp(prefix="wh_ivf_plan_")).create_collection(
+        "ivp", dim=dim, distance="cosine",
+        fields=[IndexField("id", "string", primary_key=True)],
+        layout="ivf", ivf_centroids=4, ivf_nprobe=2,
+    )
+    coll.upsert_df(
+        emb.select(F2.col("vec_id").cast("string").alias("id"),
+                   F2.col("embedding").alias("vector")),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    q = list(emb.select("embedding").first()["embedding"])
+    plan = executed_plan(coll.search(q, limit=5))
+    assert "PartitionFilters: [centroid" in plan.replace("#", " #").replace("  ", " ") or (
+        "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters")[1][:80]
+    )
