@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: per-process cache of probed events schemas, keyed by parquet path
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source
     needs a directory to watch (in production: the landing dir new
@@ -31,7 +34,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    if path not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    batch_schema = _SCHEMA_CACHE[path]
     stage = tempfile.mkdtemp(prefix="coltt_stream_")
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):

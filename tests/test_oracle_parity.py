@@ -25,3 +25,13 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_every_query_is_oracle_backed():
+    """Regression guard on full value-check coverage: a new registry
+    entry without an oracle silently downgrades to the driver's weaker
+    rows-only check — fail loudly here instead."""
+    import __spark_entry__ as e
+
+    missing = sorted(set(e.queries()) - set(e.oracle_sql()))
+    assert not missing, f"queries without oracles: {missing}"
