@@ -60,6 +60,50 @@ FROM documents
 """
 
 
+def q_media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval composition in ONE lazy plan:
+    binary media column → Arrow-batched decode + feature extraction
+    (``mapInPandas``) → exact cosine top-k over the extracted
+    embeddings. This is the media-dedup / media-retrieval shape a
+    training pipeline runs at corpus scale — swap the deterministic
+    fake decoder for PIL/pyav and the plan is unchanged. Value-checked:
+    the oracle replays byte extraction, float32 rounding, and the
+    distance fold in SQL."""
+    from coltt_spark.operators.ann import brute_topk
+
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=16)
+    q = [
+        float(x)
+        for x in feats.filter(F.col("doc_id") == 0).select("features").first()["features"]
+    ]
+    res = brute_topk(
+        feats, {0: q}, id_col="doc_id", vec_col="features", k=10, distance="cosine"
+    )
+    return res.select("doc_id", F.round("dist", 4).alias("dist"))
+
+
+_DD_MEDIA_FEATS = (
+    "list_transform(range(0, 16), "
+    "i -> (CAST(('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT / 255.0 AS REAL))::DOUBLE)"
+)
+
+_ORACLE_MEDIA_KNN = f"""
+WITH f AS (SELECT doc_id, {_DD_MEDIA_FEATS} AS v FROM documents),
+q AS (SELECT v AS qv FROM f WHERE doc_id = 0),
+d AS (
+  SELECT f.doc_id,
+         abs(1.0 - list_dot_product(f.v, q.qv) /
+             (sqrt(list_dot_product(f.v, f.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS dist
+  FROM f, q
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rn FROM d
+)
+SELECT doc_id, round(dist, 4) AS dist FROM r WHERE rn <= 10
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(media, n_frames=4)
@@ -76,11 +120,13 @@ WHERE doc_id % 3 = 2
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
+    "media_knn": q_media_knn,
     "media_frames": q_media_frames,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
     "media_metadata": _ORACLE_MEDIA_METADATA,
     "media_features": _ORACLE_MEDIA_FEATURES,
+    "media_knn": _ORACLE_MEDIA_KNN,
     "media_frames": _ORACLE_MEDIA_FRAMES,
 }
