@@ -378,3 +378,33 @@ def test_delete_key_strict_validation(catalog):
     # string PK column requires a string literal
     with pytest.raises(TypeError, match="type error"):
         coll.delete_where({"index_name": "id", "op": "eq", "value": 3})
+
+
+def test_ivf_layout_serves_and_falls_back(catalog):
+    """IVF-layout lifecycle: a flushed collection serves from the
+    partitioned index; unflushed DML falls back to the exact row scan
+    with the SAME output columns; re-flush rebuilds the index and the
+    fast path resumes."""
+    coll = catalog.create_collection(
+        "ivfcoll", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=4,
+    )
+    coll.upsert(_rows(80, dim=8, seed=3))
+    coll.flush()
+    q = _rows(1, dim=8, seed=99)[0]["vector"]
+    served = coll.search(q, limit=5)
+    cols = set(served.columns)
+    assert len(served.collect()) == 5
+    # nprobe == n_centroids probes everything -> equals the exact scan
+    exact_ids = {
+        r["id"]
+        for r in coll.search(q, limit=5, filter_ast={"index_name": "type", "op": "gte", "value": 0}).collect()
+    }
+    assert {r["id"] for r in served.collect()} == exact_ids
+    # dirty state: falls back, same schema
+    coll.upsert(_rows(3, dim=8, seed=4))
+    dirty = coll.search(q, limit=5)
+    assert set(dirty.columns) == cols
+    # flush rebuilds; fast path again, index reflects the new rows
+    coll.flush()
+    assert len(coll.search(q, limit=5).collect()) == 5
