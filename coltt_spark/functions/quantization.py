@@ -52,7 +52,9 @@ def _f8_encode(arr: np.ndarray) -> np.ndarray:
     carry = m8 > 7  # mantissa rounding overflowed into the exponent
     m8 = np.where(carry, 0, m8)
     e8 = np.where(carry, e8 + 1, e8)
-    over = norm & (e8 > 15) | (a != 0) & (exp > 8)
+    # e8=15,m8=7 is E4M3FN's NaN bit pattern — rounding into it (inputs
+    # in (452, 480]) must clamp to max finite 448, not emit NaN bits
+    over = norm & ((e8 > 15) | ((e8 == 15) & (m8 == 7))) | (a != 0) & (exp > 8)
     out[norm] = ((e8[norm] << 3) | m8[norm]).astype(np.uint8)
 
     # subnormal range: |x| < 2^-6 → m = round(|x| * 2^9), exponent field 0

@@ -129,3 +129,57 @@ def test_multi_vector_collection(spark, tmp_path):
         coll.multi_search({"bogus": {"query": qp, "ratio": 100, "include": True}})
     with pytest.raises(ValueError):
         coll.search(qp)  # ambiguous: two vector fields, no name given
+
+
+def test_sql_dequantizer_bit_exact_vs_numpy():
+    """The registry's SQL quantize→dequantize emulation must stay
+    bit-for-bit identical to the numpy kernels for every format —
+    this is what makes the quantized-KNN oracles exact. Property
+    test over adversarial values: normals, per-format subnormals,
+    rounding ties (half-even and half-up boundaries), and the E4M3FN
+    448 clamp."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from coltt_spark.functions.quantization import dequantize_np, quantize_np
+    from coltt_spark.registry import _sql_dequantized
+
+    con = duckdb.connect()
+
+    def check(vals: np.ndarray):
+        for kind in ("f16", "bf16", "f8"):
+            ref = dequantize_np(kind, quantize_np(kind, vals)).astype(np.float64)
+            got = np.array(
+                con.execute(
+                    f"SELECT {_sql_dequantized(kind, '?::DOUBLE[]')} AS v",
+                    [vals.astype(np.float64).tolist()],
+                ).fetchone()[0]
+            )
+            assert (ref == got).all(), (
+                kind,
+                vals[np.nonzero(ref != got)][:3],
+            )
+
+    # deterministic adversarial battery
+    check(np.array([
+        0.0, 1.0, -1.0, 0.5, -0.5, 2**-14, 2**-15, 2**-24, 2**-6, 2**-7,
+        447.9, 448.0, 448.1, 500.0, 0.4999999, 0.50000006, 1.0009765625,
+        -1.0009765625, 2.0, 65504.0 / 65536,
+    ]).astype(np.float32))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-500.0, max_value=500.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=1, max_size=64,
+        )
+    )
+    def prop(xs):
+        check(np.asarray(xs, dtype=np.float32))
+
+    prop()
