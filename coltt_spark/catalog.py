@@ -368,11 +368,12 @@ class Collection:
             return self._search_blocks(qv, vc, limit=limit, offset=offset)
         if (
             m.layout == "ivf"
-            and filter_ast is None
             and not self._dirty
             and os.path.isdir(self._ivf_dir(vc))
         ):
-            return self._search_ivf(qv, vc, limit=limit, offset=offset)
+            return self._search_ivf(
+                qv, vc, limit=limit, offset=offset, filter_ast=filter_ast
+            )
         df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
@@ -661,6 +662,10 @@ class Collection:
             for vc in self._vector_cols():
                 df = df.withColumn(vc, dequantize(m.quantization, vc))
         pk = m.index_design.primary_key
+        meta_cols = [
+            f.name for f in self._storage_schema()
+            if f.name not in self._vector_cols() and f.name not in (_COMMIT, pk)
+        ]
         for vc in self._vector_cols():
             assigned, Cn = ivf_build(
                 df.select(pk, vc),
@@ -669,6 +674,11 @@ class Collection:
                 n_centroids=m.ivf_centroids,
                 kmeans_iters=m.ivf_kmeans_iters,
             )
+            # metadata rides in the index (like the blocks payload), so
+            # probes serve filters AND results without a second scan —
+            # the inverted lists are self-contained
+            if meta_cols:
+                assigned = assigned.join(df.select(pk, *meta_cols), on=pk)
             out = self._ivf_dir(vc, version)
             # data under <dir>/data keeps the partition discovery away
             # from the centroids sidecar
@@ -678,14 +688,24 @@ class Collection:
             np.save(os.path.join(out, "centroids.npy"), Cn)
 
     def _search_ivf(
-        self, qv: list[float], vc: str, *, limit: int, offset: int, nprobe: int | None = None
+        self,
+        qv: list[float],
+        vc: str,
+        *,
+        limit: int,
+        offset: int,
+        nprobe: int | None = None,
+        filter_ast: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Serve an approximate KNN from the IVF index: rank centroids
         on the driver (k·dim floats), scan ONLY the probed centroid
         partitions (``centroid IN (…)`` is a partition filter — the
-        files of unprobed lists are never opened), exact-rerank inside
-        them, and broadcast-join the winners back to the snapshot for
-        metadata."""
+        files of unprobed lists are never opened) and exact-rerank
+        inside them. Metadata lives IN the index, so a metadata filter
+        (HybridSearch's intended filter ∩ candidates semantics,
+        ``core/core.go:760-839``) compiles onto the same pruned scan —
+        Catalyst pushes it into the probed files — and results come
+        back without any second scan or join."""
         m = self.manifest
         nprobe = nprobe or m.ivf_nprobe
         if m.distance == "cosine":
@@ -696,16 +716,13 @@ class Collection:
         probes = [int(c) for c in np.argsort(-(Cn @ qn))[:nprobe]]
         pk = m.index_design.primary_key
         assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
-        winners = (
-            assigned.filter(F.col("centroid").isin(probes))
-            .withColumn("dist", vector_distance(m.distance, F.col(vc), qv))
-            .orderBy(F.col("dist").asc(), F.col(pk).asc())
-            .limit(offset + limit)
-            .select(pk, "dist")
+        cand = assigned.filter(F.col("centroid").isin(probes))
+        if filter_ast is not None:
+            cand = cand.filter(compile_filter(cand, filter_ast))
+        scored = cand.withColumn("dist", vector_distance(m.distance, F.col(vc), qv)).drop(
+            vc, "centroid"
         )
-        meta = self._view.drop(*self._vector_cols(), _COMMIT)
-        out = F.broadcast(winners).join(meta, on=pk)
-        paged = _paginate_topk(out, limit, offset, pk)
+        paged = _paginate_topk(scored, limit, offset, pk)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
 
     def load(self) -> None:

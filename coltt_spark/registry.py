@@ -522,7 +522,9 @@ def q_collection_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _collection_ivf_oracle(*, n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+def _collection_ivf_oracle(
+    *, n_centroids: int = 16, nprobe: int = 4, k: int = 10, cand_where: str = ""
+) -> str:
     """SQL replay of the WHOLE ivf-collection search — the §2.4 HNSW
     row served Spark-style. Stored vectors are the collection's
     normalize-at-write float32 values (``::REAL`` cast), ids are the
@@ -586,11 +588,34 @@ d AS (
   SELECT a.id, a.label, {dd_cos.format(a="a.v", b="qn.q1")} AS dist
   FROM (SELECT id, label, v, cid FROM a1 WHERE rn = 1) a
   JOIN (SELECT cid FROM probes WHERE pr <= {nprobe}) p ON a.cid = p.cid, qn
+  {cand_where}
 )
 SELECT id, CAST(label AS BIGINT) AS label, round(dist, 4) AS dist,
        round((2.0 - dist) / 2.0 * 100.0, 4) AS score
 FROM d ORDER BY d.dist ASC, id ASC LIMIT {k}
 """
+
+
+def q_collection_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HybridSearch at scale through the product API: metadata filter
+    ∩ ANN candidates (the intended semantics of the reference's
+    HybridSearch, ``core/core.go:760-839`` — which computes but drops
+    its filter) served from the IVF index, where metadata lives IN
+    the centroid-partitioned files so the filter pushes into the
+    partition-pruned scan. Value-checked by the same SQL replay as
+    collection_search_ivf with the candidate filter applied."""
+    coll = _ivf_collection(spark, sf_dir)
+    res = coll.search(
+        _query_vec(spark, sf_dir),
+        filter_ast={"index_name": "label", "op": "gte", "value": 5},
+        limit=10,
+    )
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_collection_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_blocks": q_collection_search_blocks,
     "collection_search_batch": q_collection_search_batch,
     "collection_search_ivf": q_collection_search_ivf,
+    "collection_hybrid_ivf": q_collection_hybrid_ivf,
     "knn_f16": q_knn_f16,
     "knn_bf16": q_knn_bf16,
     "knn_f8": q_knn_f8,
@@ -884,6 +910,7 @@ ORACLES: dict[str, str] = {
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
     "collection_search_ivf": _collection_ivf_oracle(),
+    "collection_hybrid_ivf": _collection_ivf_oracle(cand_where="WHERE a.label >= 5"),
     "knn_f16": _quantized_oracle("f16"),
     "knn_bf16": _quantized_oracle("bf16"),
     "knn_f8": _quantized_oracle("f8"),
