@@ -473,9 +473,12 @@ class Collection:
         ``X @ Qᵀ`` BLAS matmul per block file through the node-local
         spool; only B·k winner rows leave the scan, and metadata comes
         from a broadcast join of those winners back to the
-        (vector-pruned) snapshot. Other layouts/states fall back to
-        one exact scan with the query set broadcast (same semantics,
-        row-layout cost).
+        (vector-pruned) snapshot. A clean ``layout="ivf"`` collection
+        answers the batch with one broadcast-probes join over the
+        union of probed partitions (each query reranks only its own
+        ``nprobe`` lists; metadata rides in the index). Other
+        layouts/states fall back to one exact scan with the query set
+        broadcast (same semantics, row-layout cost).
         """
         m = self.manifest
         qvs = {int(i): validate_vector(m.dim, v) for i, v in queries.items()}
@@ -486,6 +489,20 @@ class Collection:
         if vc is None or vc not in vcols:
             raise ValueError(f"vector_field must be one of {vcols}")
         pk = m.index_design.primary_key
+        if (
+            m.layout == "ivf"
+            and not self._dirty
+            and os.path.isdir(self._ivf_dir(vc))
+        ):
+            from coltt_spark.operators.ann import ivf_probe
+
+            Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
+            assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
+            out = ivf_probe(
+                assigned, Cn, qvs, id_col=pk, vec_col=vc,
+                k=limit, nprobe=m.ivf_nprobe, distance=m.distance,
+            )
+            return out.withColumn("score", score_expr(m.distance, F.col("dist")))
         if (
             m.layout == "blocks"
             and not self._dirty

@@ -375,10 +375,13 @@ def ivf_probe(
     vec_col: str,
     k: int = 10,
     nprobe: int = 4,
+    distance: str = "cosine",
 ) -> DataFrame:
     """Probe a built IVF index: each query joins (broadcast) against
     its ``nprobe`` nearest centroid lists only, exact rerank inside —
-    the scan touches ~nprobe/n_centroids of the corpus."""
+    the scan touches ~nprobe/n_centroids of the corpus. Probe
+    selection is always spherical (the index is built by max-cosine
+    assignment); ``distance`` controls the exact rerank metric."""
     probe_rows = []
     for qid, v in queries.items():
         q = np.asarray(list(map(float, v)), dtype=np.float64)
@@ -398,6 +401,10 @@ def ivf_probe(
     # so a centroid-partitioned index prunes to the probed partitions
     touched = sorted({c for _, _, c in probe_rows})
 
+    # extra (metadata) columns in `assigned` ride through to the
+    # output, so a metadata-carrying index answers without a join-back
+    extra = [c for c in assigned.columns if c not in (id_col, vec_col, "centroid")]
+
     if len(queries) == 1:
         # serving fast path: the query vector becomes a literal and the
         # per-query top-k a global ORDER BY .. LIMIT k, which Spark
@@ -407,13 +414,14 @@ def ivf_probe(
         qlit = F.array(*[F.lit(float(x)) for x in v])
         return (
             assigned.filter(F.col("centroid").isin(touched))
-            .withColumn("dist", vector_distance("cosine", F.col(vec_col), qlit))
+            .withColumn("dist", vector_distance(distance, F.col(vec_col), qlit))
             .orderBy(F.col("dist").asc(), F.col(id_col).asc())
             .limit(k)
             .select(
                 F.lit(int(qid)).cast("long").alias("query_id"),
                 F.col(id_col),
                 "dist",
+                *extra,
             )
         )
 
@@ -421,13 +429,13 @@ def ivf_probe(
     cand = (
         assigned.filter(F.col("centroid").isin(touched))
         .join(F.broadcast(probes), on="centroid")
-        .withColumn("dist", vector_distance("cosine", F.col(vec_col), F.col("qv")))
+        .withColumn("dist", vector_distance(distance, F.col(vec_col), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", F.col(id_col), "dist")
+        .select("query_id", F.col(id_col), "dist", *extra)
     )
 
 

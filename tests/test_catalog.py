@@ -408,3 +408,22 @@ def test_ivf_layout_serves_and_falls_back(catalog):
     # flush rebuilds; fast path again, index reflects the new rows
     coll.flush()
     assert len(coll.search(q, limit=5).collect()) == 5
+
+
+def test_ivf_search_batch_agrees_with_single(spark, catalog):
+    """search_batch on an ivf layout must return, per query, the same
+    ids as the single-query ivf search (same probes, same rerank)."""
+    coll = catalog.create_collection(
+        "ivfbatch", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=2,
+    )
+    coll.upsert(_rows(60, dim=8, seed=11))
+    coll.flush()
+    qs = {i: _rows(1, dim=8, seed=100 + i)[0]["vector"] for i in range(3)}
+    batch = coll.search_batch(qs, limit=5).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((round(r["dist"], 8), r["id"]))
+    for i, q in qs.items():
+        single = [(round(r["dist"], 8), r["id"]) for r in coll.search(q, limit=5).collect()]
+        assert sorted(got[i]) == sorted(single), f"query {i}"
