@@ -111,6 +111,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs:
+    ``containment = |A∩B| / min(|A|, |B|)`` ≥ threshold — catches
+    doc-in-doc duplication (a page embedded in a longer page, a
+    quoted article inside a digest) that symmetric Jaccard misses
+    because the union is dominated by the longer side.
+
+    Same inverted-list self-join shape (and the same ``max_doc_freq``
+    stop-shingle cap) as :func:`ngram_jaccard_pairs`; only the final
+    normalization differs, so the scale posture is identical."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        keep = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_doc_freq
+        )
+        sh = sh.join(keep.select("sh"), on="sh")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "containment",
+            F.col("_inter").cast("double") / F.least("_sza", "_szb"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
     """k=16 MinHash signature columns mh0..mh15 per document.
     Documents with no shingles (fewer than n tokens) are dropped —

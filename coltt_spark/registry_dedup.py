@@ -23,6 +23,7 @@ from coltt_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingle_table,
     sign_block,
@@ -143,6 +144,39 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
+
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (|A∩B| / min(|A|,|B|)) over the same
+    filtered shingle universe — flags doc-in-doc duplication that
+    symmetric Jaccard misses when the union is dominated by the
+    longer document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        shingles=_doc_shingles(spark, sf_dir),
+        max_doc_freq=_NGRAM_MAX_DF,
+    )
+
+
+_ORACLE_NGRAM_CONTAINMENT = f"""
+WITH {_DD_SHINGLES},
+keep AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= {_NGRAM_MAX_DF}),
+shf AS (SELECT shd.* FROM shd JOIN keep USING (sh)),
+sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT id_a, id_b, i::DOUBLE / least(sa.n, sb.n) AS containment
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(containment, 4) AS containment
+FROM cont WHERE containment >= 0.8
+"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +346,7 @@ SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
@@ -321,6 +356,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_groups": _groups_oracle(),
     "dedup_simhash": _simhash_oracle(),

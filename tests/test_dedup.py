@@ -136,3 +136,19 @@ def test_blas_neardup_caps_driver_collect(spark):
             d.embedding_neardup_pairs(df, "vec_id", "v", strategy="blas")
     finally:
         d._BLAS_MAX_ROWS = old
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short document fully embedded in a long one: containment = 1
+    while Jaccard stays low because the union is dominated by the long
+    side — the case the asymmetric measure exists for."""
+    from coltt_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"x{i}" for i in range(90))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric jaccard misses it
