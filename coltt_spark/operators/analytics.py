@@ -110,6 +110,42 @@ def rollup_revenue(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregate — all 2^k grouping combinations in one pass
+    (Spark expands grouping sets map-side; one shuffle). Markers
+    normalized to 'ALL' like :func:`rollup_revenue`."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles of extended price per return flag —
+    distribution statistics for data auditing. Uses the exact
+    ``percentile`` aggregate (sort-based within group), NOT
+    ``percentile_approx``: cross-engine value parity requires the
+    exact linear-interpolation definition both Spark and DuckDB
+    (``quantile_cont``) implement."""
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    aggs = [
+        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(f"p{int(p * 100)}")
+        for p in pcts
+    ]
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        *aggs,
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregate per event type — the batch twin of
     the streaming windowed aggregation (same grouping, watermark

@@ -98,6 +98,39 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.cube_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.price_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.events_hourly(load_table(spark, sf_dir, "events"))
 
@@ -170,6 +203,8 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue": q_region_revenue,
     "window_top_orders": q_window_top_orders,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "price_percentiles": q_price_percentiles,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_sessionize,
     "events_json": q_events_json,
@@ -182,6 +217,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "region_revenue": _ORACLE_REGION_REVENUE,
     "window_top_orders": _ORACLE_WINDOW_TOP,
     "rollup_revenue": _ORACLE_ROLLUP,
+    "cube_revenue": _ORACLE_CUBE,
+    "price_percentiles": _ORACLE_PERCENTILES,
     "events_hourly": _ORACLE_EVENTS_HOURLY,
     "events_sessionize": _ORACLE_SESSIONIZE,
     "events_json": _ORACLE_EVENTS_JSON,
