@@ -152,6 +152,50 @@ def stratified_sample(
     )
 
 
+def fraction_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    denominator: int = 10,
+) -> DataFrame:
+    """Deterministic ~1/``denominator`` sample with ZERO shuffles:
+    keep rows where ``hash60(id) % denominator == 0``. Unlike
+    ``df.sample`` the pick is a pure function of the id — stable
+    across reruns, partitionings, and engines (the DuckDB oracle
+    reproduces the exact row set) — and unlike the quota sampler it
+    needs no per-stratum window, so it composes into any scan at any
+    scale as a pushed-down filter."""
+    df = ensure_parallelism(df, id_col)
+    h = hash60(F.col(id_col).cast("string"))
+    return df.filter(h % denominator == 0).select(
+        F.col(id_col), (h % denominator).cast("int").alias("bucket")
+    )
+
+
+def source_mix(df: DataFrame, id_col: str, text_col: str, source_col: str) -> DataFrame:
+    """Per-source training-mix report: document counts, token totals,
+    share of the corpus, and mean quality signals per ``source`` —
+    the audit table a dataset curator reads before setting mix
+    weights. One aggregation shuffle emitting |sources| rows; the
+    share is a tiny cross-join with the 1-row grand total."""
+    df = ensure_parallelism(df, id_col)
+    toks = F.size(tokens(text_col))
+    n_chars = F.length(F.col(text_col))
+    per = df.select(F.col(source_col).alias("source"), toks.alias("_t"), n_chars.alias("_c"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.round(F.avg("_t"), 4).alias("avg_tokens"),
+        F.round(F.avg("_c"), 4).alias("avg_chars"),
+    )
+    total = agg.agg(F.sum("total_tokens").alias("_g"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("token_share", F.round(F.col("total_tokens") / F.col("_g"), 4))
+        .drop("_g")
+    )
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str,

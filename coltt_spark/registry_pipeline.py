@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from coltt_spark.operators.pipeline import (
     chunk_documents,
     decontaminate,
+    fraction_sample,
     pack_sequences,
     shard_assign,
+    source_mix,
     stratified_sample,
 )
 from coltt_spark.sources.tables import load_table
@@ -153,10 +155,50 @@ FROM p GROUP BY shard, seq_id
 """
 
 
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free deterministic ~10% sample — a pure hash filter the
+    scan absorbs; stable across engines and reruns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fraction_sample(docs, "doc_id", denominator=10)
+
+
+_ORACLE_SAMPLE_FRACTION = f"""
+SELECT doc_id, CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 10 AS INT) AS bucket
+FROM documents
+WHERE {_DD_H60.format(x="doc_id::VARCHAR")} % 10 = 0
+"""
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: counts, token totals, token share,
+    average lengths — the table a curator reads before setting
+    training-mix weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mix(docs, "doc_id", "text", "source")
+
+
+_ORACLE_SOURCE_MIX = f"""
+WITH per AS (
+  SELECT source, len({_DD_TOKS}) AS t, length(text) AS c FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens,
+         round(avg(t), 4) AS avg_tokens, round(avg(c), 4) AS avg_chars
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, total_tokens, avg_tokens, avg_chars,
+       round(total_tokens / (SELECT sum(total_tokens)::DOUBLE FROM agg), 4) AS token_share
+FROM agg
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
+    "sample_fraction": q_sample_fraction,
+    "source_mix": q_source_mix,
     "export_shards": q_export_shards,
     "pack_sequences": q_pack_sequences,
 }
@@ -165,6 +207,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
+    "sample_fraction": _ORACLE_SAMPLE_FRACTION,
+    "source_mix": _ORACLE_SOURCE_MIX,
     "export_shards": _ORACLE_EXPORT_SHARDS,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
 }
