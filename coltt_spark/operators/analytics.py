@@ -134,15 +134,21 @@ def price_percentiles(lineitem: DataFrame) -> DataFrame:
     exact linear-interpolation definition both Spark and DuckDB
     (``quantile_cont``) implement."""
     pcts = [0.25, 0.5, 0.75, 0.95]
-    aggs = [
-        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(f"p{int(p * 100)}")
-        for p in pcts
-    ]
-    return lineitem.groupBy("l_returnflag").agg(
+    # ONE percentile aggregate with an array of percentages — a single
+    # per-group sort instead of one per percentile
+    arr = F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))")
+    agg = lineitem.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        *aggs,
+        arr.alias("_ps"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "min_price",
+        *[F.round(F.col("_ps")[i], 4).alias(f"p{int(p * 100)}") for i, p in enumerate(pcts)],
+        "max_price",
     )
 
 
