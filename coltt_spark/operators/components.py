@@ -16,7 +16,7 @@ between rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,37 @@ def dedup_groups(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b") -> D
     comp = connected_components(pairs, src=src, dst=dst)
     sizes = comp.groupBy("root").agg(F.count("*").alias("group_size"))
     return comp.join(sizes, on="root").select("id", "root", "group_size")
+
+
+def keep_canonical(
+    groups: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-survivor policy: per duplicate group, keep the member
+    with the best ``score_col`` (ties → smallest id) — the keep-the-
+    best-copy step a dedup pipeline runs after group resolution
+    (min-label root = keep-ANY-copy; this is keep-the-BEST-copy).
+
+    One window per group (partitioned — no global sort); output is one
+    row per multi-document group: (root, kept_id, group_size,
+    kept_score). Documents outside any group survive by definition and
+    are not listed."""
+    j = groups.join(
+        scores.select(F.col(id_col), F.col(score_col)), on=id_col
+    )
+    w = Window.partitionBy("root").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "root",
+            F.col(id_col).alias("kept_id"),
+            "group_size",
+            F.col(score_col).alias("kept_score"),
+        )
+    )

@@ -263,6 +263,70 @@ SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 """
 
 
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-best-copy policy: per LSH duplicate group, the member
+    with the highest quality score (ties → smallest id) survives —
+    the selection step a curation pipeline runs after group
+    resolution. Composes three green components (LSH pairs →
+    connected components → quality scores) in one lazy plan."""
+    from coltt_spark.operators.components import dedup_groups, keep_canonical
+    from coltt_spark.operators.textstats import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
+    groups = dedup_groups(pairs)
+    quality = text_quality(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "quality_score"
+    )
+    return keep_canonical(groups, quality)
+
+
+def _canonical_oracle() -> str:
+    """Groups recursive CTE + the quality formula + per-root argmax."""
+    from coltt_spark.registry_text import STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    groups = _groups_oracle().strip()
+    assert groups.startswith("WITH RECURSIVE") and groups.endswith("USING (root)")
+    head, _sep, _tail = groups.rpartition("SELECT comp.id")
+    return f"""
+{head}
+, qbase AS (
+  SELECT doc_id, {toks} AS tk, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> list_contains({stop}, t))) / len(tk)
+              ELSE 0.0 END AS stopword_ratio,
+         len(tk) AS n_tokens
+  FROM qbase
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(1.0, stopword_ratio * 5), 4) AS quality_score
+  FROM qm
+),
+ranked AS (
+  SELECT comp.root, comp.id, sizes.group_size, q.quality_score,
+         row_number() OVER (PARTITION BY comp.root
+             ORDER BY q.quality_score DESC, comp.id ASC) AS rn
+  FROM comp JOIN sizes USING (root) JOIN q ON q.doc_id = comp.id
+)
+SELECT root, id AS kept_id, group_size, quality_score AS kept_score
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (unrestricted corpus; batched-kernel fingerprints)
 
@@ -349,6 +413,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
     "neardup_cosine": q_neardup_cosine,
 }
@@ -359,6 +424,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_groups": _groups_oracle(),
+    "dedup_canonical": _canonical_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "neardup_cosine": _ORACLE_NEARDUP_COSINE,
 }
