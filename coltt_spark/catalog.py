@@ -630,7 +630,11 @@ class Collection:
         cur = self.manifest.version
         for v in self.versions():
             if v != cur:
-                for d in (self._data_dir(v), os.path.join(self.root, f"v{v}_blocks")):
+                for d in (
+                    self._data_dir(v),
+                    os.path.join(self.root, f"v{v}_blocks"),
+                    os.path.join(self.root, f"v{v}_ivf"),
+                ):
                     if os.path.isdir(d):
                         shutil.rmtree(d)
 

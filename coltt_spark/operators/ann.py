@@ -213,33 +213,50 @@ def lsh_topk(
         id_col, vec_col, F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket")
     )
 
-    # query buckets (+1-bit probes) are literals — computed driver-side
+    # query buckets (+1-bit probes) are literals — computed driver-side.
+    # The probe table carries KEYS ONLY (query_id, tbl, bucket): at
+    # B·n_tables·(nbits+1) rows, duplicating the dim-length vector per
+    # probe would ship ~GBs through createDataFrame at B=10⁴/dim=1024;
+    # vectors ride in a separate B-row side table joined after the
+    # per-(query, id) dedup, so each is serialized exactly once
     probe_rows = []
+    qv_rows = []
     for qid, v in queries.items():
         qv = [float(x) for x in v]
+        qv_rows.append((int(qid), qv))
         sigs = _signatures_np(np.asarray(qv, dtype=np.float64)[None, :], tables)[0]
         for t, s in enumerate(sigs):
-            probe_rows.append((int(qid), qv, t, int(s)))
+            probe_rows.append((int(qid), t, int(s)))
             if multiprobe:
                 probe_rows.extend(
-                    (int(qid), qv, t, int(s) ^ (1 << j)) for j in range(nbits)
+                    (int(qid), t, int(s) ^ (1 << j)) for j in range(nbits)
                 )
-    qdf = corpus.sparkSession.createDataFrame(
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
         probe_rows,
         T.StructType(
             [
                 T.StructField("query_id", T.LongType(), False),
-                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
                 T.StructField("tbl", T.IntegerType(), False),
                 T.StructField("bucket", T.LongType(), False),
+            ]
+        ),
+    )
+    qvdf = spark.createDataFrame(
+        qv_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
             ]
         ),
     )
 
     cand = (
         bucketed.join(F.broadcast(qdf), on=["tbl", "bucket"])
-        .select("query_id", id_col, vec_col, "qv")
+        .select("query_id", id_col, vec_col)
         .dropDuplicates(["query_id", id_col])
+        .join(F.broadcast(qvdf), on="query_id")
         .withColumn("dist", vector_distance("cosine", F.col(vec_col), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())

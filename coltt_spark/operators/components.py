@@ -89,12 +89,18 @@ def keep_canonical(
     One window per group (partitioned — no global sort); output is one
     row per multi-document group: (root, kept_id, group_size,
     kept_score). Documents outside any group survive by definition and
-    are not listed."""
+    are not listed.
+
+    Score coverage: the join is a LEFT join from groups to scores, so
+    a member with no score row still competes — it ranks after every
+    scored member (nulls last) and surfaces with ``kept_score`` NULL
+    if an entirely unscored group wins. Missing scores are therefore
+    visible in the output, never a silent drop of the whole group."""
     j = groups.join(
-        scores.select(F.col(id_col), F.col(score_col)), on=id_col
+        scores.select(F.col(id_col), F.col(score_col)), on=id_col, how="left"
     )
     w = Window.partitionBy("root").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))

@@ -288,6 +288,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
             term = t if term is None else term + t
         packs.append(F.sum(term).alias(f"_p{g // 3}"))
     agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packs)
+    # the packed 21-bit counters are exact only while every per-bit
+    # popcount (≤ _n) stays below 2^21; a pathological document with
+    # ≥ 2.1M distinct tokens must fail loudly, never silently corrupt
+    # its fingerprint by carrying into the adjacent counter slot
+    agg = agg.withColumn(
+        "_n",
+        F.when(
+            F.col("_n") >= F.lit(1 << 21),
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        " has >= 2^21 distinct tokens; packed 21-bit "
+                        "counters would overflow (split the document "
+                        "or truncate its token set)"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_n")),
+    )
     sim = None
     for j in range(bits):
         ones_j = F.shiftright(F.col(f"_p{j // 3}"), 21 * (j % 3)).bitwiseAND(

@@ -130,19 +130,32 @@ def stratified_sample(
     Re-running on the same corpus — or on the same corpus re-sorted —
     selects the same rows, which is what makes the sample auditable.
 
-    Scale: ONE shuffle, on the stratum key. A stratum far larger than
-    the rest makes that window skewed; for quota ≪ stratum size the
-    fix is pre-filtering by hash threshold (keep ``hash60(id) <
-    quota·margin/|stratum|·2^60``) before ranking, which this
-    operator's fraction-threshold cousin (`hash60(id) % d == 0`)
-    does shuffle-free. The quota form is exact, which training-mix
-    specs usually require.
+    Scale (skew-safe): the ranking window never sees a full
+    mega-stratum. A hash-threshold pre-filter — keep only rows with
+    ``hash60(id)·2⁻⁶⁰ < (8·quota + 256)/|stratum|`` — cuts each
+    stratum to ~``8·quota + 256`` expected survivors BEFORE the
+    window, so the sort behind ``row_number`` ranks thousands of rows
+    per stratum, not billions. Because the ranking key IS the
+    thresholded hash, the survivor set is a prefix of the ranking
+    order: the top-``quota`` rows are identical to ranking the whole
+    stratum whenever ≥ ``quota`` rows pass, which the 8× margin (+256
+    floor for tiny quotas) makes certain for all practical purposes
+    (md5-uniform hashes; P[fail] < e⁻¹⁰⁰). Costs: one tiny
+    count-per-stratum aggregate (map-side combined, |strata| rows,
+    broadcast back) plus the now-skewless window shuffle.
     """
     df = ensure_parallelism(df, id_col)
     h = hash60(F.col(id_col).cast("string"))
+    # deterministic double-precision threshold — the oracle inlines the
+    # same literals in the same order, so IEEE rounding matches exactly
+    keep = float(8 * quota + 256)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_sn"))
+    pre = df.join(F.broadcast(counts), on=stratum_col).filter(
+        h.cast("double") < F.lit(keep) / F.col("_sn") * F.lit(float(1 << 60))
+    )
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        pre.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota)
         .select(
             F.col(id_col),
@@ -164,11 +177,13 @@ def fraction_sample(
     across reruns, partitionings, and engines (the DuckDB oracle
     reproduces the exact row set) — and unlike the quota sampler it
     needs no per-stratum window, so it composes into any scan at any
-    scale as a pushed-down filter."""
+    scale as a pushed-down filter. Each kept row carries its raw
+    ``sample_hash`` (the selection evidence — an auditor can verify
+    membership without recomputing md5)."""
     df = ensure_parallelism(df, id_col)
     h = hash60(F.col(id_col).cast("string"))
     return df.filter(h % denominator == 0).select(
-        F.col(id_col), (h % denominator).cast("int").alias("bucket")
+        F.col(id_col), h.alias("sample_hash")
     )
 
 
@@ -244,19 +259,18 @@ def pack_sequences(
     budget: int = 256,
     n_shards: int = 8,
 ) -> DataFrame:
-    """Greedy in-order sequence packing: concatenate documents (in
-    deterministic hash-shard order) into training sequences of up to
-    ``budget`` tokens. A document whose tokens would overflow the
-    current sequence starts the next one (documents are never split;
-    a document longer than ``budget`` occupies a sequence alone).
+    """Concat-then-split sequence packing: documents are concatenated
+    in deterministic hash-shard order into one virtual token stream
+    per shard, the stream is cut at every ``budget``-token boundary,
+    and each document is assigned whole to the sequence its FIRST
+    token falls in (documents are never split, so a sequence may
+    overshoot ``budget`` by up to one document's length — the
+    streaming-tokenizer convention, not first-fit-with-restart).
     Returns per-sequence stats (docs packed, token fill).
 
-    The greedy fold is a running-total window: ``seq_id = floor(
-    (cumsum − n_tokens) / budget)`` reproduces first-fit-in-order
-    packing *with bin overflow carried forward* — the streaming-
-    friendly convention (same as concat-then-split-at-budget
-    boundaries, documents kept whole by assignment to the bin their
-    first token falls in).
+    The fold is a running-total window: ``seq_id = floor(
+    (cumsum − n_tokens) / budget)`` — pure window arithmetic, no
+    iterative loop.
 
     Scale: packing is per-shard — the window partitions by the
     deterministic shard key, so there is no global sort and no

@@ -94,11 +94,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SAMPLE_STRATIFIED = f"""
-WITH r AS (
+WITH n AS (SELECT lang, count(*) AS sn FROM documents GROUP BY lang),
+f AS (
+  SELECT d.doc_id, d.lang, {_DD_H60.format(x="d.doc_id::VARCHAR")} AS h
+  FROM documents d JOIN n USING (lang)
+  WHERE ({_DD_H60.format(x="d.doc_id::VARCHAR")})::DOUBLE
+        < 456.0 / sn * 1152921504606846976.0
+),
+r AS (
   SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang
-             ORDER BY {_DD_H60.format(x="doc_id::VARCHAR")} ASC, doc_id ASC) AS rk
-  FROM documents
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
+  FROM f
 )
 SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM r WHERE rk <= 25
 """
@@ -164,7 +170,7 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SAMPLE_FRACTION = f"""
-SELECT doc_id, CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 10 AS INT) AS bucket
+SELECT doc_id, {_DD_H60.format(x="doc_id::VARCHAR")} AS sample_hash
 FROM documents
 WHERE {_DD_H60.format(x="doc_id::VARCHAR")} % 10 = 0
 """

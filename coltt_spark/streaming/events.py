@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: per-process cache of probed events schemas, keyed by parquet path
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+#: per-process cache of probed events schemas, keyed by
+#: (path, mtime_ns) — the driver may regenerate the testdata with a
+#: different ts physical type between rounds, so a long-lived process
+#: must re-probe a rewritten file (same invalidation contract as the
+#: blocks payload cache, operators/blocks.py)
+_SCHEMA_CACHE: dict[tuple[str, int], T.StructType] = {}
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source
@@ -34,9 +38,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    if path not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
-        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    batch_schema = _SCHEMA_CACHE[path]
+    ck = (path, os.stat(path).st_mtime_ns)
+    if ck not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
+        _SCHEMA_CACHE[ck] = spark.read.parquet(path).schema
+    batch_schema = _SCHEMA_CACHE[ck]
     stage = tempfile.mkdtemp(prefix="coltt_stream_")
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):

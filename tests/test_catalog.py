@@ -356,6 +356,31 @@ def test_versioning_retains_and_cleans_snapshots(catalog):
     assert coll2.versions() == [1]
 
 
+def test_versioned_ivf_cleanup_prunes_index_dirs(catalog):
+    """lifecycle_cleanup on a versioned ivf-layout collection must
+    prune stale v{N}_ivf index dirs alongside v{N} data (flush already
+    did for unversioned collections)."""
+    import os
+
+    coll = catalog.create_collection(
+        "versivf", dim=4, distance="cosine", fields=FIELDS, versioning=True,
+        layout="ivf", ivf_centroids=2, ivf_nprobe=2,
+    )
+    coll.upsert(_rows(12, dim=4, seed=5))
+    coll.flush()  # v1 + v1_ivf
+    coll.upsert(_rows(4, dim=4, seed=6))
+    coll.flush()  # v2 + v2_ivf
+    assert os.path.isdir(os.path.join(coll.root, "v1_ivf"))
+    coll.lifecycle_cleanup()
+    leftovers = sorted(
+        d for d in os.listdir(coll.root) if d.startswith("v") and "_" in d
+    )
+    assert leftovers == ["v2_ivf"]
+    # the current version still serves from its index
+    q = _rows(1, dim=4, seed=7)[0]["vector"]
+    assert len(coll.search(q, limit=3).collect()) == 3
+
+
 def test_delete_key_strict_validation(catalog):
     """delete_where validates the delete key strictly (dropKeyAnalyzer
     intended semantics): unknown index and type-mismatched literals

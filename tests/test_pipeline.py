@@ -70,6 +70,51 @@ def test_stratified_sample_quota_and_determinism(spark):
     )
 
 
+def test_stratified_sample_prefilter_matches_full_ranking(spark):
+    """The skew-safe hash-threshold pre-filter must not change the
+    selected rows: compare against ranking the whole stratum by the
+    same (hash, id) key."""
+    from coltt_spark.functions.text import hash60
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in stratified_sample(df, "doc_id", "lang", quota=5).collect()
+    )
+    from pyspark.sql import Window
+
+    h = hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    want = sorted(
+        (r["doc_id"], r["lang"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    assert got == want
+
+
+def test_keep_canonical_surfaces_missing_scores(spark):
+    """A group member without a score row ranks last (nulls last)
+    instead of silently vanishing; an entirely unscored group still
+    emits a survivor with NULL kept_score."""
+    from coltt_spark.operators.components import keep_canonical
+
+    groups = spark.createDataFrame(
+        [(1, 10, 2), (2, 10, 2), (3, 30, 2), (4, 30, 2)],
+        "id long, root long, group_size long",
+    )
+    scores = spark.createDataFrame(
+        [(2, 0.9)], "id long, quality_score double"
+    )  # 1, 3, 4 unscored
+    out = {r["root"]: r for r in keep_canonical(groups, scores).collect()}
+    assert out[10]["kept_id"] == 2 and out[10]["kept_score"] == 0.9
+    assert out[30]["kept_id"] == 3 and out[30]["kept_score"] is None
+
+
 def test_shard_assign_covers_all_rows(spark):
     df = _docs(spark, [(i, "tok " * 5) for i in range(64)])
     out = shard_assign(df, "doc_id", n_shards=4, text_col="text").collect()
