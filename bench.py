@@ -168,12 +168,16 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "bench_blocks",
         dim=len(q),
         distance="cosine",
-        fields=[IndexField("vid", "string", primary_key=True)],
+        fields=[
+            IndexField("vid", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
         layout="blocks",
     )
     coll.upsert_df(
         corpus.select(
             F.col("vec_id").cast("string").alias("vid"),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
             F.col("embedding").alias("vector"),
         ),
         dedupe_batch=False,
@@ -187,6 +191,16 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         coll.search(q, limit=10).collect()
         runs_cs.append(time.perf_counter() - t0)
     sec_collection = round(sum(runs_cs) / len(runs_cs), 4)
+    # filtered search stays on the block fast path (payload mask
+    # before the matvec) — the r2 fallback row scan cost ~0.70 s here
+    filt = {"index_name": "label", "op": "gte", "value": 5}
+    coll.search(q, filter_ast=filt, limit=10).collect()  # warm
+    runs_cf = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        coll.search(q, filter_ast=filt, limit=10).collect()
+        runs_cf.append(time.perf_counter() - t0)
+    sec_collection_filtered = round(sum(runs_cf) / len(runs_cf), 4)
     shutil.rmtree(wh, ignore_errors=True)
     # IVF scale path: build the index once and persist it PARTITIONED
     # BY centroid (the deployment shape) — probes then prune to the
@@ -234,6 +248,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_block_index_dim128": sec_block_idx_128,
         "sec_per_query_block_index_batch64_dim128": sec_block_batch64_128,
         "sec_per_query_collection": sec_collection,
+        "sec_per_query_collection_filtered": sec_collection_filtered,
         "collection_build_sec": coll_build_sec,
         "block_index_build_sec": block_build_sec,
         "ivf_build_sec": ivf_build_sec,

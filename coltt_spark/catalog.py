@@ -344,14 +344,16 @@ class Collection:
     ) -> DataFrame:
         """Filtered FLAT KNN over the collection (edge Search path).
 
-        ``layout="blocks"`` collections serve unfiltered searches from
-        the packed block index written at flush — one BLAS matvec per
-        block file through the node-local mmap spool, k rows per block
-        moved — the same packed-shard fast path every reference search
-        takes (``edge/none_vectorstore.go:129-180``). Falls back to
-        the row scan when a metadata filter is present (the filter
-        needs the row table anyway) or when unflushed DML makes the
-        index stale.
+        ``layout="blocks"`` collections serve searches — filtered or
+        not — from the packed block index written at flush: one BLAS
+        matvec per block file through the node-local mmap spool, k
+        rows per block moved. A metadata filter is evaluated against
+        the per-block packed payload (which carries every metadata
+        column) right before the distance kernel, the same
+        scan-the-packed-store-restricted-to-candidates shape as the
+        reference's filtered search
+        (``edge/none_vectorstore.go:182-253``). Falls back to the row
+        scan only when unflushed DML makes the index stale.
         """
         m = self.manifest
         qv = validate_vector(m.dim, query)
@@ -361,11 +363,12 @@ class Collection:
             raise ValueError(f"vector_field must be one of {vcols}")
         if (
             m.layout == "blocks"
-            and filter_ast is None
             and not self._dirty
             and os.path.isdir(self._blocks_dir(vc))
         ):
-            return self._search_blocks(qv, vc, limit=limit, offset=offset)
+            return self._search_blocks(
+                qv, vc, limit=limit, offset=offset, filter_ast=filter_ast
+            )
         if (
             m.layout == "ivf"
             and not self._dirty
@@ -420,7 +423,13 @@ class Collection:
         return [float(x) / n for x in qv] if n else [float(x) for x in qv]
 
     def _search_blocks(
-        self, qv: list[float], vc: str, *, limit: int, offset: int
+        self,
+        qv: list[float],
+        vc: str,
+        *,
+        limit: int,
+        offset: int,
+        filter_ast: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Serve a KNN from the written block index: top-(offset+limit)
         ``(_commit_id, dist)`` from the block scan (only file paths and
@@ -430,7 +439,10 @@ class Collection:
         per-block payload), so the whole search is ONE lazy job: scan
         → per-file top-k rows → TakeOrderedAndProject merge. Results
         carry metadata + dist + score but not the stored vector, like
-        the reference's search response."""
+        the reference's search response. A ``filter_ast`` compiles to
+        a vectorized payload mask evaluated block-locally before the
+        top-k (filters.compile_filter_mask) — the fast layout serves
+        filtered searches too."""
         from coltt_spark.operators.blocks import block_index_scan
 
         m = self.manifest
@@ -442,6 +454,11 @@ class Collection:
                 if f.name not in self._vector_cols() and f.name != _COMMIT
             ]
         )
+        payload_filter = None
+        if filter_ast is not None:
+            from coltt_spark.filters import compile_filter_mask
+
+            payload_filter = compile_filter_mask(payload_schema, filter_ast)
         local = block_index_scan(
             self.spark,
             self._blocks_dir(vc),
@@ -452,6 +469,7 @@ class Collection:
             dtype=m.block_dtype,
             payload_schema=payload_schema,
             id_alias=_COMMIT,  # payload may carry a user column named "id"
+            payload_filter=payload_filter,
         )
         paged = _paginate_topk(local.drop(_COMMIT), limit, offset, m.index_design.primary_key)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
@@ -522,20 +540,37 @@ class Collection:
             meta = self._view.drop(*vcols)
             out = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
         else:
-            dist_to = {
-                i: vector_distance(m.distance, F.col(vc), v) for i, v in qvs.items()
-            }
-            per_q = [
-                self._dequantized()
-                .withColumn("query_id", F.lit(i).cast("long"))
-                .withColumn("dist", d)
-                .orderBy(F.col("dist").asc(), F.col(pk).asc())
-                .limit(limit)
-                for i, d in dist_to.items()
-            ]
-            from functools import reduce
+            # one corpus scan for the whole batch: broadcast the B-row
+            # query table, score the cross join, keep top-k per query
+            # with a window partitioned by query_id — the brute_topk
+            # shape (operators/ann.py). The corpus is read ONCE instead
+            # of B times; the window shuffles n·B scored rows but never
+            # a global sort (B partitions, each independently top-k'd).
+            qrows = [(int(i), [float(x) for x in v]) for i, v in sorted(qvs.items())]
+            qdf = self.spark.createDataFrame(
+                qrows,
+                T.StructType(
+                    [
+                        T.StructField("query_id", T.LongType(), False),
+                        T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
+                    ]
+                ),
+            )
+            from pyspark.sql import Window
 
-            out = reduce(lambda a, b: a.unionByName(b), per_q).drop(_COMMIT, *vcols)
+            scored = (
+                self._dequantized()
+                .crossJoin(F.broadcast(qdf))
+                .withColumn("dist", vector_distance(m.distance, F.col(vc), F.col("_qv")))
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist").asc(), F.col(pk).asc()
+            )
+            out = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn", "_qv", _COMMIT, *vcols)
+            )
         return out.withColumn("score", score_expr(m.distance, F.col("dist")))
 
     def multi_search(

@@ -156,3 +156,113 @@ def validate_delete_key(df: DataFrame, ast: dict[str, Any]) -> None:
         return
     for child in ast.get("expressions", []):
         validate_delete_key(df, child)
+
+
+# ---------------------------------------------------------------------------
+# payload-side evaluation (the block-index filtered-search path)
+
+
+def compile_filter_mask(schema, ast: dict[str, Any]):
+    """Compile a filter AST into a vectorized boolean-mask function
+    over an Arrow table — the payload-side twin of
+    :func:`compile_filter`, with the SAME coercion matrix and the same
+    null semantics (a comparison against NULL never matches, exactly
+    like Spark's three-valued logic dropping NULL rows in a filter).
+
+    Used by the block-index filtered search: the packed payload
+    already carries every metadata column next to the vectors, so the
+    filter is evaluated block-locally as a numpy mask right before the
+    distance kernel — the reference's filtered search likewise scans
+    its packed store restricted to bitmap candidates
+    (``edge/none_vectorstore.go:182-253``) instead of abandoning the
+    fast layout.
+
+    ``schema`` is the Spark ``StructType`` of the payload columns
+    (declared types drive coercion, matching the row path). Returns
+    ``fn(table: pa.Table) -> np.ndarray[bool]``. Raises ``KeyError``
+    at compile time for a column the payload does not carry.
+    """
+    import numpy as np
+    import pandas as pd
+
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def leaf(name: str, op: str, value: Any):
+        if name not in types:
+            raise KeyError(f"filter references unknown column {name!r}")
+        if op not in OPS:
+            raise ValueError(f"unknown op {op!r}; expected one of {OPS}")
+        dt = types[name]
+
+        def ev(table) -> np.ndarray:
+            s = table.column(name).to_pandas()
+            rhs = value
+            if isinstance(dt, _NUMERIC_TYPES):
+                if isinstance(rhs, str):
+                    try:
+                        rhs = float(rhs)
+                    except ValueError:
+                        return np.zeros(len(s), dtype=bool)
+                if isinstance(rhs, bool):
+                    rhs = float(rhs)
+                lhs = pd.to_numeric(s, errors="coerce").astype("float64")
+                rhs = float(rhs)
+            elif isinstance(dt, T.StringType):
+                if isinstance(rhs, bool):
+                    lhs, rhs = s, ("true" if rhs else "false")
+                elif isinstance(rhs, (int, float)):
+                    lhs = pd.to_numeric(s, errors="coerce").astype("float64")
+                    rhs = float(rhs)
+                else:
+                    lhs = s
+            elif isinstance(dt, T.BooleanType):
+                if isinstance(rhs, str):
+                    rhs = rhs.strip().lower() == "true"
+                elif isinstance(rhs, (int, float)) and not isinstance(rhs, bool):
+                    rhs = bool(rhs)
+                lhs = s
+            else:
+                lhs = s
+            valid = lhs.notna().to_numpy()
+            # nulls are filled with a same-type placeholder so the
+            # elementwise compare never throws; `& valid` then restores
+            # NULL-never-matches (including for neq, where NaN != x
+            # would otherwise leak True)
+            if lhs.dtype == object:
+                fill = "" if isinstance(rhs, str) else (False if isinstance(rhs, bool) else 0)
+                lhs = lhs.where(lhs.notna(), other=fill)
+            if op == "eq":
+                m = lhs == rhs
+            elif op == "neq":
+                m = lhs != rhs
+            elif op == "gt":
+                m = lhs > rhs
+            elif op == "gte":
+                m = lhs >= rhs
+            elif op == "lt":
+                m = lhs < rhs
+            else:
+                m = lhs <= rhs
+            return np.asarray(m, dtype=bool) & valid
+
+        return ev
+
+    def build(node: dict[str, Any]):
+        if "index_name" in node:
+            return leaf(node["index_name"], str(node["op"]).lower(), node["value"])
+        op = str(node.get("op", "")).lower()
+        exprs = node.get("expressions", [])
+        if op not in ("and", "or") or not exprs:
+            raise ValueError(f"bad composite node: {node!r}")
+        kids = [build(c) for c in exprs]
+
+        def ev(table) -> np.ndarray:
+            out = kids[0](table)
+            for k in kids[1:]:
+                nxt = k(table)
+                out = (out & nxt) if op == "and" else (out | nxt)
+            return out
+
+        return ev
+
+    return build(ast)

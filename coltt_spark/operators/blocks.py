@@ -153,12 +153,21 @@ def _scan_block(
     k: int,
     payload=None,
     id_alias: str = "id",
+    mask: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One block → its local top-k (id, dist[, payload…]). One BLAS
     matvec; ``payload`` (a ``pa.Table`` row-aligned with ``ids``)
     contributes only the winners' rows via ``take``. The surrogate id
     column is emitted under ``id_alias`` so a payload column named
-    ``id`` (e.g. a user PK) cannot collide with it."""
+    ``id`` (e.g. a user PK) cannot collide with it.
+
+    ``mask`` (row-aligned bool array) restricts the top-k to rows
+    where it is True — the filtered-search path. The matvec still
+    covers the whole block (one contiguous BLAS pass over memory it
+    reads anyway beats a gather-copy for any but the most selective
+    filters); non-survivors are knocked out with ``inf`` before
+    selection, so the k winners and their tie-breaks are exactly the
+    row path's ``orderBy(dist, pk)`` over the filtered set."""
     if distance == "manhattan":
         D = np.abs(X - q[None, :]).sum(axis=1)
     else:
@@ -173,8 +182,13 @@ def _scan_block(
             D = -dots
         else:
             raise ValueError(f"unknown distance {distance!r}")
-    kk = min(k, len(ids))
-    if kk < len(ids):
+    if mask is not None:
+        n_alive = int(mask.sum())
+        D = np.where(mask, D, np.inf)
+    else:
+        n_alive = len(ids)
+    kk = min(k, n_alive)
+    if kk < n_alive:
         # argpartition alone breaks distance ties arbitrarily; rows
         # tying exactly at the k-th distance must resolve by smallest
         # id (the row path's orderBy(dist, pk) contract), so gather
@@ -184,6 +198,8 @@ def _scan_block(
         cand = np.flatnonzero(D <= kth)
         order = np.lexsort((ids[cand], D[cand]))
         sel = cand[order[:kk]]
+    elif mask is not None:
+        sel = np.flatnonzero(mask)
     else:
         sel = np.arange(len(ids))
     out = pd.DataFrame({id_alias: ids[sel], "dist": D[sel].astype(np.float64)})
@@ -455,12 +471,21 @@ def block_index_scan(
     max_tasks: int | None = None,
     payload_schema: T.StructType | None = None,
     id_alias: str = "id",
+    payload_filter=None,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
     order/limit — compose your own, e.g. a different tie-break). With
     ``payload_schema``, each winner row carries its packed payload
     columns, so a caller gets id+dist+metadata in ONE job; pass
-    ``id_alias`` when a payload column is itself named ``id``."""
+    ``id_alias`` when a payload column is itself named ``id``.
+
+    ``payload_filter`` (``fn(pa.Table) -> bool ndarray``, e.g. from
+    :func:`coltt_spark.filters.compile_filter_mask`) makes this the
+    FILTERED fast path: the mask is evaluated per file against the
+    packed payload — which carries every metadata column — and the
+    local top-k is taken over survivors only. Filtered search keeps
+    the block layout's cost shape (one matvec per file through the
+    spool, k rows out) instead of falling back to the row scan."""
     np_dtype = _DTYPES[dtype]
     q = np.asarray([float(x) for x in query], dtype=np_dtype)
     fdf = _file_group_df(spark, _index_files(path), max_tasks)
@@ -478,18 +503,29 @@ def block_index_scan(
         out_fields += list(payload_schema)
     out_schema = T.StructType(out_fields)
     want_payload = payload_schema is not None
+    if payload_filter is not None and not want_payload:
+        raise ValueError("payload_filter requires payload_schema")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
                     ids, X, norms, payload = _spool_file(p, dim, np_dtype)
-                    if len(ids):
-                        yield _scan_block(
-                            ids, X, norms, q, distance=distance, k=k,
-                            payload=payload if want_payload else None,
-                            id_alias=id_alias,
-                        )
+                    if not len(ids):
+                        continue
+                    mask = None
+                    if payload_filter is not None:
+                        if payload is None:
+                            raise ValueError(
+                                f"index file {p} carries no payload; "
+                                "filtered block search needs packed metadata"
+                            )
+                        mask = payload_filter(payload)
+                    yield _scan_block(
+                        ids, X, norms, q, distance=distance, k=k,
+                        payload=payload if want_payload else None,
+                        id_alias=id_alias, mask=mask,
+                    )
 
     return fdf.mapInPandas(scan, out_schema)
 

@@ -467,6 +467,56 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
 """
 
 
+def q_collection_search_blocks_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED KNN served from the ``layout="blocks"`` fast path: the
+    metadata predicate (label between 2 and 7, OR label = 9) compiles
+    to a vectorized mask over each block's packed payload and the
+    per-file top-k is taken over survivors — the layout keeps its
+    one-matvec-per-file cost shape instead of falling back to the row
+    scan (reference behavior: filtered search still scans the packed
+    store restricted to candidates, edge/none_vectorstore.go:182-253).
+    """
+    coll = _blocks_collection(spark, sf_dir)
+    res = coll.search(
+        _query_vec(spark, sf_dir),
+        filter_ast={
+            "op": "or",
+            "expressions": [
+                {
+                    "op": "and",
+                    "expressions": [
+                        {"index_name": "label", "op": "gte", "value": 2},
+                        {"index_name": "label", "op": "lte", "value": 7},
+                    ],
+                },
+                {"index_name": "label", "op": "eq", "value": 9},
+            ],
+        },
+        limit=10,
+    )
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_ORACLE_COLLECTION_SEARCH_BLOCKS_FILTERED = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+  WHERE (e.label >= 2 AND e.label <= 7) OR e.label = 9
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
+"""
+
+
 def _ivf_collection(spark: SparkSession, sf_dir: str):
     """Cached ``layout="ivf"`` cosine collection over the embeddings
     table — flush builds the md5-seeded, Lloyd-refined IVF index
@@ -884,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_delete": q_upsert_delete,
     "collection_search": q_collection_search,
     "collection_search_blocks": q_collection_search_blocks,
+    "collection_search_blocks_filtered": q_collection_search_blocks_filtered,
     "collection_search_batch": q_collection_search_batch,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
@@ -908,6 +959,7 @@ ORACLES: dict[str, str] = {
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
+    "collection_search_blocks_filtered": _ORACLE_COLLECTION_SEARCH_BLOCKS_FILTERED,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
     "collection_search_ivf": _collection_ivf_oracle(),
     "collection_hybrid_ivf": _collection_ivf_oracle(cand_where="WHERE a.label >= 5"),

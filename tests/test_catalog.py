@@ -305,7 +305,8 @@ def test_blocks_layout_search_parity(catalog):
     page = [(r["id"], round(r["dist"], 6)) for r in coll_blk.search(q, limit=5, offset=5).collect()]
     assert page == expected[5:10]
 
-    # filtered search falls back to the row path, same results as row layout
+    # filtered search serves from the block index (payload mask), same
+    # results as the row layout's filtered scan
     filt = {"index_name": "type", "op": "lte", "value": 5}
     a = [(r["id"],) for r in coll_rows.search(q, filter_ast=filt, limit=10).collect()]
     b = [(r["id"],) for r in coll_blk.search(q, filter_ast=filt, limit=10).collect()]
@@ -325,6 +326,70 @@ def test_blocks_layout_search_parity(catalog):
     assert fresh.manifest.layout == "blocks"
     got3 = [(r["id"], round(r["dist"], 6)) for r in fresh.search(q, limit=15).collect()]
     assert got3 == expected2
+
+
+def test_blocks_filtered_search_matrix_matches_row_layout(catalog):
+    """Filtered search on a blocks layout (payload-mask fast path)
+    must reproduce the row layout's filtered scan across the whole
+    coercion matrix: every op, cross-type literals, nested AND/OR,
+    NULL-bearing columns, empty results, and pagination."""
+    rows = _rows(120, dim=6, seed=21)
+    coll_rows = catalog.create_collection(
+        "fr_rows", dim=6, distance="euclidean", fields=FIELDS
+    )
+    coll_rows.upsert(rows)
+    coll_blk = catalog.create_collection(
+        "fr_blk", dim=6, distance="euclidean", fields=FIELDS,
+        layout="blocks", block_dtype="float64",
+    )
+    coll_blk.upsert(rows)
+    coll_blk.flush()
+    q = _rows(1, dim=6, seed=5)[0]["vector"]
+
+    asts = [
+        {"index_name": "type", "op": "eq", "value": 3},
+        {"index_name": "type", "op": "neq", "value": 3},
+        {"index_name": "type", "op": "gte", "value": "5"},      # str → int coercion
+        {"index_name": "volume", "op": "lt", "value": 0.5},
+        {"index_name": "id", "op": "gt", "value": "id-50"},      # string compare
+        {"index_name": "id", "op": "eq", "value": "id-7"},
+        {"index_name": "expand", "op": "eq", "value": True},     # null-bearing bool
+        {"index_name": "expand", "op": "neq", "value": True},    # NULL never matches
+        {"index_name": "expand", "op": "eq", "value": "true"},   # str → bool
+        {"index_name": "type", "op": "eq", "value": "zebra"},    # unparseable → empty
+        {"index_name": "type", "op": "eq", "value": 9999},       # empty result
+        {
+            "op": "and",
+            "expressions": [
+                {"index_name": "type", "op": "gte", "value": 3},
+                {
+                    "op": "or",
+                    "expressions": [
+                        {"index_name": "size", "op": "lte", "value": 4},
+                        {"index_name": "volume", "op": "gt", "value": 0.8},
+                    ],
+                },
+            ],
+        },
+    ]
+    for ast in asts:
+        want = [
+            (r["id"], round(r["dist"], 6))
+            for r in coll_rows.search(q, filter_ast=ast, limit=8).collect()
+        ]
+        got = [
+            (r["id"], round(r["dist"], 6))
+            for r in coll_blk.search(q, filter_ast=ast, limit=8).collect()
+        ]
+        assert got == want, f"filter mismatch for {ast}"
+    # pagination through the filtered fast path
+    ast = {"index_name": "type", "op": "lte", "value": 8}
+    full = [r["id"] for r in coll_rows.search(q, filter_ast=ast, limit=12).collect()]
+    page = [r["id"] for r in coll_blk.search(q, filter_ast=ast, limit=6, offset=6).collect()]
+    assert page == full[6:12]
+    # unknown filter column raises on the fast path too
+    with pytest.raises(KeyError, match="unknown column"):
+        coll_blk.search(q, filter_ast={"index_name": "nope", "op": "eq", "value": 1}).collect()
 
 
 def test_versioning_retains_and_cleans_snapshots(catalog):

@@ -158,3 +158,50 @@ def test_ivf_collection_probe_prunes_partitions(spark):
     assert "PartitionFilters: [centroid" in plan.replace("#", " #").replace("  ", " ") or (
         "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters")[1][:80]
     )
+
+
+def test_search_batch_fallback_is_one_scan(spark):
+    """The non-indexed search_batch fallback must answer all B queries
+    from ONE corpus scan (broadcast query table + per-query window),
+    not B unioned orderBy/limit passes."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = Catalog(spark, tempfile.mkdtemp(prefix="wh_batch_plan_")).create_collection(
+        "bfall", dim=dim, distance="euclidean",
+        fields=[IndexField("id", "string", primary_key=True)],
+    )
+    coll.upsert_df(
+        emb.select(F2.col("vec_id").cast("string").alias("id"),
+                   F2.col("embedding").alias("vector")),
+        dedupe_batch=False,
+    )
+    rows = emb.select("embedding").limit(3).collect()
+    queries = {i: list(r["embedding"]) for i, r in enumerate(rows)}
+    plan = executed_plan(coll.search_batch(queries, limit=5))
+    assert plan.count("Scan parquet") + plan.count("FileScan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_prefilters_before_window(spark):
+    """The skew-safe sampler must (a) broadcast the per-stratum counts
+    back and hash-threshold-filter BEFORE ranking, and (b) keep every
+    window partitioned by the stratum key."""
+    import re
+
+    from coltt_spark.operators.pipeline import stratified_sample
+    from coltt_spark.plans import executed_plan, has_broadcast_hash_join
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", quota=5)
+    plan = executed_plan(out)
+    assert has_broadcast_hash_join(out)  # tiny counts join, corpus never shuffles for it
+    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in frag  # every window keyed by the stratum column
