@@ -201,6 +201,28 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         coll.search(q, filter_ast=filt, limit=10).collect()
         runs_cf.append(time.perf_counter() - t0)
     sec_collection_filtered = round(sum(runs_cf) / len(runs_cf), 4)
+    # incremental maintenance: a 1% upsert then flush — only the delta
+    # is packed (base block files hardlink into the new version), so
+    # maintenance cost scales with the change, not the collection
+    # (collection_build_sec above is the full-pack datum to compare)
+    coll.upsert_df(
+        corpus.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").cast("string").alias("vid"),
+            ((F.col("vec_id") % 10) + 100).cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    t0 = time.perf_counter()
+    coll.flush()
+    delta_flush_sec = round(time.perf_counter() - t0, 4)
+    coll.search(q, limit=10).collect()  # warm the delta generation
+    runs_cd = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        coll.search(q, limit=10).collect()
+        runs_cd.append(time.perf_counter() - t0)
+    sec_collection_delta = round(sum(runs_cd) / len(runs_cd), 4)
     shutil.rmtree(wh, ignore_errors=True)
     # IVF scale path: build the index once and persist it PARTITIONED
     # BY centroid (the deployment shape) — probes then prune to the
@@ -249,7 +271,9 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_block_index_batch64_dim128": sec_block_batch64_128,
         "sec_per_query_collection": sec_collection,
         "sec_per_query_collection_filtered": sec_collection_filtered,
+        "sec_per_query_collection_delta": sec_collection_delta,
         "collection_build_sec": coll_build_sec,
+        "delta_flush_sec": delta_flush_sec,
         "block_index_build_sec": block_build_sec,
         "ivf_build_sec": ivf_build_sec,
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),

@@ -54,6 +54,23 @@ _VEC = "vector"
 _COMMIT = "_commit_id"
 
 
+def _link_parts(src: str, dst: str) -> None:
+    """Reference every Parquet part file of ``src`` from ``dst`` via
+    hardlink (metadata-only; the files are immutable once written —
+    the local-FS realization of a table-format manifest pointing at
+    unchanged base files). Falls back to a copy across filesystems."""
+    for f in os.listdir(src):
+        if not (f.startswith("part-") and f.endswith(".parquet")):
+            continue
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if os.path.exists(d):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
 @dataclass
 class Manifest:
     name: str
@@ -116,6 +133,36 @@ class Collection:
         self._view: DataFrame = self._read_version()
         self._cached = False
         self._dirty = False  # unflushed DML ⇒ block index (if any) is stale
+        self._reset_pending()
+
+    def _reset_pending(self) -> None:
+        """Clear the since-last-flush DML bookkeeping that makes an
+        incremental flush O(change): the pending-rows view (inserted/
+        updated rows still live), the upserted-PK set, and the delete
+        predicates — enough to derive delta files and tombstones
+        WITHOUT diffing the whole collection at flush time."""
+        self._pending: DataFrame | None = None
+        self._upserted_pks: DataFrame | None = None
+        self._delete_asts: list[dict[str, Any]] = []
+
+    def _track_upsert(self, new: DataFrame) -> None:
+        """Fold an upsert batch into the pending view (same LWW shape
+        as the main view, but over ONLY the rows changed since flush —
+        so every maintenance op here is O(pending), not O(collection))
+        and remember its PKs (their base-version commit ids become
+        tombstones at flush)."""
+        pk = self.manifest.index_design.primary_key
+        if self._pending is None:
+            self._pending = new
+        else:
+            keep = self._pending.join(
+                F.broadcast(new.select(pk)), on=pk, how="left_anti"
+            )
+            self._pending = keep.unionByName(new.select(keep.columns))
+        pks = new.select(pk)
+        self._upserted_pks = (
+            pks if self._upserted_pks is None else self._upserted_pks.unionByName(pks)
+        )
 
     # -- storage ------------------------------------------------------
 
@@ -130,6 +177,10 @@ class Collection:
     def _ivf_dir(self, vector_col: str, version: int | None = None) -> str:
         v = self.manifest.version if version is None else version
         return os.path.join(self.root, f"v{v}_ivf", vector_col)
+
+    def _tombstones_dir(self, version: int | None = None) -> str:
+        v = self.manifest.version if version is None else version
+        return os.path.join(self.root, f"v{v}_tombstones")
 
 
     def _vector_cols(self) -> list[str]:
@@ -152,7 +203,20 @@ class Collection:
         return T.StructType(fields)
 
     def _read_version(self) -> DataFrame:
-        return self.spark.read.schema(self._storage_schema()).parquet(self._data_dir())
+        df = self.spark.read.schema(self._storage_schema()).parquet(self._data_dir())
+        return self._minus_tombstones(df, self._tombstones_dir())
+
+    def _minus_tombstones(self, df: DataFrame, tomb_dir: str) -> DataFrame:
+        """Subtract a version's tombstoned commit ids (rows superseded
+        or deleted since the last compact) — an anti-join against the
+        small tombstone table, broadcast by AQE. Versions written by a
+        full flush/compact have no tombstone dir and read as-is."""
+        if os.path.isdir(tomb_dir):
+            dead = self.spark.read.schema(
+                T.StructType([T.StructField(_COMMIT, T.LongType(), False)])
+            ).parquet(tomb_dir)
+            df = df.join(dead, on=_COMMIT, how="left_anti")
+        return df
 
     def _write_manifest(self) -> None:
         tmp = os.path.join(self.root, "manifest.json.tmp")
@@ -197,6 +261,7 @@ class Collection:
         pk = design.primary_key
         survivors = self._view.join(F.broadcast(new.select(pk)), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
+        self._track_upsert(new)
         self._dirty = True
         return len(batch)
 
@@ -304,6 +369,7 @@ class Collection:
         # join strategy from the materialized checkpoint stats
         survivors = self._view.join(new.select(pk), on=pk, how="left_anti")
         self._view = survivors.unionByName(new.select(survivors.columns))
+        self._track_upsert(new)
         self._dirty = True
         return n
 
@@ -315,6 +381,11 @@ class Collection:
         validate_delete_key(self._view, filter_ast)
         pred = compile_filter(self._view, filter_ast)
         self._view = self._view.filter(~pred)
+        if self._pending is not None:
+            self._pending = self._pending.filter(
+                ~compile_filter(self._pending, filter_ast)
+            )
+        self._delete_asts.append(filter_ast)
         self._dirty = True
 
     # -- queries ------------------------------------------------------
@@ -459,6 +530,7 @@ class Collection:
             from coltt_spark.filters import compile_filter_mask
 
             payload_filter = compile_filter_mask(payload_schema, filter_ast)
+        tomb = self._tombstones_dir()
         local = block_index_scan(
             self.spark,
             self._blocks_dir(vc),
@@ -470,6 +542,7 @@ class Collection:
             payload_schema=payload_schema,
             id_alias=_COMMIT,  # payload may carry a user column named "id"
             payload_filter=payload_filter,
+            tombstones=tomb if os.path.isdir(tomb) else None,
         )
         paged = _paginate_topk(local.drop(_COMMIT), limit, offset, m.index_design.primary_key)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
@@ -528,6 +601,7 @@ class Collection:
         ):
             from coltt_spark.operators.blocks import block_index_topk_batch
 
+            tomb = self._tombstones_dir()
             winners = block_index_topk_batch(
                 self.spark,
                 self._blocks_dir(vc),
@@ -536,6 +610,7 @@ class Collection:
                 k=limit,
                 distance=m.distance,
                 dtype=m.block_dtype,
+                tombstones=tomb if os.path.isdir(tomb) else None,
             ).withColumnRenamed("id", _COMMIT)
             meta = self._view.drop(*vcols)
             out = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
@@ -606,7 +681,7 @@ class Collection:
 
     # -- lifecycle ----------------------------------------------------
 
-    def flush(self) -> None:
+    def flush(self, *, compact: bool = False) -> None:
         """Materialize the in-memory view to a new snapshot version and
         atomically repoint the manifest (durability boundary, like
         coltt Flush → MinIO). For ``layout="blocks"`` collections this
@@ -614,26 +689,145 @@ class Collection:
         Spark analogue of the reference rebuilding its packed shard
         store on Flush (``edge/none_vectorstore.go:129-180``): pack
         before the manifest repoint so readers only ever see a version
-        whose index is complete."""
-        old_v = self.manifest.version
+        whose index is complete.
+
+        Blocks collections flush INCREMENTALLY once a base index
+        exists: only rows new since the previous version are written
+        and packed (delta files beside hardlinked base files, plus a
+        tombstone list of superseded commit ids — the Iceberg/Delta
+        manifest shape, realized with hardlinks on a local FS), so
+        flush cost scales with the CHANGE, not the collection. The
+        reference's per-write in-place store update
+        (``edge/none_vectorstore.go:66-103``) amortizes the same way.
+        ``compact=True`` (or :meth:`compact`) forces the full rewrite,
+        folding deltas and dropping tombstones. IVF collections always
+        rebuild (centroids shift with the data)."""
+        m = self.manifest
+        old_v = m.version
         new_v = old_v + 1
-        self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
-        if self.manifest.layout == "blocks":
-            self._write_blocks(new_v)
-        elif self.manifest.layout == "ivf":
-            self._write_ivf(new_v)
-        self.manifest.version = new_v
+        incremental = (
+            m.layout == "blocks"
+            and not compact
+            and os.path.isdir(self._data_dir(old_v))
+            and all(
+                os.path.isdir(self._blocks_dir(vc, old_v))
+                for vc in self._vector_cols()
+            )
+        )
+        if incremental:
+            self._flush_delta(old_v, new_v)
+        else:
+            self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
+            if m.layout == "blocks":
+                self._write_blocks(new_v)
+            elif m.layout == "ivf":
+                self._write_ivf(new_v)
+        m.version = new_v
         self._write_manifest()
         self._view = self._read_version()
         self._dirty = False
-        if not self.manifest.versioning:
+        self._reset_pending()
+        if not m.versioning:
             for old_dir in (
                 self._data_dir(old_v),
                 os.path.join(self.root, f"v{old_v}_blocks"),
                 os.path.join(self.root, f"v{old_v}_ivf"),
+                os.path.join(self.root, f"v{old_v}_tombstones"),
             ):
                 if os.path.isdir(old_dir):
+                    # hardlinked inodes survive in the new version
                     shutil.rmtree(old_dir)
+
+    def compact(self) -> None:
+        """Full rewrite: fold all delta files and tombstones into one
+        clean snapshot + freshly packed index (the explicit compaction
+        a delta-maintained collection runs off the serving path)."""
+        self.flush(compact=True)
+
+    def _flush_delta(self, old_v: int, new_v: int) -> None:
+        """Incremental blocks flush. The new version is a MANIFEST
+        over immutable files: hardlinks to every base data/index part
+        (metadata-only ops — on an object store these would be file
+        references in a table manifest) + freshly written delta parts
+        + a cumulative tombstone table (commit ids superseded by
+        upserts or removed by deletes). Readers subtract tombstones;
+        the block scan masks them per file.
+
+        Cost shape: delta rows come straight from the DML bookkeeping
+        (:meth:`_track_upsert` — already checkpointed batches, no
+        collection diff), and tombstones from ONE column-pruned pass
+        over the base files (PK semi-join against the upserted-PK set
+        + the recorded delete predicates; Catalyst prunes the scan to
+        the referenced columns). Nothing re-reads, rewrites, or
+        re-packs the unchanged bulk — flush work is O(change), the
+        delta analogue of the reference's per-write in-place store
+        update."""
+        schema = self._storage_schema()
+        pk = self.manifest.index_design.primary_key
+        delta = (
+            self._pending
+            if self._pending is not None
+            else self.spark.createDataFrame([], schema)
+        ).localCheckpoint(eager=True)
+        n_delta = delta.count()
+        base = self.spark.read.schema(schema).parquet(self._data_dir(old_v))
+        dead_parts = []
+        if self._upserted_pks is not None:
+            dead_parts.append(
+                base.join(
+                    F.broadcast(self._upserted_pks.distinct()), on=pk, how="left_semi"
+                ).select(_COMMIT)
+            )
+        for ast in self._delete_asts:
+            # a base row matching the predicate but whose pk was since
+            # re-upserted is dead via the pk semi-join anyway, so
+            # evaluating against base values (not view state) is safe
+            dead_parts.append(base.filter(compile_filter(base, ast)).select(_COMMIT))
+        old_tomb = self._tombstones_dir(old_v)
+        if os.path.isdir(old_tomb):
+            dead_parts.append(
+                self.spark.read.schema(
+                    T.StructType([T.StructField(_COMMIT, T.LongType(), False)])
+                ).parquet(old_tomb)
+            )
+        if dead_parts:
+            from functools import reduce
+
+            dead = reduce(lambda a, b: a.unionByName(b), dead_parts).distinct()
+        else:
+            dead = self.spark.createDataFrame(
+                [], T.StructType([T.StructField(_COMMIT, T.LongType(), False)])
+            )
+        delta.write.mode("overwrite").parquet(self._data_dir(new_v))
+        _link_parts(self._data_dir(old_v), self._data_dir(new_v))
+        dead.write.mode("overwrite").parquet(self._tombstones_dir(new_v))
+        # pack ONLY the delta rows; base block files ride along as links
+        from coltt_spark.operators.blocks import pack_blocks, write_block_index
+
+        m = self.manifest
+        df = delta
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        meta_cols = [
+            f.name for f in schema
+            if f.name not in self._vector_cols() and f.name != _COMMIT
+        ]
+        n_files = max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            -(-n_delta // 32768),  # ceil — don't shatter a small delta
+        ))
+        for vc in self._vector_cols():
+            blocks = pack_blocks(
+                df.select(_COMMIT, *meta_cols, vc),
+                id_col=_COMMIT,
+                vec_col=vc,
+                dim=m.dim,
+                dtype=m.block_dtype,
+                payload_cols=meta_cols,
+            )
+            write_block_index(blocks, self._blocks_dir(vc, new_v), n_files=n_files)
+            _link_parts(self._blocks_dir(vc, old_v), self._blocks_dir(vc, new_v))
 
     def versions(self) -> list[int]:
         """Snapshot versions currently retained on storage."""
@@ -652,9 +846,10 @@ class Collection:
             raise ValueError(
                 f"version {version} is not retained (have {self.versions()})"
             )
-        return self.spark.read.schema(self._storage_schema()).parquet(
+        df = self.spark.read.schema(self._storage_schema()).parquet(
             self._data_dir(version)
         )
+        return self._minus_tombstones(df, self._tombstones_dir(version))
 
     def lifecycle_cleanup(self) -> None:
         """Prune every non-latest snapshot version — the Spark analogue
@@ -669,6 +864,7 @@ class Collection:
                     self._data_dir(v),
                     os.path.join(self.root, f"v{v}_blocks"),
                     os.path.join(self.root, f"v{v}_ivf"),
+                    os.path.join(self.root, f"v{v}_tombstones"),
                 ):
                     if os.path.isdir(d):
                         shutil.rmtree(d)
@@ -845,6 +1041,7 @@ class Catalog:
         coll = Collection.__new__(Collection)
         coll.spark, coll.root, coll.manifest, coll._cached = self.spark, root, manifest, False
         coll._dirty = False
+        coll._reset_pending()
         # seed v0 with an empty snapshot so reads always succeed
         empty = self.spark.createDataFrame([], coll._storage_schema())
         empty.write.mode("overwrite").parquet(coll._data_dir(0))

@@ -272,6 +272,45 @@ _SPOOL_MAX_BYTES = int(os.environ.get("COLTT_BLOCK_SPOOL_BYTES", 32 << 30))
 #: OS page cache, so the Python-side footprint is metadata only
 _PAYLOAD_CACHE: dict[tuple[str, int], "object"] = {}
 
+#: per-process cache of sorted tombstone id arrays, keyed by the
+#: tombstone dir's file listing + mtimes (a rewritten tombstone table
+#: invalidates, like the payload cache)
+_TOMB_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _load_tombstones(path: str) -> np.ndarray:
+    """Load a version's tombstoned commit ids as one sorted int64
+    array (small — bounded by rows changed since the last compact).
+    Loaded once per worker process per tombstone-table generation;
+    every block scan then masks dead ids with one vectorized isin."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    key = (
+        path,
+        tuple((f, os.stat(os.path.join(path, f)).st_mtime_ns) for f in files),
+    )
+    dead = _TOMB_CACHE.get(key)
+    if dead is None:
+        parts = [
+            pq.read_table(os.path.join(path, f)).column(0).to_numpy(
+                zero_copy_only=False
+            )
+            for f in files
+        ]
+        dead = (
+            np.sort(np.concatenate(parts).astype(np.int64))
+            if parts
+            else np.empty(0, np.int64)
+        )
+        if len(_TOMB_CACHE) >= 16:
+            _TOMB_CACHE.pop(next(iter(_TOMB_CACHE)))
+        _TOMB_CACHE[key] = dead
+    return dead
+
 
 def write_block_index(
     blocks: DataFrame, path: str, *, n_files: int | None = None
@@ -336,10 +375,14 @@ def _spool_file(path: str, dim: int, np_dtype):
     import shutil
 
     st = os.stat(path)
-    # v2: the version tag invalidates pre-payload-marker entries left
-    # by older code in a persistent spool dir
+    # v3: keyed by INODE, not path — the delta-flush design hardlinks
+    # base part files into each new version dir, and inode identity
+    # means every version's links share ONE spool entry (base blocks
+    # stay warm across incremental flushes). The version tag bump
+    # invalidates entries keyed by older schemes.
     key = hashlib.sha1(
-        f"v2:{path}:{st.st_mtime_ns}:{st.st_size}:{np.dtype(np_dtype).name}".encode()
+        f"v3:{st.st_dev}:{st.st_ino}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{np.dtype(np_dtype).name}".encode()
     ).hexdigest()
     entry = os.path.join(_SPOOL_DIR, key)
     for _attempt in range(2):
@@ -472,6 +515,7 @@ def block_index_scan(
     payload_schema: T.StructType | None = None,
     id_alias: str = "id",
     payload_filter=None,
+    tombstones: str | None = None,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
     order/limit — compose your own, e.g. a different tie-break). With
@@ -485,7 +529,13 @@ def block_index_scan(
     packed payload — which carries every metadata column — and the
     local top-k is taken over survivors only. Filtered search keeps
     the block layout's cost shape (one matvec per file through the
-    spool, k rows out) instead of falling back to the row scan."""
+    spool, k rows out) instead of falling back to the row scan.
+
+    ``tombstones`` points at a directory of parquet files listing
+    commit ids superseded since the last compact (the delta-flush
+    design): those rows are masked out of every block before the
+    top-k, so a base index packed once keeps serving correctly as
+    deltas accumulate beside it."""
     np_dtype = _DTYPES[dtype]
     q = np.asarray([float(x) for x in query], dtype=np_dtype)
     fdf = _file_group_df(spark, _index_files(path), max_tasks)
@@ -507,6 +557,7 @@ def block_index_scan(
         raise ValueError("payload_filter requires payload_schema")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dead = _load_tombstones(tombstones) if tombstones else None
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
@@ -521,6 +572,9 @@ def block_index_scan(
                                 "filtered block search needs packed metadata"
                             )
                         mask = payload_filter(payload)
+                    if dead is not None and len(dead):
+                        live = ~np.isin(ids, dead)
+                        mask = live if mask is None else (mask & live)
                     yield _scan_block(
                         ids, X, norms, q, distance=distance, k=k,
                         payload=payload if want_payload else None,
@@ -540,6 +594,7 @@ def block_index_topk(
     distance: str = "cosine",
     dtype: str = "float32",
     max_tasks: int | None = None,
+    tombstones: str | None = None,
 ) -> DataFrame:
     """KNN over a written block index via the mmap spool cache — the
     serving path. The per-query Spark plan ships only FILE PATHS (one
@@ -551,7 +606,7 @@ def block_index_topk(
     through the OS page cache."""
     local = block_index_scan(
         spark, path, query, dim=dim, k=k, distance=distance, dtype=dtype,
-        max_tasks=max_tasks,
+        max_tasks=max_tasks, tombstones=tombstones,
     )
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
 
@@ -566,6 +621,7 @@ def block_index_topk_batch(
     distance: str = "cosine",
     dtype: str = "float32",
     max_tasks: int | None = None,
+    tombstones: str | None = None,
 ) -> DataFrame:
     """Batched KNN over a written block index: all B queries answered
     in ONE job, one BLAS ``X @ Q.T`` matmul per file — per-query cost
@@ -587,6 +643,7 @@ def block_index_topk_batch(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dead = _load_tombstones(tombstones) if tombstones else None
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
@@ -594,6 +651,9 @@ def block_index_topk_batch(
                     n = len(ids)
                     if not n:
                         continue
+                    live = None
+                    if dead is not None and len(dead):
+                        live = ~np.isin(ids, dead)
                     if distance == "manhattan":
                         D = np.stack(
                             [np.abs(X - Q[j][None, :]).sum(axis=1) for j in range(len(qids))],
@@ -616,9 +676,16 @@ def block_index_topk_batch(
                             D = -dots
                         else:
                             raise ValueError(f"unknown distance {distance!r}")
-                    kk = min(k, n)
+                    if live is not None:
+                        D = np.where(live[:, None], D, np.inf)
+                        n_alive = int(live.sum())
+                    else:
+                        n_alive = n
+                    kk = min(k, n_alive)
+                    if kk == 0:
+                        continue
                     B = len(qids)
-                    if kk < n:
+                    if kk < n_alive:
                         # same id tie-break at the k-th distance as the
                         # single-query scan; B is small so the per-query
                         # loop costs B candidate lexsorts, not a shuffle
@@ -630,7 +697,10 @@ def block_index_topk_batch(
                             order = np.lexsort((ids[cand], D[cand, j]))
                             sel[:, j] = cand[order[:kk]]
                     else:
-                        sel = np.tile(np.arange(n)[:, None], (1, B))  # (kk, B)
+                        alive_idx = (
+                            np.flatnonzero(live) if live is not None else np.arange(n)
+                        )
+                        sel = np.tile(alive_idx[:, None], (1, B))  # (kk, B)
                     yield pd.DataFrame(
                         {
                             "query_id": np.repeat(qid_arr[None, :], kk, axis=0).ravel(),

@@ -392,6 +392,85 @@ def test_blocks_filtered_search_matrix_matches_row_layout(catalog):
         coll_blk.search(q, filter_ast={"index_name": "nope", "op": "eq", "value": 1}).collect()
 
 
+def test_incremental_flush_packs_only_the_delta(catalog):
+    """Second flush of a blocks collection must be incremental: base
+    data/index part files are hardlinked (not rewritten), only rows
+    changed since the previous version are packed, superseded commit
+    ids land in a tombstone table — and every read surface (search,
+    filtered search, batch, time-travel, reopen) stays correct."""
+    import os
+
+    rows = _rows(200, dim=6, seed=31)
+    coll = catalog.create_collection(
+        "delta_blk", dim=6, distance="euclidean", fields=FIELDS,
+        layout="blocks", block_dtype="float64", versioning=True,
+    )
+    twin = catalog.create_collection(
+        "delta_rows", dim=6, distance="euclidean", fields=FIELDS
+    )
+    coll.upsert(rows)
+    twin.upsert(rows)
+    coll.flush()  # v1: full pack
+    v1_blocks = coll._blocks_dir("vector", 1)
+    base_parts = {
+        f for f in os.listdir(v1_blocks)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+
+    # DML: update 10, delete 3, insert 15 — then incremental flush
+    updates = _rows(10, dim=6, seed=77)
+    inserts = [dict(r, id=f"new-{i}") for i, r in enumerate(_rows(15, dim=6, seed=78))]
+    for c in (coll, twin):
+        c.upsert(updates)
+        c.upsert(inserts)
+        c.delete_where({"index_name": "id", "op": "lte", "value": "id-10"})
+    coll.flush()  # v2: delta
+    assert coll.manifest.version == 2
+    v2_blocks = coll._blocks_dir("vector", 2)
+    v2_parts = {
+        f for f in os.listdir(v2_blocks)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    # every base part rides along as a hardlink (same inode, nlink>1)
+    assert base_parts <= v2_parts
+    for f in base_parts:
+        s1 = os.stat(os.path.join(v1_blocks, f))
+        s2 = os.stat(os.path.join(v2_blocks, f))
+        assert s1.st_ino == s2.st_ino and s2.st_nlink >= 2
+    # the delta pack is small (new files ≪ base files for a 12% change)
+    assert len(v2_parts - base_parts) <= 2
+    assert os.path.isdir(coll._tombstones_dir(2))
+
+    q = _rows(1, dim=6, seed=9)[0]["vector"]
+    def ids(c, **kw):
+        return [(r["id"], round(r["dist"], 6)) for r in c.search(q, **kw).collect()]
+    assert ids(coll, limit=12) == ids(twin, limit=12)
+    filt = {"index_name": "type", "op": "gte", "value": 4}
+    assert ids(coll, filter_ast=filt, limit=8) == ids(twin, filter_ast=filt, limit=8)
+    # deleted/superseded rows never surface
+    got_ids = {r["id"] for r in coll.search(q, limit=50).collect()}
+    assert not any(i in got_ids for i in ("id-0", "id-1", "id-10"))
+    # batch path masks tombstones too (batch output is unordered)
+    batch = coll.search_batch({0: q}, limit=12).collect()
+    assert sorted((r["id"], round(r["dist"], 6)) for r in batch) == sorted(
+        ids(twin, limit=12)
+    )
+    # time-travel still sees the full v1 state
+    assert coll.read_version(1).count() == 200
+    # 200 base + 15 inserts − 3 deleted (id-0, id-1, id-10 ≤ "id-10")
+    assert coll.count() == 212 and twin.count() == 212
+
+    # reopening from disk serves the delta state
+    fresh = Catalog(coll.spark, catalog.warehouse).get_collection("delta_blk")
+    assert ids(fresh, limit=12) == ids(twin, limit=12)
+
+    # compact folds deltas: fresh full pack, no tombstones, same answers
+    coll.compact()
+    assert coll.manifest.version == 3
+    assert not os.path.isdir(coll._tombstones_dir(3))
+    assert ids(coll, limit=12) == ids(twin, limit=12)
+
+
 def test_versioning_retains_and_cleans_snapshots(catalog):
     """versioning=True: flush retains prior snapshot versions for
     time-travel reads until lifecycle_cleanup prunes non-latest

@@ -35,3 +35,23 @@ def test_every_query_is_oracle_backed():
 
     missing = sorted(set(e.queries()) - set(e.oracle_sql()))
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_registry_order_puts_unverified_entries_in_driver_window():
+    """The driver hash-checks only the first _DRIVER_WINDOW queries()
+    keys. Pin the ordering contract: the registry follows _KEY_ORDER
+    exactly, and every entry never driver-checked before round 3 (plus
+    everything new/changed this round) sits inside the window."""
+    from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
+
+    assert list(QUERIES) == _KEY_ORDER
+    window = set(_KEY_ORDER[:_DRIVER_WINDOW])
+    must_check = {
+        "media_knn", "media_frames", "schemaless_pure_search",
+        "schemaless_update_delete", "hybrid_search", "doc_chunk",
+        "decontaminate", "sample_stratified", "sample_fraction",
+        "source_mix", "export_shards", "pack_sequences",
+        "stream_hourly", "stream_sessionize", "stream_dedup",
+        "collection_search_blocks_filtered", "collection_search_blocks_delta",
+    }
+    assert must_check <= window, sorted(must_check - window)
