@@ -1,0 +1,92 @@
+"""Embedding-space clustering for training-data curation.
+
+The large-scale curation pattern (SemDeDup, cluster-balanced
+selection): k-means the corpus's embedding space, then inspect or
+rebalance the data per cluster — cap mega-clusters (boilerplate,
+templates), keep the tail (diversity). Built entirely from engine
+pieces that are already oracle-checked:
+
+- clustering = :func:`coltt_spark.operators.ann.ivf_build` — the
+  deterministic hash-mod seed pick + distributed spherical Lloyd
+  round that also powers the IVF index (one scan to assign, k·dim
+  numbers to the driver per round);
+- per-cluster quotas = :func:`coltt_spark.operators.pipeline.
+  stratified_sample` with the cluster id as the stratum — the
+  skew-safe hash-threshold sampler, so a mega-cluster never funnels
+  through one sort task.
+
+Scale shape: one assignment scan (broadcast centroids, Arrow-batched
+matmul), one map-side-combined count aggregate, one window over
+hash-prefiltered survivors. No all-pairs anything; the cluster id is
+the only shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.ann import ivf_build
+from coltt_spark.operators.pipeline import stratified_sample
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Assign every row to its nearest (max-cosine) k-means centroid.
+    Returns (id, vector, centroid) — the same artifact the IVF layout
+    persists, surfaced as a curation table."""
+    assigned, _ = ivf_build(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_clusters, kmeans_iters=iters
+    )
+    return assigned
+
+
+def cluster_sizes(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Cluster occupancy report (centroid, n_vectors) — the first
+    thing a curation pass looks at: which clusters are template
+    mega-clusters and which are the long tail. One scan + one
+    map-side-combined count."""
+    assigned = cluster_embeddings(
+        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+    )
+    return assigned.groupBy(F.col("centroid").cast("long").alias("centroid")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    quota: int = 10,
+    iters: int = 1,
+) -> DataFrame:
+    """Cluster-balanced selection: at most ``quota`` rows per cluster,
+    picked in deterministic md5-hash order — flattens the cluster-size
+    distribution the way curation pipelines cap boilerplate clusters
+    while keeping rare ones intact. Returns (id, centroid,
+    sample_rank); re-runs select the same rows."""
+    assigned = cluster_embeddings(
+        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+    )
+    out = stratified_sample(
+        assigned.select(id_col, "centroid"), id_col, "centroid", quota=quota
+    )
+    return out.select(
+        F.col(id_col), F.col("centroid").cast("long").alias("centroid"), "sample_rank"
+    )

@@ -58,11 +58,19 @@ def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
     return (tiled / 255.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, *, dim: int = 16, decoder=None) -> DataFrame:
     """Decode + feature-extract per media row (Arrow-batched). With a
     real decoder this is where image embeddings / mel spectrograms
     are computed; the plan shape (scan → mapInPandas → downstream) is
-    identical."""
+    identical.
+
+    ``decoder`` is the injection seam: a picklable callable
+    ``(payload: bytes, out_len: int) -> np.ndarray[float32]`` run
+    inside the Arrow batch kernel on executors. Default is the
+    deterministic fake; a real deployment passes e.g. a PIL/pyav
+    wrapper and nothing else changes — same schema, same plan.
+    """
+    decode = decoder if decoder is not None else _fake_decode
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -70,7 +78,7 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = pdf["payload"].map(lambda b: _fake_decode(b, dim))
+            feats = pdf["payload"].map(lambda b: decode(b, dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -1,0 +1,351 @@
+"""Compact-code ANN: binary quantization (BQ) and product
+quantization (PQ).
+
+Reference parity: the ``Quantization`` enum declares ``PQ`` and ``BQ``
+alongside f16/bf16/f8 but never implements them
+(``idl/proto/v3/core.proto:105-112``, the quantizer dispatch at
+``edge/vectorstore.go:69-80`` stops at f8). This module supplies the
+missing members with the standard public constructions:
+
+- **BQ** — one sign bit per dimension, packed into int64 words.
+  Search is a two-phase FLAT scan: Hamming distance on the packed
+  words (``xor`` + ``bit_count`` — pure JVM codegen, ~dim/64 integer
+  ops per row vs dim float multiplies), then an exact cosine rerank
+  over the best ``rerank`` candidates per query. 32× less memory
+  traffic than the float scan, which is the entire point at 100 TB.
+- **PQ** — split the vector into M subspaces, k-means a ``ks``-entry
+  codebook per subspace (deterministic hash-mod seeds + one
+  distributed Lloyd round, exactly the IVF recipe in
+  :mod:`coltt_spark.operators.ann`), store each vector as M small
+  codes, and answer queries with asymmetric distance computation
+  (ADC): a per-query M×ks lookup table of exact subspace distances,
+  summed per stored row by code. The scan reads codes only —
+  dim·4 bytes shrink to M bytes per row.
+
+Scale shape: both paths are single-scan, shuffle-free until the final
+per-query top-k window over candidates; codebooks/LUTs are tiny
+driver-side literals (M·ks·dsub doubles), never a join. Every
+arithmetic step is a sequential left fold in double so a DuckDB
+oracle replays results bit-for-bit (see registry_ann).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from coltt_spark.functions.vector import vector_distance
+from coltt_spark.operators.ann import seed_centroids
+
+# ---------------------------------------------------------------------------
+# BQ — sign bits + Hamming
+
+
+def _pow2_long(i: int) -> int:
+    """2^i as a signed 64-bit value (bit 63 wraps to Long.MIN — the bit
+    pattern is what matters; sums of distinct powers never carry)."""
+    v = 1 << i
+    return v if v < 1 << 63 else v - (1 << 64)
+
+
+def sign_words(vec: Column | str, dim: int) -> Column:
+    """Pack per-dimension sign bits (strict ``x > 0``, so 0 and NaN-free
+    negatives map to 0) into ``ceil(dim/64)`` int64 words,
+    little-endian within each word. Pure Catalyst expression — the
+    packing runs inside whole-stage codegen on the scan, no Python."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    words = []
+    for w in range(0, dim, 64):
+        width = min(64, dim - w)
+        powers = F.array(*[F.lit(_pow2_long(i)).cast("long") for i in range(width)])
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(vec, w + 1, width),
+                    powers,
+                    lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*words)
+
+
+def sign_words_py(v: Sequence[float]) -> list[int]:
+    """Driver-side twin of :func:`sign_words` for query literals."""
+    out = []
+    for w in range(0, len(v), 64):
+        word = 0
+        for i, x in enumerate(v[w : w + 64]):
+            if x > 0:
+                word |= 1 << i
+        out.append(word if word < 1 << 63 else word - (1 << 64))
+    return out
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Σ bit_count(aᵢ xor bᵢ) over packed sign words."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: dict[int, Sequence[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    rerank: int = 50,
+) -> DataFrame:
+    """Two-phase BQ search: Hamming top-``rerank`` per query on packed
+    sign bits, exact cosine rerank to top-``k`` inside the survivors.
+    Returns (query_id, id, hamming, dist).
+
+    One corpus scan; the Hamming pass is integer codegen over
+    dim/64-word arrays, and only B·rerank rows ever see a float dot
+    product. In a serving deployment the packed words are the stored
+    index (32× smaller than the vectors); here they are computed on
+    the scan so the query stays self-contained."""
+    spark = corpus.sparkSession
+    dim = len(next(iter(queries.values())))
+    qrows = [
+        (int(qid), sign_words_py([float(x) for x in v]), [float(x) for x in v])
+        for qid, v in queries.items()
+    ]
+    qdf = spark.createDataFrame(
+        qrows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qbits", T.ArrayType(T.LongType()), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    base = corpus.select(id_col, vec_col, sign_words(vec_col, dim).alias("_bits"))
+    cand = base.crossJoin(F.broadcast(qdf)).withColumn(
+        "hamming", hamming(F.col("_bits"), F.col("qbits"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= rerank)
+        .withColumn("dist", vector_distance("cosine", F.col(vec_col), F.col("qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= k)
+        .select("query_id", F.col(id_col), "hamming", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ — per-subspace codebooks + ADC
+
+
+def _sq_dist(sub: Column, centroid: Sequence[float]) -> Column:
+    """Σ (xᵢ-cᵢ)² as a sequential left fold in double (oracle-exact)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _code_expr(sub: Column, centroids: np.ndarray) -> Column:
+    """argmin over the subspace codebook, ties to the lowest code id —
+    an ``array_min`` over (dist, code) structs, so the whole encode is
+    one codegen expression per subspace."""
+    cands = [
+        F.struct(_sq_dist(sub, c).alias("d"), F.lit(ci).alias("c"))
+        for ci, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*cands))["c"]
+
+
+def _sub_slices(vec: Column, m: int, dsub: int) -> list[Column]:
+    return [F.slice(vec, mi * dsub + 1, dsub) for mi in range(m)]
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Train per-subspace codebooks: the ``n_codes`` hash-mod seed
+    vectors (same deterministic pick as IVF, :func:`seed_centroids`)
+    sliced per subspace, refined by ONE distributed Lloyd round —
+    assignment is JVM codegen on the scan, the centroid update reduces
+    per-(subspace, code, ordinal) means with map-side partials (only
+    M·ks·dsub numbers reach the driver). Returns (M, ks, dsub)
+    float64 codebooks; empty clusters keep their seed."""
+    n = corpus.count()
+    rows = seed_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_codes, n=n
+    ).collect()
+    if len(rows) < min(n, n_codes):  # tiny/skewed id space: take any rows
+        rows = corpus.select(id_col, vec_col).limit(n_codes).collect()
+    C = np.array([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    dsub = dim // n_subspaces
+    if n_subspaces * dsub != dim:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    book = (
+        C[:, : n_subspaces * dsub]
+        .reshape(len(C), n_subspaces, dsub)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (M, ks, dsub)
+
+    vec = F.col(vec_col).cast("array<double>")
+    subs = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        _code_expr(sub, book[mi]).alias("code"),
+                        sub.alias("sv"),
+                    )
+                    for mi, sub in enumerate(_sub_slices(vec, n_subspaces, dsub))
+                ]
+            )
+        ).alias("s")
+    )
+    agg = (
+        subs.select("s.m", "s.code", F.posexplode("s.sv").alias("ord", "x"))
+        .groupBy("m", "code", "ord")
+        .agg(F.avg("x").alias("mx"))
+        .collect()
+    )
+    means: dict[tuple[int, int], dict[int, float]] = {}
+    for r in agg:
+        means.setdefault((r["m"], r["code"]), {})[r["ord"]] = r["mx"]
+    refined = book.copy()
+    for (mi, c), by_ord in means.items():
+        refined[mi, c] = [by_ord[o] for o in range(dsub)]
+    return refined
+
+
+def pq_encode(corpus: DataFrame, book: np.ndarray, *, id_col: str, vec_col: str) -> DataFrame:
+    """Encode every row as M codes (array<int>) — one narrow codegen
+    pass, the persistent PQ index a serving deployment would write."""
+    m, _, dsub = book.shape
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[_code_expr(sub, book[mi]) for mi, sub in enumerate(_sub_slices(vec, m, dsub))]
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: dict[int, Sequence[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    book: np.ndarray | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """PQ/ADC search: encode (or reuse an encoded index), build each
+    query's M×ks lookup table of exact subspace distances driver-side
+    (sequential-fold double, oracle-exact), and score every stored row
+    as sqrt(Σₘ lut[m·ks + codes[m]]) — an integer-indexed array read
+    per subspace, no float math over the vector at query time.
+    Returns (query_id, id, dist) with dist = the ADC approximation of
+    euclidean distance.
+
+    ``refine > 0`` adds the standard refine phase: the top ``refine``
+    ADC candidates per query are re-scored with the EXACT euclidean
+    distance (a join back to the vectors touches only B·refine rows)
+    and ``dist`` becomes exact — the accuracy of a flat scan at the
+    cost profile of a code scan."""
+    if book is None:
+        book = pq_train(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+        )
+    m, ks, dsub = book.shape
+    encoded = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
+
+    qrows = []
+    for qid, v in queries.items():
+        q = [float(x) for x in v]
+        lut = []
+        for mi in range(m):
+            for c in range(ks):
+                s = 0.0
+                for j in range(dsub):
+                    d = q[mi * dsub + j] - float(book[mi, c, j])
+                    s = s + d * d
+                lut.append(s)
+        qrows.append((int(qid), lut))
+    qdf = corpus.sparkSession.createDataFrame(
+        qrows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("lut", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    scored = encoded.crossJoin(F.broadcast(qdf)).withColumn(
+        "dist",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("codes"), lambda c, i: F.get(F.col("lut"), i * ks + c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    topped = scored.withColumn("rn", F.row_number().over(w))
+    if not refine:
+        return topped.filter(F.col("rn") <= k).select("query_id", F.col(id_col), "dist")
+
+    qvdf = corpus.sparkSession.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries.items()],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    cand = (
+        topped.filter(F.col("rn") <= refine)
+        .select("query_id", id_col)
+        .join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(qvdf), on="query_id")
+        .withColumn("dist", vector_distance("euclidean", F.col(vec_col), F.col("qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= k)
+        .select("query_id", F.col(id_col), "dist")
+    )

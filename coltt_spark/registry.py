@@ -1125,6 +1125,10 @@ _KEY_ORDER = [
     "stream_dedup",
     "collection_search_blocks_filtered",  # new: filtered block fast path
     "collection_search_blocks_delta",     # new: incremental index maintenance
+    "ann_bq",                             # new: binary quantization (proto BQ)
+    "ann_pq",                             # new: product quantization (proto PQ)
+    "embed_cluster_sizes",                # new: k-means curation report
+    "sample_cluster_balanced",            # new: per-cluster quota sampling
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
@@ -1141,7 +1145,6 @@ _KEY_ORDER = [
     "upsert_delete",
     "collection_search_ivf",
     "collection_hybrid_ivf",
-    "knn_f16",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -1151,17 +1154,18 @@ _KEY_ORDER = [
     "text_quality",
     "token_count",
     "doc_fingerprint",
-    "ann_topk_batch",
     "ann_ivf",
     "pricing_summary",
     "region_revenue",
     "window_top_orders",
     "cube_revenue",
     "price_percentiles",
-    "events_hourly",
-    "media_metadata",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "events_hourly",
+    "media_metadata",
+    "knn_f16",
+    "ann_topk_batch",
     "knn_euclidean",
     "knn_manhattan",
     "knn_pagination",

@@ -140,25 +140,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
 
 
-def _ivf_oracle(*, n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
-    """Replay the ENTIRE IVF pipeline in SQL: the md5-derived
+def _kmeans_ctes(*, n_centroids: int = 16) -> str:
+    """Shared SQL CTE prefix (``h`` … ``a1``) replaying the spherical
+    k-means every IVF-shaped oracle builds on: the md5-derived
     (``hash60``) seed pick, seed normalization, one spherical-Lloyd
     round (assign by max normalized-dot → per-centroid mean of RAW
-    vectors → renormalize, empty clusters keeping their seed), the
-    final assignment against refined centroids, per-query ``nprobe``
-    nearest lists, and the exact cosine rerank inside them.
-
-    Floating-point parity: both engines do the heavy sums in double;
-    numpy's pairwise/BLAS order differs from SQL's sequential fold
-    only at ~1e-16, which can only flip an argmax/argsort when two
-    candidates are equidistant to that precision — never the case on
-    the fixed random embeddings. The output distances are computed
-    from exact stored vectors, so values match bit-for-bit after
-    ``round(4)``."""
+    vectors → renormalize, empty clusters keeping their seed), and the
+    final assignment ``a1`` (rows where ``rn = 1``) against the
+    refined centroids ``c1``. See :func:`_ivf_oracle` for the
+    floating-point parity argument."""
     nrm = "greatest(sqrt(list_dot_product({v}, {v})), 1e-30)"
     unit = f"list_transform({{v}}, x -> x / {nrm})"
-    return f"""
-WITH h AS (
+    return f"""h AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
   FROM embeddings
@@ -193,7 +186,25 @@ a1 AS (
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_dot_product({unit.format(v="e.v")}, c.cv) DESC, c.cid ASC) AS rn
   FROM h e CROSS JOIN c1 c
-),
+)"""
+
+
+def _ivf_oracle(*, n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """Replay the ENTIRE IVF pipeline in SQL: the shared k-means
+    prefix (:func:`_kmeans_ctes`), per-query ``nprobe`` nearest lists,
+    and the exact cosine rerank inside them.
+
+    Floating-point parity: both engines do the heavy sums in double;
+    numpy's pairwise/BLAS order differs from SQL's sequential fold
+    only at ~1e-16, which can only flip an argmax/argsort when two
+    candidates are equidistant to that precision — never the case on
+    the fixed random embeddings. The output distances are computed
+    from exact stored vectors, so values match bit-for-bit after
+    ``round(4)``."""
+    nrm = "greatest(sqrt(list_dot_product({v}, {v})), 1e-30)"
+    unit = f"list_transform({{v}}, x -> x / {nrm})"
+    return f"""
+WITH {_kmeans_ctes(n_centroids=n_centroids)},
 qs AS (SELECT vec_id AS query_id, v AS qv FROM h WHERE vec_id IN (0, 1, 2)),
 probes AS (
   SELECT q.query_id, c.cid,
@@ -237,11 +248,264 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
 
 
+_DD_L2 = (
+    "sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]-p[2])*(p[1]-p[2]))))"
+)
+
+
+def _bq_oracle(*, rerank: int = 50, k: int = 5) -> str:
+    """Replay the BQ two-phase scan in SQL: the Hamming distance is
+    the count of dimensions whose strict ``> 0`` sign bits differ
+    (bit-packing is a layout detail — xor+popcount over packed words
+    counts exactly these positions), top-``rerank`` per query by
+    (hamming, id), exact cosine rerank inside. Signs are exact: the
+    stored floats cast to DOUBLE unchanged, so both engines see the
+    identical ``x > 0`` bit."""
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+hm AS (
+  SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS v, q.qv,
+         len(list_filter(list_zip(e.embedding::DOUBLE[], q.qv),
+             p -> (p[1] > 0) != (p[2] > 0)))::BIGINT AS hamming
+  FROM embeddings e CROSS JOIN qs q
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS rn
+  FROM hm
+),
+d AS (
+  SELECT query_id, vec_id, hamming,
+         {_DD_COS.format(a="v", b="qv")} AS dist
+  FROM r1 WHERE rn <= {rerank}
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, hamming, round(dist, 4) AS dist FROM r2 WHERE rn <= {k}
+"""
+
+
+def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized KNN (sign bits + Hamming + exact rerank) —
+    the ``BQ`` member of the reference's Quantization enum
+    (``idl/proto/v3/core.proto:105-112``, declared but never
+    implemented there). Value-checked end-to-end by
+    :func:`_bq_oracle`."""
+    from coltt_spark.operators.pq import bq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = bq_topk(
+        emb,
+        _queries_from_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        rerank=50,
+    )
+    return res.select("query_id", "vec_id", "hamming", F.round("dist", 4).alias("dist"))
+
+
+def _pq_oracle(
+    *, n_subspaces: int = 8, n_codes: int = 16, refine: int = 50, k: int = 5
+) -> str:
+    """Replay the ENTIRE PQ pipeline in SQL: the md5 (``hash60``)
+    hash-mod seed pick (same recipe as IVF), per-subspace slicing,
+    one Lloyd round of plain L2 k-means per subspace (assign by min
+    ordered-fold squared distance → per-(subspace, code, ordinal)
+    mean, empty codes keeping their seed), re-encode, the per-query
+    subspace LUT, the ADC sum in subspace order, the top-``refine``
+    ADC cut, and the exact euclidean rerank. Same float-parity
+    argument as :func:`_ivf_oracle`: heavy sums are double on both
+    sides; avg-order drift (~1e-16) can only flip an argmin on exact
+    ties, and the output distances are exact-vector euclidean after
+    the refine phase, so values match after ``round(4)``."""
+    m, ks = n_subspaces, n_codes
+    dsub_sql = f"(len_d.dim // {m})"
+    sq = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+),
+len_d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+nn AS (SELECT greatest(count(*) // {2 * ks}, 1) AS step FROM embeddings),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY hh) - 1 AS cid
+  FROM h, nn WHERE hh % step = 0
+  ORDER BY hh LIMIT {ks}
+),
+ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m),
+hs AS (
+  SELECT h.vec_id, ms.m,
+         h.v[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS sv
+  FROM h CROSS JOIN ms, len_d
+),
+b0 AS (
+  SELECT s.cid, ms.m,
+         s.v[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS cv
+  FROM seeds s CROSS JOIN ms, len_d
+),
+a0 AS (
+  SELECT hs.vec_id, hs.m, b.cid, hs.sv,
+         row_number() OVER (PARTITION BY hs.vec_id, hs.m
+             ORDER BY {sq.format(a="hs.sv", b="b.cv")} ASC, b.cid ASC) AS rn
+  FROM hs JOIN b0 b ON b.m = hs.m
+),
+g AS (SELECT unnest(generate_series(1, (SELECT dim // {m} FROM len_d))) AS ord),
+m0 AS (
+  SELECT t.m, t.cid, g.ord, avg(t.sv[g.ord]) AS mx
+  FROM (SELECT m, cid, sv FROM a0 WHERE rn = 1) t CROSS JOIN g
+  GROUP BY t.m, t.cid, g.ord
+),
+b1m AS (SELECT m, cid, list(mx ORDER BY ord) AS mv FROM m0 GROUP BY m, cid),
+b1 AS (
+  SELECT b0.m, b0.cid, COALESCE(b1m.mv, b0.cv) AS cv
+  FROM b0 LEFT JOIN b1m ON b1m.m = b0.m AND b1m.cid = b0.cid
+),
+a1 AS (
+  SELECT hs.vec_id, hs.m, b.cid,
+         row_number() OVER (PARTITION BY hs.vec_id, hs.m
+             ORDER BY {sq.format(a="hs.sv", b="b.cv")} ASC, b.cid ASC) AS rn
+  FROM hs JOIN b1 b ON b.m = hs.m
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM h WHERE vec_id IN (0, 1, 2)),
+qsub AS (
+  SELECT q.query_id, ms.m,
+         q.qv[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS qsv
+  FROM qs q CROSS JOIN ms, len_d
+),
+lut AS (
+  SELECT q.query_id, q.m, b.cid, {sq.format(a="q.qsv", b="b.cv")} AS d
+  FROM qsub q JOIN b1 b ON b.m = q.m
+),
+adc AS (
+  SELECT l.query_id, a.vec_id, sqrt(list_sum(list(l.d ORDER BY l.m))) AS dist
+  FROM (SELECT vec_id, m, cid FROM a1 WHERE rn = 1) a
+  JOIN lut l ON l.m = a.m AND l.cid = a.cid
+  GROUP BY l.query_id, a.vec_id
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM adc
+),
+refined AS (
+  SELECT r.query_id, r.vec_id,
+         {_DD_L2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM r1 r
+  JOIN embeddings e ON e.vec_id = r.vec_id
+  JOIN qs q ON q.query_id = r.query_id
+  WHERE r.rn <= {refine}
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM refined
+)
+SELECT query_id, vec_id, round(dist, 4) AS dist FROM r2 WHERE rn <= {k}
+"""
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized KNN (per-subspace codebooks + ADC + exact
+    refine) — the ``PQ`` member of the reference's Quantization enum
+    (``idl/proto/v3/core.proto:105-112``, declared but never
+    implemented there). Value-checked end-to-end by
+    :func:`_pq_oracle`, which replays seed pick, per-subspace Lloyd,
+    encode, LUT, ADC, and refine in SQL."""
+    from coltt_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = pq_topk(
+        emb,
+        _queries_from_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_subspaces=8,
+        n_codes=16,
+        refine=50,
+    )
+    return res.select("query_id", "vec_id", F.round("dist", 4).alias("dist"))
+
+
+_DD_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _cluster_sizes_oracle(*, n_clusters: int = 16) -> str:
+    """Cluster occupancy on top of the shared k-means replay."""
+    return f"""
+WITH {_kmeans_ctes(n_centroids=n_clusters)}
+SELECT CAST(cid AS BIGINT) AS centroid, count(*) AS n_vectors
+FROM a1 WHERE rn = 1 GROUP BY cid
+"""
+
+
+def _cluster_sample_oracle(*, n_clusters: int = 16, quota: int = 10) -> str:
+    """Cluster-balanced sampling: the shared k-means replay feeding
+    the stratified sampler's hash-threshold + ranked-window replay
+    (same double-precision threshold literals, in the same order, as
+    operators/pipeline.stratified_sample)."""
+    keep = float(8 * quota + 256)
+    h60 = _DD_H60.format(x="a.vec_id::VARCHAR")
+    return f"""
+WITH {_kmeans_ctes(n_centroids=n_clusters)},
+asg AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+cnt AS (SELECT cid, count(*) AS sn FROM asg GROUP BY cid),
+f AS (
+  SELECT a.vec_id, a.cid, {h60} AS hsel
+  FROM asg a JOIN cnt USING (cid)
+  WHERE ({h60})::DOUBLE < {keep!r} / sn * 1152921504606846976.0
+),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid ORDER BY hsel ASC, vec_id ASC) AS rk
+  FROM f
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid, CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= {quota}
+"""
+
+
+def q_embed_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster occupancy over the embedding space — the
+    curation-pass entry point (which clusters are boilerplate
+    mega-clusters?). Reuses the IVF build; the oracle replays seed
+    pick + Lloyd + assignment via the shared k-means CTEs."""
+    from coltt_spark.operators.cluster import cluster_sizes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_sizes(emb, id_col="vec_id", vec_col="embedding", n_clusters=16)
+
+
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection (SemDeDup-style curation): ≤ 10 rows
+    per k-means cluster in deterministic md5-hash order — composition
+    of two oracle-checked engine pieces (IVF build + skew-safe
+    stratified sampler)."""
+    from coltt_spark.operators.cluster import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, quota=10
+    )
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_batch": _ann_exact("window"),
     "ann_topk_blas": _ann_exact("blas"),
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_bq": q_ann_bq,
+    "ann_pq": q_ann_pq,
+    "embed_cluster_sizes": q_embed_cluster_sizes,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -249,4 +513,8 @@ ANN_ORACLES: dict[str, str] = {
     "ann_topk_blas": _ORACLE_ANN_EXACT,
     "ann_lsh": _lsh_oracle(),
     "ann_ivf": _ivf_oracle(),
+    "ann_bq": _bq_oracle(),
+    "ann_pq": _pq_oracle(),
+    "embed_cluster_sizes": _cluster_sizes_oracle(),
+    "sample_cluster_balanced": _cluster_sample_oracle(),
 }

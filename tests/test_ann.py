@@ -136,3 +136,93 @@ def test_ivf_kmeans_refinement(spark):
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     out = kmeans_refine(emb, Cn, vec_col="embedding", iters=2)
     assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-9)
+
+
+def test_bq_sign_words_match_python(spark):
+    """JVM bit packing ≡ the driver-side twin, including the bit-63
+    two's-complement wrap."""
+    from coltt_spark.operators.pq import sign_words, sign_words_py
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = emb.limit(20).select(
+        "vec_id", "embedding", sign_words("embedding", 64).alias("bits")
+    ).collect()
+    for r in rows:
+        assert list(r["bits"]) == sign_words_py(list(r["embedding"]))
+
+
+def test_bq_recall_and_exact_rerank(spark):
+    """BQ hamming prefilter + exact rerank: the surviving top-k carry
+    EXACT cosine distances (subset of the flat scan's candidates), and
+    recall is far above the random floor."""
+    from coltt_spark.operators.pq import bq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K)
+    approx = bq_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K, rerank=100)
+    r = recall_at_k(approx, truth, id_col="vec_id", k=K)
+    assert r >= 0.5, r
+    # exact-rerank contract: dist values agree with the flat scan
+    t = {(x["query_id"], x["vec_id"]): round(x["dist"], 8) for x in truth.collect()}
+    for x in approx.collect():
+        key = (x["query_id"], x["vec_id"])
+        if key in t:
+            assert round(x["dist"], 8) == t[key]
+
+
+def test_pq_adc_and_refine(spark):
+    """PQ: codes are in range, ADC is deterministic, and the refine
+    phase returns exact euclidean distances with recall above the
+    coarse ADC path."""
+    from coltt_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    book = pq_train(emb, id_col="vec_id", vec_col="embedding", n_subspaces=8, n_codes=16)
+    assert book.shape == (8, 16, 8)
+    codes = pq_encode(emb, book, id_col="vec_id", vec_col="embedding").collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"]) for r in codes)
+
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                       distance="euclidean")
+    adc = pq_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K, book=book)
+    refined = pq_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                      book=book, refine=100)
+    r_adc = recall_at_k(adc, truth, id_col="vec_id", k=K)
+    r_ref = recall_at_k(refined, truth, id_col="vec_id", k=K)
+    assert r_ref >= r_adc - 0.05
+    assert r_ref >= 0.5, (r_adc, r_ref)
+    # refine contract: returned distances are the exact euclidean ones
+    t = {(x["query_id"], x["vec_id"]): round(x["dist"], 8) for x in truth.collect()}
+    for x in refined.collect():
+        key = (x["query_id"], x["vec_id"])
+        if key in t:
+            assert round(x["dist"], 8) == t[key]
+
+
+def test_cluster_sizes_and_balanced_sample(spark):
+    """Curation composition: occupancy covers the whole corpus, the
+    balanced sample caps every cluster at the quota, and re-running
+    selects the identical rows (deterministic md5-hash order)."""
+    from coltt_spark.operators.cluster import cluster_balanced_sample, cluster_sizes
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    sizes = cluster_sizes(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    rows = sizes.collect()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert len(rows) <= 8
+
+    s1 = cluster_balanced_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, quota=5
+    ).collect()
+    per = {}
+    for r in s1:
+        per.setdefault(r["centroid"], []).append(r["vec_id"])
+        assert 1 <= r["sample_rank"] <= 5
+    assert all(len(v) <= 5 for v in per.values())
+    s2 = cluster_balanced_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, quota=5
+    ).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))

@@ -61,6 +61,31 @@ def test_media_features_deterministic(spark):
     assert all(len(v) == 16 and all(0.0 <= x <= 1.0 for x in v) for v in f1.values())
 
 
+def test_media_features_real_decoder_seam(spark):
+    """The decoder parameter is a real injection seam: swap the fake
+    for an actual codec (zlib DEFLATE — stdlib, runs on executors) and
+    the same plan decodes genuinely compressed payloads."""
+    import zlib
+
+    import numpy as np
+
+    raw = {i: bytes(bytearray((i * 37 + j) % 256 for j in range(64))) for i in range(1, 9)}
+    media = spark.createDataFrame(
+        [(i, "image", zlib.compress(raw[i])) for i in raw],
+        "doc_id long, media_type string, payload binary",
+    )
+
+    def zlib_decoder(payload: bytes, out_len: int) -> np.ndarray:
+        pixels = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
+        return (np.resize(pixels, out_len) / 255.0).astype(np.float32)
+
+    out = {r["doc_id"]: r["features"] for r in extract_features(media, dim=32, decoder=zlib_decoder).collect()}
+    assert set(out) == set(raw)
+    for i, payload in raw.items():
+        expect = (np.resize(np.frombuffer(payload, dtype=np.uint8), 32) / 255.0).astype(np.float32)
+        assert np.allclose(out[i], expect)
+
+
 def test_media_resize_and_frames(spark):
     media = media_table(load_table(spark, SF_SMOKE, "documents"))
     resized = resize_image(media, width=8, height=4).collect()
