@@ -48,6 +48,60 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span accounting — the CCNet/Dolma
+    "fraction of text in duplicated paragraphs" signal, computed over
+    non-overlapping ``size``-token spans (this corpus is single-line,
+    so fixed token spans stand in for paragraphs). Every document is
+    chunked, each span's ``hash60`` is counted across DISTINCT
+    documents, and the report says per document how many spans — and
+    what fraction of its tokens — also occur in ≥ ``min_docs``
+    documents. High ``dup_token_frac`` is the standard drop/downweight
+    signal for boilerplate.
+
+    Scale: chunking is narrow (zero shuffles,
+    :func:`~coltt_spark.operators.pipeline.chunk_documents`); then one
+    map-side-combinable count per span hash and one hash-partitioned
+    equi-join back — the inverted-list shape. A viral span produces ONE
+    counting row after the map-side combine, and the join fan-out is
+    bounded by the corpus's own span count (each span row joins exactly
+    one count row), so there is no quadratic blow-up anywhere.
+    """
+    from coltt_spark.operators.pipeline import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, size=size, stride=size)
+    ch = chunks.select(
+        F.col(id_col), F.col("n_tokens"), hash60(F.col("chunk_text")).alias("_h")
+    )
+    docs_per = ch.groupBy("_h").agg(F.countDistinct(id_col).alias("_nd"))
+    dup = F.col("_nd") >= min_docs
+    return (
+        ch.join(docs_per, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup.cast("long")).alias("n_dup_spans"),
+            F.sum("n_tokens").alias("_tok"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(F.lit(0))).alias("_dt"),
+        )
+        .select(
+            F.col(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("_dt").cast("double") / F.col("_tok"), 4).alias(
+                "dup_token_frac"
+            ),
+        )
+    )
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle-hash) pairs — the inverted-list base for
     Jaccard and MinHash."""

@@ -129,3 +129,59 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm_text(text_col)).alias("md5_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int = 5
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals, the standard
+    quality-filter trio: the occurrence share of the most frequent
+    unigram (``top_unigram_frac``) and bigram (``top_bigram_frac``),
+    and the fraction of ``ngram``-gram occurrences that are repeats
+    of an n-gram already seen in the same document
+    (``dup_ngram_frac`` — Σ count over grams with count>1 / Σ count).
+    Documents dominated by one token, one phrase, or looping n-grams
+    score high and get dropped/downweighted.
+
+    Scale: each signal is explode → count per (doc, gram) → reduce per
+    doc — two map-side-combinable aggregations keyed by the document
+    id (gram keys never leave their document, so no corpus-wide hot
+    keys), joined back on the id. No windows, no Python, pure codegen.
+    Documents with zero tokens produce no row; documents too short for
+    a gram size report 0.0 for that signal.
+    """
+    from coltt_spark.functions.text import word_shingles
+
+    df = ensure_parallelism(df, id_col)
+
+    def gram_stats(grams, prefix: str) -> DataFrame:
+        e = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        per = e.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return per.groupBy(id_col).agg(
+            F.max("_c").alias(f"{prefix}_max"),
+            F.sum("_c").alias(f"{prefix}_tot"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+                f"{prefix}_dup"
+            ),
+        )
+
+    uni = gram_stats(tokens(text_col), "u")
+    bi = gram_stats(word_shingles(text_col, 2), "b")
+    ng = gram_stats(word_shingles(text_col, ngram), "n")
+    return (
+        uni.join(bi, on=id_col, how="left")
+        .join(ng, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("u_tot").alias("n_tokens"),
+            F.round(F.col("u_max").cast("double") / F.col("u_tot"), 4).alias(
+                "top_unigram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("b_max").cast("double") / F.col("b_tot"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("n_dup").cast("double") / F.col("n_tot"), F.lit(0.0)), 4
+            ).alias("dup_ngram_frac"),
+        )
+    )

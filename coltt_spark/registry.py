@@ -1129,6 +1129,8 @@ _KEY_ORDER = [
     "ann_pq",                             # new: product quantization (proto PQ)
     "embed_cluster_sizes",                # new: k-means curation report
     "sample_cluster_balanced",            # new: per-cluster quota sampling
+    "dedup_spans",                        # new: duplicated-span fraction
+    "text_repetition",                    # new: Gopher repetition signals
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
@@ -1158,10 +1160,10 @@ _KEY_ORDER = [
     "pricing_summary",
     "region_revenue",
     "window_top_orders",
-    "cube_revenue",
-    "price_percentiles",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "cube_revenue",
+    "price_percentiles",
     "events_hourly",
     "media_metadata",
     "knn_f16",

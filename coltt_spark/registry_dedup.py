@@ -103,6 +103,55 @@ GROUP BY norm
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span fraction per document (CCNet/Dolma-style) over
+    the corpus + its mangled exact copies (same augmentation as
+    ``dedup_exact`` — upper-case + whitespace noise normalizes to an
+    identical token stream), so copied documents report
+    ``dup_token_frac`` 1.0 while organic docs only share incidental
+    spans."""
+    from coltt_spark.operators.dedup import span_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    return span_dup_stats(corpus, "doc_id", "text", size=16)
+
+
+_ORACLE_DEDUP_SPANS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM corpus
+),
+g AS (SELECT unnest(generate_series(0, (SELECT max(len(toks)) FROM t) // 16)) AS i),
+c AS (
+  SELECT doc_id, toks[g.i*16+1 : g.i*16+16] AS chunk
+  FROM t CROSS JOIN g WHERE g.i*16 < len(toks)
+),
+ch AS (
+  SELECT doc_id, len(chunk) AS n_tokens,
+         ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT AS h
+  FROM c
+),
+dp AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN dp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN dp.nd >= 2 THEN ch.n_tokens ELSE 0 END) AS DOUBLE)
+             / sum(ch.n_tokens), 4) AS dup_token_frac
+FROM ch JOIN dp USING (h)
+GROUP BY ch.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 
@@ -409,6 +458,7 @@ SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_spans": q_dedup_spans,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -420,6 +470,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_spans": _ORACLE_DEDUP_SPANS,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),

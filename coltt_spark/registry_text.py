@@ -110,11 +110,53 @@ FROM h
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-unigram share,
+    top-bigram share, duplicated-5-gram occurrence fraction) — the
+    standard drop/downweight trio for loopy or boilerplate text."""
+    from coltt_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _repetition_oracle(ngram: int = 5) -> str:
+    def shingles(n: int) -> str:
+        return (
+            f"CASE WHEN len(tk) < {n} THEN []::VARCHAR[] "
+            f"ELSE list_transform(range(1, len(tk) - {n - 2}), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) END"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+u AS (SELECT doc_id, unnest(tk) AS g FROM t),
+uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY doc_id, g),
+us AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM uc GROUP BY doc_id),
+b AS (SELECT doc_id, unnest({shingles(2)}) AS g FROM t),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+bs AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM bc GROUP BY doc_id),
+f AS (SELECT doc_id, unnest({shingles(ngram)}) AS g FROM t),
+fc AS (SELECT doc_id, g, count(*) AS c FROM f GROUP BY doc_id, g),
+fs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+         CAST(sum(c) AS BIGINT) AS tot
+  FROM fc GROUP BY doc_id
+)
+SELECT us.doc_id, us.tot AS n_tokens,
+       round(us.mx::DOUBLE / us.tot, 4) AS top_unigram_frac,
+       round(COALESCE(bs.mx::DOUBLE / bs.tot, 0.0), 4) AS top_bigram_frac,
+       round(COALESCE(fs.dup::DOUBLE / fs.tot, 0.0), 4) AS dup_ngram_frac
+FROM us LEFT JOIN bs USING (doc_id) LEFT JOIN fs USING (doc_id)
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "text_repetition": q_text_repetition,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -122,4 +164,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_quality": _quality_oracle(),
     "token_count": _ORACLE_TOKEN_COUNT,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
+    "text_repetition": _repetition_oracle(),
 }

@@ -152,3 +152,41 @@ def test_containment_catches_doc_in_doc(spark):
     assert cont[0]["containment"] == 1.0
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert jac == []  # symmetric jaccard misses it
+
+
+def test_span_dup_stats_flags_copies(spark):
+    """A doc and its exact copy share every span (frac 1.0); a
+    disjoint doc shares none (frac 0.0)."""
+    from coltt_spark.operators.dedup import span_dup_stats
+
+    rows = [
+        (1, "alpha beta gamma delta " * 8),
+        (2, "alpha beta gamma delta " * 8),          # exact copy of 1
+        (3, "zig zag zebra quux " * 8),              # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dup_stats(df, "doc_id", "text", size=8).collect()}
+    assert out[1]["dup_token_frac"] == 1.0 and out[2]["dup_token_frac"] == 1.0
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[1]["n_spans"] == out[1]["n_dup_spans"] == 4
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-checked Gopher signals on a tiny doc: 'a a a b' has
+    top-unigram 3/4, top-bigram 2/3 ('a a' twice of 3 bigrams), and
+    no 5-grams -> 0.0; a looping 6-token doc has duplicated
+    5-grams."""
+    from coltt_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y x y x y x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_unigram_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == round(2 / 3, 4)
+    assert out[1]["dup_ngram_frac"] == 0.0
+    # 10 tokens of x/y alternation: 6 five-grams, each appearing
+    # 3x ('x y x y x') or 3x ('y x y x y') -> every occurrence a repeat
+    assert out[2]["dup_ngram_frac"] == 1.0
