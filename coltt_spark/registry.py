@@ -1131,6 +1131,7 @@ _KEY_ORDER = [
     "sample_cluster_balanced",            # new: per-cluster quota sampling
     "dedup_spans",                        # new: duplicated-span fraction
     "text_repetition",                    # new: Gopher repetition signals
+    "stream_ingest",                      # new: streaming collection ingestion
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
@@ -1159,9 +1160,9 @@ _KEY_ORDER = [
     "ann_ivf",
     "pricing_summary",
     "region_revenue",
-    "window_top_orders",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "window_top_orders",
     "cube_revenue",
     "price_percentiles",
     "events_hourly",

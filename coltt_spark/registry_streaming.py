@@ -97,14 +97,111 @@ GROUP BY user_id, session_id
 """
 
 
+_INGEST_CACHE: dict[str, object] = {}
+
+
+def _streamed_collection(spark: SparkSession, sf_dir: str):
+    """Collection built ONLY through the streaming write path: the
+    embeddings file replays as a bounded stream into
+    ``Collection.upsert_df`` via ``foreachBatch`` (the Spark twin of
+    the reference's client-streaming ``Index`` RPC,
+    ``idl/proto/v4/edge.proto`` / ``edge/edge.go:555-608``), then a
+    second overlapping stream re-upserts ``vec_id < 10`` with
+    ``label+100`` so cross-stream last-writer-wins is exercised.
+    Final state = the batch fixture's state before its delete, so the
+    label≥100 search shares ``collection_search``'s oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+    from coltt_spark.sources.tables import load_table
+    from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
+
+    if sf_dir in _INGEST_CACHE:
+        return _INGEST_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_stream_wh_"))
+    coll = cat.create_collection(
+        "emb_streamed",
+        dim=dim,
+        distance="euclidean",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+    )
+    base = read_table_stream(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").alias("vector"),
+    )
+    stream_upsert(base, coll)
+    mutated = (
+        read_table_stream(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").cast("string").alias("id"),
+            (F.col("label") + 100).cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    stream_upsert(mutated, coll)
+    _INGEST_CACHE[sf_dir] = coll
+    return coll
+
+
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over a collection populated ONLY via streaming upserts —
+    verifies the continuous-ingestion path lands the exact state the
+    batch path would (same oracle as ``collection_search``)."""
+    coll = _streamed_collection(spark, sf_dir)
+    from coltt_spark.registry import _query_vec  # late: avoid import cycle
+
+    res = coll.search(
+        _query_vec(spark, sf_dir),
+        filter_ast={"index_name": "label", "op": "gte", "value": 100},
+        limit=5,
+    )
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+#: same SQL as registry._ORACLE_COLLECTION_SEARCH (restated here —
+#: the registry module imports this one, so it can't be imported
+#: back at module load): euclidean KNN over the label-mutated rows,
+#: which is exactly the streamed collection's label>=100 slice
+_ORACLE_STREAM_INGEST = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label + 100 AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+  WHERE e.vec_id < 10
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
+    "stream_ingest": q_stream_ingest,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "stream_hourly": _ORACLE_EVENTS_HOURLY,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
+    "stream_ingest": _ORACLE_STREAM_INGEST,
 }

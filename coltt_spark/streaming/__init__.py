@@ -5,11 +5,14 @@ from coltt_spark.streaming.events import (
     session_stream,
     stream_dedup,
 )
+from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
 
 __all__ = [
     "hourly_counts_stream",
     "read_events_stream",
+    "read_table_stream",
     "run_to_memory",
     "session_stream",
     "stream_dedup",
+    "stream_upsert",
 ]

@@ -1,0 +1,66 @@
+"""Continuous ingestion: a record stream upserted into a collection.
+
+Reference parity: the edge service's write surface IS a stream — the
+``Index`` RPC is a client-streaming endpoint that applies CHANGED /
+DELETE ops record-by-record as they arrive
+(``idl/proto/v4/edge.proto`` Index rpc; handler loop
+``edge/edge.go:555-608``). The Spark-native twin is Structured
+Streaming into ``Collection.upsert_df`` via ``foreachBatch``: each
+micro-batch lands as one distributed LWW upsert against the
+collection's current view, so the collection is continuously
+queryable while the stream runs.
+
+Scale: ``foreachBatch`` hands the micro-batch over as a regular
+DataFrame — the upsert inherits every batch-path property
+(Catalyst-only transforms, Arrow-batched quantize, no driver
+round-trip), and state lives in the collection's versioned store,
+not the streaming state store, so stream restarts replay cleanly
+from the checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: schema cache keyed by (path, mtime_ns) — same invalidation contract
+#: as the events stream (the driver may rewrite testdata files)
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Bounded file-source stream over one testdata parquet (staged
+    behind a symlink directory like the events stream; in production
+    the stream watches a landing directory or Kafka topic)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ck = (path, os.stat(path).st_mtime_ns)
+    if ck not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
+        _SCHEMA_CACHE[ck] = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix=f"coltt_stream_{table}_")
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(_SCHEMA_CACHE[ck]).parquet(stage)
+
+
+def stream_upsert(records: DataFrame, coll) -> None:
+    """Drain a bounded record stream into a collection: every
+    micro-batch is one ``Collection.upsert_df`` call (PK
+    last-writer-wins, normalize/quantize-at-write — identical
+    semantics to the batch ingest path). Blocks until the
+    ``availableNow`` replay completes."""
+
+    def sink(batch: DataFrame, _epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        coll.upsert_df(batch, dedupe_batch=False)
+
+    q = (
+        records.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="coltt_ingest_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
