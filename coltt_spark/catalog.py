@@ -47,7 +47,7 @@ from coltt_spark.schema import SPARK_TYPES as _SPARK_META
 from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, validate_vector
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
-QUANTIZATIONS = ("none", "f16", "bf16", "f8")
+QUANTIZATIONS = ("none", "f16", "bf16", "f8", "bq")
 LAYOUTS = ("rows", "blocks", "ivf")
 
 _VEC = "vector"
@@ -1025,6 +1025,8 @@ class Catalog:
             raise ValueError(f"distance must be one of {DISTANCES}")
         if quantization not in QUANTIZATIONS:
             raise ValueError(f"quantization must be one of {QUANTIZATIONS}")
+        if quantization == "bq" and dim % 8:
+            raise ValueError(f"bq quantization requires dim % 8 == 0, got dim={dim}")
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}")
         root = self._root(name)

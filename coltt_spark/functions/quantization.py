@@ -13,6 +13,16 @@ re-derives the public formats from scratch with vectorized numpy:
   bits of binary32
 - f8   — E4M3FN minifloat (1 sign / 4 exp / 3 mantissa, bias 7, no
   infinities, max finite 448) — the public ML float8 convention
+- bq   — binary quantization (1 bit per element): the ``BQ`` member
+  the reference's enum declares but never implements
+  (``idl/proto/v3/core.proto:105-112``). Encode keeps the strict
+  ``x > 0`` sign bit, little-endian packed (32× compression);
+  decode reconstructs the ±1/√dim unit vector, so the standard
+  decompress-then-float-similarity contract holds unchanged —
+  cosine against the decoded pattern is a monotone proxy for the
+  Hamming distance the packed form supports directly
+  (:mod:`coltt_spark.operators.pq` is the Hamming-scan path).
+  Requires ``dim % 8 == 0``.
 
 Spark mapping: a quantized vector is a compact ``binary`` cell (2 or
 1 bytes per element vs 4); Parquet stores it raw. Quantize/dequantize
@@ -28,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-KINDS = ("f16", "bf16", "f8")
+KINDS = ("f16", "bf16", "f8", "bq")
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +100,19 @@ def _bf16_decode(u: np.ndarray) -> np.ndarray:
     return (u.astype(np.uint32) << 16).view(np.float32)
 
 
+def _bq_encode(a: np.ndarray) -> np.ndarray:
+    if a.size % 8:
+        raise ValueError(f"bq requires dim % 8 == 0, got {a.size}")
+    return np.packbits(a > 0, bitorder="little")
+
+
+def _bq_decode(raw: bytes) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8), bitorder="little")
+    return ((bits.astype(np.float64) * 2.0 - 1.0) / np.sqrt(bits.size)).astype(
+        np.float32
+    )
+
+
 def quantize_np(kind: str, arr) -> bytes:
     a = np.asarray(arr, dtype=np.float32)
     if kind == "f16":
@@ -98,6 +121,8 @@ def quantize_np(kind: str, arr) -> bytes:
         return _bf16_encode(a).tobytes()
     if kind == "f8":
         return _f8_encode(a).tobytes()
+    if kind == "bq":
+        return _bq_encode(a).tobytes()
     raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
 
 
@@ -108,6 +133,8 @@ def dequantize_np(kind: str, raw: bytes) -> np.ndarray:
         return _bf16_decode(np.frombuffer(raw, dtype=np.uint16))
     if kind == "f8":
         return _f8_decode(np.frombuffer(raw, dtype=np.uint8))
+    if kind == "bq":
+        return _bq_decode(raw)
     raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
 
 
@@ -134,7 +161,9 @@ def _decode_flat(kind: str, raw: bytes) -> np.ndarray:
 def quantize_batch(kind: str, s) -> "list[bytes | None]":
     """Encode a pandas Series of float vectors in one pass: concatenate
     all rows, one vectorized encode, re-split by byte offsets. The only
-    per-row work left is a C-level ``bytes`` slice."""
+    per-row work left is a C-level ``bytes`` slice. (bq rows are each
+    a multiple of 8 elements, so row boundaries in the concatenated
+    bit stream land on byte boundaries and the same slice works.)"""
     vals = s.to_numpy()
     idx = [i for i, v in enumerate(vals) if v is not None]
     out: list[bytes | None] = [None] * len(vals)
@@ -142,9 +171,15 @@ def quantize_batch(kind: str, s) -> "list[bytes | None]":
         return out
     present = [np.asarray(vals[i], dtype=np.float32) for i in idx]
     lens = np.fromiter((len(v) for v in present), dtype=np.int64, count=len(present))
-    enc = _encode_flat(kind, np.concatenate(present))
+    if kind == "bq":
+        if (lens % 8).any():
+            raise ValueError("bq requires dim % 8 == 0 for every row")
+        enc = np.packbits(np.concatenate(present) > 0, bitorder="little")
+        bounds = np.concatenate(([0], np.cumsum(lens) // 8))
+    else:
+        enc = _encode_flat(kind, np.concatenate(present))
+        bounds = np.concatenate(([0], np.cumsum(lens))) * enc.dtype.itemsize
     raw = enc.tobytes()
-    bounds = np.concatenate(([0], np.cumsum(lens))) * enc.dtype.itemsize
     for j, i in enumerate(idx):
         out[i] = raw[bounds[j] : bounds[j + 1]]
     return out
@@ -153,7 +188,8 @@ def quantize_batch(kind: str, s) -> "list[bytes | None]":
 def dequantize_batch(kind: str, s) -> "pd.Series":
     """Decode a pandas Series of quantized byte cells in one pass:
     join buffers, one vectorized decode, ``np.split`` back into
-    per-row float32 views."""
+    per-row float32 views. (bq scales each row by its OWN 1/√dim, so
+    the split happens on the ±1 pattern before scaling.)"""
     import pandas as pd
 
     vals = s.to_numpy()
@@ -162,6 +198,16 @@ def dequantize_batch(kind: str, s) -> "pd.Series":
     if not idx:
         return pd.Series(out)
     present = [bytes(vals[i]) for i in idx]
+    if kind == "bq":
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(present), dtype=np.uint8), bitorder="little"
+        )
+        signs = bits.astype(np.float64) * 2.0 - 1.0
+        lens = np.fromiter((len(b) * 8 for b in present), dtype=np.int64, count=len(present))
+        parts = np.split(signs, np.cumsum(lens)[:-1])
+        for j, i in enumerate(idx):
+            out[i] = (parts[j] / np.sqrt(parts[j].size)).astype(np.float32)
+        return pd.Series(out)
     dec = _decode_flat(kind, b"".join(present))
     width = {"f16": 2, "bf16": 2, "f8": 1}[kind]
     lens = np.fromiter((len(b) // width for b in present), dtype=np.int64, count=len(present))

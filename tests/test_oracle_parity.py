@@ -54,6 +54,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "stream_hourly", "stream_sessionize", "stream_dedup",
         "collection_search_blocks_filtered", "collection_search_blocks_delta",
         "ann_bq", "ann_pq", "embed_cluster_sizes", "sample_cluster_balanced",
-        "dedup_spans", "text_repetition", "stream_ingest",
+        "dedup_spans", "text_repetition", "stream_ingest", "knn_bq",
     }
     assert must_check <= window, sorted(must_check - window)

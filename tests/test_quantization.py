@@ -51,7 +51,23 @@ def test_f8_e4m3_properties():
     assert len(quantize_np("f16", exact)) == 2 * len(exact)
 
 
-@pytest.mark.parametrize("kind", ["f16", "bf16", "f8"])
+def test_bq_roundtrip_signs():
+    """BQ keeps exactly the strict x>0 sign bits at 1 bit/element and
+    decodes to the ±1/√dim unit pattern."""
+    x = rng.normal(0, 1, 256).astype(np.float32)
+    x[7] = 0.0  # zero maps to the negative bit (strict > 0)
+    raw = quantize_np("bq", x)
+    assert len(raw) == 32  # 256 bits
+    back = dequantize_np("bq", raw)
+    assert back.dtype == np.float32
+    assert np.allclose(np.abs(back), 1.0 / 16.0)
+    assert ((back > 0) == (x > 0)).all()
+    assert abs(float(np.linalg.norm(back.astype(np.float64))) - 1.0) < 1e-6
+    with pytest.raises(ValueError):
+        quantize_np("bq", np.ones(13, dtype=np.float32))
+
+
+@pytest.mark.parametrize("kind", ["f16", "bf16", "f8", "bq"])
 def test_quantized_collection_search(spark, tmp_path, kind):
     """F1 quantization matrix: search over a quantized collection
     ranks (near-)identically to the unquantized collection."""
@@ -70,7 +86,10 @@ def test_quantized_collection_search(spark, tmp_path, kind):
     exact = [r["id"] for r in plain.search(q, limit=10).collect()]
     approx = [r["id"] for r in quant.search(q, limit=10).collect()]
     overlap = len(set(exact) & set(approx)) / 10  # recall@10 utility shape
-    min_overlap = {"f16": 1.0, "bf16": 0.9, "f8": 0.6}[kind]
+    # bq keeps 1 bit/element — at dim 16 the ranking is a coarse sign
+    # sketch, so only a loose floor holds; the exact decode/rank
+    # semantics are value-pinned by the knn_bq oracle instead
+    min_overlap = {"f16": 1.0, "bf16": 0.9, "f8": 0.6, "bq": 0.1}[kind]
     assert overlap >= min_overlap, f"{kind}: recall@10 {overlap}"
     # quantized storage survives flush → reload
     quant.flush()
