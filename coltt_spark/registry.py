@@ -1242,11 +1242,16 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     from coltt_spark.registry_dedup import _doc_shingles
     from coltt_spark.registry_schemaless import _docs_collection, _emb_schemaless
 
+    from coltt_spark.registry_streaming import _streamed_collection
+
     _embeddings_collection(spark, sf_dir)
     _blocks_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
-    for kind in ("f16", "bf16", "f8"):
+    for kind in ("f16", "bf16", "f8", "bq"):
         _quantized_collection(spark, sf_dir, kind)
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)
     _emb_schemaless(spark, sf_dir)
+    # the streaming replay IS this fixture's ingest; the registry
+    # query then measures the search over the landed state
+    _streamed_collection(spark, sf_dir)
