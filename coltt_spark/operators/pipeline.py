@@ -20,7 +20,9 @@ whether it survives a 1000-executor corpus:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from coltt_spark.functions.text import hash60, tokens, word_shingles
@@ -184,6 +186,51 @@ def fraction_sample(
     h = hash60(F.col(id_col).cast("string"))
     return df.filter(h % denominator == 0).select(
         F.col(id_col), h.alias("sample_hash")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Temperature-flattened source rebalancing (the standard
+    multilingual/multi-source mixing rule, target share ∝ share^α
+    with α = 1/2): over-represented sources are deterministically
+    downsampled toward the flattened target, under-represented ones
+    keep every row (keep-rate capped at 1 — rebalancing by selection
+    cannot duplicate). Per source, keep-rate
+    ``r = min(1, (√share/Z) / share)`` with ``Z = Σⱼ √shareⱼ``; rows
+    are kept by the hash-threshold rule ``hash60(id)/2⁶⁰ < r`` —
+    stable across reruns and engines like the other samplers.
+
+    α is pinned to 1/2 so every float step (division, ``sqrt``, a
+    source-name-ordered sequential sum, multiply) is correctly-rounded
+    IEEE and the oracle reproduces the exact row set — a free-form
+    ``pow(x, α)`` has no cross-engine bit guarantee.
+
+    Scale: ONE tiny aggregation (|sources| rows to the driver — the
+    mix table a curator reviews anyway), then a pushed-down literal
+    filter per source; zero shuffles over the corpus itself.
+    """
+    rows = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    counts = sorted((r[source_col], int(r["_n"])) for r in rows)
+    total = sum(n for _, n in counts)
+    z = 0.0
+    for _, n in counts:  # source-name-ordered sequential fold (oracle twin)
+        z = z + math.sqrt(n / total)
+    rates: dict[str, float] = {}
+    for s, n in counts:
+        share = n / total
+        rates[s] = min(1.0, (math.sqrt(share) / z) / share)
+    h = hash60(F.col(id_col).cast("string"))
+    rate_col: Column = F.lit(None).cast("double")
+    for s, r in rates.items():
+        rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
+    return (
+        df.select(F.col(id_col), F.col(source_col).alias("source"), rate_col.alias("_r"))
+        .filter(h.cast("double") < F.col("_r") * F.lit(float(1 << 60)))
+        .select(F.col(id_col), "source", F.round("_r", 4).alias("keep_rate"))
     )
 
 

@@ -1158,6 +1158,7 @@ _KEY_ORDER = [
     "text_repetition",                    # new: Gopher repetition signals
     "stream_ingest",                      # new: streaming collection ingestion
     "knn_bq",                             # new: BQ collection quantization
+    "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
@@ -1184,9 +1185,9 @@ _KEY_ORDER = [
     "token_count",
     "doc_fingerprint",
     "ann_ivf",
-    "pricing_summary",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "pricing_summary",
     "region_revenue",
     "window_top_orders",
     "cube_revenue",

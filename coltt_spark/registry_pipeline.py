@@ -176,6 +176,38 @@ WHERE {_DD_H60.format(x="doc_id::VARCHAR")} % 10 = 0
 """
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α = 1/2) source rebalancing: the
+    multilingual mixing rule as a deterministic hash-threshold filter;
+    over-represented sources are downsampled toward share^α targets.
+    Every float step (division, sqrt, source-ordered sequential sum)
+    is correctly-rounded IEEE, so the oracle reproduces the exact row
+    set."""
+    from coltt_spark.operators.pipeline import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "source")
+
+
+_ORACLE_SAMPLE_TEMPERATURE = f"""
+WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM n),
+zt AS (
+  SELECT list_sum(list(sqrt(cnt::DOUBLE / total) ORDER BY source)) AS z
+  FROM n, tot
+),
+r AS (
+  SELECT n.source,
+         least(1.0, (sqrt(cnt::DOUBLE / total) / z) / (cnt::DOUBLE / total)) AS rate
+  FROM n, tot, zt
+)
+SELECT d.doc_id, d.source, round(r.rate, 4) AS keep_rate
+FROM documents d JOIN r ON r.source = d.source
+WHERE ({_DD_H60.format(x="d.doc_id::VARCHAR")})::DOUBLE
+      < r.rate * 1152921504606846976.0
+"""
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus audit: counts, token totals, token share,
     average lengths — the table a curator reads before setting
@@ -204,6 +236,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sample_fraction": q_sample_fraction,
+    "sample_temperature": q_sample_temperature,
     "source_mix": q_source_mix,
     "export_shards": q_export_shards,
     "pack_sequences": q_pack_sequences,
@@ -214,6 +247,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
     "sample_fraction": _ORACLE_SAMPLE_FRACTION,
+    "sample_temperature": _ORACLE_SAMPLE_TEMPERATURE,
     "source_mix": _ORACLE_SOURCE_MIX,
     "export_shards": _ORACLE_EXPORT_SHARDS,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,

@@ -135,3 +135,27 @@ def test_pack_sequences_budget_and_oversize(spark):
     # every sequence starts a doc below the budget boundary: no seq_id gaps
     seqs = sorted(r["seq_id"] for r in out)
     assert seqs == sorted(set(seqs))
+
+
+def test_temperature_sample_flattens_sources(spark):
+    """share^0.5 rebalancing: the dominant source is downsampled
+    toward its flattened target, minority sources keep every row, and
+    the pick is deterministic."""
+    from coltt_spark.operators.pipeline import temperature_sample
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 980 else "tiny")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source").collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], []).append(r["doc_id"])
+    # minority sources are never downsampled (keep-rate capped at 1)
+    assert len(kept["tiny"]) == 20 and len(kept["mid"]) == 80
+    # dominant source shrinks toward its flattened share
+    assert len(kept["big"]) < 900
+    rates = {r["source"]: r["keep_rate"] for r in out}
+    assert rates["tiny"] == 1.0 and rates["mid"] == 1.0 and rates["big"] < 1.0
+    # hash-threshold selection is expectation-accurate on the big source
+    assert abs(len(kept["big"]) - rates["big"] * 900) < 90
+    again = temperature_sample(df, "doc_id", "source").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
