@@ -47,7 +47,7 @@ from coltt_spark.schema import SPARK_TYPES as _SPARK_META
 from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, validate_vector
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
-QUANTIZATIONS = ("none", "f16", "bf16", "f8", "bq")
+QUANTIZATIONS = ("none", "f16", "bf16", "f8", "bq", "sq8")
 LAYOUTS = ("rows", "blocks", "ivf")
 
 _VEC = "vector"

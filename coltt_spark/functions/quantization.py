@@ -23,6 +23,13 @@ re-derives the public formats from scratch with vectorized numpy:
   Hamming distance the packed form supports directly
   (:mod:`coltt_spark.operators.pq` is the Hamming-scan path).
   Requires ``dim % 8 == 0``.
+- sq8  — symmetric per-vector int8 scalar quantization (the other
+  declared-but-unimplemented enum member next to BQ): one float32
+  scale header (max |x| of the row) + ``round(x / scale * 127)``
+  per element, 4-byte header + 1 byte/element (≈4× compression).
+  All scaling arithmetic is double precision with a fixed operation
+  order so an SQL oracle can replay it bit-for-bit; decode returns
+  ``float32(code * scale / 127)``.
 
 Spark mapping: a quantized vector is a compact ``binary`` cell (2 or
 1 bytes per element vs 4); Parquet stores it raw. Quantize/dequantize
@@ -38,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-KINDS = ("f16", "bf16", "f8", "bq")
+KINDS = ("f16", "bf16", "f8", "bq", "sq8")
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +120,31 @@ def _bq_decode(raw: bytes) -> np.ndarray:
     )
 
 
+def _sq8_codes(flat64: np.ndarray, scale_per_elem: np.ndarray) -> np.ndarray:
+    """``round_half_away(x / scale * 127)`` in double with a FIXED
+    operation order — ``(x / s) * 127`` then ``sign * floor(|y| + 0.5)``
+    — so the SQL oracle replays it exactly. ``|x| <= s`` guarantees
+    ``|y| <= 127``, no clamp needed."""
+    y = flat64 / scale_per_elem * 127.0
+    return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
+
+
+def _sq8_encode(a: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    scale = np.float32(np.max(np.abs(a))) if a.size else np.float32(0.0)
+    if scale > 0:
+        codes = _sq8_codes(a.astype(np.float64), np.float64(scale))
+    else:
+        codes = np.zeros(a.size, dtype=np.int8)
+    return scale.tobytes() + codes.tobytes()
+
+
+def _sq8_decode(raw: bytes) -> np.ndarray:
+    scale = float(np.frombuffer(raw[:4], dtype=np.float32)[0])
+    codes = np.frombuffer(raw[4:], dtype=np.int8)
+    return (codes.astype(np.float64) * scale / 127.0).astype(np.float32)
+
+
 def quantize_np(kind: str, arr) -> bytes:
     a = np.asarray(arr, dtype=np.float32)
     if kind == "f16":
@@ -123,6 +155,8 @@ def quantize_np(kind: str, arr) -> bytes:
         return _f8_encode(a).tobytes()
     if kind == "bq":
         return _bq_encode(a).tobytes()
+    if kind == "sq8":
+        return _sq8_encode(a)
     raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
 
 
@@ -135,6 +169,8 @@ def dequantize_np(kind: str, raw: bytes) -> np.ndarray:
         return _f8_decode(np.frombuffer(raw, dtype=np.uint8))
     if kind == "bq":
         return _bq_decode(raw)
+    if kind == "sq8":
+        return _sq8_decode(raw)
     raise ValueError(f"unknown quantization {kind!r}; expected one of {KINDS}")
 
 
@@ -171,6 +207,19 @@ def quantize_batch(kind: str, s) -> "list[bytes | None]":
         return out
     present = [np.asarray(vals[i], dtype=np.float32) for i in idx]
     lens = np.fromiter((len(v) for v in present), dtype=np.int64, count=len(present))
+    if kind == "sq8":
+        flat = np.concatenate(present)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        scales = np.maximum.reduceat(np.abs(flat), starts)  # float32, per row
+        safe = np.where(scales > 0, scales, np.float32(1.0)).astype(np.float64)
+        codes = _sq8_codes(flat.astype(np.float64), np.repeat(safe, lens))
+        codes[np.repeat(scales == 0, lens)] = 0
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        raw = codes.tobytes()
+        hdrs = scales.tobytes()  # 4 bytes per row, contiguous
+        for j, i in enumerate(idx):
+            out[i] = hdrs[4 * j : 4 * j + 4] + raw[bounds[j] : bounds[j + 1]]
+        return out
     if kind == "bq":
         if (lens % 8).any():
             raise ValueError("bq requires dim % 8 == 0 for every row")
@@ -198,6 +247,19 @@ def dequantize_batch(kind: str, s) -> "pd.Series":
     if not idx:
         return pd.Series(out)
     present = [bytes(vals[i]) for i in idx]
+    if kind == "sq8":
+        scales = np.frombuffer(
+            b"".join(b[:4] for b in present), dtype=np.float32
+        ).astype(np.float64)
+        codes = np.frombuffer(b"".join(b[4:] for b in present), dtype=np.int8)
+        lens = np.fromiter(
+            (len(b) - 4 for b in present), dtype=np.int64, count=len(present)
+        )
+        vals64 = codes.astype(np.float64) * np.repeat(scales, lens) / 127.0
+        parts = np.split(vals64.astype(np.float32), np.cumsum(lens)[:-1])
+        for j, i in enumerate(idx):
+            out[i] = parts[j]
+        return pd.Series(out)
     if kind == "bq":
         bits = np.unpackbits(
             np.frombuffer(b"".join(present), dtype=np.uint8), bitorder="little"

@@ -919,6 +919,38 @@ def _quantized_oracle(kind: str) -> str:
             f"list_transform({stored32}, x -> "
             f"CASE WHEN x > 0 THEN {pos} ELSE -{pos} END)"
         )
+    elif kind == "sq8":
+        # per-vector symmetric int8: s = max|x| over the float32 row
+        # (exact — max of float32 values, no arithmetic), code =
+        # sign(y)·floor(|y|+0.5) with y = x/s·127 in double (same
+        # op order as _sq8_codes), decode = REAL(code·s/127). The
+        # whole chain is exact double arithmetic.
+        qnrm = "sqrt(list_dot_product(qv, qv))"
+        dec = (
+            "CASE WHEN s > 0 THEN list_transform(v, x -> "
+            "CAST(sign(x) * floor(abs(x / s * 127.0) + 0.5) * s / 127.0 "
+            "AS REAL)::DOUBLE) ELSE v END"
+        )
+        return f"""
+WITH q0 AS ({_QV_SQL}),
+qn AS (SELECT list_transform(qv, x -> x / {qnrm}) AS qv FROM q0),
+s0 AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS BIGINT) AS label,
+         {stored32} AS v
+  FROM embeddings
+),
+s1 AS (
+  SELECT id, label, v, list_max(list_transform(v, x -> abs(x))) AS s FROM s0
+),
+stored AS (SELECT id, label, {dec} AS v FROM s1),
+d AS (
+  SELECT id, label, abs(1.0 - list_dot_product(s.v, qn.qv)) AS dist
+  FROM stored s, qn
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
+"""
     else:
         decoded = _sql_dequantized(kind, stored32)
     qnrm = "sqrt(list_dot_product(qv, qv))"
@@ -961,6 +993,18 @@ def q_knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized query. The oracle replays the sign bits and the
     REAL(1/√dim) decode exactly."""
     return _quantized_knn(spark, sf_dir, "bq")
+
+
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine KNN over an int8 scalar-quantized collection — the
+    per-vector symmetric SQ8 convention (float32 max-|x| scale header
+    + 1 byte/element), completing the quantization family next to
+    f16/bf16/f8/bq. Served through the identical
+    decompress-then-float-similarity contract
+    (``edge/f16_quantization.go:35-45``); the oracle replays scale
+    extraction, the fixed-order double rounding, and the REAL decode
+    exactly."""
+    return _quantized_knn(spark, sf_dir, "sq8")
 
 
 def q_knn_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bf16": q_knn_bf16,
     "knn_f8": q_knn_f8,
     "knn_bq": q_knn_bq,
+    "knn_sq8": q_knn_sq8,
     "knn_two_phase": q_knn_two_phase,
     "knn_wide": q_knn_wide,
     "knn_block": q_knn_block,
@@ -1078,6 +1123,7 @@ ORACLES: dict[str, str] = {
     "knn_bf16": _quantized_oracle("bf16"),
     "knn_f8": _quantized_oracle("f8"),
     "knn_bq": _quantized_oracle("bq"),
+    "knn_sq8": _quantized_oracle("sq8"),
     "knn_two_phase": _ORACLE_KNN_COSINE,
     "knn_wide": _ORACLE_KNN_COSINE,
     "knn_block": _ORACLE_KNN_COSINE,
@@ -1158,6 +1204,7 @@ _KEY_ORDER = [
     "text_repetition",                    # new: Gopher repetition signals
     "stream_ingest",                      # new: streaming collection ingestion
     "knn_bq",                             # new: BQ collection quantization
+    "knn_sq8",                            # new: int8 scalar quantization
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1170,7 +1217,6 @@ _KEY_ORDER = [
     "knn_cosine",
     "knn_filtered",
     "filter_search",
-    "filter_coercion",
     "multi_vector_search",
     "upsert_delete",
     "collection_search_ivf",
@@ -1187,6 +1233,7 @@ _KEY_ORDER = [
     "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "filter_coercion",
     "pricing_summary",
     "region_revenue",
     "window_top_orders",
@@ -1248,7 +1295,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _embeddings_collection(spark, sf_dir)
     _blocks_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
-    for kind in ("f16", "bf16", "f8", "bq"):
+    for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)

@@ -16,7 +16,7 @@ rng = np.random.default_rng(42)
 
 @pytest.mark.parametrize(
     "kind,rtol",
-    [("f16", 1e-3), ("bf16", 8e-3), ("f8", 7e-2)],
+    [("f16", 1e-3), ("bf16", 8e-3), ("f8", 7e-2), ("sq8", 2e-2)],
 )
 def test_roundtrip_precision(kind, rtol):
     x = rng.normal(0, 1, 4096).astype(np.float32)
@@ -51,6 +51,19 @@ def test_f8_e4m3_properties():
     assert len(quantize_np("f16", exact)) == 2 * len(exact)
 
 
+def test_sq8_roundtrip_and_format():
+    x = rng.normal(0, 2, 256).astype(np.float32)
+    raw = quantize_np("sq8", x)
+    assert len(raw) == 4 + 256  # float32 scale header + 1 byte/element
+    scale = np.frombuffer(raw[:4], dtype=np.float32)[0]
+    assert scale == np.max(np.abs(x))
+    back = dequantize_np("sq8", raw)
+    assert back.dtype == np.float32
+    assert np.max(np.abs(back - x)) <= scale / 127.0 * 0.501
+    zeros = np.zeros(16, dtype=np.float32)
+    assert np.array_equal(dequantize_np("sq8", quantize_np("sq8", zeros)), zeros)
+
+
 def test_bq_roundtrip_signs():
     """BQ keeps exactly the strict x>0 sign bits at 1 bit/element and
     decodes to the ±1/√dim unit pattern."""
@@ -67,7 +80,7 @@ def test_bq_roundtrip_signs():
         quantize_np("bq", np.ones(13, dtype=np.float32))
 
 
-@pytest.mark.parametrize("kind", ["f16", "bf16", "f8", "bq"])
+@pytest.mark.parametrize("kind", ["f16", "bf16", "f8", "bq", "sq8"])
 def test_quantized_collection_search(spark, tmp_path, kind):
     """F1 quantization matrix: search over a quantized collection
     ranks (near-)identically to the unquantized collection."""
@@ -89,7 +102,7 @@ def test_quantized_collection_search(spark, tmp_path, kind):
     # bq keeps 1 bit/element — at dim 16 the ranking is a coarse sign
     # sketch, so only a loose floor holds; the exact decode/rank
     # semantics are value-pinned by the knn_bq oracle instead
-    min_overlap = {"f16": 1.0, "bf16": 0.9, "f8": 0.6, "bq": 0.1}[kind]
+    min_overlap = {"f16": 1.0, "bf16": 0.9, "f8": 0.6, "bq": 0.1, "sq8": 0.6}[kind]
     assert overlap >= min_overlap, f"{kind}: recall@10 {overlap}"
     # quantized storage survives flush → reload
     quant.flush()
