@@ -169,12 +169,61 @@ def _sq_dist(sub: Column, centroid: Sequence[float]) -> Column:
 def _code_expr(sub: Column, centroids: np.ndarray) -> Column:
     """argmin over the subspace codebook, ties to the lowest code id —
     an ``array_min`` over (dist, code) structs, so the whole encode is
-    one codegen expression per subspace."""
+    one codegen expression per subspace. (Kept for small codebooks and
+    as the executable spec of the oracle semantics; the hot encode path
+    is :func:`_encode_udf`, whose fold order is identical.)"""
     cands = [
         F.struct(_sq_dist(sub, c).alias("d"), F.lit(ci).alias("c"))
         for ci, c in enumerate(centroids)
     ]
     return F.array_min(F.array(*cands))["c"]
+
+
+def _encode_codes_np(mat: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(rows, dim) float64 → (rows, M) int32 codes. The squared
+    distance accumulates as an explicit ordinal-order left fold
+    (``acc += (x_j - c_j)²`` for j = 0..dsub-1) — the SAME double
+    arithmetic as :func:`_sq_dist`'s sequential ``F.aggregate`` fold,
+    so argmin (first-min = lowest code on exact ties, matching the
+    (d, c) struct min) is bit-identical to the Catalyst expression and
+    the SQL oracle."""
+    m, ks, dsub = book.shape
+    rows = mat.shape[0]
+    codes = np.empty((rows, m), dtype=np.int32)
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]  # (rows, dsub)
+        acc = np.zeros((rows, ks), dtype=np.float64)
+        for j in range(dsub):
+            d = sub[:, j : j + 1] - book[mi, :, j][None, :]
+            acc += d * d
+        codes[:, mi] = np.argmin(acc, axis=1)
+    return codes
+
+
+def _encode_udf(book: np.ndarray):
+    """Arrow-batched encoder column: vector → array<int> of M codes.
+    One numpy pass per batch (rows·M·ks·dsub flops), replacing an
+    M·ks-way struct-min expression tree that is too large for
+    whole-stage codegen at realistic code counts."""
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.ascontiguousarray(book, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(s):
+        import pandas as pd
+
+        vals = s.to_numpy()
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        out: list = [None] * len(vals)
+        if idx:
+            mat = np.array([vals[i] for i in idx], dtype=np.float64)
+            codes = _encode_codes_np(mat, b)
+            for j, i in enumerate(idx):
+                out[i] = codes[j].tolist()
+        return pd.Series(out)
+
+    return _enc
 
 
 def _sub_slices(vec: Column, m: int, dsub: int) -> list[Column]:
@@ -215,17 +264,19 @@ def pq_train(
     )  # (M, ks, dsub)
 
     vec = F.col(vec_col).cast("array<double>")
-    subs = corpus.select(
+    enc = corpus.select(
+        _encode_udf(book)(vec).alias("codes"),
+        F.array(*_sub_slices(vec, n_subspaces, dsub)).alias("svs"),
+    )
+    subs = enc.select(
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(mi).alias("m"),
-                        _code_expr(sub, book[mi]).alias("code"),
-                        sub.alias("sv"),
-                    )
-                    for mi, sub in enumerate(_sub_slices(vec, n_subspaces, dsub))
-                ]
+            F.transform(
+                "codes",
+                lambda c, i: F.struct(
+                    i.cast("int").alias("m"),
+                    c.alias("code"),
+                    F.get(F.col("svs"), i).alias("sv"),
+                ),
             )
         ).alias("s")
     )
@@ -245,14 +296,11 @@ def pq_train(
 
 
 def pq_encode(corpus: DataFrame, book: np.ndarray, *, id_col: str, vec_col: str) -> DataFrame:
-    """Encode every row as M codes (array<int>) — one narrow codegen
-    pass, the persistent PQ index a serving deployment would write."""
-    m, _, dsub = book.shape
+    """Encode every row as M codes (array<int>) — one narrow
+    Arrow-batched pass, the persistent PQ index a serving deployment
+    would write."""
     vec = F.col(vec_col).cast("array<double>")
-    codes = F.array(
-        *[_code_expr(sub, book[mi]) for mi, sub in enumerate(_sub_slices(vec, m, dsub))]
-    )
-    return corpus.select(F.col(id_col), codes.alias("codes"))
+    return corpus.select(F.col(id_col), _encode_udf(book)(vec).alias("codes"))
 
 
 def pq_topk(
