@@ -143,45 +143,78 @@ def repetition_stats(
     Documents dominated by one token, one phrase, or looping n-grams
     score high and get dropped/downweighted.
 
-    Scale: each signal is explode → count per (doc, gram) → reduce per
-    doc — two map-side-combinable aggregations keyed by the document
-    id (gram keys never leave their document, so no corpus-wide hot
-    keys), joined back on the id. No windows, no Python, pure codegen.
-    Documents with zero tokens produce no row; documents too short for
-    a gram size report 0.0 for that signal.
+    Scale: grams never leave their document, so the whole trio is a
+    single NARROW projection — per row, sort each gram array and fold
+    run lengths (max run = top count; runs > 1 sum to the duplicated
+    occurrences). No shuffle, no join, no Python: a map-only stage
+    whose cost is exactly one pass over the corpus regardless of
+    cluster size. Documents with zero tokens produce no row;
+    documents too short for a gram size report 0.0 for that signal.
     """
     from coltt_spark.functions.text import word_shingles
 
     df = ensure_parallelism(df, id_col)
 
-    def gram_stats(grams, prefix: str) -> DataFrame:
-        e = df.select(F.col(id_col), F.explode(grams).alias("_g"))
-        per = e.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-        return per.groupBy(id_col).agg(
-            F.max("_c").alias(f"{prefix}_max"),
-            F.sum("_c").alias(f"{prefix}_tot"),
-            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
-                f"{prefix}_dup"
-            ),
+    def run_stats(grams) -> Column:
+        """(max gram count, Σ counts over grams with count > 1) via a
+        run-length fold over the sorted gram array."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("mx"),
+            F.lit(0).cast("long").alias("dp"),
         )
 
-    uni = gram_stats(tokens(text_col), "u")
-    bi = gram_stats(word_shingles(text_col, 2), "b")
-    ng = gram_stats(word_shingles(text_col, ngram), "n")
-    return (
-        uni.join(bi, on=id_col, how="left")
-        .join(ng, on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            F.col("u_tot").alias("n_tokens"),
-            F.round(F.col("u_max").cast("double") / F.col("u_tot"), 4).alias(
-                "top_unigram_frac"
-            ),
-            F.round(
-                F.coalesce(F.col("b_max").cast("double") / F.col("b_tot"), F.lit(0.0)), 4
-            ).alias("top_bigram_frac"),
-            F.round(
-                F.coalesce(F.col("n_dup").cast("double") / F.col("n_tot"), F.lit(0.0)), 4
-            ).alias("dup_ngram_frac"),
-        )
+        def merge(acc, x):
+            same = F.coalesce(x == acc["p"], F.lit(False))
+            r2 = F.when(same, acc["r"] + 1).otherwise(F.lit(1).cast("long"))
+            dp2 = acc["dp"] + F.when(
+                ~same & (acc["r"] > 1), acc["r"]
+            ).otherwise(F.lit(0).cast("long"))
+            return F.struct(
+                x.alias("p"),
+                r2.alias("r"),
+                F.greatest(acc["mx"], r2).alias("mx"),
+                dp2.alias("dp"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                acc["mx"].alias("mx"),
+                (
+                    acc["dp"]
+                    + F.when(acc["r"] > 1, acc["r"]).otherwise(F.lit(0).cast("long"))
+                ).alias("dp"),
+            )
+
+        return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("u_tot"),
+        run_stats(toks).alias("u"),
+        F.size(word_shingles(text_col, 2)).cast("long").alias("b_tot"),
+        run_stats(word_shingles(text_col, 2)).alias("b"),
+        F.size(word_shingles(text_col, ngram)).cast("long").alias("n_tot"),
+        run_stats(word_shingles(text_col, ngram)).alias("n"),
+    ).filter(F.col("u_tot") > 0)
+    return base.select(
+        F.col(id_col),
+        F.col("u_tot").alias("n_tokens"),
+        F.round(F.col("u")["mx"].cast("double") / F.col("u_tot"), 4).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.when(
+                F.col("b_tot") > 0, F.col("b")["mx"].cast("double") / F.col("b_tot")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("n_tot") > 0, F.col("n")["dp"].cast("double") / F.col("n_tot")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_ngram_frac"),
     )
