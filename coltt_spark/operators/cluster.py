@@ -67,6 +67,59 @@ def cluster_sizes(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.85,
+    iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the embedding
+    space, then inside each cluster drop every row that has a
+    LOWER-id neighbor with cosine similarity ≥ ``threshold`` (the
+    one-pass ε-ball rule — the lowest id of each near-dup set is the
+    canonical survivor). Returns surviving (id, centroid) rows.
+
+    Scale shape: the pairwise comparison is CONFINED to a cluster —
+    the cluster id is the only join key, so the pair count is
+    Σ|cluster|², bounded by choosing ``n_clusters`` ∝ corpus size
+    (the SemDeDup recipe: k ≈ n/1000 keeps clusters ~constant-sized
+    as the corpus grows). One assignment scan (broadcast centroids,
+    Arrow-batched matmul), one within-cluster equi-join, one
+    anti-join. No global window, no driver collect."""
+    from coltt_spark.functions.vector import dot
+
+    assigned = cluster_embeddings(
+        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+    )
+    v = F.col(vec_col).cast("array<double>")
+    a = assigned.select(
+        F.col("centroid"),
+        F.col(id_col).alias("_i"),
+        v.alias("_vi"),
+        (F.sqrt(dot(v, v))).alias("_ni"),
+    )
+    b = assigned.select(
+        F.col("centroid"),
+        F.col(id_col).alias("_j"),
+        v.alias("_vj"),
+        (F.sqrt(dot(v, v))).alias("_nj"),
+    )
+    sim = dot(F.col("_vi"), F.col("_vj")) / (F.col("_ni") * F.col("_nj"))
+    dropped = (
+        a.join(b, on="centroid")
+        .filter(F.col("_i") < F.col("_j"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("_j").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti").select(
+        F.col(id_col), F.col("centroid").cast("long").alias("centroid")
+    )
+
+
 def cluster_balanced_sample(
     corpus: DataFrame,
     *,

@@ -1205,6 +1205,7 @@ _KEY_ORDER = [
     "stream_ingest",                      # new: streaming collection ingestion
     "knn_bq",                             # new: BQ collection quantization
     "knn_sq8",                            # new: int8 scalar quantization
+    "semantic_dedup",                     # new: SemDeDup cluster-confined dedup
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1227,13 +1228,13 @@ _KEY_ORDER = [
     "dedup_groups",
     "neardup_cosine",
     "text_lang_id",
-    "text_quality",
     "token_count",
     "doc_fingerprint",
     "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "text_quality",
     "pricing_summary",
     "region_revenue",
     "window_top_orders",
@@ -1294,6 +1295,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     _embeddings_collection(spark, sf_dir)
     _blocks_collection(spark, sf_dir)
+    _delta_blocks_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)

@@ -492,6 +492,43 @@ FROM r WHERE rk <= {quota}
 """
 
 
+def _semantic_dedup_oracle(*, n_clusters: int = 16, threshold: float = 0.4) -> str:
+    """SemDeDup survivors on top of the shared k-means replay: drop
+    every row with a lower-id same-cluster neighbor at cosine ≥
+    threshold. The similarity is the identical double fold on both
+    sides (list_dot_product ≡ F.aggregate zip_with), so the ≥
+    comparison cannot disagree."""
+    sim = (
+        "list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+WITH {_kmeans_ctes(n_centroids=n_clusters)},
+asg AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {sim} >= {threshold!r}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid
+FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: cluster-confined cosine
+    ε-ball dedup over the embedding space (threshold 0.4 — sized to
+    the synthetic corpus's similarity range so drops actually occur).
+    The oracle replays k-means assignment plus the within-cluster
+    pair rule in SQL."""
+    from coltt_spark.operators.cluster import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, threshold=0.4
+    )
+
+
 def q_embed_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster occupancy over the embedding space — the
     curation-pass entry point (which clusters are boilerplate
@@ -525,6 +562,7 @@ ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "embed_cluster_sizes": q_embed_cluster_sizes,
     "sample_cluster_balanced": q_sample_cluster_balanced,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -536,4 +574,5 @@ ANN_ORACLES: dict[str, str] = {
     "ann_pq": _pq_oracle(),
     "embed_cluster_sizes": _cluster_sizes_oracle(),
     "sample_cluster_balanced": _cluster_sample_oracle(),
+    "semantic_dedup": _semantic_dedup_oracle(),
 }
