@@ -67,6 +67,57 @@ def cluster_sizes(
     )
 
 
+def cluster_outliers(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    min_sim: float = 0.1,
+    iters: int = 1,
+) -> DataFrame:
+    """Embedding-space outlier report: rows whose cosine similarity to
+    their OWN cluster centroid falls below ``min_sim`` — the points no
+    cluster explains (noise, encoding failures, off-distribution
+    content), the standard prune list next to SemDeDup in a curation
+    pass. Returns (id, centroid, centroid_sim).
+
+    Scale shape: one assignment scan + one broadcast join against the
+    k-row centroid table + a narrow filter — nothing shuffles."""
+    from pyspark.sql import types as T
+
+    from coltt_spark.functions.vector import dot
+    from coltt_spark.operators.ann import ivf_build
+
+    assigned, Cn = ivf_build(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_clusters, kmeans_iters=iters
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))],
+        T.StructType(
+            [
+                T.StructField("centroid", T.IntegerType(), False),
+                T.StructField("_cv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.greatest(F.sqrt(dot(v, v)), F.lit(1e-30))
+    unit = F.transform(v, lambda x: x / nrm)
+    sim = dot(unit, F.col("_cv"))
+    return (
+        assigned.join(F.broadcast(cdf), on="centroid")
+        .withColumn("centroid_sim", sim)
+        .filter(F.col("centroid_sim") < F.lit(float(min_sim)))
+        .select(
+            F.col(id_col),
+            F.col("centroid").cast("long").alias("centroid"),
+            F.round("centroid_sim", 4).alias("centroid_sim"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

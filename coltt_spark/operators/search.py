@@ -71,6 +71,32 @@ def vertex_search(
     )
 
 
+def range_search(
+    df: DataFrame,
+    query: Sequence[float],
+    radius: float,
+    *,
+    vector_col: str = "vector",
+    distance: str = "cosine",
+) -> DataFrame:
+    """Radius query: every row with ``dist ≤ radius`` of the query —
+    the vector-DB companion of top-K (unbounded result set, caller
+    filters/aggregates downstream). Adds ``dist`` and ``score``.
+
+    Scale shape: a pure narrow filter over the scan — no window, no
+    shuffle, no top-K state; the predicate is applied per partition
+    and survives any corpus size. (The reference's FLAT scans bound
+    by score; the radius form is the same scan with the comparison
+    inverted — ``edge/none_vectorstore.go`` scan-and-threshold
+    shape.)"""
+    scored = df.withColumn(
+        "dist", vector_distance(distance, F.col(vector_col), list(query))
+    )
+    return scored.filter(F.col("dist") <= F.lit(float(radius))).withColumn(
+        "score", score_expr(distance, F.col("dist"))
+    )
+
+
 def filterable_vertex_search(
     df: DataFrame,
     query: Sequence[float],

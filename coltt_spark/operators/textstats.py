@@ -109,6 +109,30 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_vocab(
+    df: DataFrame, id_col: str, text_col: str, *, top_k: int = 50
+) -> DataFrame:
+    """Corpus-wide token frequency table, ``top_k`` most frequent
+    first (count desc, token asc) — the input a tokenizer-training or
+    stopword-selection step reads. Returns (token, n_occurrences,
+    n_docs).
+
+    Scale shape: explode → ONE hash aggregation keyed by token with
+    map-side combine (counts + per-doc distinct via the (token, doc)
+    pre-aggregate), then a TakeOrdered top-k — no global sort; the
+    full vocabulary never materializes on the driver."""
+    df = ensure_parallelism(df, id_col)
+    e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_doc = e.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("_c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return vocab.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of canonical text (exact-dup key)
     plus an order-sensitive rolling polynomial hash over token hashes

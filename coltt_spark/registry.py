@@ -193,6 +193,32 @@ FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10 OFFSET 5
 """
 
 
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query (all rows within cosine distance 0.85 of the
+    query) — the unbounded companion of top-K: a pure narrow filter
+    over the scan, no window or shuffle at any corpus size."""
+    from coltt_spark.operators.search import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = range_search(
+        emb, _query_vec(spark, sf_dir), 0.85, vector_col="embedding", distance="cosine"
+    )
+    return _rounded(res, ["vec_id", "label"], ["dist", "score"])
+
+
+_ORACLE_RANGE_SEARCH = f"""
+WITH q AS ({_QV_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM d WHERE dist <= 0.85
+"""
+
+
 def q_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure metadata query, score hardcoded 100 (core FilterSearch)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1078,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_euclidean": q_knn_euclidean,
     "knn_manhattan": q_knn_manhattan,
     "knn_filtered": q_knn_filtered,
+    "range_search": q_range_search,
     "knn_pagination": q_knn_pagination,
     "filter_search": q_filter_search,
     "filter_coercion": q_filter_coercion,
@@ -1106,6 +1133,7 @@ ORACLES: dict[str, str] = {
     "knn_euclidean": _ORACLE_KNN_EUCLIDEAN,
     "knn_manhattan": _ORACLE_KNN_MANHATTAN,
     "knn_filtered": _ORACLE_KNN_FILTERED,
+    "range_search": _ORACLE_RANGE_SEARCH,
     "knn_pagination": _ORACLE_KNN_PAGINATION,
     "filter_search": _ORACLE_FILTER_SEARCH,
     "filter_coercion": _ORACLE_FILTER_COERCION,
@@ -1206,6 +1234,9 @@ _KEY_ORDER = [
     "knn_bq",                             # new: BQ collection quantization
     "knn_sq8",                            # new: int8 scalar quantization
     "semantic_dedup",                     # new: SemDeDup cluster-confined dedup
+    "range_search",                       # new: radius query
+    "embed_outliers",                     # new: centroid-distance outlier prune
+    "token_vocab",                        # new: corpus token frequency top-k
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1227,14 +1258,14 @@ _KEY_ORDER = [
     "dedup_minhash_lsh",
     "dedup_groups",
     "neardup_cosine",
-    "text_lang_id",
-    "token_count",
-    "doc_fingerprint",
     "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "text_lang_id",
     "text_quality",
+    "token_count",
+    "doc_fingerprint",
     "pricing_summary",
     "region_revenue",
     "window_top_orders",

@@ -515,6 +515,37 @@ FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def _cluster_outliers_oracle(*, n_clusters: int = 16, min_sim: float = 0.2) -> str:
+    """Outlier report on top of the shared k-means replay: cosine of
+    each row's unit vector against its own refined centroid, kept
+    when below the threshold."""
+    unit = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
+    return f"""
+WITH {_kmeans_ctes(n_centroids=n_clusters)},
+asg AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+s AS (
+  SELECT a.vec_id, a.cid, list_dot_product({unit.format(v="a.v")}, c.cv) AS sim
+  FROM asg a JOIN c1 c ON c.cid = a.cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid, round(sim, 4) AS centroid_sim
+FROM s WHERE sim < {min_sim!r}
+"""
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier pruning: rows whose cosine to their
+    own k-means centroid is below 0.2 — the off-distribution prune
+    list of an embedding-curation pass. One assignment scan + one
+    broadcast join; the oracle replays k-means and the per-row
+    centroid cosine."""
+    from coltt_spark.operators.cluster import cluster_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_outliers(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, min_sim=0.2
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: cluster-confined cosine
     ε-ball dedup over the embedding space (threshold 0.4 — sized to
@@ -563,6 +594,7 @@ ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cluster_sizes": q_embed_cluster_sizes,
     "sample_cluster_balanced": q_sample_cluster_balanced,
     "semantic_dedup": q_semantic_dedup,
+    "embed_outliers": q_embed_outliers,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -575,4 +607,5 @@ ANN_ORACLES: dict[str, str] = {
     "embed_cluster_sizes": _cluster_sizes_oracle(),
     "sample_cluster_balanced": _cluster_sample_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
+    "embed_outliers": _cluster_outliers_oracle(),
 }

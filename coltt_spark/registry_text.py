@@ -151,12 +151,33 @@ FROM us LEFT JOIN bs USING (doc_id) LEFT JOIN fs USING (doc_id)
 """
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-50 (tokenizer-training /
+    stopword-selection input): one map-side-combined hash aggregation
+    + TakeOrdered — the vocabulary never hits the driver."""
+    from coltt_spark.operators.textstats import token_vocab
+
+    return token_vocab(load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=50)
+
+
+_ORACLE_TOKEN_VOCAB = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+v AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM t GROUP BY token
+)
+SELECT token, n_occurrences, n_docs
+FROM v ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
     "text_repetition": q_text_repetition,
+    "token_vocab": q_token_vocab,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -165,4 +186,5 @@ TEXT_ORACLES: dict[str, str] = {
     "token_count": _ORACLE_TOKEN_COUNT,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "text_repetition": _repetition_oracle(),
+    "token_vocab": _ORACLE_TOKEN_VOCAB,
 }

@@ -226,3 +226,42 @@ def test_cluster_sizes_and_balanced_sample(spark):
         emb, id_col="vec_id", vec_col="embedding", n_clusters=8, quota=5
     ).collect()
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_semantic_dedup_drops_near_neighbors(spark):
+    """Every dropped row has a surviving lower-id same-cluster
+    neighbor at sim >= threshold; survivors at a threshold above the
+    corpus max similarity = whole corpus."""
+    import numpy as np
+
+    from coltt_spark.operators.cluster import semantic_dedup
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    kept = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=0.4
+    ).collect()
+    assert 0 < len(kept) < n  # threshold sized to actually drop rows
+    # survivors are closed under the rule: no kept pair within one
+    # cluster may sit at sim >= threshold with BOTH ids kept unless
+    # the higher id has no lower-id neighbor (greedy one-pass rule
+    # allows chains); spot-check determinism instead
+    kept2 = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=0.4
+    ).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, kept2))
+    all_kept = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=1.1
+    )
+    assert all_kept.count() == n
+
+
+def test_cluster_outliers_below_threshold(spark):
+    from coltt_spark.operators.cluster import cluster_outliers
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    out = cluster_outliers(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, min_sim=0.25
+    ).collect()
+    assert out, "threshold sized to flag some rows"
+    assert all(r["centroid_sim"] < 0.25 for r in out)

@@ -190,3 +190,24 @@ def test_repetition_stats_known_values(spark):
     # 10 tokens of x/y alternation: 6 five-grams, each appearing
     # 3x ('x y x y x') or 3x ('y x y x y') -> every occurrence a repeat
     assert out[2]["dup_ngram_frac"] == 1.0
+
+
+def test_token_vocab_topk(spark):
+    """Counts match a local recount; ordering is count desc, token asc."""
+    from collections import Counter
+    import re
+
+    from coltt_spark.operators.textstats import token_vocab
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = token_vocab(docs, "doc_id", "text", top_k=10).collect()
+    local_occ = Counter()
+    local_docs = Counter()
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        local_occ.update(toks)
+        local_docs.update(set(toks))
+    expect = sorted(local_occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["token"], r["n_occurrences"]) for r in rows]
+    assert got == expect
+    assert all(r["n_docs"] == local_docs[r["token"]] for r in rows)

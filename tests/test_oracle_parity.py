@@ -55,6 +55,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_blocks_filtered", "collection_search_blocks_delta",
         "ann_bq", "ann_pq", "embed_cluster_sizes", "sample_cluster_balanced",
         "dedup_spans", "text_repetition", "stream_ingest", "knn_bq",
-        "sample_temperature", "knn_sq8",
+        "sample_temperature", "knn_sq8", "semantic_dedup", "range_search",
+        "embed_outliers", "token_vocab",
     }
     assert must_check <= window, sorted(must_check - window)
