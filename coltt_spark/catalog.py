@@ -54,6 +54,20 @@ _VEC = "vector"
 _COMMIT = "_commit_id"
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """:func:`_link_parts` over a partitioned layout: replicate the
+    ``key=value`` directory structure of ``src`` under ``dst`` and
+    hardlink every part file inside — the manifest-reference shape for
+    a partition-pruned index."""
+    for entry in os.listdir(src):
+        s = os.path.join(src, entry)
+        if os.path.isdir(s):
+            d = os.path.join(dst, entry)
+            os.makedirs(d, exist_ok=True)
+            _link_tree(s, d)
+    _link_parts(src, dst)
+
+
 def _link_parts(src: str, dst: str) -> None:
     """Reference every Parquet part file of ``src`` from ``dst`` via
     hardlink (metadata-only; the files are immutable once written —
@@ -589,6 +603,9 @@ class Collection:
 
             Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
             assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
+            assigned = self._minus_tombstones(
+                assigned, self._tombstones_dir()
+            ).drop(_COMMIT)
             out = ivf_probe(
                 assigned, Cn, qvs, id_col=pk, vec_col=vc,
                 k=limit, nprobe=m.ivf_nprobe, distance=m.distance,
@@ -700,19 +717,32 @@ class Collection:
         reference's per-write in-place store update
         (``edge/none_vectorstore.go:66-103``) amortizes the same way.
         ``compact=True`` (or :meth:`compact`) forces the full rewrite,
-        folding deltas and dropping tombstones. IVF collections always
-        rebuild (centroids shift with the data)."""
+        folding deltas and dropping tombstones.
+
+        IVF collections flush incrementally too, with the standard IVF
+        delta discipline: centroids stay FIXED (they only move on an
+        explicit compact/rebuild) and new rows are routed into the
+        existing inverted lists (one broadcast-matmul assignment over
+        the delta only), appended as new part files inside the probed
+        partition layout; superseded index rows die via the same
+        commit-id tombstone mask."""
         m = self.manifest
         old_v = m.version
         new_v = old_v + 1
-        incremental = (
-            m.layout == "blocks"
-            and not compact
-            and os.path.isdir(self._data_dir(old_v))
-            and all(
+        if m.layout == "blocks":
+            idx_ready = all(
                 os.path.isdir(self._blocks_dir(vc, old_v))
                 for vc in self._vector_cols()
             )
+        elif m.layout == "ivf":
+            idx_ready = all(
+                os.path.isdir(self._ivf_dir(vc, old_v))
+                for vc in self._vector_cols()
+            )
+        else:
+            idx_ready = False
+        incremental = (
+            idx_ready and not compact and os.path.isdir(self._data_dir(old_v))
         )
         if incremental:
             self._flush_delta(old_v, new_v)
@@ -801,6 +831,9 @@ class Collection:
         delta.write.mode("overwrite").parquet(self._data_dir(new_v))
         _link_parts(self._data_dir(old_v), self._data_dir(new_v))
         dead.write.mode("overwrite").parquet(self._tombstones_dir(new_v))
+        if self.manifest.layout == "ivf":
+            self._flush_delta_ivf(old_v, new_v, delta, n_delta)
+            return
         # pack ONLY the delta rows; base block files ride along as links
         from coltt_spark.operators.blocks import pack_blocks, write_block_index
 
@@ -828,6 +861,50 @@ class Collection:
             )
             write_block_index(blocks, self._blocks_dir(vc, new_v), n_files=n_files)
             _link_parts(self._blocks_dir(vc, old_v), self._blocks_dir(vc, new_v))
+
+    def _flush_delta_ivf(
+        self, old_v: int, new_v: int, delta: DataFrame, n_delta: int
+    ) -> None:
+        """Incremental IVF index maintenance: centroids are FIXED
+        (loaded from the previous version — they only move on
+        compact), delta rows are routed into the existing inverted
+        lists with one broadcast-matmul assignment
+        (:func:`coltt_spark.operators.ann.ivf_assign`) and appended as
+        new part files INSIDE the centroid-partitioned layout, so
+        probe-time partition pruning keeps working unchanged. Base
+        index files ride along as hardlinks; superseded rows are
+        masked by the commit-id tombstones the shared delta flush just
+        wrote. Flush work is O(delta), never O(collection)."""
+        from coltt_spark.operators.ann import ivf_assign
+
+        m = self.manifest
+        schema = self._storage_schema()
+        pk = m.index_design.primary_key
+        df = delta
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        meta_cols = [
+            f.name for f in schema
+            if f.name not in self._vector_cols() and f.name not in (_COMMIT, pk)
+        ]
+        n_files = max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            -(-max(n_delta, 1) // 32768),  # ceil — don't shatter a small delta
+        ))
+        for vc in self._vector_cols():
+            old_dir = self._ivf_dir(vc, old_v)
+            new_dir = self._ivf_dir(vc, new_v)
+            Cn = np.load(os.path.join(old_dir, "centroids.npy"))
+            assigned = ivf_assign(
+                df.select(_COMMIT, vc), Cn, id_col=_COMMIT, vec_col=vc
+            ).join(df.select(_COMMIT, pk, *meta_cols), on=_COMMIT)
+            os.makedirs(os.path.join(new_dir, "data"), exist_ok=True)
+            _link_tree(os.path.join(old_dir, "data"), os.path.join(new_dir, "data"))
+            assigned.repartition(n_files).write.mode("append").partitionBy(
+                "centroid"
+            ).parquet(os.path.join(new_dir, "data"))
+            np.save(os.path.join(new_dir, "centroids.npy"), Cn)
 
     def versions(self) -> list[int]:
         """Snapshot versions currently retained on storage."""
@@ -926,11 +1003,11 @@ class Collection:
                 n_centroids=m.ivf_centroids,
                 kmeans_iters=m.ivf_kmeans_iters,
             )
-            # metadata rides in the index (like the blocks payload), so
-            # probes serve filters AND results without a second scan —
-            # the inverted lists are self-contained
-            if meta_cols:
-                assigned = assigned.join(df.select(pk, *meta_cols), on=pk)
+            # metadata AND the commit id ride in the index (like the
+            # blocks payload), so probes serve filters + results
+            # without a second scan, and delta flushes can tombstone
+            # superseded index rows by commit id
+            assigned = assigned.join(df.select(pk, _COMMIT, *meta_cols), on=pk)
             out = self._ivf_dir(vc, version)
             # data under <dir>/data keeps the partition discovery away
             # from the centroids sidecar
@@ -969,10 +1046,13 @@ class Collection:
         pk = m.index_design.primary_key
         assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
         cand = assigned.filter(F.col("centroid").isin(probes))
+        # delta-maintained versions mask superseded index rows by
+        # commit id (broadcast anti-join; no-op on compacted versions)
+        cand = self._minus_tombstones(cand, self._tombstones_dir())
         if filter_ast is not None:
             cand = cand.filter(compile_filter(cand, filter_ast))
         scored = cand.withColumn("dist", vector_distance(m.distance, F.col(vc), qv)).drop(
-            vc, "centroid"
+            vc, "centroid", _COMMIT
         )
         paged = _paginate_topk(scored, limit, offset, pk)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))

@@ -341,7 +341,6 @@ def ivf_build(
     DataFrame is the persistent index: cache it or write it
     partitioned by ``centroid`` so probes prune to the lists they
     touch."""
-    spark = corpus.sparkSession
     n = corpus.count()
     cent_rows = seed_centroids(corpus, id_col=id_col, vec_col=vec_col,
                                n_centroids=n_centroids, n=n).collect()
@@ -351,7 +350,22 @@ def ivf_build(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     if kmeans_iters:
         Cn = kmeans_refine(corpus, Cn, vec_col=vec_col, iters=kmeans_iters)
-    bc = spark.sparkContext.broadcast(Cn)
+    assigned = ivf_assign(corpus, Cn, id_col=id_col, vec_col=vec_col)
+    return assigned, Cn
+
+
+def ivf_assign(
+    corpus: DataFrame, Cn: np.ndarray, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every row to its max-cosine centroid among FIXED
+    centroids ``Cn`` — one broadcast + one Arrow-batched matmul per
+    partition. This is both the tail of :func:`ivf_build` and the
+    incremental-maintenance path: rows added after the index was
+    built are routed into the EXISTING inverted lists without
+    retraining (the standard IVF delta discipline; centroids only
+    move on an explicit rebuild/compact)."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(Cn, dtype=np.float64))
 
     # ids keep their source type (long vec_ids, string PKs, …) — the
     # centroid column is the only addition
@@ -376,11 +390,10 @@ def ivf_build(
             pdf["centroid"] = np.argmax(Xn @ Cn_b.T, axis=1).astype(np.int32)
             yield pdf
 
-    assigned = corpus.select(
+    return corpus.select(
         F.col(id_col).cast(id_type).alias(id_col),
         F.col(vec_col).cast("array<float>").alias(vec_col),
     ).mapInPandas(assign, assign_schema)
-    return assigned, Cn
 
 
 def ivf_probe(

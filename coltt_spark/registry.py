@@ -664,6 +664,75 @@ def _ivf_collection(spark: SparkSession, sf_dir: str):
     return _COLL_CACHE[(sf_dir, "ivf")]
 
 
+def _delta_ivf_collection(spark: SparkSession, sf_dir: str):
+    """Cached ivf collection maintained INCREMENTALLY: full index
+    build of the base corpus, then an upsert batch (vec_id < 10 →
+    label+100) and a filter-delete (label = 5) flushed as a DELTA —
+    centroids FIXED, delta rows routed into the existing inverted
+    lists (catalog.Collection._flush_delta_ivf), superseded commit
+    ids tombstoned."""
+    import tempfile
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    if (sf_dir, "ivf_delta") not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_ivfd_"))
+        coll = cat.create_collection(
+            "emb_ivf_delta",
+            dim=dim,
+            distance="cosine",
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
+            layout="ivf",
+            versioning=True,
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()  # v1: full IVF build
+        coll.upsert_df(
+            emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").cast("string").alias("id"),
+                (F.col("label") + 100).cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.delete_where({"index_name": "label", "op": "eq", "value": 5})
+        coll.flush()  # v2: delta assignment + tombstones, centroids fixed
+        _COLL_CACHE[(sf_dir, "ivf_delta")] = coll
+    return _COLL_CACHE[(sf_dir, "ivf_delta")]
+
+
+def q_collection_search_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from an incrementally maintained IVF index (fixed
+    centroids, delta rows appended into the probed partitions,
+    tombstone mask): because the upserted vectors are unchanged, the
+    result must equal the base-centroid probe over the patched state —
+    upserted rows at their new labels, deleted rows never surfacing.
+    The oracle replays the BASE k-means (seeds + Lloyd over the
+    original corpus — which the delta flush keeps fixed) with the
+    label patch and the delete applied."""
+    coll = _delta_ivf_collection(spark, sf_dir)
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_collection_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the product API: an ``layout="ivf"`` collection
     serves the search from its centroid-partitioned index — centroids
@@ -684,7 +753,8 @@ def q_collection_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _collection_ivf_oracle(
-    *, n_centroids: int = 16, nprobe: int = 4, k: int = 10, cand_where: str = ""
+    *, n_centroids: int = 16, nprobe: int = 4, k: int = 10, cand_where: str = "",
+    label_sql: str = "label",
 ) -> str:
     """SQL replay of the WHOLE ivf-collection search — the §2.4 HNSW
     row served Spark-style. Stored vectors are the collection's
@@ -704,7 +774,7 @@ def _collection_ivf_oracle(
     )
     return f"""
 WITH h AS (
-  SELECT CAST(vec_id AS VARCHAR) AS id, label, {stored} AS v,
+  SELECT CAST(vec_id AS VARCHAR) AS id, {label_sql} AS label, {stored} AS v,
          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
   FROM embeddings
 ),
@@ -1115,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_blocks": q_collection_search_blocks,
     "collection_search_blocks_filtered": q_collection_search_blocks_filtered,
     "collection_search_blocks_delta": q_collection_search_blocks_delta,
+    "collection_search_ivf_delta": q_collection_search_ivf_delta,
     "collection_search_batch": q_collection_search_batch,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
@@ -1146,6 +1217,10 @@ ORACLES: dict[str, str] = {
     "collection_search_blocks_delta": _ORACLE_COLLECTION_SEARCH_BLOCKS_DELTA,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
     "collection_search_ivf": _collection_ivf_oracle(),
+    "collection_search_ivf_delta": _collection_ivf_oracle(
+        label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
+        cand_where="WHERE a.label <> 5",
+    ),
     "collection_hybrid_ivf": _collection_ivf_oracle(cand_where="WHERE a.label >= 5"),
     "knn_f16": _quantized_oracle("f16"),
     "knn_bf16": _quantized_oracle("bf16"),
@@ -1224,6 +1299,7 @@ _KEY_ORDER = [
     "stream_dedup",
     "collection_search_blocks_filtered",  # new: filtered block fast path
     "collection_search_blocks_delta",     # new: incremental index maintenance
+    "collection_search_ivf_delta",        # new: incremental IVF maintenance
     "ann_bq",                             # new: binary quantization (proto BQ)
     "ann_pq",                             # new: product quantization (proto PQ)
     "embed_cluster_sizes",                # new: k-means curation report
@@ -1254,7 +1330,6 @@ _KEY_ORDER = [
     "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_groups",
     "neardup_cosine",
@@ -1262,6 +1337,7 @@ _KEY_ORDER = [
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "dedup_ngram_jaccard",
     "text_lang_id",
     "text_quality",
     "token_count",
@@ -1327,6 +1403,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _embeddings_collection(spark, sf_dir)
     _blocks_collection(spark, sf_dir)
     _delta_blocks_collection(spark, sf_dir)
+    _delta_ivf_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)

@@ -596,3 +596,73 @@ def test_ivf_search_batch_agrees_with_single(spark, catalog):
     for i, q in qs.items():
         single = [(round(r["dist"], 8), r["id"]) for r in coll.search(q, limit=5).collect()]
         assert sorted(got[i]) == sorted(single), f"query {i}"
+
+
+def test_incremental_ivf_flush_keeps_centroids_fixed(catalog):
+    """Second flush of an ivf collection must be incremental: the
+    centroid matrix is byte-identical to the base build, base index
+    part files are hardlinked, only delta rows are newly assigned, and
+    search equals a driver-side probe of the base centroids over the
+    patched logical state."""
+    import os
+
+    import numpy as np
+
+    rows = _rows(200, dim=6, seed=41)
+    coll = catalog.create_collection(
+        "delta_ivf", dim=6, distance="cosine", fields=FIELDS,
+        layout="ivf", versioning=True,
+    )
+    coll.upsert(rows)
+    coll.flush()  # v1: full IVF build
+    c1 = np.load(os.path.join(coll._ivf_dir("vector", 1), "centroids.npy"))
+    v1_data = os.path.join(coll._ivf_dir("vector", 1), "data")
+
+    updates = [dict(r, type=r["type"] + 100) for r in _rows(10, dim=6, seed=41)]
+    inserts = [dict(r, id=f"new-{i}") for i, r in enumerate(_rows(15, dim=6, seed=43))]
+    coll.upsert(updates)
+    coll.upsert(inserts)
+    coll.delete_where({"index_name": "type", "op": "eq", "value": 3})
+    coll.flush()  # v2: delta
+    assert coll.manifest.version == 2
+    c2 = np.load(os.path.join(coll._ivf_dir("vector", 2), "centroids.npy"))
+    assert np.array_equal(c1, c2), "delta flush must NOT retrain centroids"
+    v2_data = os.path.join(coll._ivf_dir("vector", 2), "data")
+    # every base part file rides along as a hardlink inside its partition
+    for part in os.listdir(v1_data):
+        pdir = os.path.join(v1_data, part)
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                s1 = os.stat(os.path.join(pdir, f))
+                assert os.path.exists(os.path.join(v2_data, part, f))
+                assert os.stat(os.path.join(v2_data, part, f)).st_ino == s1.st_ino
+    assert os.path.isdir(coll._tombstones_dir(2))
+
+    # expected: probe the FIXED base centroids over the patched state
+    state = {r["id"]: r for r in rows}
+    for r in updates:
+        state[r["id"]] = r
+    for r in inserts:
+        state[r["id"]] = r
+    state = {k: v for k, v in state.items() if v["type"] != 3}
+    q = np.array(_rows(1, dim=6, seed=5)[0]["vector"])
+    qn = q / np.linalg.norm(q)
+    probes = set(np.argsort(-(c1 @ qn))[: coll.manifest.ivf_nprobe])
+    exp = []
+    for rid, r in state.items():
+        v = np.array(r["vector"], dtype=np.float64)
+        vn32 = (v / np.linalg.norm(v)).astype(np.float32)  # normalize-at-write
+        vn = vn32.astype(np.float64)
+        cid = int(np.argmax((vn / max(np.linalg.norm(vn), 1e-30)) @ c1.T))
+        if cid not in probes:
+            continue
+        dist = abs(1.0 - float(np.dot(vn, qn)) / (np.linalg.norm(vn) * np.linalg.norm(qn)))
+        exp.append((dist, rid))
+    exp.sort(key=lambda t: (t[0], t[1]))
+    got = [(r["id"], round(r["dist"], 6)) for r in coll.search(list(q), limit=8).collect()]
+    assert got == [(rid, round(d, 6)) for d, rid in exp[:8]]
+    # deleted rows never surface, updated rows carry new metadata
+    full = {r["id"]: r for r in coll.search(list(q), limit=250).collect()}
+    assert all(state[i]["type"] == full[i]["type"] for i in full)

@@ -56,6 +56,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "ann_bq", "ann_pq", "embed_cluster_sizes", "sample_cluster_balanced",
         "dedup_spans", "text_repetition", "stream_ingest", "knn_bq",
         "sample_temperature", "knn_sq8", "semantic_dedup", "range_search",
-        "embed_outliers", "token_vocab",
+        "embed_outliers", "token_vocab", "collection_search_ivf_delta",
     }
     assert must_check <= window, sorted(must_check - window)
