@@ -203,6 +203,69 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    ts_col: str = "ts",
+    tie_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed AS-OF join: each left row is matched to the right
+    row with the greatest ``ts_col`` ≤ the left row's (ties broken by
+    the greatest ``tie_col``), equi-keyed on ``on`` — the time-series
+    join Spark has no native operator for (DuckDB/Pandas ``ASOF``,
+    kdb ``aj``).
+
+    Built the scale-correct way: UNION the two sides with a side
+    marker, ONE shuffle on the key, one in-partition sort by
+    (ts, side, tie) — right rows sort before left at equal ts so
+    same-instant matches count — and a running ``last(non-null)``
+    carry-forward of the right payload. No broadcast of either side,
+    no range-join row explosion, no per-key driver loop; cost is one
+    repartition + sort regardless of how many right rows precede each
+    left row. Left rows with no prior right row keep NULL payload.
+
+    Returns the left rows (``left_cols``) + the matched right payload
+    (``right_cols``, NULL when unmatched)."""
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    r2 = right.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        rstruct.alias("_r"),
+    )
+    rtype = r2.schema["_r"].dataType
+    l2 = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        F.lit(None).cast(rtype).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    )
+    r2 = r2.select(
+        *l2.columns[:5],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        *[F.col("_match")[c].alias(f"asof_{c}") for c in right_cols],
+    )
+
+
 def events_json_extract(events: DataFrame) -> DataFrame:
     """JSON scalar extraction from the props column + aggregate."""
     k = F.get_json_object(F.col("props"), "$.k").cast("long")

@@ -1300,6 +1300,7 @@ _KEY_ORDER = [
     "collection_search_blocks_filtered",  # new: filtered block fast path
     "collection_search_blocks_delta",     # new: incremental index maintenance
     "collection_search_ivf_delta",        # new: incremental IVF maintenance
+    "events_asof",                        # new: distributed as-of join
     "ann_bq",                             # new: binary quantization (proto BQ)
     "ann_pq",                             # new: product quantization (proto PQ)
     "embed_cluster_sizes",                # new: k-means curation report
@@ -1329,7 +1330,6 @@ _KEY_ORDER = [
     "upsert_delete",
     "collection_search_ivf",
     "collection_hybrid_ivf",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_groups",
     "neardup_cosine",
@@ -1337,6 +1337,7 @@ _KEY_ORDER = [
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "text_lang_id",
     "text_quality",

@@ -197,6 +197,59 @@ SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every purchase matched to the user's most recent
+    click at or before it (greatest ts ≤ purchase ts, ties to the
+    greatest event_id) — the time-series join Spark lacks natively,
+    built as union + one keyed shuffle + in-partition sort +
+    last-non-null carry-forward. The oracle is DuckDB's LATERAL
+    top-1 (deterministic, unlike raw ASOF JOIN under ts ties)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    res = A.as_of_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        on="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        left_cols=["event_id", "ts", "value"],
+        right_cols=["event_id", "ts"],
+    )
+    epoch_l = F.col("ts").cast("timestamp_ltz").cast("long")
+    epoch_r = F.col("asof_ts").cast("timestamp_ltz").cast("long")
+    # unmatched rows coalesce to sentinels (NULL int columns degrade
+    # to NaN floats in the pandas fetch both engines are compared
+    # through, so the sentinel keeps the column integer-typed)
+    return res.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("-")
+        ).alias("click_ts"),
+        F.coalesce(epoch_l - epoch_r, F.lit(-1)).alias("lag_seconds"),
+    )
+
+
+_ORACLE_EVENTS_ASOF = """
+SELECT l.user_id, l.event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(l.value, 2) AS purchase_value,
+       COALESCE(r.event_id, -1) AS click_event_id,
+       COALESCE(strftime(r.ts, '%Y-%m-%d %H:%M:%S'), '-') AS click_ts,
+       COALESCE(CAST(floor(epoch(l.ts)) AS BIGINT) - CAST(floor(epoch(r.ts)) AS BIGINT), -1) AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = l.user_id AND c.ts <= l.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) r ON true
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue,
@@ -209,6 +262,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_json": q_events_json,
     "set_intersect": q_set_intersect,
+    "events_asof": q_events_asof,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -223,4 +277,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "events_sessionize": _ORACLE_SESSIONIZE,
     "events_json": _ORACLE_EVENTS_JSON,
     "set_intersect": _ORACLE_SET_INTERSECT,
+    "events_asof": _ORACLE_EVENTS_ASOF,
 }

@@ -159,3 +159,36 @@ def test_temperature_sample_flattens_sources(spark):
     assert abs(len(kept["big"]) - rates["big"] * 900) < 90
     again = temperature_sample(df, "doc_id", "source").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_as_of_join_semantics(spark):
+    """Greatest right ts <= left ts per key, ties to greatest tie id,
+    same-instant rows match, keys never cross, unmatched stays NULL."""
+    from datetime import datetime
+
+    from coltt_spark.operators.analytics import as_of_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(3), 101), (2, t(5), 102), (3, t(9), 103)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(2), 200),   # before both left-1 rows
+            (1, t(10), 201),  # same instant as left 100 -> matches it
+            (1, t(10), 202),  # tie on ts: greatest event_id wins
+            (2, t(6), 203),   # after left 102 -> no match
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    res = {
+        r["event_id"]: r["asof_event_id"]
+        for r in as_of_join(
+            left, right, on="user_id", ts_col="ts", tie_col="event_id",
+            left_cols=["event_id"], right_cols=["event_id"],
+        ).collect()
+    }
+    assert res == {100: 202, 101: 200, 102: None, 103: None}
