@@ -519,7 +519,9 @@ def test_versioned_ivf_cleanup_prunes_index_dirs(catalog):
     leftovers = sorted(
         d for d in os.listdir(coll.root) if d.startswith("v") and "_" in d
     )
-    assert leftovers == ["v2_ivf"]
+    # the second flush is now an ivf DELTA (fixed centroids), so the
+    # current version legitimately retains its tombstone table
+    assert leftovers == ["v2_ivf", "v2_tombstones"]
     # the current version still serves from its index
     q = _rows(1, dim=4, seed=7)[0]["vector"]
     assert len(coll.search(q, limit=3).collect()) == 3
