@@ -205,3 +205,45 @@ def test_stratified_sample_prefilters_before_window(spark):
     assert has_broadcast_hash_join(out)  # tiny counts join, corpus never shuffles for it
     for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "lang" in frag  # every window keyed by the stratum column
+
+
+def test_range_search_is_narrow_scan(spark):
+    """Radius query must stay a pure narrow filter over the scan:
+    no Exchange, no window, one codegen span."""
+    from coltt_spark.operators.search import range_search
+
+    emb, qv = _q(spark)
+    plan_df = range_search(emb, qv, 0.9, vector_col="embedding")
+    assert not has_shuffle(plan_df)
+    assert wholestage_codegen_spans(plan_df) >= 1
+
+
+def test_repetition_stats_no_hash_shuffle(spark):
+    """The Gopher repetition trio is a per-row fold — no aggregation
+    or join Exchange (grams never leave their document); the only
+    allowed Exchange is ensure_parallelism's round-robin spread."""
+    from coltt_spark.operators.textstats import repetition_stats
+    from coltt_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = executed_plan(repetition_stats(docs, "doc_id", "text")).lower()
+    assert "exchange hashpartitioning" not in plan
+    assert "sortaggregate" not in plan and "hashaggregate" not in plan
+
+
+def test_as_of_join_single_exchange(spark):
+    """The as-of join must shuffle exactly once, on the equi-key: one
+    hashpartitioning Exchange feeding the in-partition sort — no
+    broadcast of either side, no range-join explosion."""
+    from coltt_spark.operators.analytics import as_of_join
+    from coltt_spark.plans.inspect import executed_plan
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan_df = as_of_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        on="user_id", ts_col="ts", tie_col="event_id",
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+    plan = executed_plan(plan_df)
+    assert plan.lower().count("exchange hashpartitioning") == 1, plan
