@@ -227,8 +227,11 @@ def test_repetition_stats_no_hash_shuffle(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = executed_plan(repetition_stats(docs, "doc_id", "text")).lower()
-    assert "exchange hashpartitioning" not in plan
+    # the only Exchange is ensure_parallelism's doc_id spread; the
+    # signals themselves never aggregate, explode, or join
+    assert plan.count("exchange") <= 1
     assert "sortaggregate" not in plan and "hashaggregate" not in plan
+    assert "generate" not in plan and "join" not in plan
 
 
 def test_as_of_join_single_exchange(spark):
