@@ -133,6 +133,35 @@ def token_vocab(
     ).limit(top_k)
 
 
+def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram language-model quality score: each document's mean
+    log-probability under the corpus's own unigram distribution —
+    the cheap stand-in for CCNet-style perplexity filtering (documents
+    of rare/atypical tokens score low, boilerplate scores high).
+    Returns (id, n_tokens, avg_logprob).
+
+    Scale shape: one explode + one token-keyed count (map-side
+    combined), the |V|-row unigram table BROADCAST back onto the
+    exploded stream (no token-keyed shuffle of the corpus — hot
+    tokens like stopwords never become a skewed join key), then one
+    doc-keyed aggregation. Token probabilities need no smoothing:
+    the LM is trained on the scored corpus itself, so every token is
+    in-vocabulary."""
+    df = ensure_parallelism(df, id_col)
+    e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    vocab = e.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    tot = e.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        e.join(F.broadcast(vocab), on="token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp", F.log(F.col("_c") / F.col("_n")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of canonical text (exact-dup key)
     plus an order-sensitive rolling polynomial hash over token hashes

@@ -1314,6 +1314,7 @@ _KEY_ORDER = [
     "range_search",                       # new: radius query
     "embed_outliers",                     # new: centroid-distance outlier prune
     "token_vocab",                        # new: corpus token frequency top-k
+    "doc_lm_score",                       # new: unigram-LM quality scoring
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1331,13 +1332,13 @@ _KEY_ORDER = [
     "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_minhash_lsh",
-    "dedup_groups",
     "neardup_cosine",
     "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
     "dedup_exact",
+    "dedup_groups",
     "dedup_ngram_jaccard",
     "text_lang_id",
     "text_quality",

@@ -171,6 +171,26 @@ FROM v ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style perplexity proxy):
+    mean log-prob of each document under the corpus's own unigram
+    distribution — broadcast vocabulary, no token-keyed corpus
+    shuffle."""
+    from coltt_spark.operators.textstats import lm_score
+
+    return lm_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_ORACLE_DOC_LM_SCORE = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY token),
+s AS (SELECT t.doc_id, ln(v.c / tot.n) AS lp FROM t JOIN v USING (token), tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+FROM s GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -178,6 +198,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "text_repetition": q_text_repetition,
     "token_vocab": q_token_vocab,
+    "doc_lm_score": q_doc_lm_score,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -187,4 +208,5 @@ TEXT_ORACLES: dict[str, str] = {
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "text_repetition": _repetition_oracle(),
     "token_vocab": _ORACLE_TOKEN_VOCAB,
+    "doc_lm_score": _ORACLE_DOC_LM_SCORE,
 }

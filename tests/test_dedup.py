@@ -211,3 +211,26 @@ def test_token_vocab_topk(spark):
     got = [(r["token"], r["n_occurrences"]) for r in rows]
     assert got == expect
     assert all(r["n_docs"] == local_docs[r["token"]] for r in rows)
+
+
+def test_lm_score_matches_local(spark):
+    """avg_logprob equals a local recount of ln(count/total) means."""
+    import math
+    import re
+    from collections import Counter
+
+    from coltt_spark.operators.textstats import lm_score
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = {r["doc_id"]: r for r in lm_score(docs, "doc_id", "text").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    occ = Counter()
+    toks = {}
+    for did, t in texts.items():
+        toks[did] = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        occ.update(toks[did])
+    total = sum(occ.values())
+    for did, tk in list(toks.items())[:50]:
+        exp = sum(math.log(occ[t] / total) for t in tk) / len(tk)
+        assert rows[did]["n_tokens"] == len(tk)
+        assert abs(rows[did]["avg_logprob"] - round(exp, 4)) <= 1e-4
