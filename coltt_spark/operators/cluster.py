@@ -54,14 +54,18 @@ def cluster_sizes(
     vec_col: str,
     n_clusters: int = 16,
     iters: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster occupancy report (centroid, n_vectors) — the first
     thing a curation pass looks at: which clusters are template
     mega-clusters and which are the long tail. One scan + one
-    map-side-combined count."""
-    assigned = cluster_embeddings(
-        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
-    )
+    map-side-combined count. ``assigned`` short-circuits the build
+    with a precomputed (cached) assignment — the serving pattern:
+    cluster once, run every curation query against it."""
+    if assigned is None:
+        assigned = cluster_embeddings(
+            corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+        )
     return assigned.groupBy(F.col("centroid").cast("long").alias("centroid")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
@@ -75,6 +79,7 @@ def cluster_outliers(
     n_clusters: int = 16,
     min_sim: float = 0.1,
     iters: int = 1,
+    built: "tuple[DataFrame, object] | None" = None,
 ) -> DataFrame:
     """Embedding-space outlier report: rows whose cosine similarity to
     their OWN cluster centroid falls below ``min_sim`` — the points no
@@ -89,7 +94,7 @@ def cluster_outliers(
     from coltt_spark.functions.vector import dot
     from coltt_spark.operators.ann import ivf_build
 
-    assigned, Cn = ivf_build(
+    assigned, Cn = built if built is not None else ivf_build(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_clusters, kmeans_iters=iters
     )
     spark = corpus.sparkSession
@@ -126,6 +131,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.85,
     iters: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means the embedding
     space, then inside each cluster drop every row that has a
@@ -142,9 +148,10 @@ def semantic_dedup(
     anti-join. No global window, no driver collect."""
     from coltt_spark.functions.vector import dot
 
-    assigned = cluster_embeddings(
-        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
-    )
+    if assigned is None:
+        assigned = cluster_embeddings(
+            corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+        )
     v = F.col(vec_col).cast("array<double>")
     a = assigned.select(
         F.col("centroid"),
@@ -179,15 +186,17 @@ def cluster_balanced_sample(
     n_clusters: int = 16,
     quota: int = 10,
     iters: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-balanced selection: at most ``quota`` rows per cluster,
     picked in deterministic md5-hash order — flattens the cluster-size
     distribution the way curation pipelines cap boilerplate clusters
     while keeping rare ones intact. Returns (id, centroid,
     sample_rank); re-runs select the same rows."""
-    assigned = cluster_embeddings(
-        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
-    )
+    if assigned is None:
+        assigned = cluster_embeddings(
+            corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+        )
     out = stratified_sample(
         assigned.select(id_col, "centroid"), id_col, "centroid", quota=quota
     )

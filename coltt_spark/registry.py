@@ -1409,9 +1409,10 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _ivf_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)
-    from coltt_spark.registry_ann import _pq_book
+    from coltt_spark.registry_ann import _kmeans_fixture, _pq_book
 
     _pq_book(spark, sf_dir)
+    _kmeans_fixture(spark, sf_dir)
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)
     _emb_schemaless(spark, sf_dir)

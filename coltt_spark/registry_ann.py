@@ -413,6 +413,27 @@ SELECT query_id, vec_id, round(dist, 4) AS dist FROM r2 WHERE rn <= {k}
 
 
 _PQ_BOOK_CACHE: dict = {}
+_KMEANS_CACHE: dict = {}
+
+
+def _kmeans_fixture(spark: SparkSession, sf_dir: str):
+    """Shared deterministic k-means build over the embeddings table
+    (n_clusters=16, one Lloyd round), cached + persisted per sf_dir —
+    the serving pattern: cluster ONCE, run every curation query
+    (occupancy, balanced sampling, SemDeDup, outlier pruning) against
+    the same assignment. Returns (assigned DataFrame, centroid
+    matrix)."""
+    from coltt_spark.operators.ann import ivf_build
+
+    if sf_dir not in _KMEANS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned, Cn = ivf_build(
+            emb, id_col="vec_id", vec_col="embedding", n_centroids=16, kmeans_iters=1
+        )
+        assigned = assigned.cache()
+        assigned.count()  # materialize once
+        _KMEANS_CACHE[sf_dir] = (assigned, Cn)
+    return _KMEANS_CACHE[sf_dir]
 
 
 def _pq_book(spark: SparkSession, sf_dir: str):
@@ -542,7 +563,8 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_outliers(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, min_sim=0.2
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, min_sim=0.2,
+        built=_kmeans_fixture(spark, sf_dir),
     )
 
 
@@ -555,8 +577,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coltt_spark.operators.cluster import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = _kmeans_fixture(spark, sf_dir)
     return semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, threshold=0.4
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, threshold=0.4,
+        assigned=assigned,
     )
 
 
@@ -568,7 +592,10 @@ def q_embed_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coltt_spark.operators.cluster import cluster_sizes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_sizes(emb, id_col="vec_id", vec_col="embedding", n_clusters=16)
+    assigned, _ = _kmeans_fixture(spark, sf_dir)
+    return cluster_sizes(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, assigned=assigned
+    )
 
 
 def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,8 +606,10 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coltt_spark.operators.cluster import cluster_balanced_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = _kmeans_fixture(spark, sf_dir)
     return cluster_balanced_sample(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, quota=10
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, quota=10,
+        assigned=assigned,
     )
 
 
