@@ -1413,6 +1413,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     _pq_book(spark, sf_dir)
     _kmeans_fixture(spark, sf_dir)
+    from coltt_spark.registry_media import _media_feats
+
+    _media_feats(spark, sf_dir)
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)
     _emb_schemaless(spark, sf_dir)
