@@ -208,9 +208,9 @@ def repetition_stats(
 
     df = ensure_parallelism(df, id_col)
 
-    def run_stats(grams) -> Column:
+    def run_stats(sorted_grams) -> Column:
         """(max gram count, Σ counts over grams with count > 1) via a
-        run-length fold over the sorted gram array."""
+        run-length fold over a pre-sorted gram array."""
         init = F.struct(
             F.lit(None).cast("string").alias("p"),
             F.lit(0).cast("long").alias("r"),
@@ -240,17 +240,25 @@ def repetition_stats(
                 ).alias("dp"),
             )
 
-        return F.aggregate(F.array_sort(grams), init, merge, finish)
+        return F.aggregate(sorted_grams, init, merge, finish)
 
-    toks = tokens(text_col)
-    base = df.select(
+    # materialize each gram array once (sorted) so the fold and the
+    # size() don't re-derive the tokenization — keeps the expression
+    # tree (and its codegen) linear in the number of signals
+    grams = df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("u_tot"),
-        run_stats(toks).alias("u"),
-        F.size(word_shingles(text_col, 2)).cast("long").alias("b_tot"),
-        run_stats(word_shingles(text_col, 2)).alias("b"),
-        F.size(word_shingles(text_col, ngram)).cast("long").alias("n_tot"),
-        run_stats(word_shingles(text_col, ngram)).alias("n"),
+        F.array_sort(tokens(text_col)).alias("_u"),
+        F.array_sort(word_shingles(text_col, 2)).alias("_b"),
+        F.array_sort(word_shingles(text_col, ngram)).alias("_n"),
+    )
+    base = grams.select(
+        F.col(id_col),
+        F.size("_u").cast("long").alias("u_tot"),
+        run_stats(F.col("_u")).alias("u"),
+        F.size("_b").cast("long").alias("b_tot"),
+        run_stats(F.col("_b")).alias("b"),
+        F.size("_n").cast("long").alias("n_tot"),
+        run_stats(F.col("_n")).alias("n"),
     ).filter(F.col("u_tot") > 0)
     return base.select(
         F.col(id_col),
