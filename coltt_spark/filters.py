@@ -29,7 +29,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-OPS = ("eq", "neq", "gt", "gte", "lt", "lte")
+#: The reference's six proto ops, plus the extended set a filter
+#: surface at scale needs (each still compiles to a single pushable
+#: predicate): ``in``/``not_in`` over a literal list, inclusive
+#: ``between`` [lo, hi], SQL ``like`` patterns, and a ``not``
+#: composite. Every extended leaf reuses the same per-literal
+#: coercion matrix as the proto six.
+OPS = ("eq", "neq", "gt", "gte", "lt", "lte", "in", "not_in", "between", "like")
 
 _NUMERIC_TYPES = (
     T.ByteType,
@@ -81,7 +87,27 @@ def _leaf(df: DataFrame, name: str, op: str, value: Any) -> Column:
     field = dict(zip(df.schema.names, df.schema.fields))  # name -> StructField
     if name not in field:
         raise KeyError(f"filter references unknown column {name!r}")
-    lhs, rhs = _coerce(F.col(name), field[name].dataType, value)
+    dt = field[name].dataType
+    if op in ("in", "not_in"):
+        if not isinstance(value, (list, tuple)) or not value:
+            raise ValueError(f"{op} requires a non-empty list value, got {value!r}")
+        out = None
+        for v in value:  # each element independently coerced
+            lhs_i, rhs_i = _coerce(F.col(name), dt, v)
+            eq = lhs_i == rhs_i
+            out = eq if out is None else (out | eq)
+        return out if op == "in" else ~F.coalesce(out, F.lit(False))
+    if op == "between":
+        if not isinstance(value, (list, tuple)) or len(value) != 2:
+            raise ValueError(f"between requires [lo, hi], got {value!r}")
+        llo, rlo = _coerce(F.col(name), dt, value[0])
+        lhi, rhi = _coerce(F.col(name), dt, value[1])
+        return (llo >= rlo) & (lhi <= rhi)
+    if op == "like":
+        if not isinstance(value, str):
+            raise ValueError(f"like requires a string pattern, got {value!r}")
+        return F.col(name).cast("string").like(value)
+    lhs, rhs = _coerce(F.col(name), dt, value)
     if op == "eq":
         return lhs == rhs
     if op == "neq":
@@ -103,6 +129,10 @@ def compile_filter(df: DataFrame, ast: dict[str, Any]) -> Column:
         return _leaf(df, ast["index_name"], str(ast["op"]).lower(), ast["value"])
     op = str(ast.get("op", "")).lower()
     exprs = ast.get("expressions", [])
+    if op == "not":
+        if len(exprs) != 1:
+            raise ValueError(f"not takes exactly one expression: {ast!r}")
+        return ~compile_filter(df, exprs[0])
     if op not in ("and", "or") or not exprs:
         raise ValueError(f"bad composite node: {ast!r}")
     out = compile_filter(df, exprs[0])

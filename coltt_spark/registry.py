@@ -193,6 +193,38 @@ FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10 OFFSET 5
 """
 
 
+def q_filter_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended filter language beyond the reference's six proto ops:
+    ``in`` list membership, inclusive ``between``, SQL ``like``
+    patterns, and a ``not`` composite — each compiling to one pushable
+    predicate on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ast = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "lang", "op": "in", "value": ["en", "de"]},
+            {"index_name": "n_chars", "op": "between", "value": [150, 400]},
+            {"index_name": "text", "op": "like", "value": "%window%"},
+            {"op": "not", "expressions": [
+                {"index_name": "source", "op": "in", "value": ["src0", "src1"]},
+            ]},
+        ],
+    }
+    return filter_search(docs, ast).select(
+        "doc_id", "lang", "source", "n_chars", "score"
+    )
+
+
+_ORACLE_FILTER_EXTENDED = """
+SELECT doc_id, lang, source, n_chars, 100.0 AS score
+FROM documents
+WHERE lang IN ('en', 'de')
+  AND n_chars BETWEEN 150 AND 400
+  AND text LIKE '%window%'
+  AND NOT (source IN ('src0', 'src1'))
+"""
+
+
 def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius query (all rows within cosine distance 0.85 of the
     query) — the unbounded companion of top-K: a pure narrow filter
@@ -1175,6 +1207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_manhattan": q_knn_manhattan,
     "knn_filtered": q_knn_filtered,
     "range_search": q_range_search,
+    "filter_extended": q_filter_extended,
     "knn_pagination": q_knn_pagination,
     "filter_search": q_filter_search,
     "filter_coercion": q_filter_coercion,
@@ -1205,6 +1238,7 @@ ORACLES: dict[str, str] = {
     "knn_manhattan": _ORACLE_KNN_MANHATTAN,
     "knn_filtered": _ORACLE_KNN_FILTERED,
     "range_search": _ORACLE_RANGE_SEARCH,
+    "filter_extended": _ORACLE_FILTER_EXTENDED,
     "knn_pagination": _ORACLE_KNN_PAGINATION,
     "filter_search": _ORACLE_FILTER_SEARCH,
     "filter_coercion": _ORACLE_FILTER_COERCION,
@@ -1315,6 +1349,7 @@ _KEY_ORDER = [
     "embed_outliers",                     # new: centroid-distance outlier prune
     "token_vocab",                        # new: corpus token frequency top-k
     "doc_lm_score",                       # new: unigram-LM quality scoring
+    "filter_extended",                    # new: in/between/like/not filter ops
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1332,11 +1367,11 @@ _KEY_ORDER = [
     "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_minhash_lsh",
-    "neardup_cosine",
     "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "neardup_cosine",
     "dedup_exact",
     "dedup_groups",
     "dedup_ngram_jaccard",

@@ -668,3 +668,40 @@ def test_incremental_ivf_flush_keeps_centroids_fixed(catalog):
     # deleted rows never surface, updated rows carry new metadata
     full = {r["id"]: r for r in coll.search(list(q), limit=250).collect()}
     assert all(state[i]["type"] == full[i]["type"] for i in full)
+
+
+def test_extended_filter_ops(spark):
+    """in/not_in/between/like/not compile and evaluate correctly,
+    including per-element coercion and the pushable-predicate shape."""
+    from coltt_spark.filters import compile_filter
+    from coltt_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(1, "en", 10, "alpha beta"), (2, "de", 25, "beta gamma"),
+         (3, "fr", 40, "gamma delta"), (4, "en", 55, None)],
+        "id long, lang string, n long, txt string",
+    )
+
+    def ids(ast):
+        return sorted(r["id"] for r in df.filter(compile_filter(df, ast)).collect())
+
+    assert ids({"index_name": "lang", "op": "in", "value": ["en", "fr"]}) == [1, 3, 4]
+    assert ids({"index_name": "lang", "op": "not_in", "value": ["en"]}) == [2, 3]
+    # per-element coercion: string "25" matches the bigint column
+    assert ids({"index_name": "n", "op": "in", "value": ["25", 40]}) == [2, 3]
+    assert ids({"index_name": "n", "op": "between", "value": [20, 41]}) == [2, 3]
+    assert ids({"index_name": "txt", "op": "like", "value": "%beta%"}) == [1, 2]
+    assert ids({"op": "not", "expressions": [
+        {"index_name": "n", "op": "between", "value": [20, 41]}]}) == [1, 4]
+    # composite nesting with the new leaves; NULL txt (row 4) drops
+    # under SQL three-valued logic, same as the DuckDB oracle
+    assert ids({"op": "and", "expressions": [
+        {"index_name": "lang", "op": "in", "value": ["en", "de", "fr"]},
+        {"op": "not", "expressions": [{"index_name": "txt", "op": "like", "value": "gamma%"}]},
+    ]}) == [1, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        compile_filter(df, {"index_name": "n", "op": "in", "value": []})
+    with pytest.raises(ValueError):
+        compile_filter(df, {"index_name": "n", "op": "between", "value": [1]})
