@@ -696,6 +696,24 @@ def _ivf_collection(spark: SparkSession, sf_dir: str):
     return _COLL_CACHE[(sf_dir, "ivf")]
 
 
+def q_collection_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read (edge v4 ``versioning``): version 1 of the
+    delta-maintained collection must replay the PRE-mutation state —
+    the original labels, deleted rows included — straight from the
+    retained snapshot (hardlinked base files + that version's
+    tombstone view, ``catalog.Collection.read_version``)."""
+    coll = _delta_ivf_collection(spark, sf_dir)
+    return coll.read_version(1).select(
+        "id", F.col("label").cast("long").alias("label")
+    )
+
+
+_ORACLE_COLLECTION_TIME_TRAVEL = """
+SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS BIGINT) AS label
+FROM embeddings
+"""
+
+
 def _delta_ivf_collection(spark: SparkSession, sf_dir: str):
     """Cached ivf collection maintained INCREMENTALLY: full index
     build of the base corpus, then an upsert batch (vec_id < 10 →
@@ -1219,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_blocks_filtered": q_collection_search_blocks_filtered,
     "collection_search_blocks_delta": q_collection_search_blocks_delta,
     "collection_search_ivf_delta": q_collection_search_ivf_delta,
+    "collection_time_travel": q_collection_time_travel,
     "collection_search_batch": q_collection_search_batch,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
@@ -1249,6 +1268,7 @@ ORACLES: dict[str, str] = {
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
     "collection_search_blocks_filtered": _ORACLE_COLLECTION_SEARCH_BLOCKS_FILTERED,
     "collection_search_blocks_delta": _ORACLE_COLLECTION_SEARCH_BLOCKS_DELTA,
+    "collection_time_travel": _ORACLE_COLLECTION_TIME_TRAVEL,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
     "collection_search_ivf": _collection_ivf_oracle(),
     "collection_search_ivf_delta": _collection_ivf_oracle(
@@ -1350,6 +1370,7 @@ _KEY_ORDER = [
     "token_vocab",                        # new: corpus token frequency top-k
     "doc_lm_score",                       # new: unigram-LM quality scoring
     "filter_extended",                    # new: in/between/like/not filter ops
+    "collection_time_travel",             # new: versioned snapshot read
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1367,10 +1388,10 @@ _KEY_ORDER = [
     "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_minhash_lsh",
-    "ann_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "ann_ivf",
     "neardup_cosine",
     "dedup_exact",
     "dedup_groups",
