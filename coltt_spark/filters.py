@@ -96,7 +96,9 @@ def _leaf(df: DataFrame, name: str, op: str, value: Any) -> Column:
             lhs_i, rhs_i = _coerce(F.col(name), dt, v)
             eq = lhs_i == rhs_i
             out = eq if out is None else (out | eq)
-        return out if op == "in" else ~F.coalesce(out, F.lit(False))
+        # three-valued: NULL IN (…) is NULL, so NOT drops it too —
+        # identical to SQL NOT IN and to the ``neq`` null behavior
+        return out if op == "in" else ~out
     if op == "between":
         if not isinstance(value, (list, tuple)) or len(value) != 2:
             raise ValueError(f"between requires [lo, hi], got {value!r}")
@@ -196,8 +198,12 @@ def compile_filter_mask(schema, ast: dict[str, Any]):
     """Compile a filter AST into a vectorized boolean-mask function
     over an Arrow table — the payload-side twin of
     :func:`compile_filter`, with the SAME coercion matrix and the same
-    null semantics (a comparison against NULL never matches, exactly
-    like Spark's three-valued logic dropping NULL rows in a filter).
+    null semantics. Internally every node evaluates to a Kleene pair
+    (true_mask, null_mask) so that ``not`` composites and ``not_in``
+    propagate NULL exactly like Spark/SQL three-valued logic (a NULL
+    comparison is unknown, and NOT unknown is still unknown — the row
+    is dropped either way); the final result keeps only definitely
+    true rows.
 
     Used by the block-index filtered search: the packed payload
     already carries every metadata column next to the vectors, so the
@@ -212,87 +218,166 @@ def compile_filter_mask(schema, ast: dict[str, Any]):
     ``fn(table: pa.Table) -> np.ndarray[bool]``. Raises ``KeyError``
     at compile time for a column the payload does not carry.
     """
+    import re as _re
+
     import numpy as np
     import pandas as pd
 
     types = {f.name: f.dataType for f in schema.fields}
+
+    def coerced(name: str, rhs: Any):
+        """(lhs Series, rhs literal, valid ndarray) after the shared
+        coercion matrix; ``valid`` is False where the coerced lhs is
+        NULL (incl. uncoercible strings). A None lhs means the
+        literal itself was uncoercible → nothing matches."""
+        dt = types[name]
+
+        def ev(table):
+            s = table.column(name).to_pandas()
+            r = rhs
+            if isinstance(dt, _NUMERIC_TYPES):
+                if isinstance(r, str):
+                    try:
+                        r = float(r)
+                    except ValueError:
+                        return None, None, np.zeros(len(s), dtype=bool)
+                if isinstance(r, bool):
+                    r = float(r)
+                lhs = pd.to_numeric(s, errors="coerce").astype("float64")
+                r = float(r)
+            elif isinstance(dt, T.StringType):
+                if isinstance(r, bool):
+                    lhs, r = s, ("true" if r else "false")
+                elif isinstance(r, (int, float)):
+                    lhs = pd.to_numeric(s, errors="coerce").astype("float64")
+                    r = float(r)
+                else:
+                    lhs = s
+            elif isinstance(dt, T.BooleanType):
+                if isinstance(r, str):
+                    r = r.strip().lower() == "true"
+                elif isinstance(r, (int, float)) and not isinstance(r, bool):
+                    r = bool(r)
+                lhs = s
+            else:
+                lhs = s
+            valid = lhs.notna().to_numpy()
+            if lhs.dtype == object:
+                fill = "" if isinstance(r, str) else (False if isinstance(r, bool) else 0)
+                lhs = lhs.where(lhs.notna(), other=fill)
+            return lhs, r, valid
+        return ev
+
+    def cmp_leaf(name: str, op: str, value: Any):
+        """One comparison → Kleene (true, null) masks."""
+        ev = coerced(name, value)
+
+        def run(table):
+            lhs, r, valid = ev(table)
+            if lhs is None:
+                # uncoercible literal: the row path compares against a
+                # NULL literal, so the whole comparison is NULL for
+                # every row (matches nothing, and stays unknown under
+                # NOT) — mirror that exactly
+                n = len(valid)
+                return np.zeros(n, dtype=bool), np.ones(n, dtype=bool)
+            if op == "eq":
+                m = lhs == r
+            elif op == "neq":
+                m = lhs != r
+            elif op == "gt":
+                m = lhs > r
+            elif op == "gte":
+                m = lhs >= r
+            elif op == "lt":
+                m = lhs < r
+            else:
+                m = lhs <= r
+            return np.asarray(m, dtype=bool) & valid, ~valid
+        return run
+
+    def k_and(a, b):
+        def run(table):
+            ta, na = a(table)
+            tb, nb = b(table)
+            t = ta & tb
+            n = (na | nb) & ~((~ta & ~na) | (~tb & ~nb))  # false dominates
+            return t, n
+        return run
+
+    def k_or(a, b):
+        def run(table):
+            ta, na = a(table)
+            tb, nb = b(table)
+            t = ta | tb
+            n = (na | nb) & ~t  # true dominates
+            return t, n
+        return run
+
+    def k_not(a):
+        def run(table):
+            ta, na = a(table)
+            return ~ta & ~na, na
+        return run
 
     def leaf(name: str, op: str, value: Any):
         if name not in types:
             raise KeyError(f"filter references unknown column {name!r}")
         if op not in OPS:
             raise ValueError(f"unknown op {op!r}; expected one of {OPS}")
-        dt = types[name]
+        if op in ("in", "not_in"):
+            if not isinstance(value, (list, tuple)) or not value:
+                raise ValueError(f"{op} requires a non-empty list value, got {value!r}")
+            node = cmp_leaf(name, "eq", value[0])
+            for v in value[1:]:
+                node = k_or(node, cmp_leaf(name, "eq", v))
+            return k_not(node) if op == "not_in" else node
+        if op == "between":
+            if not isinstance(value, (list, tuple)) or len(value) != 2:
+                raise ValueError(f"between requires [lo, hi], got {value!r}")
+            return k_and(cmp_leaf(name, "gte", value[0]), cmp_leaf(name, "lte", value[1]))
+        if op == "like":
+            if not isinstance(value, str):
+                raise ValueError(f"like requires a string pattern, got {value!r}")
+            # SQL LIKE → anchored regex (% → .*, _ → .), same as Spark
+            rx = "".join(
+                ".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in value
+            )
+            pat = _re.compile(f"(?s)^{rx}$")
 
-        def ev(table) -> np.ndarray:
-            s = table.column(name).to_pandas()
-            rhs = value
-            if isinstance(dt, _NUMERIC_TYPES):
-                if isinstance(rhs, str):
-                    try:
-                        rhs = float(rhs)
-                    except ValueError:
-                        return np.zeros(len(s), dtype=bool)
-                if isinstance(rhs, bool):
-                    rhs = float(rhs)
-                lhs = pd.to_numeric(s, errors="coerce").astype("float64")
-                rhs = float(rhs)
-            elif isinstance(dt, T.StringType):
-                if isinstance(rhs, bool):
-                    lhs, rhs = s, ("true" if rhs else "false")
-                elif isinstance(rhs, (int, float)):
-                    lhs = pd.to_numeric(s, errors="coerce").astype("float64")
-                    rhs = float(rhs)
-                else:
-                    lhs = s
-            elif isinstance(dt, T.BooleanType):
-                if isinstance(rhs, str):
-                    rhs = rhs.strip().lower() == "true"
-                elif isinstance(rhs, (int, float)) and not isinstance(rhs, bool):
-                    rhs = bool(rhs)
-                lhs = s
-            else:
-                lhs = s
-            valid = lhs.notna().to_numpy()
-            # nulls are filled with a same-type placeholder so the
-            # elementwise compare never throws; `& valid` then restores
-            # NULL-never-matches (including for neq, where NaN != x
-            # would otherwise leak True)
-            if lhs.dtype == object:
-                fill = "" if isinstance(rhs, str) else (False if isinstance(rhs, bool) else 0)
-                lhs = lhs.where(lhs.notna(), other=fill)
-            if op == "eq":
-                m = lhs == rhs
-            elif op == "neq":
-                m = lhs != rhs
-            elif op == "gt":
-                m = lhs > rhs
-            elif op == "gte":
-                m = lhs >= rhs
-            elif op == "lt":
-                m = lhs < rhs
-            else:
-                m = lhs <= rhs
-            return np.asarray(m, dtype=bool) & valid
-
-        return ev
+            def run(table):
+                s = table.column(name).to_pandas()
+                valid = s.notna().to_numpy()
+                m = (
+                    s.where(s.notna(), other="")
+                    .astype(str)
+                    .map(lambda x: bool(pat.match(x)))
+                    .to_numpy(dtype=bool)
+                )
+                return m & valid, ~valid
+            return run
+        return cmp_leaf(name, op, value)
 
     def build(node: dict[str, Any]):
         if "index_name" in node:
             return leaf(node["index_name"], str(node["op"]).lower(), node["value"])
         op = str(node.get("op", "")).lower()
         exprs = node.get("expressions", [])
+        if op == "not":
+            if len(exprs) != 1:
+                raise ValueError(f"not takes exactly one expression: {node!r}")
+            return k_not(build(exprs[0]))
         if op not in ("and", "or") or not exprs:
             raise ValueError(f"bad composite node: {node!r}")
-        kids = [build(c) for c in exprs]
+        out = build(exprs[0])
+        for child in exprs[1:]:
+            out = (k_and if op == "and" else k_or)(out, build(child))
+        return out
 
-        def ev(table) -> np.ndarray:
-            out = kids[0](table)
-            for k in kids[1:]:
-                nxt = k(table)
-                out = (out & nxt) if op == "and" else (out | nxt)
-            return out
+    kleene = build(ast)
 
-        return ev
+    def final(table):
+        t, _ = kleene(table)
+        return t
 
-    return build(ast)
+    return final

@@ -161,3 +161,58 @@ def test_collection_search_batch_paths_agree(spark):
     finally:
         shutil.rmtree(wh_b, ignore_errors=True)
         shutil.rmtree(wh_r, ignore_errors=True)
+
+
+def test_blocks_filtered_search_extended_ops(spark, tmp_path):
+    """The block-path mask compiler must agree with the row path on
+    the extended ops (in/not_in/between/like/not), including NULL
+    three-valued logic under NOT."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(11)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("tag", "string", enable_null=True),
+        IndexField("n", "integer"),
+    ]
+    rows = [
+        {
+            "id": f"r{i}",
+            "tag": rng.choice(["alpha", "beta", "gamma", None]),
+            "n": rng.randint(0, 50),
+            "vector": [rng.gauss(0, 1) for _ in range(6)],
+        }
+        for i in range(120)
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    blk = cat.create_collection(
+        "b", dim=6, distance="euclidean", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    twin = cat.create_collection("r", dim=6, distance="euclidean", fields=fields)
+    for c in (blk, twin):
+        c.upsert(rows)
+    blk.flush()
+    q = [rng.gauss(0, 1) for _ in range(6)]
+    asts = [
+        {"index_name": "tag", "op": "in", "value": ["alpha", "beta"]},
+        {"index_name": "tag", "op": "not_in", "value": ["alpha"]},
+        {"index_name": "n", "op": "between", "value": [10, 30]},
+        {"index_name": "tag", "op": "like", "value": "%et%"},
+        {"op": "not", "expressions": [
+            {"index_name": "tag", "op": "like", "value": "a%"}]},
+        {"op": "and", "expressions": [
+            {"index_name": "n", "op": "between", "value": ["5", 45]},
+            {"op": "not", "expressions": [
+                {"index_name": "tag", "op": "in", "value": ["gamma"]}]},
+        ]},
+    ]
+    for ast in asts:
+        a = [(r["id"], round(r["dist"], 6))
+             for r in blk.search(q, filter_ast=ast, limit=25).collect()]
+        b = [(r["id"], round(r["dist"], 6))
+             for r in twin.search(q, filter_ast=ast, limit=25).collect()]
+        assert a == b, ast
