@@ -1473,6 +1473,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     from coltt_spark.registry_media import _media_feats
 
     _media_feats(spark, sf_dir)
+    from coltt_spark.registry_pipeline import q_jsonl_roundtrip
+
+    q_jsonl_roundtrip(spark, sf_dir)  # builds the JSONL shard tree
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)
     _emb_schemaless(spark, sf_dir)
