@@ -537,6 +537,29 @@ def kmeans_refine(
     return Cn
 
 
+def recall_report(
+    approx: DataFrame, truth: DataFrame, *, id_col: str, k: int
+) -> DataFrame:
+    """Per-query recall@k of an approximate result set against the
+    exact one — the evaluation table an ANN deployment monitors
+    (edge/resultset.go:55-65 computes the same overlap scalar).
+    Returns (query_id, n_hits, recall); queries with zero overlap
+    still appear with recall 0. Both inputs are tiny (B·k rows), so
+    the joins are broadcast by AQE — nothing scans the corpus."""
+    a = approx.select("query_id", F.col(id_col).alias("_id"))
+    t = truth.select("query_id", F.col(id_col).alias("_id"))
+    hits = a.join(t, on=["query_id", "_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qs = truth.select("query_id").distinct()
+    n = F.coalesce("n_hits", F.lit(0))
+    return qs.join(hits, on="query_id", how="left").select(
+        "query_id",
+        n.cast("long").alias("n_hits"),
+        F.round(n / F.lit(float(k)), 4).alias("recall"),
+    )
+
+
 def recall_at_k(approx: DataFrame, truth: DataFrame, *, id_col: str, k: int) -> float:
     """Mean overlap/k across queries (edge/resultset.go:55-65)."""
     a = approx.select("query_id", F.col(id_col).alias("_id"))

@@ -613,6 +613,45 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _recall_oracle() -> str:
+    """Per-query recall@5 of the LSH path against the exact path —
+    both sides replayed by their existing full-pipeline oracles,
+    composed as nested CTE subqueries."""
+    return f"""
+WITH lsh AS ({_lsh_oracle()}),
+exact AS ({_ORACLE_ANN_EXACT}),
+h AS (
+  SELECT l.query_id, count(*) AS n_hits
+  FROM lsh l JOIN exact e ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+  GROUP BY l.query_id
+),
+q AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall
+FROM q LEFT JOIN h USING (query_id)
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as an engine table: per-query recall@5
+    of the multiprobe-LSH path vs the exact scan — the monitoring
+    query a serving deployment runs continuously. The oracle composes
+    the two already-value-checked pipeline replays."""
+    from coltt_spark.operators.ann import recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_from_embeddings(spark, sf_dir)
+    approx = lsh_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5, nbits=6, n_tables=6
+    )
+    truth = brute_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5,
+        distance="cosine", strategy="window",
+    )
+    return recall_report(approx, truth, id_col="vec_id", k=5)
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_batch": _ann_exact("window"),
     "ann_topk_blas": _ann_exact("blas"),
@@ -624,6 +663,7 @@ ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_cluster_balanced": q_sample_cluster_balanced,
     "semantic_dedup": q_semantic_dedup,
     "embed_outliers": q_embed_outliers,
+    "ann_recall": q_ann_recall,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -637,4 +677,5 @@ ANN_ORACLES: dict[str, str] = {
     "sample_cluster_balanced": _cluster_sample_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     "embed_outliers": _cluster_outliers_oracle(),
+    "ann_recall": _recall_oracle(),
 }

@@ -58,6 +58,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "sample_temperature", "knn_sq8", "semantic_dedup", "range_search",
         "embed_outliers", "token_vocab", "collection_search_ivf_delta",
         "events_asof", "doc_lm_score", "filter_extended",
-        "collection_time_travel", "jsonl_roundtrip",
+        "collection_time_travel", "jsonl_roundtrip", "ann_recall",
     }
     assert must_check <= window, sorted(must_check - window)
