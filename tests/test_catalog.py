@@ -705,3 +705,56 @@ def test_extended_filter_ops(spark):
         compile_filter(df, {"index_name": "n", "op": "in", "value": []})
     with pytest.raises(ValueError):
         compile_filter(df, {"index_name": "n", "op": "between", "value": [1]})
+
+
+def test_chained_delta_flushes(catalog):
+    """Delta-on-delta: two incremental flushes in a row must chain
+    hardlinked bases, accumulate tombstones across versions, and stay
+    correct on every read surface — for BOTH index layouts."""
+    rows = _rows(150, dim=6, seed=51)
+    blk = catalog.create_collection(
+        "chain_blk", dim=6, distance="euclidean", fields=FIELDS,
+        layout="blocks", block_dtype="float64",
+    )
+    ivf = catalog.create_collection(
+        "chain_ivf", dim=6, distance="euclidean", fields=FIELDS, layout="ivf",
+    )
+    twin = catalog.create_collection("chain_rows", dim=6, distance="euclidean", fields=FIELDS)
+    for c in (blk, ivf, twin):
+        c.upsert(rows)
+    blk.flush(); ivf.flush(); twin.flush()
+
+    # round 1 of DML + delta flush
+    up1 = [dict(r, type=r["type"] + 50) for r in _rows(12, dim=6, seed=51)]
+    for c in (blk, ivf, twin):
+        c.upsert(up1)
+        c.delete_where({"index_name": "type", "op": "eq", "value": 2})
+    blk.flush(); ivf.flush(); twin.flush()
+    # round 2: touch some of the SAME rows again plus new inserts
+    up2 = [dict(r, size=r["size"] + 7) for r in _rows(6, dim=6, seed=51)]
+    ins = [dict(r, id=f"x-{i}") for i, r in enumerate(_rows(9, dim=6, seed=53))]
+    for c in (blk, ivf, twin):
+        c.upsert(up2)
+        c.upsert(ins)
+        c.delete_where({"index_name": "type", "op": "eq", "value": 9})
+    blk.flush(); ivf.flush(); twin.flush()
+    assert blk.manifest.version == 3 and ivf.manifest.version == 3
+
+    q = _rows(1, dim=6, seed=55)[0]["vector"]
+    expect = sorted(
+        (r["id"], round(r["dist"], 6), r["type"], r["size"])
+        for r in twin.search(q, limit=30).collect()
+    )
+    got_blk = sorted(
+        (r["id"], round(r["dist"], 6), r["type"], r["size"])
+        for r in blk.search(q, limit=30).collect()
+    )
+    assert got_blk == expect
+    # ivf is exact here too when every partition is probed
+    ivf.manifest.ivf_nprobe = ivf.manifest.ivf_centroids
+    got_ivf = sorted(
+        (r["id"], round(r["dist"], 6), r["type"], r["size"])
+        for r in ivf.search(q, limit=30).collect()
+    )
+    assert got_ivf == expect
+    assert blk.count() == twin.count() == ivf.count()
