@@ -1373,6 +1373,7 @@ _KEY_ORDER = [
     "collection_time_travel",             # new: versioned snapshot read
     "jsonl_roundtrip",                    # new: JSONL sharded sink/source
     "ann_recall",                         # new: per-query recall@k evaluation
+    "stream_join",                        # new: stream-stream interval join
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1387,10 +1388,10 @@ _KEY_ORDER = [
     "filter_search",
     "multi_vector_search",
     "upsert_delete",
-    "collection_search_ivf",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_minhash_lsh",
     "ann_ivf",

@@ -192,11 +192,35 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 5
 """
 
 
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same-user clicks in the
+    preceding hour) replayed to completion — watermarked on both
+    sides so join state is bounded by the horizon; the oracle is the
+    equivalent batch interval join."""
+    from coltt_spark.streaming.events import interval_join_stream
+
+    sdf = interval_join_stream(read_events_stream(spark, sf_dir))
+    return run_to_memory(sdf, f"q_stream_join_{next(_MEM_SEQ)}", mode="append")
+
+
+_ORACLE_STREAM_JOIN = """
+SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events l JOIN events r
+  ON r.user_id = l.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_ingest": q_stream_ingest,
+    "stream_join": q_stream_join,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -204,4 +228,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_ingest": _ORACLE_STREAM_INGEST,
+    "stream_join": _ORACLE_STREAM_JOIN,
 }

@@ -137,3 +137,53 @@ def stream_dedup(events: DataFrame, *, key_cols=("event_id",)) -> DataFrame:
     return events.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    join_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each ``left_type`` event joined to
+    the same user's ``right_type`` events within the preceding
+    ``join_window`` — the attribution join (purchase ← recent clicks)
+    as a continuous query. Both sides carry a watermark and the join
+    carries the time-range predicate, so Spark bounds the join state
+    to the watermark horizon instead of keeping either stream forever
+    (the canonical stream-stream join discipline). Semantics equal
+    the batch interval join over the same data."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = l.join(
+        r,
+        F.expr(
+            f"user_id = r_user AND r_ts <= l_ts "
+            f"AND r_ts >= l_ts - INTERVAL {join_window}"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
