@@ -72,7 +72,10 @@ def _coerce(col: Column, col_type: T.DataType, value: Any) -> tuple[Column, Colu
         if isinstance(value, bool):
             return col, F.lit("true" if value else "false")
         if isinstance(value, (int, float)):
-            return col.cast("double"), F.lit(float(value))
+            # try_cast, not cast: under ANSI a non-numeric string must
+            # become NULL (fails every comparison — the bitmap-index
+            # "no coercible value" outcome), never a query error
+            return col.try_cast("double"), F.lit(float(value))
         return col, F.lit(value)
     if isinstance(col_type, T.BooleanType):
         if isinstance(value, str):
