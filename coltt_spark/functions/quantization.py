@@ -148,7 +148,8 @@ def _sq8_decode(raw: bytes) -> np.ndarray:
 def quantize_np(kind: str, arr) -> bytes:
     a = np.asarray(arr, dtype=np.float32)
     if kind == "f16":
-        return a.astype(np.float16).tobytes()
+        with np.errstate(over="ignore"):  # |x| > 65504 → ±inf (IEEE)
+            return a.astype(np.float16).tobytes()
     if kind == "bf16":
         return _bf16_encode(a).tobytes()
     if kind == "f8":
@@ -180,7 +181,8 @@ def dequantize_np(kind: str, raw: bytes) -> np.ndarray:
 
 def _encode_flat(kind: str, flat: np.ndarray) -> np.ndarray:
     if kind == "f16":
-        return flat.astype(np.float16)
+        with np.errstate(over="ignore"):  # |x| > 65504 → ±inf (IEEE)
+            return flat.astype(np.float16)
     if kind == "bf16":
         return _bf16_encode(flat)
     return _f8_encode(flat)
