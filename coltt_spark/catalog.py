@@ -567,6 +567,7 @@ class Collection:
         *,
         vector_field: str | None = None,
         limit: int = 10,
+        filter_ast: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Bulk KNN: answer all B queries in ONE job — the
         embed-a-batch / answer-a-batch serving shape whose per-query
@@ -584,6 +585,12 @@ class Collection:
         ``nprobe`` lists; metadata rides in the index). Other
         layouts/states fall back to one exact scan with the query set
         broadcast (same semantics, row-layout cost).
+
+        ``filter_ast`` restricts every query of the batch to the
+        matching rows on whatever path serves it: a block-local
+        payload mask on the packed index, a pushed predicate on the
+        pruned IVF scan (metadata rides in the index), or a plain
+        pushed filter on the fallback scan.
         """
         m = self.manifest
         qvs = {int(i): validate_vector(m.dim, v) for i, v in queries.items()}
@@ -606,6 +613,8 @@ class Collection:
             assigned = self._minus_tombstones(
                 assigned, self._tombstones_dir()
             ).drop(_COMMIT)
+            if filter_ast is not None:
+                assigned = assigned.filter(compile_filter(assigned, filter_ast))
             out = ivf_probe(
                 assigned, Cn, qvs, id_col=pk, vec_col=vc,
                 k=limit, nprobe=m.ivf_nprobe, distance=m.distance,
@@ -618,6 +627,17 @@ class Collection:
         ):
             from coltt_spark.operators.blocks import block_index_topk_batch
 
+            payload_filter = None
+            if filter_ast is not None:
+                from coltt_spark.filters import compile_filter_mask
+
+                payload_schema = T.StructType(
+                    [
+                        f for f in self._storage_schema()
+                        if f.name not in self._vector_cols() and f.name != _COMMIT
+                    ]
+                )
+                payload_filter = compile_filter_mask(payload_schema, filter_ast)
             tomb = self._tombstones_dir()
             winners = block_index_topk_batch(
                 self.spark,
@@ -628,6 +648,7 @@ class Collection:
                 distance=m.distance,
                 dtype=m.block_dtype,
                 tombstones=tomb if os.path.isdir(tomb) else None,
+                payload_filter=payload_filter,
             ).withColumnRenamed("id", _COMMIT)
             meta = self._view.drop(*vcols)
             out = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
@@ -650,8 +671,11 @@ class Collection:
             )
             from pyspark.sql import Window
 
+            base = self._dequantized()
+            if filter_ast is not None:
+                base = base.filter(compile_filter(base, filter_ast))
             scored = (
-                self._dequantized()
+                base
                 .crossJoin(F.broadcast(qdf))
                 .withColumn("dist", vector_distance(m.distance, F.col(vc), F.col("_qv")))
             )

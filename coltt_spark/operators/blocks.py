@@ -622,13 +622,20 @@ def block_index_topk_batch(
     dtype: str = "float32",
     max_tasks: int | None = None,
     tombstones: str | None = None,
+    payload_filter=None,
 ) -> DataFrame:
     """Batched KNN over a written block index: all B queries answered
     in ONE job, one BLAS ``X @ Q.T`` matmul per file — per-query cost
     amortizes toward pure memory bandwidth as B grows. Returns
     (query_id, id, dist), top-k per query via a k·n_tasks·B-row
     window (tiny). This is the bulk-serving shape: embed a batch,
-    answer the batch."""
+    answer the batch.
+
+    ``payload_filter`` (``fn(pa.Table) -> bool ndarray``) restricts
+    every query of the batch to the matching rows, evaluated
+    block-locally against the packed payload exactly like the
+    single-query filtered scan — the batch keeps its one-matmul cost
+    shape under filters."""
     np_dtype = _DTYPES[dtype]
     qids = sorted(queries)
     Q = np.asarray([[float(x) for x in queries[i]] for i in qids], dtype=np_dtype)
@@ -652,8 +659,16 @@ def block_index_topk_batch(
                     if not n:
                         continue
                     live = None
+                    if payload_filter is not None:
+                        if _payload is None:
+                            raise ValueError(
+                                f"index file {p} carries no payload; "
+                                "filtered block search needs packed metadata"
+                            )
+                        live = payload_filter(_payload)
                     if dead is not None and len(dead):
-                        live = ~np.isin(ids, dead)
+                        alive = ~np.isin(ids, dead)
+                        live = alive if live is None else (live & alive)
                     if distance == "manhattan":
                         D = np.stack(
                             [np.abs(X - Q[j][None, :]).sum(axis=1) for j in range(len(qids))],

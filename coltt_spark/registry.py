@@ -919,6 +919,48 @@ def q_collection_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collection_search_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered bulk KNN: the whole batch restricted to matching rows
+    WITHOUT leaving the packed index — the filter compiles to a
+    block-local payload mask applied before each file's ``X @ Qᵀ``
+    top-k, so the batch keeps its one-matmul-per-file cost shape."""
+    coll = _blocks_collection(spark, sf_dir)
+    qs = _queries_from_embeddings_map(spark, sf_dir, (0, 1, 2))
+    res = coll.search_batch(
+        qs, limit=5, filter_ast={"index_name": "label", "op": "gte", "value": 5}
+    )
+    return res.select(
+        "query_id",
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_ORACLE_COLLECTION_SEARCH_BATCH_FILTERED = """
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+d AS (
+  SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+         CAST(e.label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, qs q
+  WHERE e.label >= 5
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rn
+  FROM d
+)
+SELECT query_id, id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM r WHERE rn <= 5
+"""
+
+
 def _queries_from_embeddings_map(spark: SparkSession, sf_dir: str, ids=(0, 1, 2)):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = emb.filter(F.col("vec_id").isin(*ids)).select("vec_id", "embedding").collect()
@@ -1239,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_ivf_delta": q_collection_search_ivf_delta,
     "collection_time_travel": q_collection_time_travel,
     "collection_search_batch": q_collection_search_batch,
+    "collection_search_batch_filtered": q_collection_search_batch_filtered,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
     "knn_f16": q_knn_f16,
@@ -1270,6 +1313,7 @@ ORACLES: dict[str, str] = {
     "collection_search_blocks_delta": _ORACLE_COLLECTION_SEARCH_BLOCKS_DELTA,
     "collection_time_travel": _ORACLE_COLLECTION_TIME_TRAVEL,
     "collection_search_batch": _ORACLE_COLLECTION_SEARCH_BATCH,
+    "collection_search_batch_filtered": _ORACLE_COLLECTION_SEARCH_BATCH_FILTERED,
     "collection_search_ivf": _collection_ivf_oracle(),
     "collection_search_ivf_delta": _collection_ivf_oracle(
         label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
@@ -1374,6 +1418,7 @@ _KEY_ORDER = [
     "jsonl_roundtrip",                    # new: JSONL sharded sink/source
     "ann_recall",                         # new: per-query recall@k evaluation
     "stream_join",                        # new: stream-stream interval join
+    "collection_search_batch_filtered",   # new: filtered batch on the packed index
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1386,11 +1431,11 @@ _KEY_ORDER = [
     "knn_cosine",
     "knn_filtered",
     "filter_search",
-    "multi_vector_search",
     "upsert_delete",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "multi_vector_search",
     "collection_search_ivf",
     "collection_hybrid_ivf",
     "dedup_minhash_lsh",

@@ -216,3 +216,53 @@ def test_blocks_filtered_search_extended_ops(spark, tmp_path):
         b = [(r["id"], round(r["dist"], 6))
              for r in twin.search(q, filter_ast=ast, limit=25).collect()]
         assert a == b, ast
+
+
+def test_search_batch_filtered_all_paths(spark, tmp_path):
+    """Batch + filter must agree with per-query filtered single search
+    on every serving path: packed blocks, IVF (all partitions probed),
+    and the rows fallback."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(23)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    rows = [
+        {"id": f"r{i}", "label": rng.randint(0, 9),
+         "vector": [rng.gauss(0, 1) for _ in range(6)]}
+        for i in range(150)
+    ]
+    qs = {j: [rng.gauss(0, 1) for _ in range(6)] for j in range(3)}
+    ast = {"index_name": "label", "op": "gte", "value": 5}
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    colls = {
+        "blocks": cat.create_collection(
+            "b", dim=6, distance="euclidean", fields=fields,
+            layout="blocks", block_dtype="float64"),
+        "ivf": cat.create_collection(
+            "i", dim=6, distance="euclidean", fields=fields,
+            layout="ivf", ivf_centroids=4, ivf_nprobe=4),
+        "rows": cat.create_collection(
+            "r", dim=6, distance="euclidean", fields=fields),
+    }
+    for c in colls.values():
+        c.upsert(rows)
+        c.flush()
+    for name, c in colls.items():
+        batch = c.search_batch(qs, limit=7, filter_ast=ast).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((round(r["dist"], 6), r["id"]))
+        for qid, qv in qs.items():
+            single = [
+                (round(r["dist"], 6), r["id"])
+                for r in c.search(qv, filter_ast=ast, limit=7).collect()
+            ]
+            assert sorted(got.get(qid, [])) == sorted(single), (name, qid)
+            assert all(x >= 5 for x in
+                       [r["label"] for r in batch if r["query_id"] == qid])
