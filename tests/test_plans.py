@@ -250,3 +250,32 @@ def test_as_of_join_single_exchange(spark):
     )
     plan = executed_plan(plan_df)
     assert plan.lower().count("exchange hashpartitioning") == 1, plan
+
+
+def test_extended_filter_ops_push_to_scan(spark):
+    """in/between/like/not must reach the Parquet scan as
+    PushedFilters (Or/And/Not/StringContains trees), same as the
+    proto six — the extended surface keeps the bitmap-index
+    replacement free."""
+    from coltt_spark.filters import compile_filter
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ast = {
+        "op": "and",
+        "expressions": [
+            {"index_name": "lang", "op": "in", "value": ["en", "de"]},
+            {"index_name": "n_chars", "op": "between", "value": [150, 400]},
+            {"index_name": "text", "op": "like", "value": "%window%"},
+            {"op": "not", "expressions": [
+                {"index_name": "source", "op": "in", "value": ["src0", "src1"]}]},
+        ],
+    }
+    plan_df = docs.filter(compile_filter(docs, ast))
+    assert has_pushed_filters(plan_df)
+    from coltt_spark.plans.inspect import executed_plan
+
+    pushed = [
+        line for line in executed_plan(plan_df).splitlines()
+        if "PushedFilters: [" in line
+    ][0]
+    assert "Or(" in pushed and "Not(" in pushed
