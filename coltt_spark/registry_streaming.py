@@ -200,8 +200,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent batch interval join."""
     from coltt_spark.streaming.events import interval_join_stream
 
-    sdf = interval_join_stream(read_events_stream(spark, sf_dir))
-    return run_to_memory(sdf, f"q_stream_join_{next(_MEM_SEQ)}", mode="append")
+    # a stream-stream join instantiates FOUR state stores per shuffle
+    # partition; the state partition count is fixed at query start, so
+    # scope it down for this bounded replay (a production deployment
+    # sizes it to the key cardinality once, not per query)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        sdf = interval_join_stream(read_events_stream(spark, sf_dir))
+        return run_to_memory(sdf, f"q_stream_join_{next(_MEM_SEQ)}", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _ORACLE_STREAM_JOIN = """
