@@ -71,6 +71,42 @@ def cluster_sizes(
     )
 
 
+def random_projection(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project every
+    embedding onto ``out_dim`` seed-deterministic Gaussian directions
+    — the standard cheap pre-step before clustering / ANN / dedup on
+    very high-dimensional embeddings (distances are preserved to
+    (1±ε) with out_dim = O(log n / ε²), independent of the input
+    dimension). Returns (id, p0..p{out_dim-1}).
+
+    Scale shape: a pure narrow projection — each output coordinate is
+    one fused multiply-add fold over the row against a PLANE LITERAL
+    (same seeded generator as the LSH hyperplanes, so a SQL oracle
+    inlines identical planes and replays every value exactly); no
+    shuffle, no Python, no driver collect."""
+    from coltt_spark.functions.vector import dot
+    from coltt_spark.operators.ann import lsh_planes
+
+    planes = lsh_planes(
+        len(corpus.select(vec_col).first()[0]), out_dim, seed
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cols = [
+        F.round(dot(v, F.array(*[F.lit(float(x)) for x in planes[j]])), 4).alias(
+            f"p{j}"
+        )
+        for j in range(out_dim)
+    ]
+    return corpus.select(F.col(id_col), *cols)
+
+
 def cluster_outliers(
     corpus: DataFrame,
     *,

@@ -1419,6 +1419,7 @@ _KEY_ORDER = [
     "ann_recall",                         # new: per-query recall@k evaluation
     "stream_join",                        # new: stream-stream interval join
     "collection_search_batch_filtered",   # new: filtered batch on the packed index
+    "embed_project",                      # new: JL random projection
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1430,11 +1431,11 @@ _KEY_ORDER = [
     # -- stable representatives of each operator family ----------------
     "knn_cosine",
     "knn_filtered",
-    "filter_search",
     "upsert_delete",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "filter_search",
     "multi_vector_search",
     "collection_search_ivf",
     "collection_hybrid_ivf",

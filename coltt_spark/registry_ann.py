@@ -652,6 +652,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(approx, truth, id_col="vec_id", k=5)
 
 
+
+def _projection_oracle(*, out_dim: int = 16, seed: int = 7, dim: int = 64) -> str:
+    """Inline the seed-deterministic planes as literals (same
+    generator as the Spark op) and replay every projected value."""
+    from coltt_spark.operators.ann import lsh_planes
+
+    planes = lsh_planes(dim, out_dim, seed)
+    cols = ",\n       ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in planes[j])
+        + "]::DOUBLE[]), 4) AS p" + str(j)
+        for j in range(out_dim)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 → 16 dims) over the
+    embedding corpus — the cheap narrow pre-step before clustering /
+    ANN at very high input dimension. The oracle inlines the identical
+    seeded planes and value-checks every coordinate."""
+    from coltt_spark.operators.cluster import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, id_col="vec_id", vec_col="embedding", out_dim=16)
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_batch": _ann_exact("window"),
     "ann_topk_blas": _ann_exact("blas"),
@@ -664,6 +691,7 @@ ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "embed_outliers": q_embed_outliers,
     "ann_recall": q_ann_recall,
+    "embed_project": q_embed_project,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -678,4 +706,5 @@ ANN_ORACLES: dict[str, str] = {
     "semantic_dedup": _semantic_dedup_oracle(),
     "embed_outliers": _cluster_outliers_oracle(),
     "ann_recall": _recall_oracle(),
+    "embed_project": _projection_oracle(),
 }

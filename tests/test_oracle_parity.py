@@ -59,6 +59,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "embed_outliers", "token_vocab", "collection_search_ivf_delta",
         "events_asof", "doc_lm_score", "filter_extended",
         "collection_time_travel", "jsonl_roundtrip", "ann_recall",
-        "stream_join", "collection_search_batch_filtered",
+        "stream_join", "collection_search_batch_filtered", "embed_project",
     }
     assert must_check <= window, sorted(must_check - window)
