@@ -146,7 +146,14 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens like stopwords never become a skewed join key), then one
     doc-keyed aggregation. Token probabilities need no smoothing:
     the LM is trained on the scored corpus itself, so every token is
-    in-vocabulary."""
+    in-vocabulary.
+
+    Broadcast bound: a web-scale corpus can push |V| past broadcast
+    limits (hundreds of millions of junk tokens). The standard split
+    applies unchanged here: broadcast the head (top ~1M tokens cover
+    >99% of occurrences), shuffle-join only the long-tail remainder —
+    tail tokens are by construction rare, so that join has no hot
+    keys either."""
     df = ensure_parallelism(df, id_col)
     e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     vocab = e.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("_c"))
