@@ -23,7 +23,9 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     the embeddings table tiled to 1M rows with distinct ids, cached
     (the reference scans RAM), scanned by the same
     TakeOrderedAndProject plan the registry KNN queries use. Reports
-    the mean of 3 warm queries."""
+    the mean of 5 warm queries (plus ``*_best`` minimums for the key
+    serving paths — the plan's cost with co-tenant machine noise
+    excluded)."""
     from pyspark.sql import functions as F
 
     from coltt_spark.operators.search import vertex_search
@@ -47,7 +49,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         rows = cached.count()  # materialize the cache before timing
         search(cached).collect()  # warm-up: whole-stage codegen compile
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             search(cached).collect()
             runs.append(time.perf_counter() - t0)
@@ -108,11 +110,12 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     for _ in range(3):  # warm: spool decode on first touch, then page cache
         block_index_topk(spark, bidx_dir, q, **bi_kw).collect()
     runs_bi = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         block_index_topk(spark, bidx_dir, q, **bi_kw).collect()
         runs_bi.append(time.perf_counter() - t0)
     sec_block_idx = round(sum(runs_bi) / len(runs_bi), 4)
+    sec_block_idx_best = round(min(runs_bi), 4)
     # bulk-serving: 64 distinct queries in one job (X @ Q.T per file)
     qs = {
         i: [float(x) for x in r["embedding"]]
@@ -142,7 +145,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     for _ in range(3):
         block_index_topk(spark, bidx128, q128, **bi128_kw).collect()
     runs_128 = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         block_index_topk(spark, bidx128, q128, **bi128_kw).collect()
         runs_128.append(time.perf_counter() - t0)
@@ -155,6 +158,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         runs_128b.append(time.perf_counter() - t0)
     shutil.rmtree(bidx128, ignore_errors=True)
     sec_block_idx_128 = round(sum(runs_128) / len(runs_128), 4)
+    sec_block_idx_128_best = round(min(runs_128), 4)
     sec_block_batch64_128 = round(sum(runs_128b) / len(runs_128b) / 64, 4)
     # product API path: a layout="blocks" collection — upsert_df
     # ingest, flush packs the written block index, Collection.search
@@ -266,8 +270,10 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "sec_per_query_blas": sec_blas,
         "sec_per_query_block": sec_block,
         "sec_per_query_block_index": sec_block_idx,
+        "sec_per_query_block_index_best": sec_block_idx_best,
         "sec_per_query_block_index_batch64": sec_block_batch64,
         "sec_per_query_block_index_dim128": sec_block_idx_128,
+        "sec_per_query_block_index_dim128_best": sec_block_idx_128_best,
         "sec_per_query_block_index_batch64_dim128": sec_block_batch64_128,
         "sec_per_query_collection": sec_collection,
         "sec_per_query_collection_filtered": sec_collection_filtered,
@@ -311,6 +317,12 @@ def main() -> None:
         lambda it: it, T.StructType([T.StructField("vec_id", T.LongType())])
     ).count()
 
+    # serving micro-benchmark FIRST, on the still-clean JVM — the
+    # baseline's numbers come from a dedicated serving process, and
+    # running it after ~90 registry queries measures their heap/cache
+    # pressure instead of the scan (observed ~2× inflation when last)
+    flat_1m = _bench_flat_1m(spark, sf_dir)
+
     # build the shared ingest fixtures once, outside the per-query
     # clock (the reference's numbers scan an already-built shard);
     # the cost is reported separately below as fixture_build_sec
@@ -326,7 +338,6 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    flat_1m = _bench_flat_1m(spark, sf_dir)
     timings["knn_1m_flat"] = flat_1m["sec_per_query"]
 
     total = round(sum(timings.values()), 4)
