@@ -109,3 +109,65 @@ def test_stream_dedup_first_seen(spark):
     ids = [r["event_id"] for r in out.select("event_id").collect()]
     assert len(ids) == n_events
     assert len(set(ids)) == n_events
+
+
+def test_stream_ingest_then_delta_flush_serves_from_index(spark, tmp_path):
+    """Capstone composition: continuous ingest (foreachBatch upserts)
+    into a blocks collection, full flush, a SECOND streamed batch of
+    updates, then an incremental delta flush — the packed index must
+    serve the final merged state exactly (vs a batch-built twin)."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+    from coltt_spark.sources.tables import load_table
+    from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
+
+    sf = "/root/testdata/sf0.001"
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    coll = cat.create_collection(
+        "ing", dim=64, distance="euclidean", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    emb = load_table(spark, sf, "embeddings")
+
+    def shaped(df, label_shift=0):
+        return df.select(
+            F.col("vec_id").cast("string").alias("id"),
+            (F.col("label") + label_shift).cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        )
+
+    # phase 1: stream the base corpus in, flush a full index
+    stream_upsert(shaped(read_table_stream(spark, sf, "embeddings")), coll)
+    coll.flush()
+    v1 = coll.manifest.version
+    # phase 2: stream an update slice in, flush INCREMENTALLY
+    stream_upsert(
+        shaped(read_table_stream(spark, sf, "embeddings"), label_shift=100)
+        .filter(F.col("id").cast("long") < 5),
+        coll,
+    )
+    coll.flush()
+    assert coll.manifest.version == v1 + 1
+    import os
+
+    assert os.path.isdir(coll._tombstones_dir(coll.manifest.version))
+
+    twin = cat.create_collection(
+        "ing_twin", dim=64, distance="euclidean", fields=fields,
+    )
+    twin.upsert_df(shaped(emb), dedupe_batch=False)
+    twin.upsert_df(
+        shaped(emb.filter(F.col("vec_id") < 5), label_shift=100), dedupe_batch=False
+    )
+    q = list(emb.select("embedding").first()["embedding"])
+    got = [(r["id"], r["label"], round(r["dist"], 6))
+           for r in coll.search(q, limit=15).collect()]
+    exp = [(r["id"], r["label"], round(r["dist"], 6))
+           for r in twin.search(q, limit=15).collect()]
+    assert got == exp
