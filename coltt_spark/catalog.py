@@ -545,13 +545,17 @@ class Collection:
 
             payload_filter = compile_filter_mask(payload_schema, filter_ast)
         tomb = self._tombstones_dir()
+        # cosine collections normalize at write, so the packed scan
+        # scores |1 - dot| like the row path (stored norms are NOT
+        # re-applied — quantized rows would otherwise drift from the
+        # row path's contract)
         local = block_index_scan(
             self.spark,
             self._blocks_dir(vc),
             qv,
             dim=m.dim,
             k=offset + limit,
-            distance=m.distance,
+            distance="cosine_unit" if m.distance == "cosine" else m.distance,
             dtype=m.block_dtype,
             payload_schema=payload_schema,
             id_alias=_COMMIT,  # payload may carry a user column named "id"
@@ -645,7 +649,7 @@ class Collection:
                 qvs,
                 dim=m.dim,
                 k=limit,
-                distance=m.distance,
+                distance="cosine_unit" if m.distance == "cosine" else m.distance,
                 dtype=m.block_dtype,
                 tombstones=tomb if os.path.isdir(tomb) else None,
                 payload_filter=payload_filter,

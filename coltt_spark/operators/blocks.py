@@ -172,7 +172,13 @@ def _scan_block(
         D = np.abs(X - q[None, :]).sum(axis=1)
     else:
         dots = X @ q
-        if distance == "cosine":
+        if distance == "cosine_unit":
+            # normalize-at-write contract: stored rows are treated as
+            # unit (even when quantization perturbed the norm — the
+            # row path and every oracle score |1 - dot| the same way)
+            qn = np.linalg.norm(q)
+            D = np.abs(1.0 - dots / max(qn, 1e-300))
+        elif distance == "cosine":
             qn = np.linalg.norm(q)
             D = np.abs(1.0 - dots / np.maximum(norms * qn, 1e-300))
         elif distance == "euclidean":
@@ -676,7 +682,10 @@ def block_index_topk_batch(
                         )
                     else:
                         dots = X @ Q.T  # (n, B)
-                        if distance == "cosine":
+                        if distance == "cosine_unit":
+                            qn = np.linalg.norm(Q, axis=1)
+                            D = np.abs(1.0 - dots / np.maximum(qn[None, :], 1e-300))
+                        elif distance == "cosine":
                             qn = np.linalg.norm(Q, axis=1)
                             D = np.abs(1.0 - dots / np.maximum(norms[:, None] * qn[None, :], 1e-300))
                         elif distance == "euclidean":

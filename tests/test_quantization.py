@@ -215,3 +215,77 @@ def test_sql_dequantizer_bit_exact_vs_numpy():
         check(np.asarray(xs, dtype=np.float32))
 
     prop()
+
+
+def test_quantized_blocks_layout_matches_rows(spark, tmp_path):
+    """quantization × layout matrix: a quantized blocks collection
+    must serve the same results as a quantized rows twin (the index
+    packs DEQUANTIZED vectors, so the stored-precision contract is
+    identical on both paths)."""
+    import random
+
+    rng = random.Random(77)
+    fields = [IndexField("id", "string", primary_key=True)]
+    rows = [
+        {"id": f"r{i}", "vector": [rng.gauss(0, 1) for _ in range(16)]}
+        for i in range(200)
+    ]
+    q = [rng.gauss(0, 1) for _ in range(16)]
+    for kind in ("f16", "sq8", "bq"):
+        cat = Catalog(spark, str(tmp_path / f"wh_{kind}"))
+        blk = cat.create_collection(
+            f"b_{kind}", dim=16, distance="cosine", fields=fields,
+            layout="blocks", block_dtype="float64", quantization=kind,
+        )
+        twin = cat.create_collection(
+            f"r_{kind}", dim=16, distance="cosine", fields=fields,
+            quantization=kind,
+        )
+        blk.upsert(rows)
+        twin.upsert(rows)
+        blk.flush()
+        a = [(r["id"], round(r["dist"], 6)) for r in blk.search(q, limit=12).collect()]
+        b = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=12).collect()]
+        assert a == b, kind
+
+
+def test_multi_vector_collection_quantized(spark, tmp_path):
+    """CFLAT multi-vector collections quantize each vector field
+    independently; fused search stays consistent with the float twin
+    to quantization precision."""
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("title_vec", "vector"),
+        IndexField("body_vec", "vector"),
+    ]
+    rows = [
+        {
+            "id": f"d{i}",
+            "title_vec": rng.normal(0, 1, 8).astype(float).tolist(),
+            "body_vec": rng.normal(0, 1, 8).astype(float).tolist(),
+        }
+        for i in range(120)
+    ]
+    qt = rng.normal(0, 1, 8).astype(float).tolist()
+    qb = rng.normal(0, 1, 8).astype(float).tolist()
+    spec = {
+        "title_vec": {"query": qt, "ratio": 60, "include": True},
+        "body_vec": {"query": qb, "ratio": 40, "include": True},
+    }
+    got = {}
+    for kind in ("none", "f16"):
+        cat = Catalog(spark, str(tmp_path / f"mvq_{kind}"))
+        coll = cat.create_collection(
+            f"mv_{kind}", dim=8, distance="cosine", fields=fields,
+            quantization=kind,
+        )
+        coll.upsert(rows)
+        got[kind] = [
+            (r["id"], r["score"]) for r in coll.multi_search(spec, limit=10).collect()
+        ]
+    ids_none = [x[0] for x in got["none"]]
+    ids_f16 = [x[0] for x in got["f16"]]
+    # f16 round-trip is ~1e-3 relative: rankings agree on this data
+    assert ids_none == ids_f16
+    for (_, s0), (_, s1) in zip(got["none"], got["f16"]):
+        assert abs(s0 - s1) < 0.1
