@@ -621,7 +621,8 @@ class Collection:
                 assigned = assigned.filter(compile_filter(assigned, filter_ast))
             out = ivf_probe(
                 assigned, Cn, qvs, id_col=pk, vec_col=vc,
-                k=limit, nprobe=m.ivf_nprobe, distance=m.distance,
+                k=limit, nprobe=m.ivf_nprobe,
+                distance="cosine_unit" if m.distance == "cosine" else m.distance,
             )
             return out.withColumn("score", score_expr(m.distance, F.col("dist")))
         if (
@@ -1079,7 +1080,11 @@ class Collection:
         cand = self._minus_tombstones(cand, self._tombstones_dir())
         if filter_ast is not None:
             cand = cand.filter(compile_filter(cand, filter_ast))
-        scored = cand.withColumn("dist", vector_distance(m.distance, F.col(vc), qv)).drop(
+        # normalize-at-write: index rows are unit for cosine — score
+        # |1 - dot| exactly like the row path (uniform across layouts
+        # even when quantization perturbs stored norms)
+        dist_kind = "cosine_unit" if m.distance == "cosine" else m.distance
+        scored = cand.withColumn("dist", vector_distance(dist_kind, F.col(vc), qv)).drop(
             vc, "centroid", _COMMIT
         )
         paged = _paginate_topk(scored, limit, offset, pk)

@@ -78,7 +78,17 @@ def cosine_distance(a, b) -> Column:
 
 
 def vector_distance(distance: str, a, b) -> Column:
-    """Dispatch by distance name (collection manifest value)."""
+    """Dispatch by distance name (collection manifest value).
+
+    ``cosine_unit`` is the normalize-at-write contract: both operands
+    are already unit vectors (the collection normalizes stored rows
+    and the caller normalizes the query), so the distance is
+    ``|1 - dot|`` with NO re-normalization — the same value every
+    oracle replays, and the same answer for quantized rows whose
+    stored norm drifted off 1 by the quantization error."""
+    if distance == "cosine_unit":
+        a, b = _as_double_array(a), _as_double_array(b)
+        return F.abs(F.lit(1.0) - dot(a, b))
     if distance == "cosine":
         return cosine_distance(a, b)
     if distance == "euclidean":

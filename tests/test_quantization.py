@@ -237,16 +237,24 @@ def test_quantized_blocks_layout_matches_rows(spark, tmp_path):
             f"b_{kind}", dim=16, distance="cosine", fields=fields,
             layout="blocks", block_dtype="float64", quantization=kind,
         )
+        ivf = cat.create_collection(
+            f"i_{kind}", dim=16, distance="cosine", fields=fields,
+            layout="ivf", ivf_centroids=4, ivf_nprobe=4, quantization=kind,
+        )
         twin = cat.create_collection(
             f"r_{kind}", dim=16, distance="cosine", fields=fields,
             quantization=kind,
         )
-        blk.upsert(rows)
-        twin.upsert(rows)
+        for c in (blk, ivf, twin):
+            c.upsert(rows)
         blk.flush()
-        a = [(r["id"], round(r["dist"], 6)) for r in blk.search(q, limit=12).collect()]
+        ivf.flush()
         b = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=12).collect()]
-        assert a == b, kind
+        a = [(r["id"], round(r["dist"], 6)) for r in blk.search(q, limit=12).collect()]
+        assert a == b, ("blocks", kind)
+        # all partitions probed → ivf is exact and must match too
+        c = [(r["id"], round(r["dist"], 6)) for r in ivf.search(q, limit=12).collect()]
+        assert c == b, ("ivf", kind)
 
 
 def test_multi_vector_collection_quantized(spark, tmp_path):
