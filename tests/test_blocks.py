@@ -266,3 +266,35 @@ def test_search_batch_filtered_all_paths(spark, tmp_path):
             assert sorted(got.get(qid, [])) == sorted(single), (name, qid)
             assert all(x >= 5 for x in
                        [r["label"] for r in batch if r["query_id"] == qid])
+
+
+def test_blocks_pagination_matches_rows(spark, tmp_path):
+    """offset+limit pagination through the packed index must page
+    exactly like the row path (same order, no overlap, no gap)."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(31)
+    fields = [IndexField("id", "string", primary_key=True)]
+    rows = [
+        {"id": f"r{i}", "vector": [rng.gauss(0, 1) for _ in range(8)]}
+        for i in range(120)
+    ]
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    blk = cat.create_collection(
+        "b", dim=8, distance="cosine", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    twin = cat.create_collection("r", dim=8, distance="cosine", fields=fields)
+    blk.upsert(rows); twin.upsert(rows); blk.flush()
+    pages_b, pages_r = [], []
+    for off in (0, 7, 14):
+        pages_b += [(r["id"], round(r["dist"], 6))
+                    for r in blk.search(q, limit=7, offset=off).collect()]
+        pages_r += [(r["id"], round(r["dist"], 6))
+                    for r in twin.search(q, limit=7, offset=off).collect()]
+    assert pages_b == pages_r
+    assert len(set(x[0] for x in pages_b)) == 21  # no overlap across pages
