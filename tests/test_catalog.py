@@ -758,3 +758,34 @@ def test_chained_delta_flushes(catalog):
     )
     assert got_ivf == expect
     assert blk.count() == twin.count() == ivf.count()
+
+
+def test_delta_ivf_filtered_search(catalog):
+    """Filter ∩ candidates on a DELTA-flushed ivf collection: the
+    pruned, tombstone-masked index scan serves the filter too —
+    results equal the rows twin with every partition probed."""
+    rows = _rows(160, dim=6, seed=61)
+    ivf = catalog.create_collection(
+        "dif", dim=6, distance="euclidean", fields=FIELDS,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=4,
+    )
+    twin = catalog.create_collection("dif_rows", dim=6, distance="euclidean", fields=FIELDS)
+    for c in (ivf, twin):
+        c.upsert(rows)
+    ivf.flush(); twin.flush()
+    updates = [dict(r, type=r["type"] + 20) for r in _rows(12, dim=6, seed=61)]
+    for c in (ivf, twin):
+        c.upsert(updates)
+        c.delete_where({"index_name": "type", "op": "eq", "value": 4})
+    ivf.flush(); twin.flush()
+
+    q = _rows(1, dim=6, seed=62)[0]["vector"]
+    for ast in (
+        {"index_name": "type", "op": "gte", "value": 6},
+        {"index_name": "type", "op": "in", "value": [21, 22, 23, 7]},
+    ):
+        a = [(r["id"], round(r["dist"], 6))
+             for r in ivf.search(q, filter_ast=ast, limit=12).collect()]
+        b = [(r["id"], round(r["dist"], 6))
+             for r in twin.search(q, filter_ast=ast, limit=12).collect()]
+        assert a == b, ast

@@ -171,3 +171,41 @@ def test_stream_ingest_then_delta_flush_serves_from_index(spark, tmp_path):
     exp = [(r["id"], r["label"], round(r["dist"], 6))
            for r in twin.search(q, limit=15).collect()]
     assert got == exp
+
+
+def test_stream_ingest_quantized_collection(spark, tmp_path):
+    """Streamed upserts into a QUANTIZED blocks collection land with
+    identical stored precision to the batch path (quantize-at-write
+    inside foreachBatch), and the packed index serves them."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+    from coltt_spark.sources.tables import load_table
+    from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
+
+    sf = "/root/testdata/sf0.001"
+    fields = [IndexField("id", "string", primary_key=True)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    def shaped(df):
+        return df.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").alias("vector"),
+        )
+
+    coll = cat.create_collection(
+        "sq", dim=64, distance="cosine", fields=fields,
+        layout="blocks", block_dtype="float64", quantization="f16",
+    )
+    stream_upsert(shaped(read_table_stream(spark, sf, "embeddings")), coll)
+    coll.flush()
+    twin = cat.create_collection(
+        "tq", dim=64, distance="cosine", fields=fields, quantization="f16",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    twin.upsert_df(shaped(emb), dedupe_batch=False)
+    q = list(emb.select("embedding").first()["embedding"])
+    a = [(r["id"], round(r["dist"], 6)) for r in coll.search(q, limit=10).collect()]
+    b = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=10).collect()]
+    assert a == b
