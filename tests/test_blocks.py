@@ -298,3 +298,56 @@ def test_blocks_pagination_matches_rows(spark, tmp_path):
                     for r in twin.search(q, limit=7, offset=off).collect()]
     assert pages_b == pages_r
     assert len(set(x[0] for x in pages_b)) == 21  # no overlap across pages
+
+
+def test_quantized_delta_flush_and_filtered_batch(spark, tmp_path):
+    """Two uncovered seams at once: (1) an incremental flush of a
+    QUANTIZED blocks collection packs the delta at stored precision;
+    (2) the batched scan applies a payload filter AND the tombstone
+    mask together. Both must match a quantized rows twin."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(41)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    rows = [
+        {"id": f"r{i}", "label": rng.randint(0, 9),
+         "vector": [rng.gauss(0, 1) for _ in range(8)]}
+        for i in range(150)
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    blk = cat.create_collection(
+        "qb", dim=8, distance="cosine", fields=fields,
+        layout="blocks", block_dtype="float64", quantization="sq8",
+    )
+    twin = cat.create_collection(
+        "qr", dim=8, distance="cosine", fields=fields, quantization="sq8",
+    )
+    for c in (blk, twin):
+        c.upsert(rows)
+    blk.flush(); twin.flush()
+    updates = [dict(r, label=r["label"] + 10) for r in rows[:12]]
+    for c in (blk, twin):
+        c.upsert(updates)
+        c.delete_where({"index_name": "label", "op": "eq", "value": 3})
+    blk.flush()  # delta: quantized rows packed incrementally
+    twin.flush()
+    import os
+
+    assert os.path.isdir(blk._tombstones_dir(blk.manifest.version))
+
+    qs = {j: [rng.gauss(0, 1) for _ in range(8)] for j in range(2)}
+    ast = {"index_name": "label", "op": "gte", "value": 5}
+    batch = blk.search_batch(qs, limit=9, filter_ast=ast).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((round(r["dist"], 6), r["id"]))
+    for qid, qv in qs.items():
+        single = [(round(r["dist"], 6), r["id"])
+                  for r in twin.search(qv, filter_ast=ast, limit=9).collect()]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
