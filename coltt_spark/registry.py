@@ -1524,6 +1524,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     from coltt_spark.registry_pipeline import q_jsonl_roundtrip
 
     q_jsonl_roundtrip(spark, sf_dir)  # builds the JSONL shard tree
+    from coltt_spark.registry_dedup import _dedup_groups_table
+
+    _dedup_groups_table(spark, sf_dir)
     _doc_shingles(spark, sf_dir)
     _docs_collection(spark, sf_dir)
     _emb_schemaless(spark, sf_dir)

