@@ -565,6 +565,58 @@ class Collection:
         paged = _paginate_topk(local.drop(_COMMIT), limit, offset, m.index_design.primary_key)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
 
+    def search_grouped(
+        self,
+        qv: list[float],
+        group_by: str,
+        *,
+        vector_field: str | None = None,
+        limit: int = 10,
+        per_group: int = 1,
+        filter_ast: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Grouped KNN — the ``group_by`` search surface modern vector
+        DBs expose for diversified results: per distinct value of
+        ``group_by``, keep only the nearest ``per_group`` rows, then
+        return the global top-``limit`` of the survivors (so no group
+        dominates the page).
+
+        Scale shape: distance over the scan, ONE window partitioned by
+        the group key (a keyed shuffle — never a global sort; group
+        keys are metadata values, far coarser than rows), then a
+        TakeOrdered final cut over the ≤ groups·per_group survivors."""
+        from pyspark.sql import Window
+
+        m = self.manifest
+        qv = validate_vector(m.dim, qv)
+        vcols = self._vector_cols()
+        vc = vector_field or (vcols[0] if len(vcols) == 1 else None)
+        if vc is None or vc not in vcols:
+            raise ValueError(f"vector_field must be one of {vcols}")
+        pk = m.index_design.primary_key
+        df = self._dequantized()
+        if group_by not in df.columns or group_by in vcols or group_by == _COMMIT:
+            raise KeyError(f"group_by references unknown metadata column {group_by!r}")
+        if filter_ast is not None:
+            df = df.filter(compile_filter(df, filter_ast))
+        if m.distance == "cosine":
+            qv = self._normalize_query(qv)
+            dist = vector_distance("cosine_unit", F.col(vc), qv)
+        else:
+            dist = vector_distance(m.distance, F.col(vc), qv)
+        scored = df.withColumn("dist", dist)
+        w = Window.partitionBy(group_by).orderBy(F.col("dist").asc(), F.col(pk).asc())
+        ranked = (
+            scored.withColumn("_gr", F.row_number().over(w))
+            .filter(F.col("_gr") <= per_group)
+            .drop("_gr")
+        )
+        top = ranked.orderBy(F.col("dist").asc(), F.col(pk).asc()).limit(limit)
+        out = top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
+        if m.layout in ("blocks", "ivf"):
+            out = out.drop(*vcols)
+        return out
+
     def search_batch(
         self,
         queries: dict[int, list[float]],

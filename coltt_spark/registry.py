@@ -442,6 +442,48 @@ def q_collection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_collection_search_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KNN (``group_by`` search — diversified results): at
+    most 2 nearest rows per label, global top-10 of the survivors,
+    over the upsert+delete-mutated collection state."""
+    coll = _embeddings_collection(spark, sf_dir)
+    res = coll.search_grouped(
+        _query_vec(spark, sf_dir), "label", limit=10, per_group=2
+    )
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_ORACLE_COLLECTION_SEARCH_GROUPED = f"""
+WITH q AS ({_QV_SQL}),
+final AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id,
+         CAST(CASE WHEN vec_id < 10 THEN label + 100 ELSE label END AS BIGINT) AS label,
+         embedding
+  FROM embeddings
+),
+d AS (
+  SELECT id, label,
+         sqrt(list_sum(list_transform(list_zip(f.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM final f, q
+  WHERE f.label <> 5
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist ASC, id ASC) AS rn
+  FROM d
+)
+SELECT id, label, round(dist, 4) AS dist,
+       round(greatest(0.0, 100.0 - dist), 4) AS score
+FROM r WHERE rn <= 2 ORDER BY dist ASC, id ASC LIMIT 10
+"""
+
+
 _ORACLE_COLLECTION_SEARCH = f"""
 WITH q AS ({_QV_SQL}),
 d AS (
@@ -1275,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_dist": q_compare_dist,
     "upsert_delete": q_upsert_delete,
     "collection_search": q_collection_search,
+    "collection_search_grouped": q_collection_search_grouped,
     "collection_search_blocks": q_collection_search_blocks,
     "collection_search_blocks_filtered": q_collection_search_blocks_filtered,
     "collection_search_blocks_delta": q_collection_search_blocks_delta,
@@ -1308,6 +1351,7 @@ ORACLES: dict[str, str] = {
     "compare_dist": _ORACLE_COMPARE_DIST,
     "upsert_delete": _ORACLE_UPSERT_DELETE,
     "collection_search": _ORACLE_COLLECTION_SEARCH,
+    "collection_search_grouped": _ORACLE_COLLECTION_SEARCH_GROUPED,
     "collection_search_blocks": _ORACLE_COLLECTION_SEARCH_BLOCKS,
     "collection_search_blocks_filtered": _ORACLE_COLLECTION_SEARCH_BLOCKS_FILTERED,
     "collection_search_blocks_delta": _ORACLE_COLLECTION_SEARCH_BLOCKS_DELTA,
@@ -1420,6 +1464,7 @@ _KEY_ORDER = [
     "stream_join",                        # new: stream-stream interval join
     "collection_search_batch_filtered",   # new: filtered batch on the packed index
     "embed_project",                      # new: JL random projection
+    "collection_search_grouped",          # new: group_by diversified search
     "sample_temperature",                 # new: share^alpha source rebalancing
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
@@ -1430,11 +1475,11 @@ _KEY_ORDER = [
     "dedup_simhash",
     # -- stable representatives of each operator family ----------------
     "knn_cosine",
-    "knn_filtered",
     "upsert_delete",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
     "filter_coercion",
+    "knn_filtered",
     "filter_search",
     "multi_vector_search",
     "collection_search_ivf",

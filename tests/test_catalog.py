@@ -789,3 +789,40 @@ def test_delta_ivf_filtered_search(catalog):
         b = [(r["id"], round(r["dist"], 6))
              for r in twin.search(q, filter_ast=ast, limit=12).collect()]
         assert a == b, ast
+
+
+def test_search_grouped_diversifies(catalog):
+    """group_by search: at most per_group rows per group value, page
+    ordered by distance, groups never dominate; filter composes."""
+    rows = _rows(200, dim=6, seed=71)
+    coll = catalog.create_collection(
+        "grp", dim=6, distance="cosine", fields=FIELDS
+    )
+    coll.upsert(rows)
+    q = _rows(1, dim=6, seed=72)[0]["vector"]
+    res = coll.search_grouped(q, "type", limit=12, per_group=2).collect()
+    per = {}
+    for r in res:
+        per.setdefault(r["type"], 0)
+        per[r["type"]] += 1
+    assert all(c <= 2 for c in per.values())
+    dists = [r["dist"] for r in res]
+    assert dists == sorted(dists)
+    # every returned row is its group's best-or-second-best overall
+    full = coll.search(q, limit=200).collect()
+    best_by_type = {}
+    for r in full:
+        best_by_type.setdefault(r["type"], []).append(r["id"])
+    for r in res:
+        assert r["id"] in best_by_type[r["type"]][:2]
+    # filter composes: only matching rows compete
+    fres = coll.search_grouped(
+        q, "type", limit=12, per_group=1,
+        filter_ast={"index_name": "size", "op": "lte", "value": 5},
+    ).collect()
+    assert fres and all(r["size"] <= 5 for r in fres)
+    assert len({r["type"] for r in fres}) == len(fres)
+    import pytest
+
+    with pytest.raises(KeyError):
+        coll.search_grouped(q, "nope", limit=5)
