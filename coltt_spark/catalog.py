@@ -617,6 +617,44 @@ class Collection:
             out = out.drop(*vcols)
         return out
 
+    def search_radius(
+        self,
+        qv: list[float],
+        radius: float,
+        *,
+        vector_field: str | None = None,
+        filter_ast: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Radius query through the collection: every row with
+        ``dist ≤ radius`` (unbounded result set — the caller filters
+        or aggregates downstream). A pure narrow filter over the scan:
+        no window, no top-k state, survives any corpus size. Cosine
+        collections score ``|1 - dot|`` on normalize-at-write vectors
+        like every other read path."""
+        m = self.manifest
+        qv = validate_vector(m.dim, qv)
+        vcols = self._vector_cols()
+        vc = vector_field or (vcols[0] if len(vcols) == 1 else None)
+        if vc is None or vc not in vcols:
+            raise ValueError(f"vector_field must be one of {vcols}")
+        df = self._dequantized()
+        if filter_ast is not None:
+            df = df.filter(compile_filter(df, filter_ast))
+        if m.distance == "cosine":
+            qv = self._normalize_query(qv)
+            dist = vector_distance("cosine_unit", F.col(vc), qv)
+        else:
+            dist = vector_distance(m.distance, F.col(vc), qv)
+        out = (
+            df.withColumn("dist", dist)
+            .filter(F.col("dist") <= F.lit(float(radius)))
+            .withColumn("score", score_expr(m.distance, F.col("dist")))
+            .drop(_COMMIT)
+        )
+        if m.layout in ("blocks", "ivf"):
+            out = out.drop(*vcols)
+        return out
+
     def search_batch(
         self,
         queries: dict[int, list[float]],

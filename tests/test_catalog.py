@@ -826,3 +826,30 @@ def test_search_grouped_diversifies(catalog):
 
     with pytest.raises(KeyError):
         coll.search_grouped(q, "nope", limit=5)
+
+
+def test_search_radius_and_grouped_on_blocks(catalog):
+    """Radius query through the collection API (set semantics vs the
+    top-k path) and grouped search served off a blocks-layout
+    collection's row view."""
+    rows = _rows(180, dim=6, seed=81)
+    coll = catalog.create_collection(
+        "rad", dim=6, distance="cosine", fields=FIELDS,
+        layout="blocks", block_dtype="float64",
+    )
+    coll.upsert(rows)
+    coll.flush()
+    q = _rows(1, dim=6, seed=82)[0]["vector"]
+    full = coll.search(q, limit=180).collect()
+    r = sorted(x["dist"] for x in full)[25] + 1e-9  # radius at the 26th dist
+    hits = coll.search_radius(q, r).collect()
+    expect = {x["id"] for x in full if x["dist"] <= r}
+    assert {x["id"] for x in hits} == expect and len(hits) >= 26
+    assert all(x["dist"] <= r for x in hits)
+    # filter composes and grouped works on the blocks layout
+    fhits = coll.search_radius(
+        q, 1.5, filter_ast={"index_name": "type", "op": "lte", "value": 3}
+    ).collect()
+    assert fhits and all(x["type"] <= 3 for x in fhits)
+    g = coll.search_grouped(q, "type", limit=10, per_group=1).collect()
+    assert len({x["type"] for x in g}) == len(g)
