@@ -192,3 +192,32 @@ def test_as_of_join_semantics(spark):
         ).collect()
     }
     assert res == {100: 202, 101: 200, 102: None, 103: None}
+
+
+def test_as_of_join_randomized_vs_bruteforce(spark):
+    """500 random events with heavy ts ties: the distributed as-of
+    join must agree with a per-row brute force on every match."""
+    import random
+    from datetime import datetime, timedelta
+
+    from coltt_spark.operators.analytics import as_of_join
+
+    rng = random.Random(13)
+    base = datetime(2024, 3, 1)
+    left, right = [], []
+    for i in range(250):
+        left.append((rng.randint(1, 12), base + timedelta(seconds=rng.randint(0, 120)), 1000 + i))
+        right.append((rng.randint(1, 12), base + timedelta(seconds=rng.randint(0, 120)), 2000 + i))
+    ldf = spark.createDataFrame(left, "user_id long, ts timestamp, event_id long")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in as_of_join(
+            ldf, rdf, on="user_id", ts_col="ts", tie_col="event_id",
+            left_cols=["event_id"], right_cols=["event_id"],
+        ).collect()
+    }
+    for u, lts, lid in left:
+        cands = [(rts, rid) for (ru, rts, rid) in right if ru == u and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (u, lts, lid)
