@@ -581,9 +581,14 @@ class Collection:
         return the global top-``limit`` of the survivors (so no group
         dominates the page).
 
-        Scale shape: distance over the scan, ONE window partitioned by
-        the group key (a keyed shuffle — never a global sort; group
-        keys are metadata values, far coarser than rows), then a
+        Scale shape: on a clean ``layout="blocks"`` collection the
+        per-GROUP top-``per_group`` is taken inside each packed block
+        (group values ride in the payload — one matvec per file, ≤
+        groups·per_group rows out per file), then one window keyed by
+        the group merges block-local winners. Other layouts/states
+        scan the row view: distance + ONE window partitioned by the
+        group key (a keyed shuffle — never a global sort; group keys
+        are metadata values, far coarser than rows), then a
         TakeOrdered final cut over the ≤ groups·per_group survivors."""
         from pyspark.sql import Window
 
@@ -594,9 +599,22 @@ class Collection:
         if vc is None or vc not in vcols:
             raise ValueError(f"vector_field must be one of {vcols}")
         pk = m.index_design.primary_key
-        df = self._dequantized()
-        if group_by not in df.columns or group_by in vcols or group_by == _COMMIT:
+        meta_names = [
+            f.name for f in self._storage_schema()
+            if f.name not in vcols and f.name != _COMMIT
+        ]
+        if group_by not in meta_names:
             raise KeyError(f"group_by references unknown metadata column {group_by!r}")
+        if (
+            m.layout == "blocks"
+            and not self._dirty
+            and os.path.isdir(self._blocks_dir(vc))
+        ):
+            return self._search_grouped_blocks(
+                qv, vc, group_by,
+                limit=limit, per_group=per_group, filter_ast=filter_ast,
+            )
+        df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
         if m.distance == "cosine":
@@ -654,6 +672,67 @@ class Collection:
         if m.layout in ("blocks", "ivf"):
             out = out.drop(*vcols)
         return out
+
+    def _search_grouped_blocks(
+        self,
+        qv: list[float],
+        vc: str,
+        group_by: str,
+        *,
+        limit: int,
+        per_group: int,
+        filter_ast: dict[str, Any] | None,
+    ) -> DataFrame:
+        """Grouped KNN from the packed index: each file emits its
+        per-group top-``per_group`` (group values decoded from the
+        packed payload, filter applied as the usual block-local mask),
+        one window keyed by the group merges file-local winners, then
+        a TakeOrdered final cut — the block layout's cost shape held
+        under diversification."""
+        from pyspark.sql import Window
+
+        from coltt_spark.operators.blocks import block_index_scan
+
+        m = self.manifest
+        if m.distance == "cosine":
+            qv = self._normalize_query(qv)
+        payload_schema = T.StructType(
+            [
+                f for f in self._storage_schema()
+                if f.name not in self._vector_cols() and f.name != _COMMIT
+            ]
+        )
+        payload_filter = None
+        if filter_ast is not None:
+            from coltt_spark.filters import compile_filter_mask
+
+            payload_filter = compile_filter_mask(payload_schema, filter_ast)
+        tomb = self._tombstones_dir()
+        local = block_index_scan(
+            self.spark,
+            self._blocks_dir(vc),
+            qv,
+            dim=m.dim,
+            distance="cosine_unit" if m.distance == "cosine" else m.distance,
+            dtype=m.block_dtype,
+            payload_schema=payload_schema,
+            id_alias=_COMMIT,
+            payload_filter=payload_filter,
+            tombstones=tomb if os.path.isdir(tomb) else None,
+            group_col=group_by,
+            per_group=per_group,
+        )
+        pk = m.index_design.primary_key
+        w = Window.partitionBy(group_by).orderBy(F.col("dist").asc(), F.col(pk).asc())
+        ranked = (
+            local.withColumn("_gr", F.row_number().over(w))
+            .filter(F.col("_gr") <= per_group)
+            .drop("_gr")
+        )
+        top = ranked.orderBy(F.col("dist").asc(), F.col(pk).asc()).limit(limit)
+        return top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(
+            _COMMIT
+        )
 
     def search_batch(
         self,

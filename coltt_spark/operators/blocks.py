@@ -508,6 +508,56 @@ def _file_group_df(spark: SparkSession, files: list[str], max_tasks: int | None)
     return spark.createDataFrame(rdd, "paths string")
 
 
+def _scan_block_grouped(
+    ids: np.ndarray,
+    X: np.ndarray,
+    norms: np.ndarray,
+    q: np.ndarray,
+    groups,
+    *,
+    distance: str,
+    per_group: int,
+    payload,
+    id_alias: str = "id",
+    mask: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """One block → its local per-GROUP top-``per_group`` (id, dist,
+    payload…): the grouped-search sibling of :func:`_scan_block`.
+    ``groups`` is the row-aligned group-value array decoded from the
+    payload. Winners per block are ≤ n_distinct_groups·per_group —
+    the shape assumes group keys are metadata values, far coarser
+    than rows (the group_by contract)."""
+    if distance == "manhattan":
+        D = np.abs(X - q[None, :]).sum(axis=1)
+    else:
+        dots = X @ q
+        if distance == "cosine_unit":
+            D = np.abs(1.0 - dots / max(np.linalg.norm(q), 1e-300))
+        elif distance == "cosine":
+            D = np.abs(1.0 - dots / np.maximum(norms * np.linalg.norm(q), 1e-300))
+        elif distance == "euclidean":
+            qq = float(q @ q)
+            D = np.sqrt(np.maximum(norms.astype(np.float64) ** 2 + qq - 2.0 * dots, 0.0))
+        elif distance == "dot":
+            D = -dots
+        else:
+            raise ValueError(f"unknown distance {distance!r}")
+    if mask is not None:
+        D = np.where(mask, D, np.inf)
+    order = np.lexsort((ids, D))  # (dist, id) — the scan tie contract
+    alive = order[np.isfinite(D[order])]
+    g_sorted = pd.Series(np.asarray(groups)[alive])
+    keep_pos = g_sorted.groupby(g_sorted, sort=False).cumcount().to_numpy() < per_group
+    sel = alive[keep_pos]
+    out = {id_alias: ids[sel], "dist": D[sel].astype(np.float64)}
+    pdf = pd.DataFrame(out)
+    if payload is not None:
+        pp = payload.take(sel).to_pandas()
+        for c in pp.columns:
+            pdf[c] = pp[c].to_numpy()
+    return pdf
+
+
 def block_index_scan(
     spark: SparkSession,
     path: str,
@@ -522,6 +572,8 @@ def block_index_scan(
     id_alias: str = "id",
     payload_filter=None,
     tombstones: str | None = None,
+    group_col: str | None = None,
+    per_group: int = 1,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
     order/limit — compose your own, e.g. a different tie-break). With
@@ -541,7 +593,12 @@ def block_index_scan(
     commit ids superseded since the last compact (the delta-flush
     design): those rows are masked out of every block before the
     top-k, so a base index packed once keeps serving correctly as
-    deltas accumulate beside it."""
+    deltas accumulate beside it.
+
+    ``group_col`` switches each file to PER-GROUP top-``per_group``
+    selection (the grouped-search fast path): the group values come
+    from the packed payload, so diversified search keeps the block
+    layout's one-matvec cost shape; ``k`` is ignored in that mode."""
     np_dtype = _DTYPES[dtype]
     q = np.asarray([float(x) for x in query], dtype=np_dtype)
     fdf = _file_group_df(spark, _index_files(path), max_tasks)
@@ -561,6 +618,10 @@ def block_index_scan(
     want_payload = payload_schema is not None
     if payload_filter is not None and not want_payload:
         raise ValueError("payload_filter requires payload_schema")
+    if group_col is not None and (
+        not want_payload or group_col not in {f.name for f in payload_schema}
+    ):
+        raise ValueError("group_col must name a packed payload column")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dead = _load_tombstones(tombstones) if tombstones else None
@@ -581,6 +642,19 @@ def block_index_scan(
                     if dead is not None and len(dead):
                         live = ~np.isin(ids, dead)
                         mask = live if mask is None else (mask & live)
+                    if group_col is not None:
+                        if payload is None:
+                            raise ValueError(
+                                f"index file {p} carries no payload; "
+                                "grouped block search needs packed metadata"
+                            )
+                        yield _scan_block_grouped(
+                            ids, X, norms, q,
+                            payload.column(group_col).to_pandas().to_numpy(),
+                            distance=distance, per_group=per_group,
+                            payload=payload, id_alias=id_alias, mask=mask,
+                        )
+                        continue
                     yield _scan_block(
                         ids, X, norms, q, distance=distance, k=k,
                         payload=payload if want_payload else None,

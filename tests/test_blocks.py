@@ -351,3 +351,43 @@ def test_quantized_delta_flush_and_filtered_batch(spark, tmp_path):
         single = [(round(r["dist"], 6), r["id"])
                   for r in twin.search(qv, filter_ast=ast, limit=9).collect()]
         assert sorted(got.get(qid, [])) == sorted(single), qid
+
+
+def test_grouped_search_blocks_fast_path_matches_rows(spark, tmp_path):
+    """Grouped search served from the packed index (per-block
+    per-group winners + keyed merge) must equal the row-view path,
+    with and without filters, across distances."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(91)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    rows = [
+        {"id": f"r{i}", "label": rng.randint(0, 7),
+         "vector": [rng.gauss(0, 1) for _ in range(8)]}
+        for i in range(160)
+    ]
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    for distance in ("cosine", "euclidean"):
+        cat = Catalog(spark, str(tmp_path / f"wh_{distance}"))
+        blk = cat.create_collection(
+            "b", dim=8, distance=distance, fields=fields,
+            layout="blocks", block_dtype="float64",
+        )
+        twin = cat.create_collection("r", dim=8, distance=distance, fields=fields)
+        blk.upsert(rows); twin.upsert(rows); blk.flush()
+        for kw in (
+            dict(limit=10, per_group=2),
+            dict(limit=6, per_group=1,
+                 filter_ast={"index_name": "label", "op": "gte", "value": 3}),
+        ):
+            a = [(r["id"], r["label"], round(r["dist"], 6))
+                 for r in blk.search_grouped(q, "label", **kw).collect()]
+            b = [(r["id"], r["label"], round(r["dist"], 6))
+                 for r in twin.search_grouped(q, "label", **kw).collect()]
+            assert a == b, (distance, kw)
