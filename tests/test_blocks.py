@@ -391,3 +391,14 @@ def test_grouped_search_blocks_fast_path_matches_rows(spark, tmp_path):
             b = [(r["id"], r["label"], round(r["dist"], 6))
                  for r in twin.search_grouped(q, "label", **kw).collect()]
             assert a == b, (distance, kw)
+        # delta-flushed state: grouped fast path masks tombstones too
+        updates = [dict(r, label=r["label"] + 10) for r in rows[:10]]
+        for c in (blk, twin):
+            c.upsert(updates)
+            c.delete_where({"index_name": "label", "op": "eq", "value": 2})
+        blk.flush(); twin.flush()
+        a = [(r["id"], r["label"], round(r["dist"], 6))
+             for r in blk.search_grouped(q, "label", limit=10, per_group=2).collect()]
+        b = [(r["id"], r["label"], round(r["dist"], 6))
+             for r in twin.search_grouped(q, "label", limit=10, per_group=2).collect()]
+        assert a == b, (distance, "delta")
