@@ -507,6 +507,26 @@ class Collection:
         n = math.sqrt(acc)
         return [float(x) / n for x in qv] if n else [float(x) for x in qv]
 
+    def _block_scan_plumbing(self, filter_ast):
+        """Shared plumbing for every packed-index scan: the payload
+        schema (all metadata columns), the compiled block-local mask
+        (or None), and the tombstones argument (or None when no delta
+        has been flushed). One definition so the single, grouped, and
+        batched paths can never drift apart."""
+        payload_schema = T.StructType(
+            [
+                f for f in self._storage_schema()
+                if f.name not in self._vector_cols() and f.name != _COMMIT
+            ]
+        )
+        payload_filter = None
+        if filter_ast is not None:
+            from coltt_spark.filters import compile_filter_mask
+
+            payload_filter = compile_filter_mask(payload_schema, filter_ast)
+        tomb = self._tombstones_dir()
+        return payload_schema, payload_filter, (tomb if os.path.isdir(tomb) else None)
+
     def _search_blocks(
         self,
         qv: list[float],
@@ -533,18 +553,7 @@ class Collection:
         m = self.manifest
         if m.distance == "cosine":
             qv = self._normalize_query(qv)
-        payload_schema = T.StructType(
-            [
-                f for f in self._storage_schema()
-                if f.name not in self._vector_cols() and f.name != _COMMIT
-            ]
-        )
-        payload_filter = None
-        if filter_ast is not None:
-            from coltt_spark.filters import compile_filter_mask
-
-            payload_filter = compile_filter_mask(payload_schema, filter_ast)
-        tomb = self._tombstones_dir()
+        payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         # cosine collections normalize at write, so the packed scan
         # scores |1 - dot| like the row path (stored norms are NOT
         # re-applied — quantized rows would otherwise drift from the
@@ -560,7 +569,7 @@ class Collection:
             payload_schema=payload_schema,
             id_alias=_COMMIT,  # payload may carry a user column named "id"
             payload_filter=payload_filter,
-            tombstones=tomb if os.path.isdir(tomb) else None,
+            tombstones=tomb,
         )
         paged = _paginate_topk(local.drop(_COMMIT), limit, offset, m.index_design.primary_key)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
@@ -696,18 +705,7 @@ class Collection:
         m = self.manifest
         if m.distance == "cosine":
             qv = self._normalize_query(qv)
-        payload_schema = T.StructType(
-            [
-                f for f in self._storage_schema()
-                if f.name not in self._vector_cols() and f.name != _COMMIT
-            ]
-        )
-        payload_filter = None
-        if filter_ast is not None:
-            from coltt_spark.filters import compile_filter_mask
-
-            payload_filter = compile_filter_mask(payload_schema, filter_ast)
-        tomb = self._tombstones_dir()
+        payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         local = block_index_scan(
             self.spark,
             self._blocks_dir(vc),
@@ -718,7 +716,7 @@ class Collection:
             payload_schema=payload_schema,
             id_alias=_COMMIT,
             payload_filter=payload_filter,
-            tombstones=tomb if os.path.isdir(tomb) else None,
+            tombstones=tomb,
             group_col=group_by,
             per_group=per_group,
         )
@@ -801,18 +799,7 @@ class Collection:
         ):
             from coltt_spark.operators.blocks import block_index_topk_batch
 
-            payload_filter = None
-            if filter_ast is not None:
-                from coltt_spark.filters import compile_filter_mask
-
-                payload_schema = T.StructType(
-                    [
-                        f for f in self._storage_schema()
-                        if f.name not in self._vector_cols() and f.name != _COMMIT
-                    ]
-                )
-                payload_filter = compile_filter_mask(payload_schema, filter_ast)
-            tomb = self._tombstones_dir()
+            _, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
             winners = block_index_topk_batch(
                 self.spark,
                 self._blocks_dir(vc),
@@ -821,7 +808,7 @@ class Collection:
                 k=limit,
                 distance="cosine_unit" if m.distance == "cosine" else m.distance,
                 dtype=m.block_dtype,
-                tombstones=tomb if os.path.isdir(tomb) else None,
+                tombstones=tomb,
                 payload_filter=payload_filter,
             ).withColumnRenamed("id", _COMMIT)
             meta = self._view.drop(*vcols)
@@ -851,7 +838,16 @@ class Collection:
             scored = (
                 base
                 .crossJoin(F.broadcast(qdf))
-                .withColumn("dist", vector_distance(m.distance, F.col(vc), F.col("_qv")))
+                .withColumn(
+                    "dist",
+                    vector_distance(
+                        # normalize-at-write: |1 - dot| like every
+                        # other read path (qvs are already normalized)
+                        "cosine_unit" if m.distance == "cosine" else m.distance,
+                        F.col(vc),
+                        F.col("_qv"),
+                    ),
+                )
             )
             w = Window.partitionBy("query_id").orderBy(
                 F.col("dist").asc(), F.col(pk).asc()

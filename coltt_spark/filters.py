@@ -111,7 +111,12 @@ def _leaf(df: DataFrame, name: str, op: str, value: Any) -> Column:
     if op == "like":
         if not isinstance(value, str):
             raise ValueError(f"like requires a string pattern, got {value!r}")
-        return F.col(name).cast("string").like(value)
+        if not isinstance(dt, T.StringType):
+            # restricting like to string columns keeps the row path and
+            # the block-payload mask path bit-identical (pandas and
+            # Spark stringify booleans/floats differently)
+            raise ValueError(f"like requires a string column, {name!r} is {dt}")
+        return F.col(name).like(value)
     lhs, rhs = _coerce(F.col(name), dt, value)
     if op == "eq":
         return lhs == rhs
@@ -342,6 +347,10 @@ def compile_filter_mask(schema, ast: dict[str, Any]):
         if op == "like":
             if not isinstance(value, str):
                 raise ValueError(f"like requires a string pattern, got {value!r}")
+            if not isinstance(types[name], T.StringType):
+                raise ValueError(
+                    f"like requires a string column, {name!r} is {types[name]}"
+                )
             # SQL LIKE → anchored regex (% → .*, _ → .), same as Spark
             rx = "".join(
                 ".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in value

@@ -547,7 +547,12 @@ def _scan_block_grouped(
     order = np.lexsort((ids, D))  # (dist, id) — the scan tie contract
     alive = order[np.isfinite(D[order])]
     g_sorted = pd.Series(np.asarray(groups)[alive])
-    keep_pos = g_sorted.groupby(g_sorted, sort=False).cumcount().to_numpy() < per_group
+    # dropna=False: a NULL group value is its own group, exactly like
+    # the row path's window partition on the group key
+    keep_pos = (
+        g_sorted.groupby(g_sorted, sort=False, dropna=False).cumcount().to_numpy()
+        < per_group
+    )
     sel = alive[keep_pos]
     out = {id_alias: ids[sel], "dist": D[sel].astype(np.float64)}
     pdf = pd.DataFrame(out)

@@ -214,6 +214,10 @@ def temperature_sample(
     filter per source; zero shuffles over the corpus itself.
     """
     rows = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    if any(r[source_col] is None for r in rows):
+        # a NULL source has no defined mix share — fail loudly rather
+        # than crash in sorted() or silently drop the rows
+        raise ValueError(f"temperature_sample: {source_col!r} contains NULLs")
     counts = sorted((r[source_col], int(r["_n"])) for r in rows)
     total = sum(n for _, n in counts)
     z = 0.0

@@ -157,7 +157,9 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     df = ensure_parallelism(df, id_col)
     e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     vocab = e.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("_c"))
-    tot = e.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # the corpus token total is the sum of the tiny vocab aggregate —
+    # never a second full-corpus scan
+    tot = vocab.groupBy().agg(F.sum("_c").alias("_n"))
     scored = (
         e.join(F.broadcast(vocab), on="token")
         .crossJoin(F.broadcast(tot))
