@@ -812,7 +812,21 @@ class Collection:
                 payload_filter=payload_filter,
             ).withColumnRenamed("id", _COMMIT)
             meta = self._view.drop(*vcols)
-            out = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
+            joined = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
+            # re-rank the B·k winner rows by (dist, pk): the scan's
+            # surrogate-id tie-break need not match the primary key,
+            # so boundary ties are resolved here, exactly like the
+            # single-query path's _paginate_topk
+            from pyspark.sql import Window
+
+            wb = Window.partitionBy("query_id").orderBy(
+                F.col("dist").asc(), F.col(pk).asc()
+            )
+            out = (
+                joined.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn")
+            )
         else:
             # one corpus scan for the whole batch: broadcast the B-row
             # query table, score the cross join, keep top-k per query

@@ -355,7 +355,9 @@ def compile_filter_mask(schema, ast: dict[str, Any]):
             rx = "".join(
                 ".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in value
             )
-            pat = _re.compile(f"(?s)^{rx}$")
+            # \Z, not $: '$' would match before a trailing newline,
+            # which Spark LIKE does not
+            pat = _re.compile(f"(?s)^{rx}\\Z")
 
             def run(table):
                 s = table.column(name).to_pandas()

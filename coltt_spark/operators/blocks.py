@@ -143,6 +143,30 @@ def pack_blocks(
     return src.mapInPandas(pack, BLOCK_SCHEMA)
 
 
+def _block_distances(
+    X: np.ndarray, norms: np.ndarray, q: np.ndarray, distance: str
+) -> np.ndarray:
+    """The per-block distance kernel shared by every single-query scan
+    (plain, grouped) — one definition so the paths cannot drift."""
+    if distance == "manhattan":
+        return np.abs(X - q[None, :]).sum(axis=1)
+    dots = X @ q
+    if distance == "cosine_unit":
+        # normalize-at-write contract: stored rows are treated as
+        # unit (even when quantization perturbed the norm — the
+        # row path and every oracle score |1 - dot| the same way)
+        return np.abs(1.0 - dots / max(np.linalg.norm(q), 1e-300))
+    if distance == "cosine":
+        qn = np.linalg.norm(q)
+        return np.abs(1.0 - dots / np.maximum(norms * qn, 1e-300))
+    if distance == "euclidean":
+        qq = float(q @ q)
+        return np.sqrt(np.maximum(norms.astype(np.float64) ** 2 + qq - 2.0 * dots, 0.0))
+    if distance == "dot":
+        return -dots
+    raise ValueError(f"unknown distance {distance!r}")
+
+
 def _scan_block(
     ids: np.ndarray,
     X: np.ndarray,
@@ -168,26 +192,7 @@ def _scan_block(
     filters); non-survivors are knocked out with ``inf`` before
     selection, so the k winners and their tie-breaks are exactly the
     row path's ``orderBy(dist, pk)`` over the filtered set."""
-    if distance == "manhattan":
-        D = np.abs(X - q[None, :]).sum(axis=1)
-    else:
-        dots = X @ q
-        if distance == "cosine_unit":
-            # normalize-at-write contract: stored rows are treated as
-            # unit (even when quantization perturbed the norm — the
-            # row path and every oracle score |1 - dot| the same way)
-            qn = np.linalg.norm(q)
-            D = np.abs(1.0 - dots / max(qn, 1e-300))
-        elif distance == "cosine":
-            qn = np.linalg.norm(q)
-            D = np.abs(1.0 - dots / np.maximum(norms * qn, 1e-300))
-        elif distance == "euclidean":
-            qq = float(q @ q)
-            D = np.sqrt(np.maximum(norms.astype(np.float64) ** 2 + qq - 2.0 * dots, 0.0))
-        elif distance == "dot":
-            D = -dots
-        else:
-            raise ValueError(f"unknown distance {distance!r}")
+    D = _block_distances(X, norms, q, distance)
     if mask is not None:
         n_alive = int(mask.sum())
         D = np.where(mask, D, np.inf)
@@ -195,15 +200,17 @@ def _scan_block(
         n_alive = len(ids)
     kk = min(k, n_alive)
     if kk < n_alive:
-        # argpartition alone breaks distance ties arbitrarily; rows
-        # tying exactly at the k-th distance must resolve by smallest
-        # id (the row path's orderBy(dist, pk) contract), so gather
-        # ALL rows at <= the k-th distance and lexsort the candidates
+        # argpartition alone breaks distance ties arbitrarily, and the
+        # block's surrogate ids (_commit_id) need NOT order like the
+        # primary key the row path tie-breaks on — so EVERY row tied
+        # at the k-th distance survives the local cut and the global
+        # merge (ordered by dist, pk) resolves the tie exactly. Output
+        # is k + boundary-ties rows (ties beyond k are rare and tiny).
         part = np.argpartition(D, kk - 1)
         kth = D[part[kk - 1]]
         cand = np.flatnonzero(D <= kth)
         order = np.lexsort((ids[cand], D[cand]))
-        sel = cand[order[:kk]]
+        sel = cand[order]
     elif mask is not None:
         sel = np.flatnonzero(mask)
     else:
@@ -527,32 +534,24 @@ def _scan_block_grouped(
     payload. Winners per block are ≤ n_distinct_groups·per_group —
     the shape assumes group keys are metadata values, far coarser
     than rows (the group_by contract)."""
-    if distance == "manhattan":
-        D = np.abs(X - q[None, :]).sum(axis=1)
-    else:
-        dots = X @ q
-        if distance == "cosine_unit":
-            D = np.abs(1.0 - dots / max(np.linalg.norm(q), 1e-300))
-        elif distance == "cosine":
-            D = np.abs(1.0 - dots / np.maximum(norms * np.linalg.norm(q), 1e-300))
-        elif distance == "euclidean":
-            qq = float(q @ q)
-            D = np.sqrt(np.maximum(norms.astype(np.float64) ** 2 + qq - 2.0 * dots, 0.0))
-        elif distance == "dot":
-            D = -dots
-        else:
-            raise ValueError(f"unknown distance {distance!r}")
+    D = _block_distances(X, norms, q, distance)
     if mask is not None:
         D = np.where(mask, D, np.inf)
-    order = np.lexsort((ids, D))  # (dist, id) — the scan tie contract
+    order = np.lexsort((ids, D))  # (dist, id) — local ordering only
     alive = order[np.isfinite(D[order])]
     g_sorted = pd.Series(np.asarray(groups)[alive])
+    d_sorted = pd.Series(D[alive])
     # dropna=False: a NULL group value is its own group, exactly like
-    # the row path's window partition on the group key
-    keep_pos = (
-        g_sorted.groupby(g_sorted, sort=False, dropna=False).cumcount().to_numpy()
-        < per_group
-    )
+    # the row path's window partition on the group key. The cut keeps
+    # every row tied AT each group's per_group-th distance (surrogate
+    # ids need not order like the primary key) — the caller's keyed
+    # merge window resolves boundary ties by pk exactly.
+    gb = g_sorted.groupby(g_sorted, sort=False, dropna=False)
+    thr = d_sorted.groupby(g_sorted, sort=False, dropna=False).transform(
+        lambda x: x.iloc[min(per_group, len(x)) - 1]
+    ).to_numpy()
+    keep_pos = d_sorted.to_numpy() <= thr
+    del gb
     sel = alive[keep_pos]
     out = {id_alias: ids[sel], "dist": D[sel].astype(np.float64)}
     pdf = pd.DataFrame(out)
@@ -788,36 +787,42 @@ def block_index_topk_batch(
                     if kk == 0:
                         continue
                     B = len(qids)
-                    if kk < n_alive:
-                        # same id tie-break at the k-th distance as the
-                        # single-query scan; B is small so the per-query
-                        # loop costs B candidate lexsorts, not a shuffle
-                        part = np.argpartition(D, kk - 1, axis=0)
-                        sel = np.empty((kk, B), dtype=np.int64)
-                        for j in range(B):
+                    # per-query local cut KEEPING every row tied at the
+                    # k-th distance (surrogate ids need not order like
+                    # the primary key — the caller's global merge
+                    # resolves boundary ties); B is small so the loop
+                    # costs B candidate selections, not a shuffle
+                    part = np.argpartition(D, kk - 1, axis=0) if kk < n_alive else None
+                    q_out, i_out, d_out = [], [], []
+                    for j in range(B):
+                        if part is not None:
                             kth = D[part[kk - 1, j], j]
                             cand = np.flatnonzero(D[:, j] <= kth)
-                            order = np.lexsort((ids[cand], D[cand, j]))
-                            sel[:, j] = cand[order[:kk]]
-                    else:
-                        alive_idx = (
-                            np.flatnonzero(live) if live is not None else np.arange(n)
-                        )
-                        sel = np.tile(alive_idx[:, None], (1, B))  # (kk, B)
+                        elif live is not None:
+                            cand = np.flatnonzero(live)
+                        else:
+                            cand = np.arange(n)
+                        q_out.append(np.full(len(cand), qid_arr[j], dtype=np.int64))
+                        i_out.append(ids[cand])
+                        d_out.append(D[cand, j].astype(np.float64))
                     yield pd.DataFrame(
                         {
-                            "query_id": np.repeat(qid_arr[None, :], kk, axis=0).ravel(),
-                            "id": ids[sel].ravel(),
-                            "dist": np.take_along_axis(D, sel, axis=0).astype(np.float64).ravel(),
+                            "query_id": np.concatenate(q_out),
+                            "id": np.concatenate(i_out),
+                            "dist": np.concatenate(d_out),
                         }
                     )
 
     local = fdf.mapInPandas(scan, out_schema)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    # rank(), not row_number(): rows tied at the k-th distance ALL
+    # survive (output is top-k plus boundary ties) so a caller that
+    # tie-breaks on a different key (e.g. the collection primary key)
+    # can resolve them exactly; callers wanting exactly k cut again
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc())
     return (
-        local.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.rank().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

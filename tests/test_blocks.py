@@ -402,3 +402,52 @@ def test_grouped_search_blocks_fast_path_matches_rows(spark, tmp_path):
         b = [(r["id"], r["label"], round(r["dist"], 6))
              for r in twin.search_grouped(q, "label", limit=10, per_group=2).collect()]
         assert a == b, (distance, "delta")
+
+
+def test_distance_tie_break_by_pk_not_commit_order(spark, tmp_path):
+    """Exact-distance ties (duplicate vectors — routine in dedup
+    corpora) must resolve by PRIMARY KEY on every packed path, even
+    when pk order opposes insertion (commit-id) order: single search,
+    grouped search, and batch search all match the row twin."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(3)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    # 30 distinct vectors, each duplicated 4× under ids whose lexic
+    # order INVERTS insertion order (z.., y.., .., a..)
+    base = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        for j, prefix in enumerate("zyxw"):
+            rows.append({"id": f"{prefix}{i:02d}", "label": j, "vector": list(v)})
+    q = [rng.gauss(0, 1) for _ in range(6)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    blk = cat.create_collection(
+        "b", dim=6, distance="euclidean", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    twin = cat.create_collection("r", dim=6, distance="euclidean", fields=fields)
+    blk.upsert(rows); twin.upsert(rows); blk.flush()
+
+    def tuples(res):
+        return [(r["id"], round(r["dist"], 6)) for r in res.collect()]
+
+    for lim in (1, 3, 7, 10):
+        assert tuples(blk.search(q, limit=lim)) == tuples(twin.search(q, limit=lim)), lim
+    a = tuples(blk.search_grouped(q, "label", limit=8, per_group=1))
+    b = tuples(twin.search_grouped(q, "label", limit=8, per_group=1))
+    assert a == b
+    qs = {0: q, 1: base[0]}
+    ba = blk.search_batch(qs, limit=3).collect()
+    got = sorted((r["query_id"], r["id"], round(r["dist"], 6)) for r in ba)
+    exp = []
+    for qid, qv in qs.items():
+        exp += [(qid, r["id"], round(r["dist"], 6))
+                for r in twin.search(qv, limit=3).collect()]
+    assert got == sorted(exp)

@@ -281,3 +281,45 @@ def test_extended_filter_ops_push_to_scan(spark):
     # the plan string elides long filter lists — assert on the part
     # that stays visible: the in-list compiled to pushable equalities
     assert "EqualTo(lang" in pushed
+
+
+def test_grouped_blocks_search_plan_shape(spark, tmp_path):
+    """The grouped fast path must stay: mapInPandas block scan → ONE
+    window keyed by the group column → final ordered limit. No global
+    (unpartitioned) window, no second corpus scan."""
+    import re
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = Catalog(spark, tempfile.mkdtemp(prefix="wh_grp_plan_")).create_collection(
+        "gp", dim=dim, distance="cosine",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+        layout="blocks", block_dtype="float64",
+    )
+    coll.upsert_df(
+        emb.select(
+            F2.col("vec_id").cast("string").alias("id"),
+            F2.col("label").cast("int").alias("label"),
+            F2.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    q = list(emb.select("embedding").first()["embedding"])
+    plan = executed_plan(coll.search_grouped(q, "label", limit=5, per_group=2))
+    # every window is keyed by the group column — no global sort task
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("label" in frag for frag in specs), specs
+    # one block scan feeds it; the parquet snapshot is never re-read
+    assert plan.count("FileScan parquet") == 0, "grouped path must not scan parquet"
+    assert "mapInPandas" in plan or "MapInPandas" in plan
