@@ -1408,6 +1408,14 @@ from coltt_spark.registry_streaming import (  # noqa: E402
 QUERIES.update(STREAMING_QUERIES)
 ORACLES.update(STREAMING_ORACLES)
 
+from coltt_spark.registry_fulltext import (  # noqa: E402
+    FULLTEXT_ORACLES,
+    FULLTEXT_QUERIES,
+)
+
+QUERIES.update(FULLTEXT_QUERIES)
+ORACLES.update(FULLTEXT_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The per-round correctness gate hash-checks the
 # FIRST `_DRIVER_WINDOW` keys of ``queries()`` only, so dict order encodes
@@ -1466,18 +1474,21 @@ _KEY_ORDER = [
     "embed_project",                      # new: JL random projection
     "collection_search_grouped",          # new: group_by diversified search
     "sample_temperature",                 # new: share^alpha source rebalancing
+    "bm25_search",                        # new: lexical BM25 ranking
+    "hybrid_rrf",                         # new: BM25+vector RRF fusion
+    "distinct_sketch",                    # new: HyperLogLog cardinality
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
     "collection_search",
     "ann_lsh",
     "dedup_canonical",
-    "dedup_simhash",
     # -- stable representatives of each operator family ----------------
-    "knn_cosine",
-    "upsert_delete",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "dedup_simhash",
+    "knn_cosine",
+    "upsert_delete",
     "filter_coercion",
     "knn_filtered",
     "filter_search",

@@ -1,0 +1,196 @@
+"""Full-text (BM25), hybrid-RRF, and sketch sections of the query
+registry."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.fulltext import (
+    BM25_B,
+    BM25_K1,
+    bm25_search,
+    hybrid_rrf_search,
+    query_terms,
+)
+from coltt_spark.operators.sketch import ALPHA_256, hll_distinct
+from coltt_spark.sources.tables import load_table
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_DD_COS = (
+    "abs(1.0 - list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+#: One discriminative rare term ('dup', df≈25/500) + three common
+#: terms — exercises the idf spread of the synthetic vocabulary.
+_BM25_QUERY = "vector hash join dup"
+
+
+def _bm25_sql_core(terms: list[str], *, k1: float, b: float) -> str:
+    """The BM25 scoring pipeline as DuckDB CTEs ending in
+    ``agg(doc_id, n_terms_hit, score)`` — shared by the bm25 and
+    hybrid oracles. Float-critical constants are inlined from the
+    SAME Python doubles the Spark operator uses (`repr` round-trips
+    exactly), and every expression mirrors the operator's
+    parenthesization so both engines execute the identical
+    double-precision op sequence."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) AS total_dl FROM dl),
+hits AS (SELECT doc_id, dl, unnest(tk) AS t FROM dl),
+tf AS (
+  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE t IN ({in_list}) GROUP BY doc_id, dl, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+ts AS (
+  SELECT tf.doc_id, tf.t,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+           / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * (tf.dl / (s.total_dl / s.n_docs))))
+           AS ts
+  FROM tf JOIN dfreq f USING (t), stats s
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_terms_hit,
+         list_sum(list(ts ORDER BY t)) AS score
+  FROM ts GROUP BY doc_id
+)"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 lexical search over `documents` — the lexical half
+    the reference's vector-only search surface lacks (its hybrid is
+    filter ∩ candidates, edge/none_vectorstore.go:182-253)."""
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERY
+    )
+
+
+_ORACLE_BM25 = f"""
+WITH {_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)}
+SELECT doc_id, n_terms_hit, round(score, 4) AS score
+FROM agg ORDER BY agg.score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical+vector hybrid: BM25 and exact-cosine candidate lists
+    (K=50 each) fused by reciprocal-rank fusion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    return hybrid_rrf_search(
+        load_table(spark, sf_dir, "documents"),
+        emb,
+        _BM25_QUERY,
+        qv,
+    )
+
+
+_ORACLE_HYBRID_RRF = f"""
+WITH {_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)},
+lex_top AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex_top
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vd AS (
+  SELECT e.vec_id AS doc_id,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS dist
+  FROM embeddings e, q
+),
+vec_top AS (SELECT doc_id, dist FROM vd ORDER BY dist ASC, doc_id ASC LIMIT 50),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(l.r, 0) AS bm25_rank, coalesce(v.r, 0) AS vec_rank,
+         coalesce(1.0 / (60.0 + l.r), 0.0)
+           + coalesce(1.0 / (60.0 + v.r), 0.0) AS rrf
+  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, bm25_rank, vec_rank, round(rrf, 4) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counts per event type (m=256
+    registers over [[hash60]]), with the exact count alongside for
+    accuracy inspection."""
+    return hll_distinct(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        ["event_type"],
+        include_exact=True,
+    )
+
+
+_ORACLE_DISTINCT_SKETCH = f"""
+WITH h AS (
+  SELECT event_type,
+         user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (SELECT event_type, user_id, h & 255 AS bucket, h >> 8 AS v FROM h),
+reg AS (
+  SELECT event_type, bucket,
+         max(53 - length(ltrim(bin(v), '0'))) AS m,
+         count(*) AS c
+  FROM r GROUP BY event_type, bucket
+),
+grid AS (
+  SELECT g.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events) g
+  CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) b
+),
+fullreg AS (
+  SELECT grid.event_type, grid.bucket, coalesce(reg.m, 0) AS m
+  FROM grid LEFT JOIN reg USING (event_type, bucket)
+),
+s AS (
+  SELECT event_type,
+         list_sum(list(power(2.0, -m) ORDER BY bucket)) AS s,
+         len(list_filter(list(m ORDER BY bucket), x -> x = 0)) AS v0
+  FROM fullreg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(*) AS n_rows,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_rows, ex.exact_distinct,
+       round(CASE WHEN (CAST({ALPHA_256!r} AS DOUBLE) * 65536.0 / s.s) <= 640.0 AND s.v0 > 0
+                  THEN 256.0 * ln(256.0 / s.v0)
+                  ELSE CAST({ALPHA_256!r} AS DOUBLE) * 65536.0 / s.s END, 4) AS hll_distinct
+FROM ex JOIN s USING (event_type)
+"""
+
+
+FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_search": q_bm25_search,
+    "hybrid_rrf": q_hybrid_rrf,
+    "distinct_sketch": q_distinct_sketch,
+}
+
+FULLTEXT_ORACLES: dict[str, str] = {
+    "bm25_search": _ORACLE_BM25,
+    "hybrid_rrf": _ORACLE_HYBRID_RRF,
+    "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
+}

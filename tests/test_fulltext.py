@@ -1,0 +1,139 @@
+"""Unit tests for BM25 / RRF hybrid retrieval and the HLL sketch."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from coltt_spark.operators.fulltext import (
+    BM25_B,
+    BM25_K1,
+    bm25_search,
+    hybrid_rrf_search,
+    query_terms,
+    rrf_fuse,
+)
+from coltt_spark.operators.sketch import hll_distinct
+from coltt_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _py_bm25(corpus: dict[int, str], query: str, k1=BM25_K1, b=BM25_B):
+    """Independent reference implementation (pure Python)."""
+    toks = {i: [t for t in t_.lower().split() if t] for i, t_ in corpus.items()}
+    n = float(len(corpus))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = query_terms(query)
+    dfreq = {
+        t: float(sum(1 for v in toks.values() if t in v)) for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        hit = 0
+        for t in sorted(terms):
+            tf = float(v.count(t))
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (len(v) / avgdl))
+            )
+        if hit:
+            out[i] = (hit, round(s, 4))
+    return out
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    corpus = {
+        1: "spark shuffles the big table",
+        2: "broadcast the small table to every executor",
+        3: "spark spark spark tuning guide",
+        4: "completely unrelated words here",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_search(df, "doc_id", "text", "spark table", top_k=10).collect()
+    }
+    want = _py_bm25(corpus, "spark table")
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-4)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = bm25_search(docs, "doc_id", "text", "vector hash join dup").collect()
+    assert len(rows) == 10
+    # 'dup' is the one discriminative term — every top hit contains it
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(
+            F.col("doc_id").isin([int(r["doc_id"]) for r in rows[:3]])
+        ).collect()
+    }
+    assert all("dup" in t for t in texts.values())
+    # scores sorted desc with id tie-break
+    assert rows == sorted(
+        rows, key=lambda r: (-r["score"], r["doc_id"])
+    )
+
+
+def test_rrf_fuse_scores_and_sentinels(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["id", "rank"])
+    rows = {
+        r["id"]: r["rrf_score"]
+        for r in rrf_fuse([a, b], "id", top_k=10).collect()
+    }
+    assert rows[2] == pytest.approx(1 / 61 + 1 / 62)
+    assert rows[1] == pytest.approx(1 / 61)
+    assert rows[3] == pytest.approx(1 / 62)
+
+
+def test_hybrid_contains_both_modalities(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = hybrid_rrf_search(docs, emb, "vector hash join dup", qv).collect()
+    assert len(rows) == 10
+    # rank-0 sentinel: no NULLs, and the vector query's own id (exact
+    # match, vec rank 1) must surface
+    assert all(r["bm25_rank"] is not None and r["vec_rank"] is not None for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 0 in by_id and by_id[0]["vec_rank"] == 1
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 2000 distinct keys, two groups — 1.04/sqrt(256) ≈ 6.5% expected
+    # relative error; assert a generous 3-sigma bound.
+    df = spark.range(4000).select(
+        (F.col("id") % 2000).alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+    )
+    rows = hll_distinct(df, "k", ["g"], include_exact=True).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["exact_distinct"] == 1000
+        assert r["n_rows"] == 2000
+        assert abs(r["hll_distinct"] - 1000) / 1000 < 0.2
+    # determinism: md5-derived registers give identical reruns
+    again = hll_distinct(df, "k", ["g"], include_exact=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 20 distinct keys << m=256: the linear-counting branch engages
+    # and is near-exact there.
+    df = spark.range(100).select((F.col("id") % 20).alias("k"), F.lit("a").alias("g"))
+    [r] = hll_distinct(df, "k", ["g"], include_exact=True).collect()
+    assert r["exact_distinct"] == 20
+    assert abs(r["hll_distinct"] - 20) < 2

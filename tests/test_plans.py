@@ -323,3 +323,36 @@ def test_grouped_blocks_search_plan_shape(spark, tmp_path):
     # one block scan feeds it; the parquet snapshot is never re-read
     assert plan.count("FileScan parquet") == 0, "grouped path must not scan parquet"
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_bm25_plan_broadcasts_stats_and_takes_ordered(spark):
+    """BM25's corpus-side shuffle carries only query-term hits: the
+    document-frequency and corpus-stats tables join back as broadcasts
+    (never a token-keyed shuffle of the corpus) and the top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from coltt_spark.operators.fulltext import bm25_search
+    from coltt_spark.plans import has_broadcast_hash_join, has_take_ordered
+    from coltt_spark.plans.inspect import executed_plan
+
+    df = bm25_search(
+        load_table(spark, SF_SMOKE, "documents"), "doc_id", "text", "vector dup"
+    )
+    assert has_take_ordered(df)
+    assert has_broadcast_hash_join(df)
+    plan = executed_plan(df)
+    assert "Window" not in plan, "bm25 must not use a window"
+
+
+def test_hll_sketch_aggregates_map_side(spark):
+    """The HLL register build must be a partial+final hash aggregate
+    on (group, bucket) — distinct keys themselves never shuffle when
+    the exact column is off."""
+    from coltt_spark.operators.sketch import hll_distinct
+    from coltt_spark.plans.inspect import executed_plan
+
+    df = hll_distinct(
+        load_table(spark, SF_SMOKE, "events"), "user_id", ["event_type"]
+    )
+    plan = executed_plan(df)
+    assert "partial_max" in plan or "partial_" in plan, plan[:500]
+    assert "Expand" not in plan, "no distinct-expand when include_exact=False"
