@@ -144,6 +144,96 @@ def bm25_search(
     )
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, str],
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 serving: top-k per query for B queries in ONE
+    corpus pass — the lexical twin of `brute_topk`'s batched KNN.
+
+    The (query_id, term) table is built driver-side (B·|q| rows) and
+    broadcast; term frequencies are computed once per (doc, term)
+    across the union of all query terms, then fanned out to queries
+    by the broadcast join — so B queries cost one corpus scan plus
+    |postings(∪ terms)|·avg_queries_per_term small rows, not B scans.
+    The per-query cut is a window PARTITIONED by query_id (parallel
+    across queries, never a global sort).
+
+    Returns (query_id, id, n_terms_hit, score) — same scoring and
+    fold order as :func:`bm25_score`, so single-query results are a
+    B=1 special case.
+    """
+    terms_by_q = {int(q): query_terms(text) for q, text in queries.items()}
+    if not terms_by_q or any(not t for t in terms_by_q.values()):
+        raise ValueError("bm25_topk_batch: every query needs ≥1 indexable term")
+    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+    qterms = docs.sparkSession.createDataFrame(
+        [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
+        ["query_id", "_t"],
+    )
+    docs = ensure_parallelism(docs, id_col)
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).withColumn("_dl", F.size("_tk"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum("_dl").cast("double").alias("_total_dl"),
+    )
+    hits = base.select(
+        F.col(id_col), F.col("_dl"), F.explode("_tk").alias("_t")
+    ).where(F.col("_t").isin(all_terms))
+    tf = hits.groupBy(id_col, "_dl", "_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf")
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    j = (
+        tf.join(F.broadcast(dfreq), on="_t")
+        .join(F.broadcast(qterms), on="_t")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("_total_dl") / F.col("_n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
+    )
+    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        j.select(F.col("query_id"), F.col(id_col), F.col("_t"), term_score.alias("_ts"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_ts"],
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            "n_terms_hit",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _ranked(df: DataFrame, id_col: str, order: Column, k: int) -> DataFrame:
     """Top-k cut, then dense rank assignment over the surviving K
     rows. The window is over ONE K-row partition — K is a query-time

@@ -1475,6 +1475,7 @@ _KEY_ORDER = [
     "collection_search_grouped",          # new: group_by diversified search
     "sample_temperature",                 # new: share^alpha source rebalancing
     "bm25_search",                        # new: lexical BM25 ranking
+    "bm25_topk_batch",                    # new: batched BM25 serving
     "hybrid_rrf",                         # new: BM25+vector RRF fusion
     "distinct_sketch",                    # new: HyperLogLog cardinality
     # -- implementation touched this round (re-verify) -----------------
@@ -1482,10 +1483,10 @@ _KEY_ORDER = [
     "collection_search_batch",
     "collection_search",
     "ann_lsh",
-    "dedup_canonical",
     # -- stable representatives of each operator family ----------------
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "dedup_canonical",
     "dedup_simhash",
     "knn_cosine",
     "upsert_delete",

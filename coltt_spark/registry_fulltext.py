@@ -12,6 +12,7 @@ from coltt_spark.operators.fulltext import (
     BM25_B,
     BM25_K1,
     bm25_search,
+    bm25_topk_batch,
     hybrid_rrf_search,
     query_terms,
 )
@@ -78,6 +79,67 @@ _ORACLE_BM25 = f"""
 WITH {_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)}
 SELECT doc_id, n_terms_hit, round(score, 4) AS score
 FROM agg ORDER BY agg.score DESC, doc_id ASC LIMIT 10
+"""
+
+
+#: Batch-serving queries: mixed rare/common terms.
+_BM25_BATCH = {
+    0: "vector hash join dup",
+    1: "stream window agg",
+    2: "customer order big table",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B queries, one corpus scan: batched BM25 serving (the lexical
+    twin of `ann_topk_batch`)."""
+    return bm25_topk_batch(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_BATCH, k=5
+    )
+
+
+def _bm25_batch_oracle() -> str:
+    terms_by_q = {q: query_terms(t) for q, t in _BM25_BATCH.items()}
+    values = ", ".join(
+        f"({q}, '{t}')" for q in sorted(terms_by_q) for t in terms_by_q[q]
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in terms_by_q.values() for t in ts})
+    )
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH qt (query_id, t) AS (SELECT * FROM (VALUES {values})),
+d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) AS total_dl FROM dl),
+hits AS (SELECT doc_id, dl, unnest(tk) AS t FROM dl),
+tf AS (
+  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE t IN ({all_terms}) GROUP BY doc_id, dl, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+ts AS (
+  SELECT qt.query_id, tf.doc_id, tf.t,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+           / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * (tf.dl / (s.total_dl / s.n_docs))))
+           AS ts
+  FROM tf JOIN dfreq f USING (t) JOIN qt USING (t), stats s
+),
+agg AS (
+  SELECT query_id, doc_id, count(*) AS n_terms_hit,
+         list_sum(list(ts ORDER BY t)) AS score
+  FROM ts GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms_hit,
+       round(score, 4) AS score
+FROM r WHERE rn <= 5
 """
 
 
@@ -185,12 +247,14 @@ FROM ex JOIN s USING (event_type)
 
 FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
+    "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "distinct_sketch": q_distinct_sketch,
 }
 
 FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_search": _ORACLE_BM25,
+    "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
 }

@@ -11,6 +11,7 @@ from coltt_spark.operators.fulltext import (
     BM25_B,
     BM25_K1,
     bm25_search,
+    bm25_topk_batch,
     hybrid_rrf_search,
     query_terms,
     rrf_fuse,
@@ -137,3 +138,31 @@ def test_hll_small_range_linear_counting(spark):
     [r] = hll_distinct(df, "k", ["g"], include_exact=True).collect()
     assert r["exact_distinct"] == 20
     assert abs(r["hll_distinct"] - 20) < 2
+
+
+def test_bm25_batch_b1_equals_single_query(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    single = {
+        (r["doc_id"]): (r["n_terms_hit"], r["score"])
+        for r in bm25_search(docs, "doc_id", "text", "vector dup", top_k=5).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk_batch(
+            docs, "doc_id", "text", {7: "vector dup"}, k=5
+        ).collect()
+    }
+    assert single == batch
+
+
+def test_bm25_batch_window_is_partitioned(spark):
+    from coltt_spark.plans.inspect import executed_plan
+
+    df = bm25_topk_batch(
+        load_table(spark, SF_SMOKE, "documents"),
+        "doc_id", "text", {0: "vector dup", 1: "stream window"}, k=3,
+    )
+    import re
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("query_id" in s for s in specs), specs
