@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches (HyperLogLog) over the portable
-60-bit hash.
+"""Mergeable sketches (HyperLogLog cardinality, count-min frequency)
+over the portable 60-bit hash.
 
 The classic 100 TB problem `count(DISTINCT key) GROUP BY group`
 shuffles every distinct key; the HLL register array (m small
@@ -34,10 +34,10 @@ on both sides; ``ln`` sees bit-identical rationals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from coltt_spark.functions.text import hash60
+from coltt_spark.functions.text import HASH_P, MINHASH_PARAMS, hash60
 
 #: Bias-correction constant for m = 256 registers (Flajolet et al.,
 #: Fig. 3). Inlined verbatim into the SQL oracle — keep the Python
@@ -119,3 +119,79 @@ def hll_distinct(
     ).otherwise(e_raw)
     keep = [*group_cols, "n_rows"] + (["exact_distinct"] if include_exact else [])
     return per_group.select(*keep, F.round(est, 4).alias("hll_distinct"))
+
+
+#: Count-min geometry: d=4 independent rows (universal-hash params
+#: reused from the MinHash family's fixed table, rows 0-3) × w=1024
+#: counters — 32 KB of state regardless of key cardinality.
+CM_D = 4
+CM_W = 1024
+
+
+def _cm_cells(h: Column) -> list[Column]:
+    """The d counter cells of a 60-bit key hash: row i uses the
+    universal hash ``((aᵢ·(h mod P) + bᵢ) mod P) mod w`` — the same
+    integer-exact family the MinHash signatures verify."""
+    cells = []
+    for i in range(CM_D):
+        a, b = MINHASH_PARAMS[i]
+        cells.append(
+            ((F.lit(a) * (h % F.lit(HASH_P)) + F.lit(b)) % F.lit(HASH_P))
+            % F.lit(CM_W)
+        )
+    return cells
+
+
+def cm_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) of
+    ``key_col``'s frequency distribution: returns the (r, cell, n)
+    counter table, at most d·w = 4096 rows.
+
+    The 100 TB story: a full frequency table over an unbounded key
+    space (urls, shingles, tokens) is itself huge and skew-prone;
+    the sketch is a FIXED d·w-cell aggregate with map-side combine,
+    mergeable across shards/days by cell-wise addition. Estimates
+    only ever over-count (min over d rows bounds the additive error
+    by ~2N/w with probability 1-2^-d).
+    """
+    h = hash60(F.col(key_col).cast("string"))
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("r"), c.alias("cell"))
+                for i, c in enumerate(_cm_cells(h))
+            ]
+        )
+    )
+    return (
+        df.select(rc.alias("_rc"))
+        .select(F.col("_rc.r").alias("r"), F.col("_rc.cell").alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, keys: list[str]) -> DataFrame:
+    """Point-query the sketch: (key, cm_estimate) per probe key —
+    the minimum of the key's d counters. Probes are a tiny literal
+    table joined against the ≤4096-row sketch; never a corpus scan."""
+    if not keys:
+        raise ValueError("cm_estimate: no probe keys")
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame([(k,) for k in keys], ["key"])
+    h = hash60(F.col("key"))
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("r"), c.alias("cell"))
+                for i, c in enumerate(_cm_cells(h))
+            ]
+        )
+    )
+    pr = probe.select("key", rc.alias("_rc")).select(
+        "key", F.col("_rc.r").alias("r"), F.col("_rc.cell").alias("cell")
+    )
+    j = pr.join(sketch, on=["r", "cell"], how="left").select(
+        "key", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return j.groupBy("key").agg(F.min("n").alias("cm_estimate"))

@@ -1478,14 +1478,15 @@ _KEY_ORDER = [
     "bm25_topk_batch",                    # new: batched BM25 serving
     "hybrid_rrf",                         # new: BM25+vector RRF fusion
     "distinct_sketch",                    # new: HyperLogLog cardinality
+    "freq_sketch",                        # new: count-min heavy hitters
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
     "collection_search",
-    "ann_lsh",
     # -- stable representatives of each operator family ----------------
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "ann_lsh",
     "dedup_canonical",
     "dedup_simhash",
     "knn_cosine",

@@ -16,7 +16,15 @@ from coltt_spark.operators.fulltext import (
     hybrid_rrf_search,
     query_terms,
 )
-from coltt_spark.operators.sketch import ALPHA_256, hll_distinct
+from coltt_spark.functions.text import HASH_P, MINHASH_PARAMS, tokens
+from coltt_spark.operators.sketch import (
+    ALPHA_256,
+    CM_D,
+    CM_W,
+    cm_build,
+    cm_estimate,
+    hll_distinct,
+)
 from coltt_spark.sources.tables import load_table
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -146,13 +154,10 @@ FROM r WHERE rn <= 5
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical+vector hybrid: BM25 and exact-cosine candidate lists
     (K=50 each) fused by reciprocal-rank fusion."""
+    from coltt_spark.registry import _query_vec  # cached across entries
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-            "embedding"
-        ]
-    ]
+    qv = _query_vec(spark, sf_dir)
     return hybrid_rrf_search(
         load_table(spark, sf_dir, "documents"),
         emb,
@@ -245,11 +250,72 @@ FROM ex JOIN s USING (event_type)
 """
 
 
+#: Probe keys for the count-min demo: the full head of the synthetic
+#: vocabulary plus the rare tail token.
+_CM_PROBES = [
+    "agg", "big", "customer", "dup", "hash",
+    "join", "order", "stream", "vector", "window",
+]
+
+
+def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates vs exact counts for the probe
+    tokens — bounded-state (d·w counters) heavy-hitter counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = cm_build(toks, "token")
+    est = cm_estimate(sketch, _CM_PROBES).withColumnRenamed("key", "token")
+    exact = (
+        toks.where(F.col("token").isin(_CM_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, on="token").select("token", "exact_n", "cm_estimate")
+
+
+def _freq_sketch_oracle() -> str:
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS[:CM_D])
+    )
+    probes = ", ".join(f"('{t}')" for t in _CM_PROBES)
+    in_list = ", ".join(f"'{t}'" for t in _CM_PROBES)
+    return f"""
+WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+h AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM t),
+params (r, a, b) AS (SELECT * FROM (VALUES {params})),
+cells AS (
+  SELECT h.token, p.r,
+         ((p.a * (h.h % {HASH_P}) + p.b) % {HASH_P}) % {CM_W} AS cell
+  FROM h, params p
+),
+sketch AS (SELECT r, cell, count(*) AS n FROM cells GROUP BY r, cell),
+probes (token) AS (SELECT * FROM (VALUES {probes})),
+ph AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM probes),
+pc AS (
+  SELECT ph.token, p.r,
+         ((p.a * (ph.h % {HASH_P}) + p.b) % {HASH_P}) % {CM_W} AS cell
+  FROM ph, params p
+),
+est AS (
+  SELECT pc.token, min(coalesce(s.n, 0)) AS cm_estimate
+  FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.cell = s.cell
+  GROUP BY pc.token
+),
+ex AS (
+  SELECT token, count(*) AS exact_n FROM t
+  WHERE token IN ({in_list}) GROUP BY token
+)
+SELECT e.token, ex.exact_n, e.cm_estimate
+FROM est e JOIN ex USING (token)
+"""
+
+
 FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "distinct_sketch": q_distinct_sketch,
+    "freq_sketch": q_freq_sketch,
 }
 
 FULLTEXT_ORACLES: dict[str, str] = {
@@ -257,4 +323,5 @@ FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
+    "freq_sketch": _freq_sketch_oracle(),
 }

@@ -166,3 +166,28 @@ def test_bm25_batch_window_is_partitioned(spark):
     plan = executed_plan(df)
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("query_id" in s for s in specs), specs
+
+
+def test_cm_sketch_overestimates_within_bound(spark):
+    from coltt_spark.operators.sketch import CM_W, cm_build, cm_estimate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    )).alias("token"))
+    n_total = toks.count()
+    exact = {
+        r["token"]: r["c"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    probes = sorted(exact)[:8]
+    sketch = cm_build(toks, "token")
+    assert sketch.count() <= 4 * CM_W
+    est = {
+        r["key"]: r["cm_estimate"]
+        for r in cm_estimate(sketch, probes).collect()
+    }
+    for t in probes:
+        # CM never under-counts; additive error bounded by ~2N/w
+        assert est[t] >= exact[t]
+        assert est[t] - exact[t] <= 2 * n_total / CM_W + 1
