@@ -349,3 +349,50 @@ def pack_sequences(
             F.sum("_t").cast("long").alias("seq_tokens"),
         )
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: like
+    :func:`decontaminate`, but the benchmark shingle set is summarized
+    as a Bloom filter (operators/sketch.py) before probing — the
+    membership side the corpus joins against is the ≤ m-row set-bit
+    table (8 KB as a bitmap), CONSTANT in benchmark size, instead of
+    the full benchmark shingle-hash table. The price is deterministic
+    false positives (a clean shingle whose k bit positions happen to
+    be set), which for decontamination only over-flags — it never
+    misses real contamination. Returns (id, n_bloom_shingles) per
+    flagged training document.
+
+    When to prefer which: the exact broadcast join wins while the
+    benchmark fits comfortably in a broadcast (thousands of docs);
+    the Bloom probe keeps the same no-shuffle plan when the "deny
+    list" grows to billions of n-grams (say, all previously-trained
+    corpora), where broadcasting raw hashes stops scaling.
+    """
+    from coltt_spark.operators.sketch import bloom_build, bloom_probe
+
+    train = ensure_parallelism(train, id_col)
+
+    def shingle_hashes(df: DataFrame, out: str) -> DataFrame:
+        sh = F.array_distinct(word_shingles(text_col, ngram))
+        return df.select(
+            F.col(id_col).alias(out), F.explode(sh).alias("_s")
+        ).withColumn("_h", hash60(F.col("_s"))).drop("_s")
+
+    bits = bloom_build(shingle_hashes(benchmark, "bench_id"), "_h")
+    t = shingle_hashes(train, "train_id").dropDuplicates(["train_id", "_h"])
+    passed = bloom_probe(t, "_h", bits)
+    return (
+        passed.groupBy("train_id")
+        .agg(F.countDistinct("_h").alias("n_bloom_shingles"))
+        .filter(F.col("n_bloom_shingles") >= min_hits)
+        .select(F.col("train_id").alias(id_col), "n_bloom_shingles")
+    )

@@ -195,3 +195,110 @@ def cm_estimate(sketch: DataFrame, keys: list[str]) -> DataFrame:
         "key", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     return j.groupBy("key").agg(F.min("n").alias("cm_estimate"))
+
+
+#: Bloom geometry: m = 2^16 bits (8 KB as a bitmap), k = 4 hash
+#: functions — universal-hash params rows 4-7 of the MinHash table
+#: (rows 0-3 belong to the count-min sketch). FP rate ≈ (1-e^(-kn/m))^k
+#: — ~2.4% at n = 10k members.
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_bits(h: Column) -> list[Column]:
+    """The k bit positions of a 60-bit key hash."""
+    bits = []
+    for i in range(BLOOM_K):
+        a, b = MINHASH_PARAMS[CM_D + i]
+        bits.append(
+            ((F.lit(a) * (h % F.lit(HASH_P)) + F.lit(b)) % F.lit(HASH_P))
+            % F.lit(BLOOM_M)
+        )
+    return bits
+
+
+def bloom_build(df: DataFrame, hash_col: str) -> DataFrame:
+    """Set-bit table of a Bloom filter over a 60-bit-hash column:
+    distinct `bit` positions, ≤ m rows (≤ 8 KB as a real bitmap).
+    This is the broadcastable membership summary: a 100 TB corpus
+    probes it with NO shuffle, vs broadcasting the raw member set."""
+    h = F.col(hash_col)
+    return (
+        df.select(
+            F.explode(F.array(*_bloom_bits(h))).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(df: DataFrame, hash_col: str, bits: DataFrame) -> DataFrame:
+    """Filter ``df`` to rows whose ``hash_col`` passes the Bloom
+    membership test (ALL k bit positions set — counted per hash
+    index, so colliding positions are not under-counted). May pass
+    false positives (never false negatives) — the standard trade.
+    """
+    h = F.col(hash_col)
+    probe = df.select(
+        "*",
+        F.posexplode(F.array(*_bloom_bits(h))).alias("_j", "bit"),
+    )
+    passed = (
+        probe.join(F.broadcast(bits), on="bit")
+        .groupBy(*df.columns)
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .filter(F.col("_set") == BLOOM_K)
+        .drop("_set")
+    )
+    return passed
+
+
+#: Histogram-quantile bin width: a POWER OF TWO so `value / width` is
+#: an exact double operation — bin assignment is bit-identical on any
+#: IEEE engine, no rounding-boundary drift.
+QS_BIN_WIDTH = 256.0
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    bin_width: float = QS_BIN_WIDTH,
+) -> DataFrame:
+    """Histogram-sketch quantiles: (q, est, n_rows) per requested
+    quantile, est = midpoint of the bin where the cumulative count
+    crosses ``ceil(q·N)``. Additive error ≤ bin_width/2.
+
+    The exact quantile (`price_percentiles`) sorts every group; this
+    is the bounded-state alternative: ONE hash aggregation onto
+    ``floor(value / bin_width)`` bins (map-side combined, mergeable
+    across shards by addition), then a cumulative walk over the tiny
+    histogram — the corpus is never sorted. Power-of-two bin width
+    keeps bin assignment exact; thresholds ``ceil(q·N)`` and midpoints
+    ``bin·w + w/2`` are reproducible double arithmetic, so the whole
+    sketch is oracle-checkable.
+    """
+    if not qs:
+        raise ValueError("quantile_histogram: no quantiles requested")
+    hist = (
+        df.select((F.floor(F.col(value_col) / F.lit(bin_width))).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    # cumulative walk over the ≤ (range/width)-row histogram — a
+    # bounded table, not a data-sized global window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("n").over(w).alias("cum"))
+    total = hist.agg(F.sum("n").alias("n_rows"))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    picked = (
+        cum.crossJoin(F.broadcast(qdf))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
+        .groupBy("q", "n_rows")
+        .agg(F.min("bin").alias("_bin"))
+    )
+    est = F.col("_bin") * F.lit(bin_width) + F.lit(bin_width / 2.0)
+    return picked.select("q", "n_rows", F.round(est, 4).alias("est"))

@@ -1479,13 +1479,15 @@ _KEY_ORDER = [
     "hybrid_rrf",                         # new: BM25+vector RRF fusion
     "distinct_sketch",                    # new: HyperLogLog cardinality
     "freq_sketch",                        # new: count-min heavy hitters
+    "quantile_sketch",                    # new: histogram quantiles
+    "decontaminate_bloom",                # new: Bloom-filter deny list
     # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
-    "collection_search_batch",
-    "collection_search",
     # -- stable representatives of each operator family ----------------
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round
+    "collection_search_batch",
+    "collection_search",
     "ann_lsh",
     "dedup_canonical",
     "dedup_simhash",

@@ -310,12 +310,55 @@ FROM est e JOIN ex USING (token)
 """
 
 
+_QS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch price quantiles over lineitem — the
+    bounded-state alternative to `price_percentiles`' exact per-group
+    sort: one hash aggregation onto power-of-two bins, cumulative
+    walk over the tiny histogram."""
+    from coltt_spark.operators.sketch import quantile_histogram
+
+    return quantile_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", _QS
+    )
+
+
+def _quantile_sketch_oracle() -> str:
+    from coltt_spark.operators.sketch import QS_BIN_WIDTH
+
+    w = QS_BIN_WIDTH
+    qvals = ", ".join(f"({q!r})" for q in _QS)
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor(l_extendedprice / {w!r}) AS BIGINT) AS bin, count(*) AS n
+  FROM lineitem GROUP BY bin
+),
+cum AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM hist),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) v(q)),
+picked AS (
+  SELECT q, n_rows, min(bin) AS b
+  FROM cum, qs, tot
+  WHERE cum >= ceil(q * n_rows)
+  GROUP BY q, n_rows
+)
+SELECT q, n_rows, round(b * {w!r} + {w / 2.0!r}, 4) AS est FROM picked
+"""
+
+
 FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 FULLTEXT_ORACLES: dict[str, str] = {
@@ -324,4 +367,5 @@ FULLTEXT_ORACLES: dict[str, str] = {
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
     "freq_sketch": _freq_sketch_oracle(),
+    "quantile_sketch": _quantile_sketch_oracle(),
 }

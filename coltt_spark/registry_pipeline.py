@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from coltt_spark.operators.pipeline import (
     chunk_documents,
     decontaminate,
+    decontaminate_bloom,
     fraction_sample,
     pack_sequences,
     shard_assign,
@@ -275,9 +276,58 @@ FROM documents
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-summarized decontamination: same benchmark split as
+    `decontaminate`, but the corpus probes an 8 KB set-bit table
+    instead of the raw benchmark shingle hashes — constant-size
+    broadcast no matter how large the deny list grows. Deterministic
+    false positives only over-flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter((docs.doc_id % 10) == 0)
+    train = docs.filter((docs.doc_id % 10) != 0)
+    return decontaminate_bloom(train, bench, "doc_id", "text", ngram=5, min_hits=1)
+
+
+def _bloom_oracle() -> str:
+    from coltt_spark.functions.text import HASH_P, MINHASH_PARAMS
+    from coltt_spark.operators.sketch import BLOOM_K, BLOOM_M, CM_D
+
+    params = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(MINHASH_PARAMS[CM_D : CM_D + BLOOM_K])
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+      ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS s
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, {_DD_H60.format(x="s")} AS sh FROM shing),
+bparams (j, a, b) AS (SELECT * FROM (VALUES {params})),
+bbits AS (
+  SELECT DISTINCT ((p.a * (shd.sh % {HASH_P}) + p.b) % {HASH_P}) % {BLOOM_M} AS bit
+  FROM shd, bparams p WHERE shd.doc_id % 10 = 0
+),
+t AS (SELECT doc_id, sh FROM shd WHERE doc_id % 10 <> 0),
+probe AS (
+  SELECT t.doc_id, t.sh, p.j,
+         ((p.a * (t.sh % {HASH_P}) + p.b) % {HASH_P}) % {BLOOM_M} AS bit
+  FROM t, bparams p
+),
+pass AS (
+  SELECT doc_id, sh FROM probe JOIN bbits USING (bit)
+  GROUP BY doc_id, sh HAVING count(*) = {BLOOM_K}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_shingles
+FROM pass GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "sample_stratified": q_sample_stratified,
     "sample_fraction": q_sample_fraction,
     "sample_temperature": q_sample_temperature,
@@ -290,6 +340,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "decontaminate_bloom": _bloom_oracle(),
     "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
     "sample_fraction": _ORACLE_SAMPLE_FRACTION,
     "sample_temperature": _ORACLE_SAMPLE_TEMPERATURE,

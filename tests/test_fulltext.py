@@ -191,3 +191,37 @@ def test_cm_sketch_overestimates_within_bound(spark):
         # CM never under-counts; additive error bounded by ~2N/w
         assert est[t] >= exact[t]
         assert est[t] - exact[t] <= 2 * n_total / CM_W + 1
+
+
+def test_quantile_histogram_within_bin_error(spark):
+    from coltt_spark.operators.sketch import QS_BIN_WIDTH, quantile_histogram
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    est = {r["q"]: r["est"] for r in quantile_histogram(li, "l_extendedprice", qs).collect()}
+    exact = li.selectExpr(
+        *[f"percentile(l_extendedprice, {q}) AS q{int(q*100)}" for q in qs]
+    ).first()
+    for q in qs:
+        # histogram midpoint is within one bin of the exact quantile
+        assert abs(est[q] - exact[f"q{int(q*100)}"]) <= QS_BIN_WIDTH, (q, est[q])
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark):
+    from coltt_spark.operators.pipeline import decontaminate, decontaminate_bloom
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter((docs.doc_id % 10) == 0)
+    train = docs.filter((docs.doc_id % 10) != 0)
+    exact = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(train, bench, "doc_id", "text", ngram=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_shingles"]
+        for r in decontaminate_bloom(train, bench, "doc_id", "text", ngram=5).collect()
+    }
+    # no false negatives: every exactly-contaminated doc is flagged,
+    # with at least as many flagged shingles
+    for d, n in exact.items():
+        assert d in bloom and bloom[d] >= n

@@ -62,6 +62,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "stream_join", "collection_search_batch_filtered", "embed_project",
         "collection_search_grouped",
         "bm25_search", "bm25_topk_batch", "hybrid_rrf", "distinct_sketch",
-        "freq_sketch",
+        "freq_sketch", "quantile_sketch", "decontaminate_bloom",
     }
     assert must_check <= window, sorted(must_check - window)
