@@ -12,16 +12,26 @@ missing half as native Catalyst expressions.
 
 Scale shape (the part that matters at 100 TB):
 
-* The corpus is scanned ONCE; the only rows that ever reach a
-  shuffle are (doc, query-term) hits — the `isin(query terms)`
-  filter sits directly on the exploded token stream, so a 10-term
-  query over a 10^9-document corpus shuffles ~|postings(q)| rows,
-  not the corpus.
+* The only rows that ever reach a shuffle are (doc, query-term)
+  hits — the ``isin(query terms)`` filter sits directly on the
+  exploded token stream, so a 10-term query over a 10^9-document
+  corpus shuffles ~|postings(q)| rows, not the corpus.
 * Document frequencies and corpus statistics are |q|-row and 1-row
-  aggregates, broadcast back — never a join key over the corpus.
-* The final top-k is a TakeOrderedAndProject (no global sort); rank
-  assignment for fusion happens AFTER the top-K cut, windowed over a
-  single K-row partition (K is a constant, never data-sized).
+  aggregates, broadcast back — never a join key over the corpus, so
+  a stopword in the query cannot create a hot reducer (a
+  window-over-postings df would).
+* Ad-hoc over raw text, the plan walks the corpus lineage three
+  times (corpus stats, postings, document frequencies — Catalyst
+  cannot reuse exchanges across the different aggregation keys). A
+  serving deployment removes all three: pass precomputed
+  ``corpus_stats`` to drop the stats pass, and materialize the
+  postings aggregate once as an inverted index (the same
+  build-once/scan-many trade as the collection block layouts) so
+  per-query cost is the |postings(q)| lookup alone.
+* The final top-k is a TakeOrderedAndProject (single query) or a
+  window PARTITIONED by query_id (batch) — never a global sort;
+  rank assignment for fusion happens AFTER the top-K cut, windowed
+  over a single K-row partition (K is a constant, never data-sized).
 
 Float parity with the SQL oracle follows the house recipe: all
 arithmetic in double with identical operation order on both sides,
@@ -56,6 +66,79 @@ def query_terms(query: str) -> list[str]:
     return sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
 
 
+def _bm25_scored(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms_by_q: dict[int, list[str]],
+    *,
+    k1: float,
+    b: float,
+    corpus_stats: tuple[float, float] | None,
+) -> DataFrame:
+    """Shared BM25 scoring core: (query_id, id, n_terms_hit, score)
+    with the raw double score, for any number of queries in one
+    postings pass. Single-query callers are the B=1 special case —
+    ONE implementation of the float-critical op sequence, so the
+    oracle recipe cannot drift between the single and batch paths."""
+    if not terms_by_q or any(not ts for ts in terms_by_q.values()):
+        raise ValueError("bm25: every query needs ≥1 indexable term")
+    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
+        ["query_id", "_t"],
+    )
+    docs = ensure_parallelism(docs, id_col)
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).withColumn("_dl", F.size("_tk"))
+    hits = base.select(
+        F.col(id_col), F.col("_dl"), F.explode("_tk").alias("_t")
+    ).where(F.col("_t").isin(all_terms))
+    tf = hits.groupBy(id_col, "_dl", "_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf")
+    )
+    # |terms|-row document-frequency table; (id, _t) is unique in
+    # `tf` so a plain count is the document frequency.
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    j = tf.join(F.broadcast(dfreq), on="_t").join(
+        F.broadcast(qterms), on="_t"
+    )
+    if corpus_stats is not None:
+        n_docs: Column = F.lit(float(corpus_stats[0]))
+        total_dl: Column = F.lit(float(corpus_stats[1]))
+    else:
+        stats = base.agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.sum("_dl").cast("double").alias("_total_dl"),
+        )
+        j = j.crossJoin(F.broadcast(stats))
+        n_docs = F.col("_n_docs")
+        total_dl = F.col("_total_dl")
+    avgdl = total_dl / n_docs
+    idf = F.log(
+        F.lit(1.0) + (n_docs - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
+    )
+    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+    per_term = j.select(
+        F.col("query_id"), F.col(id_col), F.col("_t"), term_score.alias("_ts")
+    )
+    # Sorted-term left fold so the double sum is reproducible by the
+    # oracle's list_sum(list(x ORDER BY t)).
+    return per_term.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_ts"],
+        ).alias("score"),
+    )
+
+
 def bm25_score(
     docs: DataFrame,
     id_col: str,
@@ -64,6 +147,7 @@ def bm25_score(
     *,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    corpus_stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """BM25 relevance of every matching document for one query.
 
@@ -72,51 +156,16 @@ def bm25_score(
     for display). idf is the standard
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive, so
     stopword-like terms dampen rather than invert the ranking.
+    ``corpus_stats`` = precomputed (n_docs, total_tokens) skips the
+    corpus-statistics pass entirely (the serving configuration).
     """
     terms = query_terms(query)
     if not terms:
         raise ValueError("bm25_score: query has no indexable terms")
-    docs = ensure_parallelism(docs, id_col)
-    base = docs.select(
-        F.col(id_col), tokens(text_col).alias("_tk")
-    ).withColumn("_dl", F.size("_tk"))
-    # 1-row corpus statistics (N, avgdl) — broadcast, never a shuffle
-    # of the corpus.
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.sum("_dl").cast("double").alias("_total_dl"),
+    scored = _bm25_scored(
+        docs, id_col, text_col, {0: terms}, k1=k1, b=b, corpus_stats=corpus_stats
     )
-    hits = base.select(
-        F.col(id_col), F.col("_dl"), F.explode("_tk").alias("_t")
-    ).where(F.col("_t").isin(terms))
-    tf = hits.groupBy(id_col, "_dl", "_t").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf")
-    )
-    # |q|-row document-frequency table; (id, _t) is unique in `tf` so
-    # a plain count is the document frequency.
-    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
-    j = tf.join(F.broadcast(dfreq), on="_t").crossJoin(F.broadcast(stats))
-    avgdl = F.col("_total_dl") / F.col("_n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    denom = F.col("_tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
-    )
-    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
-    per_term = j.select(F.col(id_col), F.col("_t"), term_score.alias("_ts"))
-    # Sorted-term left fold so the double sum is reproducible by the
-    # oracle's list_sum(list(x ORDER BY t)).
-    return per_term.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_ts"],
-        ).alias("score"),
-    )
+    return scored.select(F.col(id_col), "n_terms_hit", "score")
 
 
 def bm25_search(
@@ -128,11 +177,14 @@ def bm25_search(
     top_k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    corpus_stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search: (id, n_terms_hit, score) ordered by score
     desc with primary-key tie-break, score rounded to 4 decimals.
     The cut is a TakeOrderedAndProject — no global sort."""
-    scored = bm25_score(docs, id_col, text_col, query, k1=k1, b=b)
+    scored = bm25_score(
+        docs, id_col, text_col, query, k1=k1, b=b, corpus_stats=corpus_stats
+    )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
@@ -153,71 +205,26 @@ def bm25_topk_batch(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    corpus_stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Batch BM25 serving: top-k per query for B queries in ONE
-    corpus pass — the lexical twin of `brute_topk`'s batched KNN.
+    postings pass — the lexical twin of `brute_topk`'s batched KNN.
 
     The (query_id, term) table is built driver-side (B·|q| rows) and
     broadcast; term frequencies are computed once per (doc, term)
     across the union of all query terms, then fanned out to queries
-    by the broadcast join — so B queries cost one corpus scan plus
-    |postings(∪ terms)|·avg_queries_per_term small rows, not B scans.
-    The per-query cut is a window PARTITIONED by query_id (parallel
-    across queries, never a global sort).
+    by the broadcast join — so B queries cost one postings pass plus
+    |postings(∪ terms)|·avg_queries_per_term small rows, not B
+    passes. The per-query cut is a window PARTITIONED by query_id
+    (parallel across queries, never a global sort).
 
-    Returns (query_id, id, n_terms_hit, score) — same scoring and
-    fold order as :func:`bm25_score`, so single-query results are a
-    B=1 special case.
+    Returns (query_id, id, n_terms_hit, score) — same scoring core
+    as :func:`bm25_score`, so single-query results are the B=1
+    special case (pinned by test).
     """
     terms_by_q = {int(q): query_terms(text) for q, text in queries.items()}
-    if not terms_by_q or any(not t for t in terms_by_q.values()):
-        raise ValueError("bm25_topk_batch: every query needs ≥1 indexable term")
-    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
-    qterms = docs.sparkSession.createDataFrame(
-        [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
-        ["query_id", "_t"],
-    )
-    docs = ensure_parallelism(docs, id_col)
-    base = docs.select(
-        F.col(id_col), tokens(text_col).alias("_tk")
-    ).withColumn("_dl", F.size("_tk"))
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.sum("_dl").cast("double").alias("_total_dl"),
-    )
-    hits = base.select(
-        F.col(id_col), F.col("_dl"), F.explode("_tk").alias("_t")
-    ).where(F.col("_t").isin(all_terms))
-    tf = hits.groupBy(id_col, "_dl", "_t").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf")
-    )
-    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_df"))
-    j = (
-        tf.join(F.broadcast(dfreq), on="_t")
-        .join(F.broadcast(qterms), on="_t")
-        .crossJoin(F.broadcast(stats))
-    )
-    avgdl = F.col("_total_dl") / F.col("_n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    denom = F.col("_tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
-    )
-    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
-    scored = (
-        j.select(F.col("query_id"), F.col(id_col), F.col("_t"), term_score.alias("_ts"))
-        .groupBy("query_id", id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_hit"),
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["_ts"],
-            ).alias("score"),
-        )
+    scored = _bm25_scored(
+        docs, id_col, text_col, terms_by_q, k1=k1, b=b, corpus_stats=corpus_stats
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()

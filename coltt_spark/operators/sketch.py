@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from coltt_spark.functions.text import HASH_P, MINHASH_PARAMS, hash60
+from coltt_spark.functions.text import (
+    MINHASH_PARAMS,
+    hash60,
+    minhash_term,
+)
 
 #: Bias-correction constant for m = 256 registers (Flajolet et al.,
 #: Fig. 3). Inlined verbatim into the SQL oracle — keep the Python
@@ -64,7 +68,13 @@ def hll_distinct(
     useful for accuracy validation at test scale, but it reintroduces
     the distinct-key shuffle the sketch exists to avoid; leave it off
     in production pipelines.
+
+    NULL keys are ignored (SQL ``count(DISTINCT)`` semantics) —
+    ``n_rows`` counts rows with a non-null key; a group whose keys
+    are all NULL disappears from the output rather than reporting a
+    bogus zero-row register file.
     """
+    df = df.where(F.col(key_col).isNotNull())
     h = hash60(F.col(key_col).cast("string"))
     rows = df.select(
         *[F.col(g) for g in group_cols],
@@ -86,30 +96,23 @@ def hll_distinct(
         F.count(F.lit(1)).alias("_c"),
         *exact_aggs,
     )
-    # Complete the register file: empty buckets are rank 0. The grid
-    # is |groups|·m rows — tiny — built from the aggregated output,
-    # never a second corpus scan.
-    grid = (
-        reg.select(*group_cols)
-        .distinct()
-        .crossJoin(df.sparkSession.range(_M).select(F.col("id").alias("_bucket")))
-    )
-    full = grid.join(reg, on=[*group_cols, "_bucket"], how="left").select(
-        *group_cols,
-        F.col("_bucket"),
-        F.coalesce(F.col("_m"), F.lit(0)).alias("_m"),
-        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
-        *([F.coalesce(F.col("_exact"), F.lit(0)).alias("_exact")] if include_exact else []),
-    )
+    # Empty registers in closed form — no bucket grid, no join, no
+    # second walk of the aggregation lineage: an observed bucket
+    # always has rank ≥ 1 (bitlen(v) ≤ 52), so the zero registers are
+    # exactly the m − |observed| missing buckets, each contributing
+    # 2^-0 = 1.0 to the harmonic sum. The observed part folds in
+    # bucket order; adding the (m − |observed|)·1.0 remainder is one
+    # final add of an exact integer-valued double, mirrored verbatim
+    # by the oracle.
     arr = F.sort_array(F.collect_list(F.struct("_bucket", "_m")))
-    s = F.aggregate(
+    s_obs = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc + F.pow(F.lit(2.0), -x["_m"])
     )
-    v0 = F.size(F.filter(arr, lambda x: x["_m"] == 0))
-    per_group = full.groupBy(*group_cols).agg(
+    n_obs = F.size(arr)
+    per_group = reg.groupBy(*group_cols).agg(
         F.sum("_c").alias("n_rows"),
-        s.alias("_s"),
-        v0.alias("_v0"),
+        (s_obs + (F.lit(_M) - n_obs).cast("double")).alias("_s"),
+        (F.lit(_M) - n_obs).cast("long").alias("_v0"),
         *([F.sum("_exact").alias("exact_distinct")] if include_exact else []),
     )
     e_raw = F.lit(ALPHA_256) * F.lit(float(_M * _M)) / F.col("_s")
@@ -129,17 +132,13 @@ CM_W = 1024
 
 
 def _cm_cells(h: Column) -> list[Column]:
-    """The d counter cells of a 60-bit key hash: row i uses the
-    universal hash ``((aᵢ·(h mod P) + bᵢ) mod P) mod w`` — the same
-    integer-exact family the MinHash signatures verify."""
-    cells = []
-    for i in range(CM_D):
-        a, b = MINHASH_PARAMS[i]
-        cells.append(
-            ((F.lit(a) * (h % F.lit(HASH_P)) + F.lit(b)) % F.lit(HASH_P))
-            % F.lit(CM_W)
-        )
-    return cells
+    """The d counter cells of a 60-bit key hash: row i is
+    ``minhash_term(h, aᵢ, bᵢ) mod w`` — the same integer-exact
+    universal-hash family the MinHash signatures verify."""
+    return [
+        minhash_term(h, a, b) % F.lit(CM_W)
+        for a, b in MINHASH_PARAMS[:CM_D]
+    ]
 
 
 def cm_build(df: DataFrame, key_col: str) -> DataFrame:
@@ -206,15 +205,12 @@ BLOOM_K = 4
 
 
 def _bloom_bits(h: Column) -> list[Column]:
-    """The k bit positions of a 60-bit key hash."""
-    bits = []
-    for i in range(BLOOM_K):
-        a, b = MINHASH_PARAMS[CM_D + i]
-        bits.append(
-            ((F.lit(a) * (h % F.lit(HASH_P)) + F.lit(b)) % F.lit(HASH_P))
-            % F.lit(BLOOM_M)
-        )
-    return bits
+    """The k bit positions of a 60-bit key hash — universal-hash
+    rows via :func:`minhash_term`, folded onto m bits."""
+    return [
+        minhash_term(h, a, b) % F.lit(BLOOM_M)
+        for a, b in MINHASH_PARAMS[CM_D : CM_D + BLOOM_K]
+    ]
 
 
 def bloom_build(df: DataFrame, hash_col: str) -> DataFrame:
@@ -232,10 +228,14 @@ def bloom_build(df: DataFrame, hash_col: str) -> DataFrame:
 
 
 def bloom_probe(df: DataFrame, hash_col: str, bits: DataFrame) -> DataFrame:
-    """Filter ``df`` to rows whose ``hash_col`` passes the Bloom
-    membership test (ALL k bit positions set — counted per hash
-    index, so colliding positions are not under-counted). May pass
-    false positives (never false negatives) — the standard trade.
+    """Filter ``df`` to DISTINCT rows whose ``hash_col`` passes the
+    Bloom membership test (ALL k bit positions set). Membership is
+    judged by the count of DISTINCT hash indices whose bit is set, so
+    neither colliding bit positions (two j's, one bit) nor duplicate
+    input rows can under- or over-count — a duplicated member row
+    must never turn into a false negative. May pass false positives
+    (never false negatives) — the standard trade. Output rows are
+    deduplicated (set semantics, like the bitmap it models).
     """
     h = F.col(hash_col)
     probe = df.select(
@@ -245,7 +245,7 @@ def bloom_probe(df: DataFrame, hash_col: str, bits: DataFrame) -> DataFrame:
     passed = (
         probe.join(F.broadcast(bits), on="bit")
         .groupBy(*df.columns)
-        .agg(F.count(F.lit(1)).alias("_set"))
+        .agg(F.countDistinct("_j").alias("_set"))
         .filter(F.col("_set") == BLOOM_K)
         .drop("_set")
     )
@@ -288,14 +288,22 @@ def quantile_histogram(
     from pyspark.sql import Window
 
     # cumulative walk over the ≤ (range/width)-row histogram — a
-    # bounded table, not a data-sized global window
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("bin", F.sum("n").over(w).alias("cum"))
-    total = hist.agg(F.sum("n").alias("n_rows"))
+    # bounded table, not a data-sized global window. The grand total
+    # rides in the SAME window stage (full-frame sum over the same
+    # ordering), so the corpus aggregation runs exactly once — no
+    # second walk of the scan lineage for a separate total.
+    w_run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w_run).alias("cum"),
+        F.sum("n").over(w_all).alias("n_rows"),
+    )
     qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
     picked = (
         cum.crossJoin(F.broadcast(qdf))
-        .crossJoin(F.broadcast(total))
         .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
         .groupBy("q", "n_rows")
         .agg(F.min("bin").alias("_bin"))

@@ -27,12 +27,11 @@ from coltt_spark.operators.sketch import (
 )
 from coltt_spark.sources.tables import load_table
 
-_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-
-_DD_COS = (
-    "abs(1.0 - list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
-)
+# shared DuckDB fragments — single source of the portable tokenizer
+# and cosine recipe (a drift between copies would silently desync
+# oracles from the Spark operators)
+from coltt_spark.registry_ann import _DD_COS  # noqa: E402
+from coltt_spark.registry_pipeline import _DD_TOKS as _TOKS  # noqa: E402
 
 #: One discriminative rare term ('dup', df≈25/500) + three common
 #: terms — exercises the idf spread of the synthetic vocabulary.
@@ -213,7 +212,7 @@ WITH h AS (
   SELECT event_type,
          user_id,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 r AS (SELECT event_type, user_id, h & 255 AS bucket, h >> 8 AS v FROM h),
 reg AS (
@@ -222,31 +221,25 @@ reg AS (
          count(*) AS c
   FROM r GROUP BY event_type, bucket
 ),
-grid AS (
-  SELECT g.event_type, b.bucket
-  FROM (SELECT DISTINCT event_type FROM events) g
-  CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) b
-),
-fullreg AS (
-  SELECT grid.event_type, grid.bucket, coalesce(reg.m, 0) AS m
-  FROM grid LEFT JOIN reg USING (event_type, bucket)
-),
+-- empty registers in closed form (observed buckets always rank >= 1):
+-- v0 = 256 - |observed|, harmonic sum = observed fold + v0 * 1.0
 s AS (
   SELECT event_type,
-         list_sum(list(power(2.0, -m) ORDER BY bucket)) AS s,
-         len(list_filter(list(m ORDER BY bucket), x -> x = 0)) AS v0
-  FROM fullreg GROUP BY event_type
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         list_sum(list(power(2.0, -m) ORDER BY bucket))
+           + CAST(256 - count(*) AS DOUBLE) AS s,
+         256 - count(*) AS v0
+  FROM reg GROUP BY event_type
 ),
 ex AS (
-  SELECT event_type, count(*) AS n_rows,
-         count(DISTINCT user_id) AS exact_distinct
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
   FROM events GROUP BY event_type
 )
-SELECT ex.event_type, ex.n_rows, ex.exact_distinct,
+SELECT s.event_type, s.n_rows, ex.exact_distinct,
        round(CASE WHEN (CAST({ALPHA_256!r} AS DOUBLE) * 65536.0 / s.s) <= 640.0 AND s.v0 > 0
                   THEN 256.0 * ln(256.0 / s.v0)
                   ELSE CAST({ALPHA_256!r} AS DOUBLE) * 65536.0 / s.s END, 4) AS hll_distinct
-FROM ex JOIN s USING (event_type)
+FROM s JOIN ex USING (event_type)
 """
 
 
@@ -336,15 +329,18 @@ WITH hist AS (
   FROM lineitem GROUP BY bin
 ),
 cum AS (
-  SELECT bin, sum(n) OVER (ORDER BY bin
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS BIGINT) AS n_rows
   FROM hist
 ),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM hist),
 qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) v(q)),
 picked AS (
   SELECT q, n_rows, min(bin) AS b
-  FROM cum, qs, tot
+  FROM cum, qs
   WHERE cum >= ceil(q * n_rows)
   GROUP BY q, n_rows
 )

@@ -67,14 +67,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "doc_id", "text", ngram=5, min_hits=1)
 
 
-_ORACLE_DECONTAMINATE = f"""
-WITH toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
+#: 5-gram shingle-hash CTE prefix shared by the decontamination
+#: oracles — ends in shd(doc_id, sh) of DISTINCT shingle hashes.
+_SHINGLE5_CTES = f"""
+toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
 shing AS (
   SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
       ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS s
   FROM toks
 ),
-shd AS (SELECT DISTINCT doc_id, {_DD_H60.format(x="s")} AS sh FROM shing),
+shd AS (SELECT DISTINCT doc_id, {_DD_H60.format(x="s")} AS sh FROM shing)"""
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH {_SHINGLE5_CTES},
 b AS (SELECT doc_id AS bench_id, sh FROM shd WHERE doc_id % 10 = 0),
 t AS (SELECT doc_id, sh FROM shd WHERE doc_id % 10 <> 0)
 SELECT t.doc_id,
@@ -297,13 +303,7 @@ def _bloom_oracle() -> str:
         for j, (a, b) in enumerate(MINHASH_PARAMS[CM_D : CM_D + BLOOM_K])
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
-shing AS (
-  SELECT doc_id, unnest(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
-      ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS s
-  FROM toks
-),
-shd AS (SELECT DISTINCT doc_id, {_DD_H60.format(x="s")} AS sh FROM shing),
+WITH {_SHINGLE5_CTES},
 bparams (j, a, b) AS (SELECT * FROM (VALUES {params})),
 bbits AS (
   SELECT DISTINCT ((p.a * (shd.sh % {HASH_P}) + p.b) % {HASH_P}) % {BLOOM_M} AS bit

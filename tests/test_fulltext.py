@@ -225,3 +225,31 @@ def test_bloom_decontaminate_is_superset_of_exact(spark):
     # with at least as many flagged shingles
     for d, n in exact.items():
         assert d in bloom and bloom[d] >= n
+
+
+def test_hll_ignores_null_keys(spark):
+    df = spark.range(200).select(
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 50).alias("k"),
+        F.lit("g").alias("g"),
+    )
+    [r] = hll_distinct(df, "k", ["g"], include_exact=True).collect()
+    # 150 rows carry a non-null key; nulls are invisible to the sketch
+    assert r["n_rows"] == 150
+    assert r["exact_distinct"] == df.filter("k IS NOT NULL").select("k").distinct().count()
+
+
+def test_bloom_probe_survives_duplicate_rows(spark):
+    from coltt_spark.functions.text import hash60 as h60
+    from coltt_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",)], ["key"]).select(
+        "key", h60(F.col("key")).alias("_h")
+    )
+    bits = bloom_build(members, "_h")
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], ["key"]
+    ).select("key", h60(F.col("key")).alias("_h"))
+    got = sorted(r["key"] for r in bloom_probe(probes, "_h", bits).collect())
+    # duplicate probe rows must not create false negatives; output is
+    # set-deduplicated
+    assert got == ["a", "b"]

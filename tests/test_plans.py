@@ -354,5 +354,5 @@ def test_hll_sketch_aggregates_map_side(spark):
         load_table(spark, SF_SMOKE, "events"), "user_id", ["event_type"]
     )
     plan = executed_plan(df)
-    assert "partial_max" in plan or "partial_" in plan, plan[:500]
+    assert "partial_max" in plan, plan[:500]
     assert "Expand" not in plan, "no distinct-expand when include_exact=False"
