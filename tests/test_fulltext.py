@@ -253,3 +253,51 @@ def test_bloom_probe_survives_duplicate_rows(spark):
     # duplicate probe rows must not create false negatives; output is
     # set-deduplicated
     assert got == ["a", "b"]
+
+
+def test_cm_sketch_merges_across_shards(spark):
+    """Cell-wise addition of two shard sketches equals the sketch of
+    the union — the property that makes the sketch a shuffle-free
+    aggregate at scale."""
+    from coltt_spark.operators.sketch import cm_build
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    )).alias("token"), F.col("doc_id"))
+    a = toks.filter("doc_id % 2 = 0").select("token")
+    b = toks.filter("doc_id % 2 = 1").select("token")
+    merged = (
+        cm_build(a, "token").unionByName(cm_build(b, "token"))
+        .groupBy("r", "cell").agg(F.sum("n").alias("n"))
+    )
+    whole = cm_build(toks.select("token"), "token")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_registers_merge_across_shards(spark):
+    """Register-wise max of two shard register files equals the
+    union's register file (max is the HLL merge operator)."""
+    from coltt_spark.functions.text import hash60 as h60
+
+    def registers(df):
+        h = h60(F.col("k").cast("string"))
+        rho = F.lit(53) - F.length(
+            F.regexp_replace(F.bin(F.shiftright(h, 8)), "^0+", "")
+        )
+        return (
+            df.select(h.bitwiseAND(F.lit(255)).alias("b"), rho.alias("rho"))
+            .groupBy("b").agg(F.max("rho").alias("m"))
+        )
+
+    full = spark.range(3000).select(F.col("id").alias("k"))
+    a = full.filter("k < 1700")
+    b = full.filter("k >= 1700")
+    merged = (
+        registers(a).unionByName(registers(b))
+        .groupBy("b").agg(F.max("m").alias("m"))
+    )
+    whole = registers(full)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
