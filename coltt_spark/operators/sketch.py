@@ -245,7 +245,9 @@ def bloom_probe(df: DataFrame, hash_col: str, bits: DataFrame) -> DataFrame:
     passed = (
         probe.join(F.broadcast(bits), on="bit")
         .groupBy(*df.columns)
-        .agg(F.countDistinct("_j").alias("_set"))
+        # distinct hash indices via a k-element set in the agg buffer
+        # — one hash aggregation, no count-distinct Expand rewrite
+        .agg(F.size(F.collect_set("_j")).alias("_set"))
         .filter(F.col("_set") == BLOOM_K)
         .drop("_set")
     )
