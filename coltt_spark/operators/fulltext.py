@@ -66,6 +66,40 @@ def query_terms(query: str) -> list[str]:
     return sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
 
 
+def bm25_term_score(
+    *,
+    k1: float,
+    b: float,
+    n_docs: Column,
+    total_dl: Column,
+    tf: Column,
+    df: Column,
+    dl: Column,
+) -> Column:
+    """The BM25 per-(doc, term) score expression — THE single source
+    of the float-critical op sequence (idf, length norm, saturation).
+    Both the ad-hoc scorer and the inverted-index serving path build
+    from this, so the oracle recipe cannot drift between them."""
+    avgdl = total_dl / n_docs
+    idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dl / avgdl))
+    return idf * (tf * F.lit(k1 + 1.0)) / denom
+
+
+def bm25_fold(id_cols: list[str], scored: DataFrame) -> DataFrame:
+    """Per-document sorted-term left fold of term scores → (id…,
+    n_terms_hit, score); reproducible by the oracle's
+    ``list_sum(list(x ORDER BY t))``. Expects columns (_t, _ts)."""
+    return scored.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_ts"],
+        ).alias("score"),
+    )
+
+
 def _bm25_scored(
     docs: DataFrame,
     id_col: str,
@@ -116,27 +150,14 @@ def _bm25_scored(
         j = j.crossJoin(F.broadcast(stats))
         n_docs = F.col("_n_docs")
         total_dl = F.col("_total_dl")
-    avgdl = total_dl / n_docs
-    idf = F.log(
-        F.lit(1.0) + (n_docs - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    term_score = bm25_term_score(
+        k1=k1, b=b, n_docs=n_docs, total_dl=total_dl,
+        tf=F.col("_tf"), df=F.col("_df"), dl=F.col("_dl"),
     )
-    denom = F.col("_tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
-    )
-    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
     per_term = j.select(
         F.col("query_id"), F.col(id_col), F.col("_t"), term_score.alias("_ts")
     )
-    # Sorted-term left fold so the double sum is reproducible by the
-    # oracle's list_sum(list(x ORDER BY t)).
-    return per_term.groupBy("query_id", id_col).agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("_t", "_ts"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_ts"],
-        ).alias("score"),
-    )
+    return bm25_fold(["query_id", id_col], per_term)
 
 
 def bm25_score(

@@ -150,6 +150,32 @@ FROM r WHERE rn <= 5
 """
 
 
+_TEXTINDEX_CACHE: dict[str, "object"] = {}
+
+
+def _text_index(spark: SparkSession, sf_dir: str):
+    """Build-once inverted BM25 index fixture (cached per sf_dir) —
+    the serving configuration the bench measures lookups against."""
+    import tempfile
+
+    from coltt_spark.textindex import TextIndex
+
+    if sf_dir not in _TEXTINDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="coltt_textidx_")
+        _TEXTINDEX_CACHE[sf_dir] = TextIndex.build(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", root
+        )
+    return _TEXTINDEX_CACHE[sf_dir]
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the inverted index: bit-identical scores to
+    `bm25_search` (same term-score expression), but the only data
+    read is the term-pruned postings — verified against the SAME
+    oracle as the ad-hoc path."""
+    return _text_index(spark, sf_dir).search(_BM25_QUERY)
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical+vector hybrid: BM25 and exact-cosine candidate lists
     (K=50 each) fused by reciprocal-rank fusion."""
@@ -350,6 +376,7 @@ SELECT q, n_rows, round(b * {w!r} + {w / 2.0!r}, 4) AS est FROM picked
 
 FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
+    "bm25_indexed": q_bm25_indexed,
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "distinct_sketch": q_distinct_sketch,
@@ -359,6 +386,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_search": _ORACLE_BM25,
+    "bm25_indexed": _ORACLE_BM25,
     "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,

@@ -1,0 +1,160 @@
+"""Inverted BM25 text index: build-once postings, serve-many
+lookups.
+
+The ad-hoc BM25 operators (operators/fulltext.py) walk the corpus
+lineage three times per query (corpus stats, postings, document
+frequencies). This module is the serving configuration that removes
+all three — the same build-once/scan-many trade as the packed vector
+block layouts (`Collection(layout="blocks")`, operators/blocks.py):
+
+* **Build** tokenizes the corpus ONCE and writes
+  - ``postings/`` — (t, id, dl, tf) parquet, repartitioned by term
+    hash and sorted by term within each file, so a query's
+    ``t IN (...)`` predicate prunes row groups via parquet min/max +
+    dictionary stats (the text twin of the blocks index's partition
+    pruning);
+  - ``dfreq/`` — the (t, df) document-frequency table;
+  - ``stats.json`` — corpus document count and total token count.
+* **Search** reads only the pruned postings of the query's terms,
+  broadcasts the |q|-row df slice, scores with the SAME
+  ``bm25_term_score`` expression the ad-hoc path uses (one source of
+  the float recipe — results are bit-identical, so the indexed entry
+  verifies against the ad-hoc oracle), and TakeOrders the top-k.
+  Per-query cost is |postings(q)| — no corpus scan, no tokenize.
+
+At 100 TB the build is one shuffle of the postings (term-hash
+repartition, map-side-combined tf aggregation) and the index is
+incrementally rebuildable per corpus shard (postings files are
+additive; stats and dfreq merge by addition — same contract as the
+sketches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.text import tokens
+from coltt_spark.operators.fulltext import (
+    BM25_B,
+    BM25_K1,
+    bm25_fold,
+    bm25_term_score,
+    query_terms,
+)
+from coltt_spark.sources.tables import ensure_parallelism
+
+
+class TextIndex:
+    """Handle on a built inverted index directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "stats.json")) as fh:
+            st = json.load(fh)
+        #: (n_docs, total_dl) as exact integer-valued doubles — the
+        #: same values the ad-hoc path aggregates per query.
+        self.n_docs = float(st["n_docs"])
+        self.total_dl = float(st["total_dl"])
+        self.id_col = st["id_col"]
+
+    # -- build ---------------------------------------------------------
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        root: str,
+        *,
+        n_files: int = 16,
+    ) -> "TextIndex":
+        """Tokenize once, write postings/dfreq/stats under ``root``.
+
+        ``n_files`` sizes the postings layout (term-hash
+        repartition); at real scale set it so each file is a few
+        hundred MB — row-group pruning does the rest.
+        """
+        spark = docs.sparkSession
+        docs = ensure_parallelism(docs, id_col)
+        base = docs.select(
+            F.col(id_col), tokens(text_col).alias("_tk")
+        ).withColumn("_dl", F.size("_tk"))
+        postings = (
+            base.select(F.col(id_col), "_dl", F.explode("_tk").alias("t"))
+            .groupBy("t", id_col, "_dl")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .select("t", F.col(id_col), F.col("_dl").alias("dl"), "tf")
+        )
+        (
+            postings.repartition(n_files, "t")
+            .sortWithinPartitions("t")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "postings"))
+        )
+        built = spark.read.parquet(os.path.join(root, "postings"))
+        dfreq = built.groupBy("t").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        dfreq.write.mode("overwrite").parquet(os.path.join(root, "dfreq"))
+        stats_row = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_dl")
+        ).first()
+        with open(os.path.join(root, "stats.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_docs": int(stats_row["n_docs"]),
+                    "total_dl": int(stats_row["total_dl"]),
+                    "id_col": id_col,
+                },
+                fh,
+            )
+        return TextIndex(spark, root)
+
+    # -- serve ---------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        *,
+        top_k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Top-k BM25 from the index: same output columns and
+        bit-identical scores as the ad-hoc ``bm25_search`` — but the
+        only data read is the pruned postings of the query terms."""
+        terms = query_terms(query)
+        if not terms:
+            raise ValueError("TextIndex.search: query has no indexable terms")
+        postings = (
+            self.spark.read.parquet(os.path.join(self.root, "postings"))
+            .where(F.col("t").isin(terms))
+        )
+        dfreq = (
+            self.spark.read.parquet(os.path.join(self.root, "dfreq"))
+            .where(F.col("t").isin(terms))
+        )
+        j = postings.join(F.broadcast(dfreq), on="t")
+        ts = bm25_term_score(
+            k1=k1, b=b,
+            n_docs=F.lit(self.n_docs), total_dl=F.lit(self.total_dl),
+            tf=F.col("tf"), df=F.col("df"), dl=F.col("dl"),
+        )
+        per_term = j.select(
+            F.col(self.id_col), F.col("t").alias("_t"), ts.alias("_ts")
+        )
+        scored = bm25_fold([self.id_col], per_term)
+        return (
+            scored.orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            .limit(top_k)
+            .select(
+                F.col(self.id_col),
+                "n_terms_hit",
+                F.round("score", 4).alias("score"),
+            )
+        )

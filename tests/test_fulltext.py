@@ -301,3 +301,14 @@ def test_hll_registers_merge_across_shards(spark):
     whole = registers(full)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_indexed_bm25_equals_adhoc(spark, tmp_path):
+    from coltt_spark.textindex import TextIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "tidx"))
+    for query in ("vector hash join dup", "stream window", "dup"):
+        adhoc = sorted(map(tuple, bm25_search(docs, "doc_id", "text", query).collect()))
+        served = sorted(map(tuple, idx.search(query).collect()))
+        assert adhoc == served, query

@@ -63,5 +63,6 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_grouped",
         "bm25_search", "bm25_topk_batch", "hybrid_rrf", "distinct_sketch",
         "freq_sketch", "quantile_sketch", "decontaminate_bloom",
+        "bm25_indexed",
     }
     assert must_check <= window, sorted(must_check - window)

@@ -356,3 +356,24 @@ def test_hll_sketch_aggregates_map_side(spark):
     plan = executed_plan(df)
     assert "partial_max" in plan, plan[:500]
     assert "Expand" not in plan, "no distinct-expand when include_exact=False"
+
+
+def test_bm25_indexed_serves_from_pruned_postings(spark, tmp_path):
+    """The indexed BM25 path must read ONLY the postings parquet with
+    the term predicate pushed to the scan — no corpus scan, no
+    tokenizer in the serving plan."""
+    from coltt_spark.plans.inspect import executed_plan, has_take_ordered
+    from coltt_spark.textindex import TextIndex
+
+    idx = TextIndex.build(
+        load_table(spark, SF_SMOKE, "documents"),
+        "doc_id", "text", str(tmp_path / "tidx"),
+    )
+    df = idx.search("vector dup")
+    plan = executed_plan(df)
+    assert has_take_ordered(df)
+    assert "PushedFilters: [In(t, [" in plan or "PushedFilters: [Or(EqualTo(t," in plan, plan[
+        plan.find("PushedFilters"): plan.find("PushedFilters") + 200
+    ]
+    assert "documents.parquet" not in plan, "serving must not scan the corpus"
+    assert "regexp" not in plan.lower(), "serving must not re-tokenize"
