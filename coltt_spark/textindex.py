@@ -115,6 +115,51 @@ class TextIndex:
             )
         return TextIndex(spark, root)
 
+    @staticmethod
+    def merge(shards: list["TextIndex"], root: str) -> "TextIndex":
+        """Merge per-shard indexes into one — the incremental-build
+        path for a sharded corpus: postings union as-is (documents
+        are disjoint across shards, so (t, id) stays unique), the
+        document-frequency tables and corpus stats add. No corpus
+        re-tokenize; cost is one |vocab|-keyed aggregation over the
+        shard dfreq tables plus a postings rewrite into the merged
+        layout."""
+        if not shards:
+            raise ValueError("TextIndex.merge: no shards")
+        spark = shards[0].spark
+        id_col = shards[0].id_col
+        if any(s.id_col != id_col for s in shards):
+            raise ValueError("TextIndex.merge: shards disagree on id column")
+        postings = None
+        dfreq = None
+        for s in shards:
+            p = spark.read.parquet(os.path.join(s.root, "postings"))
+            d = spark.read.parquet(os.path.join(s.root, "dfreq"))
+            postings = p if postings is None else postings.unionByName(p)
+            dfreq = d if dfreq is None else dfreq.unionByName(d)
+        (
+            postings.repartition(16, "t")
+            .sortWithinPartitions("t")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "postings"))
+        )
+        (
+            dfreq.groupBy("t")
+            .agg(F.sum("df").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "dfreq"))
+        )
+        with open(os.path.join(root, "stats.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_docs": int(sum(s.n_docs for s in shards)),
+                    "total_dl": int(sum(s.total_dl for s in shards)),
+                    "id_col": id_col,
+                },
+                fh,
+            )
+        return TextIndex(spark, root)
+
     # -- serve ---------------------------------------------------------
 
     def search(

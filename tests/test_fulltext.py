@@ -312,3 +312,24 @@ def test_indexed_bm25_equals_adhoc(spark, tmp_path):
         adhoc = sorted(map(tuple, bm25_search(docs, "doc_id", "text", query).collect()))
         served = sorted(map(tuple, idx.search(query).collect()))
         assert adhoc == served, query
+
+
+def test_textindex_shard_merge_equals_whole_build(spark, tmp_path):
+    """Merging per-shard indexes (postings union, df/stats addition)
+    serves bit-identical results to the index built over the whole
+    corpus — the incremental-build contract."""
+    from coltt_spark.textindex import TextIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = TextIndex.build(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text", str(tmp_path / "a")
+    )
+    b = TextIndex.build(
+        docs.filter("doc_id % 2 = 1"), "doc_id", "text", str(tmp_path / "b")
+    )
+    merged = TextIndex.merge([a, b], str(tmp_path / "m"))
+    whole = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "w"))
+    for query in ("vector hash join dup", "stream window"):
+        got = sorted(map(tuple, merged.search(query).collect()))
+        want = sorted(map(tuple, whole.search(query).collect()))
+        assert got == want, query
