@@ -377,3 +377,36 @@ def test_bm25_indexed_serves_from_pruned_postings(spark, tmp_path):
     ]
     assert "documents.parquet" not in plan, "serving must not scan the corpus"
     assert "regexp" not in plan.lower(), "serving must not re-tokenize"
+
+
+def test_cm_sketch_is_one_hash_aggregation(spark):
+    """Count-min build: explode to d counter rows, then ONE partial+
+    final hash aggregation on (r, cell) — no window, no join, no
+    shuffle of raw keys."""
+    from coltt_spark.operators.sketch import cm_build
+    from coltt_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.selectExpr(
+        "explode(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS token"
+    )
+    plan = executed_plan(cm_build(toks, "token"))
+    assert "partial_count" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bits(spark):
+    """The Bloom probe must join the corpus side against a BROADCAST
+    set-bit table — never a shuffled join keyed on bit positions."""
+    from coltt_spark.operators.pipeline import decontaminate_bloom
+    from coltt_spark.plans import has_broadcast_hash_join
+    from coltt_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = decontaminate_bloom(
+        docs.filter("doc_id % 10 != 0"),
+        docs.filter("doc_id % 10 = 0"),
+        "doc_id", "text", ngram=5,
+    )
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in executed_plan(df)
