@@ -388,11 +388,13 @@ def decontaminate_bloom(
         ).withColumn("_h", hash60(F.col("_s"))).drop("_s")
 
     bits = bloom_build(shingle_hashes(benchmark, "bench_id"), "_h")
-    t = shingle_hashes(train, "train_id").dropDuplicates(["train_id", "_h"])
-    passed = bloom_probe(t, "_h", bits)
+    # bloom_probe groupBy's on exactly (train_id, _h), so its output
+    # is distinct by construction — no pre-dedup pass, and a plain
+    # count (not count-distinct) suffices downstream
+    passed = bloom_probe(shingle_hashes(train, "train_id"), "_h", bits)
     return (
         passed.groupBy("train_id")
-        .agg(F.countDistinct("_h").alias("n_bloom_shingles"))
+        .agg(F.count(F.lit(1)).alias("n_bloom_shingles"))
         .filter(F.col("n_bloom_shingles") >= min_hits)
         .select(F.col("train_id").alias(id_col), "n_bloom_shingles")
     )

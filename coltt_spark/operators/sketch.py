@@ -282,8 +282,13 @@ def quantile_histogram(
     """
     if not qs:
         raise ValueError("quantile_histogram: no quantiles requested")
+    # NULLs are invisible to SQL percentile semantics — drop them
+    # before binning (they would otherwise sort as the smallest bin
+    # in Spark and the largest in engines that order NULLS LAST,
+    # corrupting every cumulative count)
     hist = (
-        df.select((F.floor(F.col(value_col) / F.lit(bin_width))).alias("bin"))
+        df.where(F.col(value_col).isNotNull())
+        .select((F.floor(F.col(value_col) / F.lit(bin_width))).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1475,20 +1475,23 @@ _KEY_ORDER = [
     "collection_search_grouped",          # new: group_by diversified search
     "sample_temperature",                 # new: share^alpha source rebalancing
     "bm25_search",                        # new: lexical BM25 ranking
-    "bm25_topk_batch",                    # new: batched BM25 serving
-    "hybrid_rrf",                         # new: BM25+vector RRF fusion
     "distinct_sketch",                    # new: HyperLogLog cardinality
-    "freq_sketch",                        # new: count-min heavy hitters
     "quantile_sketch",                    # new: histogram quantiles
     "decontaminate_bloom",                # new: Bloom-filter deny list
     "bm25_indexed",                       # new: inverted-index serving
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier round
-    # (collection_search_blocks* siblings in the window exercise the
-    # same packed-scan kernel the demoted entries share)
+    # -- implementation touched this round (re-verify) -----------------
     "collection_search_blocks",
     "collection_search_batch",
     "collection_search",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier round.
+    # bm25_topk_batch / hybrid_rrf share bm25_search's scoring core
+    # (B=1 equivalence + exact-integer fusion pinned by tests);
+    # freq_sketch is integer-only arithmetic — the three lowest-risk
+    # new entries yield their slots to the r3-touched search paths
+    "bm25_topk_batch",
+    "hybrid_rrf",
+    "freq_sketch",
     "ann_lsh",
     "dedup_canonical",
     "dedup_simhash",

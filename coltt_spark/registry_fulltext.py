@@ -150,7 +150,10 @@ FROM r WHERE rn <= 5
 """
 
 
-_TEXTINDEX_CACHE: dict[str, "object"] = {}
+#: sf_dir → built index ROOT (not the object: a TextIndex binds the
+#: SparkSession alive at construction, and a cached object would
+#: serve reads through a stopped session after a restart)
+_TEXTINDEX_CACHE: dict[str, str] = {}
 
 
 def _text_index(spark: SparkSession, sf_dir: str):
@@ -162,10 +165,11 @@ def _text_index(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _TEXTINDEX_CACHE:
         root = tempfile.mkdtemp(prefix="coltt_textidx_")
-        _TEXTINDEX_CACHE[sf_dir] = TextIndex.build(
+        TextIndex.build(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", root
         )
-    return _TEXTINDEX_CACHE[sf_dir]
+        _TEXTINDEX_CACHE[sf_dir] = root
+    return TextIndex(spark, _TEXTINDEX_CACHE[sf_dir])
 
 
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +356,7 @@ def _quantile_sketch_oracle() -> str:
     return f"""
 WITH hist AS (
   SELECT CAST(floor(l_extendedprice / {w!r}) AS BIGINT) AS bin, count(*) AS n
-  FROM lineitem GROUP BY bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY bin
 ),
 cum AS (
   SELECT bin,

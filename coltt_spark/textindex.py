@@ -81,29 +81,36 @@ class TextIndex:
         """
         spark = docs.sparkSession
         docs = ensure_parallelism(docs, id_col)
+        # persist the tokenized projection across the two build
+        # actions (postings write, stats aggregate) so the corpus is
+        # scanned and tokenized once — build is an eager method, so
+        # the persist/unpersist pair is self-contained
         base = docs.select(
             F.col(id_col), tokens(text_col).alias("_tk")
-        ).withColumn("_dl", F.size("_tk"))
-        postings = (
-            base.select(F.col(id_col), "_dl", F.explode("_tk").alias("t"))
-            .groupBy("t", id_col, "_dl")
-            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-            .select("t", F.col(id_col), F.col("_dl").alias("dl"), "tf")
-        )
-        (
-            postings.repartition(n_files, "t")
-            .sortWithinPartitions("t")
-            .write.mode("overwrite")
-            .parquet(os.path.join(root, "postings"))
-        )
+        ).withColumn("_dl", F.size("_tk")).persist()
+        try:
+            postings = (
+                base.select(F.col(id_col), "_dl", F.explode("_tk").alias("t"))
+                .groupBy("t", id_col, "_dl")
+                .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+                .select("t", F.col(id_col), F.col("_dl").alias("dl"), "tf")
+            )
+            (
+                postings.repartition(n_files, "t")
+                .sortWithinPartitions("t")
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, "postings"))
+            )
+            stats_row = base.agg(
+                F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_dl")
+            ).first()
+        finally:
+            base.unpersist()
         built = spark.read.parquet(os.path.join(root, "postings"))
         dfreq = built.groupBy("t").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
         dfreq.write.mode("overwrite").parquet(os.path.join(root, "dfreq"))
-        stats_row = base.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_dl")
-        ).first()
         with open(os.path.join(root, "stats.json"), "w") as fh:
             json.dump(
                 {
@@ -116,7 +123,9 @@ class TextIndex:
         return TextIndex(spark, root)
 
     @staticmethod
-    def merge(shards: list["TextIndex"], root: str) -> "TextIndex":
+    def merge(
+        shards: list["TextIndex"], root: str, *, n_files: int = 16
+    ) -> "TextIndex":
         """Merge per-shard indexes into one — the incremental-build
         path for a sharded corpus: postings union as-is (documents
         are disjoint across shards, so (t, id) stays unique), the
@@ -138,7 +147,7 @@ class TextIndex:
             postings = p if postings is None else postings.unionByName(p)
             dfreq = d if dfreq is None else dfreq.unionByName(d)
         (
-            postings.repartition(16, "t")
+            postings.repartition(n_files, "t")
             .sortWithinPartitions("t")
             .write.mode("overwrite")
             .parquet(os.path.join(root, "postings"))

@@ -61,8 +61,13 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_time_travel", "jsonl_roundtrip", "ann_recall",
         "stream_join", "collection_search_batch_filtered", "embed_project",
         "collection_search_grouped",
-        "bm25_search", "bm25_topk_batch", "hybrid_rrf", "distinct_sketch",
-        "freq_sketch", "quantile_sketch", "decontaminate_bloom",
-        "bm25_indexed",
+        "bm25_search", "distinct_sketch",
+        "quantile_sketch", "decontaminate_bloom", "bm25_indexed",
+        # r3-touched core search paths re-verified by the driver;
+        # bm25_topk_batch / hybrid_rrf / freq_sketch ceded their
+        # window slots (shared scoring core / exact-integer paths,
+        # equivalence pinned by tests)
+        "collection_search_blocks", "collection_search_batch",
+        "collection_search",
     }
     assert must_check <= window, sorted(must_check - window)
