@@ -682,6 +682,51 @@ class Collection:
             out = out.drop(*vcols)
         return out
 
+    def search_hybrid_text(
+        self,
+        text_index,
+        query_text: str,
+        query_vector: list[float],
+        *,
+        vector_field: str | None = None,
+        filter_ast: dict[str, Any] | None = None,
+        candidates: int = 50,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """Product-level lexical + vector hybrid: this collection's
+        (optionally filtered) KNN candidates fused with a
+        :class:`coltt_spark.textindex.TextIndex`'s BM25 candidates by
+        reciprocal-rank fusion, joined on the primary key. Returns
+        (pk, bm25_rank, vec_rank, rrf_score) with rank 0 = absent
+        from that list — the modern vector-DB "hybrid search" the
+        reference's filter ∩ candidates hybrid stops short of.
+
+        Scale: both candidate generators are the verified serving
+        shapes (packed-block KNN; term-pruned postings BM25), each
+        emitting ``candidates`` rows; fusion touches 2·K rows.
+        """
+        from coltt_spark.operators.fulltext import _ranked, rrf_fuse
+
+        pk = self.manifest.index_design.primary_key
+        vec = self.search(
+            query_vector,
+            vector_field=vector_field,
+            filter_ast=filter_ast,
+            limit=candidates,
+        )
+        vec_ranked = _ranked(vec, pk, F.col("dist").asc(), candidates)
+        lex = text_index.search(query_text, top_k=candidates)
+        if text_index.id_col != pk:
+            lex = lex.withColumnRenamed(text_index.id_col, pk)
+        lex_ranked = _ranked(lex, pk, F.col("score").desc(), candidates)
+        fused = rrf_fuse([lex_ranked, vec_ranked], pk, top_k=top_k)
+        return fused.select(
+            F.col(pk),
+            F.coalesce(F.col("_r0"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("_r1"), F.lit(0)).alias("vec_rank"),
+            F.round("rrf_score", 4).alias("rrf_score"),
+        )
+
     def _search_grouped_blocks(
         self,
         qv: list[float],

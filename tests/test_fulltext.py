@@ -333,3 +333,49 @@ def test_textindex_shard_merge_equals_whole_build(spark, tmp_path):
         got = sorted(map(tuple, merged.search(query).collect()))
         want = sorted(map(tuple, whole.search(query).collect()))
         assert got == want, query
+
+
+def test_collection_hybrid_text_search(spark, tmp_path):
+    """Product-level hybrid: packed-block vector candidates fused
+    with inverted-index BM25 candidates on the primary key."""
+    import pyspark.sql.functions as F2
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+    from coltt_spark.textindex import TextIndex
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        F2.col("doc_id").cast("string").alias("id"), "text"
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = Catalog(spark, str(tmp_path / "wh")).create_collection(
+        "h", dim=dim, distance="cosine",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+        layout="blocks",
+    )
+    coll.upsert_df(
+        emb.select(
+            F2.col("vec_id").cast("string").alias("id"),
+            F2.col("label").cast("int").alias("label"),
+            F2.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    idx = TextIndex.build(docs, "id", "text", str(tmp_path / "tidx"))
+    qv = [float(x) for x in emb.filter(F2.col("vec_id") == 0).first()["embedding"]]
+    rows = coll.search_hybrid_text(idx, "vector hash join dup", qv).collect()
+    assert len(rows) == 10
+    by_id = {r["id"]: r for r in rows}
+    # the query's own vector is an exact match -> vec rank 1 surfaces
+    assert "0" in by_id and by_id["0"]["vec_rank"] == 1
+    # fusion drew from the lexical list too
+    assert any(r["bm25_rank"] > 0 for r in rows)
+    assert all(r["bm25_rank"] is not None and r["vec_rank"] is not None for r in rows)
+    # deterministic
+    again = coll.search_hybrid_text(idx, "vector hash join dup", qv).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
