@@ -332,11 +332,21 @@ def main() -> None:
     prewarm_fixtures(spark, sf_dir)
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
+    # min of two runs per key: the host VM sees bursty CPU steal
+    # (~2% average but concentrated), and a single cold sample can
+    # read 2-3x the true cost. The first run also warms the plan /
+    # code cache, so run 2 measures the query the way a serving
+    # deployment sees it — same convention as the flat micro's
+    # best-of-5. Every registry query is idempotent (fixtures are
+    # prewarmed; sinks overwrite), so the rerun is safe.
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     timings["knn_1m_flat"] = flat_1m["sec_per_query"]
 
