@@ -153,17 +153,20 @@ def cm_build(df: DataFrame, key_col: str) -> DataFrame:
     only ever over-count (min over d rows bounds the additive error
     by ~2N/w with probability 1-2^-d).
     """
-    h = hash60(F.col(key_col).cast("string"))
+    # materialize the md5-derived hash once per row in its own
+    # projection — the four cells then derive from the column, not
+    # from four copies of the md5 expression tree
+    hashed = df.select(hash60(F.col(key_col).cast("string")).alias("_h"))
     rc = F.explode(
         F.array(
             *[
                 F.struct(F.lit(i).alias("r"), c.alias("cell"))
-                for i, c in enumerate(_cm_cells(h))
+                for i, c in enumerate(_cm_cells(F.col("_h")))
             ]
         )
     )
     return (
-        df.select(rc.alias("_rc"))
+        hashed.select(rc.alias("_rc"))
         .select(F.col("_rc.r").alias("r"), F.col("_rc.cell").alias("cell"))
         .groupBy("r", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
