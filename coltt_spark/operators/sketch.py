@@ -75,12 +75,18 @@ def hll_distinct(
     bogus zero-row register file.
     """
     df = df.where(F.col(key_col).isNotNull())
-    h = hash60(F.col(key_col).cast("string"))
-    rows = df.select(
+    # hash once per row; bucket and rank remainder derive from the
+    # materialized column (not two copies of the md5 tree)
+    hashed = df.select(
         *[F.col(g) for g in group_cols],
         F.col(key_col),
-        h.bitwiseAND(F.lit(_M - 1)).alias("_bucket"),
-        F.shiftright(h, 8).alias("_v"),
+        hash60(F.col(key_col).cast("string")).alias("_h"),
+    )
+    rows = hashed.select(
+        *[F.col(g) for g in group_cols],
+        F.col(key_col),
+        F.col("_h").bitwiseAND(F.lit(_M - 1)).alias("_bucket"),
+        F.shiftright(F.col("_h"), 8).alias("_v"),
     )
     # Leading-zero rank of the 52-bit remainder: 53 - bitlength(v).
     # bin() emits the minimal binary string in both engines, so the
