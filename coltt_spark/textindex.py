@@ -171,6 +171,66 @@ class TextIndex:
 
     # -- serve ---------------------------------------------------------
 
+    def search_batch(
+        self,
+        queries: dict[int, str],
+        *,
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Batch serving from the index: top-k per query for B
+        queries in ONE pruned postings read (the union of all query
+        terms prunes the scan; the broadcast (query_id, term) table
+        fans postings out to queries). Returns (query_id, id,
+        n_terms_hit, score) — same scoring as the ad-hoc
+        ``bm25_topk_batch`` (pinned by test), same per-query
+        partitioned-window cut."""
+        from pyspark.sql import Window
+
+        terms_by_q = {int(q): query_terms(t) for q, t in queries.items()}
+        if not terms_by_q or any(not ts for ts in terms_by_q.values()):
+            raise ValueError("search_batch: every query needs ≥1 indexable term")
+        all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+        qterms = self.spark.createDataFrame(
+            [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
+            ["query_id", "t"],
+        )
+        postings = (
+            self.spark.read.parquet(os.path.join(self.root, "postings"))
+            .where(F.col("t").isin(all_terms))
+        )
+        dfreq = (
+            self.spark.read.parquet(os.path.join(self.root, "dfreq"))
+            .where(F.col("t").isin(all_terms))
+        )
+        j = postings.join(F.broadcast(dfreq), on="t").join(
+            F.broadcast(qterms), on="t"
+        )
+        ts = bm25_term_score(
+            k1=k1, b=b,
+            n_docs=F.lit(self.n_docs), total_dl=F.lit(self.total_dl),
+            tf=F.col("tf"), df=F.col("df"), dl=F.col("dl"),
+        )
+        per_term = j.select(
+            F.col("query_id"), F.col(self.id_col),
+            F.col("t").alias("_t"), ts.alias("_ts"),
+        )
+        scored = bm25_fold(["query_id", self.id_col], per_term)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                "query_id",
+                F.col(self.id_col),
+                "n_terms_hit",
+                F.round("score", 4).alias("score"),
+            )
+        )
+
     def search(
         self,
         query: str,

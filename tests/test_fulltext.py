@@ -379,3 +379,14 @@ def test_collection_hybrid_text_search(spark, tmp_path):
     # deterministic
     again = coll.search_hybrid_text(idx, "vector hash join dup", qv).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_textindex_batch_equals_adhoc_batch(spark, tmp_path):
+    from coltt_spark.textindex import TextIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "tib"))
+    qs = {0: "vector hash join dup", 1: "stream window agg"}
+    adhoc = sorted(map(tuple, bm25_topk_batch(docs, "doc_id", "text", qs, k=5).collect()))
+    served = sorted(map(tuple, idx.search_batch(qs, k=5).collect()))
+    assert adhoc == served
