@@ -86,14 +86,9 @@ def hll_distinct(
         *[F.col(g) for g in group_cols],
         F.col(key_col),
         F.col("_h").bitwiseAND(F.lit(_M - 1)).alias("_bucket"),
-        F.shiftright(F.col("_h"), 8).alias("_v"),
+        hll_rho(F.col("_h")).alias("_rho"),
     )
-    # Leading-zero rank of the 52-bit remainder: 53 - bitlength(v).
-    # bin() emits the minimal binary string in both engines, so the
-    # only leading zero is v=0's lone '0' — stripping it maps v=0 to
-    # length 0, i.e. rank 53 (all bits zero). The oracle's
-    # ltrim(bin(v), '0') computes the same value.
-    rho = F.lit(53) - F.length(F.regexp_replace(F.bin(F.col("_v")), "^0+", ""))
+    rho = F.col("_rho")
     exact_aggs = (
         [F.countDistinct(F.col(key_col)).alias("_exact")] if include_exact else []
     )
@@ -102,14 +97,40 @@ def hll_distinct(
         F.count(F.lit(1)).alias("_c"),
         *exact_aggs,
     )
-    # Empty registers in closed form — no bucket grid, no join, no
-    # second walk of the aggregation lineage: an observed bucket
-    # always has rank ≥ 1 (bitlen(v) ≤ 52), so the zero registers are
-    # exactly the m − |observed| missing buckets, each contributing
-    # 2^-0 = 1.0 to the harmonic sum. The observed part folds in
-    # bucket order; adding the (m − |observed|)·1.0 remainder is one
-    # final add of an exact integer-valued double, mirrored verbatim
-    # by the oracle.
+    return hll_finalize(reg, group_cols, include_exact=include_exact)
+
+
+def hll_rho(h: Column) -> Column:
+    """Leading-zero rank of a 60-bit hash's 52-bit remainder:
+    53 − bitlength(h >> 8). bin() emits the minimal binary string in
+    both engines, so the only leading zero is v=0's lone '0' —
+    stripping it maps v=0 to length 0, i.e. rank 53 (all bits zero).
+    The oracle's ``53 - length(ltrim(bin(h >> 8), '0'))`` computes
+    the same value."""
+    return F.lit(53) - F.length(
+        F.regexp_replace(F.bin(F.shiftright(h, 8)), "^0+", "")
+    )
+
+
+def hll_finalize(
+    reg: DataFrame,
+    group_cols: list[str],
+    *,
+    include_exact: bool = False,
+) -> DataFrame:
+    """Estimate from a register table (group…, _bucket, _m, _c[,
+    _exact]) — the shared back half of the batch and streaming HLL
+    paths (streaming builds the registers incrementally in the state
+    store; this finalizes the replayed table).
+
+    Empty registers in closed form — no bucket grid, no join, no
+    second walk of the aggregation lineage: an observed bucket
+    always has rank ≥ 1 (bitlen(v) ≤ 52), so the zero registers are
+    exactly the m − |observed| missing buckets, each contributing
+    2^-0 = 1.0 to the harmonic sum. The observed part folds in
+    bucket order; adding the (m − |observed|)·1.0 remainder is one
+    final add of an exact integer-valued double, mirrored verbatim
+    by the oracle."""
     arr = F.sort_array(F.collect_list(F.struct("_bucket", "_m")))
     s_obs = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc + F.pow(F.lit(2.0), -x["_m"])

@@ -1488,7 +1488,11 @@ _KEY_ORDER = [
     # bm25_topk_batch / hybrid_rrf share bm25_search's scoring core
     # (B=1 equivalence + exact-integer fusion pinned by tests);
     # freq_sketch is integer-only arithmetic — the three lowest-risk
-    # new entries yield their slots to the r3-touched search paths
+    # new entries yield their slots to the r3-touched search paths.
+    # stream_distinct composes two in-window-verified pieces (the
+    # streaming window machinery and the HLL estimator) — first in
+    # line for the round-4 window.
+    "stream_distinct",
     "bm25_topk_batch",
     "hybrid_rrf",
     "freq_sketch",

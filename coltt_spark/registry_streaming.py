@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from coltt_spark.registry_analytics import _ORACLE_EVENTS_HOURLY
 from coltt_spark.streaming import (
+    distinct_users_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
@@ -224,8 +225,54 @@ FROM events l JOIN events r
 """
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: per-hour HLL registers built in the
+    state store (max-mergeable across micro-batches), replayed to
+    completion, then finalized batch-side — the oracle replays the
+    whole estimator per hour in SQL."""
+    from coltt_spark.operators.sketch import hll_finalize
+
+    reg = run_to_memory(
+        distinct_users_stream(read_events_stream(spark, sf_dir)),
+        f"q_stream_distinct_{next(_MEM_SEQ)}",
+    )
+    return hll_finalize(reg, ["hour"])
+
+
+def _stream_distinct_oracle() -> str:
+    from coltt_spark.operators.sketch import ALPHA_256
+
+    a = f"CAST({ALPHA_256!r} AS DOUBLE)"
+    return f"""
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT hour, h & 255 AS bucket,
+         max(53 - length(ltrim(bin(h >> 8), '0'))) AS m,
+         count(*) AS c
+  FROM h GROUP BY hour, bucket
+),
+s AS (
+  SELECT hour, CAST(sum(c) AS BIGINT) AS n_rows,
+         list_sum(list(power(2.0, -m) ORDER BY bucket))
+           + CAST(256 - count(*) AS DOUBLE) AS s,
+         256 - count(*) AS v0
+  FROM reg GROUP BY hour
+)
+SELECT hour, n_rows,
+       round(CASE WHEN ({a} * 65536.0 / s) <= 640.0 AND v0 > 0
+                  THEN 256.0 * ln(256.0 / v0)
+                  ELSE {a} * 65536.0 / s END, 4) AS hll_distinct
+FROM s
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "stream_distinct": q_stream_distinct,
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_ingest": q_stream_ingest,
@@ -234,6 +281,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 STREAMING_ORACLES: dict[str, str] = {
     "stream_hourly": _ORACLE_EVENTS_HOURLY,
+    "stream_distinct": _stream_distinct_oracle(),
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_ingest": _ORACLE_STREAM_INGEST,

@@ -1,4 +1,5 @@
 from coltt_spark.streaming.events import (
+    distinct_users_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
@@ -8,6 +9,7 @@ from coltt_spark.streaming.events import (
 from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
 
 __all__ = [
+    "distinct_users_stream",
     "hourly_counts_stream",
     "read_events_stream",
     "read_table_stream",

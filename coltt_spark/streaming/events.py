@@ -187,3 +187,37 @@ def interval_join_stream(
         F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
+
+
+def distinct_users_stream(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-hour HLL register build as a watermarked streaming
+    aggregation — the streaming-cardinality classic: state per
+    window is the 256-register file (max is the merge operator, so
+    micro-batches fold into the state store associatively), never
+    the distinct keys themselves. Emits (hour, _bucket, _m, _c)
+    register rows; finalize the replayed table with
+    :func:`coltt_spark.operators.sketch.hll_finalize`."""
+    from coltt_spark.functions.text import hash60
+    from coltt_spark.operators.sketch import hll_rho
+
+    hashed = events.where(F.col("user_id").isNotNull()).select(
+        "ts", hash60(F.col("user_id").cast("string")).alias("_h")
+    )
+    rows = hashed.select(
+        "ts",
+        F.col("_h").bitwiseAND(F.lit(255)).alias("_bucket"),
+        hll_rho(F.col("_h")).alias("_rho"),
+    )
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("_bucket"))
+        .agg(F.max("_rho").alias("_m"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "_bucket",
+            "_m",
+            "_c",
+        )
+    )
