@@ -347,3 +347,49 @@ def quantile_histogram(
     )
     est = F.col("_bin") * F.lit(bin_width) + F.lit(bin_width / 2.0)
     return picked.select("q", "n_rows", F.round(est, 4).alias("est"))
+
+
+def quantile_finalize(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    *,
+    bin_width: float = QS_BIN_WIDTH,
+) -> DataFrame:
+    """Per-group quantile estimates from a (group…, bin, n) histogram
+    — the shared back half of the batch and streaming histogram
+    sketches (streaming accumulates per-window bin counts in the
+    state store by addition; this finalizes the replayed table).
+    Returns (group…, q, n_rows, est); windows are PARTITIONED by the
+    group columns over the bounded per-group histogram."""
+    if not qs:
+        raise ValueError("quantile_finalize: no quantiles requested")
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w_run).alias("cum"),
+        F.sum("n").over(w_all).alias("n_rows"),
+    )
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    picked = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
+        .groupBy(*group_cols, "q", "n_rows")
+        .agg(F.min("bin").alias("_bin"))
+    )
+    est = F.col("_bin") * F.lit(bin_width) + F.lit(bin_width / 2.0)
+    return picked.select(
+        *group_cols, "q", "n_rows", F.round(est, 4).alias("est")
+    )

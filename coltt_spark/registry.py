@@ -1489,10 +1489,11 @@ _KEY_ORDER = [
     # (B=1 equivalence + exact-integer fusion pinned by tests);
     # freq_sketch is integer-only arithmetic — the three lowest-risk
     # new entries yield their slots to the r3-touched search paths.
-    # stream_distinct composes two in-window-verified pieces (the
-    # streaming window machinery and the HLL estimator) — first in
-    # line for the round-4 window.
+    # stream_distinct / stream_quantile compose in-window-verified
+    # pieces (the streaming window machinery + the shared sketch
+    # estimators) — first in line for the round-4 window.
     "stream_distinct",
+    "stream_quantile",
     "bm25_topk_batch",
     "hybrid_rrf",
     "freq_sketch",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from coltt_spark.registry_analytics import _ORACLE_EVENTS_HOURLY
 from coltt_spark.streaming import (
     distinct_users_stream,
+    value_histogram_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
@@ -270,9 +271,49 @@ FROM s
 """
 
 
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentiles: per-hour value histograms accumulated
+    in the state store (bin counts sum-merge across micro-batches),
+    replayed and finalized through the shared histogram-quantile
+    estimator — the per-window latency/value percentile dashboard
+    staple."""
+    from coltt_spark.operators.sketch import quantile_finalize
+
+    hist = run_to_memory(
+        value_histogram_stream(read_events_stream(spark, sf_dir)),
+        f"q_stream_quantile_{next(_MEM_SEQ)}",
+    )
+    return quantile_finalize(hist, ["hour"], [0.5, 0.9], bin_width=8.0)
+
+
+_ORACLE_STREAM_QUANTILE = """
+WITH hist AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         CAST(floor(value / 8.0) AS BIGINT) AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT hour, bin,
+         sum(n) OVER (PARTITION BY hour ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(n) OVER (PARTITION BY hour) AS BIGINT) AS n_rows
+  FROM hist
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9)) v(q)),
+picked AS (
+  SELECT hour, q, n_rows, min(bin) AS b
+  FROM cum, qs
+  WHERE cum >= ceil(q * n_rows)
+  GROUP BY hour, q, n_rows
+)
+SELECT hour, q, n_rows, round(b * 8.0 + 4.0, 4) AS est FROM picked
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_distinct": q_stream_distinct,
+    "stream_quantile": q_stream_quantile,
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_ingest": q_stream_ingest,
@@ -282,6 +323,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 STREAMING_ORACLES: dict[str, str] = {
     "stream_hourly": _ORACLE_EVENTS_HOURLY,
     "stream_distinct": _stream_distinct_oracle(),
+    "stream_quantile": _ORACLE_STREAM_QUANTILE,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_ingest": _ORACLE_STREAM_INGEST,

@@ -5,6 +5,7 @@ from coltt_spark.streaming.events import (
     run_to_memory,
     session_stream,
     stream_dedup,
+    value_histogram_stream,
 )
 from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
 
@@ -17,4 +18,5 @@ __all__ = [
     "session_stream",
     "stream_dedup",
     "stream_upsert",
+    "value_histogram_stream",
 ]

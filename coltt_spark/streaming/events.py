@@ -221,3 +221,29 @@ def distinct_users_stream(
             "_c",
         )
     )
+
+
+def value_histogram_stream(
+    events: DataFrame, *, bin_width: float = 8.0, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-hour value histogram as a watermarked streaming
+    aggregation — state per window is the bounded bin table (counts
+    sum-merge across micro-batches), never the raw values. Finalize
+    the replayed (hour, bin, n) table with
+    :func:`coltt_spark.operators.sketch.quantile_finalize` for
+    streaming percentiles. Power-of-two ``bin_width`` keeps bin
+    assignment bit-identical across engines (NULL values dropped,
+    SQL percentile semantics)."""
+    rows = events.where(F.col("value").isNotNull()).select(
+        "ts", F.floor(F.col("value") / F.lit(bin_width)).alias("bin")
+    )
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "bin",
+            "n",
+        )
+    )
