@@ -715,9 +715,22 @@ class Collection:
             limit=candidates,
         )
         vec_ranked = _ranked(vec, pk, F.col("dist").asc(), candidates)
-        lex = text_index.search(query_text, top_k=candidates)
+        # raw scores: rank by the unrounded double so display-rounding
+        # ties cannot reshuffle ranks vs the oracle-verified ad-hoc
+        # fusion
+        lex = text_index.search(query_text, top_k=candidates, raw_scores=True)
         if text_index.id_col != pk:
             lex = lex.withColumnRenamed(text_index.id_col, pk)
+        lex_type = dict(lex.dtypes)[pk]
+        vec_type = dict(vec.dtypes)[pk]
+        if lex_type != vec_type:
+            # a silent type coercion would NULL the join keys and
+            # degenerate the fusion into two disjoint lists
+            raise ValueError(
+                f"search_hybrid_text: text index id type {lex_type!r} != "
+                f"collection pk type {vec_type!r} — build the index with "
+                f"ids cast to the collection's primary-key type"
+            )
         lex_ranked = _ranked(lex, pk, F.col("score").desc(), candidates)
         fused = rrf_fuse([lex_ranked, vec_ranked], pk, top_k=top_k)
         return fused.select(

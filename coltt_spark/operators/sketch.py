@@ -310,8 +310,6 @@ def quantile_histogram(
     ``bin·w + w/2`` are reproducible double arithmetic, so the whole
     sketch is oracle-checkable.
     """
-    if not qs:
-        raise ValueError("quantile_histogram: no quantiles requested")
     # NULLs are invisible to SQL percentile semantics — drop them
     # before binning (they would otherwise sort as the smallest bin
     # in Spark and the largest in engines that order NULLS LAST,
@@ -322,31 +320,10 @@ def quantile_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
-    # cumulative walk over the ≤ (range/width)-row histogram — a
-    # bounded table, not a data-sized global window. The grand total
-    # rides in the SAME window stage (full-frame sum over the same
-    # ordering), so the corpus aggregation runs exactly once — no
-    # second walk of the scan lineage for a separate total.
-    w_run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "bin",
-        F.sum("n").over(w_run).alias("cum"),
-        F.sum("n").over(w_all).alias("n_rows"),
-    )
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
-    picked = (
-        cum.crossJoin(F.broadcast(qdf))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
-        .groupBy("q", "n_rows")
-        .agg(F.min("bin").alias("_bin"))
-    )
-    est = F.col("_bin") * F.lit(bin_width) + F.lit(bin_width / 2.0)
-    return picked.select("q", "n_rows", F.round(est, 4).alias("est"))
+    # the ungrouped case of the shared estimator: one bounded-window
+    # stage carries both the cumulative walk and the grand total, so
+    # the corpus aggregation runs exactly once
+    return quantile_finalize(hist, [], qs, bin_width=bin_width)
 
 
 def quantile_finalize(

@@ -1425,8 +1425,12 @@ ORACLES.update(FULLTEXT_ORACLES)
 # (e.g. knn_wide/knn_block re-verify knn_cosine through other layouts) sit
 # past the window — they remain fully oracle-checked by the local gate
 # (tests/test_oracle_parity.py) every run. A new registry entry MUST be
-# added to _KEY_ORDER explicitly (inside the window) — the reorder below
-# fails loudly otherwise, and test_registry_order pins the contract.
+# added to _KEY_ORDER explicitly — inside the window when a
+# lower-priority slot exists; when the window is already full of
+# never-driver-checked entries, FIRST past the boundary with a
+# rotation-ledger note (CLAUDE.md) marking it next-round priority.
+# The reorder below fails loudly on a missing name, and
+# test_registry_order pins the contract.
 
 _DRIVER_WINDOW = 50
 

@@ -200,14 +200,16 @@ def distinct_users_stream(
     register rows; finalize the replayed table with
     :func:`coltt_spark.operators.sketch.hll_finalize`."""
     from coltt_spark.functions.text import hash60
-    from coltt_spark.operators.sketch import hll_rho
+    from coltt_spark.operators.sketch import _M, hll_rho
 
     hashed = events.where(F.col("user_id").isNotNull()).select(
         "ts", hash60(F.col("user_id").cast("string")).alias("_h")
     )
     rows = hashed.select(
         "ts",
-        F.col("_h").bitwiseAND(F.lit(255)).alias("_bucket"),
+        # mask derives from the estimator's register count — raising
+        # sketch._M retunes batch and streaming together
+        F.col("_h").bitwiseAND(F.lit(_M - 1)).alias("_bucket"),
         hll_rho(F.col("_h")).alias("_rho"),
     )
     return (

@@ -171,26 +171,19 @@ class TextIndex:
 
     # -- serve ---------------------------------------------------------
 
-    def search_batch(
-        self,
-        queries: dict[int, str],
-        *,
-        k: int = 10,
-        k1: float = BM25_K1,
-        b: float = BM25_B,
+    def _scored(
+        self, terms_by_q: dict[int, list[str]], *, k1: float, b: float
     ) -> DataFrame:
-        """Batch serving from the index: top-k per query for B
-        queries in ONE pruned postings read (the union of all query
-        terms prunes the scan; the broadcast (query_id, term) table
-        fans postings out to queries). Returns (query_id, id,
-        n_terms_hit, score) — same scoring as the ad-hoc
-        ``bm25_topk_batch`` (pinned by test), same per-query
-        partitioned-window cut."""
-        from pyspark.sql import Window
-
-        terms_by_q = {int(q): query_terms(t) for q, t in queries.items()}
+        """Shared serving front: ONE pruned postings read for the
+        union of all query terms, broadcast dfreq + (query_id, term)
+        fan-out, the shared term-score expression, sorted-term fold.
+        Returns (query_id, id, n_terms_hit, score) with the RAW
+        double score — both cut strategies (TakeOrdered single /
+        partitioned-window batch) and the hybrid's raw ranking build
+        on this one implementation, so the serving recipe cannot
+        drift between paths."""
         if not terms_by_q or any(not ts for ts in terms_by_q.values()):
-            raise ValueError("search_batch: every query needs ≥1 indexable term")
+            raise ValueError("TextIndex: every query needs ≥1 indexable term")
         all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
         qterms = self.spark.createDataFrame(
             [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
@@ -216,7 +209,25 @@ class TextIndex:
             F.col("query_id"), F.col(self.id_col),
             F.col("t").alias("_t"), ts.alias("_ts"),
         )
-        scored = bm25_fold(["query_id", self.id_col], per_term)
+        return bm25_fold(["query_id", self.id_col], per_term)
+
+    def search_batch(
+        self,
+        queries: dict[int, str],
+        *,
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Batch serving from the index: top-k per query for B
+        queries in ONE pruned postings read. Returns (query_id, id,
+        n_terms_hit, score) — same scoring as the ad-hoc
+        ``bm25_topk_batch`` (pinned by test), per-query
+        partitioned-window cut."""
+        from pyspark.sql import Window
+
+        terms_by_q = {int(q): query_terms(t) for q, t in queries.items()}
+        scored = self._scored(terms_by_q, k1=k1, b=b)
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col(self.id_col).asc()
         )
@@ -238,37 +249,21 @@ class TextIndex:
         top_k: int = 10,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        raw_scores: bool = False,
     ) -> DataFrame:
         """Top-k BM25 from the index: same output columns and
         bit-identical scores as the ad-hoc ``bm25_search`` — but the
-        only data read is the pruned postings of the query terms."""
-        terms = query_terms(query)
-        if not terms:
-            raise ValueError("TextIndex.search: query has no indexable terms")
-        postings = (
-            self.spark.read.parquet(os.path.join(self.root, "postings"))
-            .where(F.col("t").isin(terms))
+        only data read is the pruned postings of the query terms;
+        the cut is a TakeOrderedAndProject over the raw scores.
+        ``raw_scores=True`` skips the 4-decimal display rounding —
+        rank consumers (RRF fusion) order by the raw double so
+        rounding ties cannot reshuffle ranks."""
+        scored = self._scored({0: query_terms(query)}, k1=k1, b=b)
+        out_score = (
+            F.col("score") if raw_scores else F.round("score", 4).alias("score")
         )
-        dfreq = (
-            self.spark.read.parquet(os.path.join(self.root, "dfreq"))
-            .where(F.col("t").isin(terms))
-        )
-        j = postings.join(F.broadcast(dfreq), on="t")
-        ts = bm25_term_score(
-            k1=k1, b=b,
-            n_docs=F.lit(self.n_docs), total_dl=F.lit(self.total_dl),
-            tf=F.col("tf"), df=F.col("df"), dl=F.col("dl"),
-        )
-        per_term = j.select(
-            F.col(self.id_col), F.col("t").alias("_t"), ts.alias("_ts")
-        )
-        scored = bm25_fold([self.id_col], per_term)
         return (
             scored.orderBy(F.col("score").desc(), F.col(self.id_col).asc())
             .limit(top_k)
-            .select(
-                F.col(self.id_col),
-                "n_terms_hit",
-                F.round("score", 4).alias("score"),
-            )
+            .select(F.col(self.id_col), "n_terms_hit", out_score)
         )
