@@ -546,12 +546,10 @@ def _scan_block_grouped(
     # every row tied AT each group's per_group-th distance (surrogate
     # ids need not order like the primary key) — the caller's keyed
     # merge window resolves boundary ties by pk exactly.
-    gb = g_sorted.groupby(g_sorted, sort=False, dropna=False)
     thr = d_sorted.groupby(g_sorted, sort=False, dropna=False).transform(
         lambda x: x.iloc[min(per_group, len(x)) - 1]
     ).to_numpy()
     keep_pos = d_sorted.to_numpy() <= thr
-    del gb
     sel = alive[keep_pos]
     out = {id_alias: ids[sel], "dist": D[sel].astype(np.float64)}
     pdf = pd.DataFrame(out)
@@ -711,9 +709,14 @@ def block_index_topk_batch(
     """Batched KNN over a written block index: all B queries answered
     in ONE job, one BLAS ``X @ Q.T`` matmul per file — per-query cost
     amortizes toward pure memory bandwidth as B grows. Returns
-    (query_id, id, dist), top-k per query via a k·n_tasks·B-row
-    window (tiny). This is the bulk-serving shape: embed a batch,
-    answer the batch.
+    (query_id, id, dist): the top-k per query PLUS every row tied at
+    the k-th distance (rank(), intra-tie order unspecified) — block
+    ids are storage surrogates that need not order like the caller's
+    primary key, so boundary ties are surfaced for the caller to
+    resolve with its own tie-break key; callers wanting exactly k cut
+    again (the collection batch path does). The merge is a
+    k·n_tasks·B-row window (tiny). This is the bulk-serving shape:
+    embed a batch, answer the batch.
 
     ``payload_filter`` (``fn(pa.Table) -> bool ndarray``) restricts
     every query of the batch to the matching rows, evaluated
