@@ -79,7 +79,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         ),
     )
     import shutil
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     # packed block-matrix layout: ~32k vectors per row as one
     # contiguous f32 buffer, one BLAS matvec per block
@@ -99,7 +99,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     # data is read through the shared OS page cache)
     from coltt_spark.operators.blocks import block_index_topk_batch
 
-    bidx_dir = tempfile.mkdtemp(prefix="coltt_block_idx_")
+    bidx_dir = scratch_dir(prefix="coltt_block_idx_")
     t0 = time.perf_counter()
     write_block_index(blocks, bidx_dir)
     block_build_sec = round(time.perf_counter() - t0, 4)
@@ -136,7 +136,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "vec_id", F.concat("embedding", "embedding").alias("embedding")
     )
     q128 = q + q
-    bidx128 = tempfile.mkdtemp(prefix="coltt_block_idx128_")
+    bidx128 = scratch_dir(prefix="coltt_block_idx128_")
     write_block_index(
         pack_blocks(corpus128, id_col="vec_id", vec_col="embedding", dim=128),
         bidx128,
@@ -166,7 +166,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
 
-    wh = tempfile.mkdtemp(prefix="coltt_wh_bench_")
+    wh = scratch_dir(prefix="coltt_wh_bench_")
     t0 = time.perf_counter()
     coll = Catalog(spark, wh).create_collection(
         "bench_blocks",
@@ -237,7 +237,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     assigned, Cn = ivf_build(
         corpus, id_col="vec_id", vec_col="embedding", n_centroids=64
     )
-    idx_dir = tempfile.mkdtemp(prefix="coltt_ivf_idx_")
+    idx_dir = scratch_dir(prefix="coltt_ivf_idx_")
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(idx_dir)
     ivf_build_sec = round(time.perf_counter() - t0, 4)
     idx = spark.read.parquet(idx_dir)

@@ -735,8 +735,8 @@ class Collection:
         fused = rrf_fuse([lex_ranked, vec_ranked], pk, top_k=top_k)
         return fused.select(
             F.col(pk),
-            F.coalesce(F.col("_r0"), F.lit(0)).alias("bm25_rank"),
-            F.coalesce(F.col("_r1"), F.lit(0)).alias("vec_rank"),
+            F.coalesce(F.col("rank_0"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("rank_1"), F.lit(0)).alias("vec_rank"),
             F.round("rrf_score", 4).alias("rrf_score"),
         )
 

@@ -285,16 +285,20 @@ def rrf_fuse(
     with columns (id, rank)): score = Σ 1/(rrf_k + rank) over the
     lists that contain the document. Rank arithmetic is exact
     integer→double division, so fusion is bit-reproducible on any
-    engine regardless of how the underlying scores were computed."""
+    engine regardless of how the underlying scores were computed.
+
+    Output schema is a stable public contract: ``(id_col, rank_0 ..
+    rank_{n-1}, rrf_score)`` with ``rank_i`` = the document's rank in
+    ``rankings[i]`` (NULL when absent from that list)."""
     if not rankings:
         raise ValueError("rrf_fuse: no rankings to fuse")
     fused = None
     for i, r in enumerate(rankings):
-        part = r.select(F.col(id_col), F.col("rank").alias(f"_r{i}"))
+        part = r.select(F.col(id_col), F.col("rank").alias(f"rank_{i}"))
         fused = part if fused is None else fused.join(part, on=id_col, how="full")
     contribs = [
         F.coalesce(
-            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"_r{i}")), F.lit(0.0)
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")), F.lit(0.0)
         )
         for i in range(len(rankings))
     ]
@@ -304,7 +308,7 @@ def rrf_fuse(
     return (
         fused.select(
             F.col(id_col),
-            *[F.col(f"_r{i}") for i in range(len(rankings))],
+            *[F.col(f"rank_{i}") for i in range(len(rankings))],
             score.alias("rrf_score"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
@@ -354,7 +358,7 @@ def hybrid_rrf_search(
     fused = rrf_fuse([lex_ranked, vec_ranked], doc_id, top_k=top_k)
     return fused.select(
         F.col(doc_id),
-        F.coalesce(F.col("_r0"), F.lit(0)).alias("bm25_rank"),
-        F.coalesce(F.col("_r1"), F.lit(0)).alias("vec_rank"),
+        F.coalesce(F.col("rank_0"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("rank_1"), F.lit(0)).alias("vec_rank"),
         F.round("rrf_score", 4).alias("rrf_score"),
     )

@@ -368,7 +368,7 @@ def _embeddings_collection(spark: SparkSession, sf_dir: str):
     Deterministic: same final state every run — so the built fixture
     is cached per sf_dir and shared by the queries that read it (the
     measured work is the query, not re-ingesting the same batch)."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -378,7 +378,7 @@ def _embeddings_collection(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_"))
+    cat = Catalog(spark, scratch_dir(prefix="coltt_wh_"))
     coll = cat.create_collection(
         "emb",
         dim=dim,
@@ -503,7 +503,7 @@ def _blocks_collection(spark: SparkSession, sf_dir: str):
     """Cached layout="blocks" collection over the embeddings table
     (float64 blocks for oracle parity): upsert_df ingest, flush packs
     the written block index."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -511,7 +511,7 @@ def _blocks_collection(spark: SparkSession, sf_dir: str):
     if (sf_dir, "blocks") not in _COLL_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_blk_"))
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_blk_"))
         coll = cat.create_collection(
             "emb_blocks",
             dim=dim,
@@ -623,7 +623,7 @@ def _delta_blocks_collection(spark: SparkSession, sf_dir: str):
     label+100) and a filter-delete (label = 5) flushed as a DELTA —
     base block files hardlinked, only changed rows packed, superseded
     commit ids tombstoned (catalog.Collection._flush_delta)."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -631,7 +631,7 @@ def _delta_blocks_collection(spark: SparkSession, sf_dir: str):
     if (sf_dir, "blocks_delta") not in _COLL_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_delta_"))
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_delta_"))
         coll = cat.create_collection(
             "emb_delta",
             dim=dim,
@@ -706,7 +706,7 @@ def _ivf_collection(spark: SparkSession, sf_dir: str):
     """Cached ``layout="ivf"`` cosine collection over the embeddings
     table — flush builds the md5-seeded, Lloyd-refined IVF index
     written PARTITIONED BY centroid."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -714,7 +714,7 @@ def _ivf_collection(spark: SparkSession, sf_dir: str):
     if (sf_dir, "ivf") not in _COLL_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_ivf_"))
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_ivf_"))
         coll = cat.create_collection(
             "emb_ivf",
             dim=dim,
@@ -763,7 +763,7 @@ def _delta_ivf_collection(spark: SparkSession, sf_dir: str):
     centroids FIXED, delta rows routed into the existing inverted
     lists (catalog.Collection._flush_delta_ivf), superseded commit
     ids tombstoned."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -771,7 +771,7 @@ def _delta_ivf_collection(spark: SparkSession, sf_dir: str):
     if (sf_dir, "ivf_delta") not in _COLL_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_wh_ivfd_"))
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_ivfd_"))
         coll = cat.create_collection(
             "emb_ivf_delta",
             dim=dim,
@@ -1033,7 +1033,7 @@ FROM r WHERE rn <= 5
 
 def _quantized_collection(spark: SparkSession, sf_dir: str, kind: str):
     """Cached ``kind``-quantized collection over the embeddings table."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
     from coltt_spark.schema import IndexField
@@ -1041,7 +1041,7 @@ def _quantized_collection(spark: SparkSession, sf_dir: str, kind: str):
     if (sf_dir, kind) not in _COLL_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        cat = Catalog(spark, tempfile.mkdtemp(prefix=f"coltt_wh_{kind}_"))
+        cat = Catalog(spark, scratch_dir(prefix=f"coltt_wh_{kind}_"))
         coll = cat.create_collection(
             f"emb_{kind}",
             dim=dim,
@@ -1435,75 +1435,20 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- never driver-checked before round 3 + new this round ----------
-    "media_knn",
-    "media_frames",
-    "schemaless_pure_search",
-    "schemaless_update_delete",
-    "hybrid_search",
-    "doc_chunk",
-    "decontaminate",
-    "sample_stratified",
-    "sample_fraction",
-    "source_mix",
-    "export_shards",
-    "pack_sequences",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "collection_search_blocks_filtered",  # new: filtered block fast path
-    "collection_search_blocks_delta",     # new: incremental index maintenance
-    "collection_search_ivf_delta",        # new: incremental IVF maintenance
-    "events_asof",                        # new: distributed as-of join
-    "ann_bq",                             # new: binary quantization (proto BQ)
-    "ann_pq",                             # new: product quantization (proto PQ)
-    "embed_cluster_sizes",                # new: k-means curation report
-    "sample_cluster_balanced",            # new: per-cluster quota sampling
-    "dedup_spans",                        # new: duplicated-span fraction
-    "text_repetition",                    # new: Gopher repetition signals
-    "stream_ingest",                      # new: streaming collection ingestion
-    "knn_bq",                             # new: BQ collection quantization
-    "knn_sq8",                            # new: int8 scalar quantization
-    "semantic_dedup",                     # new: SemDeDup cluster-confined dedup
-    "range_search",                       # new: radius query
-    "embed_outliers",                     # new: centroid-distance outlier prune
-    "token_vocab",                        # new: corpus token frequency top-k
-    "doc_lm_score",                       # new: unigram-LM quality scoring
-    "filter_extended",                    # new: in/between/like/not filter ops
-    "collection_time_travel",             # new: versioned snapshot read
-    "jsonl_roundtrip",                    # new: JSONL sharded sink/source
-    "ann_recall",                         # new: per-query recall@k evaluation
-    "stream_join",                        # new: stream-stream interval join
-    "collection_search_batch_filtered",   # new: filtered batch on the packed index
-    "embed_project",                      # new: JL random projection
-    "collection_search_grouped",          # new: group_by diversified search
-    "sample_temperature",                 # new: share^alpha source rebalancing
-    "bm25_search",                        # new: lexical BM25 ranking
-    "distinct_sketch",                    # new: HyperLogLog cardinality
-    "quantile_sketch",                    # new: histogram quantiles
-    "decontaminate_bloom",                # new: Bloom-filter deny list
-    "bm25_indexed",                       # new: inverted-index serving
-    # -- implementation touched this round (re-verify) -----------------
-    "collection_search_blocks",
-    "collection_search_batch",
-    "collection_search",
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier round.
-    # bm25_topk_batch / hybrid_rrf share bm25_search's scoring core
-    # (B=1 equivalence + exact-integer fusion pinned by tests);
-    # freq_sketch is integer-only arithmetic — the three lowest-risk
-    # new entries yield their slots to the r3-touched search paths.
-    # stream_distinct / stream_quantile compose in-window-verified
-    # pieces (the streaming window machinery + the shared sketch
-    # estimators) — first in line for the round-4 window.
-    "stream_distinct",
-    "stream_quantile",
-    "bm25_topk_batch",
-    "hybrid_rrf",
-    "freq_sketch",
-    "ann_lsh",
-    "dedup_canonical",
-    "dedup_simhash",
+    # -- round-4 window: the r3 rotation ledger first (5 never
+    # -- driver-checked + 3 r3-touched), then entries new this round,
+    # -- then the longest-unchecked remainder (r2-green, local-gated
+    # -- since). See CLAUDE.md "Driver-check rotation ledger".
+    "stream_distinct",       # ledger: never driver-checked (new r3)
+    "stream_quantile",       # ledger: never driver-checked (new r3)
+    "bm25_topk_batch",       # ledger: never driver-checked (new r3)
+    "hybrid_rrf",            # ledger: never driver-checked (new r3)
+    "freq_sketch",           # ledger: never driver-checked (new r3)
+    "ann_lsh",               # ledger: impl touched r3 after last check
+    "dedup_canonical",       # ledger: impl touched r3 after last check
+    "dedup_simhash",         # ledger: impl touched r3 after last check
+    "collection_hybrid_text",  # new r4: composed product hybrid path
+    # -- longest-unchecked remainder (driver-green r2) ----------------
     "knn_cosine",
     "upsert_delete",
     "filter_coercion",
@@ -1531,10 +1476,7 @@ _KEY_ORDER = [
     "media_metadata",
     "knn_f16",
     "ann_topk_batch",
-    "knn_euclidean",
-    "knn_manhattan",
     "knn_pagination",
-    "compare_dist",
     "knn_bf16",
     "knn_f8",
     "knn_two_phase",
@@ -1548,6 +1490,66 @@ _KEY_ORDER = [
     "events_json",
     "set_intersect",
     "media_features",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier round.
+    # knn_euclidean / knn_manhattan / compare_dist share knn_cosine's
+    # kernel and serving path (r2-green; the kernels are additionally
+    # exercised by the in-window collection entries) — they yield their
+    # slots to the rotation. The 50 r3-green entries follow in their
+    # r3 order (freshest driver signal in the ledger).
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "media_knn",
+    "media_frames",
+    "schemaless_pure_search",
+    "schemaless_update_delete",
+    "hybrid_search",
+    "doc_chunk",
+    "decontaminate",
+    "sample_stratified",
+    "sample_fraction",
+    "source_mix",
+    "export_shards",
+    "pack_sequences",
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "collection_search_blocks_filtered",
+    "collection_search_blocks_delta",
+    "collection_search_ivf_delta",
+    "events_asof",
+    "ann_bq",
+    "ann_pq",
+    "embed_cluster_sizes",
+    "sample_cluster_balanced",
+    "dedup_spans",
+    "text_repetition",
+    "stream_ingest",
+    "knn_bq",
+    "knn_sq8",
+    "semantic_dedup",
+    "range_search",
+    "embed_outliers",
+    "token_vocab",
+    "doc_lm_score",
+    "filter_extended",
+    "collection_time_travel",
+    "jsonl_roundtrip",
+    "ann_recall",
+    "stream_join",
+    "collection_search_batch_filtered",
+    "embed_project",
+    "collection_search_grouped",
+    "sample_temperature",
+    "bm25_search",
+    "distinct_sketch",
+    "quantile_sketch",
+    "decontaminate_bloom",
+    "bm25_indexed",
+    "collection_search_blocks",
+    "collection_search_batch",
+    "collection_search",
 ]
 
 

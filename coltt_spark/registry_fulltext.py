@@ -150,26 +150,33 @@ FROM r WHERE rn <= 5
 """
 
 
-#: sf_dir → built index ROOT (not the object: a TextIndex binds the
-#: SparkSession alive at construction, and a cached object would
-#: serve reads through a stopped session after a restart)
-_TEXTINDEX_CACHE: dict[str, str] = {}
+#: (sf_dir, str_ids) → built index ROOT (not the object: a TextIndex
+#: binds the SparkSession alive at construction, and a cached object
+#: would serve reads through a stopped session after a restart)
+_TEXTINDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _text_index(spark: SparkSession, sf_dir: str):
+def _text_index(spark: SparkSession, sf_dir: str, *, str_ids: bool = False):
     """Build-once inverted BM25 index fixture (cached per sf_dir) —
-    the serving configuration the bench measures lookups against."""
-    import tempfile
+    the serving configuration the bench measures lookups against.
+    ``str_ids=True`` builds the ids as strings so the index joins
+    against a string-primary-key collection (`search_hybrid_text`
+    type-checks the id/pk pairing)."""
+    from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.textindex import TextIndex
 
-    if sf_dir not in _TEXTINDEX_CACHE:
-        root = tempfile.mkdtemp(prefix="coltt_textidx_")
-        TextIndex.build(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text", root
-        )
-        _TEXTINDEX_CACHE[sf_dir] = root
-    return TextIndex(spark, _TEXTINDEX_CACHE[sf_dir])
+    key = (sf_dir, str_ids)
+    if key not in _TEXTINDEX_CACHE:
+        root = scratch_dir(prefix="coltt_textidx_")
+        docs = load_table(spark, sf_dir, "documents")
+        if str_ids:
+            docs = docs.select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            )
+        TextIndex.build(docs, "doc_id", "text", root)
+        _TEXTINDEX_CACHE[key] = root
+    return TextIndex(spark, _TEXTINDEX_CACHE[key])
 
 
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +229,62 @@ fused AS (
 )
 SELECT doc_id, bm25_rank, vec_rank, round(rrf, 4) AS rrf_score
 FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_collection_hybrid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-level hybrid serving: the ``layout="blocks"``
+    collection's packed-index KNN candidates fused with the inverted
+    BM25 index's candidates by reciprocal-rank fusion on the primary
+    key (`Collection.search_hybrid_text`, catalog.py) — the COMPOSED
+    path, not just its two independently-verified halves. The
+    reference's hybrid stops at filter ∩ candidates
+    (edge/none_vectorstore.go:182-253); this is the lexical+vector
+    fusion a modern vector DB layers on top."""
+    from coltt_spark.registry import _blocks_collection, _query_vec
+
+    coll = _blocks_collection(spark, sf_dir)
+    idx = _text_index(spark, sf_dir, str_ids=True)
+    return coll.search_hybrid_text(
+        idx, _BM25_QUERY, _query_vec(spark, sf_dir)
+    )
+
+
+#: Oracle mirrors the composed path end-to-end: BM25 candidate list
+#: (string-id tie-breaks!) + euclidean KNN candidate list over the
+#: same corpus the blocks collection packed, RRF-fused. All id
+#: ordering is VARCHAR — the collection pk is string, so '10' < '2'.
+_ORACLE_COLLECTION_HYBRID_TEXT = f"""
+WITH {_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)},
+lex_top AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, score
+  FROM agg ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 50
+),
+lexr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM lex_top
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vd AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+         sqrt(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings e, q
+),
+vec_top AS (SELECT id, dist FROM vd ORDER BY dist ASC, id ASC LIMIT 50),
+vecr AS (
+  SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS r
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(l.id, v.id) AS id,
+         coalesce(l.r, 0) AS bm25_rank, coalesce(v.r, 0) AS vec_rank,
+         coalesce(1.0 / (60.0 + l.r), 0.0)
+           + coalesce(1.0 / (60.0 + v.r), 0.0) AS rrf
+  FROM lexr l FULL JOIN vecr v ON l.id = v.id
+)
+SELECT id, bm25_rank, vec_rank, round(rrf, 4) AS rrf_score
+FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
 
 
@@ -383,6 +446,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_indexed": q_bm25_indexed,
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
+    "collection_hybrid_text": q_collection_hybrid_text,
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
     "quantile_sketch": q_quantile_sketch,
@@ -393,6 +457,7 @@ FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_indexed": _ORACLE_BM25,
     "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
+    "collection_hybrid_text": _ORACLE_COLLECTION_HYBRID_TEXT,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
     "freq_sketch": _freq_sketch_oracle(),
     "quantile_sketch": _quantile_sketch_oracle(),

@@ -250,7 +250,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5), column fidelity, and routing determinism (the read-back
     partition column equals the recomputed hash route); the oracle is
     the original table with the same derivations."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -258,7 +258,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if sf_dir not in _JSONL_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        path = tempfile.mkdtemp(prefix="coltt_jsonl_")
+        path = scratch_dir(prefix="coltt_jsonl_")
         write_jsonl_shards(docs, path, id_col="doc_id", n_shards=8)
         _JSONL_CACHE[sf_dir] = path
     back = read_jsonl(

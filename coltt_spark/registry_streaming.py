@@ -112,7 +112,7 @@ def _streamed_collection(spark: SparkSession, sf_dir: str):
     ``label+100`` so cross-stream last-writer-wins is exercised.
     Final state = the batch fixture's state before its delete, so the
     label≥100 search shares ``collection_search``'s oracle."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -125,7 +125,7 @@ def _streamed_collection(spark: SparkSession, sf_dir: str):
         return _INGEST_CACHE[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="coltt_stream_wh_"))
+    cat = Catalog(spark, scratch_dir(prefix="coltt_stream_wh_"))
     coll = cat.create_collection(
         "emb_streamed",
         dim=dim,

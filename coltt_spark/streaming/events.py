@@ -34,7 +34,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads as int64 (``nanosAsLong``) and needs a micros conversion,
     TIMESTAMP(MICROS) reads as a timestamp directly — probe the footer
     with a batch read and mirror whatever sources/tables.py would do."""
-    import tempfile
+    from coltt_spark.tmpdirs import scratch_dir
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
@@ -42,7 +42,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ck not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
         _SCHEMA_CACHE[ck] = spark.read.parquet(path).schema
     batch_schema = _SCHEMA_CACHE[ck]
-    stage = tempfile.mkdtemp(prefix="coltt_stream_")
+    stage = scratch_dir(prefix="coltt_stream_")
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)

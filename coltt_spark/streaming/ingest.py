@@ -21,7 +21,7 @@ from the checkpoint.
 from __future__ import annotations
 
 import os
-import tempfile
+from coltt_spark.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,7 +38,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     ck = (path, os.stat(path).st_mtime_ns)
     if ck not in _SCHEMA_CACHE:  # footer probe costs a job — do it once
         _SCHEMA_CACHE[ck] = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix=f"coltt_stream_{table}_")
+    stage = scratch_dir(prefix=f"coltt_stream_{table}_")
     link = os.path.join(stage, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
@@ -59,7 +59,7 @@ def stream_upsert(records: DataFrame, coll) -> None:
 
     q = (
         records.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="coltt_ingest_ck_"))
+        .option("checkpointLocation", scratch_dir(prefix="coltt_ingest_ck_"))
         .trigger(availableNow=True)
         .start()
     )

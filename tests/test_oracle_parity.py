@@ -37,37 +37,54 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
+#: The round-3 rotation ledger (CLAUDE.md): entries promised a
+#: round-4 driver slot. Machine-checked against _KEY_ORDER below so
+#: the ledger promise cannot silently drift (ADVICE r3 #1).
+ROTATION_LEDGER_R4 = [
+    # never driver-checked (new in r3, placed past the r3 window)
+    "stream_distinct",
+    "stream_quantile",
+    "bm25_topk_batch",
+    "hybrid_rrf",
+    "freq_sketch",
+    # implementation touched in r3 AFTER their last driver check (r2)
+    "ann_lsh",
+    "dedup_canonical",
+    "dedup_simhash",
+]
+
+
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly, and every entry never driver-checked before round 3 (plus
-    everything new/changed this round) sits inside the window."""
+    exactly; the round-3 rotation-ledger entries lead the round-4
+    window, every entry new this round is inside it, and the rest of
+    the window is the longest-unchecked (r2-green) remainder."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
-    must_check = {
-        "media_knn", "media_frames", "schemaless_pure_search",
-        "schemaless_update_delete", "hybrid_search", "doc_chunk",
-        "decontaminate", "sample_stratified", "sample_fraction",
-        "source_mix", "export_shards", "pack_sequences",
-        "stream_hourly", "stream_sessionize", "stream_dedup",
-        "collection_search_blocks_filtered", "collection_search_blocks_delta",
-        "ann_bq", "ann_pq", "embed_cluster_sizes", "sample_cluster_balanced",
-        "dedup_spans", "text_repetition", "stream_ingest", "knn_bq",
-        "sample_temperature", "knn_sq8", "semantic_dedup", "range_search",
-        "embed_outliers", "token_vocab", "collection_search_ivf_delta",
-        "events_asof", "doc_lm_score", "filter_extended",
-        "collection_time_travel", "jsonl_roundtrip", "ann_recall",
-        "stream_join", "collection_search_batch_filtered", "embed_project",
-        "collection_search_grouped",
-        "bm25_search", "distinct_sketch",
-        "quantile_sketch", "decontaminate_bloom", "bm25_indexed",
-        # r3-touched core search paths re-verified by the driver;
-        # bm25_topk_batch / hybrid_rrf / freq_sketch ceded their
-        # window slots (shared scoring core / exact-integer paths,
-        # equivalence pinned by tests)
-        "collection_search_blocks", "collection_search_batch",
-        "collection_search",
+    # ledger entries lead the window, in ledger order
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R4)] == ROTATION_LEDGER_R4
+    must_check = set(ROTATION_LEDGER_R4) | {
+        # new this round (driver has never seen them)
+        "collection_hybrid_text",
+        # longest-unchecked: last driver signal is r2 for all of
+        # these; r3 spent its window on the 42 new-since-r2 entries
+        "knn_cosine", "upsert_delete", "filter_coercion", "knn_filtered",
+        "filter_search", "multi_vector_search", "collection_search_ivf",
+        "collection_hybrid_ivf", "dedup_minhash_lsh", "ann_ivf",
+        "neardup_cosine", "dedup_exact", "dedup_groups",
+        "dedup_ngram_jaccard", "text_lang_id", "text_quality",
+        "token_count", "doc_fingerprint", "pricing_summary",
+        "region_revenue", "window_top_orders", "cube_revenue",
+        "price_percentiles", "events_hourly", "media_metadata",
+        "knn_f16", "ann_topk_batch", "knn_two_phase", "knn_wide",
+        "knn_block", "dedup_containment", "ann_topk_blas",
+        "top_revenue_orders", "rollup_revenue", "events_sessionize",
+        "events_json", "set_intersect", "media_features",
+        # knn_euclidean / knn_manhattan / compare_dist ceded their
+        # slots: they share knn_cosine's kernel and serving path and
+        # the kernels are re-exercised by in-window collection entries
     }
     assert must_check <= window, sorted(must_check - window)

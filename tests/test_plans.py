@@ -410,3 +410,21 @@ def test_bloom_decontaminate_broadcasts_bits(spark):
     )
     assert has_broadcast_hash_join(df)
     assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_hybrid_text_one_take_ordered_per_branch(spark):
+    """The composed product hybrid (`Collection.search_hybrid_text`)
+    must cut EACH candidate branch with a TakeOrderedAndProject (the
+    packed-block KNN side and the pruned-postings BM25 side) before
+    fusion — fusion itself touches only 2·K ranked rows, so the only
+    data-sized work is the two verified candidate scans."""
+    from coltt_spark.plans.inspect import executed_plan
+    from coltt_spark.registry import _blocks_collection, _query_vec
+    from coltt_spark.registry_fulltext import _BM25_QUERY, _text_index
+
+    coll = _blocks_collection(spark, SF_SMOKE)
+    idx = _text_index(spark, SF_SMOKE, str_ids=True)
+    df = coll.search_hybrid_text(idx, _BM25_QUERY, _query_vec(spark, SF_SMOKE))
+    plan = executed_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:800]
+    assert "CartesianProduct" not in plan
