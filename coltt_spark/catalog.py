@@ -835,19 +835,52 @@ class Collection:
             and not self._dirty
             and os.path.isdir(self._ivf_dir(vc))
         ):
-            from coltt_spark.operators.ann import ivf_probe
+            # batched probe over the packed inverted lists: ONE job
+            # scans the union of every query's probed lists, and each
+            # file is scored only for the queries whose probe set
+            # includes its list (file_query_ids), so every query
+            # reranks exactly its own nprobe lists — then the B·k
+            # winners join back to the snapshot for metadata and the
+            # (dist, pk) re-rank, like the blocks batch path
+            from coltt_spark.operators.blocks import (
+                block_index_topk_batch,
+                ivf_files,
+            )
 
             Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
-            assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
-            assigned = self._minus_tombstones(
-                assigned, self._tombstones_dir()
-            ).drop(_COMMIT)
-            if filter_ast is not None:
-                assigned = assigned.filter(compile_filter(assigned, filter_ast))
-            out = ivf_probe(
-                assigned, Cn, qvs, id_col=pk, vec_col=vc,
-                k=limit, nprobe=m.ivf_nprobe,
+            blocks_dir = os.path.join(self._ivf_dir(vc), "blocks")
+            file_query_ids: dict[str, list[int]] = {}
+            for qid, v in qvs.items():
+                q = np.asarray(v, dtype=np.float64)
+                q = q / max(float(np.linalg.norm(q)), 1e-30)
+                cs = [int(c) for c in np.argsort(-(Cn @ q))[: m.ivf_nprobe]]
+                for f in ivf_files(blocks_dir, cs):
+                    file_query_ids.setdefault(f, []).append(int(qid))
+            _, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
+            winners = block_index_topk_batch(
+                self.spark,
+                None,
+                qvs,
+                dim=m.dim,
+                k=limit,
                 distance="cosine_unit" if m.distance == "cosine" else m.distance,
+                dtype=m.block_dtype,
+                tombstones=tomb,
+                payload_filter=payload_filter,
+                files=sorted(file_query_ids),
+                file_query_ids=file_query_ids,
+            ).withColumnRenamed("id", _COMMIT)
+            meta = self._view.drop(*vcols)
+            joined = F.broadcast(winners).join(meta, on=_COMMIT).drop(_COMMIT)
+            from pyspark.sql import Window
+
+            wb = Window.partitionBy("query_id").orderBy(
+                F.col("dist").asc(), F.col(pk).asc()
+            )
+            out = (
+                joined.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn")
             )
             return out.withColumn("score", score_expr(m.distance, F.col("dist")))
         if (
@@ -1135,24 +1168,25 @@ class Collection:
         (loaded from the previous version — they only move on
         compact), delta rows are routed into the existing inverted
         lists with one broadcast-matmul assignment
-        (:func:`coltt_spark.operators.ann.ivf_assign`) and appended as
-        new part files INSIDE the centroid-partitioned layout, so
-        probe-time partition pruning keeps working unchanged. Base
-        index files ride along as hardlinks; superseded rows are
-        masked by the commit-id tombstones the shared delta flush just
-        wrote. Flush work is O(delta), never O(collection)."""
+        (:func:`coltt_spark.operators.ann.ivf_assign`), PACKED into
+        per-list block files (``pack_blocks(group_col="centroid")``)
+        and appended INSIDE the centroid-partitioned block layout, so
+        probe-time path pruning keeps working unchanged. Base index
+        files ride along as hardlinks; superseded rows are masked by
+        the commit-id tombstones the shared delta flush just wrote.
+        Flush work is O(delta), never O(collection)."""
         from coltt_spark.operators.ann import ivf_assign
+        from coltt_spark.operators.blocks import pack_blocks
 
         m = self.manifest
         schema = self._storage_schema()
-        pk = m.index_design.primary_key
         df = delta
         if m.quantization != "none":
             for vc in self._vector_cols():
                 df = df.withColumn(vc, dequantize(m.quantization, vc))
-        meta_cols = [
+        pcols = [
             f.name for f in schema
-            if f.name not in self._vector_cols() and f.name not in (_COMMIT, pk)
+            if f.name not in self._vector_cols() and f.name != _COMMIT
         ]
         n_files = max(1, min(
             self.spark.sparkContext.defaultParallelism,
@@ -1164,12 +1198,21 @@ class Collection:
             Cn = np.load(os.path.join(old_dir, "centroids.npy"))
             assigned = ivf_assign(
                 df.select(_COMMIT, vc), Cn, id_col=_COMMIT, vec_col=vc
-            ).join(df.select(_COMMIT, pk, *meta_cols), on=_COMMIT)
-            os.makedirs(os.path.join(new_dir, "data"), exist_ok=True)
-            _link_tree(os.path.join(old_dir, "data"), os.path.join(new_dir, "data"))
-            assigned.repartition(n_files).write.mode("append").partitionBy(
-                "centroid"
-            ).parquet(os.path.join(new_dir, "data"))
+            ).join(df.select(_COMMIT, *pcols), on=_COMMIT)
+            blocks = pack_blocks(
+                assigned.repartition(n_files, "centroid"),
+                id_col=_COMMIT,
+                vec_col=vc,
+                dim=m.dim,
+                dtype=m.block_dtype,
+                payload_cols=pcols,
+                group_col="centroid",
+            )
+            os.makedirs(os.path.join(new_dir, "blocks"), exist_ok=True)
+            _link_tree(os.path.join(old_dir, "blocks"), os.path.join(new_dir, "blocks"))
+            blocks.write.mode("append").partitionBy("centroid").parquet(
+                os.path.join(new_dir, "blocks")
+            )
             np.save(os.path.join(new_dir, "centroids.npy"), Cn)
 
     def versions(self) -> list[int]:
@@ -1242,14 +1285,22 @@ class Collection:
     def _write_ivf(self, version: int) -> None:
         """Build the IVF index for snapshot ``version``: deterministic
         md5-seeded centroids + Lloyd refinement (operators/ann.py),
-        then the assigned rows written PARTITIONED BY centroid — the
-        deployment shape where a probe's scan prunes to the
-        ``nprobe/n_centroids`` partitions it touches (the Spark
-        analogue of HNSW's sub-linear candidate generation,
-        ``core/vectorindex/hnsw.go:243-278``, by partition pruning
-        instead of graph walks). Centroids land beside the data as
-        ``centroids.npy``."""
+        then each inverted list PACKED INTO BLOCK FILES under its own
+        ``centroid=<c>/`` directory (``pack_blocks(group_col=
+        "centroid")`` + ``partitionBy`` — no block spans two lists).
+        A probe prunes by PATH (only the probed lists' files are ever
+        opened — the Spark analogue of HNSW's sub-linear candidate
+        generation, ``core/vectorindex/hnsw.go:243-278``) and scans
+        them through the same node-local decoded-matrix spool as the
+        ``blocks`` layout, so probe cost is (nprobe/n_centroids) of a
+        packed full scan instead of a per-query Parquet array decode.
+        Metadata + the primary key ride in each block's payload (and
+        the commit id is the block row id), so probes serve filters
+        and results with no second scan and delta flushes tombstone
+        superseded rows by commit id. Centroids land beside the lists
+        as ``centroids.npy``."""
         from coltt_spark.operators.ann import ivf_build
+        from coltt_spark.operators.blocks import pack_blocks
 
         m = self.manifest
         df = self.spark.read.schema(self._storage_schema()).parquet(self._data_dir(version))
@@ -1257,10 +1308,13 @@ class Collection:
             for vc in self._vector_cols():
                 df = df.withColumn(vc, dequantize(m.quantization, vc))
         pk = m.index_design.primary_key
-        meta_cols = [
+        # payload = every non-vector field in STORAGE ORDER (pk
+        # included) — must match _block_scan_plumbing's payload schema
+        pcols = [
             f.name for f in self._storage_schema()
-            if f.name not in self._vector_cols() and f.name not in (_COMMIT, pk)
+            if f.name not in self._vector_cols() and f.name != _COMMIT
         ]
+        n_files = self.spark.sparkContext.defaultParallelism
         for vc in self._vector_cols():
             assigned, Cn = ivf_build(
                 df.select(pk, vc),
@@ -1269,16 +1323,23 @@ class Collection:
                 n_centroids=m.ivf_centroids,
                 kmeans_iters=m.ivf_kmeans_iters,
             )
-            # metadata AND the commit id ride in the index (like the
-            # blocks payload), so probes serve filters + results
-            # without a second scan, and delta flushes can tombstone
-            # superseded index rows by commit id
-            assigned = assigned.join(df.select(pk, _COMMIT, *meta_cols), on=pk)
+            assigned = assigned.join(
+                df.select(_COMMIT, *pcols), on=pk
+            )
+            blocks = pack_blocks(
+                assigned.repartition(n_files, "centroid"),
+                id_col=_COMMIT,
+                vec_col=vc,
+                dim=m.dim,
+                dtype=m.block_dtype,
+                payload_cols=pcols,
+                group_col="centroid",
+            )
             out = self._ivf_dir(vc, version)
-            # data under <dir>/data keeps the partition discovery away
+            # lists under <dir>/blocks keep partition discovery away
             # from the centroids sidecar
-            assigned.write.mode("overwrite").partitionBy("centroid").parquet(
-                os.path.join(out, "data")
+            blocks.write.mode("overwrite").partitionBy("centroid").parquet(
+                os.path.join(out, "blocks")
             )
             np.save(os.path.join(out, "centroids.npy"), Cn)
 
@@ -1293,14 +1354,18 @@ class Collection:
         filter_ast: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Serve an approximate KNN from the IVF index: rank centroids
-        on the driver (k·dim floats), scan ONLY the probed centroid
-        partitions (``centroid IN (…)`` is a partition filter — the
-        files of unprobed lists are never opened) and exact-rerank
-        inside them. Metadata lives IN the index, so a metadata filter
-        (HybridSearch's intended filter ∩ candidates semantics,
-        ``core/core.go:760-839``) compiles onto the same pruned scan —
-        Catalyst pushes it into the probed files — and results come
-        back without any second scan or join."""
+        on the driver (k·dim floats), then scan ONLY the probed
+        inverted lists' PACKED BLOCK FILES (path-pruned — unprobed
+        lists' files are never opened) through the node-local spool,
+        exact-reranking inside — the same one-matvec-per-file cost
+        shape as the ``blocks`` layout, over (nprobe/n_centroids) of
+        the corpus. Metadata lives in the block payload, so a metadata
+        filter (HybridSearch's intended filter ∩ candidates semantics,
+        ``core/core.go:760-839``) evaluates as a vectorized block-local
+        mask and results come back without any second scan or join;
+        delta-superseded rows are masked by the commit-id tombstones."""
+        from coltt_spark.operators.blocks import block_index_scan, ivf_files
+
         m = self.manifest
         nprobe = nprobe or m.ivf_nprobe
         if m.distance == "cosine":
@@ -1309,22 +1374,28 @@ class Collection:
         q = np.asarray(qv, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-30)
         probes = [int(c) for c in np.argsort(-(Cn @ qn))[:nprobe]]
-        pk = m.index_design.primary_key
-        assigned = self.spark.read.parquet(os.path.join(self._ivf_dir(vc), "data"))
-        cand = assigned.filter(F.col("centroid").isin(probes))
-        # delta-maintained versions mask superseded index rows by
-        # commit id (broadcast anti-join; no-op on compacted versions)
-        cand = self._minus_tombstones(cand, self._tombstones_dir())
-        if filter_ast is not None:
-            cand = cand.filter(compile_filter(cand, filter_ast))
+        files = ivf_files(os.path.join(self._ivf_dir(vc), "blocks"), probes)
+        payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         # normalize-at-write: index rows are unit for cosine — score
         # |1 - dot| exactly like the row path (uniform across layouts
         # even when quantization perturbs stored norms)
-        dist_kind = "cosine_unit" if m.distance == "cosine" else m.distance
-        scored = cand.withColumn("dist", vector_distance(dist_kind, F.col(vc), qv)).drop(
-            vc, "centroid", _COMMIT
+        local = block_index_scan(
+            self.spark,
+            None,
+            qv,
+            dim=m.dim,
+            k=offset + limit,
+            distance="cosine_unit" if m.distance == "cosine" else m.distance,
+            dtype=m.block_dtype,
+            payload_schema=payload_schema,
+            id_alias=_COMMIT,
+            payload_filter=payload_filter,
+            tombstones=tomb,
+            files=files,
         )
-        paged = _paginate_topk(scored, limit, offset, pk)
+        paged = _paginate_topk(
+            local.drop(_COMMIT), limit, offset, m.index_design.primary_key
+        )
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
 
     def load(self) -> None:

@@ -66,6 +66,7 @@ def pack_blocks(
     block_rows: int = 32768,
     dtype: str = "float32",
     payload_cols: Sequence[str] | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Pack (id, vector[, payload…]) rows into contiguous matrix blocks.
 
@@ -78,69 +79,95 @@ def pack_blocks(
     so a scan can return winners' metadata without a second lookup.
     Block ids are unique across partitions (partition id in the high
     bits), and packing never shuffles: each partition packs locally.
-    """
+
+    ``group_col`` (an integral column, e.g. an IVF centroid id) packs
+    each group's rows into their OWN blocks — no block ever spans two
+    groups, even when a partition holds several — and emits the group
+    value as an extra block column, so a ``partitionBy(group_col)``
+    write lands every group's blocks under its own directory (the
+    inverted-list layout an IVF probe prunes by path)."""
     np_dtype = _DTYPES[dtype]
     pcols = list(payload_cols or [])
+    if group_col is not None and group_col in (*pcols, id_col, vec_col):
+        raise ValueError(f"group_col {group_col!r} collides with another role")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seq = 0
-        buf_ids: list[np.ndarray] = []
-        buf_X: list[np.ndarray] = []
-        buf_P: list[pd.DataFrame] = []
-        pending = 0
 
-        def emit(ids: np.ndarray, X: np.ndarray, P: pd.DataFrame | None) -> pd.DataFrame:
+        def emit(g, ids: np.ndarray, X: np.ndarray, P: pd.DataFrame | None) -> pd.DataFrame:
             nonlocal seq
             norms = np.linalg.norm(X, axis=1).astype(np_dtype)
-            row = pd.DataFrame(
-                {
-                    "block_id": [(pid << 32) | seq],
-                    "n": [len(ids)],
-                    "ids": [ids.astype(np.int64).tobytes()],
-                    "vecs": [np.ascontiguousarray(X, dtype=np_dtype).tobytes()],
-                    "norms": [norms.tobytes()],
-                    "payload": [_ser_payload(P) if P is not None else None],
-                }
-            )
+            row = {
+                "block_id": [(pid << 32) | seq],
+                "n": [len(ids)],
+                "ids": [ids.astype(np.int64).tobytes()],
+                "vecs": [np.ascontiguousarray(X, dtype=np_dtype).tobytes()],
+                "norms": [norms.tobytes()],
+                "payload": [_ser_payload(P) if P is not None else None],
+            }
+            if group_col is not None:
+                row[group_col] = [int(g)]
             seq += 1
-            return row
+            return pd.DataFrame(row)
+
+        # one buffer per group value (a single None-keyed buffer when
+        # ungrouped) — partitions hold few groups, so state stays tiny
+        states: dict = {}
+
+        def push(g, pdf: pd.DataFrame) -> None:
+            st = states.setdefault(g, {"ids": [], "X": [], "P": [], "n": 0})
+            st["ids"].append(pdf[id_col].to_numpy(dtype=np.int64))
+            st["X"].append(np.array(pdf[vec_col].tolist(), dtype=np_dtype))
+            if pcols:
+                st["P"].append(pdf[pcols])
+            st["n"] += len(pdf)
+
+        def drain(g, st, final: bool) -> Iterator[pd.DataFrame]:
+            while st["n"] >= block_rows or (final and st["n"] > 0):
+                ids = np.concatenate(st["ids"])
+                X = np.concatenate(st["X"], axis=0)
+                P = pd.concat(st["P"], ignore_index=True) if pcols else None
+                take = block_rows if st["n"] >= block_rows else st["n"]
+                yield emit(
+                    g, ids[:take], X[:take],
+                    P.iloc[:take] if P is not None else None,
+                )
+                st["ids"], st["X"] = [ids[take:]], [X[take:]]
+                st["P"] = (
+                    [P.iloc[take:].reset_index(drop=True)] if P is not None else []
+                )
+                st["n"] -= take
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            buf_ids.append(pdf[id_col].to_numpy(dtype=np.int64))
-            buf_X.append(np.array(pdf[vec_col].tolist(), dtype=np_dtype))
-            if pcols:
-                buf_P.append(pdf[pcols])
-            pending += len(pdf)
-            while pending >= block_rows:
-                ids = np.concatenate(buf_ids)
-                X = np.concatenate(buf_X, axis=0)
-                P = pd.concat(buf_P, ignore_index=True) if pcols else None
-                yield emit(
-                    ids[:block_rows],
-                    X[:block_rows],
-                    P.iloc[:block_rows] if P is not None else None,
-                )
-                buf_ids, buf_X = [ids[block_rows:]], [X[block_rows:]]
-                buf_P = [P.iloc[block_rows:].reset_index(drop=True)] if P is not None else []
-                pending -= block_rows
-        if pending:
-            yield emit(
-                np.concatenate(buf_ids),
-                np.concatenate(buf_X, axis=0),
-                pd.concat(buf_P, ignore_index=True) if pcols else None,
-            )
+            if group_col is None:
+                push(None, pdf)
+                yield from drain(None, states[None], False)
+            else:
+                for g, sub in pdf.groupby(group_col, sort=True):
+                    push(g, sub)
+                    yield from drain(g, states[g], False)
+        for g, st in states.items():
+            yield from drain(g, st, True)
 
+    schema = BLOCK_SCHEMA
+    extra_cols = []
+    if group_col is not None:
+        schema = T.StructType(
+            list(BLOCK_SCHEMA) + [T.StructField(group_col, T.IntegerType(), False)]
+        )
+        extra_cols = [group_col]
     src = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast(f"array<{'float' if dtype == 'float32' else 'double'}>"),
         *pcols,
+        *extra_cols,
     )
-    return src.mapInPandas(pack, BLOCK_SCHEMA)
+    return src.mapInPandas(pack, schema)
 
 
 def _block_distances(
@@ -492,6 +519,25 @@ def _index_files(path: str) -> list[str]:
     return files
 
 
+def ivf_files(path: str, centroids: Sequence[int]) -> list[str]:
+    """Block files of the probed inverted lists: a block index written
+    ``partitionBy(centroid)`` keeps each list's blocks under its own
+    ``centroid=<c>/`` directory, so probe-time pruning is pure path
+    selection — unprobed lists' files are never opened, listed once on
+    the driver. An empty list (centroid with no rows) simply has no
+    directory and contributes nothing."""
+    out: list[str] = []
+    for c in sorted({int(c) for c in centroids}):
+        d = os.path.join(path, f"centroid={c}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+    return out
+
+
 def default_max_tasks(spark: SparkSession) -> int:
     """Default task-group count for block-index scans. Local mode pays
     ~10-70 ms Python dispatch per task, so fewer, fatter tasks win;
@@ -576,9 +622,13 @@ def block_index_scan(
     tombstones: str | None = None,
     group_col: str | None = None,
     per_group: int = 1,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
-    order/limit — compose your own, e.g. a different tie-break). With
+    order/limit — compose your own, e.g. a different tie-break).
+    ``files`` restricts the scan to an explicit file subset (the IVF
+    probe path: :func:`ivf_files` of the probed centroids) instead of
+    every ``part-*`` under ``path``. With
     ``payload_schema``, each winner row carries its packed payload
     columns, so a caller gets id+dist+metadata in ONE job; pass
     ``id_alias`` when a payload column is itself named ``id``.
@@ -603,7 +653,12 @@ def block_index_scan(
     layout's one-matvec cost shape; ``k`` is ignored in that mode."""
     np_dtype = _DTYPES[dtype]
     q = np.asarray([float(x) for x in query], dtype=np_dtype)
-    fdf = _file_group_df(spark, _index_files(path), max_tasks)
+    if files is None:
+        files = _index_files(path)
+    elif not files:
+        # every probed list was empty: a valid, empty result
+        files = []
+    fdf = _file_group_df(spark, files, max_tasks) if files else None
     out_fields = [
         T.StructField(id_alias, T.LongType(), False),
         T.StructField("dist", T.DoubleType(), False),
@@ -663,6 +718,8 @@ def block_index_scan(
                         id_alias=id_alias, mask=mask,
                     )
 
+    if fdf is None:
+        return spark.createDataFrame([], out_schema)
     return fdf.mapInPandas(scan, out_schema)
 
 
@@ -677,6 +734,7 @@ def block_index_topk(
     dtype: str = "float32",
     max_tasks: int | None = None,
     tombstones: str | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """KNN over a written block index via the mmap spool cache — the
     serving path. The per-query Spark plan ships only FILE PATHS (one
@@ -685,10 +743,11 @@ def block_index_topk(
     one BLAS matvec per file and returns k rows. Nothing but file
     names and k·n_tasks result rows ever crosses the JVM↔Python or
     executor↔driver boundary, and the vector data itself is read
-    through the OS page cache."""
+    through the OS page cache. ``files`` restricts the scan to a file
+    subset (IVF probing: :func:`ivf_files`)."""
     local = block_index_scan(
         spark, path, query, dim=dim, k=k, distance=distance, dtype=dtype,
-        max_tasks=max_tasks, tombstones=tombstones,
+        max_tasks=max_tasks, tombstones=tombstones, files=files,
     )
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
 
@@ -705,6 +764,8 @@ def block_index_topk_batch(
     max_tasks: int | None = None,
     tombstones: str | None = None,
     payload_filter=None,
+    files: list[str] | None = None,
+    file_query_ids: dict[str, Sequence[int]] | None = None,
 ) -> DataFrame:
     """Batched KNN over a written block index: all B queries answered
     in ONE job, one BLAS ``X @ Q.T`` matmul per file — per-query cost
@@ -722,12 +783,26 @@ def block_index_topk_batch(
     every query of the batch to the matching rows, evaluated
     block-locally against the packed payload exactly like the
     single-query filtered scan — the batch keeps its one-matmul cost
-    shape under filters."""
+    shape under filters.
+
+    ``files`` restricts the scan to a file subset; ``file_query_ids``
+    (path → query-id subset) is the batched-IVF probe contract: each
+    file is scored ONLY for the queries whose probe set includes its
+    inverted list, so every query reranks exactly its own ``nprobe``
+    lists even though the whole batch runs as one job."""
     np_dtype = _DTYPES[dtype]
     qids = sorted(queries)
     Q = np.asarray([[float(x) for x in queries[i]] for i in qids], dtype=np_dtype)
     qid_arr = np.asarray(qids, dtype=np.int64)
-    fdf = _file_group_df(spark, _index_files(path), max_tasks)
+    qpos = {int(q): j for j, q in enumerate(qids)}
+    fq = None
+    if file_query_ids is not None:
+        fq = {
+            p: np.asarray(sorted(qpos[int(q)] for q in qs), dtype=np.int64)
+            for p, qs in file_query_ids.items()
+        }
+    if files is None:
+        files = _index_files(path)
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType(), False),
@@ -735,12 +810,22 @@ def block_index_topk_batch(
             T.StructField("dist", T.DoubleType(), False),
         ]
     )
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    fdf = _file_group_df(spark, files, max_tasks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dead = _load_tombstones(tombstones) if tombstones else None
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
+                    sub = None
+                    if fq is not None:
+                        sub = fq.get(p)
+                        if sub is None or not len(sub):
+                            continue
+                    Qf = Q if sub is None else Q[sub]
+                    qid_f = qid_arr if sub is None else qid_arr[sub]
                     ids, X, norms, _payload = _spool_file(p, dim, np_dtype)
                     n = len(ids)
                     if not n:
@@ -758,19 +843,19 @@ def block_index_topk_batch(
                         live = alive if live is None else (live & alive)
                     if distance == "manhattan":
                         D = np.stack(
-                            [np.abs(X - Q[j][None, :]).sum(axis=1) for j in range(len(qids))],
+                            [np.abs(X - Qf[j][None, :]).sum(axis=1) for j in range(len(qid_f))],
                             axis=1,
                         )
                     else:
-                        dots = X @ Q.T  # (n, B)
+                        dots = X @ Qf.T  # (n, B)
                         if distance == "cosine_unit":
-                            qn = np.linalg.norm(Q, axis=1)
+                            qn = np.linalg.norm(Qf, axis=1)
                             D = np.abs(1.0 - dots / np.maximum(qn[None, :], 1e-300))
                         elif distance == "cosine":
-                            qn = np.linalg.norm(Q, axis=1)
+                            qn = np.linalg.norm(Qf, axis=1)
                             D = np.abs(1.0 - dots / np.maximum(norms[:, None] * qn[None, :], 1e-300))
                         elif distance == "euclidean":
-                            qq = (Q.astype(np.float64) ** 2).sum(axis=1)
+                            qq = (Qf.astype(np.float64) ** 2).sum(axis=1)
                             D = np.sqrt(
                                 np.maximum(
                                     norms.astype(np.float64)[:, None] ** 2 + qq[None, :] - 2.0 * dots,
@@ -789,7 +874,7 @@ def block_index_topk_batch(
                     kk = min(k, n_alive)
                     if kk == 0:
                         continue
-                    B = len(qids)
+                    B = len(qid_f)
                     # per-query local cut KEEPING every row tied at the
                     # k-th distance (surrogate ids need not order like
                     # the primary key — the caller's global merge
@@ -805,7 +890,7 @@ def block_index_topk_batch(
                             cand = np.flatnonzero(live)
                         else:
                             cand = np.arange(n)
-                        q_out.append(np.full(len(cand), qid_arr[j], dtype=np.int64))
+                        q_out.append(np.full(len(cand), qid_f[j], dtype=np.int64))
                         i_out.append(ids[cand])
                         d_out.append(D[cand, j].astype(np.float64))
                     yield pd.DataFrame(

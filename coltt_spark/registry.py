@@ -724,6 +724,7 @@ def _ivf_collection(spark: SparkSession, sf_dir: str):
                 IndexField("label", "integer"),
             ],
             layout="ivf",
+            block_dtype="float64",
         )
         coll.upsert_df(
             emb.select(
@@ -782,6 +783,7 @@ def _delta_ivf_collection(spark: SparkSession, sf_dir: str):
             ],
             layout="ivf",
             versioning=True,
+            block_dtype="float64",
         )
         coll.upsert_df(
             emb.select(

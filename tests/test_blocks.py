@@ -246,7 +246,7 @@ def test_search_batch_filtered_all_paths(spark, tmp_path):
             layout="blocks", block_dtype="float64"),
         "ivf": cat.create_collection(
             "i", dim=6, distance="euclidean", fields=fields,
-            layout="ivf", ivf_centroids=4, ivf_nprobe=4),
+            layout="ivf", ivf_centroids=4, ivf_nprobe=4, block_dtype="float64"),
         "rows": cat.create_collection(
             "r", dim=6, distance="euclidean", fields=fields),
     }

@@ -558,7 +558,7 @@ def test_ivf_layout_serves_and_falls_back(catalog):
     fast path resumes."""
     coll = catalog.create_collection(
         "ivfcoll", dim=8, distance="cosine", fields=FIELDS,
-        layout="ivf", ivf_centroids=4, ivf_nprobe=4,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=4, block_dtype="float64",
     )
     coll.upsert(_rows(80, dim=8, seed=3))
     coll.flush()
@@ -586,7 +586,7 @@ def test_ivf_search_batch_agrees_with_single(spark, catalog):
     ids as the single-query ivf search (same probes, same rerank)."""
     coll = catalog.create_collection(
         "ivfbatch", dim=8, distance="cosine", fields=FIELDS,
-        layout="ivf", ivf_centroids=4, ivf_nprobe=2,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=2, block_dtype="float64",
     )
     coll.upsert(_rows(60, dim=8, seed=11))
     coll.flush()
@@ -613,12 +613,12 @@ def test_incremental_ivf_flush_keeps_centroids_fixed(catalog):
     rows = _rows(200, dim=6, seed=41)
     coll = catalog.create_collection(
         "delta_ivf", dim=6, distance="cosine", fields=FIELDS,
-        layout="ivf", versioning=True,
+        layout="ivf", versioning=True, block_dtype="float64",
     )
     coll.upsert(rows)
     coll.flush()  # v1: full IVF build
     c1 = np.load(os.path.join(coll._ivf_dir("vector", 1), "centroids.npy"))
-    v1_data = os.path.join(coll._ivf_dir("vector", 1), "data")
+    v1_data = os.path.join(coll._ivf_dir("vector", 1), "blocks")
 
     updates = [dict(r, type=r["type"] + 100) for r in _rows(10, dim=6, seed=41)]
     inserts = [dict(r, id=f"new-{i}") for i, r in enumerate(_rows(15, dim=6, seed=43))]
@@ -629,7 +629,7 @@ def test_incremental_ivf_flush_keeps_centroids_fixed(catalog):
     assert coll.manifest.version == 2
     c2 = np.load(os.path.join(coll._ivf_dir("vector", 2), "centroids.npy"))
     assert np.array_equal(c1, c2), "delta flush must NOT retrain centroids"
-    v2_data = os.path.join(coll._ivf_dir("vector", 2), "data")
+    v2_data = os.path.join(coll._ivf_dir("vector", 2), "blocks")
     # every base part file rides along as a hardlink inside its partition
     for part in os.listdir(v1_data):
         pdir = os.path.join(v1_data, part)
@@ -718,6 +718,7 @@ def test_chained_delta_flushes(catalog):
     )
     ivf = catalog.create_collection(
         "chain_ivf", dim=6, distance="euclidean", fields=FIELDS, layout="ivf",
+        block_dtype="float64",
     )
     twin = catalog.create_collection("chain_rows", dim=6, distance="euclidean", fields=FIELDS)
     for c in (blk, ivf, twin):
@@ -767,7 +768,7 @@ def test_delta_ivf_filtered_search(catalog):
     rows = _rows(160, dim=6, seed=61)
     ivf = catalog.create_collection(
         "dif", dim=6, distance="euclidean", fields=FIELDS,
-        layout="ivf", ivf_centroids=4, ivf_nprobe=4,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=4, block_dtype="float64",
     )
     twin = catalog.create_collection("dif_rows", dim=6, distance="euclidean", fields=FIELDS)
     for c in (ivf, twin):

@@ -129,14 +129,19 @@ def test_pack_sequences_has_no_global_window(spark):
 
 
 def test_ivf_collection_probe_prunes_partitions(spark):
-    """An ivf-layout collection's search must prune the scan to the
-    probed centroid partitions (PartitionFilters on the centroid
-    column) — unprobed inverted lists' files are never opened."""
+    """An ivf-layout collection's search must prune to the probed
+    inverted lists' PACKED BLOCK FILES — unprobed lists' files are
+    never opened (path pruning happens on the driver), and the
+    per-query plan is the shuffle-free file-list scan + TakeOrdered,
+    never a Parquet row scan of the corpus."""
+    import os
     import tempfile
 
+    import numpy as np
     from pyspark.sql import functions as F2
 
     from coltt_spark.catalog import Catalog
+    from coltt_spark.operators.blocks import ivf_files
     from coltt_spark.plans import executed_plan
     from coltt_spark.schema import IndexField
 
@@ -154,10 +159,23 @@ def test_ivf_collection_probe_prunes_partitions(spark):
     )
     coll.flush()
     q = list(emb.select("embedding").first()["embedding"])
-    plan = executed_plan(coll.search(q, limit=5))
-    assert "PartitionFilters: [centroid" in plan.replace("#", " #").replace("  ", " ") or (
-        "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters")[1][:80]
+    # driver-side path pruning: the probed file set covers exactly
+    # nprobe of the centroid directories and excludes the rest
+    blocks_dir = os.path.join(coll._ivf_dir("vector"), "blocks")
+    qn = np.asarray(coll._normalize_query(q), dtype=np.float64)
+    Cn = np.load(os.path.join(coll._ivf_dir("vector"), "centroids.npy"))
+    probed = [int(c) for c in np.argsort(-(Cn @ qn))[:2]]
+    files = ivf_files(blocks_dir, probed)
+    assert files, "probed lists must have block files"
+    assert all(f"centroid={c}" in f for f, c in zip(files, sorted(probed))) or all(
+        any(f"centroid={c}{os.sep}" in f for c in probed) for f in files
     )
+    all_files = ivf_files(blocks_dir, range(4))
+    assert len(files) < len(all_files), "pruning must exclude unprobed lists"
+    # physical plan: no Parquet scan of the corpus, TakeOrdered merge
+    plan = executed_plan(coll.search(q, limit=5))
+    assert "Scan parquet" not in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_search_batch_fallback_is_one_scan(spark):

@@ -240,6 +240,7 @@ def test_quantized_blocks_layout_matches_rows(spark, tmp_path):
         ivf = cat.create_collection(
             f"i_{kind}", dim=16, distance="cosine", fields=fields,
             layout="ivf", ivf_centroids=4, ivf_nprobe=4, quantization=kind,
+            block_dtype="float64",
         )
         twin = cat.create_collection(
             f"r_{kind}", dim=16, distance="cosine", fields=fields,
