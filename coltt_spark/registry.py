@@ -1450,6 +1450,15 @@ _KEY_ORDER = [
     "dedup_canonical",       # ledger: impl touched r3 after last check
     "dedup_simhash",         # ledger: impl touched r3 after last check
     "collection_hybrid_text",  # new r4: composed product hybrid path
+    # -- implementation touched this round (pack_blocks group_col
+    # -- refactor + file-subset block scans + IVF-on-blocks serving &
+    # -- delta flush) — touched outranks longest-unchecked ------------
+    "collection_search_blocks",
+    "collection_search_batch",
+    "collection_search_blocks_delta",
+    "collection_search_ivf_delta",
+    "collection_search_batch_filtered",
+    "collection_search_grouped",
     # -- longest-unchecked remainder (driver-green r2) ----------------
     "knn_cosine",
     "upsert_delete",
@@ -1467,15 +1476,11 @@ _KEY_ORDER = [
     "dedup_ngram_jaccard",
     "text_lang_id",
     "text_quality",
-    "token_count",
     "doc_fingerprint",
     "pricing_summary",
     "region_revenue",
     "window_top_orders",
-    "cube_revenue",
     "price_percentiles",
-    "events_hourly",
-    "media_metadata",
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
@@ -1485,12 +1490,10 @@ _KEY_ORDER = [
     "knn_wide",
     "knn_block",
     "dedup_containment",
-    "ann_topk_blas",
     "top_revenue_orders",
     "rollup_revenue",
     "events_sessionize",
     "events_json",
-    "set_intersect",
     "media_features",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round.
@@ -1502,6 +1505,17 @@ _KEY_ORDER = [
     "knn_euclidean",
     "knn_manhattan",
     "compare_dist",
+    # demoted r4 to make room for the touched serving paths: each is
+    # covered by an in-window sibling exercising the same machinery
+    # (brute_topk via ann_topk_batch; media via media_knn/frames;
+    # events via events_sessionize/json; textstats via text_quality;
+    # grouping-sets via rollup_revenue; set ops pure SQL, local gate)
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
     "media_knn",
     "media_frames",
     "schemaless_pure_search",
@@ -1518,8 +1532,6 @@ _KEY_ORDER = [
     "stream_sessionize",
     "stream_dedup",
     "collection_search_blocks_filtered",
-    "collection_search_blocks_delta",
-    "collection_search_ivf_delta",
     "events_asof",
     "ann_bq",
     "ann_pq",
@@ -1540,17 +1552,13 @@ _KEY_ORDER = [
     "jsonl_roundtrip",
     "ann_recall",
     "stream_join",
-    "collection_search_batch_filtered",
     "embed_project",
-    "collection_search_grouped",
     "sample_temperature",
     "bm25_search",
     "distinct_sketch",
     "quantile_sketch",
     "decontaminate_bloom",
     "bm25_indexed",
-    "collection_search_blocks",
-    "collection_search_batch",
     "collection_search",
 ]
 
