@@ -1450,6 +1450,7 @@ _KEY_ORDER = [
     "dedup_canonical",       # ledger: impl touched r3 after last check
     "dedup_simhash",         # ledger: impl touched r3 after last check
     "collection_hybrid_text",  # new r4: composed product hybrid path
+    "bm25_index_merged",       # new r4: sharded postings build + merge
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1485,7 +1486,6 @@ _KEY_ORDER = [
     "ann_topk_batch",
     "knn_pagination",
     "knn_bf16",
-    "knn_f8",
     "knn_two_phase",
     "knn_wide",
     "knn_block",
@@ -1509,7 +1509,10 @@ _KEY_ORDER = [
     # covered by an in-window sibling exercising the same machinery
     # (brute_topk via ann_topk_batch; media via media_knn/frames;
     # events via events_sessionize/json; textstats via text_quality;
-    # grouping-sets via rollup_revenue; set ops pure SQL, local gate)
+    # grouping-sets via rollup_revenue; set ops pure SQL, local gate;
+    # knn_f8 dequantize shares knn_f16's path, quantization family
+    # also pinned by the hypothesis property suite)
+    "knn_f8",
     "ann_topk_blas",
     "media_metadata",
     "events_hourly",

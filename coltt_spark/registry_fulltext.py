@@ -232,6 +232,43 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+#: sf_dir → merged-index root (shards built once per process)
+_MERGED_TEXTINDEX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_index_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental postings maintenance, served: the corpus is built
+    as THREE disjoint postings shards (doc_id mod 3 — each tokenized
+    independently, the way micro-batches or ingest partitions land)
+    and folded with ``TextIndex.merge`` (postings union + df/stats
+    addition, no re-tokenize). The merged index must score
+    bit-identically to the one-shot build and the ad-hoc scan, so
+    this entry shares ``bm25_search``'s oracle verbatim. The
+    streaming composition (micro-batch shards → merge) is pinned by
+    tests/test_streaming_media.py::test_stream_text_index_merge_matches_adhoc."""
+    import os
+
+    from coltt_spark.textindex import TextIndex
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _MERGED_TEXTINDEX_CACHE:
+        root = scratch_dir(prefix="coltt_textidx_merged_")
+        docs = load_table(spark, sf_dir, "documents")
+        shards = [
+            TextIndex.build(
+                docs.filter(F.col("doc_id") % 3 == i),
+                "doc_id",
+                "text",
+                os.path.join(root, f"shard_{i}"),
+                n_files=4,
+            )
+            for i in range(3)
+        ]
+        TextIndex.merge(shards, os.path.join(root, "merged"))
+        _MERGED_TEXTINDEX_CACHE[sf_dir] = os.path.join(root, "merged")
+    return TextIndex(spark, _MERGED_TEXTINDEX_CACHE[sf_dir]).search(_BM25_QUERY)
+
+
 def q_collection_hybrid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-level hybrid serving: the ``layout="blocks"``
     collection's packed-index KNN candidates fused with the inverted
@@ -447,6 +484,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "collection_hybrid_text": q_collection_hybrid_text,
+    "bm25_index_merged": q_bm25_index_merged,
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
     "quantile_sketch": q_quantile_sketch,
@@ -458,6 +496,7 @@ FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "collection_hybrid_text": _ORACLE_COLLECTION_HYBRID_TEXT,
+    "bm25_index_merged": _ORACLE_BM25,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
     "freq_sketch": _freq_sketch_oracle(),
     "quantile_sketch": _quantile_sketch_oracle(),

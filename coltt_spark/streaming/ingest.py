@@ -64,3 +64,45 @@ def stream_upsert(records: DataFrame, coll) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_text_index(
+    docs: DataFrame, id_col: str, text_col: str, root: str
+):
+    """Continuous inverted-index maintenance: each micro-batch of a
+    document stream builds a postings SHARD (one tokenize pass over
+    the batch only — never the corpus), and the shards fold into one
+    serving index with :meth:`TextIndex.merge` (postings union +
+    df/stats addition; no re-tokenize). The postings analogue of the
+    delta block flush: index maintenance cost scales with the CHANGE,
+    and the merged index serves scores bit-identical to an ad-hoc
+    BM25 over the full landed corpus (pinned by
+    tests/test_streaming_ingest.py). Returns the merged TextIndex.
+
+    Scale: per-batch shard build is the verified postings build shape
+    (term-hash repartition, map-side tf combine); the merge shuffles
+    only postings rows and a |vocab|-keyed dfreq aggregation. In
+    production the merge runs on a cadence (or cascades, LSM-style)
+    rather than once per replay — the composition is the same."""
+    from coltt_spark.textindex import TextIndex
+
+    shards: list[TextIndex] = []
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        shard_root = os.path.join(root, f"shard_{epoch_id}")
+        shards.append(
+            TextIndex.build(batch, id_col, text_col, shard_root, n_files=4)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", scratch_dir(prefix="coltt_textidx_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not shards:
+        raise ValueError("stream_text_index: the stream delivered no documents")
+    return TextIndex.merge(shards, os.path.join(root, "merged"))

@@ -209,3 +209,38 @@ def test_stream_ingest_quantized_collection(spark, tmp_path):
     a = [(r["id"], round(r["dist"], 6)) for r in coll.search(q, limit=10).collect()]
     b = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=10).collect()]
     assert a == b
+
+
+def test_stream_text_index_merge_matches_adhoc(spark, tmp_path):
+    """The streaming postings pipeline — per-micro-batch shard build →
+    TextIndex.merge — must serve scores identical to an ad-hoc BM25
+    over the full landed corpus (the postings analogue of the
+    stream_upsert → delta-flush → search parity above)."""
+    from coltt_spark.operators.fulltext import bm25_search
+    from coltt_spark.streaming.ingest import stream_text_index
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    staged = str(tmp_path / "staged")
+    docs.repartition(3).write.parquet(staged)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    root = str(tmp_path / "tix")
+    idx = stream_text_index(stream, "doc_id", "text", root)
+    # the merge really folded multiple shards, not one big batch
+    import os
+
+    shards = [d for d in os.listdir(root) if d.startswith("shard_")]
+    assert len(shards) >= 2, shards
+    q = "vector hash join dup"
+    got = [
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in idx.search(q, top_k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in bm25_search(docs, "doc_id", "text", q).collect()
+    ]
+    assert got == want
