@@ -24,6 +24,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coltt_spark.functions.text import hash60, tokens, word_shingles
 from coltt_spark.sources.tables import ensure_parallelism
@@ -309,35 +310,83 @@ def pack_sequences(
     *,
     budget: int = 256,
     n_shards: int = 8,
+    mode: str = "concat_split",
 ) -> DataFrame:
-    """Concat-then-split sequence packing: documents are concatenated
-    in deterministic hash-shard order into one virtual token stream
-    per shard, the stream is cut at every ``budget``-token boundary,
-    and each document is assigned whole to the sequence its FIRST
-    token falls in (documents are never split, so a sequence may
-    overshoot ``budget`` by up to one document's length — the
-    streaming-tokenizer convention, not first-fit-with-restart).
-    Returns per-sequence stats (docs packed, token fill).
+    """Sequence packing into ``budget``-token training sequences,
+    independently per deterministic hash shard. Returns per-sequence
+    stats (docs packed, token fill). Two packing disciplines:
 
-    The fold is a running-total window: ``seq_id = floor(
-    (cumsum − n_tokens) / budget)`` — pure window arithmetic, no
-    iterative loop.
+    ``mode="concat_split"`` (default): documents are concatenated in
+    deterministic hash-shard order into one virtual token stream per
+    shard, the stream is cut at every ``budget``-token boundary, and
+    each document is assigned whole to the sequence its FIRST token
+    falls in (documents are never split, so a sequence may overshoot
+    ``budget`` by up to one document's length — the
+    streaming-tokenizer convention). The fold is a running-total
+    window: ``seq_id = floor((cumsum − n_tokens) / budget)`` — pure
+    window arithmetic, no iterative loop.
 
-    Scale: packing is per-shard — the window partitions by the
-    deterministic shard key, so there is no global sort and no
-    single-task bottleneck; each shard packs independently exactly
-    like per-worker packing in a streaming tokenizer. ONE shuffle on
-    the shard key (and the final tiny stats agg).
+    ``mode="first_fit"``: first-fit-with-restart — walking the same
+    per-shard order, a document that would push the current
+    sequence's fill past ``budget`` STARTS a new sequence instead
+    (so a sequence only ever overshoots when a single document alone
+    exceeds the budget). The per-shard fold is inherently sequential
+    (each decision depends on the running fill after the previous
+    restart), so it runs as an ``applyInPandas`` per shard — the
+    shards provide the parallelism, exactly like per-worker packing.
+
+    Scale: both modes are per-shard — no global sort and no
+    single-task bottleneck; ONE shuffle on the shard key (and the
+    final tiny stats agg).
     """
+    if mode not in ("concat_split", "first_fit"):
+        raise ValueError(f"unknown pack_sequences mode {mode!r}")
     df = ensure_parallelism(df, id_col)
     shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
     base = df.select(
         shard.alias("shard"),
         F.col(id_col),
+        hash60(F.col(id_col).cast("string")).alias("_h"),
         F.size(tokens(text_col)).cast("long").alias("_t"),
     )
+    if mode == "first_fit":
+        import numpy as np
+        import pandas as pd
+
+        out_schema = T.StructType(
+            [
+                T.StructField("shard", T.IntegerType(), False),
+                T.StructField("seq_id", T.LongType(), False),
+                T.StructField("n_docs", T.LongType(), False),
+                T.StructField("seq_tokens", T.LongType(), False),
+            ]
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
+            nt = pdf["_t"].to_numpy()
+            seq_ids = np.empty(len(nt), dtype=np.int64)
+            fill, sid = 0, 0
+            for i, t in enumerate(nt):
+                if fill > 0 and fill + t > budget:
+                    sid += 1
+                    fill = 0
+                seq_ids[i] = sid
+                fill += t
+            out = pd.DataFrame(
+                {"shard": pdf["shard"].to_numpy(), "seq_id": seq_ids, "_t": nt}
+            )
+            g = out.groupby(["shard", "seq_id"], as_index=False).agg(
+                n_docs=("_t", "size"), seq_tokens=("_t", "sum")
+            )
+            return g.astype(
+                {"shard": "int32", "seq_id": "int64",
+                 "n_docs": "int64", "seq_tokens": "int64"}
+            )
+
+        return base.groupBy("shard").applyInPandas(fold, out_schema)
     w = Window.partitionBy("shard").orderBy(
-        hash60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        F.col("_h").asc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     packed = base.withColumn("_cum", F.sum("_t").over(w)).withColumn(
         "seq_id", F.floor((F.col("_cum") - F.col("_t")) / budget)

@@ -1451,6 +1451,7 @@ _KEY_ORDER = [
     "dedup_simhash",         # ledger: impl touched r3 after last check
     "collection_hybrid_text",  # new r4: composed product hybrid path
     "bm25_index_merged",       # new r4: sharded postings build + merge
+    "pack_sequences_firstfit", # new r4: first-fit packing w/ oracle
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1485,7 +1486,6 @@ _KEY_ORDER = [
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
-    "knn_bf16",
     "knn_two_phase",
     "knn_wide",
     "knn_block",
@@ -1513,6 +1513,7 @@ _KEY_ORDER = [
     # knn_f8 dequantize shares knn_f16's path, quantization family
     # also pinned by the hypothesis property suite)
     "knn_f8",
+    "knn_bf16",
     "ann_topk_blas",
     "media_metadata",
     "events_hourly",

@@ -168,6 +168,54 @@ FROM p GROUP BY shard, seq_id
 """
 
 
+def q_pack_sequences_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-with-restart sequence packing: same deterministic
+    per-shard order as `pack_sequences`, but a document that would
+    push the running fill past the budget starts a NEW sequence
+    (overshoot only when one document alone exceeds it) — the
+    alternative packing contract ADVICE r3 asked to pin with its own
+    oracle. The sequential per-shard fold runs as applyInPandas; the
+    oracle replays it as a DuckDB recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "text", budget=256, n_shards=8, mode="first_fit"
+    )
+
+
+#: first-fit fold as a recursive CTE: one recursion step per document
+#: per shard, carrying (fill, seq_id). The restart guard mirrors the
+#: operator exactly: restart only when the CURRENT fill is non-zero
+#: AND adding the doc would exceed the budget.
+_ORACLE_PACK_SEQUENCES_FIRSTFIT = f"""
+WITH RECURSIVE t AS (
+  SELECT CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 8 AS INT) AS shard,
+         {_DD_H60.format(x="doc_id::VARCHAR")} AS h,
+         doc_id, len({_DD_TOKS}) AS nt
+  FROM documents
+),
+o AS (
+  SELECT shard, doc_id, nt,
+         row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS rn
+  FROM t
+),
+fold AS (
+  SELECT shard, rn, nt, nt AS fill, CAST(0 AS BIGINT) AS seq_id
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.nt,
+         CASE WHEN f.fill > 0 AND f.fill + o.nt > 256
+              THEN o.nt ELSE f.fill + o.nt END,
+         CASE WHEN f.fill > 0 AND f.fill + o.nt > 256
+              THEN f.seq_id + 1 ELSE f.seq_id END
+  FROM fold f JOIN o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS seq_tokens
+FROM fold GROUP BY shard, seq_id
+"""
+
+
 
 def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free deterministic ~10% sample — a pure hash filter the
@@ -335,6 +383,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_shards": q_export_shards,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_firstfit": q_pack_sequences_firstfit,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -348,4 +397,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "export_shards": _ORACLE_EXPORT_SHARDS,
     "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
+    "pack_sequences_firstfit": _ORACLE_PACK_SEQUENCES_FIRSTFIT,
 }

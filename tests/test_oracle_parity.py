@@ -69,6 +69,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     must_check = set(ROTATION_LEDGER_R4) | {
         # new this round (driver has never seen them)
         "collection_hybrid_text", "bm25_index_merged",
+        "pack_sequences_firstfit",
         # implementation touched this round (pack_blocks group_col
         # refactor, file-subset scans, IVF-on-blocks serving + delta)
         "collection_search_blocks", "collection_search_batch",

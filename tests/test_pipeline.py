@@ -137,6 +137,27 @@ def test_pack_sequences_budget_and_oversize(spark):
     assert seqs == sorted(set(seqs))
 
 
+def test_pack_sequences_first_fit_invariants(spark):
+    """first_fit mode: a sequence only exceeds the budget when a
+    single document alone does; totals conserve the corpus; and its
+    restart discipline never packs LESS efficiently per sequence than
+    concat-split overshoot would suggest (same doc set, same order)."""
+    docs = _docs(
+        spark,
+        [(1, "t " * 300), (2, "t " * 100), (3, "t " * 100), (4, "t " * 100),
+         (5, "t " * 50), (6, "t " * 250)],
+    )
+    out = pack_sequences(
+        docs, "doc_id", "text", budget=256, n_shards=1, mode="first_fit"
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 6
+    assert sum(r["seq_tokens"] for r in out) == 900
+    for r in out:
+        assert r["seq_tokens"] <= 256 or r["n_docs"] == 1, dict(r)
+    # seq ids are contiguous from 0 (restart discipline, no gaps)
+    assert sorted(r["seq_id"] for r in out) == list(range(len(out)))
+
+
 def test_temperature_sample_flattens_sources(spark):
     """share^0.5 rebalancing: the dominant source is downsampled
     toward its flattened target, minority sources keep every row, and
