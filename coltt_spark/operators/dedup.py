@@ -241,22 +241,54 @@ def minhash_lsh_pairs(
     is a candidate iff some band hashes identically. With 4 bands × 4
     rows the s-curve crosses ~0.5 at s ≈ 0.66 — tune ``bands`` up for
     lower thresholds. ``shingles``: see :func:`ngram_jaccard_pairs`.
-    """
+
+    Mega-duplicate guard: documents with IDENTICAL shingle sets
+    collapse to one representative before the band join (a 10⁴-copy
+    template cluster would otherwise put 10⁴ rows in every band
+    bucket and make the candidate join quadratic in cluster size —
+    the classic LSH skew killer). Banding, candidate generation, and
+    exact-Jaccard verification run over representatives only; the
+    verified pairs then expand back to document pairs, and
+    within-cluster pairs (Jaccard exactly 1) are emitted directly
+    from the content groups — the OUTPUT is unchanged (it is
+    inherently quadratic in true-duplicate cluster size), but the
+    join/verify work is bounded by distinct-content counts."""
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
-    # the shingle table feeds BOTH the signature aggregation and the
-    # candidate-verify join; materialize it once (explode+hash+distinct
-    # is the dominant cost) instead of recomputing the lineage per use
+    # the shingle table feeds the content collapse, the signature
+    # aggregation AND the candidate-verify join; materialize it once
+    # (explode+hash+distinct is the dominant cost) instead of
+    # recomputing the lineage per use
     sh = (
         shingles
         if shingles is not None
         else shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     )
+    # exact-content fingerprint: md5 over the sorted distinct shingle
+    # hashes (deterministic; internal only — the oracle never sees it)
+    groups = sh.groupBy(id_col).agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("sh")),
+                    lambda c: c.cast("string"),
+                ),
+            )
+        ).alias("_fp")
+    )
+    reps = groups.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
+    rep_of = groups.join(reps, on="_fp").select(
+        F.col(id_col).alias("_member"), F.col("_rep"), "_fp"
+    ).localCheckpoint(eager=False)
+    sh_reps = sh.join(
+        reps.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+    )
     aggs = [
         F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = sh_reps.groupBy(id_col).agg(*aggs)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -287,16 +319,16 @@ def minhash_lsh_pairs(
     )
     # verify ONLY candidate pairs against exact jaccard: re-attach the
     # two shingle lists by key, count the intersection. Cost is
-    # O(candidates · shingles-per-doc), never the all-co-shingle-pairs
-    # blowup of the exact operator.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # O(candidates · shingles-per-doc) over REPRESENTATIVES, never the
+    # all-co-shingle-pairs blowup of the exact operator.
+    sizes = sh_reps.groupBy(id_col).agg(F.count("*").alias("_sz"))
     inter = (
-        candidates.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on=["id_b", "sh"])
+        candidates.join(sh_reps.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
+        .join(sh_reps.select(F.col(id_col).alias("id_b"), "sh"), on=["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    rep_pairs = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
         .withColumn(
@@ -306,6 +338,34 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # expand verified representative pairs to member pairs (identical
+    # shingle sets ⇒ identical jaccard against everything), and emit
+    # within-cluster pairs (jaccard exactly 1) straight from the
+    # content groups — both are sized by the TRUE answer, not by the
+    # banding
+    m_a = rep_of.select(F.col("_member").alias("_ma"), F.col("_rep").alias("id_a"))
+    m_b = rep_of.select(F.col("_member").alias("_mb"), F.col("_rep").alias("id_b"))
+    cross = (
+        rep_pairs.join(m_a, on="id_a")
+        .join(m_b, on="id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    wa = rep_of.select(F.col("_member").alias("_ma"), "_fp")
+    wb = rep_of.select(F.col("_member").alias("_mb"), "_fp")
+    within = (
+        wa.join(wb, on="_fp")
+        .filter(F.col("_ma") < F.col("_mb"))
+        .select(
+            F.col("_ma").alias("id_a"),
+            F.col("_mb").alias("id_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
