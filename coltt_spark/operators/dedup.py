@@ -264,9 +264,16 @@ def minhash_lsh_pairs(
         if shingles is not None
         else shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     )
-    # exact-content fingerprint: md5 over the sorted distinct shingle
-    # hashes (deterministic; internal only — the oracle never sees it)
-    groups = sh.groupBy(id_col).agg(
+    aggs = [
+        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    # ONE pass over the shingle table computes both the 16 minhashes
+    # and the exact-content fingerprint (md5 over the sorted distinct
+    # shingle hashes — deterministic; internal only, the oracle never
+    # sees it)
+    per_doc = sh.groupBy(id_col).agg(
+        *aggs,
         F.md5(
             F.concat_ws(
                 ",",
@@ -275,20 +282,18 @@ def minhash_lsh_pairs(
                     lambda c: c.cast("string"),
                 ),
             )
-        ).alias("_fp")
-    )
-    reps = groups.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
-    rep_of = groups.join(reps, on="_fp").select(
-        F.col(id_col).alias("_member"), F.col("_rep"), "_fp"
+        ).alias("_fp"),
+    ).localCheckpoint(eager=False)
+    reps = per_doc.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
+    rep_of = per_doc.select(F.col(id_col).alias("_member"), "_fp").join(
+        reps, on="_fp"
     ).localCheckpoint(eager=False)
     sh_reps = sh.join(
         reps.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
     )
-    aggs = [
-        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    sig = sh_reps.groupBy(id_col).agg(*aggs)
+    sig = per_doc.join(
+        reps.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+    ).select(id_col, *[f"mh{i}" for i in range(k)])
     band_cols = [
         F.md5(
             F.concat_ws(
