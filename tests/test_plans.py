@@ -126,6 +126,17 @@ def test_pack_sequences_has_no_global_window(spark):
     plan = executed_plan(pack_sequences(docs, "doc_id", "text"))
     for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "shard" in frag  # every window keyed by the shard column
+    # first_fit: the sequential fold is an applyInPandas GROUPED BY
+    # the shard key — exactly one hash Exchange on shard, no window,
+    # no global sort (a single-partition fold would serialize the
+    # corpus through one task at scale)
+    plan_ff = executed_plan(
+        pack_sequences(docs, "doc_id", "text", mode="first_fit")
+    )
+    assert "FlatMapGroupsInPandas" in plan_ff or "mapInPandas" in plan_ff.lower()
+    assert plan_ff.count("Exchange") <= 2, plan_ff[:600]
+    assert "windowspecdefinition" not in plan_ff
+    assert "Sort [shard" in plan_ff or "hashpartitioning(shard" in plan_ff
 
 
 def test_ivf_collection_probe_prunes_partitions(spark):

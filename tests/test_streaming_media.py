@@ -244,3 +244,73 @@ def test_stream_text_index_merge_matches_adhoc(spark, tmp_path):
         for r in bm25_search(docs, "doc_id", "text", q).collect()
     ]
     assert got == want
+
+
+def test_streaming_hybrid_capstone(spark, tmp_path):
+    """Full streaming composition: embeddings stream-upserted into a
+    blocks collection AND documents stream-built into postings shards
+    (merged), then the product hybrid (`search_hybrid_text`) over the
+    two streamed stores must equal the same hybrid over batch-built
+    twins — ingest mechanics (micro-batches, shard merges, delta
+    machinery) must be invisible to the serving surface."""
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+    from coltt_spark.streaming.ingest import (
+        read_table_stream,
+        stream_text_index,
+        stream_upsert,
+    )
+    from coltt_spark.textindex import TextIndex
+
+    sf = "/root/testdata/sf0.001"
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def shaped(df):
+        return df.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("label").cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        )
+
+    streamed = cat.create_collection(
+        "hyb_s", dim=dim, distance="euclidean", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    stream_upsert(shaped(read_table_stream(spark, sf, "embeddings")), streamed)
+    streamed.flush()
+    batch = cat.create_collection(
+        "hyb_b", dim=dim, distance="euclidean", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    batch.upsert_df(shaped(emb), dedupe_batch=False)
+    batch.flush()
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    staged = str(tmp_path / "staged")
+    docs.repartition(2).write.parquet(staged)
+    sidx = stream_text_index(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        "doc_id", "text", str(tmp_path / "tix"),
+    )
+    bidx = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "tix_b"))
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [
+        tuple(r) for r in
+        streamed.search_hybrid_text(sidx, "vector hash join dup", q).collect()
+    ]
+    want = [
+        tuple(r) for r in
+        batch.search_hybrid_text(bidx, "vector hash join dup", q).collect()
+    ]
+    assert got == want and len(got) == 10
