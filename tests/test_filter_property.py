@@ -121,3 +121,96 @@ def test_mask_matches_row_path(fixture_df, ast):
     mask = compile_filter_mask(fixture_df.schema, ast)(_ARROW)
     mask_ids = sorted(ROWS[i][0] for i in range(len(ROWS)) if mask[i])
     assert row_ids == mask_ids, ast
+
+
+# -- end-to-end: the three serving layouts must agree on FILTERED
+# -- search for every AST (row scan ≡ packed-block mask ≡ IVF packed
+# -- probe with all lists probed, so the comparison is exact)
+
+_COLL_ROWS = [
+    {
+        "id": f"r{i:03d}",
+        "label": i % 7,
+        "tag": ["alpha", "beta", "gamma", "42", "true", ""][i % 6],
+        "vector": [((i * 31 + j * 17) % 101) / 101.0 - 0.5 for j in range(6)],
+    }
+    for i in range(120)
+]
+
+_COLL_LEAF = st.one_of(
+    st.fixed_dictionaries(
+        {
+            "index_name": st.sampled_from(["label", "tag"]),
+            "op": st.sampled_from(["eq", "neq", "gt", "gte", "lt", "lte"]),
+            "value": st.one_of(
+                st.integers(-1, 8),
+                st.sampled_from(["alpha", "beta", "42", "", "zz"]),
+            ),
+        }
+    ),
+    st.fixed_dictionaries(
+        {
+            "index_name": st.just("label"),
+            "op": st.sampled_from(["in", "not_in"]),
+            "value": st.lists(st.integers(0, 7), min_size=1, max_size=3),
+        }
+    ),
+    st.fixed_dictionaries(
+        {
+            "index_name": st.just("tag"),
+            "op": st.just("like"),
+            "value": st.sampled_from(["%a%", "alpha%", "%", "4_"]),
+        }
+    ),
+)
+
+_COLL_AST = st.recursive(_COLL_LEAF, _composites, max_leaves=4)
+
+
+@pytest.fixture(scope="module")
+def layout_collections(spark, tmp_path_factory):
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("label", "integer"),
+        IndexField("tag", "string"),
+    ]
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_layouts")))
+    colls = {
+        "rows": cat.create_collection(
+            "fp_rows", dim=6, distance="euclidean", fields=fields
+        ),
+        "blocks": cat.create_collection(
+            "fp_blocks", dim=6, distance="euclidean", fields=fields,
+            layout="blocks", block_dtype="float64",
+        ),
+        "ivf": cat.create_collection(
+            "fp_ivf", dim=6, distance="euclidean", fields=fields,
+            layout="ivf", ivf_centroids=4, ivf_nprobe=4,
+            block_dtype="float64",
+        ),
+    }
+    for c in colls.values():
+        c.upsert(_COLL_ROWS)
+        c.flush()
+    return colls
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ast=_COLL_AST)
+def test_layouts_agree_on_filtered_search(layout_collections, ast):
+    q = _COLL_ROWS[0]["vector"]
+    got = {}
+    for name, c in layout_collections.items():
+        got[name] = [
+            (r["id"], round(r["dist"], 6), r["label"], r["tag"])
+            for r in c.search(q, filter_ast=ast, limit=15).collect()
+        ]
+    assert got["rows"] == got["blocks"], ast
+    assert got["rows"] == got["ivf"], ast
