@@ -41,7 +41,11 @@ def get_spark(
         # bigger Arrow batches amortize per-batch conversion in the
         # BLAS kernels (matmul efficiency grows with batch height)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap for all worker
+        # threads. 8g leaves ~250 MB per concurrent task at local[32]
+        # and OOMs a 32-task packed-index write at ~8M×64 vectors;
+        # the test boxes have 128 GiB, so default generously
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
