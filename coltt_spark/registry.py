@@ -704,8 +704,8 @@ FROM d ORDER BY d.dist ASC, id ASC LIMIT 10
 
 def _ivf_collection(spark: SparkSession, sf_dir: str):
     """Cached ``layout="ivf"`` cosine collection over the embeddings
-    table — flush builds the md5-seeded, Lloyd-refined IVF index
-    written PARTITIONED BY centroid."""
+    table — flush builds the md5-seeded, Lloyd-refined IVF index as
+    per-centroid packed block files (probes prune by path)."""
     from coltt_spark.tmpdirs import scratch_dir
 
     from coltt_spark.catalog import Catalog
@@ -829,11 +829,12 @@ def q_collection_search_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_collection_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the product API: an ``layout="ivf"`` collection
-    serves the search from its centroid-partitioned index — centroids
-    ranked on the driver, ``centroid IN (…)`` pruning the scan to the
-    probed partitions (the Spark stand-in for HNSW's sub-linear
+    serves the search from per-centroid packed block files — centroids
+    ranked on the driver, path pruning selecting only the probed
+    lists' files (the Spark stand-in for HNSW's sub-linear
     candidate walk, ``core/vectorindex/hnsw.go:243-278``), exact
-    rerank inside. Value-checked end-to-end: the oracle replays
+    rerank inside through the node-local spool. Value-checked
+    end-to-end: the oracle replays
     normalize-at-write + float32 cast, the md5 seed pick, one Lloyd
     round, probe ranking, and the rerank in SQL."""
     coll = _ivf_collection(spark, sf_dir)
@@ -926,8 +927,9 @@ def q_collection_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∩ ANN candidates (the intended semantics of the reference's
     HybridSearch, ``core/core.go:760-839`` — which computes but drops
     its filter) served from the IVF index, where metadata lives IN
-    the centroid-partitioned files so the filter pushes into the
-    partition-pruned scan. Value-checked by the same SQL replay as
+    the per-centroid packed block payloads so the filter evaluates as
+    a vectorized mask inside the path-pruned probe scan.
+    Value-checked by the same SQL replay as
     collection_search_ivf with the candidate filter applied."""
     coll = _ivf_collection(spark, sf_dir)
     res = coll.search(
