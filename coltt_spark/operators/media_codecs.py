@@ -1,0 +1,124 @@
+"""Real, dependency-free image codecs for the media decode seam.
+
+PIL / pyav are not available in this environment, but two real image
+formats are decodable with nothing but ``struct`` + numpy: 24-bit
+uncompressed BMP and binary PPM (P6). This module implements them and
+exposes :func:`image_decoder`, a drop-in for the
+``extract_features(decoder=...)`` seam (``(payload, out_len) ->
+float32[out_len]``) — so the multimodal path is exercised end-to-end
+with REAL pixel decoding, not only the deterministic fake
+(reference scope stops at opaque blobs; this is the engine-side
+plumbing a training pipeline needs).
+
+Scale note: decoding runs inside the Arrow-batched ``mapInPandas``
+kernel on executors — one Python pass per batch, no driver
+involvement, same plan as the fake decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed bottom-up BMP → (H, W, 3) uint8
+    (RGB). Raises ValueError on any other BMP flavor."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_offset + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)
+    img = rows[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval 255) → (H, W, 3) uint8 RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(
+        height, width, 3
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the magic and decode BMP or PPM → (H, W, 3) uint8."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("unknown image magic")
+
+
+def image_decoder(payload: bytes, out_len: int) -> np.ndarray:
+    """Real-image drop-in for the ``extract_features`` decoder seam:
+    decode → grayscale (ITU-R BT.601 luma) → resample the flattened
+    luma to ``out_len`` by linear interpolation → [0, 1] float32."""
+    img = decode_image(bytes(payload))
+    luma = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    ).ravel()
+    if len(luma) == 0:
+        raise ValueError("empty image")
+    xs = np.linspace(0.0, len(luma) - 1.0, out_len)
+    return (np.interp(xs, np.arange(len(luma)), luma) / 255.0).astype(np.float32)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM bytes (test fixture helper)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit bottom-up BMP bytes (test fixture
+    helper)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    bgr = img[:, :, ::-1]
+    pad = b"\x00" * (row_bytes - w * 3)
+    for r in range(h - 1, -1, -1):
+        data += bgr[r].astype(np.uint8).tobytes() + pad
+    offset = 14 + 40
+    size = offset + len(data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + bytes(data)

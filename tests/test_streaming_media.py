@@ -314,3 +314,41 @@ def test_streaming_hybrid_capstone(spark, tmp_path):
         batch.search_hybrid_text(bidx, "vector hash join dup", q).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_media_features_real_image_codecs(spark):
+    """REAL image decoding through the production seam: 24-bit BMP and
+    binary PPM payloads (encoded by the dependency-free codecs) decode
+    to the exact same luma features whichever container carried the
+    pixels, and the values match a local numpy replay."""
+    import numpy as np
+
+    from coltt_spark.operators.media_codecs import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        image_decoder,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (5 + i, 7, 3), dtype=np.uint8) for i in range(1, 5)}
+    # round-trip sanity for both codecs
+    for img in imgs.values():
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+    rows = [(i, "image", encode_bmp(img)) for i, img in imgs.items()] + [
+        (i + 100, "image", encode_ppm(img)) for i, img in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {
+        r["doc_id"]: np.asarray(r["features"], dtype=np.float32)
+        for r in extract_features(media, dim=24, decoder=image_decoder).collect()
+    }
+    assert set(out) == {i for i, _, _ in rows}
+    for i, img in imgs.items():
+        # same pixels, different container → identical features
+        assert np.allclose(out[i], out[i + 100])
+        assert np.allclose(out[i], image_decoder(encode_ppm(img), 24))
+        assert float(out[i].min()) >= 0.0 and float(out[i].max()) <= 1.0
