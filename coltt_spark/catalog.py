@@ -426,6 +426,7 @@ class Collection:
         vector_field: str | None = None,
         limit: int = 10,
         offset: int = 0,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Filtered FLAT KNN over the collection (edge Search path).
 
@@ -439,6 +440,11 @@ class Collection:
         reference's filtered search
         (``edge/none_vectorstore.go:182-253``). Falls back to the row
         scan only when unflushed DML makes the index stale.
+
+        ``nprobe`` (ivf layouts only) overrides the manifest's probe
+        count per query — the standard IVF recall/latency dial:
+        probing every list makes the search exact, fewer lists trade
+        recall for a proportionally smaller scan.
         """
         m = self.manifest
         qv = validate_vector(m.dim, query)
@@ -460,7 +466,8 @@ class Collection:
             and os.path.isdir(self._ivf_dir(vc))
         ):
             return self._search_ivf(
-                qv, vc, limit=limit, offset=offset, filter_ast=filter_ast
+                qv, vc, limit=limit, offset=offset, filter_ast=filter_ast,
+                nprobe=nprobe,
             )
         df = self._dequantized()
         if filter_ast is not None:

@@ -854,3 +854,33 @@ def test_search_radius_and_grouped_on_blocks(catalog):
     assert fhits and all(x["type"] <= 3 for x in fhits)
     g = coll.search_grouped(q, "type", limit=10, per_group=1).collect()
     assert len({x["type"] for x in g}) == len(g)
+
+
+def test_ivf_nprobe_dial(spark, catalog):
+    """The per-query nprobe override is the IVF recall/latency dial:
+    recall@10 against the exact row twin is non-decreasing in nprobe
+    and reaches 1.0 when every list is probed."""
+    rows = _rows(300, dim=8, seed=17)
+    ivf = catalog.create_collection(
+        "dial_ivf", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=8, ivf_nprobe=2, block_dtype="float64",
+    )
+    twin = catalog.create_collection(
+        "dial_rows", dim=8, distance="cosine", fields=FIELDS,
+    )
+    ivf.upsert(rows)
+    twin.upsert(rows)
+    ivf.flush()
+    q = _rows(1, dim=8, seed=999)[0]["vector"]
+    exact = [r["id"] for r in twin.search(q, limit=10).collect()]
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = [r["id"] for r in ivf.search(q, limit=10, nprobe=nprobe).collect()]
+        recalls.append(len(set(got) & set(exact)) / 10.0)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+    # all lists probed → not merely same ids, the identical ranking
+    full = [(r["id"], round(r["dist"], 6))
+            for r in ivf.search(q, limit=10, nprobe=8).collect()]
+    want = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=10).collect()]
+    assert full == want
