@@ -411,7 +411,15 @@ def ivf_probe(
     its ``nprobe`` nearest centroid lists only, exact rerank inside —
     the scan touches ~nprobe/n_centroids of the corpus. Probe
     selection is always spherical (the index is built by max-cosine
-    assignment); ``distance`` controls the exact rerank metric."""
+    assignment); ``distance`` controls the exact rerank metric.
+
+    Division of labor: this is the OPERATOR-level probe over any
+    ``assigned`` DataFrame (ad-hoc corpora, the `ann_ivf` oracle
+    path). The PRODUCT serving layout (`Collection` with
+    ``layout="ivf"``) instead packs each inverted list into block
+    files and probes them through the node-local spool
+    (catalog._write_ivf/_search_ivf) — same math, ~2× lower serving
+    latency because nothing re-decodes Parquet arrays per query."""
     probe_rows = []
     for qid, v in queries.items():
         q = np.asarray(list(map(float, v)), dtype=np.float64)
