@@ -1454,6 +1454,7 @@ _KEY_ORDER = [
     "collection_hybrid_text",  # new r4: composed product hybrid path
     "bm25_index_merged",       # new r4: sharded postings build + merge
     "pack_sequences_firstfit", # new r4: first-fit packing w/ oracle
+    "bm25_index_deleted",      # new r4: mask-only postings deletes
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1488,7 +1489,6 @@ _KEY_ORDER = [
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
-    "knn_two_phase",
     "knn_wide",
     "knn_block",
     "dedup_containment",
@@ -1512,10 +1512,13 @@ _KEY_ORDER = [
     # (brute_topk via ann_topk_batch; media via media_knn/frames;
     # events via events_sessionize/json; textstats via text_quality;
     # grouping-sets via rollup_revenue; set ops pure SQL, local gate;
-    # knn_f8 dequantize shares knn_f16's path, quantization family
-    # also pinned by the hypothesis property suite)
+    # knn_f8/knn_bf16 dequantize shares knn_f16's path, quantization
+    # family also pinned by the hypothesis property suite;
+    # knn_two_phase composes the in-window knn_f16 quantized scan
+    # with the in-window exact kernel and has its own parity test)
     "knn_f8",
     "knn_bf16",
+    "knn_two_phase",
     "ann_topk_blas",
     "media_metadata",
     "events_hourly",

@@ -232,6 +232,44 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+#: sf_dir → index root WITH tombstones applied (built once per process)
+_DELETED_TEXTINDEX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask-only index deletes, served: every seventh document is
+    tombstoned (`TextIndex.delete`) and search must skip them while
+    scoring the REST with the as-built corpus statistics — the Lucene
+    deleted-but-unmerged-segment semantics, exactly replayable in SQL
+    (full-corpus df/stats, deleted ids excluded only from the final
+    ranking). `compact()` folding and the deletes→compact→merge
+    lifecycle are pinned by tests/test_fulltext.py."""
+    import os
+
+    from coltt_spark.textindex import TextIndex
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _DELETED_TEXTINDEX_CACHE:
+        root = scratch_dir(prefix="coltt_textidx_del_")
+        docs = load_table(spark, sf_dir, "documents")
+        idx = TextIndex.build(
+            docs, "doc_id", "text", os.path.join(root, "idx")
+        )
+        idx.delete(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        _DELETED_TEXTINDEX_CACHE[sf_dir] = os.path.join(root, "idx")
+    return TextIndex(spark, _DELETED_TEXTINDEX_CACHE[sf_dir]).search(_BM25_QUERY)
+
+
+_ORACLE_BM25_DELETED = f"""
+WITH {_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)}
+SELECT doc_id, n_terms_hit, round(score, 4) AS score
+FROM agg WHERE doc_id % 7 <> 0
+ORDER BY agg.score DESC, doc_id ASC LIMIT 10
+"""
+
+
 #: sf_dir → merged-index root (shards built once per process)
 _MERGED_TEXTINDEX_CACHE: dict[str, str] = {}
 
@@ -485,6 +523,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "collection_hybrid_text": q_collection_hybrid_text,
     "bm25_index_merged": q_bm25_index_merged,
+    "bm25_index_deleted": q_bm25_index_deleted,
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
     "quantile_sketch": q_quantile_sketch,
@@ -497,6 +536,7 @@ FULLTEXT_ORACLES: dict[str, str] = {
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "collection_hybrid_text": _ORACLE_COLLECTION_HYBRID_TEXT,
     "bm25_index_merged": _ORACLE_BM25,
+    "bm25_index_deleted": _ORACLE_BM25_DELETED,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,
     "freq_sketch": _freq_sketch_oracle(),
     "quantile_sketch": _quantile_sketch_oracle(),

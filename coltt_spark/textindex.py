@@ -36,6 +36,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coltt_spark.functions.text import tokens
 from coltt_spark.operators.fulltext import (
@@ -139,6 +140,16 @@ class TextIndex:
         id_col = shards[0].id_col
         if any(s.id_col != id_col for s in shards):
             raise ValueError("TextIndex.merge: shards disagree on id column")
+        if any(
+            os.path.isdir(os.path.join(s.root, "tombstones")) for s in shards
+        ):
+            # merged stats/df add AS-BUILT shard values; a shard with
+            # pending mask-only deletes would fold its deleted docs
+            # into the merged statistics forever — compact it first
+            raise ValueError(
+                "TextIndex.merge: a shard has pending deletes; "
+                "compact() it before merging"
+            )
         postings = None
         dfreq = None
         for s in shards:
@@ -169,6 +180,80 @@ class TextIndex:
             )
         return TextIndex(spark, root)
 
+    # -- deletes -------------------------------------------------------
+
+    def delete(self, ids) -> None:
+        """Mask-only document deletes — the Lucene discipline: the ids
+        land in a ``tombstones/`` table and serving drops their
+        postings via a broadcast anti-join, while df/corpus stats keep
+        their as-built values until :meth:`compact` folds the
+        tombstones (deleted docs still count toward idf/avgdl, exactly
+        like deleted-but-unmerged Lucene segments). Cost is O(|ids|)
+        per call and one tiny broadcast per query — never a postings
+        rewrite on the serving path. ``ids``: an iterable of id values
+        or a single-column DataFrame."""
+        if isinstance(ids, DataFrame):
+            df = ids.select(F.col(ids.columns[0]).alias(self.id_col))
+        else:
+            id_type = self.spark.read.parquet(
+                os.path.join(self.root, "postings")
+            ).schema[self.id_col].dataType
+            df = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                T.StructType([T.StructField(self.id_col, id_type, False)]),
+            )
+        df.write.mode("append").parquet(os.path.join(self.root, "tombstones"))
+
+    def _minus_tombstones(self, postings: DataFrame) -> DataFrame:
+        tomb = os.path.join(self.root, "tombstones")
+        if not os.path.isdir(tomb):
+            return postings
+        dead = self.spark.read.parquet(tomb).select(self.id_col).distinct()
+        return postings.join(F.broadcast(dead), on=self.id_col, how="left_anti")
+
+    def compact(self, root: str, *, n_files: int = 16) -> "TextIndex":
+        """Fold tombstones into a fresh index under ``root``: postings
+        minus deleted docs rewritten in the term-hash layout, df
+        recounted per term, and corpus stats recomputed from the
+        surviving postings' distinct (id, dl) pairs — no corpus
+        re-tokenize. After compact, scores equal a from-scratch build
+        over the surviving corpus (pinned by test; caveat: documents
+        with zero indexable tokens never have postings rows, so they
+        leave the stats at compact — they carry no scoring weight
+        either way)."""
+        survivors = self._minus_tombstones(
+            self.spark.read.parquet(os.path.join(self.root, "postings"))
+        )
+        (
+            survivors.repartition(n_files, "t")
+            .sortWithinPartitions("t")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "postings"))
+        )
+        rebuilt = self.spark.read.parquet(os.path.join(root, "postings"))
+        (
+            rebuilt.groupBy("t")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "dfreq"))
+        )
+        stats_row = (
+            rebuilt.select(self.id_col, "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+            .first()
+        )
+        with open(os.path.join(root, "stats.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_docs": int(stats_row["n_docs"] or 0),
+                    "total_dl": int(stats_row["total_dl"] or 0),
+                    "id_col": self.id_col,
+                },
+                fh,
+            )
+        return TextIndex(self.spark, root)
+
     # -- serve ---------------------------------------------------------
 
     def _scored(
@@ -189,7 +274,7 @@ class TextIndex:
             [(q, t) for q in sorted(terms_by_q) for t in terms_by_q[q]],
             ["query_id", "t"],
         )
-        postings = (
+        postings = self._minus_tombstones(
             self.spark.read.parquet(os.path.join(self.root, "postings"))
             .where(F.col("t").isin(all_terms))
         )

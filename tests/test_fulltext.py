@@ -390,3 +390,47 @@ def test_textindex_batch_equals_adhoc_batch(spark, tmp_path):
     adhoc = sorted(map(tuple, bm25_topk_batch(docs, "doc_id", "text", qs, k=5).collect()))
     served = sorted(map(tuple, idx.search_batch(qs, k=5).collect()))
     assert adhoc == served
+
+
+def test_text_index_delete_compact_merge_lifecycle(spark, tmp_path):
+    """Mask-only deletes keep as-built stats (Lucene discipline);
+    compact folds tombstones and must score EXACTLY like a fresh
+    build over the surviving corpus; merge refuses shards with
+    pending deletes and accepts them after compact."""
+    import pytest as _pytest
+
+    from coltt_spark.textindex import TextIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    q = "vector hash join dup"
+    idx = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "idx"))
+    before = [(r["doc_id"], r["score"]) for r in idx.search(q, top_k=10).collect()]
+    dead = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    idx.delete(dead)
+    masked = [(r["doc_id"], r["score"]) for r in idx.search(q, top_k=10).collect()]
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+    assert all(d not in dead_ids for d, _ in masked)
+    # as-built stats: a surviving doc's score is unchanged by the mask
+    before_scores = dict(before)
+    assert all(
+        before_scores[d] == s for d, s in masked if d in before_scores
+    )
+    # compact == fresh rebuild over survivors, bit-identical scores
+    compacted = idx.compact(str(tmp_path / "idx_c"))
+    survivors = docs.join(dead, on="doc_id", how="left_anti")
+    fresh = TextIndex.build(survivors, "doc_id", "text", str(tmp_path / "idx_f"))
+    got = [(r["doc_id"], r["score"]) for r in compacted.search(q, top_k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in fresh.search(q, top_k=10).collect()]
+    assert got == want
+    assert compacted.n_docs == fresh.n_docs
+    assert compacted.total_dl == fresh.total_dl
+    # merge refuses dirty shards, accepts compacted ones
+    other = TextIndex.build(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", str(tmp_path / "idx_o"),
+    )
+    with _pytest.raises(ValueError, match="pending deletes"):
+        TextIndex.merge([idx, other], str(tmp_path / "m_bad"))
+    merged = TextIndex.merge([compacted, other], str(tmp_path / "m_ok"))
+    full = [(r["doc_id"], r["score"]) for r in merged.search(q, top_k=10).collect()]
+    assert full == [(d, s) for d, s in before]

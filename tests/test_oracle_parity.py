@@ -69,7 +69,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     must_check = set(ROTATION_LEDGER_R4) | {
         # new this round (driver has never seen them)
         "collection_hybrid_text", "bm25_index_merged",
-        "pack_sequences_firstfit",
+        "pack_sequences_firstfit", "bm25_index_deleted",
         # implementation touched this round (pack_blocks group_col
         # refactor, file-subset scans, IVF-on-blocks serving + delta)
         "collection_search_blocks", "collection_search_batch",
@@ -86,7 +86,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "doc_fingerprint", "pricing_summary",
         "region_revenue", "window_top_orders",
         "price_percentiles",
-        "knn_f16", "ann_topk_batch", "knn_two_phase", "knn_wide",
+        "knn_f16", "ann_topk_batch", "knn_wide",
         "dedup_containment",
         "top_revenue_orders", "rollup_revenue", "events_sessionize",
         "events_json", "media_features",
