@@ -804,6 +804,7 @@ class Collection:
         vector_field: str | None = None,
         limit: int = 10,
         filter_ast: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Bulk KNN: answer all B queries in ONE job — the
         embed-a-batch / answer-a-batch serving shape whose per-query
@@ -860,7 +861,10 @@ class Collection:
             for qid, v in qvs.items():
                 q = np.asarray(v, dtype=np.float64)
                 q = q / max(float(np.linalg.norm(q)), 1e-30)
-                cs = [int(c) for c in np.argsort(-(Cn @ q))[: m.ivf_nprobe]]
+                cs = [
+                    int(c)
+                    for c in np.argsort(-(Cn @ q))[: nprobe or m.ivf_nprobe]
+                ]
                 for f in ivf_files(blocks_dir, cs):
                     file_query_ids.setdefault(f, []).append(int(qid))
             _, payload_filter, tomb = self._block_scan_plumbing(filter_ast)

@@ -884,3 +884,40 @@ def test_ivf_nprobe_dial(spark, catalog):
             for r in ivf.search(q, limit=10, nprobe=8).collect()]
     want = [(r["id"], round(r["dist"], 6)) for r in twin.search(q, limit=10).collect()]
     assert full == want
+
+
+def test_packed_layouts_reopen_from_disk(catalog, spark, tmp_path):
+    """Restart serving: a fresh Catalog must reopen flushed blocks and
+    ivf collections straight from their manifests and serve from the
+    PACKED index (no corpus Parquet scan in the plan), with results
+    identical to the pre-restart handle — including delta state."""
+    from coltt_spark.plans.inspect import executed_plan
+
+    rows = _rows(150, dim=6, seed=71)
+    q = _rows(1, dim=6, seed=72)[0]["vector"]
+    before = {}
+    for layout in ("blocks", "ivf"):
+        kwargs = {"block_dtype": "float64"}
+        if layout == "ivf":
+            kwargs.update(ivf_centroids=4, ivf_nprobe=4)
+        coll = catalog.create_collection(
+            f"ro_{layout}", dim=6, distance="euclidean", fields=FIELDS,
+            layout=layout, **kwargs,
+        )
+        coll.upsert(rows)
+        coll.flush()
+        # a delta on top: re-upsert 10 ids, delete one type
+        coll.upsert([dict(r, type=r["type"] + 50) for r in rows[:10]])
+        coll.delete_where({"index_name": "type", "op": "eq", "value": 3})
+        coll.flush()
+        before[layout] = [
+            (r["id"], round(r["dist"], 6), r["type"])
+            for r in coll.search(q, limit=12).collect()
+        ]
+    fresh = Catalog(spark, str(tmp_path / "warehouse"))
+    for layout in ("blocks", "ivf"):
+        reopened = fresh.get_collection(f"ro_{layout}")
+        df = reopened.search(q, limit=12)
+        got = [(r["id"], round(r["dist"], 6), r["type"]) for r in df.collect()]
+        assert got == before[layout], layout
+        assert "Scan parquet" not in executed_plan(df), layout
