@@ -921,3 +921,26 @@ def test_packed_layouts_reopen_from_disk(catalog, spark, tmp_path):
         got = [(r["id"], round(r["dist"], 6), r["type"]) for r in df.collect()]
         assert got == before[layout], layout
         assert "Scan parquet" not in executed_plan(df), layout
+
+
+def test_all_deleted_serves_empty(catalog):
+    """Deleting every row then flushing must leave each layout
+    serving an EMPTY result (not an error) from its packed/row path —
+    the all-tombstones edge the delta machinery has to survive."""
+    rows = _rows(60, dim=4, seed=5)
+    for layout in ("rows", "blocks", "ivf"):
+        kwargs = {} if layout == "rows" else {"block_dtype": "float64"}
+        if layout == "ivf":
+            kwargs.update(ivf_centroids=2, ivf_nprobe=2)
+        coll = catalog.create_collection(
+            f"empty_{layout}", dim=4, distance="euclidean", fields=FIELDS,
+            layout=layout, **kwargs,
+        )
+        coll.upsert(rows)
+        coll.flush()
+        coll.delete_where({"index_name": "type", "op": "gte", "value": 0})
+        coll.flush()
+        assert coll.count() == 0, layout
+        q = rows[0]["vector"]
+        assert coll.search(q, limit=5).collect() == [], layout
+        assert coll.search_batch({0: q}, limit=5).collect() == [], layout
