@@ -451,3 +451,71 @@ def test_distance_tie_break_by_pk_not_commit_order(spark, tmp_path):
         exp += [(qid, r["id"], round(r["dist"], 6))
                 for r in twin.search(qv, limit=3).collect()]
     assert got == sorted(exp)
+
+
+def test_spool_eviction_and_invalidation(spark, tmp_path, monkeypatch):
+    """Direct spool-cache contract: entries evict LRU once the byte
+    budget is exceeded, an evicted file transparently re-spools with
+    identical data, and rewriting an index file (new mtime/inode)
+    invalidates its entry instead of serving stale arrays."""
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from coltt_spark.operators import blocks as B
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    monkeypatch.setattr(B, "_SPOOL_DIR", str(spool))
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 6)]) for i in range(1200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "idx")
+    B.write_block_index(
+        B.pack_blocks(df.repartition(6), id_col="vec_id", vec_col="embedding", dim=6),
+        idx_dir, n_files=6,
+    )
+    files = B._index_files(idx_dir)
+    assert len(files) >= 4
+    first = {}
+    for f in files:
+        ids, X, _, _ = B._spool_file(f, 6, np.float32)
+        first[f] = (np.asarray(ids).copy(), np.asarray(X).copy())
+        _time.sleep(0.01)  # distinct LRU mtimes
+
+    def entries():
+        return [p for p in os.listdir(str(spool)) if not p.endswith("tmp")]
+
+    assert len(entries()) == len(files)
+    # shrink the budget to ~2 entries and trigger a prune
+    sizes = [
+        sum(os.path.getsize(os.path.join(str(spool), e, f))
+            for f in os.listdir(os.path.join(str(spool), e)))
+        for e in entries()
+    ]
+    monkeypatch.setattr(B, "_SPOOL_MAX_BYTES", int(sum(sorted(sizes)[:2]) + 10))
+    B._prune_spool()
+    assert len(entries()) <= 2, "LRU prune must respect the byte budget"
+    # evicted files re-spool transparently with identical data
+    for f in files:
+        ids, X, _, _ = B._spool_file(f, 6, np.float32)
+        assert np.array_equal(np.asarray(ids), first[f][0])
+        assert np.allclose(np.asarray(X), first[f][1])
+    # rewriting a file invalidates: same path, new content ≠ stale read
+    monkeypatch.setattr(B, "_SPOOL_MAX_BYTES", 1 << 30)
+    target = files[0]
+    before = len(entries())
+    df2 = spark.createDataFrame(
+        [(i + 10_000, v) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    tmp_idx = str(tmp_path / "idx2")
+    B.write_block_index(
+        B.pack_blocks(df2.repartition(1), id_col="vec_id", vec_col="embedding", dim=6),
+        tmp_idx, n_files=1,
+    )
+    os.replace(B._index_files(tmp_idx)[0], target)
+    ids2, _, _, _ = B._spool_file(target, 6, np.float32)
+    assert np.asarray(ids2).min() >= 10_000, "stale spool entry served"
+    assert len(entries()) >= before  # a NEW entry was created for the rewrite
