@@ -234,3 +234,41 @@ def test_lm_score_matches_local(spark):
         exp = sum(math.log(occ[t] / total) for t in tk) / len(tk)
         assert rows[did]["n_tokens"] == len(tk)
         assert abs(rows[did]["avg_logprob"] - round(exp, 4)) <= 1e-4
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Model check: on random graphs (mixed densities, long chains,
+    cliques, isolated pairs) min-label propagation must produce the
+    exact same partition as a reference union-find, with root = min
+    member id — including graphs whose diameter exceeds the typical
+    near-dup clique (propagation must actually iterate)."""
+    import random
+
+    from coltt_spark.operators.components import connected_components
+
+    for seed, n, m in ((11, 40, 25), (13, 60, 80), (17, 80, 40)):
+        rng = random.Random(seed)
+        edges = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)}
+        # force one long path (diameter stress) and one clique
+        edges |= {(i, i + 1) for i in range(0, 12)}
+        edges |= {(i, j) for i in range(20, 25) for j in range(i + 1, 25)}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        seen = {v for e in edges for v in e}
+        want = {v: find(v) for v in sorted(seen)}
+        df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {
+            r["id"]: r["root"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, (seed, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
