@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from coltt_spark.operators.analytics import events_hourly, sessionize
@@ -111,11 +113,15 @@ def test_stream_dedup_first_seen(spark):
     assert len(set(ids)) == n_events
 
 
-def test_stream_ingest_then_delta_flush_serves_from_index(spark, tmp_path):
+@pytest.mark.parametrize("layout", ["blocks", "ivf"])
+def test_stream_ingest_then_delta_flush_serves_from_index(spark, tmp_path, layout):
     """Capstone composition: continuous ingest (foreachBatch upserts)
-    into a blocks collection, full flush, a SECOND streamed batch of
-    updates, then an incremental delta flush — the packed index must
-    serve the final merged state exactly (vs a batch-built twin)."""
+    into a packed-layout collection, full flush, a SECOND streamed
+    batch of updates, then an incremental delta flush — the packed
+    index (blocks OR per-centroid ivf lists with fixed centroids)
+    must serve the final merged state exactly (vs a batch-built
+    twin; the ivf twin probes all lists so the comparison is
+    exact)."""
     from pyspark.sql import functions as F
 
     from coltt_spark.catalog import Catalog
@@ -129,9 +135,12 @@ def test_stream_ingest_then_delta_flush_serves_from_index(spark, tmp_path):
         IndexField("label", "integer"),
     ]
     cat = Catalog(spark, str(tmp_path / "wh"))
+    kwargs = {"block_dtype": "float64"}
+    if layout == "ivf":
+        kwargs.update(ivf_centroids=4, ivf_nprobe=4)
     coll = cat.create_collection(
         "ing", dim=64, distance="euclidean", fields=fields,
-        layout="blocks", block_dtype="float64",
+        layout=layout, **kwargs,
     )
     emb = load_table(spark, sf, "embeddings")
 
