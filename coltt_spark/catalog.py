@@ -664,13 +664,56 @@ class Collection:
         or aggregates downstream). A pure narrow filter over the scan:
         no window, no top-k state, survives any corpus size. Cosine
         collections score ``|1 - dot|`` on normalize-at-write vectors
-        like every other read path."""
+        like every other read path.
+
+        Clean packed layouts serve the radius from the block index:
+        one matvec per file through the spool, only the in-ball rows
+        move (an ivf collection scans EVERY inverted list's files —
+        a probe subset would silently miss qualifying rows, so radius
+        stays exact and the win is the packed scan, not pruning)."""
         m = self.manifest
         qv = validate_vector(m.dim, qv)
         vcols = self._vector_cols()
         vc = vector_field or (vcols[0] if len(vcols) == 1 else None)
         if vc is None or vc not in vcols:
             raise ValueError(f"vector_field must be one of {vcols}")
+        packed_dir = None
+        if not self._dirty:
+            if m.layout == "blocks" and os.path.isdir(self._blocks_dir(vc)):
+                packed_dir, packed_files = self._blocks_dir(vc), None
+            elif m.layout == "ivf" and os.path.isdir(self._ivf_dir(vc)):
+                from coltt_spark.operators.blocks import ivf_files
+
+                packed_dir = ""
+                packed_files = ivf_files(
+                    os.path.join(self._ivf_dir(vc), "blocks"),
+                    range(m.ivf_centroids),
+                )
+        if packed_dir is not None:
+            from coltt_spark.operators.blocks import block_index_scan
+
+            if m.distance == "cosine":
+                qv = self._normalize_query(qv)
+            payload_schema, payload_filter, tomb = self._block_scan_plumbing(
+                filter_ast
+            )
+            local = block_index_scan(
+                self.spark,
+                packed_dir or None,
+                qv,
+                dim=m.dim,
+                distance="cosine_unit" if m.distance == "cosine" else m.distance,
+                dtype=m.block_dtype,
+                payload_schema=payload_schema,
+                id_alias=_COMMIT,
+                payload_filter=payload_filter,
+                tombstones=tomb,
+                files=packed_files,
+                radius=float(radius),
+            )
+            return local.drop(_COMMIT).withColumn(
+                "score", score_expr(m.distance, F.col("dist"))
+            )
         df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))

@@ -205,6 +205,7 @@ def _scan_block(
     payload=None,
     id_alias: str = "id",
     mask: np.ndarray | None = None,
+    radius: float | None = None,
 ) -> pd.DataFrame:
     """One block → its local top-k (id, dist[, payload…]). One BLAS
     matvec; ``payload`` (a ``pa.Table`` row-aligned with ``ids``)
@@ -225,6 +226,18 @@ def _scan_block(
         D = np.where(mask, D, np.inf)
     else:
         n_alive = len(ids)
+    if radius is not None:
+        # radius mode: EVERY row within the ball survives (unbounded
+        # set semantics — ``k`` is ignored); masked rows sit at inf
+        cand = np.flatnonzero(D <= radius)
+        order = np.lexsort((ids[cand], D[cand]))
+        sel = cand[order]
+        out = pd.DataFrame({id_alias: ids[sel], "dist": D[sel].astype(np.float64)})
+        if payload is not None:
+            pw = payload.take(sel).to_pandas()
+            for c in pw.columns:
+                out[c] = pw[c].to_numpy()
+        return out
     kk = min(k, n_alive)
     if kk < n_alive:
         # argpartition alone breaks distance ties arbitrarily, and the
@@ -623,12 +636,15 @@ def block_index_scan(
     group_col: str | None = None,
     per_group: int = 1,
     files: list[str] | None = None,
+    radius: float | None = None,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
     order/limit — compose your own, e.g. a different tie-break).
     ``files`` restricts the scan to an explicit file subset (the IVF
     probe path: :func:`ivf_files` of the probed centroids) instead of
-    every ``part-*`` under ``path``. With
+    every ``part-*`` under ``path``. ``radius`` switches every file
+    to set semantics — ALL rows with ``dist ≤ radius`` come back and
+    ``k`` is ignored (the packed radius-query path). With
     ``payload_schema``, each winner row carries its packed payload
     columns, so a caller gets id+dist+metadata in ONE job; pass
     ``id_alias`` when a payload column is itself named ``id``.
@@ -679,6 +695,8 @@ def block_index_scan(
         not want_payload or group_col not in {f.name for f in payload_schema}
     ):
         raise ValueError("group_col must name a packed payload column")
+    if radius is not None and group_col is not None:
+        raise ValueError("radius and group_col modes are mutually exclusive")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dead = _load_tombstones(tombstones) if tombstones else None
@@ -715,7 +733,7 @@ def block_index_scan(
                     yield _scan_block(
                         ids, X, norms, q, distance=distance, k=k,
                         payload=payload if want_payload else None,
-                        id_alias=id_alias, mask=mask,
+                        id_alias=id_alias, mask=mask, radius=radius,
                     )
 
     if fdf is None:

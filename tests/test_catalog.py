@@ -944,3 +944,46 @@ def test_all_deleted_serves_empty(catalog):
         q = rows[0]["vector"]
         assert coll.search(q, limit=5).collect() == [], layout
         assert coll.search_batch({0: q}, limit=5).collect() == [], layout
+
+
+def test_search_radius_packed_paths_match_row_scan(catalog):
+    """Radius queries on clean blocks/ivf collections serve from the
+    packed index (no corpus Parquet scan in the plan) and must return
+    the exact same set as the row-scan twin — including with a
+    metadata filter and after a delta flush (tombstone masking)."""
+    from coltt_spark.plans.inspect import executed_plan
+
+    rows = _rows(160, dim=6, seed=91)
+    q = _rows(1, dim=6, seed=92)[0]["vector"]
+    twin = catalog.create_collection(
+        "radr", dim=6, distance="cosine", fields=FIELDS
+    )
+    twin.upsert(rows)
+    for layout in ("blocks", "ivf"):
+        kwargs = {"block_dtype": "float64"}
+        if layout == "ivf":
+            kwargs.update(ivf_centroids=4, ivf_nprobe=2)  # nprobe<k: radius must still be exact
+        coll = catalog.create_collection(
+            f"radp_{layout}", dim=6, distance="cosine", fields=FIELDS,
+            layout=layout, **kwargs,
+        )
+        coll.upsert(rows)
+        coll.flush()
+        df = coll.search_radius(q, 0.9)
+        assert "Scan parquet" not in executed_plan(df), layout
+        got = {(r["id"], round(r["dist"], 6)) for r in df.collect()}
+        want = {
+            (r["id"], round(r["dist"], 6))
+            for r in twin.search_radius(q, 0.9).collect()
+        }
+        assert got == want, layout
+        ast = {"index_name": "type", "op": "lte", "value": 4}
+        gotf = {r["id"] for r in coll.search_radius(q, 0.9, filter_ast=ast).collect()}
+        wantf = {r["id"] for r in twin.search_radius(q, 0.9, filter_ast=ast).collect()}
+        assert gotf == wantf, layout
+        # delta state: delete a slice, flush, radius must mask it
+        coll.delete_where({"index_name": "type", "op": "eq", "value": 2})
+        coll.flush()
+        got2 = {r["id"] for r in coll.search_radius(q, 0.9).collect()}
+        dead = {r["id"] for r in twin.df().filter("type = 2").collect()}
+        assert got2 == {i for i, _ in want} - dead, layout
