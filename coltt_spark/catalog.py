@@ -630,6 +630,25 @@ class Collection:
                 qv, vc, group_by,
                 limit=limit, per_group=per_group, filter_ast=filter_ast,
             )
+        if (
+            m.layout == "ivf"
+            and not self._dirty
+            and os.path.isdir(self._ivf_dir(vc))
+        ):
+            # grouped is a SET contract (one winner per group value) —
+            # a probe subset could silently drop a group whose nearest
+            # member lives in an unprobed list, so scan every list's
+            # packed files (exact; the win is the packed scan)
+            from coltt_spark.operators.blocks import ivf_files
+
+            return self._search_grouped_blocks(
+                qv, vc, group_by,
+                limit=limit, per_group=per_group, filter_ast=filter_ast,
+                files=ivf_files(
+                    os.path.join(self._ivf_dir(vc), "blocks"),
+                    range(m.ivf_centroids),
+                ),
+            )
         df = self._dequantized()
         if filter_ast is not None:
             df = df.filter(compile_filter(df, filter_ast))
@@ -799,13 +818,16 @@ class Collection:
         limit: int,
         per_group: int,
         filter_ast: dict[str, Any] | None,
+        files: list[str] | None = None,
     ) -> DataFrame:
         """Grouped KNN from the packed index: each file emits its
         per-group top-``per_group`` (group values decoded from the
         packed payload, filter applied as the usual block-local mask),
         one window keyed by the group merges file-local winners, then
         a TakeOrdered final cut — the block layout's cost shape held
-        under diversification."""
+        under diversification. ``files`` points the scan at an ivf
+        layout's per-centroid block files (all lists — grouped is a
+        set contract, see search_grouped)."""
         from pyspark.sql import Window
 
         from coltt_spark.operators.blocks import block_index_scan
@@ -816,8 +838,9 @@ class Collection:
         payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         local = block_index_scan(
             self.spark,
-            self._blocks_dir(vc),
+            None if files is not None else self._blocks_dir(vc),
             qv,
+            files=files,
             dim=m.dim,
             distance="cosine_unit" if m.distance == "cosine" else m.distance,
             dtype=m.block_dtype,

@@ -987,3 +987,31 @@ def test_search_radius_packed_paths_match_row_scan(catalog):
         got2 = {r["id"] for r in coll.search_radius(q, 0.9).collect()}
         dead = {r["id"] for r in twin.df().filter("type = 2").collect()}
         assert got2 == {i for i, _ in want} - dead, layout
+
+
+def test_grouped_search_packed_on_ivf_matches_row_twin(catalog):
+    """Grouped search on a clean ivf collection serves from the packed
+    per-centroid files (all lists — set contract) and must equal the
+    row twin's grouped results exactly, with no corpus Parquet scan."""
+    from coltt_spark.plans.inspect import executed_plan
+
+    rows = _rows(200, dim=6, seed=51)
+    q = _rows(1, dim=6, seed=52)[0]["vector"]
+    ivf = catalog.create_collection(
+        "gr_ivf", dim=6, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=4, ivf_nprobe=2, block_dtype="float64",
+    )
+    twin = catalog.create_collection(
+        "gr_rows", dim=6, distance="cosine", fields=FIELDS
+    )
+    ivf.upsert(rows)
+    twin.upsert(rows)
+    ivf.flush()
+    df = ivf.search_grouped(q, "type", limit=8, per_group=2)
+    assert "Scan parquet" not in executed_plan(df)
+    got = [(r["id"], r["type"], round(r["dist"], 6)) for r in df.collect()]
+    want = [
+        (r["id"], r["type"], round(r["dist"], 6))
+        for r in twin.search_grouped(q, "type", limit=8, per_group=2).collect()
+    ]
+    assert got == want
