@@ -268,6 +268,20 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         block_index_topk(spark, idx_dir, q, **ivf_kw).collect()
         runs.append(time.perf_counter() - t0)
+    # recall@10 of the nprobe=8/64 probe vs an exact scan of the SAME
+    # packed corpus — reported beside the latency so the approximate
+    # figure is never mistaken for an exact-scan one
+    approx_ids = {
+        r["id"] for r in block_index_topk(spark, idx_dir, q, **ivf_kw).collect()
+    }
+    exact_ids = {
+        r["id"]
+        for r in block_index_topk(
+            spark, idx_dir, q, dim=len(q), k=10, max_tasks=8,
+            files=ivf_files(idx_dir, range(64)),
+        ).collect()
+    }
+    ivf_recall = len(approx_ids & exact_ids) / max(len(exact_ids), 1)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     strategies = {
@@ -305,6 +319,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "ivf_build_sec": ivf_build_sec,
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),
         "ivf_sec_per_query_best": round(min(runs), 4),
+        "ivf_recall_at_10": round(ivf_recall, 4),
     }
 
 
@@ -429,6 +444,7 @@ def main() -> None:
                 "collection_delta": flat_1m["sec_per_query_collection_delta"],
                 "ivf": flat_1m["ivf_sec_per_query"],
                 "ivf_best": flat_1m["ivf_sec_per_query_best"],
+                "ivf_recall_at_10": flat_1m["ivf_recall_at_10"],
                 "ivf_build_sec": flat_1m["ivf_build_sec"],
                 "methodology": "registry=min_of_2, flat_1m=warm_mean_of_5",
             }
