@@ -519,3 +519,52 @@ def test_spool_eviction_and_invalidation(spark, tmp_path, monkeypatch):
     ids2, _, _, _ = B._spool_file(target, 6, np.float32)
     assert np.asarray(ids2).min() >= 10_000, "stale spool entry served"
     assert len(entries()) >= before  # a NEW entry was created for the rewrite
+
+
+def test_multi_vector_blocks_per_field_indexes(spark, tmp_path):
+    """A multi-vector (CFLAT) collection with layout="blocks" packs
+    ONE index per vector field at flush; vector_field selects which
+    packed index serves, each matching its own row-twin ranking."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(9)
+    fields = [
+        IndexField("id", "string", primary_key=True),
+        IndexField("title_vec", "vector"),
+        IndexField("body_vec", "vector"),
+    ]
+    rows = [
+        {
+            "id": f"d{i}",
+            "title_vec": [rng.gauss(0, 1) for _ in range(6)],
+            "body_vec": [rng.gauss(0, 1) for _ in range(6)],
+        }
+        for i in range(120)
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    blk = cat.create_collection(
+        "mv", dim=6, distance="cosine", fields=fields,
+        layout="blocks", block_dtype="float64",
+    )
+    twin = cat.create_collection("mv_r", dim=6, distance="cosine", fields=fields)
+    blk.upsert(rows)
+    twin.upsert(rows)
+    blk.flush()
+    import os
+
+    assert os.path.isdir(blk._blocks_dir("title_vec"))
+    assert os.path.isdir(blk._blocks_dir("body_vec"))
+    q = [rng.gauss(0, 1) for _ in range(6)]
+    for vf in ("title_vec", "body_vec"):
+        got = [(r["id"], round(r["dist"], 6))
+               for r in blk.search(q, vector_field=vf, limit=8).collect()]
+        want = [(r["id"], round(r["dist"], 6))
+                for r in twin.search(q, vector_field=vf, limit=8).collect()]
+        assert got == want, vf
+    # the two fields genuinely rank differently (distinct indexes)
+    a = [r["id"] for r in blk.search(q, vector_field="title_vec", limit=8).collect()]
+    b = [r["id"] for r in blk.search(q, vector_field="body_vec", limit=8).collect()]
+    assert a != b
