@@ -669,6 +669,8 @@ def block_index_scan(
     layout's one-matvec cost shape; ``k`` is ignored in that mode."""
     np_dtype = _DTYPES[dtype]
     q = np.asarray([float(x) for x in query], dtype=np_dtype)
+    if radius is not None and group_col is not None:
+        raise ValueError("radius and group_col modes are mutually exclusive")
     if files is None:
         files = _index_files(path)
     elif not files:
@@ -695,8 +697,6 @@ def block_index_scan(
         not want_payload or group_col not in {f.name for f in payload_schema}
     ):
         raise ValueError("group_col must name a packed payload column")
-    if radius is not None and group_col is not None:
-        raise ValueError("radius and group_col modes are mutually exclusive")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dead = _load_tombstones(tombstones) if tombstones else None

@@ -568,3 +568,23 @@ def test_multi_vector_blocks_per_field_indexes(spark, tmp_path):
     a = [r["id"] for r in blk.search(q, vector_field="title_vec", limit=8).collect()]
     b = [r["id"] for r in blk.search(q, vector_field="body_vec", limit=8).collect()]
     assert a != b
+
+
+def test_scan_mode_guards(spark):
+    """API misuse fails loudly: radius and grouped modes are mutually
+    exclusive, and a pack group column cannot shadow another role."""
+    import pytest as _pytest
+
+    from coltt_spark.operators.blocks import block_index_scan, pack_blocks
+    from pyspark.sql import types as T2
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        block_index_scan(
+            spark, "/nonexistent", [0.1, 0.2], dim=2, radius=0.5,
+            group_col="g", per_group=1,
+            payload_schema=T2.StructType([T2.StructField("g", T2.LongType())]),
+        )
+    with _pytest.raises(ValueError, match="collides"):
+        pack_blocks(df, id_col="vec_id", vec_col="embedding", dim=2,
+                    group_col="vec_id")
