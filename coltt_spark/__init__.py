@@ -20,5 +20,24 @@ structured-streaming event processing.
 
 from coltt_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy top-level API: importing the package must stay cheap (no
+    # pyspark.sql plan modules pulled in until actually used)
+    if name == "Catalog":
+        from coltt_spark.catalog import Catalog
+
+        return Catalog
+    if name == "TextIndex":
+        from coltt_spark.textindex import TextIndex
+
+        return TextIndex
+    if name in ("IndexField", "IndexDesign"):
+        import coltt_spark.schema as _s
+
+        return getattr(_s, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["get_spark", "Catalog", "TextIndex", "IndexField", "IndexDesign"]
 __version__ = "0.1.0"
