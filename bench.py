@@ -239,7 +239,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     # and scans them through the same node-local spool as the block
     # index, so probe cost is ~(nprobe/n_centroids) of a packed scan
     from coltt_spark.operators.ann import ivf_build
-    from coltt_spark.operators.blocks import ivf_files
+    from coltt_spark.operators.blocks import ivf_files, ivf_probe_centroids
 
     t0 = time.perf_counter()
     assigned, Cn = ivf_build(
@@ -255,11 +255,7 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     )
     ivf_blocks.write.mode("overwrite").partitionBy("centroid").parquet(idx_dir)
     ivf_build_sec = round(time.perf_counter() - t0, 4)
-    qn = np.asarray(q, dtype=np.float64)
-    qn = qn / max(float(np.linalg.norm(qn)), 1e-30)
-    probe_files = ivf_files(
-        idx_dir, [int(c) for c in np.argsort(-(Cn @ qn))[:8]]
-    )
+    probe_files = ivf_files(idx_dir, ivf_probe_centroids(Cn, q, 8))
     ivf_kw = dict(dim=len(q), k=10, max_tasks=8, files=probe_files)
     for _ in range(3):  # warm: spool decode, then page cache
         block_index_topk(spark, idx_dir, q, **ivf_kw).collect()

@@ -919,20 +919,25 @@ class Collection:
             from coltt_spark.operators.blocks import (
                 block_index_topk_batch,
                 ivf_files,
+                ivf_probe_centroids,
             )
 
             Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
             blocks_dir = os.path.join(self._ivf_dir(vc), "blocks")
+            np_ = m.ivf_nprobe if nprobe is None else nprobe
+            probes_by_q = {
+                qid: ivf_probe_centroids(Cn, v, np_) for qid, v in qvs.items()
+            }
+            # list each probed centroid's directory ONCE for the batch
+            files_by_c = {
+                c: ivf_files(blocks_dir, [c])
+                for c in {c for cs in probes_by_q.values() for c in cs}
+            }
             file_query_ids: dict[str, list[int]] = {}
-            for qid, v in qvs.items():
-                q = np.asarray(v, dtype=np.float64)
-                q = q / max(float(np.linalg.norm(q)), 1e-30)
-                cs = [
-                    int(c)
-                    for c in np.argsort(-(Cn @ q))[: nprobe or m.ivf_nprobe]
-                ]
-                for f in ivf_files(blocks_dir, cs):
-                    file_query_ids.setdefault(f, []).append(int(qid))
+            for qid, cs in probes_by_q.items():
+                for c in cs:
+                    for f in files_by_c[c]:
+                        file_query_ids.setdefault(f, []).append(int(qid))
             _, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
             winners = block_index_topk_batch(
                 self.spark,
@@ -1441,16 +1446,18 @@ class Collection:
         ``core/core.go:760-839``) evaluates as a vectorized block-local
         mask and results come back without any second scan or join;
         delta-superseded rows are masked by the commit-id tombstones."""
-        from coltt_spark.operators.blocks import block_index_scan, ivf_files
+        from coltt_spark.operators.blocks import (
+            block_index_scan,
+            ivf_files,
+            ivf_probe_centroids,
+        )
 
         m = self.manifest
-        nprobe = nprobe or m.ivf_nprobe
+        nprobe = m.ivf_nprobe if nprobe is None else nprobe
         if m.distance == "cosine":
             qv = self._normalize_query(qv)
         Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
-        q = np.asarray(qv, dtype=np.float64)
-        qn = q / max(float(np.linalg.norm(q)), 1e-30)
-        probes = [int(c) for c in np.argsort(-(Cn @ qn))[:nprobe]]
+        probes = ivf_probe_centroids(Cn, qv, nprobe)
         files = ivf_files(os.path.join(self._ivf_dir(vc), "blocks"), probes)
         payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         # normalize-at-write: index rows are unit for cosine — score

@@ -532,6 +532,20 @@ def _index_files(path: str) -> list[str]:
     return files
 
 
+def ivf_probe_centroids(
+    Cn: np.ndarray, query: Sequence[float], nprobe: int
+) -> list[int]:
+    """Rank centroids for a query and return the ``nprobe`` nearest
+    list ids — THE probe-selection recipe (normalize, max-cosine,
+    stable argsort), shared by the catalog serving paths, the bench
+    micro, and the plan tests so probe semantics cannot drift."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-30)
+    return [int(c) for c in np.argsort(-(Cn @ q))[:nprobe]]
+
+
 def ivf_files(path: str, centroids: Sequence[int]) -> list[str]:
     """Block files of the probed inverted lists: a block index written
     ``partitionBy(centroid)`` keeps each list's blocks under its own
@@ -673,9 +687,8 @@ def block_index_scan(
         raise ValueError("radius and group_col modes are mutually exclusive")
     if files is None:
         files = _index_files(path)
-    elif not files:
-        # every probed list was empty: a valid, empty result
-        files = []
+    # an explicitly-passed empty list (every probed inverted list was
+    # empty) is a valid, empty scan — fdf None short-circuits below
     fdf = _file_group_df(spark, files, max_tasks) if files else None
     out_fields = [
         T.StructField(id_alias, T.LongType(), False),

@@ -33,6 +33,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     flipped = height > 0
     height = abs(height)
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries

@@ -1629,6 +1629,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _streamed_collection(spark, sf_dir)
     from coltt_spark.registry_fulltext import _text_index, q_bm25_index_merged
 
+    from coltt_spark.registry_fulltext import q_bm25_index_deleted
+
     _text_index(spark, sf_dir)  # inverted BM25 postings index
     _text_index(spark, sf_dir, str_ids=True)  # hybrid product surface
     q_bm25_index_merged(spark, sf_dir)  # sharded build + merged index
+    q_bm25_index_deleted(spark, sf_dir)  # tombstoned-index fixture

@@ -1015,3 +1015,20 @@ def test_grouped_search_packed_on_ivf_matches_row_twin(catalog):
         for r in twin.search_grouped(q, "type", limit=8, per_group=2).collect()
     ]
     assert got == want
+
+
+def test_nprobe_validation(catalog):
+    """The nprobe dial rejects non-positive values instead of silently
+    slicing weirdly (negative) or falling back (zero)."""
+    coll = catalog.create_collection(
+        "npv", dim=4, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=2, ivf_nprobe=2, block_dtype="float64",
+    )
+    coll.upsert(_rows(20, dim=4))
+    coll.flush()
+    q = _rows(1, dim=4, seed=3)[0]["vector"]
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="nprobe"):
+            coll.search(q, limit=3, nprobe=bad).collect()
+        with pytest.raises(ValueError, match="nprobe"):
+            coll.search_batch({0: q}, limit=3, nprobe=bad).collect()

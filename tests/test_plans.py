@@ -152,7 +152,7 @@ def test_ivf_collection_probe_prunes_partitions(spark):
     from pyspark.sql import functions as F2
 
     from coltt_spark.catalog import Catalog
-    from coltt_spark.operators.blocks import ivf_files
+    from coltt_spark.operators.blocks import ivf_files, ivf_probe_centroids
     from coltt_spark.plans import executed_plan
     from coltt_spark.schema import IndexField
 
@@ -173,9 +173,8 @@ def test_ivf_collection_probe_prunes_partitions(spark):
     # driver-side path pruning: the probed file set covers exactly
     # nprobe of the centroid directories and excludes the rest
     blocks_dir = os.path.join(coll._ivf_dir("vector"), "blocks")
-    qn = np.asarray(coll._normalize_query(q), dtype=np.float64)
     Cn = np.load(os.path.join(coll._ivf_dir("vector"), "centroids.npy"))
-    probed = [int(c) for c in np.argsort(-(Cn @ qn))[:2]]
+    probed = ivf_probe_centroids(Cn, coll._normalize_query(q), 2)
     files = ivf_files(blocks_dir, probed)
     assert files, "probed lists must have block files"
     assert all(f"centroid={c}" in f for f, c in zip(files, sorted(probed))) or all(
