@@ -456,3 +456,31 @@ def test_hybrid_text_one_take_ordered_per_branch(spark):
     plan = executed_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:800]
     assert "CartesianProduct" not in plan
+
+
+def test_packed_radius_is_single_narrow_stage(spark, tmp_path):
+    """The packed radius query must stay a shuffle-free file-list scan
+    — no Exchange, no Window, no global sort: every in-ball row
+    streams straight from the per-file kernel to the caller."""
+    import random
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.schema import IndexField
+
+    rng = random.Random(3)
+    rows = [
+        {"id": f"r{i}", "vector": [rng.gauss(0, 1) for _ in range(6)]}
+        for i in range(100)
+    ]
+    coll = Catalog(spark, str(tmp_path / "wh")).create_collection(
+        "radplan", dim=6, distance="cosine",
+        fields=[IndexField("id", "string", primary_key=True)],
+        layout="blocks", block_dtype="float64",
+    )
+    coll.upsert(rows)
+    coll.flush()
+    plan = executed_plan(coll.search_radius([rng.gauss(0, 1) for _ in range(6)], 1.2))
+    assert "Exchange" not in plan, plan[:500]
+    assert "Window" not in plan
+    assert "Scan parquet" not in plan
