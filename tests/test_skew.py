@@ -115,3 +115,37 @@ def test_simhash_mega_cluster_blocks_on_distinct_signatures(spark):
     )
     assert in_cluster.count() == n_cluster * (n_cluster - 1) // 2
     assert in_cluster.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_embedding_neardup_mega_cluster_bounded_by_answer(spark):
+    """Embedding near-dup under a mega-cluster of identical vectors:
+    the sign-LSH blocked join's candidate work equals the true answer
+    (all pairs are genuine near-dups), never a cross join across
+    blocks — output is exactly C(n,2) within the cluster plus the
+    planted near pair, and distinct vectors land in other blocks."""
+    from coltt_spark.operators.dedup import embedding_neardup_pairs, sign_block
+
+    n_cluster = 1500
+    base = [0.5, -0.25, 0.75, -0.5, 0.25, -0.75, 0.5, 0.25]
+    near = [x * 1.01 + 0.001 for x in base]       # cos ≈ 1 to base
+    far = [-x for x in base]                       # cos = -1
+    rows = (
+        [(i, base) for i in range(n_cluster)]
+        + [(n_cluster, near), (n_cluster + 1, far)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.withColumn("block", sign_block(F.col("embedding"), bits=8))
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, block_col="block"
+    )
+    assert "CartesianProduct" not in executed_plan(pairs)
+    in_cluster = pairs.filter(
+        (F.col("id_a") < n_cluster) & (F.col("id_b") < n_cluster)
+    ).count()
+    assert in_cluster == n_cluster * (n_cluster - 1) // 2
+    # the planted near vector pairs with every cluster member; the
+    # opposite vector (different sign block) contributes nothing
+    assert pairs.filter(F.col("id_b") == n_cluster).count() == n_cluster
+    assert pairs.filter(
+        (F.col("id_a") == n_cluster + 1) | (F.col("id_b") == n_cluster + 1)
+    ).count() == 0
