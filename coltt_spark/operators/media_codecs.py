@@ -103,6 +103,73 @@ def image_decoder(payload: bytes, out_len: int) -> np.ndarray:
     return (np.interp(xs, np.arange(len(luma)), luma) / 255.0).astype(np.float32)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload → ``(int16 samples, sample_rate)``.
+
+    Supports the format a stdlib ``wave.open`` writer produces:
+    uncompressed PCM (format tag 1), 16-bit, mono. Walks the chunk
+    list (chunks pad to even offsets per RIFF), so extra chunks
+    (LIST/INFO, fact) before ``data`` are fine. Raises ValueError on
+    any other flavor — loud beats silently-wrong samples."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short WAV fmt chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, channels={channels}, bits={bits})"
+        )
+    if len(data) % 2:
+        raise ValueError("odd WAV data size for 16-bit samples")
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes (fixture helper —
+    byte-compatible with what stdlib ``wave`` writes)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
+    """Real-audio drop-in for the ``extract_features`` decoder seam:
+    decode WAV → normalize to [-1, 1] → resample to ``out_len`` by
+    linear interpolation → float32 (the fixed-width "embedding" shape
+    downstream retrieval expects)."""
+    samples, _ = decode_wav(bytes(payload))
+    if len(samples) == 0:
+        raise ValueError("empty WAV data chunk")
+    xs = np.linspace(0.0, len(samples) - 1.0, out_len)
+    return (
+        np.interp(xs, np.arange(len(samples)), samples.astype(np.float64)) / 32768.0
+    ).astype(np.float32)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary PPM bytes (test fixture helper)."""
     h, w, _ = img.shape

@@ -95,6 +95,114 @@ def extract_features(media: DataFrame, *, dim: int = 16, decoder=None) -> DataFr
     )
 
 
+#: schema of a decoded audio-stats row
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000) -> DataFrame:
+    """Fabricate REAL RIFF/WAVE payloads for the audio rows
+    (``doc_id % 3 == 1``, matching :func:`media_table`'s round-robin):
+    ``8 * n_blocks`` int16 samples taken as big-endian pairs of
+    ``md5(text || ':' || block)`` digest bytes, wrapped in a PCM16
+    mono container. Deterministic by construction, so a SQL oracle
+    regenerates the SAMPLES from the same hash stream while the Spark
+    path must decode the actual container bytes — any header/offset/
+    endianness bug in the decoder breaks value parity."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_wav
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = b"".join(
+                    hashlib.md5(f"{text}:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )
+                # big-endian pairs == the '0x'||substr(hex,4i+1,4) parse
+                samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    return audio.mapInPandas(kernel, out_schema)
+
+
+def audio_features(audio: DataFrame, *, decoder=None) -> DataFrame:
+    """Per-clip audio statistics (Arrow-batched ``mapInPandas``):
+    sample count, duration, RMS level, zero-crossing rate, peak — the
+    quality/filtering signals an audio training pipeline gates on.
+
+    ``decoder`` is the injection seam, ``(payload: bytes) ->
+    (np.int16 samples, sample_rate)``; the default is the REAL
+    dependency-free RIFF/WAVE PCM16 decoder
+    (:func:`coltt_spark.operators.media_codecs.decode_wav`) — unlike
+    the image path there is no fake here, the container format is
+    decodable with stdlib ``struct``.
+
+    Float-parity note: every statistic derives from EXACT integer
+    aggregates (sum of int16 squares ≤ 2^53 for clips under ~2.6e6
+    samples, crossing counts, peak magnitude), so the final doubles
+    are identical across engines regardless of summation order — the
+    float-parity recipe holds by construction. Clips longer than
+    that would need a wider accumulator; this kernel raises rather
+    than silently losing exactness."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_wav
+
+        decode = decoder if decoder is not None else decode_wav
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in
+                    ("doc_id", "n_samples", "sample_rate", "duration_s", "rms", "zcr", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode(bytes(payload))
+                s = samples.astype(np.int64)
+                n = len(s)
+                if n == 0 or n > 2_600_000:
+                    raise ValueError(f"doc {doc_id}: {n} samples outside exact-sum range")
+                sumsq = int(np.sum(s * s))
+                crossings = int(np.sum(s[:-1] * s[1:] < 0)) if n > 1 else 0
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_s"].append(n / rate)
+                rows["rms"].append(math.sqrt(sumsq / n) / 32768.0)
+                rows["zcr"].append(crossings / (n - 1) if n > 1 else 0.0)
+                rows["peak"].append(int(np.max(np.abs(s))) / 32768.0)
+            yield pd.DataFrame(rows)
+
+    return audio.select("doc_id", "payload").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_image(media: DataFrame, *, width: int, height: int) -> DataFrame:
     """Resize stage: recompute metadata JVM-side, re-derive the payload
     in the decode kernel (fake: payload tiled to width·height bytes).

@@ -1455,6 +1455,7 @@ _KEY_ORDER = [
     "bm25_index_merged",       # new r4: sharded postings build + merge
     "pack_sequences_firstfit", # new r4: first-fit packing w/ oracle
     "bm25_index_deleted",      # new r4: mask-only postings deletes
+    "media_audio_features",    # new r4: real WAV decode + audio stats
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1492,7 +1493,6 @@ _KEY_ORDER = [
     "knn_wide",
     "knn_block",
     "dedup_containment",
-    "top_revenue_orders",
     "rollup_revenue",
     "events_sessionize",
     "events_json",
@@ -1502,8 +1502,13 @@ _KEY_ORDER = [
     # knn_euclidean / knn_manhattan / compare_dist share knn_cosine's
     # kernel and serving path (r2-green; the kernels are additionally
     # exercised by the in-window collection entries) — they yield their
-    # slots to the rotation. The 50 r3-green entries follow in their
+    # slots to the rotation. top_revenue_orders (r2-green, pure
+    # Catalyst join+agg+TakeOrdered, zero custom-operator code) ceded
+    # its slot to media_audio_features; in-window siblings
+    # region_revenue / window_top_orders / pricing_summary exercise
+    # the identical machinery. The 50 r3-green entries follow in their
     # r3 order (freshest driver signal in the ledger).
+    "top_revenue_orders",
     "knn_euclidean",
     "knn_manhattan",
     "compare_dist",

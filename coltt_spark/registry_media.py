@@ -7,7 +7,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coltt_spark.operators.multimodal import extract_features, media_table, sample_frames
+from coltt_spark.operators.multimodal import (
+    audio_features,
+    audio_wav_table,
+    extract_features,
+    media_table,
+    sample_frames,
+)
 from coltt_spark.sources.tables import load_table
 
 
@@ -131,11 +137,62 @@ WHERE doc_id % 3 = 2
 """
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: fabricate RIFF/WAVE PCM16 mono
+    payloads whose samples come from a deterministic md5 stream
+    (``audio_wav_table``), then decode the actual container bytes with
+    the dependency-free WAV decoder and compute the quality stats an
+    audio pipeline filters on (RMS / zero-crossing rate / peak /
+    duration). The oracle regenerates the SAMPLES from the same hash
+    stream in SQL — it never sees the WAV bytes — so a header/offset/
+    endianness bug in the decoder breaks value parity. Every stat
+    derives from exact integer aggregates, so the doubles agree across
+    engines bit-for-bit before rounding (reference scope stops at
+    opaque blobs; this is engine-side plumbing a training pipeline
+    needs — same posture as `media_features`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = audio_features(audio_wav_table(docs))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 4).alias("zcr"),
+        F.round("peak", 4).alias("peak"),
+    )
+
+
+_ORACLE_MEDIA_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 4), b ->
+           list_transform(range(0, 8), i ->
+             CASE WHEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT >= 32768
+                  THEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT - 65536
+                  ELSE ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT
+             END))) AS l
+  FROM documents
+  WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       round(32 / 8000.0, 4) AS duration_s,
+       round(sqrt(list_sum(list_transform(l, x -> x * x)) / 32.0) / 32768.0, 4) AS rms,
+       round(list_sum(list_transform(range(1, 32), i ->
+             CASE WHEN l[i] * l[i + 1] < 0 THEN 1 ELSE 0 END)) / 31.0, 4) AS zcr,
+       round(list_max(list_transform(l, x -> abs(x))) / 32768.0, 4) AS peak
+FROM s
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
     "media_knn": q_media_knn,
     "media_frames": q_media_frames,
+    "media_audio_features": q_media_audio_features,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -143,4 +200,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_features": _ORACLE_MEDIA_FEATURES,
     "media_knn": _ORACLE_MEDIA_KNN,
     "media_frames": _ORACLE_MEDIA_FRAMES,
+    "media_audio_features": _ORACLE_MEDIA_AUDIO_FEATURES,
 }

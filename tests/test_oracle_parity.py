@@ -70,6 +70,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # new this round (driver has never seen them)
         "collection_hybrid_text", "bm25_index_merged",
         "pack_sequences_firstfit", "bm25_index_deleted",
+        "media_audio_features",
         # implementation touched this round (pack_blocks group_col
         # refactor, file-subset scans, IVF-on-blocks serving + delta)
         "collection_search_blocks", "collection_search_batch",
@@ -88,14 +89,17 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "price_percentiles",
         "knn_f16", "ann_topk_batch", "knn_wide",
         "dedup_containment",
-        "top_revenue_orders", "rollup_revenue", "events_sessionize",
+        "rollup_revenue", "events_sessionize",
         "events_json", "media_features",
         # knn_euclidean / knn_manhattan / compare_dist ceded their
         # slots (share knn_cosine's kernel and serving path, which the
         # in-window collection entries re-exercise); ann_topk_blas /
         # media_metadata / events_hourly / token_count / cube_revenue /
         # set_intersect ceded theirs to this round's touched serving
-        # paths — each has an in-window sibling on the same machinery
-        # and all are re-oracled by the local gate every pytest run
+        # paths; top_revenue_orders (pure Catalyst join+agg+TakeOrdered)
+        # ceded its slot to the new media_audio_features —
+        # region_revenue / window_top_orders / pricing_summary cover
+        # the identical machinery in-window. Every demoted entry is
+        # re-oracled by the local gate every pytest run.
     }
     assert must_check <= window, sorted(must_check - window)

@@ -484,3 +484,23 @@ def test_packed_radius_is_single_narrow_stage(spark, tmp_path):
     assert "Exchange" not in plan, plan[:500]
     assert "Window" not in plan
     assert "Scan parquet" not in plan
+
+
+def test_audio_pipeline_is_narrow(spark):
+    """Fabricate-WAV → decode → stats is scan → mapInPandas →
+    mapInPandas with zero Exchange: per-document work only, so the
+    pipeline scales in corpus bytes with no shuffle at 100 TB. The
+    documents scan must also prune to the two referenced columns."""
+    from coltt_spark.operators.multimodal import audio_features, audio_wav_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = audio_features(audio_wav_table(docs))
+    assert not has_shuffle(feats)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    # column pruning: the scan reads doc_id+text only, not the
+    # unused lang/source/n_chars document columns
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "text" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema
