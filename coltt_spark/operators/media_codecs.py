@@ -114,17 +114,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = data = None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (csize,) = struct.unpack_from("<I", payload, pos + 4)
-        if pos + 8 + csize > len(payload):
-            raise ValueError("truncated WAV chunk")
+    for cid, body in _riff_subchunks(payload[12:]):
         if cid == b"fmt ":
-            fmt = payload[pos + 8 : pos + 8 + csize]
+            fmt = body
         elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + csize]
-        pos += 8 + csize + (csize & 1)  # RIFF chunks pad to even offsets
+            data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     if len(fmt) < 16:
@@ -168,6 +162,124 @@ def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
     return (
         np.interp(xs, np.arange(len(samples)), samples.astype(np.float64)) / 32768.0
     ).astype(np.float32)
+
+
+def _riff_subchunks(buf: bytes):
+    """Yield ``(chunk_id, body)`` pairs from a RIFF chunk run
+    (chunks pad to even offsets)."""
+    pos = 0
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + csize > len(buf):
+            raise ValueError("truncated RIFF chunk")
+        yield cid, buf[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Decode an AVI container with uncompressed 24-bit DIB frames →
+    ``(frames, fps)`` where each frame is (H, W, 3) uint8 RGB.
+
+    Walks RIFF 'AVI ' → LIST 'hdrl' (avih for the frame interval,
+    strf BITMAPINFOHEADER for geometry) → LIST 'movi' ('00db'/'##db'
+    uncompressed frame chunks, bottom-up BGR rows padded to 4 bytes —
+    the same DIB layout as BMP). Raises ValueError on compressed
+    streams or any other bpp — loud beats silently-wrong pixels."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec_per_frame = width = height = bpp = compression = None
+    frame_bodies: list[bytes] = []
+    for cid, body in _riff_subchunks(payload[12:]):
+        if cid != b"LIST":
+            continue
+        list_type = body[:4]
+        if list_type == b"hdrl":
+            for sub, sbody in _riff_subchunks(body[4:]):
+                if sub == b"avih":
+                    (usec_per_frame,) = struct.unpack_from("<I", sbody, 0)
+                elif sub == b"LIST" and sbody[:4] == b"strl":
+                    for s2, s2body in _riff_subchunks(sbody[4:]):
+                        if s2 == b"strf":
+                            _, width, height, _, bpp, compression = struct.unpack_from(
+                                "<IiiHHI", s2body, 0
+                            )
+        elif list_type == b"movi":
+            for sub, sbody in _riff_subchunks(body[4:]):
+                if sub[2:4] in (b"db", b"dc"):
+                    frame_bodies.append(sbody)
+    if width is None or usec_per_frame is None:
+        raise ValueError("AVI missing hdrl/strf metadata")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={compression})")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    frames = []
+    for body in frame_bodies:
+        if len(body) < row_bytes * height:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(
+            body, dtype=np.uint8, count=row_bytes * height
+        ).reshape(height, row_bytes)
+        img = rows[:, : width * 3].reshape(height, width, 3)
+        if flipped:
+            img = img[::-1]
+        frames.append(img[:, :, ::-1])  # BGR → RGB
+    if usec_per_frame <= 0:
+        raise ValueError("invalid AVI frame interval")
+    return frames, 1e6 / usec_per_frame
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
+    """(H, W, 3) uint8 RGB frames → AVI bytes with uncompressed 24-bit
+    DIB frames ('00db' chunks, bottom-up BGR, 4-byte row padding) and
+    a standards-shaped hdrl + idx1 so external players accept the file
+    (fixture helper)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w, _ = frames[0].shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+    pad = b"\x00" * (row_bytes - w * 3)
+
+    def dib(img: np.ndarray) -> bytes:
+        bgr = img[:, :, ::-1]
+        return b"".join(
+            bgr[r].astype(np.uint8).tobytes() + pad for r in range(h - 1, -1, -1)
+        )
+
+    usec = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, frame_size * int(fps), 0, 0x10, len(frames), 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, int(fps), 0, len(frames),
+        frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    movi_items = [chunk(b"00db", dib(f)) for f in frames]
+    movi = b"movi" + b"".join(movi_items)
+    idx, offset = [], 4
+    for item in movi_items:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, offset, len(item) - 8))
+        offset += len(item)
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi)
+        + chunk(b"idx1", b"".join(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

@@ -203,6 +203,117 @@ def audio_features(audio: DataFrame, *, decoder=None) -> DataFrame:
     return audio.select("doc_id", "payload").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
+#: schema of a decoded per-frame stats row
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("luma", T.DoubleType(), False),
+    ]
+)
+
+
+def video_avi_table(
+    documents: DataFrame, *, n_frames: int = 4, width: int = 4, height: int = 4, fps: float = 5.0
+) -> DataFrame:
+    """Fabricate REAL AVI containers for the video rows
+    (``doc_id % 3 == 2``, matching :func:`media_table`'s round-robin):
+    each of ``n_frames`` frames is ``width×height`` RGB with pixel
+    bytes from ``md5(text || ':' || frame || ':' || block)`` digests
+    (16 bytes per digest, row-major RGB), packed as uncompressed
+    24-bit DIB chunks. Deterministic, so a SQL oracle regenerates the
+    PIXELS from the hash stream while the Spark path must decode the
+    actual container — any header/row-order/channel-order bug in the
+    codec breaks value parity."""
+    n_bytes = width * height * 3
+    n_blocks = -(-n_bytes // 16)  # ceil
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_avi
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                frames = []
+                for f in range(n_frames):
+                    raw = b"".join(
+                        hashlib.md5(f"{text}:{f}:{b}".encode()).digest()
+                        for b in range(n_blocks)
+                    )[:n_bytes]
+                    frames.append(
+                        np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                    )
+                payloads.append(encode_avi(frames, fps))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = documents.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    return vids.mapInPandas(kernel, out_schema)
+
+
+def video_frame_stats(videos: DataFrame, *, decoder=None) -> DataFrame:
+    """Per-frame channel statistics (Arrow-batched ``mapInPandas``):
+    geometry, exact per-channel pixel sums, and BT.601 luma — the
+    black-frame / flat-frame / corrupt-stream gating signals a video
+    training pipeline filters on. One video row fans out to one row
+    per decoded frame.
+
+    ``decoder`` is the injection seam, ``(payload: bytes) ->
+    (frames, fps)``; the default is the REAL dependency-free AVI/DIB
+    decoder (:func:`coltt_spark.operators.media_codecs.decode_avi`).
+    Channel sums are exact integers, and luma is derived from them
+    with integer BT.601 weights (299/587/114 per mille), so the
+    doubles agree across engines regardless of pixel iteration
+    order."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_avi
+
+        decode = decoder if decoder is not None else decode_avi
+        cols = ("doc_id", "frame_idx", "width", "height", "r_sum", "g_sum", "b_sum", "luma")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _ = decode(bytes(payload))
+                for idx, img in enumerate(frames):
+                    h, w, _ = img.shape
+                    sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    r, g, b = (int(x) for x in sums)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["r_sum"].append(r)
+                    rows["g_sum"].append(g)
+                    rows["b_sum"].append(b)
+                    rows["luma"].append(
+                        (299 * r + 587 * g + 114 * b) / (1000.0 * w * h * 255.0)
+                    )
+            yield pd.DataFrame(rows)
+
+    return videos.select("doc_id", "payload").mapInPandas(kernel, FRAME_STATS_SCHEMA)
+
+
 def resize_image(media: DataFrame, *, width: int, height: int) -> DataFrame:
     """Resize stage: recompute metadata JVM-side, re-derive the payload
     in the decode kernel (fake: payload tiled to width·height bytes).

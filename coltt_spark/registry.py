@@ -1456,6 +1456,7 @@ _KEY_ORDER = [
     "pack_sequences_firstfit", # new r4: first-fit packing w/ oracle
     "bm25_index_deleted",      # new r4: mask-only postings deletes
     "media_audio_features",    # new r4: real WAV decode + audio stats
+    "media_video_stats",       # new r4: real AVI decode + frame stats
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1490,7 +1491,6 @@ _KEY_ORDER = [
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
-    "knn_wide",
     "knn_block",
     "dedup_containment",
     "rollup_revenue",
@@ -1506,9 +1506,14 @@ _KEY_ORDER = [
     # Catalyst join+agg+TakeOrdered, zero custom-operator code) ceded
     # its slot to media_audio_features; in-window siblings
     # region_revenue / window_top_orders / pricing_summary exercise
-    # the identical machinery. The 50 r3-green entries follow in their
-    # r3 order (freshest driver signal in the ledger).
+    # the identical machinery. knn_wide (r2-green wide-row layout
+    # variant) ceded its slot to media_video_stats; its kernel is
+    # covered in-window by knn_cosine and the touched knn_block, and
+    # the layout variant by the local gate + layout-parity property
+    # tests. The 50 r3-green entries follow in their r3 order
+    # (freshest driver signal in the ledger).
     "top_revenue_orders",
+    "knn_wide",
     "knn_euclidean",
     "knn_manhattan",
     "compare_dist",

@@ -13,6 +13,8 @@ from coltt_spark.operators.multimodal import (
     extract_features,
     media_table,
     sample_frames,
+    video_avi_table,
+    video_frame_stats,
 )
 from coltt_spark.sources.tables import load_table
 
@@ -187,12 +189,64 @@ FROM s
 """
 
 
+def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: fabricate AVI containers whose
+    4×4 RGB frames come from a deterministic md5 pixel stream
+    (``video_avi_table``), then decode the actual container with the
+    dependency-free AVI/DIB codec and compute per-frame channel sums +
+    BT.601 luma (the black-frame / flat-frame gating stats). The
+    oracle regenerates the PIXELS from the hash stream in SQL — it
+    never sees the AVI bytes — so a header/row-order/channel-order bug
+    in the codec breaks value parity. Sums are exact integers; luma
+    uses integer per-mille weights, so doubles agree across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = video_frame_stats(video_avi_table(docs))
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round("luma", 4).alias("luma"),
+    )
+
+
+_ORACLE_MEDIA_VIDEO_STATS = """
+WITH v AS (
+  SELECT doc_id, text, CAST(f.i AS BIGINT) AS frame_idx
+  FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i) AS f(i)
+  WHERE doc_id % 3 = 2
+), px AS (
+  SELECT doc_id, frame_idx,
+         flatten(list_transform(range(0, 3), b ->
+           list_transform(range(0, 16), i ->
+             ('0x' || substr(md5(text || ':' || CAST(frame_idx AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2*i + 1, 2))::BIGINT))) AS bytes
+  FROM v
+), sums AS (
+  SELECT doc_id, frame_idx,
+         CAST(list_sum(list_transform(range(0, 16), p -> bytes[3*p + 1])) AS BIGINT) AS r_sum,
+         CAST(list_sum(list_transform(range(0, 16), p -> bytes[3*p + 2])) AS BIGINT) AS g_sum,
+         CAST(list_sum(list_transform(range(0, 16), p -> bytes[3*p + 3])) AS BIGINT) AS b_sum
+  FROM px
+)
+SELECT doc_id, frame_idx,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 4 * 4 * 255.0), 4) AS luma
+FROM sums
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
     "media_knn": q_media_knn,
     "media_frames": q_media_frames,
     "media_audio_features": q_media_audio_features,
+    "media_video_stats": q_media_video_stats,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -201,4 +255,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_knn": _ORACLE_MEDIA_KNN,
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_audio_features": _ORACLE_MEDIA_AUDIO_FEATURES,
+    "media_video_stats": _ORACLE_MEDIA_VIDEO_STATS,
 }

@@ -70,7 +70,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # new this round (driver has never seen them)
         "collection_hybrid_text", "bm25_index_merged",
         "pack_sequences_firstfit", "bm25_index_deleted",
-        "media_audio_features",
+        "media_audio_features", "media_video_stats",
         # implementation touched this round (pack_blocks group_col
         # refactor, file-subset scans, IVF-on-blocks serving + delta)
         "collection_search_blocks", "collection_search_batch",
@@ -87,7 +87,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "doc_fingerprint", "pricing_summary",
         "region_revenue", "window_top_orders",
         "price_percentiles",
-        "knn_f16", "ann_topk_batch", "knn_wide",
+        "knn_f16", "ann_topk_batch",
         "dedup_containment",
         "rollup_revenue", "events_sessionize",
         "events_json", "media_features",
@@ -99,7 +99,10 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # paths; top_revenue_orders (pure Catalyst join+agg+TakeOrdered)
         # ceded its slot to the new media_audio_features —
         # region_revenue / window_top_orders / pricing_summary cover
-        # the identical machinery in-window. Every demoted entry is
-        # re-oracled by the local gate every pytest run.
+        # the identical machinery in-window; knn_wide (wide-row layout
+        # variant) ceded its slot to the new media_video_stats — its
+        # kernel rides in-window on knn_cosine + knn_block. Every
+        # demoted entry is re-oracled by the local gate every pytest
+        # run.
     }
     assert must_check <= window, sorted(must_check - window)

@@ -486,15 +486,7 @@ def test_packed_radius_is_single_narrow_stage(spark, tmp_path):
     assert "Scan parquet" not in plan
 
 
-def test_audio_pipeline_is_narrow(spark):
-    """Fabricate-WAV → decode → stats is scan → mapInPandas →
-    mapInPandas with zero Exchange: per-document work only, so the
-    pipeline scales in corpus bytes with no shuffle at 100 TB. The
-    documents scan must also prune to the two referenced columns."""
-    from coltt_spark.operators.multimodal import audio_features, audio_wav_table
-
-    docs = load_table(spark, SF_SMOKE, "documents")
-    feats = audio_features(audio_wav_table(docs))
+def _assert_narrow_media_pipeline(feats):
     assert not has_shuffle(feats)
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2
@@ -504,3 +496,24 @@ def test_audio_pipeline_is_narrow(spark):
     assert "text" in read_schema
     for unused in ("lang", "source", "n_chars"):
         assert unused not in read_schema
+
+
+def test_audio_pipeline_is_narrow(spark):
+    """Fabricate-WAV → decode → stats is scan → mapInPandas →
+    mapInPandas with zero Exchange: per-document work only, so the
+    pipeline scales in corpus bytes with no shuffle at 100 TB. The
+    documents scan must also prune to the two referenced columns."""
+    from coltt_spark.operators.multimodal import audio_features, audio_wav_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(audio_features(audio_wav_table(docs)))
+
+
+def test_video_pipeline_is_narrow(spark):
+    """Fabricate-AVI → decode → per-frame stats has the identical
+    narrow shape: the frame fan-out happens INSIDE the Arrow kernel,
+    never as a join or explode shuffle."""
+    from coltt_spark.operators.multimodal import video_avi_table, video_frame_stats
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(video_frame_stats(video_avi_table(docs)))

@@ -506,3 +506,72 @@ def test_audio_features_via_extract_features_seam(spark):
     for i, c in clips.items():
         assert np.allclose(out[i], audio_decoder(encode_wav(c, 8000), 12))
         assert float(np.abs(out[i]).max()) <= 1.0
+
+
+def test_avi_codec_roundtrip_and_rejections():
+    """AVI encode→decode returns the exact frames and fps; compressed
+    streams, odd geometries, and truncated payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from coltt_spark.operators.media_codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(3)]
+    payload = encode_avi(frames, fps=12.5)
+    got, fps = decode_avi(payload)
+    assert fps == _pytest.approx(12.5)
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+    for bad in (
+        b"RIFFxxxxWAVE",            # wrong RIFF form
+        b"not avi",
+        payload[:40],               # truncated header run
+        payload[:-7],               # truncated frame chunk
+    ):
+        with _pytest.raises(ValueError):
+            decode_avi(bad)
+    # compression tag != 0 in strf must raise, not mis-decode
+    strf_pos = payload.index(b"strf")
+    comp_off = strf_pos + 8 + 16  # header + (size,w,h,planes,bpp)
+    compressed = (
+        payload[:comp_off] + struct.pack("<I", 1) + payload[comp_off + 4 :]
+    )
+    with _pytest.raises(ValueError):
+        decode_avi(compressed)
+
+
+def test_video_frame_stats_match_local_replay(spark):
+    """video_frame_stats through the Spark seam equals a local replay
+    of decode → exact channel sums, and the fabricated payloads are
+    real AVI containers (decodable standalone, 4 frames of 4×4)."""
+    import numpy as np
+
+    from coltt_spark.operators.media_codecs import decode_avi
+    from coltt_spark.operators.multimodal import video_avi_table, video_frame_stats
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    vids = video_avi_table(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in vids.collect()}
+    assert payloads and all(k % 3 == 2 for k in payloads)
+
+    got = {}
+    for r in video_frame_stats(vids).collect():
+        got[(r["doc_id"], r["frame_idx"])] = r
+    for doc_id, payload in payloads.items():
+        frames, fps = decode_avi(payload)
+        assert len(frames) == 4 and fps == 5.0
+        for idx, img in enumerate(frames):
+            row = got[(doc_id, idx)]
+            assert (row["width"], row["height"]) == (4, 4)
+            sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            assert (row["r_sum"], row["g_sum"], row["b_sum"]) == tuple(int(x) for x in sums)
+            expect_luma = (
+                299 * int(sums[0]) + 587 * int(sums[1]) + 114 * int(sums[2])
+            ) / (1000.0 * 4 * 4 * 255.0)
+            assert row["luma"] == expect_luma
+    assert len(got) == 4 * len(payloads)
