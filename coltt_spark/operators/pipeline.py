@@ -400,6 +400,40 @@ def pack_sequences(
     )
 
 
+#: dialect-portable PII patterns — valid and identically-matching in
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround,
+#: no \b. Order matters: emails first (their local part can contain
+#: digits/dots an IP pattern might bite into after replacement).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the pre-training cleanup stage every public
+    corpus pipeline runs (C4/Dolma-style): replace emails, phone
+    numbers, and IPv4 literals with typed placeholder tokens, and
+    report per-document match counts for audit sampling.
+
+    Entirely JVM-side (``regexp_extract_all`` + ``regexp_replace``
+    inside whole-stage codegen — no Python in the hot path, no
+    shuffle; scales in corpus bytes). Counts are taken BEFORE
+    replacement; replacements apply in :data:`PII_PATTERNS` order.
+    Adds ``n_<kind>`` long columns and rewrites ``text_col``."""
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long"),
+        )
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(text_col, redacted)
+
+
 def decontaminate_bloom(
     train: DataFrame,
     benchmark: DataFrame,

@@ -1457,6 +1457,7 @@ _KEY_ORDER = [
     "bm25_index_deleted",      # new r4: mask-only postings deletes
     "media_audio_features",    # new r4: real WAV decode + audio stats
     "media_video_stats",       # new r4: real AVI decode + frame stats
+    "text_redact_pii",         # new r4: PII scrub, md5-of-redacted oracle
     # -- implementation touched this round (pack_blocks group_col
     # -- refactor + file-subset block scans + IVF-on-blocks serving &
     # -- delta flush) — touched outranks longest-unchecked ------------
@@ -1495,7 +1496,6 @@ _KEY_ORDER = [
     "dedup_containment",
     "rollup_revenue",
     "events_sessionize",
-    "events_json",
     "media_features",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier round.
@@ -1510,10 +1510,15 @@ _KEY_ORDER = [
     # variant) ceded its slot to media_video_stats; its kernel is
     # covered in-window by knn_cosine and the touched knn_block, and
     # the layout variant by the local gate + layout-parity property
-    # tests. The 50 r3-green entries follow in their r3 order
-    # (freshest driver signal in the ledger).
+    # tests. events_json (r2-green, pure-builtin get_json_object
+    # projection, zero custom-operator code; the events table and
+    # its timestamp handling are covered in-window by
+    # events_sessionize) ceded its slot to text_redact_pii. The 50
+    # r3-green entries follow in their r3 order (freshest driver
+    # signal in the ledger).
     "top_revenue_orders",
     "knn_wide",
+    "events_json",
     "knn_euclidean",
     "knn_manhattan",
     "compare_dist",

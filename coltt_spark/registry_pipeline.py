@@ -12,13 +12,16 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from coltt_spark.operators.pipeline import (
+    PII_PATTERNS,
     chunk_documents,
     decontaminate,
     decontaminate_bloom,
     fraction_sample,
     pack_sequences,
+    redact_pii,
     shard_assign,
     source_mix,
     stratified_sample,
@@ -372,6 +375,82 @@ FROM pass GROUP BY doc_id HAVING count(*) >= 1
 """
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing value-checked end-to-end: deterministically
+    inject emails / phone numbers / IPv4 literals into the corpus
+    (0-2 emails, phone on even ids, IP on ids % 5 — all derived from
+    doc_id so the oracle rebuilds the identical dirty text in SQL),
+    run the JVM-side `redact_pii` pass, and compare the per-kind
+    match COUNTS plus the md5 OF THE REDACTED TEXT — any divergence
+    in regex-dialect matching or replacement order between engines
+    breaks the hash. All outputs are integers/strings: no float
+    parity surface at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(format_string(' contact user%d@example.com', doc_id),"
+                " cast(doc_id % 3 as int))"
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.format_string(" call +1-555-%04d", F.col("doc_id") % 10000),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" from 10.0.%d.%d", F.col("doc_id") % 256, F.col("doc_id") % 100),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(dirty)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5("text").alias("redacted_md5"),
+        F.length("text").cast("long").alias("redacted_len"),
+    )
+
+
+def _redact_oracle() -> str:
+    """Generated from the SAME PII_PATTERNS constants the operator
+    uses (single source of truth — the established sketch-oracle
+    discipline)."""
+    pats = {kind: (pat, token) for kind, pat, token in PII_PATTERNS}
+    redacted = "text"
+    for kind, _, _ in PII_PATTERNS:
+        pat, token = pats[kind]
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pats[kind][0]}')) AS BIGINT) AS n_{kind}"
+        for kind, _, _ in PII_PATTERNS
+    )
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || repeat(' contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   CAST(doc_id % 3 AS INT))
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({redacted}) AS redacted_md5,
+       CAST(length({redacted}) AS BIGINT) AS redacted_len
+FROM dirty
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
@@ -384,6 +463,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_firstfit": q_pack_sequences_firstfit,
+    "text_redact_pii": q_text_redact_pii,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -398,4 +478,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
     "pack_sequences_firstfit": _ORACLE_PACK_SEQUENCES_FIRSTFIT,
+    "text_redact_pii": _redact_oracle(),
 }

@@ -70,7 +70,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # new this round (driver has never seen them)
         "collection_hybrid_text", "bm25_index_merged",
         "pack_sequences_firstfit", "bm25_index_deleted",
-        "media_audio_features", "media_video_stats",
+        "media_audio_features", "media_video_stats", "text_redact_pii",
         # implementation touched this round (pack_blocks group_col
         # refactor, file-subset scans, IVF-on-blocks serving + delta)
         "collection_search_blocks", "collection_search_batch",
@@ -90,7 +90,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "knn_f16", "ann_topk_batch",
         "dedup_containment",
         "rollup_revenue", "events_sessionize",
-        "events_json", "media_features",
+        "media_features",
         # knn_euclidean / knn_manhattan / compare_dist ceded their
         # slots (share knn_cosine's kernel and serving path, which the
         # in-window collection entries re-exercise); ann_topk_blas /
@@ -101,8 +101,10 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # region_revenue / window_top_orders / pricing_summary cover
         # the identical machinery in-window; knn_wide (wide-row layout
         # variant) ceded its slot to the new media_video_stats — its
-        # kernel rides in-window on knn_cosine + knn_block. Every
-        # demoted entry is re-oracled by the local gate every pytest
-        # run.
+        # kernel rides in-window on knn_cosine + knn_block; events_json
+        # (pure-builtin get_json_object projection) ceded its slot to
+        # the new text_redact_pii — the events table rides in-window
+        # on events_sessionize. Every demoted entry is re-oracled by
+        # the local gate every pytest run.
     }
     assert must_check <= window, sorted(must_check - window)

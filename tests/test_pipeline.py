@@ -242,3 +242,27 @@ def test_as_of_join_randomized_vs_bruteforce(spark):
         cands = [(rts, rid) for (ru, rts, rid) in right if ru == u and rts <= lts]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (u, lts, lid)
+
+
+def test_redact_pii_semantics(spark):
+    """redact_pii finds and replaces emails / phones / IPv4 in
+    realistic surrounding text, leaves clean text byte-identical,
+    and counts before replacing."""
+    from coltt_spark.operators.pipeline import redact_pii
+
+    rows = [
+        (0, "reach me at John.Doe+spam@sub.example.co.uk or call +44-020-7946"),
+        (1, "server at 10.255.3.7, backup 192.168.0.1."),
+        (2, "no pii here, just 3.14 and version 2.0 strings"),
+        (3, "a@b.io a@b.io a@b.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert got[0]["text"] == "reach me at [EMAIL] or call [PHONE]"
+    assert got[1]["n_ip"] == 2
+    assert got[1]["text"] == "server at [IP], backup [IP]."
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ip"]) == (0, 0, 0)
+    assert got[2]["text"] == rows[2][1]
+    assert got[3]["n_email"] == 3
+    assert got[3]["text"] == "[EMAIL] [EMAIL] [EMAIL]"

@@ -517,3 +517,17 @@ def test_video_pipeline_is_narrow(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     _assert_narrow_media_pipeline(video_frame_stats(video_avi_table(docs)))
+
+
+def test_redact_pii_is_pure_codegen_project(spark):
+    """PII scrubbing is a pure JVM projection: no shuffle, no Python
+    stage, inside whole-stage codegen — it adds zero cost structure
+    to a 100 TB cleaning pass beyond the scan itself."""
+    from coltt_spark.operators.pipeline import redact_pii
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    red = redact_pii(docs)
+    assert not has_shuffle(red)
+    assert wholestage_codegen_spans(red) >= 1
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
