@@ -22,6 +22,38 @@ import struct
 import numpy as np
 
 
+def _decode_dib_rows(body: bytes, width: int, height: int, *, offset: int = 0) -> np.ndarray:
+    """Unpack one 24-bit DIB pixel block (bottom-up when ``height`` is
+    positive, BGR, rows padded to 4 bytes — the layout BMP files and
+    AVI '00db' chunks share) → (H, W, 3) uint8 RGB. Validates
+    geometry and length, raising ValueError."""
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid DIB dimensions {width}x{height}")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(body) < offset + row_bytes * height:
+        raise ValueError("truncated DIB pixel block")
+    rows = np.frombuffer(
+        body, dtype=np.uint8, count=row_bytes * height, offset=offset
+    ).reshape(height, row_bytes)
+    img = rows[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def _encode_dib_rows(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → bottom-up padded BGR DIB pixel block."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    bgr = img[:, :, ::-1]
+    return b"".join(
+        bgr[r].astype(np.uint8).tobytes() + pad for r in range(h - 1, -1, -1)
+    )
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed bottom-up BMP → (H, W, 3) uint8
     (RGB). Raises ValueError on any other BMP flavor."""
@@ -33,21 +65,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
-    if width <= 0 or height == 0:
-        raise ValueError(f"invalid BMP dimensions {width}x{height}")
-    flipped = height > 0
-    height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    need = data_offset + row_bytes * height
-    if len(payload) < need:
-        raise ValueError("truncated BMP payload")
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
-    ).reshape(height, row_bytes)
-    img = rows[:, : width * 3].reshape(height, width, 3)
-    if flipped:
-        img = img[::-1]
-    return img[:, :, ::-1]  # BGR → RGB
+    return _decode_dib_rows(payload, width, height, offset=data_offset)
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -212,20 +230,7 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
         raise ValueError("AVI missing hdrl/strf metadata")
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={compression})")
-    flipped = height > 0
-    height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3
-    frames = []
-    for body in frame_bodies:
-        if len(body) < row_bytes * height:
-            raise ValueError("truncated AVI frame")
-        rows = np.frombuffer(
-            body, dtype=np.uint8, count=row_bytes * height
-        ).reshape(height, row_bytes)
-        img = rows[:, : width * 3].reshape(height, width, 3)
-        if flipped:
-            img = img[::-1]
-        frames.append(img[:, :, ::-1])  # BGR → RGB
+    frames = [_decode_dib_rows(body, width, height) for body in frame_bodies]
     if usec_per_frame <= 0:
         raise ValueError("invalid AVI frame interval")
     return frames, 1e6 / usec_per_frame
@@ -239,25 +244,21 @@ def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
     if not frames:
         raise ValueError("no frames")
     h, w, _ = frames[0].shape
-    row_bytes = (w * 3 + 3) & ~3
-    frame_size = row_bytes * h
-    pad = b"\x00" * (row_bytes - w * 3)
-
-    def dib(img: np.ndarray) -> bytes:
-        bgr = img[:, :, ::-1]
-        return b"".join(
-            bgr[r].astype(np.uint8).tobytes() + pad for r in range(h - 1, -1, -1)
-        )
+    frame_size = ((w * 3 + 3) & ~3) * h
 
     usec = int(round(1e6 / fps))
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        usec, frame_size * int(fps), 0, 0x10, len(frames), 0, 1, frame_size, w, h,
+        usec, int(round(frame_size * fps)), 0, 0x10, len(frames), 0, 1,
+        frame_size, w, h,
         0, 0, 0, 0,
     )
+    # strh timing is scale/rate — use per-mille so non-integer frame
+    # rates (12.5, 29.97) survive; players derive timing from here,
+    # avih's usec is advisory
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, int(fps), 0, len(frames),
+        b"vids", b"DIB ", 0, 0, 0, 0, 1000, int(round(fps * 1000)), 0, len(frames),
         frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
@@ -267,7 +268,7 @@ def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
 
     strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
     hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
-    movi_items = [chunk(b"00db", dib(f)) for f in frames]
+    movi_items = [chunk(b"00db", _encode_dib_rows(f)) for f in frames]
     movi = b"movi" + b"".join(movi_items)
     idx, offset = [], 4
     for item in movi_items:
@@ -292,12 +293,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → 24-bit bottom-up BMP bytes (test fixture
     helper)."""
     h, w, _ = img.shape
-    row_bytes = (w * 3 + 3) & ~3
-    data = bytearray()
-    bgr = img[:, :, ::-1]
-    pad = b"\x00" * (row_bytes - w * 3)
-    for r in range(h - 1, -1, -1):
-        data += bgr[r].astype(np.uint8).tobytes() + pad
+    data = _encode_dib_rows(img)
     offset = 14 + 40
     size = offset + len(data)
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)

@@ -419,14 +419,12 @@ def _redact_oracle() -> str:
     """Generated from the SAME PII_PATTERNS constants the operator
     uses (single source of truth — the established sketch-oracle
     discipline)."""
-    pats = {kind: (pat, token) for kind, pat, token in PII_PATTERNS}
     redacted = "text"
-    for kind, _, _ in PII_PATTERNS:
-        pat, token = pats[kind]
+    for _, pat, token in PII_PATTERNS:
         redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
     counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{pats[kind][0]}')) AS BIGINT) AS n_{kind}"
-        for kind, _, _ in PII_PATTERNS
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
     )
     return f"""
 WITH dirty AS (

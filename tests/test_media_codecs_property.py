@@ -74,12 +74,15 @@ _pii_text = st.text(
 
 @settings(max_examples=200, deadline=None)
 @given(parts=st.lists(_pii_text, min_size=1, max_size=4), seed=st.integers(0, 999))
-def test_pii_patterns_agree_with_python_re(parts, seed):
-    """The PII patterns must behave identically under an independent
-    regex engine (Python re, which like Spark uses backtracking
-    syntax; the operator additionally restricts itself to the common
-    RE2-safe subset). Random text with PII snippets spliced in:
-    match counts and the fully-redacted string agree with re.sub."""
+def test_pii_patterns_are_total_under_python_re(parts, seed):
+    """The PII patterns, run under an independent regex engine
+    (Python re — same backtracking family as Spark's Java regex; the
+    operator restricts itself to the common RE2-safe subset), must be
+    TOTAL over randomly spliced snippets: every injected email /
+    phone / IP is found (per-kind match count ≥ injected count) and
+    destroyed by sequential redaction. Spark ≡ this-engine agreement
+    on fixed rows is pinned by test_redact_pii_semantics; Spark ≡
+    DuckDB on the corpus by the text_redact_pii oracle."""
     rng = np.random.default_rng(seed)
     snippets = [
         f"u{seed}@ex-{seed % 7}.org",
@@ -87,17 +90,16 @@ def test_pii_patterns_agree_with_python_re(parts, seed):
         f"{rng.integers(0, 256)}.{rng.integers(0, 256)}.{rng.integers(0, 256)}.{rng.integers(0, 256)}",
     ]
     pieces = []
+    injected = {kind: 0 for kind, _, _ in PII_PATTERNS}
     for i, p in enumerate(parts):
         pieces.append(p)
         pieces.append(" " + snippets[i % 3] + " ")
+        injected[PII_PATTERNS[i % 3][0]] += 1
     text = "".join(pieces)
+    for kind, pat, _ in PII_PATTERNS:
+        assert len(re.findall(pat, text)) >= injected[kind], kind
     redacted = text
     for _, pat, token in PII_PATTERNS:
         redacted = re.sub(pat, lambda _m, t=token: t, redacted)
-    # the re replay IS the expected value for the Spark-side unit
-    # semantics (test_redact_pii_semantics pins Spark agreement on
-    # fixed rows; the registry oracle pins Spark ≡ DuckDB on the
-    # corpus) — here we assert the patterns are total and
-    # non-overlapping: every snippet vanished from the redacted text
     for s in snippets[: min(len(parts), 3)]:
         assert s not in redacted
