@@ -111,6 +111,10 @@ class SchemalessCollection:
             ).cast(T.ArrayType(T.FloatType())),
         )
         if order_col is not None:
+            # unpartitioned window over the INSERT BATCH (user-sized,
+            # never the corpus) — sequential-id semantics per the
+            # reference's insert contract; WindowExec's global-window
+            # warning is expected and bounded here
             w = Window.orderBy("_ord")
             base = base.withColumn(
                 "_id", F.row_number().over(w).cast("long") - 1 + F.lit(self._next_id)

@@ -83,3 +83,44 @@ def test_curation_pipeline_composes(spark):
     finally:
         con.close()
     assert ok, msg
+
+
+def test_redaction_composes_with_chunking(spark):
+    """PII scrubbing slots in front of the chunker the way a real
+    cleaning pipeline runs it: inject deterministic PII, redact,
+    chunk the redacted text (stride=size for clean reassembly). The
+    chunk token stream for every document reassembles to exactly the
+    tokenizer's view of the redacted text, and the placeholder tokens
+    ride through — proof the two operators compose in ONE lazy plan
+    with the chunker's contract intact."""
+    import re as _re
+
+    from coltt_spark.operators.pipeline import chunk_documents, redact_pii
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(120)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(" mail user%d@example.com or +1-555-%04d at 10.0.%d.%d",
+                            F.col("doc_id"), F.col("doc_id") % 10000,
+                            F.col("doc_id") % 256, F.col("doc_id") % 100),
+        ).alias("text"),
+    )
+    red = redact_pii(dirty)
+    chunks = chunk_documents(red.select("doc_id", "text"), "doc_id", "text",
+                             size=32, stride=32)
+    joined = {}
+    for r in chunks.collect():
+        joined.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    red_rows = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert set(joined) == set(red_rows)
+    for doc_id, parts in joined.items():
+        stream = " ".join(c for _, c in sorted(parts)).split()
+        # the tokenizer's view of the redacted text (lowercase,
+        # alnum-split — same contract as functions.text.tokens)
+        expect = [t for t in _re.split("[^a-z0-9]+", red_rows[doc_id].lower()) if t]
+        assert stream == expect
+        # the placeholders survive as tokens; the raw PII does not
+        assert "email" in stream and "phone" in stream and "ip" in stream
+        assert f"user{doc_id}" not in stream and "example" not in stream
