@@ -196,6 +196,29 @@ class Collection:
         v = self.manifest.version if version is None else version
         return os.path.join(self.root, f"v{v}_tombstones")
 
+    def _ivf_ready(
+        self, vector_col: str, version: int | None = None, *, strict: bool = True
+    ) -> bool:
+        """True when the IVF index for ``vector_col`` exists in the
+        current packed-per-centroid layout (a ``blocks/`` subtree
+        beside ``centroids.npy``). An index directory WITHOUT
+        ``blocks/`` is a stale or partially-written format — probing
+        it would list zero files and silently serve EMPTY results, so
+        serving gates (``strict=True``) fail loudly instead; flush's
+        incremental gate passes ``strict=False`` and treats it as
+        not-ready, which routes into the full rebuild that heals it."""
+        d = self._ivf_dir(vector_col, version)
+        if not os.path.isdir(d):
+            return False
+        if os.path.isdir(os.path.join(d, "blocks")):
+            return True
+        if strict:
+            raise RuntimeError(
+                f"IVF index at {d} has no blocks/ subdirectory — stale or "
+                "partially written layout; run flush(compact=True) to rebuild"
+            )
+        return False
+
 
     def _vector_cols(self) -> list[str]:
         """Named vector fields from the index design (experimental
@@ -460,11 +483,7 @@ class Collection:
             return self._search_blocks(
                 qv, vc, limit=limit, offset=offset, filter_ast=filter_ast
             )
-        if (
-            m.layout == "ivf"
-            and not self._dirty
-            and os.path.isdir(self._ivf_dir(vc))
-        ):
+        if m.layout == "ivf" and not self._dirty and self._ivf_ready(vc):
             return self._search_ivf(
                 qv, vc, limit=limit, offset=offset, filter_ast=filter_ast,
                 nprobe=nprobe,
@@ -630,11 +649,7 @@ class Collection:
                 qv, vc, group_by,
                 limit=limit, per_group=per_group, filter_ast=filter_ast,
             )
-        if (
-            m.layout == "ivf"
-            and not self._dirty
-            and os.path.isdir(self._ivf_dir(vc))
-        ):
+        if m.layout == "ivf" and not self._dirty and self._ivf_ready(vc):
             # grouped is a SET contract (one winner per group value) —
             # a probe subset could silently drop a group whose nearest
             # member lives in an unprobed list, so scan every list's
@@ -700,7 +715,7 @@ class Collection:
         if not self._dirty:
             if m.layout == "blocks" and os.path.isdir(self._blocks_dir(vc)):
                 packed_dir, packed_files = self._blocks_dir(vc), None
-            elif m.layout == "ivf" and os.path.isdir(self._ivf_dir(vc)):
+            elif m.layout == "ivf" and self._ivf_ready(vc):
                 from coltt_spark.operators.blocks import ivf_files
 
                 packed_dir = ""
@@ -904,11 +919,7 @@ class Collection:
         if vc is None or vc not in vcols:
             raise ValueError(f"vector_field must be one of {vcols}")
         pk = m.index_design.primary_key
-        if (
-            m.layout == "ivf"
-            and not self._dirty
-            and os.path.isdir(self._ivf_dir(vc))
-        ):
+        if m.layout == "ivf" and not self._dirty and self._ivf_ready(vc):
             # batched probe over the packed inverted lists: ONE job
             # scans the union of every query's probed lists, and each
             # file is scored only for the queries whose probe set
@@ -1117,7 +1128,7 @@ class Collection:
             )
         elif m.layout == "ivf":
             idx_ready = all(
-                os.path.isdir(self._ivf_dir(vc, old_v))
+                self._ivf_ready(vc, old_v, strict=False)
                 for vc in self._vector_cols()
             )
         else:

@@ -402,11 +402,33 @@ def pack_sequences(
 
 #: dialect-portable PII patterns — valid and identically-matching in
 #: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround,
-#: no \b. Order matters: emails first (their local part can contain
-#: digits/dots an IP pattern might bite into after replacement).
+#: no \b, and alternatives ordered longest-first (both engines match
+#: leftmost-FIRST, so alternation order is part of the contract).
+#: Replacement order matters: emails first (their local part can
+#: contain digits/dots an IP pattern might bite into), phones before
+#: IPs (a dotted phone 555.123.4567 would otherwise lose its first
+#: nine digits to the IP pattern).
+#:
+#: The phone alternation covers the shapes a real corpus carries —
+#: ``+1 (555) 123-4567`` / ``+1-555-123-4567`` (country code),
+#: ``(555) 123-4567`` (parenthesized area code), ``555-123-4567`` /
+#: ``555.123.4567`` / ``555 123 4567`` (dashed/dotted/spaced), and
+#: the short ``+CC-XXX-XXXX`` form — while a BARE 10-digit run
+#: (product codes, ids) never matches: every alternative requires
+#: separator structure, which is the only \b-free way to keep
+#: false-positive digit runs out.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    (
+        "phone",
+        r"\+[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+        r"|\+[0-9]{1,2}[-. ]?\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}"
+        r"|\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        r"|\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}"
+        r"|[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+        "[PHONE]",
+    ),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
     ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
 )
 

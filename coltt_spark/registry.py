@@ -1642,9 +1642,11 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the streaming replay IS this fixture's ingest; the registry
     # query then measures the search over the landed state
     _streamed_collection(spark, sf_dir)
-    from coltt_spark.registry_fulltext import _text_index, q_bm25_index_merged
-
-    from coltt_spark.registry_fulltext import q_bm25_index_deleted
+    from coltt_spark.registry_fulltext import (
+        _text_index,
+        q_bm25_index_deleted,
+        q_bm25_index_merged,
+    )
 
     _text_index(spark, sf_dir)  # inverted BM25 postings index
     _text_index(spark, sf_dir, str_ids=True)  # hybrid product surface

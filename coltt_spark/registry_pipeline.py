@@ -377,15 +377,27 @@ FROM pass GROUP BY doc_id HAVING count(*) >= 1
 
 def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing value-checked end-to-end: deterministically
-    inject emails / phone numbers / IPv4 literals into the corpus
-    (0-2 emails, phone on even ids, IP on ids % 5 — all derived from
-    doc_id so the oracle rebuilds the identical dirty text in SQL),
-    run the JVM-side `redact_pii` pass, and compare the per-kind
-    match COUNTS plus the md5 OF THE REDACTED TEXT — any divergence
-    in regex-dialect matching or replacement order between engines
-    breaks the hash. All outputs are integers/strings: no float
-    parity surface at all."""
+    inject emails / phone numbers (FOUR real-corpus shapes, cycled by
+    doc_id: ``+1-555-XXXX``, ``(555) 123-XXXX``, ``555.123.XXXX``,
+    ``+44 555 123 XXXX``) / SSNs (ids % 7) / IPv4 literals
+    (ids % 5) — all derived from doc_id so the oracle rebuilds the
+    identical dirty text in SQL — plus a NEGATIVE: a bare 10-digit
+    product code (ids % 3 == 1) that must survive redaction
+    untouched. Run the JVM-side `redact_pii` pass and compare the
+    per-kind match COUNTS plus the md5 OF THE REDACTED TEXT — any
+    divergence in regex-dialect matching, alternation order, or
+    replacement order between engines (or a false positive on the
+    product code) breaks the hash. All outputs are integers/strings:
+    no float parity surface at all."""
     docs = load_table(spark, sf_dir, "documents")
+    n4 = F.col("doc_id") % 10000
+    phone = (
+        F.when(F.col("doc_id") % 8 == 0, F.format_string(" call +1-555-%04d", n4))
+        .when(F.col("doc_id") % 8 == 2, F.format_string(" call (555) 123-%04d", n4))
+        .when(F.col("doc_id") % 8 == 4, F.format_string(" call 555.123.%04d", n4))
+        .when(F.col("doc_id") % 8 == 6, F.format_string(" call +44 555 123 %04d", n4))
+        .otherwise(F.lit(""))
+    )
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -394,9 +406,14 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "repeat(format_string(' contact user%d@example.com', doc_id),"
                 " cast(doc_id % 3 as int))"
             ),
+            phone,
             F.when(
-                F.col("doc_id") % 2 == 0,
-                F.format_string(" call +1-555-%04d", F.col("doc_id") % 10000),
+                F.col("doc_id") % 7 == 0,
+                F.format_string(" ssn 123-45-%04d", n4),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.format_string(" sku 555123%04d", n4),
             ).otherwise(F.lit("")),
             F.when(
                 F.col("doc_id") % 5 == 0,
@@ -409,6 +426,7 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_email",
         "n_phone",
+        "n_ssn",
         "n_ip",
         F.md5("text").alias("redacted_md5"),
         F.length("text").cast("long").alias("redacted_len"),
@@ -432,8 +450,20 @@ WITH dirty AS (
          text
          || repeat(' contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
                    CAST(doc_id % 3 AS INT))
-         || CASE WHEN doc_id % 2 = 0
+         || CASE WHEN doc_id % 8 = 0
                  THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 WHEN doc_id % 8 = 2
+                 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 WHEN doc_id % 8 = 4
+                 THEN ' call 555.123.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 WHEN doc_id % 8 = 6
+                 THEN ' call +44 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 1
+                 THEN ' sku 555123' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                  ELSE '' END
          || CASE WHEN doc_id % 5 = 0
                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)

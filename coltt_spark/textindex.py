@@ -192,12 +192,21 @@ class TextIndex:
         per call and one tiny broadcast per query — never a postings
         rewrite on the serving path. ``ids``: an iterable of id values
         or a single-column DataFrame."""
+        id_type = self.spark.read.parquet(
+            os.path.join(self.root, "postings")
+        ).schema[self.id_col].dataType
         if isinstance(ids, DataFrame):
+            given = ids.schema[ids.columns[0]].dataType
+            if given != id_type:
+                # fail fast here rather than as a confusing parquet
+                # schema-merge error later on the serving path (the
+                # hybrid path already fails loudly on id-type mismatch)
+                raise TypeError(
+                    f"delete ids column has type {given.simpleString()} but the "
+                    f"index id column {self.id_col!r} is {id_type.simpleString()}"
+                )
             df = ids.select(F.col(ids.columns[0]).alias(self.id_col))
         else:
-            id_type = self.spark.read.parquet(
-                os.path.join(self.root, "postings")
-            ).schema[self.id_col].dataType
             df = self.spark.createDataFrame(
                 [(i,) for i in ids],
                 T.StructType([T.StructField(self.id_col, id_type, False)]),

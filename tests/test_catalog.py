@@ -1032,3 +1032,35 @@ def test_nprobe_validation(catalog):
             coll.search(q, limit=3, nprobe=bad).collect()
         with pytest.raises(ValueError, match="nprobe"):
             coll.search_batch({0: q}, limit=3, nprobe=bad).collect()
+
+
+def test_stale_ivf_layout_fails_loudly(catalog):
+    """An IVF index directory WITHOUT the packed blocks/ subtree (the
+    pre-r4 layout, or a partially-written flush) must not silently
+    serve empty results: serving gates raise with a rebuild hint, and
+    flush treats the index as not-ready (full rebuild heals it)."""
+    import os
+    import shutil
+
+    coll = catalog.create_collection(
+        "stale", dim=4, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=2, ivf_nprobe=2, block_dtype="float64",
+    )
+    coll.upsert(_rows(20, dim=4))
+    coll.flush()
+    q = _rows(1, dim=4, seed=3)[0]["vector"]
+    assert len(coll.search(q, limit=3).collect()) == 3
+    # simulate the stale format: index dir present, blocks/ gone
+    shutil.rmtree(os.path.join(coll._ivf_dir("vector"), "blocks"))
+    with pytest.raises(RuntimeError, match="blocks/"):
+        coll.search(q, limit=3)
+    with pytest.raises(RuntimeError, match="blocks/"):
+        coll.search_batch({0: q}, limit=3)
+    with pytest.raises(RuntimeError, match="blocks/"):
+        coll.search_grouped(q, "type", limit=3, per_group=1)
+    with pytest.raises(RuntimeError, match="blocks/"):
+        coll.search_radius(q, 10.0)
+    # flush's incremental gate self-heals via the full rebuild path
+    coll.upsert(_rows(4, dim=4, seed=9))
+    coll.flush()
+    assert len(coll.search(q, limit=3).collect()) == 3

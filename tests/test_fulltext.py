@@ -434,3 +434,20 @@ def test_text_index_delete_compact_merge_lifecycle(spark, tmp_path):
     merged = TextIndex.merge([compacted, other], str(tmp_path / "m_ok"))
     full = [(r["doc_id"], r["score"]) for r in merged.search(q, top_k=10).collect()]
     assert full == [(d, s) for d, s in before]
+
+
+def test_textindex_delete_rejects_mismatched_id_type(spark, tmp_path):
+    """delete() with a DataFrame whose id column type differs from the
+    postings id type fails FAST with a TypeError — not later as a
+    parquet schema-merge error on the serving path."""
+    from coltt_spark.textindex import TextIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    idx = TextIndex.build(docs, "doc_id", "text", str(tmp_path / "tdel"))
+    bad = spark.createDataFrame([("1",), ("2",)], "doc_id string")
+    with pytest.raises(TypeError, match="id column"):
+        idx.delete(bad)
+    # the matching type still works
+    ok = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    idx.delete(ok)
+    assert idx.search("the", top_k=5).count() >= 0

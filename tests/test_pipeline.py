@@ -245,7 +245,7 @@ def test_as_of_join_randomized_vs_bruteforce(spark):
 
 
 def test_redact_pii_semantics(spark):
-    """redact_pii finds and replaces emails / phones / IPv4 in
+    """redact_pii finds and replaces emails / phones / SSNs / IPv4 in
     realistic surrounding text, leaves clean text byte-identical,
     and counts before replacing."""
     from coltt_spark.operators.pipeline import redact_pii
@@ -266,3 +266,43 @@ def test_redact_pii_semantics(spark):
     assert got[2]["text"] == rows[2][1]
     assert got[3]["n_email"] == 3
     assert got[3]["text"] == "[EMAIL] [EMAIL] [EMAIL]"
+
+
+def test_redact_pii_phone_shapes(spark):
+    """The broadened phone alternation catches the shapes a real
+    corpus carries — and does NOT fire on bare digit runs (product
+    codes / ids), dates, or SSNs (which get their own token). One
+    positive or negative per row so each assertion is diagnostic."""
+    from coltt_spark.operators.pipeline import redact_pii
+
+    positives = [
+        "+1-555-123-4567", "+1 (555) 123-4567", "+1(555)123-4567",
+        "(555) 123-4567", "(555)123-4567", "555-123-4567",
+        "555.123.4567", "555 123 4567", "+44 555 123 9876",
+        "+1-555-0123",
+    ]
+    negatives = [
+        "5551234567",        # bare 10-digit product code
+        "sku 1234567890",    # bare 10-digit id
+        "10.0.123.45",       # IPv4 (its own token, not [PHONE])
+        "2026-08-14",        # date
+        "order 12345",
+    ]
+    rows = [(i, f"call {p} now") for i, p in enumerate(positives)] + [
+        (100 + i, f"ref {n} end") for i, n in enumerate(negatives)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for i, p in enumerate(positives):
+        assert got[i]["n_phone"] == 1, (p, got[i]["text"])
+        assert got[i]["text"] == "call [PHONE] now", (p, got[i]["text"])
+    for i, n in enumerate(negatives):
+        assert got[100 + i]["n_phone"] == 0, (n, got[100 + i]["text"])
+        assert "[PHONE]" not in got[100 + i]["text"], (n, got[100 + i]["text"])
+    # SSN gets its own token, and the bare product code survives whole
+    ssn = spark.createDataFrame(
+        [(0, "ssn 123-45-6789 sku 5551230042")], "doc_id long, text string"
+    )
+    row = redact_pii(ssn).collect()[0]
+    assert row["n_ssn"] == 1 and row["n_phone"] == 0
+    assert row["text"] == "ssn [SSN] sku 5551230042"
