@@ -99,11 +99,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the magic and decode BMP or PPM → (H, W, 3) uint8."""
+    """Sniff the magic and decode BMP, PPM, or PNG → (H, W, 3) uint8."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise ValueError("unknown image magic")
 
 
@@ -299,3 +301,177 @@ def encode_bmp(img: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + dib + bytes(data)
+
+
+# -- PNG (the first COMPRESSED format in the codec family) ------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield ``(chunk_type, body)`` pairs from a PNG byte stream,
+    verifying each chunk's CRC32 (loud beats silently-wrong pixels).
+    Stops at IEND; raises ValueError on truncation or CRC mismatch."""
+    import zlib
+
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor from the PNG spec (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2), non-interlaced PNG →
+    (H, W, 3) uint8 RGB — the first codec in this family that walks a
+    COMPRESSED payload end-to-end: CRC-checked chunk walk → IDAT
+    concat → stdlib ``zlib`` inflate → per-row unfiltering
+    (None/Sub/Up/Average/Paeth). Raises ValueError on any other PNG
+    flavor (palette, alpha, 16-bit, interlaced) — loud beats
+    silently-wrong pixels.
+
+    The inverse filters reconstruct each row from the RECONSTRUCTED
+    left/up neighbors (spec §9): Up is vectorized, Sub is a per-channel
+    cumulative sum mod 256, Average/Paeth carry a true left-dependency
+    and run as per-pixel loops (a production build would push these
+    into a C kernel; the container walk and inflate dominate here)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat: list[bytes] = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per channel, mod 256
+            cur = np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.uint64).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256
+            cur = line + prior
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                upleft = int(prior[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + _paeth(left, int(prior[x]), upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        img[r] = cur
+        prior = cur
+    return img.reshape(h, w, 3)
+
+
+def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
+    """(H, W, 3) uint8 RGB → 8-bit truecolor non-interlaced PNG bytes
+    (fixture helper). ``filters`` picks the per-row filter type
+    (default: cycle 0..4 so every inverse filter is exercised on
+    decode). Forward filtering reads RAW neighbor bytes (spec §9), so
+    it vectorizes — deliberately a different implementation shape from
+    the sequential inverse in :func:`decode_png`, which keeps a shared
+    encode/decode bug from cancelling out in round-trip tests."""
+    import zlib
+
+    h, w, _ = img.shape
+    stride, bpp = w * 3, 3
+    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, stride)
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    out = bytearray()
+    zero = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        line = rows[r]
+        prior = rows[r - 1] if r > 0 else zero
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prior[:-bpp]])
+        ft = int(filters[r])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prior
+        elif ft == 3:
+            enc = line - ((left.astype(np.uint16) + prior) >> 1).astype(np.uint8)
+        elif ft == 4:
+            a = left.astype(np.int16)
+            b = prior.astype(np.int16)
+            c = upleft.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            ).astype(np.uint8)
+            enc = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.append(ft)
+        out.extend(enc.tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + chunk(b"IEND", b"")
+    )

@@ -364,3 +364,105 @@ def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
             F.col("payload"), (F.col("frame_idx") * frame_len + 1).cast("int"), frame_len
         ).alias("frame"),
     )
+
+
+#: schema of a per-image channel-stats row
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("luma", T.DoubleType(), False),
+    ]
+)
+
+
+def png_image_table(
+    documents: DataFrame, *, width: int = 5, height: int = 5
+) -> DataFrame:
+    """Fabricate REAL PNG payloads for the image rows
+    (``doc_id % 3 == 0``, matching :func:`media_table`'s round-robin):
+    each is ``width×height`` RGB with pixel bytes from
+    ``md5(text || ':png:' || block)`` digests (16 bytes per digest,
+    row-major RGB), zlib-compressed through the per-row filter cycle
+    (0..4 — every inverse filter is exercised on decode). This is the
+    first COMPRESSED container in the codec family: deterministic
+    pixels mean a SQL oracle regenerates the PIXELS from the hash
+    stream while the Spark path must inflate + unfilter the actual
+    container — any chunk/inflate/filter bug breaks value parity."""
+    n_bytes = width * height * 3
+    n_blocks = -(-n_bytes // 16)  # ceil
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_png
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = b"".join(
+                    hashlib.md5(f"{text}:png:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )[:n_bytes]
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
+def image_channel_stats(images: DataFrame, *, decoder=None) -> DataFrame:
+    """Per-image channel statistics (Arrow-batched ``mapInPandas``):
+    geometry, exact per-channel pixel sums, and BT.601 luma — the
+    black-image / flat-image gating stats an image training pipeline
+    filters on (the single-frame sibling of
+    :func:`video_frame_stats`, sharing its float-parity recipe:
+    exact integer sums, integer per-mille luma weights).
+
+    ``decoder`` is the injection seam, ``(payload: bytes) ->
+    (H, W, 3) uint8``; the default sniffs BMP / PPM / PNG magic
+    (:func:`coltt_spark.operators.media_codecs.decode_image`)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_image
+
+        decode = decoder if decoder is not None else decode_image
+        cols = ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "luma")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                r, g, b = (int(x) for x in sums)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(r)
+                rows["g_sum"].append(g)
+                rows["b_sum"].append(b)
+                rows["luma"].append(
+                    (299 * r + 587 * g + 114 * b) / (1000.0 * w * h * 255.0)
+                )
+            yield pd.DataFrame(rows)
+
+    return images.select("doc_id", "payload").mapInPandas(kernel, IMAGE_STATS_SCHEMA)

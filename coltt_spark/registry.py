@@ -1439,107 +1439,39 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-4 window: the r3 rotation ledger first (5 never
-    # -- driver-checked + 3 r3-touched), then entries new this round,
-    # -- then the longest-unchecked remainder (r2-green, local-gated
-    # -- since). See CLAUDE.md "Driver-check rotation ledger".
-    "stream_distinct",       # ledger: never driver-checked (new r3)
-    "stream_quantile",       # ledger: never driver-checked (new r3)
-    "bm25_topk_batch",       # ledger: never driver-checked (new r3)
-    "hybrid_rrf",            # ledger: never driver-checked (new r3)
-    "freq_sketch",           # ledger: never driver-checked (new r3)
-    "ann_lsh",               # ledger: impl touched r3 after last check
-    "dedup_canonical",       # ledger: impl touched r3 after last check
-    "dedup_simhash",         # ledger: impl touched r3 after last check
-    "collection_hybrid_text",  # new r4: composed product hybrid path
-    "bm25_index_merged",       # new r4: sharded postings build + merge
-    "pack_sequences_firstfit", # new r4: first-fit packing w/ oracle
-    "bm25_index_deleted",      # new r4: mask-only postings deletes
-    "media_audio_features",    # new r4: real WAV decode + audio stats
-    "media_video_stats",       # new r4: real AVI decode + frame stats
-    "text_redact_pii",         # new r4: PII scrub, md5-of-redacted oracle
-    # -- implementation touched this round (pack_blocks group_col
-    # -- refactor + file-subset block scans + IVF-on-blocks serving &
-    # -- delta flush) — touched outranks longest-unchecked ------------
-    "collection_search_blocks",
-    "collection_search_batch",
-    "collection_search_blocks_delta",
-    "collection_search_ivf_delta",
-    "collection_search_batch_filtered",
-    "collection_search_grouped",
-    # -- longest-unchecked remainder (driver-green r2) ----------------
-    "knn_cosine",
-    "upsert_delete",
-    "filter_coercion",
-    "knn_filtered",
-    "filter_search",
-    "multi_vector_search",
+    # -- round-5 window: the r4 rotation ledger FIRST — the 15
+    # -- r2-demoted entries whose last hard driver signal is r2 (the
+    # -- oldest in the ledger) — then entries new/touched this round,
+    # -- then the oldest of the r3-green block. See CLAUDE.md
+    # -- "Driver-check rotation ledger".
+    "knn_euclidean",         # ledger: last driver signal r2
+    "knn_manhattan",         # ledger: last driver signal r2
+    "compare_dist",          # ledger: last driver signal r2
+    "knn_f8",                # ledger: last driver signal r2
+    "knn_bf16",              # ledger: last driver signal r2
+    "knn_two_phase",         # ledger: last driver signal r2
+    "ann_topk_blas",         # ledger: last driver signal r2
+    "media_metadata",        # ledger: last driver signal r2
+    "events_hourly",         # ledger: last driver signal r2
+    "token_count",           # ledger: last driver signal r2
+    "cube_revenue",          # ledger: last driver signal r2
+    "set_intersect",         # ledger: last driver signal r2
+    "top_revenue_orders",    # ledger: last driver signal r2
+    "knn_wide",              # ledger: last driver signal r2
+    "events_json",           # ledger: last driver signal r2
+    # -- new in r5 ----------------------------------------------------
+    "media_png_features",    # new r5: compressed PNG through the seam
+    # -- implementation touched this round (broadened PII pattern
+    # -- table + fixture; IVF stale-layout gate on the serving paths;
+    # -- TextIndex.delete id-type validation) -------------------------
+    "text_redact_pii",
     "collection_search_ivf",
+    "collection_search_ivf_delta",
     "collection_hybrid_ivf",
-    "dedup_minhash_lsh",
-    "ann_ivf",
-    "neardup_cosine",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "text_lang_id",
-    "text_quality",
-    "doc_fingerprint",
-    "pricing_summary",
-    "region_revenue",
-    "window_top_orders",
-    "price_percentiles",
-    "knn_f16",
-    "ann_topk_batch",
-    "knn_pagination",
-    "knn_block",
-    "dedup_containment",
-    "rollup_revenue",
-    "events_sessionize",
-    "media_features",
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier round.
-    # knn_euclidean / knn_manhattan / compare_dist share knn_cosine's
-    # kernel and serving path (r2-green; the kernels are additionally
-    # exercised by the in-window collection entries) — they yield their
-    # slots to the rotation. top_revenue_orders (r2-green, pure
-    # Catalyst join+agg+TakeOrdered, zero custom-operator code) ceded
-    # its slot to media_audio_features; in-window siblings
-    # region_revenue / window_top_orders / pricing_summary exercise
-    # the identical machinery. knn_wide (r2-green wide-row layout
-    # variant) ceded its slot to media_video_stats; its kernel is
-    # covered in-window by knn_cosine and the touched knn_block, and
-    # the layout variant by the local gate + layout-parity property
-    # tests. events_json (r2-green, pure-builtin get_json_object
-    # projection, zero custom-operator code; the events table and
-    # its timestamp handling are covered in-window by
-    # events_sessionize) ceded its slot to text_redact_pii. The 50
-    # r3-green entries follow in their r3 order (freshest driver
-    # signal in the ledger).
-    "top_revenue_orders",
-    "knn_wide",
-    "events_json",
-    "knn_euclidean",
-    "knn_manhattan",
-    "compare_dist",
-    # demoted r4 to make room for the touched serving paths: each is
-    # covered by an in-window sibling exercising the same machinery
-    # (brute_topk via ann_topk_batch; media via media_knn/frames;
-    # events via events_sessionize/json; textstats via text_quality;
-    # grouping-sets via rollup_revenue; set ops pure SQL, local gate;
-    # knn_f8/knn_bf16 dequantize shares knn_f16's path, quantization
-    # family also pinned by the hypothesis property suite;
-    # knn_two_phase composes the in-window knn_f16 quantized scan
-    # with the in-window exact kernel and has its own parity test)
-    "knn_f8",
-    "knn_bf16",
-    "knn_two_phase",
-    "ann_topk_blas",
-    "media_metadata",
-    "events_hourly",
-    "token_count",
-    "cube_revenue",
-    "set_intersect",
+    "bm25_index_deleted",
+    # -- oldest of the r3-green block (all driver-green r3, local-
+    # -- gated since; r4 spent its window on new/touched + the r2
+    # -- remainder) ---------------------------------------------------
     "media_knn",
     "media_frames",
     "schemaless_pure_search",
@@ -1569,6 +1501,11 @@ _KEY_ORDER = [
     "semantic_dedup",
     "range_search",
     "embed_outliers",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier
+    # ---- round. First the 15 remaining r3-green entries (oldest
+    # ---- signal past the window — they lead the r6 rotation ledger),
+    # ---- then the 45 r4-green entries (freshest signal).
     "token_vocab",
     "doc_lm_score",
     "filter_extended",
@@ -1584,6 +1521,52 @@ _KEY_ORDER = [
     "decontaminate_bloom",
     "bm25_indexed",
     "collection_search",
+    # -- r4-green (driver-checked last round; freshest in the ledger) --
+    "stream_distinct",
+    "stream_quantile",
+    "bm25_topk_batch",
+    "hybrid_rrf",
+    "freq_sketch",
+    "ann_lsh",
+    "dedup_canonical",
+    "dedup_simhash",
+    "collection_hybrid_text",
+    "bm25_index_merged",
+    "pack_sequences_firstfit",
+    "media_audio_features",
+    "media_video_stats",
+    "collection_search_blocks",
+    "collection_search_batch",
+    "collection_search_blocks_delta",
+    "collection_search_batch_filtered",
+    "collection_search_grouped",
+    "knn_cosine",
+    "upsert_delete",
+    "filter_coercion",
+    "knn_filtered",
+    "filter_search",
+    "multi_vector_search",
+    "dedup_minhash_lsh",
+    "ann_ivf",
+    "neardup_cosine",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    "pricing_summary",
+    "region_revenue",
+    "window_top_orders",
+    "price_percentiles",
+    "knn_f16",
+    "ann_topk_batch",
+    "knn_pagination",
+    "knn_block",
+    "dedup_containment",
+    "rollup_revenue",
+    "events_sessionize",
+    "media_features",
 ]
 
 

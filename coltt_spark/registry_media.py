@@ -11,7 +11,9 @@ from coltt_spark.operators.multimodal import (
     audio_features,
     audio_wav_table,
     extract_features,
+    image_channel_stats,
     media_table,
+    png_image_table,
     sample_frames,
     video_avi_table,
     video_frame_stats,
@@ -240,6 +242,56 @@ FROM sums
 """
 
 
+def q_media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: fabricate PNG
+    containers whose 5×5 RGB pixels come from a deterministic md5
+    stream (``png_image_table`` — rows filtered through the full
+    0..4 PNG filter cycle, payload zlib-compressed), then decode the
+    actual container with the dependency-free CRC-checked
+    inflate+unfilter codec and compute per-image channel sums + BT.601
+    luma. The oracle regenerates the PIXELS from the hash stream in
+    SQL — it never sees the PNG bytes — so a chunk-walk / inflate /
+    inverse-filter bug breaks value parity. Sums are exact integers;
+    luma uses integer per-mille weights, so doubles agree across
+    engines. First COMPRESSED format through the media seam (BMP/PPM/
+    WAV/AVI are uncompressed byte layouts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = image_channel_stats(png_image_table(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round("luma", 4).alias("luma"),
+    )
+
+
+_ORACLE_MEDIA_PNG_FEATURES = """
+WITH px AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 5), b ->
+           list_transform(range(0, 16), i ->
+             ('0x' || substr(md5(text || ':png:' || CAST(b AS VARCHAR)), 2*i + 1, 2))::BIGINT))) AS bytes
+  FROM documents
+  WHERE doc_id % 3 = 0
+), sums AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 1])) AS BIGINT) AS r_sum,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 2])) AS BIGINT) AS g_sum,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 3])) AS BIGINT) AS b_sum
+  FROM px
+)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 5 * 5 * 255.0), 4) AS luma
+FROM sums
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -247,6 +299,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_audio_features": q_media_audio_features,
     "media_video_stats": q_media_video_stats,
+    "media_png_features": q_media_png_features,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -256,4 +309,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_frames": _ORACLE_MEDIA_FRAMES,
     "media_audio_features": _ORACLE_MEDIA_AUDIO_FEATURES,
     "media_video_stats": _ORACLE_MEDIA_VIDEO_STATS,
+    "media_png_features": _ORACLE_MEDIA_PNG_FEATURES,
 }

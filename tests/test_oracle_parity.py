@@ -37,74 +37,71 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-3 rotation ledger (CLAUDE.md): entries promised a
-#: round-4 driver slot. Machine-checked against _KEY_ORDER below so
-#: the ledger promise cannot silently drift (ADVICE r3 #1).
-ROTATION_LEDGER_R4 = [
-    # never driver-checked (new in r3, placed past the r3 window)
-    "stream_distinct",
-    "stream_quantile",
-    "bm25_topk_batch",
-    "hybrid_rrf",
-    "freq_sketch",
-    # implementation touched in r3 AFTER their last driver check (r2)
-    "ann_lsh",
-    "dedup_canonical",
-    "dedup_simhash",
+#: The round-4 rotation ledger (CLAUDE.md): entries promised a
+#: round-5 driver slot — the 15 r2-demoted entries whose last hard
+#: driver signal is r2, the oldest in the ledger. Machine-checked
+#: against _KEY_ORDER below so the ledger promise cannot silently
+#: drift (ADVICE r3 #1).
+ROTATION_LEDGER_R5 = [
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "knn_f8",
+    "knn_bf16",
+    "knn_two_phase",
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
+    "top_revenue_orders",
+    "knn_wide",
+    "events_json",
 ]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-3 rotation-ledger entries lead the round-4
-    window, every entry new this round is inside it, and the rest of
-    the window is the longest-unchecked (r2-green) remainder."""
+    exactly; the round-4 rotation-ledger entries (the 15 r2-demoted,
+    oldest signal on the board) LEAD the round-5 window, every entry
+    new or touched this round is inside it, and the rest of the
+    window rotates in the oldest of the r3-green block."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
     # ledger entries lead the window, in ledger order
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R4)] == ROTATION_LEDGER_R4
-    must_check = set(ROTATION_LEDGER_R4) | {
-        # new this round (driver has never seen them)
-        "collection_hybrid_text", "bm25_index_merged",
-        "pack_sequences_firstfit", "bm25_index_deleted",
-        "media_audio_features", "media_video_stats", "text_redact_pii",
-        # implementation touched this round (pack_blocks group_col
-        # refactor, file-subset scans, IVF-on-blocks serving + delta)
-        "collection_search_blocks", "collection_search_batch",
-        "collection_search_blocks_delta", "collection_search_ivf_delta",
-        "collection_search_batch_filtered", "collection_search_grouped",
-        "collection_search_ivf", "collection_hybrid_ivf", "ann_ivf",
-        "knn_block",
-        # longest-unchecked: last driver signal is r2 for all of
-        # these; r3 spent its window on the 42 new-since-r2 entries
-        "knn_cosine", "upsert_delete", "filter_coercion", "knn_filtered",
-        "filter_search", "multi_vector_search", "dedup_minhash_lsh",
-        "neardup_cosine", "dedup_exact", "dedup_groups",
-        "dedup_ngram_jaccard", "text_lang_id", "text_quality",
-        "doc_fingerprint", "pricing_summary",
-        "region_revenue", "window_top_orders",
-        "price_percentiles",
-        "knn_f16", "ann_topk_batch",
-        "dedup_containment",
-        "rollup_revenue", "events_sessionize",
-        "media_features",
-        # knn_euclidean / knn_manhattan / compare_dist ceded their
-        # slots (share knn_cosine's kernel and serving path, which the
-        # in-window collection entries re-exercise); ann_topk_blas /
-        # media_metadata / events_hourly / token_count / cube_revenue /
-        # set_intersect ceded theirs to this round's touched serving
-        # paths; top_revenue_orders (pure Catalyst join+agg+TakeOrdered)
-        # ceded its slot to the new media_audio_features —
-        # region_revenue / window_top_orders / pricing_summary cover
-        # the identical machinery in-window; knn_wide (wide-row layout
-        # variant) ceded its slot to the new media_video_stats — its
-        # kernel rides in-window on knn_cosine + knn_block; events_json
-        # (pure-builtin get_json_object projection) ceded its slot to
-        # the new text_redact_pii — the events table rides in-window
-        # on events_sessionize. Every demoted entry is re-oracled by
-        # the local gate every pytest run.
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R5)] == ROTATION_LEDGER_R5
+    must_check = set(ROTATION_LEDGER_R5) | {
+        # new this round (driver has never seen it)
+        "media_png_features",
+        # implementation touched this round: broadened PII pattern
+        # table + fixture (text_redact_pii); IVF stale-layout serving
+        # gate (the three entries exercising the changed ivf
+        # branches); TextIndex.delete id-type validation
+        # (bm25_index_deleted)
+        "text_redact_pii",
+        "collection_search_ivf", "collection_search_ivf_delta",
+        "collection_hybrid_ivf", "bm25_index_deleted",
+        # oldest of the r3-green block (r4 spent its window on
+        # new/touched + the r2 remainder; these 29 are the front of
+        # the r3 block in its r3 order)
+        "media_knn", "media_frames", "schemaless_pure_search",
+        "schemaless_update_delete", "hybrid_search", "doc_chunk",
+        "decontaminate", "sample_stratified", "sample_fraction",
+        "source_mix", "export_shards", "pack_sequences",
+        "stream_hourly", "stream_sessionize", "stream_dedup",
+        "collection_search_blocks_filtered", "events_asof",
+        "ann_bq", "ann_pq", "embed_cluster_sizes",
+        "sample_cluster_balanced", "dedup_spans", "text_repetition",
+        "stream_ingest", "knn_bq", "knn_sq8", "semantic_dedup",
+        "range_search", "embed_outliers",
+        # The 15 remaining r3-green entries (token_vocab ..
+        # collection_search) sit FIRST past the boundary and lead the
+        # r6 rotation ledger; the 45 r4-green entries follow (freshest
+        # driver signal). Every demoted entry is re-oracled by the
+        # local gate every pytest run.
     }
     assert must_check <= window, sorted(must_check - window)
