@@ -319,6 +319,200 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_ivf_recall_curve(spark) -> dict:
+    """The IVF recall/latency dial measured on a corpus where it can
+    actually fail: 1M DISTINCT 64-dim vectors drawn around 100
+    md5-free deterministic cluster centers (per-row seeded noise — no
+    tiled duplicates, so a query's exact top-10 genuinely spans
+    inverted lists and recall@10 at small nprobe is NOT guaranteed).
+    Replaces the old tiled-duplicate recall datapoint, which was
+    near-tautological (every exact neighbor was a copy of one vector
+    living in one list). Reports recall@10 (mean over 16 queries,
+    computed in ONE batched job per nprobe via the file_query_ids
+    probe contract) and warm single-query latency at each
+    nprobe ∈ {1, 2, 4, 8, 16, 64=all}. The contract itself — recall
+    non-decreasing in nprobe, exact at full probes — is pinned at toy
+    scale by tests/test_blocks.py::test_ivf_recall_monotone_in_nprobe."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from coltt_spark.operators.ann import ivf_build
+    from coltt_spark.operators.blocks import (
+        block_index_topk,
+        block_index_topk_batch,
+        ivf_files,
+        ivf_probe_centroids,
+        pack_blocks,
+    )
+    from coltt_spark.tmpdirs import scratch_dir
+
+    n_rows, dim, n_clusters, noise, n_queries = 1_000_000, 64, 100, 1.0, 16
+    n_centroids = 64
+    centers = np.random.default_rng(12345).normal(0.0, 1.0, (n_clusters, dim))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = [
+                (
+                    centers[int(i) % n_clusters]
+                    + np.random.default_rng(1_000_000 + int(i)).normal(0.0, noise, dim)
+                ).astype(np.float32)
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    corpus = spark.range(
+        0, n_rows, 1, spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, schema)
+    t0 = time.perf_counter()
+    assigned, Cn = ivf_build(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=n_centroids
+    )
+    idx_dir = scratch_dir(prefix="coltt_ivf_recall_")
+    pack_blocks(
+        assigned.repartition(spark.sparkContext.defaultParallelism, "centroid"),
+        id_col="vec_id", vec_col="embedding", dim=dim, group_col="centroid",
+    ).write.mode("overwrite").partitionBy("centroid").parquet(idx_dir)
+    build_sec = round(time.perf_counter() - t0, 4)
+
+    # 16 out-of-corpus queries near distinct true clusters
+    qs = {
+        j: [
+            float(x)
+            for x in centers[(j * 37) % n_clusters]
+            + np.random.default_rng(7_000_000 + j).normal(0.0, noise, dim)
+        ]
+        for j in range(n_queries)
+    }
+
+    def batch_top10(files, file_query_ids=None):
+        rows = block_index_topk_batch(
+            spark, None, qs, dim=dim, k=10, distance="cosine", max_tasks=8,
+            files=files, file_query_ids=file_query_ids,
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (float(r["dist"]), int(r["id"]))
+            )
+        # ties at the k-th dist are surfaced by contract; cut to an
+        # exact deterministic 10 with the (dist, id) tie-break
+        return {q: {i for _, i in sorted(v)[:10]} for q, v in by_q.items()}
+
+    all_files = ivf_files(idx_dir, range(n_centroids))
+    exact = batch_top10(all_files)
+    curve = {}
+    for nprobe in (1, 2, 4, 8, 16, n_centroids):
+        probes_by_q = {q: ivf_probe_centroids(Cn, v, nprobe) for q, v in qs.items()}
+        file_query_ids: dict[str, list[int]] = {}
+        for q, cs in probes_by_q.items():
+            for f in ivf_files(idx_dir, cs):
+                file_query_ids.setdefault(f, []).append(q)
+        approx = batch_top10(sorted(file_query_ids), file_query_ids)
+        recall = sum(
+            len(approx.get(q, set()) & exact[q]) / 10.0 for q in qs
+        ) / n_queries
+        # warm single-query latency at this nprobe (query 0)
+        f0 = ivf_files(idx_dir, probes_by_q[0])
+        kw = dict(dim=dim, k=10, distance="cosine", max_tasks=8, files=f0)
+        block_index_topk(spark, None, qs[0], **kw).collect()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            block_index_topk(spark, None, qs[0], **kw).collect()
+            runs.append(time.perf_counter() - t0)
+        curve[str(nprobe)] = {
+            "recall_at_10": round(recall, 4),
+            "sec_per_query": round(sum(runs) / len(runs), 4),
+            "sec_per_query_best": round(min(runs), 4),
+        }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "dim": dim,
+        "n_clusters": n_clusters,
+        "n_centroids": n_centroids,
+        "n_queries": n_queries,
+        "build_sec": build_sec,
+        "curve": curve,
+    }
+
+
+def _bench_skew(spark, sf_dir: str) -> dict:
+    """Measured COSTS for the adversarial-skew guards that
+    tests/test_skew.py pins only as plan shapes — the failure modes
+    that actually kill 100 TB dedup/search runs, with numbers a
+    future regression can be judged against.
+
+    - ``bm25_hot_token_sec``: bm25_search over the sf corpus with a
+      hot token injected into 50% of documents AND present in the
+      query — the posting list the broadcast-df/stats design must not
+      shuffle-explode (operators/fulltext.py hot-token discipline).
+    - ``minhash_megacluster_sec``: minhash_lsh_pairs over the corpus
+      plus a 10⁴-copy template cluster. The exact-content collapse
+      bounds band/verify work by DISTINCT contents; the within-
+      cluster pair OUTPUT (~5·10⁷ rows) is inherently quadratic and
+      is aggregated (count), so the number mostly measures guard +
+      pair materialization, not an accidental quadratic join.
+    Both report min-of-2 like the registry keys."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.dedup import minhash_lsh_pairs
+    from coltt_spark.operators.fulltext import bm25_search
+    from coltt_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def min2(run) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    hot = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" hottoken hottoken hottoken")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    bm25_sec = min2(
+        lambda: bm25_search(
+            hot, "doc_id", "text", "hottoken window order", top_k=10
+        ).collect()
+    )
+
+    template = docs.orderBy("doc_id").limit(1).select(
+        F.lit("template text copied verbatim across the cluster").alias("text")
+    )
+    n_copies = 10_000
+    clones = template.crossJoin(spark.range(n_copies)).select(
+        (F.col("id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    minhash_sec = min2(
+        lambda: minhash_lsh_pairs(corpus, "doc_id", "text")
+        .agg(F.count(F.lit(1))).collect()
+    )
+    return {
+        "bm25_hot_token_sec": bm25_sec,
+        "minhash_megacluster_sec": minhash_sec,
+        "megacluster_copies": n_copies,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from coltt_spark import get_spark
@@ -355,6 +549,8 @@ def main() -> None:
     # running it after ~90 registry queries measures their heap/cache
     # pressure instead of the scan (observed ~2× inflation when last)
     flat_1m = _bench_flat_1m(spark, sf_dir)
+    ivf_recall_curve = _bench_ivf_recall_curve(spark)
+    skew = _bench_skew(spark, sf_dir)
 
     # build the shared ingest fixtures once, outside the per-query
     # clock (the reference's numbers scan an already-built shard);
@@ -407,6 +603,8 @@ def main() -> None:
                 "fixture_build_sec": fixture_build_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "flat_1m": flat_1m,
+                "ivf_recall_curve": ivf_recall_curve,
+                "skew": skew,
             }
         )
     )
@@ -442,6 +640,15 @@ def main() -> None:
                 "ivf_best": flat_1m["ivf_sec_per_query_best"],
                 "ivf_recall_at_10": flat_1m["ivf_recall_at_10"],
                 "ivf_build_sec": flat_1m["ivf_build_sec"],
+                # recall/latency dial on the clustered NON-replicated
+                # corpus (nprobe -> recall@10; latencies in the full
+                # JSON's ivf_recall_curve block)
+                "ivf_recall_curve": {
+                    k: v["recall_at_10"]
+                    for k, v in ivf_recall_curve["curve"].items()
+                },
+                "skew_bm25_hot_token": skew["bm25_hot_token_sec"],
+                "skew_minhash_megacluster": skew["minhash_megacluster_sec"],
                 "methodology": "registry=min_of_2, flat_1m=warm_mean_of_5",
             }
         )

@@ -588,3 +588,51 @@ def test_scan_mode_guards(spark):
     with _pytest.raises(ValueError, match="collides"):
         pack_blocks(df, id_col="vec_id", vec_col="embedding", dim=2,
                     group_col="vec_id")
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, tmp_path):
+    """The IVF dial's contract (catalog serving path): probe sets are
+    NESTED in nprobe (top-n centroids by cosine), so recall@k against
+    the exact answer is non-decreasing in nprobe — and at full probes
+    the search IS exact (every inverted list scanned). Verified on a
+    clustered corpus with real inter-cluster overlap, against an
+    independent numpy brute-force oracle. The 1M-scale recall/latency
+    curve lives in bench.py (_bench_ivf_recall_curve)."""
+    import numpy as np
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    n, dim, n_clusters, n_centroids = 400, 8, 10, 8
+    centers = np.random.default_rng(42).normal(0.0, 1.0, (n_clusters, dim))
+    vecs = np.array(
+        [
+            centers[i % n_clusters]
+            + np.random.default_rng(10_000 + i).normal(0.0, 1.2, dim)
+            for i in range(n)
+        ]
+    ).astype(np.float32)
+    coll = Catalog(spark, str(tmp_path / "wh")).create_collection(
+        "recall", dim=dim, distance="euclidean",
+        fields=[IndexField("id", "string", primary_key=True)],
+        layout="ivf", ivf_centroids=n_centroids, ivf_nprobe=2,
+        block_dtype="float64",
+    )
+    coll.upsert(
+        [{"id": f"{i:04d}", "vector": [float(x) for x in vecs[i]]} for i in range(n)]
+    )
+    coll.flush()
+    q = centers[3] + np.random.default_rng(999).normal(0.0, 1.2, dim)
+    # independent exact oracle on the float32-stored values
+    d = np.linalg.norm(vecs.astype(np.float64) - q[None, :], axis=1)
+    exact = {f"{i:04d}" for i in np.lexsort((np.arange(n), d))[:10]}
+    qv = [float(x) for x in q]
+    recalls = []
+    for nprobe in range(1, n_centroids + 1):
+        got = {r["id"] for r in coll.search(qv, limit=10, nprobe=nprobe).collect()}
+        recalls.append(len(got & exact) / 10.0)
+    assert recalls == sorted(recalls), recalls  # non-decreasing in nprobe
+    assert recalls[-1] == 1.0, recalls          # exact at full probes
+    assert recalls[0] < 1.0, recalls            # and the dial is real:
+    # nprobe=1 on an overlapping corpus must actually miss neighbors,
+    # otherwise this test would pass vacuously on a degenerate corpus

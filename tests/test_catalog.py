@@ -1064,3 +1064,99 @@ def test_stale_ivf_layout_fails_loudly(catalog):
     coll.upsert(_rows(4, dim=4, seed=9))
     coll.flush()
     assert len(coll.search(q, limit=3).collect()) == 3
+
+
+def _index_file_count(coll) -> int:
+    """Count the packed index part-files of the CURRENT version (the
+    read-amplification driver: every probe's task list scales with
+    this)."""
+    import glob
+    import os
+
+    v = coll.manifest.version
+    if coll.manifest.layout == "blocks":
+        pat = os.path.join(coll.root, f"v{v}_blocks", "vector", "*.parquet")
+    else:
+        pat = os.path.join(
+            coll.root, f"v{v}_ivf", "vector", "blocks", "centroid=*", "*.parquet"
+        )
+    return len(glob.glob(pat))
+
+
+@pytest.mark.parametrize("layout", ["blocks", "ivf"])
+def test_delta_flush_accumulation_and_compaction(catalog, layout):
+    """The compaction discipline the reference's diskv merge exists
+    for (diskv/merge.go:40-181): 15 consecutive delta flushes — each
+    adding packed delta files + tombstones beside hardlinked bases,
+    with heavy pk-supersede churn — must (a) keep search EXACTLY
+    right throughout (numpy brute-force oracle over the tracked
+    logical state), (b) grow the index file count roughly linearly
+    (read amplification is real and bounded), and (c) fold back to
+    the fresh-build file count, with parity intact, on
+    flush(compact=True)."""
+    import numpy as np
+
+    dim = 6
+    coll = catalog.create_collection(
+        f"churn_{layout}", dim=dim, distance="euclidean",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+        layout=layout, block_dtype="float64",
+        **({"ivf_centroids": 4, "ivf_nprobe": 4} if layout == "ivf" else {}),
+    )
+    state: dict[str, tuple[list[float], int]] = {}
+
+    def upsert_batch(r: int) -> None:
+        rows = []
+        for j in range(20):
+            i = (r * 7 + j * 5) % 60  # heavy id reuse → supersedes
+            vec = [
+                float(np.float32(x))
+                for x in np.random.default_rng(1000 * r + i).normal(0, 1, dim)
+            ]
+            rows.append({"id": f"{i:03d}", "label": r, "vector": vec})
+            state[f"{i:03d}"] = (vec, r)
+        coll.upsert(rows)
+
+    def check_parity() -> None:
+        q = [float(x) for x in np.random.default_rng(5).normal(0, 1, dim)]
+        ids = sorted(state)
+        V = np.array([state[i][0] for i in ids], dtype=np.float64)
+        d = np.linalg.norm(V - np.asarray(q)[None, :], axis=1)
+        want = [ids[i] for i in np.lexsort((np.array(ids), d))[:5]]
+        got = [r["id"] for r in coll.search(q, limit=5).collect()]
+        assert got == want, (layout, got, want)
+        # labels must come from the LAST writer (tombstone masking
+        # through the accumulated delta chain)
+        got_rows = {r["id"]: r["label"] for r in coll.search(q, limit=5).collect()}
+        assert got_rows == {i: state[i][1] for i in want}
+
+    upsert_batch(0)
+    coll.flush()  # full build
+    fresh_files = _index_file_count(coll)
+    assert fresh_files > 0
+    counts = [fresh_files]
+    for r in range(1, 16):
+        upsert_batch(r)
+        coll.flush()  # delta flush (incremental path)
+        counts.append(_index_file_count(coll))
+        if r % 5 == 0:
+            check_parity()
+    check_parity()
+    # file count accrues with deltas: monotone, and bounded by
+    # fresh + one batch worth of files per flush (tiny deltas pack
+    # into at most one file per vector column here)
+    assert counts == sorted(counts)
+    assert counts[-1] > fresh_files
+    assert counts[-1] <= fresh_files + 15 * max(1, fresh_files)
+    # compaction folds deltas + tombstones back into a fresh pack
+    coll.flush(compact=True)
+    compacted_files = _index_file_count(coll)
+    assert compacted_files <= fresh_files + 1, (fresh_files, compacted_files)
+    check_parity()
+    # and the collection still accepts and serves NEW deltas after
+    upsert_batch(99)
+    coll.flush()
+    check_parity()
