@@ -531,3 +531,17 @@ def test_redact_pii_is_pure_codegen_project(spark):
     assert wholestage_codegen_spans(red) >= 1
     plan = red._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_png_pipeline_is_narrow(spark):
+    """Fabricate-PNG → inflate/unfilter decode → channel stats keeps
+    the same narrow shape as the audio/video pipelines: scan →
+    mapInPandas → mapInPandas, zero Exchange — compressed-container
+    decode adds CPU inside the Arrow kernel, never cost structure."""
+    from coltt_spark.operators.multimodal import (
+        image_channel_stats,
+        png_image_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(image_channel_stats(png_image_table(docs)))
