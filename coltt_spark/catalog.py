@@ -30,6 +30,7 @@ import math
 import os
 import re
 import shutil
+from collections.abc import Sequence
 from dataclasses import dataclass
 from typing import Any
 
@@ -609,6 +610,7 @@ class Collection:
         limit: int = 10,
         per_group: int = 1,
         filter_ast: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Grouped KNN — the ``group_by`` search surface modern vector
         DBs expose for diversified results: per distinct value of
@@ -624,7 +626,18 @@ class Collection:
         scan the row view: distance + ONE window partitioned by the
         group key (a keyed shuffle — never a global sort; group keys
         are metadata values, far coarser than rows), then a
-        TakeOrdered final cut over the ≤ groups·per_group survivors."""
+        TakeOrdered final cut over the ≤ groups·per_group survivors.
+
+        ``nprobe`` (clean ivf layouts only): by DEFAULT grouped is a
+        SET contract — one winner per group value — so every inverted
+        list is scanned (exact; the win is the packed scan). Passing
+        ``nprobe`` opts into the APPROXIMATE variant: only the query's
+        ``nprobe`` nearest lists are scanned, so a group whose nearest
+        members all live in unprobed lists is dropped and a group's
+        winner may be a farther member — the result is exactly the
+        exact semantics applied to the probed subset. Use it when
+        group coverage matters less than latency at very large
+        ``n_centroids``."""
         from pyspark.sql import Window
 
         m = self.manifest
@@ -650,18 +663,18 @@ class Collection:
                 limit=limit, per_group=per_group, filter_ast=filter_ast,
             )
         if m.layout == "ivf" and not self._dirty and self._ivf_ready(vc):
-            # grouped is a SET contract (one winner per group value) —
-            # a probe subset could silently drop a group whose nearest
-            # member lives in an unprobed list, so scan every list's
-            # packed files (exact; the win is the packed scan)
-            from coltt_spark.operators.blocks import ivf_files
+            from coltt_spark.operators.blocks import ivf_files, ivf_probe_centroids
 
+            if nprobe is None:
+                probes: Sequence[int] = range(m.ivf_centroids)
+            else:
+                Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
+                probes = ivf_probe_centroids(Cn, qv, nprobe)
             return self._search_grouped_blocks(
                 qv, vc, group_by,
                 limit=limit, per_group=per_group, filter_ast=filter_ast,
                 files=ivf_files(
-                    os.path.join(self._ivf_dir(vc), "blocks"),
-                    range(m.ivf_centroids),
+                    os.path.join(self._ivf_dir(vc), "blocks"), probes
                 ),
             )
         df = self._dequantized()
@@ -692,6 +705,7 @@ class Collection:
         *,
         vector_field: str | None = None,
         filter_ast: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Radius query through the collection: every row with
         ``dist ≤ radius`` (unbounded result set — the caller filters
@@ -702,9 +716,17 @@ class Collection:
 
         Clean packed layouts serve the radius from the block index:
         one matvec per file through the spool, only the in-ball rows
-        move (an ivf collection scans EVERY inverted list's files —
-        a probe subset would silently miss qualifying rows, so radius
-        stays exact and the win is the packed scan, not pruning)."""
+        move. By DEFAULT an ivf collection scans EVERY inverted
+        list's files — a probe subset would silently miss qualifying
+        rows, so radius stays exact and the win is the packed scan,
+        not pruning. Passing ``nprobe`` opts into the APPROXIMATE
+        variant: only the query's ``nprobe`` nearest lists are
+        scanned, so in-ball rows living in unprobed lists are missed
+        — the result is exactly the exact semantics applied to the
+        probed subset (every returned row still genuinely satisfies
+        ``dist ≤ radius``). Use it when the ball is known to be small
+        relative to the list granularity at very large
+        ``n_centroids``."""
         m = self.manifest
         qv = validate_vector(m.dim, qv)
         vcols = self._vector_cols()
@@ -716,12 +738,16 @@ class Collection:
             if m.layout == "blocks" and os.path.isdir(self._blocks_dir(vc)):
                 packed_dir, packed_files = self._blocks_dir(vc), None
             elif m.layout == "ivf" and self._ivf_ready(vc):
-                from coltt_spark.operators.blocks import ivf_files
+                from coltt_spark.operators.blocks import ivf_files, ivf_probe_centroids
 
+                if nprobe is None:
+                    probes: Sequence[int] = range(m.ivf_centroids)
+                else:
+                    Cn = np.load(os.path.join(self._ivf_dir(vc), "centroids.npy"))
+                    probes = ivf_probe_centroids(Cn, qv, nprobe)
                 packed_dir = ""
                 packed_files = ivf_files(
-                    os.path.join(self._ivf_dir(vc), "blocks"),
-                    range(m.ivf_centroids),
+                    os.path.join(self._ivf_dir(vc), "blocks"), probes
                 )
         if packed_dir is not None:
             from coltt_spark.operators.blocks import block_index_scan

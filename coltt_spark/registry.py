@@ -1469,6 +1469,7 @@ _KEY_ORDER = [
     "collection_search_ivf_delta",
     "collection_hybrid_ivf",
     "bm25_index_deleted",
+    "collection_search_grouped",  # touched r5: opt-in nprobe variant
     # -- oldest of the r3-green block (all driver-green r3, local-
     # -- gated since; r4 spent its window on new/touched + the r2
     # -- remainder) ---------------------------------------------------
@@ -1500,12 +1501,14 @@ _KEY_ORDER = [
     "knn_sq8",
     "semantic_dedup",
     "range_search",
-    "embed_outliers",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 15 remaining r3-green entries (oldest
-    # ---- signal past the window — they lead the r6 rotation ledger),
-    # ---- then the 45 r4-green entries (freshest signal).
+    # ---- round. First embed_outliers (r3-green; ceded its rotation
+    # ---- slot to the r5-touched collection_search_grouped) and the
+    # ---- 15 remaining r3-green entries (oldest signal past the
+    # ---- window — together they lead the r6 rotation ledger), then
+    # ---- the 44 r4-green entries (freshest signal).
+    "embed_outliers",
     "token_vocab",
     "doc_lm_score",
     "filter_extended",
@@ -1539,7 +1542,6 @@ _KEY_ORDER = [
     "collection_search_batch",
     "collection_search_blocks_delta",
     "collection_search_batch_filtered",
-    "collection_search_grouped",
     "knn_cosine",
     "upsert_delete",
     "filter_coercion",

@@ -1160,3 +1160,84 @@ def test_delta_flush_accumulation_and_compaction(catalog, layout):
     upsert_batch(99)
     coll.flush()
     check_parity()
+
+
+def test_grouped_and_radius_nprobe_approximate_variant(catalog):
+    """Grouped/radius on ivf collections are exact SET contracts by
+    default (every list scanned). The opt-in nprobe variant must be
+    EXACTLY 'the exact semantics applied to the probed subset': the
+    test replicates probe selection and list assignment independently
+    with numpy and compares row-for-row; nprobe=n_centroids must
+    equal the default exact result."""
+    import numpy as np
+
+    from coltt_spark.operators.blocks import ivf_probe_centroids
+
+    dim, n, n_cent = 6, 200, 4
+    coll = catalog.create_collection(
+        "npx", dim=dim, distance="euclidean", fields=FIELDS,
+        layout="ivf", ivf_centroids=n_cent, ivf_nprobe=n_cent,
+        block_dtype="float64",
+    )
+    rows = _rows(n, dim=dim, seed=11)
+    coll.upsert(rows)
+    coll.flush()
+    q = _rows(1, dim=dim, seed=77)[0]["vector"]
+
+    import os
+
+    Cn = np.load(os.path.join(coll._ivf_dir("vector"), "centroids.npy"))
+    V = np.array([r["vector"] for r in rows], dtype=np.float32).astype(np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    assigned = np.argmax(Vn @ Cn.T, axis=1)
+
+    def expect_radius(radius, probes):
+        sel = [
+            (r["id"], float(np.linalg.norm(V[i] - np.asarray(q))))
+            for i, r in enumerate(rows)
+            if assigned[i] in probes
+        ]
+        return {i for i, d in sel if d <= radius}
+
+    # full probes ≡ exact, and both equal the brute expectation
+    exact = {r["id"] for r in coll.search_radius(q, 3.0).collect()}
+    full = {r["id"] for r in coll.search_radius(q, 3.0, nprobe=n_cent).collect()}
+    assert exact == full == expect_radius(3.0, set(range(n_cent)))
+    # nprobe=1 equals the exact semantics on the probed subset, and
+    # the corpus is arranged so the subset is a PROPER subset (the
+    # approximation is real, not vacuous)
+    p1 = set(ivf_probe_centroids(Cn, q, 1))
+    approx = {r["id"] for r in coll.search_radius(q, 3.0, nprobe=1).collect()}
+    assert approx == expect_radius(3.0, p1)
+    assert approx < exact
+
+    # grouped: full probes ≡ default exact, row for row
+    def grouped_rows(**kw):
+        return [
+            (r["id"], r["type"], round(r["dist"], 9))
+            for r in coll.search_grouped(q, "type", limit=8, per_group=2, **kw).collect()
+        ]
+
+    assert grouped_rows(nprobe=n_cent) == grouped_rows()
+    # nprobe=1 equals the exact grouped semantics computed over only
+    # the probed lists' rows
+    sub = [
+        (r["id"], r["type"], float(np.linalg.norm(V[i] - np.asarray(q))))
+        for i, r in enumerate(rows)
+        if assigned[i] in p1
+    ]
+    per_group: dict = {}
+    for rid, typ, d in sorted(sub, key=lambda t: (t[2], t[0])):
+        per_group.setdefault(typ, [])
+        if len(per_group[typ]) < 2:
+            per_group[typ].append((d, rid))
+    survivors = sorted(
+        ((d, rid, typ) for typ, lst in per_group.items() for d, rid in lst)
+    )[:8]
+    want = [(rid, typ) for _, rid, typ in survivors]
+    got = [(rid, typ) for rid, typ, _ in grouped_rows(nprobe=1)]
+    assert got == want
+    assert set(got) != {
+        (r["id"], r["type"])
+        for r in coll.search_grouped(q, "type", limit=8, per_group=2).collect()
+    } or len(got) < 8  # the approximation must differ from exact here

@@ -85,6 +85,9 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "text_redact_pii",
         "collection_search_ivf", "collection_search_ivf_delta",
         "collection_hybrid_ivf", "bm25_index_deleted",
+        # touched late r5: opt-in nprobe variant on grouped/radius
+        # (embed_outliers ceded its rotation slot, joins the r6 queue)
+        "collection_search_grouped",
         # oldest of the r3-green block (r4 spent its window on
         # new/touched + the r2 remainder; these 29 are the front of
         # the r3 block in its r3 order)
@@ -97,7 +100,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "ann_bq", "ann_pq", "embed_cluster_sizes",
         "sample_cluster_balanced", "dedup_spans", "text_repetition",
         "stream_ingest", "knn_bq", "knn_sq8", "semantic_dedup",
-        "range_search", "embed_outliers",
+        "range_search",
         # The 15 remaining r3-green entries (token_vocab ..
         # collection_search) sit FIRST past the boundary and lead the
         # r6 rotation ledger; the 45 r4-green entries follow (freshest
