@@ -99,7 +99,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the magic and decode BMP, PPM, or PNG → (H, W, 3) uint8."""
+    """Sniff the magic and decode BMP, PPM, or PNG → (H, W, 3) uint8
+    (PNG color type 6 yields (H, W, 4) RGBA; RGB consumers slice
+    ``[..., :3]``)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -343,13 +345,15 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor (color type 2), non-interlaced PNG →
-    (H, W, 3) uint8 RGB — the first codec in this family that walks a
-    COMPRESSED payload end-to-end: CRC-checked chunk walk → IDAT
-    concat → stdlib ``zlib`` inflate → per-row unfiltering
-    (None/Sub/Up/Average/Paeth). Raises ValueError on any other PNG
-    flavor (palette, alpha, 16-bit, interlaced) — loud beats
-    silently-wrong pixels.
+    """Decode an 8-bit truecolor (color type 2) or truecolor+alpha
+    (color type 6), non-interlaced PNG → (H, W, 3|4) uint8 — the
+    first codec in this family that walks a COMPRESSED payload
+    end-to-end: CRC-checked chunk walk → IDAT concat → stdlib
+    ``zlib`` inflate → per-row unfiltering (None/Sub/Up/Average/
+    Paeth, bpp-aware). Raises ValueError on any other PNG flavor
+    (palette, grayscale, 16-bit, interlaced) — loud beats
+    silently-wrong pixels. Downstream RGB consumers slice
+    ``[..., :3]`` (alpha rarely carries training signal).
 
     The inverse filters reconstruct each row from the RECONSTRUCTED
     left/up neighbors (spec §9): Up is vectorized, Sub is a per-channel
@@ -370,7 +374,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) != 13 or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
             f"interlace={interlace})"
@@ -378,7 +382,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     raw = zlib.decompress(b"".join(idat))
-    stride, bpp = w * 3, 3
+    bpp = 4 if color == 6 else 3
+    stride = w * bpp
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
     img = np.empty((h, stride), dtype=np.uint8)
@@ -411,21 +416,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         img[r] = cur
         prior = cur
-    return img.reshape(h, w, 3)
+    return img.reshape(h, w, bpp)
 
 
 def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
-    """(H, W, 3) uint8 RGB → 8-bit truecolor non-interlaced PNG bytes
-    (fixture helper). ``filters`` picks the per-row filter type
-    (default: cycle 0..4 so every inverse filter is exercised on
-    decode). Forward filtering reads RAW neighbor bytes (spec §9), so
-    it vectorizes — deliberately a different implementation shape from
+    """(H, W, 3|4) uint8 → 8-bit truecolor (type 2) or
+    truecolor+alpha (type 6) non-interlaced PNG bytes (fixture
+    helper). ``filters`` picks the per-row filter type (default:
+    cycle 0..4 so every inverse filter is exercised on decode).
+    Forward filtering reads RAW neighbor bytes (spec §9), so it
+    vectorizes — deliberately a different implementation shape from
     the sequential inverse in :func:`decode_png`, which keeps a shared
     encode/decode bug from cancelling out in round-trip tests."""
     import zlib
 
-    h, w, _ = img.shape
-    stride, bpp = w * 3, 3
+    h, w, bpp = img.shape
+    if bpp not in (3, 4):
+        raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {bpp}")
+    stride = w * bpp
     rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, stride)
     if filters is None:
         filters = [r % 5 for r in range(h)]
@@ -468,7 +476,7 @@ def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -452,7 +452,9 @@ def image_channel_stats(images: DataFrame, *, decoder=None) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode(bytes(payload))
                 h, w, _ = img.shape
-                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                # RGBA decodes (PNG color type 6) contribute their
+                # color channels; alpha carries no gating signal
+                sums = img[:, :, :3].reshape(-1, 3).astype(np.int64).sum(axis=0)
                 r, g, b = (int(x) for x in sums)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)

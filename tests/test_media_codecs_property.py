@@ -114,13 +114,13 @@ def test_pii_patterns_are_total_under_python_re(parts, seed):
         assert s not in redacted
 
 
-def _spec_unfilter(raw: bytes, w: int, h: int) -> np.ndarray:
+def _spec_unfilter(raw: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
     """Independent PNG inverse-filter oracle: a pure-Python per-byte
     transcription of RFC 2083 §6 (Recon formulas), no numpy, no
     shared code with the codec — so a bug present in BOTH
     encode_png's vectorized forward filters and decode_png's inverse
     loops cannot cancel out unseen."""
-    stride, bpp = w * 3, 3
+    stride = w * bpp
     out = []
     prior = [0] * stride
     for r in range(h):
@@ -149,7 +149,7 @@ def _spec_unfilter(raw: bytes, w: int, h: int) -> np.ndarray:
             cur[x] = rec % 256
         out.append(cur)
         prior = cur
-    return np.array(out, dtype=np.uint8).reshape(h, w, 3)
+    return np.array(out, dtype=np.uint8).reshape(h, w, bpp)
 
 
 @settings(max_examples=60, deadline=None)
@@ -158,18 +158,20 @@ def _spec_unfilter(raw: bytes, w: int, h: int) -> np.ndarray:
     h=st.integers(1, 12),
     seed=st.integers(0, 10_000),
     base=st.integers(0, 4),
+    bpp=st.sampled_from([3, 4]),
 )
-def test_png_roundtrip_and_spec_parity(w, h, seed, base):
+def test_png_roundtrip_and_spec_parity(w, h, seed, base, bpp):
     """PNG encode→decode round-trips any geometry under every filter
-    assignment, and the decoder agrees byte-for-byte with the
-    independent spec-literal unfilter oracle applied to the inflated
-    stream — two implementations, one answer."""
+    assignment — for BOTH truecolor (bpp=3) and truecolor+alpha
+    (bpp=4, PNG color type 6) — and the decoder agrees byte-for-byte
+    with the independent spec-literal unfilter oracle applied to the
+    inflated stream — two implementations, one answer."""
     import zlib
 
     from coltt_spark.operators.media_codecs import decode_png, encode_png
 
     rng = np.random.default_rng(seed)
-    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    img = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
     filters = [(base + r) % 5 for r in range(h)]
     payload = encode_png(img, filters=filters)
     got = decode_png(payload)
@@ -183,7 +185,7 @@ def test_png_roundtrip_and_spec_parity(w, h, seed, base):
         if ctype == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + int(ln)]
         pos += 12 + int(ln)
-    spec = _spec_unfilter(zlib.decompress(idat), w, h)
+    spec = _spec_unfilter(zlib.decompress(idat), w, h, bpp)
     assert np.array_equal(spec, img)
 
 
