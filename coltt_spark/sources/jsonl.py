@@ -20,19 +20,30 @@ from coltt_spark.functions.text import hash60
 
 
 def write_jsonl_shards(
-    df: DataFrame, path: str, *, id_col: str, n_shards: int = 8
+    df: DataFrame, path: str, *, id_col: str, n_shards: int = 8,
+    compression: str | None = None,
 ) -> None:
     """Write ``df`` as ``n_shards`` JSONL shard directories under
     ``path`` (``shard=K/part-*.json``). Deterministic routing:
     ``shard = hash60(id) % n_shards``, one repartition so every shard
     is written by the executor that owns it — no driver funneling,
-    no post-hoc file moves."""
+    no post-hoc file moves.
+
+    ``compression``: any Spark text codec (``gzip``, ``bzip2``,
+    ``lz4``, ``snappy``; ``zstd`` where the Hadoop native codec is
+    present) — public corpora ship as ``.jsonl.gz``/``.jsonl.zst``,
+    and :func:`read_jsonl` reads the compressed tree back
+    transparently (codec sniffed per file by extension, so mixed
+    trees work). gzip files are not splittable — at 100 TB keep
+    shards small enough that one file ≈ one task (more shards, or a
+    splittable codec like bzip2, is the scale answer)."""
     out = df.withColumn(
         "shard", (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
     )
-    out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
-        "shard"
-    ).json(path)
+    writer = out.repartition(n_shards, "shard").write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.partitionBy("shard").json(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -306,3 +306,39 @@ def test_redact_pii_phone_shapes(spark):
     row = redact_pii(ssn).collect()[0]
     assert row["n_ssn"] == 1 and row["n_phone"] == 0
     assert row["text"] == "ssn [SSN] sku 5551230042"
+
+
+def test_jsonl_shards_compressed_roundtrip(spark, tmp_path):
+    """Compressed JSONL shard trees (the .jsonl.gz / .jsonl.zst shape
+    public corpora actually ship) round-trip byte-identically to the
+    uncompressed tree, with deterministic shard routing intact and
+    the codec genuinely applied (file extensions prove it — a silent
+    fall-through to plain text would still 'round-trip')."""
+    import glob
+    import os
+
+    from coltt_spark.sources.jsonl import read_jsonl, write_jsonl_shards
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(200)
+    schema = "doc_id long, text string, shard int"
+    plain = str(tmp_path / "plain")
+    write_jsonl_shards(docs, plain, id_col="doc_id", n_shards=4)
+    want = sorted(
+        (r["doc_id"], r["text"], r["shard"])
+        for r in read_jsonl(spark, plain, schema).collect()
+    )
+    # zstd needs the Hadoop native codec, absent in this build —
+    # gzip/bzip2 exercise the same option plumbing
+    for codec, ext in (("gzip", ".gz"), ("bzip2", ".bz2")):
+        path = str(tmp_path / codec)
+        write_jsonl_shards(docs, path, id_col="doc_id", n_shards=4, compression=codec)
+        files = glob.glob(os.path.join(path, "shard=*", "part-*"))
+        assert files and all(f.endswith(ext) for f in files), (codec, files[:3])
+        got = sorted(
+            (r["doc_id"], r["text"], r["shard"])
+            for r in read_jsonl(spark, path, schema).collect()
+        )
+        assert got == want, codec
