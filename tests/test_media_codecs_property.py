@@ -221,3 +221,25 @@ def test_png_rejects_corruption_and_unsupported_flavors():
     )
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(gray)
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_png_any_single_byte_flip_is_detected(seed, pos_frac):
+    """Corruption totality: flipping ANY single byte of a valid PNG
+    raises ValueError — it can never silently yield wrong pixels.
+    Every region is covered by a check: the signature by the magic
+    test, chunk types/bodies by CRC32, length fields by CRC-or-
+    truncation, CRC fields by themselves. (zlib stream corruption
+    inside IDAT is caught by the chunk CRC before inflate runs.)"""
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
