@@ -419,6 +419,110 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img.reshape(h, w, bpp)
 
 
+# -- JPEG baseline (ITU-T T.81 — the real-world compressed format) ----
+#
+# Sequential baseline DCT, 8-bit, 4:4:4 (no chroma subsampling) or
+# grayscale, Huffman entropy coding, optional restart markers. The
+# decoder builds its Huffman tables from the file's own DHT segments
+# (never from the encoder's constants), dequantizes from the file's
+# DQT, and runs a separable float IDCT — so a file from ANY conforming
+# baseline encoder with these sampling factors decodes. The pinned
+# integer rounding (floor(x + 0.5)) in the IDCT level shift and the
+# YCbCr→RGB conversion makes decoded pixels reproducible in SQL for
+# DC-only (per-block-constant) fixtures — the discipline every codec
+# in this family follows.
+
+#: Zigzag scan order: _JPEG_ZIGZAG[i] = flat (row*8+col) index of the
+#: i-th zigzag coefficient (T.81 Figure 5). Generated, not typed: for
+#: each anti-diagonal d=row+col, odd d walks row-ascending, even d
+#: row-descending.
+_JPEG_ZIGZAG = np.array(
+    [
+        r * 8 + (d - r)
+        for d in range(15)
+        for r in (
+            range(max(0, d - 7), min(d, 7) + 1)
+            if d % 2 == 1
+            else range(min(d, 7), max(0, d - 7) - 1, -1)
+        )
+    ],
+    dtype=np.int64,
+)
+
+#: 8×8 DCT-II basis: F = M @ S @ M.T (forward), S = M.T @ F @ M
+#: (inverse) for an 8×8 spatial block S and coefficient block F.
+_JPEG_DCT_M = np.array(
+    [
+        [
+            0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: Standard Huffman tables from T.81 Annex K.3 (the tables every
+#: baseline encoder ships): (BITS[1..16], HUFFVAL) per class.
+_JPEG_STD_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_JPEG_STD_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes.fromhex(
+        "01020300041105122131410613516107"
+        "22711432" "8191a108" "2342b1c1" "1552d1f0"
+        "24336272" "82090a16" "1718191a" "25262728"
+        "292a3435" "36373839" "3a434445" "46474849"
+        "4a535455" "56575859" "5a636465" "66676869"
+        "6a737475" "76777879" "7a838485" "86878889"
+        "8a929394" "95969798" "999aa2a3" "a4a5a6a7"
+        "a8a9aab2" "b3b4b5b6" "b7b8b9ba" "c2c3c4c5"
+        "c6c7c8c9" "cad2d3d4" "d5d6d7d8" "d9dae1e2"
+        "e3e4e5e6" "e7e8e9ea" "f1f2f3f4" "f5f6f7f8"
+        "f9fa"
+    ),
+)
+_JPEG_STD_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes.fromhex(
+        "00010203110405213106124151076171"
+        "1322328108144291a1b1c109233352f0"
+        "156272d10a162434e125f11718191a26"
+        "2728292a35363738393a434445464748"
+        "494a535455565758595a636465666768"
+        "696a737475767778797a828384858687"
+        "88898a92939495969798999aa2a3a4a5"
+        "a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3"
+        "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9da"
+        "e2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8"
+        "f9fa"
+    ),
+)
+
+
+def _jpeg_build_codes(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C):
+    symbol → (code, length)."""
+    if sum(bits) != len(vals):
+        raise ValueError("JPEG Huffman BITS/HUFFVAL mismatch")
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >> length:
+                raise ValueError("JPEG Huffman code overflow")
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
 def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
     """(H, W, 3|4) uint8 → 8-bit truecolor (type 2) or
     truecolor+alpha (type 6) non-interlaced PNG bytes (fixture
