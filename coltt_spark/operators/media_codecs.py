@@ -1,8 +1,9 @@
 """Real, dependency-free image codecs for the media decode seam.
 
-PIL / pyav are not available in this environment, but two real image
-formats are decodable with nothing but ``struct`` + numpy: 24-bit
-uncompressed BMP and binary PPM (P6). This module implements them and
+PIL / pyav are not available in this environment, but real image
+formats are decodable with nothing but ``struct`` + ``zlib`` + numpy:
+24-bit uncompressed BMP, binary PPM (P6), truecolor PNG, and
+sequential baseline JPEG (ITU-T T.81). This module implements them and
 exposes :func:`image_decoder`, a drop-in for the
 ``extract_features(decoder=...)`` seam (``(payload, out_len) ->
 float32[out_len]``) — so the multimodal path is exercised end-to-end
@@ -99,15 +100,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the magic and decode BMP, PPM, or PNG → (H, W, 3) uint8
-    (PNG color type 6 yields (H, W, 4) RGBA; RGB consumers slice
-    ``[..., :3]``)."""
+    """Sniff the magic and decode BMP, PPM, PNG, or baseline JPEG →
+    (H, W, 3) uint8 (PNG color type 6 yields (H, W, 4) RGBA; RGB
+    consumers slice ``[..., :3]``; grayscale JPEG replicates its luma
+    plane across the three channels)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise ValueError("unknown image magic")
 
 
@@ -381,10 +388,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    raw = zlib.decompress(b"".join(idat))
     bpp = 4 if color == 6 else 3
     stride = w * bpp
-    if len(raw) != (stride + 1) * h:
+    # Bound the inflate by the size IHDR promises BEFORE decompressing:
+    # a crafted zip-bomb IDAT must not expand past (stride+1)*h on an
+    # executor (same loud-failure discipline as the CRC checks).
+    expected = (stride + 1) * h
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if len(raw) != expected or dec.unconsumed_tail or dec.flush():
         raise ValueError("PNG pixel data length mismatch")
     img = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
@@ -421,16 +433,18 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 # -- JPEG baseline (ITU-T T.81 — the real-world compressed format) ----
 #
-# Sequential baseline DCT, 8-bit, 4:4:4 (no chroma subsampling) or
-# grayscale, Huffman entropy coding, optional restart markers. The
-# decoder builds its Huffman tables from the file's own DHT segments
-# (never from the encoder's constants), dequantizes from the file's
-# DQT, and runs a separable float IDCT — so a file from ANY conforming
-# baseline encoder with these sampling factors decodes. The pinned
-# integer rounding (floor(x + 0.5)) in the IDCT level shift and the
-# YCbCr→RGB conversion makes decoded pixels reproducible in SQL for
-# DC-only (per-block-constant) fixtures — the discipline every codec
-# in this family follows.
+# Sequential baseline DCT, 8-bit, Huffman entropy coding, grayscale or
+# 3-component with per-component sampling factors 1 or 2 (4:4:4,
+# 4:2:2, 4:2:0), optional restart markers. The decoder builds its
+# Huffman tables from the file's own DHT segments (never from the
+# encoder's constants), dequantizes from the file's DQT, and runs a
+# separable float IDCT — so a file from ANY conforming baseline
+# encoder with these shapes decodes (verified in tests against
+# encoders this repo did not write). The pinned integer rounding
+# (floor(x + 0.5)) in the IDCT level shift and the YCbCr→RGB
+# conversion makes decoded pixels reproducible in SQL for DC-only
+# (per-block-constant) fixtures — the discipline every codec in this
+# family follows.
 
 #: Zigzag scan order: _JPEG_ZIGZAG[i] = flat (row*8+col) index of the
 #: i-th zigzag coefficient (T.81 Figure 5). Generated, not typed: for
@@ -506,6 +520,37 @@ _JPEG_STD_AC_CHROMA = (
 )
 
 
+#: Example quantization tables from T.81 Annex K.1/K.2 (natural
+#: row-major order here; files store them zigzagged) — the encoder's
+#: defaults. The decoder always dequantizes from the FILE's DQT.
+_JPEG_STD_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_STD_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
 def _jpeg_build_codes(bits: bytes, vals: bytes) -> dict:
     """Canonical Huffman code assignment (T.81 Annex C):
     symbol → (code, length)."""
@@ -521,6 +566,590 @@ def _jpeg_build_codes(bits: bytes, vals: bytes) -> dict:
             k += 1
         code <<= 1
     return codes
+
+
+def _jpeg_decode_table(bits: bytes, vals: bytes):
+    """Canonical Huffman DECODE tables (T.81 Annex F.2.2.3):
+    (mincode, maxcode, valptr, vals, lut) indexed by code length
+    1..16; maxcode[l] = -1 marks lengths with no codes. ``lut`` is an
+    8-bit-prefix fast path: lut[peek8] = (symbol, length) for every
+    code of ≤8 bits (None means the real code is longer) — JPEG's
+    common symbols are short, so most decodes are one table hit."""
+    if sum(bits) != len(vals):
+        raise ValueError("JPEG Huffman BITS/HUFFVAL mismatch")
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    lut: list = [None] * 256
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            if (code + n - 1) >> length:
+                raise ValueError("JPEG Huffman code overflow")
+            valptr[length] = k
+            mincode[length] = code
+            for _ in range(n):
+                if length <= 8:
+                    lo = code << (8 - length)
+                    for idx in range(lo, lo + (1 << (8 - length))):
+                        lut[idx] = (vals[k], length)
+                code += 1
+                k += 1
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals, lut
+
+
+def _jpeg_split_entropy(buf: bytes, pos: int):
+    """Split the entropy-coded data at markers and unstuff 0xFF00 →
+    0xFF per span (T.81 §B.1.1.5) in ONE pass of C-speed primitives
+    (``bytes.find`` / ``bytes.replace``) — the per-bit reader then
+    never re-checks for markers. Returns ``(segments, rst_ids)``:
+    ``rst_ids[i]`` is the RSTn index found between segment i and i+1;
+    the walk stops at the first non-RST marker (EOI)."""
+    segs: list[bytes] = []
+    rsts: list[int] = []
+    start = i = pos
+    n = len(buf)
+    while True:
+        j = buf.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:  # missing EOI — tolerate, reads fail loudly
+            segs.append(buf[start:n].replace(b"\xff\x00", b"\xff"))
+            return segs, rsts
+        nxt = buf[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segs.append(buf[start:j].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:
+            rsts.append(nxt - 0xD0)
+            start = i = j + 2
+            continue
+        return segs, rsts
+
+
+def _jpeg_decode_block(state: list, dc_tbl, ac_tbl, pred: int):
+    """Decode one 8×8 block's 64 zigzag-order coefficients
+    (T.81 F.2.2): DC difference + run-length/size AC symbols
+    (EOB=0x00, ZRL=0xF0). Returns (coeffs, new DC predictor).
+
+    This is the decoder's hot kernel (~10 Huffman symbols + magnitude
+    reads per block), so the bit reader is INLINED over local ints:
+    ``state`` is the mutable ``[segment, byte_pos, acc, nbits]``
+    cursor over one pre-unstuffed entropy segment. The accumulator is
+    re-masked at each refill so it stays machine-word-sized (an
+    unmasked accumulator degrades every shift to O(stream) bignum
+    work — measured 2.5× end-to-end). Stream tails pad with 1-bits
+    per the spec; running out mid-symbol raises."""
+    seg, pos, acc, nbits = state
+    slen = len(seg)
+    coeffs = [0] * 64
+    k = 0  # next coefficient index; 0 means the DC symbol is next
+    tbl = dc_tbl
+    while True:
+        # refill to ≥17 bits when available (one 16-bit code + lookahead)
+        if nbits < 17:
+            take = slen - pos
+            if take > 4:
+                take = 4
+            if take > 0:
+                acc = ((acc & ((1 << nbits) - 1)) << (take * 8)) | int.from_bytes(
+                    seg[pos : pos + take], "big"
+                )
+                pos += take
+                nbits += take * 8
+        # Huffman symbol: 8-bit LUT fast path, canonical walk beyond
+        if nbits >= 8:
+            hit = tbl[4][(acc >> (nbits - 8)) & 0xFF]
+        elif nbits > 0:  # tail: peek pads with 1-bits (spec fill)
+            pad = 8 - nbits
+            hit = tbl[4][((acc << pad) | ((1 << pad) - 1)) & 0xFF]
+            if hit is not None and hit[1] > nbits:
+                raise ValueError("JPEG entropy stream truncated")
+        else:
+            raise ValueError("JPEG entropy stream truncated")
+        if hit is not None:
+            sym = hit[0]
+            nbits -= hit[1]
+        else:
+            mincode, maxcode, valptr, vals, _ = tbl
+            code = (acc >> (nbits - 8)) & 0xFF
+            nbits -= 8
+            length = 8
+            while code > maxcode[length]:
+                length += 1
+                if length > 16:
+                    raise ValueError("invalid JPEG Huffman code")
+                if nbits == 0:
+                    if pos >= slen:
+                        raise ValueError("JPEG entropy stream truncated")
+                    acc = seg[pos]
+                    pos += 1
+                    nbits = 8
+                nbits -= 1
+                code = (code << 1) | ((acc >> nbits) & 1)
+            sym = vals[valptr[length] + code - mincode[length]]
+        if k == 0:  # DC: category + EXTEND(diff)
+            if sym:
+                if sym > 11:
+                    raise ValueError(f"invalid JPEG DC category {sym}")
+                if nbits < sym:
+                    take = slen - pos
+                    if take > 4:
+                        take = 4
+                    if take > 0:
+                        acc = ((acc & ((1 << nbits) - 1)) << (take * 8)) | int.from_bytes(
+                            seg[pos : pos + take], "big"
+                        )
+                        pos += take
+                        nbits += take * 8
+                    if nbits < sym:
+                        raise ValueError("JPEG entropy stream truncated")
+                nbits -= sym
+                v = (acc >> nbits) & ((1 << sym) - 1)
+                pred += v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1
+            coeffs[0] = pred
+            k = 1
+            tbl = ac_tbl
+            continue
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                if k > 64:
+                    raise ValueError("JPEG AC coefficient run past block end")
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient run past block end")
+        if nbits < s:
+            take = slen - pos
+            if take > 4:
+                take = 4
+            if take > 0:
+                acc = ((acc & ((1 << nbits) - 1)) << (take * 8)) | int.from_bytes(
+                    seg[pos : pos + take], "big"
+                )
+                pos += take
+                nbits += take * 8
+            if nbits < s:
+                raise ValueError("JPEG entropy stream truncated")
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        coeffs[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        k += 1
+        if k == 64:
+            break
+    state[1], state[2], state[3] = pos, acc, nbits
+    return coeffs, pred
+
+
+def _jpeg_idct_plane(zz: np.ndarray, qt: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Batched dequant + dezigzag + separable float IDCT over a
+    component's (by*bx, 64) zigzag coefficient rows → (by*8, bx*8)
+    uint8 sample plane. Level shift rounds with the pinned
+    floor(x + 0.5) so DC-only blocks reproduce exactly in SQL."""
+    nat = np.zeros((zz.shape[0], 64))
+    nat[:, _JPEG_ZIGZAG] = zz * qt[None, :]
+    spatial = _JPEG_DCT_M.T @ nat.reshape(-1, 8, 8) @ _JPEG_DCT_M
+    pix = np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    return pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _jpeg_ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Integer YCbCr planes → (H, W, 3) uint8 RGB with the pinned
+    floor(x + 0.5) rounding (JFIF / ITU-R BT.601 full-range
+    constants). The expression association matches the SQL oracle's
+    left-to-right evaluation so doubles agree bit-for-bit."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64)
+    crf = cr.astype(np.float64)
+    r = yf + 1.402 * (crf - 128.0)
+    g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b = yf + 1.772 * (cbf - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a sequential BASELINE JPEG (ITU-T T.81 SOF0, 8-bit,
+    Huffman) → (H, W, 3) uint8 RGB, or (H, W) uint8 for a grayscale
+    frame. Supports 1- or 3-component frames with per-component
+    sampling factors 1 or 2 (4:4:4, 4:2:2, 4:2:0 and friends; chroma
+    upsampled by sample replication), optional restart markers, and
+    builds Huffman tables from the file's own DHT segments — so a
+    file from ANY conforming baseline encoder with these shapes
+    decodes. Raises ValueError on progressive (SOF2) / arithmetic /
+    12-bit / lossless flavors — loud beats silently-wrong pixels.
+
+    Two pinned rounding stages make decoded pixels reproducible in
+    SQL for DC-only (per-block-constant) fixtures: floor(x + 0.5) at
+    the IDCT level shift and again in YCbCr→RGB — the discipline
+    every codec in this family follows."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
+    frame = None  # (h, w, [(cid, hi, vi, tq), ...])
+    dri = 0
+    scan = None  # ([(comp_idx, td, ta), ...], entropy_start)
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT — tables stored zigzagged
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit JPEG quant table")
+                if off + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                qt[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = body[off + 1 : off + 17]
+                n = sum(bits)
+                vals = body[off + 17 : off + 17 + n]
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq_id = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
+                comps.append((cid, hi, vi, tq_id))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError("JPEG partial-frame scans unsupported")
+            ids = [c[0] for c in frame[2]]
+            sel = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                if cs not in ids:
+                    raise ValueError(f"JPEG scan references unknown component {cs}")
+                sel.append((ids.index(cs), tdta >> 4, tdta & 15))
+            scan = (sel, pos + 2 + seg_len)
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    sel, data_pos = scan
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if len(comps) == 1:
+        # Non-interleaved single-component scan: MCU is one data unit,
+        # sampling factors don't tile (T.81 A.2.2)
+        max_h = max_v = 1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    grids = []  # per component: (bx, coeff rows list)
+    for _, hi, vi, tq_id in comps:
+        if tq_id not in qt:
+            raise ValueError(f"JPEG quant table {tq_id} undefined")
+        grids.append(np.zeros((mcus_y * vi * mcus_x * hi, 64), dtype=np.int64))
+    tables = []
+    for comp_idx, td, ta in sel:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG Huffman table undefined")
+        tables.append((comp_idx, huff[(0, td)], huff[(1, ta)]))
+    segments, rst_ids = _jpeg_split_entropy(payload, data_pos)
+    state = [segments[0], 0, 0, 0]  # [segment, byte_pos, acc, nbits]
+    seg_idx = 0
+    preds = [0] * len(comps)
+    for mcu in range(mcus_y * mcus_x):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments) or rst_ids[seg_idx - 1] != (seg_idx - 1) & 7:
+                raise ValueError(f"expected JPEG RST{(seg_idx - 1) & 7} marker")
+            state = [segments[seg_idx], 0, 0, 0]
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for comp_idx, dc_tbl, ac_tbl in tables:
+            hi, vi = comps[comp_idx][1], comps[comp_idx][2]
+            bx = mcus_x * hi
+            for v in range(vi):
+                for hh in range(hi):
+                    coeffs, preds[comp_idx] = _jpeg_decode_block(
+                        state, dc_tbl, ac_tbl, preds[comp_idx]
+                    )
+                    grids[comp_idx][(my * vi + v) * bx + (mx * hi + hh)] = coeffs
+    planes = []
+    for (cid, hi, vi, tq_id), zz in zip(comps, grids):
+        plane = _jpeg_idct_plane(zz, qt[tq_id], mcus_y * vi, mcus_x * hi)
+        if hi < max_h:
+            plane = np.repeat(plane, max_h // hi, axis=1)
+        if vi < max_v:
+            plane = np.repeat(plane, max_v // vi, axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    return _jpeg_ycbcr_to_rgb(*planes)
+
+
+class _JpegBitWriter:
+    """Entropy-coded-segment bit writer with 0xFF00 byte stuffing
+    (T.81 §B.1.1.5); pads to byte boundaries with 1-bits."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, m])
+
+
+def _jpeg_fdct_quant(plane: np.ndarray, qt_nat: np.ndarray) -> np.ndarray:
+    """Batched level shift + forward DCT + quantization over an
+    8-aligned sample plane → (nblocks, 64) zigzag-order ints.
+    Quantization rounds floor(x + 0.5) (exact for DC-only blocks
+    when q[0] divides 8·(v−128))."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ).astype(np.float64) - 128.0
+    coeffs = _JPEG_DCT_M @ blocks @ _JPEG_DCT_M.T
+    nat = np.floor(coeffs.reshape(-1, 64) / qt_nat[None, :] + 0.5).astype(np.int64)
+    return nat[:, _JPEG_ZIGZAG]
+
+
+def _jpeg_encode_block(writer, zz, pred: int, dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one block's zigzag coefficients (T.81 F.1.2):
+    DC difference category + AC run/size symbols. Returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    t = abs(diff).bit_length()
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        a = int(zz[k])
+        if a == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = abs(a).bit_length()
+        if s > 10:
+            raise ValueError("JPEG AC coefficient out of baseline range")
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(a if a > 0 else a + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _jpeg_pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (mh, mw) — T.81's recommended
+    extension so padded blocks compress to near-nothing."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    *,
+    subsampling: str = "4:4:4",
+    luma_quant: np.ndarray | None = None,
+    chroma_quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+    input_color: str = "rgb",
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → sequential baseline
+    JPEG bytes (SOF0, 8-bit, Annex-K Huffman tables, optional restart
+    markers; ``subsampling`` is ``"4:4:4"`` or ``"4:2:0"`` with 2×2
+    box-averaged chroma). ``input_color="ycbcr"`` treats the three
+    channels as already-converted YCbCr — the DC-only fixture path,
+    where quant tables with q[0]=8 make decode bit-exact.
+
+    Deliberately a different implementation shape from
+    :func:`decode_jpeg` (vectorized forward filter/DCT vs sequential
+    entropy walk), which keeps a shared encode/decode bug from
+    cancelling out in round-trip tests — same discipline as
+    :func:`encode_png`."""
+    lq = np.asarray(
+        _JPEG_STD_QUANT_LUMA if luma_quant is None else luma_quant, dtype=np.int64
+    )
+    cq = np.asarray(
+        _JPEG_STD_QUANT_CHROMA if chroma_quant is None else chroma_quant,
+        dtype=np.int64,
+    )
+    if img.ndim == 2:
+        h, w = img.shape
+        ycc = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        h, w = img.shape[:2]
+        if input_color == "ycbcr":
+            ycc = [img[:, :, 0], img[:, :, 1], img[:, :, 2]]
+        elif input_color == "rgb":
+            rf = img[:, :, 0].astype(np.float64)
+            gf = img[:, :, 1].astype(np.float64)
+            bf = img[:, :, 2].astype(np.float64)
+            y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+            cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+            cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+            ycc = [
+                np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                for p in (y, cb, cr)
+            ]
+        else:
+            raise ValueError(f"unknown input_color {input_color!r}")
+    else:
+        raise ValueError("expected (H, W) grayscale or (H, W, 3) image")
+    gray = img.ndim == 2
+    if subsampling == "4:4:4" or gray:
+        samps = [(1, 1)] * (1 if gray else 3)
+    elif subsampling == "4:2:0":
+        samps = [(2, 2), (1, 1), (1, 1)]
+        eh, ew = 2 * ((h + 1) // 2), 2 * ((w + 1) // 2)
+        ycc[1:] = [
+            np.clip(
+                np.floor(
+                    _jpeg_pad_edge(p, eh, ew)
+                    .astype(np.float64)
+                    .reshape(eh // 2, 2, ew // 2, 2)
+                    .mean(axis=(1, 3))
+                    + 0.5
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for p in ycc[1:]
+        ]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    max_h = max(s[0] for s in samps)
+    max_v = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    zz_grids = []
+    for idx, ((hi, vi), plane) in enumerate(zip(samps, ycc)):
+        padded = _jpeg_pad_edge(plane, mcus_y * vi * 8, mcus_x * hi * 8)
+        zz_grids.append(_jpeg_fdct_quant(padded, lq if idx == 0 else cq))
+    dc_l = _jpeg_build_codes(*_JPEG_STD_DC_LUMA)
+    ac_l = _jpeg_build_codes(*_JPEG_STD_AC_LUMA)
+    dc_c = _jpeg_build_codes(*_JPEG_STD_DC_CHROMA)
+    ac_c = _jpeg_build_codes(*_JPEG_STD_AC_CHROMA)
+    writer = _JpegBitWriter()
+    preds = [0] * len(ycc)
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(ycc)
+        my, mx = divmod(mcu, mcus_x)
+        for idx, (hi, vi) in enumerate(samps):
+            bx = mcus_x * hi
+            dc, ac = (dc_l, ac_l) if idx == 0 else (dc_c, ac_c)
+            for v in range(vi):
+                for hh in range(hi):
+                    preds[idx] = _jpeg_encode_block(
+                        writer,
+                        zz_grids[idx][(my * vi + v) * bx + (mx * hi + hh)],
+                        preds[idx],
+                        dc,
+                        ac,
+                    )
+    writer.align()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + lq[_JPEG_ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB, b"\x01" + cq[_JPEG_ZIGZAG].astype(np.uint8).tobytes())
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(ycc))
+    for idx, (hi, vi) in enumerate(samps):
+        sof += bytes([idx + 1, (hi << 4) | vi, 0 if idx == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, b"\x00" + _JPEG_STD_DC_LUMA[0] + _JPEG_STD_DC_LUMA[1])
+    out += seg(0xC4, b"\x10" + _JPEG_STD_AC_LUMA[0] + _JPEG_STD_AC_LUMA[1])
+    if not gray:
+        out += seg(0xC4, b"\x01" + _JPEG_STD_DC_CHROMA[0] + _JPEG_STD_DC_CHROMA[1])
+        out += seg(0xC4, b"\x11" + _JPEG_STD_AC_CHROMA[0] + _JPEG_STD_AC_CHROMA[1])
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(ycc)])
+    for idx in range(len(ycc)):
+        sos += bytes([idx + 1, 0x00 if idx == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:

@@ -426,6 +426,61 @@ def png_image_table(
     return imgs.mapInPandas(kernel, out_schema)
 
 
+def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
+    """Fabricate REAL baseline JPEG payloads for the image rows
+    (``doc_id % 3 == 0``): each is a ``blocks×blocks`` grid of 8×8
+    DC-only blocks whose (Y, Cb, Cr) triples come from
+    ``md5(text || ':jpeg:0')`` digest bytes (3 per block), encoded
+    4:4:4 with q[0]=8 quantization and restart markers every 2 MCUs.
+    DC-only blocks decode BIT-EXACTLY under q[0]=8 (the quantizer
+    divides the DCT's 8·(v−128) DC gain), so a SQL oracle regenerates
+    the PIXELS from the hash stream + the pinned YCbCr→RGB rounding
+    while the Spark path must walk markers, build Huffman tables from
+    the file's DHT, entropy-decode across restart markers, dequantize,
+    and IDCT the actual container — any segment/Huffman/IDCT/color
+    bug breaks value parity. Second COMPRESSED format through the
+    media seam (PNG is the first)."""
+    n_vals = blocks * blocks * 3
+    if n_vals > 16:
+        raise ValueError("jpeg_image_table digest stream supports ≤16 block values")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_jpeg
+
+        qt = np.full(64, 8, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = hashlib.md5(f"{text}:jpeg:0".encode()).digest()[:n_vals]
+                ycc = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, blocks, 3)
+                img = np.repeat(np.repeat(ycc, 8, axis=0), 8, axis=1)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        input_color="ycbcr",
+                        luma_quant=qt,
+                        chroma_quant=qt,
+                        restart_interval=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
 def image_channel_stats(images: DataFrame, *, decoder=None) -> DataFrame:
     """Per-image channel statistics (Arrow-batched ``mapInPandas``):
     geometry, exact per-channel pixel sums, and BT.601 luma — the

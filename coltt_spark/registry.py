@@ -1439,92 +1439,37 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-5 window: the r4 rotation ledger FIRST — the 15
-    # -- r2-demoted entries whose last hard driver signal is r2 (the
-    # -- oldest in the ledger) — then entries new/touched this round,
-    # -- then the oldest of the r3-green block. See CLAUDE.md
-    # -- "Driver-check rotation ledger".
-    "knn_euclidean",         # ledger: last driver signal r2
-    "knn_manhattan",         # ledger: last driver signal r2
-    "compare_dist",          # ledger: last driver signal r2
-    "knn_f8",                # ledger: last driver signal r2
-    "knn_bf16",              # ledger: last driver signal r2
-    "knn_two_phase",         # ledger: last driver signal r2
-    "ann_topk_blas",         # ledger: last driver signal r2
-    "media_metadata",        # ledger: last driver signal r2
-    "events_hourly",         # ledger: last driver signal r2
-    "token_count",           # ledger: last driver signal r2
-    "cube_revenue",          # ledger: last driver signal r2
-    "set_intersect",         # ledger: last driver signal r2
-    "top_revenue_orders",    # ledger: last driver signal r2
-    "knn_wide",              # ledger: last driver signal r2
-    "events_json",           # ledger: last driver signal r2
-    # -- new in r5 ----------------------------------------------------
-    "media_png_features",    # new r5: compressed PNG through the seam
-    # -- implementation touched this round (broadened PII pattern
-    # -- table + fixture; IVF stale-layout gate on the serving paths;
-    # -- TextIndex.delete id-type validation) -------------------------
-    "text_redact_pii",
+    # -- round-6 window: the r5 rotation ledger FIRST — the 16
+    # -- r3-green entries whose last hard driver signal is r3 (the
+    # -- oldest on the board; embed_outliers leads, having ceded its
+    # -- r5 slot) — then entries new/touched this round, then the
+    # -- oldest of the r4-green block. See CLAUDE.md "Driver-check
+    # -- rotation ledger".
+    "embed_outliers",        # ledger: last driver signal r3
+    "token_vocab",           # ledger: last driver signal r3
+    "doc_lm_score",          # ledger: last driver signal r3
+    "filter_extended",       # ledger: last driver signal r3
+    "collection_time_travel",  # ledger: last driver signal r3
+    "jsonl_roundtrip",       # ledger: last driver signal r3
+    "ann_recall",            # ledger: last driver signal r3
+    "stream_join",           # ledger: last driver signal r3
+    "embed_project",         # ledger: last driver signal r3
+    "sample_temperature",    # ledger: last driver signal r3
+    "bm25_search",           # ledger: last driver signal r3
+    "distinct_sketch",       # ledger: last driver signal r3
+    "quantile_sketch",       # ledger: last driver signal r3
+    "decontaminate_bloom",   # ledger: last driver signal r3
+    "bm25_indexed",          # ledger: last driver signal r3
+    "collection_search",     # ledger: last driver signal r3
+    # -- new in r6 ----------------------------------------------------
+    "media_jpeg_features",   # new r6: baseline JPEG through the seam
+    # -- implementation touched this round (decode_png bounded
+    # -- inflate; IVF auto-compaction trigger in flush) ---------------
+    "media_png_features",
     "collection_search_ivf",
     "collection_search_ivf_delta",
-    "collection_hybrid_ivf",
-    "bm25_index_deleted",
-    "collection_search_grouped",  # touched r5: opt-in nprobe variant
-    # -- oldest of the r3-green block (all driver-green r3, local-
-    # -- gated since; r4 spent its window on new/touched + the r2
-    # -- remainder) ---------------------------------------------------
-    "media_knn",
-    "media_frames",
-    "schemaless_pure_search",
-    "schemaless_update_delete",
-    "hybrid_search",
-    "doc_chunk",
-    "decontaminate",
-    "sample_stratified",
-    "sample_fraction",
-    "source_mix",
-    "export_shards",
-    "pack_sequences",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "collection_search_blocks_filtered",
-    "events_asof",
-    "ann_bq",
-    "ann_pq",
-    "embed_cluster_sizes",
-    "sample_cluster_balanced",
-    "dedup_spans",
-    "text_repetition",
-    "stream_ingest",
-    "knn_bq",
-    "knn_sq8",
-    "semantic_dedup",
-    "range_search",
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First embed_outliers (r3-green; ceded its rotation
-    # ---- slot to the r5-touched collection_search_grouped) and the
-    # ---- 15 remaining r3-green entries (oldest signal past the
-    # ---- window — together they lead the r6 rotation ledger), then
-    # ---- the 44 r4-green entries (freshest signal).
-    "embed_outliers",
-    "token_vocab",
-    "doc_lm_score",
-    "filter_extended",
-    "collection_time_travel",
-    "jsonl_roundtrip",
-    "ann_recall",
-    "stream_join",
-    "embed_project",
-    "sample_temperature",
-    "bm25_search",
-    "distinct_sketch",
-    "quantile_sketch",
-    "decontaminate_bloom",
-    "bm25_indexed",
-    "collection_search",
-    # -- r4-green (driver-checked last round; freshest in the ledger) --
+    # -- oldest of the r4-green block (driver-green r4, local-gated
+    # -- since) -------------------------------------------------------
     "stream_distinct",
     "stream_quantile",
     "bm25_topk_batch",
@@ -1555,6 +1500,12 @@ _KEY_ORDER = [
     "dedup_groups",
     "dedup_ngram_jaccard",
     "text_lang_id",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier
+    # ---- round. First the 14 remaining r4-green entries
+    # ---- (text_quality .. media_features — oldest signal past the
+    # ---- window; they lead the r7 rotation ledger), then the 47
+    # ---- r5-green entries (freshest signal) in their r5 order.
     "text_quality",
     "doc_fingerprint",
     "pricing_summary",
@@ -1569,6 +1520,54 @@ _KEY_ORDER = [
     "rollup_revenue",
     "events_sessionize",
     "media_features",
+    # -- r5-green (driver-checked last round; freshest in the ledger) --
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "knn_f8",
+    "knn_bf16",
+    "knn_two_phase",
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
+    "top_revenue_orders",
+    "knn_wide",
+    "events_json",
+    "text_redact_pii",
+    "collection_hybrid_ivf",
+    "bm25_index_deleted",
+    "collection_search_grouped",
+    "media_knn",
+    "media_frames",
+    "schemaless_pure_search",
+    "schemaless_update_delete",
+    "hybrid_search",
+    "doc_chunk",
+    "decontaminate",
+    "sample_stratified",
+    "sample_fraction",
+    "source_mix",
+    "export_shards",
+    "pack_sequences",
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "collection_search_blocks_filtered",
+    "events_asof",
+    "ann_bq",
+    "ann_pq",
+    "embed_cluster_sizes",
+    "sample_cluster_balanced",
+    "dedup_spans",
+    "text_repetition",
+    "stream_ingest",
+    "knn_bq",
+    "knn_sq8",
+    "semantic_dedup",
+    "range_search",
 ]
 
 

@@ -12,6 +12,7 @@ from coltt_spark.operators.multimodal import (
     audio_wav_table,
     extract_features,
     image_channel_stats,
+    jpeg_image_table,
     media_table,
     png_image_table,
     sample_frames,
@@ -292,6 +293,66 @@ FROM sums
 """
 
 
+def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: fabricate JPEG containers
+    whose 2×2 grid of DC-only 8×8 blocks carries (Y, Cb, Cr) triples
+    from a deterministic md5 stream (``jpeg_image_table`` — 4:4:4,
+    q[0]=8, restart markers every 2 MCUs), then decode the actual
+    container with the dependency-free T.81 codec (marker walk →
+    file-DHT Huffman tables → entropy decode across restarts →
+    dequant → IDCT → pinned YCbCr→RGB) and compute per-image channel
+    sums + BT.601 luma. The oracle regenerates the PIXELS from the
+    hash stream + the pinned floor(x+0.5) color rounding in SQL — it
+    never sees the JPEG bytes — so a segment/Huffman/IDCT/color bug
+    breaks value parity. DC-only blocks under q[0]=8 decode
+    bit-exactly (tests/test_media_codecs_property.py pins the
+    property), which is what makes an exact SQL oracle possible for
+    a lossy-codec container."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = image_channel_stats(jpeg_image_table(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round("luma", 4).alias("luma"),
+    )
+
+
+_ORACLE_MEDIA_JPEG_FEATURES = """
+WITH vals AS (
+  SELECT doc_id,
+         list_transform(range(0, 12), i ->
+           ('0x' || substr(md5(text || ':jpeg:0'), 2*i + 1, 2))::BIGINT) AS v
+  FROM documents
+  WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] + 1.402 * (v[3*k + 3] - 128) + 0.5), 0), 255)) AS pr,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] - 0.344136 * (v[3*k + 2] - 128) - 0.714136 * (v[3*k + 3] - 128) + 0.5), 0), 255)) AS pg,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] + 1.772 * (v[3*k + 2] - 128) + 0.5), 0), 255)) AS pb
+  FROM vals
+), sums AS (
+  SELECT doc_id,
+         CAST(64 * list_sum(pr) AS BIGINT) AS r_sum,
+         CAST(64 * list_sum(pg) AS BIGINT) AS g_sum,
+         CAST(64 * list_sum(pb) AS BIGINT) AS b_sum
+  FROM px
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 16 * 16 * 255.0), 4) AS luma
+FROM sums
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -300,6 +361,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_features": q_media_audio_features,
     "media_video_stats": q_media_video_stats,
     "media_png_features": q_media_png_features,
+    "media_jpeg_features": q_media_jpeg_features,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -310,4 +372,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_audio_features": _ORACLE_MEDIA_AUDIO_FEATURES,
     "media_video_stats": _ORACLE_MEDIA_VIDEO_STATS,
     "media_png_features": _ORACLE_MEDIA_PNG_FEATURES,
+    "media_jpeg_features": _ORACLE_MEDIA_JPEG_FEATURES,
 }

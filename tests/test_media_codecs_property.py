@@ -243,3 +243,185 @@ def test_png_any_single_byte_flip_is_detected(seed, pos_frac):
     payload[pos] ^= 0x5A
     with pytest.raises(ValueError):
         decode_png(bytes(payload))
+
+
+# -- JPEG (sequential baseline, ITU-T T.81) ---------------------------
+
+_JPEG_EXTERNAL_444 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/"
+    "flower-of-life.jpg"
+)
+_JPEG_EXTERNAL_420 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/docs/"
+    "_static/pyparsingClassDiagram_1.5.2.jpg"
+)
+_JPEG_EXTERNAL_PROGRESSIVE = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+def _jpeg_expected_rgb(ycc: np.ndarray) -> np.ndarray:
+    """The pinned YCbCr→RGB contract (floor(x+0.5), clamp) — the same
+    expression the SQL oracle for media_jpeg_features inlines."""
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64)
+    cr = ycc[:, :, 2].astype(np.float64)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    by=st.integers(1, 3),
+    bx=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+    restart=st.integers(0, 3),
+)
+def test_jpeg_dc_only_is_bit_exact(by, bx, seed, restart):
+    """DC-only (per-8×8-block-constant) YCbCr images survive encode→
+    decode BIT-EXACTLY when q[0]=8 (the quantizer divides the DCT's
+    8·(v−128) DC gain) — the property the media_jpeg_features SQL
+    oracle relies on to regenerate pixels without seeing the
+    container. Restart markers are exercised inside the checked
+    path."""
+    from coltt_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    qt = np.full(64, 8, dtype=np.int64)
+    blocks = rng.integers(0, 256, size=(by, bx, 3), dtype=np.uint8)
+    ycc = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg(
+        ycc,
+        input_color="ycbcr",
+        luma_quant=qt,
+        chroma_quant=qt,
+        restart_interval=restart,
+    )
+    assert np.array_equal(decode_jpeg(payload), _jpeg_expected_rgb(ycc))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+    restart=st.integers(0, 2),
+)
+def test_jpeg_roundtrip_bounded_error(w, h, seed, gray, restart):
+    """With unit quantization tables the only loss is coefficient
+    rounding (±0.5 per DCT coefficient) plus the two pinned color
+    rounds — random images round-trip within a tight bound (measured
+    max: 1 grayscale, 3 color)."""
+    from coltt_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    one = np.ones(64, dtype=np.int64)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    payload = encode_jpeg(
+        img, luma_quant=one, chroma_quant=one, restart_interval=restart
+    )
+    got = decode_jpeg(payload)
+    assert got.shape == img.shape
+    err = np.abs(got.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= (3 if gray else 6), err
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+def test_jpeg_420_chroma_subsampling_roundtrip(w, h, seed):
+    """4:2:0 with chroma constant per 2×2 cell: the box-average
+    downsample and replication upsample are exact inverses, so the
+    only loss is DCT rounding — same bound as 4:4:4. Pins the
+    subsample/upsample geometry (odd dims included)."""
+    from coltt_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    one = np.ones(64, dtype=np.int64)
+    # cell-constant pixels → cell-constant chroma (per-pixel luma
+    # detail is covered by the other round-trip tests)
+    cells = rng.integers(0, 256, size=((h + 1) // 2, (w + 1) // 2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)[:h, :w]
+    payload = encode_jpeg(img, subsampling="4:2:0", luma_quant=one, chroma_quant=one)
+    got = decode_jpeg(payload)
+    assert got.shape == img.shape
+    err = np.abs(got.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 6, err
+
+
+def test_jpeg_rejects_corruption_and_unsupported_flavors():
+    """Unsupported JPEG flavors and structural corruption fail loudly
+    — never silently-wrong pixels. Includes a REAL progressive file
+    (SOF2) when present on the host."""
+    import os
+
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    payload = bytearray(encode_jpeg(img))
+    # not a JPEG
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+    # progressive frame marker: rewrite SOF0 -> SOF2
+    prog = bytes(payload).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(prog)
+    # 16-bit quant table precision
+    dqt_at = bytes(payload).find(b"\xff\xdb") + 4
+    bad = bytearray(payload)
+    bad[dqt_at] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(bytes(bad))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|RST"):
+        decode_jpeg(bytes(payload[: len(payload) // 2]))
+    # sampling factor 3 is out of baseline-decoder scope
+    sof_at = bytes(payload).find(b"\xff\xc0")
+    bad = bytearray(payload)
+    bad[sof_at + 11] = 0x33  # component 1 sampling 3x3
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(bad))
+    if os.path.exists(_JPEG_EXTERNAL_PROGRESSIVE):
+        with pytest.raises(ValueError, match="SOF"):
+            decode_jpeg(open(_JPEG_EXTERNAL_PROGRESSIVE, "rb").read())
+
+
+def test_jpeg_decodes_externally_encoded_files():
+    """The decoder must accept files from encoders this repo did NOT
+    write: two baseline JPEGs shipped with host packages — one 4:4:4
+    WITH restart markers (DRI=21), one 1.9-megapixel 4:2:0. Channel
+    means are regression pins from the first decode (both variants of
+    this decoder — the original bit-at-a-time reader and the inlined
+    segment reader — produced these same values independently);
+    structural plausibility: a line-drawing scan is near-white."""
+    import os
+
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_jpeg
+
+    if not os.path.exists(_JPEG_EXTERNAL_444):
+        pytest.skip("external JPEG fixture not on this host")
+    img = decode_jpeg(open(_JPEG_EXTERNAL_444, "rb").read())
+    assert img.shape == (161, 161, 3)
+    means = [round(float(img[:, :, c].mean()), 4) for c in range(3)]
+    assert means == [215.5554, 215.5554, 215.5554], means
+    if os.path.exists(_JPEG_EXTERNAL_420):
+        img = decode_jpeg(open(_JPEG_EXTERNAL_420, "rb").read())
+        assert img.shape == (1659, 1155, 3)
+        means = [round(float(img[:, :, c].mean()), 4) for c in range(3)]
+        assert means == [242.3265, 239.2916, 234.1055], means
+
+
+def test_decode_image_sniffs_jpeg_and_replicates_grayscale():
+    from coltt_spark.operators.media_codecs import decode_image, encode_jpeg
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    img = decode_image(encode_jpeg(gray, luma_quant=np.ones(64, dtype=np.int64)))
+    assert img.shape == (8, 8, 3)
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+    assert np.array_equal(img[:, :, 0], img[:, :, 2])

@@ -545,3 +545,17 @@ def test_png_pipeline_is_narrow(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     _assert_narrow_media_pipeline(image_channel_stats(png_image_table(docs)))
+
+
+def test_jpeg_pipeline_is_narrow(spark):
+    """Fabricate-JPEG → Huffman/IDCT decode → channel stats keeps the
+    same narrow shape as the PNG pipeline: scan → mapInPandas →
+    mapInPandas, zero Exchange — the entropy decoder adds CPU inside
+    the Arrow kernel, never cost structure."""
+    from coltt_spark.operators.multimodal import (
+        image_channel_stats,
+        jpeg_image_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(image_channel_stats(jpeg_image_table(docs)))
