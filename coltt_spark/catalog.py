@@ -101,6 +101,22 @@ class Manifest:
     ivf_centroids: int = 16
     ivf_nprobe: int = 4
     ivf_kmeans_iters: int = 1
+    #: Auto-compaction trigger: when any inverted list has GROWN by
+    #: this many part files since the last full build, the next
+    #: flush() folds the whole collection (0 disables). Growth-based,
+    #: not absolute: a large fresh build legitimately writes many
+    #: parts per list, and an absolute threshold would then force a
+    #: full O(collection) fold on EVERY flush. The measured
+    #: read-amplification curve (SURVEY §8) shows IVF probe latency
+    #: drifting ~25% by ~20 delta flushes and compaction restoring it
+    #: — the same ticker-driven merge discipline as the reference's
+    #: diskv store (diskv/merge.go:40-181,
+    #: pkg/index/optimization.go:27-74), keyed on observed fan-out
+    #: instead of wall clock.
+    ivf_max_list_files: int = 10
+    #: Worst per-list part-file count recorded at the last full IVF
+    #: build — the baseline the growth trigger measures against.
+    ivf_base_list_files: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -117,6 +133,8 @@ class Manifest:
             "ivf_centroids": self.ivf_centroids,
             "ivf_nprobe": self.ivf_nprobe,
             "ivf_kmeans_iters": self.ivf_kmeans_iters,
+            "ivf_max_list_files": self.ivf_max_list_files,
+            "ivf_base_list_files": self.ivf_base_list_files,
         }
 
     @classmethod
@@ -135,6 +153,8 @@ class Manifest:
             ivf_centroids=d.get("ivf_centroids", 16),
             ivf_nprobe=d.get("ivf_nprobe", 4),
             ivf_kmeans_iters=d.get("ivf_kmeans_iters", 1),
+            ivf_max_list_files=d.get("ivf_max_list_files", 10),
+            ivf_base_list_files=d.get("ivf_base_list_files", 0),
         )
 
 
@@ -219,6 +239,22 @@ class Collection:
                 "partially written layout; run flush(compact=True) to rebuild"
             )
         return False
+
+    def _ivf_max_list_files(self, vector_col: str, version: int) -> int:
+        """Read amplification of the IVF delta layout: the largest
+        per-inverted-list Parquet part count. Each delta flush appends
+        part files inside every touched ``centroid=`` partition; a
+        probe opens every file of the probed lists, so this number IS
+        the per-list file fan-out compaction exists to bound."""
+        blocks = os.path.join(self._ivf_dir(vector_col, version), "blocks")
+        worst = 0
+        if os.path.isdir(blocks):
+            for entry in os.listdir(blocks):
+                d = os.path.join(blocks, entry)
+                if entry.startswith("centroid=") and os.path.isdir(d):
+                    n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+                    worst = max(worst, n)
+        return worst
 
 
     def _vector_cols(self) -> list[str]:
@@ -1143,7 +1179,12 @@ class Collection:
         existing inverted lists (one broadcast-matmul assignment over
         the delta only), appended as new part files inside the probed
         partition layout; superseded index rows die via the same
-        commit-id tombstone mask."""
+        commit-id tombstone mask. When any inverted list's part-file
+        fan-out has grown by ``ivf_max_list_files`` since the last
+        full build (manifest knob, default 10, 0 disables), the flush
+        AUTO-COMPACTS — full fold instead of append — so probe-time
+        read amplification stays bounded without anyone remembering
+        to call :meth:`compact`."""
         m = self.manifest
         old_v = m.version
         new_v = old_v + 1
@@ -1162,6 +1203,27 @@ class Collection:
         incremental = (
             idx_ready and not compact and os.path.isdir(self._data_dir(old_v))
         )
+        if (
+            incremental
+            and m.layout == "ivf"
+            and m.ivf_max_list_files > 0
+            and any(
+                self._ivf_max_list_files(vc, old_v) - m.ivf_base_list_files
+                >= m.ivf_max_list_files
+                for vc in self._vector_cols()
+            )
+        ):
+            # Auto-compaction: the delta layout's per-list file fan-out
+            # grew past the manifest threshold since the last full
+            # build, so this flush folds the whole collection instead
+            # of appending — bounding probe-time read amplification the
+            # way the reference's ticker-driven diskv merge does
+            # (diskv/merge.go:40-181), except keyed on the observed
+            # fan-out rather than wall clock. Threshold rationale: the
+            # measured curve (SURVEY §8) drifts ~25% by ~20 files/list;
+            # 10 keeps the drift under ~10% while amortizing the
+            # rebuild over ~10 delta flushes.
+            incremental = False
         if incremental:
             self._flush_delta(old_v, new_v)
         else:
@@ -1170,6 +1232,12 @@ class Collection:
                 self._write_blocks(new_v)
             elif m.layout == "ivf":
                 self._write_ivf(new_v)
+                # record the fresh layout's fan-out — the baseline the
+                # growth-triggered auto-compaction measures against
+                m.ivf_base_list_files = max(
+                    (self._ivf_max_list_files(vc, new_v) for vc in self._vector_cols()),
+                    default=0,
+                )
         m.version = new_v
         self._write_manifest()
         self._view = self._read_version()
@@ -1562,6 +1630,7 @@ class Catalog:
         ivf_centroids: int = 16,
         ivf_nprobe: int = 4,
         ivf_kmeans_iters: int = 1,
+        ivf_max_list_files: int = 10,
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
@@ -1580,6 +1649,7 @@ class Catalog:
             layout=layout, block_dtype=block_dtype, versioning=versioning,
             ivf_centroids=ivf_centroids, ivf_nprobe=ivf_nprobe,
             ivf_kmeans_iters=ivf_kmeans_iters,
+            ivf_max_list_files=ivf_max_list_files,
         )
         os.makedirs(root)
         coll = Collection.__new__(Collection)

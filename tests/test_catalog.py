@@ -1104,7 +1104,15 @@ def test_delta_flush_accumulation_and_compaction(catalog, layout):
             IndexField("label", "integer"),
         ],
         layout=layout, block_dtype="float64",
-        **({"ivf_centroids": 4, "ivf_nprobe": 4} if layout == "ivf" else {}),
+        # ivf_max_list_files=0 disables growth-triggered auto-compaction:
+        # this test deliberately observes RAW delta accumulation over 15
+        # flushes (the trigger itself is pinned by
+        # test_ivf_auto_compaction_bounds_read_amplification)
+        **(
+            {"ivf_centroids": 4, "ivf_nprobe": 4, "ivf_max_list_files": 0}
+            if layout == "ivf"
+            else {}
+        ),
     )
     state: dict[str, tuple[list[float], int]] = {}
 
@@ -1241,3 +1249,52 @@ def test_grouped_and_radius_nprobe_approximate_variant(catalog):
         (r["id"], r["type"])
         for r in coll.search_grouped(q, "type", limit=8, per_group=2).collect()
     } or len(got) < 8  # the approximation must differ from exact here
+
+
+def test_ivf_auto_compaction_bounds_read_amplification(catalog):
+    """Growth-triggered auto-compaction (diskv merge discipline,
+    diskv/merge.go:40-181): once a delta-maintained IVF layout's
+    per-list part-file fan-out has grown by ivf_max_list_files since
+    the last full build, the NEXT flush folds the collection —
+    restoring fresh-build file counts — and search results are
+    identical across the trigger (nprobe=centroids ⇒ exact, so the
+    centroid retrain cannot change answers)."""
+    import os
+
+    coll = catalog.create_collection(
+        "autocompact_ivf", dim=6, distance="cosine", fields=FIELDS,
+        layout="ivf", ivf_centroids=2, ivf_nprobe=2,
+        block_dtype="float64", ivf_max_list_files=2, versioning=True,
+    )
+    coll.upsert(_rows(60, dim=6, seed=11))
+    coll.flush()  # v1: full build — records the fan-out baseline
+    base = coll.manifest.ivf_base_list_files
+    assert base >= 1
+    assert coll._ivf_max_list_files("vector", 1) == base
+
+    # two delta flushes: fan-out grows, tombstone manifests appear
+    for i in range(2):
+        coll.upsert(
+            [dict(r, id=f"d{i}-{j}") for j, r in enumerate(_rows(8, dim=6, seed=20 + i))]
+        )
+        coll.flush()
+        assert os.path.isdir(coll._tombstones_dir(coll.manifest.version)), (
+            "delta flush expected before the growth threshold is hit"
+        )
+    grown = coll._ivf_max_list_files("vector", 3)
+    assert grown - base >= 2, (grown, base)
+
+    before = sorted(
+        (r["id"], round(r["dist"], 8))
+        for r in coll.search(_rows(1, dim=6, seed=5)[0]["vector"], limit=10).collect()
+    )
+    coll.flush()  # growth ≥ threshold → auto-compacts (no new DML needed)
+    v = coll.manifest.version
+    assert not os.path.isdir(coll._tombstones_dir(v)), "compacted flush folds tombstones"
+    assert coll._ivf_max_list_files("vector", v) <= base + 1
+    assert coll.manifest.ivf_base_list_files == coll._ivf_max_list_files("vector", v)
+    after = sorted(
+        (r["id"], round(r["dist"], 8))
+        for r in coll.search(_rows(1, dim=6, seed=5)[0]["vector"], limit=10).collect()
+    )
+    assert before == after
