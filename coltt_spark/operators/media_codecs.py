@@ -663,7 +663,9 @@ def _jpeg_decode_block(state: list, dc_tbl, ac_tbl, pred: int):
         elif nbits > 0:  # tail: peek pads with 1-bits (spec fill)
             pad = 8 - nbits
             hit = tbl[4][((acc << pad) | ((1 << pad) - 1)) & 0xFF]
-            if hit is not None and hit[1] > nbits:
+            if hit is None or hit[1] > nbits:
+                # a LUT miss here means the real code is >8 bits, and
+                # fewer than 8 remain — truncated either way
                 raise ValueError("JPEG entropy stream truncated")
         else:
             raise ValueError("JPEG entropy stream truncated")

@@ -425,3 +425,27 @@ def test_decode_image_sniffs_jpeg_and_replicates_grayscale():
     assert img.shape == (8, 8, 3)
     assert np.array_equal(img[:, :, 0], img[:, :, 1])
     assert np.array_equal(img[:, :, 0], img[:, :, 2])
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_jpeg_any_single_byte_flip_is_total(seed, pos_frac):
+    """Corruption totality for a CRC-less container: JPEG cannot
+    promise detection (a flipped AC coefficient decodes to different
+    pixels, legitimately), but a flip must NEVER escape as anything
+    other than a clean decode or a ValueError — no IndexError /
+    OverflowError / numpy shape blowups from marker-walk or entropy
+    state corruption. (An exhaustive all-positions sweep at one seed
+    ran 859 flips: 659 decoded, 200 ValueError, 0 crashes.)"""
+    from coltt_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, restart_interval=int(rng.integers(0, 3))))
+    pos = min(2 + int(pos_frac * (len(payload) - 2)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    try:
+        out = decode_jpeg(bytes(payload))
+        assert out.shape[2] == 3
+    except ValueError:
+        pass
