@@ -101,17 +101,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff the magic and decode BMP, PPM, PNG, or baseline JPEG →
-    (H, W, 3) uint8 (PNG color type 6 yields (H, W, 4) RGBA; RGB
-    consumers slice ``[..., :3]``; grayscale JPEG replicates its luma
-    plane across the three channels)."""
+    (H, W, 3) uint8 (alpha flavors yield (H, W, 4) RGBA; RGB
+    consumers slice ``[..., :3]``; grayscale JPEG/PNG replicates the
+    luma plane across the three channels)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    img = None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(payload)
-    if payload[:2] == b"\xff\xd8":
+        img = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
         img = decode_jpeg(payload)
+    if img is not None:
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
@@ -351,45 +353,69 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: samples-per-pixel by PNG color type (0=gray, 2=RGB, 3=palette
+#: index, 6=RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor (color type 2) or truecolor+alpha
-    (color type 6), non-interlaced PNG → (H, W, 3|4) uint8 — the
-    first codec in this family that walks a COMPRESSED payload
-    end-to-end: CRC-checked chunk walk → IDAT concat → stdlib
-    ``zlib`` inflate → per-row unfiltering (None/Sub/Up/Average/
-    Paeth, bpp-aware). Raises ValueError on any other PNG flavor
-    (palette, grayscale, 16-bit, interlaced) — loud beats
+    """Decode a non-interlaced PNG — the first codec in this family
+    that walks a COMPRESSED payload end-to-end: CRC-checked chunk
+    walk → IDAT concat → stdlib ``zlib`` inflate → per-row
+    unfiltering (None/Sub/Up/Average/Paeth, filter-bpp-aware).
+    Flavors (the shapes real corpora actually contain): 8-bit
+    truecolor (type 2 → (H, W, 3)), truecolor+alpha (type 6 →
+    (H, W, 4)), grayscale at bit depth 1/2/4/8 (type 0 → (H, W),
+    samples scaled to 0..255 by the exact 255/(2^d−1) integer
+    factor), and palette at bit depth 1/2/4/8 (type 3 → (H, W, 3),
+    or (H, W, 4) when a tRNS chunk supplies per-entry alpha).
+    Raises ValueError on anything else (16-bit, interlaced,
+    gray+alpha) and on out-of-range palette indices — loud beats
     silently-wrong pixels. Downstream RGB consumers slice
     ``[..., :3]`` (alpha rarely carries training signal).
 
     The inverse filters reconstruct each row from the RECONSTRUCTED
-    left/up neighbors (spec §9): Up is vectorized, Sub is a per-channel
-    cumulative sum mod 256, Average/Paeth carry a true left-dependency
-    and run as per-pixel loops (a production build would push these
-    into a C kernel; the container walk and inflate dominate here)."""
+    left/up neighbors (spec §9) over the PACKED byte stream (filter
+    distance = max(1, channels·depth/8), so sub-byte depths filter at
+    distance 1 per the spec): Up is vectorized, Sub is a cumulative
+    sum mod 256, Average/Paeth carry a true left-dependency and run
+    as per-pixel loops (a production build would push these into a C
+    kernel; the container walk and inflate dominate here)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    ihdr = None
+    ihdr = plte = trns = None
     idat: list[bytes] = []
     for ctype, body in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat.append(body)
     if ihdr is None or len(ihdr) != 13 or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        color not in _PNG_CHANNELS
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or (color in (2, 6) and depth != 8)
+        or (color in (0, 3) and depth not in (1, 2, 4, 8))
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
             f"interlace={interlace})"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    bpp = 4 if color == 6 else 3
-    stride = w * bpp
+    channels = _PNG_CHANNELS[color]
+    bpp = max(1, channels * depth // 8)  # filter byte distance (spec §9)
+    stride = -(-w * channels * depth // 8)  # packed bytes per row
     # Bound the inflate by the size IHDR promises BEFORE decompressing:
     # a crafted zip-bomb IDAT must not expand past (stride+1)*h on an
     # executor (same loud-failure discipline as the CRC checks).
@@ -407,10 +433,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).copy()
         if ft == 0:  # None
             cur = line
-        elif ft == 1:  # Sub: prefix sum per channel, mod 256
-            cur = np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.uint64).astype(
-                np.uint8
-            ).reshape(stride)
+        elif ft == 1:  # Sub: prefix sum per filter lane, mod 256
+            cur = np.cumsum(
+                line.reshape(stride // bpp, bpp), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up: uint8 addition wraps mod 256
             cur = line + prior
         elif ft == 3:  # Average
@@ -428,7 +454,29 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         img[r] = cur
         prior = cur
-    return img.reshape(h, w, bpp)
+    if depth < 8:  # unpack sub-byte samples (big-endian within bytes)
+        bits = np.unpackbits(img, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (bits * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    else:
+        samples = img[:, : w * channels].reshape(h, w, channels) if channels > 1 else img[:, :w]
+    if color == 0:  # grayscale: exact integer scale-up to 0..255
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color == 3:  # palette lookup (+ optional tRNS alpha)
+        if plte is None or len(plte) % 3 or len(plte) == 0:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(samples.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[samples]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(pal), 255, dtype=np.uint8)
+        if len(trns) > len(pal):
+            raise ValueError("PNG tRNS longer than palette")
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate([rgb, alpha[samples][:, :, None]], axis=2)
+    return samples  # types 2 / 6
 
 
 # -- JPEG baseline (ITU-T T.81 — the real-world compressed format) ----
@@ -1154,31 +1202,22 @@ def encode_jpeg(
     return bytes(out)
 
 
-def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
-    """(H, W, 3|4) uint8 → 8-bit truecolor (type 2) or
-    truecolor+alpha (type 6) non-interlaced PNG bytes (fixture
-    helper). ``filters`` picks the per-row filter type (default:
-    cycle 0..4 so every inverse filter is exercised on decode).
-    Forward filtering reads RAW neighbor bytes (spec §9), so it
-    vectorizes — deliberately a different implementation shape from
-    the sequential inverse in :func:`decode_png`, which keeps a shared
-    encode/decode bug from cancelling out in round-trip tests."""
-    import zlib
-
-    h, w, bpp = img.shape
-    if bpp not in (3, 4):
-        raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {bpp}")
-    stride = w * bpp
-    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, stride)
-    if filters is None:
-        filters = [r % 5 for r in range(h)]
+def _png_filter_stream(rows: np.ndarray, bpp: int, filters) -> bytes:
+    """Forward-filter packed row bytes (spec §9, filter distance
+    ``bpp``) into the pre-compression stream. Reads RAW neighbor
+    bytes, so it vectorizes — deliberately a different implementation
+    shape from the sequential inverse in :func:`decode_png`, which
+    keeps a shared encode/decode bug from cancelling out in
+    round-trip tests."""
+    h, stride = rows.shape
     out = bytearray()
     zero = np.zeros(stride, dtype=np.uint8)
+    pad = np.zeros(bpp, dtype=np.uint8)
     for r in range(h):
         line = rows[r]
         prior = rows[r - 1] if r > 0 else zero
-        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), line[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prior[:-bpp]])
+        left = np.concatenate([pad, line[:-bpp]]) if stride > bpp else zero[:stride]
+        upleft = np.concatenate([pad, prior[:-bpp]]) if stride > bpp else zero[:stride]
         ft = int(filters[r])
         if ft == 0:
             enc = line
@@ -1202,6 +1241,15 @@ def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
             raise ValueError(f"unknown PNG filter type {ft}")
         out.append(ft)
         out.extend(enc.tobytes())
+    return bytes(out)
+
+
+def _png_container(
+    w: int, h: int, depth: int, color: int, stream: bytes, *,
+    level: int = 6, extra_chunks: list[tuple[bytes, bytes]] = (),
+) -> bytes:
+    """Assemble signature + IHDR + (extra chunks) + IDAT + IEND."""
+    import zlib
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -1211,10 +1259,84 @@ def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out), level))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    for ctype, body in extra_chunks:
+        out += chunk(ctype, body)
+    return out + chunk(b"IDAT", zlib.compress(stream, level)) + chunk(b"IEND", b"")
+
+
+def _png_pack_subbyte(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(H, W) samples in [0, 2^depth) → packed big-endian row bytes."""
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)[None, None, :]) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
+def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
+    """(H, W, 3|4) uint8 → 8-bit truecolor (type 2) or
+    truecolor+alpha (type 6) non-interlaced PNG bytes (fixture
+    helper). ``filters`` picks the per-row filter type (default:
+    cycle 0..4 so every inverse filter is exercised on decode)."""
+    h, w, bpp = img.shape
+    if bpp not in (3, 4):
+        raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {bpp}")
+    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * bpp)
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    stream = _png_filter_stream(rows, bpp, filters)
+    return _png_container(w, h, 8, 6 if bpp == 4 else 2, stream, level=level)
+
+
+def encode_png_gray(samples: np.ndarray, *, depth: int = 8, filters=None) -> bytes:
+    """(H, W) samples in [0, 2^depth) → grayscale (color type 0) PNG
+    at bit depth 1/2/4/8 (fixture helper; sub-byte depths pack
+    big-endian per the spec, filter distance 1)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported grayscale depth {depth}")
+    samples = np.asarray(samples, dtype=np.uint8)
+    if samples.max(initial=0) >= (1 << depth):
+        raise ValueError("grayscale sample out of range for depth")
+    h, w = samples.shape
+    rows = samples if depth == 8 else _png_pack_subbyte(samples, depth)
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    stream = _png_filter_stream(np.ascontiguousarray(rows), 1, filters)
+    return _png_container(w, h, depth, 0, stream)
+
+
+def encode_png_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    *,
+    alpha: np.ndarray | None = None,
+    depth: int = 8,
+    filters=None,
+) -> bytes:
+    """(H, W) palette indices + (N, 3) palette → indexed-color (type
+    3) PNG at bit depth 1/2/4/8, with an optional per-entry ``alpha``
+    (tRNS) — the screenshot/diagram flavor (fixture helper)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported palette depth {depth}")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError("palette must be (N, 3) uint8")
+    if len(palette) > (1 << depth):
+        raise ValueError("palette longer than depth addresses")
+    indices = np.asarray(indices, dtype=np.uint8)
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    rows = indices if depth == 8 else _png_pack_subbyte(indices, depth)
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    stream = _png_filter_stream(np.ascontiguousarray(rows), 1, filters)
+    extra = [(b"PLTE", palette.tobytes())]
+    if alpha is not None:
+        alpha = np.asarray(alpha, dtype=np.uint8)
+        if len(alpha) > len(palette):
+            raise ValueError("tRNS longer than palette")
+        extra.append((b"tRNS", alpha.tobytes()))
+    return _png_container(w, h, depth, 3, stream, extra_chunks=extra)

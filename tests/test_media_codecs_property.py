@@ -207,20 +207,29 @@ def test_png_rejects_corruption_and_unsupported_flavors():
         decode_png(bytes(payload))
     with pytest.raises(ValueError, match="PNG"):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
-    # grayscale (color type 0) is out of scope — loud rejection
     def chunk(ctype, body):
         return (
             _struct.pack(">I", len(body)) + ctype + body
             + _struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
+    # 8-bit grayscale (type 0) is a SUPPORTED flavor since r6
     gray = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x07\x09"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="unsupported"):
-        decode_png(gray)
+    assert np.array_equal(decode_png(gray), np.array([[7, 9]], dtype=np.uint8))
+    # 16-bit and gray+alpha (type 4) remain out of scope — loud rejection
+    for depth, color, px in ((16, 0, b"\x00\x00\x07\x00\x09"), (8, 4, b"\x00\x07\x01\x09\x02")):
+        flavor = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, depth, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(px))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(flavor)
 
 
 @settings(max_examples=150, deadline=None)
@@ -449,3 +458,73 @@ def test_jpeg_any_single_byte_flip_is_total(seed, pos_frac):
         assert out.shape[2] == 3
     except ValueError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 14),
+    seed=st.integers(0, 2**31 - 1),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    base=st.integers(0, 4),
+)
+def test_png_grayscale_and_palette_roundtrip(w, h, seed, depth, base):
+    """The two remaining real-corpus PNG flavors: grayscale (type 0)
+    round-trips with the exact 255/(2^d−1) sample scale-up, and
+    indexed color (type 3) round-trips through PLTE (+ tRNS alpha)
+    at every legal bit depth — sub-byte rows pack big-endian and
+    filter at byte distance 1 per the spec, under every filter
+    assignment."""
+    from coltt_spark.operators.media_codecs import (
+        decode_png,
+        encode_png_gray,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(seed)
+    filters = [(base + r) % 5 for r in range(h)]
+    gray = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+    got = decode_png(encode_png_gray(gray, depth=depth, filters=filters))
+    assert got.shape == (h, w)
+    assert np.array_equal(got, gray * (255 // ((1 << depth) - 1)))
+
+    n = int(rng.integers(1, (1 << depth) + 1))
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    got = decode_png(encode_png_indexed(idx, pal, depth=depth, filters=filters))
+    assert np.array_equal(got, pal[idx])
+    alpha = rng.integers(0, 256, n, dtype=np.uint8)
+    got = decode_png(
+        encode_png_indexed(idx, pal, alpha=alpha, depth=depth, filters=filters)
+    )
+    assert got.shape == (h, w, 4)
+    assert np.array_equal(got[:, :, :3], pal[idx])
+    assert np.array_equal(got[:, :, 3], alpha[idx])
+
+
+def test_png_palette_index_out_of_range_is_loud():
+    """A palette index past PLTE must raise, not wrap or clamp."""
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_png, encode_png_indexed
+
+    pal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.uint8)
+    idx = np.full((2, 2), 2, dtype=np.uint8)
+    payload = bytearray(encode_png_indexed(idx, pal, depth=8))
+    # shrink PLTE to 2 entries: rewrite length, drop 3 bytes, fix CRC
+    import struct as _struct
+    import zlib as _zlib
+
+    at = bytes(payload).find(b"PLTE") - 4
+    (ln,) = _struct.unpack_from(">I", payload, at)
+    body = bytes(payload[at + 8 : at + 8 + ln - 3])
+    rebuilt = (
+        bytes(payload[:at])
+        + _struct.pack(">I", ln - 3)
+        + b"PLTE"
+        + body
+        + _struct.pack(">I", _zlib.crc32(b"PLTE" + body) & 0xFFFFFFFF)
+        + bytes(payload[at + 12 + ln :])
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(rebuilt)
