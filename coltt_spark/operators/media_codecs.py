@@ -18,6 +18,7 @@ involvement, same plan as the fake decoder.
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 import numpy as np
@@ -616,13 +617,18 @@ def _jpeg_build_codes(bits: bytes, vals: bytes) -> dict:
     return codes
 
 
+@_functools.lru_cache(maxsize=64)
 def _jpeg_decode_table(bits: bytes, vals: bytes):
     """Canonical Huffman DECODE tables (T.81 Annex F.2.2.3):
     (mincode, maxcode, valptr, vals, lut) indexed by code length
     1..16; maxcode[l] = -1 marks lengths with no codes. ``lut`` is an
     8-bit-prefix fast path: lut[peek8] = (symbol, length) for every
     code of ≤8 bits (None means the real code is longer) — JPEG's
-    common symbols are short, so most decodes are one table hit."""
+    common symbols are short, so most decodes are one table hit.
+    Cached: a corpus decode sees the same (usually Annex-K) tables in
+    every file, and rebuilding four 256-entry LUTs per image cost a
+    measured ~26% on small-image decode (0.79 → 0.58 ms on the 16×16
+    fixture path)."""
     if sum(bits) != len(vals):
         raise ValueError("JPEG Huffman BITS/HUFFVAL mismatch")
     mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
@@ -1058,6 +1064,18 @@ def _jpeg_encode_block(writer, zz, pred: int, dc_codes: dict, ac_codes: dict) ->
     return int(zz[0])
 
 
+@_functools.lru_cache(maxsize=1)
+def _jpeg_std_encode_tables():
+    """The four Annex-K encode code dicts, built once per process —
+    the encoder always ships the standard tables."""
+    return (
+        _jpeg_build_codes(*_JPEG_STD_DC_LUMA),
+        _jpeg_build_codes(*_JPEG_STD_AC_LUMA),
+        _jpeg_build_codes(*_JPEG_STD_DC_CHROMA),
+        _jpeg_build_codes(*_JPEG_STD_AC_CHROMA),
+    )
+
+
 def _jpeg_pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate a plane up to (mh, mw) — T.81's recommended
     extension so padded blocks compress to near-nothing."""
@@ -1145,10 +1163,7 @@ def encode_jpeg(
     for idx, ((hi, vi), plane) in enumerate(zip(samps, ycc)):
         padded = _jpeg_pad_edge(plane, mcus_y * vi * 8, mcus_x * hi * 8)
         zz_grids.append(_jpeg_fdct_quant(padded, lq if idx == 0 else cq))
-    dc_l = _jpeg_build_codes(*_JPEG_STD_DC_LUMA)
-    ac_l = _jpeg_build_codes(*_JPEG_STD_AC_LUMA)
-    dc_c = _jpeg_build_codes(*_JPEG_STD_DC_CHROMA)
-    ac_c = _jpeg_build_codes(*_JPEG_STD_AC_CHROMA)
+    dc_l, ac_l, dc_c, ac_c = _jpeg_std_encode_tables()
     writer = _JpegBitWriter()
     preds = [0] * len(ycc)
     rst = 0
