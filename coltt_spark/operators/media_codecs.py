@@ -135,12 +135,40 @@ def image_decoder(payload: bytes, out_len: int) -> np.ndarray:
     return (np.interp(xs, np.arange(len(luma)), luma) / 255.0).astype(np.float32)
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE payload → ``(int16 samples, sample_rate)``.
+@_functools.lru_cache(maxsize=2)
+def _g711_table(law: str) -> np.ndarray:
+    """G.711 companded-code → linear int16 expansion table (the Sun
+    ulaw/alaw convention every audio library ships — verified against
+    stdlib ``audioop`` for all 256 codes × both laws in tests)."""
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        if law == "mu":
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+            out[code] = (0x84 - t) if u & 0x80 else (t - 0x84)
+        else:  # A-law
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a >> 4) & 7
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[code] = t if a & 0x80 else -t
+    return out
 
-    Supports the format a stdlib ``wave.open`` writer produces:
-    uncompressed PCM (format tag 1), 16-bit, mono. Walks the chunk
-    list (chunks pad to even offsets per RIFF), so extra chunks
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload → ``(int16 samples, sample_rate)``;
+    mono yields a 1-D array, stereo ``(n, 2)`` interleaved frames.
+
+    Supported encodings: uncompressed PCM (format tag 1, 16-bit) and
+    G.711 companded telephony audio (tags 6 A-law / 7 μ-law, 8-bit —
+    the first COMPRESSED audio formats in this family, expanded to
+    linear int16 through the spec tables). Walks the chunk list
+    (chunks pad to even offsets per RIFF), so extra chunks
     (LIST/INFO, fact) before ``data`` are fine. Raises ValueError on
     any other flavor — loud beats silently-wrong samples."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -156,20 +184,30 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if len(fmt) < 16:
         raise ValueError("short WAV fmt chunk")
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1 or bits != 16 or channels != 1:
+    if channels not in (1, 2):
+        raise ValueError(f"unsupported WAV channel count {channels}")
+    if audio_fmt == 1 and bits == 16:
+        if len(data) % (2 * channels):
+            raise ValueError("WAV data size not a whole number of frames")
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt in (6, 7) and bits == 8:
+        if len(data) % channels:
+            raise ValueError("WAV data size not a whole number of frames")
+        samples = _g711_table("mu" if audio_fmt == 7 else "a")[
+            np.frombuffer(data, dtype=np.uint8)
+        ]
+    else:
         raise ValueError(
             f"unsupported WAV (fmt={audio_fmt}, channels={channels}, bits={bits})"
         )
-    if len(data) % 2:
-        raise ValueError("odd WAV data size for 16-bit samples")
-    return np.frombuffer(data, dtype="<i2"), int(rate)
+    if channels == 2:
+        samples = samples.reshape(-1, 2)
+    return samples, int(rate)
 
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """int16 mono samples → RIFF/WAVE PCM16 bytes (fixture helper —
-    byte-compatible with what stdlib ``wave`` writes)."""
-    data = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+def _wav_container(data: bytes, rate: int, *, tag: int, channels: int, bits: int) -> bytes:
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
     body = (
         b"WAVE"
         + b"fmt "
@@ -182,12 +220,41 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples — 1-D mono or (n, 2) stereo — → RIFF/WAVE PCM16
+    bytes (fixture helper — byte-compatible with what stdlib ``wave``
+    writes)."""
+    arr = np.asarray(samples, dtype="<i2")
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if arr.ndim > 2 or channels not in (1, 2):
+        raise ValueError("expected (n,) mono or (n, 2) stereo int16 samples")
+    return _wav_container(arr.tobytes(), rate, tag=1, channels=channels, bits=16)
+
+
+def encode_wav_g711(codes: np.ndarray, rate: int, *, law: str = "mu") -> bytes:
+    """G.711 companded codes — 1-D mono or (n, 2) stereo uint8 — →
+    RIFF/WAVE bytes with format tag 7 (μ-law) or 6 (A-law) (fixture
+    helper for the telephony decode path)."""
+    if law not in ("mu", "a"):
+        raise ValueError(f"law must be 'mu' or 'a', got {law!r}")
+    arr = np.asarray(codes, dtype=np.uint8)
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if arr.ndim > 2 or channels not in (1, 2):
+        raise ValueError("expected (n,) mono or (n, 2) stereo uint8 codes")
+    return _wav_container(
+        arr.tobytes(), rate, tag=7 if law == "mu" else 6, channels=channels, bits=8
+    )
+
+
 def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
     """Real-audio drop-in for the ``extract_features`` decoder seam:
-    decode WAV → normalize to [-1, 1] → resample to ``out_len`` by
-    linear interpolation → float32 (the fixed-width "embedding" shape
+    decode WAV (PCM16 or G.711) → downmix stereo to mono (mean) →
+    normalize to [-1, 1] → resample to ``out_len`` by linear
+    interpolation → float32 (the fixed-width "embedding" shape
     downstream retrieval expects)."""
     samples, _ = decode_wav(bytes(payload))
+    if samples.ndim == 2:
+        samples = samples.astype(np.float64).mean(axis=1)
     if len(samples) == 0:
         raise ValueError("empty WAV data chunk")
     xs = np.linspace(0.0, len(samples) - 1.0, out_len)

@@ -528,3 +528,61 @@ def test_png_palette_index_out_of_range_is_loud():
     )
     with pytest.raises(ValueError, match="palette index"):
         decode_png(rebuilt)
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """The G.711 μ-law/A-law expansion tables, checked against an
+    INDEPENDENT implementation (stdlib audioop, the Sun convention
+    every audio library ships) for all 256 codes × both laws."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in 3.13
+    from coltt_spark.operators.media_codecs import _g711_table
+
+    codes = bytes(range(256))
+    want_mu = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert np.array_equal(_g711_table("mu"), want_mu)
+    assert np.array_equal(_g711_table("a"), want_a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    rate=st.integers(8000, 48000),
+    seed=st.integers(0, 2**31 - 1),
+    law=st.sampled_from(["mu", "a"]),
+    stereo=st.booleans(),
+)
+def test_wav_g711_and_stereo_roundtrip(n, rate, seed, law, stereo):
+    """G.711 WAV (format tags 6/7 — the first COMPRESSED audio in the
+    codec family) and stereo PCM16 round-trip through the container:
+    companded codes expand through the spec table; stereo frames
+    deinterleave to (n, 2)."""
+    from coltt_spark.operators.media_codecs import (
+        _g711_table,
+        decode_wav,
+        encode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    codes = rng.integers(0, 256, shape, dtype=np.uint8)
+    got, got_rate = decode_wav(encode_wav_g711(codes, rate, law=law))
+    assert got_rate == rate
+    assert got.shape == shape
+    assert np.array_equal(got, _g711_table(law)[codes])
+    pcm = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    got, _ = decode_wav(encode_wav(pcm, rate))
+    assert got.shape == shape
+    assert np.array_equal(got, pcm)
+
+
+def test_audio_decoder_downmixes_stereo():
+    from coltt_spark.operators.media_codecs import audio_decoder, encode_wav
+
+    pcm = np.array([[1000, 3000], [-2000, -4000], [0, 0], [500, 500]], dtype=np.int16)
+    vec = audio_decoder(encode_wav(pcm, 8000), 4)
+    want = pcm.astype(np.float64).mean(axis=1) / 32768.0
+    assert np.allclose(vec, want.astype(np.float32))
