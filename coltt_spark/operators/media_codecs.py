@@ -1131,6 +1131,23 @@ def _jpeg_encode_block(writer, zz, pred: int, dc_codes: dict, ac_codes: dict) ->
     return int(zz[0])
 
 
+def jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, chroma) quantization tables at an IJG-convention quality
+    factor 1..100 — the public libjpeg scaling of the Annex-K example
+    tables: scale = 5000/q below 50 else 200−2q, entry =
+    clamp((base·scale + 50)/100, 1, 255). quality=50 reproduces the
+    Annex-K tables exactly; quality=100 is all-ones (lossless but for
+    coefficient rounding)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(base: np.ndarray) -> np.ndarray:
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+    return scaled(_JPEG_STD_QUANT_LUMA), scaled(_JPEG_STD_QUANT_CHROMA)
+
+
 @_functools.lru_cache(maxsize=1)
 def _jpeg_std_encode_tables():
     """The four Annex-K encode code dicts, built once per process —
@@ -1154,6 +1171,7 @@ def encode_jpeg(
     img: np.ndarray,
     *,
     subsampling: str = "4:4:4",
+    quality: int | None = None,
     luma_quant: np.ndarray | None = None,
     chroma_quant: np.ndarray | None = None,
     restart_interval: int = 0,
@@ -1162,22 +1180,25 @@ def encode_jpeg(
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) → sequential baseline
     JPEG bytes (SOF0, 8-bit, Annex-K Huffman tables, optional restart
     markers; ``subsampling`` is ``"4:4:4"`` or ``"4:2:0"`` with 2×2
-    box-averaged chroma). ``input_color="ycbcr"`` treats the three
-    channels as already-converted YCbCr — the DC-only fixture path,
-    where quant tables with q[0]=8 make decode bit-exact.
+    box-averaged chroma). ``quality`` (IJG 1..100 convention, see
+    :func:`jpeg_quality_tables`) scales the default Annex-K tables;
+    explicit ``luma_quant``/``chroma_quant`` win over both.
+    ``input_color="ycbcr"`` treats the three channels as
+    already-converted YCbCr — the DC-only fixture path, where quant
+    tables with q[0]=8 make decode bit-exact.
 
     Deliberately a different implementation shape from
     :func:`decode_jpeg` (vectorized forward filter/DCT vs sequential
     entropy walk), which keeps a shared encode/decode bug from
     cancelling out in round-trip tests — same discipline as
     :func:`encode_png`."""
-    lq = np.asarray(
-        _JPEG_STD_QUANT_LUMA if luma_quant is None else luma_quant, dtype=np.int64
+    qlq, qcq = (
+        jpeg_quality_tables(quality)
+        if quality is not None
+        else (_JPEG_STD_QUANT_LUMA, _JPEG_STD_QUANT_CHROMA)
     )
-    cq = np.asarray(
-        _JPEG_STD_QUANT_CHROMA if chroma_quant is None else chroma_quant,
-        dtype=np.int64,
-    )
+    lq = np.asarray(qlq if luma_quant is None else luma_quant, dtype=np.int64)
+    cq = np.asarray(qcq if chroma_quant is None else chroma_quant, dtype=np.int64)
     if img.ndim == 2:
         h, w = img.shape
         ycc = [img]

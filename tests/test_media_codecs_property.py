@@ -586,3 +586,29 @@ def test_audio_decoder_downmixes_stereo():
     vec = audio_decoder(encode_wav(pcm, 8000), 4)
     want = pcm.astype(np.float64).mean(axis=1) / 32768.0
     assert np.allclose(vec, want.astype(np.float32))
+
+
+def test_jpeg_quality_knob():
+    """IJG quality convention: q=50 reproduces the Annex-K tables,
+    q=100 is all-ones, file size grows monotonically with quality on
+    a smooth image, and high quality round-trips tightly."""
+    from coltt_spark.operators.media_codecs import (
+        _JPEG_STD_QUANT_CHROMA,
+        _JPEG_STD_QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_quality_tables,
+    )
+
+    lq50, cq50 = jpeg_quality_tables(50)
+    assert np.array_equal(lq50, _JPEG_STD_QUANT_LUMA)
+    assert np.array_equal(cq50, _JPEG_STD_QUANT_CHROMA)
+    lq100, cq100 = jpeg_quality_tables(100)
+    assert lq100.max() == 1 and cq100.max() == 1
+
+    base = np.linspace(0, 255, 24)[None, :] * np.ones((24, 1))
+    img = np.stack([base, base.T, (base + base.T) / 2], axis=-1).astype(np.uint8)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (10, 50, 90, 100)]
+    assert sizes == sorted(sizes), sizes
+    got = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.abs(got.astype(np.int64) - img.astype(np.int64)).max() <= 6

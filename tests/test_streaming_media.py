@@ -396,8 +396,10 @@ def test_wav_codec_interops_with_stdlib_wave(tmp_path):
 
 
 def test_wav_codec_rejects_unsupported_flavors():
-    """Loud errors beat silently-wrong samples: stereo, 8-bit,
-    non-PCM, truncated, and odd-sized payloads all raise."""
+    """Loud errors beat silently-wrong samples: >2 channels, 8-bit
+    PCM, IEEE float, truncated, and odd-sized payloads all raise.
+    (Stereo and G.711 8-bit are SUPPORTED flavors since r6 — covered
+    by tests/test_media_codecs_property.py.)"""
     import struct
 
     import numpy as np
@@ -415,13 +417,18 @@ def test_wav_codec_rejects_unsupported_flavors():
         b"not a wav",
         good[:10],                      # truncated header
         good[:-3],                      # truncated data chunk
-        patched(channels=2),
-        patched(bits=8),
+        patched(channels=3),            # >2 channels out of scope
+        patched(bits=8),                # 8-bit PCM (tag 1) is not G.711
         patched(fmt_tag=3),             # IEEE float
+        patched(fmt_tag=7, channels=2), # G.711 must be 8-bit (bits=16 here)
         good.replace(b"data", b"datx"), # no data chunk
     ):
         with _pytest.raises(ValueError):
             decode_wav(bad)
+    # stereo PCM16 with an odd frame count of bytes raises too
+    stereo = encode_wav(np.zeros((4, 2), dtype=np.int16), 8000)
+    with _pytest.raises(ValueError):
+        decode_wav(stereo[:-2])  # half a frame
 
 
 def test_wav_decoder_skips_extra_chunks_and_odd_padding():
