@@ -240,7 +240,7 @@ class Collection:
             )
         return False
 
-    def _ivf_max_list_files(self, vector_col: str, version: int) -> int:
+    def _ivf_worst_list_fanout(self, vector_col: str, version: int) -> int:
         """Read amplification of the IVF delta layout: the largest
         per-inverted-list Parquet part count. Each delta flush appends
         part files inside every touched ``centroid=`` partition; a
@@ -1208,7 +1208,7 @@ class Collection:
             and m.layout == "ivf"
             and m.ivf_max_list_files > 0
             and any(
-                self._ivf_max_list_files(vc, old_v) - m.ivf_base_list_files
+                self._ivf_worst_list_fanout(vc, old_v) - m.ivf_base_list_files
                 >= m.ivf_max_list_files
                 for vc in self._vector_cols()
             )
@@ -1235,7 +1235,7 @@ class Collection:
                 # record the fresh layout's fan-out — the baseline the
                 # growth-triggered auto-compaction measures against
                 m.ivf_base_list_files = max(
-                    (self._ivf_max_list_files(vc, new_v) for vc in self._vector_cols()),
+                    (self._ivf_worst_list_fanout(vc, new_v) for vc in self._vector_cols()),
                     default=0,
                 )
         m.version = new_v

@@ -1270,7 +1270,7 @@ def test_ivf_auto_compaction_bounds_read_amplification(catalog):
     coll.flush()  # v1: full build — records the fan-out baseline
     base = coll.manifest.ivf_base_list_files
     assert base >= 1
-    assert coll._ivf_max_list_files("vector", 1) == base
+    assert coll._ivf_worst_list_fanout("vector", 1) == base
 
     # two delta flushes: fan-out grows, tombstone manifests appear
     for i in range(2):
@@ -1281,7 +1281,7 @@ def test_ivf_auto_compaction_bounds_read_amplification(catalog):
         assert os.path.isdir(coll._tombstones_dir(coll.manifest.version)), (
             "delta flush expected before the growth threshold is hit"
         )
-    grown = coll._ivf_max_list_files("vector", 3)
+    grown = coll._ivf_worst_list_fanout("vector", 3)
     assert grown - base >= 2, (grown, base)
 
     before = sorted(
@@ -1291,8 +1291,8 @@ def test_ivf_auto_compaction_bounds_read_amplification(catalog):
     coll.flush()  # growth ≥ threshold → auto-compacts (no new DML needed)
     v = coll.manifest.version
     assert not os.path.isdir(coll._tombstones_dir(v)), "compacted flush folds tombstones"
-    assert coll._ivf_max_list_files("vector", v) <= base + 1
-    assert coll.manifest.ivf_base_list_files == coll._ivf_max_list_files("vector", v)
+    assert coll._ivf_worst_list_fanout("vector", v) <= base + 1
+    assert coll.manifest.ivf_base_list_files == coll._ivf_worst_list_fanout("vector", v)
     after = sorted(
         (r["id"], round(r["dist"], 8))
         for r in coll.search(_rows(1, dim=6, seed=5)[0]["vector"], limit=10).collect()
