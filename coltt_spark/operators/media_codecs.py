@@ -724,9 +724,11 @@ def _jpeg_split_entropy(buf: bytes, pos: int):
     """Split the entropy-coded data at markers and unstuff 0xFF00 →
     0xFF per span (T.81 §B.1.1.5) in ONE pass of C-speed primitives
     (``bytes.find`` / ``bytes.replace``) — the per-bit reader then
-    never re-checks for markers. Returns ``(segments, rst_ids)``:
-    ``rst_ids[i]`` is the RSTn index found between segment i and i+1;
-    the walk stops at the first non-RST marker (EOI)."""
+    never re-checks for markers. Returns ``(segments, rst_ids,
+    end)``: ``rst_ids[i]`` is the RSTn index found between segment i
+    and i+1; ``end`` is the offset of the terminating non-RST
+    marker's 0xFF (where the next segment walk resumes — progressive
+    files carry many scans)."""
     segs: list[bytes] = []
     rsts: list[int] = []
     start = i = pos
@@ -735,7 +737,7 @@ def _jpeg_split_entropy(buf: bytes, pos: int):
         j = buf.find(b"\xff", i)
         if j < 0 or j + 1 >= n:  # missing EOI — tolerate, reads fail loudly
             segs.append(buf[start:n].replace(b"\xff\x00", b"\xff"))
-            return segs, rsts
+            return segs, rsts, n
         nxt = buf[j + 1]
         if nxt == 0x00:
             i = j + 2
@@ -745,7 +747,178 @@ def _jpeg_split_entropy(buf: bytes, pos: int):
             rsts.append(nxt - 0xD0)
             start = i = j + 2
             continue
-        return segs, rsts
+        return segs, rsts, j
+
+
+class _JpegScanReader:
+    """Bit cursor over one scan's pre-unstuffed entropy segments —
+    the progressive decoder's reader (multiple scans per frame, each
+    revisiting every block, make the baseline path's fully-inlined
+    kernel less profitable here; the accumulator stays masked to a
+    machine word, which is the part that actually matters)."""
+
+    __slots__ = ("segments", "rst_ids", "idx", "seg", "slen", "pos", "acc", "nbits")
+
+    def __init__(self, segments: list[bytes], rst_ids: list[int]):
+        self.segments = segments
+        self.rst_ids = rst_ids
+        self.idx = 0
+        self.seg = segments[0]
+        self.slen = len(self.seg)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        take = self.slen - self.pos
+        if take > 4:
+            take = 4
+        if take <= 0:
+            raise ValueError("JPEG entropy stream truncated")
+        self.acc = (
+            (self.acc & ((1 << self.nbits) - 1)) << (take * 8)
+        ) | int.from_bytes(self.seg[self.pos : self.pos + take], "big")
+        self.pos += take
+        self.nbits += take * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def decode_huff(self, tbl) -> int:
+        while self.nbits < 8 and self.pos < self.slen:
+            self._fill()
+        lut = tbl[4]
+        if self.nbits >= 8:
+            hit = lut[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                self.nbits -= hit[1]
+                return hit[0]
+            code = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            length = 8
+        elif self.nbits > 0:  # tail: peek pads with 1-bits (spec fill)
+            pad = 8 - self.nbits
+            hit = lut[((self.acc << pad) | ((1 << pad) - 1)) & 0xFF]
+            if hit is None or hit[1] > self.nbits:
+                raise ValueError("JPEG entropy stream truncated")
+            self.nbits -= hit[1]
+            return hit[0]
+        else:
+            raise ValueError("JPEG entropy stream truncated")
+        mincode, maxcode, valptr, vals, _ = tbl
+        while code > maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            code = (code << 1) | self.read(1)
+        return vals[valptr[length] + code - mincode[length]]
+
+    def restart(self, expected: int) -> None:
+        if (
+            self.idx >= len(self.rst_ids)
+            or self.rst_ids[self.idx] != expected & 7
+        ):
+            raise ValueError(f"expected JPEG RST{expected & 7} marker")
+        self.idx += 1
+        self.seg = self.segments[self.idx]
+        self.slen = len(self.seg)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+
+def _prog_dc_first(reader, tbl, coeffs: list, pred: int, al: int) -> int:
+    """Progressive DC first scan (T.81 G.1.2.1): baseline DC diff
+    coding of the point-transformed value, stored shifted left."""
+    t = reader.decode_huff(tbl)
+    if t > 11:
+        raise ValueError(f"invalid JPEG DC category {t}")
+    if t:
+        v = reader.read(t)
+        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    coeffs[0] = pred << al
+    return pred
+
+
+def _prog_ac_first(reader, tbl, coeffs: list, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan (T.81 G.1.2.2): run/size coding of
+    point-transformed values over the spectral band, with EOB-run
+    coding across blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past spectral band end")
+        v = reader.read(s)
+        coeffs[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, tbl, coeffs: list, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction
+    bit per already-nonzero coefficient crossed, ±1<<Al for newly
+    significant ones, zero-runs counting zero-HISTORY positions only.
+    Python's two's-complement ``&``/``|`` on negative ints matches
+    the C reference semantics exactly."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                c = coeffs[k]
+                if c != 0:
+                    if reader.read(1) and (c & p1) == 0:
+                        coeffs[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coeffs[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coeffs[k]
+            if c != 0:
+                if reader.read(1) and (c & p1) == 0:
+                    coeffs[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _jpeg_decode_block(state: list, dc_tbl, ac_tbl, pred: int):
@@ -895,15 +1068,19 @@ def _jpeg_ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndar
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a sequential BASELINE JPEG (ITU-T T.81 SOF0, 8-bit,
-    Huffman) → (H, W, 3) uint8 RGB, or (H, W) uint8 for a grayscale
-    frame. Supports 1- or 3-component frames with per-component
-    sampling factors 1 or 2 (4:4:4, 4:2:2, 4:2:0 and friends; chroma
-    upsampled by sample replication), optional restart markers, and
-    builds Huffman tables from the file's own DHT segments — so a
-    file from ANY conforming baseline encoder with these shapes
-    decodes. Raises ValueError on progressive (SOF2) / arithmetic /
-    12-bit / lossless flavors — loud beats silently-wrong pixels.
+    """Decode a sequential baseline (SOF0) or PROGRESSIVE (SOF2)
+    JPEG (ITU-T T.81, 8-bit, Huffman) → (H, W, 3) uint8 RGB, or
+    (H, W) uint8 for a grayscale frame. Supports 1- or 3-component
+    frames with per-component sampling factors 1 or 2 (4:4:4, 4:2:2,
+    4:2:0 and friends; chroma upsampled by sample replication),
+    optional restart markers, and builds Huffman tables from the
+    file's own DHT segments — so a file from ANY conforming encoder
+    with these shapes decodes. Progressive covers the full feature
+    set: spectral selection, successive approximation (DC and AC
+    refinement scans), interleaved DC scans, non-interleaved
+    per-component scans, EOB-run coding, restarts mid-scan. Raises
+    ValueError on arithmetic / 12-bit / lossless / hierarchical
+    flavors — loud beats silently-wrong pixels.
 
     Two pinned rounding stages make decoded pixels reproducible in
     SQL for DC-only (per-block-constant) fixtures: floor(x + 0.5) at
@@ -914,6 +1091,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
+    progressive = False
+    prog_grids: list[list[list[int]]] | None = None  # [comp][block][64]
+    prog_geom = None  # (mcus_x, mcus_y, max_h, max_v)
     dri = 0
     scan = None  # ([(comp_idx, td, ta), ...], entropy_start)
     pos = 2
@@ -955,7 +1135,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT")
                 huff[(tc, th)] = _jpeg_decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -970,19 +1150,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
                 comps.append((cid, hi, vi, tq_id))
+            progressive = marker == 0xC2
+            if nc == 1:
+                # single-component frame: MCU is one data unit,
+                # sampling factors don't tile (T.81 A.2.2)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG frame type SOF{marker - 0xC0} (baseline SOF0 only)"
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            ns = body[0]
-            if ns != len(frame[2]):
-                raise ValueError("JPEG partial-frame scans unsupported")
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0] if body else 0
+            if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
             ids = [c[0] for c in frame[2]]
             sel = []
             for s in range(ns):
@@ -990,34 +1176,62 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if cs not in ids:
                     raise ValueError(f"JPEG scan references unknown component {cs}")
                 sel.append((ids.index(cs), tdta >> 4, tdta & 15))
-            scan = (sel, pos + 2 + seg_len)
-            break
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise ValueError("JPEG partial-frame scans unsupported")
+                scan = (sel, pos + 2 + seg_len)
+                break
+            # progressive: run this scan into the coefficient grids
+            # and continue the segment walk after its entropy data
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_grids is None:
+                h, w, comps = frame
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                mx = -(-w // (8 * max_h))
+                my = -(-h // (8 * max_v))
+                prog_geom = (mx, my, max_h, max_v)
+                prog_grids = [
+                    [[0] * 64 for _ in range(my * vi * mx * hi)]
+                    for _, hi, vi, _tq in comps
+                ]
+            segments, rst_ids, end = _jpeg_split_entropy(payload, pos + 2 + seg_len)
+            _jpeg_progressive_scan(
+                _JpegScanReader(segments, rst_ids),
+                sel, ss, se, ahal >> 4, ahal & 15,
+                frame, prog_grids, prog_geom, huff, dri,
+            )
+            pos = end
+            continue
         # APPn / COM / others: skip
         pos += 2 + seg_len
+    if progressive:
+        if prog_grids is None:
+            raise ValueError("JPEG missing SOS")
+        h, w, comps = frame
+        mcus_x, mcus_y, max_h, max_v = prog_geom
+        grids = [np.array(g, dtype=np.int64) for g in prog_grids]
+        return _jpeg_reconstruct(
+            grids, comps, qt, h, w, mcus_x, mcus_y, max_h, max_v
+        )
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = frame
     sel, data_pos = scan
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
-    if len(comps) == 1:
-        # Non-interleaved single-component scan: MCU is one data unit,
-        # sampling factors don't tile (T.81 A.2.2)
-        max_h = max_v = 1
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
-    grids = []  # per component: (bx, coeff rows list)
-    for _, hi, vi, tq_id in comps:
-        if tq_id not in qt:
-            raise ValueError(f"JPEG quant table {tq_id} undefined")
+    grids = []  # per component: (nblocks, 64) zigzag coefficients
+    for _, hi, vi, _tq in comps:
         grids.append(np.zeros((mcus_y * vi * mcus_x * hi, 64), dtype=np.int64))
     tables = []
     for comp_idx, td, ta in sel:
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError("JPEG Huffman table undefined")
         tables.append((comp_idx, huff[(0, td)], huff[(1, ta)]))
-    segments, rst_ids = _jpeg_split_entropy(payload, data_pos)
+    segments, rst_ids, _end = _jpeg_split_entropy(payload, data_pos)
     state = [segments[0], 0, 0, 0]  # [segment, byte_pos, acc, nbits]
     seg_idx = 0
     preds = [0] * len(comps)
@@ -1038,8 +1252,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         state, dc_tbl, ac_tbl, preds[comp_idx]
                     )
                     grids[comp_idx][(my * vi + v) * bx + (mx * hi + hh)] = coeffs
+    return _jpeg_reconstruct(grids, comps, qt, h, w, mcus_x, mcus_y, max_h, max_v)
+
+
+def _jpeg_reconstruct(grids, comps, qt, h, w, mcus_x, mcus_y, max_h, max_v):
+    """Dequant + IDCT + chroma upsample + crop + color transform —
+    shared by the baseline and progressive paths (identical
+    coefficients ⇒ identical pixels, which is what the cross-path
+    bit-exactness tests pin)."""
     planes = []
-    for (cid, hi, vi, tq_id), zz in zip(comps, grids):
+    for (_cid, hi, vi, tq_id), zz in zip(comps, grids):
+        if tq_id not in qt:
+            raise ValueError(f"JPEG quant table {tq_id} undefined")
         plane = _jpeg_idct_plane(zz, qt[tq_id], mcus_y * vi, mcus_x * hi)
         if hi < max_h:
             plane = np.repeat(plane, max_h // hi, axis=1)
@@ -1049,6 +1273,85 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(planes) == 1:
         return planes[0]
     return _jpeg_ycbcr_to_rgb(*planes)
+
+
+def _jpeg_progressive_scan(
+    reader, sel, ss, se, ah, al, frame, grids, geom, huff, dri
+) -> None:
+    """Decode one progressive scan into the persistent per-component
+    coefficient grids (T.81 G.1.2). Interleaved (multi-component)
+    scans are DC-only and walk MCUs like baseline; single-component
+    scans walk the component's own non-padded block raster (T.81
+    A.2.2), with the restart interval counting its data units.
+    Validates the scan header's progression constraints loudly."""
+    h, w, comps = frame
+    mcus_x, mcus_y, max_h, max_v = geom
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("JPEG progressive AC scans must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError(f"invalid JPEG spectral band {ss}..{se}")
+    tables = []
+    for comp_idx, td, ta in sel:
+        if ss == 0 and ah == 0:  # DC first needs a DC table
+            if (0, td) not in huff:
+                raise ValueError("JPEG Huffman table undefined")
+            tables.append((comp_idx, huff[(0, td)], None))
+        elif ss == 0:  # DC refinement: raw bits, no table
+            tables.append((comp_idx, None, None))
+        else:
+            if (1, ta) not in huff:
+                raise ValueError("JPEG Huffman table undefined")
+            tables.append((comp_idx, None, huff[(1, ta)]))
+    preds = [0] * len(comps)
+    eobrun = 0
+    rst = 0
+    if len(sel) > 1:  # interleaved DC scan: MCU walk
+        for mcu in range(mcus_y * mcus_x):
+            if dri and mcu and mcu % dri == 0:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcus_x)
+            for comp_idx, dc_tbl, _ in tables:
+                hi, vi = comps[comp_idx][1], comps[comp_idx][2]
+                bx = mcus_x * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        coeffs = grids[comp_idx][(my * vi + v) * bx + (mx * hi + hh)]
+                        if ah == 0:
+                            preds[comp_idx] = _prog_dc_first(
+                                reader, dc_tbl, coeffs, preds[comp_idx], al
+                            )
+                        elif reader.read(1):
+                            coeffs[0] |= 1 << al
+        return
+    # single-component scan: the component's own block raster
+    comp_idx, dc_tbl, ac_tbl = tables[0]
+    _cid, hi, vi, _tq = comps[comp_idx]
+    nbx = -(-(-(-w * hi // max_h)) // 8)
+    nby = -(-(-(-h * vi // max_v)) // 8)
+    grid_bx = mcus_x * hi
+    grid = grids[comp_idx]
+    for unit in range(nby * nbx):
+        if dri and unit and unit % dri == 0:
+            reader.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+            eobrun = 0
+        coeffs = grid[(unit // nbx) * grid_bx + (unit % nbx)]
+        if ss == 0:
+            if ah == 0:
+                preds[comp_idx] = _prog_dc_first(
+                    reader, dc_tbl, coeffs, preds[comp_idx], al
+                )
+            elif reader.read(1):
+                coeffs[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _prog_ac_first(reader, ac_tbl, coeffs, ss, se, al, eobrun)
+        else:
+            eobrun = _prog_ac_refine(reader, ac_tbl, coeffs, ss, se, al, eobrun)
 
 
 class _JpegBitWriter:
@@ -1160,6 +1463,155 @@ def _jpeg_std_encode_tables():
     )
 
 
+def _jpeg_default_scan_script(n_comps: int) -> list:
+    """A libjpeg-flavored progressive scan script exercising the full
+    feature set: interleaved DC with successive approximation, split
+    spectral bands, and AC refinement down to Al=0. Entries are
+    (component_indices, Ss, Se, Ah, Al)."""
+    allc = list(range(n_comps))
+    script = [(allc, 0, 0, 0, 1), (allc, 0, 0, 1, 0)]
+    for c in allc:
+        script += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2)]
+    for c in allc:
+        script += [([c], 1, 63, 2, 1), ([c], 1, 63, 1, 0)]
+    return script
+
+
+def _jpeg_trunc(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): division by 2^Al truncated
+    toward ZERO (DC uses an arithmetic shift instead — the spec's
+    deliberate asymmetry)."""
+    q = abs(v) >> al
+    return q if v >= 0 else -q
+
+
+def _jpeg_encode_prog_scan(
+    scan, zz_grids, samps, mcus_x, mcus_y, w, h, max_h, max_v,
+    dc_codes, ac_codes, restart_interval,
+) -> bytes:
+    """Entropy-encode one progressive scan (T.81 G.1.2) — the mirror
+    of the four decode kinds, including the AC-refinement
+    correction-bit walk (per-block EOB keeps the notorious
+    cross-block bit-buffering out of scope while remaining fully
+    conforming; the decoder's EOB-run path is still exercised)."""
+    comps_sel, ss, se, ah, al = scan
+    writer = _JpegBitWriter()
+    rst = 0
+    if ss == 0 and len(comps_sel) > 1:  # interleaved DC scan
+        preds = {c: 0 for c in comps_sel}
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = {c: 0 for c in comps_sel}
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps_sel:
+                hi, vi = samps[c]
+                bx = mcus_x * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = zz_grids[c][(my * vi + v) * bx + (mx * hi + hh)]
+                        preds[c] = _enc_dc_unit(
+                            writer, int(zz[0]), preds[c], ah, al, dc_codes[c]
+                        )
+        writer.align()
+        return bytes(writer.out)
+    c = comps_sel[0]
+    hi, vi = samps[c]
+    comp_w = -(-w * hi // max_h)
+    comp_h = -(-h * vi // max_v)
+    nbx = -(-comp_w // 8)
+    nby = -(-comp_h // 8)
+    grid_bx = mcus_x * hi
+    pred = 0
+    for unit in range(nby * nbx):
+        if restart_interval and unit and unit % restart_interval == 0:
+            writer.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            pred = 0
+        zz = zz_grids[c][(unit // nbx) * grid_bx + (unit % nbx)]
+        if ss == 0:
+            pred = _enc_dc_unit(writer, int(zz[0]), pred, ah, al, dc_codes[c])
+        elif ah == 0:
+            _enc_ac_first_unit(writer, zz, ss, se, al, ac_codes[c])
+        else:
+            _enc_ac_refine_unit(writer, zz, ss, se, al, ac_codes[c])
+    writer.align()
+    return bytes(writer.out)
+
+
+def _enc_dc_unit(writer, dc: int, pred: int, ah: int, al: int, codes) -> int:
+    if ah:  # refinement: one raw bit (two's-complement bit Al)
+        writer.write((dc >> al) & 1, 1)
+        return pred
+    v = dc >> al  # DC point transform IS an arithmetic shift
+    diff = v - pred
+    t = abs(diff).bit_length()
+    code, length = codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _enc_ac_first_unit(writer, zz, ss: int, se: int, al: int, codes) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = _jpeg_trunc(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        if s > 10:
+            raise ValueError("JPEG AC coefficient out of baseline range")
+        code, length = codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = codes[0x00]  # per-block EOB
+        writer.write(code, length)
+
+
+def _enc_ac_refine_unit(writer, zz, ss: int, se: int, al: int, codes) -> None:
+    band = [_jpeg_trunc(int(zz[k]), al) for k in range(ss, se + 1)]
+    n = len(band)
+    i = 0
+    while True:
+        j = next((t for t in range(i, n) if abs(band[t]) == 1), None)
+        if j is None:
+            break
+        zcount = sum(1 for t in range(i, j) if band[t] == 0)
+        while zcount >= 16:
+            code, length = codes[0xF0]  # ZRL over 16 zero-history slots
+            writer.write(code, length)
+            z = 0
+            while z < 16:
+                if band[i] == 0:
+                    z += 1
+                else:
+                    writer.write(abs(band[i]) & 1, 1)
+                i += 1
+            zcount -= 16
+        code, length = codes[(zcount << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if band[j] > 0 else 0, 1)
+        for t in range(i, j):
+            if band[t] != 0:
+                writer.write(abs(band[t]) & 1, 1)
+        i = j + 1
+    if i < n:
+        code, length = codes[0x00]  # EOB; correction bits for the tail
+        writer.write(code, length)
+        for t in range(i, n):
+            if band[t] != 0:
+                writer.write(abs(band[t]) & 1, 1)
+
+
 def _jpeg_pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate a plane up to (mh, mw) — T.81's recommended
     extension so padded blocks compress to near-nothing."""
@@ -1176,6 +1628,7 @@ def encode_jpeg(
     chroma_quant: np.ndarray | None = None,
     restart_interval: int = 0,
     input_color: str = "rgb",
+    progressive=False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) → sequential baseline
     JPEG bytes (SOF0, 8-bit, Annex-K Huffman tables, optional restart
@@ -1186,6 +1639,14 @@ def encode_jpeg(
     ``input_color="ycbcr"`` treats the three channels as
     already-converted YCbCr — the DC-only fixture path, where quant
     tables with q[0]=8 make decode bit-exact.
+
+    ``progressive`` emits a SOF2 progressive stream instead: ``True``
+    uses a libjpeg-flavored default scan script (interleaved DC with
+    successive approximation + split spectral bands + AC
+    refinements); a list of ``(comp_indices, Ss, Se, Ah, Al)`` tuples
+    runs a custom script. Progressive and baseline encode the SAME
+    quantized coefficients, so both decode to bit-identical pixels —
+    the cross-path property the tests pin.
 
     Deliberately a different implementation shape from
     :func:`decode_jpeg` (vectorized forward filter/DCT vs sequential
@@ -1252,28 +1713,51 @@ def encode_jpeg(
         padded = _jpeg_pad_edge(plane, mcus_y * vi * 8, mcus_x * hi * 8)
         zz_grids.append(_jpeg_fdct_quant(padded, lq if idx == 0 else cq))
     dc_l, ac_l, dc_c, ac_c = _jpeg_std_encode_tables()
-    writer = _JpegBitWriter()
-    preds = [0] * len(ycc)
-    rst = 0
-    for mcu in range(mcus_y * mcus_x):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.marker(0xD0 + rst)
-            rst = (rst + 1) & 7
-            preds = [0] * len(ycc)
-        my, mx = divmod(mcu, mcus_x)
-        for idx, (hi, vi) in enumerate(samps):
-            bx = mcus_x * hi
-            dc, ac = (dc_l, ac_l) if idx == 0 else (dc_c, ac_c)
-            for v in range(vi):
-                for hh in range(hi):
-                    preds[idx] = _jpeg_encode_block(
-                        writer,
-                        zz_grids[idx][(my * vi + v) * bx + (mx * hi + hh)],
-                        preds[idx],
-                        dc,
-                        ac,
-                    )
-    writer.align()
+    scans: list[tuple[tuple, bytes]] = []
+    if progressive:
+        script = (
+            _jpeg_default_scan_script(len(ycc))
+            if progressive is True
+            else [(list(cs), ss_, se_, ah_, al_) for cs, ss_, se_, ah_, al_ in progressive]
+        )
+        dc_codes = [dc_l if i == 0 else dc_c for i in range(len(ycc))]
+        ac_codes = [ac_l if i == 0 else ac_c for i in range(len(ycc))]
+        for scan in script:
+            for c in scan[0]:
+                if not 0 <= c < len(ycc):
+                    raise ValueError(f"scan references unknown component {c}")
+            scans.append(
+                (
+                    scan,
+                    _jpeg_encode_prog_scan(
+                        scan, zz_grids, samps, mcus_x, mcus_y, w, h,
+                        max_h, max_v, dc_codes, ac_codes, restart_interval,
+                    ),
+                )
+            )
+    else:
+        writer = _JpegBitWriter()
+        preds = [0] * len(ycc)
+        rst = 0
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(ycc)
+            my, mx = divmod(mcu, mcus_x)
+            for idx, (hi, vi) in enumerate(samps):
+                bx = mcus_x * hi
+                dc, ac = (dc_l, ac_l) if idx == 0 else (dc_c, ac_c)
+                for v in range(vi):
+                    for hh in range(hi):
+                        preds[idx] = _jpeg_encode_block(
+                            writer,
+                            zz_grids[idx][(my * vi + v) * bx + (mx * hi + hh)],
+                            preds[idx],
+                            dc,
+                            ac,
+                        )
+        writer.align()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -1287,7 +1771,7 @@ def encode_jpeg(
     sof.append(len(ycc))
     for idx, (hi, vi) in enumerate(samps):
         sof += bytes([idx + 1, (hi << 4) | vi, 0 if idx == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
     out += seg(0xC4, b"\x00" + _JPEG_STD_DC_LUMA[0] + _JPEG_STD_DC_LUMA[1])
     out += seg(0xC4, b"\x10" + _JPEG_STD_AC_LUMA[0] + _JPEG_STD_AC_LUMA[1])
     if not gray:
@@ -1295,12 +1779,21 @@ def encode_jpeg(
         out += seg(0xC4, b"\x11" + _JPEG_STD_AC_CHROMA[0] + _JPEG_STD_AC_CHROMA[1])
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytearray([len(ycc)])
-    for idx in range(len(ycc)):
-        sos += bytes([idx + 1, 0x00 if idx == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, bytes(sos))
-    out += writer.out
+    if progressive:
+        for (comps_sel, ss_, se_, ah_, al_), data in scans:
+            sos = bytearray([len(comps_sel)])
+            for c in comps_sel:
+                sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+            sos += bytes([ss_, se_, (ah_ << 4) | al_])
+            out += seg(0xDA, bytes(sos))
+            out += data
+    else:
+        sos = bytearray([len(ycc)])
+        for idx in range(len(ycc)):
+            sos += bytes([idx + 1, 0x00 if idx == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xDA, bytes(sos))
+        out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
 
