@@ -547,20 +547,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     return samples  # types 2 / 6
 
 
-# -- JPEG baseline (ITU-T T.81 — the real-world compressed format) ----
+# -- JPEG (ITU-T T.81 — the real-world compressed format) -------------
 #
-# Sequential baseline DCT, 8-bit, Huffman entropy coding, grayscale or
-# 3-component with per-component sampling factors 1 or 2 (4:4:4,
-# 4:2:2, 4:2:0), optional restart markers. The decoder builds its
+# Sequential baseline (SOF0) AND progressive (SOF2) DCT, 8-bit,
+# Huffman entropy coding, grayscale or 3-component with per-component
+# sampling factors 1 or 2 (4:4:4, 4:2:2, 4:2:0), optional restart
+# markers; progressive covers spectral selection, successive
+# approximation (DC + AC refinement scans), interleaved and
+# non-interleaved scans, and EOB-run coding. The decoder builds its
 # Huffman tables from the file's own DHT segments (never from the
 # encoder's constants), dequantizes from the file's DQT, and runs a
-# separable float IDCT — so a file from ANY conforming baseline
-# encoder with these shapes decodes (verified in tests against
-# encoders this repo did not write). The pinned integer rounding
-# (floor(x + 0.5)) in the IDCT level shift and the YCbCr→RGB
-# conversion makes decoded pixels reproducible in SQL for DC-only
-# (per-block-constant) fixtures — the discipline every codec in this
-# family follows.
+# separable float IDCT — so a file from ANY conforming encoder with
+# these shapes decodes (verified in tests against encoders this repo
+# did not write). The pinned integer rounding (floor(x + 0.5)) in the
+# IDCT level shift and the YCbCr→RGB conversion makes decoded pixels
+# reproducible in SQL for DC-only (per-block-constant) fixtures — the
+# discipline every codec in this family follows.
 
 #: Zigzag scan order: _JPEG_ZIGZAG[i] = flat (row*8+col) index of the
 #: i-th zigzag coefficient (T.81 Figure 5). Generated, not typed: for
