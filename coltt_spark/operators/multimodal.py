@@ -438,8 +438,13 @@ def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
     while the Spark path must walk markers, build Huffman tables from
     the file's DHT, entropy-decode across restart markers, dequantize,
     and IDCT the actual container — any segment/Huffman/IDCT/color
-    bug breaks value parity. Second COMPRESSED format through the
-    media seam (PNG is the first)."""
+    bug breaks value parity. Rows alternate container flavor: even
+    ``doc_id`` emits sequential BASELINE (SOF0), odd emits PROGRESSIVE
+    (SOF2, the default scan script with successive approximation —
+    coefficient reconstruction is exact, so the same oracle covers
+    both), putting the multi-scan progressive walk inside the
+    driver-checked path. Second COMPRESSED format through the media
+    seam (PNG is the first)."""
     n_vals = blocks * blocks * 3
     if n_vals > 16:
         raise ValueError("jpeg_image_table digest stream supports ≤16 block values")
@@ -462,7 +467,7 @@ def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
             if len(pdf) == 0:
                 continue
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = hashlib.md5(f"{text}:jpeg:0".encode()).digest()[:n_vals]
                 ycc = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, blocks, 3)
                 img = np.repeat(np.repeat(ycc, 8, axis=0), 8, axis=1)
@@ -473,6 +478,7 @@ def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
                         luma_quant=qt,
                         chroma_quant=qt,
                         restart_interval=2,
+                        progressive=bool(int(doc_id) % 2),
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

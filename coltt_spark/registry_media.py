@@ -294,10 +294,12 @@ FROM sums
 
 
 def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode end-to-end: fabricate JPEG containers
-    whose 2×2 grid of DC-only 8×8 blocks carries (Y, Cb, Cr) triples
-    from a deterministic md5 stream (``jpeg_image_table`` — 4:4:4,
-    q[0]=8, restart markers every 2 MCUs), then decode the actual
+    """REAL JPEG decode end-to-end — BOTH container flavors: fabricate
+    JPEG containers whose 2×2 grid of DC-only 8×8 blocks carries
+    (Y, Cb, Cr) triples from a deterministic md5 stream
+    (``jpeg_image_table`` — 4:4:4, q[0]=8, restart markers every 2
+    MCUs; even doc_ids sequential BASELINE SOF0, odd PROGRESSIVE SOF2
+    with successive-approximation scans), then decode the actual
     container with the dependency-free T.81 codec (marker walk →
     file-DHT Huffman tables → entropy decode across restarts →
     dequant → IDCT → pinned YCbCr→RGB) and compute per-image channel
