@@ -712,3 +712,22 @@ def test_jpeg_progressive_single_byte_flip_is_total(seed, pos_frac):
         assert out.shape[2] == 3
     except ValueError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1))
+def test_jpeg_color_transform_matches_literal_formula(w, h, seed):
+    """The in-place YCbCr→RGB evaluation (temporaries dominated
+    megapixel decode cost) must stay BIT-IDENTICAL to the literal
+    pinned formula the SQL oracle inlines — only IEEE-exact rewrites
+    (commutativity, x−a ≡ x+(−a)) are allowed in the optimization."""
+    from coltt_spark.operators.media_codecs import _jpeg_ycbcr_to_rgb
+
+    rng = np.random.default_rng(seed)
+    y, cb, cr = (rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(3))
+    yf, cbf, crf = (p.astype(np.float64) for p in (y, cb, cr))
+    r = yf + 1.402 * (crf - 128.0)
+    g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b = yf + 1.772 * (cbf - 128.0)
+    ref = np.clip(np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(_jpeg_ycbcr_to_rgb(y, cb, cr), ref)
