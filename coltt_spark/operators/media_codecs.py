@@ -425,21 +425,82 @@ def _paeth(a: int, b: int, c: int) -> int:
 #: index, 6=RGBA)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
+#: Adam7 interlace pass grid (x_start, y_start, x_step, y_step) —
+#: RFC 2083 §2.6; each pass is filtered as an independent sub-image.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, stride: int, nrows: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters over one (sub-)image's packed byte
+    rows (spec §9): Up is vectorized, Sub is a cumulative sum mod
+    256, Average/Paeth carry a true left-dependency and run as
+    per-pixel loops (a production build would push these into a C
+    kernel; the container walk and inflate dominate here)."""
+    img = np.empty((nrows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(nrows):
+        ft = raw[pos + r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + r * (stride + 1) + 1
+        ).copy()
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per filter lane, mod 256
+            cur = np.cumsum(
+                line.reshape(stride // bpp, bpp), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256
+            cur = line + prior
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                upleft = int(prior[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + _paeth(left, int(prior[x]), upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        img[r] = cur
+        prior = cur
+    return img
+
+
+def _png_unpack_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """Packed (sub-)image byte rows → sample array: (h, w) for one
+    channel, (h, w, channels) otherwise (sub-byte depths unpack
+    big-endian within bytes per the spec)."""
+    h = rows.shape[0]
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (bits * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    if channels > 1:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    return rows[:, :w]
+
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced PNG — the first codec in this family
-    that walks a COMPRESSED payload end-to-end: CRC-checked chunk
-    walk → IDAT concat → stdlib ``zlib`` inflate → per-row
-    unfiltering (None/Sub/Up/Average/Paeth, filter-bpp-aware).
-    Flavors (the shapes real corpora actually contain): 8-bit
-    truecolor (type 2 → (H, W, 3)), truecolor+alpha (type 6 →
-    (H, W, 4)), grayscale at bit depth 1/2/4/8 (type 0 → (H, W),
-    samples scaled to 0..255 by the exact 255/(2^d−1) integer
-    factor), and palette at bit depth 1/2/4/8 (type 3 → (H, W, 3),
-    or (H, W, 4) when a tRNS chunk supplies per-entry alpha).
-    Raises ValueError on anything else (16-bit, interlaced,
-    gray+alpha) and on out-of-range palette indices — loud beats
-    silently-wrong pixels. Downstream RGB consumers slice
+    """Decode a PNG — the first codec in this family that walks a
+    COMPRESSED payload end-to-end: CRC-checked chunk walk → IDAT
+    concat → stdlib ``zlib`` inflate → per-row unfiltering
+    (None/Sub/Up/Average/Paeth, filter-bpp-aware). Flavors (the
+    shapes real corpora actually contain): 8-bit truecolor (type 2 →
+    (H, W, 3)), truecolor+alpha (type 6 → (H, W, 4)), grayscale at
+    bit depth 1/2/4/8 (type 0 → (H, W), samples scaled to 0..255 by
+    the exact 255/(2^d−1) integer factor), palette at bit depth
+    1/2/4/8 (type 3 → (H, W, 3), or (H, W, 4) when a tRNS chunk
+    supplies per-entry alpha) — each either sequential or Adam7
+    INTERLACED (every pass unfiltered as its own sub-image, then
+    scattered on the pass grid). Raises ValueError on anything else
+    (16-bit, gray+alpha) and on out-of-range palette indices — loud
+    beats silently-wrong pixels. Downstream RGB consumers slice
     ``[..., :3]`` (alpha rarely carries training signal).
 
     The inverse filters reconstruct each row from the RECONSTRUCTED
@@ -471,7 +532,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         color not in _PNG_CHANNELS
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or (color in (2, 6) and depth != 8)
         or (color in (0, 3) and depth not in (1, 2, 4, 8))
     ):
@@ -483,51 +544,32 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     channels = _PNG_CHANNELS[color]
     bpp = max(1, channels * depth // 8)  # filter byte distance (spec §9)
-    stride = -(-w * channels * depth // 8)  # packed bytes per row
+    # one pass for sequential, the non-empty Adam7 passes otherwise
+    # (empty passes contribute NO bytes, not even filter bytes)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = [
+            (x0, y0, xs, ys, -(-(w - x0) // xs), -(-(h - y0) // ys))
+            for x0, y0, xs, ys in _PNG_ADAM7
+            if (w - x0) > 0 and (h - y0) > 0
+        ]
+    strides = [-(-pw * channels * depth // 8) for *_rest, pw, _ph in passes]
     # Bound the inflate by the size IHDR promises BEFORE decompressing:
-    # a crafted zip-bomb IDAT must not expand past (stride+1)*h on an
-    # executor (same loud-failure discipline as the CRC checks).
-    expected = (stride + 1) * h
+    # a crafted zip-bomb IDAT must not expand past the per-pass row
+    # total on an executor (same loud-failure discipline as the CRC
+    # checks).
+    expected = sum((s + 1) * ph for s, (*_r, ph) in zip(strides, passes))
     dec = zlib.decompressobj()
     raw = dec.decompress(b"".join(idat), expected)
     if len(raw) != expected or dec.unconsumed_tail or dec.flush():
         raise ValueError("PNG pixel data length mismatch")
-    img = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).copy()
-        if ft == 0:  # None
-            cur = line
-        elif ft == 1:  # Sub: prefix sum per filter lane, mod 256
-            cur = np.cumsum(
-                line.reshape(stride // bpp, bpp), axis=0, dtype=np.uint64
-            ).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up: uint8 addition wraps mod 256
-            cur = line + prior
-        elif ft == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                upleft = int(prior[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + _paeth(left, int(prior[x]), upleft)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        img[r] = cur
-        prior = cur
-    if depth < 8:  # unpack sub-byte samples (big-endian within bytes)
-        bits = np.unpackbits(img, axis=1)[:, : w * depth].reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        samples = (bits * weights[None, None, :]).sum(axis=2).astype(np.uint8)
-    else:
-        samples = img[:, : w * channels].reshape(h, w, channels) if channels > 1 else img[:, :w]
+    samples = np.zeros((h, w, channels) if channels > 1 else (h, w), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, xs, ys, pw, ph), stride in zip(passes, strides):
+        rows = _png_unfilter(raw, pos, stride, ph, bpp)
+        pos += (stride + 1) * ph
+        samples[y0::ys, x0::xs] = _png_unpack_samples(rows, pw, channels, depth)
     if color == 0:  # grayscale: exact integer scale-up to 0..255
         return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 3:  # palette lookup (+ optional tRNS alpha)
@@ -1871,6 +1913,7 @@ def _png_filter_stream(rows: np.ndarray, bpp: int, filters) -> bytes:
 def _png_container(
     w: int, h: int, depth: int, color: int, stream: bytes, *,
     level: int = 6, extra_chunks: list[tuple[bytes, bytes]] = (),
+    interlace: int = 0,
 ) -> bytes:
     """Assemble signature + IHDR + (extra chunks) + IDAT + IEND."""
     import zlib
@@ -1883,11 +1926,39 @@ def _png_container(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     for ctype, body in extra_chunks:
         out += chunk(ctype, body)
     return out + chunk(b"IDAT", zlib.compress(stream, level)) + chunk(b"IEND", b"")
+
+
+def _png_encode_stream(
+    samples: np.ndarray, channels: int, depth: int, filters, interlace: bool
+) -> bytes:
+    """Samples → the filtered pre-compression stream: one sub-image
+    for sequential, the non-empty Adam7 passes (each filtered
+    independently, cycling the filter types) when interlaced."""
+    fbpp = max(1, channels * depth // 8)
+
+    def pack(sub: np.ndarray) -> np.ndarray:
+        if depth == 8:
+            return np.ascontiguousarray(sub.reshape(sub.shape[0], -1))
+        return np.ascontiguousarray(_png_pack_subbyte(sub, depth))
+
+    if not interlace:
+        rows = pack(samples)
+        if filters is None:
+            filters = [r % 5 for r in range(rows.shape[0])]
+        return _png_filter_stream(rows, fbpp, filters)
+    out = bytearray()
+    for x0, y0, xs, ys in _PNG_ADAM7:
+        sub = samples[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = pack(sub)
+        out += _png_filter_stream(rows, fbpp, [r % 5 for r in range(rows.shape[0])])
+    return bytes(out)
 
 
 def _png_pack_subbyte(samples: np.ndarray, depth: int) -> np.ndarray:
@@ -1899,22 +1970,29 @@ def _png_pack_subbyte(samples: np.ndarray, depth: int) -> np.ndarray:
     return np.packbits(bits.reshape(h, w * depth), axis=1)
 
 
-def encode_png(img: np.ndarray, *, filters=None, level: int = 6) -> bytes:
+def encode_png(
+    img: np.ndarray, *, filters=None, level: int = 6, interlace: bool = False
+) -> bytes:
     """(H, W, 3|4) uint8 → 8-bit truecolor (type 2) or
-    truecolor+alpha (type 6) non-interlaced PNG bytes (fixture
-    helper). ``filters`` picks the per-row filter type (default:
-    cycle 0..4 so every inverse filter is exercised on decode)."""
+    truecolor+alpha (type 6) PNG bytes (fixture helper). ``filters``
+    picks the per-row filter type (default: cycle 0..4 so every
+    inverse filter is exercised on decode); ``interlace`` emits Adam7
+    passes (each filtered independently)."""
     h, w, bpp = img.shape
     if bpp not in (3, 4):
         raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {bpp}")
-    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * bpp)
-    if filters is None:
-        filters = [r % 5 for r in range(h)]
-    stream = _png_filter_stream(rows, bpp, filters)
-    return _png_container(w, h, 8, 6 if bpp == 4 else 2, stream, level=level)
+    stream = _png_encode_stream(
+        np.ascontiguousarray(img, dtype=np.uint8), bpp, 8, filters, interlace
+    )
+    return _png_container(
+        w, h, 8, 6 if bpp == 4 else 2, stream, level=level,
+        interlace=int(interlace),
+    )
 
 
-def encode_png_gray(samples: np.ndarray, *, depth: int = 8, filters=None) -> bytes:
+def encode_png_gray(
+    samples: np.ndarray, *, depth: int = 8, filters=None, interlace: bool = False
+) -> bytes:
     """(H, W) samples in [0, 2^depth) → grayscale (color type 0) PNG
     at bit depth 1/2/4/8 (fixture helper; sub-byte depths pack
     big-endian per the spec, filter distance 1)."""
@@ -1924,11 +2002,8 @@ def encode_png_gray(samples: np.ndarray, *, depth: int = 8, filters=None) -> byt
     if samples.max(initial=0) >= (1 << depth):
         raise ValueError("grayscale sample out of range for depth")
     h, w = samples.shape
-    rows = samples if depth == 8 else _png_pack_subbyte(samples, depth)
-    if filters is None:
-        filters = [r % 5 for r in range(h)]
-    stream = _png_filter_stream(np.ascontiguousarray(rows), 1, filters)
-    return _png_container(w, h, depth, 0, stream)
+    stream = _png_encode_stream(samples, 1, depth, filters, interlace)
+    return _png_container(w, h, depth, 0, stream, interlace=int(interlace))
 
 
 def encode_png_indexed(
@@ -1938,6 +2013,7 @@ def encode_png_indexed(
     alpha: np.ndarray | None = None,
     depth: int = 8,
     filters=None,
+    interlace: bool = False,
 ) -> bytes:
     """(H, W) palette indices + (N, 3) palette → indexed-color (type
     3) PNG at bit depth 1/2/4/8, with an optional per-entry ``alpha``
@@ -1953,14 +2029,13 @@ def encode_png_indexed(
     if indices.max(initial=0) >= len(palette):
         raise ValueError("palette index out of range")
     h, w = indices.shape
-    rows = indices if depth == 8 else _png_pack_subbyte(indices, depth)
-    if filters is None:
-        filters = [r % 5 for r in range(h)]
-    stream = _png_filter_stream(np.ascontiguousarray(rows), 1, filters)
+    stream = _png_encode_stream(indices, 1, depth, filters, interlace)
     extra = [(b"PLTE", palette.tobytes())]
     if alpha is not None:
         alpha = np.asarray(alpha, dtype=np.uint8)
         if len(alpha) > len(palette):
             raise ValueError("tRNS longer than palette")
         extra.append((b"tRNS", alpha.tobytes()))
-    return _png_container(w, h, depth, 3, stream, extra_chunks=extra)
+    return _png_container(
+        w, h, depth, 3, stream, extra_chunks=extra, interlace=int(interlace)
+    )

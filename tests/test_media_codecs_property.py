@@ -731,3 +731,49 @@ def test_jpeg_color_transform_matches_literal_formula(w, h, seed):
     b = yf + 1.772 * (cbf - 128.0)
     ref = np.clip(np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255).astype(np.uint8)
     assert np.array_equal(_jpeg_ycbcr_to_rgb(y, cb, cr), ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.integers(0, 3),
+)
+def test_png_adam7_interlaced_roundtrip(w, h, seed, kind):
+    """Adam7 interlaced PNGs round-trip across the full flavor matrix
+    (truecolor/RGBA/grayscale/palette at every legal bit depth) —
+    each pass filtered as its own sub-image and scattered on the
+    pass grid; tiny geometries exercise empty passes (which
+    contribute NO bytes, not even filter bytes). Interlaced and
+    sequential encodings of the same image must decode identically."""
+    from coltt_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        encode_png_gray,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind in (0, 1):
+        img = rng.integers(0, 256, (h, w, 3 + kind), dtype=np.uint8)
+        payload = encode_png(img, interlace=True)
+        want = img
+        sequential = encode_png(img)
+    elif kind == 2:
+        d = int(rng.choice([1, 2, 4, 8]))
+        s = rng.integers(0, 1 << d, (h, w), dtype=np.uint8)
+        payload = encode_png_gray(s, depth=d, interlace=True)
+        want = s * (255 // ((1 << d) - 1))
+        sequential = encode_png_gray(s, depth=d)
+    else:
+        d = int(rng.choice([1, 2, 4, 8]))
+        n = int(rng.integers(1, (1 << d) + 1))
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        payload = encode_png_indexed(idx, pal, depth=d, interlace=True)
+        want = pal[idx]
+        sequential = encode_png_indexed(idx, pal, depth=d)
+    got = decode_png(payload)
+    assert np.array_equal(got, want)
+    assert np.array_equal(got, decode_png(sequential))
