@@ -101,7 +101,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the magic and decode BMP, PPM, PNG, or baseline JPEG →
+    """Sniff the magic and decode BMP, PPM, PNG, GIF, or JPEG →
     (H, W, 3) uint8 (alpha flavors yield (H, W, 4) RGBA; RGB
     consumers slice ``[..., :3]``; grayscale JPEG/PNG replicates the
     luma plane across the three channels)."""
@@ -112,6 +112,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     img = None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         img = decode_png(payload)
+    elif payload[:6] in _GIF_MAGICS:
+        img = decode_gif(payload)
     elif payload[:2] == b"\xff\xd8":
         img = decode_jpeg(payload)
     if img is not None:
@@ -2039,3 +2041,477 @@ def encode_png_indexed(
     return _png_container(
         w, h, depth, 3, stream, extra_chunks=extra, interlace=int(interlace)
     )
+
+
+# -- GIF (CompuServe 87a/89a — LZW-compressed indexed color) ----------
+#
+# Third compressed image format through the media seam, and the first
+# whose entropy coder is written from scratch (PNG leans on stdlib
+# zlib for DEFLATE; JPEG's Huffman coder is canonical-prefix): GIF
+# uses variable-width LZW (3..12-bit codes, LSB-first bit packing,
+# Clear/End-of-Information control codes, table growth to 4096 with
+# deferred-clear behavior). Covers the reference's opaque-blob media
+# posture the same way PNG/JPEG do — the container is decoded
+# end-to-end so fixtures can be value-checked by a SQL oracle that
+# regenerates the PIXELS from the hash stream and never sees the GIF
+# bytes. Unlike PNG there is no CRC, so corruption detection is
+# structural only (bad codes, length mismatches, truncated blocks).
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF data sub-block chain (length-prefixed runs of
+    ≤255 bytes, terminated by a zero-length block) starting at
+    ``pos``; returns ``(data, position after the terminator)``."""
+    parts = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        parts.append(payload[pos : pos + n])
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LZW decode (GIF flavor) → exactly ``n_pixels``
+    palette indices. Codes are packed LSB-first; the code width starts
+    at ``min_code_size + 1`` and grows by one bit each time the table
+    reaches the width's capacity, capping at 12 bits (table full at
+    4096 — further codes reuse existing entries until a Clear resets,
+    the spec's deferred-clear behavior). Handles the KwKwK case
+    (``code == next undefined entry``). Raises ValueError on
+    out-of-range codes, on output length mismatch, and on the stream
+    running dry — there is no CRC in GIF, so these structural checks
+    are the corruption surface."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    singles = [bytes([i]) for i in range(clear)]
+
+    def fresh() -> list:
+        return singles + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out: list[bytes] = []
+    produced = 0
+    buf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ran dry before EOI")
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW first code after clear is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table) < 4096:
+            entry = prev + prev[:1]  # KwKwK: entry being defined right now
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        out.append(entry)
+        produced += len(entry)
+        if produced > n_pixels:
+            raise ValueError("GIF LZW output overruns the image size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if produced != n_pixels:
+        raise ValueError(
+            f"GIF LZW produced {produced} pixels, image declares {n_pixels}"
+        )
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Variable-width LZW encode (GIF flavor) — the fixture-side mirror
+    of :func:`_gif_lzw_decode`. The encoder REPLAYS the decoder's
+    table-size state machine (``size``/``width`` below) so the width
+    of every emitted code matches what the decoder will read by
+    construction — the decoder's table lags the encoder's by exactly
+    one entry (it defines entry *k* while processing emission *k+1*),
+    which is where hand-derived width rules classically go wrong.
+    Emits a leading Clear, resets via Clear when the table fills, and
+    terminates with End-of-Information."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1
+
+    # decoder-mirror state: size = decoder table length, pending =
+    # decoder has a prev code and will define an entry on next receive
+    table, next_code = fresh()
+    width = min_code_size + 1
+    size = eoi + 1
+    pending = False
+    emit(clear, width)
+
+    def after_emit() -> None:
+        nonlocal size, width, pending
+        if pending and size < 4096:
+            size += 1
+            if size >= (1 << width) and width < 12:
+                width += 1
+        pending = True
+
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        after_emit()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, next_code = fresh()
+            width = min_code_size + 1
+            size = eoi + 1
+            pending = False
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+        after_emit()
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h: int) -> list:
+    """GIF 4-pass interlace row order (spec Appendix E): every 8th row
+    from 0, every 8th from 4, every 4th from 2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_walk(payload: bytes):
+    """Parse a GIF byte stream → ``(width, height, gct, bg_index,
+    images)`` where each image is ``(left, top, indices(h, w),
+    palette, gce)`` and ``gce`` is the preceding Graphic Control
+    Extension as ``(disposal, delay_cs, transparent_index)`` or
+    ``None``. Shared by the single-image and animation decoders;
+    validates structure loudly (GIF has no CRC, so truncation, bad
+    LZW codes, missing palettes, and out-of-screen rects are the
+    corruption surface)."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid GIF dimensions {w}x{h}")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    images = []
+    gce = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-block chain
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            body, pos = _gif_subblocks(payload, pos + 1)
+            if label == 0xF9:  # Graphic Control Extension
+                if len(body) < 4:
+                    raise ValueError("short GIF graphic control extension")
+                gflags, delay = struct.unpack_from("<BH", body, 0)
+                transparent = body[3] if gflags & 0x01 else None
+                gce = ((gflags >> 2) & 0x07, delay, transparent)
+            continue  # comments / app / plain-text: skipped by the walk
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+            raise ValueError("GIF image rect outside the logical screen")
+        lct = None
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            lct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                n, 3
+            )
+            pos += 3 * n
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF image has neither local nor global color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        data, pos = _gif_subblocks(payload, pos + 1)
+        idx = _gif_lzw_decode(data, mcs, iw * ih).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: scatter pass rows back
+            seq = np.empty_like(idx)
+            seq[_gif_interlace_rows(ih)] = idx
+            idx = seq
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        images.append((left, top, idx, pal, gce))
+        gce = None
+    if not images:
+        raise ValueError("GIF contains no image")
+    return w, h, gct, bg, images
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a — the third COMPRESSED image format in this
+    family, with a from-scratch variable-width LZW entropy decoder
+    (PNG's DEFLATE comes from stdlib zlib) — → ``(H, W, 3)`` uint8,
+    or ``(H, W, 4)`` RGBA when the first image carries a Graphic
+    Control Extension transparency index (transparent pixels get
+    alpha 0). Walks header → logical screen descriptor → global
+    color table → extension/image blocks (comments and application
+    extensions are skipped via the sub-block chain; interlaced images
+    are scattered back on the 4-pass grid); a first image smaller
+    than the logical screen composites onto a background-color
+    canvas, exactly as a viewer presents frame one. Animations:
+    :func:`decode_gif_frames`."""
+    w, h, gct, bg, images = _gif_walk(payload)
+    left, top, idx, pal, gce = images[0]
+    if (left, top, idx.shape) == (0, 0, (h, w)):
+        canvas = pal[idx]
+    else:
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(
+            3, dtype=np.uint8
+        )
+        canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+        canvas[top : top + idx.shape[0], left : left + idx.shape[1]] = pal[idx]
+    transparent = gce[2] if gce is not None else None
+    if transparent is None:
+        return canvas
+    alpha = np.full((h, w), 255, dtype=np.uint8)
+    alpha[top : top + idx.shape[0], left : left + idx.shape[1]] = np.where(
+        idx == transparent, 0, 255
+    ).astype(np.uint8)
+    return np.concatenate([canvas, alpha[:, :, None]], axis=2)
+
+
+def decode_gif_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Decode an animated GIF → ``(frames, fps)`` where each frame is
+    the PRESENTED ``(H, W, 3)`` canvas (the animation seam sibling of
+    :func:`decode_avi`). Compositing follows the per-frame Graphic
+    Control Extension: transparent pixels leave the prior canvas
+    showing through, disposal 0/1 leave the frame in place, disposal
+    2 restores the frame's rect to the background color afterwards;
+    disposal 3 (restore-previous) raises — loud beats silently-wrong
+    frames. ``fps`` comes from the first nonzero frame delay
+    (centiseconds), defaulting to 10."""
+    w, h, gct, bg, images = _gif_walk(payload)
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames = []
+    delay_cs = 0
+    for left, top, idx, pal, gce in images:
+        disposal, delay, transparent = gce if gce is not None else (0, 0, None)
+        if disposal == 3:
+            raise ValueError("GIF disposal method 3 (restore-previous) unsupported")
+        if not delay_cs and delay:
+            delay_cs = delay
+        ph, pw = idx.shape
+        rect = canvas[top : top + ph, left : left + pw]
+        rgb = pal[idx]
+        if transparent is None:
+            rect[:] = rgb
+        else:
+            keep = idx == transparent
+            rect[:] = np.where(keep[:, :, None], rect, rgb)
+        frames.append(canvas.copy())
+        if disposal == 2:
+            rect[:] = bg_rgb
+    return frames, (100.0 / delay_cs) if delay_cs else 10.0
+
+
+def _gif_palette_block(palette: np.ndarray) -> tuple[bytes, int]:
+    """Pad an ``(n, 3)`` uint8 palette to the next power of two
+    (≥ 2) and return ``(table bytes, size_field)`` where
+    ``2 << size_field`` is the padded entry count."""
+    n = len(palette)
+    if n < 1 or n > 256:
+        raise ValueError(f"GIF palette must have 1..256 entries, got {n}")
+    size_field = max(1, (max(n, 2) - 1).bit_length()) - 1
+    padded = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    padded[:n] = palette
+    return padded.tobytes(), size_field
+
+
+def _gif_image_block(
+    indices: np.ndarray,
+    n_colors: int,
+    *,
+    left: int = 0,
+    top: int = 0,
+    interlace: bool = False,
+    local_palette: bytes | None = None,
+    local_size_field: int = 0,
+) -> bytes:
+    """Image descriptor + optional local color table + LZW-compressed
+    data, packaged into ≤255-byte sub-blocks."""
+    h, w = indices.shape
+    iflags = (0x40 if interlace else 0) | (
+        (0x80 | local_size_field) if local_palette is not None else 0
+    )
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", left, top, w, h, iflags))
+    if local_palette is not None:
+        out += local_palette
+    rows = indices[_gif_interlace_rows(h)] if interlace else indices
+    mcs = max(2, (max(n_colors, 2) - 1).bit_length())
+    data = _gif_lzw_encode(rows.tobytes(), mcs)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_gce_block(disposal: int, delay_cs: int, transparent: int | None) -> bytes:
+    gflags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    return b"\x21\xf9\x04" + struct.pack(
+        "<BHB", gflags, delay_cs, transparent if transparent is not None else 0
+    ) + b"\x00"
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    *,
+    version: str = "89a",
+    interlace: bool = False,
+    local_palette: bool = False,
+    transparent: int | None = None,
+    comment: bytes | None = None,
+) -> bytes:
+    """``(H, W)`` uint8 palette indices + ``(n, 3)`` uint8 palette →
+    GIF bytes (fixture helper — the flavor knobs put every decoder
+    path under test: 87a/89a, sequential/interlaced, global/local
+    color table, optional transparency GCE and comment extension)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if indices.ndim != 2:
+        raise ValueError("expected (H, W) palette indices")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    if version not in ("87a", "89a"):
+        raise ValueError(f"GIF version must be '87a' or '89a', got {version!r}")
+    if (transparent is not None or comment is not None) and version != "89a":
+        raise ValueError("extensions require GIF89a")
+    h, w = indices.shape
+    pal_bytes, size_field = _gif_palette_block(palette)
+    out = bytearray(b"GIF" + version.encode())
+    if local_palette:
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    else:
+        out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+        out += pal_bytes
+    if comment is not None:
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            chunk = comment[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    if transparent is not None:
+        out += _gif_gce_block(0, 0, transparent)
+    out += _gif_image_block(
+        indices,
+        len(palette),
+        interlace=interlace,
+        local_palette=pal_bytes if local_palette else None,
+        local_size_field=size_field,
+    )
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    *,
+    delay_cs: int = 10,
+    disposals: list | None = None,
+    transparents: list | None = None,
+) -> bytes:
+    """Animated GIF89a from full-screen ``(H, W)`` index frames (the
+    animation fixture helper mirroring :func:`encode_avi`)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = np.asarray(frames[0]).shape
+    pal_bytes, size_field = _gif_palette_block(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal_bytes
+    for i, frame in enumerate(frames):
+        frame = np.asarray(frame, dtype=np.uint8)
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share the first frame's geometry")
+        if int(frame.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        disposal = disposals[i] if disposals is not None else 0
+        transparent = transparents[i] if transparents is not None else None
+        out += _gif_gce_block(disposal, delay_cs, transparent)
+        out += _gif_image_block(frame, len(palette))
+    out.append(0x3B)
+    return bytes(out)

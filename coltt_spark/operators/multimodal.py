@@ -426,6 +426,73 @@ def png_image_table(
     return imgs.mapInPandas(kernel, out_schema)
 
 
+def gif_image_table(
+    documents: DataFrame, *, width: int = 5, height: int = 5, n_colors: int = 8
+) -> DataFrame:
+    """Fabricate REAL GIF payloads for the image rows
+    (``doc_id % 3 == 0``): each is ``width×height`` indexed color over
+    an ``n_colors``-entry palette, both drawn from deterministic md5
+    streams — palette RGB bytes from ``md5(text || ':gifpal:0')``,
+    pixel indices from ``md5(text || ':gif:' || block) % n_colors`` —
+    and LZW-compressed through the from-scratch variable-width coder.
+    Rows alternate container flavor (the decode output is identical,
+    the decoder path is not): odd ``doc_id`` INTERLACED, ``doc_id %
+    4 >= 2`` a LOCAL color table, version alternates 87a/89a with a
+    comment extension on the 89a rows (exercising the sub-block skip
+    walk). Third COMPRESSED format through the media seam: the SQL
+    oracle regenerates palette + indices from the hash stream and
+    never sees the GIF bytes, so an LZW / interlace / palette /
+    sub-block bug breaks value parity."""
+    n_px = width * height
+    n_blocks = -(-n_px // 16)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_gif
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pal_raw = b"".join(
+                    hashlib.md5(f"{text}:gifpal:{b}".encode()).digest()
+                    for b in range(-(-n_colors * 3 // 16))
+                )[: n_colors * 3]
+                pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(n_colors, 3)
+                raw = b"".join(
+                    hashlib.md5(f"{text}:gif:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )[:n_px]
+                idx = (
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.uint16) % n_colors
+                ).astype(np.uint8).reshape(height, width)
+                d = int(doc_id)
+                payloads.append(
+                    encode_gif(
+                        idx,
+                        pal,
+                        version="87a" if d % 2 == 0 else "89a",
+                        interlace=bool(d % 2),
+                        local_palette=d % 4 >= 2,
+                        comment=b"flavor probe" if d % 2 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
 def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
     """Fabricate REAL baseline JPEG payloads for the image rows
     (``doc_id % 3 == 0``): each is a ``blocks×blocks`` grid of 8×8

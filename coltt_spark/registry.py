@@ -1463,6 +1463,9 @@ _KEY_ORDER = [
     "collection_search",     # ledger: last driver signal r3
     # -- new in r6 ----------------------------------------------------
     "media_jpeg_features",   # new r6: baseline JPEG through the seam
+    "media_gif_features",    # new r6: LZW GIF through the seam
+    #    (window slot freed by demoting text_lang_id — r4-green,
+    #    lowest-priority in-window — past the boundary)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1499,13 +1502,14 @@ _KEY_ORDER = [
     "dedup_exact",
     "dedup_groups",
     "dedup_ngram_jaccard",
-    "text_lang_id",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 14 remaining r4-green entries
-    # ---- (text_quality .. media_features — oldest signal past the
-    # ---- window; they lead the r7 rotation ledger), then the 47
+    # ---- round. First the 15 r4-green entries (text_lang_id —
+    # ---- demoted mid-r6 to make room for media_gif_features — then
+    # ---- text_quality .. media_features; oldest signal past the
+    # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
+    "text_lang_id",
     "text_quality",
     "doc_fingerprint",
     "pricing_summary",

@@ -11,6 +11,7 @@ from coltt_spark.operators.multimodal import (
     audio_features,
     audio_wav_table,
     extract_features,
+    gif_image_table,
     image_channel_stats,
     jpeg_image_table,
     media_table,
@@ -293,6 +294,68 @@ FROM sums
 """
 
 
+def q_media_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end — the third compressed image format
+    (and the first with a from-scratch entropy coder: variable-width
+    LZW; PNG leans on stdlib zlib): fabricate GIF containers whose
+    5×5 indexed pixels and 8-color palette both come from
+    deterministic md5 streams (``gif_image_table`` — rows alternate
+    87a/89a, sequential/INTERLACED, global/LOCAL color table, with a
+    comment extension on odd rows so the sub-block skip walk is
+    driver-checked), then decode the actual container with the
+    dependency-free LZW decoder and compute per-image channel sums +
+    BT.601 luma. The oracle regenerates palette + indices from the
+    hash stream in SQL — it never sees the GIF bytes — so an LZW /
+    interlace / palette / sub-block bug breaks value parity. LZW is
+    lossless, so decode is bit-exact by construction (round-trip +
+    external-file conformance in tests/test_media_codecs_property.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = image_channel_stats(gif_image_table(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round("luma", 4).alias("luma"),
+    )
+
+
+_ORACLE_MEDIA_GIF_FEATURES = """
+WITH t AS (
+  SELECT doc_id,
+         md5(text || ':gifpal:0') AS p0,
+         md5(text || ':gifpal:1') AS p1,
+         md5(text || ':gif:0') AS i0,
+         md5(text || ':gif:1') AS i1
+  FROM documents
+  WHERE doc_id % 3 = 0
+), g AS (
+  SELECT doc_id,
+         list_transform(range(0, 24), j ->
+           CASE WHEN j < 16 THEN ('0x' || substr(p0, 2*j + 1, 2))::BIGINT
+                ELSE ('0x' || substr(p1, 2*(j - 16) + 1, 2))::BIGINT END) AS pal,
+         list_transform(range(0, 25), p ->
+           CASE WHEN p < 16 THEN ('0x' || substr(i0, 2*p + 1, 2))::BIGINT % 8
+                ELSE ('0x' || substr(i1, 2*(p - 16) + 1, 2))::BIGINT % 8 END) AS idx
+  FROM t
+), sums AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(idx, i -> pal[3*i + 1])) AS BIGINT) AS r_sum,
+         CAST(list_sum(list_transform(idx, i -> pal[3*i + 2])) AS BIGINT) AS g_sum,
+         CAST(list_sum(list_transform(idx, i -> pal[3*i + 3])) AS BIGINT) AS b_sum
+  FROM g
+)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 5 * 5 * 255.0), 4) AS luma
+FROM sums
+"""
+
+
 def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode end-to-end — BOTH container flavors: fabricate
     JPEG containers whose 2×2 grid of DC-only 8×8 blocks carries
@@ -363,6 +426,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_features": q_media_audio_features,
     "media_video_stats": q_media_video_stats,
     "media_png_features": q_media_png_features,
+    "media_gif_features": q_media_gif_features,
     "media_jpeg_features": q_media_jpeg_features,
 }
 
@@ -374,5 +438,6 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_audio_features": _ORACLE_MEDIA_AUDIO_FEATURES,
     "media_video_stats": _ORACLE_MEDIA_VIDEO_STATS,
     "media_png_features": _ORACLE_MEDIA_PNG_FEATURES,
+    "media_gif_features": _ORACLE_MEDIA_GIF_FEATURES,
     "media_jpeg_features": _ORACLE_MEDIA_JPEG_FEATURES,
 }

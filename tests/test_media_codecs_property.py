@@ -777,3 +777,241 @@ def test_png_adam7_interlaced_roundtrip(w, h, seed, kind):
     got = decode_png(payload)
     assert np.array_equal(got, want)
     assert np.array_equal(got, decode_png(sequential))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    n_colors=st.integers(1, 256),
+)
+def test_gif_roundtrip_flavor_matrix(w, h, seed, n_colors):
+    """encode_gif → decode_gif is the identity on palette-mapped
+    pixels across the full flavor matrix: 87a/89a, sequential vs
+    4-pass INTERLACED, global vs LOCAL color table, with a comment
+    extension exercising the sub-block skip walk (LZW is lossless,
+    so parity is exact, unlike JPEG's bounded-error round-trip)."""
+    from coltt_spark.operators.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    for version, interlace, local in (
+        ("87a", False, False),
+        ("89a", True, False),
+        ("89a", False, True),
+        ("87a", True, True),
+    ):
+        payload = encode_gif(
+            idx,
+            pal,
+            version=version,
+            interlace=interlace,
+            local_palette=local,
+            comment=b"skip me \x00\xff" * 40 if version == "89a" else None,
+        )
+        out = decode_gif(payload)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, pal[idx]), (version, interlace, local)
+
+
+def test_gif_lzw_table_growth_and_deferred_clear():
+    """Two LZW edge regimes: (a) a 320×320 256-color noise image
+    drives the table through every width 9→12 and across the
+    4096-entry table-full encoder reset; (b) a hand-built
+    literal-only code stream that keeps emitting AFTER the table
+    fills WITHOUT a Clear — the spec's deferred-clear behavior the
+    repo's own encoder never produces (it resets on full), so this
+    path gets an independent hand-crafted stream."""
+    from coltt_spark.operators.media_codecs import (
+        _gif_lzw_decode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (320, 320), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+    # (b) literal-only stream, replaying the decoder's width rule
+    literals = (np.arange(5000, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code, width):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    width, size = 9, 258  # min_code_size 8: clear=256, eoi=257
+    emit(256, width)
+    for i, lit in enumerate(literals):
+        emit(int(lit), width)
+        if i > 0 and size < 4096:  # decoder defines an entry per code after the first
+            size += 1
+            if size >= (1 << width) and width < 12:
+                width += 1
+    emit(257, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    decoded = _gif_lzw_decode(bytes(out), 8, len(literals))
+    assert np.array_equal(decoded, literals)
+
+
+def test_gif_lzw_kwkwk_and_bad_codes():
+    """The KwKwK case (code == the entry being defined) decodes per
+    spec; a code BEYOND the next undefined entry is structural
+    corruption and raises (GIF has no CRC — bad-code detection is the
+    corruption surface)."""
+    import pytest
+
+    from coltt_spark.operators.media_codecs import _gif_lzw_decode
+
+    # min=2: clear=4, eoi=5. Stream [clear, 1, 6, eoi] at width 3:
+    # code 6 names the entry being defined from prev=1 → output 1,1.
+    bits = 4 | (1 << 3) | (6 << 6) | (5 << 9)
+    data = bytes([bits & 0xFF, (bits >> 8) & 0xFF])
+    assert list(_gif_lzw_decode(data, 2, 3)) == [1, 1, 1]
+    # code 7 skips past the next undefined entry (6) → loud
+    bits = 4 | (1 << 3) | (7 << 6) | (5 << 9)
+    data = bytes([bits & 0xFF, (bits >> 8) & 0xFF])
+    with pytest.raises(ValueError, match="beyond table"):
+        _gif_lzw_decode(data, 2, 3)
+    # first code after clear must be a literal
+    bits = 4 | (6 << 3)
+    with pytest.raises(ValueError, match="not a literal"):
+        _gif_lzw_decode(bytes([bits & 0xFF]), 2, 1)
+
+
+def test_gif_rejects_corruption_and_unsupported_flavors():
+    """Structural corruption fails loudly: bad magic, truncation,
+    missing trailer/palette, out-of-screen rects, pixel-count
+    mismatches, and the unsupported disposal mode."""
+    import pytest
+    import struct as _struct
+
+    from coltt_spark.operators.media_codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_frames,
+    )
+
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    idx = (np.arange(25, dtype=np.uint8) % 8).reshape(5, 5)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF90a" + good[6:])
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        decode_gif(good[:10])
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        decode_gif(good[:-1])
+    # truncate mid color table
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:20])
+    # image rect outside the logical screen: shrink declared screen
+    small = bytearray(good)
+    _struct.pack_into("<HH", small, 6, 4, 4)
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        decode_gif(bytes(small))
+    # no palette anywhere: strip the GCT flag from a global-table file
+    nopal = bytearray(good)
+    nopal[10] &= 0x7F  # clear GCT flag; table bytes now parse as garbage blocks
+    with pytest.raises(ValueError):
+        decode_gif(bytes(nopal))
+    # declared pixel count ≠ LZW output: grow the image descriptor
+    overrun = bytearray(encode_gif(idx, pal, local_palette=True))
+    at = bytes(overrun).find(b"\x2c")
+    _struct.pack_into("<HH", overrun, at + 5, 6, 6)  # claim 6×6
+    _struct.pack_into("<HH", overrun, 6, 6, 6)
+    with pytest.raises(ValueError, match="LZW"):
+        decode_gif(bytes(overrun))
+    with pytest.raises(ValueError, match="restore-previous"):
+        decode_gif_frames(
+            encode_gif_frames([idx, idx], pal, disposals=[0, 3])
+        )
+    with pytest.raises(ValueError, match="palette index"):
+        encode_gif(np.full((2, 2), 9, dtype=np.uint8), pal)
+
+
+def test_gif_transparency_and_animation_compositing():
+    """GCE semantics: a transparent index yields RGBA on single-image
+    decode; animation frames composite transparent pixels over the
+    prior canvas (disposal 0/1) and disposal 2 restores the rect to
+    background before the next frame."""
+    from coltt_spark.operators.media_codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_frames,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+    base = np.ones((4, 4), dtype=np.uint8)
+    overlay = np.full((4, 4), 3, dtype=np.uint8)
+    overlay[1:3, 1:3] = 2  # index 2 will be transparent on frame 2
+    img = decode_gif(encode_gif(overlay, pal, transparent=2))
+    assert img.shape == (4, 4, 4)
+    assert np.array_equal(img[:, :, 3] == 0, overlay == 2)
+    frames, fps = decode_gif_frames(
+        encode_gif_frames(
+            [base, overlay, base],
+            pal,
+            delay_cs=4,
+            disposals=[0, 2, 0],
+            transparents=[None, 2, None],
+        )
+    )
+    assert fps == 25.0 and len(frames) == 3
+    assert np.array_equal(frames[0], pal[base])
+    # frame 2: index-3 ring painted, transparent center shows frame 1
+    expect = pal[overlay].copy()
+    expect[1:3, 1:3] = pal[1]
+    assert np.array_equal(frames[1], expect)
+    # disposal 2 wiped the rect to background (index 0) before frame 3
+    assert np.array_equal(frames[2], pal[base])
+
+
+def test_gif_decodes_externally_encoded_files():
+    """The decoder must accept files from encoders this repo did NOT
+    write: stdlib-shipped icons (interlace/transparency flavors from
+    real-world tools). Channel means are regression pins from the
+    first decode; structural plausibility: plusnode is grayscale
+    (r=g=b), tk is red-dominant."""
+    import os
+
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_gif
+
+    icons = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/idlelib/Icons"
+    if not os.path.isdir(icons):
+        pytest.skip("external GIF fixtures not on this host")
+    img = decode_gif(open(f"{icons}/plusnode.gif", "rb").read())
+    assert img.shape == (11, 11, 4)
+    means = [round(float(img[:, :, c].mean()), 4) for c in range(3)]
+    assert means[0] == means[1] == means[2] == 181.3554, means
+    img = decode_gif(open(f"{icons}/tk.gif", "rb").read())
+    assert img.shape == (11, 14, 4)
+    means = [round(float(img[:, :, c].mean()), 4) for c in range(3)]
+    assert means == [217.3636, 114.7013, 114.7013], means
+    img = decode_gif(open(f"{icons}/python.gif", "rb").read())
+    assert img.shape == (16, 16, 4)
+    means = [round(float(img[:, :, c].mean()), 4) for c in range(3)]
+    assert means == [91.5898, 97.1484, 67.4453], means
+
+
+def test_decode_image_sniffs_gif():
+    from coltt_spark.operators.media_codecs import decode_image, encode_gif
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = (np.arange(6, dtype=np.uint8) % 4).reshape(2, 3)
+    out = decode_image(encode_gif(idx, pal))
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, pal[idx])

@@ -79,6 +79,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     must_check = set(ROTATION_LEDGER_R6) | {
         # new this round (driver has never seen it)
         "media_jpeg_features",
+        "media_gif_features",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -98,8 +99,9 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "upsert_delete", "filter_coercion", "knn_filtered",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine", "dedup_exact", "dedup_groups",
-        "dedup_ngram_jaccard", "text_lang_id",
-        # The 14 remaining r4-green entries (text_quality ..
+        "dedup_ngram_jaccard",
+        # The 15 r4-green entries (text_lang_id — demoted mid-r6 for
+        # media_gif_features' window slot — then text_quality ..
         # media_features) sit FIRST past the boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow
         # (freshest driver signal). Every demoted entry is re-oracled

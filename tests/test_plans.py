@@ -559,3 +559,17 @@ def test_jpeg_pipeline_is_narrow(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     _assert_narrow_media_pipeline(image_channel_stats(jpeg_image_table(docs)))
+
+
+def test_gif_pipeline_is_narrow(spark):
+    """Fabricate-GIF → LZW decode → channel stats keeps the same
+    narrow shape as the PNG/JPEG pipelines: scan → mapInPandas →
+    mapInPandas, zero Exchange — the from-scratch LZW decoder adds
+    CPU inside the Arrow kernel, never cost structure."""
+    from coltt_spark.operators.multimodal import (
+        gif_image_table,
+        image_channel_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(image_channel_stats(gif_image_table(docs)))
