@@ -162,14 +162,119 @@ def _g711_table(law: str) -> np.ndarray:
     return out
 
 
+#: IMA/DVI ADPCM step-size table (the 89-entry table every IMA
+#: implementation shares — verified against stdlib ``audioop``'s
+#: Intel/DVI coder for random nibble streams in tests).
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+#: Step-index adjustment per 4-bit code (sign bit mirrors 0..7).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int) -> np.ndarray:
+    """Run the IMA ADPCM state machine over 4-bit codes → int16
+    samples (a true per-sample recurrence — like the PNG Average/
+    Paeth loops this is the documented pure-Python kernel cost,
+    swappable for C with the container walk unchanged)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, n in enumerate(nibbles):
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[n]))
+    return out
+
+
+def _ima_encode_samples(samples, pred: int, index: int) -> np.ndarray:
+    """IMA ADPCM quantizer (the standard encoder: greedy per-sample
+    code choice, tracking the decoder's reconstruction) → uint8
+    4-bit codes. Bit-identical to stdlib ``audioop.lin2adpcm`` for
+    the same initial state (pinned in tests)."""
+    out = np.empty(len(samples), dtype=np.uint8)
+    for i, s in enumerate(samples):
+        step = _IMA_STEP_TABLE[index]
+        diff = int(s) - pred
+        code = 8 if diff < 0 else 0
+        if code:
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # decoder-mirror reconstruction
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 1:
+            vpdiff += step >> 2
+        pred = pred - vpdiff if code & 8 else pred + vpdiff
+        pred = max(-32768, min(32767, pred))
+        out[i] = code
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[code]))
+    return out
+
+
+def _ima_decode_block(body: bytes, channels: int, spb: int) -> np.ndarray:
+    """One IMA ADPCM block → ``(samples_per_block, channels)`` int16:
+    a 4-byte (predictor, step index) header per channel, then nibble
+    data LOW-nibble-first, interleaved across channels in 4-byte
+    (8-sample) words."""
+    hdr_pred = []
+    hdr_idx = []
+    for c in range(channels):
+        pred, idx, reserved = struct.unpack_from("<hBB", body, 4 * c)
+        if idx > 88 or reserved != 0:
+            raise ValueError("invalid IMA ADPCM block header")
+        hdr_pred.append(pred)
+        hdr_idx.append(idx)
+    data = np.frombuffer(body, dtype=np.uint8, offset=4 * channels)
+    nibbles = np.empty(2 * len(data), dtype=np.uint8)
+    nibbles[0::2] = data & 0x0F  # low nibble first (IMA WAV order)
+    nibbles[1::2] = data >> 4
+    out = np.empty((spb, channels), dtype=np.int16)
+    for c in range(channels):
+        # channel c owns nibbles in 8-sample words: word w covers
+        # nibble positions (w*channels + c)*8 .. +8
+        words = nibbles.reshape(-1, 8)[c::channels].reshape(-1)
+        out[0, c] = hdr_pred[c]
+        out[1:, c] = _ima_decode_nibbles(words[: spb - 1], hdr_pred[c], hdr_idx[c])
+    return out
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload → ``(int16 samples, sample_rate)``;
     mono yields a 1-D array, stereo ``(n, 2)`` interleaved frames.
 
-    Supported encodings: uncompressed PCM (format tag 1, 16-bit) and
+    Supported encodings: uncompressed PCM (format tag 1, 16-bit),
     G.711 companded telephony audio (tags 6 A-law / 7 μ-law, 8-bit —
-    the first COMPRESSED audio formats in this family, expanded to
-    linear int16 through the spec tables). Walks the chunk list
+    expanded to linear int16 through the spec tables), and IMA ADPCM
+    (tag 0x11, 4-bit — the block-structured PREDICTIVE compressed
+    format: per-block state headers + the 89-step quantizer state
+    machine, verified against stdlib ``audioop`` in tests). Walks
+    the chunk list
     (chunks pad to even offsets per RIFF), so extra chunks
     (LIST/INFO, fact) before ``data`` are fine. Raises ValueError on
     any other flavor — loud beats silently-wrong samples."""
@@ -185,9 +290,34 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     if len(fmt) < 16:
         raise ValueError("short WAV fmt chunk")
-    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
     if channels not in (1, 2):
         raise ValueError(f"unsupported WAV channel count {channels}")
+    if audio_fmt == 0x11 and bits == 4:
+        # IMA ADPCM (the block-structured 4-bit compressed telephony/
+        # game-audio format): per-block (predictor, step index)
+        # headers reset the state machine, so blocks decode
+        # independently — the seekable-block property real decoders
+        # rely on. A short final block just carries fewer samples.
+        if block_align <= 4 * channels or block_align % 4:
+            raise ValueError(f"invalid IMA ADPCM block align {block_align}")
+        parts = []
+        for at in range(0, len(data), block_align):
+            body = data[at : at + block_align]
+            if len(body) <= 4 * channels or (len(body) - 4 * channels) % (
+                4 * channels
+            ):
+                raise ValueError("truncated IMA ADPCM block")
+            n = (len(body) - 4 * channels) * 2 // channels + 1
+            parts.append(_ima_decode_block(body, channels, n))
+        if not parts:
+            raise ValueError("IMA ADPCM data chunk is empty")
+        samples = np.concatenate(parts, axis=0)
+        if channels == 1:
+            samples = samples[:, 0]
+        return samples, int(rate)
     if audio_fmt == 1 and bits == 16:
         if len(data) % (2 * channels):
             raise ValueError("WAV data size not a whole number of frames")
@@ -246,6 +376,80 @@ def encode_wav_g711(codes: np.ndarray, rate: int, *, law: str = "mu") -> bytes:
     return _wav_container(
         arr.tobytes(), rate, tag=7 if law == "mu" else 6, channels=channels, bits=8
     )
+
+
+def encode_wav_ima(
+    samples: np.ndarray, rate: int, *, block_align: int = 256
+) -> bytes:
+    """int16 samples — 1-D mono or (n, 2) stereo — → RIFF/WAVE IMA
+    ADPCM bytes (format tag 0x11, fixture helper). Each block stores
+    its first sample verbatim in the header and quantizes the rest
+    through the IMA state machine (step index carried across blocks,
+    as real encoders do). The nibble data must fill whole 4-byte
+    words per channel, so the FINAL block pads by repeating the last
+    sample — decode returns the padded length; callers slice."""
+    arr = np.asarray(samples, dtype=np.int16)
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if arr.ndim > 2 or channels not in (1, 2):
+        raise ValueError("expected (n,) mono or (n, 2) stereo int16 samples")
+    if block_align <= 4 * channels or block_align % 4:
+        raise ValueError(f"invalid IMA ADPCM block align {block_align}")
+    if len(arr) == 0:
+        raise ValueError("cannot encode an empty sample array")
+    arr = arr.reshape(len(arr), channels)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    index = [0] * channels
+    blocks = []
+    for at in range(0, len(arr), spb):
+        chunk = arr[at : at + spb]
+        n = len(chunk)
+        # pad the nibble payload (n-1 samples) to whole 8-sample words
+        n_nib = -(-max(n - 1, 0) // 8) * 8 if n > 1 else 8
+        hdr = bytearray()
+        lanes = []
+        for c in range(channels):
+            pred = int(chunk[0, c])
+            hdr += struct.pack("<hBB", pred, index[c], 0)
+            tail = chunk[1:, c].astype(np.int64)
+            padded = np.concatenate(
+                [tail, np.full(n_nib - len(tail), int(chunk[-1, c]), np.int64)]
+            )
+            codes = _ima_encode_samples(padded, pred, index[c])
+            # carry the post-block state: replay index updates
+            idx = index[c]
+            for code in codes:
+                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[code]))
+            index[c] = idx
+            lanes.append(codes.reshape(-1, 8))
+        # interleave channels in 8-nibble words, pack low nibble first
+        words = np.empty((lanes[0].shape[0] * channels, 8), dtype=np.uint8)
+        for c in range(channels):
+            words[c::channels] = lanes[c]
+        flat = words.reshape(-1)
+        data = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+        blocks.append(bytes(hdr) + data.tobytes())
+    body = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        channels,
+        rate,
+        rate * block_align // spb,  # nominal average byte rate
+        block_align,
+        4,
+        2,  # cbSize
+        spb,  # wSamplesPerBlock extension field
+    )
+    payload = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
