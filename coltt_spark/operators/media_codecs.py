@@ -570,6 +570,18 @@ def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Sniff the magic and decode a video/animation container →
+    ``(frames, fps)``: RIFF/AVI (uncompressed DIB frames) or animated
+    GIF (LZW frames composited per the Graphic Control Extensions) —
+    the video-seam sibling of :func:`decode_image`."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)
+    if payload[:6] in _GIF_MAGICS:
+        return decode_gif_frames(payload)
+    raise ValueError("unknown video magic")
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary PPM bytes (test fixture helper)."""
     h, w, _ = img.shape

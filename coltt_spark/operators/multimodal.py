@@ -225,11 +225,17 @@ def video_avi_table(
     (``doc_id % 3 == 2``, matching :func:`media_table`'s round-robin):
     each of ``n_frames`` frames is ``width×height`` RGB with pixel
     bytes from ``md5(text || ':' || frame || ':' || block)`` digests
-    (16 bytes per digest, row-major RGB), packed as uncompressed
-    24-bit DIB chunks. Deterministic, so a SQL oracle regenerates the
-    PIXELS from the hash stream while the Spark path must decode the
-    actual container — any header/row-order/channel-order bug in the
-    codec breaks value parity."""
+    (16 bytes per digest, row-major RGB). Rows alternate CONTAINER
+    flavor for the same pixels: even ``doc_id`` packs uncompressed
+    24-bit DIB chunks in an AVI, odd ``doc_id`` quantizes the frames'
+    distinct colors into a shared palette (≤ width·height·n_frames ≤
+    256 entries) and emits an animated GIF89a (LZW frames + per-frame
+    Graphic Control Extensions) — so the driver-checked video entry
+    exercises BOTH decoders of the :func:`decode_video` dispatch
+    against one oracle. Deterministic, so a SQL oracle regenerates
+    the PIXELS from the hash stream while the Spark path must decode
+    the actual container — any header/row-order/channel-order/LZW
+    bug in either codec breaks value parity."""
     n_bytes = width * height * 3
     n_blocks = -(-n_bytes // 16)  # ceil
     out_schema = T.StructType(
@@ -244,13 +250,13 @@ def video_avi_table(
 
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import encode_avi
+        from coltt_spark.operators.media_codecs import encode_avi, encode_gif_frames
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 frames = []
                 for f in range(n_frames):
                     raw = b"".join(
@@ -260,7 +266,27 @@ def video_avi_table(
                     frames.append(
                         np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
                     )
-                payloads.append(encode_avi(frames, fps))
+                # same pixels, GIF flavor on odd rows: shared palette
+                # of the frames' distinct colors, one LZW image per
+                # frame (GIF caps palettes at 256 — larger geometries
+                # keep the AVI container)
+                palette = inverse = None
+                if int(doc_id) % 2:
+                    stack = np.stack(frames).reshape(-1, 3)
+                    palette, inverse = np.unique(
+                        stack, axis=0, return_inverse=True
+                    )
+                if palette is not None and len(palette) <= 256:
+                    idx_frames = list(
+                        inverse.astype(np.uint8).reshape(n_frames, height, width)
+                    )
+                    payloads.append(
+                        encode_gif_frames(
+                            idx_frames, palette, delay_cs=round(100 / fps)
+                        )
+                    )
+                else:
+                    payloads.append(encode_avi(frames, fps))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     vids = documents.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
@@ -275,8 +301,9 @@ def video_frame_stats(videos: DataFrame, *, decoder=None) -> DataFrame:
     per decoded frame.
 
     ``decoder`` is the injection seam, ``(payload: bytes) ->
-    (frames, fps)``; the default is the REAL dependency-free AVI/DIB
-    decoder (:func:`coltt_spark.operators.media_codecs.decode_avi`).
+    (frames, fps)``; the default is the REAL dependency-free
+    magic-sniffing dispatch over AVI/DIB and animated GIF
+    (:func:`coltt_spark.operators.media_codecs.decode_video`).
     Channel sums are exact integers, and luma is derived from them
     with integer BT.601 weights (299/587/114 per mille), so the
     doubles agree across engines regardless of pixel iteration
@@ -285,9 +312,9 @@ def video_frame_stats(videos: DataFrame, *, decoder=None) -> DataFrame:
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import decode_avi
+        from coltt_spark.operators.media_codecs import decode_video
 
-        decode = decoder if decoder is not None else decode_avi
+        decode = decoder if decoder is not None else decode_video
         cols = ("doc_id", "frame_idx", "width", "height", "r_sum", "g_sum", "b_sum", "luma")
         for pdf in batches:
             if len(pdf) == 0:

@@ -194,15 +194,20 @@ FROM s
 
 
 def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video decode end-to-end: fabricate AVI containers whose
-    4×4 RGB frames come from a deterministic md5 pixel stream
-    (``video_avi_table``), then decode the actual container with the
-    dependency-free AVI/DIB codec and compute per-frame channel sums +
-    BT.601 luma (the black-frame / flat-frame gating stats). The
-    oracle regenerates the PIXELS from the hash stream in SQL — it
-    never sees the AVI bytes — so a header/row-order/channel-order bug
-    in the codec breaks value parity. Sums are exact integers; luma
-    uses integer per-mille weights, so doubles agree across engines."""
+    """REAL video decode end-to-end — BOTH container flavors:
+    fabricate containers whose 4×4 RGB frames come from a
+    deterministic md5 pixel stream (``video_avi_table`` — even
+    doc_ids pack uncompressed DIB chunks in an AVI, odd doc_ids
+    palette-quantize the same pixels into an animated GIF89a), then
+    decode the actual container through the magic-sniffing
+    ``decode_video`` dispatch (AVI chunk walk / GIF LZW + GCE
+    compositing) and compute per-frame channel sums + BT.601 luma
+    (the black-frame / flat-frame gating stats). The oracle
+    regenerates the PIXELS from the hash stream in SQL — it never
+    sees the container bytes — so a header/row-order/channel-order/
+    LZW bug in either codec breaks value parity. Sums are exact
+    integers; luma uses integer per-mille weights, so doubles agree
+    across engines."""
     docs = load_table(spark, sf_dir, "documents")
     stats = video_frame_stats(video_avi_table(docs))
     return stats.select(

@@ -1120,3 +1120,30 @@ def test_audio_decoder_accepts_ima_adpcm():
     v = audio_decoder(encode_wav_ima(x, 8000), 16)
     assert v.shape == (16,) and v.dtype == np.float32
     assert float(np.abs(v).max()) <= 1.0
+
+
+def test_decode_video_dispatch_avi_and_gif_agree():
+    """The video seam's magic-sniffing dispatch: the SAME frames
+    packed as uncompressed AVI/DIB and as a palette-quantized
+    animated GIF decode to identical pixel arrays and fps."""
+    from coltt_spark.operators.media_codecs import (
+        decode_video,
+        encode_avi,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(3)]
+    stack = np.stack(frames).reshape(-1, 3)
+    palette, inverse = np.unique(stack, axis=0, return_inverse=True)
+    idx = list(inverse.astype(np.uint8).reshape(3, 6, 5))
+    a_frames, a_fps = decode_video(encode_avi(frames, 5.0))
+    g_frames, g_fps = decode_video(encode_gif_frames(idx, palette, delay_cs=20))
+    assert a_fps == g_fps == 5.0
+    assert len(a_frames) == len(g_frames) == 3
+    for fa, fg, orig in zip(a_frames, g_frames, frames):
+        assert np.array_equal(fa, orig) and np.array_equal(fg, orig)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown video magic"):
+        decode_video(b"\x00" * 32)
