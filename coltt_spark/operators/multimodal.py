@@ -111,13 +111,19 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000) -> DataFrame:
     """Fabricate REAL RIFF/WAVE payloads for the audio rows
-    (``doc_id % 3 == 1``, matching :func:`media_table`'s round-robin):
+    (``doc_id % 3 == 1``, matching :func:`media_table`'s round-robin),
+    alternating ENCODING flavor per row: odd ``doc_id`` is PCM16 —
     ``8 * n_blocks`` int16 samples taken as big-endian pairs of
-    ``md5(text || ':' || block)`` digest bytes, wrapped in a PCM16
-    mono container. Deterministic by construction, so a SQL oracle
-    regenerates the SAMPLES from the same hash stream while the Spark
-    path must decode the actual container bytes — any header/offset/
-    endianness bug in the decoder breaks value parity."""
+    ``md5(text || ':' || block)`` digest bytes — while even
+    ``doc_id`` stores ``8 * n_blocks`` G.711 companded CODES from
+    ``md5(text || ':g711:' || block)`` digest bytes (μ-law when
+    ``doc_id % 4 == 0``, A-law otherwise), so the driver-checked
+    audio entry exercises the compressed-telephony decode path too.
+    Deterministic by construction, so a SQL oracle regenerates the
+    SAMPLES from the same hash stream (replaying the G.711 expansion
+    formulas in integer SQL) while the Spark path must decode the
+    actual container bytes — any header/offset/endianness/companding
+    bug in the decoder breaks value parity."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -130,20 +136,34 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
 
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import encode_wav
+        from coltt_spark.operators.media_codecs import encode_wav, encode_wav_g711
 
+        n_codes = 8 * n_blocks
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             payloads = []
-            for text in pdf["text"]:
-                raw = b"".join(
-                    hashlib.md5(f"{text}:{b}".encode()).digest()
-                    for b in range(n_blocks)
-                )
-                # big-endian pairs == the '0x'||substr(hex,4i+1,4) parse
-                samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
-                payloads.append(encode_wav(samples, rate))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                if d % 2:
+                    raw = b"".join(
+                        hashlib.md5(f"{text}:{b}".encode()).digest()
+                        for b in range(n_blocks)
+                    )
+                    # big-endian pairs == the '0x'||substr(hex,4i+1,4) parse
+                    samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
+                    payloads.append(encode_wav(samples, rate))
+                else:
+                    raw = b"".join(
+                        hashlib.md5(f"{text}:g711:{b}".encode()).digest()
+                        for b in range(-(-n_codes // 16))
+                    )[:n_codes]
+                    codes = np.frombuffer(raw, dtype=np.uint8)
+                    payloads.append(
+                        encode_wav_g711(
+                            codes, rate, law="mu" if d % 4 == 0 else "a"
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")

@@ -144,18 +144,22 @@ WHERE doc_id % 3 = 2
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end: fabricate RIFF/WAVE PCM16 mono
-    payloads whose samples come from a deterministic md5 stream
-    (``audio_wav_table``), then decode the actual container bytes with
-    the dependency-free WAV decoder and compute the quality stats an
-    audio pipeline filters on (RMS / zero-crossing rate / peak /
-    duration). The oracle regenerates the SAMPLES from the same hash
-    stream in SQL — it never sees the WAV bytes — so a header/offset/
-    endianness bug in the decoder breaks value parity. Every stat
-    derives from exact integer aggregates, so the doubles agree across
-    engines bit-for-bit before rounding (reference scope stops at
-    opaque blobs; this is engine-side plumbing a training pipeline
-    needs — same posture as `media_features`)."""
+    """REAL audio decode end-to-end — BOTH encoding flavors: fabricate
+    RIFF/WAVE payloads whose samples come from a deterministic md5
+    stream (``audio_wav_table`` — odd doc_ids PCM16, even doc_ids
+    G.711 companded codes, μ-law/A-law alternating), then decode the
+    actual container bytes with the dependency-free WAV decoder and
+    compute the quality stats an audio pipeline filters on (RMS /
+    zero-crossing rate / peak / duration). The oracle regenerates the
+    SAMPLES from the hash stream in SQL — replaying the G.711
+    expansion formulas in integer arithmetic, bit-identical to the
+    Python tables for all 256 codes — and never sees the WAV bytes,
+    so a header/offset/endianness/companding bug in the decoder
+    breaks value parity. Every stat derives from exact integer
+    aggregates, so the doubles agree across engines bit-for-bit
+    before rounding (reference scope stops at opaque blobs; this is
+    engine-side plumbing a training pipeline needs — same posture as
+    `media_features`)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = audio_features(audio_wav_table(docs))
     return feats.select(
@@ -169,15 +173,47 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_MEDIA_AUDIO_FEATURES = """
+#: G.711 expansions replayed in integer SQL (bit-identical to the
+#: Python tables for all 256 codes — asserted in tests): μ-law
+#: inverts the code, rebuilds mantissa<<3 + bias under the segment
+#: shift, and subtracts the bias; A-law XORs 0x55 and switches on
+#: the segment. ``x`` is the companded code byte.
+_DD_G711_MU = """
+      CASE WHEN (255 - x) >= 128
+           THEN 132 - ((((255 - x) % 16) * 8 + 132) * (1 << (((255 - x) // 16) % 8)))
+           ELSE ((((255 - x) % 16) * 8 + 132) * (1 << (((255 - x) // 16) % 8))) - 132
+      END"""
+
+_DD_G711_ALAW_MAG = """
+      CASE ((xor(x, 85) // 16) % 8)
+        WHEN 0 THEN (xor(x, 85) % 16) * 16 + 8
+        WHEN 1 THEN (xor(x, 85) % 16) * 16 + 264
+        ELSE ((xor(x, 85) % 16) * 16 + 264) * (1 << (((xor(x, 85) // 16) % 8) - 1))
+      END"""
+
+#: the per-row G.711 code stream: 32 bytes over two digests
+_DD_G711_CODES = (
+    "list_transform(range(0, 32), i -> ('0x' || substr("
+    "md5(text || ':g711:' || CAST(i // 16 AS VARCHAR)), 2*(i % 16) + 1, 2))::BIGINT)"
+)
+
+_ORACLE_MEDIA_AUDIO_FEATURES = f"""
 WITH s AS (
   SELECT doc_id,
-         flatten(list_transform(range(0, 4), b ->
-           list_transform(range(0, 8), i ->
-             CASE WHEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT >= 32768
-                  THEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT - 65536
-                  ELSE ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT
-             END))) AS l
+         CASE WHEN doc_id % 2 = 1 THEN
+           flatten(list_transform(range(0, 4), b ->
+             list_transform(range(0, 8), i ->
+               CASE WHEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT >= 32768
+                    THEN ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT - 65536
+                    ELSE ('0x' || substr(md5(text || ':' || CAST(b AS VARCHAR)), 4*i + 1, 4))::BIGINT
+               END)))
+         WHEN doc_id % 4 = 0 THEN
+           list_transform({_DD_G711_CODES}, x -> {_DD_G711_MU})
+         ELSE
+           list_transform({_DD_G711_CODES}, x ->
+             CASE WHEN xor(x, 85) >= 128 THEN {_DD_G711_ALAW_MAG}
+                  ELSE -({_DD_G711_ALAW_MAG}) END)
+         END AS l
   FROM documents
   WHERE doc_id % 3 = 1
 )

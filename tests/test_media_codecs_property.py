@@ -1147,3 +1147,30 @@ def test_decode_video_dispatch_avi_and_gif_agree():
 
     with pytest.raises(ValueError, match="unknown video magic"):
         decode_video(b"\x00" * 32)
+
+
+def test_g711_sql_expansion_matches_tables_for_all_codes():
+    """The oracle's integer-SQL G.711 expansions (registry_media)
+    are bit-identical to the decoder's expansion tables for ALL 256
+    codes × both laws — the claim that lets the driver value-check
+    companded audio without the oracle ever seeing WAV bytes."""
+    import duckdb
+
+    from coltt_spark.operators.media_codecs import _g711_table
+    from coltt_spark.registry_media import _DD_G711_ALAW_MAG, _DD_G711_MU
+
+    con = duckdb.connect()
+    mu = np.array(
+        con.sql(
+            f"SELECT list_transform(range(0, 256), x -> {_DD_G711_MU})"
+        ).fetchone()[0]
+    )
+    alaw = np.array(
+        con.sql(
+            "SELECT list_transform(range(0, 256), x -> "
+            f"CASE WHEN xor(x, 85) >= 128 THEN {_DD_G711_ALAW_MAG} "
+            f"ELSE -({_DD_G711_ALAW_MAG}) END)"
+        ).fetchone()[0]
+    )
+    assert np.array_equal(mu, _g711_table("mu").astype(np.int64))
+    assert np.array_equal(alaw, _g711_table("a").astype(np.int64))
