@@ -1466,6 +1466,8 @@ _KEY_ORDER = [
     "media_gif_features",    # new r6: LZW GIF through the seam
     #    (window slot freed by demoting text_lang_id — r4-green,
     #    lowest-priority in-window — past the boundary)
+    "format_roundtrip",      # new r6: CSV+ORC interchange round-trip
+    #    (slot freed by demoting dedup_ngram_jaccard, same rule)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1501,14 +1503,15 @@ _KEY_ORDER = [
     "neardup_cosine",
     "dedup_exact",
     "dedup_groups",
-    "dedup_ngram_jaccard",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 15 r4-green entries (text_lang_id —
-    # ---- demoted mid-r6 to make room for media_gif_features — then
+    # ---- round. First the 16 r4-green entries (dedup_ngram_jaccard
+    # ---- and text_lang_id — demoted mid-r6 to make room for
+    # ---- format_roundtrip / media_gif_features — then
     # ---- text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
+    "dedup_ngram_jaccard",
     "text_lang_id",
     "text_quality",
     "doc_fingerprint",

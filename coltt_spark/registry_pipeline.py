@@ -290,6 +290,70 @@ FROM agg
 
 
 
+_FORMAT_CACHE: dict = {}
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format round-trip through Spark's OTHER tabular
+    sources — CSV and ORC — with the text column deliberately made
+    CSV-HOSTILE first (embedded comma, double quote, and a real
+    newline appended), so the writer's quoting, the reader's
+    multiLine record splitting, and the RFC-4180 doubled-quote escape
+    are all load-bearing: documents → CSV shard dir (header, quoted,
+    escape='\"') → read back with an explicit schema → ORC → read
+    back. The output proves byte-level text fidelity (md5 of the
+    stressed text), column fidelity, and row completeness; the
+    oracle derives the same md5 from the original table, so a
+    quoting/escape/record-splitting bug in either hop breaks value
+    parity (the JSONL sibling is ``jsonl_roundtrip``)."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _FORMAT_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        stressed = docs.select(
+            "doc_id",
+            F.concat("text", F.lit(',"'), F.lit("\n"), "lang").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        csv_path = scratch_dir(prefix="coltt_csv_")
+        (
+            stressed.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(csv_path)
+        )
+        back_csv = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(csv_path)
+        )
+        orc_path = scratch_dir(prefix="coltt_orc_")
+        back_csv.write.mode("overwrite").orc(orc_path)
+        _FORMAT_CACHE[sf_dir] = orc_path
+    back = spark.read.orc(_FORMAT_CACHE[sf_dir])
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+_ORACLE_FORMAT_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars,
+       md5(text || ',"' || chr(10) || lang) AS text_md5
+FROM documents
+"""
+
+
 _JSONL_CACHE: dict = {}
 
 
@@ -480,6 +544,7 @@ FROM dirty
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "format_roundtrip": q_format_roundtrip,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -495,6 +560,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "format_roundtrip": _ORACLE_FORMAT_ROUNDTRIP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bloom": _bloom_oracle(),
