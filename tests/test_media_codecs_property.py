@@ -1174,3 +1174,56 @@ def test_g711_sql_expansion_matches_tables_for_all_codes():
     )
     assert np.array_equal(mu, _g711_table("mu").astype(np.int64))
     assert np.array_equal(alaw, _g711_table("a").astype(np.int64))
+
+
+@settings(max_examples=120, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_gif_any_single_byte_flip_is_total(seed, pos_frac):
+    """Corruption totality for the second CRC-less container: GIF
+    cannot promise detection (a flipped palette byte decodes to
+    different colors, legitimately), but a flip must NEVER escape as
+    anything other than a clean decode or a ValueError — no
+    IndexError / struct.error / infinite LZW loop from block-walk or
+    code-table corruption."""
+    from coltt_spark.operators.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 9), dtype=np.uint8)
+    payload = bytearray(
+        encode_gif(
+            idx,
+            pal,
+            version="89a",
+            interlace=bool(seed % 2),
+            local_palette=bool(seed % 3 == 0),
+            comment=b"x" * 20,
+        )
+    )
+    pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    try:
+        out = decode_gif(bytes(payload))
+        assert out.ndim == 3 and out.shape[2] in (3, 4)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_wav_ima_any_single_byte_flip_is_total(seed, pos_frac):
+    """Corruption totality for IMA ADPCM WAV: a flipped nibble byte
+    decodes to different samples (legitimately — no CRC), but a flip
+    must never escape as anything but a clean decode or ValueError."""
+    from coltt_spark.operators.media_codecs import decode_wav, encode_wav_ima
+
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(300) * 8000).astype(np.int16)
+    payload = bytearray(encode_wav_ima(x, 8000, block_align=64))
+    pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    try:
+        samples, rate = decode_wav(bytes(payload))
+        assert samples.dtype == np.int16
+    except ValueError:
+        pass
