@@ -114,6 +114,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         img = decode_png(payload)
     elif payload[:6] in _GIF_MAGICS:
         img = decode_gif(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(payload)
     elif payload[:2] == b"\xff\xd8":
         img = decode_jpeg(payload)
     if img is not None:
@@ -2730,4 +2732,463 @@ def encode_gif_frames(
         out += _gif_gce_block(disposal, delay_cs, transparent)
         out += _gif_image_block(frame, len(palette))
     out.append(0x3B)
+    return bytes(out)
+
+
+# -- TIFF (tag-directory container — the scanned-document format) -----
+#
+# Fourth compressed image format through the media seam. TIFF's LZW
+# is a DIFFERENT dialect from GIF's: MSB-first bit packing, fixed
+# 8-bit symbols (Clear=256, EOI=257, first entry 258), and the
+# "early change" rule — the code width grows one code EARLIER than
+# the table arithmetic suggests (at 510/1022/2046, per the spec's
+# long-standing off-by-one that every real encoder follows). Also
+# PackBits RLE, the horizontal-differencing predictor, gray
+# (both WhiteIsZero and BlackIsZero), RGB, RGBA (ExtraSamples),
+# palette via 16-bit ColorMap, multi-strip layout, and both byte
+# orders (II/MM).
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> np.ndarray:
+    """TIFF-dialect LZW decode → exactly ``expected`` bytes: MSB-first
+    bit packing, 9→12-bit codes with the EARLY-CHANGE width rule
+    (grow when the NEXT entry index would be ``(1 << width) - 1``),
+    KwKwK, and deferred-clear behavior at a full table."""
+    clear, eoi = 256, 257
+    singles = [bytes([i]) for i in range(256)]
+
+    def fresh() -> list:
+        return singles + [None, None]
+
+    table = fresh()
+    width = 9
+    prev: bytes | None = None
+    out: list[bytes] = []
+    produced = 0
+    buf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream ran dry before EOI")
+            buf = (buf << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("TIFF LZW first code after clear is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table) < 4096:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} beyond table size {len(table)}")
+        out.append(entry)
+        produced += len(entry)
+        if produced > expected:
+            raise ValueError("TIFF LZW output overruns the strip size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        prev = entry
+    if produced != expected:
+        raise ValueError(
+            f"TIFF LZW produced {produced} bytes, strip declares {expected}"
+        )
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-dialect LZW encode — mirrors :func:`_tiff_lzw_decode` by
+    replaying the decoder's table-size state machine (with the
+    early-change offset), the same by-construction width-sync
+    technique as the GIF coder. Emits Clear at the spec's 4094-entry
+    point so the decoder never sees a stuck full table."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = fresh()
+    width = 9
+    size = 258
+    pending = False
+    emit(clear, width)
+
+    def after_emit() -> None:
+        nonlocal size, width, pending
+        if pending and size < 4096:
+            size += 1
+            if size >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        pending = True
+
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        after_emit()
+        if next_code < 4094:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, next_code = fresh()
+            width = 9
+            size = 258
+            pending = False
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+        after_emit()
+    emit(eoi, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> np.ndarray:
+    """Apple PackBits RLE decode → exactly ``expected`` bytes
+    (n ≤ 127: copy n+1 literals; n ≥ 129 as signed −1..−127: repeat
+    the next byte 1−n times; 128 is a no-op)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("PackBits stream ran dry")
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits produced {len(out)} bytes, strip declares {expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode (fixture helper): greedy runs ≥ 3 become
+    repeats, everything else literal chunks of ≤ 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        chunk = data[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
+def _tiff_read_ifd(buf: bytes, bo: str, off: int) -> dict:
+    """Read the IFD at ``off`` → ``{tag: [values]}`` (BYTE/ASCII/
+    SHORT/LONG read as ints, RATIONAL as (num, den) pairs); values
+    inline when they fit the 4-byte slot, else at the stored offset."""
+    if off + 2 > len(buf):
+        raise ValueError("truncated TIFF IFD")
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    tags: dict = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        if base + 12 > len(buf):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, base)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown value type: skip per spec
+        total = size * cnt
+        if total <= 4:
+            at = base + 8
+        else:
+            (at,) = struct.unpack_from(bo + "I", buf, base + 8)
+        if at + total > len(buf):
+            raise ValueError(f"TIFF tag {tag} values out of bounds")
+        if typ == 3:
+            vals = list(struct.unpack_from(bo + f"{cnt}H", buf, at))
+        elif typ == 4:
+            vals = list(struct.unpack_from(bo + f"{cnt}I", buf, at))
+        elif typ == 5:
+            raw = struct.unpack_from(bo + f"{2 * cnt}I", buf, at)
+            vals = [(raw[2 * j], raw[2 * j + 1]) for j in range(cnt)]
+        else:  # BYTE / ASCII
+            vals = list(buf[at : at + total])
+        tags[tag] = vals
+    return tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF — the scanned-document/archival
+    container, and the fourth compressed image format in this family
+    (its LZW is a different DIALECT from GIF's: MSB-first packing,
+    early-change width growth) — → ``(H, W)`` grayscale,
+    ``(H, W, 3)`` RGB/palette, or ``(H, W, 4)`` RGBA. Both byte
+    orders (II/MM); compression 1 (none), 5 (LZW), 32773 (PackBits);
+    horizontal-differencing predictor; multi-strip layout;
+    photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero), 2
+    (RGB/RGBA with ExtraSamples), 3 (palette via the 16-bit
+    ColorMap, channel-major, high byte). 8-bit samples, chunky
+    planar config, first IFD only; anything else raises — loud beats
+    silently-wrong pixels."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    tags = _tiff_read_ifd(payload, bo, ifd_off)
+
+    def one(tag: int, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return tags[tag][0]
+
+    w = int(one(256))
+    h = int(one(257))
+    spp = int(one(277, 1))
+    bits = tags.get(258, [8])
+    comp = int(one(259, 1))
+    photo = int(one(262))
+    predictor = int(one(317, 1))
+    planar = int(one(284, 1))
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TIFF dimensions {w}x{h}")
+    if (
+        any(b != 8 for b in bits)
+        or len(bits) != spp
+        or planar != 1
+        or predictor not in (1, 2)
+        or comp not in (1, 5, 32773)
+        or spp not in (1, 3, 4)
+        or photo not in (0, 1, 2, 3)
+        or (photo in (0, 1, 3) and spp != 1)
+        or (photo == 2 and spp not in (3, 4))
+    ):
+        raise ValueError(
+            f"unsupported TIFF (photometric={photo}, spp={spp}, "
+            f"bits={bits}, compression={comp}, planar={planar})"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rps = int(one(278, h))
+    if rps <= 0:
+        raise ValueError(f"invalid TIFF RowsPerStrip {rps}")
+    if len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip count does not match RowsPerStrip")
+    rows = []
+    for s, (at, cnt) in enumerate(zip(offsets, counts)):
+        if at + cnt > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        nrows = min(rps, h - s * rps)
+        expected = nrows * w * spp
+        raw = payload[at : at + cnt]
+        if comp == 1:
+            if cnt != expected:
+                raise ValueError("TIFF uncompressed strip size mismatch")
+            strip = np.frombuffer(raw, dtype=np.uint8)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(raw, expected)
+        else:
+            strip = _packbits_decode(raw, expected)
+        strip = strip.reshape(nrows, w, spp)
+        if predictor == 2:  # horizontal differencing: undo via cumsum
+            strip = np.cumsum(strip, axis=1, dtype=np.uint64).astype(np.uint8)
+        rows.append(strip)
+    img = np.concatenate(rows, axis=0)
+    if photo == 2:
+        return img  # RGB or RGBA (ExtraSamples alpha passes through)
+    img = img[:, :, 0]
+    if photo == 0:  # WhiteIsZero
+        return (255 - img).astype(np.uint8)
+    if photo == 1:
+        return img
+    cmap = tags.get(320)
+    if not cmap or len(cmap) != 3 * 256:
+        raise ValueError("palette TIFF missing/malformed ColorMap")
+    pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(np.uint8)
+    return pal[img]
+
+
+def encode_tiff(
+    img: np.ndarray,
+    *,
+    compression: str = "none",
+    byte_order: str = "<",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """``(H, W)`` gray / ``(H, W)`` indices + ``palette`` /
+    ``(H, W, 3|4)`` uint8 → TIFF bytes (fixture helper — flavor knobs
+    cover compression none/lzw/packbits, II/MM byte order, the
+    horizontal-differencing predictor, strip splitting, WhiteIsZero,
+    and palette color via the 16-bit ColorMap)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    bo = byte_order
+    if palette is not None:
+        if img.ndim != 2:
+            raise ValueError("palette TIFF takes (H, W) indices")
+        photo, spp = 3, 1
+    elif img.ndim == 2:
+        photo = 1 if photometric is None else photometric
+        if photo not in (0, 1):
+            raise ValueError("grayscale photometric must be 0 or 1")
+        spp = 1
+        if photo == 0:
+            img = (255 - img).astype(np.uint8)
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        photo, spp = 2, img.shape[2]
+    else:
+        raise ValueError("expected (H, W), (H, W, 3) or (H, W, 4) uint8")
+    h, w = img.shape[:2]
+    rps = rows_per_strip if rows_per_strip is not None else h
+    pix = img.reshape(h, w, spp)
+    strips = []
+    for s in range(-(-h // rps)):
+        strip = pix[s * rps : (s + 1) * rps]
+        if predictor == 2:  # first column verbatim, then differences
+            strip = np.diff(
+                strip.astype(np.int16),
+                axis=1,
+                prepend=np.zeros((strip.shape[0], 1, spp), dtype=np.int16),
+            ).astype(np.uint8)
+        raw = strip.tobytes()
+        if compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [comp_id]))
+    entries.append((262, 3, 1, [photo]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rps]))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
+    if spp == 4:
+        entries.append((338, 3, 1, [2]))  # unassociated alpha
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        if len(pal) > 256 or int(img.max(initial=0)) >= len(pal):
+            raise ValueError("palette must cover indices, ≤ 256 entries")
+        full = np.zeros((256, 3), dtype=np.uint16)
+        full[: len(pal)] = pal.astype(np.uint16) * 257  # 8→16-bit
+        entries.append((320, 3, 3 * 256, list(full.T.reshape(-1))))
+    entries.append((273, 4, len(strips), None))  # patched below
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4  # value overflow area starts here
+    # lay out overflow values, then strips
+    overflow = bytearray()
+    strip_offsets_pos = None
+    packed_entries = []
+    for tag, typ, cnt, vals in entries:
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if tag == 273:
+            vals = [0] * cnt  # placeholder
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = struct.pack(bo + f"{cnt}{fmt}", *vals)
+        if size <= 4:
+            slot = blob + b"\x00" * (4 - size)
+            at = None
+        else:
+            at = data_off + len(overflow)
+            overflow += blob
+            slot = struct.pack(bo + "I", at)
+        if tag == 273:
+            strip_offsets_pos = (at, cnt, typ)
+        packed_entries.append((tag, typ, cnt, slot))
+    strips_at = data_off + len(overflow)
+    strip_offs = []
+    pos = strips_at
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    # patch the strip offsets into the overflow (or inline slot)
+    at, cnt, typ = strip_offsets_pos
+    blob = struct.pack(bo + f"{cnt}I", *strip_offs)
+    if at is None:
+        packed_entries = [
+            (tag, t, c, blob + b"\x00" * (4 - len(blob)) if tag == 273 else slot)
+            for tag, t, c, slot in packed_entries
+        ]
+    else:
+        overflow[at - data_off : at - data_off + len(blob)] = blob
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    out += struct.pack(bo + "H", n)
+    for tag, typ, cnt, slot in packed_entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + slot
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer: none
+    out += overflow
+    for s in strips:
+        out += s
     return bytes(out)

@@ -540,6 +540,65 @@ def gif_image_table(
     return imgs.mapInPandas(kernel, out_schema)
 
 
+def tiff_image_table(
+    documents: DataFrame, *, width: int = 5, height: int = 5
+) -> DataFrame:
+    """Fabricate REAL TIFF payloads for the image rows
+    (``doc_id % 3 == 0``): each is ``width×height`` RGB with pixel
+    bytes from ``md5(text || ':tiff:' || block)`` digests. Rows cycle
+    CONTAINER flavor for the same pixels (the decode output is
+    identical, the decoder path is not): compression none → LZW →
+    PackBits by ``(doc_id // 3) % 3``, II/MM byte order by
+    ``doc_id % 2``, the horizontal-differencing predictor on the LZW
+    rows, and 2-row strips on the PackBits rows (multi-strip walk).
+    Fourth COMPRESSED format through the media seam — TIFF LZW is a
+    different dialect from GIF's (MSB-first, early-change widths) —
+    and the SQL oracle regenerates the PIXELS from the hash stream,
+    never seeing the TIFF bytes, so an IFD/strip/LZW/predictor bug
+    breaks value parity."""
+    n_bytes = width * height * 3
+    n_blocks = -(-n_bytes // 16)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_tiff
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    hashlib.md5(f"{text}:tiff:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )[:n_bytes]
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                d = int(doc_id)
+                comp = ("none", "lzw", "packbits")[(d // 3) % 3]
+                payloads.append(
+                    encode_tiff(
+                        img,
+                        compression=comp,
+                        byte_order="<" if d % 2 == 0 else ">",
+                        predictor=2 if comp == "lzw" else 1,
+                        rows_per_strip=2 if comp == "packbits" else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
 def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
     """Fabricate REAL baseline JPEG payloads for the image rows
     (``doc_id % 3 == 0``): each is a ``blocks×blocks`` grid of 8×8

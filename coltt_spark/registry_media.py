@@ -17,6 +17,7 @@ from coltt_spark.operators.multimodal import (
     media_table,
     png_image_table,
     sample_frames,
+    tiff_image_table,
     video_avi_table,
     video_frame_stats,
 )
@@ -397,6 +398,58 @@ FROM sums
 """
 
 
+def q_media_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end — the fourth compressed image
+    format, whose LZW is a different DIALECT from GIF's (MSB-first
+    bit packing, early-change code widths): fabricate TIFF containers
+    whose 5×5 RGB pixels come from a deterministic md5 stream
+    (``tiff_image_table`` — rows cycle none/LZW/PackBits compression,
+    II/MM byte order, horizontal-differencing predictor on the LZW
+    rows, 2-row strips on the PackBits rows), then decode the actual
+    container with the dependency-free IFD-walking codec and compute
+    per-image channel sums + BT.601 luma. The oracle regenerates the
+    PIXELS from the hash stream in SQL — it never sees the TIFF
+    bytes — so an IFD/strip/LZW/PackBits/predictor bug breaks value
+    parity. Lossless compression, so decode is bit-exact by
+    construction (round-trip matrix + externally-encoded stdlib
+    fixtures in tests/test_media_codecs_property.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = image_channel_stats(tiff_image_table(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round("luma", 4).alias("luma"),
+    )
+
+
+_ORACLE_MEDIA_TIFF_FEATURES = """
+WITH px AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 5), b ->
+           list_transform(range(0, 16), i ->
+             ('0x' || substr(md5(text || ':tiff:' || CAST(b AS VARCHAR)), 2*i + 1, 2))::BIGINT))) AS bytes
+  FROM documents
+  WHERE doc_id % 3 = 0
+), sums AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 1])) AS BIGINT) AS r_sum,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 2])) AS BIGINT) AS g_sum,
+         CAST(list_sum(list_transform(range(0, 25), p -> bytes[3*p + 3])) AS BIGINT) AS b_sum
+  FROM px
+)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 5 * 5 * 255.0), 4) AS luma
+FROM sums
+"""
+
+
 def q_media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode end-to-end — BOTH container flavors: fabricate
     JPEG containers whose 2×2 grid of DC-only 8×8 blocks carries
@@ -468,6 +521,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_video_stats": q_media_video_stats,
     "media_png_features": q_media_png_features,
     "media_gif_features": q_media_gif_features,
+    "media_tiff_features": q_media_tiff_features,
     "media_jpeg_features": q_media_jpeg_features,
 }
 
@@ -480,5 +534,6 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_video_stats": _ORACLE_MEDIA_VIDEO_STATS,
     "media_png_features": _ORACLE_MEDIA_PNG_FEATURES,
     "media_gif_features": _ORACLE_MEDIA_GIF_FEATURES,
+    "media_tiff_features": _ORACLE_MEDIA_TIFF_FEATURES,
     "media_jpeg_features": _ORACLE_MEDIA_JPEG_FEATURES,
 }

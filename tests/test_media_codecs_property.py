@@ -1227,3 +1227,183 @@ def test_wav_ima_any_single_byte_flip_is_total(seed, pos_frac):
         assert samples.dtype == np.int16
     except ValueError:
         pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_flavor_matrix(w, h, seed):
+    """encode_tiff → decode_tiff is the identity across the flavor
+    matrix: none/LZW/PackBits × II/MM × predictor × strip splitting,
+    plus grayscale (both photometrics), palette, and RGBA."""
+    from coltt_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for comp, bo, pred, rps in (
+        ("none", "<", 1, None),
+        ("lzw", ">", 2, None),
+        ("packbits", "<", 1, 3),
+        ("lzw", "<", 1, 2),
+        ("packbits", ">", 2, None),
+    ):
+        out = decode_tiff(
+            encode_tiff(
+                img,
+                compression=comp,
+                byte_order=bo,
+                predictor=pred,
+                rows_per_strip=rps,
+            )
+        )
+        assert np.array_equal(out, img), (comp, bo, pred, rps)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for photo in (0, 1):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(gray, photometric=photo, compression="lzw")),
+            gray,
+        )
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(idx, palette=pal, compression="packbits")), pal[idx]
+    )
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgba, compression="lzw", predictor=2)), rgba
+    )
+
+
+def test_tiff_lzw_early_change_hand_built_stream():
+    """The dialect's distinguishing rule, checked WITHOUT the repo's
+    own encoder: a hand-built MSB-first literal-only code stream that
+    replays the spec's early-change width schedule (grow at table
+    size 511/1023/2047, one code earlier than the GIF arithmetic)
+    and keeps emitting after the table fills without a Clear."""
+    from coltt_spark.operators.media_codecs import _tiff_lzw_decode
+
+    literals = (np.arange(5000, dtype=np.int64) * 41 % 256).astype(np.uint8)
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code, width):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width, size = 9, 258
+    emit(256, width)  # clear
+    for i, lit in enumerate(literals):
+        emit(int(lit), width)
+        if i > 0 and size < 4096:
+            size += 1
+            if size >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+    emit(257, width)  # eoi
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    assert np.array_equal(
+        _tiff_lzw_decode(bytes(out), len(literals)), literals
+    )
+
+
+def test_tiff_rejects_corruption_and_unsupported_flavors():
+    import pytest
+    import struct as _struct
+
+    from coltt_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    img = np.arange(75, dtype=np.uint8).reshape(5, 5, 3)
+    good = encode_tiff(img, compression="lzw")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="bad TIFF magic"):
+        decode_tiff(b"II\x2b\x00" + good[4:])
+    with pytest.raises(ValueError):
+        decode_tiff(good[:40])  # truncated: strip/IFD out of bounds
+    # unsupported: 16-bit samples
+    bad_bits = bytearray(encode_tiff(img))
+    at = bad_bits.find(_struct.pack("<HHI", 258, 3, 3))
+    _struct.pack_into("<H", bad_bits, at + 8, 16)  # first BitsPerSample slot
+    # (258 count=3 overflows to the data area; patch the stored copy too)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad_bits))
+    # uncompressed strip size mismatch
+    bad_cnt = bytearray(encode_tiff(img))
+    at = bad_cnt.find(_struct.pack("<HHI", 279, 4, 1))
+    _struct.pack_into("<I", bad_cnt, at + 8, 10)
+    with pytest.raises(ValueError, match="strip size mismatch"):
+        decode_tiff(bytes(bad_cnt))
+
+
+def test_tiff_decodes_externally_encoded_files():
+    """Files from encoders this repo did not write: the stdlib-shipped
+    python.tiff (16×16 uncompressed RGBA, little-endian, ExtraSamples)
+    — channel means are regression pins from the first decode, and
+    the RGB means sit within ~5 of the python.gif logo's (same
+    artwork through an entirely different container)."""
+    import os
+
+    import pytest
+
+    from coltt_spark.operators.media_codecs import decode_tiff
+
+    path = (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+        "/test/test_email/data/python.tiff"
+    )
+    if not os.path.exists(path):
+        pytest.skip("external TIFF fixture not on this host")
+    img = decode_tiff(open(path, "rb").read())
+    assert img.shape == (16, 16, 4)
+    means = [round(float(img[:, :, c].mean()), 4) for c in range(4)]
+    assert means == [96.418, 101.8945, 70.1172, 152.2305], means
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_tiff_any_single_byte_flip_is_total(seed, pos_frac):
+    """Corruption totality for the third CRC-less container: a flip
+    either decodes cleanly (possibly different pixels) or raises
+    ValueError — never an IndexError/struct.error/overflow from IFD
+    or LZW state corruption."""
+    from coltt_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    comp = ("none", "lzw", "packbits")[seed % 3]
+    payload = bytearray(
+        encode_tiff(
+            img,
+            compression=comp,
+            byte_order="<" if seed % 2 else ">",
+            predictor=2 if comp == "lzw" else 1,
+            rows_per_strip=4,
+        )
+    )
+    pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    try:
+        out = decode_tiff(bytes(payload))
+        assert out.ndim in (2, 3)
+    except ValueError:
+        pass
+
+
+def test_decode_image_sniffs_tiff():
+    from coltt_spark.operators.media_codecs import decode_image, encode_tiff
+
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    for bo in ("<", ">"):
+        out = decode_image(encode_tiff(img, byte_order=bo, compression="lzw"))
+        assert np.array_equal(out, img)
+    gray = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    out = decode_image(encode_tiff(gray))
+    assert out.shape == (3, 3, 3)  # luma replicated
+    assert np.array_equal(out[:, :, 0], gray)

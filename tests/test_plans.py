@@ -573,3 +573,16 @@ def test_gif_pipeline_is_narrow(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     _assert_narrow_media_pipeline(image_channel_stats(gif_image_table(docs)))
+
+
+def test_tiff_pipeline_is_narrow(spark):
+    """Fabricate-TIFF → IFD/LZW/PackBits decode → channel stats keeps
+    the same narrow shape as the PNG/JPEG/GIF pipelines: scan →
+    mapInPandas → mapInPandas, zero Exchange."""
+    from coltt_spark.operators.multimodal import (
+        image_channel_stats,
+        tiff_image_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _assert_narrow_media_pipeline(image_channel_stats(tiff_image_table(docs)))
