@@ -473,8 +473,12 @@ def test_audio_features_match_local_replay(spark):
     wavs = audio_wav_table(docs)
     payloads = {r["doc_id"]: bytes(r["payload"]) for r in wavs.collect()}
     assert payloads and all(k % 3 == 1 for k in payloads)
-    with wave.open(io.BytesIO(next(iter(payloads.values()))), "rb") as r:
+    assert {k % 2 for k in payloads} == {0, 1}  # PCM16 and G.711 rows
+    pcm = next(p for k, p in payloads.items() if k % 2 == 1)
+    with wave.open(io.BytesIO(pcm), "rb") as r:
         assert (r.getnchannels(), r.getsampwidth(), r.getnframes()) == (1, 2, 32)
+    g711 = next(p for k, p in payloads.items() if k % 2 == 0)
+    assert g711[20:22] in (b"\x06\x00", b"\x07\x00")  # fmt tag 6/7
 
     got = {r["doc_id"]: r for r in audio_features(wavs).collect()}
     assert set(got) == set(payloads)
@@ -555,22 +559,28 @@ def test_avi_codec_roundtrip_and_rejections():
 def test_video_frame_stats_match_local_replay(spark):
     """video_frame_stats through the Spark seam equals a local replay
     of decode → exact channel sums, and the fabricated payloads are
-    real AVI containers (decodable standalone, 4 frames of 4×4)."""
+    real containers (decodable standalone, 4 frames of 4×4) in BOTH
+    flavors: AVI on even doc_ids, animated GIF on odd — the
+    decode_video dispatch sees each."""
     import numpy as np
 
-    from coltt_spark.operators.media_codecs import decode_avi
+    from coltt_spark.operators.media_codecs import decode_video
     from coltt_spark.operators.multimodal import video_avi_table, video_frame_stats
 
     docs = load_table(spark, SF_SMOKE, "documents").limit(60)
     vids = video_avi_table(docs)
     payloads = {r["doc_id"]: bytes(r["payload"]) for r in vids.collect()}
     assert payloads and all(k % 3 == 2 for k in payloads)
+    assert {k % 2 for k in payloads} == {0, 1}
+    for doc_id, payload in payloads.items():
+        expect_magic = b"RIFF" if doc_id % 2 == 0 else b"GIF8"
+        assert payload[:4] == expect_magic
 
     got = {}
     for r in video_frame_stats(vids).collect():
         got[(r["doc_id"], r["frame_idx"])] = r
     for doc_id, payload in payloads.items():
-        frames, fps = decode_avi(payload)
+        frames, fps = decode_video(payload)
         assert len(frames) == 4 and fps == 5.0
         for idx, img in enumerate(frames):
             row = got[(doc_id, idx)]
