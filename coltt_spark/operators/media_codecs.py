@@ -2392,12 +2392,14 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             buf >>= 8
             nbits -= 8
 
-    def fresh() -> tuple[dict, int]:
-        return {bytes([i]): i for i in range(clear)}, eoi + 1
-
     # decoder-mirror state: size = decoder table length, pending =
-    # decoder has a prev code and will define an entry on next receive
-    table, next_code = fresh()
+    # decoder has a prev code and will define an entry on next
+    # receive. The match dictionary is keyed on (prefix_code,
+    # next_byte) with an int current code — O(1) per input byte (a
+    # growing byte-string key would copy the whole match per byte:
+    # quadratic on highly compressible runs).
+    table: dict = {}
+    next_code = eoi + 1
     width = min_code_size + 1
     size = eoi + 1
     pending = False
@@ -2411,26 +2413,30 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
                 width += 1
         pending = True
 
-    cur = b""
+    cur = -1
     for b in indices:
-        nxt = cur + bytes([b])
-        if nxt in table:
+        if cur < 0:
+            cur = b
+            continue
+        nxt = table.get((cur, b))
+        if nxt is not None:
             cur = nxt
             continue
-        emit(table[cur], width)
+        emit(cur, width)
         after_emit()
         if next_code < 4096:
-            table[nxt] = next_code
+            table[(cur, b)] = next_code
             next_code += 1
         else:
             emit(clear, width)
-            table, next_code = fresh()
+            table.clear()
+            next_code = eoi + 1
             width = min_code_size + 1
             size = eoi + 1
             pending = False
-        cur = bytes([b])
-    if cur:
-        emit(table[cur], width)
+        cur = b
+    if cur >= 0:
+        emit(cur, width)
         after_emit()
     emit(eoi, width)
     if nbits:
@@ -2779,6 +2785,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> np.ndarray:
             pos += 1
         code = (buf >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        buf &= (1 << nbits) - 1  # drop consumed bits: keep buf a machine int
         if code == clear:
             table = fresh()
             width = 9
@@ -2830,11 +2837,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((buf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            buf &= (1 << nbits) - 1  # keep buf a machine int
 
-    def fresh() -> tuple[dict, int]:
-        return {bytes([i]): i for i in range(256)}, 258
-
-    table, next_code = fresh()
+    # match dictionary keyed on (prefix_code, next_byte) with an int
+    # current code — O(1) per input byte (see the GIF coder's note)
+    table: dict = {}
+    next_code = 258
     width = 9
     size = 258
     pending = False
@@ -2848,26 +2856,30 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
                 width += 1
         pending = True
 
-    cur = b""
+    cur = -1
     for b in data:
-        nxt = cur + bytes([b])
-        if nxt in table:
+        if cur < 0:
+            cur = b
+            continue
+        nxt = table.get((cur, b))
+        if nxt is not None:
             cur = nxt
             continue
-        emit(table[cur], width)
+        emit(cur, width)
         after_emit()
         if next_code < 4094:
-            table[nxt] = next_code
+            table[(cur, b)] = next_code
             next_code += 1
         else:
             emit(clear, width)
-            table, next_code = fresh()
+            table.clear()
+            next_code = 258
             width = 9
             size = 258
             pending = False
-        cur = bytes([b])
-    if cur:
-        emit(table[cur], width)
+        cur = b
+    if cur >= 0:
+        emit(cur, width)
         after_emit()
     emit(eoi, width)
     if nbits:

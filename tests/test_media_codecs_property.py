@@ -1407,3 +1407,29 @@ def test_decode_image_sniffs_tiff():
     out = decode_image(encode_tiff(gray))
     assert out.shape == (3, 3, 3)  # luma replicated
     assert np.array_equal(out[:, :, 0], gray)
+
+
+def test_lzw_coders_are_linear_on_pathological_inputs():
+    """Regression pin for two latent quadratic bugs the small random
+    fixtures never tripped: (a) byte-string match keys copied the
+    whole current match per input byte — quadratic on long runs
+    (fixed: (prefix_code, byte) int keys); (b) the TIFF MSB-first bit
+    buffer grew as an unbounded bignum — quadratic in emitted codes
+    (fixed: mask consumed bits). A long constant run stresses (a), a
+    long incompressible block stresses (b); with either bug present
+    this test runs for minutes instead of milliseconds."""
+    from coltt_spark.operators.media_codecs import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    run = b"\x07" * 300_000                       # match-length pathology
+    noise = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))  # code-count pathology
+    for data in (run, noise):
+        assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data), len(data))) == data
+        assert (
+            bytes(_gif_lzw_decode(_gif_lzw_encode(data, 8), 8, len(data))) == data
+        )
