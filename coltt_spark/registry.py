@@ -1470,6 +1470,8 @@ _KEY_ORDER = [
     #    (slot freed by demoting dedup_ngram_jaccard, same rule)
     "media_tiff_features",   # new r6: TIFF (LZW dialect/PackBits)
     #    (slot freed by demoting dedup_groups, same rule)
+    "archive_roundtrip",     # new r6: zip/tar.gz corpus ingestion
+    #    (slot freed by demoting dedup_exact, same rule)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1503,16 +1505,17 @@ _KEY_ORDER = [
     "dedup_minhash_lsh",
     "ann_ivf",
     "neardup_cosine",
-    "dedup_exact",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 17 r4-green entries (dedup_groups,
-    # ---- dedup_ngram_jaccard and text_lang_id — demoted mid-r6 to
-    # ---- make room for media_tiff_features / format_roundtrip /
+    # ---- round. First the 18 r4-green entries (dedup_exact,
+    # ---- dedup_groups, dedup_ngram_jaccard and text_lang_id —
+    # ---- demoted mid-r6 to make room for archive_roundtrip /
+    # ---- media_tiff_features / format_roundtrip /
     # ---- media_gif_features — then
     # ---- text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
+    "dedup_exact",
     "dedup_groups",
     "dedup_ngram_jaccard",
     "text_lang_id",

@@ -290,6 +290,53 @@ FROM agg
 
 
 
+_ARCHIVE_CACHE: dict = {}
+
+
+def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-corpus ingestion round-trip — the format real corpora
+    ARRIVE in: the documents table exported as 4 hash-routed ZIP
+    shards AND 4 tar.gz shards (one UTF-8 ``<id>.txt`` member per
+    row, built on the owning executors), then read back through the
+    ``binaryFile`` → stdlib-extract kernel (one task per archive —
+    archives are not splittable, so parallelism == shard count by
+    construction). The output proves byte-level text fidelity (md5),
+    member-name identity, BOTH container walks, and routing
+    determinism: the shard is parsed from the ARCHIVE FILE NAME each
+    row actually came from and must equal the recomputed hash route
+    in the oracle."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.sources.archives import read_archive_docs, write_archive_shards
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _ARCHIVE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        zp = scratch_dir(prefix="coltt_zip_")
+        tp = scratch_dir(prefix="coltt_tar_")
+        write_archive_shards(docs, zp, id_col="doc_id", n_shards=4, fmt="zip").collect()
+        write_archive_shards(docs, tp, id_col="doc_id", n_shards=4, fmt="tar").collect()
+        _ARCHIVE_CACHE[sf_dir] = (zp, tp)
+    zp, tp = _ARCHIVE_CACHE[sf_dir]
+    both = (
+        read_archive_docs(spark, zp).withColumn("kind", F.lit("zip"))
+        .unionByName(read_archive_docs(spark, tp).withColumn("kind", F.lit("tar")))
+    )
+    return both.select(
+        "doc_id",
+        "kind",
+        F.md5("text").alias("text_md5"),
+        F.regexp_extract("archive", r"shard-(\d+)", 1).cast("long").alias("shard"),
+    )
+
+
+_ORACLE_ARCHIVE_ROUNDTRIP = f"""
+SELECT doc_id, k.kind AS kind, md5(text) AS text_md5,
+       CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 4 AS BIGINT) AS shard
+FROM documents, (SELECT unnest(['zip', 'tar']) AS kind) k
+"""
+
+
 _FORMAT_CACHE: dict = {}
 
 
@@ -545,6 +592,7 @@ FROM dirty
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
+    "archive_roundtrip": q_archive_roundtrip,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -561,6 +609,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "format_roundtrip": _ORACLE_FORMAT_ROUNDTRIP,
+    "archive_roundtrip": _ORACLE_ARCHIVE_ROUNDTRIP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bloom": _bloom_oracle(),

@@ -1,0 +1,161 @@
+"""Archive (zip / tar.gz) corpus ingestion and export.
+
+Real corpora ARRIVE as archives — Common-Crawl-style dumps, book
+scans, paper bundles ship as directories of ``.zip`` / ``.tar.gz``
+shards, one text member per document. The scale-critical direction
+is READ: ``spark.read.format("binaryFile")`` gives one row per
+archive (never splitting a file), and an Arrow-batched
+``mapInPandas`` extracts members with stdlib ``zipfile``/``tarfile``
+— so a 100 TB corpus of N archive shards extracts as an
+embarrassingly parallel N-task scan, no shuffle, with downstream
+filters/projections composing onto the extracted rows lazily.
+
+Export mirrors the JSONL sharder's deterministic routing
+(``hash60(id) % n_shards`` — the reference's FNV shard map,
+``pkg/sharding/shard.go:34-47``): one ``applyInPandas`` group per
+shard builds its archive ON THE EXECUTOR that owns the rows. The
+archive file is written through the Python file API, so the target
+must be a shared/POSIX-visible path (local mode, NFS, or a FUSE
+mount); at cluster scale prefer the JSONL/Parquet writers for
+export and keep archives as an INGEST format — which is how real
+pipelines use them.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coltt_spark.functions.text import hash60
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("members", T.LongType(), False),
+        T.StructField("archive_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_archive_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    n_shards: int = 8,
+    fmt: str = "zip",
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` archive files under ``path``
+    (``shard-K.zip`` / ``shard-K.tar.gz``), one UTF-8 text member per
+    row named ``<id>.txt``. Routing is ``hash60(id) % n_shards``;
+    each archive is built by the executor owning its group
+    (``applyInPandas``), members sorted by id so archive CONTENT is
+    deterministic. Returns the manifest (shard, member count, archive
+    bytes) — collect it to force the write."""
+    if fmt not in ("zip", "tar"):
+        raise ValueError(f"fmt must be 'zip' or 'tar', got {fmt!r}")
+    os.makedirs(path, exist_ok=True)
+
+    def build(pdf):
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        rows = sorted(zip(pdf["_id"], pdf["_text"]), key=lambda r: str(r[0]))
+        buf = io.BytesIO()
+        if fmt == "zip":
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for rid, text in rows:
+                    zf.writestr(f"{rid}.txt", str(text).encode("utf-8"))
+            target = os.path.join(path, f"shard-{shard:05d}.zip")
+        else:
+            with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                for rid, text in rows:
+                    data = str(text).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{rid}.txt")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic archive content
+                    tf.addfile(info, io.BytesIO(data))
+            target = os.path.join(path, f"shard-{shard:05d}.tar.gz")
+        blob = buf.getvalue()
+        with open(target, "wb") as fh:
+            fh.write(blob)
+        return pd.DataFrame(
+            {"shard": [shard], "members": [len(rows)], "archive_bytes": [len(blob)]}
+        )
+
+    out = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(text_col).cast("string").alias("_text"),
+    ).withColumn("shard", (hash60(F.col("_id")) % n_shards).cast("int"))
+    return out.groupBy("shard").applyInPandas(build, _MANIFEST_SCHEMA)
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("archive", T.StringType(), False),
+    ]
+)
+
+
+def read_archive_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Read an archive shard directory back into (doc_id, text,
+    archive) rows: one ``binaryFile`` row per archive → stdlib
+    zip/tar extraction inside an Arrow-batched kernel (container
+    sniffed by magic: PK zip, gzip tar.gz, ustar tar). One task per
+    archive is exactly the right 100 TB shape — archives are not
+    splittable, so parallelism == shard count by construction;
+    member names must be ``<int id>.txt`` (anything else raises —
+    loud beats silently dropped documents)."""
+    src = spark.read.format("binaryFile").load(
+        os.path.join(path, "shard-*")
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import os as _os
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        def members(blob: bytes):
+            if blob[:2] == b"PK":
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for name in zf.namelist():
+                        yield name, zf.read(name)
+            elif blob[:2] == b"\x1f\x8b" or blob[257:262] == b"ustar":
+                mode = "r:gz" if blob[:2] == b"\x1f\x8b" else "r:"
+                with tarfile.open(fileobj=io.BytesIO(blob), mode=mode) as tf:
+                    for info in tf.getmembers():
+                        if info.isfile():
+                            yield info.name, tf.extractfile(info).read()
+            else:
+                raise ValueError("unknown archive magic")
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, texts, archives = [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(str(fpath))
+                for name, data in members(bytes(blob)):
+                    stem, ext = _os.path.splitext(_os.path.basename(name))
+                    if ext != ".txt" or not stem.lstrip("-").isdigit():
+                        raise ValueError(f"unexpected archive member {name!r}")
+                    ids.append(int(stem))
+                    texts.append(data.decode("utf-8"))
+                    archives.append(base)
+            yield pd.DataFrame({"doc_id": ids, "text": texts, "archive": archives})
+
+    return src.select("path", "content").mapInPandas(kernel, _DOCS_SCHEMA)

@@ -82,15 +82,16 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "media_gif_features",
         "format_roundtrip",
         "media_tiff_features",
+        "archive_roundtrip",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
         # path)
         "media_png_features",
         "collection_search_ivf", "collection_search_ivf_delta",
-        # oldest of the r4-green block (these 27 are the front of the
-        # r4 block in its r4 order; text_lang_id, dedup_ngram_jaccard
-        # and dedup_groups were demoted mid-r6 — see below)
+        # oldest of the r4-green block (these 26 are the front of
+        # the r4 block in its r4 order; four were demoted mid-r6 —
+        # see below)
         "stream_distinct", "stream_quantile", "bm25_topk_batch",
         "hybrid_rrf", "freq_sketch", "ann_lsh", "dedup_canonical",
         "dedup_simhash", "collection_hybrid_text",
@@ -101,12 +102,13 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_batch_filtered", "knn_cosine",
         "upsert_delete", "filter_coercion", "knn_filtered",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
-        "ann_ivf", "neardup_cosine", "dedup_exact",
-        # The 17 r4-green entries (dedup_groups, dedup_ngram_jaccard
-        # and text_lang_id — demoted mid-r6 for the
-        # media_tiff_features / format_roundtrip /
-        # media_gif_features window slots — then text_quality ..
-        # media_features) sit FIRST past the boundary and lead the
+        "ann_ivf", "neardup_cosine",
+        # The 18 r4-green entries (dedup_exact, dedup_groups,
+        # dedup_ngram_jaccard and text_lang_id — demoted mid-r6 for
+        # the archive_roundtrip / media_tiff_features /
+        # format_roundtrip / media_gif_features window slots — then
+        # text_quality .. media_features) sit FIRST past the
+        # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow
         # (freshest driver signal). Every demoted entry is re-oracled
         # by the local gate every pytest run.

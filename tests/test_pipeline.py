@@ -342,3 +342,75 @@ def test_jsonl_shards_compressed_roundtrip(spark, tmp_path):
             for r in read_jsonl(spark, path, schema).collect()
         )
         assert got == want, codec
+
+
+def test_archive_shards_roundtrip_unicode_and_routing(spark):
+    """Archive export → ingest: zip and tar.gz shards round-trip
+    unicode/newline text byte-exactly, member counts match the
+    manifest, routing follows hash60(id) % n, and a foreign member
+    name in an archive fails loudly (no silently dropped docs)."""
+    import io
+    import os
+    import zipfile
+
+    import pytest
+
+    from coltt_spark.functions.text import hash60
+    from coltt_spark.sources.archives import read_archive_docs, write_archive_shards
+    from coltt_spark.tmpdirs import scratch_dir
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "unicode: café 中文 \U0001f600"),
+        (2, "embedded\nnewline,\tand \"quotes\""),
+        (3, ""),
+        (44, "x" * 10_000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fmt in ("zip", "tar"):
+        path = scratch_dir(prefix=f"coltt_arc_{fmt}_")
+        manifest = {
+            r["shard"]: r for r in write_archive_shards(
+                df, path, id_col="doc_id", n_shards=3, fmt=fmt
+            ).collect()
+        }
+        assert sum(r["members"] for r in manifest.values()) == len(rows)
+        back = {r["doc_id"]: r for r in read_archive_docs(spark, path).collect()}
+        assert set(back) == {r[0] for r in rows}
+        for doc_id, text in rows:
+            assert back[doc_id]["text"] == text
+            expect_shard = int(
+                df.filter(F.col("doc_id") == doc_id)
+                .select((hash60(F.col("doc_id").cast("string")) % 3).cast("int"))
+                .first()[0]
+            )
+            assert f"shard-{expect_shard:05d}" in back[doc_id]["archive"]
+    # foreign member name → loud failure
+    bad = scratch_dir(prefix="coltt_arc_bad_")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("README.md", b"not a doc")
+    with open(os.path.join(bad, "shard-00000.zip"), "wb") as fh:
+        fh.write(buf.getvalue())
+    with pytest.raises(Exception, match="unexpected archive member"):
+        read_archive_docs(spark, bad).collect()
+
+
+def test_archive_read_is_narrow_scan(spark):
+    """binaryFile scan → one mapInPandas, zero Exchange: extraction
+    parallelism == archive count by construction (the 100 TB ingest
+    shape — archives are not splittable)."""
+    from coltt_spark.plans.inspect import has_shuffle
+    from coltt_spark.sources.archives import read_archive_docs, write_archive_shards
+    from coltt_spark.sources.tables import load_table
+    from coltt_spark.tmpdirs import scratch_dir
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    path = scratch_dir(prefix="coltt_arc_plan_")
+    write_archive_shards(docs, path, id_col="doc_id", n_shards=2).collect()
+    back = read_archive_docs(spark, path)
+    assert not has_shuffle(back)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
