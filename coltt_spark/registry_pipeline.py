@@ -294,17 +294,18 @@ _ARCHIVE_CACHE: dict = {}
 
 
 def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive-corpus ingestion round-trip — the format real corpora
+    """Archive-corpus ingestion round-trip — the formats real corpora
     ARRIVE in: the documents table exported as 4 hash-routed ZIP
-    shards AND 4 tar.gz shards (one UTF-8 ``<id>.txt`` member per
-    row, built on the owning executors), then read back through the
-    ``binaryFile`` → stdlib-extract kernel (one task per archive —
-    archives are not splittable, so parallelism == shard count by
-    construction). The output proves byte-level text fidelity (md5),
-    member-name identity, BOTH container walks, and routing
-    determinism: the shard is parsed from the ARCHIVE FILE NAME each
-    row actually came from and must equal the recomputed hash route
-    in the oracle."""
+    shards, 4 tar.gz shards, AND 4 WARC shards (the Common Crawl
+    delivery format — one gzip member per resource record,
+    Content-Length-framed), then read back through the ``binaryFile``
+    → stdlib-extract kernel (one task per archive — archives are not
+    splittable, so parallelism == shard count by construction). The
+    output proves byte-level text fidelity (md5), member/record
+    identity, ALL THREE container walks, and routing determinism:
+    the shard is parsed from the ARCHIVE FILE NAME each row actually
+    came from and must equal the recomputed hash route in the
+    oracle."""
     from pyspark.sql import functions as F
 
     from coltt_spark.sources.archives import read_archive_docs, write_archive_shards
@@ -312,16 +313,20 @@ def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if sf_dir not in _ARCHIVE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        zp = scratch_dir(prefix="coltt_zip_")
-        tp = scratch_dir(prefix="coltt_tar_")
-        write_archive_shards(docs, zp, id_col="doc_id", n_shards=4, fmt="zip").collect()
-        write_archive_shards(docs, tp, id_col="doc_id", n_shards=4, fmt="tar").collect()
-        _ARCHIVE_CACHE[sf_dir] = (zp, tp)
-    zp, tp = _ARCHIVE_CACHE[sf_dir]
-    both = (
-        read_archive_docs(spark, zp).withColumn("kind", F.lit("zip"))
-        .unionByName(read_archive_docs(spark, tp).withColumn("kind", F.lit("tar")))
-    )
+        paths = {}
+        for fmt in ("zip", "tar", "warc"):
+            p = scratch_dir(prefix=f"coltt_{fmt}_")
+            write_archive_shards(
+                docs, p, id_col="doc_id", n_shards=4, fmt=fmt
+            ).collect()
+            paths[fmt] = p
+        _ARCHIVE_CACHE[sf_dir] = paths
+    paths = _ARCHIVE_CACHE[sf_dir]
+    parts = [
+        read_archive_docs(spark, p).withColumn("kind", F.lit(fmt))
+        for fmt, p in paths.items()
+    ]
+    both = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return both.select(
         "doc_id",
         "kind",
@@ -333,7 +338,7 @@ def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ARCHIVE_ROUNDTRIP = f"""
 SELECT doc_id, k.kind AS kind, md5(text) AS text_md5,
        CAST({_DD_H60.format(x="doc_id::VARCHAR")} % 4 AS BIGINT) AS shard
-FROM documents, (SELECT unnest(['zip', 'tar']) AS kind) k
+FROM documents, (SELECT unnest(['zip', 'tar', 'warc']) AS kind) k
 """
 
 

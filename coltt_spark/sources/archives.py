@@ -51,17 +51,21 @@ def write_archive_shards(
     fmt: str = "zip",
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` archive files under ``path``
-    (``shard-K.zip`` / ``shard-K.tar.gz``), one UTF-8 text member per
-    row named ``<id>.txt``. Routing is ``hash60(id) % n_shards``;
-    each archive is built by the executor owning its group
-    (``applyInPandas``), members sorted by id so archive CONTENT is
-    deterministic. Returns the manifest (shard, member count, archive
-    bytes) — collect it to force the write."""
-    if fmt not in ("zip", "tar"):
-        raise ValueError(f"fmt must be 'zip' or 'tar', got {fmt!r}")
+    (``shard-K.zip`` / ``shard-K.tar.gz`` / ``shard-K.warc.gz``), one
+    UTF-8 text member per row — named ``<id>.txt`` for zip/tar, a
+    ``WARC-Target-URI: urn:doc:<id>`` resource record for WARC (the
+    Common Crawl delivery format: one gzip member PER RECORD,
+    concatenated, exactly how real crawls ship). Routing is
+    ``hash60(id) % n_shards``; each archive is built by the executor
+    owning its group (``applyInPandas``), members sorted by id so
+    archive CONTENT is deterministic. Returns the manifest (shard,
+    member count, archive bytes) — collect it to force the write."""
+    if fmt not in ("zip", "tar", "warc"):
+        raise ValueError(f"fmt must be 'zip', 'tar' or 'warc', got {fmt!r}")
     os.makedirs(path, exist_ok=True)
 
     def build(pdf):
+        import gzip
         import io
         import tarfile
         import zipfile
@@ -76,7 +80,7 @@ def write_archive_shards(
                 for rid, text in rows:
                     zf.writestr(f"{rid}.txt", str(text).encode("utf-8"))
             target = os.path.join(path, f"shard-{shard:05d}.zip")
-        else:
+        elif fmt == "tar":
             with tarfile.open(fileobj=buf, mode="w:gz") as tf:
                 for rid, text in rows:
                     data = str(text).encode("utf-8")
@@ -85,6 +89,21 @@ def write_archive_shards(
                     info.mtime = 0  # deterministic archive content
                     tf.addfile(info, io.BytesIO(data))
             target = os.path.join(path, f"shard-{shard:05d}.tar.gz")
+        else:
+            for rid, text in rows:
+                data = str(text).encode("utf-8")
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: resource\r\n"
+                    + f"WARC-Target-URI: urn:doc:{rid}\r\n".encode()
+                    + b"Content-Type: text/plain\r\n"
+                    + f"Content-Length: {len(data)}\r\n".encode()
+                    + b"\r\n"
+                    + data
+                    + b"\r\n\r\n"
+                )
+                buf.write(gzip.compress(rec, mtime=0))  # one member per record
+            target = os.path.join(path, f"shard-{shard:05d}.warc.gz")
         blob = buf.getvalue()
         with open(target, "wb") as fh:
             fh.write(blob)
@@ -122,6 +141,7 @@ def read_archive_docs(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import gzip
         import io
         import os as _os
         import tarfile
@@ -129,19 +149,55 @@ def read_archive_docs(spark: SparkSession, path: str) -> DataFrame:
 
         import pandas as pd
 
+        def warc_records(raw: bytes):
+            # ISO 28500 record stream: version line, header lines,
+            # blank line, Content-Length payload bytes, blank lines
+            pos = 0
+            while pos < len(raw):
+                while raw[pos : pos + 2] == b"\r\n":
+                    pos += 2
+                if pos >= len(raw):
+                    return
+                end = raw.find(b"\r\n\r\n", pos)
+                if end < 0:
+                    raise ValueError("truncated WARC header block")
+                lines = raw[pos:end].decode("utf-8").split("\r\n")
+                if not lines[0].startswith("WARC/"):
+                    raise ValueError(f"bad WARC version line {lines[0]!r}")
+                hdr = {}
+                for line in lines[1:]:
+                    k, _, v = line.partition(":")
+                    hdr[k.strip().lower()] = v.strip()
+                n = int(hdr["content-length"])
+                body = raw[end + 4 : end + 4 + n]
+                if len(body) != n:
+                    raise ValueError("truncated WARC payload")
+                pos = end + 4 + n
+                yield hdr.get("warc-target-uri", ""), body
+
         def members(blob: bytes):
             if blob[:2] == b"PK":
                 with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                     for name in zf.namelist():
                         yield name, zf.read(name)
-            elif blob[:2] == b"\x1f\x8b" or blob[257:262] == b"ustar":
-                mode = "r:gz" if blob[:2] == b"\x1f\x8b" else "r:"
-                with tarfile.open(fileobj=io.BytesIO(blob), mode=mode) as tf:
-                    for info in tf.getmembers():
-                        if info.isfile():
-                            yield info.name, tf.extractfile(info).read()
+                return
+            if blob[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(blob)  # multi-member streams concat
+                if raw[:5] == b"WARC/":
+                    for uri, body in warc_records(raw):
+                        if not uri.startswith("urn:doc:"):
+                            raise ValueError(f"unexpected WARC record uri {uri!r}")
+                        yield uri[len("urn:doc:") :] + ".txt", body
+                    return
+                blob, mode = raw, "r:"
+            elif blob[257:262] == b"ustar":
+                mode = "r:"
             else:
                 raise ValueError("unknown archive magic")
+            with tarfile.open(fileobj=io.BytesIO(blob), mode=mode) as tf:
+                for info in tf.getmembers():
+                    if info.isfile():
+                        yield info.name, tf.extractfile(info).read()
 
         for pdf in batches:
             if len(pdf) == 0:

@@ -367,7 +367,7 @@ def test_archive_shards_roundtrip_unicode_and_routing(spark):
         (44, "x" * 10_000),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for fmt in ("zip", "tar"):
+    for fmt in ("zip", "tar", "warc"):
         path = scratch_dir(prefix=f"coltt_arc_{fmt}_")
         manifest = {
             r["shard"]: r for r in write_archive_shards(
