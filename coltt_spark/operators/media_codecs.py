@@ -320,10 +320,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if channels == 1:
             samples = samples[:, 0]
         return samples, int(rate)
-    if audio_fmt == 1 and bits == 16:
-        if len(data) % (2 * channels):
+    if audio_fmt == 1 and bits in (8, 16, 24, 32):
+        if len(data) % (bits // 8 * channels):
             raise ValueError("WAV data size not a whole number of frames")
-        samples = np.frombuffer(data, dtype="<i2")
+        if bits == 8:  # WAV 8-bit is UNSIGNED, center 128 → int16 FS
+            samples = (
+                (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+            )
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2")
+        elif bits == 24:  # 3-byte LE → sign-extend → int32 full-scale
+            b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+            u = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            samples = ((u << 8).view(np.int32) >> 8) << 8
+        else:
+            samples = np.frombuffer(data, dtype="<i4")
     elif audio_fmt in (6, 7) and bits == 8:
         if len(data) % channels:
             raise ValueError("WAV data size not a whole number of frames")
@@ -454,20 +465,223 @@ def encode_wav_ima(
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+def _be_samples(data: bytes, bits: int) -> np.ndarray:
+    """Big-endian PCM bytes → samples in the family convention:
+    int16 for 8/16-bit (8-bit is SIGNED in AIFF/AU, scaled ``<< 8``),
+    int32 full-scale for 24/32-bit."""
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+    if bits == 16:
+        return np.frombuffer(data, dtype=">i2").astype(np.int16)
+    if bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        u = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+        return ((u << 8).view(np.int32) >> 8) << 8
+    if bits == 32:
+        return np.frombuffer(data, dtype=">i4").astype(np.int32)
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+def _f80_to_float(raw: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF COMM sample-rate
+    field) → Python float: 15-bit biased exponent + explicit-leading-
+    bit 64-bit mantissa."""
+    if len(raw) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se, mant) = struct.unpack(">HQ", raw)
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an AIFF / AIFC payload (the IFF-chunked big-endian
+    audio container) → ``(samples, sample_rate)`` in the family
+    convention (int16 for 8/16-bit, int32 for 24/32-bit; stereo
+    ``(n, 2)``). AIFC compression types NONE / sowt (little-endian
+    PCM16) / ulaw / alaw are supported — the G.711 expansion reuses
+    the spec tables, so stdlib-shipped ``pluck-ulaw.aifc`` is an
+    independent real-file check on them. The COMM rate is the 80-bit
+    extended float the format actually uses."""
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] not in (
+        b"AIFF",
+        b"AIFC",
+    ):
+        raise ValueError("not an AIFF/AIFC payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated AIFF chunk {cid!r}")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if len(comm) < 18:
+        raise ValueError("short AIFF COMM chunk")
+    channels, n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _f80_to_float(comm[8:18])
+    compression = comm[18:22] if is_aifc and len(comm) >= 22 else b"NONE"
+    if channels not in (1, 2):
+        raise ValueError(f"unsupported AIFF channel count {channels}")
+    if len(ssnd) < 8:
+        raise ValueError("short AIFF SSND chunk")
+    offset, _blocksize = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset :]
+    if compression in (b"NONE", b"sowt"):
+        frame_bytes = bits // 8 * channels
+        if bits not in (8, 16, 24, 32) or len(data) % frame_bytes:
+            raise ValueError(f"unsupported AIFF PCM shape (bits={bits})")
+        data = data[: n_frames * frame_bytes]
+        if compression == b"sowt":  # AIFC little-endian PCM16
+            if bits != 16:
+                raise ValueError("AIFC sowt requires 16-bit samples")
+            samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+        else:
+            samples = _be_samples(data, bits)
+    elif compression in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        data = data[: n_frames * channels]
+        law = "mu" if compression.lower() == b"ulaw" else "a"
+        samples = _g711_table(law)[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise ValueError(f"unsupported AIFC compression {compression!r}")
+    if channels == 2:
+        samples = samples.reshape(-1, 2)
+    return samples, int(round(rate))
+
+
+#: AU (Sun/NeXT) encoding ids → (kind, bits)
+_AU_ENCODINGS = {
+    1: ("ulaw", 8),
+    2: ("pcm", 8),
+    3: ("pcm", 16),
+    4: ("pcm", 24),
+    5: ("pcm", 32),
+    27: ("alaw", 8),
+}
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an AU / Sun audio payload (the ``.snd`` header format)
+    → ``(samples, sample_rate)`` in the family convention. PCM
+    8(signed)/16/24/32-bit big-endian plus G.711 μ-law/A-law — the
+    stdlib-shipped ``pluck-*.au`` files are independent real-file
+    checks on every branch."""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    hdr_size, data_size, encoding, rate, channels = struct.unpack_from(
+        ">IIIII", payload, 4
+    )
+    if hdr_size < 24 or hdr_size > len(payload):
+        raise ValueError("invalid AU header size")
+    if channels not in (1, 2):
+        raise ValueError(f"unsupported AU channel count {channels}")
+    if encoding not in _AU_ENCODINGS:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    kind, bits = _AU_ENCODINGS[encoding]
+    data = payload[hdr_size:]
+    if data_size != 0xFFFFFFFF:  # unknown-size marker is legal
+        data = data[:data_size]
+    if len(data) % (bits // 8 * channels):
+        raise ValueError("AU data size not a whole number of frames")
+    if kind == "pcm":
+        samples = _be_samples(data, bits)
+    else:
+        samples = _g711_table("mu" if kind == "ulaw" else "a")[
+            np.frombuffer(data, dtype=np.uint8)
+        ]
+    if channels == 2:
+        samples = samples.reshape(-1, 2)
+    return samples, int(rate)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sniff the magic and decode an audio container →
+    ``(samples, sample_rate)``: RIFF/WAVE (PCM 8/16/24/32, G.711,
+    IMA ADPCM), AIFF/AIFC (PCM, sowt, G.711), or AU/Sun (PCM,
+    G.711) — the audio-seam sibling of :func:`decode_image`. The
+    same audio in different containers decodes to IDENTICAL samples
+    (pinned in tests against the stdlib-shipped pluck corpus)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
+    raise ValueError("unknown audio magic")
+
+
+def encode_aiff(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples — 1-D mono or (n, 2) stereo — → AIFF PCM16 bytes
+    (fixture helper — byte-order mirror of :func:`encode_wav`)."""
+    arr = np.asarray(samples, dtype=np.int16)
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if arr.ndim > 2 or channels not in (1, 2):
+        raise ValueError("expected (n,) mono or (n, 2) stereo int16 samples")
+    n_frames = len(arr)
+    # rate as 80-bit extended: integer rates fit exactly
+    exp = 16383 + 63
+    mant = rate
+    while mant < 1 << 63:
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">HIH", channels, n_frames, 16) + struct.pack(
+        ">HQ", exp, mant
+    )
+    data = arr.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = b"AIFF"
+    for cid, chunk in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">I", len(chunk)) + chunk
+        if len(chunk) & 1:
+            body += b"\x00"
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def encode_au(codes_or_samples: np.ndarray, rate: int, *, law: str | None = None) -> bytes:
+    """AU/Sun bytes from int16 samples (PCM16), or from G.711 codes
+    when ``law`` is given (fixture helper)."""
+    arr = np.asarray(codes_or_samples)
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if arr.ndim > 2 or channels not in (1, 2):
+        raise ValueError("expected (n,) mono or (n, 2) stereo input")
+    if law is None:
+        data = arr.astype(">i2").tobytes()
+        encoding = 3
+    else:
+        if law not in ("mu", "a"):
+            raise ValueError(f"law must be 'mu' or 'a', got {law!r}")
+        data = arr.astype(np.uint8).tobytes()
+        encoding = 1 if law == "mu" else 27
+    return struct.pack(
+        ">4sIIIII", b".snd", 24, len(data), encoding, rate, channels
+    ) + data
+
+
 def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
     """Real-audio drop-in for the ``extract_features`` decoder seam:
-    decode WAV (PCM16 or G.711) → downmix stereo to mono (mean) →
-    normalize to [-1, 1] → resample to ``out_len`` by linear
-    interpolation → float32 (the fixed-width "embedding" shape
-    downstream retrieval expects)."""
-    samples, _ = decode_wav(bytes(payload))
+    decode WAV / AIFF / AU (magic-sniffed) → downmix stereo to mono
+    (mean) → normalize to [-1, 1] by the sample dtype's full scale →
+    resample to ``out_len`` by linear interpolation → float32 (the
+    fixed-width "embedding" shape downstream retrieval expects)."""
+    samples, _ = decode_audio(bytes(payload))
+    full = 32768.0 if samples.dtype == np.int16 else 2147483648.0
     if samples.ndim == 2:
         samples = samples.astype(np.float64).mean(axis=1)
     if len(samples) == 0:
-        raise ValueError("empty WAV data chunk")
+        raise ValueError("empty audio data")
     xs = np.linspace(0.0, len(samples) - 1.0, out_len)
     return (
-        np.interp(xs, np.arange(len(samples)), samples.astype(np.float64)) / 32768.0
+        np.interp(xs, np.arange(len(samples)), samples.astype(np.float64)) / full
     ).astype(np.float32)
 
 

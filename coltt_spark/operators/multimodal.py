@@ -112,18 +112,22 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000) -> DataFrame:
     """Fabricate REAL RIFF/WAVE payloads for the audio rows
     (``doc_id % 3 == 1``, matching :func:`media_table`'s round-robin),
-    alternating ENCODING flavor per row: odd ``doc_id`` is PCM16 —
-    ``8 * n_blocks`` int16 samples taken as big-endian pairs of
-    ``md5(text || ':' || block)`` digest bytes — while even
-    ``doc_id`` stores ``8 * n_blocks`` G.711 companded CODES from
-    ``md5(text || ':g711:' || block)`` digest bytes (μ-law when
-    ``doc_id % 4 == 0``, A-law otherwise), so the driver-checked
-    audio entry exercises the compressed-telephony decode path too.
-    Deterministic by construction, so a SQL oracle regenerates the
-    SAMPLES from the same hash stream (replaying the G.711 expansion
-    formulas in integer SQL) while the Spark path must decode the
-    actual container bytes — any header/offset/endianness/companding
-    bug in the decoder breaks value parity."""
+    alternating ENCODING and CONTAINER flavor per row: odd ``doc_id``
+    is PCM16 — ``8 * n_blocks`` int16 samples taken as big-endian
+    pairs of ``md5(text || ':' || block)`` digest bytes — wrapped as
+    RIFF/WAVE when ``doc_id % 4 == 1`` and as big-endian AIFF when
+    ``doc_id % 4 == 3``; even ``doc_id`` stores ``8 * n_blocks``
+    G.711 companded CODES from ``md5(text || ':g711:' || block)``
+    digest bytes (μ-law when ``doc_id % 4 == 0``, A-law otherwise),
+    wrapped as WAV or AU/Sun alternating on ``doc_id % 8``. The
+    SAMPLE STREAMS only depend on the encoding class, so one SQL
+    oracle covers every container — the driver-checked audio entry
+    exercises all three container walks of ``decode_audio`` plus
+    both companding laws. Deterministic by construction: the oracle
+    regenerates the samples from the hash stream (replaying the
+    G.711 expansion formulas in integer SQL) while the Spark path
+    must decode the actual container bytes — any header/offset/
+    endianness/companding bug in any decoder breaks value parity."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -136,7 +140,12 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
 
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import encode_wav, encode_wav_g711
+        from coltt_spark.operators.media_codecs import (
+            encode_aiff,
+            encode_au,
+            encode_wav,
+            encode_wav_g711,
+        )
 
         n_codes = 8 * n_blocks
         for pdf in batches:
@@ -152,18 +161,19 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
                     )
                     # big-endian pairs == the '0x'||substr(hex,4i+1,4) parse
                     samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
-                    payloads.append(encode_wav(samples, rate))
+                    enc = encode_wav if d % 4 == 1 else encode_aiff
+                    payloads.append(enc(samples, rate))
                 else:
                     raw = b"".join(
                         hashlib.md5(f"{text}:g711:{b}".encode()).digest()
                         for b in range(-(-n_codes // 16))
                     )[:n_codes]
                     codes = np.frombuffer(raw, dtype=np.uint8)
-                    payloads.append(
-                        encode_wav_g711(
-                            codes, rate, law="mu" if d % 4 == 0 else "a"
-                        )
-                    )
+                    law = "mu" if d % 4 == 0 else "a"
+                    if d % 8 in (0, 2):
+                        payloads.append(encode_wav_g711(codes, rate, law=law))
+                    else:
+                        payloads.append(encode_au(codes, rate, law=law))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
@@ -177,10 +187,13 @@ def audio_features(audio: DataFrame, *, decoder=None) -> DataFrame:
 
     ``decoder`` is the injection seam, ``(payload: bytes) ->
     (np.int16 samples, sample_rate)``; the default is the REAL
-    dependency-free RIFF/WAVE PCM16 decoder
-    (:func:`coltt_spark.operators.media_codecs.decode_wav`) — unlike
-    the image path there is no fake here, the container format is
-    decodable with stdlib ``struct``.
+    dependency-free magic-sniffing dispatch over RIFF/WAVE, AIFF/
+    AIFC, and AU/Sun containers
+    (:func:`coltt_spark.operators.media_codecs.decode_audio`) —
+    unlike the image path there is no fake here, the containers are
+    decodable with stdlib ``struct``. The exact-integer statistics
+    contract requires ≤16-bit samples; 24/32-bit decodes (int32)
+    raise rather than silently losing exactness.
 
     Float-parity note: every statistic derives from EXACT integer
     aggregates (sum of int16 squares ≤ 2^53 for clips under ~2.6e6
@@ -195,9 +208,9 @@ def audio_features(audio: DataFrame, *, decoder=None) -> DataFrame:
 
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import decode_wav
+        from coltt_spark.operators.media_codecs import decode_audio
 
-        decode = decoder if decoder is not None else decode_wav
+        decode = decoder if decoder is not None else decode_audio
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -205,6 +218,11 @@ def audio_features(audio: DataFrame, *, decoder=None) -> DataFrame:
                     ("doc_id", "n_samples", "sample_rate", "duration_s", "rms", "zcr", "peak")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples, rate = decode(bytes(payload))
+                if samples.dtype != np.int16:
+                    raise ValueError(
+                        f"doc {doc_id}: {samples.dtype} samples — exact "
+                        "integer stats require 16-bit audio"
+                    )
                 s = samples.astype(np.int64)
                 n = len(s)
                 if n == 0 or n > 2_600_000:

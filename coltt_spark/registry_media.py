@@ -145,17 +145,22 @@ WHERE doc_id % 3 = 2
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end — BOTH encoding flavors: fabricate
-    RIFF/WAVE payloads whose samples come from a deterministic md5
-    stream (``audio_wav_table`` — odd doc_ids PCM16, even doc_ids
-    G.711 companded codes, μ-law/A-law alternating), then decode the
-    actual container bytes with the dependency-free WAV decoder and
-    compute the quality stats an audio pipeline filters on (RMS /
-    zero-crossing rate / peak / duration). The oracle regenerates the
-    SAMPLES from the hash stream in SQL — replaying the G.711
-    expansion formulas in integer arithmetic, bit-identical to the
-    Python tables for all 256 codes — and never sees the WAV bytes,
-    so a header/offset/endianness/companding bug in the decoder
+    """REAL audio decode end-to-end — every encoding AND container
+    flavor: fabricate payloads whose samples come from a
+    deterministic md5 stream (``audio_wav_table`` — odd doc_ids
+    PCM16 in RIFF/WAVE or big-endian AIFF, even doc_ids G.711
+    companded codes μ-law/A-law in WAV or AU/Sun), then decode the
+    actual container bytes through the magic-sniffing
+    ``decode_audio`` dispatch (all three container walks are
+    conformance-checked bit-exact against stdlib wave/aifc/sunau on
+    real files in tests) and compute the quality stats an audio
+    pipeline filters on (RMS / zero-crossing rate / peak /
+    duration). The sample streams depend only on the encoding class,
+    so ONE oracle covers every container: it regenerates the SAMPLES
+    from the hash stream in SQL — replaying the G.711 expansion
+    formulas in integer arithmetic, bit-identical to the Python
+    tables for all 256 codes — and never sees the container bytes,
+    so a header/offset/endianness/companding bug in any decoder
     breaks value parity. Every stat derives from exact integer
     aggregates, so the doubles agree across engines bit-for-bit
     before rounding (reference scope stops at opaque blobs; this is

@@ -1433,3 +1433,142 @@ def test_lzw_coders_are_linear_on_pathological_inputs():
         assert (
             bytes(_gif_lzw_decode(_gif_lzw_encode(data, 8), 8, len(data))) == data
         )
+
+
+def test_audio_containers_match_stdlib_on_real_files():
+    """decode_audio is bit-exact against the stdlib wave/aifc/sunau
+    readers — engines this repo did not write — on the stdlib-shipped
+    pluck corpus: 3 containers × PCM 8/16/32 plus μ-law/A-law AU and
+    AIFC (which also re-checks the G.711 tables against real files).
+    24/32-bit cross-container sample equality is asserted where the
+    corpus provides it."""
+    import os
+    import warnings
+
+    import pytest
+
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+    base = (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+        "/test/audiodata"
+    )
+    if not os.path.isdir(base):
+        pytest.skip("stdlib audio corpus not on this host")
+    import aifc
+    import sunau
+    import wave
+
+    from coltt_spark.operators.media_codecs import decode_audio
+
+    def mine(name):
+        return decode_audio(open(f"{base}/{name}", "rb").read())
+
+    for name, mod, dt in (
+        ("pluck-pcm16.wav", wave, "<i2"),
+        ("pluck-pcm16.aiff", aifc, ">i2"),
+        ("pluck-pcm16.au", sunau, ">i2"),
+        ("pluck-pcm32.wav", wave, "<i4"),
+        ("pluck-pcm32.au", sunau, ">i4"),
+        # aifc expands compressed frames via audioop → little-endian
+        ("pluck-ulaw.au", sunau, "=i2"),
+        ("pluck-ulaw.aifc", aifc, "<i2"),
+        ("pluck-alaw.aifc", aifc, "<i2"),
+    ):
+        r = mod.open(f"{base}/{name}")
+        ref = np.frombuffer(r.readframes(r.getnframes()), dtype=dt).reshape(
+            -1, r.getnchannels()
+        )
+        got, rate = mine(name)
+        assert rate == r.getframerate(), name
+        assert np.array_equal(got, ref), name
+    for name, mod in (
+        ("pluck-pcm8.wav", wave),
+        ("pluck-pcm8.aiff", aifc),
+        ("pluck-pcm8.au", sunau),
+    ):
+        r = mod.open(f"{base}/{name}")
+        raw = np.frombuffer(
+            r.readframes(r.getnframes()), dtype=np.uint8
+        ).reshape(-1, r.getnchannels())
+        # WAV 8-bit is unsigned (center 128); AIFF/AU signed — both
+        # scale to int16 full-scale in the family convention
+        if name.endswith(".wav"):
+            ref = (raw.astype(np.int16) - 128) << 8
+        else:
+            ref = raw.view(np.int8).astype(np.int16) << 8
+        assert np.array_equal(mine(name)[0], ref), name
+    # 24/32-bit: the corpus carries the SAME samples in every
+    # container (the 8/16-bit variants differ by conversion LSBs)
+    for depth in (24, 32):
+        outs = [
+            mine(f"pluck-pcm{depth}.{ext}")[0] for ext in ("wav", "aiff", "au")
+        ]
+        assert outs[0].dtype == np.int32
+        assert np.array_equal(outs[0], outs[1]) and np.array_equal(
+            outs[0], outs[2]
+        ), depth
+
+
+def test_aiff_au_roundtrip_and_rejections():
+    import pytest
+
+    from coltt_spark.operators.media_codecs import (
+        _g711_table,
+        decode_aiff,
+        decode_au,
+        decode_audio,
+        encode_aiff,
+        encode_au,
+    )
+
+    rng = np.random.default_rng(13)
+    mono = rng.integers(-32768, 32768, 333).astype(np.int16)
+    stereo = rng.integers(-32768, 32768, (222, 2)).astype(np.int16)
+    for x in (mono, stereo):
+        for enc, dec in ((encode_aiff, decode_aiff), (encode_au, decode_au)):
+            out, rate = dec(enc(x, 44100))
+            assert rate == 44100
+            assert np.array_equal(out.reshape(x.shape), x)
+    codes = rng.integers(0, 256, 100).astype(np.uint8)
+    out, rate = decode_au(encode_au(codes, 8000, law="mu"))
+    assert np.array_equal(out, _g711_table("mu")[codes])
+    with pytest.raises(ValueError, match="not an AIFF"):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    with pytest.raises(ValueError, match="not an AU"):
+        decode_au(b"dns." + b"\x00" * 24)
+    with pytest.raises(ValueError, match="unknown audio magic"):
+        decode_audio(b"\x00" * 32)
+    with pytest.raises(ValueError, match="missing COMM"):
+        decode_aiff(b"FORM" + (12).to_bytes(4, "big") + b"AIFF" + b"JUNK" + (0).to_bytes(4, "big"))
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        import struct as _struct
+
+        decode_au(_struct.pack(">4sIIIII", b".snd", 24, 4, 99, 8000, 1) + b"\x00" * 4)
+
+
+def test_wav_wide_pcm_roundtrip_via_external_convention():
+    """8/24/32-bit WAV decode follows the container conventions
+    (8-bit unsigned, 24-bit packed LE sign-extended, 32-bit LE) —
+    checked by fabricating containers byte-by-byte, independent of
+    any repo encoder."""
+    import struct as _struct
+
+    from coltt_spark.operators.media_codecs import decode_wav
+
+    def wav(data, bits, channels=1, rate=8000):
+        block = channels * bits // 8
+        fmt = _struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+        body = (
+            b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    s8, _ = decode_wav(wav(bytes([0, 128, 255]), 8))
+    assert list(s8) == [-32768, 0, 127 << 8]
+    s24, _ = decode_wav(wav(b"\x01\x00\x00" + b"\xff\xff\xff" + b"\x00\x00\x80", 24))
+    assert list(s24) == [1 << 8, -1 << 8, (-(1 << 23)) << 8]
+    s32, _ = decode_wav(
+        wav(_struct.pack("<3i", 7, -7, -(1 << 31)), 32)
+    )
+    assert list(s32) == [7, -7, -(1 << 31)]

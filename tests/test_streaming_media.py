@@ -466,24 +466,29 @@ def test_audio_features_match_local_replay(spark):
 
     import numpy as np
 
-    from coltt_spark.operators.media_codecs import decode_wav
+    from coltt_spark.operators.media_codecs import decode_audio
     from coltt_spark.operators.multimodal import audio_features, audio_wav_table
 
     docs = load_table(spark, SF_SMOKE, "documents").limit(60)
     wavs = audio_wav_table(docs)
     payloads = {r["doc_id"]: bytes(r["payload"]) for r in wavs.collect()}
     assert payloads and all(k % 3 == 1 for k in payloads)
-    assert {k % 2 for k in payloads} == {0, 1}  # PCM16 and G.711 rows
-    pcm = next(p for k, p in payloads.items() if k % 2 == 1)
+    # flavor matrix present: PCM16 (WAV + AIFF) and G.711 (WAV + AU)
+    assert {k % 8 for k in payloads} == set(range(8))
+    pcm = next(p for k, p in payloads.items() if k % 4 == 1)
     with wave.open(io.BytesIO(pcm), "rb") as r:
         assert (r.getnchannels(), r.getsampwidth(), r.getnframes()) == (1, 2, 32)
-    g711 = next(p for k, p in payloads.items() if k % 2 == 0)
-    assert g711[20:22] in (b"\x06\x00", b"\x07\x00")  # fmt tag 6/7
+    aiff = next(p for k, p in payloads.items() if k % 4 == 3)
+    assert aiff[:4] == b"FORM" and aiff[8:12] == b"AIFF"
+    g711_wav = next(p for k, p in payloads.items() if k % 8 in (0, 2))
+    assert g711_wav[20:22] in (b"\x06\x00", b"\x07\x00")  # fmt tag 6/7
+    g711_au = next(p for k, p in payloads.items() if k % 8 in (4, 6))
+    assert g711_au[:4] == b".snd"
 
     got = {r["doc_id"]: r for r in audio_features(wavs).collect()}
     assert set(got) == set(payloads)
     for doc_id, payload in payloads.items():
-        s, rate = decode_wav(payload)
+        s, rate = decode_audio(payload)
         s = s.astype(np.int64)
         n = len(s)
         row = got[doc_id]
