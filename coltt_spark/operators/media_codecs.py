@@ -101,7 +101,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the magic and decode BMP, PPM, PNG, GIF, or JPEG →
+    """Sniff the magic and decode BMP, PPM, PNG, GIF, TIFF, or JPEG →
     (H, W, 3) uint8 (alpha flavors yield (H, W, 4) RGBA; RGB
     consumers slice ``[..., :3]``; grayscale JPEG/PNG replicates the
     luma plane across the three channels)."""

@@ -69,9 +69,10 @@ def extract_features(media: DataFrame, *, dim: int = 16, decoder=None) -> DataFr
     inside the Arrow batch kernel on executors. Default is the
     deterministic fake; a real deployment passes e.g. a PIL/pyav
     wrapper and nothing else changes — same schema, same plan.
-    A dependency-free REAL image decoder (24-bit BMP / binary PPM →
-    luma features) ships in
-    :mod:`coltt_spark.operators.media_codecs` (``image_decoder``).
+    Dependency-free REAL decoders ship in
+    :mod:`coltt_spark.operators.media_codecs`: ``image_decoder``
+    (BMP/PPM/PNG/GIF/TIFF/JPEG → luma features) and
+    ``audio_decoder`` (WAV/AIFF/AU → resampled waveform features).
     """
     decode = decoder if decoder is not None else _fake_decode
 
