@@ -607,16 +607,22 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Sniff the magic and decode an audio container →
     ``(samples, sample_rate)``: RIFF/WAVE (PCM 8/16/24/32, G.711,
-    IMA ADPCM), AIFF/AIFC (PCM, sowt, G.711), or AU/Sun (PCM,
-    G.711) — the audio-seam sibling of :func:`decode_image`. The
-    same audio in different containers decodes to IDENTICAL samples
-    (pinned in tests against the stdlib-shipped pluck corpus)."""
+    IMA ADPCM), AIFF/AIFC (PCM, sowt, G.711), AU/Sun (PCM, G.711),
+    or FLAC (the lossless predictive codec —
+    :mod:`coltt_spark.operators.flac_codec`) — the audio-seam
+    sibling of :func:`decode_image`. The same audio in different
+    containers decodes to IDENTICAL samples (pinned in tests against
+    the stdlib-shipped pluck corpus)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(payload)
     if payload[:4] == b".snd":
         return decode_au(payload)
+    if payload[:4] == b"fLaC":
+        from coltt_spark.operators.flac_codec import decode_flac
+
+        return decode_flac(payload)
     raise ValueError("unknown audio magic")
 
 
@@ -669,7 +675,7 @@ def encode_au(codes_or_samples: np.ndarray, rate: int, *, law: str | None = None
 
 def audio_decoder(payload: bytes, out_len: int) -> np.ndarray:
     """Real-audio drop-in for the ``extract_features`` decoder seam:
-    decode WAV / AIFF / AU (magic-sniffed) → downmix stereo to mono
+    decode WAV / AIFF / AU / FLAC (magic-sniffed) → downmix stereo to mono
     (mean) → normalize to [-1, 1] by the sample dtype's full scale →
     resample to ``out_len`` by linear interpolation → float32 (the
     fixed-width "embedding" shape downstream retrieval expects)."""

@@ -116,7 +116,9 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
     alternating ENCODING and CONTAINER flavor per row: odd ``doc_id``
     is PCM16 — ``8 * n_blocks`` int16 samples taken as big-endian
     pairs of ``md5(text || ':' || block)`` digest bytes — wrapped as
-    RIFF/WAVE when ``doc_id % 4 == 1`` and as big-endian AIFF when
+    RIFF/WAVE when ``doc_id % 8 == 1``, as a real FLAC stream
+    (Rice-coded predictive compression, CRC-8/16 + PCM-MD5 verified
+    on decode) when ``doc_id % 8 == 5``, and as big-endian AIFF when
     ``doc_id % 4 == 3``; even ``doc_id`` stores ``8 * n_blocks``
     G.711 companded CODES from ``md5(text || ':g711:' || block)``
     digest bytes (μ-law when ``doc_id % 4 == 0``, A-law otherwise),
@@ -141,6 +143,7 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
 
         import pandas as pd
 
+        from coltt_spark.operators.flac_codec import encode_flac
         from coltt_spark.operators.media_codecs import (
             encode_aiff,
             encode_au,
@@ -162,8 +165,12 @@ def audio_wav_table(documents: DataFrame, *, n_blocks: int = 4, rate: int = 8000
                     )
                     # big-endian pairs == the '0x'||substr(hex,4i+1,4) parse
                     samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
-                    enc = encode_wav if d % 4 == 1 else encode_aiff
-                    payloads.append(enc(samples, rate))
+                    if d % 8 == 1:
+                        payloads.append(encode_wav(samples, rate))
+                    elif d % 8 == 5:
+                        payloads.append(encode_flac(samples, rate))
+                    else:
+                        payloads.append(encode_aiff(samples, rate))
                 else:
                     raw = b"".join(
                         hashlib.md5(f"{text}:g711:{b}".encode()).digest()

@@ -148,10 +148,11 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end — every encoding AND container
     flavor: fabricate payloads whose samples come from a
     deterministic md5 stream (``audio_wav_table`` — odd doc_ids
-    PCM16 in RIFF/WAVE or big-endian AIFF, even doc_ids G.711
-    companded codes μ-law/A-law in WAV or AU/Sun), then decode the
-    actual container bytes through the magic-sniffing
-    ``decode_audio`` dispatch (all three container walks are
+    PCM16 in RIFF/WAVE, big-endian AIFF, or a REAL FLAC stream
+    (Rice-coded prediction, CRC-8/16 + PCM-MD5 enforced), even
+    doc_ids G.711 companded codes μ-law/A-law in WAV or AU/Sun),
+    then decode the actual container bytes through the
+    magic-sniffing ``decode_audio`` dispatch (container walks are
     conformance-checked bit-exact against stdlib wave/aifc/sunau on
     real files in tests) and compute the quality stats an audio
     pipeline filters on (RMS / zero-crossing rate / peak /

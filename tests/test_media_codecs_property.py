@@ -1572,3 +1572,251 @@ def test_wav_wide_pcm_roundtrip_via_external_convention():
         wav(_struct.pack("<3i", 7, -7, -(1 << 31)), 32)
     )
     assert list(s32) == [7, -7, -(1 << 31)]
+
+
+# ---------------------------------------------------------------------------
+# FLAC — the first lossless COMPRESSED audio codec behind decode_audio
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    stereo=st.booleans(),
+    block_size=st.sampled_from([16, 100, 192, 256]),
+    lpc_order=st.sampled_from([0, 4, 8]),
+    partition_order=st.sampled_from([0, 1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, stereo, block_size, lpc_order, partition_order, seed):
+    """encode_flac → decode_flac is the identity for ANY int16 signal —
+    FLAC prediction is exact integer arithmetic, so losslessness is a
+    property, not a tolerance — across block/LPC/partition/channel
+    configurations incl. short last frames and single-sample clips."""
+    from coltt_spark.operators.flac_codec import decode_flac, encode_flac
+
+    if partition_order and block_size % (1 << partition_order):
+        partition_order = 0
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    x = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    out, rate = decode_flac(
+        encode_flac(
+            x, 8000,
+            block_size=block_size,
+            lpc_order=lpc_order,
+            partition_order=partition_order,
+        )
+    )
+    assert rate == 8000
+    assert out.dtype == np.int16 and np.array_equal(out, x)
+
+
+def test_flac_roundtrip_flavor_matrix():
+    """Deterministic sweep of the encoder surface: every stereo
+    decorrelation mode, coded-table and explicit block sizes, table /
+    16-bit sample rates, forced VERBATIM, CONSTANT, and an LPC stream
+    that actually beats the fixed predictors (subframe type >= 32 on
+    the wire, verified with a decode spy)."""
+    from coltt_spark.operators import flac_codec as fc
+
+    rng = np.random.default_rng(11)
+    t = np.arange(2500)
+    smooth = (900 * np.sin(t / 40) + 120 * np.sin(t / 6)).astype(np.int16)
+    st2 = np.stack([smooth, (smooth + rng.integers(-9, 9, len(t))).astype(np.int16)], 1)
+    for mode in ("auto", "independent", "left_side", "right_side", "mid_side"):
+        out, _ = fc.decode_flac(fc.encode_flac(st2, 44100, stereo=mode))
+        assert np.array_equal(out, st2), mode
+    for bs in (192, 576, 1024, 100, 5000):
+        out, _ = fc.decode_flac(fc.encode_flac(smooth, 8000, block_size=bs))
+        assert np.array_equal(out, smooth), bs
+    for rate in (8000, 44100, 12345):
+        _, got = fc.decode_flac(fc.encode_flac(smooth[:64], rate))
+        assert got == rate
+    out, _ = fc.decode_flac(fc.encode_flac(smooth[:300], 8000, force="verbatim"))
+    assert np.array_equal(out, smooth[:300])
+    out, _ = fc.decode_flac(fc.encode_flac(np.full(500, -7, np.int16), 8000))
+    assert np.array_equal(out, np.full(500, -7, np.int16))
+
+    # an AR(8) signal the fixed predictors cannot model: LPC must win
+    coefs = np.array([0.6, -0.3, 0.2, -0.15, 0.1, -0.08, 0.05, -0.02])
+    x = np.zeros(6000)
+    e = rng.normal(0, 40, 6000)
+    for i in range(8, 6000):
+        x[i] = float(np.dot(coefs, x[i - 8 : i][::-1])) + e[i]
+    sig = np.clip(x, -32768, 32767).astype(np.int16)
+    b_fixed = fc.encode_flac(sig, 8000)
+    b_lpc = fc.encode_flac(sig, 8000, lpc_order=8)
+    assert len(b_lpc) < len(b_fixed)  # prediction actually helped
+    types = []
+    orig = fc._decode_subframe
+
+    def spy(r, bs, bps):
+        p = r.pos
+        r.read(1)
+        types.append(r.read(6))
+        r.pos = p
+        return orig(r, bs, bps)
+
+    fc._decode_subframe = spy
+    try:
+        out, _ = fc.decode_flac(b_lpc)
+    finally:
+        fc._decode_subframe = orig
+    assert np.array_equal(out, sig)
+    assert any(tp >= 32 for tp in types)  # LPC subframes on the wire
+
+
+def test_flac_handbuilt_conformance_stream():
+    """Decode a hand-assembled stream exercising paths our encoder
+    never emits: wasted bits (samples stored >>1 with a reduced
+    sample size), an ESCAPED Rice partition (raw 5-bit residuals),
+    block-size code 6 (8-bit explicit), and sample-rate code 14
+    (16-bit in daHz) — built bit-by-bit from the spec, not via
+    encode_flac."""
+    import hashlib
+    import struct as _struct
+
+    from coltt_spark.operators import flac_codec as fc
+
+    samples = [2 * v for v in (5, -3, 8, 0, -12, 7, 1, -1) * 4]  # 32, all even
+    n = len(samples)
+    rate = 8010  # divisible by 10 → representable in daHz code 14
+
+    si = fc._BitWriter()
+    si.write(16, 16)  # min block size (spec floor)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)  # mono
+    si.write(15, 5)  # bps 16
+    si.write(n, 36)
+    si.align()
+    pcm = b"".join(_struct.pack("<h", v) for v in samples)
+    streaminfo = si.getvalue() + hashlib.md5(pcm).digest()
+
+    w = fc._BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(6, 4)  # block size code 6: 8-bit follows
+    w.write(14, 4)  # sample rate code 14: 16-bit daHz follows
+    w.write(0, 4)  # mono
+    w.write(4, 3)  # 16-bit
+    w.write(0, 1)
+    fc._write_utf8_coded(w, 0)
+    w.write(n - 1, 8)
+    w.write(rate // 10, 16)
+    w.align()
+    hdr = w.getvalue()
+    frame = bytearray(hdr)
+    frame.append(fc._crc8(hdr))
+
+    b = fc._BitWriter()
+    b.write(0, 1)
+    b.write(8, 6)  # FIXED order 0
+    b.write(1, 1)  # wasted-bits flag
+    b.write(1, 1)  # unary 0 → k=1 wasted bit
+    # residual: method 0, partition order 1 → two partitions of 16
+    half = [v >> 1 for v in samples]  # wasted bit removed, bps=15
+    b.write(0, 2)
+    b.write(1, 4)
+    b.write(15, 4)  # partition 1: ESCAPE
+    b.write(5, 5)  # raw 5-bit residuals
+    for v in half[:16]:
+        b.write_signed(v, 5)
+    b.write(2, 4)  # partition 2: rice param 2
+    for v in half[16:]:
+        z = (v << 1) if v >= 0 else (((-v) << 1) - 1)
+        b.write_unary(z >> 2)
+        b.write(z & 3, 2)
+    b.align()
+    frame.extend(b.getvalue())
+    frame.extend(_struct.pack(">H", fc._crc16(bytes(frame))))
+
+    blob = (
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + bytes(frame)
+    )
+    out, got_rate = fc.decode_flac(blob)
+    assert got_rate == rate
+    assert list(out) == samples
+
+
+@settings(max_examples=120, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_flac_any_single_byte_flip_never_yields_wrong_samples(seed, pos_frac):
+    """FLAC corruption contract: frames are CRC-8/CRC-16 covered and
+    the decoded PCM is MD5-checked against STREAMINFO, so a single
+    flipped byte can NEVER silently change the output — decode either
+    raises ValueError or returns the identical samples (a flip in a
+    redundant STREAMINFO bounds field may be benign; a flip anywhere
+    in the frame bytes must raise)."""
+    from coltt_spark.operators.flac_codec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 400))
+    shape = (n, 2) if seed % 2 else (n,)
+    x = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    payload = bytearray(encode_flac(x, 8000, block_size=64, partition_order=1))
+    pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+    payload[pos] ^= 0x5A
+    try:
+        out, _ = decode_flac(bytes(payload))
+        assert np.array_equal(out, x)  # benign flip only
+    except ValueError:
+        pass
+    if pos >= 4 + 4 + 34:  # past magic + block header + STREAMINFO: CRC land
+        try:
+            decode_flac(bytes(payload))
+            raise AssertionError("frame-byte flip escaped the CRCs")
+        except ValueError:
+            pass
+
+
+def test_flac_streaminfo_md5_and_total_are_enforced():
+    """Splicing STREAMINFO from one stream onto the frames of another
+    fails the PCM-MD5 check (every frame CRC still valid); splicing a
+    stream with a different length fails the total-samples check."""
+    import pytest
+
+    from coltt_spark.operators.flac_codec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(-2000, 2000, 128, dtype=np.int16)
+    b = a.copy()
+    b[64] += 1
+    blob_a = encode_flac(a, 8000, block_size=64)
+    blob_b = encode_flac(b, 8000, block_size=64)
+    hdr_len = 4 + 4 + 34
+    spliced = blob_a[:hdr_len] + blob_b[hdr_len:]
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(spliced)
+
+    short = encode_flac(a[:64], 8000, block_size=64)
+    spliced2 = blob_a[:hdr_len] + short[hdr_len:]
+    with pytest.raises(ValueError, match="samples|MD5"):
+        decode_flac(spliced2)
+
+
+def test_flac_same_samples_across_audio_containers():
+    """The SAME PCM stream through WAV, AIFF, and FLAC containers
+    decodes to identical samples via the decode_audio dispatch — the
+    container-invariance contract the audio fixture's single oracle
+    relies on."""
+    from coltt_spark.operators.flac_codec import encode_flac
+    from coltt_spark.operators.media_codecs import (
+        decode_audio,
+        encode_aiff,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(99)
+    x = rng.integers(-32768, 32768, 32, dtype=np.int16)
+    outs = [
+        decode_audio(enc(x, 8000))
+        for enc in (encode_wav, encode_aiff, encode_flac)
+    ]
+    for samples, rate in outs:
+        assert rate == 8000
+        assert np.array_equal(samples, x)
