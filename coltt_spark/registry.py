@@ -1472,6 +1472,10 @@ _KEY_ORDER = [
     #    (slot freed by demoting dedup_groups, same rule)
     "archive_roundtrip",     # new r6: zip/tar.gz corpus ingestion
     #    (slot freed by demoting dedup_exact, same rule)
+    "warc_html_extract",     # new r6: WARC → HTML → text extraction
+    #    (slot freed by demoting collection_search_batch_filtered —
+    #    r4-green and equivalence-covered by collection_search_batch
+    #    + collection_search_blocks_filtered, both in-window)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1495,7 +1499,6 @@ _KEY_ORDER = [
     "collection_search_blocks",
     "collection_search_batch",
     "collection_search_blocks_delta",
-    "collection_search_batch_filtered",
     "knn_cosine",
     "upsert_delete",
     "filter_coercion",
@@ -1507,11 +1510,12 @@ _KEY_ORDER = [
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 18 r4-green entries (dedup_exact,
-    # ---- dedup_groups, dedup_ngram_jaccard and text_lang_id —
+    # ---- round. First the 19 r4-green entries (dedup_exact,
+    # ---- dedup_groups, dedup_ngram_jaccard, text_lang_id and
+    # ---- collection_search_batch_filtered —
     # ---- demoted mid-r6 to make room for archive_roundtrip /
     # ---- media_tiff_features / format_roundtrip /
-    # ---- media_gif_features — then
+    # ---- media_gif_features / warc_html_extract — then
     # ---- text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
@@ -1519,6 +1523,7 @@ _KEY_ORDER = [
     "dedup_groups",
     "dedup_ngram_jaccard",
     "text_lang_id",
+    "collection_search_batch_filtered",
     "text_quality",
     "doc_fingerprint",
     "pricing_summary",

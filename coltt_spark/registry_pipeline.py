@@ -342,6 +342,76 @@ FROM documents, (SELECT unnest(['zip', 'tar', 'warc']) AS kind) k
 """
 
 
+_WARC_HTML_CACHE: dict = {}
+
+
+def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl-shaped ingestion chain end-to-end: fabricate
+    a deterministic HTML page per document (four markup flavors on
+    ``doc_id % 4`` — attribute soup with a quoted ``>``, comment
+    traps, a script whose body contains fake tags, a style element,
+    nested inline tags — all extracting to IDENTICAL text), ship the
+    pages as 4 hash-routed ``text/html`` WARC shards (one gzip
+    member per record), read them back through ``binaryFile`` →
+    ``read_warc_records``, and run the linear-scanner HTML→text
+    extraction (:mod:`coltt_spark.operators.html_text`). The output
+    fingerprints the extraction (md5 / line count / char count); the
+    oracle regenerates the EXPECTED text from the source column in
+    SQL — title line, whitespace-collapsed document text, the
+    entity-decoded line, the anchor line — and never sees HTML or
+    WARC bytes, so a bug in the record walk, the raw-text skip, the
+    quote-aware tag scan, entity decoding, block segmentation, or
+    whitespace collapse breaks value parity."""
+    from coltt_spark.operators.html_text import (
+        html_extract,
+        html_page_table,
+        html_text_stats,
+    )
+    from coltt_spark.sources.archives import read_warc_records, write_archive_shards
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _WARC_HTML_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        p = scratch_dir(prefix="coltt_warc_html_")
+        write_archive_shards(
+            html_page_table(docs),
+            p,
+            id_col="doc_id",
+            text_col="html",
+            n_shards=4,
+            fmt="warc",
+            content_type="text/html",
+        ).collect()
+        _WARC_HTML_CACHE[sf_dir] = p
+    recs = read_warc_records(spark, _WARC_HTML_CACHE[sf_dir]).filter(
+        F.col("content_type") == "text/html"
+    )
+    pages = recs.select(
+        F.regexp_extract("uri", r"urn:doc:(-?\d+)", 1).cast("long").alias("doc_id"),
+        F.col("payload").alias("html"),
+    )
+    return html_text_stats(html_extract(pages))
+
+
+_ORACLE_WARC_HTML_EXTRACT = """
+WITH nt AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+  FROM documents
+), exp AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || chr(10)
+         || CASE WHEN t = '' THEN '' ELSE t || chr(10) END
+         || 'Tom & Jerry <"quoted''>' || chr(10) || 'Read more' AS e
+  FROM nt
+)
+SELECT doc_id, md5(e) AS text_md5,
+       CAST(length(e) - length(replace(e, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+       CAST(length(e) AS BIGINT) AS n_chars
+FROM exp
+"""
+
+
 _FORMAT_CACHE: dict = {}
 
 
@@ -598,6 +668,7 @@ FROM dirty
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
     "archive_roundtrip": q_archive_roundtrip,
+    "warc_html_extract": q_warc_html_extract,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -615,6 +686,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "format_roundtrip": _ORACLE_FORMAT_ROUNDTRIP,
     "archive_roundtrip": _ORACLE_ARCHIVE_ROUNDTRIP,
+    "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bloom": _bloom_oracle(),

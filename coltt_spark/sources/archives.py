@@ -49,13 +49,16 @@ def write_archive_shards(
     text_col: str = "text",
     n_shards: int = 8,
     fmt: str = "zip",
+    content_type: str = "text/plain",
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` archive files under ``path``
     (``shard-K.zip`` / ``shard-K.tar.gz`` / ``shard-K.warc.gz``), one
     UTF-8 text member per row — named ``<id>.txt`` for zip/tar, a
     ``WARC-Target-URI: urn:doc:<id>`` resource record for WARC (the
     Common Crawl delivery format: one gzip member PER RECORD,
-    concatenated, exactly how real crawls ship). Routing is
+    concatenated, exactly how real crawls ship; ``content_type``
+    stamps the record's Content-Type — ``text/html`` makes a
+    crawl-shaped corpus for the HTML extraction path). Routing is
     ``hash60(id) % n_shards``; each archive is built by the executor
     owning its group (``applyInPandas``), members sorted by id so
     archive CONTENT is deterministic. Returns the manifest (shard,
@@ -96,7 +99,7 @@ def write_archive_shards(
                     b"WARC/1.0\r\n"
                     b"WARC-Type: resource\r\n"
                     + f"WARC-Target-URI: urn:doc:{rid}\r\n".encode()
-                    + b"Content-Type: text/plain\r\n"
+                    + f"Content-Type: {content_type}\r\n".encode()
                     + f"Content-Length: {len(data)}\r\n".encode()
                     + b"\r\n"
                     + data
@@ -116,6 +119,97 @@ def write_archive_shards(
         F.col(text_col).cast("string").alias("_text"),
     ).withColumn("shard", (hash60(F.col("_id")) % n_shards).cast("int"))
     return out.groupBy("shard").applyInPandas(build, _MANIFEST_SCHEMA)
+
+
+def _iter_warc_records(raw: bytes):
+    """Walk an ISO 28500 record stream — version line, header lines,
+    blank line, ``Content-Length`` payload bytes, blank lines —
+    yielding ``(headers_dict, payload_bytes)`` with header keys
+    lower-cased. Raises ValueError on truncation or a bad version
+    line (loud beats silently dropped records)."""
+    pos = 0
+    while pos < len(raw):
+        while raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(raw):
+            return
+        end = raw.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("truncated WARC header block")
+        lines = raw[pos:end].decode("utf-8").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line {lines[0]!r}")
+        hdr = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+        n = int(hdr["content-length"])
+        body = raw[end + 4 : end + 4 + n]
+        if len(body) != n:
+            raise ValueError("truncated WARC payload")
+        pos = end + 4 + n
+        yield hdr, body
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip blob in ONE streaming
+    pass. GzipFile, NOT gzip.decompress: the one-shot helper
+    re-copies ``unused_data`` per gzip member, quadratic over a
+    per-record-member WARC (measured 38 s → 0.46 s on a 50k-record
+    shard)."""
+    import gzip
+    import io
+
+    return gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+
+
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("payload", T.StringType(), False),
+        T.StructField("archive", T.StringType(), False),
+    ]
+)
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """General WARC ingestion: one ``binaryFile`` row per
+    ``shard-*.warc.gz`` → ``(uri, content_type, payload, archive)``
+    rows, UTF-8 payloads (the crawl-corpus entry point — compose
+    ``html_extract`` onto the ``text/html`` records). One task per
+    archive is the right 100 TB shape: WARC members gzip per record
+    but the FILE is the distribution unit, so parallelism == shard
+    count by construction."""
+    src = spark.read.format("binaryFile").load(os.path.join(path, "shard-*"))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uris, ctypes, payloads, archives = [], [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(str(fpath))
+                raw = _gunzip_members(bytes(blob))
+                for hdr, body in _iter_warc_records(raw):
+                    uris.append(hdr.get("warc-target-uri", ""))
+                    ctypes.append(hdr.get("content-type", ""))
+                    payloads.append(body.decode("utf-8"))
+                    archives.append(base)
+            yield pd.DataFrame(
+                {
+                    "uri": uris,
+                    "content_type": ctypes,
+                    "payload": payloads,
+                    "archive": archives,
+                }
+            )
+
+    return src.select("path", "content").mapInPandas(kernel, _WARC_SCHEMA)
 
 
 _DOCS_SCHEMA = T.StructType(
@@ -141,39 +235,12 @@ def read_archive_docs(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator) -> Iterator:
-        import gzip
         import io
         import os as _os
         import tarfile
         import zipfile
 
         import pandas as pd
-
-        def warc_records(raw: bytes):
-            # ISO 28500 record stream: version line, header lines,
-            # blank line, Content-Length payload bytes, blank lines
-            pos = 0
-            while pos < len(raw):
-                while raw[pos : pos + 2] == b"\r\n":
-                    pos += 2
-                if pos >= len(raw):
-                    return
-                end = raw.find(b"\r\n\r\n", pos)
-                if end < 0:
-                    raise ValueError("truncated WARC header block")
-                lines = raw[pos:end].decode("utf-8").split("\r\n")
-                if not lines[0].startswith("WARC/"):
-                    raise ValueError(f"bad WARC version line {lines[0]!r}")
-                hdr = {}
-                for line in lines[1:]:
-                    k, _, v = line.partition(":")
-                    hdr[k.strip().lower()] = v.strip()
-                n = int(hdr["content-length"])
-                body = raw[end + 4 : end + 4 + n]
-                if len(body) != n:
-                    raise ValueError("truncated WARC payload")
-                pos = end + 4 + n
-                yield hdr.get("warc-target-uri", ""), body
 
         def members(blob: bytes):
             if blob[:2] == b"PK":
@@ -182,13 +249,10 @@ def read_archive_docs(spark: SparkSession, path: str) -> DataFrame:
                         yield name, zf.read(name)
                 return
             if blob[:2] == b"\x1f\x8b":
-                # GzipFile, NOT gzip.decompress: the one-shot helper
-                # re-copies `unused_data` per gzip member, quadratic
-                # over a per-record-member WARC (measured 38 s →
-                # 0.46 s on a 50k-record shard)
-                raw = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+                raw = _gunzip_members(blob)
                 if raw[:5] == b"WARC/":
-                    for uri, body in warc_records(raw):
+                    for hdr, body in _iter_warc_records(raw):
+                        uri = hdr.get("warc-target-uri", "")
                         if not uri.startswith("urn:doc:"):
                             raise ValueError(f"unexpected WARC record uri {uri!r}")
                         yield uri[len("urn:doc:") :] + ".txt", body

@@ -83,6 +83,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "format_roundtrip",
         "media_tiff_features",
         "archive_roundtrip",
+        "warc_html_extract",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -99,14 +100,18 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "media_audio_features", "media_video_stats",
         "collection_search_blocks", "collection_search_batch",
         "collection_search_blocks_delta",
-        "collection_search_batch_filtered", "knn_cosine",
+        "knn_cosine",
         "upsert_delete", "filter_coercion", "knn_filtered",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 18 r4-green entries (dedup_exact, dedup_groups,
-        # dedup_ngram_jaccard and text_lang_id — demoted mid-r6 for
+        # The 19 r4-green entries (dedup_exact, dedup_groups,
+        # dedup_ngram_jaccard, text_lang_id and
+        # collection_search_batch_filtered — demoted mid-r6 for
         # the archive_roundtrip / media_tiff_features /
-        # format_roundtrip / media_gif_features window slots — then
+        # format_roundtrip / media_gif_features / warc_html_extract
+        # window slots (batch_filtered is equivalence-covered by
+        # collection_search_batch + collection_search_blocks_filtered,
+        # both in-window) — then
         # text_quality .. media_features) sit FIRST past the
         # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow

@@ -414,3 +414,50 @@ def test_archive_read_is_narrow_scan(spark):
     assert not has_shuffle(back)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_warc_html_extraction_chain(spark):
+    """The crawl-corpus chain: html_page_table fabricates four markup
+    flavors, WARC shards carry them as text/html records, and
+    read_warc_records → html_extract recovers exactly the local
+    scanner's extraction (per flavor), with content-type and uri
+    metadata intact — and the read side stays a narrow scan."""
+    from coltt_spark.operators.html_text import extract_html_text, html_extract
+    from coltt_spark.operators.html_text import html_page_table
+    from coltt_spark.plans.inspect import has_shuffle
+    from coltt_spark.sources.archives import read_warc_records, write_archive_shards
+    from coltt_spark.sources.tables import load_table
+    from coltt_spark.tmpdirs import scratch_dir
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(16)
+    pages = html_page_table(docs)
+    local_html = {r["doc_id"]: r["html"] for r in pages.collect()}
+    assert {d % 4 for d in local_html} == {0, 1, 2, 3}  # all flavors present
+
+    path = scratch_dir(prefix="coltt_warc_html_t_")
+    write_archive_shards(
+        pages, path, id_col="doc_id", text_col="html",
+        n_shards=2, fmt="warc", content_type="text/html",
+    ).collect()
+    recs = read_warc_records(spark, path)
+    assert not has_shuffle(recs)
+    got = recs.collect()
+    assert len(got) == len(local_html)
+    assert {r["content_type"] for r in got} == {"text/html"}
+    by_id = {int(r["uri"].removeprefix("urn:doc:")): r["payload"] for r in got}
+    assert by_id == local_html  # byte-fidelity through the container
+
+    extracted = {
+        r["doc_id"]: r["text"]
+        for r in html_extract(
+            recs.selectExpr(
+                "CAST(substr(uri, 9) AS LONG) AS doc_id", "payload AS html"
+            )
+        ).collect()
+    }
+    for doc_id, html in local_html.items():
+        assert extracted[doc_id] == extract_html_text(html)
+        assert extracted[doc_id].startswith(f"Doc {doc_id}\n")
+        assert extracted[doc_id].endswith("\nRead more")

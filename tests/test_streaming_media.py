@@ -396,10 +396,10 @@ def test_wav_codec_interops_with_stdlib_wave(tmp_path):
 
 
 def test_wav_codec_rejects_unsupported_flavors():
-    """Loud errors beat silently-wrong samples: >2 channels, 8-bit
+    """Loud errors beat silently-wrong samples: >2 channels, 12-bit
     PCM, IEEE float, truncated, and odd-sized payloads all raise.
-    (Stereo and G.711 8-bit are SUPPORTED flavors since r6 — covered
-    by tests/test_media_codecs_property.py.)"""
+    (Stereo, G.711, and 8/24/32-bit PCM are SUPPORTED flavors since
+    r6 — covered by tests/test_media_codecs_property.py.)"""
     import struct
 
     import numpy as np
@@ -418,7 +418,7 @@ def test_wav_codec_rejects_unsupported_flavors():
         good[:10],                      # truncated header
         good[:-3],                      # truncated data chunk
         patched(channels=3),            # >2 channels out of scope
-        patched(bits=8),                # 8-bit PCM (tag 1) is not G.711
+        patched(bits=12),               # PCM width must be 8/16/24/32
         patched(fmt_tag=3),             # IEEE float
         patched(fmt_tag=7, channels=2), # G.711 must be 8-bit (bits=16 here)
         good.replace(b"data", b"datx"), # no data chunk
@@ -473,11 +473,13 @@ def test_audio_features_match_local_replay(spark):
     wavs = audio_wav_table(docs)
     payloads = {r["doc_id"]: bytes(r["payload"]) for r in wavs.collect()}
     assert payloads and all(k % 3 == 1 for k in payloads)
-    # flavor matrix present: PCM16 (WAV + AIFF) and G.711 (WAV + AU)
+    # flavor matrix present: PCM16 (WAV + FLAC + AIFF) and G.711 (WAV + AU)
     assert {k % 8 for k in payloads} == set(range(8))
-    pcm = next(p for k, p in payloads.items() if k % 4 == 1)
+    pcm = next(p for k, p in payloads.items() if k % 8 == 1)
     with wave.open(io.BytesIO(pcm), "rb") as r:
         assert (r.getnchannels(), r.getsampwidth(), r.getnframes()) == (1, 2, 32)
+    flac = next(p for k, p in payloads.items() if k % 8 == 5)
+    assert flac[:4] == b"fLaC"
     aiff = next(p for k, p in payloads.items() if k % 4 == 3)
     assert aiff[:4] == b"FORM" and aiff[8:12] == b"AIFF"
     g711_wav = next(p for k, p in payloads.items() if k % 8 in (0, 2))
