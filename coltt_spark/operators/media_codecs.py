@@ -704,15 +704,25 @@ def _riff_subchunks(buf: bytes):
         pos += 8 + csize + (csize & 1)
 
 
+#: biCompression FOURCC for Motion JPEG streams ('MJPG' little-endian)
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
 def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
-    """Decode an AVI container with uncompressed 24-bit DIB frames →
-    ``(frames, fps)`` where each frame is (H, W, 3) uint8 RGB.
+    """Decode an AVI container → ``(frames, fps)`` where each frame
+    is (H, W, 3) uint8 RGB. Two stream kinds: uncompressed 24-bit
+    DIB (biCompression 0 — bottom-up BGR rows padded to 4 bytes, the
+    same layout as BMP) and MOTION JPEG (biCompression FOURCC
+    'MJPG' — every '##dc' chunk is an independent baseline/
+    progressive JPEG decoded through :func:`decode_jpeg`, the
+    capture-card / intermediate-codec format real pipelines still
+    meet).
 
     Walks RIFF 'AVI ' → LIST 'hdrl' (avih for the frame interval,
-    strf BITMAPINFOHEADER for geometry) → LIST 'movi' ('00db'/'##db'
-    uncompressed frame chunks, bottom-up BGR rows padded to 4 bytes —
-    the same DIB layout as BMP). Raises ValueError on compressed
-    streams or any other bpp — loud beats silently-wrong pixels."""
+    strf BITMAPINFOHEADER for geometry) → LIST 'movi' ('00db'/'##dc'
+    frame chunks). Raises ValueError on any other compression or
+    bpp, and on an MJPG frame whose decoded geometry disagrees with
+    strf — loud beats silently-wrong pixels."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     usec_per_frame = width = height = bpp = compression = None
@@ -737,9 +747,20 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     frame_bodies.append(sbody)
     if width is None or usec_per_frame is None:
         raise ValueError("AVI missing hdrl/strf metadata")
-    if bpp != 24 or compression != 0:
+    if bpp != 24 or compression not in (0, _MJPG_FOURCC):
         raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={compression})")
-    frames = [_decode_dib_rows(body, width, height) for body in frame_bodies]
+    if compression == _MJPG_FOURCC:
+        frames = []
+        for body in frame_bodies:
+            img = decode_jpeg(body)
+            if img.ndim != 3 or img.shape != (abs(height), width, 3):
+                raise ValueError(
+                    f"MJPG frame geometry {img.shape} disagrees with "
+                    f"strf {abs(height)}x{width}"
+                )
+            frames.append(img)
+    else:
+        frames = [_decode_dib_rows(body, width, height) for body in frame_bodies]
     if usec_per_frame <= 0:
         raise ValueError("invalid AVI frame interval")
     return frames, 1e6 / usec_per_frame
@@ -792,11 +813,60 @@ def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: float = 5.0
+) -> bytes:
+    """Pre-encoded JPEG frame payloads → Motion-JPEG AVI bytes
+    ('00dc' chunks, strh/strf FOURCC 'MJPG', standards-shaped hdrl +
+    idx1). The caller owns the per-frame JPEG encoding
+    (:func:`encode_jpeg`) — this wraps, it does not transcode
+    (fixture helper; codec composition stays explicit)."""
+    if not jpeg_frames:
+        raise ValueError("no frames")
+    max_size = max(len(f) for f in jpeg_frames)
+    usec = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, int(round(max_size * fps)), 0, 0x10, len(jpeg_frames), 0, 1,
+        max_size, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1000, int(round(fps * 1000)), 0,
+        len(jpeg_frames), max_size, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, _MJPG_FOURCC, max_size, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    movi_items = [chunk(b"00dc", f) for f in jpeg_frames]
+    movi = b"movi" + b"".join(movi_items)
+    idx, offset = [], 4
+    for item in movi_items:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, offset, len(item) - 8))
+        offset += len(item)
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi)
+        + chunk(b"idx1", b"".join(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_video(payload: bytes) -> tuple[list[np.ndarray], float]:
     """Sniff the magic and decode a video/animation container →
-    ``(frames, fps)``: RIFF/AVI (uncompressed DIB frames) or animated
-    GIF (LZW frames composited per the Graphic Control Extensions) —
-    the video-seam sibling of :func:`decode_image`."""
+    ``(frames, fps)``: RIFF/AVI (uncompressed DIB or Motion-JPEG
+    frames) or animated GIF (LZW frames composited per the Graphic
+    Control Extensions) — the video-seam sibling of
+    :func:`decode_image`."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return decode_avi(payload)
     if payload[:6] in _GIF_MAGICS:

@@ -272,16 +272,22 @@ def video_avi_table(
     each of ``n_frames`` frames is ``width×height`` RGB with pixel
     bytes from ``md5(text || ':' || frame || ':' || block)`` digests
     (16 bytes per digest, row-major RGB). Rows alternate CONTAINER
-    flavor for the same pixels: even ``doc_id`` packs uncompressed
-    24-bit DIB chunks in an AVI, odd ``doc_id`` quantizes the frames'
-    distinct colors into a shared palette (≤ width·height·n_frames ≤
-    256 entries) and emits an animated GIF89a (LZW frames + per-frame
-    Graphic Control Extensions) — so the driver-checked video entry
-    exercises BOTH decoders of the :func:`decode_video` dispatch
-    against one oracle. Deterministic, so a SQL oracle regenerates
-    the PIXELS from the hash stream while the Spark path must decode
-    the actual container — any header/row-order/channel-order/LZW
-    bug in either codec breaks value parity."""
+    flavor: even ``doc_id`` packs uncompressed 24-bit DIB chunks in
+    an AVI — EXCEPT ``doc_id % 12 == 8``, which emits MOTION JPEG
+    (16×16 frames of 2×2 DC-only 8×8 blocks whose YCbCr triples come
+    from ``md5(text || ':mjpg:' || frame)``, each frame an
+    independent baseline JPEG under q[0]=8 — DC-only blocks decode
+    bit-exactly, the same contract as ``jpeg_image_table``) — and
+    odd ``doc_id`` quantizes the frames' distinct colors into a
+    shared palette (≤ width·height·n_frames ≤ 256 entries) and emits
+    an animated GIF89a (LZW frames + per-frame Graphic Control
+    Extensions) — so the driver-checked video entry exercises ALL
+    THREE decode paths of the :func:`decode_video` dispatch against
+    one oracle. Deterministic, so a SQL oracle regenerates the
+    PIXELS from the hash streams (replaying the pinned YCbCr→RGB
+    rounding for the MJPEG rows) while the Spark path must decode
+    the actual containers — any header/row-order/channel-order/LZW/
+    Huffman/IDCT bug in any codec breaks value parity."""
     n_bytes = width * height * 3
     n_blocks = -(-n_bytes // 16)  # ceil
     out_schema = T.StructType(
@@ -296,13 +302,35 @@ def video_avi_table(
 
         import pandas as pd
 
-        from coltt_spark.operators.media_codecs import encode_avi, encode_gif_frames
+        from coltt_spark.operators.media_codecs import (
+            encode_avi,
+            encode_avi_mjpeg,
+            encode_gif_frames,
+            encode_jpeg,
+        )
 
+        qt = np.full(64, 8, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if int(doc_id) % 12 == 8:
+                    jpegs = []
+                    for f in range(n_frames):
+                        raw = hashlib.md5(f"{text}:mjpg:{f}".encode()).digest()[:12]
+                        ycc = np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3)
+                        img = np.repeat(np.repeat(ycc, 8, axis=0), 8, axis=1)
+                        jpegs.append(
+                            encode_jpeg(
+                                img,
+                                input_color="ycbcr",
+                                luma_quant=qt,
+                                chroma_quant=qt,
+                            )
+                        )
+                    payloads.append(encode_avi_mjpeg(jpegs, 16, 16, fps))
+                    continue
                 frames = []
                 for f in range(n_frames):
                     raw = b"".join(

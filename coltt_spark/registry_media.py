@@ -237,20 +237,23 @@ FROM s
 
 
 def q_media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video decode end-to-end — BOTH container flavors:
-    fabricate containers whose 4×4 RGB frames come from a
-    deterministic md5 pixel stream (``video_avi_table`` — even
-    doc_ids pack uncompressed DIB chunks in an AVI, odd doc_ids
-    palette-quantize the same pixels into an animated GIF89a), then
-    decode the actual container through the magic-sniffing
-    ``decode_video`` dispatch (AVI chunk walk / GIF LZW + GCE
-    compositing) and compute per-frame channel sums + BT.601 luma
-    (the black-frame / flat-frame gating stats). The oracle
-    regenerates the PIXELS from the hash stream in SQL — it never
-    sees the container bytes — so a header/row-order/channel-order/
-    LZW bug in either codec breaks value parity. Sums are exact
-    integers; luma uses integer per-mille weights, so doubles agree
-    across engines."""
+    """REAL video decode end-to-end — ALL THREE container flavors:
+    fabricate containers whose RGB frames come from deterministic
+    md5 pixel streams (``video_avi_table`` — even doc_ids pack
+    uncompressed 4×4 DIB chunks in an AVI, except ``doc_id % 12 ==
+    8`` which emits MOTION JPEG (16×16 DC-only frames, each an
+    independent baseline JPEG — the Huffman/IDCT/color path per
+    frame); odd doc_ids palette-quantize into an animated GIF89a),
+    then decode the actual container through the magic-sniffing
+    ``decode_video`` dispatch (AVI chunk walk / per-frame JPEG / GIF
+    LZW + GCE compositing) and compute per-frame channel sums +
+    BT.601 luma (the black-frame / flat-frame gating stats). The
+    oracle regenerates the PIXELS from the hash streams in SQL —
+    replaying the pinned YCbCr→RGB rounding for the MJPEG rows — and
+    never sees the container bytes, so a header/row-order/
+    channel-order/LZW/Huffman/IDCT bug in any codec breaks value
+    parity. Sums are exact integers; luma uses integer per-mille
+    weights, so doubles agree across engines."""
     docs = load_table(spark, sf_dir, "documents")
     stats = video_frame_stats(video_avi_table(docs))
     return stats.select(
@@ -269,7 +272,7 @@ _ORACLE_MEDIA_VIDEO_STATS = """
 WITH v AS (
   SELECT doc_id, text, CAST(f.i AS BIGINT) AS frame_idx
   FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i) AS f(i)
-  WHERE doc_id % 3 = 2
+  WHERE doc_id % 3 = 2 AND doc_id % 12 <> 8
 ), px AS (
   SELECT doc_id, frame_idx,
          flatten(list_transform(range(0, 3), b ->
@@ -282,6 +285,30 @@ WITH v AS (
          CAST(list_sum(list_transform(range(0, 16), p -> bytes[3*p + 2])) AS BIGINT) AS g_sum,
          CAST(list_sum(list_transform(range(0, 16), p -> bytes[3*p + 3])) AS BIGINT) AS b_sum
   FROM px
+), mj AS (
+  SELECT doc_id, text, CAST(f.i AS BIGINT) AS frame_idx
+  FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i) AS f(i)
+  WHERE doc_id % 12 = 8
+), mjv AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(0, 12), i ->
+           ('0x' || substr(md5(text || ':mjpg:' || CAST(frame_idx AS VARCHAR)), 2*i + 1, 2))::BIGINT) AS v
+  FROM mj
+), mjpx AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] + 1.402 * (v[3*k + 3] - 128) + 0.5), 0), 255)) AS pr,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] - 0.344136 * (v[3*k + 2] - 128) - 0.714136 * (v[3*k + 3] - 128) + 0.5), 0), 255)) AS pg,
+         list_transform(range(0, 4), k ->
+           least(greatest(floor(v[3*k + 1] + 1.772 * (v[3*k + 2] - 128) + 0.5), 0), 255)) AS pb
+  FROM mjv
+), mjsums AS (
+  SELECT doc_id, frame_idx,
+         CAST(64 * list_sum(pr) AS BIGINT) AS r_sum,
+         CAST(64 * list_sum(pg) AS BIGINT) AS g_sum,
+         CAST(64 * list_sum(pb) AS BIGINT) AS b_sum
+  FROM mjpx
 )
 SELECT doc_id, frame_idx,
        CAST(4 AS BIGINT) AS width,
@@ -289,6 +316,13 @@ SELECT doc_id, frame_idx,
        r_sum, g_sum, b_sum,
        round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 4 * 4 * 255.0), 4) AS luma
 FROM sums
+UNION ALL
+SELECT doc_id, frame_idx,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       r_sum, g_sum, b_sum,
+       round((299 * r_sum + 587 * g_sum + 114 * b_sum) / (1000.0 * 16 * 16 * 255.0), 4) AS luma
+FROM mjsums
 """
 
 

@@ -1820,3 +1820,39 @@ def test_flac_same_samples_across_audio_containers():
     for samples, rate in outs:
         assert rate == 8000
         assert np.array_equal(samples, x)
+
+
+def test_mjpeg_avi_roundtrip_and_geometry_guard():
+    """Motion-JPEG AVI: DC-only frames (the bit-exact JPEG contract)
+    wrapped via encode_avi_mjpeg decode back exactly through both
+    decode_avi and the decode_video dispatch; an MJPG frame whose
+    decoded geometry disagrees with strf raises instead of returning
+    misshapen pixels."""
+    import pytest
+
+    from coltt_spark.operators.media_codecs import (
+        decode_avi,
+        decode_jpeg,
+        decode_video,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(21)
+    qt = np.full(64, 8, dtype=np.int64)
+    jpegs, expected = [], []
+    for _ in range(5):
+        ycc = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(ycc, 8, axis=0), 8, axis=1)
+        blob = encode_jpeg(img, input_color="ycbcr", luma_quant=qt, chroma_quant=qt)
+        jpegs.append(blob)
+        expected.append(decode_jpeg(blob))
+    payload = encode_avi_mjpeg(jpegs, 16, 16, fps=12.5)
+    frames, fps = decode_avi(payload)
+    assert fps == 12.5 and len(frames) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, expected))
+    frames2, _ = decode_video(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(frames2, expected))
+    # strf says 8x8 but the frames are 16x16 → loud error
+    with pytest.raises(ValueError, match="geometry"):
+        decode_avi(encode_avi_mjpeg(jpegs, 8, 8))

@@ -566,9 +566,10 @@ def test_avi_codec_roundtrip_and_rejections():
 def test_video_frame_stats_match_local_replay(spark):
     """video_frame_stats through the Spark seam equals a local replay
     of decode → exact channel sums, and the fabricated payloads are
-    real containers (decodable standalone, 4 frames of 4×4) in BOTH
-    flavors: AVI on even doc_ids, animated GIF on odd — the
-    decode_video dispatch sees each."""
+    real containers (decodable standalone, 4 frames each) in ALL
+    THREE flavors: DIB AVI on even doc_ids, Motion-JPEG AVI on
+    doc_id % 12 == 8 (16×16 frames, one baseline JPEG per chunk),
+    animated GIF on odd — the decode_video dispatch sees each."""
     import numpy as np
 
     from coltt_spark.operators.media_codecs import decode_video
@@ -578,10 +579,12 @@ def test_video_frame_stats_match_local_replay(spark):
     vids = video_avi_table(docs)
     payloads = {r["doc_id"]: bytes(r["payload"]) for r in vids.collect()}
     assert payloads and all(k % 3 == 2 for k in payloads)
-    assert {k % 2 for k in payloads} == {0, 1}
+    assert {k % 12 for k in payloads} == {2, 5, 8, 11}  # all flavors present
     for doc_id, payload in payloads.items():
         expect_magic = b"RIFF" if doc_id % 2 == 0 else b"GIF8"
         assert payload[:4] == expect_magic
+        if doc_id % 12 == 8:
+            assert b"MJPG" in payload[:120]  # strh/strf fourcc
 
     got = {}
     for r in video_frame_stats(vids).collect():
@@ -589,13 +592,14 @@ def test_video_frame_stats_match_local_replay(spark):
     for doc_id, payload in payloads.items():
         frames, fps = decode_video(payload)
         assert len(frames) == 4 and fps == 5.0
+        side = 16 if doc_id % 12 == 8 else 4
         for idx, img in enumerate(frames):
             row = got[(doc_id, idx)]
-            assert (row["width"], row["height"]) == (4, 4)
+            assert (row["width"], row["height"]) == (side, side)
             sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
             assert (row["r_sum"], row["g_sum"], row["b_sum"]) == tuple(int(x) for x in sums)
             expect_luma = (
                 299 * int(sums[0]) + 587 * int(sums[1]) + 114 * int(sums[2])
-            ) / (1000.0 * 4 * 4 * 255.0)
+            ) / (1000.0 * side * side * 255.0)
             assert row["luma"] == expect_luma
     assert len(got) == 4 * len(payloads)
