@@ -1856,3 +1856,34 @@ def test_mjpeg_avi_roundtrip_and_geometry_guard():
     # strf says 8x8 but the frames are 16x16 → loud error
     with pytest.raises(ValueError, match="geometry"):
         decode_avi(encode_avi_mjpeg(jpegs, 8, 8))
+
+
+@settings(max_examples=120, deadline=None)
+@given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
+def test_aiff_au_any_single_byte_flip_is_total(seed, pos_frac):
+    """Corruption totality for the CRC-less big-endian containers:
+    AIFF and AU cannot promise detection (a flipped sample byte is a
+    different legal sample), but a flip must never escape as anything
+    other than a clean decode or ValueError — no struct.error /
+    IndexError / numpy reshape blowups from chunk-walk or header
+    corruption."""
+    from coltt_spark.operators.media_codecs import (
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 200))
+    shape = (n, 2) if seed % 2 else (n,)
+    x = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    for enc, dec in ((encode_aiff, decode_aiff), (encode_au, decode_au)):
+        payload = bytearray(enc(x, 8000))
+        pos = min(int(pos_frac * len(payload)), len(payload) - 1)
+        payload[pos] ^= 0x5A
+        try:
+            samples, rate = dec(bytes(payload))
+            assert samples.dtype in (np.int16, np.int32)
+        except ValueError:
+            pass
