@@ -1476,6 +1476,10 @@ _KEY_ORDER = [
     #    (slot freed by demoting collection_search_batch_filtered —
     #    r4-green and equivalence-covered by collection_search_batch
     #    + collection_search_blocks_filtered, both in-window)
+    "web_url_dedup",         # new r6: URL normalize/domain/dedup
+    #    (slot freed by demoting hybrid_rrf — r4-green, RRF fusion
+    #    equivalence-covered by collection_hybrid_text + bm25_search,
+    #    both in-window)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1486,7 +1490,6 @@ _KEY_ORDER = [
     "stream_distinct",
     "stream_quantile",
     "bm25_topk_batch",
-    "hybrid_rrf",
     "freq_sketch",
     "ann_lsh",
     "dedup_canonical",
@@ -1510,13 +1513,13 @@ _KEY_ORDER = [
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 19 r4-green entries (dedup_exact,
-    # ---- dedup_groups, dedup_ngram_jaccard, text_lang_id and
-    # ---- collection_search_batch_filtered —
+    # ---- round. First the 20 r4-green entries (dedup_exact,
+    # ---- dedup_groups, dedup_ngram_jaccard, text_lang_id,
+    # ---- collection_search_batch_filtered and hybrid_rrf —
     # ---- demoted mid-r6 to make room for archive_roundtrip /
     # ---- media_tiff_features / format_roundtrip /
-    # ---- media_gif_features / warc_html_extract — then
-    # ---- text_quality .. media_features; oldest signal past the
+    # ---- media_gif_features / warc_html_extract / web_url_dedup —
+    # ---- then text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
     "dedup_exact",
@@ -1524,6 +1527,7 @@ _KEY_ORDER = [
     "dedup_ngram_jaccard",
     "text_lang_id",
     "collection_search_batch_filtered",
+    "hybrid_rrf",
     "text_quality",
     "doc_fingerprint",
     "pricing_summary",

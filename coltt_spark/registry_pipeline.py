@@ -412,6 +412,96 @@ FROM exp
 """
 
 
+def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the step between crawl ingestion and text
+    processing in every web pipeline (C4/RefinedWeb style): fabricate
+    a deterministically MESSY url per document (case-varied scheme
+    and host, default ports, ``utm_``/``gclid``/``ref`` tracking
+    params in three arrangements, fragments — with ``doc_id % 97``
+    collision groups so real duplicates exist under the mess), apply
+    the five-step normalization contract
+    (:mod:`coltt_spark.functions.urls` — pure Catalyst regexp/array
+    expressions, NO Python, whole-stage codegen), extract host +
+    registrable domain (eTLD+1 heuristic incl. ``co.uk``-family
+    two-level suffixes), and group by the canonical URL (ONE shuffle
+    with map-side combine). The oracle replays fabrication AND
+    normalization in DuckDB SQL, so any divergence in the regexp
+    semantics, the param filter, the port/fragment rules, or the
+    domain heuristic breaks value parity."""
+    from coltt_spark.functions.urls import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = (d % 97).cast("string")
+    host = (
+        F.when((d % 4 == 0) & (d % 2 == 0), F.lit("Example.COM"))
+        .when((d % 4 == 2) & (d % 2 == 0), F.lit("example.com:80"))
+        .when(d % 4 == 1, F.lit("Blog.Example.co.UK"))
+        .otherwise(F.lit("blog.example.co.uk:80"))
+    )
+    scheme = F.when(d % 8 < 4, F.lit("HTTP")).otherwise(F.lit("http"))
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), base))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), base, F.lit("&utm_campaign=x&gclid=abc")))
+        .otherwise(F.concat(F.lit("?ref=rss&id="), base))
+    )
+    frag = F.when(d % 5 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://"), host, F.lit("/Articles/"), base, query, frag
+    )
+    urls = docs.select(
+        "doc_id",
+        url_normalize(messy).alias("url"),
+        registrable_domain(url_host(messy)).alias("domain"),
+    )
+    return (
+        urls.groupBy("url", "domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select("url", "domain", "n_urls", "first_doc")
+    )
+
+
+def _web_url_oracle() -> str:
+    from coltt_spark.functions.urls import (
+        DD_REGISTRABLE_DOMAIN,
+        DD_URL_HOST,
+        DD_URL_NORMALIZE,
+    )
+
+    messy = (
+        "(CASE WHEN doc_id % 8 < 4 THEN 'HTTP' ELSE 'http' END || '://' || "
+        "CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN 'Example.COM' "
+        " WHEN doc_id % 4 = 2 AND doc_id % 2 = 0 THEN 'example.com:80' "
+        " WHEN doc_id % 4 = 1 THEN 'Blog.Example.co.UK' "
+        " ELSE 'blog.example.co.uk:80' END || "
+        "'/Articles/' || CAST(doc_id % 97 AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR) "
+        " WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x&gclid=abc' "
+        " ELSE '?ref=rss&id=' || CAST(doc_id % 97 AS VARCHAR) END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, {messy} AS messy FROM documents
+), u AS (
+  SELECT doc_id,
+         {DD_URL_NORMALIZE.format(x="messy")} AS url,
+         {DD_REGISTRABLE_DOMAIN.format(h=DD_URL_HOST.format(x="messy"))} AS domain
+  FROM m
+)
+SELECT url, domain, CAST(count(*) AS BIGINT) AS n_urls,
+       min(doc_id) AS first_doc
+FROM u GROUP BY url, domain
+"""
+
+
 _FORMAT_CACHE: dict = {}
 
 
@@ -669,6 +759,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
     "archive_roundtrip": q_archive_roundtrip,
     "warc_html_extract": q_warc_html_extract,
+    "web_url_dedup": q_web_url_dedup,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -687,6 +778,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "format_roundtrip": _ORACLE_FORMAT_ROUNDTRIP,
     "archive_roundtrip": _ORACLE_ARCHIVE_ROUNDTRIP,
     "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
+    "web_url_dedup": _web_url_oracle(),
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bloom": _bloom_oracle(),

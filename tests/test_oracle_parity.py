@@ -84,6 +84,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "media_tiff_features",
         "archive_roundtrip",
         "warc_html_extract",
+        "web_url_dedup",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -94,7 +95,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # the r4 block in its r4 order; four were demoted mid-r6 —
         # see below)
         "stream_distinct", "stream_quantile", "bm25_topk_batch",
-        "hybrid_rrf", "freq_sketch", "ann_lsh", "dedup_canonical",
+        "freq_sketch", "ann_lsh", "dedup_canonical",
         "dedup_simhash", "collection_hybrid_text",
         "bm25_index_merged", "pack_sequences_firstfit",
         "media_audio_features", "media_video_stats",
@@ -104,14 +105,15 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "upsert_delete", "filter_coercion", "knn_filtered",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 19 r4-green entries (dedup_exact, dedup_groups,
-        # dedup_ngram_jaccard, text_lang_id and
-        # collection_search_batch_filtered — demoted mid-r6 for
-        # the archive_roundtrip / media_tiff_features /
-        # format_roundtrip / media_gif_features / warc_html_extract
-        # window slots (batch_filtered is equivalence-covered by
-        # collection_search_batch + collection_search_blocks_filtered,
-        # both in-window) — then
+        # The 20 r4-green entries (dedup_exact, dedup_groups,
+        # dedup_ngram_jaccard, text_lang_id,
+        # collection_search_batch_filtered and hybrid_rrf — demoted
+        # mid-r6 for the archive_roundtrip / media_tiff_features /
+        # format_roundtrip / media_gif_features / warc_html_extract /
+        # web_url_dedup window slots (batch_filtered is
+        # equivalence-covered by collection_search_batch +
+        # collection_search_blocks_filtered; hybrid_rrf by
+        # collection_hybrid_text + bm25_search — all in-window) — then
         # text_quality .. media_features) sit FIRST past the
         # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow

@@ -586,3 +586,20 @@ def test_tiff_pipeline_is_narrow(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     _assert_narrow_media_pipeline(image_channel_stats(tiff_image_table(docs)))
+
+
+def test_web_url_dedup_is_jvm_single_shuffle(spark):
+    """URL normalize → group-by-canonical-URL is pure JVM: the
+    normalization is Catalyst regexp/array expressions (no Python
+    stage, whole-stage codegen), and the dedup is exactly ONE
+    Exchange with a map-side partial aggregate before it — the shape
+    a 100 TB URL-dedup pass needs."""
+    from coltt_spark.registry_pipeline import q_web_url_dedup
+
+    out = q_web_url_dedup(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    # two-phase aggregate: map-side partial combine below the shuffle
+    assert "partial_count" in plan.split("Exchange")[1]
+    assert plan.count("HashAggregate") == 2
