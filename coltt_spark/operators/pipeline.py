@@ -120,6 +120,66 @@ def decontaminate(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4 / RefinedWeb line
+    dedup): a line whose EXACT content appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (cookie banners,
+    nav text, subscribe prompts, share buttons) and is dropped from
+    EVERY document. Counting distinct documents — not raw
+    occurrences — means a line repeated inside one document is that
+    document's own business; only cross-document repetition marks
+    boilerplate. Returns ``(id, text, n_kept, n_removed)`` with the
+    surviving lines rejoined in their original order.
+
+    Scale shape: pass 1 explodes lines and counts distinct docs per
+    line (one shuffle with map-side partial aggregation); the
+    resulting frequent-line set is tiny by construction (it IS the
+    boilerplate), so pass 2 is a broadcast anti-lookup on the
+    still-exploded lines followed by one per-document rebuild
+    shuffle. No self-joins, no skew exposure: the hottest line in
+    the corpus contributes one counter row, not a join fan-out."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    frequent = (
+        lines.groupBy("_line")
+        .agg(F.countDistinct("_id").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_line", F.lit(True).alias("_drop"))
+    )
+    marked = lines.join(F.broadcast(frequent), on="_line", how="left")
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_drop").isNull(), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(F.col("_id").alias(id_col), "text", "n_kept", "n_removed")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -1480,6 +1480,10 @@ _KEY_ORDER = [
     #    (slot freed by demoting hybrid_rrf — r4-green, RRF fusion
     #    equivalence-covered by collection_hybrid_text + bm25_search,
     #    both in-window)
+    "line_dedup",            # new r6: corpus-level repeated-line removal
+    #    (slot freed by demoting bm25_topk_batch — r4-green, the
+    #    batched variant of bm25_search scoring, equivalence-covered
+    #    by bm25_search + bm25_indexed, both in-window)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1489,7 +1493,6 @@ _KEY_ORDER = [
     # -- since) -------------------------------------------------------
     "stream_distinct",
     "stream_quantile",
-    "bm25_topk_batch",
     "freq_sketch",
     "ann_lsh",
     "dedup_canonical",
@@ -1513,12 +1516,13 @@ _KEY_ORDER = [
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 20 r4-green entries (dedup_exact,
+    # ---- round. First the 21 r4-green entries (dedup_exact,
     # ---- dedup_groups, dedup_ngram_jaccard, text_lang_id,
-    # ---- collection_search_batch_filtered and hybrid_rrf —
-    # ---- demoted mid-r6 to make room for archive_roundtrip /
-    # ---- media_tiff_features / format_roundtrip /
-    # ---- media_gif_features / warc_html_extract / web_url_dedup —
+    # ---- collection_search_batch_filtered, hybrid_rrf and
+    # ---- bm25_topk_batch — demoted mid-r6 to make room for
+    # ---- archive_roundtrip / media_tiff_features / format_roundtrip /
+    # ---- media_gif_features / warc_html_extract / web_url_dedup /
+    # ---- line_dedup —
     # ---- then text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
@@ -1528,6 +1532,7 @@ _KEY_ORDER = [
     "text_lang_id",
     "collection_search_batch_filtered",
     "hybrid_rrf",
+    "bm25_topk_batch",
     "text_quality",
     "doc_fingerprint",
     "pricing_summary",

@@ -468,6 +468,65 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line removal (C4 / RefinedWeb line
+    dedup) end-to-end: fabricate 4-line documents — a GLOBAL
+    boilerplate line every document shares, the document's own text,
+    a mid-frequency ``Category <doc_id % 7>`` line (~1/7 of the
+    corpus each), and a unique per-document footer — then drop every
+    line appearing in ≥ 3 distinct documents
+    (:func:`coltt_spark.operators.pipeline.dedup_lines`: one
+    count-distinct shuffle + a broadcast anti-lookup + one rebuild
+    shuffle, no self-joins). The global and category lines must
+    vanish, the body and footer survive in order; the oracle replays
+    the fabrication AND the distinct-doc counting rule in SQL, so an
+    off-by-one in the threshold, a lost line-order, or an
+    occurrence-vs-document miscount breaks value parity."""
+    from coltt_spark.operators.pipeline import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter\n"),
+            "text",
+            F.lit("\nCategory "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nDoc footer "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_lines(multi, "doc_id", "text", min_docs=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_removed"
+    )
+
+
+_ORACLE_LINE_DEDUP = """
+WITH m AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter' || chr(10) || text || chr(10)
+         || 'Category ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+         || 'Doc footer ' || CAST(doc_id AS VARCHAR) AS mt
+  FROM documents
+), l AS (
+  SELECT doc_id, i.pos, string_split(mt, chr(10))[i.pos] AS line
+  FROM m, (SELECT unnest(generate_series(1, 4)) AS pos) i
+), freq AS (
+  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+), k AS (
+  SELECT doc_id, pos, line, line IN (SELECT line FROM freq) AS dropped
+  FROM l
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT dropped), '')) AS text_md5,
+       CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_removed
+FROM k GROUP BY doc_id
+"""
+
+
 def _web_url_oracle() -> str:
     from coltt_spark.functions.urls import (
         DD_REGISTRABLE_DOMAIN,
@@ -760,6 +819,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "archive_roundtrip": q_archive_roundtrip,
     "warc_html_extract": q_warc_html_extract,
     "web_url_dedup": q_web_url_dedup,
+    "line_dedup": q_line_dedup,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -779,6 +839,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "archive_roundtrip": _ORACLE_ARCHIVE_ROUNDTRIP,
     "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
     "web_url_dedup": _web_url_oracle(),
+    "line_dedup": _ORACLE_LINE_DEDUP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bloom": _bloom_oracle(),

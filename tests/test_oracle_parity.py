@@ -85,6 +85,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "archive_roundtrip",
         "warc_html_extract",
         "web_url_dedup",
+        "line_dedup",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -94,7 +95,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # oldest of the r4-green block (these 26 are the front of
         # the r4 block in its r4 order; four were demoted mid-r6 —
         # see below)
-        "stream_distinct", "stream_quantile", "bm25_topk_batch",
+        "stream_distinct", "stream_quantile",
         "freq_sketch", "ann_lsh", "dedup_canonical",
         "dedup_simhash", "collection_hybrid_text",
         "bm25_index_merged", "pack_sequences_firstfit",
@@ -105,15 +106,17 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "upsert_delete", "filter_coercion", "knn_filtered",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 20 r4-green entries (dedup_exact, dedup_groups,
+        # The 21 r4-green entries (dedup_exact, dedup_groups,
         # dedup_ngram_jaccard, text_lang_id,
-        # collection_search_batch_filtered and hybrid_rrf — demoted
+        # collection_search_batch_filtered, hybrid_rrf and
+        # bm25_topk_batch — demoted
         # mid-r6 for the archive_roundtrip / media_tiff_features /
         # format_roundtrip / media_gif_features / warc_html_extract /
-        # web_url_dedup window slots (batch_filtered is
+        # web_url_dedup / line_dedup window slots (batch_filtered is
         # equivalence-covered by collection_search_batch +
         # collection_search_blocks_filtered; hybrid_rrf by
-        # collection_hybrid_text + bm25_search — all in-window) — then
+        # collection_hybrid_text + bm25_search; bm25_topk_batch by
+        # bm25_search + bm25_indexed — all in-window) — then
         # text_quality .. media_features) sit FIRST past the
         # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow

@@ -461,3 +461,35 @@ def test_warc_html_extraction_chain(spark):
         assert extracted[doc_id] == extract_html_text(html)
         assert extracted[doc_id].startswith(f"Doc {doc_id}\n")
         assert extracted[doc_id].endswith("\nRead more")
+
+
+def test_dedup_lines_semantics(spark):
+    """Line dedup counts DISTINCT DOCUMENTS (a line repeated inside
+    one doc is not boilerplate), preserves surviving-line order,
+    empties a fully-boilerplate doc to '', and the count columns
+    reconcile with the original line counts."""
+    from coltt_spark.operators.pipeline import dedup_lines
+
+    rows = [
+        (1, "BOILER\nunique one\nBOILER"),   # internal repeat: 1 doc only
+        (2, "BOILER\nunique two"),
+        (3, "BOILER\nunique three\ntail"),
+        (4, "BOILER"),                        # fully boilerplate once freq
+        (5, "alpha\nbeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    # BOILER appears in docs 1-4 (4 distinct >= 3) -> dropped everywhere,
+    # including BOTH internal repeats in doc 1
+    assert out[1]["text"] == "unique one" and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "unique three\ntail" and out[3]["n_kept"] == 2
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["text"] == "alpha\nbeta" and out[5]["n_removed"] == 0
+    for doc_id, text in rows:
+        assert out[doc_id]["n_kept"] + out[doc_id]["n_removed"] == len(text.split("\n"))
+
+    # min_docs=5: nothing qualifies, everything survives verbatim
+    full = {r["doc_id"]: r["text"] for r in
+            dedup_lines(df, "doc_id", "text", min_docs=5).collect()}
+    assert full == {d: t for d, t in rows}
