@@ -140,12 +140,12 @@ DD_URL_NORMALIZE = (
     " ELSE lower(regexp_extract({x}, '{re}', 2)) END || "
     "CASE WHEN regexp_extract({x}, '{re}', 3) = '' THEN '/' "
     " ELSE regexp_extract({x}, '{re}', 3) END || "
-    "CASE WHEN array_to_string(list_filter(string_split("
+    "CASE WHEN coalesce(array_to_string(list_filter(string_split("
     "  regexp_replace(regexp_extract({x}, '{re}', 4), '^\\?', ''), '&'),"
-    "  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') = '' "
-    " THEN '' ELSE '?' || array_to_string(list_filter(string_split("
+    "  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&'), '') = '' "
+    " THEN '' ELSE '?' || coalesce(array_to_string(list_filter(string_split("
     "  regexp_replace(regexp_extract({x}, '{re}', 4), '^\\?', ''), '&'),"
-    "  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') END "
+    "  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&'), '') END "
     "END"
 ).replace(
     "{re}", "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"

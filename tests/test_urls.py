@@ -1,0 +1,139 @@
+"""URL normalization cross-engine contract: the Catalyst expressions
+and the exported DuckDB replay fragments must agree on ARBITRARY
+messy URLs, not just the fixture's shapes — plus normalization
+idempotence (a canonical URL re-normalizes to itself)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from coltt_spark.functions.urls import (
+    DD_REGISTRABLE_DOMAIN,
+    DD_URL_HOST,
+    DD_URL_NORMALIZE,
+    registrable_domain,
+    url_host,
+    url_normalize,
+)
+
+
+def _messy_urls(n: int = 300) -> list[str]:
+    """Deterministic generator of adversarial URL shapes: case soup,
+    ports (default and not), userinfo-free hosts of 1-4 labels over
+    mixed suffixes, paths with case/encoded chars/trailing slashes,
+    query params in every tracking/non-tracking arrangement (incl.
+    empty values, bare '&', '=' in values), fragments, and a few
+    non-URLs that must pass through untouched."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "HTTP", "https", "HTTPS", "hTtPs", "ftp"]
+    hosts = [
+        "Example.COM", "example.com", "BLOG.Example.co.UK",
+        "news.example.org", "a.b.c.example.com.au", "localhost",
+        "x.co.uk", "sub.x.ac.uk", "EXAMPLE.ORG",
+    ]
+    ports = ["", ":80", ":443", ":8080", ":"]
+    paths = ["", "/", "/A/B", "/path/", "/Path%20X/y.html", "//double"]
+    params = [
+        "id=5", "utm_source=feed", "utm_campaign=X", "gclid=abc",
+        "fbclid=1", "ref=rss", "q=a=b", "empty=", "keep_ref=1",
+        "utm=bare", "UTM_SOURCE=case",
+    ]
+    frags = ["", "#top", "#Sec-2", "#utm_source=feed"]
+    out = []
+    for _ in range(n):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        if q and rng.random() < 0.2:
+            q += "&"  # trailing separator
+        url = (
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + ("?" + q if q or rng.random() < 0.1 else "")
+            + rng.choice(frags)
+        )
+        out.append(url)
+    out += ["not a url", "", "relative/path", "mailto:x@example.com", "//schemeless.example.com/x"]
+    return out
+
+
+def test_url_normalize_matches_duckdb_on_messy_urls(spark):
+    urls = _messy_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [
+        (r["n"], r["h"], r["d"])
+        for r in df.select(
+            url_normalize(F.col("u")).alias("n"),
+            url_host(F.col("u")).alias("h"),
+            registrable_domain(url_host(F.col("u"))).alias("d"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = con.execute(
+        f"SELECT {DD_URL_NORMALIZE.format(x='u')}, "
+        f"{DD_URL_HOST.format(x='u')}, "
+        f"{DD_REGISTRABLE_DOMAIN.format(h=DD_URL_HOST.format(x='u'))} FROM t"
+    ).fetchall()
+    for u, g, w in zip(urls, got, want):
+        assert g == tuple(w), f"engines disagree on {u!r}: spark={g} duckdb={tuple(w)}"
+
+
+def test_url_normalize_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u): the canonical form is
+    a fixed point (dedup keys must be stable under re-processing)."""
+    urls = _messy_urls(150)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        url_normalize(F.col("u")).alias("once"),
+        url_normalize(url_normalize(F.col("u"))).alias("twice"),
+    ).collect()
+    for u, r in zip(urls, rows):
+        assert r["once"] == r["twice"], f"not idempotent on {u!r}: {r['once']!r} -> {r['twice']!r}"
+
+
+def test_url_normalize_pinned_cases():
+    """The five-step contract on hand-picked shapes (engine-free
+    documentation of the semantics)."""
+    import duckdb as dd
+
+    con = dd.connect()
+
+    def norm(u: str) -> str:
+        return con.execute(
+            f"SELECT {DD_URL_NORMALIZE.format(x='u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+
+    assert norm("HTTP://Example.COM:80/A?utm_source=x&id=1#f") == "http://example.com/A?id=1"
+    assert norm("https://example.com:443") == "https://example.com/"
+    assert norm("https://example.com:8080/x") == "https://example.com:8080/x"
+    assert norm("http://example.com/?ref=rss") == "http://example.com/"
+    assert norm("http://example.com/p?a=1&utm_x=2&b=3") == "http://example.com/p?a=1&b=3"
+    assert norm("not a url") == "not a url"  # pass-through
+    # path case preserved; param order preserved
+    assert norm("http://X.com/CaseS?z=1&a=2") == "http://x.com/CaseS?z=1&a=2"
+
+
+def test_registrable_domain_pinned_cases():
+    import duckdb as dd
+
+    con = dd.connect()
+
+    def dom(h: str) -> str:
+        return con.execute(
+            f"SELECT {DD_REGISTRABLE_DOMAIN.format(h='h')} FROM (SELECT ? AS h)", [h]
+        ).fetchone()[0]
+
+    assert dom("blog.example.co.uk") == "example.co.uk"
+    assert dom("example.co.uk") == "example.co.uk"
+    assert dom("deep.sub.example.com") == "example.com"
+    assert dom("example.com") == "example.com"
+    assert dom("localhost") == "localhost"
+    assert dom("a.b.example.com.au") == "example.com.au"
+    assert dom("co.uk") == "co.uk"  # bare suffix stays whole
