@@ -124,3 +124,45 @@ def test_redaction_composes_with_chunking(spark):
         # the placeholders survive as tokens; the raw PII does not
         assert "email" in stream and "phone" in stream and "ip" in stream
         assert f"user{doc_id}" not in stream and "example" not in stream
+
+
+def test_web_corpus_pipeline_composes(spark):
+    """The crawl chain composes end-to-end against ONE DuckDB oracle:
+    fabricate HTML (four markup flavors) → ship as text/html WARC
+    shards → read back → scanner extraction → corpus-level line
+    dedup. The entity line and the anchor line appear in EVERY
+    document, so line dedup must strip exactly those two from each
+    extraction, leaving the title line and the document body."""
+    from coltt_spark.operators.html_text import html_extract, html_page_table
+    from coltt_spark.operators.pipeline import dedup_lines
+    from coltt_spark.sources.archives import read_warc_records, write_archive_shards
+    from coltt_spark.tmpdirs import scratch_dir
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    path = scratch_dir(prefix="coltt_webchain_")
+    write_archive_shards(
+        html_page_table(docs), path, id_col="doc_id", text_col="html",
+        n_shards=4, fmt="warc", content_type="text/html",
+    ).collect()
+    pages = read_warc_records(spark, path).select(
+        F.expr("CAST(substr(uri, 9) AS LONG)").alias("doc_id"),
+        F.col("payload").alias("html"),
+    )
+    cleaned = dedup_lines(html_extract(pages), "doc_id", "text", min_docs=3)
+    out = cleaned.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_kept", "n_removed"
+    )
+    oracle = """
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5('Doc ' || doc_id
+           || CASE WHEN t = '' THEN '' ELSE chr(10) || t END) AS clean_md5,
+       CAST(CASE WHEN t = '' THEN 1 ELSE 2 END AS BIGINT) AS n_kept,
+       CAST(2 AS BIGINT) AS n_removed
+FROM nt
+"""
+    ok, msg = compare(out, duckdb_conn(SF_CORRECT), oracle)
+    assert ok, msg
