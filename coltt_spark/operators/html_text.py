@@ -205,10 +205,21 @@ _EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def html_extract(df: DataFrame, *, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+def html_extract(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    strip_boilerplate: bool = False,
+) -> DataFrame:
     """``(id, html)`` rows → ``(doc_id, text)`` via the scanner in an
     Arrow-batched ``mapInPandas`` kernel (per-document work, no
-    shuffle — the plan stays a narrow scan)."""
+    shuffle — the plan stays a narrow scan).
+    ``strip_boilerplate=True`` additionally drops short
+    link-dominated blocks (:func:`strip_boilerplate_text`) — the
+    per-page heuristic, complementary to the corpus-level
+    ``dedup_lines`` pass."""
+    extract = strip_boilerplate_text if strip_boilerplate else extract_html_text
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -219,7 +230,7 @@ def html_extract(df: DataFrame, *, id_col: str = "doc_id", html_col: str = "html
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "text": [extract_html_text(h) for h in pdf[html_col]],
+                    "text": [extract(h) for h in pdf[html_col]],
                 }
             )
 

@@ -1,6 +1,7 @@
 """HTML → text extraction: scanner semantics, boilerplate heuristic,
-totality over arbitrary soup (pure-kernel — no Spark needed; the
-Spark/WARC chain is covered in test_pipeline.py)."""
+totality over arbitrary soup (pure-kernel, plus the seam's
+boilerplate flag; the Spark/WARC chain is covered in
+test_pipeline.py and test_composition.py)."""
 
 from __future__ import annotations
 
@@ -126,3 +127,20 @@ def test_escape_extract_roundtrip(text):
     norm = re.sub(r"[ \t\r\n\f\v]+", " ", text).strip()
     got = extract_html_text(f"<p>{hm.escape(text)}</p>")
     assert got == norm
+
+
+def test_html_extract_boilerplate_option(spark):
+    """The Spark seam's strip_boilerplate flag applies the per-page
+    link-density heuristic inside the same narrow kernel."""
+    prose = "Real content sentence that carries meaning and length. " * 3
+    page = (
+        '<div><a href="/">Home</a> | <a href="/b">Blog</a></div>'
+        f"<p>{prose}</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    from coltt_spark.operators.html_text import html_extract
+
+    full = html_extract(df).collect()[0]["text"]
+    clean = html_extract(df, strip_boilerplate=True).collect()[0]["text"]
+    assert full.splitlines()[0] == "Home | Blog"
+    assert clean == prose.strip()
