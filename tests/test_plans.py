@@ -603,3 +603,18 @@ def test_web_url_dedup_is_jvm_single_shuffle(spark):
     # two-phase aggregate: map-side partial combine below the shuffle
     assert "partial_count" in plan.split("Exchange")[1]
     assert plan.count("HashAggregate") == 2
+
+
+def test_line_dedup_broadcasts_frequent_set(spark):
+    """Corpus line dedup: the frequent-line set joins back as a
+    BROADCAST LeftOuter (BuildRight) — never a shuffle join against
+    the exploded lines — and every Exchange sits above a partial
+    aggregate. Pure JVM end to end."""
+    from coltt_spark.registry_pipeline import q_line_dedup
+
+    out = q_line_dedup(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_collect_list" in plan  # rebuild combines map-side
