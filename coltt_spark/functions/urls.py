@@ -74,11 +74,8 @@ def registrable_domain(host: Column) -> Column:
     whole."""
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    is_two_level = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).isin(
-        *TWO_LEVEL_SUFFIXES
-    )
     return F.when(two == "", host).when(
-        is_two_level & (three != ""), three
+        two.isin(*TWO_LEVEL_SUFFIXES) & (three != ""), three
     ).otherwise(two)
 
 

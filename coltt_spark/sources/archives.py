@@ -212,6 +212,23 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
     return src.select("path", "content").mapInPandas(kernel, _WARC_SCHEMA)
 
 
+def http_body(payload):
+    """Strip the embedded HTTP header block from a WARC ``response``
+    record's payload (Common Crawl's dominant record type stores the
+    FULL HTTP exchange: status line, headers, blank line, body) — a
+    pure Catalyst expression, so it composes onto
+    :func:`read_warc_records` with no Python stage. Payloads that do
+    not start with ``HTTP/`` (``resource`` records, our own exports)
+    pass through untouched."""
+    from pyspark.sql import Column, functions as F
+
+    col = payload if isinstance(payload, Column) else F.col(payload)
+    sep = F.locate("\r\n\r\n", col)
+    return F.when(
+        col.startswith("HTTP/") & (sep > 0), col.substr(sep + 4, F.length(col))
+    ).otherwise(col)
+
+
 _DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -493,3 +493,65 @@ def test_dedup_lines_semantics(spark):
     full = {r["doc_id"]: r["text"] for r in
             dedup_lines(df, "doc_id", "text", min_docs=5).collect()}
     assert full == {d: t for d, t in rows}
+
+
+def test_warc_response_records_and_http_body(spark):
+    """Real Common Crawl WARCs carry `response` records whose payload
+    is the FULL HTTP exchange (status line, headers, blank line,
+    body). read_warc_records surfaces them verbatim; the http_body
+    Catalyst expression strips the header block and passes
+    resource-style payloads through untouched."""
+    import gzip
+    import os
+
+    from coltt_spark.sources.archives import http_body, read_warc_records
+    from coltt_spark.tmpdirs import scratch_dir
+
+    html = "<html><body><p>Crawled content.</p></body></html>"
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        "X-Header: v\r\n\r\n" + html
+    )
+
+    def rec(rtype, uri, ctype, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {rtype}\r\n".encode()
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Type: {ctype}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+
+    blob = gzip.compress(
+        rec("warcinfo", "", "application/warc-fields", b"software: test\r\n"), mtime=0
+    ) + gzip.compress(
+        rec(
+            "response",
+            "http://example.com/page",
+            'application/http; msgtype=response',
+            http.encode(),
+        ),
+        mtime=0,
+    ) + gzip.compress(
+        rec("resource", "urn:doc:7", "text/plain", b"plain body"), mtime=0
+    )
+    path = scratch_dir(prefix="coltt_cc_warc_")
+    with open(os.path.join(path, "shard-00000.warc.gz"), "wb") as fh:
+        fh.write(blob)
+
+    rows = {r["uri"]: r for r in read_warc_records(spark, path).collect()}
+    assert len(rows) == 3
+    assert rows["http://example.com/page"]["payload"] == http
+
+    from pyspark.sql import functions as F
+
+    bodies = {
+        r["uri"]: r["body"]
+        for r in read_warc_records(spark, path)
+        .select("uri", http_body("payload").alias("body"))
+        .collect()
+    }
+    assert bodies["http://example.com/page"] == html  # headers stripped
+    assert bodies["urn:doc:7"] == "plain body"  # pass-through
