@@ -1484,6 +1484,11 @@ _KEY_ORDER = [
     #    (slot freed by demoting bm25_topk_batch — r4-green, the
     #    batched variant of bm25_search scoring, equivalence-covered
     #    by bm25_search + bm25_indexed, both in-window)
+    "bucketed_join",         # new r6: shuffle-free co-located bucketed join
+    #    (slot freed by demoting knn_filtered — r4-green, filtered-KNN
+    #    semantics equivalence-covered by collection_search_blocks_filtered
+    #    (filter ∩ KNN through the packed-index path) + filter_search +
+    #    filter_coercion (hypothesis parity row≡block≡ivf), all in-window)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1508,7 +1513,6 @@ _KEY_ORDER = [
     "knn_cosine",
     "upsert_delete",
     "filter_coercion",
-    "knn_filtered",
     "filter_search",
     "multi_vector_search",
     "dedup_minhash_lsh",
@@ -1516,16 +1520,17 @@ _KEY_ORDER = [
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 21 r4-green entries (dedup_exact,
-    # ---- dedup_groups, dedup_ngram_jaccard, text_lang_id,
-    # ---- collection_search_batch_filtered, hybrid_rrf and
-    # ---- bm25_topk_batch — demoted mid-r6 to make room for
+    # ---- round. First the 22 r4-green entries (knn_filtered,
+    # ---- dedup_exact, dedup_groups, dedup_ngram_jaccard,
+    # ---- text_lang_id, collection_search_batch_filtered, hybrid_rrf
+    # ---- and bm25_topk_batch — demoted mid/late-r6 to make room for
     # ---- archive_roundtrip / media_tiff_features / format_roundtrip /
     # ---- media_gif_features / warc_html_extract / web_url_dedup /
-    # ---- line_dedup —
+    # ---- line_dedup / bucketed_join —
     # ---- then text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
+    "knn_filtered",
     "dedup_exact",
     "dedup_groups",
     "dedup_ngram_jaccard",

@@ -6,6 +6,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from coltt_spark.operators import analytics as A
 from coltt_spark.sources.tables import load_table
@@ -250,6 +251,81 @@ LEFT JOIN LATERAL (
 """
 
 
+#: bucketed-table fixture: (sf_dir) -> (orders_table, lineitem_table)
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build-once external bucketed copies of orders/lineitem, both
+    hashed into 16 buckets on the order key (the pay-the-shuffle-once
+    ingest step). Rebuilds if a fresh session lost the catalog
+    entries — the data files live under a scratch dir either way."""
+    import hashlib
+
+    from coltt_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"coltt_b_orders_{tag}", f"coltt_b_lineitem_{tag}")
+    if _BUCKETED_CACHE.get(sf_dir) != names or not all(
+        spark.catalog.tableExists(n) for n in names
+    ):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), names[0], "o_orderkey", 16
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), names[1], "l_orderkey", 16
+        )
+        _BUCKETED_CACHE[sf_dir] = names
+    return read_bucketed(spark, names[0]), read_bucketed(spark, names[1])
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact-fact join — the bucketing story a
+    100 TB deployment runs on: orders and lineitem are written ONCE as
+    16-bucket tables hashed on the order key
+    (:mod:`coltt_spark.sources.bucketed`), then the join AND the
+    order-keyed aggregation both reuse the on-disk hash layout — the
+    executed plan has SortMergeJoin with ZERO Exchange nodes (pinned
+    in tests/test_plans.py::test_bucketed_join_has_no_exchange; the
+    reference gets this locality for free on one node —
+    diskv/diskv.go co-locates by construction — a cluster must design
+    for it). The oracle runs the plain join/aggregate on the raw
+    parquet, so the bucketed write+read round-trip (row preservation,
+    bucket pruning, hash layout) is value-checked end-to-end."""
+    orders, lineitem = _bucketed_tables(spark, sf_dir)
+    from coltt_spark.sources.bucketed import co_located_join
+
+    j = co_located_join(orders, lineitem, "o_orderkey", "l_orderkey")
+    # price/discount are exact cents: sum the integer numerator of
+    # extprice·(1−discount) so the aggregate is order-independent and
+    # bit-identical across engines (CLAUDE.md float-parity recipe —
+    # a plain double sum flips the rounding boundary; the quotient is
+    # an exact 4-decimal value, so round-4 is boundary-free)
+    cents_p = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents_d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(cents_p * (100 - cents_d)) / 10000.0, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 5)
+        .select("o_orderkey", "o_orderpriority", "revenue", "n_items")
+    )
+
+
+_ORACLE_BUCKETED_JOIN = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0,
+             4) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderpriority
+HAVING count(*) >= 5
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue,
@@ -263,6 +339,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "set_intersect": q_set_intersect,
     "events_asof": q_events_asof,
+    "bucketed_join": q_bucketed_join,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -278,4 +355,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "events_json": _ORACLE_EVENTS_JSON,
     "set_intersect": _ORACLE_SET_INTERSECT,
     "events_asof": _ORACLE_EVENTS_ASOF,
+    "bucketed_join": _ORACLE_BUCKETED_JOIN,
 }

@@ -86,6 +86,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "warc_html_extract",
         "web_url_dedup",
         "line_dedup",
+        "bucketed_join",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -103,20 +104,23 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_blocks", "collection_search_batch",
         "collection_search_blocks_delta",
         "knn_cosine",
-        "upsert_delete", "filter_coercion", "knn_filtered",
+        "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 21 r4-green entries (dedup_exact, dedup_groups,
-        # dedup_ngram_jaccard, text_lang_id,
+        # The 22 r4-green entries (knn_filtered, dedup_exact,
+        # dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted
-        # mid-r6 for the archive_roundtrip / media_tiff_features /
+        # mid/late-r6 for the archive_roundtrip / media_tiff_features /
         # format_roundtrip / media_gif_features / warc_html_extract /
-        # web_url_dedup / line_dedup window slots (batch_filtered is
+        # web_url_dedup / line_dedup / bucketed_join window slots
+        # (batch_filtered is
         # equivalence-covered by collection_search_batch +
         # collection_search_blocks_filtered; hybrid_rrf by
         # collection_hybrid_text + bm25_search; bm25_topk_batch by
-        # bm25_search + bm25_indexed — all in-window) — then
+        # bm25_search + bm25_indexed; knn_filtered by
+        # collection_search_blocks_filtered + filter_search +
+        # filter_coercion — all in-window) — then
         # text_quality .. media_features) sit FIRST past the
         # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow

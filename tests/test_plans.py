@@ -618,3 +618,22 @@ def test_line_dedup_broadcasts_frequent_set(spark):
     assert "BroadcastHashJoin" in plan and "BuildRight" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_collect_list" in plan  # rebuild combines map-side
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed fact-fact join: both sides are written
+    16-bucket on the join key, so the SortMergeJoin AND the
+    order-keyed aggregation above it reuse the on-disk hash layout —
+    the executed plan has ZERO Exchange nodes. This is the
+    pay-the-shuffle-once-at-ingest property a daily 100 TB join
+    pipeline runs on (the reference's single-node diskv layout gets
+    it by construction)."""
+    from coltt_spark.registry_analytics import q_bucketed_join
+
+    out = q_bucketed_join(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # the scans must carry the bucket spec (16 buckets selected)
+    assert "SelectedBucketsCount: 16 out of 16" in plan
