@@ -1489,6 +1489,11 @@ _KEY_ORDER = [
     #    semantics equivalence-covered by collection_search_blocks_filtered
     #    (filter ∩ KNN through the packed-index path) + filter_search +
     #    filter_coercion (hypothesis parity row≡block≡ivf), all in-window)
+    "web_robots_filter",     # new r6: robots.txt parse + URL politeness gate
+    #    (slot freed by demoting stream_distinct — r4-green, its two
+    #    halves both stay driver-checked in-window: the streaming
+    #    window/state-store machinery via stream_quantile and the HLL
+    #    register math via distinct_sketch)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1496,7 +1501,6 @@ _KEY_ORDER = [
     "collection_search_ivf_delta",
     # -- oldest of the r4-green block (driver-green r4, local-gated
     # -- since) -------------------------------------------------------
-    "stream_distinct",
     "stream_quantile",
     "freq_sketch",
     "ann_lsh",
@@ -1520,16 +1524,18 @@ _KEY_ORDER = [
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 22 r4-green entries (knn_filtered,
-    # ---- dedup_exact, dedup_groups, dedup_ngram_jaccard,
-    # ---- text_lang_id, collection_search_batch_filtered, hybrid_rrf
+    # ---- round. First the 23 r4-green entries (stream_distinct,
+    # ---- knn_filtered, dedup_exact, dedup_groups,
+    # ---- dedup_ngram_jaccard, text_lang_id,
+    # ---- collection_search_batch_filtered, hybrid_rrf
     # ---- and bm25_topk_batch — demoted mid/late-r6 to make room for
     # ---- archive_roundtrip / media_tiff_features / format_roundtrip /
     # ---- media_gif_features / warc_html_extract / web_url_dedup /
-    # ---- line_dedup / bucketed_join —
+    # ---- line_dedup / bucketed_join / web_robots_filter —
     # ---- then text_quality .. media_features; oldest signal past the
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
+    "stream_distinct",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

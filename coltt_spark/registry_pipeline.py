@@ -814,11 +814,116 @@ FROM dirty
 """
 
 
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL filtering — the crawl-politeness gate between
+    URL dedup and fetching: fabricate one robots.txt per domain
+    (4 domains; a decoy group for another crawler that must be
+    ignored, case-varied ``User-agent`` naming us exactly on even
+    domains vs ``*`` on odd, longest-match Allow override under a
+    Disallow prefix, an ``/admin`` prefix rule AFTER an ignored
+    ``Crawl-delay`` directive, a ``$``-anchored exact-path rule, a
+    ``*``-wildcard rule on half the domains, an explicit ``Allow: /``
+    on odd domains, and an empty ``Disallow:`` that is no rule),
+    parse ONCE PER DOMAIN with the pure-Catalyst RFC 9309 fold
+    (:mod:`coltt_spark.operators.robots`), then BROADCAST the 4
+    parsed rule arrays into the per-document URL table and decide
+    per URL — zero shuffles end to end (plan pinned in
+    tests/test_plans.py). The oracle regenerates the RULE TABLE from
+    the fabrication formulas in SQL (it never sees robots.txt) and
+    replays longest-match/Allow-tie with a window over
+    regexp-matched rules, so a bug in group selection, directive
+    parsing, wildcard/anchor regexification, specificity, or the
+    tie rule breaks value parity."""
+    from coltt_spark.operators.robots import parse_robots, robots_decision
+
+    docs = load_table(spark, sf_dir, "documents")
+    d, k = F.col("doc_id") % 4, (F.col("doc_id") % 97).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/articles/p"), k))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/private/p"), k))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/admin/p"), k))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/tmp/p"), k, F.lit(".json")))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("/tmp/p"), k, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/private/ok/p"), k))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), d.cast("string"), F.lit(".com")).alias("domain"),
+        path.alias("path"),
+    )
+    dd = F.col("id")
+    robots_txt = F.concat(
+        F.lit("# robots for site"), dd.cast("string"), F.lit("\n"),
+        F.lit("User-agent: otherbot\nDisallow: /\nAllow: /admin\n\n"),
+        F.when(dd % 2 == 0, F.lit("User-agent: ColttBot\n")).otherwise(
+            F.lit("User-agent: *\n")
+        ),
+        F.lit("Disallow: /private/\nAllow: /private/ok/\n"),
+        F.lit("Crawl-delay: 10\nDisallow: /admin\n"),
+        F.lit("Disallow: /articles/p13$\n"),
+        F.when(dd >= 2, F.lit("Disallow: /tmp/*.json\n")).otherwise(F.lit("")),
+        F.when(dd % 2 == 1, F.lit("Allow: /\n")).otherwise(F.lit("")),
+        F.when(dd == 3, F.lit("Disallow:\n")).otherwise(F.lit("")),
+    )
+    domains = spark.range(4).select(
+        F.concat(F.lit("site"), dd.cast("string"), F.lit(".com")).alias("domain"),
+        parse_robots(robots_txt, "colttbot").alias("rules"),
+    )
+    joined = urls.join(F.broadcast(domains), "domain")
+    best = robots_decision(F.col("path"), F.col("rules"))
+    return joined.select(
+        "doc_id",
+        "domain",
+        "path",
+        best["allow"].alias("allowed"),
+        best["rlen"].cast("long").alias("rule_len"),
+    )
+
+
+_ORACLE_WEB_ROBOTS = r"""
+WITH dom AS (SELECT unnest(generate_series(0, 3)) AS d),
+rules AS (
+  SELECT d, rlen, allow, pattern
+  FROM dom, (VALUES (9, false, '^/private/'),
+                    (12, true, '^/private/ok/'),
+                    (6, false, '^/admin'),
+                    (14, false, '^/articles/p13$')) r(rlen, allow, pattern)
+  UNION ALL SELECT d, 11, false, '^/tmp/.*\.json' FROM dom WHERE d >= 2
+  UNION ALL SELECT d, 1, true, '^/' FROM dom WHERE d % 2 = 1
+),
+urls AS (
+  SELECT doc_id, doc_id % 4 AS d,
+         'site' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS domain,
+         CASE doc_id % 6
+           WHEN 0 THEN '/articles/p' || CAST(doc_id % 97 AS VARCHAR)
+           WHEN 1 THEN '/private/p' || CAST(doc_id % 97 AS VARCHAR)
+           WHEN 2 THEN '/admin/p' || CAST(doc_id % 97 AS VARCHAR)
+           WHEN 3 THEN '/tmp/p' || CAST(doc_id % 97 AS VARCHAR) || '.json'
+           WHEN 4 THEN '/tmp/p' || CAST(doc_id % 97 AS VARCHAR) || '.html'
+           ELSE '/private/ok/p' || CAST(doc_id % 97 AS VARCHAR)
+         END AS path
+  FROM documents
+),
+m AS (
+  SELECT u.doc_id, r.rlen, r.allow,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY r.rlen DESC, r.allow DESC) AS rn
+  FROM urls u JOIN rules r ON u.d = r.d AND regexp_matches(u.path, r.pattern)
+)
+SELECT u.doc_id, u.domain, u.path,
+       COALESCE(b.allow, TRUE) AS allowed,
+       CAST(COALESCE(b.rlen, -1) AS BIGINT) AS rule_len
+FROM urls u
+LEFT JOIN (SELECT doc_id, rlen, allow FROM m WHERE rn = 1) b USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
     "archive_roundtrip": q_archive_roundtrip,
     "warc_html_extract": q_warc_html_extract,
     "web_url_dedup": q_web_url_dedup,
+    "web_robots_filter": q_web_robots_filter,
     "line_dedup": q_line_dedup,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
@@ -839,6 +944,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "archive_roundtrip": _ORACLE_ARCHIVE_ROUNDTRIP,
     "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
     "web_url_dedup": _web_url_oracle(),
+    "web_robots_filter": _ORACLE_WEB_ROBOTS,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,

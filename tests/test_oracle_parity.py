@@ -87,16 +87,16 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "web_url_dedup",
         "line_dedup",
         "bucketed_join",
+        "web_robots_filter",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
         # path)
         "media_png_features",
         "collection_search_ivf", "collection_search_ivf_delta",
-        # oldest of the r4-green block (these 26 are the front of
-        # the r4 block in its r4 order; four were demoted mid-r6 —
-        # see below)
-        "stream_distinct", "stream_quantile",
+        # oldest of the r4-green block (the front of the r4 block in
+        # its r4 order; the rest were demoted mid/late-r6 — see below)
+        "stream_quantile",
         "freq_sketch", "ann_lsh", "dedup_canonical",
         "dedup_simhash", "collection_hybrid_text",
         "bm25_index_merged", "pack_sequences_firstfit",
@@ -107,20 +107,23 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 22 r4-green entries (knn_filtered, dedup_exact,
-        # dedup_groups, dedup_ngram_jaccard, text_lang_id,
+        # The 23 r4-green entries (stream_distinct, knn_filtered,
+        # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted
         # mid/late-r6 for the archive_roundtrip / media_tiff_features /
         # format_roundtrip / media_gif_features / warc_html_extract /
-        # web_url_dedup / line_dedup / bucketed_join window slots
+        # web_url_dedup / line_dedup / bucketed_join /
+        # web_robots_filter window slots
         # (batch_filtered is
         # equivalence-covered by collection_search_batch +
         # collection_search_blocks_filtered; hybrid_rrf by
         # collection_hybrid_text + bm25_search; bm25_topk_batch by
         # bm25_search + bm25_indexed; knn_filtered by
         # collection_search_blocks_filtered + filter_search +
-        # filter_coercion — all in-window) — then
+        # filter_coercion; stream_distinct by stream_quantile (same
+        # streaming state machinery) + distinct_sketch (same HLL
+        # register math) — all in-window) — then
         # text_quality .. media_features) sit FIRST past the
         # boundary and lead the
         # r7 rotation ledger; the 47 r5-green entries follow

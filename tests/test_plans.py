@@ -637,3 +637,19 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "BroadcastHashJoin" not in plan
     # the scans must carry the bucket spec (16 buckets selected)
     assert "SelectedBucketsCount: 16 out of 16" in plan
+
+
+def test_web_robots_filter_is_broadcast_zero_shuffle(spark):
+    """robots.txt gate: the rule arrays are parsed once per domain
+    (4 rows) and BROADCAST into the URL table; the per-URL decision
+    is a Catalyst array fold — no shuffle Exchange, no Python stage
+    anywhere. The shape a 100 TB URL-politeness pass needs: the
+    corpus is touched exactly once, map-side."""
+    from coltt_spark.registry_pipeline import q_web_robots_filter
+
+    out = q_web_robots_filter(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
