@@ -1494,6 +1494,11 @@ _KEY_ORDER = [
     #    halves both stay driver-checked in-window: the streaming
     #    window/state-store machinery via stream_quantile and the HLL
     #    register math via distinct_sketch)
+    "web_sitemap",           # new r6: sitemap XML parse → url_normalize
+    #    (slot freed by demoting collection_search_blocks_delta —
+    #    r4-green, its two halves both stay driver-checked in-window:
+    #    the packed-block probe kernel via collection_search_blocks
+    #    and the delta-flush machinery via collection_search_ivf_delta)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1513,7 +1518,6 @@ _KEY_ORDER = [
     "media_video_stats",
     "collection_search_blocks",
     "collection_search_batch",
-    "collection_search_blocks_delta",
     "knn_cosine",
     "upsert_delete",
     "filter_coercion",
@@ -1536,6 +1540,7 @@ _KEY_ORDER = [
     # ---- window, they lead the r7 rotation ledger), then the 47
     # ---- r5-green entries (freshest signal) in their r5 order.
     "stream_distinct",
+    "collection_search_blocks_delta",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

@@ -918,12 +918,200 @@ LEFT JOIN (SELECT doc_id, rlen, allow FROM m WHERE rn = 1) b USING (doc_id)
 """
 
 
+def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing — the crawl-DISCOVERY step in front of the
+    URL-dedup → robots-gate chain: fabricate one ``<urlset>`` sitemap
+    per document (1–3 ``<url>`` entries each, all fields derived from
+    doc_id so the oracle regenerates the expected OUTPUT rows by
+    formula — it never sees XML) plus four ``<sitemapindex>``
+    documents, parse with the pure-Catalyst sitemap fold
+    (:mod:`coltt_spark.operators.sitemaps`), and feed the extracted
+    locs straight into ``url_normalize`` — zero shuffles end to end
+    (plan pinned in tests/test_plans.py).
+
+    The fabricated entries cycle through the variation real sitemaps
+    exhibit, each a parity probe: CDATA-wrapped locs with RAW ``&``
+    and case-varied scheme/host/:443 port (CDATA verbatim rule +
+    normalization), entity-escaped ``&amp;`` locs with surrounding
+    whitespace (entity decode + trim), tracking params the
+    normalizer must drop, W3C lastmod both date-only and full
+    datetime (date-prefix rule), case-varied changefreq (lowercase
+    rule), explicit ``<priority>`` vs the protocol's 0.5 default,
+    and index entries with the subset schema. A divergence in block
+    splitting, CDATA/entity handling, field defaulting, or
+    normalization breaks value parity."""
+    from coltt_spark.functions.urls import url_host, url_normalize
+    from coltt_spark.operators.sitemaps import sitemap_entries, sitemap_kind
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (F.col("doc_id") % 4).cast("string")
+
+    def urlblock(j: Column) -> Column:
+        m = F.col("doc_id") + j
+        k = (F.col("doc_id") * 4 + j).cast("string")
+        loc = (
+            F.when(
+                m % 5 == 0,
+                F.concat(
+                    F.lit("<loc><![CDATA[HTTPS://Site"), d,
+                    F.lit(".Example.com:443/page/"), k, F.lit("?a="), k,
+                    F.lit("&utm_source=feed]]></loc>"),
+                ),
+            )
+            .when(
+                (m % 5 == 1) | (m % 5 == 3),
+                F.concat(
+                    F.lit("<loc>\n      https://site"), d,
+                    F.lit(".example.com/page/"), k, F.lit("?a="), k,
+                    F.lit("&amp;utm_source=feed\n    </loc>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("<loc>https://site"), d,
+                    F.lit(".example.com/page/"), k, F.lit("</loc>"),
+                )
+            )
+        )
+        lastmod = F.when(
+            m % 3 == 0,
+            F.concat(
+                F.lit("<lastmod> "),
+                F.date_format(
+                    F.date_add(
+                        F.to_date(F.lit("2024-01-01")), (m % 366).cast("int")
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.when(m % 6 == 0, F.lit("T08:30:00+00:00")).otherwise(F.lit("")),
+                F.lit(" </lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        freq = F.when(
+            m % 2 == 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.element_at(
+                    F.array(F.lit("Daily"), F.lit("weekly"), F.lit("monthly")),
+                    (m % 3).cast("int") + 1,
+                ),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit(""))
+        prio = F.when(
+            m % 2 == 1,
+            F.concat(
+                F.lit("<priority>0."), (m % 10).cast("string"), F.lit("</priority>")
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("  <url>\n    "), loc, F.lit("\n    "), lastmod, freq, prio,
+            F.lit("\n  </url>"),
+        )
+
+    leaf_xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        ),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")), urlblock
+            ),
+            "\n",
+        ),
+        F.lit("\n</urlset>\n"),
+    )
+    leaf = docs.select(
+        F.col("doc_id").cast("long").alias("src_id"), leaf_xml.alias("xml")
+    )
+    i = F.col("id").cast("string")
+    idx_xml = F.concat(
+        F.lit(
+            '<?xml version="1.0"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <sitemap>\n    <loc>https://site"
+        ),
+        i,
+        F.lit(".example.com/sitemap-0.xml</loc>\n    <lastmod>2024-02-0"),
+        (F.col("id") + 1).cast("string"),
+        F.lit(
+            "</lastmod>\n  </sitemap>\n"
+            "  <sitemap><loc> https://site"
+        ),
+        i,
+        F.lit(".example.com/sitemap-1.xml </loc></sitemap>\n</sitemapindex>"),
+    )
+    idx = spark.range(4).select(
+        (F.col("id") + 1000000).cast("long").alias("src_id"), idx_xml.alias("xml")
+    )
+    sm = leaf.unionByName(idx)
+    parsed = sm.select(
+        "src_id",
+        sitemap_kind(F.col("xml")).alias("kind"),
+        F.posexplode(sitemap_entries(F.col("xml"))).alias("ord", "e"),
+    )
+    loc_n = url_normalize(F.col("e.loc"))
+    return parsed.select(
+        "src_id",
+        "kind",
+        F.col("ord").cast("long").alias("ord"),
+        loc_n.alias("loc"),
+        url_host(loc_n).alias("host"),
+        F.col("e.lastmod_s").alias("lastmod"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.round(F.col("e.priority"), 4).alias("priority"),
+    )
+
+
+_ORACLE_WEB_SITEMAP = """
+WITH g AS (SELECT unnest(generate_series(0, 2)) AS j),
+u AS (
+  SELECT doc_id AS src_id, CAST(g.j AS BIGINT) AS ord,
+         doc_id + g.j AS m, doc_id * 4 + g.j AS k, doc_id % 4 AS d
+  FROM documents CROSS JOIN g WHERE g.j <= doc_id % 3
+),
+leaf AS (
+  SELECT src_id, 'urlset' AS kind, ord,
+    CASE WHEN m % 5 IN (0, 1, 3)
+         THEN 'https://site' || CAST(d AS VARCHAR) || '.example.com/page/'
+              || CAST(k AS VARCHAR) || '?a=' || CAST(k AS VARCHAR)
+         ELSE 'https://site' || CAST(d AS VARCHAR) || '.example.com/page/'
+              || CAST(k AS VARCHAR) END AS loc,
+    'site' || CAST(d AS VARCHAR) || '.example.com' AS host,
+    CASE WHEN m % 3 = 0
+         THEN strftime(DATE '2024-01-01' + CAST(m % 366 AS INT), '%Y-%m-%d')
+         END AS lastmod,
+    CASE WHEN m % 2 = 0 THEN
+      CASE CAST(m % 3 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+           ELSE 'monthly' END END AS changefreq,
+    CASE WHEN m % 2 = 1 THEN round((m % 10) / 10.0, 4) ELSE 0.5 END AS priority
+  FROM u
+),
+idx AS (
+  SELECT CAST(1000000 + r.i AS BIGINT) AS src_id, 'index' AS kind,
+    CAST(s.j AS BIGINT) AS ord,
+    'https://site' || CAST(r.i AS VARCHAR) || '.example.com/sitemap-'
+      || CAST(s.j AS VARCHAR) || '.xml' AS loc,
+    'site' || CAST(r.i AS VARCHAR) || '.example.com' AS host,
+    CASE WHEN s.j = 0
+         THEN strftime(DATE '2024-02-01' + CAST(r.i AS INT), '%Y-%m-%d')
+         END AS lastmod,
+    CAST(NULL AS VARCHAR) AS changefreq,
+    0.5 AS priority
+  FROM range(4) r(i) CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) s
+)
+SELECT * FROM leaf UNION ALL SELECT * FROM idx
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
     "archive_roundtrip": q_archive_roundtrip,
     "warc_html_extract": q_warc_html_extract,
     "web_url_dedup": q_web_url_dedup,
     "web_robots_filter": q_web_robots_filter,
+    "web_sitemap": q_web_sitemap,
     "line_dedup": q_line_dedup,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
@@ -945,6 +1133,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
     "web_url_dedup": _web_url_oracle(),
     "web_robots_filter": _ORACLE_WEB_ROBOTS,
+    "web_sitemap": _ORACLE_WEB_SITEMAP,
     "line_dedup": _ORACLE_LINE_DEDUP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,

@@ -88,6 +88,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "line_dedup",
         "bucketed_join",
         "web_robots_filter",
+        "web_sitemap",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -102,12 +103,16 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "bm25_index_merged", "pack_sequences_firstfit",
         "media_audio_features", "media_video_stats",
         "collection_search_blocks", "collection_search_batch",
-        "collection_search_blocks_delta",
         "knn_cosine",
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 23 r4-green entries (stream_distinct, knn_filtered,
+        # The 24 r4-green entries (stream_distinct,
+        # collection_search_blocks_delta — demoted for the
+        # web_sitemap slot; its two halves stay driver-checked
+        # in-window via collection_search_blocks (packed-block probe
+        # kernel) and collection_search_ivf_delta (delta-flush
+        # machinery) — knn_filtered,
         # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted

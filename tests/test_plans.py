@@ -653,3 +653,17 @@ def test_web_robots_filter_is_broadcast_zero_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_web_sitemap_parse_is_narrow(spark):
+    """Sitemap parsing: regexp block split + transform + posexplode
+    is a single narrow projection over the scan — no shuffle, no
+    Python stage. A 100 TB sitemap table parses in one map pass and
+    the extracted locs feed url_normalize in the same stage."""
+    from coltt_spark.registry_pipeline import q_web_sitemap
+
+    out = q_web_sitemap(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode over parsed entries
