@@ -3044,7 +3044,11 @@ def encode_gif_frames(
 # palette via 16-bit ColorMap, multi-strip layout, and both byte
 # orders (II/MM).
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+#: value-type byte widths: the TIFF 6.0 baseline five (BYTE ASCII
+#: SHORT LONG RATIONAL) plus the TIFF/EXIF extension types (SBYTE
+#: UNDEFINED SSHORT SLONG SRATIONAL) — EXIF metadata blocks are TIFF
+#: IFDs and use UNDEFINED (ExifVersion) and SRATIONAL routinely
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
 def _tiff_lzw_decode(data: bytes, expected: int) -> np.ndarray:
@@ -3262,10 +3266,17 @@ def _tiff_read_ifd(buf: bytes, bo: str, off: int) -> dict:
             vals = list(struct.unpack_from(bo + f"{cnt}H", buf, at))
         elif typ == 4:
             vals = list(struct.unpack_from(bo + f"{cnt}I", buf, at))
-        elif typ == 5:
-            raw = struct.unpack_from(bo + f"{2 * cnt}I", buf, at)
+        elif typ in (5, 10):  # RATIONAL / SRATIONAL → (num, den) pairs
+            fmt = "I" if typ == 5 else "i"
+            raw = struct.unpack_from(bo + f"{2 * cnt}{fmt}", buf, at)
             vals = [(raw[2 * j], raw[2 * j + 1]) for j in range(cnt)]
-        else:  # BYTE / ASCII
+        elif typ == 8:
+            vals = list(struct.unpack_from(bo + f"{cnt}h", buf, at))
+        elif typ == 9:
+            vals = list(struct.unpack_from(bo + f"{cnt}i", buf, at))
+        elif typ == 6:
+            vals = list(struct.unpack_from(f"{cnt}b", buf, at))
+        else:  # BYTE / ASCII / UNDEFINED
             vals = list(buf[at : at + total])
         tags[tag] = vals
     return tags

@@ -653,6 +653,81 @@ def tiff_image_table(
     return imgs.mapInPandas(kernel, out_schema)
 
 
+def exif_jpeg_table(documents: DataFrame) -> DataFrame:
+    """Fabricate REAL JPEG payloads carrying EXIF APP1 metadata for
+    the image rows (``doc_id % 3 == 0``): an 8×8 baseline JPEG with a
+    spliced TIFF-structured EXIF block whose every field derives from
+    ``doc_id`` formulas, so a SQL oracle regenerates the expected
+    metadata without ever seeing bytes. Rows alternate TIFF byte
+    order (II even / MM odd), drop the Model tag on ``d % 4 == 1``
+    (absent-tag path), carry a GPS IFD only on ``d % 6 == 0`` (with
+    all four N/S/E/W reference quadrants over the corpus), and
+    ``d % 9 == 3`` rows have NO EXIF at all (the has_exif=false
+    path). The Spark side must marker-walk the real container and
+    chase TIFF-relative IFD pointers; any segment/offset/type bug
+    breaks value parity."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.exif import (
+            build_exif_tiff,
+            exif_app1,
+            insert_app1,
+        )
+        from coltt_spark.operators.media_codecs import encode_jpeg
+
+        base = encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 9 == 3:
+                    payloads.append(base)
+                    continue
+                gps = None
+                if d % 6 == 0:
+                    gps = (
+                        "N" if (d // 6) % 2 == 0 else "S",
+                        (d % 90, d % 60, d % 45),
+                        "E" if (d // 12) % 2 == 0 else "W",
+                        (d % 180, (d // 2) % 60, d % 30),
+                    )
+                tiff = build_exif_tiff(
+                    byte_order="<" if d % 2 == 0 else ">",
+                    make=f"Cam{d % 5}",
+                    model=None if d % 4 == 1 else f"M-{d % 7}",
+                    orientation=1 + d % 8,
+                    datetime=(
+                        f"2024:{1 + d % 12:02d}:{1 + d % 28:02d}"
+                        f" {d % 24:02d}:00:00"
+                    ),
+                    exposure=(1, 2 + d % 500),
+                    fnumber=(10 + d % 40, 10),
+                    iso=100 * (1 + d % 16),
+                    datetime_original=(
+                        f"2024:{1 + d % 12:02d}:{1 + d % 28:02d}"
+                        f" {d % 24:02d}:30:00"
+                    ),
+                    pixel_x=8,
+                    pixel_y=8,
+                    gps=gps,
+                )
+                payloads.append(insert_app1(base, exif_app1(tiff)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
 def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
     """Fabricate REAL baseline JPEG payloads for the image rows
     (``doc_id % 3 == 0``): each is a ``blocks×blocks`` grid of 8×8

@@ -1499,6 +1499,11 @@ _KEY_ORDER = [
     #    r4-green, its two halves both stay driver-checked in-window:
     #    the packed-block probe kernel via collection_search_blocks
     #    and the delta-flush machinery via collection_search_ivf_delta)
+    "media_exif",            # new r6: EXIF APP1 (TIFF IFD) metadata extract
+    #    (slot freed by demoting knn_cosine — r4-green; the cosine
+    #    kernel is dot-on-normalized by the write-path contract, and
+    #    every in-window collection_search_* entry drives that same
+    #    functions/vector.py scoring kernel each round)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1518,7 +1523,6 @@ _KEY_ORDER = [
     "media_video_stats",
     "collection_search_blocks",
     "collection_search_batch",
-    "knn_cosine",
     "upsert_delete",
     "filter_coercion",
     "filter_search",
@@ -1541,6 +1545,7 @@ _KEY_ORDER = [
     # ---- r5-green entries (freshest signal) in their r5 order.
     "stream_distinct",
     "collection_search_blocks_delta",
+    "knn_cosine",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

@@ -552,6 +552,91 @@ FROM sums
 """
 
 
+def q_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction end-to-end: fabricate real JPEGs with
+    TIFF-structured EXIF APP1 blocks (``exif_jpeg_table`` — every
+    field a doc_id formula; II/MM byte orders alternate, the Model
+    tag is absent on ``d % 4 == 1``, a GPS IFD covering all four
+    N/S/E/W quadrants appears on ``d % 6 == 0``, and ``d % 9 == 3``
+    rows carry no EXIF at all), then marker-walk the real container,
+    chase the TIFF-relative IFD0 → Exif → GPS pointers, and emit the
+    typed metadata columns an image pipeline gates on. The oracle
+    regenerates every field from the formulas in SQL — it never sees
+    bytes — so a marker/offset/byte-order/type-decode bug (or a GPS
+    decimal-conversion divergence: the pinned left-to-right
+    ``sign * (deg + min/60.0 + sec/3600.0)`` double fold) breaks
+    value parity."""
+    from coltt_spark.operators.exif import exif_features
+    from coltt_spark.operators.multimodal import exif_jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = exif_features(exif_jpeg_table(docs))
+    # numeric columns carry a -1 / -999 sentinel instead of NULL: the
+    # driver's pandas fetch turns a NULL-able DuckDB int column into
+    # float64 (and NULL doubles into NaN), which type-mismatches the
+    # hash — string columns keep NULL (object dtype is lossless)
+    return feats.select(
+        "doc_id",
+        "has_exif",
+        "byte_order",
+        "make",
+        "model",
+        F.coalesce("orientation", F.lit(-1)).alias("orientation"),
+        "dt",
+        F.coalesce("exposure_den", F.lit(-1)).alias("exposure_den"),
+        F.coalesce(F.round("fnumber", 4), F.lit(-1.0)).alias("fnumber"),
+        F.coalesce("iso", F.lit(-1)).alias("iso"),
+        "exif_version",
+        "dt_original",
+        F.coalesce("pixel_x", F.lit(-1)).alias("pixel_x"),
+        F.coalesce("pixel_y", F.lit(-1)).alias("pixel_y"),
+        F.coalesce(F.round("lat", 4), F.lit(-999.0)).alias("lat"),
+        F.coalesce(F.round("lon", 4), F.lit(-999.0)).alias("lon"),
+    )
+
+
+_ORACLE_MEDIA_EXIF = """
+SELECT doc_id,
+  doc_id % 9 <> 3 AS has_exif,
+  CASE WHEN doc_id % 9 = 3 THEN NULL
+       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CASE WHEN doc_id % 9 = 3 THEN NULL
+       ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+  CASE WHEN doc_id % 9 = 3 OR doc_id % 4 = 1 THEN NULL
+       ELSE 'M-' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+  CASE WHEN doc_id % 9 = 3 THEN CAST(-1 AS BIGINT) ELSE 1 + doc_id % 8 END AS orientation,
+  CASE WHEN doc_id % 9 = 3 THEN NULL
+       ELSE '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':00:00' END AS dt,
+  CASE WHEN doc_id % 9 = 3 THEN CAST(-1 AS BIGINT) ELSE 2 + doc_id % 500 END AS exposure_den,
+  CASE WHEN doc_id % 9 = 3 THEN -1.0
+       ELSE round((10 + doc_id % 40) / 10.0, 4) END AS fnumber,
+  CASE WHEN doc_id % 9 = 3 THEN CAST(-1 AS BIGINT) ELSE 100 * (1 + doc_id % 16) END AS iso,
+  CASE WHEN doc_id % 9 = 3 THEN NULL ELSE '0232' END AS exif_version,
+  CASE WHEN doc_id % 9 = 3 THEN NULL
+       ELSE '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':30:00' END AS dt_original,
+  CASE WHEN doc_id % 9 = 3 THEN CAST(-1 AS BIGINT) ELSE CAST(8 AS BIGINT) END AS pixel_x,
+  CASE WHEN doc_id % 9 = 3 THEN CAST(-1 AS BIGINT) ELSE CAST(8 AS BIGINT) END AS pixel_y,
+  CASE WHEN doc_id % 9 = 3 OR doc_id % 6 <> 0 THEN -999.0
+       ELSE round(
+         (CASE WHEN (doc_id // 6) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         * (doc_id % 90 + (doc_id % 60) / 60.0 + (doc_id % 45) / 3600.0),
+         4) END AS lat,
+  CASE WHEN doc_id % 9 = 3 OR doc_id % 6 <> 0 THEN -999.0
+       ELSE round(
+         (CASE WHEN (doc_id // 12) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         * (doc_id % 180 + ((doc_id // 2) % 60) / 60.0 + (doc_id % 30) / 3600.0),
+         4) END AS lon
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -563,6 +648,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_gif_features": q_media_gif_features,
     "media_tiff_features": q_media_tiff_features,
     "media_jpeg_features": q_media_jpeg_features,
+    "media_exif": q_media_exif,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -576,4 +662,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_gif_features": _ORACLE_MEDIA_GIF_FEATURES,
     "media_tiff_features": _ORACLE_MEDIA_TIFF_FEATURES,
     "media_jpeg_features": _ORACLE_MEDIA_JPEG_FEATURES,
+    "media_exif": _ORACLE_MEDIA_EXIF,
 }

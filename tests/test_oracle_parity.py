@@ -89,6 +89,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "bucketed_join",
         "web_robots_filter",
         "web_sitemap",
+        "media_exif",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -103,16 +104,18 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "bm25_index_merged", "pack_sequences_firstfit",
         "media_audio_features", "media_video_stats",
         "collection_search_blocks", "collection_search_batch",
-        "knn_cosine",
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "ann_ivf", "neardup_cosine",
-        # The 24 r4-green entries (stream_distinct,
+        # The 25 r4-green entries (stream_distinct,
         # collection_search_blocks_delta — demoted for the
         # web_sitemap slot; its two halves stay driver-checked
         # in-window via collection_search_blocks (packed-block probe
         # kernel) and collection_search_ivf_delta (delta-flush
-        # machinery) — knn_filtered,
+        # machinery) — knn_cosine — demoted for the media_exif slot;
+        # cosine ≡ dot-on-normalized by the write-path contract and
+        # every in-window collection_search_* drives the same
+        # functions/vector.py scoring kernel — knn_filtered,
         # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted

@@ -655,6 +655,19 @@ def test_web_robots_filter_is_broadcast_zero_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_media_exif_pipeline_is_narrow(spark):
+    """EXIF extraction: fabricate + parse is ONE narrow mapInPandas
+    chain over the documents scan — no Exchange anywhere. The marker
+    walk reads only JPEG headers, so the 100 TB shape is a single
+    metadata map pass before any decode."""
+    from coltt_spark.registry_media import q_media_exif
+
+    out = q_media_exif(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2  # fabricate + parse stages
+
+
 def test_web_sitemap_parse_is_narrow(spark):
     """Sitemap parsing: regexp block split + transform + posexplode
     is a single narrow projection over the scan — no shuffle, no
