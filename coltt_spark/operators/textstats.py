@@ -171,6 +171,70 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str, *, lam: float = 0.8
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the CCNet-style
+    perplexity filter at its real shape (CCNet trains a KenLM n-gram
+    model and keeps the low-perplexity tail; the unigram
+    :func:`lm_score` is the cheap proxy, this is the contextual
+    version): each document's mean log-probability and perplexity
+    under ``p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N``, both
+    count tables trained on the scored corpus itself. Returns
+    (id, n_bigrams, avg_logprob, ppl); documents with fewer than two
+    tokens have no bigrams and drop out (same contract both engines).
+
+    Scale shape: the corpus is exploded into its bigram stream ONCE
+    and shuffled on the (w1, w2) key twice — once to build the count
+    table (map-side combined), once to join probabilities back (hot
+    function-word pairs like "of the" are the skew risk; AQE
+    skew-join splits them, the same posture as the BM25 hot-token
+    datapoint). The bigram and context tables are vocab-sized
+    aggregates joined to each other off the corpus path; the unigram
+    table is BROADCAST onto the stream with the same head/tail split
+    documented on :func:`lm_score`. All counts are integer-valued
+    doubles, so every sum is exact regardless of partition order;
+    the only float surface is the final log/avg, shared verbatim
+    with the oracle."""
+    df = ensure_parallelism(df, id_col)
+    toks = tokens(text_col)
+    e = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    uni = e.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("_c1"))
+    tot = uni.groupBy().agg(F.sum("_c1").alias("_n"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.select(F.col(id_col), F.explode(bg).alias("p"))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("_c2")
+    )
+    ctx = c2.groupBy("w1").agg(F.sum("_c2").alias("_ctx"))
+    probs = c2.join(ctx, "w1")
+    scored = (
+        pairs.join(probs, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lp",
+            F.log(
+                F.lit(lam) * (F.col("_c2") / F.col("_ctx"))
+                + (F.lit(1.0) - F.lit(lam)) * (F.col("_c1") / F.col("_n"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), 4).alias("ppl"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of canonical text (exact-dup key)
     plus an order-sensitive rolling polynomial hash over token hashes

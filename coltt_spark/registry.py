@@ -1504,6 +1504,13 @@ _KEY_ORDER = [
     #    kernel is dot-on-normalized by the write-path contract, and
     #    every in-window collection_search_* entry drives that same
     #    functions/vector.py scoring kernel each round)
+    "doc_ppl_bigram",        # new r6: CCNet-style bigram-LM perplexity
+    #    (slot freed by demoting ann_ivf — r4-green; its two halves
+    #    stay driver-checked in-window: the shared ivf_build/ivf_assign
+    #    training+assignment kernel via collection_search_ivf /
+    #    collection_search_ivf_delta (catalog flush imports those same
+    #    functions) and the exact-vs-approximate recall contract via
+    #    ann_recall)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1528,7 +1535,6 @@ _KEY_ORDER = [
     "filter_search",
     "multi_vector_search",
     "dedup_minhash_lsh",
-    "ann_ivf",
     "neardup_cosine",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
@@ -1546,6 +1552,7 @@ _KEY_ORDER = [
     "stream_distinct",
     "collection_search_blocks_delta",
     "knn_cosine",
+    "ann_ivf",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

@@ -191,6 +191,49 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_doc_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity — the CCNet filter's real
+    contextual shape (doc_lm_score is its unigram proxy): mean
+    log-prob and perplexity of each document under
+    ``λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N`` trained on the corpus
+    itself. The oracle replays the full pipeline — bigram extraction
+    by list indexing, both count tables, the interpolation formula,
+    and the same ln/exp/avg float surface — so a divergence in
+    bigram pairing, context totals, or the probability math breaks
+    value parity."""
+    from coltt_spark.operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", lam=0.8
+    )
+
+
+_ORACLE_DOC_PPL_BIGRAM = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+u AS (SELECT unnest(tk) AS token FROM t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u),
+c1 AS (SELECT token, CAST(count(*) AS DOUBLE) AS c1 FROM u GROUP BY token),
+g AS (SELECT unnest(generate_series(1, (SELECT max(len(tk)) - 1 FROM t))) AS i),
+bg AS (
+  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+  FROM t CROSS JOIN g WHERE g.i <= len(tk) - 1
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS ctx FROM c2 GROUP BY w1),
+s AS (
+  SELECT bg.doc_id,
+         ln(0.8 * (c2.c2 / ctx.ctx) + (1.0 - 0.8) * (c1.c1 / tot.n)) AS lp
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN c1 ON c1.token = bg.w2, tot
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM s GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -199,6 +242,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "token_vocab": q_token_vocab,
     "doc_lm_score": q_doc_lm_score,
+    "doc_ppl_bigram": q_doc_ppl_bigram,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -209,4 +253,5 @@ TEXT_ORACLES: dict[str, str] = {
     "text_repetition": _repetition_oracle(),
     "token_vocab": _ORACLE_TOKEN_VOCAB,
     "doc_lm_score": _ORACLE_DOC_LM_SCORE,
+    "doc_ppl_bigram": _ORACLE_DOC_PPL_BIGRAM,
 }

@@ -236,6 +236,56 @@ def test_lm_score_matches_local(spark):
         assert abs(rows[did]["avg_logprob"] - round(exp, 4)) <= 1e-4
 
 
+def test_bigram_lm_score_hand_computed(spark):
+    """Interpolated bigram LM on a corpus small enough to work by
+    hand: docs 'a b a', 'b a', 'x' → unigrams a:3 b:2 x:1 (N=6),
+    bigrams (a,b):1 (b,a):2, contexts a·:1 b·:2, so
+    p(b|a) = .8·(1/1) + .2·(2/6) and p(a|b) = .8·(2/2) + .2·(3/6)."""
+    import math
+
+    from coltt_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b a"), (2, "x")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, "doc_id", "text", lam=0.8).collect()
+    }
+    assert set(rows) == {0, 1}  # the 1-token doc has no bigrams
+    p_b_a = 0.8 * (1 / 1) + 0.2 * (2 / 6)
+    p_a_b = 0.8 * (2 / 2) + 0.2 * (3 / 6)
+    lp0 = (math.log(p_b_a) + math.log(p_a_b)) / 2
+    assert rows[0]["n_bigrams"] == 2
+    assert abs(rows[0]["avg_logprob"] - round(lp0, 4)) <= 1e-9
+    assert abs(rows[0]["ppl"] - round(math.exp(-lp0), 4)) <= 1e-9
+    assert rows[1]["n_bigrams"] == 1
+    assert abs(rows[1]["avg_logprob"] - round(math.log(p_a_b), 4)) <= 1e-9
+
+
+def test_bigram_lm_frequent_patterns_score_low_ppl(spark):
+    """The filter's discriminating property: a document made of the
+    corpus's dominant bigram pattern gets lower perplexity than a
+    document of one-off bigrams over rare tokens — within the same
+    trained model."""
+    from coltt_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b " * 20),  # dominant repeated pattern
+            (1, "c d e f g h"),  # every bigram and token unique
+            (2, "a b " * 10),  # more of the dominant pattern
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, "doc_id", "text").collect()
+    }
+    assert rows[0]["ppl"] < rows[1]["ppl"]
+    assert rows[2]["ppl"] < rows[1]["ppl"]
+
+
 def test_connected_components_random_graphs_match_union_find(spark):
     """Model check: on random graphs (mixed densities, long chains,
     cliques, isolated pairs) min-label propagation must produce the

@@ -90,6 +90,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "web_robots_filter",
         "web_sitemap",
         "media_exif",
+        "doc_ppl_bigram",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -106,8 +107,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_blocks", "collection_search_batch",
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
-        "ann_ivf", "neardup_cosine",
-        # The 25 r4-green entries (stream_distinct,
+        "neardup_cosine",
+        # The 26 r4-green entries (stream_distinct,
         # collection_search_blocks_delta — demoted for the
         # web_sitemap slot; its two halves stay driver-checked
         # in-window via collection_search_blocks (packed-block probe
@@ -115,7 +116,11 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # machinery) — knn_cosine — demoted for the media_exif slot;
         # cosine ≡ dot-on-normalized by the write-path contract and
         # every in-window collection_search_* drives the same
-        # functions/vector.py scoring kernel — knn_filtered,
+        # functions/vector.py scoring kernel — ann_ivf — demoted for
+        # the doc_ppl_bigram slot; the shared ivf_build/ivf_assign
+        # kernel stays driver-checked via collection_search_ivf/_delta
+        # and the recall contract via ann_recall, all in-window —
+        # knn_filtered,
         # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted

@@ -668,6 +668,22 @@ def test_media_exif_pipeline_is_narrow(spark):
     assert plan.count("MapInPandas") == 2  # fabricate + parse stages
 
 
+def test_bigram_lm_is_jvm_side_with_partial_aggs(spark):
+    """Bigram-LM scoring: the corpus bigram stream stays JVM-side
+    (no Python stage), the count aggregations map-side combine, and
+    the unigram table is BROADCAST onto the stream — the corpus is
+    never shuffled on a unigram key (stopwords would be hot). The
+    (w1,w2)-keyed joins are the one necessary shuffle; AQE skew-join
+    covers hot function-word pairs."""
+    from coltt_spark.registry_text import q_doc_ppl_bigram
+
+    out = q_doc_ppl_bigram(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # unigram + context tables
+    assert "partial_count" in plan  # map-side combine on every count
+
+
 def test_web_sitemap_parse_is_narrow(spark):
     """Sitemap parsing: regexp block split + transform + posexplode
     is a single narrow projection over the scan — no shuffle, no
