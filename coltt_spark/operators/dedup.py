@@ -102,6 +102,83 @@ def span_dup_stats(
     )
 
 
+def span_dedup_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the ExactSubstr step (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better")
+    at the span granularity :func:`span_dup_stats` already measures:
+    chunk every document into non-overlapping ``size``-token spans,
+    find spans whose hash occurs in ≥ ``min_docs`` distinct
+    documents, and CUT every occurrence except the globally first
+    (smallest ``(doc_id, chunk_id)`` — deterministic, so the rebuilt
+    corpus is reproducible). Operates on the canonical token stream
+    (the same stream chunking/packing read), returning per document
+    the span counts and the rebuilt text + its md5 — a value-level
+    check of the rebuild, not just counts.
+
+    Scale: chunking is narrow; then ONE span-hash-keyed aggregation
+    (map-side combined; the keeper is a ``min(struct)`` merged the
+    same way) and ONE hash-keyed equi-join back — the inverted-list
+    shape of :func:`span_dup_stats`, with the same bounded fan-out
+    (each span row joins exactly one count row). The per-doc rebuild
+    is one doc-keyed aggregation; no global sort."""
+    from coltt_spark.operators.pipeline import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, size=size, stride=size)
+    ch = chunks.select(
+        F.col(id_col),
+        "chunk_id",
+        "n_tokens",
+        "chunk_text",
+        hash60(F.col("chunk_text")).alias("_h"),
+    )
+    per = ch.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_nd"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("chunk_id").alias("c"))
+        ).alias("_keep"),
+    )
+    j = ch.join(per, "_h")
+    keep = (F.col("_nd") < min_docs) | (
+        (F.col("_keep.i") == F.col(id_col))
+        & (F.col("_keep.c") == F.col("chunk_id"))
+    )
+    marked = j.withColumn("_kept", keep)
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("_kept")).cast("long")).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_kept"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("n_tokens_kept"),
+        # collect_list drops nulls, so only kept spans enter; sort by
+        # chunk_id restores document order before the join
+        F.collect_list(
+            F.when(
+                F.col("_kept"),
+                F.struct(
+                    F.col("chunk_id").alias("c"), F.col("chunk_text").alias("t")
+                ),
+            )
+        ).alias("_kept_spans"),
+    )
+    clean = F.array_join(
+        F.transform(F.array_sort("_kept_spans"), lambda s: s["t"]), " "
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_spans",
+        "n_removed",
+        "n_tokens_kept",
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle-hash) pairs — the inverted-list base for
     Jaccard and MinHash."""

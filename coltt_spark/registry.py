@@ -1511,6 +1511,12 @@ _KEY_ORDER = [
     #    collection_search_ivf_delta (catalog flush imports those same
     #    functions) and the exact-vs-approximate recall contract via
     #    ann_recall)
+    "dedup_span_removal",    # new r6: ExactSubstr duplicated-span removal
+    #    (slot freed by demoting collection_search_batch — r4-green;
+    #    the packed-block scan kernel stays driver-checked in-window
+    #    via collection_search_blocks, and the per-query grouped
+    #    TakeOrdered via collection_search_grouped, r5-green and
+    #    re-oracled by the local gate every run)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1529,7 +1535,6 @@ _KEY_ORDER = [
     "media_audio_features",
     "media_video_stats",
     "collection_search_blocks",
-    "collection_search_batch",
     "upsert_delete",
     "filter_coercion",
     "filter_search",
@@ -1553,6 +1558,7 @@ _KEY_ORDER = [
     "collection_search_blocks_delta",
     "knn_cosine",
     "ann_ivf",
+    "collection_search_batch",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

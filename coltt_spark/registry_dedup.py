@@ -152,6 +152,62 @@ GROUP BY ch.doc_id
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2021)
+    over the corpus + its mangled exact copies (same augmentation as
+    ``dedup_spans``): every copied span is cut except the globally
+    first occurrence — the originals (smaller doc_id) survive, the
+    planted copies lose every span they share. Value-checked down to
+    the md5 of the REBUILT text, so a keeper-selection, ordering, or
+    rebuild bug breaks parity — not just the counts."""
+    from coltt_spark.operators.dedup import span_dedup_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    return span_dedup_removal(corpus, "doc_id", "text", size=16)
+
+
+_ORACLE_DEDUP_SPAN_REMOVAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM corpus
+),
+g AS (SELECT unnest(generate_series(0, (SELECT max(len(toks)) FROM t) // 16)) AS i),
+c AS (
+  SELECT doc_id, g.i AS chunk_id,
+         array_to_string(toks[g.i*16+1 : g.i*16+16], ' ') AS chunk_text,
+         len(toks[g.i*16+1 : g.i*16+16]) AS n_tokens
+  FROM t CROSS JOIN g WHERE g.i*16 < len(toks)
+),
+h AS (
+  SELECT c.*, ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS hh FROM c
+),
+per AS (SELECT hh, count(DISTINCT doc_id) AS nd FROM h GROUP BY hh),
+m AS (
+  SELECT h.*, per.nd,
+         row_number() OVER (PARTITION BY hh ORDER BY doc_id, chunk_id) AS rn
+  FROM h JOIN per USING (hh)
+),
+k AS (SELECT *, (nd < 2 OR rn = 1) AS kept FROM m)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       md5(coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' ' ORDER BY chunk_id), '')) AS clean_md5
+FROM k GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 
@@ -470,6 +526,7 @@ SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
+    "dedup_span_removal": q_dedup_span_removal,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -482,6 +539,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_spans": _ORACLE_DEDUP_SPANS,
+    "dedup_span_removal": _ORACLE_DEDUP_SPAN_REMOVAL,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),

@@ -236,6 +236,65 @@ def test_lm_score_matches_local(spark):
         assert abs(rows[did]["avg_logprob"] - round(exp, 4)) <= 1e-4
 
 
+def test_span_removal_keeps_first_occurrence(spark):
+    """ExactSubstr removal on a hand-built corpus: doc 0 owns the
+    boilerplate (keeper by smallest (doc_id, chunk_id)), docs 1-2
+    lose their copies of it but keep their unique tails; rebuild text
+    is checked exactly, not just counted."""
+    import hashlib
+
+    from coltt_spark.operators.dedup import span_dedup_removal
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token span
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " u0 u1 u2 u3"),
+            (1, boiler + " v0 v1 v2 v3"),
+            (2, "w0 w1 w2 w3 " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup_removal(docs, "doc_id", "text", size=4).collect()
+    }
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 0: both spans kept (it is the keeper of the boilerplate)
+    assert rows[0]["n_removed"] == 0
+    assert rows[0]["clean_md5"] == md5(boiler + " u0 u1 u2 u3")
+    # doc 1: boilerplate span (chunk 0) cut, unique tail kept
+    assert rows[1]["n_removed"] == 1
+    assert rows[1]["n_tokens_kept"] == 4
+    assert rows[1]["clean_md5"] == md5("v0 v1 v2 v3")
+    # doc 2: boilerplate is its SECOND span — removal is positional,
+    # not prefix-based
+    assert rows[2]["n_removed"] == 1
+    assert rows[2]["clean_md5"] == md5("w0 w1 w2 w3")
+
+
+def test_span_removal_total_duplicate_collapses_to_empty(spark):
+    """A full copy of another document loses every span: rebuilt text
+    is '' (md5 of the empty string), the idempotence fixpoint."""
+    import hashlib
+
+    from coltt_spark.operators.dedup import span_dedup_removal
+
+    text = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup_removal(docs, "doc_id", "text", size=4).collect()
+    }
+    assert rows[0]["n_removed"] == 0
+    assert rows[1]["n_removed"] == rows[1]["n_spans"] == 2
+    assert rows[1]["n_tokens_kept"] == 0
+    assert rows[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def test_bigram_lm_score_hand_computed(spark):
     """Interpolated bigram LM on a corpus small enough to work by
     hand: docs 'a b a', 'b a', 'x' → unigrams a:3 b:2 x:1 (N=6),

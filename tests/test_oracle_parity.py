@@ -91,6 +91,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "web_sitemap",
         "media_exif",
         "doc_ppl_bigram",
+        "dedup_span_removal",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -104,11 +105,11 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "dedup_simhash", "collection_hybrid_text",
         "bm25_index_merged", "pack_sequences_firstfit",
         "media_audio_features", "media_video_stats",
-        "collection_search_blocks", "collection_search_batch",
+        "collection_search_blocks",
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "neardup_cosine",
-        # The 26 r4-green entries (stream_distinct,
+        # The 27 r4-green entries (stream_distinct,
         # collection_search_blocks_delta — demoted for the
         # web_sitemap slot; its two halves stay driver-checked
         # in-window via collection_search_blocks (packed-block probe
@@ -120,7 +121,11 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # the doc_ppl_bigram slot; the shared ivf_build/ivf_assign
         # kernel stays driver-checked via collection_search_ivf/_delta
         # and the recall contract via ann_recall, all in-window —
-        # knn_filtered,
+        # collection_search_batch — demoted for the dedup_span_removal
+        # slot; the packed-block scan kernel stays in-window via
+        # collection_search_blocks and the per-query grouped
+        # TakeOrdered via collection_search_grouped (r5-green, local
+        # gate every run) — knn_filtered,
         # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted

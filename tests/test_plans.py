@@ -668,6 +668,22 @@ def test_media_exif_pipeline_is_narrow(spark):
     assert plan.count("MapInPandas") == 2  # fabricate + parse stages
 
 
+def test_span_removal_is_inverted_list_shape(spark):
+    """ExactSubstr removal: narrow chunking, ONE span-hash-keyed
+    aggregation (map-side combined), ONE hash-keyed equi-join back,
+    one doc-keyed rebuild — never a cartesian pairing and never a
+    Python stage. The fan-out is bounded by the corpus's own span
+    count (each span row joins exactly one count row)."""
+    from coltt_spark.registry_dedup import q_dedup_span_removal
+
+    out = q_dedup_span_removal(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on the span agg
+
+
 def test_bigram_lm_is_jvm_side_with_partial_aggs(spark):
     """Bigram-LM scoring: the corpus bigram stream stays JVM-side
     (no Python stage), the count aggregations map-side combine, and
