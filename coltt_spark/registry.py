@@ -1517,6 +1517,12 @@ _KEY_ORDER = [
     #    via collection_search_blocks, and the per-query grouped
     #    TakeOrdered via collection_search_grouped, r5-green and
     #    re-oracled by the local gate every run)
+    "zorder_layout",         # new r6: Z-order clustering key + file assign
+    #    (slot freed by demoting freq_sketch — r4-green; the sketch
+    #    family's map-side register-merge machinery stays
+    #    driver-checked in-window via distinct_sketch (HLL) and
+    #    quantile_sketch (histogram); the count-min math itself is
+    #    re-oracled by the local gate every run)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1525,7 +1531,6 @@ _KEY_ORDER = [
     # -- oldest of the r4-green block (driver-green r4, local-gated
     # -- since) -------------------------------------------------------
     "stream_quantile",
-    "freq_sketch",
     "ann_lsh",
     "dedup_canonical",
     "dedup_simhash",
@@ -1559,6 +1564,7 @@ _KEY_ORDER = [
     "knn_cosine",
     "ann_ivf",
     "collection_search_batch",
+    "freq_sketch",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

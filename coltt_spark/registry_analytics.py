@@ -326,6 +326,43 @@ HAVING count(*) >= 5
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key — the multi-dimensional data-skipping
+    layout (Delta ``OPTIMIZE ZORDER`` / Iceberg zorder rewrite): the
+    Morton interleave of (l_partkey, l_suppkey) plus the fixed-width
+    file assignment (z >> 28 → 16 z-contiguous files, each a compact
+    rectangle in key space whose parquet min/max stats prune 2-D box
+    predicates). The key is a static 32-term shift/mask expression —
+    whole-stage codegen, no UDF — and the oracle regenerates it from
+    the SAME generating loop (``dd_zvalue``), so a bit-placement or
+    masking divergence breaks value parity on every row. The
+    locality/pruning property itself is pinned in
+    tests/test_zorder.py (box queries touch ≤¼ of z-ordered files vs
+    nearly all hash-layout files)."""
+    from coltt_spark.sources.zorder import zvalue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("z"),
+        F.shiftright(z, 28).alias("file_id"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from coltt_spark.sources.zorder import dd_zvalue
+
+    z = dd_zvalue("l_partkey", "l_suppkey")
+    return f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       {z} AS z,
+       ({z} >> 28) AS file_id
+FROM lineitem
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue,
@@ -340,6 +377,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect": q_set_intersect,
     "events_asof": q_events_asof,
     "bucketed_join": q_bucketed_join,
+    "zorder_layout": q_zorder_layout,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -356,4 +394,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "set_intersect": _ORACLE_SET_INTERSECT,
     "events_asof": _ORACLE_EVENTS_ASOF,
     "bucketed_join": _ORACLE_BUCKETED_JOIN,
+    "zorder_layout": _zorder_oracle(),
 }
