@@ -235,6 +235,112 @@ def bigram_lm_score(
     )
 
 
+#: quality-classifier feature names, in weight-vector order
+QC_FEATURES = ("bias", "stopword_ratio", "distinct_ratio", "mean_token_len")
+
+#: gradient quantization: per-doc contributions are rounded to 1e-6
+#: and summed as BIGINT, so the full-batch gradient is EXACT under
+#: any partition order — the trick that makes distributed training
+#: oracle-replayable (sums of doubles are order-dependent; sums of
+#: integers are not)
+QC_QUANT = 1_000_000
+
+
+def _qc_features(text_col: str) -> list[Column]:
+    """The four documents-quality features, identically expressible
+    in DuckDB: bias, stopword ratio, distinct-token ratio, mean token
+    length scaled to ~[0, 1]."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_dist = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    return [
+        F.lit(1.0),
+        n_stop.cast("double") / n,
+        n_dist.cast("double") / n,
+        (sum_len.cast("double") / n) / F.lit(10.0),
+    ]
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    steps: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train a logistic-regression quality classifier ON the corpus —
+    the fastText-style quality-filter step (CCNet trains one against
+    Wikipedia; Llama/Dolma-style pipelines against curated positives)
+    as DISTRIBUTED full-batch gradient descent: ``steps`` passes,
+    each ONE map-side-combined aggregation of the per-document
+    gradient (4 BIGINT sums + a count) collected to the driver
+    (k-value reduce), weights updated driver-side and folded into
+    the next pass as literals. Features are pure Catalyst
+    (:func:`_qc_features`); no shuffle anywhere beyond the 2-phase
+    aggregate. Returns ONE row: the trained weights (rounded to 6)
+    plus the training accuracy counts under the final weights.
+
+    Determinism contract (what makes this oracle-checkable): initial
+    weights are zero (step-1 sigmoid is exactly 0.5 — no
+    transcendental in the first gradient), per-document gradient
+    contributions are quantized to ``1/QC_QUANT`` and summed as
+    integers (exact under any partition order), and the driver-side
+    update ``w - lr * (S / (QC_QUANT * N))`` uses the same literal
+    expression the SQL oracle evaluates — so the weight trajectory
+    is bit-reproducible across engines and cluster layouts. At 100
+    TB: persist the feature projection once, then each step is one
+    scan + partial agg — the textbook batch-GD shape."""
+    y = F.col(label_col).cast("double")
+    feats = df.select(y.alias("_y"), *[
+        x.alias(f"_x{j}") for j, x in enumerate(_qc_features(text_col))
+    ]).where(F.col("_x1").isNotNull())
+    feats = feats.persist()
+    try:
+        n_docs = feats.count()
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(steps):
+            z = sum(
+                (F.lit(w[j]) * F.col(f"_x{j}") for j in range(1, 4)),
+                F.lit(w[0]) * F.col("_x0"),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            sums = feats.agg(*[
+                F.sum(
+                    F.round((p - F.col("_y")) * F.col(f"_x{j}") * QC_QUANT)
+                    .cast("long")
+                ).alias(f"s{j}")
+                for j in range(4)
+            ]).collect()[0]
+            w = [
+                w[j] - lr * (sums[f"s{j}"] / (QC_QUANT * n_docs))
+                for j in range(4)
+            ]
+        zf = sum(
+            (F.lit(w[j]) * F.col(f"_x{j}") for j in range(1, 4)),
+            F.lit(w[0]) * F.col("_x0"),
+        )
+        correct = F.when((zf > 0) == (F.col("_y") == 1.0), 1).otherwise(0)
+        out = feats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        ).select(
+            *[F.lit(round(w[j], 6)).alias(f"w_{QC_FEATURES[j]}") for j in range(4)],
+            "n_docs",
+            "n_correct",
+        )
+        # eager checkpoint materializes the 1-row result before the
+        # feature cache is released below
+        return out.localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of canonical text (exact-dup key)
     plus an order-sensitive rolling polynomial hash over token hashes

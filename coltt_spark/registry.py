@@ -1523,6 +1523,11 @@ _KEY_ORDER = [
     #    driver-checked in-window via distinct_sketch (HLL) and
     #    quantile_sketch (histogram); the count-min math itself is
     #    re-oracled by the local gate every run)
+    "quality_classifier",    # new r6: trained LR quality filter (3-step GD)
+    #    (slot freed by demoting dedup_canonical — r4-green and
+    #    long-stable, the rule's explicit lowest-priority class; its
+    #    components core already sits past-window with dedup_groups,
+    #    both re-oracled by the local gate every run)
     # -- implementation touched this round (decode_png bounded
     # -- inflate; IVF auto-compaction trigger in flush) ---------------
     "media_png_features",
@@ -1532,7 +1537,6 @@ _KEY_ORDER = [
     # -- since) -------------------------------------------------------
     "stream_quantile",
     "ann_lsh",
-    "dedup_canonical",
     "dedup_simhash",
     "collection_hybrid_text",
     "bm25_index_merged",
@@ -1565,6 +1569,7 @@ _KEY_ORDER = [
     "ann_ivf",
     "collection_search_batch",
     "freq_sketch",
+    "dedup_canonical",
     "knn_filtered",
     "dedup_exact",
     "dedup_groups",

@@ -5,6 +5,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from coltt_spark.functions.text import HASH_P
 from coltt_spark.operators.textstats import (
@@ -234,6 +235,93 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED TRAINING, oracle-checked: full-batch logistic
+    regression (the fastText/CCNet-style quality-filter model)
+    trained on documents-as-positives vs fabricated junk-as-negatives
+    for 3 gradient steps. Per-document gradient contributions are
+    quantized to 1e-6 and summed as integers, so the weight
+    trajectory is bit-reproducible across engines and partition
+    orders — the oracle replays ALL THREE steps as chained SQL CTEs
+    (step-1 sigmoid is exactly 0.5 by the zero init) and must land
+    on the identical weight doubles AND the identical final-weights
+    accuracy count. Any divergence in feature math, gradient
+    rounding, the update formula, or step order breaks parity."""
+    from coltt_spark.operators.textstats import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(F.col("text"), F.lit(1).alias("label"))
+    junk = docs.select(
+        F.expr("repeat('junk' || CAST(doc_id % 7 AS STRING) || ' ', 30)").alias(
+            "text"
+        ),
+        F.lit(0).alias("label"),
+    )
+    corpus = pos.unionByName(junk)
+    return train_quality_classifier(corpus, "text", "label", steps=3, lr=0.5)
+
+
+def _qc_oracle(steps: int = 3, lr: float = 0.5) -> str:
+    """Generated from the SAME constants the operator uses
+    (QC_QUANT, STOPWORDS, the feature formulas, the literal update
+    expression) — single source of truth, like the sketch oracles."""
+    from coltt_spark.operators.textstats import QC_QUANT
+
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    sql = f"""
+WITH corpus AS (
+  SELECT text, 1 AS y FROM documents
+  UNION ALL
+  SELECT repeat('junk' || CAST(doc_id % 7 AS VARCHAR) || ' ', 30), 0 FROM documents
+),
+tk AS (
+  SELECT y, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+  FROM corpus
+),
+f AS (
+  SELECT CAST(y AS DOUBLE) AS y, 1.0 AS x0,
+         CAST(len(list_filter(tk, t -> list_contains({stop}, t))) AS DOUBLE) / len(tk) AS x1,
+         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS x2,
+         (CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)) / 10.0 AS x3
+  FROM tk WHERE len(tk) > 0
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)
+"""
+    prev = "w0"
+    for s in range(1, steps + 1):
+        z = (
+            f"({prev}.w0 * f.x0 + {prev}.w1 * f.x1"
+            f" + {prev}.w2 * f.x2 + {prev}.w3 * f.x3)"
+        )
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        sums = ", ".join(
+            f"CAST(sum(round(({p} - f.y) * f.x{j} * {QC_QUANT})) AS BIGINT) AS s{j}"
+            for j in range(4)
+        )
+        sql += f", g{s} AS (SELECT {sums} FROM f, {prev})\n"
+        ws = ", ".join(
+            f"{prev}.w{j} - {lr} * (CAST(g{s}.s{j} AS DOUBLE)"
+            f" / ({QC_QUANT} * nn.n)) AS w{j}"
+            for j in range(4)
+        )
+        sql += f", w{s} AS (SELECT {ws} FROM g{s}, {prev}, nn)\n"
+        prev = f"w{s}"
+    zf = (
+        f"({prev}.w0 * f.x0 + {prev}.w1 * f.x1"
+        f" + {prev}.w2 * f.x2 + {prev}.w3 * f.x3)"
+    )
+    sql += f"""
+SELECT {prev}.w0 AS w_bias, {prev}.w1 AS w_stopword_ratio,
+       {prev}.w2 AS w_distinct_ratio, {prev}.w3 AS w_mean_token_len,
+       (SELECT n FROM nn) AS n_docs,
+       CAST(sum(CASE WHEN ({zf} > 0) = (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM f, {prev}
+GROUP BY 1, 2, 3, 4
+"""
+    return sql
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -243,6 +331,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_vocab": q_token_vocab,
     "doc_lm_score": q_doc_lm_score,
     "doc_ppl_bigram": q_doc_ppl_bigram,
+    "quality_classifier": q_quality_classifier,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -254,4 +343,5 @@ TEXT_ORACLES: dict[str, str] = {
     "token_vocab": _ORACLE_TOKEN_VOCAB,
     "doc_lm_score": _ORACLE_DOC_LM_SCORE,
     "doc_ppl_bigram": _ORACLE_DOC_PPL_BIGRAM,
+    "quality_classifier": _qc_oracle(),
 }

@@ -345,6 +345,59 @@ def test_bigram_lm_frequent_patterns_score_low_ppl(spark):
     assert rows[2]["ppl"] < rows[1]["ppl"]
 
 
+def test_quality_classifier_first_step_hand_computed(spark):
+    """With zero init the step-1 sigmoid is exactly 0.5, so the
+    one-step weights are -lr·mean((0.5-y)·x) — computable by hand
+    through the same 1e-6 quantization."""
+    from coltt_spark.operators.textstats import (
+        QC_QUANT,
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat and the dog", 1), ("spam spam spam spam", 0)],
+        ["text", "label"],
+    )
+    row = train_quality_classifier(docs, "text", "label", steps=1, lr=0.5).collect()[0]
+    # doc 1 (y=1): toks 5 (all len 3), stop {the,and,the}→3/5,
+    # distinct 4/5, mean len (15/5)/10
+    # doc 2 (y=0): stop 0, distinct 1/4, mean len (16/4)/10
+    import math
+
+    def q(v):  # round-half-away like both engines
+        return math.floor(abs(v) * QC_QUANT + 0.5) * (1 if v >= 0 else -1)
+
+    x_pos = [1.0, 3 / 5, 4 / 5, (15 / 5) / 10]
+    x_neg = [1.0, 0.0, 1 / 4, (16 / 4) / 10]
+    for j, name in enumerate(
+        ("w_bias", "w_stopword_ratio", "w_distinct_ratio", "w_mean_token_len")
+    ):
+        s = q((0.5 - 1.0) * x_pos[j]) + q((0.5 - 0.0) * x_neg[j])
+        expect = 0.0 - 0.5 * (s / (QC_QUANT * 2))
+        assert row[name] == expect, (name, row[name], expect)
+    assert row["n_docs"] == 2
+
+
+def test_quality_classifier_is_partition_order_invariant(spark):
+    """The integer-quantized gradient makes training BIT-deterministic
+    under any partitioning — the property that lets a SQL oracle (and
+    a rerun on a different cluster) reproduce the weights exactly."""
+    from coltt_spark.operators.textstats import train_quality_classifier
+
+    rows = [
+        (f"the quick brown fox number {i} jumps over the lazy dog", 1)
+        for i in range(60)
+    ] + [(f"spam{i % 5} " * 20, 0) for i in range(60)]
+    df = spark.createDataFrame(rows, ["text", "label"])
+    w1 = train_quality_classifier(df, "text", "label").collect()[0]
+    w2 = train_quality_classifier(
+        df.repartition(17, "text"), "text", "label"
+    ).collect()[0]
+    assert w1.asDict() == w2.asDict()
+    # and the model actually separates the two classes
+    assert w1["n_correct"] / w1["n_docs"] >= 0.95
+
+
 def test_connected_components_random_graphs_match_union_find(spark):
     """Model check: on random graphs (mixed densities, long chains,
     cliques, isolated pairs) min-label propagation must produce the

@@ -93,6 +93,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "doc_ppl_bigram",
         "dedup_span_removal",
         "zorder_layout",
+        "quality_classifier",
         # implementation touched this round: decode_png bounded
         # inflate (media_png_features); IVF auto-compaction trigger
         # in flush (the two entries exercising the changed ivf flush
@@ -102,7 +103,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # oldest of the r4-green block (the front of the r4 block in
         # its r4 order; the rest were demoted mid/late-r6 — see below)
         "stream_quantile",
-        "ann_lsh", "dedup_canonical",
+        "ann_lsh",
         "dedup_simhash", "collection_hybrid_text",
         "bm25_index_merged", "pack_sequences_firstfit",
         "media_audio_features", "media_video_stats",
@@ -110,7 +111,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "upsert_delete", "filter_coercion",
         "filter_search", "multi_vector_search", "dedup_minhash_lsh",
         "neardup_cosine",
-        # The 28 r4-green entries (stream_distinct,
+        # The 29 r4-green entries (stream_distinct,
         # collection_search_blocks_delta — demoted for the
         # web_sitemap slot; its two halves stay driver-checked
         # in-window via collection_search_blocks (packed-block probe
@@ -129,7 +130,11 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # gate every run) — freq_sketch — demoted for the
         # zorder_layout slot; the sketch family's map-side
         # register-merge machinery stays in-window via distinct_sketch
-        # + quantile_sketch — knn_filtered,
+        # + quantile_sketch — dedup_canonical — demoted for the
+        # quality_classifier slot; long-stable r4-green (the rule's
+        # explicit lowest-priority class), its components core already
+        # past-window with dedup_groups, both locally re-oracled —
+        # knn_filtered,
         # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
         # collection_search_batch_filtered, hybrid_rrf and
         # bm25_topk_batch — demoted

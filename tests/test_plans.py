@@ -700,6 +700,27 @@ def test_bigram_lm_is_jvm_side_with_partial_aggs(spark):
     assert "partial_count" in plan  # map-side combine on every count
 
 
+def test_quality_classifier_step_is_scan_plus_partial_agg(spark):
+    """Each training step must be ONE feature scan + a map-side
+    partial aggregation of the four quantized gradient sums — pure
+    Catalyst features (no Python stage), no join, no window. This is
+    the textbook full-batch-GD shape that scales to any corpus: k
+    steps = k scans."""
+    from coltt_spark.operators.textstats import _qc_features
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = docs.select(
+        *[x.alias(f"_x{j}") for j, x in enumerate(_qc_features("text"))]
+    )
+    step = feats.agg(
+        *[F.sum(F.round(F.col(f"_x{j}") * 1000000).cast("long")) for j in range(4)]
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_sum" in plan  # map-side combine
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_web_sitemap_parse_is_narrow(spark):
     """Sitemap parsing: regexp block split + transform + posexplode
     is a single narrow projection over the scan — no shuffle, no
