@@ -216,23 +216,44 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
 def _find_exif_tiff(payload: bytes) -> bytes | None:
     """Marker-walk the JPEG header → the embedded TIFF bytes of the
     first ``Exif\\0\\0`` APP1, or None when the file carries no EXIF.
-    Stops at SOS/EOI; loud on structural corruption."""
+    Stops at SOS/EOI; loud on structural corruption, but tolerant of
+    the header constructs T.81 makes legal: 0xFF fill bytes before a
+    marker (§B.1.1.2 — any run of FF collapses into one marker
+    prefix) and standalone length-less markers (TEM 0x01, RST0–7 —
+    out of place in a header but emitted by buggy writers)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker byte at {pos}")
-        marker = payload[pos + 1]
+        # collapse a fill-byte run: the marker code is the first
+        # non-FF byte after the prefix
+        m = pos + 1
+        while m < len(payload) and payload[m] == 0xFF:
+            m += 1
+        if m >= len(payload):
+            return None  # trailing fill bytes, no marker code
+        marker = payload[m]
+        if marker == 0x00:
+            # FF 00 is a byte-stuffing escape — legal only inside
+            # entropy-coded data, so in the header it IS corruption
+            raise ValueError(f"stuffed byte outside entropy data at {pos}")
         if marker in (0xDA, 0xD9):  # SOS / EOI: header is over
             return None
-        (ln,) = struct.unpack_from(">H", payload, pos + 2)
-        if ln < 2 or pos + 2 + ln > len(payload):
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers carry no length field
+            pos = m + 1
+            continue
+        if m + 3 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack_from(">H", payload, m + 1)
+        if ln < 2 or m + 1 + ln > len(payload):
             raise ValueError("truncated JPEG segment")
-        body = payload[pos + 4 : pos + 2 + ln]
+        body = payload[m + 3 : m + 1 + ln]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             return body[6:]
-        pos += 2 + ln
+        pos = m + 1 + ln
     return None
 
 
@@ -261,11 +282,8 @@ def _dms_to_decimal(ref: str | None, dms: list | None) -> float | None:
     return sign * (vals[0] + vals[1] / 60.0 + vals[2] / 3600.0)
 
 
-def parse_exif(payload: bytes) -> dict:
-    """Extract the standard EXIF fields from a JPEG payload → dict
-    (absent fields None; ``has_exif`` False when there is no EXIF
-    APP1 at all). Offsets are TIFF-header-relative per spec."""
-    out: dict = {
+def _empty_exif() -> dict:
+    return {
         "has_exif": False,
         "byte_order": None,
         "make": None,
@@ -283,6 +301,13 @@ def parse_exif(payload: bytes) -> dict:
         "lat": None,
         "lon": None,
     }
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract the standard EXIF fields from a JPEG payload → dict
+    (absent fields None; ``has_exif`` False when there is no EXIF
+    APP1 at all). Offsets are TIFF-header-relative per spec."""
+    out: dict = _empty_exif()
     tiff = _find_exif_tiff(payload)
     if tiff is None:
         return out
@@ -369,7 +394,13 @@ def exif_features(images: DataFrame) -> DataFrame:
                 continue
             rows: dict = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                info = parse_exif(bytes(payload))
+                # crawl leniency at the seam: one malformed image
+                # yields has_exif=false instead of aborting the task
+                # (parse_exif itself stays loud for direct callers)
+                try:
+                    info = parse_exif(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    info = _empty_exif()
                 rows["doc_id"].append(int(doc_id))
                 for k, v in info.items():
                     rows[keymap.get(k, k)].append(v)

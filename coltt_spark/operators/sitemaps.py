@@ -22,11 +22,13 @@ Parsing tolerates the variation real sitemaps exhibit: attribute
 noise on any tag (``xmlns`` on the root is universal), arbitrary
 whitespace inside elements, ``<![CDATA[...]]>`` wrapped locs
 (verbatim — the whole point of CDATA is that nothing inside it is
-escaped, so no entity decoding is applied), and the five predefined
+escaped, so no entity decoding is applied), the five predefined
 XML entities (``&amp; &lt; &gt; &quot; &apos;``) in plain text
 content — ``&amp;`` in a loc is the spec-REQUIRED way to write ``&``
 in a query string, so skipping entity decode silently corrupts every
-multi-parameter URL.
+multi-parameter URL — and decimal/hex numeric character references
+(``&#38;``, ``&#x2F;``), equally XML-legal and emitted by real
+sitemap generators; invalid codepoints pass through verbatim.
 
 Everything is a native Catalyst expression (``regexp_extract_all``
 block split + a ``transform`` over the blocks — JVM-side, codegen'd,
@@ -56,10 +58,7 @@ PRIORITY_RE = r"(?s)<priority(?:\s[^>]*)?>(.*?)</priority\s*>"
 #: a loc whose (trimmed) content is a single CDATA section
 CDATA_RE = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
 
-#: the five predefined XML entities. ``&amp;`` decodes LAST so the
-#: escaped-escape ``&amp;lt;`` correctly yields the literal ``&lt;``
-#: (decoding ``&amp;`` first would re-expose an ``&lt;`` for the next
-#: pass to corrupt).
+#: the five predefined XML entities
 XML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -68,14 +67,90 @@ XML_ENTITIES = (
     ("&amp;", "&"),
 )
 
+#: numeric character references (XML 1.0 §4.1): decimal ``&#38;`` and
+#: hex ``&#x2F;``. Bounded digit runs keep the regex linear; 7 decimal
+#: / 6 hex digits comfortably cover U+10FFFF.
+DEC_REF_RE = r"^&#([0-9]{1,7});"
+HEX_REF_RE = r"^&#[xX]([0-9a-fA-F]{1,6});"
+
+
+def _codepoint_char(cp: Column, verbatim: Column) -> Column:
+    """Unicode codepoint (int column) → one-character string, via
+    UTF-16BE bytes — a surrogate pair above the BMP — entirely in
+    codegen'd builtins (Spark has no codepoint→char builtin; ``char``
+    truncates to 256). Invalid codepoints (0, surrogates,
+    > U+10FFFF) yield ``verbatim`` — the undecoded reference text —
+    rather than failing the row (lenient, like real crawlers)."""
+    bmp = F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+    off = cp - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(off, 10)
+    lo = F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))
+    astral = F.decode(
+        F.unhex(
+            F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+        ),
+        "UTF-16BE",
+    )
+    valid = (
+        (cp >= F.lit(1))
+        & (cp <= F.lit(0x10FFFF))
+        & ~((cp >= F.lit(0xD800)) & (cp <= F.lit(0xDFFF)))
+    )
+    return F.when(
+        valid, F.when(cp <= F.lit(0xFFFF), bmp).otherwise(astral)
+    ).otherwise(verbatim)
+
+
+def _decode_segment(seg: Column) -> Column:
+    """Decode the leading reference of one ``&``-anchored segment:
+    one of the five named entities, a decimal reference, or a hex
+    reference — else the segment verbatim. Each segment holds at most
+    one reference (the split is on every ``&``), so decoding is
+    single-pass by construction: ``&amp;lt;`` yields the literal
+    ``&lt;`` and ``&#38;lt;`` the literal ``&lt;`` — decoded text is
+    never re-scanned."""
+    out = seg
+    for ent, ch in XML_ENTITIES:
+        out = F.when(
+            seg.startswith(ent),
+            F.concat(F.lit(ch), F.substr(seg, F.lit(len(ent) + 1))),
+        ).otherwise(out)
+    dec_digits = F.nullif(F.regexp_extract(seg, DEC_REF_RE, 1), F.lit(""))
+    hex_digits = F.nullif(F.regexp_extract(seg, HEX_REF_RE, 1), F.lit(""))
+    out = F.when(
+        dec_digits.isNotNull(),
+        F.concat(
+            _codepoint_char(
+                dec_digits.cast("int"),
+                F.concat(F.lit("&#"), dec_digits, F.lit(";")),
+            ),
+            F.substr(seg, F.length(dec_digits) + F.lit(4)),
+        ),
+    ).otherwise(out)
+    out = F.when(
+        hex_digits.isNotNull(),
+        F.concat(
+            _codepoint_char(
+                F.conv(hex_digits, 16, 10).cast("int"),
+                # re-extract the verbatim ref (preserves x/X case)
+                F.regexp_extract(seg, r"^(&#[xX][0-9a-fA-F]{1,6};)", 1),
+            ),
+            F.substr(seg, F.length(hex_digits) + F.lit(5)),
+        ),
+    ).otherwise(out)
+    return out
+
 
 def xml_unescape(text: Column) -> Column:
-    """Decode the five predefined XML entities (literal replaces —
-    stays inside whole-stage codegen)."""
-    out = text
-    for ent, ch in XML_ENTITIES:
-        out = F.replace(out, F.lit(ent), F.lit(ch))
-    return out
+    """Decode the five predefined XML entities plus decimal/hex
+    numeric character references (``&#38;``, ``&#x2F;`` — XML-legal
+    and common in real sitemap locs). Single pass: split before every
+    ``&`` (zero-width lookahead — Java split emits no leading empty
+    for a zero-width match at position 0), decode each segment's
+    leading reference, rejoin. All scalar builtins — stays inside
+    whole-stage codegen, no Python, no shuffle."""
+    segs = F.split(text, r"(?=&)", -1)
+    return F.array_join(F.transform(segs, _decode_segment), "")
 
 
 def sitemap_kind(xml: Column) -> Column:

@@ -309,7 +309,11 @@ def train_quality_classifier(
                 (F.lit(w[j]) * F.col(f"_x{j}") for j in range(1, 4)),
                 F.lit(w[0]) * F.col("_x0"),
             )
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            # quantize p to 12 decimals (mirrored in the SQL oracle):
+            # a 1-ulp JVM-vs-DuckDB exp() divergence cannot flip the
+            # quantized gradient integer unless p sits within ~1e-13
+            # of a rounding boundary.
+            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
             sums = feats.agg(*[
                 F.sum(
                     F.round((p - F.col("_y")) * F.col(f"_x{j}") * QC_QUANT)
@@ -330,7 +334,13 @@ def train_quality_classifier(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(correct).cast("long").alias("n_correct"),
         ).select(
-            *[F.lit(round(w[j], 6)).alias(f"w_{QC_FEATURES[j]}") for j in range(4)],
+            # F.round (HALF_UP, like DuckDB round()) — the oracle emits
+            # round(wj, 6) on the same trajectory double, so raw typed
+            # values match, not just canonicalized ones.
+            *[
+                F.round(F.lit(w[j]), 6).alias(f"w_{QC_FEATURES[j]}")
+                for j in range(4)
+            ],
             "n_docs",
             "n_correct",
         )

@@ -933,7 +933,9 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhibit, each a parity probe: CDATA-wrapped locs with RAW ``&``
     and case-varied scheme/host/:443 port (CDATA verbatim rule +
     normalization), entity-escaped ``&amp;`` locs with surrounding
-    whitespace (entity decode + trim), tracking params the
+    whitespace (entity decode + trim), numeric character references
+    ``&#x2F;``/``&#38;`` in path and query (hex + decimal decode —
+    the r7 xml_unescape extension), tracking params the
     normalizer must drop, W3C lastmod both date-only and full
     datetime (date-prefix rule), case-varied changefreq (lowercase
     rule), explicit ``<priority>`` vs the protocol's 0.5 default,
@@ -964,6 +966,17 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("<loc>\n      https://site"), d,
                     F.lit(".example.com/page/"), k, F.lit("?a="), k,
                     F.lit("&amp;utm_source=feed\n    </loc>"),
+                ),
+            )
+            .when(
+                m % 5 == 4,
+                # numeric character references — hex in the path,
+                # decimal joining the query params (XML-legal; real
+                # sitemap generators emit these)
+                F.concat(
+                    F.lit("<loc>https://site"), d,
+                    F.lit(".example.com/page&#x2F;"), k, F.lit("?a="), k,
+                    F.lit("&#38;utm_source=feed</loc>"),
                 ),
             )
             .otherwise(
@@ -1073,7 +1086,7 @@ u AS (
 ),
 leaf AS (
   SELECT src_id, 'urlset' AS kind, ord,
-    CASE WHEN m % 5 IN (0, 1, 3)
+    CASE WHEN m % 5 IN (0, 1, 3, 4)
          THEN 'https://site' || CAST(d AS VARCHAR) || '.example.com/page/'
               || CAST(k AS VARCHAR) || '?a=' || CAST(k AS VARCHAR)
          ELSE 'https://site' || CAST(d AS VARCHAR) || '.example.com/page/'

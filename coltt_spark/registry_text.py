@@ -294,7 +294,12 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)
             f"({prev}.w0 * f.x0 + {prev}.w1 * f.x1"
             f" + {prev}.w2 * f.x2 + {prev}.w3 * f.x3)"
         )
-        p = f"(1.0 / (1.0 + exp(-{z})))"
+        # p quantized to 12 decimals on BOTH sides: a 1-ulp exp()
+        # divergence between the JVM and DuckDB can no longer flip a
+        # quantized gradient integer unless p sits within ~1e-13 of a
+        # rounding boundary (textstats.train_quality_classifier does
+        # the same F.round(p, 12)).
+        p = f"round(1.0 / (1.0 + exp(-{z})), 12)"
         sums = ", ".join(
             f"CAST(sum(round(({p} - f.y) * f.x{j} * {QC_QUANT})) AS BIGINT) AS s{j}"
             for j in range(4)
@@ -311,9 +316,13 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)
         f"({prev}.w0 * f.x0 + {prev}.w1 * f.x1"
         f" + {prev}.w2 * f.x2 + {prev}.w3 * f.x3)"
     )
+    # displayed weights rounded to 6 decimals IN the SQL — identical
+    # rounding to the Spark side's F.round(F.lit(w), 6), so a driver
+    # gate hashing raw typed values matches (not just the local gate's
+    # float canonicalization).
     sql += f"""
-SELECT {prev}.w0 AS w_bias, {prev}.w1 AS w_stopword_ratio,
-       {prev}.w2 AS w_distinct_ratio, {prev}.w3 AS w_mean_token_len,
+SELECT round({prev}.w0, 6) AS w_bias, round({prev}.w1, 6) AS w_stopword_ratio,
+       round({prev}.w2, 6) AS w_distinct_ratio, round({prev}.w3, 6) AS w_mean_token_len,
        (SELECT n FROM nn) AS n_docs,
        CAST(sum(CASE WHEN ({zf} > 0) = (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM f, {prev}

@@ -123,6 +123,56 @@ def test_offsets_are_tiff_relative_not_file_relative():
     assert out["exposure_den"] == 30
 
 
+def test_header_leniency_fill_and_standalone_markers():
+    """T.81-legal header noise must not abort the walk: 0xFF fill
+    bytes before a marker (§B.1.1.2) and standalone length-less
+    markers (TEM, RSTn) are skipped; genuine corruption (a stuffed
+    FF 00 in the header, a non-FF marker byte) stays loud."""
+    tiff = build_exif_tiff(make="M", orientation=3)
+    app1 = exif_app1(tiff)
+    noisy = (
+        b"\xff\xd8"          # SOI
+        + b"\xff\x01"        # standalone TEM
+        + b"\xff\xd4"        # standalone RST4
+        + b"\xff\xff"        # fill-byte run folding into APP1's FF E1
+        + app1
+        + _BASE[2:]
+    )
+    out = parse_exif(noisy)
+    assert out["has_exif"] is True
+    assert out["make"] == "M" and out["orientation"] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_exif(b"\xff\xd8" + b"\xff\x00" + app1 + _BASE[2:])
+    with pytest.raises(ValueError):
+        parse_exif(b"\xff\xd8" + b"\x12\x34" + app1 + _BASE[2:])
+
+
+def test_seam_tolerates_malformed_rows(spark):
+    """One garbage payload in a batch yields has_exif=false for that
+    row — it must not abort the whole mapInPandas task (real-crawl
+    posture; parse_exif itself stays loud, pinned above)."""
+    from pyspark.sql import functions as F, types as T
+
+    from coltt_spark.operators.exif import exif_features
+
+    good = _jpeg_with(build_exif_tiff(make="OK"))
+    bad = b"\xff\xd8\x99garbage-not-a-marker"
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bad)), (2, bytearray(b"\x00"))],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    rows = {r["doc_id"]: r for r in exif_features(df).collect()}
+    assert rows[0]["has_exif"] is True and rows[0]["make"] == "OK"
+    assert rows[1]["has_exif"] is False and rows[1]["make"] is None
+    assert rows[2]["has_exif"] is False
+
+
 @settings(max_examples=120, deadline=None)
 @given(seed=st.integers(0, 1_000), pos_frac=st.floats(0.0, 1.0))
 def test_exif_any_single_byte_flip_is_total(seed, pos_frac):

@@ -102,6 +102,16 @@ EDGE_CASES = [
         "</url></urlset>",
         ("urlset", [("https://e.com/?q=&lt;tag&gt;", None, None, 0.5)]),
     ),
+    # numeric character references: decimal, hex (either case), and an
+    # astral codepoint; &#38;lt; yields the literal &lt; (single pass)
+    (
+        "<urlset><url><loc>https://e.com&#x2F;p?q=&#38;lt;&#x26;r=&#233;"
+        "&amp;s=&#x1F600;</loc></url></urlset>",
+        ("urlset", [("https://e.com/p?q=&lt;&r=é&s=\U0001f600", None, None, 0.5)]),
+    ),
+    # invalid numeric refs pass through verbatim (lenient; NOT fed to
+    # the ElementTree cross-check below — a conforming parser rejects
+    # the document outright)
     # attribute noise everywhere + newline-indented values + full W3C
     # datetime + case-varied changefreq
     (
@@ -195,10 +205,24 @@ def _fuzz_doc(i: int) -> str:
         attr = ' data-x="1"' if _r(s + "a", 3) == 0 else ""
         path = f"/d{_r(s + 'p', 50)}/p{j}"
         if _r(s + "q", 3) == 0:
-            if _r(s + "c", 2) == 0:
+            c = _r(s + "c", 4)
+            if c == 0:
                 loc = f"<loc><![CDATA[https://f{i}.com{path}?a={j}&b={j}]]></loc>"
-            else:
+            elif c == 1:
                 loc = f"<loc>https://f{i}.com{path}?a={j}&amp;b={j}</loc>"
+            elif c == 2:
+                # decimal numeric character references (&#38; = &,
+                # &#47; = /) — ElementTree decodes these; the parser
+                # must agree
+                loc = f"<loc>https://f{i}.com{path}?a={j}&#38;b={j}&#38;c=&#233;</loc>"
+            else:
+                # hex refs (lowercase x — capital X is not well-formed
+                # XML and ET rejects it; the parser tolerates it as a
+                # documented leniency), incl. an astral codepoint
+                loc = (
+                    f"<loc>https://f{i}.com{path.replace('/', '&#x2F;', 1)}"
+                    f"?a={j}&#x26;e=&#x1F600;</loc>"
+                )
         else:
             pad = _PADS[_r(s + "w", 4)]
             loc = f"<loc>{pad}https://f{i}.com{path}{pad}</loc>"
@@ -219,6 +243,29 @@ def _fuzz_doc(i: int) -> str:
         parts.append(f"<{tag}{attr}>{pad}" + pad.join(fields) + f"{pad}</{tag}>")
     parts.append(f"</{root}>")
     return "\n".join(parts)
+
+
+def test_numeric_ref_leniency(spark):
+    """Documented leniencies a conforming XML parser cannot share
+    (ET rejects the document outright): capital-X hex refs decode,
+    invalid codepoints (0, surrogates, > U+10FFFF) and bare ``&#``
+    pass through verbatim instead of failing the row."""
+    from coltt_spark.operators.sitemaps import xml_unescape
+
+    cases = {
+        "a&#X2F;b": "a/b",
+        "x&#0;y": "x&#0;y",
+        "s&#xD800;t": "s&#xD800;t",
+        "o&#1114112;v": "o&#1114112;v",
+        "bare&#x;q": "bare&#x;q",
+        "tail&#": "tail&#",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["t"])
+    got = {
+        r["t"]: r["d"]
+        for r in df.select("t", xml_unescape(F.col("t")).alias("d")).collect()
+    }
+    assert got == cases
 
 
 def test_fuzz_against_elementtree(spark):
