@@ -371,6 +371,7 @@ def pack_sequences(
     budget: int = 256,
     n_shards: int = 8,
     mode: str = "concat_split",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing into ``budget``-token training sequences,
     independently per deterministic hash shard. Returns per-sequence
@@ -398,16 +399,25 @@ def pack_sequences(
     Scale: both modes are per-shard — no global sort and no
     single-task bottleneck; ONE shuffle on the shard key (and the
     final tiny stats agg).
+
+    ``count_col`` overrides the default whitespace word count with a
+    precomputed per-document token count — the composition point for
+    a real subword budget (``bpe_encode``'s ``n_tokens``; packing on
+    word counts under-fills every sequence by the subword fertility
+    factor). Pinned in tests/test_bpe.py.
     """
     if mode not in ("concat_split", "first_fit"):
         raise ValueError(f"unknown pack_sequences mode {mode!r}")
     df = ensure_parallelism(df, id_col)
     shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    n_tok = (
+        F.col(count_col) if count_col else F.size(tokens(text_col))
+    )
     base = df.select(
         shard.alias("shard"),
         F.col(id_col),
         hash60(F.col(id_col).cast("string")).alias("_h"),
-        F.size(tokens(text_col)).cast("long").alias("_t"),
+        n_tok.cast("long").alias("_t"),
     )
     if mode == "first_fit":
         import numpy as np

@@ -1439,160 +1439,52 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-6 window: the r5 rotation ledger FIRST — the 16
-    # -- r3-green entries whose last hard driver signal is r3 (the
-    # -- oldest on the board; embed_outliers leads, having ceded its
-    # -- r5 slot) — then entries new/touched this round, then the
-    # -- oldest of the r4-green block. See CLAUDE.md "Driver-check
-    # -- rotation ledger".
-    "embed_outliers",        # ledger: last driver signal r3
-    "token_vocab",           # ledger: last driver signal r3
-    "doc_lm_score",          # ledger: last driver signal r3
-    "filter_extended",       # ledger: last driver signal r3
-    "collection_time_travel",  # ledger: last driver signal r3
-    "jsonl_roundtrip",       # ledger: last driver signal r3
-    "ann_recall",            # ledger: last driver signal r3
-    "stream_join",           # ledger: last driver signal r3
-    "embed_project",         # ledger: last driver signal r3
-    "sample_temperature",    # ledger: last driver signal r3
-    "bm25_search",           # ledger: last driver signal r3
-    "distinct_sketch",       # ledger: last driver signal r3
-    "quantile_sketch",       # ledger: last driver signal r3
-    "decontaminate_bloom",   # ledger: last driver signal r3
-    "bm25_indexed",          # ledger: last driver signal r3
-    "collection_search",     # ledger: last driver signal r3
-    # -- new in r6 ----------------------------------------------------
-    "media_jpeg_features",   # new r6: baseline JPEG through the seam
-    "media_gif_features",    # new r6: LZW GIF through the seam
-    #    (window slot freed by demoting text_lang_id — r4-green,
-    #    lowest-priority in-window — past the boundary)
-    "format_roundtrip",      # new r6: CSV+ORC interchange round-trip
-    #    (slot freed by demoting dedup_ngram_jaccard, same rule)
-    "media_tiff_features",   # new r6: TIFF (LZW dialect/PackBits)
-    #    (slot freed by demoting dedup_groups, same rule)
-    "archive_roundtrip",     # new r6: zip/tar.gz corpus ingestion
-    #    (slot freed by demoting dedup_exact, same rule)
-    "warc_html_extract",     # new r6: WARC → HTML → text extraction
-    #    (slot freed by demoting collection_search_batch_filtered —
-    #    r4-green and equivalence-covered by collection_search_batch
-    #    + collection_search_blocks_filtered, both in-window)
-    "web_url_dedup",         # new r6: URL normalize/domain/dedup
-    #    (slot freed by demoting hybrid_rrf — r4-green, RRF fusion
-    #    equivalence-covered by collection_hybrid_text + bm25_search,
-    #    both in-window)
-    "line_dedup",            # new r6: corpus-level repeated-line removal
-    #    (slot freed by demoting bm25_topk_batch — r4-green, the
-    #    batched variant of bm25_search scoring, equivalence-covered
-    #    by bm25_search + bm25_indexed, both in-window)
-    "bucketed_join",         # new r6: shuffle-free co-located bucketed join
-    #    (slot freed by demoting knn_filtered — r4-green, filtered-KNN
-    #    semantics equivalence-covered by collection_search_blocks_filtered
-    #    (filter ∩ KNN through the packed-index path) + filter_search +
-    #    filter_coercion (hypothesis parity row≡block≡ivf), all in-window)
-    "web_robots_filter",     # new r6: robots.txt parse + URL politeness gate
-    #    (slot freed by demoting stream_distinct — r4-green, its two
-    #    halves both stay driver-checked in-window: the streaming
-    #    window/state-store machinery via stream_quantile and the HLL
-    #    register math via distinct_sketch)
-    "web_sitemap",           # new r6: sitemap XML parse → url_normalize
-    #    (slot freed by demoting collection_search_blocks_delta —
-    #    r4-green, its two halves both stay driver-checked in-window:
-    #    the packed-block probe kernel via collection_search_blocks
-    #    and the delta-flush machinery via collection_search_ivf_delta)
-    "media_exif",            # new r6: EXIF APP1 (TIFF IFD) metadata extract
-    #    (slot freed by demoting knn_cosine — r4-green; the cosine
-    #    kernel is dot-on-normalized by the write-path contract, and
-    #    every in-window collection_search_* entry drives that same
-    #    functions/vector.py scoring kernel each round)
-    "doc_ppl_bigram",        # new r6: CCNet-style bigram-LM perplexity
-    #    (slot freed by demoting ann_ivf — r4-green; its two halves
-    #    stay driver-checked in-window: the shared ivf_build/ivf_assign
-    #    training+assignment kernel via collection_search_ivf /
-    #    collection_search_ivf_delta (catalog flush imports those same
-    #    functions) and the exact-vs-approximate recall contract via
-    #    ann_recall)
-    "dedup_span_removal",    # new r6: ExactSubstr duplicated-span removal
-    #    (slot freed by demoting collection_search_batch — r4-green;
-    #    the packed-block scan kernel stays driver-checked in-window
-    #    via collection_search_blocks, and the per-query grouped
-    #    TakeOrdered via collection_search_grouped, r5-green and
-    #    re-oracled by the local gate every run)
-    "zorder_layout",         # new r6: Z-order clustering key + file assign
-    #    (slot freed by demoting freq_sketch — r4-green; the sketch
-    #    family's map-side register-merge machinery stays
-    #    driver-checked in-window via distinct_sketch (HLL) and
-    #    quantile_sketch (histogram); the count-min math itself is
-    #    re-oracled by the local gate every run)
-    "quality_classifier",    # new r6: trained LR quality filter (3-step GD)
-    #    (slot freed by demoting dedup_canonical — r4-green and
-    #    long-stable, the rule's explicit lowest-priority class; its
-    #    components core already sits past-window with dedup_groups,
-    #    both re-oracled by the local gate every run)
-    # -- implementation touched this round (decode_png bounded
-    # -- inflate; IVF auto-compaction trigger in flush) ---------------
-    "media_png_features",
-    "collection_search_ivf",
-    "collection_search_ivf_delta",
-    # -- oldest of the r4-green block (driver-green r4, local-gated
+    # -- round-7 window: the r6 rotation ledger FIRST — the 29
+    # -- r4-green entries whose last hard driver signal is r4 (the
+    # -- oldest on the board) — then entries new/touched this round,
+    # -- then the oldest of the r5-green block. See CLAUDE.md
+    # -- "Driver-check rotation ledger".
+    "stream_distinct",                  # ledger: last driver signal r4
+    "collection_search_blocks_delta",   # ledger: last driver signal r4
+    "knn_cosine",                       # ledger: last driver signal r4
+    "ann_ivf",                          # ledger: last driver signal r4
+    "collection_search_batch",          # ledger: last driver signal r4
+    "freq_sketch",                      # ledger: last driver signal r4
+    "dedup_canonical",                  # ledger: last driver signal r4
+    "knn_filtered",                     # ledger: last driver signal r4
+    "dedup_exact",                      # ledger: last driver signal r4
+    "dedup_groups",                     # ledger: last driver signal r4
+    "dedup_ngram_jaccard",              # ledger: last driver signal r4
+    "text_lang_id",                     # ledger: last driver signal r4
+    "collection_search_batch_filtered",  # ledger: last driver signal r4
+    "hybrid_rrf",                       # ledger: last driver signal r4
+    "bm25_topk_batch",                  # ledger: last driver signal r4
+    "text_quality",                     # ledger: last driver signal r4
+    "doc_fingerprint",                  # ledger: last driver signal r4
+    "pricing_summary",                  # ledger: last driver signal r4
+    "region_revenue",                   # ledger: last driver signal r4
+    "window_top_orders",                # ledger: last driver signal r4
+    "price_percentiles",                # ledger: last driver signal r4
+    "knn_f16",                          # ledger: last driver signal r4
+    "ann_topk_batch",                   # ledger: last driver signal r4
+    "knn_pagination",                   # ledger: last driver signal r4
+    "knn_block",                        # ledger: last driver signal r4
+    "dedup_containment",                # ledger: last driver signal r4
+    "rollup_revenue",                   # ledger: last driver signal r4
+    "events_sessionize",                # ledger: last driver signal r4
+    "media_features",                   # ledger: last driver signal r4
+    # -- new in r7 ----------------------------------------------------
+    "bpe_train",    # new r7: distributed BPE merge training (k scans)
+    "bpe_encode",   # new r7: memoized subword encode + corpus join
+    # -- implementation touched this round ----------------------------
+    "quality_classifier",  # r7: weight rounding + sigmoid quantization
+    #    mirrored into the oracle (ADVICE r6 #1/#2)
+    "web_sitemap",         # r7: xml_unescape gained numeric character
+    #    references (single-pass segment decoder); fixture exercises them
+    "media_exif",          # r7: lenient marker walk (fill bytes,
+    #    standalone markers) + per-row catch in the seam
+    # -- oldest of the r5-green block (driver-green r5, local-gated
     # -- since) -------------------------------------------------------
-    "stream_quantile",
-    "ann_lsh",
-    "dedup_simhash",
-    "collection_hybrid_text",
-    "bm25_index_merged",
-    "pack_sequences_firstfit",
-    "media_audio_features",
-    "media_video_stats",
-    "collection_search_blocks",
-    "upsert_delete",
-    "filter_coercion",
-    "filter_search",
-    "multi_vector_search",
-    "dedup_minhash_lsh",
-    "neardup_cosine",
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 23 r4-green entries (stream_distinct,
-    # ---- knn_filtered, dedup_exact, dedup_groups,
-    # ---- dedup_ngram_jaccard, text_lang_id,
-    # ---- collection_search_batch_filtered, hybrid_rrf
-    # ---- and bm25_topk_batch — demoted mid/late-r6 to make room for
-    # ---- archive_roundtrip / media_tiff_features / format_roundtrip /
-    # ---- media_gif_features / warc_html_extract / web_url_dedup /
-    # ---- line_dedup / bucketed_join / web_robots_filter —
-    # ---- then text_quality .. media_features; oldest signal past the
-    # ---- window, they lead the r7 rotation ledger), then the 47
-    # ---- r5-green entries (freshest signal) in their r5 order.
-    "stream_distinct",
-    "collection_search_blocks_delta",
-    "knn_cosine",
-    "ann_ivf",
-    "collection_search_batch",
-    "freq_sketch",
-    "dedup_canonical",
-    "knn_filtered",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "text_lang_id",
-    "collection_search_batch_filtered",
-    "hybrid_rrf",
-    "bm25_topk_batch",
-    "text_quality",
-    "doc_fingerprint",
-    "pricing_summary",
-    "region_revenue",
-    "window_top_orders",
-    "price_percentiles",
-    "knn_f16",
-    "ann_topk_batch",
-    "knn_pagination",
-    "knn_block",
-    "dedup_containment",
-    "rollup_revenue",
-    "events_sessionize",
-    "media_features",
-    # -- r5-green (driver-checked last round; freshest in the ledger) --
     "knn_euclidean",
     "knn_manhattan",
     "compare_dist",
@@ -1609,6 +1501,13 @@ _KEY_ORDER = [
     "knn_wide",
     "events_json",
     "text_redact_pii",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier
+    # ---- round. First the 31 remaining r5-green entries in their r5
+    # ---- order (oldest signal past the window — they lead the r8
+    # ---- rotation ledger), then the 47 r6-green entries (freshest
+    # ---- signal; quality_classifier / web_sitemap / media_exif were
+    # ---- promoted back into the window as touched-this-round).
     "collection_hybrid_ivf",
     "bm25_index_deleted",
     "collection_search_grouped",
@@ -1640,6 +1539,54 @@ _KEY_ORDER = [
     "knn_sq8",
     "semantic_dedup",
     "range_search",
+    # -- r6-green (driver-checked last round; freshest in the ledger) --
+    "embed_outliers",
+    "token_vocab",
+    "doc_lm_score",
+    "filter_extended",
+    "collection_time_travel",
+    "jsonl_roundtrip",
+    "ann_recall",
+    "stream_join",
+    "embed_project",
+    "sample_temperature",
+    "bm25_search",
+    "distinct_sketch",
+    "quantile_sketch",
+    "decontaminate_bloom",
+    "bm25_indexed",
+    "collection_search",
+    "media_jpeg_features",
+    "media_gif_features",
+    "format_roundtrip",
+    "media_tiff_features",
+    "archive_roundtrip",
+    "warc_html_extract",
+    "web_url_dedup",
+    "line_dedup",
+    "bucketed_join",
+    "web_robots_filter",
+    "doc_ppl_bigram",
+    "dedup_span_removal",
+    "zorder_layout",
+    "media_png_features",
+    "collection_search_ivf",
+    "collection_search_ivf_delta",
+    "stream_quantile",
+    "ann_lsh",
+    "dedup_simhash",
+    "collection_hybrid_text",
+    "bm25_index_merged",
+    "pack_sequences_firstfit",
+    "media_audio_features",
+    "media_video_stats",
+    "collection_search_blocks",
+    "upsert_delete",
+    "filter_coercion",
+    "filter_search",
+    "multi_vector_search",
+    "dedup_minhash_lsh",
+    "neardup_cosine",
 ]
 
 

@@ -331,6 +331,119 @@ GROUP BY 1, 2, 3, 4
     return sql
 
 
+#: merge count for the registry entries — large enough that the
+#: learned table crosses from characters into real subwords on the
+#: synthetic corpus, small enough that the oracle's replay chain
+#: (3 CTEs per step) stays tractable
+BPE_MERGES = 24
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich 2016 Algorithm 1) on the
+    documents corpus: k merge steps = k map-side-combined pair-count
+    scans over the DISTINCT-WORD frequency table + a 1-row argmax
+    collect each (same k-scans discipline as quality_classifier).
+    The oracle replays ALL k steps as chained SQL CTEs — pair counts,
+    the deterministic argmax (count DESC, then lexicographically
+    smallest pair), and the greedy left-fold merge application
+    (DuckDB list_reduce ≡ Spark F.aggregate by construction) — and
+    must land on the identical ordered merge table. Any divergence
+    in tie-breaking, fold order, or weighting breaks value parity."""
+    from coltt_spark.operators.tokenize import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", BPE_MERGES)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under the just-trained merges: per-document
+    subword token counts via the memoized distinct-word segmentation
+    (fold chain runs once per vocabulary entry, equi-joined back to
+    the exploded corpus). The oracle retrains in SQL and re-derives
+    every count — so train AND encode must agree end-to-end."""
+    from coltt_spark.operators.tokenize import bpe_encode, bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, seg = bpe_learn(docs, "text", BPE_MERGES)
+    word_len = seg.select("word", F.size("s").cast("long").alias("n_tok"))
+    return bpe_encode(docs, "doc_id", "text", merges, word_len=word_len)
+
+
+def _bpe_chain_sql(k: int) -> str:
+    """The shared training replay: words → w0 (char arrays + the
+    </w> terminal) → k × (pair counts p_i, argmax b_i, fold w_i).
+    Generated from the SAME constants the operator uses — single
+    source of truth, like the classifier/sketch oracles."""
+    sql = f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT word,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)), '</w>') AS s,
+         cnt
+  FROM words
+)"""
+    # every chained CTE is MATERIALIZED: w{i} is referenced by both
+    # p{i+1} and w{i+1}, so DuckDB's default inlining re-evaluates the
+    # whole prefix per reference — 2^k blowup; materialization makes
+    # the replay linear in k (measured: k=10 unbounded → whole chain
+    # sub-second)
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        sql += f""",
+p{i} AS MATERIALIZED (
+  SELECT s[j] AS a, s[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS j FROM {prev})
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT word,
+         list_reduce(
+           list_transform(s, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = b{i}.a
+                                 AND x[1] = b{i}.b
+                            THEN list_append(acc[1:len(acc) - 1], b{i}.a || b{i}.b)
+                            ELSE list_concat(acc, x) END
+         ) AS s,
+         cnt
+  FROM {prev}, b{i}
+)"""
+    return sql
+
+
+def _bpe_train_oracle(k: int) -> str:
+    body = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right", '
+        f"a || b AS merged FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return _bpe_chain_sql(k) + "\n" + body
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return _bpe_chain_sql(k) + f""",
+tok AS (SELECT word, CAST(len(s) AS BIGINT) AS n_tok FROM w{k}),
+occ AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+counts AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+  FROM occ o JOIN tok t USING (word)
+  GROUP BY o.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(c.n_words, 0) AS n_words,
+       COALESCE(c.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -341,6 +454,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_score": q_doc_lm_score,
     "doc_ppl_bigram": q_doc_ppl_bigram,
     "quality_classifier": q_quality_classifier,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -353,4 +468,6 @@ TEXT_ORACLES: dict[str, str] = {
     "doc_lm_score": _ORACLE_DOC_LM_SCORE,
     "doc_ppl_bigram": _ORACLE_DOC_PPL_BIGRAM,
     "quality_classifier": _qc_oracle(),
+    "bpe_train": _bpe_train_oracle(BPE_MERGES),
+    "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
 }

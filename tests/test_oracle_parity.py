@@ -37,124 +37,75 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-5 rotation ledger (CLAUDE.md): entries promised a
-#: round-6 driver slot — the 16 r3-green entries whose last hard
-#: driver signal is r3, the oldest on the board (embed_outliers
-#: leads, having ceded its r5 slot to the touched
-#: collection_search_grouped). Machine-checked against _KEY_ORDER
-#: below so the ledger promise cannot silently drift (ADVICE r3 #1).
-ROTATION_LEDGER_R6 = [
-    "embed_outliers",
-    "token_vocab",
-    "doc_lm_score",
-    "filter_extended",
-    "collection_time_travel",
-    "jsonl_roundtrip",
-    "ann_recall",
-    "stream_join",
-    "embed_project",
-    "sample_temperature",
-    "bm25_search",
-    "distinct_sketch",
-    "quantile_sketch",
-    "decontaminate_bloom",
-    "bm25_indexed",
-    "collection_search",
+#: The round-6 rotation ledger (CLAUDE.md): entries promised a
+#: round-7 driver slot — the 29 r4-green entries whose last hard
+#: driver signal is r4, the oldest on the board (stream_distinct
+#: leads). Machine-checked against _KEY_ORDER below so the ledger
+#: promise cannot silently drift (ADVICE r3 #1).
+ROTATION_LEDGER_R7 = [
+    "stream_distinct",
+    "collection_search_blocks_delta",
+    "knn_cosine",
+    "ann_ivf",
+    "collection_search_batch",
+    "freq_sketch",
+    "dedup_canonical",
+    "knn_filtered",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "collection_search_batch_filtered",
+    "hybrid_rrf",
+    "bm25_topk_batch",
+    "text_quality",
+    "doc_fingerprint",
+    "pricing_summary",
+    "region_revenue",
+    "window_top_orders",
+    "price_percentiles",
+    "knn_f16",
+    "ann_topk_batch",
+    "knn_pagination",
+    "knn_block",
+    "dedup_containment",
+    "rollup_revenue",
+    "events_sessionize",
+    "media_features",
 ]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-5 rotation-ledger entries (the 16 r3-green,
-    oldest signal on the board) LEAD the round-6 window, every entry
+    exactly; the round-6 rotation-ledger entries (the 29 r4-green,
+    oldest signal on the board) LEAD the round-7 window, every entry
     new or touched this round is inside it, and the rest of the
-    window rotates in the oldest of the r4-green block."""
+    window rotates in the oldest of the r5-green block
+    (knn_euclidean .. text_redact_pii, in their r5 order). Past the
+    boundary: the 31 remaining r5-green entries first (they lead the
+    r8 rotation ledger), then the 47 r6-green entries (freshest
+    driver signal; quality_classifier / web_sitemap / media_exif were
+    promoted back into the window as touched-this-round). Every
+    past-window entry is re-oracled by the local gate every pytest
+    run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
     # ledger entries lead the window, in ledger order
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R6)] == ROTATION_LEDGER_R6
-    must_check = set(ROTATION_LEDGER_R6) | {
-        # new this round (driver has never seen it)
-        "media_jpeg_features",
-        "media_gif_features",
-        "format_roundtrip",
-        "media_tiff_features",
-        "archive_roundtrip",
-        "warc_html_extract",
-        "web_url_dedup",
-        "line_dedup",
-        "bucketed_join",
-        "web_robots_filter",
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R7)] == ROTATION_LEDGER_R7
+    must_check = set(ROTATION_LEDGER_R7) | {
+        # new this round (driver has never seen them)
+        "bpe_train",
+        "bpe_encode",
+        # implementation touched this round: quality_classifier
+        # (weight rounding + sigmoid quantization mirrored into the
+        # oracle — ADVICE r6 #1/#2), web_sitemap (xml_unescape grew
+        # numeric character references; fixture exercises them),
+        # media_exif (lenient marker walk + per-row catch in the seam)
+        "quality_classifier",
         "web_sitemap",
         "media_exif",
-        "doc_ppl_bigram",
-        "dedup_span_removal",
-        "zorder_layout",
-        "quality_classifier",
-        # implementation touched this round: decode_png bounded
-        # inflate (media_png_features); IVF auto-compaction trigger
-        # in flush (the two entries exercising the changed ivf flush
-        # path)
-        "media_png_features",
-        "collection_search_ivf", "collection_search_ivf_delta",
-        # oldest of the r4-green block (the front of the r4 block in
-        # its r4 order; the rest were demoted mid/late-r6 — see below)
-        "stream_quantile",
-        "ann_lsh",
-        "dedup_simhash", "collection_hybrid_text",
-        "bm25_index_merged", "pack_sequences_firstfit",
-        "media_audio_features", "media_video_stats",
-        "collection_search_blocks",
-        "upsert_delete", "filter_coercion",
-        "filter_search", "multi_vector_search", "dedup_minhash_lsh",
-        "neardup_cosine",
-        # The 29 r4-green entries (stream_distinct,
-        # collection_search_blocks_delta — demoted for the
-        # web_sitemap slot; its two halves stay driver-checked
-        # in-window via collection_search_blocks (packed-block probe
-        # kernel) and collection_search_ivf_delta (delta-flush
-        # machinery) — knn_cosine — demoted for the media_exif slot;
-        # cosine ≡ dot-on-normalized by the write-path contract and
-        # every in-window collection_search_* drives the same
-        # functions/vector.py scoring kernel — ann_ivf — demoted for
-        # the doc_ppl_bigram slot; the shared ivf_build/ivf_assign
-        # kernel stays driver-checked via collection_search_ivf/_delta
-        # and the recall contract via ann_recall, all in-window —
-        # collection_search_batch — demoted for the dedup_span_removal
-        # slot; the packed-block scan kernel stays in-window via
-        # collection_search_blocks and the per-query grouped
-        # TakeOrdered via collection_search_grouped (r5-green, local
-        # gate every run) — freq_sketch — demoted for the
-        # zorder_layout slot; the sketch family's map-side
-        # register-merge machinery stays in-window via distinct_sketch
-        # + quantile_sketch — dedup_canonical — demoted for the
-        # quality_classifier slot; long-stable r4-green (the rule's
-        # explicit lowest-priority class), its components core already
-        # past-window with dedup_groups, both locally re-oracled —
-        # knn_filtered,
-        # dedup_exact, dedup_groups, dedup_ngram_jaccard, text_lang_id,
-        # collection_search_batch_filtered, hybrid_rrf and
-        # bm25_topk_batch — demoted
-        # mid/late-r6 for the archive_roundtrip / media_tiff_features /
-        # format_roundtrip / media_gif_features / warc_html_extract /
-        # web_url_dedup / line_dedup / bucketed_join /
-        # web_robots_filter window slots
-        # (batch_filtered is
-        # equivalence-covered by collection_search_batch +
-        # collection_search_blocks_filtered; hybrid_rrf by
-        # collection_hybrid_text + bm25_search; bm25_topk_batch by
-        # bm25_search + bm25_indexed; knn_filtered by
-        # collection_search_blocks_filtered + filter_search +
-        # filter_coercion; stream_distinct by stream_quantile (same
-        # streaming state machinery) + distinct_sketch (same HLL
-        # register math) — all in-window) — then
-        # text_quality .. media_features) sit FIRST past the
-        # boundary and lead the
-        # r7 rotation ledger; the 47 r5-green entries follow
-        # (freshest driver signal). Every demoted entry is re-oracled
-        # by the local gate every pytest run.
     }
     assert must_check <= window, sorted(must_check - window)

@@ -733,3 +733,51 @@ def test_web_sitemap_parse_is_narrow(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert "Generate" in plan  # the posexplode over parsed entries
+
+
+def test_bpe_training_step_is_scan_plus_partial_agg(spark):
+    """Each BPE merge step must be ONE scan of the (vocabulary-sized)
+    word table + a map-side-combined pair-count aggregation feeding a
+    1-row TakeOrdered — no Python stage, no window, no join. k merges
+    = k such scans, the same shape as the classifier's GD steps; at
+    100 TB only the one word_table build touches the corpus."""
+    from coltt_spark.operators.tokenize import (
+        _best_pair,  # noqa: F401 — shape built inline below
+        _initial_symbols,
+        bpe_word_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = bpe_word_table(docs, "text").select(
+        "word", _initial_symbols(F.col("word")).alias("s"), "cnt"
+    )
+    s = F.col("s")
+    pairs = F.transform(
+        F.slice(s, 1, F.size(s) - 1),
+        lambda x, i: F.struct(x.alias("a"), F.get(s, i + 1).alias("b")),
+    )
+    step = (
+        words.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "a", "b")
+        .limit(1)
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine on the pair counts
+    assert "TakeOrderedAndProject" in plan  # argmax is not a global sort
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_bpe_encode_is_dim_join_no_python(spark):
+    """Encoding: the fold chain runs over the DISTINCT-word table
+    only; the corpus-side work is explode + equi-join + partial-agg —
+    no Python stage anywhere, no cartesian, no window."""
+    from coltt_spark.registry_text import q_bpe_encode
+
+    out = q_bpe_encode(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
