@@ -25,15 +25,29 @@ Normalization contract (documented, deterministic, both engines):
    semantic);
 5. an empty path becomes ``/``.
 
-Registrable-domain extraction uses a documented SMALL-TABLE
-heuristic (last two labels, or last three under common two-level
-public suffixes: ``co.uk``-style ccTLD registries) — the full
-Public Suffix List is a data file, not an algorithm; the heuristic
-covers the overwhelming bulk of crawl traffic and is exactly
-replayable in SQL.
+Registrable-domain extraction is PSL-BACKED: the rules ship as a
+DATA file in the publicsuffix.org format
+(``coltt_spark/data/public_suffix_snapshot.dat`` — a curated subset;
+the full upstream list drops in with zero code changes, the parser
+covers the complete rule grammar: plain rules, wildcard ``*.ck``,
+exception ``!www.ck``). Both the Catalyst expression and the DuckDB
+replay are GENERATED from the same parsed rules — single source of
+truth, so the SQL oracle can never drift from the engine. When the
+data file is absent, a documented small-table heuristic (last two
+labels, or last three under the ``co.uk``-family two-level suffixes)
+takes over.
+
+Registrable-domain contract (both engines): exception rules beat
+everything; otherwise the prevailing rule is the one with the most
+labels (wildcard ``*.X`` counts as ``len(X)+1``); the registrable
+domain is the public suffix plus one label. A host that IS a public
+suffix (or a single label) is returned whole — the pipeline-friendly
+fallback, since quota/blocklist keys must never be NULL.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -44,14 +58,86 @@ URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 #: query parameters dropped during normalization
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 
-#: two-level public suffixes the registrable-domain heuristic knows
-#: (the high-traffic ccTLD second-level registries)
+#: two-level public suffixes the NO-DATA-FILE fallback heuristic
+#: knows (the high-traffic ccTLD second-level registries)
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
 )
+
+#: the shipped PSL snapshot (publicsuffix.org file format)
+PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_snapshot.dat",
+)
+
+
+def parse_psl(path: str) -> dict:
+    """Parse a publicsuffix.org-format rule file into per-level
+    buckets: ``plain[n]`` = set of n-label plain rules, ``wild[n]`` =
+    set of n-label suffixes behind a ``*.``, ``exc[n]`` = set of
+    n-label exception rules (the leading ``!`` stripped). Comments
+    (``//``) and blank lines skipped; labels lowercased."""
+    plain: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                rule = line[1:]
+                exc.setdefault(rule.count(".") + 1, set()).add(rule)
+            elif line.startswith("*."):
+                suffix = line[2:]
+                wild.setdefault(suffix.count(".") + 1, set()).add(suffix)
+            else:
+                plain.setdefault(line.count(".") + 1, set()).add(line)
+    return {"plain": plain, "wild": wild, "exc": exc}
+
+
+try:
+    _PSL: dict | None = parse_psl(PSL_PATH)
+except OSError:
+    _PSL = None
+
+
+def _last_labels_re(k: int) -> str:
+    """Regex capturing the last ``k`` dot-separated labels ('' when
+    the host has fewer). Identical pattern both engines."""
+    return rf"((?:[^.]+\.){{{k - 1}}}[^.]+)$"
+
+
+def _psl_plan(psl: dict) -> list[tuple[str, int, int]]:
+    """The rule plan the two expression generators share:
+    ``(kind, match_label_count, registrable_label_count)`` in
+    precedence order — exceptions first (they beat everything per the
+    PSL spec), then by public-suffix label count descending. ``kind``
+    selects the rule set to test last-``match_label_count`` labels
+    against."""
+    plan: list[tuple[str, int, int]] = []
+    for k in sorted(psl["exc"], reverse=True):
+        plan.append(("exc", k, k))
+    levels = sorted(
+        set(n for n in psl["plain"] if n >= 2)
+        | set(n + 1 for n in psl["wild"]),
+        reverse=True,
+    )
+    for n in levels:  # n = public-suffix label count
+        if n in psl["plain"] and n >= 2:
+            plan.append(("plain", n, n + 1))
+        if n - 1 in psl["wild"]:
+            plan.append(("wild", n - 1, n + 1))
+    return plan
+
+
+def _psl_set(psl: dict, kind: str, k: int) -> list[str]:
+    key = {"exc": "exc", "plain": "plain", "wild": "wild"}[kind]
+    return sorted(psl[key][k])
 
 
 def url_scheme(url: Column) -> Column:
@@ -67,16 +153,45 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(hostport, r":\d*$", "")
 
 
-def registrable_domain(host: Column) -> Column:
-    """eTLD+1 heuristic: the last two labels, or the last three when
-    the last two form a known two-level public suffix (``co.uk``
-    family). A single-label host (``localhost``) is returned
-    whole."""
+def registrable_domain_heuristic(host: Column) -> Column:
+    """eTLD+1 NO-DATA fallback: the last two labels, or the last
+    three when the last two form a known two-level public suffix
+    (``co.uk`` family). A single-label host (``localhost``) is
+    returned whole."""
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     return F.when(two == "", host).when(
         two.isin(*TWO_LEVEL_SUFFIXES) & (three != ""), three
     ).otherwise(two)
+
+
+def registrable_domain(host: Column) -> Column:
+    """PSL-backed eTLD+1 (module-docstring contract), generated from
+    the parsed rule file — a chain of last-k-label set-membership
+    tests, all codegen'd ``isin`` against literal sets (no join, no
+    Python: the PSL is ~10k rules in full, trivially a broadcast
+    literal). Falls back to the two-level heuristic when the data
+    file is missing."""
+    if _PSL is None:
+        return registrable_domain_heuristic(host)
+
+    def last(k: int) -> Column:
+        return F.regexp_extract(host, _last_labels_re(k), 1)
+
+    two = last(2)
+    out = F.when(two == "", host).otherwise(two)  # default rule '*'
+    # build the when-chain INNERMOST-last: iterate the plan reversed
+    # so the highest-precedence test ends up outermost
+    for kind, k, reg in reversed(_psl_plan(_PSL)):
+        cond = last(k).isin(*_psl_set(_PSL, kind, k))
+        if kind == "exc":
+            out = F.when(cond, last(reg)).otherwise(out)
+        else:
+            # a matched rule TERMINATES (prevailing = most labels):
+            # host-whole when the host IS the public suffix itself
+            hit = F.when(last(reg) != "", last(reg)).otherwise(host)
+            out = F.when(cond, hit).otherwise(out)
+    return out
 
 
 def url_normalize(url: Column) -> Column:
@@ -117,15 +232,50 @@ DD_URL_HOST = (
     "':[0-9]*$', '')"
 )
 
+def _dd_registrable_domain() -> str:
+    """The DuckDB replay of :func:`registrable_domain`, generated
+    from the SAME parsed PSL (heuristic form when the data file is
+    absent) — a CASE whose WHEN order mirrors the Spark when-chain
+    exactly."""
+    if _PSL is None:
+        return (
+            "CASE WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) = '' THEN {h} "
+            "WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) IN ('"
+            + "', '".join(TWO_LEVEL_SUFFIXES)
+            + "') AND regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> '' "
+            "THEN regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+)$', 1) "
+            "ELSE regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) END"
+        )
+
+    def last(k: int) -> str:
+        # the template goes through str.format (the {h} slot), so the
+        # regex's repetition braces must be doubled; DuckDB regular
+        # strings pass backslashes through verbatim
+        rx = _last_labels_re(k).replace("{", "{{").replace("}", "}}")
+        return "regexp_extract({h}, '" + rx + "', 1)"
+
+    whens = []
+    for kind, k, reg in _psl_plan(_PSL):
+        inlist = "', '".join(_psl_set(_PSL, kind, k))
+        cond = f"{last(k)} IN ('{inlist}')"
+        if kind == "exc":
+            then = last(reg)
+        else:
+            # matched rule terminates: host-whole when the host IS
+            # the public suffix (mirrors the Spark when-chain)
+            then = (
+                f"CASE WHEN {last(reg)} <> '' THEN {last(reg)} ELSE {{h}} END"
+            )
+        whens.append(f"WHEN {cond} THEN {then}")
+    return (
+        "CASE "
+        + " ".join(whens)
+        + f" WHEN {last(2)} = '' THEN {{h}} ELSE {last(2)} END"
+    )
+
+
 #: DuckDB expression replaying registrable_domain(host) for {h}
-DD_REGISTRABLE_DOMAIN = (
-    "CASE WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) = '' THEN {h} "
-    "WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) IN ('"
-    + "', '".join(TWO_LEVEL_SUFFIXES)
-    + "') AND regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> '' "
-    "THEN regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+)$', 1) "
-    "ELSE regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) END"
-)
+DD_REGISTRABLE_DOMAIN = _dd_registrable_domain()
 
 #: DuckDB expression replaying url_normalize({x})
 DD_URL_NORMALIZE = (

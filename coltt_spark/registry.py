@@ -1476,6 +1476,10 @@ _KEY_ORDER = [
     # -- new in r7 ----------------------------------------------------
     "bpe_train",    # new r7: distributed BPE merge training (k scans)
     "bpe_encode",   # new r7: memoized subword encode + corpus join
+    "web_url_psl",  # new r7: PSL-backed registrable_domain, all rule
+    #    classes (slot freed by demoting text_redact_pii — r5-green,
+    #    tail of the window's r5 block — past the boundary, where it
+    #    leads the r8 rotation queue)
     # -- implementation touched this round ----------------------------
     "quality_classifier",  # r7: weight rounding + sigmoid quantization
     #    mirrored into the oracle (ADVICE r6 #1/#2)
@@ -1500,7 +1504,6 @@ _KEY_ORDER = [
     "top_revenue_orders",
     "knn_wide",
     "events_json",
-    "text_redact_pii",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
     # ---- round. First the 31 remaining r5-green entries in their r5
@@ -1508,6 +1511,7 @@ _KEY_ORDER = [
     # ---- rotation ledger), then the 47 r6-green entries (freshest
     # ---- signal; quality_classifier / web_sitemap / media_exif were
     # ---- promoted back into the window as touched-this-round).
+    "text_redact_pii",
     "collection_hybrid_ivf",
     "bm25_index_deleted",
     "collection_search_grouped",

@@ -34,6 +34,11 @@ def _messy_urls(n: int = 300) -> list[str]:
         "Example.COM", "example.com", "BLOG.Example.co.UK",
         "news.example.org", "a.b.c.example.com.au", "localhost",
         "x.co.uk", "sub.x.ac.uk", "EXAMPLE.ORG",
+        # PSL classes: unknown-to-the-old-heuristic two-level
+        # registries, private-section suffixes, wildcard + exception
+        "shop.foo.co.nz", "foo.com.tw", "x.co.id", "user.GitHub.io",
+        "deep.k12.ca.us", "bar.foo.ck", "www.ck", "sub.www.ck",
+        "b.a.np", "bucket.s3.amazonaws.com", "app.blogspot.com",
     ]
     ports = ["", ":80", ":443", ":8080", ":"]
     paths = ["", "/", "/A/B", "/path/", "/Path%20X/y.html", "//double"]
@@ -137,3 +142,76 @@ def test_registrable_domain_pinned_cases():
     assert dom("localhost") == "localhost"
     assert dom("a.b.example.com.au") == "example.com.au"
     assert dom("co.uk") == "co.uk"  # bare suffix stays whole
+    # PSL-only cases the old heuristic got WRONG (ADVICE/VERDICT r6):
+    assert dom("shop.foo.co.nz") == "foo.co.nz"
+    assert dom("foo.com.tw") == "foo.com.tw"
+    assert dom("x.co.id") == "x.co.id"
+    assert dom("user.github.io") == "user.github.io"  # private section
+    assert dom("github.io") == "github.io"            # bare suffix
+    # 3-label rules
+    assert dom("deep.k12.ca.us") == "deep.k12.ca.us"
+    assert dom("school.ca.us") == "school.ca.us"
+    assert dom("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com"
+    assert dom("s3.amazonaws.com") == "s3.amazonaws.com"  # whole-host
+    # wildcard *.ck and the !www.ck exception (the spec's own example)
+    assert dom("bar.foo.ck") == "bar.foo.ck"
+    assert dom("foo.ck") == "foo.ck"
+    assert dom("www.ck") == "www.ck"
+    assert dom("sub.www.ck") == "www.ck"
+    assert dom("b.a.np") == "b.a.np"
+
+
+def _ref_psl_registrable(host: str, rules: list[str]) -> str:
+    """Spec-literal reference (publicsuffix.org/list — the wiki
+    algorithm), written independently of the engine's generated
+    expressions: find all matching rules (* matches exactly one
+    label), exceptions prevail, else most labels; registrable =
+    suffix + 1 label; fall back to the whole host when undefined."""
+    labels = host.split(".")
+
+    def matches(rule: str) -> bool:
+        r = rule.split(".")
+        if len(r) > len(labels):
+            return False
+        return all(
+            rl == "*" or rl == hl
+            for rl, hl in zip(r, labels[len(labels) - len(r):])
+        )
+
+    exc = [r[1:] for r in rules if r.startswith("!") and matches(r[1:])]
+    if exc:
+        ps_len = len(exc[0].split(".")) - 1
+    else:
+        hit = [r for r in rules if not r.startswith("!") and matches(r)]
+        ps_len = max((len(r.split(".")) for r in hit), default=1)
+    if len(labels) <= ps_len:
+        return host
+    return ".".join(labels[len(labels) - ps_len - 1:])
+
+
+def test_registrable_domain_matches_spec_reference():
+    """Fuzz the generated DuckDB expression against the spec-literal
+    Python algorithm over every shipped rule × host construction."""
+    import duckdb as dd
+
+    from coltt_spark.functions.urls import PSL_PATH
+
+    rules = []
+    with open(PSL_PATH) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("//"):
+                rules.append(line)
+
+    hosts = []
+    for r in rules:
+        base = r.lstrip("!").replace("*", "wild")
+        hosts += [base, f"one.{base}", f"two.one.{base}"]
+    hosts += ["localhost", "com", "a.b.c.d.e.example.com"]
+
+    con = dd.connect()
+    q = f"SELECT {DD_REGISTRABLE_DOMAIN.format(h='h')} FROM (SELECT ? AS h)"
+    for h in hosts:
+        got = con.execute(q, [h]).fetchone()[0]
+        want = _ref_psl_registrable(h, rules)
+        assert got == want, f"{h}: generated={got} spec={want}"
