@@ -351,6 +351,97 @@ def parse_exif(payload: bytes) -> dict:
     return out
 
 
+def apply_orientation(img, orientation: int):
+    """Apply the 8-value EXIF/TIFF Orientation transform (TIFF 6.0
+    §Orientation; EXIF 2.32 tag 274) to a decoded ``(H, W, C)`` array
+    → the upright image a viewer would display. Pure numpy views
+    (no copy): 2=mirror, 3=rot180, 4=flip, 5=transpose, 6=rot90 CW,
+    7=anti-transpose, 8=rot90 CCW; anything else (incl. the absent
+    default 1) is identity."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return img.transpose(1, 0, 2)
+    if orientation == 6:
+        return img.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return img.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return img.transpose(1, 0, 2)[::-1]
+    return img
+
+
+ORIENTED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("orientation", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("tl_r", T.LongType(), False),
+        T.StructField("tl_g", T.LongType(), False),
+        T.StructField("tl_b", T.LongType(), False),
+    ]
+)
+
+
+def oriented_image_stats(images: DataFrame, *, decoder=None) -> DataFrame:
+    """Orientation-CORRECTED image stats — the fix for the classic
+    silent bug VERDICT r6 flagged: rotated captures (EXIF orientation
+    5–8) report transposed geometry, and every spatial feature is
+    computed on the sideways image. Same Arrow-batched seam shape as
+    ``multimodal.image_channel_stats``; per image it marker-walks the
+    EXIF orientation (default 1 when absent), decodes, applies
+    :func:`apply_orientation`, and emits upright geometry + channel
+    sums + the top-left corner pixel (corners MOVE under the
+    transform, so they pin the remap; sums are invariant and pin the
+    decode)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_image
+
+        decode = decoder if decoder is not None else decode_image
+        cols = [f.name for f in ORIENTED_STATS_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: dict = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    orientation = parse_exif(payload)["orientation"] or 1
+                except (ValueError, struct.error, IndexError):
+                    orientation = 1
+                img = apply_orientation(
+                    decode(payload)[:, :, :3], int(orientation)
+                )
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype("int64").sum(axis=0)
+                rows["doc_id"].append(int(doc_id))
+                rows["orientation"].append(int(orientation))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(int(sums[0]))
+                rows["g_sum"].append(int(sums[1]))
+                rows["b_sum"].append(int(sums[2]))
+                rows["tl_r"].append(int(img[0, 0, 0]))
+                rows["tl_g"].append(int(img[0, 0, 1]))
+                rows["tl_b"].append(int(img[0, 0, 2]))
+            yield pd.DataFrame(rows)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        kernel, ORIENTED_STATS_SCHEMA
+    )
+
+
 # -- Spark seam ---------------------------------------------------------------
 
 EXIF_SCHEMA = T.StructType(

@@ -789,6 +789,68 @@ def jpeg_image_table(documents: DataFrame, *, blocks: int = 2) -> DataFrame:
     return imgs.mapInPandas(kernel, out_schema)
 
 
+def exif_oriented_jpeg_table(documents: DataFrame) -> DataFrame:
+    """Fabricate JPEGs that are WRONG to read without applying EXIF
+    orientation: an ASYMMETRIC 2×3 grid of DC-only 8×8 blocks
+    (16 high × 24 wide — 90° rotations visibly swap the geometry)
+    carrying (Y, Cb, Cr) triples from the ``:exifo:0`` md5 stream,
+    with an EXIF APP1 whose Orientation cycles through ALL EIGHT
+    values (``1 + d % 8``); ``d % 9 == 3`` rows carry no EXIF at all
+    (the default-1 path). Same bit-exact DC-only recipe as
+    ``jpeg_image_table``, so a SQL oracle regenerates the corrected
+    stats from the hash stream + the orientation corner remap."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.exif import (
+            build_exif_tiff,
+            exif_app1,
+            insert_app1,
+        )
+        from coltt_spark.operators.media_codecs import encode_jpeg
+
+        qt = np.full(64, 8, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = (
+                    hashlib.md5(f"{text}:exifo:0".encode()).digest()
+                    + hashlib.md5(f"{text}:exifo:1".encode()).digest()
+                )[:18]
+                ycc = np.frombuffer(raw, dtype=np.uint8).reshape(2, 3, 3)
+                img = np.repeat(np.repeat(ycc, 8, axis=0), 8, axis=1)
+                jpeg = encode_jpeg(
+                    img,
+                    input_color="ycbcr",
+                    luma_quant=qt,
+                    chroma_quant=qt,
+                    restart_interval=2,
+                )
+                if d % 9 != 3:
+                    tiff = build_exif_tiff(
+                        byte_order="<" if d % 2 == 0 else ">",
+                        orientation=1 + d % 8,
+                    )
+                    jpeg = insert_app1(jpeg, exif_app1(tiff))
+                payloads.append(jpeg)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
 def image_channel_stats(images: DataFrame, *, decoder=None) -> DataFrame:
     """Per-image channel statistics (Arrow-batched ``mapInPandas``):
     geometry, exact per-channel pixel sums, and BT.601 luma — the

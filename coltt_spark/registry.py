@@ -1480,6 +1480,9 @@ _KEY_ORDER = [
     #    classes (slot freed by demoting text_redact_pii — r5-green,
     #    tail of the window's r5 block — past the boundary, where it
     #    leads the r8 rotation queue)
+    "media_exif_orientation",  # new r7: EXIF orientation applied to
+    #    the decode path, all 8 transforms (slot freed by demoting
+    #    events_json — r5-green, same rule as text_redact_pii)
     # -- implementation touched this round ----------------------------
     "quality_classifier",  # r7: weight rounding + sigmoid quantization
     #    mirrored into the oracle (ADVICE r6 #1/#2)
@@ -1503,7 +1506,6 @@ _KEY_ORDER = [
     "set_intersect",
     "top_revenue_orders",
     "knn_wide",
-    "events_json",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
     # ---- round. First the 31 remaining r5-green entries in their r5
@@ -1511,6 +1513,7 @@ _KEY_ORDER = [
     # ---- rotation ledger), then the 47 r6-green entries (freshest
     # ---- signal; quality_classifier / web_sitemap / media_exif were
     # ---- promoted back into the window as touched-this-round).
+    "events_json",
     "text_redact_pii",
     "collection_hybrid_ivf",
     "bm25_index_deleted",

@@ -222,3 +222,58 @@ def test_exif_features_seam(spark):
     # d=6: ref S, dms (6, 6, 6) → -(6 + 6/60 + 6/3600)
     assert rows[6]["lat"] == -(6 + 6 / 60.0 + 6 / 3600.0)
     assert rows[9]["lat"] is None  # 9 % 6 != 0: no GPS IFD
+
+
+def test_apply_orientation_against_numpy_reference():
+    """The 8 transforms against numpy's own rot90/flip compositions
+    (an independent statement of TIFF 6.0 orientation semantics), on
+    an asymmetric image so every wrong direction is visible."""
+    import numpy as np
+
+    from coltt_spark.operators.exif import apply_orientation
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    ref = {
+        1: img,
+        2: np.fliplr(img),
+        3: np.rot90(img, 2),
+        4: np.flipud(img),
+        5: np.rot90(np.fliplr(img), 1),   # transpose
+        6: np.rot90(img, -1),             # 90 clockwise
+        7: np.rot90(np.fliplr(img), -1),  # anti-transpose
+        8: np.rot90(img, 1),              # 90 counter-clockwise
+    }
+    for o, want in ref.items():
+        got = apply_orientation(img, o)
+        assert got.shape == want.shape, o
+        assert np.array_equal(got, want), o
+    # out-of-range / default values are identity
+    for o in (0, 9, -1):
+        assert np.array_equal(apply_orientation(img, o), img)
+
+
+def test_oriented_stats_seam(spark):
+    """oriented_image_stats end-to-end on the fabricated fixture:
+    orientation 5-8 rows swap geometry, sums are invariant vs the
+    unoriented stats, and no-EXIF rows default to orientation 1."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.exif import oriented_image_stats
+    from coltt_spark.operators.multimodal import exif_oriented_jpeg_table
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in oriented_image_stats(exif_oriented_jpeg_table(docs)).collect()
+    }
+    assert set(rows) == {0, 3, 6, 9, 12, 15, 18, 21, 24, 27}
+    for d, r in rows.items():
+        want_o = 1 if d % 9 == 3 else 1 + d % 8
+        assert r["orientation"] == want_o, d
+        if want_o >= 5:
+            assert (r["width"], r["height"]) == (16, 24), d
+        else:
+            assert (r["width"], r["height"]) == (24, 16), d

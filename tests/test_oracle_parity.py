@@ -100,6 +100,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "bpe_train",
         "bpe_encode",
         "web_url_psl",
+        "media_exif_orientation",
         # implementation touched this round: quality_classifier
         # (weight rounding + sigmoid quantization mirrored into the
         # oracle — ADVICE r6 #1/#2), web_sitemap (xml_unescape grew
