@@ -590,7 +590,6 @@ def main() -> None:
 
     timings["knn_1m_flat"] = flat_1m["sec_per_query"]
 
-    total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-key continuity through the driver artifact (VERDICT r5 #3):
     # the driver keeps only the stdout TAIL, which drops the 111-key
@@ -610,6 +609,30 @@ def main() -> None:
                 moved_keys[name] = [p, t]
     except (OSError, ValueError):
         pass
+    # burst-proofing (VERDICT r6 #2): a host-steal burst wide enough
+    # to cover both min-of-2 runs of consecutive keys committed six
+    # phantom 8-15x regressions into the r6 artifact. Re-measure every
+    # flagged key ONCE more at end of run (the burst has usually
+    # passed by then), keep the best of 3, and record the recheck
+    # triple [prev, min_of_2, best_of_3] so the artifact shows its own
+    # adjudication — a mover that survives the recheck is a genuine
+    # mover (or a sustained-steal session, visible in all three).
+    rechecked: dict[str, list] = {}
+    for name in list(moved_keys):
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        p, t = moved_keys[name]
+        best3 = round(min(t, dt), 4)
+        rechecked[name] = [p, t, best3]
+        timings[name] = best3
+        if best3 / p > 1.3 or p / best3 > 1.3:
+            moved_keys[name] = [p, best3]
+        else:
+            del moved_keys[name]  # cleared: the min-of-2 was a burst
+    total = round(sum(timings.values()), 4)
     with open(keys_path, "w") as fh:
         json.dump(
             {
@@ -617,6 +640,7 @@ def main() -> None:
                 "methodology": "registry=min_of_2, flat_1m=warm_mean_of_5",
                 "queries": timings,
                 "queries_run1": timings_run1,
+                "rechecked_keys": rechecked,
                 "fixture_build_sec": fixture_build_sec,
                 "total_query_wall": total,
             },
@@ -699,6 +723,11 @@ def main() -> None:
                 # previous-round bench_keys.json ([prev, now]; emptyable
                 # — per-key dicts live in bench_keys.json)
                 "moved_keys_vs_prev": moved_keys,
+                # movers re-measured a 3rd time at end of run
+                # ([prev, min_of_2, best_of_3]); keys cleared by the
+                # recheck leave moved_keys_vs_prev — a burst cannot
+                # commit a phantom regression (VERDICT r6 #2)
+                "rechecked_keys": rechecked,
                 "methodology": "registry=min_of_2, flat_1m=warm_mean_of_5",
             }
         )

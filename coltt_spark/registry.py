@@ -1662,3 +1662,6 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _text_index(spark, sf_dir, str_ids=True)  # hybrid product surface
     q_bm25_index_merged(spark, sf_dir)  # sharded build + merged index
     q_bm25_index_deleted(spark, sf_dir)  # tombstoned-index fixture
+    from coltt_spark.registry_text import _bpe_fixture
+
+    _bpe_fixture(spark, sf_dir)  # trained BPE merges + word->n_tok table
