@@ -94,6 +94,29 @@ def test_train_matches_independent_reference(spark):
     assert got == want
 
 
+def test_train_matches_reference_on_random_vocab(spark):
+    """The same cross-check on a 500-word md5-randomized vocabulary
+    (realistic shape: no engineered structure, heavy tie-breaking in
+    the early character-pair rounds — the regime where a tie-break or
+    fold divergence would actually show up)."""
+    import hashlib
+
+    words = []
+    for i in range(500):
+        h = hashlib.md5(f"bpe-fuzz:{i}".encode()).hexdigest()
+        words.append(h[: 3 + i % 10])  # lengths 3..12, [0-9a-f] alphabet
+    texts = [" ".join(words[i::7]) for i in range(7)]
+    k = 12
+    ref_merges, ref_vocab = _ref_bpe(_ref_words(texts), k)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, seg = bpe_learn(df, "text", k)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["s"]) for r in seg.collect()}
+    assert got == {w: syms for w, (syms, _) in ref_vocab.items()}
+
+
 def test_train_table_shape(spark):
     df = bpe_train(spark, _spark_corpus(spark), "text", 8)
     rows = df.orderBy("rank").collect()
