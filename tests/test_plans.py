@@ -781,3 +781,29 @@ def test_bpe_encode_is_dim_join_no_python(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_web_url_psl_is_codegen_projection(spark):
+    """PSL-backed registrable_domain: one codegen'd narrow projection
+    — the ~200-rule when-chain stays inside whole-stage codegen (no
+    Python stage, no join against a rules table, no Exchange). At
+    100 TB the PSL is a literal broadcast into every task's code."""
+    from coltt_spark.registry_pipeline import q_web_url_psl
+
+    out = q_web_url_psl(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.lstrip().startswith("*")  # whole-stage codegen root
+
+
+def test_media_exif_orientation_pipeline_is_narrow(spark):
+    """Orientation-corrected stats: fabricate + parse + decode +
+    transform is ONE narrow Arrow-batched pipeline over the image
+    rows — no shuffle anywhere (the family's standard shape)."""
+    from coltt_spark.registry_media import q_media_exif_orientation
+
+    out = q_media_exif_orientation(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2  # fixture + stats seams
