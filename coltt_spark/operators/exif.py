@@ -401,7 +401,11 @@ def oriented_image_stats(images: DataFrame, *, decoder=None) -> DataFrame:
     :func:`apply_orientation`, and emits upright geometry + channel
     sums + the top-left corner pixel (corners MOVE under the
     transform, so they pin the remap; sums are invariant and pin the
-    decode)."""
+    decode). Error posture is deliberately split: a malformed EXIF
+    header degrades to orientation 1 (metadata is advisory), while a
+    corrupt image payload stays LOUD — the codec family's
+    convention, since silently skipping undecodable images biases
+    the stats a pipeline gates on."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -189,6 +189,39 @@ def _ref_psl_registrable(host: str, rules: list[str]) -> str:
     return ".".join(labels[len(labels) - ps_len - 1:])
 
 
+def test_heuristic_fallback_when_psl_data_missing(spark, monkeypatch):
+    """The documented no-data fallback: with the rule file absent
+    (_PSL None), registrable_domain degrades to the two-level
+    heuristic and its DuckDB replay regenerates in the heuristic
+    form — the pair still agrees."""
+    import duckdb as dd
+
+    import coltt_spark.functions.urls as urls
+
+    monkeypatch.setattr(urls, "_PSL", None)
+    dom = urls.registrable_domain(F.col("h"))
+    df = spark.createDataFrame(
+        [("blog.example.co.uk",), ("a.example.com",), ("localhost",),
+         ("shop.foo.co.nz",)],
+        ["h"],
+    )
+    got = [r["d"] for r in df.select(dom.alias("d")).collect()]
+    # co.nz is NOT in the fallback's table, so the heuristic gives
+    # the WRONG eTLD+1 here — the documented wrongness the PSL path
+    # fixes; the fallback contract is agreement, not correctness
+    assert got == ["example.co.uk", "example.com", "localhost", "co.nz"]
+    dd_expr = urls._dd_registrable_domain()
+    con = dd.connect()
+    for h, want in zip(
+        ["blog.example.co.uk", "a.example.com", "localhost", "shop.foo.co.nz"],
+        got,
+    ):
+        w = con.execute(
+            f"SELECT {dd_expr.format(h='h')} FROM (SELECT ? AS h)", [h]
+        ).fetchone()[0]
+        assert w == want, h
+
+
 def test_registrable_domain_matches_spec_reference():
     """Fuzz the generated DuckDB expression against the spec-literal
     Python algorithm over every shipped rule × host construction."""
