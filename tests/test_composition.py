@@ -166,3 +166,76 @@ FROM nt
 """
     ok, msg = compare(out, duckdb_conn(SF_CORRECT), oracle)
     assert ok, msg
+
+
+def test_token_budget_pipeline_composes(spark):
+    """The r7 capstone: quality gate → BPE subword counting →
+    per-language token ACCOUNTING (the number a training run budgets
+    against), verified against ONE DuckDB oracle that replays the
+    whole chain — including RETRAINING the BPE merges from scratch in
+    SQL. Subword totals must exceed word totals (fertility > 1), and
+    every stage's contract must hold through the composition."""
+    from coltt_spark.operators.textstats import text_quality
+    from coltt_spark.operators.tokenize import bpe_encode
+    from coltt_spark.registry_text import BPE_MERGES, _bpe_chain_sql, _bpe_fixture
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    merges, word_len = _bpe_fixture(spark, SF_CORRECT)
+    kept = docs.join(
+        text_quality(docs, "doc_id", "text")
+        .filter(F.col("quality_score") >= 0.45)
+        .select("doc_id"),
+        "doc_id",
+    )
+    counts = bpe_encode(kept, "doc_id", "text", merges, word_len=word_len)
+    out = (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    k = BPE_MERGES
+    oracle = _bpe_chain_sql(k) + f""",
+tok AS (SELECT word, CAST(len(s) AS BIGINT) AS n_tok FROM w{k}),
+base AS (
+  SELECT doc_id, lang, text, {_TOKS} AS tk,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         0.4 * least(1.0, len(tk) / 100.0)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
+           + 0.3 * least(1.0, (CASE WHEN len(tk) > 0
+               THEN len(list_filter(tk, t -> list_contains({_stop_sql()}, t))) / len(tk)
+               ELSE 0.0 END) * 5) AS quality
+  FROM base
+),
+kept AS (SELECT doc_id, lang FROM q WHERE round(quality, 4) >= 0.45),
+occ AS (
+  SELECT d.doc_id, unnest({_TOKS}) AS word
+  FROM documents d JOIN kept USING (doc_id)
+),
+cnts AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+  FROM occ o JOIN tok t USING (word) GROUP BY o.doc_id
+)
+SELECT k.lang, count(*) AS n_docs,
+       CAST(sum(coalesce(c.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(c.n_tokens, 0)) AS BIGINT) AS n_tokens
+FROM kept k LEFT JOIN cnts c USING (doc_id)
+GROUP BY k.lang
+"""
+    con = duckdb_conn(SF_CORRECT)
+    try:
+        ok, msg = compare(out, con, oracle)
+    finally:
+        con.close()
+    assert ok, msg
+    row = out.agg(F.sum("n_words"), F.sum("n_tokens")).collect()[0]
+    assert row[1] > row[0]  # subword fertility > 1
