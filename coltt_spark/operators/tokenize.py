@@ -203,7 +203,13 @@ def bpe_encode(
     bpe_learn already built, or it is rebuilt with the fold chain)
     and equi-joined back to the exploded corpus: fold cost scales
     with vocabulary, join cost with corpus — the right split at any
-    scale. Documents with no tokens count 0."""
+    scale. Documents with no tokens count 0.
+
+    Out-of-vocabulary words (encoding a corpus the memo table was
+    not built from) fall back to the inline fold chain — BPE encodes
+    ANY word; the memo is an optimization, never a coverage
+    constraint. The coalesce short-circuits in codegen, so in-vocab
+    rows never pay for the fold."""
     if word_len is None:
         vocab = bpe_word_table(df, text_col).select("word")
         word_len = vocab.select(
@@ -213,11 +219,20 @@ def bpe_encode(
     occurrences = df.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("word")
     )
+    n_tok = F.when(
+        F.col("word").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.coalesce(
+            F.col("n_tok").cast("long"),
+            F.size(bpe_segment(F.col("word"), merges)).cast("long"),
+        )
+    )
     return (
         occurrences.join(word_len, "word", "left")
+        .select(F.col(id_col), "word", n_tok.alias("_nt"))
         .groupBy(id_col)
         .agg(
             F.count("word").alias("n_words"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )

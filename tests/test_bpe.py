@@ -190,6 +190,36 @@ def test_encode_counts_and_empty_docs(spark):
     assert out[3]["n_tokens"] == ref_count("aaa")
 
 
+def test_encode_oov_words_fall_back_to_fold(spark):
+    """Encoding a corpus the memo table was NOT built from must count
+    out-of-vocabulary words via the inline fold, not silently skip
+    them — the memo is an optimization, never a coverage constraint."""
+    k = 10
+    train_df = _spark_corpus(spark)
+    merges, seg = bpe_learn(train_df, "text", k)
+    word_len = seg.select("word", F.size("s").alias("n_tok"))
+    oov_df = spark.createDataFrame(
+        [(0, "low zzqzzq"), (1, "zzqzzq")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(
+            oov_df, "doc_id", "text", merges, word_len=word_len
+        ).collect()
+    }
+    ref_merges, _ = _ref_bpe(_ref_words(_CORPUS), k)
+
+    def seg_len(w: str) -> int:
+        syms = tuple(w) + (EOW,)
+        for a, b in ref_merges:
+            syms = _ref_apply(syms, a, b)
+        return len(syms)
+
+    assert out[0]["n_tokens"] == seg_len("low") + seg_len("zzqzzq")
+    assert out[1]["n_tokens"] == seg_len("zzqzzq")
+    assert out[1]["n_words"] == 1
+
+
 def test_pack_sequences_on_bpe_counts(spark):
     """The judge-requested composition: sequence packing driven by
     REAL subword counts (count_col) instead of word counts. Packing
