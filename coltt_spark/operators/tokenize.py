@@ -155,11 +155,13 @@ def bpe_learn(
     return merges, cur
 
 
+#: column names avoid SQL reserved words (LEFT/RIGHT) so no layer of
+#: the compare path ever needs quoted identifiers
 MERGE_SCHEMA = T.StructType(
     [
         T.StructField("rank", T.LongType(), False),
-        T.StructField("left", T.StringType(), False),
-        T.StructField("right", T.StringType(), False),
+        T.StructField("lhs", T.StringType(), False),
+        T.StructField("rhs", T.StringType(), False),
         T.StructField("merged", T.StringType(), False),
     ]
 )

@@ -451,7 +451,7 @@ w{i} AS MATERIALIZED (
 
 def _bpe_train_oracle(k: int) -> str:
     body = "\nUNION ALL\n".join(
-        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right", '
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS lhs, b AS rhs, "
         f"a || b AS merged FROM b{i}"
         for i in range(1, k + 1)
     )

@@ -122,7 +122,7 @@ def test_train_table_shape(spark):
     rows = df.orderBy("rank").collect()
     assert [r["rank"] for r in rows] == list(range(1, 9))
     for r in rows:
-        assert r["merged"] == r["left"] + r["right"]
+        assert r["merged"] == r["lhs"] + r["rhs"]
 
 
 def test_segment_reproduces_training_segmentation(spark):
