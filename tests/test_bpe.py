@@ -190,6 +190,38 @@ def test_encode_counts_and_empty_docs(spark):
     assert out[3]["n_tokens"] == ref_count("aaa")
 
 
+def test_merge_fold_kernel_exhaustive_runs(spark):
+    """The fold kernel against the reference on EVERY {a,b}-string up
+    to length 9 × all four pairs (4×1022 cases, one Spark job) — the
+    same-symbol-run regime is the only place greedy order matters
+    ([a,a,a] must give [aa,a]), and short binary strings enumerate it
+    exhaustively rather than sampling it."""
+    from itertools import product
+
+    from coltt_spark.operators.tokenize import merge_fold
+
+    cases = []
+    for n in range(1, 10):
+        for syms in product("ab", repeat=n):
+            cases.append(list(syms))
+    pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+    df = spark.createDataFrame(
+        [(i, syms) for i, syms in enumerate(cases)], ["i", "s"]
+    )
+    out = df.select(
+        "i",
+        *[
+            merge_fold(F.col("s"), a, b).alias(f"m{j}")
+            for j, (a, b) in enumerate(pairs)
+        ],
+    )
+    got = {r["i"]: r for r in out.collect()}
+    for i, syms in enumerate(cases):
+        for j, (a, b) in enumerate(pairs):
+            want = list(_ref_apply(tuple(syms), a, b))
+            assert got[i][f"m{j}"] == want, (syms, (a, b))
+
+
 def test_encode_oov_words_fall_back_to_fold(spark):
     """Encoding a corpus the memo table was NOT built from must count
     out-of-vocabulary words via the inline fold, not silently skip
