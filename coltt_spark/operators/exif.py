@@ -420,12 +420,15 @@ def oriented_image_stats(images: DataFrame, *, decoder=None) -> DataFrame:
             rows: dict = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
+                # TypeError covers mistyped tags (e.g. Orientation
+                # stored RATIONAL decodes to a tuple — int() on it
+                # must degrade, not abort the task)
                 try:
-                    orientation = parse_exif(payload)["orientation"] or 1
-                except (ValueError, struct.error, IndexError):
+                    orientation = int(parse_exif(payload)["orientation"] or 1)
+                except (ValueError, struct.error, IndexError, TypeError):
                     orientation = 1
                 img = apply_orientation(
-                    decode(payload)[:, :, :3], int(orientation)
+                    decode(payload)[:, :, :3], orientation
                 )
                 h, w, _ = img.shape
                 sums = img.reshape(-1, 3).astype("int64").sum(axis=0)
@@ -483,6 +486,11 @@ def exif_features(images: DataFrame) -> DataFrame:
         import pandas as pd
 
         keymap = {"datetime": "dt", "datetime_original": "dt_original"}
+        # fields the schema types LONG: a mistyped tag (e.g. ISO
+        # stored RATIONAL decodes to a tuple) must not survive to the
+        # Arrow conversion, where it would abort the whole batch
+        long_fields = {"orientation", "exposure_num", "exposure_den",
+                       "iso", "pixel_x", "pixel_y"}
         cols = [f.name for f in EXIF_SCHEMA.fields]
         for pdf in batches:
             if len(pdf) == 0:
@@ -494,10 +502,12 @@ def exif_features(images: DataFrame) -> DataFrame:
                 # (parse_exif itself stays loud for direct callers)
                 try:
                     info = parse_exif(bytes(payload))
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, TypeError):
                     info = _empty_exif()
                 rows["doc_id"].append(int(doc_id))
                 for k, v in info.items():
+                    if k in long_fields and v is not None and not isinstance(v, int):
+                        v = None
                     rows[keymap.get(k, k)].append(v)
             yield pd.DataFrame(rows)
 

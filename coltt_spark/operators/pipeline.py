@@ -410,8 +410,13 @@ def pack_sequences(
         raise ValueError(f"unknown pack_sequences mode {mode!r}")
     df = ensure_parallelism(df, id_col)
     shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    # a caller-joined count column may not cover every doc — a NULL
+    # count would poison the cumulative sums silently; treat it as 0
+    # (the empty-doc value the word-count path produces)
     n_tok = (
-        F.col(count_col) if count_col else F.size(tokens(text_col))
+        F.coalesce(F.col(count_col), F.lit(0))
+        if count_col
+        else F.size(tokens(text_col))
     )
     base = df.select(
         shard.alias("shard"),

@@ -170,7 +170,7 @@ MERGE_SCHEMA = T.StructType(
 def bpe_train(
     spark: SparkSession, df: DataFrame, text_col: str, num_merges: int
 ) -> DataFrame:
-    """The merge table ``(rank, left, right, merged)`` in training
+    """The merge table ``(rank, lhs, rhs, merged)`` in training
     order — the artifact a tokenizer ships (BPE's entire model IS
     this ordered list)."""
     merges, _ = bpe_learn(df, text_col, num_merges)

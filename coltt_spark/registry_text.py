@@ -425,6 +425,13 @@ w0 AS MATERIALIZED (
     # whole prefix per reference — 2^k blowup; materialization makes
     # the replay linear in k (measured: k=10 unbounded → whole chain
     # sub-second)
+    #
+    # b{i} can be EMPTY once the pair supply exhausts before k merges
+    # (bpe_learn breaks out of its loop at that point and keeps the
+    # final segmentation). The LEFT JOIN ON true + NULL-guarded fold
+    # makes every later w{i} degrade to identity instead of a cross
+    # join emptying the whole chain — parity holds for any vocabulary
+    # the driver regenerates, however short.
     for i in range(1, k + 1):
         prev = f"w{i - 1}"
         sql += f""",
@@ -436,15 +443,15 @@ p{i} AS MATERIALIZED (
 b{i} AS MATERIALIZED (SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
 w{i} AS MATERIALIZED (
   SELECT word,
-         list_reduce(
+         CASE WHEN b{i}.a IS NULL THEN s ELSE list_reduce(
            list_transform(s, x -> [x]),
            (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = b{i}.a
                                  AND x[1] = b{i}.b
                             THEN list_append(acc[1:len(acc) - 1], b{i}.a || b{i}.b)
                             ELSE list_concat(acc, x) END
-         ) AS s,
+         ) END AS s,
          cnt
-  FROM {prev}, b{i}
+  FROM {prev} LEFT JOIN b{i} ON true
 )"""
     return sql
 

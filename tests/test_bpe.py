@@ -283,3 +283,45 @@ def test_pack_sequences_on_bpe_counts(spark):
     )
     assert total_tokens > word_counts
     assert max_single <= budget  # corpus sanity for the invariant above
+
+
+def test_oracle_chain_survives_merge_exhaustion(spark):
+    """ADVICE r7 (medium): when the pair supply exhausts before
+    BPE_MERGES steps, every later oracle step must degrade to
+    identity — the old `FROM prev, b{i}` cross join EMPTIED the word
+    table once b{i} had no row, zeroing every downstream count while
+    the engine (which breaks out of its loop) kept real counts.
+    Engine vs DuckDB replay on a 2-merge corpus under a 24-step
+    chain."""
+    import duckdb
+
+    from coltt_spark.registry_text import (
+        BPE_MERGES,
+        _bpe_encode_oracle,
+        _bpe_train_oracle,
+    )
+
+    texts = [(0, "ab ab ab"), (1, "ab"), (2, "")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    merges, _ = bpe_learn(df, "text", BPE_MERGES)
+    assert 0 < len(merges) < BPE_MERGES  # exhaustion actually happens
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        + " UNION ALL ".join(
+            f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in texts
+        )
+    )
+    oracle_enc = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_bpe_encode_oracle(BPE_MERGES)).fetchall()
+    }
+    assert enc == oracle_enc
+    # the train oracle emits exactly the merges the engine found —
+    # empty b{i} rows simply produce no UNION ALL contribution
+    train_rows = con.execute(_bpe_train_oracle(BPE_MERGES)).fetchall()
+    assert len(train_rows) == len(merges)

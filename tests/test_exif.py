@@ -277,3 +277,57 @@ def test_oriented_stats_seam(spark):
             assert (r["width"], r["height"]) == (16, 24), d
         else:
             assert (r["width"], r["height"]) == (24, 16), d
+
+
+def test_mistyped_tags_degrade_not_abort(spark):
+    """ADVICE r7: a tag stored with the WRONG TIFF type raises
+    TypeError, not ValueError — e.g. Orientation stored RATIONAL
+    decodes to a tuple (int() on it must degrade to 1, and the
+    exif_features row must not poison the Arrow conversion), and
+    ExposureTime stored SHORT makes the (num, den) unpack fail. Both
+    seams must degrade per-row instead of aborting the task."""
+    import struct as _s
+
+    from pyspark.sql import types as T
+
+    from coltt_spark.operators.exif import (
+        TAG_EXIF_IFD,
+        TAG_EXPOSURE_TIME,
+        TAG_ORIENTATION,
+        _ifd_bytes,
+        _ifd_size,
+        exif_features,
+        oriented_image_stats,
+    )
+
+    head = b"II" + _s.pack("<HI", 42, 8)
+    # Orientation as RATIONAL (type 5) → parse yields a tuple
+    bad_orient = head + _ifd_bytes([(TAG_ORIENTATION, 5, [(6, 1)])], "<", 8)
+    # ExposureTime as SHORT (type 3) → (num, den) unpack TypeErrors
+    ifd0 = [(TAG_EXIF_IFD, 4, [0])]
+    exif_off = 8 + _ifd_size(ifd0, "<")
+    ifd0 = [(TAG_EXIF_IFD, 4, [exif_off])]
+    exifd = [(TAG_EXPOSURE_TIME, 3, [125])]
+    bad_exp = head + _ifd_bytes(ifd0, "<", 8) + _ifd_bytes(exifd, "<", exif_off)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(_jpeg_with(bad_orient))),
+            (1, bytearray(_jpeg_with(bad_exp))),
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    rows = {r["doc_id"]: r for r in exif_features(df).collect()}
+    # tuple orientation is coerced out of the LONG column; the rest
+    # of the row survives
+    assert rows[0]["has_exif"] is True and rows[0]["orientation"] is None
+    # TypeError inside parse_exif → the documented empty-row degrade
+    assert rows[1]["has_exif"] is False
+    srows = {r["doc_id"]: r for r in oriented_image_stats(df).collect()}
+    assert srows[0]["orientation"] == 1 and srows[1]["orientation"] == 1
+    assert srows[0]["width"] == 8 and srows[0]["height"] == 8
