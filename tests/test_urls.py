@@ -298,3 +298,42 @@ def test_full_size_psl_drops_in(spark, tmp_path, monkeypatch):
             f"SELECT {dd_expr.format(h='h')} FROM (SELECT ? AS h)", [h]
         ).fetchone()[0]
         assert w == want, h
+
+
+def test_expanded_psl_suffixes_resolve(spark):
+    """r8 snapshot expansion (221 → ~1.4k rules): hand-derived eTLD+1
+    for suffix classes that exist ONLY in the expanded file — a .jp
+    prefecture, the *.kawasaki.jp wildcard and its !city exception,
+    the .us k12 grid, *.nom.br, *.sch.uk, a blogspot country variant,
+    a 3-label private rule, and an AWS compute wildcard — asserted
+    EXACTLY on both engines (values derived from the PSL algorithm by
+    hand, not from the generators)."""
+    import duckdb as dd
+
+    cases = [
+        ("www.pref.hokkaido.jp", "pref.hokkaido.jp"),
+        ("foo.bar.kawasaki.jp", "foo.bar.kawasaki.jp"),   # *.kawasaki.jp
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),     # !city.kawasaki.jp
+        ("school.k12.tx.us", "school.k12.tx.us"),
+        ("jose.silva.nom.br", "jose.silva.nom.br"),       # *.nom.br
+        ("www.stalbans.sch.uk", "www.stalbans.sch.uk"),   # *.sch.uk
+        ("myblog.blogspot.de", "myblog.blogspot.de"),
+        ("app.eu.pythonanywhere.com", "app.eu.pythonanywhere.com"),
+        ("vm1.useast.compute.amazonaws.com", "vm1.useast.compute.amazonaws.com"),
+        ("a.b.gangwon.kr", "b.gangwon.kr"),
+        ("shop.example.waw.pl", "example.waw.pl"),
+        ("seoul.kr", "seoul.kr"),  # host IS a public suffix: whole
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
+    ]
+    con = dd.connect()
+    for (host, want), g in zip(cases, got):
+        assert g == want, f"spark: {host} -> {g}, want {want}"
+        w = con.execute(
+            f"SELECT {DD_REGISTRABLE_DOMAIN.format(h='h')} "
+            f"FROM (SELECT ? AS h)", [host]
+        ).fetchone()[0]
+        assert w == want, f"duckdb: {host} -> {w}, want {want}"
