@@ -47,6 +47,38 @@ def tokens(col) -> Column:
     return F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
 
 
+def tokens_ws(col) -> Column:
+    """Whitespace word tokens with case, diacritics, and non-Latin
+    scripts PRESERVED — the byte-level pre-tokenizer. ``tokens()``
+    silently deletes everything outside ``[a-z0-9]`` (CJK, Cyrillic,
+    accents), which is fine for the Gopher-style ASCII quality gates
+    but wrong for multilingual token budgeting; this splitter keeps
+    every non-space byte so the byte-level BPE path sees the full
+    corpus. ``\\s`` is ASCII-only in BOTH regex engines (Java default
+    and RE2), so parity is structural.
+    DuckDB: ``list_filter(regexp_split_to_array(x, '\\s+'),
+    t -> t <> '')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(c, r"\s+"), "")
+
+
+def utf8_byte_symbols(col) -> Column:
+    """A string's UTF-8 bytes as an array of 2-char uppercase hex
+    symbols (``'é' → ['C3','A9']``) — the byte-level BPE alphabet.
+    Hex-pair STRINGS (not ints) keep the whole merge/fold machinery
+    and its DuckDB replay verbatim: both engines' ``hex`` produce
+    identical uppercase output (probed bit-equal on CJK/accented/
+    ASCII).
+    DuckDB: ``list_transform(generate_series(1, octet_length(
+    encode(x))), i -> substr(hex(encode(x)), (i-1)*2+1, 2))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexed = F.hex(F.encode(c, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(c)),
+        lambda i: F.substring(hexed, (i - 1) * 2 + 1, 2),
+    )
+
+
 def word_shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles from a text column (empty array when the
     document has fewer than n tokens).

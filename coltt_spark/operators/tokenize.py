@@ -12,16 +12,19 @@ Algorithm — byte-pair encoding exactly as published (Sennrich,
 Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
 Subword Units", ACL — Algorithm 1):
 
-- pre-tokenize with the engine's standard word splitter (lowercase,
-  split on ``[^a-z0-9]+``) and train on the DISTINCT-WORD frequency
-  table — the published formulation: merge statistics are weighted by
-  word count, so the training relation is vocabulary-sized, not
+- pre-tokenize and train on the DISTINCT-WORD frequency table — the
+  published formulation: merge statistics are weighted by word
+  count, so the training relation is vocabulary-sized, not
   corpus-sized. At 100 TB that is the whole ballgame: ONE shuffle
   builds the word table (zipfian — orders of magnitude smaller than
-  the corpus), then every merge step scans only it. The restricted
-  ``[a-z0-9]`` alphabet makes one character == one byte, so
-  char-level == byte-level here; the algorithm itself is
-  alphabet-agnostic.
+  the corpus), then every merge step scans only it. TWO alphabets
+  (``byte_level`` flag everywhere): the char path uses the engine's
+  standard splitter (lowercase, ``[^a-z0-9]+`` — one char == one
+  byte by construction); the byte path (r8) pre-tokenizes on
+  whitespace and works on UTF-8 bytes as hex-pair STRING symbols
+  (``'é' → ['C3','A9']``), so CJK/Cyrillic/accented corpora are
+  first-class and the entire fold/oracle machinery below is shared
+  verbatim — no Unicode regex anywhere on either engine.
 - each word starts as its character sequence plus a terminal
   ``</w>`` marker (the paper's end-of-word symbol — lets merges
   distinguish word-final from word-internal contexts);
@@ -55,27 +58,45 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from coltt_spark.functions.text import tokens
+from coltt_spark.functions.text import tokens, tokens_ws, utf8_byte_symbols
 
 #: the paper's end-of-word marker — a symbol that can never collide
-#: with corpus characters (the pre-tokenizer admits only [a-z0-9])
+#: with corpus symbols (the char path admits only [a-z0-9]; the byte
+#: path emits 2-char uppercase hex pairs, and '</w>' is neither)
 EOW = "</w>"
 
 
-def bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
+def _pre_tokens(text_col: str, byte_level: bool) -> Column:
+    """The pre-tokenizer per path: the engine's standard lowercase
+    ``[a-z0-9]`` splitter for the char path, whitespace-preserving
+    ``tokens_ws`` for the byte path (byte-level BPE must see CJK /
+    Cyrillic / accented text — the whole point of the path)."""
+    return tokens_ws(text_col) if byte_level else tokens(text_col)
+
+
+def bpe_word_table(
+    df: DataFrame, text_col: str, byte_level: bool = False
+) -> DataFrame:
     """Distinct-word frequency table ``(word, cnt)`` — the training
     relation (vocabulary-sized; the one corpus-wide shuffle)."""
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def _initial_symbols(word: Column) -> Column:
-    """word → its character array + the ``</w>`` terminal."""
-    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
-    return F.concat(chars, F.array(F.lit(EOW)))
+def _initial_symbols(word: Column, byte_level: bool = False) -> Column:
+    """word → its symbol array + the ``</w>`` terminal: characters on
+    the char path, UTF-8 bytes as hex-pair strings on the byte path
+    (`é` → ['C3','A9'] — string symbols keep the fold machinery and
+    its DuckDB replay verbatim)."""
+    syms = (
+        utf8_byte_symbols(word)
+        if byte_level
+        else F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    )
+    return F.concat(syms, F.array(F.lit(EOW)))
 
 
 def merge_fold(syms: Column, left: str, right: str) -> Column:
@@ -122,7 +143,10 @@ def _best_pair(words: DataFrame) -> tuple[str, str] | None:
 
 
 def bpe_learn(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    byte_level: bool = False,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``num_merges`` BPE merges on the corpus. Returns the
     ordered merge list and the final word-segmentation table
@@ -139,9 +163,9 @@ def bpe_learn(
     On a cluster, swap localCheckpoint for a reliable checkpoint dir
     (executor loss invalidates local checkpoints); in local mode the
     distinction is moot."""
-    base = bpe_word_table(df, text_col)
+    base = bpe_word_table(df, text_col, byte_level)
     cur = base.select(
-        "word", _initial_symbols(F.col("word")).alias("s"), "cnt"
+        "word", _initial_symbols(F.col("word"), byte_level).alias("s"), "cnt"
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -180,13 +204,17 @@ def bpe_train(
     )
 
 
-def bpe_segment(word: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_segment(
+    word: Column,
+    merges: list[tuple[str, str]],
+    byte_level: bool = False,
+) -> Column:
     """Segment an arbitrary word (in or out of the training corpus)
     by applying the merges in rank order — Sennrich's original
     encoder, a chain of narrow folds, no Python. For training-corpus
     words this reproduces the training-end segmentation exactly
     (property-pinned in test_bpe.py)."""
-    s = _initial_symbols(word)
+    s = _initial_symbols(word, byte_level)
     for a, b in merges:
         s = merge_fold(s, a, b)
     return s
@@ -199,6 +227,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     word_len: DataFrame | None = None,
     word_len_complete: bool = False,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-document subword token counts ``(id, n_words, n_tokens)``
     under the learned merges. Segmentation is memoized per DISTINCT
@@ -218,28 +247,28 @@ def bpe_encode(
     Pass ``word_len_complete=True`` when the memo covers the corpus
     BY CONSTRUCTION (it came from training on this same corpus) to
     skip the distinct + anti-join coverage pass entirely."""
+    seg_len = lambda w: F.size(  # noqa: E731 — the per-word fold length
+        bpe_segment(w, merges, byte_level)
+    ).cast("long")
     if word_len is None:
-        vocab = bpe_word_table(df, text_col).select("word")
-        word_len = vocab.select(
-            "word",
-            F.size(bpe_segment(F.col("word"), merges)).cast("long").alias("n_tok"),
-        )
+        vocab = bpe_word_table(df, text_col, byte_level).select("word")
+        word_len = vocab.select("word", seg_len(F.col("word")).alias("n_tok"))
     elif not word_len_complete:
         corpus_vocab = df.select(
-            F.explode(tokens(text_col)).alias("word")
+            F.explode(_pre_tokens(text_col, byte_level)).alias("word")
         ).distinct()
         missing = corpus_vocab.join(
             word_len.select("word"), "word", "left_anti"
         )
         extra = missing.select(
-            "word",
-            F.size(bpe_segment(F.col("word"), merges)).cast("long").alias("n_tok"),
+            "word", seg_len(F.col("word")).alias("n_tok")
         )
         word_len = word_len.select(
             "word", F.col("n_tok").cast("long").alias("n_tok")
         ).unionByName(extra)
     occurrences = df.select(
-        F.col(id_col), F.explode_outer(tokens(text_col)).alias("word")
+        F.col(id_col),
+        F.explode_outer(_pre_tokens(text_col, byte_level)).alias("word"),
     )
     return (
         occurrences.join(word_len, "word", "left")
@@ -247,5 +276,133 @@ def bpe_encode(
         .agg(
             F.count("word").alias("n_words"),
             F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# -- token IDS (the training-shard surface) ----------------------------------
+#
+# bpe_encode returns COUNTS (budgeting); training-data prep ultimately
+# needs the id SEQUENCE to pack and export shards. The id contract is
+# the GPT-2-family convention: base alphabet symbols first (sorted
+# lexicographically, ids 0..n-1), then merged tokens in merge-rank
+# order (first occurrence wins when two merge paths produce the same
+# string). Both halves are deterministic and SQL-replayable — the
+# oracle re-derives every id from the same chain replay.
+
+
+def bpe_alphabet(
+    df: DataFrame, text_col: str, byte_level: bool = False
+) -> list[str]:
+    """The corpus's base symbol set (initial symbols incl. ``</w>``),
+    sorted — one distinct-agg + a BOUNDED collect (≤ 257 symbols on
+    the byte path, ≤ 37 on the char path; centroid/codebook
+    discipline, not a data collect)."""
+    rows = (
+        df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
+        .distinct()
+        .select(F.explode(_initial_symbols(F.col("word"), byte_level)).alias("sym"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["sym"] for r in rows)
+
+
+def bpe_vocab(
+    base_symbols: list[str], merges: list[tuple[str, str]]
+) -> list[tuple[str, int]]:
+    """``(token, id)`` pairs: sorted base alphabet at ids 0..n-1, then
+    merged tokens by rank (deduplicated keep-first — two merge paths
+    can produce the same string, e.g. (a,bc) and (ab,c))."""
+    vocab: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    for s in sorted(base_symbols):
+        vocab.append((s, len(vocab)))
+        seen.add(s)
+    for a, b in merges:
+        t = a + b
+        if t not in seen:
+            vocab.append((t, len(vocab)))
+            seen.add(t)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: list[tuple[str, int]],
+    word_seg: DataFrame | None = None,
+    word_seg_complete: bool = False,
+    byte_level: bool = False,
+) -> DataFrame:
+    """Per-document token-id SEQUENCES ``(id, token_ids array<int>)``
+    under the learned merges and vocab — the surface that composes
+    with ``pack_sequences`` (budget on ``size(token_ids)``) and
+    ``export_shards`` into an actual tokenized training shard.
+
+    Same memoize-then-join split as ``bpe_encode``: the fold chain
+    runs once per DISTINCT word (pass ``word_seg`` ``(word, s)`` from
+    ``bpe_learn`` to skip even that), symbol→id mapping is a literal
+    map lookup inside the dim table (vocab is alphabet+k entries —
+    codegen, no join), and the corpus side is posexplode + equi-join
+    + an order-restoring regroup (``array_sort`` on (pos, ids)
+    structs → flatten: collect_list order is not shuffle-stable, the
+    sort makes the sequence deterministic). Documents with no tokens
+    yield an EMPTY array, not null."""
+    if word_seg is None:
+        word_seg = (
+            df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
+            .distinct()
+            .select(
+                "word",
+                bpe_segment(F.col("word"), merges, byte_level).alias("s"),
+            )
+        )
+    elif not word_seg_complete:
+        corpus_vocab = df.select(
+            F.explode(_pre_tokens(text_col, byte_level)).alias("word")
+        ).distinct()
+        missing = corpus_vocab.join(
+            word_seg.select("word"), "word", "left_anti"
+        ).select(
+            "word", bpe_segment(F.col("word"), merges, byte_level).alias("s")
+        )
+        word_seg = word_seg.select("word", "s").unionByName(missing)
+    else:
+        word_seg = word_seg.select("word", "s")
+    id_map = F.create_map(
+        *[F.lit(x) for tok, i in vocab for x in (tok, i)]
+    )
+    word_ids = word_seg.select(
+        "word",
+        F.transform(F.col("s"), lambda sym: F.element_at(id_map, sym))
+        .cast("array<int>")
+        .alias("ids"),
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_pre_tokens(text_col, byte_level)).alias(
+            "pos", "word"
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            # null when the doc had no tokens (posexplode_outer row):
+            # collect_list drops nulls, so empty docs regroup to []
+            F.when(
+                F.col("pos").isNotNull(),
+                F.struct(F.col("pos"), F.col("ids")),
+            )
+        )
+    )
+    return (
+        occ.join(word_ids, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(F.transform(ordered, lambda x: x["ids"])).alias(
+                "token_ids"
+            )
         )
     )

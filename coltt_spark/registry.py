@@ -1439,114 +1439,66 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-7 window: the r6 rotation ledger FIRST — the 29
-    # -- r4-green entries whose last hard driver signal is r4 (the
-    # -- oldest on the board) — then entries new/touched this round,
-    # -- then the oldest of the r5-green block. See CLAUDE.md
-    # -- "Driver-check rotation ledger".
-    "stream_distinct",                  # ledger: last driver signal r4
-    "collection_search_blocks_delta",   # ledger: last driver signal r4
-    "knn_cosine",                       # ledger: last driver signal r4
-    "ann_ivf",                          # ledger: last driver signal r4
-    "collection_search_batch",          # ledger: last driver signal r4
-    "freq_sketch",                      # ledger: last driver signal r4
-    "dedup_canonical",                  # ledger: last driver signal r4
-    "knn_filtered",                     # ledger: last driver signal r4
-    "dedup_exact",                      # ledger: last driver signal r4
-    "dedup_groups",                     # ledger: last driver signal r4
-    "dedup_ngram_jaccard",              # ledger: last driver signal r4
-    "text_lang_id",                     # ledger: last driver signal r4
-    "collection_search_batch_filtered",  # ledger: last driver signal r4
-    "hybrid_rrf",                       # ledger: last driver signal r4
-    "bm25_topk_batch",                  # ledger: last driver signal r4
-    "text_quality",                     # ledger: last driver signal r4
-    "doc_fingerprint",                  # ledger: last driver signal r4
-    "pricing_summary",                  # ledger: last driver signal r4
-    "region_revenue",                   # ledger: last driver signal r4
-    "window_top_orders",                # ledger: last driver signal r4
-    "price_percentiles",                # ledger: last driver signal r4
-    "knn_f16",                          # ledger: last driver signal r4
-    "ann_topk_batch",                   # ledger: last driver signal r4
-    "knn_pagination",                   # ledger: last driver signal r4
-    "knn_block",                        # ledger: last driver signal r4
-    "dedup_containment",                # ledger: last driver signal r4
-    "rollup_revenue",                   # ledger: last driver signal r4
-    "events_sessionize",                # ledger: last driver signal r4
-    "media_features",                   # ledger: last driver signal r4
-    # -- new in r7 ----------------------------------------------------
-    "bpe_train",    # new r7: distributed BPE merge training (k scans)
-    "bpe_encode",   # new r7: memoized subword encode + corpus join
-    "web_url_psl",  # new r7: PSL-backed registrable_domain, all rule
-    #    classes (slot freed by demoting text_redact_pii — r5-green,
-    #    tail of the window's r5 block — past the boundary, where it
-    #    leads the r8 rotation queue)
-    "media_exif_orientation",  # new r7: EXIF orientation applied to
-    #    the decode path, all 8 transforms (slot freed by demoting
-    #    events_json — r5-green, same rule as text_redact_pii)
+    # -- round-8 window: the r7 rotation ledger FIRST — the 33
+    # -- r5-green entries whose last hard driver signal is r5 (the
+    # -- oldest on the board; events_json leads as promised) — then
+    # -- entries new/touched this round, then the oldest of the
+    # -- r6-green block. See CLAUDE.md "Driver-check rotation ledger".
+    "events_json",                       # ledger: last driver signal r5
+    "text_redact_pii",                   # ledger: last driver signal r5
+    "collection_hybrid_ivf",             # ledger: last driver signal r5
+    "bm25_index_deleted",                # ledger: last driver signal r5
+    "collection_search_grouped",         # ledger: last driver signal r5
+    "media_knn",                         # ledger: last driver signal r5
+    "media_frames",                      # ledger: last driver signal r5
+    "schemaless_pure_search",            # ledger: last driver signal r5
+    "schemaless_update_delete",          # ledger: last driver signal r5
+    "hybrid_search",                     # ledger: last driver signal r5
+    "doc_chunk",                         # ledger: last driver signal r5
+    "decontaminate",                     # ledger: last driver signal r5
+    "sample_stratified",                 # ledger: last driver signal r5
+    "sample_fraction",                   # ledger: last driver signal r5
+    "source_mix",                        # ledger: last driver signal r5
+    "export_shards",                     # ledger: last driver signal r5
+    "pack_sequences",                    # ledger: last driver signal r5
+    #    (also touched r8: count_col coalesced to 0 — ADVICE r7 #4)
+    "stream_hourly",                     # ledger: last driver signal r5
+    "stream_sessionize",                 # ledger: last driver signal r5
+    "stream_dedup",                      # ledger: last driver signal r5
+    "collection_search_blocks_filtered",  # ledger: last driver signal r5
+    "events_asof",                       # ledger: last driver signal r5
+    "ann_bq",                            # ledger: last driver signal r5
+    "ann_pq",                            # ledger: last driver signal r5
+    "embed_cluster_sizes",               # ledger: last driver signal r5
+    "sample_cluster_balanced",           # ledger: last driver signal r5
+    "dedup_spans",                       # ledger: last driver signal r5
+    "text_repetition",                   # ledger: last driver signal r5
+    "stream_ingest",                     # ledger: last driver signal r5
+    "knn_bq",                            # ledger: last driver signal r5
+    "knn_sq8",                           # ledger: last driver signal r5
+    "semantic_dedup",                    # ledger: last driver signal r5
+    "range_search",                      # ledger: last driver signal r5
+    # -- new in r8 ----------------------------------------------------
+    "token_count_unicode",  # new r8: byte-path token accounting on a
+    #    CJK/Cyrillic/accented fixture (words, chars, UTF-8 bytes,
+    #    and the ASCII tokenizer's deletions alongside)
+    "bpe_train_bytes",      # new r8: byte-level BPE training — UTF-8
+    #    hex-pair symbols, merges cross into whole CJK characters
+    "bpe_encode_ids",       # new r8: token-id SEQUENCES (GPT-2-style
+    #    vocab ids), serialized so the driver hashes full order
     # -- implementation touched this round ----------------------------
-    "quality_classifier",  # r7: weight rounding + sigmoid quantization
-    #    mirrored into the oracle (ADVICE r6 #1/#2)
-    "web_sitemap",         # r7: xml_unescape gained numeric character
-    #    references (single-pass segment decoder); fixture exercises them
-    "media_exif",          # r7: lenient marker walk (fill bytes,
-    #    standalone markers) + per-row catch in the seam
-    # -- oldest of the r5-green block (driver-green r5, local-gated
+    "bpe_train",   # r8: oracle chain degrades to identity on merge
+    #    exhaustion (ADVICE r7 #1); chain generalized for byte path
+    "bpe_encode",  # r8: same oracle chain change
+    "web_url_psl",  # r8: PSL snapshot expanded 221 → 1388 rules
+    #    (+ *.sch.uk correction)
+    "media_exif",  # r8: TypeError leniency + LONG-column coercion
+    #    for mistyped TIFF tags (ADVICE r7 #2)
+    "media_exif_orientation",  # r8: orientation int-coercion moved
+    #    inside the guarded region (ADVICE r7 #2)
+    "pack_sequences_firstfit",  # r8: count_col coalesce (ADVICE r7 #4)
+    # -- oldest of the r6-green block (driver-green r6, local-gated
     # -- since) -------------------------------------------------------
-    "knn_euclidean",
-    "knn_manhattan",
-    "compare_dist",
-    "knn_f8",
-    "knn_bf16",
-    "knn_two_phase",
-    "ann_topk_blas",
-    "media_metadata",
-    "events_hourly",
-    "token_count",
-    "cube_revenue",
-    "set_intersect",
-    "top_revenue_orders",
-    "knn_wide",
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 31 remaining r5-green entries in their r5
-    # ---- order (oldest signal past the window — they lead the r8
-    # ---- rotation ledger), then the 47 r6-green entries (freshest
-    # ---- signal; quality_classifier / web_sitemap / media_exif were
-    # ---- promoted back into the window as touched-this-round).
-    "events_json",
-    "text_redact_pii",
-    "collection_hybrid_ivf",
-    "bm25_index_deleted",
-    "collection_search_grouped",
-    "media_knn",
-    "media_frames",
-    "schemaless_pure_search",
-    "schemaless_update_delete",
-    "hybrid_search",
-    "doc_chunk",
-    "decontaminate",
-    "sample_stratified",
-    "sample_fraction",
-    "source_mix",
-    "export_shards",
-    "pack_sequences",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "collection_search_blocks_filtered",
-    "events_asof",
-    "ann_bq",
-    "ann_pq",
-    "embed_cluster_sizes",
-    "sample_cluster_balanced",
-    "dedup_spans",
-    "text_repetition",
-    "stream_ingest",
-    "knn_bq",
-    "knn_sq8",
-    "semantic_dedup",
-    "range_search",
-    # -- r6-green (driver-checked last round; freshest in the ledger) --
     "embed_outliers",
     "token_vocab",
     "doc_lm_score",
@@ -1555,6 +1507,14 @@ _KEY_ORDER = [
     "jsonl_roundtrip",
     "ann_recall",
     "stream_join",
+    # ---- driver window boundary (50) — entries below are re-verified
+    # ---- locally every run, and were driver-green in an earlier
+    # ---- round. First the 38 remaining r6-green entries in their r6
+    # ---- order (oldest signal past the window — they lead the r9
+    # ---- rotation ledger), then the 45 r7-green entries (freshest
+    # ---- signal; bpe_train / bpe_encode / web_url_psl / media_exif /
+    # ---- media_exif_orientation were promoted back into the window
+    # ---- as touched-this-round).
     "embed_project",
     "sample_temperature",
     "bm25_search",
@@ -1584,7 +1544,6 @@ _KEY_ORDER = [
     "dedup_simhash",
     "collection_hybrid_text",
     "bm25_index_merged",
-    "pack_sequences_firstfit",
     "media_audio_features",
     "media_video_stats",
     "collection_search_blocks",
@@ -1594,6 +1553,52 @@ _KEY_ORDER = [
     "multi_vector_search",
     "dedup_minhash_lsh",
     "neardup_cosine",
+    # -- r7-green (driver-checked last round; freshest in the ledger) --
+    "stream_distinct",
+    "collection_search_blocks_delta",
+    "knn_cosine",
+    "ann_ivf",
+    "collection_search_batch",
+    "freq_sketch",
+    "dedup_canonical",
+    "knn_filtered",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "collection_search_batch_filtered",
+    "hybrid_rrf",
+    "bm25_topk_batch",
+    "text_quality",
+    "doc_fingerprint",
+    "pricing_summary",
+    "region_revenue",
+    "window_top_orders",
+    "price_percentiles",
+    "knn_f16",
+    "ann_topk_batch",
+    "knn_pagination",
+    "knn_block",
+    "dedup_containment",
+    "rollup_revenue",
+    "events_sessionize",
+    "media_features",
+    "quality_classifier",
+    "web_sitemap",
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "knn_f8",
+    "knn_bf16",
+    "knn_two_phase",
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
+    "top_revenue_orders",
+    "knn_wide",
 ]
 
 
@@ -1662,6 +1667,8 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _text_index(spark, sf_dir, str_ids=True)  # hybrid product surface
     q_bm25_index_merged(spark, sf_dir)  # sharded build + merged index
     q_bm25_index_deleted(spark, sf_dir)  # tombstoned-index fixture
-    from coltt_spark.registry_text import _bpe_fixture
+    from coltt_spark.registry_text import _bpe_bytes_fixture, _bpe_fixture
 
     _bpe_fixture(spark, sf_dir)  # trained BPE merges + word->n_tok table
+    # byte-level twin: merges + word->segmentation + base alphabet
+    _bpe_bytes_fixture(spark, sf_dir)

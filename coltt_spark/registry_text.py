@@ -402,22 +402,39 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_chain_sql(k: int) -> str:
-    """The shared training replay: words → w0 (char arrays + the
+def _bpe_chain_sql(
+    k: int,
+    toks: str = _TOKS,
+    src: str = "documents",
+    byte_level: bool = False,
+) -> str:
+    """The shared training replay: words → w0 (symbol arrays + the
     </w> terminal) → k × (pair counts p_i, argmax b_i, fold w_i).
     Generated from the SAME constants the operator uses — single
-    source of truth, like the classifier/sketch oracles."""
+    source of truth, like the classifier/sketch oracles. The byte
+    path swaps the w0 construction for UTF-8 hex pairs (identical
+    uppercase hex both engines — probed bit-equal) and the
+    pre-tokenizer for the whitespace splitter; everything downstream
+    is symbol-string-typed and unchanged."""
+    if byte_level:
+        w0_expr = (
+            "list_append(list_transform("
+            "generate_series(1, octet_length(encode(word))), "
+            "i -> substr(hex(encode(word)), (i - 1) * 2 + 1, 2)), '</w>')"
+        )
+    else:
+        w0_expr = (
+            "list_append(list_transform(generate_series(1, length(word)), "
+            "i -> substr(word, i, 1)), '</w>')"
+        )
     sql = f"""
 WITH words AS (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  FROM (SELECT unnest({toks}) AS w FROM {src})
   GROUP BY w
 ),
 w0 AS MATERIALIZED (
-  SELECT word,
-         list_append(list_transform(generate_series(1, length(word)),
-                                    i -> substr(word, i, 1)), '</w>') AS s,
-         cnt
+  SELECT word, {w0_expr} AS s, cnt
   FROM words
 )"""
     # every chained CTE is MATERIALIZED: w{i} is referenced by both
@@ -456,13 +473,13 @@ w{i} AS MATERIALIZED (
     return sql
 
 
-def _bpe_train_oracle(k: int) -> str:
+def _bpe_train_oracle(k: int, **chain_kwargs) -> str:
     body = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, a AS lhs, b AS rhs, "
         f"a || b AS merged FROM b{i}"
         for i in range(1, k + 1)
     )
-    return _bpe_chain_sql(k) + "\n" + body
+    return _bpe_chain_sql(k, **chain_kwargs) + "\n" + body
 
 
 def _bpe_encode_oracle(k: int) -> str:
@@ -484,6 +501,192 @@ FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 """
 
 
+# -- byte-level path: the non-ASCII corpus surface (VERDICT r7 #3/#4) -------
+#
+# tokens() deletes everything outside [a-z0-9], so CJK/Cyrillic/
+# accented text was invisible to every text signal. The byte path
+# pre-tokenizes on whitespace (ASCII \s in both regex engines) and
+# works on UTF-8 bytes as hex-pair string symbols — no Unicode regex
+# anywhere, so oracle parity stays mechanical. The fixture fabricates
+# a deterministic multilingual corpus from doc_id arithmetic (the
+# media-codec fixture convention: testdata text is ASCII, the rule
+# classes under test must be synthesized from table rows).
+
+_UNI_PHRASES = [
+    "日本語 の テキスト 処理",
+    "русский текст пример данные",
+    "café résumé naïve déjà",
+    "中文 文本 处理 数据",
+    "plain ascii words here",
+]
+_UNI_EXTRA = ["東京 データ", "Zürich naïve", "seoul 서울"]
+
+#: merge count for the byte-level entries: the fixture vocabulary is
+#: ~15 distinct words of 2-12 byte symbols — 16 merges cross from
+#: bytes into multi-byte (whole-CJK-char and beyond) tokens while the
+#: oracle replay stays 3 CTEs per step
+BPE_MERGES_BYTES = 16
+
+_TOKS_WS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+#: the fixture corpus as a FROM-able subquery (both oracles build on it)
+_UNI_SRC = (
+    "(SELECT doc_id, concat("
+    "(['" + "', '".join(_UNI_PHRASES) + "'])[CAST(doc_id % 5 AS INT) + 1],"
+    " ' ', "
+    "(['" + "', '".join(_UNI_EXTRA) + "'])[CAST(doc_id % 3 AS INT) + 1]"
+    ") AS text FROM documents)"
+)
+
+
+def _uni_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phrases = F.array(*[F.lit(p) for p in _UNI_PHRASES])
+    extra = F.array(*[F.lit(p) for p in _UNI_EXTRA])
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(phrases, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.element_at(extra, (F.col("doc_id") % 3 + 1).cast("int")),
+        ).alias("text"),
+    )
+
+
+def q_token_count_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual token accounting: whitespace words, code points,
+    UTF-8 bytes — and the ASCII tokenizer's count alongside, which
+    documents exactly what the [a-z0-9] path deletes (0 words on the
+    pure-CJK rows). Pure codegen projection, no Python."""
+    from coltt_spark.functions.text import tokens, tokens_ws
+
+    docs = _uni_docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_ws("text")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(tokens("text")).cast("long").alias("n_words_ascii"),
+    )
+
+
+_ORACLE_TOKEN_COUNT_UNICODE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_TOKS_WS}) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len({_TOKS}) AS BIGINT) AS n_words_ascii
+FROM {_UNI_SRC} u
+"""
+
+
+_BPE_BYTES_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_bytes_fixture(spark: SparkSession, sf_dir: str):
+    """Byte-level twin of _bpe_fixture: trained merges, the memoized
+    word→segmentation table, and the base alphabet (bounded collect,
+    ≤ 257 symbols) — built once per process per sf_dir."""
+    if sf_dir not in _BPE_BYTES_CACHE:
+        from coltt_spark.operators.tokenize import bpe_alphabet, bpe_learn
+
+        docs = _uni_docs(spark, sf_dir)
+        merges, seg = bpe_learn(
+            docs, "text", BPE_MERGES_BYTES, byte_level=True
+        )
+        seg = seg.select("word", "s").localCheckpoint(eager=True)
+        alphabet = bpe_alphabet(docs, "text", byte_level=True)
+        _BPE_BYTES_CACHE[sf_dir] = (merges, seg, alphabet)
+    return _BPE_BYTES_CACHE[sf_dir]
+
+
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training on the multilingual fixture: identical
+    k-scans discipline to bpe_train, but the symbols are UTF-8 hex
+    pairs — merges cross byte boundaries into whole CJK characters
+    and beyond. The oracle replays all k steps at the byte level."""
+    from coltt_spark.operators.tokenize import MERGE_SCHEMA
+
+    merges, _, _ = _bpe_bytes_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        MERGE_SCHEMA,
+    )
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id SEQUENCES (not counts) under the byte-level model —
+    the training-shard surface: ids follow the GPT-2-family contract
+    (sorted base alphabet first, then merges by rank, first
+    occurrence wins). The sequence is serialized as a '-'-joined
+    string so the driver hashes the FULL ordered sequence (array_join
+    precedent, registry_pipeline). The oracle retrains in SQL and
+    re-derives every id of every document."""
+    from coltt_spark.operators.tokenize import bpe_encode_ids, bpe_vocab
+
+    docs = _uni_docs(spark, sf_dir)
+    merges, seg, alphabet = _bpe_bytes_fixture(spark, sf_dir)
+    vocab = bpe_vocab(alphabet, merges)
+    ids = bpe_encode_ids(
+        docs, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    )
+    return ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_csv"),
+    )
+
+
+def _bpe_encode_ids_oracle(k: int) -> str:
+    chain = _bpe_chain_sql(k, toks=_TOKS_WS, src=f"{_UNI_SRC} u0", byte_level=True)
+    merged_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, a || b AS merged FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return chain + f""",
+alpha AS (SELECT DISTINCT sym FROM (SELECT unnest(s) AS sym FROM w0)),
+base AS (
+  SELECT sym AS tok,
+         CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tok_id
+  FROM alpha
+),
+mm AS (SELECT merged, min(rank) AS r FROM ({merged_union}) GROUP BY merged),
+mt AS (
+  SELECT merged AS tok,
+         CAST((SELECT count(*) FROM alpha) - 1
+              + row_number() OVER (ORDER BY r) AS BIGINT) AS tok_id
+  FROM mm WHERE merged NOT IN (SELECT tok FROM base)
+),
+vocab AS (SELECT tok, tok_id FROM base UNION ALL SELECT tok, tok_id FROM mt),
+wsym AS (
+  SELECT word, j, s[j] AS sym
+  FROM (SELECT word, s, unnest(generate_series(1, len(s))) AS j FROM w{k})
+),
+wids AS (
+  SELECT word, list(tok_id ORDER BY j) AS ids
+  FROM wsym JOIN vocab ON vocab.tok = wsym.sym
+  GROUP BY word
+),
+docw AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j
+  FROM (SELECT doc_id, {_TOKS_WS} AS toks FROM {_UNI_SRC} u1)
+),
+dock AS (
+  SELECT d.doc_id, flatten(list(w.ids ORDER BY d.j)) AS ids
+  FROM (SELECT doc_id, toks[j] AS word, j FROM docw) d
+  JOIN wids w USING (word)
+  GROUP BY d.doc_id
+)
+SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(len(c.ids), 0) AS BIGINT) AS n_tokens,
+       COALESCE(array_to_string(
+         list_transform(c.ids, x -> CAST(x AS VARCHAR)), '-'), '') AS ids_csv
+FROM {_UNI_SRC} u LEFT JOIN dock c ON u.doc_id = c.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -496,6 +699,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "token_count_unicode": q_token_count_unicode,
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "bpe_encode_ids": q_bpe_encode_ids,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -510,4 +716,12 @@ TEXT_ORACLES: dict[str, str] = {
     "quality_classifier": _qc_oracle(),
     "bpe_train": _bpe_train_oracle(BPE_MERGES),
     "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
+    "token_count_unicode": _ORACLE_TOKEN_COUNT_UNICODE,
+    "bpe_train_bytes": _bpe_train_oracle(
+        BPE_MERGES_BYTES,
+        toks=_TOKS_WS,
+        src=f"{_UNI_SRC} u0",
+        byte_level=True,
+    ),
+    "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
 }

@@ -325,3 +325,170 @@ def test_oracle_chain_survives_merge_exhaustion(spark):
     # empty b{i} rows simply produce no UNION ALL contribution
     train_rows = con.execute(_bpe_train_oracle(BPE_MERGES)).fetchall()
     assert len(train_rows) == len(merges)
+
+
+# -- byte-level path (r8): non-ASCII corpora --------------------------------
+
+_UNI_CORPUS = [
+    "日本語 の テキスト 処理 データ",
+    "русский текст пример данные текст",
+    "café résumé naïve déjà café",
+    "中文 文本 处理 数据 文本",
+    "plain ascii words here words",
+    "日本語 テキスト café 中文 данные",
+] * 2
+
+
+def _ref_words_bytes(texts: list[str]):
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _hex_syms(word: str) -> tuple:
+    b = word.encode("utf-8")
+    return tuple(f"{x:02X}" for x in b) + (EOW,)
+
+
+def _ref_bpe_bytes(word_counts, k: int):
+    """Independent byte-level Sennrich reference: same algorithm, the
+    alphabet is UTF-8 hex pairs."""
+    vocab = {w: (_hex_syms(w), c) for w, c in word_counts.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {
+            w: (_ref_apply(syms, a, b), c) for w, (syms, c) in vocab.items()
+        }
+    return merges, vocab
+
+
+def _uni_spark(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_UNI_CORPUS)], ["doc_id", "text"]
+    )
+
+
+def test_byte_level_train_matches_independent_reference(spark):
+    """Byte-level training against the independent pure-Python
+    reference on a CJK/Cyrillic/accented corpus — merges must cross
+    byte boundaries into whole multi-byte characters."""
+    k = 18
+    ref_merges, ref_vocab = _ref_bpe_bytes(_ref_words_bytes(_UNI_CORPUS), k)
+    merges, seg = bpe_learn(_uni_spark(spark), "text", k, byte_level=True)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["s"]) for r in seg.collect()}
+    want = {w: syms for w, (syms, _) in ref_vocab.items()}
+    assert got == want
+    # the path actually sees non-ASCII: some merge involves a
+    # multi-byte lead byte (CJK UTF-8 starts E4-E9, Cyrillic D0-D4)
+    assert any(a[:1] in "ED" or b[:1] in "ED" for a, b in merges)
+
+
+def test_encode_ids_decode_roundtrip(spark):
+    """The strongest sequence property: mapping ids back through the
+    vocab and joining the hex reconstructs every document's exact
+    whitespace tokens — so the SEQUENCE (not just counts) is right,
+    in order, for every script in the corpus."""
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    df = _uni_spark(spark)
+    merges, seg = bpe_learn(df, "text", 18, byte_level=True)
+    vocab = bpe_vocab(bpe_alphabet(df, "text", byte_level=True), merges)
+    inv = {i: tok for tok, i in vocab}
+    rows = bpe_encode_ids(
+        df, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    ).collect()
+    assert len(rows) == len(_UNI_CORPUS)
+    for r in rows:
+        text = _UNI_CORPUS[r["doc_id"]]
+        stream = "".join(inv[i] for i in r["token_ids"])
+        words = [
+            bytes.fromhex(piece).decode("utf-8")
+            for piece in stream.split(EOW)
+            if piece != ""
+        ]
+        assert words == text.split(), (r["doc_id"], words)
+
+
+def test_encode_ids_vocab_contract_and_empty_docs(spark):
+    """Vocab ids: sorted base alphabet first (0..n-1), merged tokens
+    by rank after; a document with no tokens yields an EMPTY array,
+    not null."""
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ba"), (1, ""), (2, "   ")], ["doc_id", "text"]
+    )
+    merges, _ = bpe_learn(df, "text", 4, byte_level=True)
+    alphabet = bpe_alphabet(df, "text", byte_level=True)
+    vocab = bpe_vocab(alphabet, merges)
+    # base block: sorted alphabet at ids 0..n-1
+    n = len(alphabet)
+    assert [t for t, _ in vocab[:n]] == sorted(alphabet)
+    assert [i for _, i in vocab] == list(range(len(vocab)))
+    # merged block follows rank order (dedup keep-first)
+    merged = [t for t, i in vocab[n:]]
+    expect = []
+    for a, b in merges:
+        if a + b not in expect:
+            expect.append(a + b)
+    assert merged == expect
+    rows = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(
+            df, "doc_id", "text", merges, vocab, byte_level=True
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert len(rows[0]) > 0
+
+
+def test_encode_ids_composes_with_pack_sequences(spark):
+    """token_ids → size() → pack_sequences(count_col): the end-to-end
+    tokenize-then-pack surface a training-shard export runs."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.pipeline import pack_sequences
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    df = _uni_spark(spark)
+    merges, seg = bpe_learn(df, "text", 18, byte_level=True)
+    vocab = bpe_vocab(bpe_alphabet(df, "text", byte_level=True), merges)
+    ids = bpe_encode_ids(
+        df, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    ).select("doc_id", F.size("token_ids").cast("long").alias("n_tokens"))
+    enriched = df.join(ids, "doc_id")
+    packed = pack_sequences(
+        enriched, "doc_id", "text",
+        budget=48, n_shards=4, mode="first_fit", count_col="n_tokens",
+    ).collect()
+    total = sum(r["n_tokens"] for r in ids.collect())
+    assert sum(r["seq_tokens"] for r in packed) == total
+    for r in packed:
+        assert r["seq_tokens"] <= 48 or r["n_docs"] == 1, r

@@ -37,77 +37,86 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-6 rotation ledger (CLAUDE.md): entries promised a
-#: round-7 driver slot — the 29 r4-green entries whose last hard
-#: driver signal is r4, the oldest on the board (stream_distinct
-#: leads). Machine-checked against _KEY_ORDER below so the ledger
-#: promise cannot silently drift (ADVICE r3 #1).
-ROTATION_LEDGER_R7 = [
-    "stream_distinct",
-    "collection_search_blocks_delta",
-    "knn_cosine",
-    "ann_ivf",
-    "collection_search_batch",
-    "freq_sketch",
-    "dedup_canonical",
-    "knn_filtered",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "text_lang_id",
-    "collection_search_batch_filtered",
-    "hybrid_rrf",
-    "bm25_topk_batch",
-    "text_quality",
-    "doc_fingerprint",
-    "pricing_summary",
-    "region_revenue",
-    "window_top_orders",
-    "price_percentiles",
-    "knn_f16",
-    "ann_topk_batch",
-    "knn_pagination",
-    "knn_block",
-    "dedup_containment",
-    "rollup_revenue",
-    "events_sessionize",
-    "media_features",
+#: The round-7 rotation ledger (CLAUDE.md): entries promised a
+#: round-8 driver slot — the 33 r5-green entries whose last hard
+#: driver signal is r5, the oldest on the board (events_json leads).
+#: Machine-checked against _KEY_ORDER below so the ledger promise
+#: cannot silently drift (ADVICE r3 #1).
+ROTATION_LEDGER_R8 = [
+    "events_json",
+    "text_redact_pii",
+    "collection_hybrid_ivf",
+    "bm25_index_deleted",
+    "collection_search_grouped",
+    "media_knn",
+    "media_frames",
+    "schemaless_pure_search",
+    "schemaless_update_delete",
+    "hybrid_search",
+    "doc_chunk",
+    "decontaminate",
+    "sample_stratified",
+    "sample_fraction",
+    "source_mix",
+    "export_shards",
+    "pack_sequences",
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "collection_search_blocks_filtered",
+    "events_asof",
+    "ann_bq",
+    "ann_pq",
+    "embed_cluster_sizes",
+    "sample_cluster_balanced",
+    "dedup_spans",
+    "text_repetition",
+    "stream_ingest",
+    "knn_bq",
+    "knn_sq8",
+    "semantic_dedup",
+    "range_search",
 ]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-6 rotation-ledger entries (the 29 r4-green,
-    oldest signal on the board) LEAD the round-7 window, every entry
+    exactly; the round-7 rotation-ledger entries (the 33 r5-green,
+    oldest signal on the board) LEAD the round-8 window, every entry
     new or touched this round is inside it, and the rest of the
-    window rotates in the oldest of the r5-green block
-    (knn_euclidean .. text_redact_pii, in their r5 order). Past the
-    boundary: the 31 remaining r5-green entries first (they lead the
-    r8 rotation ledger), then the 47 r6-green entries (freshest
-    driver signal; quality_classifier / web_sitemap / media_exif were
-    promoted back into the window as touched-this-round). Every
-    past-window entry is re-oracled by the local gate every pytest
-    run."""
+    window rotates in the oldest of the r6-green block
+    (embed_outliers .. stream_join, in their r6 order). Past the
+    boundary: the 38 remaining r6-green entries first (they lead the
+    r9 rotation ledger), then the 45 r7-green entries (freshest
+    driver signal; bpe_train / bpe_encode / web_url_psl / media_exif
+    / media_exif_orientation were promoted back into the window as
+    touched-this-round). Every past-window entry is re-oracled by
+    the local gate every pytest run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
     # ledger entries lead the window, in ledger order
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R7)] == ROTATION_LEDGER_R7
-    must_check = set(ROTATION_LEDGER_R7) | {
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R8)] == ROTATION_LEDGER_R8
+    must_check = set(ROTATION_LEDGER_R8) | {
         # new this round (driver has never seen them)
+        "token_count_unicode",
+        "bpe_train_bytes",
+        "bpe_encode_ids",
+        # implementation touched this round: bpe_train / bpe_encode
+        # (oracle chain degrades to identity on merge exhaustion —
+        # ADVICE r7 #1 — and was generalized for the byte path),
+        # web_url_psl (snapshot 221 → 1388 rules, *.sch.uk fix),
+        # media_exif / media_exif_orientation (TypeError leniency,
+        # LONG coercion — ADVICE r7 #2), pack_sequences_firstfit
+        # (count_col coalesce — ADVICE r7 #4; pack_sequences itself
+        # is in the ledger block above)
         "bpe_train",
         "bpe_encode",
         "web_url_psl",
-        "media_exif_orientation",
-        # implementation touched this round: quality_classifier
-        # (weight rounding + sigmoid quantization mirrored into the
-        # oracle — ADVICE r6 #1/#2), web_sitemap (xml_unescape grew
-        # numeric character references; fixture exercises them),
-        # media_exif (lenient marker walk + per-row catch in the seam)
-        "quality_classifier",
-        "web_sitemap",
         "media_exif",
+        "media_exif_orientation",
+        "pack_sequences_firstfit",
     }
     assert must_check <= window, sorted(must_check - window)

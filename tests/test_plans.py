@@ -816,3 +816,31 @@ def test_media_exif_orientation_pipeline_is_narrow(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 2  # fixture + stats seams
+
+
+def test_token_count_unicode_is_codegen_projection(spark):
+    """Byte-path token accounting: one codegen'd narrow projection
+    over the documents scan — both tokenizers, char/byte lengths, no
+    Python stage, no Exchange."""
+    from coltt_spark.registry_text import q_token_count_unicode
+
+    out = q_token_count_unicode(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.lstrip().startswith("*")
+
+
+def test_bpe_encode_ids_is_dim_join_no_python(spark):
+    """Token-id sequences: fold + id-map lookup live on the
+    vocabulary-sized dim side; the corpus side is posexplode +
+    equi-join + one regrouping aggregation. No Python stage, no
+    cartesian, no window — the regroup's array_sort is per-row inside
+    the agg, not a global sort."""
+    from coltt_spark.registry_text import q_bpe_encode_ids
+
+    out = q_bpe_encode_ids(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "Sort " not in plan.replace("array_sort", "")  # no global sort
