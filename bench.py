@@ -452,7 +452,7 @@ def _bench_ivf_recall_curve(
     }
 
 
-def _bench_skew(spark, sf_dir: str) -> dict:
+def _bench_skew(spark, sf_dir: str, only: str | None = None) -> dict:
     """Measured COSTS for the adversarial-skew guards that
     tests/test_skew.py pins only as plan shapes — the failure modes
     that actually kill 100 TB dedup/search runs, with numbers a
@@ -468,7 +468,11 @@ def _bench_skew(spark, sf_dir: str) -> dict:
       cluster pair OUTPUT (~5·10⁷ rows) is inherently quadratic and
       is aggregated (count), so the number mostly measures guard +
       pair materialization, not an accidental quadratic join.
-    Both report min-of-2 like the registry keys."""
+    Both report min-of-2 like the registry keys. ``only`` re-runs a
+    single measurement — the end-of-run recheck pass (VERDICT r7 #5:
+    the driver's 1.70 s hot-token reading was a steal session, and
+    the skew block had no self-defense; now it gets the same
+    best-of-3 adjudication as the registry keys)."""
     from pyspark.sql import functions as F
 
     from coltt_spark.operators.dedup import minhash_lsh_pairs
@@ -485,36 +489,34 @@ def _bench_skew(spark, sf_dir: str) -> dict:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
-    hot = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.col("text"), F.lit(" hottoken hottoken hottoken")),
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    bm25_sec = min2(
-        lambda: bm25_search(
-            hot, "doc_id", "text", "hottoken window order", top_k=10
-        ).collect()
-    )
-
-    template = docs.orderBy("doc_id").limit(1).select(
-        F.lit("template text copied verbatim across the cluster").alias("text")
-    )
-    n_copies = 10_000
-    clones = template.crossJoin(spark.range(n_copies)).select(
-        (F.col("id") + 10_000_000).alias("doc_id"), "text"
-    )
-    corpus = docs.select("doc_id", "text").unionByName(clones)
-    minhash_sec = min2(
-        lambda: minhash_lsh_pairs(corpus, "doc_id", "text")
-        .agg(F.count(F.lit(1))).collect()
-    )
-    return {
-        "bm25_hot_token_sec": bm25_sec,
-        "minhash_megacluster_sec": minhash_sec,
-        "megacluster_copies": n_copies,
-    }
+    out: dict = {"megacluster_copies": 10_000}
+    if only in (None, "bm25_hot_token_sec"):
+        hot = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit(" hottoken hottoken hottoken")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out["bm25_hot_token_sec"] = min2(
+            lambda: bm25_search(
+                hot, "doc_id", "text", "hottoken window order", top_k=10
+            ).collect()
+        )
+    if only in (None, "minhash_megacluster_sec"):
+        template = docs.orderBy("doc_id").limit(1).select(
+            F.lit("template text copied verbatim across the cluster").alias("text")
+        )
+        n_copies = out["megacluster_copies"]
+        clones = template.crossJoin(spark.range(n_copies)).select(
+            (F.col("id") + 10_000_000).alias("doc_id"), "text"
+        )
+        corpus = docs.select("doc_id", "text").unionByName(clones)
+        out["minhash_megacluster_sec"] = min2(
+            lambda: minhash_lsh_pairs(corpus, "doc_id", "text")
+            .agg(F.count(F.lit(1))).collect()
+        )
+    return out
 
 
 def main() -> None:
@@ -600,9 +602,12 @@ def main() -> None:
     # without trusting prose.
     keys_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_keys.json")
     moved_keys: dict[str, list] = {}
+    prev_skew: dict[str, float] = {}
     try:
         with open(keys_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_full = json.load(fh)
+        prev = prev_full.get("queries", {})
+        prev_skew = prev_full.get("skew", {})
         for name, t in timings.items():
             p = prev.get(name)
             if p and p > 0 and (t / p > 1.3 or p / t > 1.3):
@@ -632,6 +637,23 @@ def main() -> None:
             moved_keys[name] = [p, best3]
         else:
             del moved_keys[name]  # cleared: the min-of-2 was a burst
+    # the skew block gets the same self-defense (VERDICT r7 #5 — its
+    # 1.70 s hot-token reading in the driver's steal session had no
+    # recheck and went unadjudicated for a round). flat_1m stays
+    # excluded BY DESIGN: it must run first on the clean JVM (running
+    # it after ~120 registry keys measures their heap pressure, the
+    # documented ~2x inflation), and its warm best-of-5 `_best`
+    # fields are its own adjudication.
+    for kname in ("bm25_hot_token_sec", "minhash_megacluster_sec"):
+        p, t = prev_skew.get(kname), skew.get(kname)
+        if not p or not t or (t / p <= 1.3 and p / t <= 1.3):
+            continue
+        redo = _bench_skew(spark, sf_dir, only=kname)[kname]
+        best3 = round(min(t, redo), 4)
+        skew[kname] = best3
+        rechecked["skew_" + kname] = [p, t, best3]
+        if best3 / p > 1.3 or p / best3 > 1.3:
+            moved_keys["skew_" + kname] = [p, best3]
     total = round(sum(timings.values()), 4)
     with open(keys_path, "w") as fh:
         json.dump(
@@ -641,6 +663,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_run1": timings_run1,
                 "rechecked_keys": rechecked,
+                "skew": skew,
                 "fixture_build_sec": fixture_build_sec,
                 "total_query_wall": total,
             },

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from coltt_spark.functions.text import HASH_P, hash60, tokens
+from coltt_spark.functions.text import (
+    HASH_P,
+    hash60,
+    tokens,
+    utf8_byte_symbols,
+)
 from coltt_spark.sources.tables import ensure_parallelism
 
 # marker stopwords per language for the n-gram/stopword heuristic.
@@ -58,6 +63,77 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Script-aware language ID (VERDICT r7 #7, unlocked by the byte
+    path): the stopword scorer is blind to non-Latin scripts — every
+    CJK/Cyrillic document came back ``und``. This variant counts
+    UTF-8 lead-byte bands on the hex symbol stream (no Unicode regex
+    on either engine):
+
+    - ``n_kana``:   ``E3`` lead + second byte ``81``–``83``
+      (U+3040–30FF, hiragana+katakana EXACTLY — pair-indexed so CJK
+      punctuation under other E3 second bytes never misfires)
+    - ``n_hangul``: leads ``EA``–``ED`` (the Hangul-syllable band)
+    - ``n_cjk``:    leads ``E4``–``E9`` (CJK Unified Ideographs)
+    - ``n_cyr``:    leads ``D0``/``D1`` (U+0400–04FF Cyrillic)
+
+    Continuation bytes (80–BF) never collide with any band, so plain
+    symbol filters count lead bytes only. Precedence encodes script
+    linguistics, not frequency: any kana ⇒ ja (kana is uniquely
+    Japanese — Japanese text is typically MAJORITY han), any Hangul ⇒
+    ko, han-only ⇒ zh, Cyrillic ⇒ ru; otherwise the Latin marker
+    scorer decides exactly as ``lang_id`` (same tie-break, same
+    ``und`` fallback). Pure codegen projection — one scan, no
+    Python."""
+    df = ensure_parallelism(df, id_col)
+    syms = utf8_byte_symbols(F.col(text_col))
+    n = F.size(syms)
+
+    def band(lo: str, hi: str) -> Column:
+        return F.size(
+            F.filter(syms, lambda s: (s >= F.lit(lo)) & (s <= F.lit(hi)))
+        ).cast("long")
+
+    # Spark's sequence(1, n-1) DESCENDS when n < 2 (DuckDB's
+    # generate_series returns empty) — guard the pair walk explicitly
+    kana = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda j: (F.element_at(syms, j) == F.lit("E3"))
+                & F.element_at(syms, j + 1).isin("81", "82", "83"),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    hangul = band("EA", "ED")
+    cjk = band("E4", "E9")
+    cyr = band("D0", "D1")
+    toks = tokens(text_col)
+    scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
+    best = F.greatest(*scores.values())
+    latin: Column = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        latin = F.when(scores[lang] == best, F.lit(lang)).otherwise(latin)
+    latin = F.when(best == 0, F.lit("und")).otherwise(latin)
+    pred = (
+        F.when(kana > 0, F.lit("ja"))
+        .when(hangul > 0, F.lit("ko"))
+        .when(cjk > 0, F.lit("zh"))
+        .when(cyr > 0, F.lit("ru"))
+        .otherwise(latin)
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        kana.alias("n_kana"),
+        hangul.alias("n_hangul"),
+        cjk.alias("n_cjk"),
+        cyr.alias("n_cyr"),
         best.cast("long").alias("marker_hits"),
     )
 

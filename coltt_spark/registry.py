@@ -1482,6 +1482,11 @@ _KEY_ORDER = [
     "token_count_unicode",  # new r8: byte-path token accounting on a
     #    CJK/Cyrillic/accented fixture (words, chars, UTF-8 bytes,
     #    and the ASCII tokenizer's deletions alongside)
+    "text_lang_id_unicode",  # new r8: script-aware lang-id — UTF-8
+    #    lead-byte bands (kana/Hangul/han/Cyrillic) + marker fallback
+    #    (slot freed by demoting stream_join — r6-green, last of the
+    #    window's r6 fill — past the boundary, where it leads the r9
+    #    rotation queue)
     "bpe_train_bytes",      # new r8: byte-level BPE training — UTF-8
     #    hex-pair symbols, merges cross into whole CJK characters
     "bpe_encode_ids",       # new r8: token-id SEQUENCES (GPT-2-style
@@ -1506,7 +1511,6 @@ _KEY_ORDER = [
     "collection_time_travel",
     "jsonl_roundtrip",
     "ann_recall",
-    "stream_join",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
     # ---- round. First the 38 remaining r6-green entries in their r6
@@ -1515,6 +1519,7 @@ _KEY_ORDER = [
     # ---- signal; bpe_train / bpe_encode / web_url_psl / media_exif /
     # ---- media_exif_orientation were promoted back into the window
     # ---- as touched-this-round).
+    "stream_join",
     "embed_project",
     "sample_temperature",
     "bm25_search",

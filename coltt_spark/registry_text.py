@@ -579,6 +579,59 @@ FROM {_UNI_SRC} u
 """
 
 
+def q_text_lang_id_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID on the multilingual fixture: UTF-8
+    lead-byte band counts decide non-Latin scripts (kana ⇒ ja, Hangul
+    ⇒ ko, han-only ⇒ zh, Cyrillic ⇒ ru), the stopword scorer decides
+    Latin rows — the signal the ASCII lang_id returned 'und' for."""
+    from coltt_spark.operators.textstats import script_lang_id
+
+    return script_lang_id(_uni_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _script_lang_oracle() -> str:
+    def marker_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+    scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({marker_list(lang)}, t))) AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_ORDER) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    syms = (
+        "list_transform(generate_series(1, octet_length(encode(text))), "
+        "i -> substr(hex(encode(text)), (i - 1) * 2 + 1, 2))"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {syms} AS sy, {_TOKS} AS tk FROM {_UNI_SRC} u),
+c AS (
+  SELECT doc_id,
+    CAST(CASE WHEN len(sy) >= 2 THEN
+      len(list_filter(generate_series(1, len(sy) - 1),
+          j -> sy[j] = 'E3' AND list_contains(['81', '82', '83'], sy[j + 1])))
+      ELSE 0 END AS BIGINT) AS n_kana,
+    CAST(len(list_filter(sy, x -> x >= 'EA' AND x <= 'ED')) AS BIGINT) AS n_hangul,
+    CAST(len(list_filter(sy, x -> x >= 'E4' AND x <= 'E9')) AS BIGINT) AS n_cjk,
+    CAST(len(list_filter(sy, x -> x >= 'D0' AND x <= 'D1')) AS BIGINT) AS n_cyr,
+    {scores}
+  FROM s
+),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN n_kana > 0 THEN 'ja'
+            WHEN n_hangul > 0 THEN 'ko'
+            WHEN n_cjk > 0 THEN 'zh'
+            WHEN n_cyr > 0 THEN 'ru'
+            WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+       n_kana, n_hangul, n_cjk, n_cyr,
+       CAST(best AS BIGINT) AS marker_hits
+FROM b
+"""
+
+
 _BPE_BYTES_CACHE: dict[str, tuple] = {}
 
 
@@ -700,6 +753,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "token_count_unicode": q_token_count_unicode,
+    "text_lang_id_unicode": q_text_lang_id_unicode,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
 }
@@ -717,6 +771,7 @@ TEXT_ORACLES: dict[str, str] = {
     "bpe_train": _bpe_train_oracle(BPE_MERGES),
     "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
     "token_count_unicode": _ORACLE_TOKEN_COUNT_UNICODE,
+    "text_lang_id_unicode": _script_lang_oracle(),
     "bpe_train_bytes": _bpe_train_oracle(
         BPE_MERGES_BYTES,
         toks=_TOKS_WS,

@@ -102,6 +102,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     must_check = set(ROTATION_LEDGER_R8) | {
         # new this round (driver has never seen them)
         "token_count_unicode",
+        "text_lang_id_unicode",
         "bpe_train_bytes",
         "bpe_encode_ids",
         # implementation touched this round: bpe_train / bpe_encode

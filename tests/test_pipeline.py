@@ -555,3 +555,40 @@ def test_warc_response_records_and_http_body(spark):
     }
     assert bodies["http://example.com/page"] == html  # headers stripped
     assert bodies["urn:doc:7"] == "plain body"  # pass-through
+
+
+def test_script_lang_id_labels(spark):
+    """Script-aware lang-id on hand-built rows: each script band,
+    kana-beats-han precedence (Japanese text is majority han), CJK
+    punctuation NOT misread as kana (E3 pair-indexing), the Latin
+    marker fallback, and empty/short strings (the Spark sequence()
+    descending gotcha)."""
+    from coltt_spark.operators.textstats import script_lang_id
+
+    rows = [
+        (0, "日本語のテキストです"),       # kana の/です + han → ja
+        (1, "中文文本处理"),               # han only → zh
+        (2, "中文文本、处理。"),           # han + E3 80 punctuation → zh
+        (3, "한국어 텍스트"),              # Hangul → ko
+        (4, "русский текст"),             # Cyrillic → ru
+        (5, "the quick brown fox and the dog"),  # markers → en
+        (6, "zzz qqq xxx"),               # Latin, no markers → und
+        (7, ""),                          # empty → und
+        (8, "a"),  # 1-byte: the sequence guard ("a" IS an en marker)
+        (9, "café résumé"),               # Latin-ext (C3) → marker path
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in script_lang_id(df, "doc_id", "text").collect()
+    }
+    assert got[0]["pred_lang"] == "ja" and got[0]["n_kana"] > 0
+    assert got[1]["pred_lang"] == "zh" and got[1]["n_kana"] == 0
+    assert got[2]["pred_lang"] == "zh" and got[2]["n_kana"] == 0  # 、。
+    assert got[3]["pred_lang"] == "ko" and got[3]["n_hangul"] > 0
+    assert got[4]["pred_lang"] == "ru" and got[4]["n_cyr"] > 0
+    assert got[5]["pred_lang"] == "en" and got[5]["marker_hits"] > 0
+    assert got[6]["pred_lang"] == "und"
+    assert got[7]["pred_lang"] == "und" and got[7]["n_kana"] == 0
+    assert got[8]["pred_lang"] == "en" and got[8]["n_kana"] == 0
+    assert got[9]["n_cjk"] == 0 and got[9]["n_cyr"] == 0

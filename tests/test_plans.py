@@ -844,3 +844,27 @@ def test_bpe_encode_ids_is_dim_join_no_python(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "Sort " not in plan.replace("array_sort", "")  # no global sort
+
+
+def test_script_lang_id_is_codegen_projection(spark):
+    """Script-aware lang-id: lead-byte band counts + marker scores in
+    ONE codegen'd projection — no Python stage, no join, no agg (the
+    byte walk is array arithmetic over the hex symbols, not a UDF).
+    The only allowed Exchange is ensure_parallelism's local-mode
+    round-robin (a no-op at scale — it fires only when the scan has
+    fewer splits than the session's cores)."""
+    from coltt_spark.registry_text import q_text_lang_id_unicode
+
+    out = q_text_lang_id_unicode(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    # any Exchange present must be the explicit repartition, never a
+    # shuffle some operator REQUIRED (ENSURE_REQUIREMENTS)
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Exchange" not in plan or "REPARTITION_BY_NUM" in plan
+    # under AQE the pre-execution plan hides codegen stars — execute
+    # first (bpe_encode guard convention)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final
