@@ -475,6 +475,60 @@ def pack_sequences(
     )
 
 
+def pack_sequences_ids(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Packed sequences WITH their token-id payloads — the row a
+    training-shard export actually writes: ``(shard, seq_id, n_docs,
+    seq_tokens, token_ids)`` where ``token_ids`` is the sequence's
+    concatenated id stream in walk order. Identical concat-split
+    contract to :func:`pack_sequences` (same hash shard route, same
+    deterministic ``(hash, id)`` per-shard walk, same
+    ``floor((cumsum − n)/budget)`` window arithmetic), so the two
+    operators agree sequence-for-sequence; this one additionally
+    regroups the payload (``array_sort`` on (hash, id, ids) structs
+    → flatten — the sort never compares the array field because
+    (hash, id) is unique per row).
+
+    Scale: ONE shuffle on the shard key; the window and the regroup
+    both run per shard partition. The payload column makes output
+    rows budget-sized (a few KB at typical budgets) — written
+    straight out via ``write_jsonl_shards``/parquet, the
+    tokenize→pack→export chain never materializes on the driver."""
+    df = ensure_parallelism(df, id_col)
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    base = df.select(
+        shard.alias("shard"),
+        F.col(id_col),
+        hash60(F.col(id_col).cast("string")).alias("_h"),
+        F.col(ids_col).alias("_ids"),
+        F.size(F.col(ids_col)).cast("long").alias("_t"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    packed = base.withColumn("_cum", F.sum("_t").over(w)).withColumn(
+        "seq_id", F.floor((F.col("_cum") - F.col("_t")) / budget)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_h"), F.col(id_col), F.col("_ids")))
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").cast("long").alias("seq_tokens"),
+            F.flatten(F.transform(ordered, lambda x: x["_ids"])).alias(
+                "token_ids"
+            ),
+        )
+    )
+
+
 #: dialect-portable PII patterns — valid and identically-matching in
 #: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround,
 #: no \b, and alternatives ordered longest-first (both engines match

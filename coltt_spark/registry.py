@@ -1491,6 +1491,11 @@ _KEY_ORDER = [
     #    hex-pair symbols, merges cross into whole CJK characters
     "bpe_encode_ids",       # new r8: token-id SEQUENCES (GPT-2-style
     #    vocab ids), serialized so the driver hashes full order
+    "pack_sequences_ids",   # new r8: packed sequences CARRYING their
+    #    id payloads — the complete tokenize→pack training-shard row
+    #    (slot freed by demoting ann_recall — r6-green, tail of the
+    #    window's r6 fill, back to its r6-order seat past the
+    #    boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1510,7 +1515,6 @@ _KEY_ORDER = [
     "filter_extended",
     "collection_time_travel",
     "jsonl_roundtrip",
-    "ann_recall",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
     # ---- round. First the 38 remaining r6-green entries in their r6
@@ -1519,6 +1523,7 @@ _KEY_ORDER = [
     # ---- signal; bpe_train / bpe_encode / web_url_psl / media_exif /
     # ---- media_exif_orientation were promoted back into the window
     # ---- as touched-this-round).
+    "ann_recall",
     "stream_join",
     "embed_project",
     "sample_temperature",

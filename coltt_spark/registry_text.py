@@ -692,7 +692,9 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_ids_oracle(k: int) -> str:
+def _bpe_ids_chain(k: int) -> str:
+    """Chain replay + vocab-id derivation + per-document id lists
+    (CTE ``dock``) — shared by the encode-ids and pack-ids oracles."""
     chain = _bpe_chain_sql(k, toks=_TOKS_WS, src=f"{_UNI_SRC} u0", byte_level=True)
     merged_union = "\nUNION ALL\n".join(
         f"SELECT {i} AS rank, a || b AS merged FROM b{i}"
@@ -731,12 +733,86 @@ dock AS (
   FROM (SELECT doc_id, toks[j] AS word, j FROM docw) d
   JOIN wids w USING (word)
   GROUP BY d.doc_id
-)
+)"""
+
+
+def _bpe_encode_ids_oracle(k: int) -> str:
+    return _bpe_ids_chain(k) + f"""
 SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(len(c.ids), 0) AS BIGINT) AS n_tokens,
        COALESCE(array_to_string(
          list_transform(c.ids, x -> CAST(x AS VARCHAR)), '-'), '') AS ids_csv
 FROM {_UNI_SRC} u LEFT JOIN dock c ON u.doc_id = c.doc_id
+"""
+
+
+#: pack_sequences_ids entry constants — budget sized so fixture
+#: documents pack ~1-2 per sequence (both the join-current-seq and
+#: the cut paths exercised)
+PACK_IDS_BUDGET = 64
+PACK_IDS_SHARDS = 8
+
+
+def q_pack_sequences_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE tokenized-training-shard row: byte-level BPE ids
+    packed into budget-sized sequences carrying their concatenated
+    id payloads — tokenize → encode-to-ids → pack in one plan. The
+    oracle replays the whole chain: retrain, re-derive every id,
+    re-walk the packing window arithmetic, and re-concatenate every
+    sequence's payload."""
+    from coltt_spark.operators.pipeline import pack_sequences_ids
+    from coltt_spark.operators.tokenize import bpe_encode_ids, bpe_vocab
+
+    docs = _uni_docs(spark, sf_dir)
+    merges, seg, alphabet = _bpe_bytes_fixture(spark, sf_dir)
+    vocab = bpe_vocab(alphabet, merges)
+    ids = bpe_encode_ids(
+        docs, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    )
+    packed = pack_sequences_ids(
+        ids, "doc_id", "token_ids",
+        budget=PACK_IDS_BUDGET, n_shards=PACK_IDS_SHARDS,
+    )
+    return packed.select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "seq_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_csv"),
+    )
+
+
+def _pack_ids_oracle(k: int, budget: int, n_shards: int) -> str:
+    h = "('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    return _bpe_ids_chain(k) + f""",
+pids AS (
+  SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+         COALESCE(c.ids, []::BIGINT[]) AS ids,
+         CAST(COALESCE(len(c.ids), 0) AS BIGINT) AS nt,
+         CAST({h} % {n_shards} AS INT) AS shard,
+         {h} AS hh
+  FROM {_UNI_SRC} u LEFT JOIN dock c ON u.doc_id = c.doc_id
+),
+pcum AS (
+  SELECT *, sum(nt) OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM pids
+),
+psq AS (
+  SELECT shard, CAST(floor((cs - nt) / {budget}) AS BIGINT) AS seq_id,
+         doc_id, hh, ids, nt
+  FROM pcum
+)
+SELECT shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS seq_tokens,
+       array_to_string(
+         list_transform(flatten(list(ids ORDER BY hh, doc_id)),
+                        x -> CAST(x AS VARCHAR)), '-') AS ids_csv
+FROM psq GROUP BY shard, seq_id
 """
 
 
@@ -756,6 +832,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id_unicode": q_text_lang_id_unicode,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "pack_sequences_ids": q_pack_sequences_ids,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -779,4 +856,7 @@ TEXT_ORACLES: dict[str, str] = {
         byte_level=True,
     ),
     "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
+    "pack_sequences_ids": _pack_ids_oracle(
+        BPE_MERGES_BYTES, PACK_IDS_BUDGET, PACK_IDS_SHARDS
+    ),
 }

@@ -492,3 +492,111 @@ def test_encode_ids_composes_with_pack_sequences(spark):
     assert sum(r["seq_tokens"] for r in packed) == total
     for r in packed:
         assert r["seq_tokens"] <= 48 or r["n_docs"] == 1, r
+
+
+def test_tokenized_shard_export_roundtrip(spark, tmp_path):
+    """The actual end-to-end training-shard surface (VERDICT r7 #4):
+    multilingual corpus → byte-level BPE → token-id sequences →
+    deterministic JSONL shard export → read-back. Every document's id
+    sequence survives the round trip byte-exactly, and the shard
+    routing is the deterministic hash route."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.functions.text import hash60
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from coltt_spark.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    df = _uni_spark(spark)
+    merges, seg = bpe_learn(df, "text", 18, byte_level=True)
+    vocab = bpe_vocab(bpe_alphabet(df, "text", byte_level=True), merges)
+    ids = bpe_encode_ids(
+        df, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    )
+    path = str(tmp_path / "tok_shards")
+    write_jsonl_shards(ids, path, id_col="doc_id", n_shards=4)
+    back = read_jsonl(
+        spark, path, "doc_id BIGINT, token_ids ARRAY<INT>, shard INT"
+    )
+    want = {r["doc_id"]: list(r["token_ids"]) for r in ids.collect()}
+    got_rows = back.withColumn(
+        "route", (hash60(F.col("doc_id").cast("string")) % 4).cast("int")
+    ).collect()
+    got = {r["doc_id"]: list(r["token_ids"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert r["shard"] == r["route"]
+
+
+def test_pack_sequences_ids_agrees_and_carries_payloads(spark):
+    """pack_sequences_ids must agree sequence-for-sequence with
+    pack_sequences' concat-split stats (same walk, same window
+    arithmetic), and each sequence's payload must be exactly the
+    concatenation of its documents' id streams in (hash, id) walk
+    order — recomputed independently in Python."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.functions.text import hash60
+    from coltt_spark.operators.pipeline import (
+        pack_sequences,
+        pack_sequences_ids,
+    )
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    df = _uni_spark(spark)
+    merges, seg = bpe_learn(df, "text", 18, byte_level=True)
+    vocab = bpe_vocab(bpe_alphabet(df, "text", byte_level=True), merges)
+    ids = bpe_encode_ids(
+        df, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    )
+    budget, n_shards = 48, 4
+    packed = pack_sequences_ids(
+        ids, "doc_id", "token_ids", budget=budget, n_shards=n_shards
+    ).collect()
+    # 1. stats agree with the stats-only operator on the same counts
+    enriched = df.join(
+        ids.select(
+            "doc_id", F.size("token_ids").cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    stats = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in pack_sequences(
+            enriched, "doc_id", "text",
+            budget=budget, n_shards=n_shards, count_col="n_tokens",
+        ).collect()
+    }
+    got_stats = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in packed
+    }
+    assert got_stats == stats
+    # 2. payloads: independent Python replay of the walk
+    rows = ids.withColumn(
+        "h", hash60(F.col("doc_id").cast("string"))
+    ).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["h"] % n_shards, []).append(r)
+    want: dict = {}
+    for sh, docs in by_shard.items():
+        docs.sort(key=lambda r: (r["h"], r["doc_id"]))
+        cum = 0
+        for r in docs:
+            n = len(r["token_ids"])
+            sid = (cum) // budget  # floor((cum_after - n)/budget)
+            cum += n
+            key = (sh, sid)
+            want.setdefault(key, []).extend(r["token_ids"])
+    got = {(r["shard"], r["seq_id"]): list(r["token_ids"]) for r in packed}
+    assert got == want

@@ -868,3 +868,33 @@ def test_script_lang_id_is_codegen_projection(spark):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final
+
+
+def test_pack_sequences_ids_single_shard_shuffle(spark):
+    """pack_sequences_ids: ONE shuffle on the shard key serves both
+    the packing window and the payload regroup (hashpartitioning by
+    shard satisfies the (shard, seq_id) clustering — no second
+    Exchange), and no Python stage anywhere."""
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.pipeline import pack_sequences_ids
+
+    ids = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.sequence(F.lit(0), (F.col("id") % 7).cast("int")).alias(
+                "token_ids"
+            ),
+        )
+    )
+    out = pack_sequences_ids(ids, "doc_id", "token_ids", budget=16, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # no shuffle keyed on (shard, seq_id): the window's shard
+    # partitioning is reused by the aggregation
+    import re as _re
+
+    keyed = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keyed and all("seq_id" not in k for k in keyed), keyed
