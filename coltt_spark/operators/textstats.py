@@ -90,7 +90,16 @@ def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``und`` fallback). Pure codegen projection — one scan, no
     Python."""
     df = ensure_parallelism(df, id_col)
-    syms = utf8_byte_symbols(F.col(text_col))
+    # materialize the symbol/token arrays ONCE in a prior projection:
+    # Catalyst does not common-subexpression-eliminate the nested
+    # hex-transform lambdas, and inlining them into every band count
+    # re-derives the array 6x per row (measured 2.5x slower)
+    df = df.select(
+        F.col(id_col),
+        utf8_byte_symbols(F.col(text_col)).alias("_sy"),
+        tokens(text_col).alias("_tk"),
+    )
+    syms = F.col("_sy")
     n = F.size(syms)
 
     def band(lo: str, hi: str) -> Column:
@@ -113,7 +122,7 @@ def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hangul = band("EA", "ED")
     cjk = band("E4", "E9")
     cyr = band("D0", "D1")
-    toks = tokens(text_col)
+    toks = F.col("_tk")
     scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
     best = F.greatest(*scores.values())
     latin: Column = F.lit("und")
