@@ -589,7 +589,7 @@ def q_text_lang_id_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_lang_id(_uni_docs(spark, sf_dir), "doc_id", "text")
 
 
-def _script_lang_oracle() -> str:
+def _script_lang_oracle(src: str = "") -> str:
     def marker_list(lang: str) -> str:
         return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
 
@@ -606,7 +606,7 @@ def _script_lang_oracle() -> str:
         "i -> substr(hex(encode(text)), (i - 1) * 2 + 1, 2))"
     )
     return f"""
-WITH s AS (SELECT doc_id, {syms} AS sy, {_TOKS} AS tk FROM {_UNI_SRC} u),
+WITH s AS (SELECT doc_id, {syms} AS sy, {_TOKS} AS tk FROM {src or (_UNI_SRC + ' u')}),
 c AS (
   SELECT doc_id,
     CAST(CASE WHEN len(sy) >= 2 THEN

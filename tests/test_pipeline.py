@@ -592,3 +592,63 @@ def test_script_lang_id_labels(spark):
     assert got[7]["pred_lang"] == "und" and got[7]["n_kana"] == 0
     assert got[8]["pred_lang"] == "en" and got[8]["n_kana"] == 0
     assert got[9]["n_cjk"] == 0 and got[9]["n_cyr"] == 0
+
+
+def test_script_lang_id_matches_duckdb_on_adversarial_unicode(spark):
+    """Cross-engine contract on ARBITRARY text, not just the fixture
+    shapes (the test_urls battery style): a deterministic generator
+    mixes every script band, astral-plane chars (4-byte UTF-8 / F0
+    leads — in no band), combining marks, NBSP/controls, lone-ish
+    edge strings, and marker-word soup; Spark's script_lang_id must
+    agree with the DuckDB oracle fragment cell-for-cell."""
+    import random
+
+    import duckdb as dd
+
+    from coltt_spark.operators.textstats import script_lang_id
+    from coltt_spark.registry_text import _script_lang_oracle
+
+    rng = random.Random(4242)
+    pools = [
+        "abcdefgh ",                      # ASCII
+        "the and of to a in is it ",      # en markers
+        "der die und le la el en ",       # de/fr/es markers
+        "日本語処理文章",                   # CJK han (E4-E9)
+        "のテキストですがを",               # kana (E3 81-83)
+        "、。〒〓",                        # CJK punct (E3, NOT kana)
+        "한국어텍스트서울",                 # Hangul (EA-ED)
+        "русскийтекстабв",                # Cyrillic (D0/D1)
+        "àéîõüçñ",                        # Latin-1 supplement (C3)
+        "𝄞🎉𠀀",                          # astral (F0 leads)
+        "áë",                 # combining marks (CC leads)
+        " \t\n ",                    # NBSP + ASCII whitespace
+    ]
+    texts = ["", " ", "a", " ", "の", "𝄞"]
+    for _ in range(200):
+        n = rng.randint(1, 6)
+        texts.append(
+            "".join(
+                "".join(rng.choices(rng.choice(pools), k=rng.randint(1, 8)))
+                + (" " if rng.random() < 0.5 else "")
+                for _ in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in script_lang_id(df, "doc_id", "text").collect()
+    }
+    con = dd.connect()
+    con.execute("CREATE TABLE fuzz(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO fuzz VALUES (?, ?)", list(enumerate(texts))
+    )
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(_script_lang_oracle("fuzz")).fetchall()
+    }
+    assert len(got) == len(want)
+    for i in got:
+        assert got[i] == want[i], f"{texts[i]!r}: spark={got[i]} duckdb={want[i]}"
