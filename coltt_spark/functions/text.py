@@ -79,6 +79,36 @@ def utf8_byte_symbols(col) -> Column:
     )
 
 
+def byte_shingles(col, n: int = 12) -> Column:
+    """Byte n-gram shingles as hex substrings — the script-agnostic
+    dedup alphabet. ``word_shingles`` inherits ``tokens()``'s
+    ``[a-z0-9]`` alphabet, so CJK/Cyrillic/accented text contributes
+    NOTHING to shingle dedup; byte n-grams over the UTF-8 encoding
+    see every script without a Unicode regex anywhere. A shingle is
+    the ``2n``-char slice of ``hex(encode(text))`` starting at an odd
+    (byte-aligned) offset — the hex string IS the byte sequence, so
+    no array of symbols is ever materialized (pure codegen). Both
+    engines' ``hex`` produce identical uppercase output (probed
+    bit-equal on CJK/accented/ASCII for the byte-level BPE path).
+    Documents shorter than ``n`` bytes yield an empty array.
+
+    ``n=12`` bytes spans ~4 CJK chars / ~2 short ASCII words — the
+    character-n-gram regime multilingual near-dup pipelines use
+    (CCNet-style), sized so a shingle rarely survives by chance.
+    DuckDB: ``CASE WHEN octet_length(encode(x)) < n THEN [] ELSE
+    list_transform(range(1, octet_length(encode(x)) - n + 2),
+    i -> substr(hex(encode(x)), (i-1)*2+1, 2n)) END``."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexed = F.hex(F.encode(c, "UTF-8"))
+    nb = F.octet_length(c)
+    return F.when(nb < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nb - (n - 1)),
+            lambda i: F.substring(hexed, (i - 1) * 2 + 1, 2 * n),
+        )
+    )
+
+
 def word_shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles from a text column (empty array when the
     document has fewer than n tokens).

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from coltt_spark.functions.text import (
     MINHASH_PARAMS,
+    byte_shingles,
     hash60,
     minhash_term,
     norm_text,
@@ -185,6 +186,37 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     df = ensure_parallelism(df, id_col)
     return (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
+        .select(id_col, hash60(F.col("_sh")).alias("sh"))
+        .distinct()
+    )
+
+
+def shingle_table_bytes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 12
+) -> DataFrame:
+    """Distinct (id, byte-n-gram-hash) pairs — the script-agnostic
+    inverted-list base. The word-shingle table
+    (:func:`shingle_table`) inherits the ``[a-z0-9]`` tokenizer, so
+    CJK/Cyrillic/accented documents contribute no shingles and are
+    invisible to every downstream dedup strategy; this variant
+    shingles the raw UTF-8 byte stream
+    (:func:`~coltt_spark.functions.text.byte_shingles`), so every
+    script deduplicates. Whitespace runs are collapsed first (ASCII
+    ``\\s`` in both regex engines — parity structural), but case is
+    PRESERVED: byte-level dedup is byte-exact by design (Unicode
+    case-folding differs between engines on adversarial code points,
+    and near-dup recall does not need it — a case-mangled copy still
+    shares every shingle outside the edited bytes).
+
+    Drops into the same consumers as the word table:
+    ``ngram_jaccard_pairs(..., shingles=...)`` /
+    ``minhash_lsh_pairs(..., shingles=...)`` take it unchanged, so
+    LSH banding, the mega-duplicate guard, and the candidate-verify
+    join all work byte-level with zero new join topology."""
+    df = ensure_parallelism(df, id_col)
+    normed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.explode(byte_shingles(normed, n)).alias("_sh"))
         .select(id_col, hash60(F.col("_sh")).alias("sh"))
         .distinct()
     )

@@ -1496,6 +1496,13 @@ _KEY_ORDER = [
     #    (slot freed by demoting ann_recall — r6-green, tail of the
     #    window's r6 fill, back to its r6-order seat past the
     #    boundary)
+    "dedup_minhash_bytes",  # new r8: MinHash+LSH over byte 12-gram
+    #    shingles — script-agnostic dedup (CJK/Cyrillic/accented text
+    #    has no [a-z0-9] word shingles and was invisible to every
+    #    dedup strategy); multilingual near-dup fixture, full SQL
+    #    replay of shingles→signatures→bands→verify (slot freed by
+    #    demoting jsonl_roundtrip — r6-green, tail of the window's r6
+    #    fill, back to its r6-order seat past the boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1514,15 +1521,17 @@ _KEY_ORDER = [
     "doc_lm_score",
     "filter_extended",
     "collection_time_travel",
-    "jsonl_roundtrip",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 38 remaining r6-green entries in their r6
+    # ---- round. First the 39 remaining r6-green entries in their r6
     # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger), then the 45 r7-green entries (freshest
-    # ---- signal; bpe_train / bpe_encode / web_url_psl / media_exif /
+    # ---- rotation ledger; jsonl_roundtrip rejoined them when its
+    # ---- window slot went to the new dedup_minhash_bytes), then the
+    # ---- 45 r7-green entries (freshest signal; bpe_train /
+    # ---- bpe_encode / web_url_psl / media_exif /
     # ---- media_exif_orientation were promoted back into the window
     # ---- as touched-this-round).
+    "jsonl_roundtrip",
     "ann_recall",
     "stream_join",
     "embed_project",

@@ -62,8 +62,7 @@ shing AS (
 shd AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing)
 """
 
-_DD_JACCARD = f"""
-WITH {_DD_SHINGLES},
+_JACCARD_TAIL = """
 sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -75,6 +74,106 @@ jac AS (
   FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 )
 """
+
+_DD_JACCARD = f"""
+WITH {_DD_SHINGLES},{_JACCARD_TAIL}"""
+
+
+# byte-level shingle chain over the multilingual near-dup fixture —
+# the script-agnostic dedup surface (the word-shingle chain above
+# inherits the [a-z0-9] tokenizer, so CJK/Cyrillic/accented text has
+# NO shingles there). A shingle is the 24-hex-char (12-byte) slice of
+# hex(encode(text)) at a byte-aligned offset — identical uppercase
+# hex on both engines, no Unicode regex anywhere. Whitespace runs
+# collapse first (ASCII \\s in both regex engines); case is preserved
+# (byte-exact by design — Unicode case-folding is the one place the
+# engines could disagree).
+
+#: multilingual word vocabulary for the near-dup fixture (24 words,
+#: 5 scripts). Each document is 8 md5-picked words, so two distinct
+#: documents share a 12-byte shingle only when ≥2 consecutive picks
+#: coincide — cross-doc Jaccard stays ≪ the 0.5 threshold while the
+#: planted variants (a 1-char CJK suffix) stay ≈ 0.9.
+_BYTE_VOCAB = [
+    "データ", "処理", "学習", "モデル", "言語",
+    "данные", "модель", "текст", "поиск",
+    "数据", "清洗", "训练", "语料",
+    "서울", "데이터",
+    "café", "résumé", "naïve", "zürich",
+    "corpus", "tokens", "dedup", "shard", "vector",
+]
+
+
+def _uni_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multilingual near-dup corpus from doc_id
+    arithmetic (the fixture convention: testdata text is ASCII, the
+    script classes under test are synthesized from table rows). Base
+    documents are 8 words md5-picked from :data:`_BYTE_VOCAB`; every
+    7th document gains a near-duplicate copy (1-char CJK suffix,
+    byte-Jaccard ≈ 0.9) and every 11th an exact copy up to trailing
+    whitespace (normalizes to an identical shingle set — exercises
+    the mega-duplicate collapse's within-cluster emission)."""
+    from coltt_spark.functions.text import hash60
+
+    vocab = F.array(*[F.lit(w) for w in _BYTE_VOCAB])
+    v = len(_BYTE_VOCAB)
+    words = [
+        F.element_at(
+            vocab,
+            (
+                hash60(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i}")))
+                % v
+                + 1
+            ).cast("int"),
+        )
+        for i in range(8)
+    ]
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", *words).alias("text")
+    )
+    near = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" 了")).alias("text"),
+    )
+    ws = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    return base.unionByName(near).unionByName(ws)
+
+
+def _byte_word_sql(i: int) -> str:
+    vocab = "['" + "', '".join(_BYTE_VOCAB) + "']"
+    h = f"('0x' || substr(md5(doc_id::VARCHAR || '-{i}'), 1, 15))::BIGINT"
+    return f"({vocab})[CAST(({h} % {len(_BYTE_VOCAB)}) AS INT) + 1]"
+
+
+_BYTE_SHINGLES = f"""
+base_b AS (
+  SELECT doc_id, concat_ws(' ', {", ".join(_byte_word_sql(i) for i in range(8))}) AS text
+  FROM documents
+),
+corpus_b AS (
+  SELECT doc_id, text FROM base_b
+  UNION ALL
+  SELECT doc_id + 500000, text || ' 了' FROM base_b WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 600000, text || '  ' FROM base_b WHERE doc_id % 11 = 0
+),
+hx_b AS (
+  SELECT doc_id, hex(encode(t)) AS hs, octet_length(encode(t)) AS nb
+  FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM corpus_b)
+),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN nb < 12 THEN []::VARCHAR[]
+      ELSE list_transform(range(1, nb - 10), i -> substr(hs, (i-1)*2+1, 24)) END) AS s
+  FROM hx_b
+),
+shd AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing)
+"""
+
+_BYTE_JACCARD = f"""
+WITH {_BYTE_SHINGLES},{_JACCARD_TAIL}"""
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +391,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(jaccard_cte: str = _DD_JACCARD) -> str:
     """Shared CTE chain ending in ``lsh_pairs`` — the verified
-    MinHash+LSH near-dup pairs (jaccard ≥ 0.5)."""
+    MinHash+LSH near-dup pairs (jaccard ≥ 0.5). ``jaccard_cte`` is
+    any WITH-chain defining ``shd(doc_id, sh)`` and ``jac(id_a,
+    id_b, jaccard)``; the word-shingle chain is the default, the
+    byte-shingle chain (:data:`_BYTE_JACCARD`) drops in for the
+    script-agnostic variant — signatures, banding, candidates, and
+    verify are shingle-source-agnostic on both engines."""
     mh = ", ".join(
         f"min(({a}::BIGINT * (sh % {HASH_P}) + {b}) % {HASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -305,7 +409,7 @@ def _minhash_ctes() -> str:
     )
     lateral = ", ".join(f"({b}, band{b})" for b in range(4))
     return f"""
-{_DD_JACCARD},
+{jaccard_cte},
 sig AS (SELECT doc_id, {mh} FROM shd GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sig),
 stacked AS (
@@ -325,11 +429,32 @@ lsh_pairs AS (
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(jaccard_cte: str = _DD_JACCARD) -> str:
     return f"""
-{_minhash_ctes()}
+{_minhash_ctes(jaccard_cte)}
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM lsh_pairs
 """
+
+
+def q_dedup_minhash_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over BYTE 12-gram shingles — the
+    script-agnostic dedup path. ``dedup_minhash_lsh`` shingles
+    ``[a-z0-9]`` word trigrams, so a CJK/Cyrillic/accented document
+    has NO shingles and can never deduplicate; this entry shingles
+    the raw UTF-8 byte stream of a deterministic multilingual
+    near-dup fixture (5 scripts, planted 1-char-suffix variants and
+    whitespace-mangled exact copies), reusing the identical banding /
+    mega-duplicate-guard / candidate-verify machinery via the
+    prebuilt-``shingles`` seam. The oracle replays the byte-shingle
+    chain (hex-slice n-grams), all 16 minhash permutations, banding,
+    the candidate join, and exact-Jaccard verification in SQL."""
+    from coltt_spark.operators.dedup import shingle_table_bytes
+
+    docs = _uni_neardup_docs(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", bands=4, threshold=0.5,
+        shingles=shingle_table_bytes(docs, "doc_id", "text", 12),
+    )
 
 
 _GROUPS_CACHE: dict = {}
@@ -530,6 +655,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_bytes": q_dedup_minhash_bytes,
     "dedup_groups": q_dedup_groups,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -543,6 +669,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_bytes": _minhash_oracle(_BYTE_JACCARD),
     "dedup_groups": _groups_oracle(),
     "dedup_canonical": _canonical_oracle(),
     "dedup_simhash": _simhash_oracle(),

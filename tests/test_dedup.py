@@ -434,3 +434,92 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, (seed, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
+
+
+def test_byte_shingles_known_values(spark):
+    """'aé' is UTF-8 61 C3 A9 — n=2 byte shingles are the hex-pair
+    slices ['61C3', 'C3A9']; a string shorter than n bytes has no
+    shingles."""
+    from coltt_spark.functions.text import byte_shingles
+
+    df = spark.range(1)
+    out = df.select(byte_shingles(F.lit("aé"), 2).alias("s")).first()["s"]
+    assert out == ["61C3", "C3A9"]
+    out = df.select(byte_shingles(F.lit("é"), 3).alias("s")).first()["s"]
+    assert out == []
+
+
+def test_byte_shingles_match_python_reference(spark):
+    """Spark's hex-slice shingles must equal an independently-written
+    Python reference (encode → hex → sliding window) on every script
+    class the multilingual fixture exercises."""
+    from coltt_spark.functions.text import byte_shingles
+
+    texts = [
+        "日本語のテキスト処理",
+        "привет мир данные",
+        "café naïve résumé",
+        "plain ascii words",
+        "混合 mixed テキスト 텍스트",
+        "",
+        "ab",
+    ]
+    n = 5
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", byte_shingles("t", n).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        hx = b.hex().upper()
+        exp = (
+            [hx[j * 2 : (j + n) * 2] for j in range(len(b) - n + 1)]
+            if len(b) >= n
+            else []
+        )
+        assert got[i] == exp, (t, got[i][:3], exp[:3])
+
+
+def test_byte_dedup_sees_cjk_where_word_path_is_blind(spark):
+    """Pure-CJK documents have NO [a-z0-9] word shingles (the word
+    path is structurally blind to them); the byte-shingle path feeds
+    the SAME minhash/LSH machinery and catches the planted suffix
+    variant — and nothing else."""
+    from coltt_spark.operators.dedup import shingle_table, shingle_table_bytes
+
+    rows = [
+        (1, "日本語 の テキスト 処理 パイプライン 重複 排除 試験"),
+        (2, "日本語 の テキスト 処理 パイプライン 重複 排除 試験 了"),
+        (3, "русский текст пример данные очень разные слова здесь"),
+        (4, "随机 中文 句子 和 其他 词 完全 不同"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert shingle_table(df, "doc_id", "text", 3).count() == 0
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text",
+        shingles=shingle_table_bytes(df, "doc_id", "text", 12),
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}, got
+    j = [r["jaccard"] for r in pairs][0]
+    assert j > 0.8
+
+
+def test_byte_shingle_table_collapses_whitespace_preserves_case(spark):
+    """Whitespace runs normalize away (an extra-spaces copy has the
+    IDENTICAL shingle set), but case does NOT fold — byte-level dedup
+    is byte-exact by design (Unicode case-folding is engine-divergent
+    on adversarial code points, so it stays out of the oracle-checked
+    path)."""
+    from coltt_spark.operators.dedup import shingle_table_bytes
+
+    rows = [(1, "Café Data Zürich"), (2, "  Café  Data  Zürich "), (3, "café data zürich")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {}
+    for r in shingle_table_bytes(df, "doc_id", "text", 6).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    assert sets[1] == sets[2]
+    assert sets[1] != sets[3]

@@ -898,3 +898,20 @@ def test_pack_sequences_ids_single_shard_shuffle(spark):
 
     keyed = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert keyed and all("seq_id" not in k for k in keyed), keyed
+
+
+def test_byte_shingle_table_is_pure_codegen_scan(spark):
+    """The byte-shingle inverted table must be scan → narrow hex-slice
+    projection → Generate (explode) → distinct — no Python stage
+    anywhere. At 100 TB the shingle build is the dominant dedup cost;
+    it has to stay inside whole-stage codegen like the word-shingle
+    path it mirrors."""
+    from coltt_spark.operators.dedup import shingle_table_bytes
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = shingle_table_bytes(docs, "doc_id", "text", 12)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" in plan  # the explode over hex-slice shingles
+    # the distinct aggregates map-side before the one shuffle
+    assert "Exchange" in plan
