@@ -397,3 +397,202 @@ def pq_topk(
         .filter(F.col("rn2") <= k)
         .select("query_id", F.col(id_col), "dist")
     )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Build the fused IVF-PQ (IVFADC) index — the standard
+    billion-scale layout (Jégou et al. 2011, the FAISS ``IVFxx,PQyy``
+    family): a coarse spherical-k-means quantizer routes each vector
+    to an inverted list, and PQ codebooks trained on the RESIDUALS
+    (vector − coarse centroid) encode what the coarse step didn't
+    explain. Residual encoding is what makes the combination better
+    than either part: residuals are centered near zero, so the same
+    ``ks``-entry codebooks quantize them far more finely than the raw
+    vectors.
+
+    Returns ``(codes, Cn, book)``: the encoded corpus
+    ``(id, centroid, codes array<int>)`` — at scale, write it
+    partitioned by ``centroid`` so probes prune to the lists they
+    touch; each row costs M bytes instead of dim·4 — plus the
+    normalized coarse centroids and the (M, ks, dsub) residual
+    codebooks. Every training step reuses the audited primitives:
+    :func:`~coltt_spark.operators.ann.ivf_build` for the coarse
+    quantizer, :func:`pq_train` on the residual DataFrame (hash-mod
+    seeds + one map-side-combined Lloyd round), so the whole build is
+    a fixed number of corpus scans with k-row driver reduces —
+    nothing quadratic, nothing collected beyond centroids/codebooks."""
+    from coltt_spark.operators.ann import ivf_build
+
+    assigned, Cn = ivf_build(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters,
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))],
+        T.StructType(
+            [
+                T.StructField("centroid", T.IntegerType(), False),
+                T.StructField("_cv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    resid = assigned.join(F.broadcast(cent_df), on="centroid").select(
+        F.col(id_col),
+        F.col("centroid"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("_cv"), lambda x, c: x - c
+        ).alias("_rv"),
+    )
+    book = pq_train(
+        resid, id_col=id_col, vec_col="_rv", n_subspaces=n_subspaces, n_codes=n_codes
+    )
+    codes = resid.select(
+        F.col(id_col), F.col("centroid"), _encode_udf(book)(F.col("_rv")).alias("codes")
+    )
+    return codes, Cn, book
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: dict[int, Sequence[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 50,
+    index: tuple[DataFrame, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) search: probe the ``nprobe`` max-cosine coarse
+    lists, ADC-score ONLY their rows against a per-(query, probed
+    centroid) lookup table of exact residual subspace distances (the
+    query's residual differs per probed centroid — that is the part
+    plain PQ doesn't have), keep the top ``refine`` by ADC, and
+    rerank them with the exact euclidean distance so the output
+    ``dist`` is exact.
+
+    Scale shape: LUTs are driver-built literals (B·nprobe·M·ks
+    doubles) broadcast-joined on ``centroid``, so a
+    centroid-partitioned codes table prunes the scan to
+    ~nprobe/n_centroids of the corpus and reads M bytes per row; the
+    only shuffle is the per-query top-``refine`` window over scored
+    candidates, and the refine join touches B·refine vectors. All
+    float math is sequential-fold double on both sides, so the
+    registry oracle replays the ENTIRE pipeline — coarse k-means,
+    residuals, per-subspace Lloyd, encode, probe order, LUT, ADC,
+    refine — in SQL (registry_ann._ivfpq_oracle)."""
+    if index is None:
+        index = ivfpq_build(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+        )
+    codes, Cn, book = index
+    m, ks, dsub = book.shape
+
+    lut_rows = []
+    qv_rows = []
+    for qid, v in queries.items():
+        q = [float(x) for x in v]
+        qv_rows.append((int(qid), q))
+        # probe order: sequential-fold cosine against the normalized
+        # coarse centroids, DESC with centroid-id tiebreak — the same
+        # arithmetic the oracle's ORDER BY replays
+        s2 = 0.0
+        for x in q:
+            s2 = s2 + x * x
+        nrm = max(s2 ** 0.5, 1e-30)
+        sims = []
+        for c in range(len(Cn)):
+            s = 0.0
+            for j in range(len(q)):
+                s = s + (q[j] / nrm) * float(Cn[c][j])
+            sims.append((-s, c))
+        sims.sort()
+        for _, c in sims[:nprobe]:
+            qr = [q[j] - float(Cn[c][j]) for j in range(len(q))]
+            lut = []
+            for mi in range(m):
+                for code in range(ks):
+                    s = 0.0
+                    for j in range(dsub):
+                        d = qr[mi * dsub + j] - float(book[mi, code, j])
+                        s = s + d * d
+                    lut.append(s)
+            lut_rows.append((int(qid), int(c), lut))
+
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        lut_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("centroid", T.IntegerType(), False),
+                T.StructField("lut", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    # static isin on the probed lists: redundant with the join but
+    # Catalyst pushes it into the scan, so a centroid-partitioned
+    # codes table prunes to the probed partitions (same trick as
+    # ivf_probe)
+    touched = sorted({c for _, c, _ in lut_rows})
+    scored = (
+        codes.filter(F.col("centroid").isin(touched))
+        .join(F.broadcast(qdf), on="centroid")
+        .withColumn(
+            "adc",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("codes"), lambda c, i: F.get(F.col("lut"), i * ks + c)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    cand = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= refine)
+
+    qvdf = spark.createDataFrame(
+        qv_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    refined = (
+        cand.select("query_id", id_col)
+        .join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(qvdf), on="query_id")
+        .withColumn("dist", vector_distance("euclidean", F.col(vec_col), F.col("qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        refined.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= k)
+        .select("query_id", F.col(id_col), "dist")
+    )

@@ -1503,6 +1503,14 @@ _KEY_ORDER = [
     #    replay of shingles→signatures→bands→verify (slot freed by
     #    demoting jsonl_roundtrip — r6-green, tail of the window's r6
     #    fill, back to its r6-order seat past the boundary)
+    "ann_ivfpq",            # new r8: fused IVF-PQ (IVFADC) — coarse
+    #    inverted lists + product-quantized RESIDUALS + per-list
+    #    query LUTs + exact refine, the standard billion-scale ANN
+    #    layout; oracle replays coarse k-means, residuals, residual
+    #    PQ training, probe order, ADC, and refine in SQL (slot freed
+    #    by demoting collection_time_travel — r6-green, tail of the
+    #    window's r6 fill, back to its r6-order seat past the
+    #    boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1520,17 +1528,17 @@ _KEY_ORDER = [
     "token_vocab",
     "doc_lm_score",
     "filter_extended",
-    "collection_time_travel",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 39 remaining r6-green entries in their r6
+    # ---- round. First the 40 remaining r6-green entries in their r6
     # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger; jsonl_roundtrip rejoined them when its
-    # ---- window slot went to the new dedup_minhash_bytes), then the
-    # ---- 45 r7-green entries (freshest signal; bpe_train /
-    # ---- bpe_encode / web_url_psl / media_exif /
-    # ---- media_exif_orientation were promoted back into the window
-    # ---- as touched-this-round).
+    # ---- rotation ledger; collection_time_travel and jsonl_roundtrip
+    # ---- rejoined them when their window slots went to the new
+    # ---- ann_ivfpq and dedup_minhash_bytes), then the 45 r7-green
+    # ---- entries (freshest signal; bpe_train / bpe_encode /
+    # ---- web_url_psl / media_exif / media_exif_orientation were
+    # ---- promoted back into the window as touched-this-round).
+    "collection_time_travel",
     "jsonl_roundtrip",
     "ann_recall",
     "stream_join",

@@ -265,3 +265,71 @@ def test_cluster_outliers_below_threshold(spark):
     ).collect()
     assert out, "threshold sized to flag some rows"
     assert all(r["centroid_sim"] < 0.25 for r in out)
+
+
+def test_ivfpq_recall_and_exact_refine(spark):
+    """Fused IVF-PQ: codes are in range and carry the coarse
+    assignment, recall against the exact euclidean truth clears the
+    floor the probe fraction allows, widening nprobe never hurts
+    recall, and refined distances are the exact euclidean ones."""
+    from coltt_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark)
+    index = ivfpq_build(emb, id_col="vec_id", vec_col="embedding",
+                        n_centroids=16, n_subspaces=8, n_codes=16)
+    codes, Cn, book = index
+    assert book.shape == (8, 16, 8)
+    rows = codes.collect()
+    assert all(
+        len(r["codes"]) == 8
+        and all(0 <= c < 16 for c in r["codes"])
+        and 0 <= r["centroid"] < 16
+        for r in rows
+    )
+
+    truth = brute_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                       distance="euclidean")
+    narrow = ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                        nprobe=4, refine=100, index=index)
+    wide = ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=K,
+                      nprobe=16, refine=100, index=index)
+    r_narrow = recall_at_k(narrow, truth, id_col="vec_id", k=K)
+    r_wide = recall_at_k(wide, truth, id_col="vec_id", k=K)
+    # near-uniform synthetic embeddings: recall at nprobe=4/16 is
+    # bounded by the ~25% candidate fraction, same floor as the plain
+    # IVF test (test_ivf_recall_and_candidate_fraction, ~0.48), and
+    # the 8×16 ADC is coarse on unclustered data (plain PQ's floor
+    # here is 0.5) — the recall DIAL is what's under test, not an
+    # absolute: widening nprobe must never hurt
+    assert r_narrow >= 0.4, r_narrow
+    assert r_wide >= r_narrow, (r_narrow, r_wide)
+    # exact limit: probing every list with refine ≥ corpus size makes
+    # the ADC cut a no-op, so IVFPQ must EQUAL the flat exact scan
+    n = emb.count()
+    exact_limit = ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                             k=K, nprobe=16, refine=n, index=index)
+    assert recall_at_k(exact_limit, truth, id_col="vec_id", k=K) == 1.0
+    # refine contract: returned distances are the exact euclidean ones
+    t = {(x["query_id"], x["vec_id"]): round(x["dist"], 8) for x in truth.collect()}
+    for x in narrow.collect():
+        key = (x["query_id"], x["vec_id"])
+        if key in t:
+            assert round(x["dist"], 8) == t[key]
+
+
+def test_ivfpq_build_is_deterministic(spark):
+    """Two independent builds must produce identical codebooks and
+    identical per-row codes — everything derives from md5 seeds and
+    fixed arithmetic, nothing from partition order."""
+    import numpy as np
+
+    from coltt_spark.operators.pq import ivfpq_build
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    c1, Cn1, b1 = ivfpq_build(emb, id_col="vec_id", vec_col="embedding")
+    c2, Cn2, b2 = ivfpq_build(emb, id_col="vec_id", vec_col="embedding")
+    assert np.array_equal(Cn1, Cn2) and np.array_equal(b1, b2)
+    r1 = {r["vec_id"]: (r["centroid"], tuple(r["codes"])) for r in c1.collect()}
+    r2 = {r["vec_id"]: (r["centroid"], tuple(r["codes"])) for r in c2.collect()}
+    assert r1 == r2

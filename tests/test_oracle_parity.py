@@ -107,6 +107,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "bpe_encode_ids",
         "pack_sequences_ids",
         "dedup_minhash_bytes",
+        "ann_ivfpq",
         # implementation touched this round: bpe_train / bpe_encode
         # (oracle chain degrades to identity on merge exhaustion —
         # ADVICE r7 #1 — and was generalized for the byte path),

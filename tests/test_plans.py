@@ -915,3 +915,28 @@ def test_byte_shingle_table_is_pure_codegen_scan(spark):
     assert "Generate" in plan  # the explode over hex-slice shingles
     # the distinct aggregates map-side before the one shuffle
     assert "Exchange" in plan
+
+
+def test_ivfpq_probe_joins_luts_broadcast(spark):
+    """The IVF-PQ probe must join the per-(query, probed-centroid)
+    LUTs to the codes table as a BROADCAST join — the corpus side
+    never shuffles for the ADC scan (at 100 TB the codes table is
+    centroid-partitioned and the probe reads ~nprobe/n_centroids of
+    it; a sort-merge join here would shuffle the whole index per
+    query batch). The only Exchange allowed is the per-query
+    top-refine window over the scored candidates."""
+    from coltt_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    index = ivfpq_build(emb, id_col="vec_id", vec_col="embedding")
+    out = ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                     k=5, nprobe=4, refine=20, index=index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no cartesian anywhere: every join is keyed (centroid / id / query)
+    assert "Cartesian" not in plan
