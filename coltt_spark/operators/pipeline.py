@@ -78,11 +78,22 @@ def decontaminate(
     *,
     ngram: int = 8,
     min_hits: int = 1,
+    byte_level: bool = False,
+    n_bytes: int = 24,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing at
     least ``min_hits`` distinct word ``ngram``-shingles with any
     benchmark (eval-set) document — the standard n-gram-overlap
     contamination check run before training on scraped corpora.
+
+    ``byte_level=True`` shingles the whitespace-collapsed UTF-8 byte
+    stream (``n_bytes``-byte windows,
+    :func:`~coltt_spark.functions.text.byte_shingles`) instead of
+    ``[a-z0-9]`` word n-grams — the word path sees NOTHING of a CJK/
+    Cyrillic/accented eval set, so contamination from multilingual
+    benchmarks passes the ASCII check silently. 24 bytes ≈ 8 CJK
+    characters ≈ a 4-5-word Latin window — the same specificity class
+    as the 5-8-word shingles. Same join topology either way.
 
     Returns (train id, n_hit_shingles, n_benchmark_docs) per
     contaminated training document.
@@ -99,7 +110,13 @@ def decontaminate(
     train = ensure_parallelism(train, id_col)
 
     def shingle_hashes(df: DataFrame, out: str) -> DataFrame:
-        sh = F.array_distinct(word_shingles(text_col, ngram))
+        if byte_level:
+            from coltt_spark.functions.text import byte_shingles
+
+            normed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+            sh = F.array_distinct(byte_shingles(normed, n_bytes))
+        else:
+            sh = F.array_distinct(word_shingles(text_col, ngram))
         return df.select(
             F.col(id_col).alias(out), F.explode(sh).alias("_s")
         ).withColumn("_h", hash60(F.col("_s"))).drop("_s")

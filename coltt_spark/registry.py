@@ -1511,6 +1511,12 @@ _KEY_ORDER = [
     #    by demoting collection_time_travel — r6-green, tail of the
     #    window's r6 fill, back to its r6-order seat past the
     #    boundary)
+    "decontaminate_bytes",  # new r8: byte-level benchmark
+    #    decontamination — 24-byte shingles over the multilingual
+    #    fixture; the word-shingle check sees NOTHING of a CJK/
+    #    Cyrillic eval set (slot freed by demoting filter_extended —
+    #    r6-green, tail of the window's r6 fill, back to its r6-order
+    #    seat past the boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1527,17 +1533,18 @@ _KEY_ORDER = [
     "embed_outliers",
     "token_vocab",
     "doc_lm_score",
-    "filter_extended",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 40 remaining r6-green entries in their r6
+    # ---- round. First the 41 remaining r6-green entries in their r6
     # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger; collection_time_travel and jsonl_roundtrip
-    # ---- rejoined them when their window slots went to the new
-    # ---- ann_ivfpq and dedup_minhash_bytes), then the 45 r7-green
-    # ---- entries (freshest signal; bpe_train / bpe_encode /
-    # ---- web_url_psl / media_exif / media_exif_orientation were
-    # ---- promoted back into the window as touched-this-round).
+    # ---- rotation ledger; filter_extended, collection_time_travel
+    # ---- and jsonl_roundtrip rejoined them when their window slots
+    # ---- went to the new decontaminate_bytes, ann_ivfpq and
+    # ---- dedup_minhash_bytes), then the 45 r7-green entries
+    # ---- (freshest signal; bpe_train / bpe_encode / web_url_psl /
+    # ---- media_exif / media_exif_orientation were promoted back
+    # ---- into the window as touched-this-round).
+    "filter_extended",
     "collection_time_travel",
     "jsonl_roundtrip",
     "ann_recall",

@@ -148,7 +148,13 @@ def _byte_word_sql(i: int) -> str:
     return f"({vocab})[CAST(({h} % {len(_BYTE_VOCAB)}) AS INT) + 1]"
 
 
-_BYTE_SHINGLES = f"""
+def _byte_shingles_cte(n: int = 12) -> str:
+    """WITH-chain fragment ending in ``shd(doc_id, sh)``: the
+    multilingual fixture corpus (``corpus_b``) byte-``n``-gram
+    shingled via hex slices — shared by the byte-level dedup and
+    decontamination oracles (the latter at a wider, contamination-
+    grade window)."""
+    return f"""
 base_b AS (
   SELECT doc_id, concat_ws(' ', {", ".join(_byte_word_sql(i) for i in range(8))}) AS text
   FROM documents
@@ -165,12 +171,15 @@ hx_b AS (
   FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM corpus_b)
 ),
 shing AS (
-  SELECT doc_id, unnest(CASE WHEN nb < 12 THEN []::VARCHAR[]
-      ELSE list_transform(range(1, nb - 10), i -> substr(hs, (i-1)*2+1, 24)) END) AS s
+  SELECT doc_id, unnest(CASE WHEN nb < {n} THEN []::VARCHAR[]
+      ELSE list_transform(range(1, nb - {n - 2}), i -> substr(hs, (i-1)*2+1, {2 * n})) END) AS s
   FROM hx_b
 ),
 shd AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing)
 """
+
+
+_BYTE_SHINGLES = _byte_shingles_cte(12)
 
 _BYTE_JACCARD = f"""
 WITH {_BYTE_SHINGLES},{_JACCARD_TAIL}"""

@@ -95,6 +95,43 @@ HAVING count(DISTINCT t.sh) >= 1
 """
 
 
+def q_decontaminate_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level benchmark decontamination over the multilingual
+    fixture: the eval set is every tenth BASE document; the training
+    side keeps every planted variant (1-char-CJK-suffix near-dups and
+    whitespace-mangled copies), so variants of eval documents are the
+    planted contamination. Word-shingle decontamination sees NOTHING
+    here — the corpus has no [a-z0-9] 5-grams — which is exactly the
+    multilingual blind spot this entry closes. Benchmark side
+    broadcast, corpus never shuffles (same topology as
+    ``decontaminate``)."""
+    from coltt_spark.registry_dedup import _uni_neardup_docs
+
+    corpus = _uni_neardup_docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") < 500000) & (F.col("doc_id") % 10 == 0)
+    bench = corpus.filter(is_bench)
+    train = corpus.filter(~is_bench)
+    return decontaminate(
+        train, bench, "doc_id", "text", min_hits=1, byte_level=True, n_bytes=24
+    )
+
+
+def _decontaminate_bytes_oracle() -> str:
+    from coltt_spark.registry_dedup import _byte_shingles_cte
+
+    return f"""
+WITH {_byte_shingles_cte(24)},
+b AS (SELECT doc_id AS bench_id, sh FROM shd WHERE doc_id < 500000 AND doc_id % 10 = 0),
+t AS (SELECT doc_id, sh FROM shd WHERE NOT (doc_id < 500000 AND doc_id % 10 = 0))
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+FROM t JOIN b USING (sh)
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.sh) >= 1
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample (25 docs per ``lang``)
     ranked by the md5-derived hash — the reproducible training-mix
@@ -1201,6 +1238,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
+    "decontaminate_bytes": q_decontaminate_bytes,
     "decontaminate_bloom": q_decontaminate_bloom,
     "sample_stratified": q_sample_stratified,
     "sample_fraction": q_sample_fraction,
@@ -1224,6 +1262,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "line_dedup": _ORACLE_LINE_DEDUP,
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "decontaminate_bytes": _decontaminate_bytes_oracle(),
     "decontaminate_bloom": _bloom_oracle(),
     "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
     "sample_fraction": _ORACLE_SAMPLE_FRACTION,

@@ -108,6 +108,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "pack_sequences_ids",
         "dedup_minhash_bytes",
         "ann_ivfpq",
+        "decontaminate_bytes",
         # implementation touched this round: bpe_train / bpe_encode
         # (oracle chain degrades to identity on merge exhaustion —
         # ADVICE r7 #1 — and was generalized for the byte path),

@@ -53,6 +53,30 @@ def test_decontaminate_min_hits_threshold(spark):
     assert none == []
 
 
+def test_decontaminate_byte_level_sees_cjk(spark):
+    """A CJK eval document is INVISIBLE to word-shingle
+    decontamination (no [a-z0-9] tokens ⇒ no shingles ⇒ no flag);
+    the byte-level mode catches the contaminated training copy —
+    and still doesn't flag unrelated CJK text."""
+    bench_text = "日本語 の 評価 データ セット の 質問 と 答え"
+    train = _docs(
+        spark,
+        [
+            (1, bench_text + " 追記"),                       # contaminated copy
+            (2, "完全 に 無関係 な 中国語 の 文章 です よ"),   # unrelated CJK
+            (3, "plain ascii words with no overlap at all"),
+        ],
+    )
+    bench = _docs(spark, [(100, bench_text)])
+    word = decontaminate(train, bench, "doc_id", "text", ngram=5, min_hits=1).collect()
+    assert word == []  # the documented ASCII blind spot
+    byte = decontaminate(
+        train, bench, "doc_id", "text", min_hits=1, byte_level=True, n_bytes=24
+    ).collect()
+    assert [r["doc_id"] for r in byte] == [1]
+    assert byte[0]["n_benchmark_docs"] == 1
+
+
 def test_stratified_sample_quota_and_determinism(spark):
     rows = [(i, "x") for i in range(100)]
     df = spark.createDataFrame(
