@@ -70,12 +70,23 @@ def utf8_byte_symbols(col) -> Column:
     identical uppercase output (probed bit-equal on CJK/accented/
     ASCII).
     DuckDB: ``list_transform(generate_series(1, octet_length(
-    encode(x))), i -> substr(hex(encode(x)), (i-1)*2+1, 2))``."""
+    encode(x))), i -> substr(hex(encode(x)), (i-1)*2+1, 2))``.
+
+    Empty-string guard: Spark's ``sequence(1, 0)`` DESCENDS (→
+    ``[1, 0]``, two phantom ``''`` symbols) where DuckDB's
+    ``generate_series(1, 0)`` is empty — the same gotcha
+    ``script_lang_id`` guards in its pair walk. Guard here at the
+    source so every consumer (band counts, script profiles, BPE)
+    sees the DuckDB-equivalent empty array."""
     c = F.col(col) if isinstance(col, str) else col
     hexed = F.hex(F.encode(c, "UTF-8"))
-    return F.transform(
-        F.sequence(F.lit(1), F.octet_length(c)),
-        lambda i: F.substring(hexed, (i - 1) * 2 + 1, 2),
+    return F.when(
+        F.octet_length(c) < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.octet_length(c)),
+            lambda i: F.substring(hexed, (i - 1) * 2 + 1, 2),
+        )
     )
 
 

@@ -147,6 +147,71 @@ def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document script COMPOSITION — the multilingual curation
+    signal next to :func:`script_lang_id`'s single label: fractions
+    of characters per script class, for gating mixed-script spam
+    (keyword-stuffed pages interleaving CJK and Latin), measuring
+    translation-pair contamination, and per-script corpus accounting.
+
+    Characters are UTF-8 LEAD bytes on the hex symbol stream (a lead
+    is any symbol outside the 80–BF continuation band), so counts are
+    code points without a Unicode regex on either engine. Classes:
+    ascii (00–7F), latin_ext (C3–C5 leads — Latin-1 supplement
+    letters + Latin Extended-A/B), cyrillic (D0–D1), kana (pair-
+    indexed ``E3`` + ``81``–``83``, exactly U+3040–30FF), cjk
+    (E4–E9), hangul (EA–ED), and ``other`` = the remaining leads
+    (CJK punctuation under E3, symbols, C2-lead punctuation, …).
+    Fractions are over total characters, rounded to 4 decimals on
+    both engines. Pure codegen projection — one scan, no Python."""
+    df = ensure_parallelism(df, id_col)
+    # materialize the symbol array ONCE (Catalyst does not CSE the
+    # nested hex-transform lambdas — same lesson as script_lang_id)
+    df = df.select(F.col(id_col), utf8_byte_symbols(F.col(text_col)).alias("_sy"))
+    syms = F.col("_sy")
+    n = F.size(syms)
+
+    def band(lo: str, hi: str) -> Column:
+        return F.size(
+            F.filter(syms, lambda s: (s >= F.lit(lo)) & (s <= F.lit(hi)))
+        ).cast("long")
+
+    leads = F.size(
+        F.filter(syms, lambda s: (s < F.lit("80")) | (s >= F.lit("C0")))
+    ).cast("long")
+    n_ascii = band("00", "7F")
+    n_latin = band("C3", "C5")
+    n_cyr = band("D0", "D1")
+    n_cjk = band("E4", "E9")
+    n_hangul = band("EA", "ED")
+    kana = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda j: (F.element_at(syms, j) == F.lit("E3"))
+                & F.element_at(syms, j + 1).isin("81", "82", "83"),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    n_other = leads - n_ascii - n_latin - n_cyr - n_cjk - n_hangul - kana
+
+    def frac(x: Column) -> Column:
+        return F.when(leads > 0, F.round(x / leads, 4)).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        leads.alias("n_chars"),
+        frac(n_ascii).alias("frac_ascii"),
+        frac(n_latin).alias("frac_latin_ext"),
+        frac(n_cyr).alias("frac_cyrillic"),
+        frac(kana).alias("frac_kana"),
+        frac(n_cjk).alias("frac_cjk"),
+        frac(n_hangul).alias("frac_hangul"),
+        frac(n_other).alias("frac_other"),
+    )
+
+
 def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length / punctuation / stopword heuristics + a composite
     quality score in [0, 1].

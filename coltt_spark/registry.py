@@ -1517,6 +1517,12 @@ _KEY_ORDER = [
     #    Cyrillic eval set (slot freed by demoting filter_extended —
     #    r6-green, tail of the window's r6 fill, back to its r6-order
     #    seat past the boundary)
+    "text_script_profile",  # new r8: per-document script COMPOSITION
+    #    fractions (ascii/latin-ext/cyrillic/kana/cjk/hangul/other by
+    #    UTF-8 lead-byte class) — the mixed-script curation gate next
+    #    to script_lang_id's single label (slot freed by demoting
+    #    doc_lm_score — r6-green, tail of the window's r6 fill, back
+    #    to its r6-order seat past the boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1532,18 +1538,19 @@ _KEY_ORDER = [
     # -- since) -------------------------------------------------------
     "embed_outliers",
     "token_vocab",
-    "doc_lm_score",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 41 remaining r6-green entries in their r6
+    # ---- round. First the 42 remaining r6-green entries in their r6
     # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger; filter_extended, collection_time_travel
-    # ---- and jsonl_roundtrip rejoined them when their window slots
-    # ---- went to the new decontaminate_bytes, ann_ivfpq and
+    # ---- rotation ledger; doc_lm_score, filter_extended,
+    # ---- collection_time_travel and jsonl_roundtrip rejoined them
+    # ---- when their window slots went to the new
+    # ---- text_script_profile, decontaminate_bytes, ann_ivfpq and
     # ---- dedup_minhash_bytes), then the 45 r7-green entries
     # ---- (freshest signal; bpe_train / bpe_encode / web_url_psl /
     # ---- media_exif / media_exif_orientation were promoted back
     # ---- into the window as touched-this-round).
+    "doc_lm_score",
     "filter_extended",
     "collection_time_travel",
     "jsonl_roundtrip",
@@ -1672,10 +1679,11 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _ivf_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)
-    from coltt_spark.registry_ann import _kmeans_fixture, _pq_book
+    from coltt_spark.registry_ann import _ivfpq_index, _kmeans_fixture, _pq_book
 
     _pq_book(spark, sf_dir)
     _kmeans_fixture(spark, sf_dir)
+    _ivfpq_index(spark, sf_dir)
     from coltt_spark.registry_media import _media_feats
 
     _media_feats(spark, sf_dir)

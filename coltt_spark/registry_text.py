@@ -632,6 +632,68 @@ FROM b
 """
 
 
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script composition fractions over the
+    multilingual fixture, with CJK punctuation (、。 — E3 leads
+    OUTSIDE the kana second-byte band) appended to every 4th row so
+    the ``other`` class is exercised alongside all six script
+    classes. The mixed-script gating signal a multilingual curation
+    pipeline keys on."""
+    from coltt_spark.operators.textstats import script_profile
+
+    docs = _uni_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" 数据、測定。")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return script_profile(docs, "doc_id", "text")
+
+
+def _script_profile_oracle() -> str:
+    syms = (
+        "list_transform(generate_series(1, octet_length(encode(text))), "
+        "i -> substr(hex(encode(text)), (i - 1) * 2 + 1, 2))"
+    )
+    src = (
+        f"(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN ' 数据、測定。' "
+        f"ELSE '' END AS text FROM {_UNI_SRC} u)"
+    )
+    band = "CAST(len(list_filter(sy, x -> x >= '{lo}' AND x <= '{hi}')) AS BIGINT)"
+    return f"""
+WITH s AS (SELECT doc_id, {syms} AS sy FROM {src} v),
+c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(sy, x -> x < '80' OR x >= 'C0')) AS BIGINT) AS leads,
+    {band.format(lo="00", hi="7F")} AS n_ascii,
+    {band.format(lo="C3", hi="C5")} AS n_latin,
+    {band.format(lo="D0", hi="D1")} AS n_cyr,
+    {band.format(lo="E4", hi="E9")} AS n_cjk,
+    {band.format(lo="EA", hi="ED")} AS n_hangul,
+    CAST(CASE WHEN len(sy) >= 2 THEN
+      len(list_filter(generate_series(1, len(sy) - 1),
+          j -> sy[j] = 'E3' AND list_contains(['81', '82', '83'], sy[j + 1])))
+      ELSE 0 END AS BIGINT) AS n_kana
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       leads AS n_chars,
+       CASE WHEN leads > 0 THEN round(n_ascii::DOUBLE / leads, 4) ELSE 0.0 END AS frac_ascii,
+       CASE WHEN leads > 0 THEN round(n_latin::DOUBLE / leads, 4) ELSE 0.0 END AS frac_latin_ext,
+       CASE WHEN leads > 0 THEN round(n_cyr::DOUBLE / leads, 4) ELSE 0.0 END AS frac_cyrillic,
+       CASE WHEN leads > 0 THEN round(n_kana::DOUBLE / leads, 4) ELSE 0.0 END AS frac_kana,
+       CASE WHEN leads > 0 THEN round(n_cjk::DOUBLE / leads, 4) ELSE 0.0 END AS frac_cjk,
+       CASE WHEN leads > 0 THEN round(n_hangul::DOUBLE / leads, 4) ELSE 0.0 END AS frac_hangul,
+       CASE WHEN leads > 0 THEN
+         round((leads - n_ascii - n_latin - n_cyr - n_cjk - n_hangul - n_kana)::DOUBLE / leads, 4)
+       ELSE 0.0 END AS frac_other
+FROM c
+"""
+
+
 _BPE_BYTES_CACHE: dict[str, tuple] = {}
 
 
@@ -830,6 +892,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "token_count_unicode": q_token_count_unicode,
     "text_lang_id_unicode": q_text_lang_id_unicode,
+    "text_script_profile": q_text_script_profile,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
     "pack_sequences_ids": q_pack_sequences_ids,
@@ -849,6 +912,7 @@ TEXT_ORACLES: dict[str, str] = {
     "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
     "token_count_unicode": _ORACLE_TOKEN_COUNT_UNICODE,
     "text_lang_id_unicode": _script_lang_oracle(),
+    "text_script_profile": _script_profile_oracle(),
     "bpe_train_bytes": _bpe_train_oracle(
         BPE_MERGES_BYTES,
         toks=_TOKS_WS,

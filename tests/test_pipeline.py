@@ -676,3 +676,34 @@ def test_script_lang_id_matches_duckdb_on_adversarial_unicode(spark):
     assert len(got) == len(want)
     for i in got:
         assert got[i] == want[i], f"{texts[i]!r}: spark={got[i]} duckdb={want[i]}"
+
+
+def test_script_profile_hand_computed(spark):
+    """Known mixed-script string: 'ab é あ 中 한 я 。' — 2 ascii
+    letters + 6 ascii spaces, 1 latin-ext (é = C3), 1 kana (あ = E3
+    81/82 pair), 1 cjk (中 = E4), 1 hangul (한 = ED), 1 cyrillic
+    (я = D1), 1 other (。 = E3 80 — an E3 lead OUTSIDE the kana
+    second-byte band) = 14 characters; fractions sum to 1."""
+    from coltt_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab é あ 中 한 я 。"), (2, ""), (3, "ascii only")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(df, "doc_id", "text").collect()}
+    r = rows[1]
+    assert r["n_chars"] == 14
+    assert r["frac_ascii"] == round(8 / 14, 4)
+    assert r["frac_latin_ext"] == round(1 / 14, 4)
+    assert r["frac_kana"] == round(1 / 14, 4)
+    assert r["frac_cjk"] == round(1 / 14, 4)
+    assert r["frac_hangul"] == round(1 / 14, 4)
+    assert r["frac_cyrillic"] == round(1 / 14, 4)
+    assert r["frac_other"] == round(1 / 14, 4)
+    fr = [
+        r["frac_ascii"], r["frac_latin_ext"], r["frac_cyrillic"],
+        r["frac_kana"], r["frac_cjk"], r["frac_hangul"], r["frac_other"],
+    ]
+    assert abs(sum(fr) - 1.0) < 5e-4  # rounding residue only
+    assert rows[2]["n_chars"] == 0 and rows[2]["frac_ascii"] == 0.0
+    assert rows[3]["frac_ascii"] == 1.0 and rows[3]["frac_other"] == 0.0

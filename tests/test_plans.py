@@ -940,3 +940,21 @@ def test_ivfpq_probe_joins_luts_broadcast(spark):
     assert "SortMergeJoin" not in plan
     # no cartesian anywhere: every join is keyed (centroid / id / query)
     assert "Cartesian" not in plan
+
+
+def test_script_profile_is_codegen_projection(spark):
+    """Script composition fractions: same contract as the lang-id
+    guard above — ONE codegen'd projection, no Python stage, no join,
+    no agg; Exchange only as ensure_parallelism's explicit local-mode
+    repartition."""
+    from coltt_spark.registry_text import q_text_script_profile
+
+    out = q_text_script_profile(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Exchange" not in plan or "REPARTITION_BY_NUM" in plan
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final
