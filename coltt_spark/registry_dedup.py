@@ -148,12 +148,11 @@ def _byte_word_sql(i: int) -> str:
     return f"({vocab})[CAST(({h} % {len(_BYTE_VOCAB)}) AS INT) + 1]"
 
 
-def _byte_shingles_cte(n: int = 12) -> str:
-    """WITH-chain fragment ending in ``shd(doc_id, sh)``: the
-    multilingual fixture corpus (``corpus_b``) byte-``n``-gram
-    shingled via hex slices — shared by the byte-level dedup and
-    decontamination oracles (the latter at a wider, contamination-
-    grade window)."""
+def _byte_corpus_ctes() -> str:
+    """WITH-chain fragment defining the multilingual near-dup fixture
+    corpus ``corpus_b(doc_id, text)`` — the SQL twin of
+    :func:`_uni_neardup_docs`, shared by the byte-level dedup /
+    decontamination oracles and the multilingual composition test."""
     return f"""
 base_b AS (
   SELECT doc_id, concat_ws(' ', {", ".join(_byte_word_sql(i) for i in range(8))}) AS text
@@ -165,7 +164,16 @@ corpus_b AS (
   SELECT doc_id + 500000, text || ' 了' FROM base_b WHERE doc_id % 7 = 0
   UNION ALL
   SELECT doc_id + 600000, text || '  ' FROM base_b WHERE doc_id % 11 = 0
-),
+)"""
+
+
+def _byte_shingles_cte(n: int = 12) -> str:
+    """WITH-chain fragment ending in ``shd(doc_id, sh)``: the
+    multilingual fixture corpus (``corpus_b``) byte-``n``-gram
+    shingled via hex slices — shared by the byte-level dedup and
+    decontamination oracles (the latter at a wider, contamination-
+    grade window)."""
+    return f"""{_byte_corpus_ctes()},
 hx_b AS (
   SELECT doc_id, hex(encode(t)) AS hs, octet_length(encode(t)) AS nb
   FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM corpus_b)

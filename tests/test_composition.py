@@ -239,3 +239,67 @@ GROUP BY k.lang
     assert ok, msg
     row = out.agg(F.sum("n_words"), F.sum("n_tokens")).collect()[0]
     assert row[1] > row[0]  # subword fertility > 1
+
+
+def test_multilingual_pipeline_composes(spark):
+    """The byte-path twin of the curation chain above, over the
+    multilingual near-dup fixture: script-aware language ID →
+    byte-shingle MinHash+LSH dedup (drop every verified pair's id_b —
+    the keep-first policy) → per-language accounting of whitespace
+    words and UTF-8 bytes. Each component is registry-green alone;
+    this verifies they COMPOSE, against ONE DuckDB oracle that
+    replays the fixture, the full LSH chain, the removal, the
+    lead-byte script bands, and the accounting."""
+    from coltt_spark.functions.text import tokens_ws
+    from coltt_spark.operators.dedup import minhash_lsh_pairs, shingle_table_bytes
+    from coltt_spark.operators.textstats import script_lang_id
+    from coltt_spark.registry_dedup import (
+        _BYTE_JACCARD,
+        _minhash_ctes,
+        _uni_neardup_docs,
+    )
+    from coltt_spark.registry_text import _script_lang_oracle
+
+    docs = _uni_neardup_docs(spark, SF_CORRECT)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", bands=4, threshold=0.5,
+        shingles=shingle_table_bytes(docs, "doc_id", "text", 12),
+    )
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(dupes, on="doc_id", how="left_anti")
+    langs = script_lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    out = (
+        kept.join(langs, on="doc_id")
+        .select(
+            "pred_lang",
+            F.size(tokens_ws("text")).cast("long").alias("_w"),
+            F.octet_length("text").cast("long").alias("_b"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_b").alias("n_bytes"),
+        )
+    )
+    ws_toks = "list_filter(regexp_split_to_array(k.text, '\\s+'), t -> t <> '')"
+    oracle = f"""
+{_minhash_ctes(_BYTE_JACCARD)},
+dupes AS (SELECT DISTINCT id_b AS doc_id FROM lsh_pairs),
+kept AS (
+  SELECT c.* FROM corpus_b c LEFT JOIN dupes d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+langs AS ({_script_lang_oracle("corpus_b")})
+SELECT l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({ws_toks})) AS BIGINT) AS n_words,
+       CAST(sum(octet_length(encode(k.text))) AS BIGINT) AS n_bytes
+FROM kept k JOIN langs l USING (doc_id)
+GROUP BY l.pred_lang
+"""
+    con = duckdb_conn(SF_CORRECT)
+    try:
+        ok, msg = compare(out, con, oracle)
+    finally:
+        con.close()
+    assert ok, msg
