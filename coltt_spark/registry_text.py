@@ -653,12 +653,16 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(docs, "doc_id", "text")
 
 
-def _script_profile_oracle() -> str:
+def _script_profile_oracle(src: str = "") -> str:
+    """``src``: any FROM-able relation with (doc_id, text) — defaults
+    to the punctuation-augmented multilingual fixture; the
+    adversarial-unicode fuzz test passes its own table (the
+    _script_lang_oracle convention)."""
     syms = (
         "list_transform(generate_series(1, octet_length(encode(text))), "
         "i -> substr(hex(encode(text)), (i - 1) * 2 + 1, 2))"
     )
-    src = (
+    src = src or (
         f"(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN ' 数据、測定。' "
         f"ELSE '' END AS text FROM {_UNI_SRC} u)"
     )

@@ -523,3 +523,67 @@ def test_byte_shingle_table_collapses_whitespace_preserves_case(spark):
         sets.setdefault(r["doc_id"], set()).add(r["sh"])
     assert sets[1] == sets[2]
     assert sets[1] != sets[3]
+
+
+def test_byte_shingles_match_duckdb_on_adversarial_unicode(spark):
+    """Cross-engine contract for the byte-shingle table on ARBITRARY
+    text (the script-lang fuzz convention): every script band, astral
+    4-byte UTF-8, combining marks, NBSP, whitespace runs (the
+    normalizer must agree too), and sub-window-length strings. The
+    (doc_id, shingle-hash) SETS must agree exactly — this is the
+    relation every byte-level dedup/decontamination join keys on."""
+    import random
+
+    import duckdb as dd
+
+    from coltt_spark.operators.dedup import shingle_table_bytes
+
+    rng = random.Random(777)
+    pools = [
+        "abcdefgh ",
+        "日本語処理文章",
+        "のテキストですがを",
+        "、。〒〓",
+        "한국어텍스트서울",
+        "русскийтекстабв",
+        "àéîõüçñ",
+        "𝄞🎉𠀀",
+        "áë",
+        " \t\n  ",
+    ]
+    texts = ["", " ", "a", "short", "の", "𝄞", "exactly12byt", "有十二个字节"]
+    for _ in range(150):
+        n = rng.randint(1, 6)
+        texts.append(
+            "".join(
+                "".join(rng.choices(rng.choice(pools), k=rng.randint(1, 10)))
+                + (" " if rng.random() < 0.5 else "")
+                for _ in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = set()
+    for r in shingle_table_bytes(df, "doc_id", "text", 12).collect():
+        got.add((r["doc_id"], r["sh"]))
+    con = dd.connect()
+    con.execute("CREATE TABLE fuzz(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fuzz VALUES (?, ?)", list(enumerate(texts)))
+    want = set(
+        con.execute(
+            """
+WITH hx AS (
+  SELECT doc_id, hex(encode(t)) AS hs, octet_length(encode(t)) AS nb
+  FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM fuzz)
+),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN nb < 12 THEN []::VARCHAR[]
+      ELSE list_transform(range(1, nb - 10), i -> substr(hs, (i-1)*2+1, 24)) END) AS s
+  FROM hx
+)
+SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing
+"""
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), list(got ^ want)[:4])

@@ -707,3 +707,58 @@ def test_script_profile_hand_computed(spark):
     assert abs(sum(fr) - 1.0) < 5e-4  # rounding residue only
     assert rows[2]["n_chars"] == 0 and rows[2]["frac_ascii"] == 0.0
     assert rows[3]["frac_ascii"] == 1.0 and rows[3]["frac_other"] == 0.0
+
+
+def test_script_profile_matches_duckdb_on_adversarial_unicode(spark):
+    """Same fuzz battery for the composition profile: fractions over
+    lead-byte classes must agree cell-for-cell with the DuckDB
+    fragment on arbitrary mixed-script text (astral F0 leads and
+    combining CC leads land in 'other'; whitespace and controls in
+    'ascii'; empty strings in the all-zeros row)."""
+    import random
+
+    import duckdb as dd
+
+    from coltt_spark.operators.textstats import script_profile
+    from coltt_spark.registry_text import _script_profile_oracle
+
+    rng = random.Random(31337)
+    pools = [
+        "abcdefgh ",
+        "日本語処理文章",
+        "のテキストですがを",
+        "、。〒〓",
+        "한국어텍스트서울",
+        "русскийтекстабв",
+        "àéîõüçñ",
+        "𝄞🎉𠀀",
+        "áë",
+        " \t\n ",
+    ]
+    texts = ["", " ", "a", "の", "𝄞"]
+    for _ in range(150):
+        n = rng.randint(1, 6)
+        texts.append(
+            "".join(
+                "".join(rng.choices(rng.choice(pools), k=rng.randint(1, 8)))
+                + (" " if rng.random() < 0.5 else "")
+                for _ in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in script_profile(df, "doc_id", "text").collect()
+    }
+    con = dd.connect()
+    con.execute("CREATE TABLE fuzz(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fuzz VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(_script_profile_oracle("fuzz")).fetchall()
+    }
+    assert len(got) == len(want)
+    for i in got:
+        assert got[i] == want[i], f"{texts[i]!r}: spark={got[i]} duckdb={want[i]}"
