@@ -573,6 +573,14 @@ def ivfpq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    if not refine:
+        # refine=0 = ADC-only serving (the pq_topk convention):
+        # dist is the residual-ADC approximation, no rerank join
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", F.col(id_col), F.col("adc").alias("dist"))
+        )
     cand = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= refine)
 
     qvdf = spark.createDataFrame(

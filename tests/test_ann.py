@@ -318,6 +318,24 @@ def test_ivfpq_recall_and_exact_refine(spark):
             assert round(x["dist"], 8) == t[key]
 
 
+def test_ivfpq_refine_zero_returns_adc_topk(spark):
+    """refine=0 = ADC-only serving (the pq_topk convention): same
+    candidate ids as the rank-k prefix of a wide-refine run's ADC
+    ordering would allow — non-empty, k rows per query, approximate
+    distances (not the exact euclidean ones)."""
+    from coltt_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = _queries(spark, n=2)
+    index = ivfpq_build(emb, id_col="vec_id", vec_col="embedding")
+    adc_only = ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                          k=5, nprobe=4, refine=0, index=index).collect()
+    per_q = {}
+    for r in adc_only:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(qs) and all(len(v) == 5 for v in per_q.values())
+
+
 def test_ivfpq_build_is_deterministic(spark):
     """Two independent builds must produce identical codebooks and
     identical per-row codes — everything derives from md5 seeds and
