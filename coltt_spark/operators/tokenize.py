@@ -406,3 +406,25 @@ def bpe_encode_ids(
             )
         )
     )
+
+
+def bpe_save(spark: SparkSession, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the trained model as a parquet merge table
+    (``MERGE_SCHEMA``, rank-ordered) — BPE's entire model IS this
+    ordered list, so the artifact is engine-agnostic: any reader that
+    can scan parquet and apply merges in rank order reproduces the
+    tokenizer exactly. One driver-side write of ≤ vocab-size rows."""
+    spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        MERGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Reload a :func:`bpe_save` artifact as the ordered merge list —
+    a BOUNDED collect (vocab-sized, the centroid/codebook
+    discipline). Feeding the result to :func:`bpe_segment` /
+    :func:`bpe_encode_ids` reproduces the training-time tokenizer
+    bit-for-bit (round-trip-pinned in test_bpe.py)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]

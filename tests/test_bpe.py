@@ -600,3 +600,40 @@ def test_pack_sequences_ids_agrees_and_carries_payloads(spark):
             want.setdefault(key, []).extend(r["token_ids"])
     got = {(r["shard"], r["seq_id"]): list(r["token_ids"]) for r in packed}
     assert got == want
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    """The shipped tokenizer artifact: train byte-level on a
+    multilingual corpus, persist the merge table, reload it, and the
+    reloaded model must reproduce (a) the merge list exactly and (b)
+    every document's token-id SEQUENCE bit-for-bit — the contract
+    that lets a serving/training job load the tokenizer a curation
+    job trained."""
+    from coltt_spark.operators.tokenize import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_learn,
+        bpe_load,
+        bpe_save,
+        bpe_vocab,
+    )
+
+    rows = [
+        (1, "日本語 の テキスト 処理 データ"),
+        (2, "данные модель текст поиск"),
+        (3, "café résumé data pipeline"),
+        (4, "日本語 データ 処理 テキスト"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _seg = bpe_learn(df, "text", 12, byte_level=True)
+    assert merges, "fixture must produce merges"
+    path = str(tmp_path / "bpe_model")
+    bpe_save(spark, merges, path)
+    reloaded = bpe_load(spark, path)
+    assert reloaded == merges
+    vocab = bpe_vocab(bpe_alphabet(df, "text", byte_level=True), merges)
+    a = bpe_encode_ids(df, "doc_id", "text", merges, vocab, byte_level=True)
+    b = bpe_encode_ids(df, "doc_id", "text", reloaded, vocab, byte_level=True)
+    got_a = {r["doc_id"]: list(r["token_ids"]) for r in a.collect()}
+    got_b = {r["doc_id"]: list(r["token_ids"]) for r in b.collect()}
+    assert got_a == got_b and set(got_a) == {1, 2, 3, 4}
