@@ -1523,6 +1523,13 @@ _KEY_ORDER = [
     #    to script_lang_id's single label (slot freed by demoting
     #    doc_lm_score — r6-green, tail of the window's r6 fill, back
     #    to its r6-order seat past the boundary)
+    "dedup_containment_bytes",  # new r8: asymmetric byte-level
+    #    CONTAINMENT — doc-in-doc duplication for multilingual
+    #    corpora (the planted suffix variants contain their base:
+    #    containment 1.0 where symmetric jaccard reads ~0.9) (slot
+    #    freed by demoting token_vocab — r6-green, tail of the
+    #    window's r6 fill, back to its r6-order seat past the
+    #    boundary)
     # -- implementation touched this round ----------------------------
     "bpe_train",   # r8: oracle chain degrades to identity on merge
     #    exhaustion (ADVICE r7 #1); chain generalized for byte path
@@ -1537,19 +1544,20 @@ _KEY_ORDER = [
     # -- oldest of the r6-green block (driver-green r6, local-gated
     # -- since) -------------------------------------------------------
     "embed_outliers",
-    "token_vocab",
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 42 remaining r6-green entries in their r6
+    # ---- round. First the 43 remaining r6-green entries in their r6
     # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger; doc_lm_score, filter_extended,
-    # ---- collection_time_travel and jsonl_roundtrip rejoined them
-    # ---- when their window slots went to the new
-    # ---- text_script_profile, decontaminate_bytes, ann_ivfpq and
-    # ---- dedup_minhash_bytes), then the 45 r7-green entries
-    # ---- (freshest signal; bpe_train / bpe_encode / web_url_psl /
-    # ---- media_exif / media_exif_orientation were promoted back
-    # ---- into the window as touched-this-round).
+    # ---- rotation ledger; token_vocab, doc_lm_score,
+    # ---- filter_extended, collection_time_travel and jsonl_roundtrip
+    # ---- rejoined them when their window slots went to the new
+    # ---- dedup_containment_bytes, text_script_profile,
+    # ---- decontaminate_bytes, ann_ivfpq and dedup_minhash_bytes),
+    # ---- then the 45 r7-green entries (freshest signal; bpe_train /
+    # ---- bpe_encode / web_url_psl / media_exif /
+    # ---- media_exif_orientation were promoted back into the window
+    # ---- as touched-this-round).
+    "token_vocab",
     "doc_lm_score",
     "filter_extended",
     "collection_time_travel",

@@ -453,6 +453,41 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM lsh_pairs
 """
 
 
+def q_dedup_containment_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric byte-level CONTAINMENT over the multilingual
+    fixture — doc-in-doc duplication for corpora the word-shingle
+    path can't see. The planted suffix variants literally CONTAIN
+    their base document, so they score containment 1.0 where
+    symmetric byte-Jaccard reads ≈ 0.9 — the distinction this
+    operator exists for. Same inverted-list join topology as the
+    word-path containment entry, fed through the prebuilt-shingles
+    seam."""
+    from coltt_spark.operators.dedup import shingle_table_bytes
+
+    docs = _uni_neardup_docs(spark, sf_dir)
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.8,
+        shingles=shingle_table_bytes(docs, "doc_id", "text", 12),
+    )
+
+
+_ORACLE_CONTAINMENT_BYTES = f"""
+WITH {_byte_shingles_cte(12)},
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shd a JOIN shd b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT id_a, id_b, i::DOUBLE / least(sa.n, sb.n) AS containment
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(containment, 4) AS containment
+FROM cont WHERE containment >= 0.8
+"""
+
+
 def q_dedup_minhash_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over BYTE 12-gram shingles — the
     script-agnostic dedup path. ``dedup_minhash_lsh`` shingles
@@ -673,6 +708,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_bytes": q_dedup_minhash_bytes,
+    "dedup_containment_bytes": q_dedup_containment_bytes,
     "dedup_groups": q_dedup_groups,
     "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
@@ -687,6 +723,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_containment": _ORACLE_NGRAM_CONTAINMENT,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_minhash_bytes": _minhash_oracle(_BYTE_JACCARD),
+    "dedup_containment_bytes": _ORACLE_CONTAINMENT_BYTES,
     "dedup_groups": _groups_oracle(),
     "dedup_canonical": _canonical_oracle(),
     "dedup_simhash": _simhash_oracle(),

@@ -86,15 +86,16 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     oldest signal on the board) LEAD the round-8 window, every entry
     new or touched this round is inside it, and the rest of the
     window rotates in the oldest of the r6-green block
-    (embed_outliers / token_vocab — the block's tail seats went back
-    past the boundary one by one as the r8-new entries landed:
-    ann_recall and stream_join made room for text_lang_id_unicode /
-    pack_sequences_ids, then doc_lm_score, filter_extended,
-    collection_time_travel and jsonl_roundtrip for
-    text_script_profile, decontaminate_bytes, ann_ivfpq and
-    dedup_minhash_bytes). Past the boundary: the 44 remaining
-    r6-green entries first, in their r6 order (they lead the r9
-    rotation ledger), then the 45 r7-green entries (freshest driver
+    (embed_outliers — the block's tail seats went back past the
+    boundary one by one as the r8-new entries landed: ann_recall and
+    stream_join made room for text_lang_id_unicode /
+    pack_sequences_ids, then token_vocab, doc_lm_score,
+    filter_extended, collection_time_travel and jsonl_roundtrip for
+    dedup_containment_bytes, text_script_profile,
+    decontaminate_bytes, ann_ivfpq and dedup_minhash_bytes). Past
+    the boundary: the 45 remaining r6-green entries first, in their
+    r6 order (they lead the r9 rotation ledger), then the 45
+    r7-green entries (freshest driver
     signal; bpe_train / bpe_encode / web_url_psl / media_exif /
     media_exif_orientation were promoted back into the window as
     touched-this-round). Every past-window entry is re-oracled by
@@ -116,6 +117,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "ann_ivfpq",
         "decontaminate_bytes",
         "text_script_profile",
+        "dedup_containment_bytes",
         # implementation touched this round: bpe_train / bpe_encode
         # (oracle chain degrades to identity on merge exhaustion —
         # ADVICE r7 #1 — and was generalized for the byte path),
