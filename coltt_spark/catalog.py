@@ -49,7 +49,7 @@ from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, va
 
 DISTANCES = ("cosine", "euclidean", "manhattan")
 QUANTIZATIONS = ("none", "f16", "bf16", "f8", "bq", "sq8")
-LAYOUTS = ("rows", "blocks", "ivf")
+LAYOUTS = ("rows", "blocks", "ivf", "ivfpq")
 
 _VEC = "vector"
 _COMMIT = "_commit_id"
@@ -117,6 +117,13 @@ class Manifest:
     #: Worst per-list part-file count recorded at the last full IVF
     #: build — the baseline the growth trigger measures against.
     ivf_base_list_files: int = 0
+    #: layout="ivfpq" knobs: residual product-quantization geometry
+    #: (M subspaces × ks codes per subspace — each stored row costs M
+    #: bytes instead of dim·4, the billion-scale serving layout) and
+    #: the default exact-rerank depth (0 = ADC-only serving).
+    pq_subspaces: int = 8
+    pq_codes: int = 16
+    ivfpq_refine: int = 50
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -135,6 +142,9 @@ class Manifest:
             "ivf_kmeans_iters": self.ivf_kmeans_iters,
             "ivf_max_list_files": self.ivf_max_list_files,
             "ivf_base_list_files": self.ivf_base_list_files,
+            "pq_subspaces": self.pq_subspaces,
+            "pq_codes": self.pq_codes,
+            "ivfpq_refine": self.ivfpq_refine,
         }
 
     @classmethod
@@ -155,6 +165,9 @@ class Manifest:
             ivf_kmeans_iters=d.get("ivf_kmeans_iters", 1),
             ivf_max_list_files=d.get("ivf_max_list_files", 10),
             ivf_base_list_files=d.get("ivf_base_list_files", 0),
+            pq_subspaces=d.get("pq_subspaces", 8),
+            pq_codes=d.get("pq_codes", 16),
+            ivfpq_refine=d.get("ivfpq_refine", 50),
         )
 
 
@@ -227,11 +240,23 @@ class Collection:
         it would list zero files and silently serve EMPTY results, so
         serving gates (``strict=True``) fail loudly instead; flush's
         incremental gate passes ``strict=False`` and treats it as
-        not-ready, which routes into the full rebuild that heals it."""
+        not-ready, which routes into the full rebuild that heals it.
+        An ``ivfpq`` index additionally needs its residual codebooks
+        (``book.npy``) beside the centroids — codes are unreadable
+        without them."""
         d = self._ivf_dir(vector_col, version)
         if not os.path.isdir(d):
             return False
         if os.path.isdir(os.path.join(d, "blocks")):
+            if self.manifest.layout == "ivfpq" and not os.path.isfile(
+                os.path.join(d, "book.npy")
+            ):
+                if strict:
+                    raise RuntimeError(
+                        f"ivfpq index at {d} has no book.npy — codes "
+                        "cannot be decoded; run flush(compact=True) to rebuild"
+                    )
+                return False
             return True
         if strict:
             raise RuntimeError(
@@ -487,6 +512,7 @@ class Collection:
         limit: int = 10,
         offset: int = 0,
         nprobe: int | None = None,
+        refine: int | None = None,
     ) -> DataFrame:
         """Filtered FLAT KNN over the collection (edge Search path).
 
@@ -501,10 +527,17 @@ class Collection:
         (``edge/none_vectorstore.go:182-253``). Falls back to the row
         scan only when unflushed DML makes the index stale.
 
-        ``nprobe`` (ivf layouts only) overrides the manifest's probe
-        count per query — the standard IVF recall/latency dial:
+        ``nprobe`` (ivf/ivfpq layouts only) overrides the manifest's
+        probe count per query — the standard IVF recall/latency dial:
         probing every list makes the search exact, fewer lists trade
         recall for a proportionally smaller scan.
+
+        ``refine`` (ivfpq layout only) overrides the manifest's
+        ``ivfpq_refine``: the top ``refine`` ADC candidates are
+        re-scored with the exact distance from the snapshot vectors
+        (B·refine rows), so ``dist`` is exact; ``refine=0`` serves
+        the ADC approximation directly (no vector access at all —
+        the M-bytes-per-row cost profile end to end).
         """
         m = self.manifest
         qv = validate_vector(m.dim, query)
@@ -524,6 +557,11 @@ class Collection:
             return self._search_ivf(
                 qv, vc, limit=limit, offset=offset, filter_ast=filter_ast,
                 nprobe=nprobe,
+            )
+        if m.layout == "ivfpq" and not self._dirty and self._ivf_ready(vc):
+            return self._search_ivfpq(
+                qv, vc, limit=limit, offset=offset, filter_ast=filter_ast,
+                nprobe=nprobe, refine=refine,
             )
         df = self._dequantized()
         if filter_ast is not None:
@@ -548,7 +586,7 @@ class Collection:
         scored = df.withColumn("dist", dist)
         top = _paginate_topk(scored, limit, offset, m.index_design.primary_key)
         out = top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
-        if m.layout in ("blocks", "ivf"):
+        if m.layout in ("blocks", "ivf", "ivfpq"):
             # keep the schema identical to the fast path regardless of
             # which path served the call (dirty state / filter present):
             # index-served results never carry the stored vector columns
@@ -730,7 +768,7 @@ class Collection:
         )
         top = ranked.orderBy(F.col("dist").asc(), F.col(pk).asc()).limit(limit)
         out = top.withColumn("score", score_expr(m.distance, F.col("dist"))).drop(_COMMIT)
-        if m.layout in ("blocks", "ivf"):
+        if m.layout in ("blocks", "ivf", "ivfpq"):
             out = out.drop(*vcols)
         return out
 
@@ -824,7 +862,7 @@ class Collection:
             .withColumn("score", score_expr(m.distance, F.col("dist")))
             .drop(_COMMIT)
         )
-        if m.layout in ("blocks", "ivf"):
+        if m.layout in ("blocks", "ivf", "ivfpq"):
             out = out.drop(*vcols)
         return out
 
@@ -1193,7 +1231,7 @@ class Collection:
                 os.path.isdir(self._blocks_dir(vc, old_v))
                 for vc in self._vector_cols()
             )
-        elif m.layout == "ivf":
+        elif m.layout in ("ivf", "ivfpq"):
             idx_ready = all(
                 self._ivf_ready(vc, old_v, strict=False)
                 for vc in self._vector_cols()
@@ -1205,7 +1243,7 @@ class Collection:
         )
         if (
             incremental
-            and m.layout == "ivf"
+            and m.layout in ("ivf", "ivfpq")
             and m.ivf_max_list_files > 0
             and any(
                 self._ivf_worst_list_fanout(vc, old_v) - m.ivf_base_list_files
@@ -1230,8 +1268,11 @@ class Collection:
             self._view.write.mode("overwrite").parquet(self._data_dir(new_v))
             if m.layout == "blocks":
                 self._write_blocks(new_v)
-            elif m.layout == "ivf":
-                self._write_ivf(new_v)
+            elif m.layout in ("ivf", "ivfpq"):
+                if m.layout == "ivf":
+                    self._write_ivf(new_v)
+                else:
+                    self._write_ivfpq(new_v)
                 # record the fresh layout's fan-out — the baseline the
                 # growth-triggered auto-compaction measures against
                 m.ivf_base_list_files = max(
@@ -1319,6 +1360,9 @@ class Collection:
         dead.write.mode("overwrite").parquet(self._tombstones_dir(new_v))
         if self.manifest.layout == "ivf":
             self._flush_delta_ivf(old_v, new_v, delta, n_delta)
+            return
+        if self.manifest.layout == "ivfpq":
+            self._flush_delta_ivfpq(old_v, new_v, delta, n_delta)
             return
         # pack ONLY the delta rows; base block files ride along as links
         from coltt_spark.operators.blocks import pack_blocks, write_block_index
@@ -1587,6 +1631,277 @@ class Collection:
         )
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
 
+    def _write_ivfpq(self, version: int) -> None:
+        """Build the fused IVF-PQ (IVFADC) serving index for snapshot
+        ``version`` — the collection-level form of
+        :func:`coltt_spark.operators.pq.ivfpq_build` (Jégou et al.
+        2011; the reference DECLARES PQ as a collection quantization
+        and never implements it, ``idl/proto/v3/core.proto:105-112``):
+        the coarse quantizer is the same md5-seeded, Lloyd-refined
+        k-means as the ivf layout, PQ codebooks are trained on the
+        RESIDUALS (stored vector − coarse centroid), and each row's M
+        uint8 codes are packed into per-centroid block files through
+        the very same machinery as the ivf layout (dim = M, dtype
+        uint8, metadata in the payload) — so path pruning, payload
+        filters, tombstones, and the node-local spool all apply
+        unchanged while each row costs M BYTES instead of dim·4.
+        Sidecars: ``centroids.npy`` (coarse) + ``book.npy`` (M, ks,
+        dsub residual codebooks)."""
+        from coltt_spark.operators.ann import ivf_build
+        from coltt_spark.operators.blocks import pack_blocks
+        from coltt_spark.operators.pq import _encode_udf, pq_train
+
+        m = self.manifest
+        if m.dim % m.pq_subspaces:
+            raise ValueError(
+                f"dim {m.dim} not divisible by pq_subspaces {m.pq_subspaces}"
+            )
+        df = self.spark.read.schema(self._storage_schema()).parquet(
+            self._data_dir(version)
+        )
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        pk = m.index_design.primary_key
+        pcols = [
+            f.name for f in self._storage_schema()
+            if f.name not in self._vector_cols() and f.name != _COMMIT
+        ]
+        n_files = self.spark.sparkContext.defaultParallelism
+        for vc in self._vector_cols():
+            assigned, Cn = ivf_build(
+                df.select(pk, vc),
+                id_col=pk,
+                vec_col=vc,
+                n_centroids=m.ivf_centroids,
+                kmeans_iters=m.ivf_kmeans_iters,
+            )
+            resid = self._ivfpq_residuals(assigned, Cn, vc)
+            book = pq_train(
+                resid, id_col=pk, vec_col="_rv",
+                n_subspaces=m.pq_subspaces, n_codes=m.pq_codes,
+            )
+            codes = resid.select(
+                pk, "centroid", _encode_udf(book)(F.col("_rv")).alias("_codes")
+            ).join(df.select(_COMMIT, *pcols), on=pk)
+            blocks = pack_blocks(
+                codes.repartition(n_files, "centroid"),
+                id_col=_COMMIT,
+                vec_col="_codes",
+                dim=m.pq_subspaces,
+                dtype="uint8",
+                payload_cols=pcols,
+                group_col="centroid",
+            )
+            out = self._ivf_dir(vc, version)
+            blocks.write.mode("overwrite").partitionBy("centroid").parquet(
+                os.path.join(out, "blocks")
+            )
+            np.save(os.path.join(out, "centroids.npy"), Cn)
+            np.save(os.path.join(out, "book.npy"), book)
+
+    def _ivfpq_residuals(
+        self, assigned: DataFrame, Cn: np.ndarray, vc: str
+    ) -> DataFrame:
+        """(id, centroid, _rv): residual of each assigned stored
+        vector against its coarse centroid — the quantity the PQ
+        codebooks are trained on and encode (broadcast centroid join,
+        residual in double)."""
+        cent_df = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))],
+            T.StructType(
+                [
+                    T.StructField("centroid", T.IntegerType(), False),
+                    T.StructField("_cv", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
+        )
+        keep = [c for c in assigned.columns if c not in (vc, "centroid")]
+        return assigned.join(F.broadcast(cent_df), on="centroid").select(
+            *keep,
+            "centroid",
+            F.zip_with(
+                F.col(vc).cast("array<double>"), F.col("_cv"), lambda x, c: x - c
+            ).alias("_rv"),
+        )
+
+    def _flush_delta_ivfpq(
+        self, old_v: int, new_v: int, delta: DataFrame, n_delta: int
+    ) -> None:
+        """Incremental IVFADC maintenance — the same fixed-quantizer
+        discipline as the ivf delta path, extended to the codebooks:
+        coarse centroids AND residual codebooks are FIXED (loaded from
+        the previous version — they only move on compact), delta rows
+        are routed into the existing inverted lists, their residuals
+        re-encoded against the FIXED book, and the resulting code
+        blocks appended inside the centroid-partitioned layout. Base
+        index files hardlink across; superseded rows die via the
+        shared commit-id tombstones. Flush work is O(delta)."""
+        from coltt_spark.operators.ann import ivf_assign
+        from coltt_spark.operators.blocks import pack_blocks
+        from coltt_spark.operators.pq import _encode_udf
+
+        m = self.manifest
+        schema = self._storage_schema()
+        df = delta
+        if m.quantization != "none":
+            for vc in self._vector_cols():
+                df = df.withColumn(vc, dequantize(m.quantization, vc))
+        pcols = [
+            f.name for f in schema
+            if f.name not in self._vector_cols() and f.name != _COMMIT
+        ]
+        n_files = max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            -(-max(n_delta, 1) // 32768),  # ceil — don't shatter a small delta
+        ))
+        for vc in self._vector_cols():
+            old_dir = self._ivf_dir(vc, old_v)
+            new_dir = self._ivf_dir(vc, new_v)
+            Cn = np.load(os.path.join(old_dir, "centroids.npy"))
+            book = np.load(os.path.join(old_dir, "book.npy"))
+            assigned = ivf_assign(
+                df.select(_COMMIT, vc), Cn, id_col=_COMMIT, vec_col=vc
+            )
+            codes = self._ivfpq_residuals(assigned, Cn, vc).select(
+                _COMMIT, "centroid", _encode_udf(book)(F.col("_rv")).alias("_codes")
+            ).join(df.select(_COMMIT, *pcols), on=_COMMIT)
+            blocks = pack_blocks(
+                codes.repartition(n_files, "centroid"),
+                id_col=_COMMIT,
+                vec_col="_codes",
+                dim=m.pq_subspaces,
+                dtype="uint8",
+                payload_cols=pcols,
+                group_col="centroid",
+            )
+            os.makedirs(os.path.join(new_dir, "blocks"), exist_ok=True)
+            _link_tree(os.path.join(old_dir, "blocks"), os.path.join(new_dir, "blocks"))
+            blocks.write.mode("append").partitionBy("centroid").parquet(
+                os.path.join(new_dir, "blocks")
+            )
+            np.save(os.path.join(new_dir, "centroids.npy"), Cn)
+            np.save(os.path.join(new_dir, "book.npy"), book)
+
+    def _search_ivfpq(
+        self,
+        qv: list[float],
+        vc: str,
+        *,
+        limit: int,
+        offset: int,
+        nprobe: int | None = None,
+        refine: int | None = None,
+        filter_ast: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Serve a KNN from the IVFADC index: rank coarse centroids on
+        the driver, build one residual LUT per probed list (the query
+        residual differs per coarse centroid — the defining IVFADC
+        detail), ADC-scan ONLY the probed lists' packed CODE files
+        (path-pruned, M bytes per row, metadata filter as a block-local
+        payload mask), cut to the top ``refine`` candidates by (adc,
+        pk), and re-score them with the exact distance via ONE
+        broadcast join of the ≤ refine winners back to the snapshot
+        vectors. ``refine=0`` skips the rerank and serves the ADC
+        approximation — no vector data is touched at any point.
+
+        Cosine collections run the whole funnel in the unit domain
+        (normalize-at-write rows, normalized query): euclidean
+        ordering over unit vectors is monotone with cosine, so the
+        residual-euclidean ADC is the principled candidate generator
+        and the rerank scores ``|1 − dot|`` exactly like every other
+        layout's read path. All driver-side float math is
+        sequential-fold double (LUTs, probe ranking) and the scan's
+        ADC sum folds left-to-right over subspaces, so the registry
+        oracle replays the ENTIRE pipeline in SQL
+        (registry._collection_ivfpq_oracle)."""
+        from coltt_spark.operators.blocks import (
+            block_index_scan,
+            ivf_files,
+            ivf_probe_centroids,
+        )
+
+        m = self.manifest
+        nprobe = m.ivf_nprobe if nprobe is None else nprobe
+        refine = m.ivfpq_refine if refine is None else refine
+        pk = m.index_design.primary_key
+        if m.distance == "cosine":
+            qv = self._normalize_query(qv)
+        d = self._ivf_dir(vc)
+        Cn = np.load(os.path.join(d, "centroids.npy"))
+        book = np.load(os.path.join(d, "book.npy"))
+        n_sub, ks, dsub = book.shape
+        probes = ivf_probe_centroids(Cn, qv, nprobe)
+        files = ivf_files(os.path.join(d, "blocks"), probes)
+        # per-probed-centroid residual LUT, sequential-fold double —
+        # the same arithmetic ivfpq_topk uses and the oracle replays
+        luts: dict[int, list[float]] = {}
+        for c in probes:
+            qr = [float(qv[j]) - float(Cn[c][j]) for j in range(len(qv))]
+            lut = []
+            for mi in range(n_sub):
+                for code in range(ks):
+                    s = 0.0
+                    for j in range(dsub):
+                        dd = qr[mi * dsub + j] - float(book[mi, code, j])
+                        s = s + dd * dd
+                    lut.append(s)
+            luts[int(c)] = lut
+        payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
+        k_local = (offset + limit) if not refine else max(refine, offset + limit)
+        local = block_index_scan(
+            self.spark,
+            None,
+            None,
+            dim=n_sub,
+            k=k_local,
+            distance="adc",
+            dtype="uint8",
+            adc_luts=luts,
+            payload_schema=payload_schema,
+            id_alias=_COMMIT,
+            payload_filter=payload_filter,
+            tombstones=tomb,
+            files=files,
+        )
+        if not refine:
+            paged = _paginate_topk(local.drop(_COMMIT), limit, offset, pk)
+            return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
+        # ADC funnel cut: deterministic (adc, pk) total order — pk is
+        # unique, so orderBy().limit() (TakeOrderedAndProject, no
+        # global window) is exactly the top-``refine`` the SQL oracle's
+        # row_number() replay produces
+        cand = (
+            local.orderBy(F.col("dist").asc(), F.col(pk).asc())
+            .limit(refine)
+            .drop("dist")
+        )
+        vecs = self._dequantized().select(_COMMIT, F.col(vc).alias("_v"))
+        if m.distance == "cosine":
+            exact = F.abs(
+                F.lit(1.0)
+                - F.aggregate(
+                    F.zip_with(
+                        F.col("_v").cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in qv]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        else:
+            exact = vector_distance(m.distance, F.col("_v"), qv)
+        rescored = (
+            vecs.join(F.broadcast(cand), on=_COMMIT)
+            .withColumn("dist", exact)
+            .drop("_v", _COMMIT)
+            # same column order as every other packed serving path
+            .select("dist", *[f.name for f in payload_schema])
+        )
+        paged = _paginate_topk(rescored, limit, offset, pk)
+        return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
+
     def load(self) -> None:
         """Pin the collection in memory (LoadCollection ⇔ cache)."""
         self._view = self._view.cache()
@@ -1631,6 +1946,9 @@ class Catalog:
         ivf_nprobe: int = 4,
         ivf_kmeans_iters: int = 1,
         ivf_max_list_files: int = 10,
+        pq_subspaces: int = 8,
+        pq_codes: int = 16,
+        ivfpq_refine: int = 50,
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
@@ -1640,6 +1958,11 @@ class Catalog:
             raise ValueError(f"bq quantization requires dim % 8 == 0, got dim={dim}")
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}")
+        if layout == "ivfpq" and dim % pq_subspaces:
+            raise ValueError(
+                f"ivfpq layout requires dim % pq_subspaces == 0, got "
+                f"dim={dim}, pq_subspaces={pq_subspaces}"
+            )
         root = self._root(name)
         if os.path.exists(root):
             raise ValueError(f"collection {name!r} already exists")
@@ -1650,6 +1973,8 @@ class Catalog:
             ivf_centroids=ivf_centroids, ivf_nprobe=ivf_nprobe,
             ivf_kmeans_iters=ivf_kmeans_iters,
             ivf_max_list_files=ivf_max_list_files,
+            pq_subspaces=pq_subspaces, pq_codes=pq_codes,
+            ivfpq_refine=ivfpq_refine,
         )
         os.makedirs(root)
         coll = Collection.__new__(Collection)

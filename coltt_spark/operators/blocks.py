@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_DTYPES = {"float32": np.float32, "float64": np.float64}
+#: uint8 is the PQ-code block dtype (layout="ivfpq" packs M codes per
+#: row instead of dim floats — the M-bytes-per-row billion-scale
+#: layout); float dtypes are the vector layouts
+_DTYPES = {"float32": np.float32, "float64": np.float64, "uint8": np.uint8}
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -99,7 +102,13 @@ def pack_blocks(
 
         def emit(g, ids: np.ndarray, X: np.ndarray, P: pd.DataFrame | None) -> pd.DataFrame:
             nonlocal seq
-            norms = np.linalg.norm(X, axis=1).astype(np_dtype)
+            if np.issubdtype(np_dtype, np.floating):
+                norms = np.linalg.norm(X, axis=1).astype(np_dtype)
+            else:
+                # integer blocks (PQ codes): norms are meaningless —
+                # store zeros of the same dtype so the decode contract
+                # (n elements of np_dtype) holds
+                norms = np.zeros(len(ids), dtype=np_dtype)
             row = {
                 "block_id": [(pid << 32) | seq],
                 "n": [len(ids)],
@@ -174,7 +183,23 @@ def _block_distances(
     X: np.ndarray, norms: np.ndarray, q: np.ndarray, distance: str
 ) -> np.ndarray:
     """The per-block distance kernel shared by every single-query scan
-    (plain, grouped) — one definition so the paths cannot drift."""
+    (plain, grouped) — one definition so the paths cannot drift.
+
+    ``distance="adc"`` is the IVFADC code-scan mode: ``X`` holds PQ
+    CODES (n, M) instead of vectors and ``q`` is the query's flattened
+    M·ks lookup table of exact residual subspace distances — the scan
+    is an integer-indexed gather per subspace, summed as a SEQUENTIAL
+    left-to-right fold over m (vectorized across rows) so the value is
+    bit-identical to a SQL oracle's ordered ``list_sum`` replay."""
+    if distance == "adc":
+        m = X.shape[1]
+        ks = len(q) // m
+        codes = X.astype(np.int64)
+        lut = np.asarray(q, dtype=np.float64)
+        acc = lut[codes[:, 0]]
+        for mi in range(1, m):
+            acc = acc + lut[codes[:, mi] + mi * ks]
+        return np.sqrt(acc)
     if distance == "manhattan":
         return np.abs(X - q[None, :]).sum(axis=1)
     dots = X @ q
@@ -651,9 +676,19 @@ def block_index_scan(
     per_group: int = 1,
     files: list[str] | None = None,
     radius: float | None = None,
+    adc_luts: dict[int, "np.ndarray"] | None = None,
 ) -> DataFrame:
     """Per-file local top-k over a written block index (no global
     order/limit — compose your own, e.g. a different tie-break).
+
+    ``adc_luts`` (with ``distance="adc"``) switches the scan to the
+    IVFADC code-scan mode: the index files hold PQ codes (dim = M,
+    dtype uint8) under ``centroid=<c>/`` partitions, and the dict maps
+    each probed centroid to the query's flattened M·ks residual
+    lookup table for THAT list (the query residual differs per coarse
+    centroid — the defining IVFADC detail). Each file's LUT is chosen
+    by its partition path, so one job scans every probed list with
+    its own table; ``query`` is ignored.
     ``files`` restricts the scan to an explicit file subset (the IVF
     probe path: :func:`ivf_files` of the probed centroids) instead of
     every ``part-*`` under ``path``. ``radius`` switches every file
@@ -682,7 +717,18 @@ def block_index_scan(
     from the packed payload, so diversified search keeps the block
     layout's one-matvec cost shape; ``k`` is ignored in that mode."""
     np_dtype = _DTYPES[dtype]
-    q = np.asarray([float(x) for x in query], dtype=np_dtype)
+    if distance == "adc":
+        if adc_luts is None:
+            raise ValueError('distance="adc" requires adc_luts')
+        luts = {
+            int(c): np.asarray(l, dtype=np.float64).ravel()
+            for c, l in adc_luts.items()
+        }
+        q = None
+    else:
+        if adc_luts is not None:
+            raise ValueError('adc_luts requires distance="adc"')
+        q = np.asarray([float(x) for x in query], dtype=np_dtype)
     if radius is not None and group_col is not None:
         raise ValueError("radius and group_col modes are mutually exclusive")
     if files is None:
@@ -712,10 +758,22 @@ def block_index_scan(
         raise ValueError("group_col must name a packed payload column")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
         dead = _load_tombstones(tombstones) if tombstones else None
         for pdf in batches:
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
+                    if distance == "adc":
+                        cm = _re.search(r"centroid=(\d+)", p)
+                        if cm is None:
+                            raise ValueError(
+                                f"adc scan file {p} is not under a "
+                                "centroid=<c>/ partition"
+                            )
+                        qf = luts[int(cm.group(1))]
+                    else:
+                        qf = q
                     ids, X, norms, payload = _spool_file(p, dim, np_dtype)
                     if not len(ids):
                         continue
@@ -737,14 +795,14 @@ def block_index_scan(
                                 "grouped block search needs packed metadata"
                             )
                         yield _scan_block_grouped(
-                            ids, X, norms, q,
+                            ids, X, norms, qf,
                             payload.column(group_col).to_pandas().to_numpy(),
                             distance=distance, per_group=per_group,
                             payload=payload, id_alias=id_alias, mask=mask,
                         )
                         continue
                     yield _scan_block(
-                        ids, X, norms, q, distance=distance, k=k,
+                        ids, X, norms, qf, distance=distance, k=k,
                         payload=payload if want_payload else None,
                         id_alias=id_alias, mask=mask, radius=radius,
                     )

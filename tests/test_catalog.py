@@ -1298,3 +1298,177 @@ def test_ivf_auto_compaction_bounds_read_amplification(catalog):
         for r in coll.search(_rows(1, dim=6, seed=5)[0]["vector"], limit=10).collect()
     )
     assert before == after
+
+
+# -- layout="ivfpq": fused IVFADC serving (coarse lists + residual PQ
+# -- codes packed per centroid; catalog._write_ivfpq/_search_ivfpq) --
+
+
+def _exact_topk(rows_state, q, k=5, types=None):
+    """Brute-force cosine top-k over a {id: row} state dict with the
+    collection's normalize-at-write float32 contract and the
+    |1 - dot| unit-domain scoring every packed layout uses."""
+    import numpy as np
+
+    qa = np.asarray(q, dtype=np.float64)
+    qn = qa / np.linalg.norm(qa)
+    scored = []
+    for rid, r in rows_state.items():
+        if types is not None and r["type"] not in types:
+            continue
+        v = np.asarray(r["vector"], dtype=np.float64)
+        vn = (v / np.linalg.norm(v)).astype(np.float32).astype(np.float64)
+        scored.append((abs(1.0 - float(np.dot(vn, qn))), rid))
+    scored.sort(key=lambda p: (p[0], p[1]))
+    return scored[:k]
+
+
+def test_ivfpq_layout_serves_and_falls_back(catalog):
+    """IVFADC lifecycle: with nprobe = n_centroids and refine ≥ corpus
+    size the funnel passes every row to the exact rerank, so the
+    served result must EQUAL the brute force (ids and distances);
+    unflushed DML falls back to the row scan with the same schema;
+    the on-disk index stores M uint8 codes per row (book/centroids
+    sidecars present)."""
+    import os
+
+    import numpy as np
+
+    rows = _rows(120, dim=8, seed=21)
+    coll = catalog.create_collection(
+        "pqcoll", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivfpq", ivf_centroids=4, ivf_nprobe=4,
+        pq_subspaces=4, pq_codes=8, ivfpq_refine=200,
+    )
+    coll.upsert(rows)
+    coll.flush()
+    d = coll._ivf_dir("vector")
+    assert os.path.isfile(os.path.join(d, "centroids.npy"))
+    book = np.load(os.path.join(d, "book.npy"))
+    assert book.shape == (4, 8, 2)  # (M, ks, dsub)
+    q = _rows(1, dim=8, seed=99)[0]["vector"]
+    got = [
+        (round(r["dist"], 6), r["id"])
+        for r in coll.search(q, limit=5).collect()
+    ]
+    state = {r["id"]: r for r in rows}
+    want = [(round(dd, 6), rid) for dd, rid in _exact_topk(state, q, k=5)]
+    assert got == want
+    cols = coll.search(q, limit=5).columns
+    assert "vector" not in cols and "score" in cols
+    # filtered search evaluates the payload mask inside the ADC scan
+    filt = {"index_name": "type", "op": "gte", "value": 5}
+    gotf = [
+        (round(r["dist"], 6), r["id"])
+        for r in coll.search(q, limit=5, filter_ast=filt).collect()
+    ]
+    wantf = [
+        (round(dd, 6), rid)
+        for dd, rid in _exact_topk(state, q, k=5, types=set(range(5, 11)))
+    ]
+    assert gotf == wantf
+    # dirty state: row-scan fallback, same column set (order is the
+    # fallback's own, as on the other packed layouts)
+    coll.upsert(_rows(3, dim=8, seed=4))
+    assert set(coll.search(q, limit=5).columns) == set(cols)
+    coll.flush()
+    assert len(coll.search(q, limit=5).collect()) == 5
+
+
+def test_ivfpq_refine_and_nprobe_dials(catalog):
+    """The two quality dials: refine=0 serves the ADC approximation
+    (distances differ from exact but ids are plausible candidates);
+    growing (nprobe, refine) must reach exact recall; recall is
+    monotone-ish but the endpoint equality is the hard assertion."""
+    rows = _rows(150, dim=8, seed=31)
+    coll = catalog.create_collection(
+        "pqdial", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivfpq", ivf_centroids=8, ivf_nprobe=2,
+        pq_subspaces=4, pq_codes=8, ivfpq_refine=20,
+    )
+    coll.upsert(rows)
+    coll.flush()
+    state = {r["id"]: r for r in rows}
+    q = _rows(1, dim=8, seed=77)[0]["vector"]
+    exact_ids = [rid for _, rid in _exact_topk(state, q, k=5)]
+    # ADC-only: k rows, valid scores, no vector column
+    adc = coll.search(q, limit=5, refine=0).collect()
+    assert len(adc) == 5
+    assert all(0 <= r["score"] <= 100 for r in adc)
+    # full dials -> exact
+    full = [
+        r["id"] for r in coll.search(q, limit=5, nprobe=8, refine=200).collect()
+    ]
+    assert full == exact_ids
+    # recall at the default dials is sane (the funnel finds most of
+    # the true top-5 on 150 rows) and never exceeds the full-dial set
+    part = {r["id"] for r in coll.search(q, limit=5).collect()}
+    assert len(part & set(exact_ids)) >= 3
+
+
+def test_incremental_ivfpq_flush_keeps_quantizers_fixed(catalog):
+    """Delta flush of an ivfpq collection: coarse centroids AND
+    residual codebooks byte-identical to the base build (they only
+    move on compact), base code files hardlinked, tombstones written —
+    and with full dials the search equals the brute force over the
+    patched state. A later compact retrains both sidecars."""
+    import os
+
+    import numpy as np
+
+    rows = _rows(200, dim=8, seed=41)
+    coll = catalog.create_collection(
+        "pqdelta", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivfpq", versioning=True, ivf_centroids=4, ivf_nprobe=4,
+        pq_subspaces=4, pq_codes=8, ivfpq_refine=400,
+    )
+    coll.upsert(rows)
+    coll.flush()  # v1: full IVFADC build
+    c1 = np.load(os.path.join(coll._ivf_dir("vector", 1), "centroids.npy"))
+    b1 = np.load(os.path.join(coll._ivf_dir("vector", 1), "book.npy"))
+    v1_blocks = os.path.join(coll._ivf_dir("vector", 1), "blocks")
+
+    updates = [dict(r, type=r["type"] + 100) for r in _rows(10, dim=8, seed=41)]
+    inserts = [dict(r, id=f"new-{i}") for i, r in enumerate(_rows(15, dim=8, seed=43))]
+    coll.upsert(updates)
+    coll.upsert(inserts)
+    coll.delete_where({"index_name": "type", "op": "eq", "value": 3})
+    coll.flush()  # v2: delta — fixed quantizers, re-encode, append
+    assert coll.manifest.version == 2
+    assert np.array_equal(c1, np.load(os.path.join(coll._ivf_dir("vector", 2), "centroids.npy")))
+    assert np.array_equal(b1, np.load(os.path.join(coll._ivf_dir("vector", 2), "book.npy")))
+    v2_blocks = os.path.join(coll._ivf_dir("vector", 2), "blocks")
+    for part in os.listdir(v1_blocks):
+        pdir = os.path.join(v1_blocks, part)
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                assert (
+                    os.stat(os.path.join(v2_blocks, part, f)).st_ino
+                    == os.stat(os.path.join(pdir, f)).st_ino
+                )
+    assert os.path.isdir(coll._tombstones_dir(2))
+
+    state = {r["id"]: r for r in rows}
+    for r in updates:
+        state[r["id"]] = r
+    for r in inserts:
+        state[r["id"]] = r
+    state = {k: v for k, v in state.items() if v["type"] != 3}
+    q = _rows(1, dim=8, seed=5)[0]["vector"]
+    got = [
+        (round(r["dist"], 6), r["id"])
+        for r in coll.search(q, limit=5).collect()
+    ]
+    want = [(round(dd, 6), rid) for dd, rid in _exact_topk(state, q, k=5)]
+    assert got == want
+
+    coll.compact()  # full rebuild retrains both quantizers
+    v = coll.manifest.version
+    assert os.path.isfile(os.path.join(coll._ivf_dir("vector", v), "book.npy"))
+    got2 = [
+        (round(r["dist"], 6), r["id"])
+        for r in coll.search(q, limit=5).collect()
+    ]
+    assert got2 == want

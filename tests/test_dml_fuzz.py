@@ -61,13 +61,22 @@ def _check_search(coll, model, q):
     assert got == want
 
 
-@pytest.mark.parametrize("layout", ["rows", "blocks", "ivf"])
+@pytest.mark.parametrize("layout", ["rows", "blocks", "ivf", "ivfpq"])
 def test_dml_state_machine_fuzz(spark, tmp_path, layout):
+    # ivfpq arm: nprobe = n_centroids (every list probed) and the
+    # default refine (50) ≥ the 40-id key space, so the ADC funnel
+    # passes every live row to the exact rerank and search must equal
+    # the brute force EXACTLY — codebook quality can affect nothing.
+    # What the arm exercises is the full DML surface over the code
+    # index: fixed-centroid/fixed-codebook delta re-encodes,
+    # tombstone masking inside the ADC scan, compact retrains.
     rng = random.Random(1000 + len(layout))
     cat = Catalog(spark, str(tmp_path / f"wh_{layout}"))
     kwargs = {} if layout == "rows" else {"block_dtype": "float64"}
     if layout == "ivf":
         kwargs.update(ivf_centroids=4, ivf_nprobe=4)
+    if layout == "ivfpq":
+        kwargs.update(ivf_centroids=4, ivf_nprobe=4, pq_subspaces=4, pq_codes=8)
     coll = cat.create_collection(
         "fuzz", dim=DIM, distance="euclidean", fields=FIELDS,
         layout=layout, **kwargs,

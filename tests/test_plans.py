@@ -958,3 +958,64 @@ def test_script_profile_is_codegen_projection(spark):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final
+
+
+def test_ivfpq_collection_probe_prunes_and_refines_broadcast(spark):
+    """An ivfpq-layout collection's search must (a) path-prune to the
+    probed lists' PACKED CODE FILES exactly like the ivf layout, (b)
+    serve ADC-only (refine=0) with NO Parquet scan at all — the scan
+    reads M uint8 bytes per row through the spool and nothing else —
+    and (c) rerank the refined search through ONE broadcast join of
+    the ≤ refine candidates against a COLUMN-PRUNED snapshot scan
+    (commit id + vector only; a sort-merge join or a full-width scan
+    here would re-shuffle/re-read the corpus per query at 100 TB)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.operators.blocks import ivf_files, ivf_probe_centroids
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.schema import IndexField
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    coll = Catalog(spark, tempfile.mkdtemp(prefix="wh_ivfpq_plan_")).create_collection(
+        "pqp", dim=dim, distance="cosine",
+        fields=[
+            IndexField("id", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+        layout="ivfpq", ivf_centroids=4, ivf_nprobe=2,
+        pq_subspaces=8, pq_codes=8,
+    )
+    coll.upsert_df(
+        emb.select(F2.col("vec_id").cast("string").alias("id"),
+                   F2.col("label").cast("int").alias("label"),
+                   F2.col("embedding").alias("vector")),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    q = list(emb.select("embedding").first()["embedding"])
+    # (a) driver-side path pruning over the CODE files
+    blocks_dir = os.path.join(coll._ivf_dir("vector"), "blocks")
+    Cn = np.load(os.path.join(coll._ivf_dir("vector"), "centroids.npy"))
+    probed = ivf_probe_centroids(Cn, coll._normalize_query(q), 2)
+    files = ivf_files(blocks_dir, probed)
+    assert files and all(
+        any(f"centroid={c}{os.sep}" in f for c in probed) for f in files
+    )
+    assert len(files) < len(ivf_files(blocks_dir, range(4)))
+    # (b) ADC-only: the whole plan is the file-list scan + TakeOrdered
+    plan0 = executed_plan(coll.search(q, limit=5, refine=0))
+    assert "Scan parquet" not in plan0, plan0[:800]
+    assert "TakeOrderedAndProject" in plan0
+    # (c) refined: broadcast rerank join against a pruned vector scan
+    plan = executed_plan(coll.search(q, limit=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("vector" in ln and "label" not in ln for ln in read), read
