@@ -279,6 +279,56 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     }
     ivf_recall = len(approx_ids & exact_ids) / max(len(exact_ids), 1)
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # IVFADC product path: a layout="ivfpq" collection over the same
+    # corpus — M=8 uint8 codes per row instead of 64 floats (the
+    # billion-scale layout; the honest recall-vs-dials funnel lives in
+    # the NON-replicated clustered-corpus micro and the SURVEY r8
+    # numbers — on this tiled corpus the pk domain is zero-padded so
+    # duplicate ties resolve exactly like the int-keyed exact scan and
+    # recall is 1.0 by construction, kept as the latency datum).
+    # refine=100 bounds the rerank join at B·100 vectors.
+    wh_pq = scratch_dir(prefix="coltt_wh_ivfpq_bench_")
+    t0 = time.perf_counter()
+    pq_coll = Catalog(spark, wh_pq).create_collection(
+        "bench_ivfpq",
+        dim=len(q),
+        distance="cosine",
+        fields=[
+            IndexField("vid", "string", primary_key=True),
+            IndexField("label", "integer"),
+        ],
+        layout="ivfpq",
+        ivf_centroids=64,
+        ivf_nprobe=8,
+        pq_subspaces=8,
+        pq_codes=16,
+        ivfpq_refine=100,
+    )
+    pq_coll.upsert_df(
+        corpus.select(
+            F.format_string("%07d", F.col("vec_id")).alias("vid"),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    pq_coll.flush()
+    ivfpq_build_sec = round(time.perf_counter() - t0, 4)
+    pq_coll.search(q, limit=10).collect()  # warm: spool decode + codegen
+    runs_pq = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pq_coll.search(q, limit=10).collect()
+        runs_pq.append(time.perf_counter() - t0)
+    pq_ids = {int(r["vid"]) for r in pq_coll.search(q, limit=10).collect()}
+    ivfpq_recall = len(pq_ids & exact_ids) / max(len(exact_ids), 1)
+    pq_coll.search(q, limit=10, refine=0).collect()  # warm the ADC-only plan
+    runs_pq0 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pq_coll.search(q, limit=10, refine=0).collect()
+        runs_pq0.append(time.perf_counter() - t0)
+    shutil.rmtree(wh_pq, ignore_errors=True)
 
     strategies = {
         "wide": sec_wide,
@@ -316,6 +366,12 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
         "ivf_sec_per_query": round(sum(runs) / len(runs), 4),
         "ivf_sec_per_query_best": round(min(runs), 4),
         "ivf_recall_at_10": round(ivf_recall, 4),
+        "ivfpq_build_sec": ivfpq_build_sec,
+        "ivfpq_sec_per_query": round(sum(runs_pq) / len(runs_pq), 4),
+        "ivfpq_sec_per_query_best": round(min(runs_pq), 4),
+        "ivfpq_adc_sec_per_query": round(sum(runs_pq0) / len(runs_pq0), 4),
+        "ivfpq_adc_sec_per_query_best": round(min(runs_pq0), 4),
+        "ivfpq_recall_at_10": round(ivfpq_recall, 4),
     }
 
 
@@ -727,6 +783,14 @@ def main() -> None:
                 "ivf_best": flat_1m["ivf_sec_per_query_best"],
                 "ivf_recall_at_10": flat_1m["ivf_recall_at_10"],
                 "ivf_build_sec": flat_1m["ivf_build_sec"],
+                # IVFADC collection serving at 1M (M=8 uint8 codes/row;
+                # latency datum — the honest recall funnel is the
+                # clustered-corpus micro + SURVEY r8)
+                "ivfpq": flat_1m["ivfpq_sec_per_query"],
+                "ivfpq_best": flat_1m["ivfpq_sec_per_query_best"],
+                "ivfpq_adc_best": flat_1m["ivfpq_adc_sec_per_query_best"],
+                "ivfpq_build_sec": flat_1m["ivfpq_build_sec"],
+                "ivfpq_recall_at_10": flat_1m["ivfpq_recall_at_10"],
                 # recall/latency dial on the clustered NON-replicated
                 # corpus (nprobe -> recall@10; latencies in the full
                 # JSON's ivf_recall_curve block)
