@@ -62,6 +62,154 @@ def tokens_ws(col) -> Column:
     return F.array_remove(F.split(c, r"\s+"), "")
 
 
+#: GPT-2-style pre-tokenization split (Radford et al. 2019; the
+#: pattern every GPT-family byte-level BPE tokenizer uses) as a
+#: documented PORTABLE SUBSET both regex engines (Java and RE2) parse
+#: identically — no ``\\p{...}`` Unicode property classes (their
+#: Unicode tables can drift between engines) and no lookahead (RE2
+#: has none). Divergences from the canonical pattern, all documented:
+#:
+#: - ``\\s`` becomes the explicit Unicode whitespace enumeration
+#:   :data:`GPT2_WS` (ASCII ws + NEL/NBSP/Ogham space mark + the
+#:   U+2000 space block + U+2028/29/2F + U+205F + U+3000) — Java's
+#:   ``\\s`` includes U+000B where RE2's does not, so the class is
+#:   spelled out and identical in both engines.
+#: - ``\\p{L}`` (letters) becomes: ASCII ``A-Za-z`` plus every
+#:   non-ASCII code point EXCEPT the whitespace above and the
+#:   explicit punctuation blocks below. Non-Latin scripts, accented
+#:   Latin, fullwidth letters and fullwidth digits all land in the
+#:   letter run — only genuinely punctuation-shaped blocks are
+#:   carved out.
+#: - ``\\p{N}`` (digits) becomes ASCII ``0-9`` (non-ASCII decimal
+#:   digits ride in the letter run; Latin-1 superscripts ¹²³ in the
+#:   punctuation run).
+#: - non-ASCII punctuation = the blocks dominating web text: C1
+#:   controls, Latin-1 punctuation/symbols U+00A1-BF (¡«»¿©§· — ª µ º
+#:   stay letters), General Punctuation U+200B-206F minus its spaces
+#:   (curly quotes, dashes, ellipsis), CJK Symbols & Punctuation
+#:   U+3001-303F (、。「」), and the fullwidth punctuation sub-ranges
+#:   of U+FF00-FF65 (！？（） — fullwidth letters/digits stay
+#:   letters, as in ``\\p{L}``/``\\p{N}``).
+#: - the canonical ``\\s+(?!\\S)|\\s+`` whitespace rule needs negative
+#:   lookahead; :func:`pre_tokens_gpt2` reproduces its EXACT token
+#:   stream with a plain greedy ``[ws]+`` alternative plus a
+#:   deterministic post-fix fold (see there).
+GPT2_WS = (
+    " \t\n\x0b\f\r\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+_GPT2_WS_CLASS = (
+    r"[ \t\n\x0b\f\r\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+_GPT2_LETTER = (
+    r"[A-Za-z\x{aa}\x{b5}\x{ba}"
+    r"\x{c0}-\x{167f}\x{1681}-\x{1fff}\x{2070}-\x{2fff}"
+    r"\x{3040}-\x{feff}"
+    r"\x{ff10}-\x{ff19}\x{ff21}-\x{ff3a}\x{ff41}-\x{ff5a}"
+    r"\x{ff66}-\x{10ffff}]"
+)
+_GPT2_PUNCT = (
+    r"[\x00-\x08\x0e-\x1f!-/:-@\[-`{-~\x7f"
+    r"\x{80}-\x{84}\x{86}-\x{9f}\x{a1}-\x{a9}\x{ab}-\x{b4}"
+    r"\x{b6}-\x{b9}\x{bb}-\x{bf}"
+    r"\x{200b}-\x{2027}\x{202a}-\x{202e}\x{2030}-\x{205e}"
+    r"\x{2060}-\x{206f}\x{3001}-\x{303f}"
+    r"\x{ff00}-\x{ff0f}\x{ff1a}-\x{ff20}\x{ff3b}-\x{ff40}"
+    r"\x{ff5b}-\x{ff65}]"
+)
+GPT2_SPLIT_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    f"| ?{_GPT2_LETTER}+"
+    "| ?[0-9]+"
+    f"| ?{_GPT2_PUNCT}+"
+    f"|{_GPT2_WS_CLASS}+"
+)
+
+
+def pre_tokens_gpt2(col) -> Column:
+    """GPT-2-style pre-tokens: contractions, (space-prefixed) letter
+    runs, digit runs, punctuation runs, whitespace runs — the split
+    real token budgets are paid in (whitespace-only pre-tokenization
+    fuses punctuation into words, so its counts diverge from any
+    GPT-family tokenizer on punctuation-heavy web text).
+
+    Extraction uses :data:`GPT2_SPLIT_PATTERN` (portable subset,
+    documented above); the canonical pattern's lookahead-based
+    whitespace rule is then reproduced EXACTLY by a deterministic
+    post-fix fold over the extracted array: our greedy ``[ws]+``
+    eats a whole whitespace run, but GPT-2 leaves the run's LAST
+    character to the next token when it is a literal space (`` ?``
+    prefix) or as its own single-char token otherwise. The fold is
+    the same left-to-right ``F.aggregate`` discipline as the BPE
+    merge fold, so DuckDB ``list_reduce`` replays it bit-for-bit
+    (:func:`gpt2_pretok_sql` — single source of truth for the
+    oracle side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(GPT2_SPLIT_PATTERN), 0)
+    ws = F.lit(GPT2_WS)
+
+    def _is_ws(t):
+        # "token is a whitespace run" ⟺ its LAST char is whitespace:
+        # letter/digit/punct runs may START with their optional
+        # leading space but always END with a class character
+        return F.contains(ws, F.substr(t, F.length(t), F.lit(1)))
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        plen = F.length(prev)
+        head = F.substr(prev, F.lit(1), plen - F.lit(1))
+        last = F.substr(prev, plen, F.lit(1))
+        head_arr = F.when(plen > 1, F.array(head)).otherwise(
+            F.array().cast("array<string>")
+        )
+        butlast = F.slice(acc, F.lit(1), F.size(acc) - 1)
+        fix_space = F.concat(
+            butlast, head_arr, F.array(F.concat(F.lit(" "), x))
+        )
+        fix_other = F.concat(butlast, head_arr, F.array(last), F.array(x))
+        return F.when(
+            (F.size(acc) >= 1) & _is_ws(prev) & ~_is_ws(x),
+            F.when(last == " ", fix_space).otherwise(fix_other),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(toks, F.array().cast("array<string>"), step)
+
+
+def gpt2_pretok_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`pre_tokens_gpt2`, generated from the
+    SAME pattern constant (single source of truth): RE2
+    ``regexp_extract_all`` + the whitespace post-fix as a
+    ``list_reduce`` over singleton-wrapped tokens (the accumulator
+    must share the element type — the BPE chain's convention)."""
+    pat = GPT2_SPLIT_PATTERN.replace("'", "''")
+    raw = f"regexp_extract_all({expr}, '{pat}')"
+    ws = "(" + " || ".join(f"chr({ord(ch)})" for ch in GPT2_WS) + ")"
+    prev = "acc[len(acc)]"
+    head = (
+        f"CASE WHEN length({prev}) > 1 "
+        f"THEN [substr({prev}, 1, length({prev}) - 1)] "
+        f"ELSE []::VARCHAR[] END"
+    )
+    last = f"substr({prev}, length({prev}), 1)"
+    return f"""CASE WHEN len({raw}) = 0 THEN []::VARCHAR[] ELSE list_reduce(
+  list_transform({raw}, t -> [t]),
+  (acc, xl) -> CASE
+    WHEN len(acc) >= 1
+         AND instr({ws}, {last}) >= 1
+         AND instr({ws}, substr(xl[1], length(xl[1]), 1)) = 0
+    THEN CASE WHEN {last} = ' '
+      THEN list_concat(list_concat(acc[1:len(acc) - 1], {head}),
+                       [' ' || xl[1]])
+      ELSE list_concat(list_concat(list_concat(
+             acc[1:len(acc) - 1], {head}), [{last}]), [xl[1]])
+      END
+    ELSE list_concat(acc, xl) END
+) END"""
+
+
 def utf8_byte_symbols(col) -> Column:
     """A string's UTF-8 bytes as an array of 2-char uppercase hex
     symbols (``'é' → ['C3','A9']``) — the byte-level BPE alphabet.

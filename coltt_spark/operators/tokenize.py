@@ -58,7 +58,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from coltt_spark.functions.text import tokens, tokens_ws, utf8_byte_symbols
+from coltt_spark.functions.text import (
+    pre_tokens_gpt2,
+    tokens,
+    tokens_ws,
+    utf8_byte_symbols,
+)
 
 #: the paper's end-of-word marker — a symbol that can never collide
 #: with corpus symbols (the char path admits only [a-z0-9]; the byte
@@ -66,21 +71,36 @@ from coltt_spark.functions.text import tokens, tokens_ws, utf8_byte_symbols
 EOW = "</w>"
 
 
-def _pre_tokens(text_col: str, byte_level: bool) -> Column:
+def _pre_tokens(
+    text_col: str, byte_level: bool, pre_tokenizer: str = "ws"
+) -> Column:
     """The pre-tokenizer per path: the engine's standard lowercase
     ``[a-z0-9]`` splitter for the char path, whitespace-preserving
     ``tokens_ws`` for the byte path (byte-level BPE must see CJK /
-    Cyrillic / accented text — the whole point of the path)."""
+    Cyrillic / accented text — the whole point of the path), or the
+    GPT-2-style split (``pre_tokenizer="gpt2"``, byte path only) —
+    contraction/letter-run/digit-run/punct-run boundaries, the split
+    production token budgets are paid in (whitespace-only
+    pre-tokenization fuses punctuation into words)."""
+    if pre_tokenizer == "gpt2":
+        if not byte_level:
+            raise ValueError('pre_tokenizer="gpt2" requires byte_level=True')
+        return pre_tokens_gpt2(text_col)
+    if pre_tokenizer != "ws":
+        raise ValueError(f"unknown pre_tokenizer {pre_tokenizer!r}")
     return tokens_ws(text_col) if byte_level else tokens(text_col)
 
 
 def bpe_word_table(
-    df: DataFrame, text_col: str, byte_level: bool = False
+    df: DataFrame, text_col: str, byte_level: bool = False,
+    pre_tokenizer: str = "ws",
 ) -> DataFrame:
     """Distinct-word frequency table ``(word, cnt)`` — the training
     relation (vocabulary-sized; the one corpus-wide shuffle)."""
     return (
-        df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
+        df.select(
+            F.explode(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -147,6 +167,7 @@ def bpe_learn(
     text_col: str,
     num_merges: int,
     byte_level: bool = False,
+    pre_tokenizer: str = "ws",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``num_merges`` BPE merges on the corpus. Returns the
     ordered merge list and the final word-segmentation table
@@ -163,7 +184,7 @@ def bpe_learn(
     On a cluster, swap localCheckpoint for a reliable checkpoint dir
     (executor loss invalidates local checkpoints); in local mode the
     distinction is moot."""
-    base = bpe_word_table(df, text_col, byte_level)
+    base = bpe_word_table(df, text_col, byte_level, pre_tokenizer)
     cur = base.select(
         "word", _initial_symbols(F.col("word"), byte_level).alias("s"), "cnt"
     ).localCheckpoint(eager=False)
@@ -228,6 +249,7 @@ def bpe_encode(
     word_len: DataFrame | None = None,
     word_len_complete: bool = False,
     byte_level: bool = False,
+    pre_tokenizer: str = "ws",
 ) -> DataFrame:
     """Per-document subword token counts ``(id, n_words, n_tokens)``
     under the learned merges. Segmentation is memoized per DISTINCT
@@ -251,11 +273,13 @@ def bpe_encode(
         bpe_segment(w, merges, byte_level)
     ).cast("long")
     if word_len is None:
-        vocab = bpe_word_table(df, text_col, byte_level).select("word")
+        vocab = bpe_word_table(
+            df, text_col, byte_level, pre_tokenizer
+        ).select("word")
         word_len = vocab.select("word", seg_len(F.col("word")).alias("n_tok"))
     elif not word_len_complete:
         corpus_vocab = df.select(
-            F.explode(_pre_tokens(text_col, byte_level)).alias("word")
+            F.explode(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word")
         ).distinct()
         missing = corpus_vocab.join(
             word_len.select("word"), "word", "left_anti"
@@ -268,7 +292,7 @@ def bpe_encode(
         ).unionByName(extra)
     occurrences = df.select(
         F.col(id_col),
-        F.explode_outer(_pre_tokens(text_col, byte_level)).alias("word"),
+        F.explode_outer(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word"),
     )
     return (
         occurrences.join(word_len, "word", "left")
@@ -292,14 +316,17 @@ def bpe_encode(
 
 
 def bpe_alphabet(
-    df: DataFrame, text_col: str, byte_level: bool = False
+    df: DataFrame, text_col: str, byte_level: bool = False,
+    pre_tokenizer: str = "ws",
 ) -> list[str]:
     """The corpus's base symbol set (initial symbols incl. ``</w>``),
     sorted — one distinct-agg + a BOUNDED collect (≤ 257 symbols on
     the byte path, ≤ 37 on the char path; centroid/codebook
     discipline, not a data collect)."""
     rows = (
-        df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
+        df.select(
+            F.explode(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word")
+        )
         .distinct()
         .select(F.explode(_initial_symbols(F.col("word"), byte_level)).alias("sym"))
         .distinct()
@@ -336,6 +363,7 @@ def bpe_encode_ids(
     word_seg: DataFrame | None = None,
     word_seg_complete: bool = False,
     byte_level: bool = False,
+    pre_tokenizer: str = "ws",
 ) -> DataFrame:
     """Per-document token-id SEQUENCES ``(id, token_ids array<int>)``
     under the learned merges and vocab — the surface that composes
@@ -353,7 +381,9 @@ def bpe_encode_ids(
     yield an EMPTY array, not null."""
     if word_seg is None:
         word_seg = (
-            df.select(F.explode(_pre_tokens(text_col, byte_level)).alias("word"))
+            df.select(
+                F.explode(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word")
+            )
             .distinct()
             .select(
                 "word",
@@ -362,7 +392,7 @@ def bpe_encode_ids(
         )
     elif not word_seg_complete:
         corpus_vocab = df.select(
-            F.explode(_pre_tokens(text_col, byte_level)).alias("word")
+            F.explode(_pre_tokens(text_col, byte_level, pre_tokenizer)).alias("word")
         ).distinct()
         missing = corpus_vocab.join(
             word_seg.select("word"), "word", "left_anti"
@@ -383,9 +413,9 @@ def bpe_encode_ids(
     )
     occ = df.select(
         F.col(id_col),
-        F.posexplode_outer(_pre_tokens(text_col, byte_level)).alias(
-            "pos", "word"
-        ),
+        F.posexplode_outer(
+            _pre_tokens(text_col, byte_level, pre_tokenizer)
+        ).alias("pos", "word"),
     )
     ordered = F.array_sort(
         F.collect_list(

@@ -1672,6 +1672,7 @@ _KEY_ORDER = [
     # -- r9 WIP: new entries land here until the round-end ledger
     # -- rewrite reorders the window
     "collection_search_ivfpq",
+    "bpe_encode_ids_pretok",
     # -- round-8 window: the r7 rotation ledger FIRST — the 33
     # -- r5-green entries whose last hard driver signal is r5 (the
     # -- oldest on the board; events_json leads as promised) — then
@@ -1956,3 +1957,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _bpe_fixture(spark, sf_dir)  # trained BPE merges + word->n_tok table
     # byte-level twin: merges + word->segmentation + base alphabet
     _bpe_bytes_fixture(spark, sf_dir)
+    from coltt_spark.registry_text import _bpe_bytes_pretok_fixture
+
+    # GPT-2-pretok twin (trained model on the punctuation fixture)
+    _bpe_bytes_pretok_fixture(spark, sf_dir)

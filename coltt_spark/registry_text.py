@@ -758,10 +758,12 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_ids_chain(k: int) -> str:
+def _bpe_ids_chain(k: int, toks: str = _TOKS_WS, src: str = _UNI_SRC) -> str:
     """Chain replay + vocab-id derivation + per-document id lists
-    (CTE ``dock``) — shared by the encode-ids and pack-ids oracles."""
-    chain = _bpe_chain_sql(k, toks=_TOKS_WS, src=f"{_UNI_SRC} u0", byte_level=True)
+    (CTE ``dock``) — shared by the encode-ids, pack-ids, and
+    pretok-ids oracles (``toks``/``src`` select the pre-tokenizer and
+    fixture corpus)."""
+    chain = _bpe_chain_sql(k, toks=toks, src=f"{src} u0", byte_level=True)
     merged_union = "\nUNION ALL\n".join(
         f"SELECT {i} AS rank, a || b AS merged FROM b{i}"
         for i in range(1, k + 1)
@@ -792,7 +794,7 @@ wids AS (
 ),
 docw AS (
   SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j
-  FROM (SELECT doc_id, {_TOKS_WS} AS toks FROM {_UNI_SRC} u1)
+  FROM (SELECT doc_id, {toks} AS toks FROM {src} u1)
 ),
 dock AS (
   SELECT d.doc_id, flatten(list(w.ids ORDER BY d.j)) AS ids
@@ -802,13 +804,15 @@ dock AS (
 )"""
 
 
-def _bpe_encode_ids_oracle(k: int) -> str:
-    return _bpe_ids_chain(k) + f"""
+def _bpe_encode_ids_oracle(
+    k: int, toks: str = _TOKS_WS, src: str = _UNI_SRC
+) -> str:
+    return _bpe_ids_chain(k, toks=toks, src=src) + f"""
 SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(len(c.ids), 0) AS BIGINT) AS n_tokens,
        COALESCE(array_to_string(
          list_transform(c.ids, x -> CAST(x AS VARCHAR)), '-'), '') AS ids_csv
-FROM {_UNI_SRC} u LEFT JOIN dock c ON u.doc_id = c.doc_id
+FROM {src} u LEFT JOIN dock c ON u.doc_id = c.doc_id
 """
 
 
@@ -882,6 +886,110 @@ FROM psq GROUP BY shard, seq_id
 """
 
 
+# -- GPT-2-style pre-tokenization (VERDICT r8 #2) ----------------------------
+#
+# The byte path's whitespace pre-tokenizer fuses punctuation into
+# words, so its token counts diverge from any production GPT-family
+# tokenizer on punctuation-heavy web text. This entry runs the SAME
+# byte-level BPE machinery under the canonical contraction/letter-run/
+# digit-run/punct-run split (functions.text.GPT2_SPLIT_PATTERN — a
+# documented portable subset both regex engines share), on a fixture
+# extended with exactly the constructs the split exists for:
+# contractions, ASCII + non-ASCII punctuation (em-dash, «», …, ：, 。,
+# ！), digit runs, and multi-space runs (the lookahead-free
+# whitespace post-fix fold).
+
+_PUNCT_TAILS = [
+    "Don't stop—ever!",
+    "it's 2026, ok?",
+    "«цитата»… да!",
+    "数据：真的。  код",
+]
+
+_UNI_PUNCT_SRC = (
+    "(SELECT doc_id, concat("
+    "(['" + "', '".join(_UNI_PHRASES) + "'])[CAST(doc_id % 5 AS INT) + 1],"
+    " ' ', "
+    "(['"
+    + "', '".join(t.replace("'", "''") for t in _PUNCT_TAILS)
+    + "'])[CAST(doc_id % 4 AS INT) + 1]"
+    ") AS text FROM documents)"
+)
+
+
+def _uni_punct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phrases = F.array(*[F.lit(p) for p in _UNI_PHRASES])
+    tails = F.array(*[F.lit(p) for p in _PUNCT_TAILS])
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(phrases, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.element_at(tails, (F.col("doc_id") % 4 + 1).cast("int")),
+        ).alias("text"),
+    )
+
+
+_BPE_PRETOK_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_bytes_pretok_fixture(spark: SparkSession, sf_dir: str):
+    """GPT-2-pretok twin of _bpe_bytes_fixture: trained on the
+    punctuation-extended fixture under the GPT-2 split (pre-tokens
+    keep their leading space — '20' is an ordinary byte symbol)."""
+    if sf_dir not in _BPE_PRETOK_CACHE:
+        from coltt_spark.operators.tokenize import bpe_alphabet, bpe_learn
+
+        docs = _uni_punct_docs(spark, sf_dir)
+        merges, seg = bpe_learn(
+            docs, "text", BPE_MERGES_BYTES, byte_level=True,
+            pre_tokenizer="gpt2",
+        )
+        seg = seg.select("word", "s").localCheckpoint(eager=True)
+        alphabet = bpe_alphabet(
+            docs, "text", byte_level=True, pre_tokenizer="gpt2"
+        )
+        _BPE_PRETOK_CACHE[sf_dir] = (merges, seg, alphabet)
+    return _BPE_PRETOK_CACHE[sf_dir]
+
+
+def q_bpe_encode_ids_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequences under the GPT-2-style pre-tokenizer: the
+    byte-level model retrained on GPT-2 pre-token boundaries
+    (contractions split, punctuation its own runs, letter runs carry
+    their leading space), so token budgets match the shape a
+    production GPT-family tokenizer produces on punctuation-heavy
+    text. The oracle replays the split (extraction + the whitespace
+    post-fix fold, generated from the same pattern constant), the
+    training chain, the vocab-id derivation, and every document's id
+    sequence."""
+    from coltt_spark.operators.tokenize import bpe_encode_ids, bpe_vocab
+
+    docs = _uni_punct_docs(spark, sf_dir)
+    merges, seg, alphabet = _bpe_bytes_pretok_fixture(spark, sf_dir)
+    vocab = bpe_vocab(alphabet, merges)
+    ids = bpe_encode_ids(
+        docs, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+        pre_tokenizer="gpt2",
+    )
+    return ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_csv"),
+    )
+
+
+def _bpe_pretok_oracle(k: int) -> str:
+    from coltt_spark.functions.text import gpt2_pretok_sql
+
+    return _bpe_encode_ids_oracle(
+        k, toks=gpt2_pretok_sql("text"), src=_UNI_PUNCT_SRC
+    )
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -899,6 +1007,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_profile": q_text_script_profile,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "bpe_encode_ids_pretok": q_bpe_encode_ids_pretok,
     "pack_sequences_ids": q_pack_sequences_ids,
 }
 
@@ -924,6 +1033,7 @@ TEXT_ORACLES: dict[str, str] = {
         byte_level=True,
     ),
     "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
+    "bpe_encode_ids_pretok": _bpe_pretok_oracle(BPE_MERGES_BYTES),
     "pack_sequences_ids": _pack_ids_oracle(
         BPE_MERGES_BYTES, PACK_IDS_BUDGET, PACK_IDS_SHARDS
     ),

@@ -637,3 +637,149 @@ def test_bpe_model_save_load_roundtrip(spark, tmp_path):
     got_a = {r["doc_id"]: list(r["token_ids"]) for r in a.collect()}
     got_b = {r["doc_id"]: list(r["token_ids"]) for r in b.collect()}
     assert got_a == got_b and set(got_a) == {1, 2, 3, 4}
+
+
+# -- GPT-2-style pre-tokenization (functions.text.pre_tokens_gpt2) ----------
+
+
+#: hand-derived splits under the documented portable subset — the
+#: canonical GPT-2 cases (contractions split off, letter/digit/punct
+#: runs carry one leading space, the whitespace rule leaves a run's
+#: last literal space to the next token) plus the subset's documented
+#: divergences (all non-ASCII scripts are letter-runs; fullwidth
+#: letters+digits fuse; «» are Latin-1 punctuation)
+GPT2_CASES = {
+    "Hello, world! don't stop": ["Hello", ",", " world", "!", " don", "'t", " stop"],
+    "it's 2026, ok?": ["it", "'s", " 2026", ",", " ok", "?"],
+    "已经——好 了。": ["已经", "——", "好", " 了", "。"],
+    "a b": ["a", " b"],
+    "a  b": ["a", " ", " b"],
+    "x\n\ny": ["x", "\n", "\n", "y"],
+    "x\n\n y": ["x", "\n\n", " y"],
+    "tab\t\tz": ["tab", "\t", "\t", "z"],
+    "trail  ": ["trail", "  "],
+    "  lead": [" ", " lead"],
+    "«цитата»… да": ["«", "цитата", "»…", " да"],
+    "１２３ＡＢＣ！": ["１２３ＡＢＣ", "！"],
+    "": [],
+    "   ": ["   "],
+    "mix123abc": ["mix", "123", "abc"],
+    "e.g. 3.14%": ["e", ".", "g", ".", " 3", ".", "14", "%"],
+    "naïve café": ["naïve", " café"],
+    "x　　已": ["x", "　", "　", "已"],
+    "code:\n    indent()": ["code", ":", "\n   ", " indent", "()"],
+    "\U0001f916 emoji's": ["\U0001f916", " emoji", "'s"],
+    "a b": ["a", " ", "b"],
+}
+
+
+def test_gpt2_pretok_hand_derived(spark):
+    from coltt_spark.functions.text import pre_tokens_gpt2
+
+    texts = list(GPT2_CASES)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", pre_tokens_gpt2("text").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == GPT2_CASES[t], repr(t)
+        # splits are a partition of the input: concatenation restores it
+        assert "".join(got[i]) == t, repr(t)
+
+
+def test_gpt2_pretok_engine_parity(spark):
+    """The DuckDB twin (gpt2_pretok_sql, generated from the same
+    pattern constant) must produce identical splits on adversarial
+    input: every script band, astral plane, combining marks, mixed
+    punctuation, every whitespace code point of the subset."""
+    import duckdb
+
+    from coltt_spark.functions.text import GPT2_WS, gpt2_pretok_sql, pre_tokens_gpt2
+
+    texts = list(GPT2_CASES) + [
+        "".join(GPT2_WS) + "x" + "".join(GPT2_WS),
+        "ация́ combining",  # combining acute rides the letter run
+        "𝕌𝕟𝕚 astral 𝔸𝔹ℂ",
+        "half​width​ zero-width",  # U+200B is punct in the subset
+        "㊙️emoji-ish ☃ snow",
+        "don't DON'T Don'T",  # contraction list is lowercase-only
+        "price: $1,234.56 (−5%)",
+        " line sep",
+        "ハンカクｶﾀｶﾅ ＦＷ！",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", pre_tokens_gpt2("text").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", list(enumerate(texts)))
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {gpt2_pretok_sql('text')} FROM tt"
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == duck[i], repr(t)
+        assert "".join(got[i]) == t, repr(t)
+
+
+def test_gpt2_pretok_token_counts_hand_derived(spark):
+    """Token-count pin under zero merges: every pre-token costs its
+    UTF-8 byte count + 1 (the </w> terminal). 'Don't go!' splits as
+    ['Don', ''t', ' go', '!'] → (3+1) + (2+1) + (3+1) + (1+1) = 13."""
+    from coltt_spark.operators.tokenize import bpe_alphabet, bpe_encode_ids, bpe_vocab
+
+    df = spark.createDataFrame(
+        [(0, "Don't go!"), (1, "已经 ok")], "doc_id long, text string"
+    )
+    alphabet = bpe_alphabet(df, "text", byte_level=True, pre_tokenizer="gpt2")
+    vocab = bpe_vocab(alphabet, [])
+    ids = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(
+            df, "doc_id", "text", [], vocab, byte_level=True,
+            pre_tokenizer="gpt2",
+        ).collect()
+    }
+    assert len(ids[0]) == 13
+    # '已经' = 6 UTF-8 bytes + </w>; ' ok' = 3 bytes + </w> → 11
+    assert len(ids[1]) == 11
+    # ids decode back to the exact byte stream of the pre-tokens
+    inv = {i: tok for tok, i in vocab}
+    syms0 = [inv[i] for i in ids[0]]
+    text0 = bytes.fromhex(
+        "".join(s for s in syms0 if s != EOW)
+    ).decode("utf-8")
+    assert text0 == "Don't go!"
+
+
+def test_gpt2_pretok_requires_byte_level(spark):
+    import pytest as _pytest
+
+    from coltt_spark.operators.tokenize import bpe_word_table
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="byte_level"):
+        bpe_word_table(df, "text", byte_level=False, pre_tokenizer="gpt2")
+
+
+def test_gpt2_pretok_is_jvm_side(spark):
+    """The split (regex extraction + whitespace post-fix fold) must
+    stay JVM-side — no Python stage in the word-table plan."""
+    from coltt_spark.operators.tokenize import bpe_word_table
+
+    df = spark.createDataFrame(
+        [(i, "don't stop — ever!") for i in range(10)],
+        "doc_id long, text string",
+    )
+    wt = bpe_word_table(df, "text", byte_level=True, pre_tokenizer="gpt2")
+    plan = wt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
