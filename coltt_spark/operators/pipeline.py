@@ -501,15 +501,23 @@ def pack_sequences_ids(
 ) -> DataFrame:
     """Packed sequences WITH their token-id payloads — the row a
     training-shard export actually writes: ``(shard, seq_id, n_docs,
-    seq_tokens, token_ids)`` where ``token_ids`` is the sequence's
-    concatenated id stream in walk order. Identical concat-split
-    contract to :func:`pack_sequences` (same hash shard route, same
-    deterministic ``(hash, id)`` per-shard walk, same
+    seq_tokens, token_ids, doc_offsets)`` where ``token_ids`` is the
+    sequence's concatenated id stream in walk order and
+    ``doc_offsets`` the start offset of each document's ids within it
+    (``doc_offsets[0] = 0``; document j spans
+    ``token_ids[doc_offsets[j] : doc_offsets[j+1])``) — the
+    document-boundary metadata a training consumer needs to mask
+    cross-document attention in packed batches. Identical
+    concat-split contract to :func:`pack_sequences` (same hash shard
+    route, same deterministic ``(hash, id)`` per-shard walk, same
     ``floor((cumsum − n)/budget)`` window arithmetic), so the two
     operators agree sequence-for-sequence; this one additionally
     regroups the payload (``array_sort`` on (hash, id, ids) structs
     → flatten — the sort never compares the array field because
-    (hash, id) is unique per row).
+    (hash, id) is unique per row) and derives the offsets as an
+    exclusive prefix sum over the regrouped lengths (a left fold —
+    the oracle re-derives them with the same walk-ordered window
+    cumsum in SQL).
 
     Scale: ONE shuffle on the shard key; the window and the regroup
     both run per shard partition. The payload column makes output
@@ -532,8 +540,21 @@ def pack_sequences_ids(
         "seq_id", F.floor((F.col("_cum") - F.col("_t")) / budget)
     )
     ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("_h"), F.col(id_col), F.col("_ids")))
+        F.collect_list(
+            F.struct(F.col("_h"), F.col(id_col), F.col("_ids"), F.col("_t"))
+        )
     )
+    lens = F.transform(ordered, lambda x: x["_t"])
+    # exclusive prefix sum: [0, t1, t1+t2, …] truncated to n_docs
+    offsets = F.slice(
+        F.aggregate(
+            lens,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, n: F.concat(acc, F.array(F.element_at(acc, -1) + n)),
+        ),
+        F.lit(1),
+        F.size(lens),
+    ).cast("array<int>")
     return (
         packed.groupBy("shard", "seq_id")
         .agg(
@@ -542,6 +563,7 @@ def pack_sequences_ids(
             F.flatten(F.transform(ordered, lambda x: x["_ids"])).alias(
                 "token_ids"
             ),
+            offsets.alias("doc_offsets"),
         )
     )
 

@@ -852,6 +852,11 @@ def q_pack_sequences_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("token_ids", lambda x: x.cast("string")), "-"
         ).alias("ids_csv"),
+        # attention-boundary offsets (document starts inside
+        # token_ids) — the cross-document attention mask metadata
+        F.array_join(
+            F.transform("doc_offsets", lambda x: x.cast("string")), "-"
+        ).alias("offsets_csv"),
     )
 
 
@@ -875,14 +880,23 @@ psq AS (
   SELECT shard, CAST(floor((cs - nt) / {budget}) AS BIGINT) AS seq_id,
          doc_id, hh, ids, nt
   FROM pcum
+),
+poff AS (
+  SELECT *,
+         sum(nt) OVER (PARTITION BY shard, seq_id ORDER BY hh ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) - nt AS off
+  FROM psq
 )
 SELECT shard, seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nt) AS BIGINT) AS seq_tokens,
        array_to_string(
          list_transform(flatten(list(ids ORDER BY hh, doc_id)),
-                        x -> CAST(x AS VARCHAR)), '-') AS ids_csv
-FROM psq GROUP BY shard, seq_id
+                        x -> CAST(x AS VARCHAR)), '-') AS ids_csv,
+       array_to_string(
+         list_transform(list(off ORDER BY hh, doc_id),
+                        x -> CAST(x AS VARCHAR)), '-') AS offsets_csv
+FROM poff GROUP BY shard, seq_id
 """
 
 

@@ -600,6 +600,27 @@ def test_pack_sequences_ids_agrees_and_carries_payloads(spark):
             want.setdefault(key, []).extend(r["token_ids"])
     got = {(r["shard"], r["seq_id"]): list(r["token_ids"]) for r in packed}
     assert got == want
+    # 3. attention-boundary offsets: doc j spans
+    # token_ids[off[j]:off[j+1]] — slicing every sequence at its
+    # offsets must reconstruct the per-document id lists exactly
+    want_docs: dict = {}
+    for sh, docs in by_shard.items():
+        cum = 0
+        for r in docs:  # already (h, id)-sorted above
+            n = len(r["token_ids"])
+            key = (sh, cum // budget)
+            cum += n
+            want_docs.setdefault(key, []).append(list(r["token_ids"]))
+    for r in packed:
+        off = list(r["doc_offsets"])
+        assert off[0] == 0 and len(off) == r["n_docs"]
+        assert sorted(off) == off
+        bounds = off + [len(r["token_ids"])]
+        slices = [
+            list(r["token_ids"][bounds[j]:bounds[j + 1]])
+            for j in range(len(off))
+        ]
+        assert slices == want_docs[(r["shard"], r["seq_id"])]
 
 
 def test_bpe_model_save_load_roundtrip(spark, tmp_path):
