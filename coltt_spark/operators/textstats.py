@@ -22,16 +22,35 @@ from coltt_spark.sources.tables import ensure_parallelism
 
 # marker stopwords per language for the n-gram/stopword heuristic.
 # Deterministic and tiny by design — the oracle re-states the same
-# sets; swap in real wordlists at deployment.
+# sets; swap in real wordlists at deployment. The r9 tier adds the
+# next seven high-volume Latin-script web languages (VERDICT r8 #6:
+# pt/it/nl/pl/tr/id/vi). Markers are chosen ≥2 chars and ASCII-clean
+# so the [a-z0-9] tokenizer extracts them intact even from accented
+# text (Vietnamese/Polish function words WITH diacritics never
+# survive tokens() — only their ASCII-clean siblings are usable), and
+# curated against tokenization shrapnel: "naïve" splits to
+# ("na", "ve"), so "na" (pl) and "ve" (tr) are deliberately absent.
+# Cross-language sharing ("que" es+pt, "la" es+fr) is fine — argmax
+# with multiplicity decides, ties resolve to the earliest _LANG_ORDER
+# entry, so the original four languages keep their r1-r8 behavior on
+# every document they used to win.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
     "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "por"),
     "fr": ("le", "la", "les", "des", "et", "est", "une", "dans", "pour", "sur"),
+    "pt": ("que", "para", "com", "uma", "mais", "dos", "das", "pelo", "pela", "isso"),
+    "it": ("che", "della", "delle", "sono", "anche", "come", "questo", "questa", "gli", "nella"),
+    "nl": ("het", "een", "van", "dat", "niet", "voor", "ook", "maar", "naar", "zijn"),
+    "pl": ("jest", "nie", "tak", "jak", "czy", "przez", "tego", "ale", "tym", "jego"),
+    "tr": ("bir", "bu", "daha", "gibi", "kadar", "ama", "ile", "olarak", "sonra", "ancak"),
+    "id": ("yang", "dan", "untuk", "dengan", "tidak", "ini", "itu", "dari", "akan", "pada"),
+    "vi": ("anh", "em", "khi", "trong", "theo", "nhau", "cho", "hay", "con", "ngay"),
 }
 
-#: fixed language evaluation order — ties resolve to the earliest
-_LANG_ORDER = ("en", "de", "es", "fr")
+#: fixed language evaluation order — ties resolve to the earliest;
+#: the original four lead so their r1-r8 tie behavior is preserved
+_LANG_ORDER = ("en", "de", "es", "fr", "pt", "it", "nl", "pl", "tr", "id", "vi")
 
 #: rolling-hash base (fingerprint); with HASH_P < 2^31 the fold value
 #: stays under 2^39 — no int64 overflow in either engine.

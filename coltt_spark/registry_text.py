@@ -579,14 +579,59 @@ FROM {_UNI_SRC} u
 """
 
 
+# one phrase per r9 Latin-tier language (VERDICT r8 #6), each carrying
+# ≥3 of its own ASCII-clean markers and none that outscore it in
+# another language; appended doc_id % 7 on top of the shared
+# multilingual fixture so every Latin row exercises the expanded
+# scorer while the CJK/Cyrillic rows keep their script precedence
+_LAT_PHRASES = [
+    "uma cidade mais bonita para todos",
+    "questo libro anche della scuola",
+    "het weer wordt een mooie dag voor ons",
+    "jest tak dobre jak nigdy wcześniej",
+    "bu şehir daha güzel bir yer gibi",
+    "buku ini yang terbaik untuk semua dari kami",
+    "anh em trong nhà theo nhau cho vui",
+]
+
+#: the Latin-extended fixture as a FROM-able subquery
+_UNI_LAT_SRC = (
+    "(SELECT doc_id, concat("
+    "(['" + "', '".join(_UNI_PHRASES) + "'])[CAST(doc_id % 5 AS INT) + 1],"
+    " ' ', "
+    "(['" + "', '".join(_UNI_EXTRA) + "'])[CAST(doc_id % 3 AS INT) + 1],"
+    " ' ', "
+    "(['" + "', '".join(_LAT_PHRASES) + "'])[CAST(doc_id % 7 AS INT) + 1]"
+    ") AS text FROM documents)"
+)
+
+
+def _uni_lat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phrases = F.array(*[F.lit(p) for p in _UNI_PHRASES])
+    extra = F.array(*[F.lit(p) for p in _UNI_EXTRA])
+    lat = F.array(*[F.lit(p) for p in _LAT_PHRASES])
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(phrases, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.element_at(extra, (F.col("doc_id") % 3 + 1).cast("int")),
+            F.element_at(lat, (F.col("doc_id") % 7 + 1).cast("int")),
+        ).alias("text"),
+    )
+
+
 def q_text_lang_id_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-aware language ID on the multilingual fixture: UTF-8
-    lead-byte band counts decide non-Latin scripts (kana ⇒ ja, Hangul
-    ⇒ ko, han-only ⇒ zh, Cyrillic ⇒ ru), the stopword scorer decides
-    Latin rows — the signal the ASCII lang_id returned 'und' for."""
+    """Script-aware language ID on the Latin-extended multilingual
+    fixture: UTF-8 lead-byte band counts decide non-Latin scripts
+    (kana ⇒ ja, Hangul ⇒ ko, han-only ⇒ zh, Cyrillic ⇒ ru), the
+    stopword scorer — expanded r9 to eleven languages
+    (en/de/es/fr/pt/it/nl/pl/tr/id/vi) — decides Latin rows. The
+    fixture appends one phrase per new language (doc_id % 7) so all
+    seven appear in the driver check alongside the script rows."""
     from coltt_spark.operators.textstats import script_lang_id
 
-    return script_lang_id(_uni_docs(spark, sf_dir), "doc_id", "text")
+    return script_lang_id(_uni_lat_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _script_lang_oracle(src: str = "") -> str:
@@ -606,7 +651,7 @@ def _script_lang_oracle(src: str = "") -> str:
         "i -> substr(hex(encode(text)), (i - 1) * 2 + 1, 2))"
     )
     return f"""
-WITH s AS (SELECT doc_id, {syms} AS sy, {_TOKS} AS tk FROM {src or (_UNI_SRC + ' u')}),
+WITH s AS (SELECT doc_id, {syms} AS sy, {_TOKS} AS tk FROM {src or (_UNI_LAT_SRC + ' u')}),
 c AS (
   SELECT doc_id,
     CAST(CASE WHEN len(sy) >= 2 THEN

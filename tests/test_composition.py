@@ -303,3 +303,53 @@ GROUP BY l.pred_lang
     finally:
         con.close()
     assert ok, msg
+
+
+def test_latin_tier_per_language_accounting(spark):
+    """Per-language corpus accounting over the Latin-extended fixture
+    (VERDICT r8 #6): script lang-ID with the eleven-language marker
+    scorer → docs / whitespace-words / UTF-8-bytes per predicted
+    language, against one nested DuckDB oracle. Asserts the seven new
+    Latin languages all appear with nonzero counts — the accounting a
+    multilingual curation pipeline keys quota decisions on."""
+    from coltt_spark.functions.text import tokens_ws
+    from coltt_spark.operators.textstats import script_lang_id
+    from coltt_spark.registry_text import (
+        _UNI_LAT_SRC,
+        _script_lang_oracle,
+        _uni_lat_docs,
+    )
+
+    docs = _uni_lat_docs(spark, SF_CORRECT)
+    langs = script_lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    out = (
+        docs.join(langs, on="doc_id")
+        .select(
+            "pred_lang",
+            F.size(tokens_ws("text")).cast("long").alias("_w"),
+            F.octet_length("text").cast("long").alias("_b"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_b").alias("n_bytes"),
+        )
+    )
+    ws_toks = "list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t <> '')"
+    oracle = f"""
+WITH langs AS ({_script_lang_oracle()})
+SELECT l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({ws_toks})) AS BIGINT) AS n_words,
+       CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes
+FROM {_UNI_LAT_SRC} d JOIN langs l USING (doc_id)
+GROUP BY l.pred_lang
+"""
+    con = duckdb_conn(SF_CORRECT)
+    try:
+        ok, msg = compare(out, con, oracle)
+    finally:
+        con.close()
+    assert ok, msg
+    seen = {r["pred_lang"] for r in out.collect()}
+    assert {"pt", "it", "nl", "pl", "tr", "id", "vi"} <= seen

@@ -600,6 +600,19 @@ def test_script_lang_id_labels(spark):
         (7, ""),                          # empty → und
         (8, "a"),  # 1-byte: the sequence guard ("a" IS an en marker)
         (9, "café résumé"),               # Latin-ext (C3) → marker path
+        # -- the r9 Latin tier (VERDICT r8 #6), one row each; accented
+        # function words (não/więcej/değil) tokenize to shrapnel and
+        # must NOT score — only the ASCII-clean markers decide
+        (10, "uma casa mais bonita para todos"),        # pt
+        (11, "questo libro è anche della scuola"),      # it
+        (12, "het weer wordt een mooie dag voor ons"),  # nl
+        (13, "jest tak dobre jak nigdy więcej"),        # pl
+        (14, "bu şehir daha güzel bir yer gibi"),       # tr
+        (15, "buku ini yang terbaik untuk semua"),      # id
+        (16, "anh em trong nhà theo nhau cho vui"),     # vi
+        # tie goes to the EARLIEST _LANG_ORDER entry: "que" scores
+        # es 1 and pt 1 → es, the r1-r8 behavior preserved
+        (17, "que"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
@@ -616,6 +629,14 @@ def test_script_lang_id_labels(spark):
     assert got[7]["pred_lang"] == "und" and got[7]["n_kana"] == 0
     assert got[8]["pred_lang"] == "en" and got[8]["n_kana"] == 0
     assert got[9]["n_cjk"] == 0 and got[9]["n_cyr"] == 0
+    assert got[10]["pred_lang"] == "pt" and got[10]["marker_hits"] == 3
+    assert got[11]["pred_lang"] == "it" and got[11]["marker_hits"] == 3
+    assert got[12]["pred_lang"] == "nl" and got[12]["marker_hits"] == 3
+    assert got[13]["pred_lang"] == "pl" and got[13]["marker_hits"] == 3
+    assert got[14]["pred_lang"] == "tr" and got[14]["marker_hits"] == 4
+    assert got[15]["pred_lang"] == "id" and got[15]["marker_hits"] == 3
+    assert got[16]["pred_lang"] == "vi" and got[16]["marker_hits"] == 6
+    assert got[17]["pred_lang"] == "es" and got[17]["marker_hits"] == 1
 
 
 def test_script_lang_id_matches_duckdb_on_adversarial_unicode(spark):
@@ -637,6 +658,7 @@ def test_script_lang_id_matches_duckdb_on_adversarial_unicode(spark):
         "abcdefgh ",                      # ASCII
         "the and of to a in is it ",      # en markers
         "der die und le la el en ",       # de/fr/es markers
+        "uma jest yang het bir anh che ",  # r9 Latin-tier markers
         "日本語処理文章",                   # CJK han (E4-E9)
         "のテキストですがを",               # kana (E3 81-83)
         "、。〒〓",                        # CJK punct (E3, NOT kana)
