@@ -323,6 +323,20 @@ def test_expanded_psl_suffixes_resolve(spark):
         ("a.b.gangwon.kr", "b.gangwon.kr"),
         ("shop.example.waw.pl", "example.waw.pl"),
         ("seoul.kr", "seoul.kr"),  # host IS a public suffix: whole
+        # -- r9 ccTLD long-tail tranche (VERDICT r8 #5): registries
+        # covered only by the ~2.1k-rule snapshot
+        ("www.shop.com.fj", "shop.com.fj"),        # Fiji functional 2LD
+        ("news.gouv.ht", "news.gouv.ht"),          # Haiti gouv 2LD
+        ("www.bank.com.mv", "bank.com.mv"),        # Maldives
+        ("a.b.isla.pr", "b.isla.pr"),              # Puerto Rico
+        ("x.y.k12.vi", "y.k12.vi"),                # US Virgin Islands
+        ("portal.gob.do", "portal.gob.do"),        # Dominican Rep. gob
+        ("a.ltd.co.im", "a.ltd.co.im"),            # 3-label plain rule
+        ("site.example.er", "site.example.er"),    # *.er wildcard
+        ("b.c.moe.kh", "c.moe.kh"),                # *.kh wildcard
+        ("gov.mr", "gov.mr"),                      # host IS a public suffix
+        ("ministry.gov.mr", "ministry.gov.mr"),    # Mauritania
+        ("a.saotome.st", "a.saotome.st"),          # São Tomé
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [
