@@ -1669,174 +1669,93 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- r9 WIP: new entries land here until the round-end ledger
-    # -- rewrite reorders the window
-    "collection_search_ivfpq",
-    "bpe_encode_ids_pretok",
-    # -- round-8 window: the r7 rotation ledger FIRST — the 33
-    # -- r5-green entries whose last hard driver signal is r5 (the
-    # -- oldest on the board; events_json leads as promised) — then
-    # -- entries new/touched this round, then the oldest of the
-    # -- r6-green block. See CLAUDE.md "Driver-check rotation ledger".
-    "events_json",                       # ledger: last driver signal r5
-    "text_redact_pii",                   # ledger: last driver signal r5
-    "collection_hybrid_ivf",             # ledger: last driver signal r5
-    "bm25_index_deleted",                # ledger: last driver signal r5
-    "collection_search_grouped",         # ledger: last driver signal r5
-    "media_knn",                         # ledger: last driver signal r5
-    "media_frames",                      # ledger: last driver signal r5
-    "schemaless_pure_search",            # ledger: last driver signal r5
-    "schemaless_update_delete",          # ledger: last driver signal r5
-    "hybrid_search",                     # ledger: last driver signal r5
-    "doc_chunk",                         # ledger: last driver signal r5
-    "decontaminate",                     # ledger: last driver signal r5
-    "sample_stratified",                 # ledger: last driver signal r5
-    "sample_fraction",                   # ledger: last driver signal r5
-    "source_mix",                        # ledger: last driver signal r5
-    "export_shards",                     # ledger: last driver signal r5
-    "pack_sequences",                    # ledger: last driver signal r5
-    #    (also touched r8: count_col coalesced to 0 — ADVICE r7 #4)
-    "stream_hourly",                     # ledger: last driver signal r5
-    "stream_sessionize",                 # ledger: last driver signal r5
-    "stream_dedup",                      # ledger: last driver signal r5
-    "collection_search_blocks_filtered",  # ledger: last driver signal r5
-    "events_asof",                       # ledger: last driver signal r5
-    "ann_bq",                            # ledger: last driver signal r5
-    "ann_pq",                            # ledger: last driver signal r5
-    "embed_cluster_sizes",               # ledger: last driver signal r5
-    "sample_cluster_balanced",           # ledger: last driver signal r5
-    "dedup_spans",                       # ledger: last driver signal r5
-    "text_repetition",                   # ledger: last driver signal r5
-    "stream_ingest",                     # ledger: last driver signal r5
-    "knn_bq",                            # ledger: last driver signal r5
-    "knn_sq8",                           # ledger: last driver signal r5
-    "semantic_dedup",                    # ledger: last driver signal r5
-    "range_search",                      # ledger: last driver signal r5
-    # -- new in r8 ----------------------------------------------------
-    "token_count_unicode",  # new r8: byte-path token accounting on a
-    #    CJK/Cyrillic/accented fixture (words, chars, UTF-8 bytes,
-    #    and the ASCII tokenizer's deletions alongside)
-    "text_lang_id_unicode",  # new r8: script-aware lang-id — UTF-8
-    #    lead-byte bands (kana/Hangul/han/Cyrillic) + marker fallback
-    #    (slot freed by demoting stream_join — r6-green, last of the
-    #    window's r6 fill — past the boundary, where it leads the r9
-    #    rotation queue)
-    "bpe_train_bytes",      # new r8: byte-level BPE training — UTF-8
-    #    hex-pair symbols, merges cross into whole CJK characters
-    "bpe_encode_ids",       # new r8: token-id SEQUENCES (GPT-2-style
-    #    vocab ids), serialized so the driver hashes full order
-    "pack_sequences_ids",   # new r8: packed sequences CARRYING their
-    #    id payloads — the complete tokenize→pack training-shard row
-    #    (slot freed by demoting ann_recall — r6-green, tail of the
-    #    window's r6 fill, back to its r6-order seat past the
-    #    boundary)
-    "dedup_minhash_bytes",  # new r8: MinHash+LSH over byte 12-gram
-    #    shingles — script-agnostic dedup (CJK/Cyrillic/accented text
-    #    has no [a-z0-9] word shingles and was invisible to every
-    #    dedup strategy); multilingual near-dup fixture, full SQL
-    #    replay of shingles→signatures→bands→verify (slot freed by
-    #    demoting jsonl_roundtrip — r6-green, tail of the window's r6
-    #    fill, back to its r6-order seat past the boundary)
-    "ann_ivfpq",            # new r8: fused IVF-PQ (IVFADC) — coarse
-    #    inverted lists + product-quantized RESIDUALS + per-list
-    #    query LUTs + exact refine, the standard billion-scale ANN
-    #    layout; oracle replays coarse k-means, residuals, residual
-    #    PQ training, probe order, ADC, and refine in SQL (slot freed
-    #    by demoting collection_time_travel — r6-green, tail of the
-    #    window's r6 fill, back to its r6-order seat past the
-    #    boundary)
-    "decontaminate_bytes",  # new r8: byte-level benchmark
-    #    decontamination — 24-byte shingles over the multilingual
-    #    fixture; the word-shingle check sees NOTHING of a CJK/
-    #    Cyrillic eval set (slot freed by demoting filter_extended —
-    #    r6-green, tail of the window's r6 fill, back to its r6-order
-    #    seat past the boundary)
-    "text_script_profile",  # new r8: per-document script COMPOSITION
-    #    fractions (ascii/latin-ext/cyrillic/kana/cjk/hangul/other by
-    #    UTF-8 lead-byte class) — the mixed-script curation gate next
-    #    to script_lang_id's single label (slot freed by demoting
-    #    doc_lm_score — r6-green, tail of the window's r6 fill, back
-    #    to its r6-order seat past the boundary)
-    "dedup_containment_bytes",  # new r8: asymmetric byte-level
-    #    CONTAINMENT — doc-in-doc duplication for multilingual
-    #    corpora (the planted suffix variants contain their base:
-    #    containment 1.0 where symmetric jaccard reads ~0.9) (slot
-    #    freed by demoting token_vocab — r6-green, tail of the
-    #    window's r6 fill, back to its r6-order seat past the
-    #    boundary)
+    # -- round-9 window: the r8 rotation ledger FIRST — 42 of the 45
+    # -- r6-green entries whose last hard driver signal is r6 (the
+    # -- oldest on the board; token_vocab leads as promised) — then
+    # -- the entries new or touched this round. 2 new + 6 touched =
+    # -- 8 seats, so the r6 block's TAIL (multi_vector_search,
+    # -- dedup_minhash_lsh, neardup_cosine) overflows past the
+    # -- boundary with round-10 priority, exactly as the r8 ledger
+    # -- anticipated. See CLAUDE.md 'Driver-check rotation ledger'.
+    "token_vocab",                 # ledger: last driver signal r6
+    "doc_lm_score",                 # ledger: last driver signal r6
+    "filter_extended",                 # ledger: last driver signal r6
+    "collection_time_travel",                 # ledger: last driver signal r6
+    "jsonl_roundtrip",                 # ledger: last driver signal r6
+    "ann_recall",                 # ledger: last driver signal r6
+    "stream_join",                 # ledger: last driver signal r6
+    "embed_project",                 # ledger: last driver signal r6
+    "sample_temperature",                 # ledger: last driver signal r6
+    "bm25_search",                 # ledger: last driver signal r6
+    "distinct_sketch",                 # ledger: last driver signal r6
+    "quantile_sketch",                 # ledger: last driver signal r6
+    "decontaminate_bloom",                 # ledger: last driver signal r6
+    "bm25_indexed",                 # ledger: last driver signal r6
+    "collection_search",                 # ledger: last driver signal r6
+    "media_jpeg_features",                 # ledger: last driver signal r6
+    "media_gif_features",                 # ledger: last driver signal r6
+    "format_roundtrip",                 # ledger: last driver signal r6
+    "media_tiff_features",                 # ledger: last driver signal r6
+    "archive_roundtrip",                 # ledger: last driver signal r6
+    "warc_html_extract",                 # ledger: last driver signal r6
+    "web_url_dedup",                 # ledger: last driver signal r6
+    "line_dedup",                 # ledger: last driver signal r6
+    "bucketed_join",                 # ledger: last driver signal r6
+    "web_robots_filter",                 # ledger: last driver signal r6
+    "doc_ppl_bigram",                 # ledger: last driver signal r6
+    "dedup_span_removal",                 # ledger: last driver signal r6
+    "zorder_layout",                 # ledger: last driver signal r6
+    "media_png_features",                 # ledger: last driver signal r6
+    "collection_search_ivf",                 # ledger: last driver signal r6
+    "collection_search_ivf_delta",                 # ledger: last driver signal r6
+    "stream_quantile",                 # ledger: last driver signal r6
+    "ann_lsh",                 # ledger: last driver signal r6
+    "dedup_simhash",                 # ledger: last driver signal r6
+    "collection_hybrid_text",                 # ledger: last driver signal r6
+    "bm25_index_merged",                 # ledger: last driver signal r6
+    "media_audio_features",                 # ledger: last driver signal r6
+    "media_video_stats",                 # ledger: last driver signal r6
+    "collection_search_blocks",                 # ledger: last driver signal r6
+    "upsert_delete",                 # ledger: last driver signal r6
+    "filter_coercion",                 # ledger: last driver signal r6
+    "filter_search",                 # ledger: last driver signal r6
+    # -- new in r9 ----------------------------------------------------
+    "collection_search_ivfpq",  # new r9: IVFADC as a first-class
+    #    Collection layout — M uint8 codes per row in the per-centroid
+    #    packed files, ADC probe + broadcast exact rerank, frozen
+    #    quantizer/codebook delta flush; full-pipeline SQL oracle
+    "bpe_encode_ids_pretok",    # new r9: GPT-2-style regex
+    #    pre-tokenization for the byte-level BPE (contraction/letter/
+    #    digit/punct runs; the \\s+(?!\\S) rule replayed by a lookahead-
+    #    free post-fix fold) — oracle replays split, training, ids
     # -- implementation touched this round ----------------------------
-    "bpe_train",   # r8: oracle chain degrades to identity on merge
-    #    exhaustion (ADVICE r7 #1); chain generalized for byte path
-    "bpe_encode",  # r8: same oracle chain change
-    "web_url_psl",  # r8: PSL snapshot expanded 221 → 1388 rules
-    #    (+ *.sch.uk correction)
-    "media_exif",  # r8: TypeError leniency + LONG-column coercion
-    #    for mistyped TIFF tags (ADVICE r7 #2)
-    "media_exif_orientation",  # r8: orientation int-coercion moved
-    #    inside the guarded region (ADVICE r7 #2)
-    "pack_sequences_firstfit",  # r8: count_col coalesce (ADVICE r7 #4)
-    # -- oldest of the r6-green block (driver-green r6, local-gated
-    # -- since) -------------------------------------------------------
-    "embed_outliers",
+    "pack_sequences_ids",   # r9: attention-boundary offsets emitted
+    #    per packed sequence (array<int> doc starts; oracle re-derives)
+    "bpe_train_bytes",      # r9: pre_tokenizer threading through the
+    #    byte-path word table + training (behavior-preserving for 'ws')
+    "bpe_encode_ids",       # r9: same pre_tokenizer threading through
+    #    encode/alphabet/ids
+    "text_lang_id_unicode",  # r9: marker scorer grown to ELEVEN
+    #    languages (pt/it/nl/pl/tr/id/vi tier) + Latin-extended fixture
+    "text_lang_id",          # r9: same marker-table growth on the
+    #    ASCII path (values can shift where new languages now win)
+    "web_url_psl",  # r9: PSL snapshot 1388 → 2058 rules (the ccTLD
+    #    long-tail tranche + 6 new wildcard registries)
     # ---- driver window boundary (50) — entries below are re-verified
     # ---- locally every run, and were driver-green in an earlier
-    # ---- round. First the 43 remaining r6-green entries in their r6
-    # ---- order (oldest signal past the window — they lead the r9
-    # ---- rotation ledger; token_vocab, doc_lm_score,
-    # ---- filter_extended, collection_time_travel and jsonl_roundtrip
-    # ---- rejoined them when their window slots went to the new
-    # ---- dedup_containment_bytes, text_script_profile,
-    # ---- decontaminate_bytes, ann_ivfpq and dedup_minhash_bytes),
-    # ---- then the 45 r7-green entries (freshest signal; bpe_train /
-    # ---- bpe_encode / web_url_psl / media_exif /
-    # ---- media_exif_orientation were promoted back into the window
-    # ---- as touched-this-round).
-    "token_vocab",
-    "doc_lm_score",
-    "filter_extended",
-    "collection_time_travel",
-    "jsonl_roundtrip",
-    "ann_recall",
-    "stream_join",
-    "embed_project",
-    "sample_temperature",
-    "bm25_search",
-    "distinct_sketch",
-    "quantile_sketch",
-    "decontaminate_bloom",
-    "bm25_indexed",
-    "collection_search",
-    "media_jpeg_features",
-    "media_gif_features",
-    "format_roundtrip",
-    "media_tiff_features",
-    "archive_roundtrip",
-    "warc_html_extract",
-    "web_url_dedup",
-    "line_dedup",
-    "bucketed_join",
-    "web_robots_filter",
-    "doc_ppl_bigram",
-    "dedup_span_removal",
-    "zorder_layout",
-    "media_png_features",
-    "collection_search_ivf",
-    "collection_search_ivf_delta",
-    "stream_quantile",
-    "ann_lsh",
-    "dedup_simhash",
-    "collection_hybrid_text",
-    "bm25_index_merged",
-    "media_audio_features",
-    "media_video_stats",
-    "collection_search_blocks",
-    "upsert_delete",
-    "filter_coercion",
-    "filter_search",
-    "multi_vector_search",
-    "dedup_minhash_lsh",
-    "neardup_cosine",
-    # -- r7-green (driver-checked last round; freshest in the ledger) --
+    # ---- round. FIRST the r6 overflow tail (they kept round-10
+    # ---- priority when the 8 new/touched seats displaced them), then
+    # ---- the 44 remaining r7-green entries in their r7 order (next-
+    # ---- oldest signal — they fill the rest of the r10 queue;
+    # ---- text_lang_id was promoted into the window as touched), then
+    # ---- the 45 r8-green entries in their r8 order (freshest signal;
+    # ---- pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
+    # ---- text_lang_id_unicode / web_url_psl were promoted into the
+    # ---- window as touched).
+    "multi_vector_search",  # r6 overflow tail: r10 priority
+    "dedup_minhash_lsh",  # r6 overflow tail: r10 priority
+    "neardup_cosine",  # r6 overflow tail: r10 priority
+    # -- r7-green --------------------------------------------------
     "stream_distinct",
     "collection_search_blocks_delta",
     "knn_cosine",
@@ -1848,7 +1767,6 @@ _KEY_ORDER = [
     "dedup_exact",
     "dedup_groups",
     "dedup_ngram_jaccard",
-    "text_lang_id",
     "collection_search_batch_filtered",
     "hybrid_rrf",
     "bm25_topk_batch",
@@ -1882,6 +1800,52 @@ _KEY_ORDER = [
     "set_intersect",
     "top_revenue_orders",
     "knn_wide",
+    # -- r8-green (driver-checked last round; freshest signal) ------
+    "events_json",
+    "text_redact_pii",
+    "collection_hybrid_ivf",
+    "bm25_index_deleted",
+    "collection_search_grouped",
+    "media_knn",
+    "media_frames",
+    "schemaless_pure_search",
+    "schemaless_update_delete",
+    "hybrid_search",
+    "doc_chunk",
+    "decontaminate",
+    "sample_stratified",
+    "sample_fraction",
+    "source_mix",
+    "export_shards",
+    "pack_sequences",
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "collection_search_blocks_filtered",
+    "events_asof",
+    "ann_bq",
+    "ann_pq",
+    "embed_cluster_sizes",
+    "sample_cluster_balanced",
+    "dedup_spans",
+    "text_repetition",
+    "stream_ingest",
+    "knn_bq",
+    "knn_sq8",
+    "semantic_dedup",
+    "range_search",
+    "token_count_unicode",
+    "dedup_minhash_bytes",
+    "ann_ivfpq",
+    "decontaminate_bytes",
+    "text_script_profile",
+    "dedup_containment_bytes",
+    "bpe_train",
+    "bpe_encode",
+    "media_exif",
+    "media_exif_orientation",
+    "pack_sequences_firstfit",
+    "embed_outliers",
 ]
 
 

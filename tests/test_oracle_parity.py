@@ -37,100 +37,105 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-7 rotation ledger (CLAUDE.md): entries promised a
-#: round-8 driver slot — the 33 r5-green entries whose last hard
-#: driver signal is r5, the oldest on the board (events_json leads).
+#: The round-8 rotation ledger (CLAUDE.md): entries promised a
+#: round-9 driver slot — 42 of the 45 r6-green entries whose last
+#: hard driver signal is r6, the oldest on the board (token_vocab
+#: leads). The block's TAIL (multi_vector_search, dedup_minhash_lsh,
+#: neardup_cosine) overflowed when the 8 new/touched seats landed and
+#: keeps round-10 priority, exactly as the r8 ledger anticipated.
 #: Machine-checked against _KEY_ORDER below so the ledger promise
 #: cannot silently drift (ADVICE r3 #1).
-ROTATION_LEDGER_R8 = [
-    "events_json",
-    "text_redact_pii",
-    "collection_hybrid_ivf",
-    "bm25_index_deleted",
-    "collection_search_grouped",
-    "media_knn",
-    "media_frames",
-    "schemaless_pure_search",
-    "schemaless_update_delete",
-    "hybrid_search",
-    "doc_chunk",
-    "decontaminate",
-    "sample_stratified",
-    "sample_fraction",
-    "source_mix",
-    "export_shards",
-    "pack_sequences",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "collection_search_blocks_filtered",
-    "events_asof",
-    "ann_bq",
-    "ann_pq",
-    "embed_cluster_sizes",
-    "sample_cluster_balanced",
-    "dedup_spans",
-    "text_repetition",
-    "stream_ingest",
-    "knn_bq",
-    "knn_sq8",
-    "semantic_dedup",
-    "range_search",
+ROTATION_LEDGER_R9 = [
+    "token_vocab",
+    "doc_lm_score",
+    "filter_extended",
+    "collection_time_travel",
+    "jsonl_roundtrip",
+    "ann_recall",
+    "stream_join",
+    "embed_project",
+    "sample_temperature",
+    "bm25_search",
+    "distinct_sketch",
+    "quantile_sketch",
+    "decontaminate_bloom",
+    "bm25_indexed",
+    "collection_search",
+    "media_jpeg_features",
+    "media_gif_features",
+    "format_roundtrip",
+    "media_tiff_features",
+    "archive_roundtrip",
+    "warc_html_extract",
+    "web_url_dedup",
+    "line_dedup",
+    "bucketed_join",
+    "web_robots_filter",
+    "doc_ppl_bigram",
+    "dedup_span_removal",
+    "zorder_layout",
+    "media_png_features",
+    "collection_search_ivf",
+    "collection_search_ivf_delta",
+    "stream_quantile",
+    "ann_lsh",
+    "dedup_simhash",
+    "collection_hybrid_text",
+    "bm25_index_merged",
+    "media_audio_features",
+    "media_video_stats",
+    "collection_search_blocks",
+    "upsert_delete",
+    "filter_coercion",
+    "filter_search",
 ]
+
+#: the r6 overflow tail — displaced from the round-9 window by the 8
+#: new/touched seats; they lead the round-10 rotation queue
+R10_PRIORITY = ["multi_vector_search", "dedup_minhash_lsh", "neardup_cosine"]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-7 rotation-ledger entries (the 33 r5-green,
-    oldest signal on the board) LEAD the round-8 window, every entry
-    new or touched this round is inside it, and the rest of the
-    window rotates in the oldest of the r6-green block
-    (embed_outliers — the block's tail seats went back past the
-    boundary one by one as the r8-new entries landed: ann_recall and
-    stream_join made room for text_lang_id_unicode /
-    pack_sequences_ids, then token_vocab, doc_lm_score,
-    filter_extended, collection_time_travel and jsonl_roundtrip for
-    dedup_containment_bytes, text_script_profile,
-    decontaminate_bytes, ann_ivfpq and dedup_minhash_bytes). Past
-    the boundary: the 45 remaining r6-green entries first, in their
-    r6 order (they lead the r9 rotation ledger), then the 45
-    r7-green entries (freshest driver
-    signal; bpe_train / bpe_encode / web_url_psl / media_exif /
-    media_exif_orientation were promoted back into the window as
-    touched-this-round). Every past-window entry is re-oracled by
-    the local gate every pytest run."""
+    exactly; the round-8 rotation-ledger entries (42 of the 45
+    r6-green, oldest signal on the board) LEAD the round-9 window,
+    every entry new or touched this round is inside it, and the r6
+    overflow tail sits FIRST past the boundary with round-10
+    priority. Past the boundary after it: the 44 remaining r7-green
+    entries in their r7 order (text_lang_id was promoted into the
+    window as touched), then the 45 r8-green entries in their r8
+    order (pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
+    text_lang_id_unicode / web_url_psl were promoted as touched).
+    Every past-window entry is re-oracled by the local gate every
+    pytest run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
     # ledger entries lead the window, in ledger order
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R8)] == ROTATION_LEDGER_R8
-    must_check = set(ROTATION_LEDGER_R8) | {
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R9)] == ROTATION_LEDGER_R9
+    # the displaced r6 tail sits first past the boundary (r10 queue)
+    assert (
+        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R10_PRIORITY)]
+        == R10_PRIORITY
+    )
+    must_check = set(ROTATION_LEDGER_R9) | {
         # new this round (driver has never seen them)
-        "token_count_unicode",
-        "text_lang_id_unicode",
+        "collection_search_ivfpq",
+        "bpe_encode_ids_pretok",
+        # implementation touched this round: pack_sequences_ids
+        # (attention-boundary offsets column), bpe_train_bytes /
+        # bpe_encode_ids (pre_tokenizer threading through the byte
+        # path), text_lang_id_unicode / text_lang_id (marker table
+        # grown to eleven languages; the unicode entry also moved to
+        # the Latin-extended fixture), web_url_psl (PSL snapshot
+        # 1388 -> 2058 rules)
+        "pack_sequences_ids",
         "bpe_train_bytes",
         "bpe_encode_ids",
-        "pack_sequences_ids",
-        "dedup_minhash_bytes",
-        "ann_ivfpq",
-        "decontaminate_bytes",
-        "text_script_profile",
-        "dedup_containment_bytes",
-        # implementation touched this round: bpe_train / bpe_encode
-        # (oracle chain degrades to identity on merge exhaustion —
-        # ADVICE r7 #1 — and was generalized for the byte path),
-        # web_url_psl (snapshot 221 → 1388 rules, *.sch.uk fix),
-        # media_exif / media_exif_orientation (TypeError leniency,
-        # LONG coercion — ADVICE r7 #2), pack_sequences_firstfit
-        # (count_col coalesce — ADVICE r7 #4; pack_sequences itself
-        # is in the ledger block above)
-        "bpe_train",
-        "bpe_encode",
+        "text_lang_id_unicode",
+        "text_lang_id",
         "web_url_psl",
-        "media_exif",
-        "media_exif_orientation",
-        "pack_sequences_firstfit",
     }
     assert must_check <= window, sorted(must_check - window)
