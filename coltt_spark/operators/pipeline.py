@@ -316,6 +316,70 @@ def temperature_sample(
     )
 
 
+def domain_quota(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    priority_col: str,
+    *,
+    cap: int = 3,
+    salts: int = 8,
+) -> DataFrame:
+    """Per-domain document quota (the C4 / RefinedWeb-style cap on
+    documents per registrable domain — the step that stops one spam
+    or boilerplate-heavy site from dominating a web corpus): keep the
+    ``cap`` highest-``priority_col`` rows per ``domain_col``, ties
+    broken by ``id_col`` ascending so the pick is total and
+    reproducible.
+
+    Scale (skew-safe): web domain frequencies are Zipfian — the head
+    domain can hold 1% of a 100 TB crawl, so a single
+    ``row_number() OVER (PARTITION BY domain)`` would route it to one
+    reducer. Two-phase exact top-K instead: phase 1 ranks within
+    (domain, ``hash60(id) % salts``) — a megadomain spreads over
+    ``salts`` reducers and each emits at most ``cap`` survivors;
+    phase 2 ranks the ≤ ``cap·salts`` survivors per domain. The final
+    window therefore sorts a BOUNDED set regardless of domain skew,
+    and the result is provably identical to the single-window rank
+    (every global top-``cap`` row is a local top-``cap`` row of its
+    salt), which is exactly what the one-window SQL oracle replays.
+    ``n_domain_docs`` (the pre-quota domain size — the evidence a
+    curator audits the cap against) comes from a separate map-side
+    combined count broadcast back onto the survivors."""
+    df = ensure_parallelism(df, id_col)
+    order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_domain_docs")
+    )
+    local = (
+        df.withColumn(
+            "_salt", hash60(F.col(id_col).cast("string")) % salts
+        )
+        .withColumn(
+            "_lrk",
+            F.row_number().over(
+                Window.partitionBy(domain_col, "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_lrk") <= cap)
+    )
+    return (
+        local.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(domain_col).orderBy(*order)),
+        )
+        .filter(F.col("rk") <= cap)
+        .join(F.broadcast(counts), on=domain_col)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.col(priority_col),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("n_domain_docs"),
+        )
+    )
+
+
 def source_mix(df: DataFrame, id_col: str, text_col: str, source_col: str) -> DataFrame:
     """Per-source training-mix report: document counts, token totals,
     share of the corpus, and mean quality signals per ``source`` —

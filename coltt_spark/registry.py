@@ -1669,11 +1669,11 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-9 window: the r8 rotation ledger FIRST — 42 of the 45
+    # -- round-9 window: the r8 rotation ledger FIRST — 41 of the 45
     # -- r6-green entries whose last hard driver signal is r6 (the
     # -- oldest on the board; token_vocab leads as promised) — then
-    # -- the entries new or touched this round. 2 new + 6 touched =
-    # -- 8 seats, so the r6 block's TAIL (multi_vector_search,
+    # -- the entries new or touched this round. 3 new + 6 touched =
+    # -- 9 seats, so the r6 block's TAIL (filter_search, multi_vector_search,
     # -- dedup_minhash_lsh, neardup_cosine) overflows past the
     # -- boundary with round-10 priority, exactly as the r8 ledger
     # -- anticipated. See CLAUDE.md 'Driver-check rotation ledger'.
@@ -1718,12 +1718,14 @@ _KEY_ORDER = [
     "collection_search_blocks",                 # ledger: last driver signal r6
     "upsert_delete",                 # ledger: last driver signal r6
     "filter_coercion",                 # ledger: last driver signal r6
-    "filter_search",                 # ledger: last driver signal r6
     # -- new in r9 ----------------------------------------------------
     "collection_search_ivfpq",  # new r9: IVFADC as a first-class
     #    Collection layout — M uint8 codes per row in the per-centroid
     #    packed files, ADC probe + broadcast exact rerank, frozen
     #    quantizer/codebook delta flush; full-pipeline SQL oracle
+    "web_domain_quota",         # new r9: per-registrable-domain
+    #    document quota (C4/RefinedWeb cap) — skew-safe two-phase
+    #    top-K over a Zipf-ish fixture spanning the r9 PSL tranche
     "bpe_encode_ids_pretok",    # new r9: GPT-2-style regex
     #    pre-tokenization for the byte-level BPE (contraction/letter/
     #    digit/punct runs; the \\s+(?!\\S) rule replayed by a lookahead-
@@ -1752,6 +1754,7 @@ _KEY_ORDER = [
     # ---- pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
     # ---- text_lang_id_unicode / web_url_psl were promoted into the
     # ---- window as touched).
+    "filter_search",  # r6 overflow tail: r10 priority
     "multi_vector_search",  # r6 overflow tail: r10 priority
     "dedup_minhash_lsh",  # r6 overflow tail: r10 priority
     "neardup_cosine",  # r6 overflow tail: r10 priority

@@ -577,6 +577,78 @@ FROM m
 """
 
 
+def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain document quota (C4 / RefinedWeb style —
+    no site may contribute more than ``cap`` documents): fabricate a
+    ZIPF-ish host distribution where one megadomain
+    (``news.portal.com.fj``) holds ~4/11 of the corpus and the rest
+    spreads over gob.do / co.uk / *.kh-wildcard / github.io-private /
+    host-is-suffix / org.mw / single-label domain classes (several
+    covered only by the r9 PSL tranche), score each doc with a
+    deterministic priority, and keep the top-3 per PSL-backed
+    registrable domain via the skew-safe two-phase top-K
+    (:func:`coltt_spark.operators.pipeline.domain_quota`). The oracle
+    replays fabrication, the generated PSL CASE, and the quota as ONE
+    window — provably equivalent to the salted two-phase rank — so
+    any divergence in rule precedence, priority order, tie-break, or
+    the pre-quota domain counts breaks value parity."""
+    from coltt_spark.functions.urls import registrable_domain
+    from coltt_spark.operators.pipeline import domain_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 11 <= 3, F.lit("news.portal.com.fj"))
+        .when(d % 11 == 4, F.concat(F.lit("m"), (d % 5).cast("string"), F.lit(".gob.do")))
+        .when(d % 11 == 5, F.concat(F.lit("site"), (d % 7).cast("string"), F.lit(".co.uk")))
+        .when(d % 11 == 6, F.concat(F.lit("s"), (d % 3).cast("string"), F.lit(".media.kh")))
+        .when(d % 11 == 7, F.concat(F.lit("u"), (d % 5).cast("string"), F.lit(".github.io")))
+        .when(d % 11 == 8, F.lit("saotome.st"))
+        .when(d % 11 == 9, F.concat(F.lit("w"), (d % 4).cast("string"), F.lit(".org.mw")))
+        .otherwise(F.lit("localhost"))
+    )
+    rows = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        registrable_domain(host).alias("domain"),
+        ((d * 37) % 101).cast("long").alias("score"),
+    )
+    return domain_quota(rows, "doc_id", "domain", "score", cap=3, salts=8)
+
+
+def _web_domain_quota_oracle() -> str:
+    from coltt_spark.functions.urls import DD_REGISTRABLE_DOMAIN
+
+    host = (
+        "(CASE WHEN doc_id % 11 <= 3 THEN 'news.portal.com.fj'"
+        " WHEN doc_id % 11 = 4 THEN 'm' || CAST(doc_id % 5 AS VARCHAR) || '.gob.do'"
+        " WHEN doc_id % 11 = 5 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'"
+        " WHEN doc_id % 11 = 6 THEN 's' || CAST(doc_id % 3 AS VARCHAR) || '.media.kh'"
+        " WHEN doc_id % 11 = 7 THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'"
+        " WHEN doc_id % 11 = 8 THEN 'saotome.st'"
+        " WHEN doc_id % 11 = 9 THEN 'w' || CAST(doc_id % 4 AS VARCHAR) || '.org.mw'"
+        " ELSE 'localhost' END)"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {host} AS host FROM documents),
+m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {DD_REGISTRABLE_DOMAIN.format(h="host")} AS domain,
+         CAST((doc_id * 37) % 101 AS BIGINT) AS score
+  FROM h
+),
+c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs FROM m GROUP BY domain),
+r AS (
+  SELECT m.*, CAST(row_number() OVER (
+           PARTITION BY domain ORDER BY score DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM m
+)
+SELECT r.doc_id, r.domain, r.score, r.rk, c.n_domain_docs
+FROM r JOIN c USING (domain)
+WHERE r.rk <= 3
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level repeated-line removal (C4 / RefinedWeb line
     dedup) end-to-end: fabricate 4-line documents — a GLOBAL
@@ -1233,6 +1305,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_html_extract": q_warc_html_extract,
     "web_url_dedup": q_web_url_dedup,
     "web_url_psl": q_web_url_psl,
+    "web_domain_quota": q_web_domain_quota,
     "web_robots_filter": q_web_robots_filter,
     "web_sitemap": q_web_sitemap,
     "line_dedup": q_line_dedup,
@@ -1257,6 +1330,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "warc_html_extract": _ORACLE_WARC_HTML_EXTRACT,
     "web_url_dedup": _web_url_oracle(),
     "web_url_psl": _web_url_psl_oracle(),
+    "web_domain_quota": _web_domain_quota_oracle(),
     "web_robots_filter": _ORACLE_WEB_ROBOTS,
     "web_sitemap": _ORACLE_WEB_SITEMAP,
     "line_dedup": _ORACLE_LINE_DEDUP,

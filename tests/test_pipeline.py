@@ -784,3 +784,42 @@ def test_script_profile_matches_duckdb_on_adversarial_unicode(spark):
     assert len(got) == len(want)
     for i in got:
         assert got[i] == want[i], f"{texts[i]!r}: spark={got[i]} duckdb={want[i]}"
+
+
+def test_domain_quota_two_phase_equals_single_window(spark):
+    """The salted two-phase top-K must be EXACTLY the single-window
+    rank (the oracle replays the latter): build a skewed corpus — one
+    megadomain with 500 rows, a 4-row domain (smaller than the cap
+    spread over every salt, the corner where phase 1 keeps
+    everything), a 1-row domain — with duplicate priorities so the
+    doc-id tie-break decides, and compare against the naive
+    window-rank computed in plain Python."""
+    from coltt_spark.operators.pipeline import domain_quota
+
+    rows = []
+    for i in range(500):
+        rows.append((i, "mega.example.com", (i * 13) % 7))
+    for i in range(500, 504):
+        rows.append((i, "small.example.org", 5))
+    rows.append((900, "one.example.net", 1))
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "score"])
+    got = {
+        (r["doc_id"], r["domain"], r["score"], r["rk"], r["n_domain_docs"])
+        for r in domain_quota(
+            df, "doc_id", "domain", "score", cap=3, salts=8
+        ).collect()
+    }
+    # naive single-window reference
+    want = set()
+    by_dom: dict = {}
+    for i, dom, s in rows:
+        by_dom.setdefault(dom, []).append((i, s))
+    for dom, items in by_dom.items():
+        ranked = sorted(items, key=lambda t: (-t[1], t[0]))
+        for rk, (i, s) in enumerate(ranked[:3], start=1):
+            want.add((i, dom, s, rk, len(items)))
+    assert got == want
+    # the megadomain is capped at 3 of 500; the 1-row domain survives
+    kept_mega = [t for t in got if t[1] == "mega.example.com"]
+    assert len(kept_mega) == 3 and all(t[4] == 500 for t in kept_mega)
+    assert (900, "one.example.net", 1, 1, 1) in got

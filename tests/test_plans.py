@@ -1019,3 +1019,29 @@ def test_ivfpq_collection_probe_prunes_and_refines_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("vector" in ln and "label" not in ln for ln in read), read
+
+
+def test_domain_quota_windows_are_salted_then_bounded(spark):
+    """The per-domain quota must never route a megadomain to one
+    reducer: the FIRST window is keyed (domain, _salt) — a Zipf head
+    spreads over `salts` reducers — and only the ≤ cap·salts local
+    survivors reach the domain-keyed window, so the final sort is
+    bounded regardless of skew. Pin: exactly two window specs, the
+    first salted, the second domain-only over the filtered survivor
+    set; no empty (global) window partition spec; the pre-quota
+    domain counts join back as a BroadcastHashJoin."""
+    from coltt_spark.registry import QUERIES
+    from coltt_spark.plans import executed_plan, has_broadcast_hash_join
+
+    import re
+
+    df = QUERIES["web_domain_quota"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:600]
+    salted = [s for s in specs if "_salt" in s]
+    domain_only = [s for s in specs if "_salt" not in s]
+    assert salted and domain_only, specs
+    for s in specs:
+        assert "domain" in s  # no global window anywhere
+    assert has_broadcast_hash_join(df)
