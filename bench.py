@@ -375,6 +375,144 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
     }
 
 
+def _clustered_corpus(spark, *, dim: int, n_rows: int = 1_000_000,
+                      n_clusters: int = 100, noise: float = 1.0):
+    """1M DISTINCT vectors around 100 deterministic cluster centers
+    (per-row seeded noise — no tiled duplicates), shared by the IVF
+    and IVFADC recall micros so their dials are measured on the SAME
+    corpus. Returns (corpus_df, centers)."""
+    from pyspark.sql import types as T
+
+    centers = np.random.default_rng(12345).normal(0.0, 1.0, (n_clusters, dim))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = [
+                (
+                    centers[int(i) % n_clusters]
+                    + np.random.default_rng(1_000_000 + int(i)).normal(0.0, noise, dim)
+                ).astype(np.float32)
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    corpus = spark.range(
+        0, n_rows, 1, spark.sparkContext.defaultParallelism
+    ).mapInPandas(gen, schema)
+    return corpus, centers
+
+
+def _bench_ivfpq_recall_curve(
+    spark,
+    *,
+    dim: int = 128,
+    n_centroids: int = 256,
+    configs=((8, 64), (16, 64)),
+    nprobe: int = 16,
+    refines=(0, 100, 1000, 4000),
+) -> dict:
+    """The IVFADC quality dials at the reference's dimension
+    convention (VERDICT r8 #8): 1M×128 clustered NON-replicated
+    corpus, 256 coarse lists (nprobe=16 probes 6%), recall@10 vs the
+    exact euclidean top-10 as a function of (M, ks, refine). Two M
+    dials over the SAME corpus: M=8 (dsub=16 — each subspace must
+    quantize twice the dims it does at 64-dim, so the ADC ranking is
+    coarser and the funnel needs a bigger refine) and M=16 (dsub=8,
+    the 64-dim funnel's granularity at 16 bytes/row). refine=0 is
+    ADC-only serving — the M-bytes-per-row code scan; the funnel
+    closes as refine grows while exact-scoring refine/~62k of the
+    probed candidates. The corpus and every training step are
+    deterministic, so the recall values are bit-stable across runs —
+    a change means a code change. Wall per refine point is a 16-query
+    batch through the operator-level ivfpq_topk (driver-built LUT
+    literals broadcast on centroid)."""
+    from coltt_spark.operators.ann import brute_topk
+    from coltt_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    n_queries = 16
+    corpus, centers = _clustered_corpus(spark, dim=dim)
+    corpus = corpus.cache()
+    corpus.count()
+    n_clusters = len(centers)
+    qs = {
+        j: [
+            float(x)
+            for x in centers[(j * 37) % n_clusters]
+            + np.random.default_rng(7_000_000 + j).normal(0.0, 1.0, dim)
+        ]
+        for j in range(n_queries)
+    }
+    exact_rows = brute_topk(
+        corpus, qs, id_col="vec_id", vec_col="embedding", k=10,
+        distance="euclidean", strategy="blas",
+    ).collect()
+    exact: dict[int, set] = {}
+    by_q: dict[int, list] = {}
+    for r in exact_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["dist"]), int(r["vec_id"]))
+        )
+    for q, v in by_q.items():
+        exact[q] = {i for _, i in sorted(v)[:10]}
+    out: dict = {
+        "rows": 1_000_000,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "nprobe": nprobe,
+        "n_queries": n_queries,
+        "curve": {},
+        "build_sec": {},
+    }
+    for n_subspaces, n_codes in configs:
+        key = f"M{n_subspaces}_ks{n_codes}"
+        t0 = time.perf_counter()
+        codes, Cn, book = ivfpq_build(
+            corpus,
+            id_col="vec_id",
+            vec_col="embedding",
+            n_centroids=n_centroids,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+        )
+        codes = codes.cache()
+        codes.count()
+        index = (codes, Cn, book)
+        out["build_sec"][key] = round(time.perf_counter() - t0, 4)
+        curve = {}
+        for refine in refines:
+            t0 = time.perf_counter()
+            rows = ivfpq_topk(
+                corpus, qs, id_col="vec_id", vec_col="embedding", k=10,
+                n_centroids=n_centroids, nprobe=nprobe,
+                n_subspaces=n_subspaces, n_codes=n_codes,
+                refine=refine, index=index,
+            ).collect()
+            batch_sec = time.perf_counter() - t0
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+            recall = sum(
+                len(got.get(q, set()) & exact[q]) / 10.0 for q in qs
+            ) / n_queries
+            curve[str(refine)] = {
+                "recall_at_10": round(recall, 4),
+                "sec_per_query_batch16": round(batch_sec / n_queries, 4),
+            }
+        codes.unpersist()
+        out["curve"][key] = curve
+    corpus.unpersist()
+    return out
+
+
 def _bench_ivf_recall_curve(
     spark, *, dim: int = 64, n_centroids: int = 64, nprobes=(1, 2, 4, 8, 16, 64)
 ) -> dict:
@@ -409,31 +547,9 @@ def _bench_ivf_recall_curve(
     from coltt_spark.tmpdirs import scratch_dir
 
     n_rows, n_clusters, noise, n_queries = 1_000_000, 100, 1.0, 16
-    centers = np.random.default_rng(12345).normal(0.0, 1.0, (n_clusters, dim))
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
-        ]
+    corpus, centers = _clustered_corpus(
+        spark, dim=dim, n_rows=n_rows, n_clusters=n_clusters, noise=noise
     )
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            vecs = [
-                (
-                    centers[int(i) % n_clusters]
-                    + np.random.default_rng(1_000_000 + int(i)).normal(0.0, noise, dim)
-                ).astype(np.float32)
-                for i in ids
-            ]
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
-
-    corpus = spark.range(
-        0, n_rows, 1, spark.sparkContext.defaultParallelism
-    ).mapInPandas(gen, schema)
     t0 = time.perf_counter()
     assigned, Cn = ivf_build(
         corpus, id_col="vec_id", vec_col="embedding", n_centroids=n_centroids
@@ -615,6 +731,7 @@ def main() -> None:
     ivf_recall_curve_dim128 = _bench_ivf_recall_curve(
         spark, dim=128, n_centroids=256, nprobes=(1, 2, 4, 8, 16, 32, 256)
     )
+    ivfpq_recall_curve_dim128 = _bench_ivfpq_recall_curve(spark)
     skew = _bench_skew(spark, sf_dir)
 
     # build the shared ingest fixtures once, outside the per-query
@@ -747,6 +864,7 @@ def main() -> None:
                 "flat_1m": flat_1m,
                 "ivf_recall_curve": ivf_recall_curve,
                 "ivf_recall_curve_dim128": ivf_recall_curve_dim128,
+                "ivfpq_recall_curve_dim128": ivfpq_recall_curve_dim128,
                 "skew": skew,
             }
         )
@@ -804,6 +922,15 @@ def main() -> None:
                     k: v["recall_at_10"]
                     for k, v in ivf_recall_curve_dim128["curve"].items()
                 },
+                # IVFADC (M, ks, refine) funnel at the same convention
+                # (128-dim, 256 lists, nprobe=16): per M-dial
+                # refine -> recall@10 vs the exact euclidean top-10;
+                # refine=0 is ADC-only serving
+                "ivfpq_recall_curve_dim128": {
+                    cfg: {r: v["recall_at_10"] for r, v in curve.items()}
+                    for cfg, curve in ivfpq_recall_curve_dim128["curve"].items()
+                },
+                "ivfpq_dim128_build_sec": ivfpq_recall_curve_dim128["build_sec"],
                 "skew_bm25_hot_token": skew["bm25_hot_token_sec"],
                 "skew_minhash_megacluster": skew["minhash_megacluster_sec"],
                 # registry keys that moved >1.3x vs the committed
