@@ -960,6 +960,80 @@ def _ivfpq_collection(spark: SparkSession, sf_dir: str):
     return _COLL_CACHE[(sf_dir, "ivfpq")]
 
 
+def _delta_ivfpq_collection(spark: SparkSession, sf_dir: str):
+    """Cached ivfpq collection maintained INCREMENTALLY (the ivf-delta
+    discipline extended to the codebooks): full IVFADC build of the
+    base corpus, then an upsert batch (vec_id < 10 → label+100) and a
+    filter-delete (label = 5) flushed as a DELTA — coarse centroids
+    AND residual codebooks FROZEN, delta rows re-encoded against them
+    into per-centroid delta code files, superseded commits
+    tombstoned (catalog.Collection._flush_delta_ivfpq)."""
+    from coltt_spark.tmpdirs import scratch_dir
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    if (sf_dir, "ivfpq_delta") not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_ivfpqd_"))
+        coll = cat.create_collection(
+            "emb_ivfpq_delta",
+            dim=dim,
+            distance="cosine",
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
+            layout="ivfpq",
+            versioning=True,
+            block_dtype="float64",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()  # v1: full IVFADC build (quantizer + codebooks)
+        coll.upsert_df(
+            emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").cast("string").alias("id"),
+                (F.col("label") + 100).cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.delete_where({"index_name": "label", "op": "eq", "value": 5})
+        coll.flush()  # v2: delta re-encode + tombstones, book frozen
+        _COLL_CACHE[(sf_dir, "ivfpq_delta")] = coll
+    return _COLL_CACHE[(sf_dir, "ivfpq_delta")]
+
+
+def q_collection_search_ivfpq_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC served from an incrementally maintained index (frozen
+    coarse quantizer AND residual codebooks, delta rows re-encoded
+    into per-centroid delta code files, tombstone mask): because the
+    upserted vectors are unchanged and the encode is deterministic
+    against the frozen book, the delta rows re-encode to the SAME
+    codes — so the ADC funnel, the refine cut, and the exact rerank
+    must all equal the base-index search over the patched state:
+    upserted rows at their new labels, deleted rows never surfacing
+    (masked BEFORE the refine cut, exactly like the engine's scan
+    tombstones). The oracle replays the base build with the label
+    patch applied and the delete filtered ahead of the ADC rank."""
+    coll = _delta_ivfpq_collection(spark, sf_dir)
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_collection_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Billion-scale ANN through the product API: a ``layout="ivfpq"``
     collection serves the search from per-centroid PACKED CODE files —
@@ -992,6 +1066,8 @@ def _collection_ivfpq_oracle(
     n_codes: int = 16,
     refine: int = 50,
     k: int = 10,
+    label_sql: str = "label",
+    cand_where: str = "",
 ) -> str:
     """SQL replay of the WHOLE ivfpq-collection search: the
     collection-flavored coarse k-means of
@@ -1006,7 +1082,14 @@ def _collection_ivfpq_oracle(
     ADC accumulates left-to-right over subspaces for exactly this
     reason), k-means/Lloyd averages drift only at ~1e-16, and the
     output distances are exact stored-vector dots, so values match
-    after ``round(4)``."""
+    after ``round(4)``.
+
+    ``label_sql`` patches the label column at the source (the delta
+    entry's upsert rewrites labels while vectors — and therefore
+    centroid assignments, codes, ADC ranks — stay identical), and
+    ``cand_where`` masks deleted rows BEFORE the refine-cut
+    ``row_number`` (the engine's scan tombstones remove them before
+    any ADC candidate ranking)."""
     m, ks = n_subspaces, n_codes
     dsub_sql = f"(len_d.dim // {m})"
     sq = (
@@ -1021,7 +1104,7 @@ def _collection_ivfpq_oracle(
     u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
     return f"""
 WITH h AS (
-  SELECT CAST(vec_id AS VARCHAR) AS id, label, {stored} AS v,
+  SELECT CAST(vec_id AS VARCHAR) AS id, {label_sql} AS label, {stored} AS v,
          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
   FROM embeddings
 ),
@@ -1134,8 +1217,10 @@ adc AS (
   GROUP BY a.id
 ),
 r1 AS (
-  SELECT *, row_number() OVER (ORDER BY dist ASC, id ASC) AS rn
-  FROM adc
+  SELECT adc.id, adc.dist,
+         row_number() OVER (ORDER BY adc.dist ASC, adc.id ASC) AS rn
+  FROM adc JOIN (SELECT id, label FROM a1 WHERE rn = 1) a ON a.id = adc.id
+  {cand_where}
 ),
 refined AS (
   SELECT r.id, a.label,
@@ -1559,6 +1644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_batch_filtered": q_collection_search_batch_filtered,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_search_ivfpq": q_collection_search_ivfpq,
+    "collection_search_ivfpq_delta": q_collection_search_ivfpq_delta,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
     "knn_f16": q_knn_f16,
     "knn_bf16": q_knn_bf16,
@@ -1598,6 +1684,10 @@ ORACLES: dict[str, str] = {
     ),
     "collection_hybrid_ivf": _collection_ivf_oracle(cand_where="WHERE a.label >= 5"),
     "collection_search_ivfpq": _collection_ivfpq_oracle(),
+    "collection_search_ivfpq_delta": _collection_ivfpq_oracle(
+        label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
+        cand_where="WHERE a.label <> 5",
+    ),
     "knn_f16": _quantized_oracle("f16"),
     "knn_bf16": _quantized_oracle("bf16"),
     "knn_f8": _quantized_oracle("f8"),
@@ -1669,11 +1759,11 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-9 window: the r8 rotation ledger FIRST — 41 of the 45
+    # -- round-9 window: the r8 rotation ledger FIRST — 40 of the 45
     # -- r6-green entries whose last hard driver signal is r6 (the
     # -- oldest on the board; token_vocab leads as promised) — then
-    # -- the entries new or touched this round. 3 new + 6 touched =
-    # -- 9 seats, so the r6 block's TAIL (filter_search, multi_vector_search,
+    # -- the entries new or touched this round. 4 new + 6 touched =
+    # -- 10 seats, so the r6 block's TAIL (filter_coercion, filter_search, multi_vector_search,
     # -- dedup_minhash_lsh, neardup_cosine) overflows past the
     # -- boundary with round-10 priority, exactly as the r8 ledger
     # -- anticipated. See CLAUDE.md 'Driver-check rotation ledger'.
@@ -1717,7 +1807,6 @@ _KEY_ORDER = [
     "media_video_stats",                 # ledger: last driver signal r6
     "collection_search_blocks",                 # ledger: last driver signal r6
     "upsert_delete",                 # ledger: last driver signal r6
-    "filter_coercion",                 # ledger: last driver signal r6
     # -- new in r9 ----------------------------------------------------
     "collection_search_ivfpq",  # new r9: IVFADC as a first-class
     #    Collection layout — M uint8 codes per row in the per-centroid
@@ -1726,6 +1815,9 @@ _KEY_ORDER = [
     "web_domain_quota",         # new r9: per-registrable-domain
     #    document quota (C4/RefinedWeb cap) — skew-safe two-phase
     #    top-K over a Zipf-ish fixture spanning the r9 PSL tranche
+    "collection_search_ivfpq_delta",  # new r9: incrementally
+    #    maintained IVFADC — frozen quantizer AND codebooks, delta
+    #    re-encode, tombstones masked before the refine cut
     "bpe_encode_ids_pretok",    # new r9: GPT-2-style regex
     #    pre-tokenization for the byte-level BPE (contraction/letter/
     #    digit/punct runs; the \\s+(?!\\S) rule replayed by a lookahead-
@@ -1754,6 +1846,7 @@ _KEY_ORDER = [
     # ---- pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
     # ---- text_lang_id_unicode / web_url_psl were promoted into the
     # ---- window as touched).
+    "filter_coercion",  # r6 overflow tail: r10 priority
     "filter_search",  # r6 overflow tail: r10 priority
     "multi_vector_search",  # r6 overflow tail: r10 priority
     "dedup_minhash_lsh",  # r6 overflow tail: r10 priority

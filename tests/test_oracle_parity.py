@@ -38,10 +38,10 @@ def test_every_query_is_oracle_backed():
 
 
 #: The round-8 rotation ledger (CLAUDE.md): entries promised a
-#: round-9 driver slot — 41 of the 45 r6-green entries whose last
+#: round-9 driver slot — 40 of the 45 r6-green entries whose last
 #: hard driver signal is r6, the oldest on the board (token_vocab
-#: leads). The block's TAIL (filter_search, multi_vector_search,
-#: dedup_minhash_lsh, neardup_cosine) overflowed when the 9
+#: leads). The block's TAIL (filter_coercion, filter_search, multi_vector_search,
+#: dedup_minhash_lsh, neardup_cosine) overflowed when the 10
 #: new/touched seats landed and
 #: keeps round-10 priority, exactly as the r8 ledger anticipated.
 #: Machine-checked against _KEY_ORDER below so the ledger promise
@@ -87,12 +87,12 @@ ROTATION_LEDGER_R9 = [
     "media_video_stats",
     "collection_search_blocks",
     "upsert_delete",
-    "filter_coercion",
 ]
 
 #: the r6 overflow tail — displaced from the round-9 window by the 8
 #: new/touched seats; they lead the round-10 rotation queue
 R10_PRIORITY = [
+    "filter_coercion",
     "filter_search",
     "multi_vector_search",
     "dedup_minhash_lsh",
@@ -128,6 +128,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     must_check = set(ROTATION_LEDGER_R9) | {
         # new this round (driver has never seen them)
         "collection_search_ivfpq",
+        "collection_search_ivfpq_delta",
         "web_domain_quota",
         "bpe_encode_ids_pretok",
         # implementation touched this round: pack_sequences_ids
