@@ -1759,11 +1759,12 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-9 window: the r8 rotation ledger FIRST — 40 of the 45
+    # -- round-9 window: the r8 rotation ledger FIRST — 39 of the 45
     # -- r6-green entries whose last hard driver signal is r6 (the
     # -- oldest on the board; token_vocab leads as promised) — then
-    # -- the entries new or touched this round. 4 new + 6 touched =
-    # -- 10 seats, so the r6 block's TAIL (filter_coercion, filter_search, multi_vector_search,
+    # -- the entries new or touched this round. 5 new + 6 touched =
+    # -- 11 seats, so the r6 block's TAIL (upsert_delete, filter_coercion,
+    # -- filter_search, multi_vector_search,
     # -- dedup_minhash_lsh, neardup_cosine) overflows past the
     # -- boundary with round-10 priority, exactly as the r8 ledger
     # -- anticipated. See CLAUDE.md 'Driver-check rotation ledger'.
@@ -1806,7 +1807,6 @@ _KEY_ORDER = [
     "media_audio_features",                 # ledger: last driver signal r6
     "media_video_stats",                 # ledger: last driver signal r6
     "collection_search_blocks",                 # ledger: last driver signal r6
-    "upsert_delete",                 # ledger: last driver signal r6
     # -- new in r9 ----------------------------------------------------
     "collection_search_ivfpq",  # new r9: IVFADC as a first-class
     #    Collection layout — M uint8 codes per row in the per-centroid
@@ -1818,6 +1818,9 @@ _KEY_ORDER = [
     "collection_search_ivfpq_delta",  # new r9: incrementally
     #    maintained IVFADC — frozen quantizer AND codebooks, delta
     #    re-encode, tombstones masked before the refine cut
+    "token_fertility_by_lang",  # new r9: per-language bytes-per-token
+    #    under the trained byte-BPE — the tokenizer-equity accounting
+    #    (full-chain oracle: BPE retrain + script lang-id + grouped sums)
     "bpe_encode_ids_pretok",    # new r9: GPT-2-style regex
     #    pre-tokenization for the byte-level BPE (contraction/letter/
     #    digit/punct runs; the \\s+(?!\\S) rule replayed by a lookahead-
@@ -1846,6 +1849,7 @@ _KEY_ORDER = [
     # ---- pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
     # ---- text_lang_id_unicode / web_url_psl were promoted into the
     # ---- window as touched).
+    "upsert_delete",  # r6 overflow tail: r10 priority
     "filter_coercion",  # r6 overflow tail: r10 priority
     "filter_search",  # r6 overflow tail: r10 priority
     "multi_vector_search",  # r6 overflow tail: r10 priority
@@ -1980,6 +1984,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _delta_ivf_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
     _ivfpq_collection(spark, sf_dir)
+    _delta_ivfpq_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)
     from coltt_spark.registry_ann import _ivfpq_index, _kmeans_fixture, _pq_book

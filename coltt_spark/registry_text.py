@@ -849,6 +849,73 @@ dock AS (
 )"""
 
 
+def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY accounting: docs, byte-BPE
+    token counts, UTF-8 bytes, and bytes-per-token by predicted
+    language — the tokenizer-equity signal a multilingual pipeline
+    reads before fixing a vocabulary (languages a tokenizer serves
+    badly pay more tokens per byte of text; Petrov et al. 2023). The
+    composition is entirely existing machinery: the prewarmed
+    byte-level BPE model encodes the multilingual fixture, the
+    script-aware lang-id labels it, one aggregation groups the join.
+    The oracle replays the FULL chain — BPE retraining, every
+    document's ids, the script bands and marker scores, the grouped
+    sums, the double division — in SQL."""
+    from coltt_spark.operators.textstats import script_lang_id
+    from coltt_spark.operators.tokenize import bpe_encode_ids, bpe_vocab
+
+    docs = _uni_docs(spark, sf_dir)
+    merges, seg, alphabet = _bpe_bytes_fixture(spark, sf_dir)
+    vocab = bpe_vocab(alphabet, merges)
+    ids = bpe_encode_ids(
+        docs, "doc_id", "text", merges, vocab,
+        word_seg=seg, word_seg_complete=True, byte_level=True,
+    )
+    langs = script_lang_id(docs, "doc_id", "text").select(
+        "doc_id", "pred_lang"
+    )
+    per = (
+        ids.select("doc_id", F.size("token_ids").cast("long").alias("_t"))
+        .join(
+            docs.select(
+                "doc_id", F.octet_length("text").cast("long").alias("_b")
+            ),
+            on="doc_id",
+        )
+        .join(langs, on="doc_id")
+    )
+    agg = per.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+        F.sum("_b").cast("long").alias("n_bytes"),
+    )
+    return agg.withColumn(
+        "bytes_per_token", F.round(F.col("n_bytes") / F.col("n_tokens"), 4)
+    )
+
+
+def _token_fertility_oracle(k: int = BPE_MERGES_BYTES) -> str:
+    return _bpe_ids_chain(k) + f""",
+langs AS ({_script_lang_oracle(_UNI_SRC + " u9")}),
+per AS (
+  SELECT u.doc_id,
+         COALESCE(len(c.ids), 0) AS t,
+         octet_length(encode(u.text)) AS bb
+  FROM {_UNI_SRC} u LEFT JOIN dock c ON u.doc_id = c.doc_id
+)
+SELECT pred_lang, n_docs, n_tokens, n_bytes,
+       round(n_bytes::DOUBLE / n_tokens, 4) AS bytes_per_token
+FROM (
+  SELECT l.pred_lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(p.t) AS BIGINT) AS n_tokens,
+         CAST(sum(p.bb) AS BIGINT) AS n_bytes
+  FROM per p JOIN langs l ON l.doc_id = p.doc_id
+  GROUP BY l.pred_lang
+)
+"""
+
+
 def _bpe_encode_ids_oracle(
     k: int, toks: str = _TOKS_WS, src: str = _UNI_SRC
 ) -> str:
@@ -1066,6 +1133,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_profile": q_text_script_profile,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "token_fertility_by_lang": q_token_fertility_by_lang,
     "bpe_encode_ids_pretok": q_bpe_encode_ids_pretok,
     "pack_sequences_ids": q_pack_sequences_ids,
 }
@@ -1092,6 +1160,7 @@ TEXT_ORACLES: dict[str, str] = {
         byte_level=True,
     ),
     "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
+    "token_fertility_by_lang": _token_fertility_oracle(),
     "bpe_encode_ids_pretok": _bpe_pretok_oracle(BPE_MERGES_BYTES),
     "pack_sequences_ids": _pack_ids_oracle(
         BPE_MERGES_BYTES, PACK_IDS_BUDGET, PACK_IDS_SHARDS

@@ -38,10 +38,11 @@ def test_every_query_is_oracle_backed():
 
 
 #: The round-8 rotation ledger (CLAUDE.md): entries promised a
-#: round-9 driver slot — 40 of the 45 r6-green entries whose last
+#: round-9 driver slot — 39 of the 45 r6-green entries whose last
 #: hard driver signal is r6, the oldest on the board (token_vocab
-#: leads). The block's TAIL (filter_coercion, filter_search, multi_vector_search,
-#: dedup_minhash_lsh, neardup_cosine) overflowed when the 10
+#: leads). The block's TAIL (upsert_delete, filter_coercion,
+#: filter_search, multi_vector_search,
+#: dedup_minhash_lsh, neardup_cosine) overflowed when the 11
 #: new/touched seats landed and
 #: keeps round-10 priority, exactly as the r8 ledger anticipated.
 #: Machine-checked against _KEY_ORDER below so the ledger promise
@@ -86,12 +87,12 @@ ROTATION_LEDGER_R9 = [
     "media_audio_features",
     "media_video_stats",
     "collection_search_blocks",
-    "upsert_delete",
 ]
 
 #: the r6 overflow tail — displaced from the round-9 window by the 8
 #: new/touched seats; they lead the round-10 rotation queue
 R10_PRIORITY = [
+    "upsert_delete",
     "filter_coercion",
     "filter_search",
     "multi_vector_search",
@@ -130,6 +131,7 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_ivfpq",
         "collection_search_ivfpq_delta",
         "web_domain_quota",
+        "token_fertility_by_lang",
         "bpe_encode_ids_pretok",
         # implementation touched this round: pack_sequences_ids
         # (attention-boundary offsets column), bpe_train_bytes /
