@@ -586,7 +586,7 @@ def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     host-is-suffix / org.mw / single-label domain classes (several
     covered only by the r9 PSL tranche), score each doc with a
     deterministic priority, and keep the top-3 per PSL-backed
-    registrable domain via the skew-safe two-phase top-K
+    registrable domain via the skew-safe count-adaptive two-phase top-K
     (:func:`coltt_spark.operators.pipeline.domain_quota`). The oracle
     replays fabrication, the generated PSL CASE, and the quota as ONE
     window — provably equivalent to the salted two-phase rank — so
@@ -612,7 +612,13 @@ def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain(host).alias("domain"),
         ((d * 37) % 101).cast("long").alias("score"),
     )
-    return domain_quota(rows, "doc_id", "domain", "score", cap=3, salts=8)
+    # target sized so the fixture megadomain actually fans out
+    # (sf0.01: 184 rows -> 3 salts; sf0.1: 1847 -> 29) — the driver
+    # check exercises the salted machinery, not just its salts_d=1
+    # degenerate
+    return domain_quota(
+        rows, "doc_id", "domain", "score", cap=3, target_partition_rows=64
+    )
 
 
 def _web_domain_quota_oracle() -> str:

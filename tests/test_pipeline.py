@@ -806,9 +806,9 @@ def test_domain_quota_two_phase_equals_single_window(spark):
     got = {
         (r["doc_id"], r["domain"], r["score"], r["rk"], r["n_domain_docs"])
         for r in domain_quota(
-            df, "doc_id", "domain", "score", cap=3, salts=8
+            df, "doc_id", "domain", "score", cap=3, target_partition_rows=50
         ).collect()
-    }
+    }  # mega fans out to 10 salts; the 4-row and 1-row domains get 1
     # naive single-window reference
     want = set()
     by_dom: dict = {}
@@ -823,3 +823,10 @@ def test_domain_quota_two_phase_equals_single_window(spark):
     kept_mega = [t for t in got if t[1] == "mega.example.com"]
     assert len(kept_mega) == 3 and all(t[4] == 500 for t in kept_mega)
     assert (900, "one.example.net", 1, 1, 1) in got
+    # default dial (2M target): every domain degenerates to salts_d=1
+    # — phase 1 IS the exact rank; the result must be identical
+    got_default = {
+        (r["doc_id"], r["domain"], r["score"], r["rk"], r["n_domain_docs"])
+        for r in domain_quota(df, "doc_id", "domain", "score", cap=3).collect()
+    }
+    assert got_default == want
