@@ -1865,15 +1865,28 @@ class Collection:
             files=files,
         )
         if not refine:
-            paged = _paginate_topk(local.drop(_COMMIT), limit, offset, pk)
+            adc_only = local.drop(_COMMIT)
+            if m.distance == "cosine":
+                # the ADC scan estimates the residual EUCLIDEAN
+                # distance; on unit vectors |1 − dot| = euclid²/2, so
+                # map the estimate into the cosine domain (monotone —
+                # the TakeOrdered ranking is unchanged) before
+                # paginating/scoring: the refine dial must not flip
+                # the dist/score scale between 0 and >0 (r9 review)
+                adc_only = adc_only.withColumn(
+                    "dist", F.col("dist") * F.col("dist") / F.lit(2.0)
+                )
+            paged = _paginate_topk(adc_only, limit, offset, pk)
             return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
         # ADC funnel cut: deterministic (adc, pk) total order — pk is
         # unique, so orderBy().limit() (TakeOrderedAndProject, no
         # global window) is exactly the top-``refine`` the SQL oracle's
-        # row_number() replay produces
+        # row_number() replay produces. Pagination past the refine
+        # budget widens the cut (refine is a floor, not a truncation
+        # of the caller's limit — r9 review)
         cand = (
             local.orderBy(F.col("dist").asc(), F.col(pk).asc())
-            .limit(refine)
+            .limit(max(refine, offset + limit))
             .drop("dist")
         )
         vecs = self._dequantized().select(_COMMIT, F.col(vc).alias("_v"))
@@ -1962,6 +1975,13 @@ class Catalog:
             raise ValueError(
                 f"ivfpq layout requires dim % pq_subspaces == 0, got "
                 f"dim={dim}, pq_subspaces={pq_subspaces}"
+            )
+        if layout == "ivfpq" and not 2 <= pq_codes <= 256:
+            # codes are packed as uint8 — a bigger codebook would wrap
+            # silently at pack time and ADC-score with wrong LUT rows
+            raise ValueError(
+                f"ivfpq layout requires 2 <= pq_codes <= 256 (codes are "
+                f"stored as uint8), got pq_codes={pq_codes}"
             )
         root = self._root(name)
         if os.path.exists(root):

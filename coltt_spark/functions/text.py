@@ -120,9 +120,19 @@ _GPT2_PUNCT = (
     r"\x{ff00}-\x{ff0f}\x{ff1a}-\x{ff20}\x{ff3b}-\x{ff40}"
     r"\x{ff5b}-\x{ff65}]"
 )
+#: NOTE: the canonical contraction alternatives (``'s|'t|'re|'ve|'m|
+#: 'll|'d``) are deliberately NOT in the extraction pattern — they are
+#: formed by the post-fix fold instead. In the canonical scan a
+#: contraction fires only when the position lands ON the apostrophe
+#: (after a completed letter/digit/punct match); an extraction-level
+#: alternative also fired right after a greedy whitespace run, where
+#: the canonical re-scan (one space left by ``\\s+(?!\\S)``) matches
+#: ``" '"`` as a punct run and never forms a contraction (r9 review).
+#: With contractions removed, a boundary apostrophe arrives as a bare
+#: ``'`` punct token and the fold merges it with the following letter
+#: run's canonical-order suffix.
 GPT2_SPLIT_PATTERN = (
-    "'s|'t|'re|'ve|'m|'ll|'d"
-    f"| ?{_GPT2_LETTER}+"
+    f" ?{_GPT2_LETTER}+"
     "| ?[0-9]+"
     f"| ?{_GPT2_PUNCT}+"
     f"|{_GPT2_WS_CLASS}+"
@@ -137,16 +147,29 @@ def pre_tokens_gpt2(col) -> Column:
     GPT-family tokenizer on punctuation-heavy web text).
 
     Extraction uses :data:`GPT2_SPLIT_PATTERN` (portable subset,
-    documented above); the canonical pattern's lookahead-based
-    whitespace rule is then reproduced EXACTLY by a deterministic
-    post-fix fold over the extracted array: our greedy ``[ws]+``
-    eats a whole whitespace run, but GPT-2 leaves the run's LAST
-    character to the next token when it is a literal space (`` ?``
-    prefix) or as its own single-char token otherwise. The fold is
-    the same left-to-right ``F.aggregate`` discipline as the BPE
-    merge fold, so DuckDB ``list_reduce`` replays it bit-for-bit
-    (:func:`gpt2_pretok_sql` — single source of truth for the
-    oracle side)."""
+    documented above); two canonical behaviors are then reproduced
+    EXACTLY by a deterministic post-fix fold over the extracted
+    array:
+
+    1. the lookahead-based whitespace rule — our greedy ``[ws]+``
+       eats a whole whitespace run, but GPT-2 leaves the run's LAST
+       character to the next token when it is a literal space
+       (`` ?`` prefix) or as its own single-char token otherwise;
+    2. contraction formation — a bare ``'`` punct token (the
+       apostrophe at a true scan boundary: never space-prefixed,
+       never inside a longer punct run like ``?!'``) merges with the
+       following no-space letter run's ``s|t|re|ve|m|ll|d`` prefix
+       (canonical alternation order; the first letters are distinct,
+       so a per-prefix dispatch is equivalent), leaving the rest of
+       the run as its own token. Matches GPT-2's quirks: ``'S``
+       never contracts (the alternatives are lowercase), ``?!'s``
+       keeps the apostrophe in the punct run, and a space before the
+       apostrophe yields ``" '"`` + letters, never a contraction.
+
+    The fold is the same left-to-right ``F.aggregate`` discipline as
+    the BPE merge fold, so DuckDB ``list_reduce`` replays it
+    bit-for-bit (:func:`gpt2_pretok_sql` — single source of truth
+    for the oracle side)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(c, F.lit(GPT2_SPLIT_PATTERN), 0)
     ws = F.lit(GPT2_WS)
@@ -170,7 +193,26 @@ def pre_tokens_gpt2(col) -> Column:
             butlast, head_arr, F.array(F.concat(F.lit(" "), x))
         )
         fix_other = F.concat(butlast, head_arr, F.array(last), F.array(x))
+        # contraction formation (docstring rule 2): canonical-order
+        # suffix dispatch on the letter run following a bare "'"
+        suf_len = (
+            F.when(F.substr(x, F.lit(1), F.lit(1)).isin("s", "t", "m", "d"), F.lit(1))
+            .when(F.substr(x, F.lit(1), F.lit(2)).isin("re", "ve", "ll"), F.lit(2))
+            .otherwise(F.lit(0))
+        )
+        rest = F.substr(x, suf_len + F.lit(1), F.length(x))
+        rest_arr = F.when(F.length(rest) > 0, F.array(rest)).otherwise(
+            F.array().cast("array<string>")
+        )
+        merged = F.concat(
+            butlast,
+            F.array(F.concat(F.lit("'"), F.substr(x, F.lit(1), suf_len))),
+            rest_arr,
+        )
         return F.when(
+            (F.size(acc) >= 1) & (prev == F.lit("'")) & (suf_len > 0),
+            merged,
+        ).when(
             (F.size(acc) >= 1) & _is_ws(prev) & ~_is_ws(x),
             F.when(last == " ", fix_space).otherwise(fix_other),
         ).otherwise(F.concat(acc, F.array(x)))
@@ -194,9 +236,23 @@ def gpt2_pretok_sql(expr: str) -> str:
         f"ELSE []::VARCHAR[] END"
     )
     last = f"substr({prev}, length({prev}), 1)"
+    # contraction suffix length (fold rule 2) — same canonical-order
+    # per-prefix dispatch as the Spark step
+    suf = (
+        "CASE WHEN substr(xl[1], 1, 1) IN ('s', 't', 'm', 'd') THEN 1 "
+        "WHEN substr(xl[1], 1, 2) IN ('re', 've', 'll') THEN 2 "
+        "ELSE 0 END"
+    )
     return f"""CASE WHEN len({raw}) = 0 THEN []::VARCHAR[] ELSE list_reduce(
   list_transform({raw}, t -> [t]),
   (acc, xl) -> CASE
+    WHEN len(acc) >= 1 AND {prev} = '''' AND ({suf}) > 0
+    THEN list_concat(
+           list_concat(acc[1:len(acc) - 1],
+                       ['''' || substr(xl[1], 1, {suf})]),
+           CASE WHEN length(xl[1]) > ({suf})
+                THEN [substr(xl[1], ({suf}) + 1, length(xl[1]))]
+                ELSE []::VARCHAR[] END)
     WHEN len(acc) >= 1
          AND instr({ws}, {last}) >= 1
          AND instr({ws}, substr(xl[1], length(xl[1]), 1)) = 0

@@ -170,9 +170,17 @@ def pack_blocks(
             list(BLOCK_SCHEMA) + [T.StructField(group_col, T.IntegerType(), False)]
         )
         extra_cols = [group_col]
+    # integer block dtypes (PQ codes) ride the Arrow boundary as
+    # array<int>, not array<double> — shipping each 1-byte code as an
+    # 8-byte double quadrupled the ivfpq build's transfer width
+    _wire = (
+        "int"
+        if np.issubdtype(np_dtype, np.integer)
+        else ("float" if dtype == "float32" else "double")
+    )
     src = df.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.col(vec_col).cast(f"array<{'float' if dtype == 'float32' else 'double'}>"),
+        F.col(vec_col).cast(f"array<{_wire}>"),
         *pcols,
         *extra_cols,
     )
@@ -765,13 +773,16 @@ def block_index_scan(
             for paths in pdf["paths"]:
                 for p in paths.split(";"):
                     if distance == "adc":
-                        cm = _re.search(r"centroid=(\d+)", p)
-                        if cm is None:
+                        # LAST occurrence: a warehouse root that itself
+                        # contains a 'centroid=N' path component must
+                        # not shadow the file's real partition directory
+                        cms = _re.findall(r"centroid=(\d+)", p)
+                        if not cms:
                             raise ValueError(
                                 f"adc scan file {p} is not under a "
                                 "centroid=<c>/ partition"
                             )
-                        qf = luts[int(cm.group(1))]
+                        qf = luts[int(cms[-1])]
                     else:
                         qf = q
                     ids, X, norms, payload = _spool_file(p, dim, np_dtype)

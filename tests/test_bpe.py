@@ -685,6 +685,19 @@ GPT2_CASES = {
     "": [],
     "   ": ["   "],
     "mix123abc": ["mix", "123", "abc"],
+    # contraction formation is a FOLD rule (r9 review): after a
+    # whitespace run the leftover space joins a PUNCT-run apostrophe
+    # (" '"), never a contraction — canonical \\s+(?!\\S) re-scan
+    "word  'tis": ["word", " ", " '", "tis"],
+    "a 'tis": ["a", " '", "tis"],
+    # the apostrophe inside a longer punct run never contracts
+    "?!'s go": ["?!'", "s", " go"],
+    # digit boundary + string-start contractions do
+    "90's fine": ["90", "'s", " fine"],
+    "'tis so": ["'t", "is", " so"],
+    "'retry 'veto 'llama 'mix 'dog": [
+        "'re", "try", " '", "veto", " '", "llama", " '", "mix", " '", "dog"
+    ],
     "e.g. 3.14%": ["e", ".", "g", ".", " 3", ".", "14", "%"],
     "naïve café": ["naïve", " café"],
     "x　　已": ["x", "　", "　", "已"],

@@ -1472,3 +1472,47 @@ def test_incremental_ivfpq_flush_keeps_quantizers_fixed(catalog):
         for r in coll.search(q, limit=5).collect()
     ]
     assert got2 == want
+
+
+def test_ivfpq_r9_review_fixes(spark, tmp_path):
+    """Regression pins for the r9 review findings: (1) pagination past
+    the refine budget widens the ADC cut instead of silently
+    truncating the caller's limit; (2) refine=0 reports dist/score in
+    the SAME |1-dot| domain as refine>0 on cosine collections (pinned
+    with a codebook large enough that residual quantization is exact,
+    so the ADC estimate must EQUAL the exact distance); (3)
+    pq_codes > 256 is rejected loudly at create time (codes pack as
+    uint8); (4) a warehouse root that itself contains a
+    'centroid=<n>' path component must not shadow a block file's real
+    partition directory in the ADC LUT lookup."""
+    # (4): poison the warehouse path on purpose
+    root = tmp_path / "centroid=3" / "wh"
+    cat = Catalog(spark, str(root))
+    with pytest.raises(ValueError, match="pq_codes"):
+        cat.create_collection(
+            "bad", dim=8, distance="cosine", fields=FIELDS,
+            layout="ivfpq", pq_codes=300,
+        )
+    rows = _rows(12, dim=8, seed=19)
+    coll = cat.create_collection(
+        "pqfix", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivfpq", ivf_centroids=2, ivf_nprobe=2,
+        pq_subspaces=4, pq_codes=16, ivfpq_refine=4,
+    )
+    coll.upsert(rows)
+    coll.flush()
+    q = _rows(1, dim=8, seed=91)[0]["vector"]
+    # (1): limit 9 > refine 4 must still return 9 rows
+    wide = coll.search(q, limit=9).collect()
+    assert len(wide) == 9
+    # (2): with 12 rows over 2 lists and ks=16, every residual is its
+    # own code -> ADC is exact -> the refine=0 dists must EQUAL the
+    # exact |1-dot| dists of the refined path row-for-row
+    adc = {r["id"]: r["dist"] for r in coll.search(q, limit=9, refine=0).collect()}
+    exact = {r["id"]: r["dist"] for r in wide}
+    assert set(adc) == set(exact)
+    for rid in adc:
+        assert abs(adc[rid] - exact[rid]) < 1e-6, rid
+    # (4) again, explicitly: the search above already scanned files
+    # under .../centroid=3/wh/.../centroid=<c>/ — a first-match lookup
+    # would have used luts[3] or raised KeyError

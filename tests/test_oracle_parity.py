@@ -89,8 +89,9 @@ ROTATION_LEDGER_R9 = [
     "collection_search_blocks",
 ]
 
-#: the r6 overflow tail — displaced from the round-9 window by the 8
-#: new/touched seats; they lead the round-10 rotation queue
+#: the r6 overflow tail — displaced from the round-9 window by the 11
+#: new/touched seats (5 new + 6 touched); they lead the round-10
+#: rotation queue
 R10_PRIORITY = [
     "upsert_delete",
     "filter_coercion",
@@ -104,7 +105,7 @@ R10_PRIORITY = [
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-8 rotation-ledger entries (42 of the 45
+    exactly; the round-8 rotation-ledger entries (39 of the 45
     r6-green, oldest signal on the board) LEAD the round-9 window,
     every entry new or touched this round is inside it, and the r6
     overflow tail sits FIRST past the boundary with round-10
