@@ -817,3 +817,78 @@ def test_gpt2_pretok_is_jvm_side(spark):
     wt = bpe_word_table(df, "text", byte_level=True, pre_tokenizer="gpt2")
     plan = wt._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_gpt2_pretok_matches_canonical_lookahead_reference(spark):
+    """The definitive fold check (r9 review hardening): a pure-Python
+    reference implements the CANONICAL GPT-2 alternation — contraction
+    alternatives first, then space-prefixed letter/digit/punct runs,
+    then the real lookahead whitespace rule \\s+(?!\\S) — over the SAME
+    portable class constants (RE2 \\x{..} escapes translated to
+    Python), using Python re's actual negative lookahead. Our
+    extraction+fold (no contractions in the pattern, no lookahead)
+    must reproduce its token stream exactly on a seeded fuzz corpus
+    dense in the interaction cases: whitespace runs before
+    apostrophes, contraction suffixes, punct-run apostrophes, digit
+    boundaries, uppercase quirks."""
+    import random
+    import re as pyre
+
+    import duckdb
+
+    from coltt_spark.functions.text import (
+        _GPT2_LETTER,
+        _GPT2_PUNCT,
+        GPT2_WS,
+        gpt2_pretok_sql,
+        pre_tokens_gpt2,
+    )
+
+    def to_py(cls: str) -> str:
+        return pyre.sub(
+            r"\\x\{([0-9a-fA-F]+)\}",
+            lambda m: "\\U%08x" % int(m.group(1), 16),
+            cls,
+        )
+
+    wsc = "[" + "".join("\\U%08x" % ord(c) for c in GPT2_WS) + "]"
+    non_ws = "[^" + "".join("\\U%08x" % ord(c) for c in GPT2_WS) + "]"
+    canonical = pyre.compile(
+        "'s|'t|'re|'ve|'m|'ll|'d"
+        f"| ?{to_py(_GPT2_LETTER)}+"
+        "| ?[0-9]+"
+        f"| ?{to_py(_GPT2_PUNCT)}+"
+        f"|{wsc}+(?!{non_ws})"
+        f"|{wsc}+"
+    )
+
+    rng = random.Random(99)
+    pools = [
+        "word ", "don't ", "  'tis", " 'veto", "'s", "'t", "'re", "'ve",
+        "'m", "'ll", "'d", "?!'s", "''x", "90's", "x  ", "\t\t", "'S",
+        "e.g.", "…'em", "a'", "' ", "   '", "已's", "ＡＢ's", "1'2",
+    ]
+    texts = list(GPT2_CASES) + [
+        "".join(rng.choice(pools) for _ in range(rng.randint(1, 8)))
+        for _ in range(300)
+    ]
+    want = {i: canonical.findall(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", pre_tokens_gpt2("text").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", list(enumerate(texts)))
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {gpt2_pretok_sql('text')} FROM tt"
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == want[i], f"spark vs canonical: {t!r}"
+        assert duck[i] == want[i], f"duckdb vs canonical: {t!r}"
