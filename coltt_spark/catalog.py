@@ -257,6 +257,16 @@ class Collection:
                         "cannot be decoded; run flush(compact=True) to rebuild"
                     )
                 return False
+            if (
+                self.manifest.layout == "ivfpq"
+                and not strict
+                and not os.path.isdir(os.path.join(d, "vecs"))
+            ):
+                # pre-rerank-tree index: SERVING still works (the
+                # refined search falls back to the snapshot join), but
+                # the incremental-flush gate treats it as not-ready so
+                # the next flush full-rebuilds and heals the layout
+                return False
             return True
         if strict:
             raise RuntimeError(
@@ -1646,7 +1656,20 @@ class Collection:
         filters, tombstones, and the node-local spool all apply
         unchanged while each row costs M BYTES instead of dim·4.
         Sidecars: ``centroids.npy`` (coarse) + ``book.npy`` (M, ks,
-        dsub residual codebooks)."""
+        dsub residual codebooks).
+
+        Beside the code blocks, the EXACT vectors land as plain
+        ``(commit id, vector)`` Parquet rows under ``vecs/centroid=<c>/``
+        — the refined search's rerank source. Refine candidates are by
+        construction members of the probed lists, so reranking needs
+        only the probed lists' vector rows: path-pruned exactly like
+        the code scan, the rerank reads nprobe/n_centroids of the
+        vector bytes instead of joining against a full snapshot scan
+        (the one plan that would equal a flat exhaustive scan's IO at
+        100×, VERDICT r9 #2). Stored as array<double> of the SAME
+        dequantized values the snapshot join used to produce, so the
+        rerank's sequential-fold arithmetic — and therefore the SQL
+        oracle — is unchanged to the bit."""
         from coltt_spark.operators.ann import ivf_build
         from coltt_spark.operators.blocks import pack_blocks
         from coltt_spark.operators.pq import _encode_udf, pq_train
@@ -1697,6 +1720,21 @@ class Collection:
             blocks.write.mode("overwrite").partitionBy("centroid").parquet(
                 os.path.join(out, "blocks")
             )
+            # exact-vector rerank rows, one file per inverted list
+            # (repartition by centroid keeps each list in one writer)
+            (
+                assigned.select(pk, "centroid")
+                .join(df.select(pk, _COMMIT, vc), on=pk)
+                .select(
+                    "centroid",
+                    _COMMIT,
+                    F.col(vc).cast("array<double>").alias(vc),
+                )
+                .repartition(n_files, "centroid")
+                .write.mode("overwrite")
+                .partitionBy("centroid")
+                .parquet(os.path.join(out, "vecs"))
+            )
             np.save(os.path.join(out, "centroids.npy"), Cn)
             np.save(os.path.join(out, "book.npy"), book)
 
@@ -1734,9 +1772,15 @@ class Collection:
         the previous version — they only move on compact), delta rows
         are routed into the existing inverted lists, their residuals
         re-encoded against the FIXED book, and the resulting code
-        blocks appended inside the centroid-partitioned layout. Base
-        index files hardlink across; superseded rows die via the
-        shared commit-id tombstones. Flush work is O(delta)."""
+        blocks appended inside the centroid-partitioned layout. The
+        delta rows' exact vectors append into the same-shaped
+        ``vecs/centroid=<c>/`` rerank tree (base files hardlink
+        across), so the refined search's path-pruned rerank keeps
+        covering every live row; its per-list file fan-out grows in
+        lockstep with the code blocks', so the same auto-compaction
+        trigger bounds both. Base index files hardlink across;
+        superseded rows die via the shared commit-id tombstones.
+        Flush work is O(delta)."""
         from coltt_spark.operators.ann import ivf_assign
         from coltt_spark.operators.blocks import pack_blocks
         from coltt_spark.operators.pq import _encode_udf
@@ -1780,6 +1824,22 @@ class Collection:
             blocks.write.mode("append").partitionBy("centroid").parquet(
                 os.path.join(new_dir, "blocks")
             )
+            if os.path.isdir(os.path.join(old_dir, "vecs")):
+                os.makedirs(os.path.join(new_dir, "vecs"), exist_ok=True)
+                _link_tree(
+                    os.path.join(old_dir, "vecs"), os.path.join(new_dir, "vecs")
+                )
+                (
+                    assigned.select(
+                        "centroid",
+                        _COMMIT,
+                        F.col(vc).cast("array<double>").alias(vc),
+                    )
+                    .repartition(n_files, "centroid")
+                    .write.mode("append")
+                    .partitionBy("centroid")
+                    .parquet(os.path.join(new_dir, "vecs"))
+                )
             np.save(os.path.join(new_dir, "centroids.npy"), Cn)
             np.save(os.path.join(new_dir, "book.npy"), book)
 
@@ -1801,8 +1861,12 @@ class Collection:
         (path-pruned, M bytes per row, metadata filter as a block-local
         payload mask), cut to the top ``refine`` candidates by (adc,
         pk), and re-score them with the exact distance via ONE
-        broadcast join of the ≤ refine winners back to the snapshot
-        vectors. ``refine=0`` skips the rerank and serves the ADC
+        broadcast join of the ≤ refine winners against the PROBED
+        LISTS' exact-vector rows (``vecs/centroid=<c>/`` written at
+        flush — candidates are members of the probed lists by
+        construction, so the rerank reads nprobe/n_centroids of the
+        vector bytes, never a full snapshot scan; VERDICT r9 #2).
+        ``refine=0`` skips the rerank and serves the ADC
         approximation — no vector data is touched at any point.
 
         Cosine collections run the whole funnel in the unit domain
@@ -1889,7 +1953,35 @@ class Collection:
             .limit(max(refine, offset + limit))
             .drop("dist")
         )
-        vecs = self._dequantized().select(_COMMIT, F.col(vc).alias("_v"))
+        # rerank source: the probed lists' exact-vector rows (same
+        # dequantized values the snapshot holds, stored as double at
+        # flush so the fold below is bit-identical to a snapshot join
+        # and the SQL oracle's replay). Only probed centroid=<c>/
+        # directories are ever opened — rerank IO is nprobe/n_centroids
+        # of the vector data. Collections flushed before the rerank
+        # tree existed fall back to the column-pruned snapshot join.
+        vecs_root = os.path.join(d, "vecs")
+        if os.path.isdir(vecs_root):
+            vschema = T.StructType(
+                [
+                    T.StructField(_COMMIT, T.LongType(), False),
+                    T.StructField(vc, T.ArrayType(T.DoubleType()), False),
+                ]
+            )
+            vdirs = [
+                p
+                for p in (
+                    os.path.join(vecs_root, f"centroid={c}") for c in probes
+                )
+                if os.path.isdir(p)
+            ]
+            vecs = (
+                self.spark.read.schema(vschema).parquet(*vdirs)
+                if vdirs
+                else self.spark.createDataFrame([], vschema)
+            ).select(_COMMIT, F.col(vc).alias("_v"))
+        else:
+            vecs = self._dequantized().select(_COMMIT, F.col(vc).alias("_v"))
         if m.distance == "cosine":
             exact = F.abs(
                 F.lit(1.0)

@@ -966,9 +966,13 @@ def test_ivfpq_collection_probe_prunes_and_refines_broadcast(spark):
     serve ADC-only (refine=0) with NO Parquet scan at all — the scan
     reads M uint8 bytes per row through the spool and nothing else —
     and (c) rerank the refined search through ONE broadcast join of
-    the ≤ refine candidates against a COLUMN-PRUNED snapshot scan
-    (commit id + vector only; a sort-merge join or a full-width scan
-    here would re-shuffle/re-read the corpus per query at 100 TB)."""
+    the ≤ refine candidates against ONLY the PROBED lists'
+    exact-vector files (``vecs/centroid=<c>/``), never the snapshot:
+    candidates are members of the probed lists by construction, so a
+    full-snapshot rerank scan would equal a flat exhaustive scan's IO
+    at 100 TB whenever refine > 0 (VERDICT r9 #2); a sort-merge join
+    or a full-width read would likewise re-shuffle/re-read the corpus
+    per query."""
     import os
     import tempfile
 
@@ -1013,12 +1017,23 @@ def test_ivfpq_collection_probe_prunes_and_refines_broadcast(spark):
     assert "Scan parquet" not in plan0, plan0[:800]
     assert "TakeOrderedAndProject" in plan0
     # (c) refined: broadcast rerank join against a pruned vector scan
-    plan = executed_plan(coll.search(q, limit=5))
+    refined = coll.search(q, limit=5)
+    plan = executed_plan(refined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
     assert "TakeOrderedAndProject" in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("vector" in ln and "label" not in ln for ln in read), read
+    # the rerank's ONLY file-source input is the probed lists' vecs
+    # tree — no snapshot parquet anywhere in the refined plan
+    infiles = refined.inputFiles()
+    assert infiles, "refined rerank should scan the vecs tree"
+    for f in infiles:
+        assert f"vecs{os.sep}centroid=" in f or "vecs/centroid=" in f, f
+        assert any(f"centroid={c}" in f for c in probed), (f, probed)
+        # note the trailing separator: .../v1 is a string prefix of
+        # the legitimate .../v1_ivf index dir
+        assert coll._data_dir() + os.sep not in f, f
 
 
 def test_domain_quota_windows_are_salted_then_bounded(spark):
