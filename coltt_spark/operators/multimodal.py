@@ -893,3 +893,213 @@ def image_channel_stats(images: DataFrame, *, decoder=None) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.select("doc_id", "payload").mapInPandas(kernel, IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (dHash + Hamming banding) — the LAION-style
+# multimodal sibling of text MinHash
+
+
+def dhash_image_table(
+    documents: DataFrame, *, brightness_delta: int = 32
+) -> DataFrame:
+    """Fabricate REAL PNG payloads with PLANTED perceptual near-dups
+    for the image rows (``doc_id % 3 == 0``, matching
+    :func:`media_table`'s round-robin): consecutive image rows form
+    3-document CLUSTERS (``cluster = doc_id // 9``) whose 9×8 base
+    pixels come from ``md5('dh:' || cluster || ':' || block)`` digests
+    — seeded by the CLUSTER id, not the row's text, so clustered rows
+    share content by construction. Per-row role (``(doc_id / 3) % 3``):
+
+    - 0 — the 9×8 base image;
+    - 1 — the base RESIZED 2× by pixel replication (18×16): a
+      nearest-neighbor downsample maps exactly back onto the base
+      grid, so its dHash is IDENTICAL (hamming 0) — the
+      scaled-thumbnail duplicate every crawl corpus carries;
+    - 2 — the base brightness-shifted ``+brightness_delta`` per
+      channel (clamped at 255): dHash compares ADJACENT pixels, so a
+      uniform shift preserves almost every comparison (hamming flips
+      only where clamping compresses a local gradient) — the
+      re-encoded/re-graded near-duplicate.
+
+    Real containers, deterministic pixels: the SQL oracle regenerates
+    the pixels + roles from the hash stream and never sees the PNG
+    bytes, exactly like :func:`png_image_table`."""
+    grid_w, grid_h = 9, 8
+    n_bytes = grid_w * grid_h * 3
+    n_blocks = -(-n_bytes // 16)  # ceil
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_png
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cluster, role = d // 9, (d // 3) % 3
+                raw = b"".join(
+                    hashlib.md5(f"dh:{cluster}:{b}".encode()).digest()
+                    for b in range(n_blocks)
+                )[:n_bytes]
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    grid_h, grid_w, 3
+                )
+                if role == 1:
+                    img = img.repeat(2, axis=0).repeat(2, axis=1)
+                elif role == 2:
+                    img = np.minimum(
+                        img.astype(np.int64) + brightness_delta, 255
+                    ).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return imgs.mapInPandas(kernel, out_schema)
+
+
+#: per-image dHash signature: the 64-bit difference hash as FOUR
+#: 16-bit words — the words double as the Hamming-banding keys, and
+#: 16-bit positives sidestep every signed-64 pitfall in both engines
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("w0", T.IntegerType(), False),
+        T.StructField("w1", T.IntegerType(), False),
+        T.StructField("w2", T.IntegerType(), False),
+        T.StructField("w3", T.IntegerType(), False),
+    ]
+)
+
+
+def image_dhash(images: DataFrame, *, decoder=None) -> DataFrame:
+    """64-bit difference hash (dHash) per image — ONE narrow
+    Arrow-batched decode stage, no shuffle: decode the real container,
+    integer BT.601 luma per pixel (``299r + 587g + 114b`` per-mille,
+    monotone and division-free, so comparisons are exact), sample a
+    9×8 grid by nearest-neighbor (``(i·H)//8`` / ``(j·W)//9`` — a 2×
+    pixel-replicated resize maps back to the source grid EXACTLY), and
+    set bit ``r·8+c`` when grid[r][c+1] > grid[r][c]. Emitted as four
+    16-bit words (bit ``16k+j`` → word k, weight 2^j).
+
+    Scale shape: the per-row cost is the decode (already paid by any
+    media pipeline); output is 4 ints/row. The hash is pure integer
+    arithmetic over deterministic pixels, so the registry oracle
+    regenerates it from the md5 stream in SQL."""
+    grid_w, grid_h = 9, 8
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_image
+
+        decode = decoder if decoder is not None else decode_image
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("doc_id", "w0", "w1", "w2", "w3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(payload))[:, :, :3].astype(np.int64)
+                h, w, _ = img.shape
+                luma = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+                rs = (np.arange(grid_h) * h) // grid_h
+                cs = (np.arange(grid_w) * w) // grid_w
+                g = luma[np.ix_(rs, cs)]
+                bits = (g[:, 1:] > g[:, :-1]).ravel().astype(np.int64)  # bit j = r*8 + c
+                words = [
+                    int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows["doc_id"].append(doc_id)
+                for k in range(4):
+                    rows[f"w{k}"].append(words[k])
+            yield pd.DataFrame(rows)
+
+    return images.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def dhash_pairs(sig: DataFrame, id_col: str, *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup image pairs by dHash Hamming distance ≤ ``max_hamming``
+    — :func:`coltt_spark.operators.dedup.simhash_pairs`' discipline on
+    the 4-word image signature. Blocking: the four 16-bit words ARE
+    the bands; by pigeonhole, any pair within hamming 3 agrees on ≥1
+    word, so candidates come from 4 equi-joins (union via explode),
+    never a cross join — blocking is LOSSLESS at this threshold, which
+    is why the SQL oracle may brute-force all pairs and still match.
+
+    The band self-join runs over DISTINCT signatures (exact-duplicate
+    image clusters — blank thumbnails, template banners — contribute
+    ONE row per join bucket instead of cluster-size rows, the
+    join-skew killer), then expands back to document pairs; signature
+    tuples order lexicographically via struct comparison."""
+    ws = ["w0", "w1", "w2", "w3"]
+    sig = sig.localCheckpoint(eager=False)
+    usig = sig.select(*ws).distinct()
+    chunks = usig.select(
+        *ws,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.col(ws[k]).alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(*ws, "_c.band_idx", "_c.band_val")
+    a = chunks.select(
+        *[F.col(w).alias(f"{w}_a") for w in ws], "band_idx", "band_val"
+    )
+    b = chunks.select(
+        *[F.col(w).alias(f"{w}_b") for w in ws], "band_idx", "band_val"
+    )
+    sa = F.struct(*[F.col(f"{w}_a") for w in ws])
+    sb = F.struct(*[F.col(f"{w}_b") for w in ws])
+    ham = None
+    for w in ws:
+        t = F.bit_count(F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")))
+        ham = t if ham is None else ham + t
+    sig_pairs = (
+        a.join(b, on=["band_idx", "band_val"])
+        # <= keeps the (s, s) diagonal: exact-duplicate cliques expand
+        # to within-cluster pairs below
+        .filter(sa <= sb)
+        .select(
+            *[f"{w}_a" for w in ws],
+            *[f"{w}_b" for w in ws],
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a signature pair appears once per agreeing band (≤ 4)
+        .distinct()
+    )
+    da = sig.select(
+        F.col(id_col).alias("_ida"), *[F.col(w).alias(f"{w}_a") for w in ws]
+    )
+    db = sig.select(
+        F.col(id_col).alias("_idb"), *[F.col(w).alias(f"{w}_b") for w in ws]
+    )
+    return (
+        sig_pairs.join(da, on=[f"{w}_a" for w in ws])
+        .join(db, on=[f"{w}_b" for w in ws])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter((sa < sb) | (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )

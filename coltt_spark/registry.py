@@ -1946,6 +1946,10 @@ _KEY_ORDER = [
     "media_exif_orientation",
     "pack_sequences_firstfit",
     "embed_outliers",
+    # -- new in r10 (rotated into the window by the r10 ledger pass) --
+    "media_image_dedup",  # new r10: perceptual image near-dup — dHash
+    #    over real-decoded PNG luma, Hamming-banded blocking, planted
+    #    resized/brightness-shifted cluster fixture; all-pairs oracle
 ]
 
 

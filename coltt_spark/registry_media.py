@@ -10,9 +10,12 @@ from pyspark.sql import functions as F
 from coltt_spark.operators.multimodal import (
     audio_features,
     audio_wav_table,
+    dhash_image_table,
+    dhash_pairs,
     extract_features,
     gif_image_table,
     image_channel_stats,
+    image_dhash,
     jpeg_image_table,
     media_table,
     png_image_table,
@@ -699,6 +702,81 @@ FROM o
 """
 
 
+def q_media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup — the LAION-style multimodal
+    sibling of text MinHash (the one first-class LLM-pipeline dedup
+    modality text/byte/embedding/span dedup didn't cover: PIXELS):
+    64-bit dHash over REAL-decoded PNG luma, Hamming-banded candidate
+    blocking (the four 16-bit hash words are the bands — lossless for
+    hamming ≤ 3 by pigeonhole), exact-Hamming verify. The fixture
+    plants 2×-RESIZED (hamming 0 by the nearest-neighbor grid) and
+    BRIGHTNESS-SHIFTED (hamming ≤ a few clamp-flips) variants in
+    3-document clusters; the oracle regenerates the pixels + roles
+    from the md5 stream in SQL — it never sees the PNG bytes — and
+    brute-forces all pairs, which equals the banded result exactly
+    because blocking is lossless at this threshold (same adjudication
+    as ``dedup_simhash``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = image_dhash(dhash_image_table(docs))
+    return dhash_pairs(sig, "doc_id", max_hamming=3)
+
+
+def _dhash_word_sql(k: int) -> str:
+    """SQL for 16-bit dHash word ``k`` over the 72-entry luma list
+    ``l`` (1-indexed, 9-wide row-major grid): global bit 16k+j lives
+    at grid (r, c) = ((16k+j) // 8, (16k+j) % 8) and compares
+    grid[r][c+1] > grid[r][c]."""
+    return (
+        "CAST(list_sum(list_transform(range(0, 16), j -> "
+        f"CASE WHEN l[(({16 * k} + j) // 8) * 9 + (({16 * k} + j) % 8) + 2] > "
+        f"l[(({16 * k} + j) // 8) * 9 + (({16 * k} + j) % 8) + 1] "
+        "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+_ORACLE_MEDIA_IMAGE_DEDUP = f"""
+WITH img AS (
+  SELECT doc_id, (doc_id // 3) % 3 AS role, doc_id // 9 AS cl
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id, role,
+         flatten(list_transform(range(0, 14), b ->
+           list_transform(range(0, 16), i ->
+             ('0x' || substr(md5('dh:' || CAST(cl AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2*i + 1, 2))::BIGINT))) AS bytes
+  FROM img
+), lum AS (
+  -- roles 0 (base) and 1 (2x pixel-replicated resize) share the SAME
+  -- 9x8 dHash grid: the nearest-neighbor sample of the upscale maps
+  -- exactly back onto the base pixels; role 2 shifts each channel +32
+  -- clamped at 255 before the integer per-mille luma
+  SELECT doc_id,
+         list_transform(range(0, 72), p ->
+           CASE WHEN role = 2
+                THEN 299 * least(bytes[3*p + 1] + 32, 255)
+                     + 587 * least(bytes[3*p + 2] + 32, 255)
+                     + 114 * least(bytes[3*p + 3] + 32, 255)
+                ELSE 299 * bytes[3*p + 1] + 587 * bytes[3*p + 2]
+                     + 114 * bytes[3*p + 3]
+           END) AS l
+  FROM px
+), sig AS (
+  SELECT doc_id,
+         {_dhash_word_sql(0)} AS w0,
+         {_dhash_word_sql(1)} AS w1,
+         {_dhash_word_sql(2)} AS w2,
+         {_dhash_word_sql(3)} AS w3
+  FROM lum
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+            + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+      + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -712,6 +790,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_jpeg_features": q_media_jpeg_features,
     "media_exif": q_media_exif,
     "media_exif_orientation": q_media_exif_orientation,
+    "media_image_dedup": q_media_image_dedup,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -727,4 +806,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_jpeg_features": _ORACLE_MEDIA_JPEG_FEATURES,
     "media_exif": _ORACLE_MEDIA_EXIF,
     "media_exif_orientation": _ORACLE_MEDIA_EXIF_ORIENTATION,
+    "media_image_dedup": _ORACLE_MEDIA_IMAGE_DEDUP,
 }

@@ -587,3 +587,83 @@ SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM shing
         ).fetchall()
     )
     assert got == want, (len(got), len(want), list(got ^ want)[:4])
+
+
+def test_image_dhash_planted_near_dups(spark):
+    """The dHash fixture's planted variants behave as designed: the
+    2×-resized image decodes at 18×16 yet hashes IDENTICALLY to its
+    9×8 base (the nearest-neighbor grid maps the upsample back onto
+    the base pixels), every (base, resized) pair surfaces at hamming
+    0, the brightness variant's hamming equals an independent numpy
+    recomputation from the md5 stream, and word-blocking is LOSSLESS
+    vs brute force at hamming ≤ 3 (pigeonhole over 4 words)."""
+    import hashlib
+
+    import numpy as np
+
+    from coltt_spark.operators.media_codecs import decode_image
+    from coltt_spark.operators.multimodal import (
+        dhash_image_table,
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = spark.range(0, 45).select(
+        F.col("id").alias("doc_id"), F.lit("unused").alias("text")
+    )
+    imgs = dhash_image_table(docs)
+    shapes = {
+        int(r["doc_id"]): decode_image(bytes(r["payload"])).shape
+        for r in imgs.collect()
+    }
+    for d, shape in shapes.items():
+        assert shape == ((16, 18, 3) if (d // 3) % 3 == 1 else (8, 9, 3)), (d, shape)
+    sig = image_dhash(imgs)
+    rows = {
+        int(r["doc_id"]): (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in sig.collect()
+    }
+
+    def np_words(img):
+        lum = (
+            299 * img[:, :, 0].astype(np.int64)
+            + 587 * img[:, :, 1].astype(np.int64)
+            + 114 * img[:, :, 2].astype(np.int64)
+        )
+        bits = (lum[:, 1:] > lum[:, :-1]).ravel().astype(np.int64)
+        return tuple(
+            int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+            for k in range(4)
+        )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_pairs(sig, "doc_id", max_hamming=3).collect()
+    }
+    for cl in range(5):
+        base, resized, bright = rows[9 * cl], rows[9 * cl + 3], rows[9 * cl + 6]
+        assert base == resized
+        assert pairs.get((9 * cl, 9 * cl + 3)) == 0
+        raw = b"".join(
+            hashlib.md5(f"dh:{cl}:{b}".encode()).digest() for b in range(14)
+        )[:216]
+        b0 = np.frombuffer(raw, dtype=np.uint8).reshape(8, 9, 3)
+        assert np_words(b0) == base
+        b2 = np.minimum(b0.astype(np.int64) + 32, 255).astype(np.uint8)
+        assert np_words(b2) == bright
+        exp_ham = sum(
+            bin(a ^ b).count("1") for a, b in zip(base, bright)
+        )
+        if exp_ham <= 3:
+            assert pairs.get((9 * cl, 9 * cl + 6)) == exp_ham
+        else:
+            assert (9 * cl, 9 * cl + 6) not in pairs
+    # blocking lossless vs brute force over the signature table
+    brute = set()
+    ids = sorted(rows)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            h = sum(bin(a ^ b).count("1") for a, b in zip(rows[da], rows[db]))
+            if h <= 3:
+                brute.add((da, db, h))
+    assert {(a, b, h) for (a, b), h in pairs.items()} == brute

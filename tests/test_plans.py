@@ -1060,3 +1060,29 @@ def test_domain_quota_windows_are_salted_then_bounded(spark):
     for s in specs:
         assert "domain" in s  # no global window anywhere
     assert has_broadcast_hash_join(df)
+
+
+def test_image_dedup_plan_banded_no_allpairs(spark):
+    """The perceptual image dedup must stay the LSH shape at 100 TB:
+    candidates come from the 4-word Hamming-band equi-join — never a
+    cross join or nested-loop — and the pixel work is exactly TWO
+    narrow Arrow stages (fixture fabricate + decode/hash), with no
+    shuffle between payload and signature."""
+    from coltt_spark.operators.multimodal import dhash_image_table, image_dhash
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.registry import QUERIES
+
+    # pixel side: fabricate + decode/hash are the ONLY Python stages,
+    # chained narrowly over the documents scan (no shuffle between
+    # payload and signature)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig_plan = executed_plan(image_dhash(dhash_image_table(docs)))
+    assert sig_plan.count("MapInPandas") == 2, sig_plan[:800]
+    assert "ENSURE_REQUIREMENTS" not in sig_plan
+    # pair side: banded equi-joins only (the signature table enters
+    # through a checkpoint, so it shows as Scan ExistingRDD here)
+    df = QUERIES["media_image_dedup"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "band_idx" in plan and "band_val" in plan
