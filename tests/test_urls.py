@@ -337,6 +337,20 @@ def test_expanded_psl_suffixes_resolve(spark):
         ("gov.mr", "gov.mr"),                      # host IS a public suffix
         ("ministry.gov.mr", "ministry.gov.mr"),    # Mauritania
         ("a.saotome.st", "a.saotome.st"),          # São Tomé
+        # -- r10 tranche 4 (VERDICT r9 #5): registries covered only by
+        # the 2574-rule snapshot
+        ("www.comune.roma.it", "comune.roma.it"),  # .it province name
+        ("a.b.mi.it", "b.mi.it"),                  # .it two-letter code
+        ("www.ditta.lombardia.it", "ditta.lombardia.it"),  # .it region
+        ("x.valle-d-aosta.it", "x.valle-d-aosta.it"),  # .it variant family
+        ("firm.example.it", "example.it"),         # plain .it still eTLD+1
+        ("shop.sklep.czest.pl", "sklep.czest.pl"), # Polish town registry
+        ("urzad.powiat.pl", "urzad.powiat.pl"),    # Polish functional
+        ("cabinet.avocat.fr", "cabinet.avocat.fr"),  # .fr professional
+        ("uni.ac.ir", "uni.ac.ir"),                # Iran
+        ("x.y.go.th", "y.go.th"),                  # Thailand
+        ("firm.com.sa", "firm.com.sa"),            # Saudi Arabia
+        ("a.gop.pk", "a.gop.pk"),                  # Pakistan provincial gov
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [
