@@ -376,11 +376,15 @@ def _bench_flat_1m(spark, sf_dir: str) -> dict:
 
 
 def _clustered_corpus(spark, *, dim: int, n_rows: int = 1_000_000,
-                      n_clusters: int = 100, noise: float = 1.0):
+                      n_clusters: int = 100, noise: float = 1.0,
+                      transform: "np.ndarray | None" = None):
     """1M DISTINCT vectors around 100 deterministic cluster centers
     (per-row seeded noise — no tiled duplicates), shared by the IVF
     and IVFADC recall micros so their dials are measured on the SAME
-    corpus. Returns (corpus_df, centers)."""
+    corpus. ``transform`` (a dim×dim matrix) right-multiplies every
+    generated row — the OPQ micro uses it to impose a deterministic
+    anisotropic spectrum on the same cluster structure. Returns
+    (corpus_df, centers)."""
     from pyspark.sql import types as T
 
     centers = np.random.default_rng(12345).normal(0.0, 1.0, (n_clusters, dim))
@@ -396,13 +400,14 @@ def _clustered_corpus(spark, *, dim: int, n_rows: int = 1_000_000,
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            vecs = [
-                (
-                    centers[int(i) % n_clusters]
-                    + np.random.default_rng(1_000_000 + int(i)).normal(0.0, noise, dim)
-                ).astype(np.float32)
+            raw = [
+                centers[int(i) % n_clusters]
+                + np.random.default_rng(1_000_000 + int(i)).normal(0.0, noise, dim)
                 for i in ids
             ]
+            if transform is not None:
+                raw = [v @ transform for v in raw]
+            vecs = [v.astype(np.float32) for v in raw]
             yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
 
     corpus = spark.range(
@@ -507,6 +512,113 @@ def _bench_ivfpq_recall_curve(
                 "recall_at_10": round(recall, 4),
                 "sec_per_query_batch16": round(batch_sec / n_queries, 4),
             }
+        codes.unpersist()
+        out["curve"][key] = curve
+    corpus.unpersist()
+    return out
+
+
+def _bench_opq_recall_dim128(
+    spark,
+    *,
+    dim: int = 128,
+    n_rows: int = 200_000,
+    n_centroids: int = 64,
+    nprobe: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 64,
+    refines=(0, 100, 1000),
+) -> dict:
+    """OPQ vs plain PQ at the weak M=8 dial (VERDICT r9 #6), measured
+    where rotation matters: a 200k×128 clustered corpus with a
+    DETERMINISTIC anisotropic spectrum (per-dim scale 1/√(1+j), then
+    a fixed non-axis-aligned rotation — the decaying-spectrum shape
+    real embedding models emit). On the ISOTROPIC 1M corpus of
+    ``ivfpq_recall_curve_dim128`` OPQ is a measured no-op (subspace
+    variances are already balanced — verified offline before this
+    micro was shaped), so adding an OPQ config there would only
+    record noise; this corpus isolates the published effect. Same
+    methodology as the big funnel: recall@10 vs the exact euclidean
+    top-10 for 16 queries, refine dial per config, bit-stable values."""
+    from coltt_spark.operators.ann import brute_topk
+    from coltt_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_build_opq,
+        ivfpq_topk,
+    )
+
+    scale = 1.0 / np.sqrt(1.0 + np.arange(dim))
+    Q, _ = np.linalg.qr(np.random.default_rng(54321).normal(size=(dim, dim)))
+    A = np.diag(scale) @ Q
+    n_queries = 16
+    corpus, centers = _clustered_corpus(
+        spark, dim=dim, n_rows=n_rows, transform=A
+    )
+    corpus = corpus.cache()
+    corpus.count()
+    n_clusters = len(centers)
+    qs = {
+        j: [
+            float(x)
+            for x in (
+                centers[(j * 37) % n_clusters]
+                + np.random.default_rng(7_000_000 + j).normal(0.0, 1.0, dim)
+            )
+            @ A
+        ]
+        for j in range(n_queries)
+    }
+    exact_rows = brute_topk(
+        corpus, qs, id_col="vec_id", vec_col="embedding", k=10,
+        distance="euclidean", strategy="blas",
+    ).collect()
+    exact: dict[int, set] = {}
+    by_q: dict[int, list] = {}
+    for r in exact_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["dist"]), int(r["vec_id"]))
+        )
+    for q, v in by_q.items():
+        exact[q] = {i for _, i in sorted(v)[:10]}
+    out: dict = {
+        "rows": n_rows,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "nprobe": nprobe,
+        "n_queries": n_queries,
+        "curve": {},
+        "build_sec": {},
+    }
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", n_centroids=n_centroids,
+        n_subspaces=n_subspaces, n_codes=n_codes,
+    )
+    for variant in ("pq", "opq"):
+        key = f"M{n_subspaces}_ks{n_codes}_{variant}"
+        t0 = time.perf_counter()
+        if variant == "pq":
+            codes, Cn, book = ivfpq_build(corpus, **kw)
+            R = None
+        else:
+            codes, Cn, book, R = ivfpq_build_opq(corpus, **kw)
+        codes = codes.cache()
+        codes.count()
+        out["build_sec"][key] = round(time.perf_counter() - t0, 4)
+        curve = {}
+        for refine in refines:
+            rows = ivfpq_topk(
+                corpus, qs, id_col="vec_id", vec_col="embedding", k=10,
+                n_centroids=n_centroids, nprobe=nprobe,
+                n_subspaces=n_subspaces, n_codes=n_codes,
+                refine=refine, index=(codes, Cn, book), opq_rotation=R,
+            ).collect()
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+            recall = sum(
+                len(got.get(q, set()) & exact[q]) / 10.0 for q in qs
+            ) / n_queries
+            curve[str(refine)] = {"recall_at_10": round(recall, 4)}
         codes.unpersist()
         out["curve"][key] = curve
     corpus.unpersist()
@@ -732,6 +844,7 @@ def main() -> None:
         spark, dim=128, n_centroids=256, nprobes=(1, 2, 4, 8, 16, 32, 256)
     )
     ivfpq_recall_curve_dim128 = _bench_ivfpq_recall_curve(spark)
+    opq_recall_dim128 = _bench_opq_recall_dim128(spark)
     skew = _bench_skew(spark, sf_dir)
 
     # build the shared ingest fixtures once, outside the per-query
@@ -865,6 +978,7 @@ def main() -> None:
                 "ivf_recall_curve": ivf_recall_curve,
                 "ivf_recall_curve_dim128": ivf_recall_curve_dim128,
                 "ivfpq_recall_curve_dim128": ivfpq_recall_curve_dim128,
+                "opq_recall_dim128": opq_recall_dim128,
                 "skew": skew,
                 # mover/recheck detail lives HERE (and in
                 # bench_keys.json), NOT in the compact summary — in r9
@@ -943,6 +1057,13 @@ def main() -> None:
                     for cfg, curve in ivfpq_recall_curve_dim128["curve"].items()
                 },
                 "ivfpq_dim128_build_sec": ivfpq_recall_curve_dim128["build_sec"],
+                # OPQ vs plain PQ at M=8 on the ANISOTROPIC 200k
+                # corpus (rotation is a measured no-op on the
+                # isotropic funnel above — see _bench_opq_recall_dim128)
+                "opq_recall_dim128": {
+                    cfg: {r: v["recall_at_10"] for r, v in curve.items()}
+                    for cfg, curve in opq_recall_dim128["curve"].items()
+                },
                 "skew_bm25_hot_token": skew["bm25_hot_token_sec"],
                 "skew_minhash_megacluster": skew["minhash_megacluster_sec"],
                 # counts only — the [prev, now] / [prev, min_of_2,

@@ -200,14 +200,22 @@ def _encode_codes_np(mat: np.ndarray, book: np.ndarray) -> np.ndarray:
     return codes
 
 
-def _encode_udf(book: np.ndarray):
+def _encode_udf(book: np.ndarray, rotation: np.ndarray | None = None):
     """Arrow-batched encoder column: vector → array<int> of M codes.
     One numpy pass per batch (rows·M·ks·dsub flops), replacing an
     M·ks-way struct-min expression tree that is too large for
-    whole-stage codegen at realistic code counts."""
+    whole-stage codegen at realistic code counts. ``rotation`` (an
+    OPQ orthogonal matrix, :func:`opq_train_np`) is applied to each
+    batch before encoding — one extra (rows, dim)·(dim, dim) matmul,
+    amortized inside the same Arrow pass."""
     from pyspark.sql.functions import pandas_udf
 
     b = np.ascontiguousarray(book, dtype=np.float64)
+    r = (
+        np.ascontiguousarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _enc(s):
@@ -218,6 +226,8 @@ def _encode_udf(book: np.ndarray):
         out: list = [None] * len(vals)
         if idx:
             mat = np.array([vals[i] for i in idx], dtype=np.float64)
+            if r is not None:
+                mat = mat @ r
             codes = _encode_codes_np(mat, b)
             for j, i in enumerate(idx):
                 out[i] = codes[j].tolist()
@@ -399,6 +409,162 @@ def pq_topk(
     )
 
 
+def opq_train_np(
+    X: np.ndarray,
+    *,
+    n_subspaces: int,
+    n_codes: int,
+    iters: int = 4,
+    lloyd_iters: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Non-parametric OPQ (Ge et al. 2014, "Optimized Product
+    Quantization"): learn an ORTHOGONAL rotation R that minimizes the
+    PQ reconstruction error ‖XR − Q(XR)‖², by alternating (a) PQ
+    codebook training on the rotated sample and (b) the orthogonal
+    Procrustes solve R = UVᵀ from the SVD of Xᵀ·X̂. Rotating before
+    the subspace split balances variance across subspaces, which is
+    the published fix for a weak M dial at fixed code budget — on
+    ISOTROPIC data it is a measured no-op (the bench corpus's 128-dim
+    funnel), on anisotropic data (decaying spectra — what real
+    embedding models emit) it moves recall substantially (see
+    bench.py ``opq_recall_dim128``).
+
+    Deterministic end-to-end: R initializes to the identity, the
+    per-subspace codebook seeds are the FIRST ``n_codes`` rows of the
+    (caller-ordered) sample, iteration counts are fixed, and every
+    step is plain numpy on the given sample — two trainings on the
+    same sample return bit-identical (R, book). ``X`` is the
+    driver-side training sample (the FAISS convention: OPQ trains on
+    a bounded sample, the rotation then applies corpus-wide); use
+    :func:`opq_sample` to draw it deterministically. Returns
+    ``(R (dim, dim), book (M, ks, dsub))`` — encode with
+    ``_encode_udf(book, rotation=R)``, rotate queries with ``q @ R``.
+    Distances are rotation-invariant, so the exact rerank stays in
+    the RAW space untouched."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    n, dim = X.shape
+    dsub = dim // n_subspaces
+    if n_subspaces * dsub != dim:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if n < n_codes:
+        raise ValueError(f"sample of {n} rows cannot seed {n_codes} codes")
+    R = np.eye(dim)
+    book = None
+    for _ in range(iters):
+        XR = X @ R
+        # per-subspace Lloyd with deterministic seeds (first ks rows)
+        books = []
+        for mi in range(n_subspaces):
+            sub = XR[:, mi * dsub : (mi + 1) * dsub]
+            C = sub[:n_codes].copy()
+            for _it in range(lloyd_iters):
+                d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(n_codes):
+                    sel = sub[a == c]
+                    if len(sel):
+                        C[c] = sel.mean(axis=0)
+            books.append(C)
+        book = np.stack(books)  # (M, ks, dsub)
+        codes = _encode_codes_np(XR, book)
+        Xh = np.concatenate(
+            [book[mi][codes[:, mi]] for mi in range(n_subspaces)], axis=1
+        )
+        # orthogonal Procrustes: rotate X onto its reconstruction
+        U, _s, Vt = np.linalg.svd(X.T @ Xh)
+        R = U @ Vt
+    return R, book
+
+
+def opq_sample(
+    corpus: DataFrame, *, id_col: str, vec_col: str, sample_rows: int = 16384
+) -> np.ndarray:
+    """Deterministic driver-side training sample for OPQ: rows whose
+    md5-hash of the id lands in a 1/step bucket (step sized from one
+    count — the same hash-mod discipline as
+    :func:`~coltt_spark.operators.ann.seed_centroids`), sorted by id
+    so the matrix row order — and therefore the codebook seeds — is
+    independent of partitioning. ≤ ~2·sample_rows rows reach the
+    driver (dim·8 bytes each; 16k×128 ≈ 16 MB)."""
+    from coltt_spark.functions.text import hash60
+
+    n = corpus.count()
+    step = max(1, n // max(sample_rows, 1))
+    rows = (
+        corpus.filter(
+            F.pmod(hash60(F.col(id_col).cast("string")), F.lit(step)) == 0
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return np.array(
+        [list(map(float, r[vec_col])) for r in rows], dtype=np.float64
+    )
+
+
+def ivfpq_build_opq(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+    opq_iters: int = 4,
+    opq_sample_rows: int = 16384,
+) -> tuple[DataFrame, np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`ivfpq_build` with an OPQ rotation on the RESIDUALS: the
+    coarse quantizer is the identical audited ivf_build, residuals are
+    computed in the RAW space, then (R, book) are trained on a
+    deterministic residual sample (:func:`opq_sample` →
+    :func:`opq_train_np`) and every residual is rotated-then-encoded
+    in one Arrow pass. Returns ``(codes, Cn, book, R)``; serve with
+    ``ivfpq_topk(..., index=(codes, Cn, book), opq_rotation=R)``.
+    Same scan count as the plain build plus one bounded sample
+    collect — nothing quadratic, nothing corpus-sized on the
+    driver."""
+    from coltt_spark.operators.ann import ivf_build
+
+    assigned, Cn = ivf_build(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters,
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))],
+        T.StructType(
+            [
+                T.StructField("centroid", T.IntegerType(), False),
+                T.StructField("_cv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    resid = assigned.join(F.broadcast(cent_df), on="centroid").select(
+        F.col(id_col),
+        F.col("centroid"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("_cv"), lambda x, c: x - c
+        ).alias("_rv"),
+    )
+    sample = opq_sample(
+        resid, id_col=id_col, vec_col="_rv", sample_rows=opq_sample_rows
+    )
+    R, book = opq_train_np(
+        sample, n_subspaces=n_subspaces, n_codes=n_codes, iters=opq_iters
+    )
+    codes = resid.select(
+        F.col(id_col),
+        F.col("centroid"),
+        _encode_udf(book, rotation=R)(F.col("_rv")).alias("codes"),
+    )
+    return codes, Cn, book, R
+
+
 def ivfpq_build(
     corpus: DataFrame,
     *,
@@ -478,6 +644,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     refine: int = 50,
     index: tuple[DataFrame, np.ndarray, np.ndarray] | None = None,
+    opq_rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) search: probe the ``nprobe`` max-cosine coarse
     lists, ADC-score ONLY their rows against a per-(query, probed
@@ -530,6 +697,16 @@ def ivfpq_topk(
         sims.sort()
         for _, c in sims[:nprobe]:
             qr = [q[j] - float(Cn[c][j]) for j in range(len(q))]
+            if opq_rotation is not None:
+                # OPQ index: codes encode the ROTATED residual, so the
+                # LUT compares against the rotated query residual; the
+                # exact rerank below stays in the raw space (distances
+                # are rotation-invariant). No SQL oracle replays this
+                # path — tests pin it against brute force instead.
+                qr = [
+                    float(x)
+                    for x in np.asarray(qr, dtype=np.float64) @ opq_rotation
+                ]
             lut = []
             for mi in range(m):
                 for code in range(ks):
