@@ -996,6 +996,7 @@ class Collection:
         limit: int = 10,
         filter_ast: dict[str, Any] | None = None,
         nprobe: int | None = None,
+        refine: int | None = None,
     ) -> DataFrame:
         """Bulk KNN: answer all B queries in ONE job — the
         embed-a-batch / answer-a-batch serving shape whose per-query
@@ -1086,6 +1087,20 @@ class Collection:
                 .drop("_rn")
             )
             return out.withColumn("score", score_expr(m.distance, F.col("dist")))
+        if m.layout == "ivfpq" and not self._dirty and self._ivf_ready(vc):
+            return self._search_batch_ivfpq(
+                qvs, vc, limit=limit, filter_ast=filter_ast,
+                nprobe=nprobe, refine=refine,
+            )
+        if refine is not None and m.layout != "ivfpq":
+            raise ValueError(
+                "refine is an ivfpq-layout dial; this collection serves "
+                f"batches from the {m.layout!r} path (exact distances, "
+                "nothing to refine)"
+            )
+        # (a dirty/not-ready ivfpq collection falls through to the
+        # exact fallback scan below — distances are exact there, so a
+        # caller-set refine is a no-op by construction)
         if (
             m.layout == "blocks"
             and not self._dirty
@@ -1897,20 +1912,21 @@ class Collection:
         n_sub, ks, dsub = book.shape
         probes = ivf_probe_centroids(Cn, qv, nprobe)
         files = ivf_files(os.path.join(d, "blocks"), probes)
-        # per-probed-centroid residual LUT, sequential-fold double —
+        # per-probed-centroid residual LUTs, sequential-fold double —
         # the same arithmetic ivfpq_topk uses and the oracle replays
-        luts: dict[int, list[float]] = {}
-        for c in probes:
-            qr = [float(qv[j]) - float(Cn[c][j]) for j in range(len(qv))]
-            lut = []
-            for mi in range(n_sub):
-                for code in range(ks):
-                    s = 0.0
-                    for j in range(dsub):
-                        dd = qr[mi * dsub + j] - float(book[mi, code, j])
-                        s = s + dd * dd
-                    lut.append(s)
-            luts[int(c)] = lut
+        # (ivfpq_residual_luts vectorizes across codes but keeps the
+        # ordinal fold order, so values are bit-identical to the old
+        # per-element loop)
+        from coltt_spark.operators.pq import ivfpq_residual_luts
+
+        qrs = np.array(
+            [[float(qv[j]) - float(Cn[c][j]) for j in range(len(qv))] for c in probes],
+            dtype=np.float64,
+        )
+        lut_mat = ivfpq_residual_luts(qrs, book)
+        luts: dict[int, list[float]] = {
+            int(c): [float(x) for x in lut_mat[i]] for i, c in enumerate(probes)
+        }
         payload_schema, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
         k_local = (offset + limit) if not refine else max(refine, offset + limit)
         local = block_index_scan(
@@ -2006,6 +2022,168 @@ class Collection:
         )
         paged = _paginate_topk(rescored, limit, offset, pk)
         return paged.withColumn("score", score_expr(m.distance, F.col("dist")))
+
+    def _search_batch_ivfpq(
+        self,
+        qvs: dict[int, list[float]],
+        vc: str,
+        *,
+        limit: int,
+        filter_ast: dict[str, Any] | None = None,
+        nprobe: int | None = None,
+        refine: int | None = None,
+    ) -> DataFrame:
+        """Batched IVFADC serving: all B queries in ONE job over the
+        union of their probed lists' packed CODE files. Per-(query,
+        list) residual LUTs become one numpy batch build
+        (:func:`~coltt_spark.operators.pq.ivfpq_residual_luts` — the
+        oracle-matched sequential-over-ordinals fold, VERDICT r9 #3a)
+        keyed ``(query_id, centroid)``; each file is ADC-scored only
+        for the queries whose probe set includes its list
+        (``file_query_ids``), exactly the ivf batch contract. The
+        B·refine ADC candidates broadcast-join the vector-pruned
+        snapshot for metadata + the primary key, are cut per query by
+        (adc, pk) — the SAME deterministic order as the sequential
+        path's refine cut — and exact-rerank against ONLY the probed
+        lists' exact-vector files (``vecs/centroid=<c>/``), so batch
+        results EQUAL a per-query loop of :meth:`search` row for row
+        while the scan cost amortizes toward one pass over the probed
+        code bytes."""
+        from pyspark.sql import Window
+
+        from coltt_spark.operators.blocks import (
+            block_index_topk_batch,
+            ivf_files,
+            ivf_probe_centroids,
+        )
+        from coltt_spark.operators.pq import ivfpq_residual_luts
+
+        m = self.manifest
+        nprobe = m.ivf_nprobe if nprobe is None else nprobe
+        refine = m.ivfpq_refine if refine is None else refine
+        pk = m.index_design.primary_key
+        d = self._ivf_dir(vc)
+        Cn = np.load(os.path.join(d, "centroids.npy"))
+        book = np.load(os.path.join(d, "book.npy"))
+        probes_by_q = {
+            int(qid): ivf_probe_centroids(Cn, v, nprobe) for qid, v in qvs.items()
+        }
+        pairs = [
+            (qid, int(c))
+            for qid, cs in sorted(probes_by_q.items())
+            for c in cs
+        ]
+        qrs = np.array(
+            [
+                [float(qvs[qid][j]) - float(Cn[c][j]) for j in range(m.dim)]
+                for qid, c in pairs
+            ],
+            dtype=np.float64,
+        )
+        lut_mat = ivfpq_residual_luts(qrs, book)
+        adc_luts = {pair: lut_mat[i] for i, pair in enumerate(pairs)}
+        blocks_dir = os.path.join(d, "blocks")
+        files_by_c = {
+            c: ivf_files(blocks_dir, [c])
+            for c in {c for cs in probes_by_q.values() for c in cs}
+        }
+        file_query_ids: dict[str, list[int]] = {}
+        for qid, cs in probes_by_q.items():
+            for c in cs:
+                for f in files_by_c[c]:
+                    file_query_ids.setdefault(f, []).append(int(qid))
+        _, payload_filter, tomb = self._block_scan_plumbing(filter_ast)
+        k_local = max(refine, limit) if refine else limit
+        winners = block_index_topk_batch(
+            self.spark,
+            None,
+            qvs,
+            dim=m.pq_subspaces,
+            k=k_local,
+            distance="adc",
+            dtype="uint8",
+            tombstones=tomb,
+            payload_filter=payload_filter,
+            files=sorted(file_query_ids),
+            file_query_ids=file_query_ids,
+            adc_luts=adc_luts,
+        ).withColumnRenamed("id", _COMMIT)
+        meta = self._view.drop(*self._vector_cols())
+        joined = F.broadcast(winners).join(meta, on=_COMMIT)
+        wb = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col(pk).asc()
+        )
+        if not refine:
+            if m.distance == "cosine":
+                # residual-euclidean estimate → cosine domain, exactly
+                # like the sequential ADC-only path (monotone)
+                joined = joined.withColumn(
+                    "dist", F.col("dist") * F.col("dist") / F.lit(2.0)
+                )
+            out = (
+                joined.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn", _COMMIT)
+            )
+            return out.withColumn("score", score_expr(m.distance, F.col("dist")))
+        cand = (
+            joined.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max(refine, limit))
+            .drop("_rn", "dist")
+        )
+        vecs_root = os.path.join(d, "vecs")
+        if os.path.isdir(vecs_root):
+            vschema = T.StructType(
+                [
+                    T.StructField(_COMMIT, T.LongType(), False),
+                    T.StructField(vc, T.ArrayType(T.DoubleType()), False),
+                ]
+            )
+            vdirs = [
+                p
+                for p in (
+                    os.path.join(vecs_root, f"centroid={c}")
+                    for c in sorted({c for cs in probes_by_q.values() for c in cs})
+                )
+                if os.path.isdir(p)
+            ]
+            vecs = (
+                self.spark.read.schema(vschema).parquet(*vdirs)
+                if vdirs
+                else self.spark.createDataFrame([], vschema)
+            ).select(_COMMIT, F.col(vc).alias("_v"))
+        else:
+            vecs = self._dequantized().select(_COMMIT, F.col(vc).alias("_v"))
+        qdf = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in sorted(qvs.items())],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType(), False),
+                    T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
+        )
+        rescored = (
+            vecs.join(F.broadcast(cand), on=_COMMIT)
+            .join(F.broadcast(qdf), on="query_id")
+            .withColumn(
+                "dist",
+                vector_distance(
+                    # normalize-at-write: |1 − dot| on unit rows, like
+                    # every other read path (qvs already normalized)
+                    "cosine_unit" if m.distance == "cosine" else m.distance,
+                    F.col("_v"),
+                    F.col("_qv"),
+                ),
+            )
+            .drop("_v", "_qv", _COMMIT)
+        )
+        out = (
+            rescored.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+        return out.withColumn("score", score_expr(m.distance, F.col("dist")))
 
     def load(self) -> None:
         """Pin the collection in memory (LoadCollection ⇔ cache)."""

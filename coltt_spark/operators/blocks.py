@@ -866,6 +866,7 @@ def block_index_topk_batch(
     payload_filter=None,
     files: list[str] | None = None,
     file_query_ids: dict[str, Sequence[int]] | None = None,
+    adc_luts: dict[tuple[int, int], Sequence[float]] | None = None,
 ) -> DataFrame:
     """Batched KNN over a written block index: all B queries answered
     in ONE job, one BLAS ``X @ Q.T`` matmul per file — per-query cost
@@ -889,10 +890,30 @@ def block_index_topk_batch(
     (path → query-id subset) is the batched-IVF probe contract: each
     file is scored ONLY for the queries whose probe set includes its
     inverted list, so every query reranks exactly its own ``nprobe``
-    lists even though the whole batch runs as one job."""
+    lists even though the whole batch runs as one job.
+
+    ``adc_luts`` (with ``distance="adc"``) is the batched IVFADC
+    mode: files hold PQ codes (dim = M, dtype uint8) under
+    ``centroid=<c>/`` partitions and the dict maps each
+    ``(query_id, centroid)`` pair to that query's flattened M·ks
+    residual LUT for THAT list (the query residual differs per coarse
+    centroid). Each file's LUT rows are selected by its partition path
+    plus the file's query subset, and the per-row score accumulates as
+    the same sequential fold over subspaces as the single-query scan
+    (:func:`_block_distances`) — vectorized across the batch. ``queries``
+    supplies only the query-id set in this mode (values unused)."""
     np_dtype = _DTYPES[dtype]
+    if (distance == "adc") != (adc_luts is not None):
+        raise ValueError('adc_luts is required with, and only with, distance="adc"')
     qids = sorted(queries)
-    Q = np.asarray([[float(x) for x in queries[i]] for i in qids], dtype=np_dtype)
+    if distance == "adc":
+        Q = np.zeros((len(qids), 1), dtype=np.float64)  # unused in ADC mode
+        luts = {
+            (int(q), int(c)): np.asarray(l, dtype=np.float64).ravel()
+            for (q, c), l in adc_luts.items()
+        }
+    else:
+        Q = np.asarray([[float(x) for x in queries[i]] for i in qids], dtype=np_dtype)
     qid_arr = np.asarray(qids, dtype=np.int64)
     qpos = {int(q): j for j, q in enumerate(qids)}
     fq = None
@@ -915,6 +936,8 @@ def block_index_topk_batch(
     fdf = _file_group_df(spark, files, max_tasks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
         dead = _load_tombstones(tombstones) if tombstones else None
         for pdf in batches:
             for paths in pdf["paths"]:
@@ -941,7 +964,29 @@ def block_index_topk_batch(
                     if dead is not None and len(dead):
                         alive = ~np.isin(ids, dead)
                         live = alive if live is None else (live & alive)
-                    if distance == "manhattan":
+                    if distance == "adc":
+                        # LAST occurrence, like the single-query scan:
+                        # a warehouse root containing 'centroid=N' must
+                        # not shadow the file's partition directory
+                        cms = _re.findall(r"centroid=(\d+)", p)
+                        if not cms:
+                            raise ValueError(
+                                f"adc scan file {p} is not under a "
+                                "centroid=<c>/ partition"
+                            )
+                        c = int(cms[-1])
+                        L = np.stack([luts[(int(q), c)] for q in qid_f])
+                        m_sub = X.shape[1]
+                        ks_n = L.shape[1] // m_sub
+                        codes = X.astype(np.int64)
+                        # sequential fold over subspaces, vectorized
+                        # across the batch — element order identical to
+                        # _block_distances' single-query ADC fold
+                        acc = L[:, codes[:, 0]]
+                        for mi in range(1, m_sub):
+                            acc = acc + L[:, codes[:, mi] + mi * ks_n]
+                        D = np.sqrt(acc).T  # (n, B_f)
+                    elif distance == "manhattan":
                         D = np.stack(
                             [np.abs(X - Qf[j][None, :]).sum(axis=1) for j in range(len(qid_f))],
                             axis=1,

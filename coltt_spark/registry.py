@@ -1068,6 +1068,7 @@ def _collection_ivfpq_oracle(
     k: int = 10,
     label_sql: str = "label",
     cand_where: str = "",
+    batch_ids: tuple[int, ...] | None = None,
 ) -> str:
     """SQL replay of the WHOLE ivfpq-collection search: the
     collection-flavored coarse k-means of
@@ -1102,7 +1103,7 @@ def _collection_ivfpq_oracle(
         f"CAST(CASE WHEN {nrm} > 0 THEN x / {nrm} ELSE x END AS REAL)::DOUBLE)"
     )
     u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
-    return f"""
+    head = f"""
 WITH h AS (
   SELECT CAST(vec_id AS VARCHAR) AS id, {label_sql} AS label, {stored} AS v,
          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
@@ -1185,7 +1186,75 @@ pa1 AS (
          row_number() OVER (PARTITION BY rs.id, rs.m
              ORDER BY {sq.format(a="rs.sv", b="b.cv")} ASC, b.cid ASC) AS rn
   FROM rs JOIN pb1 b ON b.m = rs.m
+)"""
+    if batch_ids is not None:
+        # batched tail: the corpus-side CTEs above are query-independent;
+        # everything from the probe ranking down gains a query_id key —
+        # the SQL replay of Collection.search_batch's ivfpq path, whose
+        # engine-side cut is the SAME (adc, pk) row_number per query as
+        # the sequential search (pinned batch ≡ loop in test_catalog)
+        ids_sql = ", ".join(str(int(i)) for i in batch_ids)
+        return f"""{head},
+q0 AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({ids_sql})
 ),
+qn AS (SELECT query_id, {u.format(v="qv")} AS q1 FROM q0),
+prb AS (
+  SELECT query_id, cid AS ccid FROM (
+    SELECT qn.query_id, c.cid,
+           row_number() OVER (PARTITION BY qn.query_id
+               ORDER BY list_dot_product({u.format(v="q1")}, c.cv) DESC, c.cid ASC) AS pr
+    FROM qn CROSS JOIN c1 c
+  ) WHERE pr <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.ccid,
+         list_transform(list_zip(qn.q1, c.cv), p2 -> p2[1] - p2[2]) AS qr
+  FROM prb p
+  JOIN c1 c ON c.cid = p.ccid
+  JOIN qn ON qn.query_id = p.query_id
+),
+qsub AS (
+  SELECT q.query_id, q.ccid, ms.m,
+         q.qr[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS qsv
+  FROM qres q CROSS JOIN ms, len_d
+),
+lut AS (
+  SELECT q.query_id, q.ccid, q.m, b.cid, {sq.format(a="q.qsv", b="b.cv")} AS d
+  FROM qsub q JOIN pb1 b ON b.m = q.m
+),
+adc AS (
+  SELECT l.query_id, a.id, sqrt(list_sum(list(l.d ORDER BY l.m))) AS dist
+  FROM (SELECT id, ccid, m, cid FROM pa1 WHERE rn = 1) a
+  JOIN lut l ON l.ccid = a.ccid AND l.m = a.m AND l.cid = a.cid
+  GROUP BY l.query_id, a.id
+),
+r1 AS (
+  SELECT adc.query_id, adc.id, adc.dist,
+         row_number() OVER (PARTITION BY adc.query_id
+             ORDER BY adc.dist ASC, adc.id ASC) AS rn
+  FROM adc JOIN (SELECT id, label FROM a1 WHERE rn = 1) a ON a.id = adc.id
+  {cand_where}
+),
+refined AS (
+  SELECT r.query_id, r.id, a.label,
+         abs(1.0 - list_dot_product(a.v, qn.q1)) AS dist
+  FROM r1 r
+  JOIN (SELECT id, label, v FROM a1 WHERE rn = 1) a ON a.id = r.id
+  JOIN qn ON qn.query_id = r.query_id
+  WHERE r.rn <= {refine}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY dist ASC, id ASC) AS rn2
+  FROM refined
+)
+SELECT query_id, id, CAST(label AS BIGINT) AS label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM ranked WHERE rn2 <= {k}
+"""
+    return f"""{head},
 q0 AS ({_QV_SQL}),
 qn AS (SELECT {u.format(v="qv")} AS q1 FROM q0),
 prb AS (
@@ -1267,6 +1336,29 @@ def q_collection_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of the B·k winners back to the vector-pruned
     snapshot."""
     coll = _blocks_collection(spark, sf_dir)
+    qs = _queries_from_embeddings_map(spark, sf_dir, (0, 1, 2))
+    res = coll.search_batch(qs, limit=5)
+    return res.select(
+        "query_id",
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_collection_search_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVFADC through the product API: all queries answered in
+    ONE job over the union of their probed lists' packed CODE files —
+    per-(query, list) residual LUTs built in one oracle-matched numpy
+    batch, each file ADC-scored only for the queries probing its list
+    (the ivf batch contract), the B·refine candidates cut per query by
+    (adc, pk) exactly like the sequential path, and the exact rerank
+    path-pruned to the probed lists' vector files. Engine-side batch ≡
+    per-query loop is pinned in tests; here the oracle replays the
+    WHOLE pipeline per query_id in SQL (the multi-query tail of the
+    collection ivfpq oracle)."""
+    coll = _ivfpq_collection(spark, sf_dir)
     qs = _queries_from_embeddings_map(spark, sf_dir, (0, 1, 2))
     res = coll.search_batch(qs, limit=5)
     return res.select(
@@ -1644,6 +1736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_batch_filtered": q_collection_search_batch_filtered,
     "collection_search_ivf": q_collection_search_ivf,
     "collection_search_ivfpq": q_collection_search_ivfpq,
+    "collection_search_ivfpq_batch": q_collection_search_ivfpq_batch,
     "collection_search_ivfpq_delta": q_collection_search_ivfpq_delta,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
     "knn_f16": q_knn_f16,
@@ -1684,6 +1777,9 @@ ORACLES: dict[str, str] = {
     ),
     "collection_hybrid_ivf": _collection_ivf_oracle(cand_where="WHERE a.label >= 5"),
     "collection_search_ivfpq": _collection_ivfpq_oracle(),
+    "collection_search_ivfpq_batch": _collection_ivfpq_oracle(
+        k=5, batch_ids=(0, 1, 2)
+    ),
     "collection_search_ivfpq_delta": _collection_ivfpq_oracle(
         label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
         cand_where="WHERE a.label <> 5",
@@ -1950,6 +2046,10 @@ _KEY_ORDER = [
     "media_image_dedup",  # new r10: perceptual image near-dup — dHash
     #    over real-decoded PNG luma, Hamming-banded blocking, planted
     #    resized/brightness-shifted cluster fixture; all-pairs oracle
+    "collection_search_ivfpq_batch",  # new r10: batched IVFADC serving
+    #    — one job over the probed lists' union, numpy LUT batch with
+    #    the oracle-matched fold order, (adc, pk) cut ≡ sequential;
+    #    multi-query full-pipeline SQL oracle
 ]
 
 

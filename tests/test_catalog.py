@@ -1516,3 +1516,51 @@ def test_ivfpq_r9_review_fixes(spark, tmp_path):
     # (4) again, explicitly: the search above already scanned files
     # under .../centroid=3/wh/.../centroid=<c>/ — a first-match lookup
     # would have used luts[3] or raised KeyError
+
+
+def test_ivfpq_search_batch_equals_sequential_loop(catalog):
+    """Batched IVFADC serving must equal a per-query loop of search()
+    ROW FOR ROW — ids, labels, and bit-exact distances — across the
+    refine dial, under a metadata filter, and on a delta-maintained
+    index with tombstones: the LUT batch build, the per-file query
+    routing, the (adc, pk) refine cut, and the probed-lists exact
+    rerank all reproduce the sequential path's deterministic order."""
+    rows = _rows(160, dim=8, seed=33)
+    coll = catalog.create_collection(
+        "pqbatch", dim=8, distance="cosine", fields=FIELDS,
+        layout="ivfpq", versioning=True, ivf_centroids=4, ivf_nprobe=2,
+        pq_subspaces=4, pq_codes=8, ivfpq_refine=20,
+    )
+    coll.upsert(rows)
+    coll.flush()
+    qs = {i: rows[17 * i]["vector"] for i in range(3)}
+
+    def check(**kw):
+        got = {}
+        for r in coll.search_batch(qs, limit=5, **kw).collect():
+            got.setdefault(int(r["query_id"]), []).append(
+                (r["id"], r["dist"], r["score"])
+            )
+        for qid, qv in qs.items():
+            skw = {k: v for k, v in kw.items() if k != "nprobe"} | (
+                {"nprobe": kw["nprobe"]} if "nprobe" in kw else {}
+            )
+            seq = [
+                (r["id"], r["dist"], r["score"])
+                for r in coll.search(qv, limit=5, **skw).collect()
+            ]
+            assert sorted(got.get(qid, [])) == sorted(seq), (qid, kw)
+
+    check()
+    check(refine=0)
+    check(refine=100, nprobe=4)
+    check(filter_ast={"index_name": "type", "op": "gte", "value": 5})
+    # delta state: an upsert batch + a filter-delete, flushed
+    # incrementally (frozen quantizer/book, tombstones) — batch must
+    # keep equaling the loop over the patched state
+    patched = [dict(r, volume=r["volume"] + 1.0) for r in rows[:12]]
+    coll.upsert(patched)
+    coll.delete_where({"index_name": "type", "op": "eq", "value": 3})
+    coll.flush()
+    check()
+    check(refine=0)
