@@ -1855,194 +1855,61 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-9 window: the r8 rotation ledger FIRST — 39 of the 45
-    # -- r6-green entries whose last hard driver signal is r6 (the
-    # -- oldest on the board; token_vocab leads as promised) — then
-    # -- the entries new or touched this round. 5 new + 6 touched =
-    # -- 11 seats, so the r6 block's TAIL (upsert_delete, filter_coercion,
-    # -- filter_search, multi_vector_search,
-    # -- dedup_minhash_lsh, neardup_cosine) overflows past the
-    # -- boundary with round-10 priority, exactly as the r8 ledger
-    # -- anticipated. See CLAUDE.md 'Driver-check rotation ledger'.
-    "token_vocab",                 # ledger: last driver signal r6
-    "doc_lm_score",                 # ledger: last driver signal r6
-    "filter_extended",                 # ledger: last driver signal r6
-    "collection_time_travel",                 # ledger: last driver signal r6
-    "jsonl_roundtrip",                 # ledger: last driver signal r6
-    "ann_recall",                 # ledger: last driver signal r6
-    "stream_join",                 # ledger: last driver signal r6
-    "embed_project",                 # ledger: last driver signal r6
-    "sample_temperature",                 # ledger: last driver signal r6
-    "bm25_search",                 # ledger: last driver signal r6
-    "distinct_sketch",                 # ledger: last driver signal r6
-    "quantile_sketch",                 # ledger: last driver signal r6
-    "decontaminate_bloom",                 # ledger: last driver signal r6
-    "bm25_indexed",                 # ledger: last driver signal r6
-    "collection_search",                 # ledger: last driver signal r6
-    "media_jpeg_features",                 # ledger: last driver signal r6
-    "media_gif_features",                 # ledger: last driver signal r6
-    "format_roundtrip",                 # ledger: last driver signal r6
-    "media_tiff_features",                 # ledger: last driver signal r6
-    "archive_roundtrip",                 # ledger: last driver signal r6
-    "warc_html_extract",                 # ledger: last driver signal r6
-    "web_url_dedup",                 # ledger: last driver signal r6
-    "line_dedup",                 # ledger: last driver signal r6
-    "bucketed_join",                 # ledger: last driver signal r6
-    "web_robots_filter",                 # ledger: last driver signal r6
-    "doc_ppl_bigram",                 # ledger: last driver signal r6
-    "dedup_span_removal",                 # ledger: last driver signal r6
-    "zorder_layout",                 # ledger: last driver signal r6
-    "media_png_features",                 # ledger: last driver signal r6
-    "collection_search_ivf",                 # ledger: last driver signal r6
-    "collection_search_ivf_delta",                 # ledger: last driver signal r6
-    "stream_quantile",                 # ledger: last driver signal r6
-    "ann_lsh",                 # ledger: last driver signal r6
-    "dedup_simhash",                 # ledger: last driver signal r6
-    "collection_hybrid_text",                 # ledger: last driver signal r6
-    "bm25_index_merged",                 # ledger: last driver signal r6
-    "media_audio_features",                 # ledger: last driver signal r6
-    "media_video_stats",                 # ledger: last driver signal r6
-    "collection_search_blocks",                 # ledger: last driver signal r6
-    # -- new in r9 ----------------------------------------------------
-    "collection_search_ivfpq",  # new r9: IVFADC as a first-class
-    #    Collection layout — M uint8 codes per row in the per-centroid
-    #    packed files, ADC probe + broadcast exact rerank, frozen
-    #    quantizer/codebook delta flush; full-pipeline SQL oracle
-    "web_domain_quota",         # new r9: per-registrable-domain
-    #    document quota (C4/RefinedWeb cap) — skew-safe two-phase
-    #    top-K over a Zipf-ish fixture spanning the r9 PSL tranche
-    "collection_search_ivfpq_delta",  # new r9: incrementally
-    #    maintained IVFADC — frozen quantizer AND codebooks, delta
-    #    re-encode, tombstones masked before the refine cut
-    "token_fertility_by_lang",  # new r9: per-language bytes-per-token
-    #    under the trained byte-BPE — the tokenizer-equity accounting
-    #    (full-chain oracle: BPE retrain + script lang-id + grouped sums)
-    "bpe_encode_ids_pretok",    # new r9: GPT-2-style regex
-    #    pre-tokenization for the byte-level BPE (contraction/letter/
-    #    digit/punct runs; the \\s+(?!\\S) rule replayed by a lookahead-
-    #    free post-fix fold) — oracle replays split, training, ids
-    # -- implementation touched this round ----------------------------
-    "pack_sequences_ids",   # r9: attention-boundary offsets emitted
-    #    per packed sequence (array<int> doc starts; oracle re-derives)
-    "bpe_train_bytes",      # r9: pre_tokenizer threading through the
-    #    byte-path word table + training (behavior-preserving for 'ws')
-    "bpe_encode_ids",       # r9: same pre_tokenizer threading through
-    #    encode/alphabet/ids
-    "text_lang_id_unicode",  # r9: marker scorer grown to ELEVEN
-    #    languages (pt/it/nl/pl/tr/id/vi tier) + Latin-extended fixture
-    "text_lang_id",          # r9: same marker-table growth on the
-    #    ASCII path (values can shift where new languages now win)
-    "web_url_psl",  # r9: PSL snapshot 1388 → 2058 rules (the ccTLD
-    #    long-tail tranche + 6 new wildcard registries)
-    # ---- driver window boundary (50) — entries below are re-verified
-    # ---- locally every run, and were driver-green in an earlier
-    # ---- round. FIRST the r6 overflow tail (they kept round-10
-    # ---- priority when the 8 new/touched seats displaced them), then
-    # ---- the 44 remaining r7-green entries in their r7 order (next-
-    # ---- oldest signal — they fill the rest of the r10 queue;
-    # ---- text_lang_id was promoted into the window as touched), then
-    # ---- the 45 r8-green entries in their r8 order (freshest signal;
-    # ---- pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
-    # ---- text_lang_id_unicode / web_url_psl were promoted into the
-    # ---- window as touched).
-    "upsert_delete",  # r6 overflow tail: r10 priority
-    "filter_coercion",  # r6 overflow tail: r10 priority
-    "filter_search",  # r6 overflow tail: r10 priority
-    "multi_vector_search",  # r6 overflow tail: r10 priority
-    "dedup_minhash_lsh",  # r6 overflow tail: r10 priority
-    "neardup_cosine",  # r6 overflow tail: r10 priority
-    # -- r7-green --------------------------------------------------
-    "stream_distinct",
-    "collection_search_blocks_delta",
-    "knn_cosine",
-    "ann_ivf",
-    "collection_search_batch",
-    "freq_sketch",
-    "dedup_canonical",
-    "knn_filtered",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "collection_search_batch_filtered",
-    "hybrid_rrf",
-    "bm25_topk_batch",
-    "text_quality",
-    "doc_fingerprint",
-    "pricing_summary",
-    "region_revenue",
-    "window_top_orders",
-    "price_percentiles",
-    "knn_f16",
-    "ann_topk_batch",
-    "knn_pagination",
-    "knn_block",
-    "dedup_containment",
-    "rollup_revenue",
-    "events_sessionize",
-    "media_features",
-    "quality_classifier",
-    "web_sitemap",
-    "knn_euclidean",
-    "knn_manhattan",
-    "compare_dist",
-    "knn_f8",
-    "knn_bf16",
-    "knn_two_phase",
-    "ann_topk_blas",
-    "media_metadata",
-    "events_hourly",
-    "token_count",
-    "cube_revenue",
-    "set_intersect",
-    "top_revenue_orders",
-    "knn_wide",
-    # -- r8-green (driver-checked last round; freshest signal) ------
-    "events_json",
-    "text_redact_pii",
-    "collection_hybrid_ivf",
-    "bm25_index_deleted",
-    "collection_search_grouped",
-    "media_knn",
-    "media_frames",
-    "schemaless_pure_search",
-    "schemaless_update_delete",
-    "hybrid_search",
-    "doc_chunk",
-    "decontaminate",
-    "sample_stratified",
-    "sample_fraction",
-    "source_mix",
-    "export_shards",
-    "pack_sequences",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "collection_search_blocks_filtered",
-    "events_asof",
-    "ann_bq",
-    "ann_pq",
-    "embed_cluster_sizes",
-    "sample_cluster_balanced",
-    "dedup_spans",
-    "text_repetition",
-    "stream_ingest",
-    "knn_bq",
-    "knn_sq8",
-    "semantic_dedup",
-    "range_search",
-    "token_count_unicode",
-    "dedup_minhash_bytes",
-    "ann_ivfpq",
-    "decontaminate_bytes",
-    "text_script_profile",
-    "dedup_containment_bytes",
-    "bpe_train",
-    "bpe_encode",
-    "media_exif",
-    "media_exif_orientation",
-    "pack_sequences_firstfit",
-    "embed_outliers",
-    # -- new in r10 (rotated into the window by the r10 ledger pass) --
+    # -- round-10 window: the r9 rotation ledger FIRST — the 6
+    # -- r6-overflow entries (oldest driver signal on the board,
+    # -- displaced from the r9 window exactly as the r8 ledger
+    # -- anticipated), then 39 of the 44 r7-green entries in r7
+    # -- order, then the entries new or touched this round. 2 new +
+    # -- 3 touched = 5 seats, so the r7 block's TAIL (token_count,
+    # -- cube_revenue, set_intersect, top_revenue_orders, knn_wide)
+    # -- overflows past the boundary with round-11 priority. See
+    # -- CLAUDE.md 'Driver-check rotation ledger'.
+    "upsert_delete",                 # ledger: r6 overflow, last driver signal r6
+    "filter_coercion",                 # ledger: r6 overflow, last driver signal r6
+    "filter_search",                 # ledger: r6 overflow, last driver signal r6
+    "multi_vector_search",                 # ledger: r6 overflow, last driver signal r6
+    "dedup_minhash_lsh",                 # ledger: r6 overflow, last driver signal r6
+    "neardup_cosine",                 # ledger: r6 overflow, last driver signal r6
+    "stream_distinct",                 # ledger: last driver signal r7
+    "collection_search_blocks_delta",                 # ledger: last driver signal r7
+    "knn_cosine",                 # ledger: last driver signal r7
+    "ann_ivf",                 # ledger: last driver signal r7
+    "collection_search_batch",                 # ledger: last driver signal r7
+    "freq_sketch",                 # ledger: last driver signal r7
+    "dedup_canonical",                 # ledger: last driver signal r7
+    "knn_filtered",                 # ledger: last driver signal r7
+    "dedup_exact",                 # ledger: last driver signal r7
+    "dedup_groups",                 # ledger: last driver signal r7
+    "dedup_ngram_jaccard",                 # ledger: last driver signal r7
+    "collection_search_batch_filtered",                 # ledger: last driver signal r7
+    "hybrid_rrf",                 # ledger: last driver signal r7
+    "bm25_topk_batch",                 # ledger: last driver signal r7
+    "text_quality",                 # ledger: last driver signal r7
+    "doc_fingerprint",                 # ledger: last driver signal r7
+    "pricing_summary",                 # ledger: last driver signal r7
+    "region_revenue",                 # ledger: last driver signal r7
+    "window_top_orders",                 # ledger: last driver signal r7
+    "price_percentiles",                 # ledger: last driver signal r7
+    "knn_f16",                 # ledger: last driver signal r7
+    "ann_topk_batch",                 # ledger: last driver signal r7
+    "knn_pagination",                 # ledger: last driver signal r7
+    "knn_block",                 # ledger: last driver signal r7
+    "dedup_containment",                 # ledger: last driver signal r7
+    "rollup_revenue",                 # ledger: last driver signal r7
+    "events_sessionize",                 # ledger: last driver signal r7
+    "media_features",                 # ledger: last driver signal r7
+    "quality_classifier",                 # ledger: last driver signal r7
+    "web_sitemap",                 # ledger: last driver signal r7
+    "knn_euclidean",                 # ledger: last driver signal r7
+    "knn_manhattan",                 # ledger: last driver signal r7
+    "compare_dist",                 # ledger: last driver signal r7
+    "knn_f8",                 # ledger: last driver signal r7
+    "knn_bf16",                 # ledger: last driver signal r7
+    "knn_two_phase",                 # ledger: last driver signal r7
+    "ann_topk_blas",                 # ledger: last driver signal r7
+    "media_metadata",                 # ledger: last driver signal r7
+    "events_hourly",                 # ledger: last driver signal r7
+    # -- new in r10 --------------------------------------------------
     "media_image_dedup",  # new r10: perceptual image near-dup — dHash
     #    over real-decoded PNG luma, Hamming-banded blocking, planted
     #    resized/brightness-shifted cluster fixture; all-pairs oracle
@@ -2050,6 +1917,121 @@ _KEY_ORDER = [
     #    — one job over the probed lists' union, numpy LUT batch with
     #    the oracle-matched fold order, (adc, pk) cut ≡ sequential;
     #    multi-query full-pipeline SQL oracle
+    # -- implementation touched this round ----------------------------
+    "collection_search_ivfpq",  # r10: refined rerank now reads ONLY the
+    #    probed lists' exact-vector files (vecs/centroid=<c>/ written at
+    #    flush) instead of a full snapshot scan; LUT build batched
+    "collection_search_ivfpq_delta",  # r10: same rerank change on the
+    #    delta path (vecs tree appended under the frozen-quantizer
+    #    discipline, hardlinked base files)
+    "web_url_psl",  # r10: PSL snapshot 2058 -> 2574 rules (tranche 4:
+    #    .it geographic, Polish towns, .fr professional, MEA/Asia 2LDs)
+    # ------------------------------------------------------------------
+    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
+    # -- pytest run; driver rotation continues next round.
+    # -- r7 overflow tail — ROUND-11 PRIORITY (displaced by this
+    # -- round's 5 new/touched seats):
+    "token_count",                 # ledger: r7 overflow, round-11 priority
+    "cube_revenue",                 # ledger: r7 overflow, round-11 priority
+    "set_intersect",                 # ledger: r7 overflow, round-11 priority
+    "top_revenue_orders",                 # ledger: r7 overflow, round-11 priority
+    "knn_wide",                 # ledger: r7 overflow, round-11 priority
+    # -- the 45 r8-green entries, r8 order:
+    "events_json",                 # ledger: last driver signal r8
+    "text_redact_pii",                 # ledger: last driver signal r8
+    "collection_hybrid_ivf",                 # ledger: last driver signal r8
+    "bm25_index_deleted",                 # ledger: last driver signal r8
+    "collection_search_grouped",                 # ledger: last driver signal r8
+    "media_knn",                 # ledger: last driver signal r8
+    "media_frames",                 # ledger: last driver signal r8
+    "schemaless_pure_search",                 # ledger: last driver signal r8
+    "schemaless_update_delete",                 # ledger: last driver signal r8
+    "hybrid_search",                 # ledger: last driver signal r8
+    "doc_chunk",                 # ledger: last driver signal r8
+    "decontaminate",                 # ledger: last driver signal r8
+    "sample_stratified",                 # ledger: last driver signal r8
+    "sample_fraction",                 # ledger: last driver signal r8
+    "source_mix",                 # ledger: last driver signal r8
+    "export_shards",                 # ledger: last driver signal r8
+    "pack_sequences",                 # ledger: last driver signal r8
+    "stream_hourly",                 # ledger: last driver signal r8
+    "stream_sessionize",                 # ledger: last driver signal r8
+    "stream_dedup",                 # ledger: last driver signal r8
+    "collection_search_blocks_filtered",                 # ledger: last driver signal r8
+    "events_asof",                 # ledger: last driver signal r8
+    "ann_bq",                 # ledger: last driver signal r8
+    "ann_pq",                 # ledger: last driver signal r8
+    "embed_cluster_sizes",                 # ledger: last driver signal r8
+    "sample_cluster_balanced",                 # ledger: last driver signal r8
+    "dedup_spans",                 # ledger: last driver signal r8
+    "text_repetition",                 # ledger: last driver signal r8
+    "stream_ingest",                 # ledger: last driver signal r8
+    "knn_bq",                 # ledger: last driver signal r8
+    "knn_sq8",                 # ledger: last driver signal r8
+    "semantic_dedup",                 # ledger: last driver signal r8
+    "range_search",                 # ledger: last driver signal r8
+    "token_count_unicode",                 # ledger: last driver signal r8
+    "dedup_minhash_bytes",                 # ledger: last driver signal r8
+    "ann_ivfpq",                 # ledger: last driver signal r8
+    "decontaminate_bytes",                 # ledger: last driver signal r8
+    "text_script_profile",                 # ledger: last driver signal r8
+    "dedup_containment_bytes",                 # ledger: last driver signal r8
+    "bpe_train",                 # ledger: last driver signal r8
+    "bpe_encode",                 # ledger: last driver signal r8
+    "media_exif",                 # ledger: last driver signal r8
+    "media_exif_orientation",                 # ledger: last driver signal r8
+    "pack_sequences_firstfit",                 # ledger: last driver signal r8
+    "embed_outliers",                 # ledger: last driver signal r8
+    # -- the 47 r9-green entries, r9-window order (collection_search_ivfpq,
+    # -- collection_search_ivfpq_delta, web_url_psl left this block when
+    # -- promoted as touched):
+    "token_vocab",                 # ledger: last driver signal r9
+    "doc_lm_score",                 # ledger: last driver signal r9
+    "filter_extended",                 # ledger: last driver signal r9
+    "collection_time_travel",                 # ledger: last driver signal r9
+    "jsonl_roundtrip",                 # ledger: last driver signal r9
+    "ann_recall",                 # ledger: last driver signal r9
+    "stream_join",                 # ledger: last driver signal r9
+    "embed_project",                 # ledger: last driver signal r9
+    "sample_temperature",                 # ledger: last driver signal r9
+    "bm25_search",                 # ledger: last driver signal r9
+    "distinct_sketch",                 # ledger: last driver signal r9
+    "quantile_sketch",                 # ledger: last driver signal r9
+    "decontaminate_bloom",                 # ledger: last driver signal r9
+    "bm25_indexed",                 # ledger: last driver signal r9
+    "collection_search",                 # ledger: last driver signal r9
+    "media_jpeg_features",                 # ledger: last driver signal r9
+    "media_gif_features",                 # ledger: last driver signal r9
+    "format_roundtrip",                 # ledger: last driver signal r9
+    "media_tiff_features",                 # ledger: last driver signal r9
+    "archive_roundtrip",                 # ledger: last driver signal r9
+    "warc_html_extract",                 # ledger: last driver signal r9
+    "web_url_dedup",                 # ledger: last driver signal r9
+    "line_dedup",                 # ledger: last driver signal r9
+    "bucketed_join",                 # ledger: last driver signal r9
+    "web_robots_filter",                 # ledger: last driver signal r9
+    "doc_ppl_bigram",                 # ledger: last driver signal r9
+    "dedup_span_removal",                 # ledger: last driver signal r9
+    "zorder_layout",                 # ledger: last driver signal r9
+    "media_png_features",                 # ledger: last driver signal r9
+    "collection_search_ivf",                 # ledger: last driver signal r9
+    "collection_search_ivf_delta",                 # ledger: last driver signal r9
+    "stream_quantile",                 # ledger: last driver signal r9
+    "ann_lsh",                 # ledger: last driver signal r9
+    "dedup_simhash",                 # ledger: last driver signal r9
+    "collection_hybrid_text",                 # ledger: last driver signal r9
+    "bm25_index_merged",                 # ledger: last driver signal r9
+    "media_audio_features",                 # ledger: last driver signal r9
+    "media_video_stats",                 # ledger: last driver signal r9
+    "collection_search_blocks",                 # ledger: last driver signal r9
+    "web_domain_quota",                 # ledger: last driver signal r9
+    "token_fertility_by_lang",                 # ledger: last driver signal r9
+    "bpe_encode_ids_pretok",                 # ledger: last driver signal r9
+    "pack_sequences_ids",                 # ledger: last driver signal r9
+    "bpe_train_bytes",                 # ledger: last driver signal r9
+    "bpe_encode_ids",                 # ledger: last driver signal r9
+    "text_lang_id_unicode",                 # ledger: last driver signal r9
+    "text_lang_id",                 # ledger: last driver signal r9
 ]
 
 

@@ -37,115 +37,110 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-8 rotation ledger (CLAUDE.md): entries promised a
-#: round-9 driver slot — 39 of the 45 r6-green entries whose last
-#: hard driver signal is r6, the oldest on the board (token_vocab
-#: leads). The block's TAIL (upsert_delete, filter_coercion,
-#: filter_search, multi_vector_search,
-#: dedup_minhash_lsh, neardup_cosine) overflowed when the 11
-#: new/touched seats landed and
-#: keeps round-10 priority, exactly as the r8 ledger anticipated.
+#: The round-9 rotation ledger (CLAUDE.md): entries promised a
+#: round-10 driver slot — the 6 r6-overflow entries lead (the oldest
+#: driver signal on the board, displaced from the r9 window exactly as
+#: the r8 ledger anticipated), then 39 of the 44 remaining r7-green
+#: entries in r7 order. The r7 block's TAIL (token_count, cube_revenue,
+#: set_intersect, top_revenue_orders, knn_wide) overflowed when the 5
+#: new/touched seats landed and keeps round-11 priority.
 #: Machine-checked against _KEY_ORDER below so the ledger promise
 #: cannot silently drift (ADVICE r3 #1).
-ROTATION_LEDGER_R9 = [
-    "token_vocab",
-    "doc_lm_score",
-    "filter_extended",
-    "collection_time_travel",
-    "jsonl_roundtrip",
-    "ann_recall",
-    "stream_join",
-    "embed_project",
-    "sample_temperature",
-    "bm25_search",
-    "distinct_sketch",
-    "quantile_sketch",
-    "decontaminate_bloom",
-    "bm25_indexed",
-    "collection_search",
-    "media_jpeg_features",
-    "media_gif_features",
-    "format_roundtrip",
-    "media_tiff_features",
-    "archive_roundtrip",
-    "warc_html_extract",
-    "web_url_dedup",
-    "line_dedup",
-    "bucketed_join",
-    "web_robots_filter",
-    "doc_ppl_bigram",
-    "dedup_span_removal",
-    "zorder_layout",
-    "media_png_features",
-    "collection_search_ivf",
-    "collection_search_ivf_delta",
-    "stream_quantile",
-    "ann_lsh",
-    "dedup_simhash",
-    "collection_hybrid_text",
-    "bm25_index_merged",
-    "media_audio_features",
-    "media_video_stats",
-    "collection_search_blocks",
-]
-
-#: the r6 overflow tail — displaced from the round-9 window by the 11
-#: new/touched seats (5 new + 6 touched); they lead the round-10
-#: rotation queue
-R10_PRIORITY = [
+ROTATION_LEDGER_R10 = [
     "upsert_delete",
     "filter_coercion",
     "filter_search",
     "multi_vector_search",
     "dedup_minhash_lsh",
     "neardup_cosine",
+    "stream_distinct",
+    "collection_search_blocks_delta",
+    "knn_cosine",
+    "ann_ivf",
+    "collection_search_batch",
+    "freq_sketch",
+    "dedup_canonical",
+    "knn_filtered",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "collection_search_batch_filtered",
+    "hybrid_rrf",
+    "bm25_topk_batch",
+    "text_quality",
+    "doc_fingerprint",
+    "pricing_summary",
+    "region_revenue",
+    "window_top_orders",
+    "price_percentiles",
+    "knn_f16",
+    "ann_topk_batch",
+    "knn_pagination",
+    "knn_block",
+    "dedup_containment",
+    "rollup_revenue",
+    "events_sessionize",
+    "media_features",
+    "quality_classifier",
+    "web_sitemap",
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "knn_f8",
+    "knn_bf16",
+    "knn_two_phase",
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+]
+
+#: the r7 overflow tail — displaced from the round-10 window by the 5
+#: new/touched seats (2 new + 3 touched); they lead the round-11
+#: rotation queue
+R11_PRIORITY = [
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
+    "top_revenue_orders",
+    "knn_wide",
 ]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-8 rotation-ledger entries (39 of the 45
-    r6-green, oldest signal on the board) LEAD the round-9 window,
-    every entry new or touched this round is inside it, and the r6
-    overflow tail sits FIRST past the boundary with round-10
-    priority. Past the boundary after it: the 44 remaining r7-green
-    entries in their r7 order (text_lang_id was promoted into the
-    window as touched), then the 45 r8-green entries in their r8
-    order (pack_sequences_ids / bpe_train_bytes / bpe_encode_ids /
-    text_lang_id_unicode / web_url_psl were promoted as touched).
-    Every past-window entry is re-oracled by the local gate every
-    pytest run."""
+    exactly; the round-9 rotation-ledger entries (6 r6-overflow + 39
+    r7-green, oldest signal on the board) LEAD the round-10 window,
+    every entry new or touched this round is inside it, and the r7
+    overflow tail sits FIRST past the boundary with round-11
+    priority. Past the boundary after it: the 45 r8-green entries in
+    their r8 order, then the 47 r9-green entries in their r9-window
+    order (collection_search_ivfpq / collection_search_ivfpq_delta /
+    web_url_psl were promoted into the window as touched). Every
+    past-window entry is re-oracled by the local gate every pytest
+    run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
     window = set(_KEY_ORDER[:_DRIVER_WINDOW])
     # ledger entries lead the window, in ledger order
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R9)] == ROTATION_LEDGER_R9
-    # the displaced r6 tail sits first past the boundary (r10 queue)
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R10)] == ROTATION_LEDGER_R10
+    # the displaced r7 tail sits first past the boundary (r11 queue)
     assert (
-        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R10_PRIORITY)]
-        == R10_PRIORITY
+        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R11_PRIORITY)]
+        == R11_PRIORITY
     )
-    must_check = set(ROTATION_LEDGER_R9) | {
+    must_check = set(ROTATION_LEDGER_R10) | {
         # new this round (driver has never seen them)
+        "media_image_dedup",
+        "collection_search_ivfpq_batch",
+        # implementation touched this round: the ivfpq refined rerank
+        # now reads only the probed lists' exact-vector files (and the
+        # LUT build is the batched numpy fold) on both the base and
+        # delta paths; web_url_psl rides the 2058 -> 2574-rule PSL
+        # tranche
         "collection_search_ivfpq",
         "collection_search_ivfpq_delta",
-        "web_domain_quota",
-        "token_fertility_by_lang",
-        "bpe_encode_ids_pretok",
-        # implementation touched this round: pack_sequences_ids
-        # (attention-boundary offsets column), bpe_train_bytes /
-        # bpe_encode_ids (pre_tokenizer threading through the byte
-        # path), text_lang_id_unicode / text_lang_id (marker table
-        # grown to eleven languages; the unicode entry also moved to
-        # the Latin-extended fixture), web_url_psl (PSL snapshot
-        # 1388 -> 2058 rules)
-        "pack_sequences_ids",
-        "bpe_train_bytes",
-        "bpe_encode_ids",
-        "text_lang_id_unicode",
-        "text_lang_id",
         "web_url_psl",
     }
     assert must_check <= window, sorted(must_check - window)
