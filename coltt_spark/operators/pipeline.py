@@ -137,6 +137,64 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    bits: int = 16,
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic
+    sibling of :func:`decontaminate`: flag training rows whose
+    embedding is cosine-similar (≥ ``threshold``) to ANY benchmark
+    row's embedding. N-gram overlap misses paraphrased / translated /
+    reformatted leakage that an embedding model still maps next to
+    the eval item — the contamination class the Phi / GPT-4 reports
+    screen for semantically. Returns
+    ``(id, n_benchmark_hits, max_cos_sim)`` per contaminated row.
+
+    Scale shape: both sides get an axis-aligned sign-LSH block id
+    (:func:`~coltt_spark.operators.dedup.sign_block` — positive
+    rescalings and sign-preserving near-dups land in the same block,
+    and the blocking is exactly replayable in SQL), so the bipartite
+    comparison is a within-block equi-join, never a cross join;
+    benchmark suites are tiny next to a 100 TB corpus, so the blocked
+    benchmark side is ``broadcast()`` and the corpus streams through
+    with NO shuffle before the per-id aggregation. Cosine is the
+    sequential-fold double dot/norms of
+    :mod:`coltt_spark.functions.vector`, bit-identical to the
+    oracle's ``list_dot_product`` replay."""
+    from coltt_spark.functions.vector import dot, l2_norm
+    from coltt_spark.operators.dedup import sign_block
+
+    tv = F.col(vec_col).cast("array<double>")
+    t = train.select(
+        F.col(id_col),
+        tv.alias("_tv"),
+        sign_block(tv, bits=bits).alias("_blk"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("_bench_id"),
+        tv.alias("_bv"),
+        sign_block(tv, bits=bits).alias("_blk"),
+    )
+    cos = dot(F.col("_tv"), F.col("_bv")) / (
+        l2_norm(F.col("_tv")) * l2_norm(F.col("_bv"))
+    )
+    return (
+        t.join(F.broadcast(b), on="_blk")
+        .withColumn("_cs", cos)
+        .filter(F.col("_cs") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_bench_id").alias("n_benchmark_hits"),
+            F.round(F.max("_cs"), 4).alias("max_cos_sim"),
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str,

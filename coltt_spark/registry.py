@@ -1858,12 +1858,13 @@ _KEY_ORDER = [
     # -- round-10 window: the r9 rotation ledger FIRST — the 6
     # -- r6-overflow entries (oldest driver signal on the board,
     # -- displaced from the r9 window exactly as the r8 ledger
-    # -- anticipated), then 39 of the 44 r7-green entries in r7
-    # -- order, then the entries new or touched this round. 2 new +
-    # -- 3 touched = 5 seats, so the r7 block's TAIL (token_count,
-    # -- cube_revenue, set_intersect, top_revenue_orders, knn_wide)
-    # -- overflows past the boundary with round-11 priority. See
-    # -- CLAUDE.md 'Driver-check rotation ledger'.
+    # -- anticipated), then 37 of the 44 r7-green entries in r7
+    # -- order, then the entries new or touched this round. 4 new +
+    # -- 3 touched = 7 seats, so the r7 block's TAIL (media_metadata,
+    # -- events_hourly, token_count, cube_revenue, set_intersect,
+    # -- top_revenue_orders, knn_wide) overflows past the boundary
+    # -- with round-11 priority. See CLAUDE.md 'Driver-check
+    # -- rotation ledger'.
     "upsert_delete",                 # ledger: r6 overflow, last driver signal r6
     "filter_coercion",                 # ledger: r6 overflow, last driver signal r6
     "filter_search",                 # ledger: r6 overflow, last driver signal r6
@@ -1907,8 +1908,6 @@ _KEY_ORDER = [
     "knn_bf16",                 # ledger: last driver signal r7
     "knn_two_phase",                 # ledger: last driver signal r7
     "ann_topk_blas",                 # ledger: last driver signal r7
-    "media_metadata",                 # ledger: last driver signal r7
-    "events_hourly",                 # ledger: last driver signal r7
     # -- new in r10 --------------------------------------------------
     "media_image_dedup",  # new r10: perceptual image near-dup — dHash
     #    over real-decoded PNG luma, Hamming-banded blocking, planted
@@ -1917,6 +1916,12 @@ _KEY_ORDER = [
     #    — one job over the probed lists' union, numpy LUT batch with
     #    the oracle-matched fold order, (adc, pk) cut ≡ sequential;
     #    multi-query full-pipeline SQL oracle
+    "media_image_dedup_groups",  # new r10: image near-dup GROUP
+    #    resolution — connected components over the dHash pair edges;
+    #    recursive-CTE transitive-closure oracle over the full chain
+    "decontaminate_semantic",  # new r10: embedding-space benchmark
+    #    decontamination — sign-LSH blocked bipartite cosine vs the
+    #    broadcast benchmark side; planted verbatim + scaled leaks
     # -- implementation touched this round ----------------------------
     "collection_search_ivfpq",  # r10: refined rerank now reads ONLY the
     #    probed lists' exact-vector files (vecs/centroid=<c>/ written at
@@ -1930,7 +1935,9 @@ _KEY_ORDER = [
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r7 overflow tail — ROUND-11 PRIORITY (displaced by this
-    # -- round's 5 new/touched seats):
+    # -- round's 7 new/touched seats), in r7 order:
+    "media_metadata",                 # ledger: r7 overflow, round-11 priority
+    "events_hourly",                 # ledger: r7 overflow, round-11 priority
     "token_count",                 # ledger: r7 overflow, round-11 priority
     "cube_revenue",                 # ledger: r7 overflow, round-11 priority
     "set_intersect",                 # ledger: r7 overflow, round-11 priority

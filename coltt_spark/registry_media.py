@@ -734,8 +734,9 @@ def _dhash_word_sql(k: int) -> str:
     )
 
 
-_ORACLE_MEDIA_IMAGE_DEDUP = f"""
-WITH img AS (
+#: dHash signature CTEs (pixel regeneration -> luma grid -> four
+#: 16-bit words) shared by the pairs and groups oracles
+_DHASH_SIG_CTES = f"""img AS (
   SELECT doc_id, (doc_id // 3) % 3 AS role, doc_id // 9 AS cl
   FROM documents WHERE doc_id % 3 = 0
 ), px AS (
@@ -766,7 +767,11 @@ WITH img AS (
          {_dhash_word_sql(2)} AS w2,
          {_dhash_word_sql(3)} AS w3
   FROM lum
-)
+)"""
+
+
+_ORACLE_MEDIA_IMAGE_DEDUP = f"""
+WITH {_DHASH_SIG_CTES}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
             + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
@@ -774,6 +779,50 @@ FROM sig a, sig b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
       + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+"""
+
+
+def q_media_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup GROUP resolution: connected components over the
+    dHash pair edges (min-label propagation; root = canonical
+    survivor, the smallest member id) — the step a LAION-style
+    multimodal pipeline runs after pair generation, composing two
+    green components (dHash banding → the shared distributed
+    components operator text dedup already uses). The planted
+    3-document clusters (base / 2×-resized / brightness-shifted) must
+    resolve to 3-member groups rooted at the base doc_id wherever all
+    three pairwise hammings clear the threshold. The oracle replays
+    the whole chain: pixel regeneration, the hash, the pairs, and a
+    recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    from coltt_spark.operators.components import dedup_groups
+
+    pairs = dhash_pairs(image_dhash(dhash_image_table(docs)), "doc_id", max_hamming=3)
+    return dedup_groups(pairs)
+
+
+_ORACLE_MEDIA_IMAGE_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_DHASH_SIG_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a, sig b
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS id, least(s, min(t)) AS root FROM reach GROUP BY s),
+sizes AS (SELECT root, count(*) AS group_size FROM comp GROUP BY root)
+SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 """
 
 
@@ -791,6 +840,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_exif": q_media_exif,
     "media_exif_orientation": q_media_exif_orientation,
     "media_image_dedup": q_media_image_dedup,
+    "media_image_dedup_groups": q_media_image_dedup_groups,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -807,4 +857,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_exif": _ORACLE_MEDIA_EXIF,
     "media_exif_orientation": _ORACLE_MEDIA_EXIF_ORIENTATION,
     "media_image_dedup": _ORACLE_MEDIA_IMAGE_DEDUP,
+    "media_image_dedup_groups": _ORACLE_MEDIA_IMAGE_DEDUP_GROUPS,
 }

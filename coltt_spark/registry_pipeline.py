@@ -22,6 +22,7 @@ from coltt_spark.operators.pipeline import (
     fraction_sample,
     pack_sequences,
     redact_pii,
+    semantic_decontaminate,
     shard_assign,
     source_mix,
     stratified_sample,
@@ -92,6 +93,63 @@ SELECT t.doc_id,
 FROM t JOIN b USING (sh)
 GROUP BY t.doc_id
 HAVING count(DISTINCT t.sh) >= 1
+"""
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination: every 50th embedding plays the
+    benchmark suite; the training corpus contains BOTH the benchmark
+    rows verbatim (the common raw-leak case) AND planted ×1.2-scaled
+    copies under new ids (cosine-invariant — "the eval item re-embedded
+    inside a training document", the paraphrase-class leakage n-gram
+    checks can't see). Sign-LSH blocks make the bipartite comparison a
+    within-block equi-join with the tiny benchmark side broadcast; the
+    scaled copies keep every component sign, so they land in their
+    original's block by construction. The oracle replays blocking,
+    the cosine folds, the threshold, and the per-id aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    copies = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
+    )
+    train = emb.unionByName(copies)
+    return semantic_decontaminate(
+        train, bench, "vec_id", "embedding", threshold=0.95, bits=16
+    )
+
+
+def _decontaminate_semantic_oracle() -> str:
+    from coltt_spark.operators.dedup import sign_block_sql
+
+    blk = sign_block_sql("v", bits=16)
+    bblk = sign_block_sql("bv", bits=16)
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+bb AS (SELECT bench_id, bv, {bblk} AS blk FROM bench),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.2)
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+tb AS (SELECT vec_id, v, {blk} AS blk FROM train),
+hits AS (
+  SELECT t.vec_id, b.bench_id,
+         list_dot_product(t.v, b.bv) /
+         (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS cs
+  FROM tb t JOIN bb b USING (blk)
+)
+SELECT vec_id,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_hits,
+       round(max(cs), 4) AS max_cos_sim
+FROM hits WHERE cs >= 0.95
+GROUP BY vec_id
 """
 
 
@@ -1318,6 +1376,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "decontaminate": q_decontaminate,
     "decontaminate_bytes": q_decontaminate_bytes,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "decontaminate_bloom": q_decontaminate_bloom,
     "sample_stratified": q_sample_stratified,
     "sample_fraction": q_sample_fraction,
@@ -1343,6 +1402,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "doc_chunk": _ORACLE_DOC_CHUNK,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "decontaminate_bytes": _decontaminate_bytes_oracle(),
+    "decontaminate_semantic": _decontaminate_semantic_oracle(),
     "decontaminate_bloom": _bloom_oracle(),
     "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
     "sample_fraction": _ORACLE_SAMPLE_FRACTION,

@@ -667,3 +667,43 @@ def test_image_dhash_planted_near_dups(spark):
             if h <= 3:
                 brute.add((da, db, h))
     assert {(a, b, h) for (a, b), h in pairs.items()} == brute
+
+
+def test_image_dedup_groups_resolve_planted_clusters(spark):
+    """Group resolution over the dHash pairs: every planted cluster
+    whose three pairwise hammings clear the threshold resolves to ONE
+    component rooted at the base doc_id with size 3; when only the
+    (base, resized) edge survives, the brightness doc is absent or in
+    its own 2-member component — never merged across clusters."""
+    from coltt_spark.operators.components import dedup_groups
+    from coltt_spark.operators.multimodal import (
+        dhash_image_table,
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = spark.range(0, 90).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    pairs_df = dhash_pairs(
+        image_dhash(dhash_image_table(docs)), "doc_id", max_hamming=3
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in pairs_df.collect()}
+    groups = {
+        int(r["id"]): (int(r["root"]), int(r["group_size"]))
+        for r in dedup_groups(pairs_df).collect()
+    }
+    for cl in range(10):
+        base, resized, bright = 9 * cl, 9 * cl + 3, 9 * cl + 6
+        # base-resized always pairs (hamming 0) -> same component
+        assert groups[base] == (base, groups[base][1])
+        assert groups[resized][0] == base
+        if (base, bright) in pairs:
+            assert groups[bright][0] == base
+            assert groups[base][1] == 3
+        else:
+            assert bright not in groups or groups[bright][0] != base
+            assert groups[base][1] == 2
+    # roots never cross cluster boundaries
+    for i, (root, _size) in groups.items():
+        assert root // 9 == i // 9, (i, root)

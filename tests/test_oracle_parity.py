@@ -40,10 +40,11 @@ def test_every_query_is_oracle_backed():
 #: The round-9 rotation ledger (CLAUDE.md): entries promised a
 #: round-10 driver slot — the 6 r6-overflow entries lead (the oldest
 #: driver signal on the board, displaced from the r9 window exactly as
-#: the r8 ledger anticipated), then 39 of the 44 remaining r7-green
-#: entries in r7 order. The r7 block's TAIL (token_count, cube_revenue,
-#: set_intersect, top_revenue_orders, knn_wide) overflowed when the 5
-#: new/touched seats landed and keeps round-11 priority.
+#: the r8 ledger anticipated), then 37 of the 44 remaining r7-green
+#: entries in r7 order. The r7 block's TAIL (media_metadata,
+#: events_hourly, token_count, cube_revenue, set_intersect,
+#: top_revenue_orders, knn_wide) overflowed when the 7 new/touched
+#: seats landed and keeps round-11 priority.
 #: Machine-checked against _KEY_ORDER below so the ledger promise
 #: cannot silently drift (ADVICE r3 #1).
 ROTATION_LEDGER_R10 = [
@@ -90,14 +91,14 @@ ROTATION_LEDGER_R10 = [
     "knn_bf16",
     "knn_two_phase",
     "ann_topk_blas",
-    "media_metadata",
-    "events_hourly",
 ]
 
-#: the r7 overflow tail — displaced from the round-10 window by the 5
-#: new/touched seats (2 new + 3 touched); they lead the round-11
+#: the r7 overflow tail — displaced from the round-10 window by the 7
+#: new/touched seats (4 new + 3 touched); they lead the round-11
 #: rotation queue
 R11_PRIORITY = [
+    "media_metadata",
+    "events_hourly",
     "token_count",
     "cube_revenue",
     "set_intersect",
@@ -109,7 +110,7 @@ R11_PRIORITY = [
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-9 rotation-ledger entries (6 r6-overflow + 39
+    exactly; the round-9 rotation-ledger entries (6 r6-overflow + 37
     r7-green, oldest signal on the board) LEAD the round-10 window,
     every entry new or touched this round is inside it, and the r7
     overflow tail sits FIRST past the boundary with round-11
@@ -134,6 +135,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # new this round (driver has never seen them)
         "media_image_dedup",
         "collection_search_ivfpq_batch",
+        "media_image_dedup_groups",
+        "decontaminate_semantic",
         # implementation touched this round: the ivfpq refined rerank
         # now reads only the probed lists' exact-vector files (and the
         # LUT build is the batched numpy fold) on both the base and

@@ -830,3 +830,36 @@ def test_domain_quota_two_phase_equals_single_window(spark):
         for r in domain_quota(df, "doc_id", "domain", "score", cap=3).collect()
     }
     assert got_default == want
+
+
+def test_semantic_decontaminate_flags_planted_leaks(spark):
+    """Embedding-space decontamination must flag EXACTLY the planted
+    contamination: the benchmark rows appearing verbatim in the
+    training corpus and their cosine-invariant scaled copies — both
+    at max_cos_sim 1.0 — and nothing else on the md5-random
+    embeddings (nothing unrelated sits within cosine 0.95)."""
+    from coltt_spark.operators.pipeline import semantic_decontaminate
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    copies = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
+    )
+    train = emb.unionByName(copies)
+    rows = {
+        int(r["vec_id"]): (r["n_benchmark_hits"], r["max_cos_sim"])
+        for r in semantic_decontaminate(
+            train, bench, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    bench_ids = {int(r["vec_id"]) for r in bench.collect()}
+    planted = bench_ids | {i + 100000 for i in bench_ids}
+    assert set(rows) == planted, set(rows) ^ planted
+    for vid, (hits, mc) in rows.items():
+        assert hits >= 1 and mc == 1.0, (vid, hits, mc)

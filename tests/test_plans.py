@@ -1086,3 +1086,18 @@ def test_image_dedup_plan_banded_no_allpairs(spark):
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert "band_idx" in plan and "band_val" in plan
+
+
+def test_semantic_decontaminate_broadcasts_benchmark_no_allpairs(spark):
+    """The embedding decontamination must stay the bipartite-LSH shape
+    at 100 TB: the blocked benchmark side broadcasts into the corpus
+    stream (no shuffle-for-join, no cross join) and the only join is
+    the within-block equi-join."""
+    from coltt_spark.plans import executed_plan, has_broadcast_hash_join
+    from coltt_spark.registry import QUERIES
+
+    df = QUERIES["decontaminate_semantic"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
