@@ -458,3 +458,228 @@ def bpe_load(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     bit-for-bit (round-trip-pinned in test_bpe.py)."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["lhs"], r["rhs"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model's core: probabilistic pieces + Viterbi
+# segmentation), fixed-vocabulary variant with hard-EM re-estimation.
+
+
+def _unigram_viterbi(word: str, probs: dict, piece_max_len: int) -> list[str]:
+    """Viterbi segmentation maximizing the PRODUCT of piece
+    probabilities — deliberately log-free: probabilities are exact
+    IEEE doubles (integer-count divisions) and the DP multiplies and
+    compares them sequentially, so DuckDB replays every dp value
+    BIT-FOR-BIT (ln() is the one transcendental whose last ulp is not
+    portable across engines — products of ≤ ``word_max_len`` probs
+    stay far above the double underflow floor, so the usual log-space
+    trick buys nothing here and would cost the oracle). Missing
+    pieces score the −1.0 sentinel (all single characters are always
+    in the vocabulary, so a positive-probability path always exists
+    and the sentinel can never win). Ties (bit-equal products) keep
+    the SHORTEST candidate piece — the first strictly-greater update
+    scanning piece lengths ascending, ≡ the oracle's min-length
+    argmax over bit-equal recomputed candidates."""
+    n = len(word)
+    dp = [1.0] + [-1.0] * n
+    bl = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = -1.0
+        bli = 0
+        for l in range(1, min(piece_max_len, i) + 1):
+            pc = probs.get(word[i - l : i])
+            cand = dp[i - l] * pc if pc is not None and dp[i - l] >= 0.0 else -1.0
+            if cand > best:
+                best, bli = cand, l
+        dp[i] = best
+        bl[i] = bli
+    out = []
+    pos = n
+    while pos > 0:
+        out.append(word[pos - bl[pos] : pos])
+        pos -= bl[pos]
+    return out[::-1]
+
+
+def _unigram_seg_udf(probs: dict, piece_max_len: int):
+    """(word) → pieces array, Arrow-batched; the ONE segmentation
+    kernel shared by every E-step and the encoder, so training and
+    serving cannot drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = dict(probs)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(s):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _unigram_viterbi(w, p, piece_max_len) if w is not None else None
+                for w in s
+            ]
+        )
+
+    return _seg
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int = 48,
+    piece_max_len: int = 6,
+    em_iters: int = 2,
+    word_max_len: int = 24,
+) -> list[tuple[str, int, int, float]]:
+    """Train the fixed-vocabulary unigram-LM tokenizer on the
+    distinct-word frequency table (the same vocabulary-sized training
+    relation as BPE — one corpus-wide shuffle, then every step scans
+    words, not documents):
+
+    1. SEED: every substring of length 1..``piece_max_len`` at every
+       position of every distinct word, frequency-weighted by word
+       count; the vocabulary keeps ALL single characters (they
+       guarantee segmentability) plus the top multi-character pieces
+       by (frequency DESC, piece ASC) up to ``vocab_size``.
+    2. HARD-EM × ``em_iters``: E-step Viterbi-segments each distinct
+       word under the current probabilities (Arrow-batched kernel
+       over the word table — embarrassingly parallel at any corpus
+       size, the piece table rides in the closure); the M-step sums
+       per-piece usage weighted by word count (one vocabulary-sized
+       aggregate), floors every single-character piece's usage at +1
+       (the Laplace guard that keeps every word segmentable forever),
+       and re-estimates ``p = usage / Σusage``. Kudo 2018 runs soft
+       EM with vocabulary pruning; the hard-EM fixed-vocab variant
+       keeps the published model family while every quantity stays an
+       integer count or an exact double division — the property that
+       lets the SQL oracle replay TRAINING, not just encoding.
+    3. IDS: rank (final usage DESC, piece ASC) − 1.
+
+    Returns ``[(piece, piece_id, usage, prob)]`` ordered by id.
+    Words longer than ``word_max_len`` fail loudly (the unrolled
+    oracle walk — and any sane word tokenizer — bounds word length;
+    raw web junk should be length-capped upstream)."""
+    words = bpe_word_table(df, text_col).localCheckpoint(eager=True)
+    too_long = words.filter(F.length("word") > word_max_len).limit(1).collect()
+    if too_long:
+        raise ValueError(
+            f"unigram_train: word {too_long[0]['word']!r} exceeds "
+            f"word_max_len={word_max_len}; length-cap the corpus upstream"
+        )
+    occ = words.select(
+        F.col("cnt"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({piece_max_len}, "
+                "length(word) - i + 1)), l -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    pf = occ.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    singles = {
+        r["piece"]: int(r["freq"])
+        for r in pf.filter(F.length("piece") == 1).collect()
+    }
+    if len(singles) >= vocab_size:
+        raise ValueError(
+            f"vocab_size={vocab_size} cannot hold the {len(singles)} "
+            "single-character pieces the corpus needs"
+        )
+    multi = (
+        pf.filter(F.length("piece") > 1)
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(vocab_size - len(singles))
+        .collect()
+    )
+    freq = dict(singles)
+    freq.update({r["piece"]: int(r["freq"]) for r in multi})
+    total = sum(freq.values())
+    probs = {pc: f / total for pc, f in freq.items()}
+    usage: dict[str, int] = {}
+    for _ in range(em_iters):
+        seg = words.select(
+            "cnt", _unigram_seg_udf(probs, piece_max_len)(F.col("word")).alias("s")
+        )
+        used = (
+            seg.select(F.explode("s").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("u"))
+            .collect()
+        )
+        u = {r["piece"]: int(r["u"]) for r in used}
+        usage = {
+            pc: u.get(pc, 0) + (1 if len(pc) == 1 else 0) for pc in probs
+        }
+        tot_u = sum(usage.values())
+        probs = {pc: c / tot_u for pc, c in usage.items()}
+    ranked = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (pc, i, usage[pc], probs[pc]) for i, (pc, _c) in enumerate(ranked)
+    ]
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: list[tuple[str, int, int, float]],
+    *,
+    piece_max_len: int = 6,
+) -> DataFrame:
+    """Per-document token-id sequences ``(id, token_ids array<int>)``
+    under a trained unigram model — the Viterbi twin of
+    ``bpe_encode_ids``, same memoize-then-join shape: segmentation
+    runs once per DISTINCT word (Arrow kernel, model in the
+    closure), ids map through a literal map, and the corpus side is
+    posexplode + equi-join + an order-restoring regroup (collect
+    order is not shuffle-stable). Documents with no tokens yield an
+    EMPTY array."""
+    probs = {pc: pr for pc, _i, _u, pr in model}
+    ids = {pc: i for pc, i, _u, _p in model}
+    word_ids = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            _unigram_seg_udf(probs, piece_max_len)(F.col("word")).alias("s"),
+        )
+        .select(
+            "word",
+            F.transform(
+                "s",
+                lambda sym: F.element_at(
+                    F.create_map(*[F.lit(x) for pc, i in ids.items() for x in (pc, i)]),
+                    sym,
+                ),
+            )
+            .cast("array<int>")
+            .alias("ids"),
+        )
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias("pos", "word"),
+    )
+    joined = occ.join(word_ids, on="word", how="left").select(
+        id_col, "pos", F.coalesce("ids", F.array().cast("array<int>")).alias("ids")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ids"))
+                    ),
+                    lambda st: st["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+        )
+    )

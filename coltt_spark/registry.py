@@ -1858,13 +1858,13 @@ _KEY_ORDER = [
     # -- round-10 window: the r9 rotation ledger FIRST — the 6
     # -- r6-overflow entries (oldest driver signal on the board,
     # -- displaced from the r9 window exactly as the r8 ledger
-    # -- anticipated), then 37 of the 44 r7-green entries in r7
-    # -- order, then the entries new or touched this round. 4 new +
-    # -- 3 touched = 7 seats, so the r7 block's TAIL (media_metadata,
-    # -- events_hourly, token_count, cube_revenue, set_intersect,
-    # -- top_revenue_orders, knn_wide) overflows past the boundary
-    # -- with round-11 priority. See CLAUDE.md 'Driver-check
-    # -- rotation ledger'.
+    # -- anticipated), then 35 of the 44 r7-green entries in r7
+    # -- order, then the entries new or touched this round. 6 new +
+    # -- 3 touched = 9 seats, so the r7 block's TAIL (knn_two_phase,
+    # -- ann_topk_blas, media_metadata, events_hourly, token_count,
+    # -- cube_revenue, set_intersect, top_revenue_orders, knn_wide)
+    # -- overflows past the boundary with round-11 priority. See
+    # -- CLAUDE.md 'Driver-check rotation ledger'.
     "upsert_delete",                 # ledger: r6 overflow, last driver signal r6
     "filter_coercion",                 # ledger: r6 overflow, last driver signal r6
     "filter_search",                 # ledger: r6 overflow, last driver signal r6
@@ -1906,8 +1906,6 @@ _KEY_ORDER = [
     "compare_dist",                 # ledger: last driver signal r7
     "knn_f8",                 # ledger: last driver signal r7
     "knn_bf16",                 # ledger: last driver signal r7
-    "knn_two_phase",                 # ledger: last driver signal r7
-    "ann_topk_blas",                 # ledger: last driver signal r7
     # -- new in r10 --------------------------------------------------
     "media_image_dedup",  # new r10: perceptual image near-dup — dHash
     #    over real-decoded PNG luma, Hamming-banded blocking, planted
@@ -1922,6 +1920,13 @@ _KEY_ORDER = [
     "decontaminate_semantic",  # new r10: embedding-space benchmark
     #    decontamination — sign-LSH blocked bipartite cosine vs the
     #    broadcast benchmark side; planted verbatim + scaled leaks
+    "unigram_train",  # new r10: unigram-LM tokenizer (Kudo 2018,
+    #    fixed-vocab hard-EM) — substring seeding, per-word Viterbi
+    #    E-steps, integer M-steps; log-free product DP so the oracle
+    #    replays TRAINING bit-exactly (lambda-free unrolled SQL)
+    "unigram_encode_ids",  # new r10: Viterbi encoding under the
+    #    trained unigram model — oracle retrains in SQL and
+    #    re-derives every document's id sequence
     # -- implementation touched this round ----------------------------
     "collection_search_ivfpq",  # r10: refined rerank now reads ONLY the
     #    probed lists' exact-vector files (vecs/centroid=<c>/ written at
@@ -1935,7 +1940,9 @@ _KEY_ORDER = [
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r7 overflow tail — ROUND-11 PRIORITY (displaced by this
-    # -- round's 7 new/touched seats), in r7 order:
+    # -- round's 9 new/touched seats), in r7 order:
+    "knn_two_phase",                 # ledger: r7 overflow, round-11 priority
+    "ann_topk_blas",                 # ledger: r7 overflow, round-11 priority
     "media_metadata",                 # ledger: r7 overflow, round-11 priority
     "events_hourly",                 # ledger: r7 overflow, round-11 priority
     "token_count",                 # ledger: r7 overflow, round-11 priority
@@ -2119,3 +2126,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     # GPT-2-pretok twin (trained model on the punctuation fixture)
     _bpe_bytes_pretok_fixture(spark, sf_dir)
+    from coltt_spark.registry_text import _unigram_fixture
+
+    # unigram-LM tokenizer (substring seeding + hard-EM rounds)
+    _unigram_fixture(spark, sf_dir)

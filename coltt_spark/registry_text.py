@@ -6,6 +6,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coltt_spark.functions.text import HASH_P
 from coltt_spark.operators.textstats import (
@@ -1116,6 +1117,269 @@ def _bpe_pretok_oracle(k: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018) — fixed-vocab hard-EM variant;
+# training AND encoding replayed in SQL (log-free Viterbi: probability
+# PRODUCTS are exact IEEE doubles, portable across engines, where
+# ln()'s last ulp is not — see operators/tokenize._unigram_viterbi)
+
+_UNI_VSIZE = 48
+_UNI_PLEN = 6
+_UNI_EMS = 2
+
+_UNIGRAM_CACHE: dict[str, list] = {}
+
+
+def _unigram_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """Model trained ONCE per sf_dir (the prewarmed-tokenizer fixture
+    pattern, like the BPE merges): [(piece, piece_id, usage, prob)]."""
+    if sf_dir not in _UNIGRAM_CACHE:
+        from coltt_spark.operators.tokenize import unigram_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[sf_dir] = unigram_train(
+            docs, "text", vocab_size=_UNI_VSIZE,
+            piece_max_len=_UNI_PLEN, em_iters=_UNI_EMS,
+        )
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018's model family, the
+    SentencePiece core): substring-seeded vocabulary (all single
+    chars + top multi-char pieces by frequency), hard-EM over the
+    distinct-word table — each E-step Viterbi-segments every word
+    under the current piece probabilities, each M-step re-estimates
+    them from usage counts with a +1 floor on single chars — and
+    ids by (final usage DESC, piece ASC). The oracle replays ALL of
+    it in SQL: the seeding, both EM rounds' per-word Viterbi DP
+    (list_reduce fold over positions, bit-equal double products),
+    the usage sums, and the final ranking. Every probability is an
+    integer-count division, so train parity is exact, not rounded."""
+    model = _unigram_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, int(i), int(u), round(pr, 4)) for p, i, u, pr in model],
+        T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("piece_id", T.LongType(), False),
+                T.StructField("usage", T.LongType(), False),
+                T.StructField("prob", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def q_unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-id sequences under the trained unigram
+    model — Viterbi segmentation of each distinct word (memoized,
+    joined back order-preserving). The oracle retrains the model in
+    SQL and re-derives EVERY document's id sequence, so train and
+    encode must agree end-to-end across engines."""
+    from coltt_spark.operators.tokenize import unigram_encode_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = _unigram_fixture(spark, sf_dir)
+    enc = unigram_encode_ids(
+        docs, "doc_id", "text", model, piece_max_len=_UNI_PLEN
+    )
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_csv"),
+    )
+
+
+def _unigram_viterbi_sql(ptab: str, tag: str) -> str:
+    """CTE chain Viterbi-segmenting every distinct word of ``wt``
+    under prob table ``ptab``(piece, pr) → ``seg{tag}``(word, cnt,
+    pcs). Mirrors operators/tokenize._unigram_viterbi exactly: dp
+    maximizes the product of piece probabilities (doubles —
+    bit-portable), backpointers are the FIRST candidate length (l
+    ascending) achieving each dp value, and the piece walk steps
+    backwards from the end.
+
+    Structure notes. (1) No lambdas anywhere: DuckDB 1.0 list lambdas
+    that combine two varying columns (directly, or a captured column
+    with an input list built from another) can row-misalign them
+    under multi-threaded vectorized execution (observed
+    nondeterministically: a word walking another row's backpointers),
+    and the driver's DuckDB session is not ours to pin to one thread
+    — plain projections are row-aligned by construction. (2) The DP
+    is unrolled one POSITION PER MATERIALIZED CTE layer: lateral
+    aliases are inlined by the binder, so a single-SELECT unroll
+    re-expands each dp reference ~6-fold per position (exponential
+    plan size — the same blowup the BPE chain documents);
+    materialized layers keep it linear. The walk chain is single-
+    reference, so its 24 aliases stay in one CTE."""
+    L = _UNI_PLEN
+    W = 24
+    parts = [
+        f"""sg{tag}0 AS MATERIALIZED (
+  SELECT word, cnt, mp, 1.0 AS dp0 FROM wt, (SELECT map(list(piece), list(pr)) AS mp FROM {ptab})
+)"""
+    ]
+    for i in range(1, W + 1):
+        ls = list(range(1, min(L, i) + 1))
+
+        def cand(l: int) -> str:
+            sub = f"substr(word, {i - l + 1}, {l})"
+            return (
+                f"CASE WHEN map_extract(mp, {sub}) = [] OR dp{i - l} < 0 "
+                f"THEN -1.0 ELSE dp{i - l} * map_extract(mp, {sub})[1] END"
+            )
+
+        cands = ",\n    ".join(f"{cand(l)} AS c{i}_{l}" for l in ls)
+        g = ", ".join(f"c{i}_{l}" for l in ls)
+        g = f"greatest({g})" if len(ls) > 1 else g
+        bl_branches = " ".join(f"WHEN c{i}_{l} = dp{i} THEN {l}" for l in ls)
+        parts.append(
+            f"""sg{tag}{i} AS MATERIALIZED (
+  SELECT *,
+    {cands},
+    CASE WHEN {i} > length(word) THEN -1.0 ELSE {g} END AS dp{i},
+    CASE WHEN {i} > length(word) THEN 0 {bl_branches} ELSE 0 END AS bl{i}
+  FROM sg{tag}{i - 1}
+)"""
+        )
+    blx = "[" + ", ".join(f"bl{i}" for i in range(1, W + 1)) + "]"
+    # the walk is layered one STEP per materialized CTE for the same
+    # reason as the dp layers: p_k references p_{k-1} three times, so
+    # lateral-alias inlining is 3^W in one SELECT (the EXPLAIN alone
+    # never returns) — physical columns keep it linear
+    parts.append(
+        f"""wk{tag}0 AS MATERIALIZED (
+  SELECT word, cnt, {blx} AS blx, CAST(length(word) AS BIGINT) AS p0
+  FROM sg{tag}{W}
+)"""
+    )
+    for k in range(1, W + 1):
+        parts.append(
+            f"""wk{tag}{k} AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN p{k - 1} > 0 THEN p{k - 1} - blx[CAST(p{k - 1} AS INT)]
+         ELSE CAST(0 AS BIGINT) END AS p{k}
+  FROM wk{tag}{k - 1}
+)"""
+        )
+    pc_case = " ".join(f"WHEN {k} THEN p{k - 1}" for k in range(1, W + 1))
+    pn_case = " ".join(f"WHEN {k} THEN p{k}" for k in range(1, W + 1))
+    parts.append(
+        f"""seg{tag} AS MATERIALIZED (
+  SELECT word, any_value(cnt) AS cnt,
+    list(substr(word, CAST(pn AS INT) + 1, CAST(pc - pn AS INT))
+         ORDER BY k DESC) AS pcs
+  FROM (
+    SELECT word, cnt, CAST(kt.k AS INT) AS k,
+      CASE CAST(kt.k AS INT) {pc_case} END AS pc,
+      CASE CAST(kt.k AS INT) {pn_case} END AS pn
+    FROM wk{tag}{W} CROSS JOIN (SELECT unnest(range(1, {W} + 1)) AS k) kt
+  )
+  WHERE pc > 0
+  GROUP BY word
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _unigram_ctes() -> str:
+    """Seeding + hard-EM replay → final usage table ``uf``(piece,
+    usage) and prob table ``pf_final``(piece, pr), plus the shared
+    word/tok CTEs."""
+    V, L, T_ = _UNI_VSIZE, _UNI_PLEN, _UNI_EMS
+    parts = [f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+wt AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tk) AS w FROM toks)
+  GROUP BY w
+),
+occ AS (
+  SELECT wt.cnt, substr(wt.word, CAST(p.i AS INT), CAST(ln.l AS INT)) AS piece
+  FROM wt
+  CROSS JOIN (SELECT unnest(range(1, 24 + 1)) AS i) p
+  CROSS JOIN (SELECT unnest(range(1, {L} + 1)) AS l) ln
+  WHERE CAST(p.i AS INT) + CAST(ln.l AS INT) - 1 <= length(wt.word)
+),
+pfr AS MATERIALIZED (SELECT piece, SUM(cnt) AS freq FROM occ GROUP BY piece),
+v0 AS MATERIALIZED (
+  SELECT piece, freq FROM pfr WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, freq FROM (
+    SELECT piece, freq,
+           row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+    FROM pfr WHERE length(piece) > 1
+  ) WHERE rn <= {V} - (SELECT count(*) FROM pfr WHERE length(piece) = 1)
+),
+p0 AS MATERIALIZED (
+  SELECT piece, freq::DOUBLE / (SELECT SUM(freq) FROM v0) AS pr FROM v0
+)"""]
+    prev = "p0"
+    for t in range(1, T_ + 1):
+        parts.append(_unigram_viterbi_sql(prev, f"e{t}").lstrip())
+        parts.append(f"""us{t} AS (
+  SELECT piece, SUM(cnt) AS u
+  FROM (SELECT unnest(pcs) AS piece, cnt FROM sege{t})
+  GROUP BY piece
+),
+u{t} AS MATERIALIZED (
+  SELECT v.piece,
+         COALESCE(s.u, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS usage
+  FROM v0 v LEFT JOIN us{t} s USING (piece)
+),
+p{t} AS MATERIALIZED (
+  SELECT piece, usage::DOUBLE / (SELECT SUM(usage) FROM u{t}) AS pr FROM u{t}
+)""")
+        prev = f"p{t}"
+    return ",\n".join(parts), f"u{T_}", prev
+
+
+def _unigram_train_oracle() -> str:
+    ctes, uf, _pf = _unigram_ctes()
+    return f"""
+WITH {ctes}
+SELECT piece,
+       CAST(row_number() OVER (ORDER BY usage DESC, piece ASC) - 1 AS BIGINT) AS piece_id,
+       CAST(usage AS BIGINT) AS usage,
+       round(usage::DOUBLE / (SELECT SUM(usage) FROM {uf}), 4) AS prob
+FROM {uf}
+"""
+
+
+def _unigram_encode_ids_oracle() -> str:
+    ctes, uf, pf = _unigram_ctes()
+    vit = _unigram_viterbi_sql(pf, "fin").lstrip()
+    return f"""
+WITH {ctes},
+{vit},
+idm AS (
+  SELECT map(list(piece), list(pid)) AS im FROM (
+    SELECT piece,
+           CAST(row_number() OVER (ORDER BY usage DESC, piece ASC) - 1 AS INT) AS pid
+    FROM {uf}
+  )
+),
+wids AS (
+  SELECT word, list_transform(pcs, pc -> map_extract(im, pc)[1]) AS ids
+  FROM segfin, idm
+),
+docw AS (
+  SELECT doc_id, unnest(tk) AS word, unnest(range(1, len(tk) + 1)) AS pos
+  FROM toks
+),
+enc AS (
+  SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.pos)) AS token_ids
+  FROM docw dw JOIN wids w USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
+       COALESCE(array_to_string(e.token_ids, '-'), '') AS ids_csv
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -1133,6 +1397,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_profile": q_text_script_profile,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "unigram_train": q_unigram_train,
+    "unigram_encode_ids": q_unigram_encode_ids,
     "token_fertility_by_lang": q_token_fertility_by_lang,
     "bpe_encode_ids_pretok": q_bpe_encode_ids_pretok,
     "pack_sequences_ids": q_pack_sequences_ids,
@@ -1160,6 +1426,8 @@ TEXT_ORACLES: dict[str, str] = {
         byte_level=True,
     ),
     "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
+    "unigram_train": _unigram_train_oracle(),
+    "unigram_encode_ids": _unigram_encode_ids_oracle(),
     "token_fertility_by_lang": _token_fertility_oracle(),
     "bpe_encode_ids_pretok": _bpe_pretok_oracle(BPE_MERGES_BYTES),
     "pack_sequences_ids": _pack_ids_oracle(

@@ -892,3 +892,101 @@ def test_gpt2_pretok_matches_canonical_lookahead_reference(spark):
     for i, t in enumerate(texts):
         assert got[i] == want[i], f"spark vs canonical: {t!r}"
         assert duck[i] == want[i], f"duckdb vs canonical: {t!r}"
+
+
+def test_unigram_viterbi_properties(spark):
+    """The Viterbi kernel maximizes the product of piece
+    probabilities: on every corpus word the chosen segmentation's
+    product equals the brute-force max over ALL segmentations (pieces
+    ≤ 6 chars), pieces concatenate back to the word, ties keep the
+    shortest candidate piece, and two trainings are bit-identical."""
+    from itertools import product as iproduct
+
+    from coltt_spark.operators.tokenize import _unigram_viterbi, unigram_train
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    model = unigram_train(docs, "text", vocab_size=48)
+    model2 = unigram_train(docs, "text", vocab_size=48)
+    assert model == model2
+    probs = {p: pr for p, _i, _u, pr in model}
+
+    def brute_best(word):
+        # all segmentations via cut masks (words here are short)
+        n = len(word)
+        best = -1.0
+        for mask in iproduct([0, 1], repeat=n - 1):
+            cuts = [0] + [i + 1 for i, b in enumerate(mask) if b] + [n]
+            prod = 1.0
+            ok = True
+            for a, b in zip(cuts, cuts[1:]):
+                pc = probs.get(word[a:b])
+                if pc is None or b - a > 6:
+                    ok = False
+                    break
+                prod *= pc
+            if ok and prod > best:
+                best = prod
+        return best
+
+    words = {
+        w
+        for r in docs.limit(50).collect()
+        for w in __import__("re").split(r"[^a-z0-9]+", r["text"].lower())
+        if w and len(w) <= 12
+    }
+    assert len(words) >= 10
+    for w in sorted(words):
+        pcs = _unigram_viterbi(w, probs, 6)
+        assert "".join(pcs) == w
+        prod = 1.0
+        for pc in pcs:
+            prod *= probs[pc]
+        assert prod == brute_best(w), (w, pcs)
+    # tie-break: equal-probability pieces -> shortest piece wins
+    tie = {"a": 0.5, "aa": 0.25}  # 'aa' via a*a = 0.25 == 'aa' directly
+    assert _unigram_viterbi("aa", tie, 6) == ["a", "a"]
+
+
+def test_unigram_guards_and_roundtrip(spark):
+    """Loud failures on unsatisfiable dials (a word longer than the
+    oracle's unrolled walk; a vocab smaller than the corpus alphabet),
+    and the encode round-trips: decoding every document's ids through
+    the model reproduces its word stream."""
+    import re
+
+    import pytest as _pytest
+
+    from coltt_spark.operators.tokenize import unigram_encode_ids, unigram_train
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    long_doc = spark.createDataFrame(
+        [(1, "x" * 30 + " ok")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="word_max_len"):
+        unigram_train(long_doc, "text")
+    with _pytest.raises(ValueError, match="single-character"):
+        unigram_train(
+            spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string"),
+            "text",
+            vocab_size=4,
+        )
+    docs = load_table(spark, SF_CORRECT, "documents")
+    model = unigram_train(docs, "text", vocab_size=48)
+    inv = {i: p for p, i, _u, _pr in model}
+    enc = {
+        r["doc_id"]: r["token_ids"]
+        for r in unigram_encode_ids(docs, "doc_id", "text", model)
+        .limit(2000)
+        .collect()
+    }
+    checked = 0
+    for r in docs.limit(30).collect():
+        words = [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+        assert "".join(inv[i] for i in enc[r["doc_id"]]) == "".join(words)
+        checked += 1
+    assert checked == 30

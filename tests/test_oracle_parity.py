@@ -40,13 +40,13 @@ def test_every_query_is_oracle_backed():
 #: The round-9 rotation ledger (CLAUDE.md): entries promised a
 #: round-10 driver slot — the 6 r6-overflow entries lead (the oldest
 #: driver signal on the board, displaced from the r9 window exactly as
-#: the r8 ledger anticipated), then 37 of the 44 remaining r7-green
-#: entries in r7 order. The r7 block's TAIL (media_metadata,
-#: events_hourly, token_count, cube_revenue, set_intersect,
-#: top_revenue_orders, knn_wide) overflowed when the 7 new/touched
-#: seats landed and keeps round-11 priority.
-#: Machine-checked against _KEY_ORDER below so the ledger promise
-#: cannot silently drift (ADVICE r3 #1).
+#: the r8 ledger anticipated), then 35 of the 44 remaining r7-green
+#: entries in r7 order. The r7 block's TAIL (knn_two_phase,
+#: ann_topk_blas, media_metadata, events_hourly, token_count,
+#: cube_revenue, set_intersect, top_revenue_orders, knn_wide)
+#: overflowed when the 9 new/touched seats landed and keeps round-11
+#: priority. Machine-checked against _KEY_ORDER below so the ledger
+#: promise cannot silently drift (ADVICE r3 #1).
 ROTATION_LEDGER_R10 = [
     "upsert_delete",
     "filter_coercion",
@@ -89,14 +89,14 @@ ROTATION_LEDGER_R10 = [
     "compare_dist",
     "knn_f8",
     "knn_bf16",
-    "knn_two_phase",
-    "ann_topk_blas",
 ]
 
-#: the r7 overflow tail — displaced from the round-10 window by the 7
-#: new/touched seats (4 new + 3 touched); they lead the round-11
+#: the r7 overflow tail — displaced from the round-10 window by the 9
+#: new/touched seats (6 new + 3 touched); they lead the round-11
 #: rotation queue
 R11_PRIORITY = [
+    "knn_two_phase",
+    "ann_topk_blas",
     "media_metadata",
     "events_hourly",
     "token_count",
@@ -110,7 +110,7 @@ R11_PRIORITY = [
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-9 rotation-ledger entries (6 r6-overflow + 37
+    exactly; the round-9 rotation-ledger entries (6 r6-overflow + 35
     r7-green, oldest signal on the board) LEAD the round-10 window,
     every entry new or touched this round is inside it, and the r7
     overflow tail sits FIRST past the boundary with round-11
@@ -137,6 +137,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_ivfpq_batch",
         "media_image_dedup_groups",
         "decontaminate_semantic",
+        "unigram_train",
+        "unigram_encode_ids",
         # implementation touched this round: the ivfpq refined rerank
         # now reads only the probed lists' exact-vector files (and the
         # LUT build is the batched numpy fold) on both the base and
