@@ -1855,102 +1855,22 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-10 window: the r9 rotation ledger FIRST — the 6
-    # -- r6-overflow entries (oldest driver signal on the board,
-    # -- displaced from the r9 window exactly as the r8 ledger
-    # -- anticipated), then 35 of the 44 r7-green entries in r7
-    # -- order, then the entries new or touched this round. 6 new +
-    # -- 3 touched = 9 seats, so the r7 block's TAIL (knn_two_phase,
-    # -- ann_topk_blas, media_metadata, events_hourly, token_count,
-    # -- cube_revenue, set_intersect, top_revenue_orders, knn_wide)
-    # -- overflows past the boundary with round-11 priority. See
-    # -- CLAUDE.md 'Driver-check rotation ledger'.
-    "upsert_delete",                 # ledger: r6 overflow, last driver signal r6
-    "filter_coercion",                 # ledger: r6 overflow, last driver signal r6
-    "filter_search",                 # ledger: r6 overflow, last driver signal r6
-    "multi_vector_search",                 # ledger: r6 overflow, last driver signal r6
-    "dedup_minhash_lsh",                 # ledger: r6 overflow, last driver signal r6
-    "neardup_cosine",                 # ledger: r6 overflow, last driver signal r6
-    "stream_distinct",                 # ledger: last driver signal r7
-    "collection_search_blocks_delta",                 # ledger: last driver signal r7
-    "knn_cosine",                 # ledger: last driver signal r7
-    "ann_ivf",                 # ledger: last driver signal r7
-    "collection_search_batch",                 # ledger: last driver signal r7
-    "freq_sketch",                 # ledger: last driver signal r7
-    "dedup_canonical",                 # ledger: last driver signal r7
-    "knn_filtered",                 # ledger: last driver signal r7
-    "dedup_exact",                 # ledger: last driver signal r7
-    "dedup_groups",                 # ledger: last driver signal r7
-    "dedup_ngram_jaccard",                 # ledger: last driver signal r7
-    "collection_search_batch_filtered",                 # ledger: last driver signal r7
-    "hybrid_rrf",                 # ledger: last driver signal r7
-    "bm25_topk_batch",                 # ledger: last driver signal r7
-    "text_quality",                 # ledger: last driver signal r7
-    "doc_fingerprint",                 # ledger: last driver signal r7
-    "pricing_summary",                 # ledger: last driver signal r7
-    "region_revenue",                 # ledger: last driver signal r7
-    "window_top_orders",                 # ledger: last driver signal r7
-    "price_percentiles",                 # ledger: last driver signal r7
-    "knn_f16",                 # ledger: last driver signal r7
-    "ann_topk_batch",                 # ledger: last driver signal r7
-    "knn_pagination",                 # ledger: last driver signal r7
-    "knn_block",                 # ledger: last driver signal r7
-    "dedup_containment",                 # ledger: last driver signal r7
-    "rollup_revenue",                 # ledger: last driver signal r7
-    "events_sessionize",                 # ledger: last driver signal r7
-    "media_features",                 # ledger: last driver signal r7
-    "quality_classifier",                 # ledger: last driver signal r7
-    "web_sitemap",                 # ledger: last driver signal r7
-    "knn_euclidean",                 # ledger: last driver signal r7
-    "knn_manhattan",                 # ledger: last driver signal r7
-    "compare_dist",                 # ledger: last driver signal r7
-    "knn_f8",                 # ledger: last driver signal r7
-    "knn_bf16",                 # ledger: last driver signal r7
-    # -- new in r10 --------------------------------------------------
-    "media_image_dedup",  # new r10: perceptual image near-dup — dHash
-    #    over real-decoded PNG luma, Hamming-banded blocking, planted
-    #    resized/brightness-shifted cluster fixture; all-pairs oracle
-    "collection_search_ivfpq_batch",  # new r10: batched IVFADC serving
-    #    — one job over the probed lists' union, numpy LUT batch with
-    #    the oracle-matched fold order, (adc, pk) cut ≡ sequential;
-    #    multi-query full-pipeline SQL oracle
-    "media_image_dedup_groups",  # new r10: image near-dup GROUP
-    #    resolution — connected components over the dHash pair edges;
-    #    recursive-CTE transitive-closure oracle over the full chain
-    "decontaminate_semantic",  # new r10: embedding-space benchmark
-    #    decontamination — sign-LSH blocked bipartite cosine vs the
-    #    broadcast benchmark side; planted verbatim + scaled leaks
-    "unigram_train",  # new r10: unigram-LM tokenizer (Kudo 2018,
-    #    fixed-vocab hard-EM) — substring seeding, per-word Viterbi
-    #    E-steps, integer M-steps; log-free product DP so the oracle
-    #    replays TRAINING bit-exactly (lambda-free unrolled SQL)
-    "unigram_encode_ids",  # new r10: Viterbi encoding under the
-    #    trained unigram model — oracle retrains in SQL and
-    #    re-derives every document's id sequence
-    # -- implementation touched this round ----------------------------
-    "collection_search_ivfpq",  # r10: refined rerank now reads ONLY the
-    #    probed lists' exact-vector files (vecs/centroid=<c>/ written at
-    #    flush) instead of a full snapshot scan; LUT build batched
-    "collection_search_ivfpq_delta",  # r10: same rerank change on the
-    #    delta path (vecs tree appended under the frozen-quantizer
-    #    discipline, hardlinked base files)
-    "web_url_psl",  # r10: PSL snapshot 2058 -> 2574 rules (tranche 4:
-    #    .it geographic, Polish towns, .fr professional, MEA/Asia 2LDs)
-    # ------------------------------------------------------------------
-    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
-    # -- pytest run; driver rotation continues next round.
-    # -- r7 overflow tail — ROUND-11 PRIORITY (displaced by this
-    # -- round's 9 new/touched seats), in r7 order:
-    "knn_two_phase",                 # ledger: r7 overflow, round-11 priority
-    "ann_topk_blas",                 # ledger: r7 overflow, round-11 priority
-    "media_metadata",                 # ledger: r7 overflow, round-11 priority
-    "events_hourly",                 # ledger: r7 overflow, round-11 priority
-    "token_count",                 # ledger: r7 overflow, round-11 priority
-    "cube_revenue",                 # ledger: r7 overflow, round-11 priority
-    "set_intersect",                 # ledger: r7 overflow, round-11 priority
-    "top_revenue_orders",                 # ledger: r7 overflow, round-11 priority
-    "knn_wide",                 # ledger: r7 overflow, round-11 priority
-    # -- the 45 r8-green entries, r8 order:
+    # -- round-11 window: the r10 rotation ledger — the 9 r7-overflow
+    # -- entries FIRST (displaced from the r10 window by its 9
+    # -- new/touched seats, oldest driver signal on the board), then
+    # -- the r8-green entries in r8 order. New/touched r11 seats land
+    # -- at the window tail and displace the r8 block's tail past the
+    # -- boundary with round-12 priority. See CLAUDE.md
+    # -- 'Driver-check rotation ledger'.
+    "knn_two_phase",                 # ledger: r7 overflow, last driver signal r7
+    "ann_topk_blas",                 # ledger: r7 overflow, last driver signal r7
+    "media_metadata",                 # ledger: r7 overflow, last driver signal r7
+    "events_hourly",                 # ledger: r7 overflow, last driver signal r7
+    "token_count",                 # ledger: r7 overflow, last driver signal r7
+    "cube_revenue",                 # ledger: r7 overflow, last driver signal r7
+    "set_intersect",                 # ledger: r7 overflow, last driver signal r7
+    "top_revenue_orders",                 # ledger: r7 overflow, last driver signal r7
+    "knn_wide",                 # ledger: r7 overflow, last driver signal r7
     "events_json",                 # ledger: last driver signal r8
     "text_redact_pii",                 # ledger: last driver signal r8
     "collection_hybrid_ivf",                 # ledger: last driver signal r8
@@ -1992,13 +1912,16 @@ _KEY_ORDER = [
     "dedup_containment_bytes",                 # ledger: last driver signal r8
     "bpe_train",                 # ledger: last driver signal r8
     "bpe_encode",                 # ledger: last driver signal r8
-    "media_exif",                 # ledger: last driver signal r8
-    "media_exif_orientation",                 # ledger: last driver signal r8
-    "pack_sequences_firstfit",                 # ledger: last driver signal r8
-    "embed_outliers",                 # ledger: last driver signal r8
-    # -- the 47 r9-green entries, r9-window order (collection_search_ivfpq,
-    # -- collection_search_ivfpq_delta, web_url_psl left this block when
-    # -- promoted as touched):
+    # ------------------------------------------------------------------
+    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
+    # -- pytest run; driver rotation continues next round.
+    # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
+    # -- round's new/touched seats), in r8 order:
+    "media_exif",                 # ledger: r8 overflow, round-12 priority
+    "media_exif_orientation",                 # ledger: r8 overflow, round-12 priority
+    "pack_sequences_firstfit",                 # ledger: r8 overflow, round-12 priority
+    "embed_outliers",                 # ledger: r8 overflow, round-12 priority
+    # -- the 47 r9-green entries, r9-window order:
     "token_vocab",                 # ledger: last driver signal r9
     "doc_lm_score",                 # ledger: last driver signal r9
     "filter_extended",                 # ledger: last driver signal r9
@@ -2046,6 +1969,57 @@ _KEY_ORDER = [
     "bpe_encode_ids",                 # ledger: last driver signal r9
     "text_lang_id_unicode",                 # ledger: last driver signal r9
     "text_lang_id",                 # ledger: last driver signal r9
+    # -- the 50 r10-green entries, r10-window order:
+    "upsert_delete",                 # ledger: last driver signal r10
+    "filter_coercion",                 # ledger: last driver signal r10
+    "filter_search",                 # ledger: last driver signal r10
+    "multi_vector_search",                 # ledger: last driver signal r10
+    "dedup_minhash_lsh",                 # ledger: last driver signal r10
+    "neardup_cosine",                 # ledger: last driver signal r10
+    "stream_distinct",                 # ledger: last driver signal r10
+    "collection_search_blocks_delta",                 # ledger: last driver signal r10
+    "knn_cosine",                 # ledger: last driver signal r10
+    "ann_ivf",                 # ledger: last driver signal r10
+    "collection_search_batch",                 # ledger: last driver signal r10
+    "freq_sketch",                 # ledger: last driver signal r10
+    "dedup_canonical",                 # ledger: last driver signal r10
+    "knn_filtered",                 # ledger: last driver signal r10
+    "dedup_exact",                 # ledger: last driver signal r10
+    "dedup_groups",                 # ledger: last driver signal r10
+    "dedup_ngram_jaccard",                 # ledger: last driver signal r10
+    "collection_search_batch_filtered",                 # ledger: last driver signal r10
+    "hybrid_rrf",                 # ledger: last driver signal r10
+    "bm25_topk_batch",                 # ledger: last driver signal r10
+    "text_quality",                 # ledger: last driver signal r10
+    "doc_fingerprint",                 # ledger: last driver signal r10
+    "pricing_summary",                 # ledger: last driver signal r10
+    "region_revenue",                 # ledger: last driver signal r10
+    "window_top_orders",                 # ledger: last driver signal r10
+    "price_percentiles",                 # ledger: last driver signal r10
+    "knn_f16",                 # ledger: last driver signal r10
+    "ann_topk_batch",                 # ledger: last driver signal r10
+    "knn_pagination",                 # ledger: last driver signal r10
+    "knn_block",                 # ledger: last driver signal r10
+    "dedup_containment",                 # ledger: last driver signal r10
+    "rollup_revenue",                 # ledger: last driver signal r10
+    "events_sessionize",                 # ledger: last driver signal r10
+    "media_features",                 # ledger: last driver signal r10
+    "quality_classifier",                 # ledger: last driver signal r10
+    "web_sitemap",                 # ledger: last driver signal r10
+    "knn_euclidean",                 # ledger: last driver signal r10
+    "knn_manhattan",                 # ledger: last driver signal r10
+    "compare_dist",                 # ledger: last driver signal r10
+    "knn_f8",                 # ledger: last driver signal r10
+    "knn_bf16",                 # ledger: last driver signal r10
+    "media_image_dedup",                 # ledger: last driver signal r10
+    "collection_search_ivfpq_batch",                 # ledger: last driver signal r10
+    "media_image_dedup_groups",                 # ledger: last driver signal r10
+    "decontaminate_semantic",                 # ledger: last driver signal r10
+    "unigram_train",                 # ledger: last driver signal r10
+    "unigram_encode_ids",                 # ledger: last driver signal r10
+    "collection_search_ivfpq",                 # ledger: last driver signal r10
+    "collection_search_ivfpq_delta",                 # ledger: last driver signal r10
+    "web_url_psl",                 # ledger: last driver signal r10
 ]
 
 
