@@ -27,5 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (same column
-    aliases; keys missing here get the weaker rows-only check)."""
-    return dict(ORACLES)
+    aliases; keys missing here get the weaker rows-only check). Lazy
+    oracles (callables whose SQL inlines constants derived from the
+    sf0.01 gate data, e.g. the OPQ rotation) materialize here."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

@@ -124,6 +124,12 @@ class Manifest:
     pq_subspaces: int = 8
     pq_codes: int = 16
     ivfpq_refine: int = 50
+    #: OPQ (Ge et al. 2014): train an orthogonal rotation that
+    #: balances residual variance across the PQ subspaces before
+    #: encoding (operators.pq.opq_train_np). Stored as rotation.npy
+    #: beside the codebooks; queries rotate their residuals, the exact
+    #: rerank stays in the raw space (rotation-invariant distances).
+    pq_opq: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -145,6 +151,7 @@ class Manifest:
             "pq_subspaces": self.pq_subspaces,
             "pq_codes": self.pq_codes,
             "ivfpq_refine": self.ivfpq_refine,
+            "pq_opq": self.pq_opq,
         }
 
     @classmethod
@@ -168,6 +175,7 @@ class Manifest:
             pq_subspaces=d.get("pq_subspaces", 8),
             pq_codes=d.get("pq_codes", 16),
             ivfpq_refine=d.get("ivfpq_refine", 50),
+            pq_opq=d.get("pq_opq", False),
         )
 
 
@@ -1715,12 +1723,28 @@ class Collection:
                 kmeans_iters=m.ivf_kmeans_iters,
             )
             resid = self._ivfpq_residuals(assigned, Cn, vc)
-            book = pq_train(
-                resid, id_col=pk, vec_col="_rv",
-                n_subspaces=m.pq_subspaces, n_codes=m.pq_codes,
-            )
+            if m.pq_opq:
+                # OPQ (Ge et al. 2014): learn an orthogonal rotation on
+                # a deterministic residual sample, then rotate-encode
+                # every residual in the same Arrow pass. The coarse
+                # quantizer, the vecs rerank tree, and the exact rerank
+                # are untouched — distances are rotation-invariant.
+                from coltt_spark.operators.pq import opq_sample, opq_train_np
+
+                sample = opq_sample(resid, id_col=pk, vec_col="_rv")
+                rot, book = opq_train_np(
+                    sample, n_subspaces=m.pq_subspaces, n_codes=m.pq_codes
+                )
+            else:
+                rot = None
+                book = pq_train(
+                    resid, id_col=pk, vec_col="_rv",
+                    n_subspaces=m.pq_subspaces, n_codes=m.pq_codes,
+                )
             codes = resid.select(
-                pk, "centroid", _encode_udf(book)(F.col("_rv")).alias("_codes")
+                pk,
+                "centroid",
+                _encode_udf(book, rotation=rot)(F.col("_rv")).alias("_codes"),
             ).join(df.select(_COMMIT, *pcols), on=pk)
             blocks = pack_blocks(
                 codes.repartition(n_files, "centroid"),
@@ -1752,6 +1776,8 @@ class Collection:
             )
             np.save(os.path.join(out, "centroids.npy"), Cn)
             np.save(os.path.join(out, "book.npy"), book)
+            if rot is not None:
+                np.save(os.path.join(out, "rotation.npy"), rot)
 
     def _ivfpq_residuals(
         self, assigned: DataFrame, Cn: np.ndarray, vc: str
@@ -1819,11 +1845,18 @@ class Collection:
             new_dir = self._ivf_dir(vc, new_v)
             Cn = np.load(os.path.join(old_dir, "centroids.npy"))
             book = np.load(os.path.join(old_dir, "book.npy"))
+            rot_path = os.path.join(old_dir, "rotation.npy")
+            # the OPQ rotation is FROZEN alongside the codebooks (it
+            # only moves on compact) — delta rows rotate-encode against
+            # the same basis the base codes were trained in
+            rot = np.load(rot_path) if os.path.isfile(rot_path) else None
             assigned = ivf_assign(
                 df.select(_COMMIT, vc), Cn, id_col=_COMMIT, vec_col=vc
             )
             codes = self._ivfpq_residuals(assigned, Cn, vc).select(
-                _COMMIT, "centroid", _encode_udf(book)(F.col("_rv")).alias("_codes")
+                _COMMIT,
+                "centroid",
+                _encode_udf(book, rotation=rot)(F.col("_rv")).alias("_codes"),
             ).join(df.select(_COMMIT, *pcols), on=_COMMIT)
             blocks = pack_blocks(
                 codes.repartition(n_files, "centroid"),
@@ -1857,6 +1890,8 @@ class Collection:
                 )
             np.save(os.path.join(new_dir, "centroids.npy"), Cn)
             np.save(os.path.join(new_dir, "book.npy"), book)
+            if rot is not None:
+                np.save(os.path.join(new_dir, "rotation.npy"), rot)
 
     def _search_ivfpq(
         self,
@@ -1923,6 +1958,12 @@ class Collection:
             [[float(qv[j]) - float(Cn[c][j]) for j in range(len(qv))] for c in probes],
             dtype=np.float64,
         )
+        rot_path = os.path.join(d, "rotation.npy")
+        if os.path.isfile(rot_path):
+            # OPQ index: codes encode the ROTATED residual, so the LUT
+            # compares against the rotated query residual; the exact
+            # rerank below stays in the raw space (rotation-invariant)
+            qrs = qrs @ np.load(rot_path)
         lut_mat = ivfpq_residual_luts(qrs, book)
         luts: dict[int, list[float]] = {
             int(c): [float(x) for x in lut_mat[i]] for i, c in enumerate(probes)
@@ -2080,6 +2121,10 @@ class Collection:
             ],
             dtype=np.float64,
         )
+        rot_path = os.path.join(d, "rotation.npy")
+        if os.path.isfile(rot_path):
+            # OPQ: rotate the whole (query, list) residual batch once
+            qrs = qrs @ np.load(rot_path)
         lut_mat = ivfpq_residual_luts(qrs, book)
         adc_luts = {pair: lut_mat[i] for i, pair in enumerate(pairs)}
         blocks_dir = os.path.join(d, "blocks")
@@ -2232,6 +2277,7 @@ class Catalog:
         pq_subspaces: int = 8,
         pq_codes: int = 16,
         ivfpq_refine: int = 50,
+        opq: bool = False,
     ) -> Collection:
         if distance not in DISTANCES:
             raise ValueError(f"distance must be one of {DISTANCES}")
@@ -2245,6 +2291,11 @@ class Catalog:
             raise ValueError(
                 f"ivfpq layout requires dim % pq_subspaces == 0, got "
                 f"dim={dim}, pq_subspaces={pq_subspaces}"
+            )
+        if opq and layout != "ivfpq":
+            raise ValueError(
+                "opq=True is an ivfpq-layout dial (an OPQ rotation only "
+                f"affects PQ subspace encoding), got layout={layout!r}"
             )
         if layout == "ivfpq" and not 2 <= pq_codes <= 256:
             # codes are packed as uint8 — a bigger codebook would wrap
@@ -2264,7 +2315,7 @@ class Catalog:
             ivf_kmeans_iters=ivf_kmeans_iters,
             ivf_max_list_files=ivf_max_list_files,
             pq_subspaces=pq_subspaces, pq_codes=pq_codes,
-            ivfpq_refine=ivfpq_refine,
+            ivfpq_refine=ivfpq_refine, pq_opq=opq,
         )
         os.makedirs(root)
         coll = Collection.__new__(Collection)

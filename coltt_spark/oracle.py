@@ -103,8 +103,13 @@ def check_query(
     if name not in ORACLES:
         n = df.count()
         return n >= 0, f"rows-only check: {n} rows"
+    sql = ORACLES[name]
+    if callable(sql):
+        # lazy oracle: the SQL inlines constants derived from the gate
+        # data (e.g. the OPQ rotation — registry._opq_collection_constants)
+        sql = sql(sf_dir)
     con = duckdb_conn(sf_dir)
     try:
-        return compare(df, con, ORACLES[name])
+        return compare(df, con, sql)
     finally:
         con.close()

@@ -960,6 +960,48 @@ def _ivfpq_collection(spark: SparkSession, sf_dir: str):
     return _COLL_CACHE[(sf_dir, "ivfpq")]
 
 
+def _ivfpq_opq_collection(spark: SparkSession, sf_dir: str):
+    """Cached ``layout="ivfpq", opq=True`` cosine collection — same
+    geometry as :func:`_ivfpq_collection`, but flush additionally
+    trains an orthogonal OPQ rotation (Ge et al. 2014) on a
+    deterministic residual sample and rotate-encodes every residual in
+    the same Arrow pass (catalog._write_ivfpq;
+    operators.pq.opq_train_np). Queries rotate their residuals before
+    the LUT build; the exact rerank stays in the raw space."""
+    from coltt_spark.tmpdirs import scratch_dir
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    if (sf_dir, "ivfpq_opq") not in _COLL_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cat = Catalog(spark, scratch_dir(prefix="coltt_wh_ivfpqopq_"))
+        coll = cat.create_collection(
+            "emb_ivfpq_opq",
+            dim=dim,
+            distance="cosine",
+            fields=[
+                IndexField("id", "string", primary_key=True),
+                IndexField("label", "integer"),
+            ],
+            layout="ivfpq",
+            opq=True,
+            block_dtype="float64",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("label").cast("int").alias("label"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()  # trains rotation + codebooks, packs ROTATED codes
+        _COLL_CACHE[(sf_dir, "ivfpq_opq")] = coll
+    return _COLL_CACHE[(sf_dir, "ivfpq_opq")]
+
+
 def _delta_ivfpq_collection(spark: SparkSession, sf_dir: str):
     """Cached ivfpq collection maintained INCREMENTALLY (the ivf-delta
     discipline extended to the codebooks): full IVFADC build of the
@@ -1058,6 +1100,65 @@ def q_collection_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_coarse_sql(*, n_centroids: int = 16, label_sql: str = "label") -> str:
+    """Shared CTE prefix of the ivfpq-collection oracles: stored
+    vectors (normalize-at-write + float32 cast), the md5-seeded coarse
+    k-means replay (seed -> assign -> one Lloyd mean -> re-assign) and
+    each row's residual against its final coarse centroid — everything
+    upstream of PQ encoding, identical between the plain replay
+    (_collection_ivfpq_oracle) and the OPQ replay
+    (_collection_ivfpq_opq_oracle)."""
+    nrm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    stored = (
+        f"list_transform(embedding::DOUBLE[], x -> "
+        f"CAST(CASE WHEN {nrm} > 0 THEN x / {nrm} ELSE x END AS REAL)::DOUBLE)"
+    )
+    u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
+    return f"""
+WITH h AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, {label_sql} AS label, {stored} AS v,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+),
+len_d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+nn AS (SELECT greatest(count(*) // {2 * n_centroids}, 1) AS step FROM embeddings),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY hh) - 1 AS cid
+  FROM h, nn WHERE hh % step = 0
+  ORDER BY hh LIMIT {n_centroids}
+),
+c0 AS (SELECT cid, {u.format(v="v")} AS cv FROM seeds),
+a0 AS (
+  SELECT h.id, h.v, c.cid,
+         row_number() OVER (PARTITION BY h.id
+             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
+  FROM h CROSS JOIN c0 c
+),
+g AS (SELECT unnest(generate_series(1, (SELECT dim FROM len_d))) AS ord),
+m0 AS (
+  SELECT t.cid, g.ord, avg(t.v[g.ord]) AS mx
+  FROM (SELECT cid, v FROM a0 WHERE rn = 1) t CROSS JOIN g
+  GROUP BY t.cid, g.ord
+),
+c1m AS (SELECT cid, list(mx ORDER BY ord) AS mv FROM m0 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid, COALESCE({u.format(v="c1m.mv")}, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1m USING (cid)
+),
+a1 AS (
+  SELECT h.id, h.label, h.v, c.cid,
+         row_number() OVER (PARTITION BY h.id
+             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
+  FROM h CROSS JOIN c1 c
+),
+res AS (
+  SELECT a.id, a.cid AS ccid,
+         list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
+  FROM (SELECT id, v, cid FROM a1 WHERE rn = 1) a
+  JOIN c1 c ON c.cid = a.cid
+)"""
+
+
 def _collection_ivfpq_oracle(
     *,
     n_centroids: int = 16,
@@ -1103,49 +1204,9 @@ def _collection_ivfpq_oracle(
         f"CAST(CASE WHEN {nrm} > 0 THEN x / {nrm} ELSE x END AS REAL)::DOUBLE)"
     )
     u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
-    head = f"""
-WITH h AS (
-  SELECT CAST(vec_id AS VARCHAR) AS id, {label_sql} AS label, {stored} AS v,
-         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
-  FROM embeddings
-),
-len_d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
-nn AS (SELECT greatest(count(*) // {2 * n_centroids}, 1) AS step FROM embeddings),
-seeds AS (
-  SELECT v, row_number() OVER (ORDER BY hh) - 1 AS cid
-  FROM h, nn WHERE hh % step = 0
-  ORDER BY hh LIMIT {n_centroids}
-),
-c0 AS (SELECT cid, {u.format(v="v")} AS cv FROM seeds),
-a0 AS (
-  SELECT h.id, h.v, c.cid,
-         row_number() OVER (PARTITION BY h.id
-             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
-  FROM h CROSS JOIN c0 c
-),
-g AS (SELECT unnest(generate_series(1, (SELECT dim FROM len_d))) AS ord),
-m0 AS (
-  SELECT t.cid, g.ord, avg(t.v[g.ord]) AS mx
-  FROM (SELECT cid, v FROM a0 WHERE rn = 1) t CROSS JOIN g
-  GROUP BY t.cid, g.ord
-),
-c1m AS (SELECT cid, list(mx ORDER BY ord) AS mv FROM m0 GROUP BY cid),
-c1 AS (
-  SELECT c0.cid, COALESCE({u.format(v="c1m.mv")}, c0.cv) AS cv
-  FROM c0 LEFT JOIN c1m USING (cid)
-),
-a1 AS (
-  SELECT h.id, h.label, h.v, c.cid,
-         row_number() OVER (PARTITION BY h.id
-             ORDER BY list_dot_product({u.format(v="h.v")}, c.cv) DESC, c.cid ASC) AS rn
-  FROM h CROSS JOIN c1 c
-),
-res AS (
-  SELECT a.id, a.cid AS ccid,
-         list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
-  FROM (SELECT id, v, cid FROM a1 WHERE rn = 1) a
-  JOIN c1 c ON c.cid = a.cid
-),
+    head = _ivfpq_coarse_sql(
+        n_centroids=n_centroids, label_sql=label_sql
+    ) + f""",
 pnn AS (SELECT greatest(count(*) // {2 * ks}, 1) AS step FROM embeddings),
 pseeds AS (
   SELECT r.rv AS v, row_number() OVER (ORDER BY h.hh) - 1 AS cid
@@ -1290,6 +1351,211 @@ r1 AS (
          row_number() OVER (ORDER BY adc.dist ASC, adc.id ASC) AS rn
   FROM adc JOIN (SELECT id, label FROM a1 WHERE rn = 1) a ON a.id = adc.id
   {cand_where}
+),
+refined AS (
+  SELECT r.id, a.label,
+         abs(1.0 - list_dot_product(a.v, qn.q1)) AS dist
+  FROM r1 r
+  JOIN (SELECT id, label, v FROM a1 WHERE rn = 1) a ON a.id = r.id, qn
+  WHERE r.rn <= {refine}
+)
+SELECT id, CAST(label AS BIGINT) AS label, round(dist, 4) AS dist,
+       round((2.0 - dist) / 2.0 * 100.0, 4) AS score
+FROM refined ORDER BY dist ASC, id ASC LIMIT {k}
+"""
+
+
+def q_collection_search_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with an OPQ rotation through the PRODUCT surface
+    (VERDICT r10 #2 — the operator half shipped in r10, this is the
+    Collection wiring): ``create_collection(layout="ivfpq", opq=True)``
+    trains an orthogonal rotation that balances residual variance
+    across the PQ subspaces (Ge et al. 2014, "Optimized Product
+    Quantization"; the reference declares PQ and never implements it,
+    ``idl/proto/v3/core.proto:105-112``), stores it as rotation.npy
+    beside the codebooks, rotate-encodes every stored residual, and
+    rotates the query residual before each probed list's LUT — while
+    the refine rerank keeps scoring RAW vectors (rotation-invariant
+    distances). The oracle replays serving end-to-end in SQL with the
+    trained (R, book) inlined as constant tables: training's
+    Procrustes step is an SVD no SQL engine expresses, so the
+    independence boundary sits exactly at training (the constants are
+    derived by the deterministic trainer on a DuckDB-replayed residual
+    sample — see _opq_collection_constants)."""
+    coll = _ivfpq_opq_collection(spark, sf_dir)
+    res = coll.search(_query_vec(spark, sf_dir), limit=10)
+    return res.select(
+        "id",
+        F.col("label").cast("long").alias("label"),
+        F.round("dist", 4).alias("dist"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+#: The driver's correctness gate (and the local pytest mirror) runs
+#: oracles against this scale factor only — the one place a LAZY
+#: oracle may read data from to derive inlineable constants.
+_SF_GATE = "/root/testdata/sf0.01"
+
+
+def _sql_double_list(vals) -> str:
+    """Python float sequence -> DuckDB DOUBLE[] literal. ``repr`` emits
+    the shortest round-trip decimal, and DuckDB's DECIMAL/scientific
+    literals cast to DOUBLE by correct rounding, so the parsed values
+    equal the original float64s bit-for-bit."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+_OPQ_CONSTS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
+    """Derive the OPQ collection's (rotation, codebook) as SQL VALUES
+    rows — training replayed OUTSIDE SQL, serving replayed IN SQL.
+    OPQ's Procrustes step is an SVD, which SQL cannot express, so the
+    oracle's independence boundary sits exactly at training: the
+    residual sample is produced by DuckDB running the SAME
+    coarse-k-means replay the oracle itself trusts (sequential-fold
+    parity with the engine, drift <= 1e-15 from avg fold order), the
+    deterministic trainer (:func:`~coltt_spark.operators.pq.opq_train_np`
+    — identity init, sample-row seeds, fixed iteration counts) maps it
+    to (R, book), and everything downstream — rotate, encode, probe,
+    LUT, ADC, refine cut, exact rerank — is independent SQL over the
+    inlined constants (VERDICT r10 next #2: "the oracle inlines R as a
+    constant table exactly like the codebooks"). Engine/oracle
+    training inputs drift only in the last float bit, so code and
+    probe DECISIONS are stable and the output distances are exact
+    stored-vector dots either way."""
+    if sf_dir in _OPQ_CONSTS_CACHE:
+        return _OPQ_CONSTS_CACHE[sf_dir]
+    import hashlib
+
+    import numpy as np
+
+    from coltt_spark.operators.pq import opq_train_np
+    from coltt_spark.oracle import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    try:
+        rows = con.execute(
+            _ivfpq_coarse_sql() + "\nSELECT r.id, r.rv FROM res r"
+        ).fetchall()
+    finally:
+        con.close()
+    # opq_sample replay: hash60(id) % step == 0, Python-sorted by the
+    # string PK — the engine's deterministic driver-side sample rule
+    step = max(1, len(rows) // 16384)
+    keep = sorted(
+        (
+            (i, v)
+            for i, v in rows
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % step == 0
+        ),
+        key=lambda t: t[0],
+    )
+    X = np.array([v for _, v in keep], dtype=np.float64)
+    rot, book = opq_train_np(X, n_subspaces=8, n_codes=16)
+    rot_vals = ",\n".join(
+        f"({i}, {_sql_double_list(rot[i])})" for i in range(rot.shape[0])
+    )
+    book_vals = ",\n".join(
+        f"({mi}, {ci}, {_sql_double_list(book[mi, ci])})"
+        for mi in range(book.shape[0])
+        for ci in range(book.shape[1])
+    )
+    _OPQ_CONSTS_CACHE[sf_dir] = (rot_vals, book_vals)
+    return _OPQ_CONSTS_CACHE[sf_dir]
+
+
+def _collection_ivfpq_opq_oracle(sf_dir: str = _SF_GATE) -> str:
+    """SQL replay of the OPQ ivfpq-collection search. Stored in
+    :data:`ORACLES` as a CALLABLE and materialized lazily
+    (oracle.check_query / __spark_entry__.oracle_sql) because the
+    inlined (R, book) constants derive from the gate data — see
+    :func:`_opq_collection_constants` for the independence argument.
+    Structure: the shared coarse replay (:func:`_ivfpq_coarse_sql`),
+    residuals rotated through the inlined ``rot`` table by plain
+    join-index-sum-regroup (no multi-column list lambdas — the
+    documented DuckDB 1.0 misalignment hazard), encode against the
+    inlined ``pb1`` codebook, then the identical probe/LUT/ADC/refine
+    tail as the plain oracle with the query residual rotated the same
+    way. Defaults mirror the fixture: 16 lists, nprobe 4, M=8, ks=16,
+    refine 50, k=10."""
+    rot_vals, book_vals = _opq_collection_constants(sf_dir)
+    m, nprobe, refine, k = 8, 4, 50, 10
+    dsub_sql = f"(len_d.dim // {m})"
+    sq = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    u = "list_transform({v}, x -> x / greatest(sqrt(list_dot_product({v}, {v})), 1e-30))"
+    return f"""{_ivfpq_coarse_sql()},
+ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m),
+rotg AS (SELECT unnest(generate_series(0, (SELECT dim FROM len_d) - 1)) AS j),
+rot(i, rl) AS (VALUES
+{rot_vals}),
+rres AS (
+  SELECT t.id, t.ccid, list(t.comp ORDER BY t.j) AS rv
+  FROM (
+    SELECT r.id, r.ccid, rotg.j,
+           sum(r.rv[rot.i + 1] * rot.rl[rotg.j + 1]) AS comp
+    FROM res r CROSS JOIN rot CROSS JOIN rotg
+    GROUP BY r.id, r.ccid, rotg.j
+  ) t GROUP BY t.id, t.ccid
+),
+rs AS (
+  SELECT r.id, r.ccid, ms.m,
+         r.rv[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS sv
+  FROM rres r CROSS JOIN ms, len_d
+),
+pb1(m, cid, cv) AS (VALUES
+{book_vals}),
+pa1 AS (
+  SELECT rs.id, rs.ccid, rs.m, b.cid,
+         row_number() OVER (PARTITION BY rs.id, rs.m
+             ORDER BY {sq.format(a="rs.sv", b="b.cv")} ASC, b.cid ASC) AS rn
+  FROM rs JOIN pb1 b ON b.m = rs.m
+),
+q0 AS ({_QV_SQL}),
+qn AS (SELECT {u.format(v="qv")} AS q1 FROM q0),
+prb AS (
+  SELECT cid AS ccid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+               ORDER BY list_dot_product({u.format(v="q1")}, c.cv) DESC, c.cid ASC) AS pr
+    FROM qn CROSS JOIN c1 c
+  ) WHERE pr <= {nprobe}
+),
+qres AS (
+  SELECT p.ccid,
+         list_transform(list_zip(qn.q1, c.cv), p2 -> p2[1] - p2[2]) AS qr
+  FROM prb p JOIN c1 c ON c.cid = p.ccid, qn
+),
+qrexp AS (
+  SELECT q.ccid, rotg.j, sum(q.qr[rot.i + 1] * rot.rl[rotg.j + 1]) AS comp
+  FROM qres q CROSS JOIN rot CROSS JOIN rotg
+  GROUP BY q.ccid, rotg.j
+),
+qrot AS (SELECT ccid, list(comp ORDER BY j) AS qr FROM qrexp GROUP BY ccid),
+qsub AS (
+  SELECT q.ccid, ms.m,
+         q.qr[ms.m * {dsub_sql} + 1 : (ms.m + 1) * {dsub_sql}] AS qsv
+  FROM qrot q CROSS JOIN ms, len_d
+),
+lut AS (
+  SELECT q.ccid, q.m, b.cid, {sq.format(a="q.qsv", b="b.cv")} AS d
+  FROM qsub q JOIN pb1 b ON b.m = q.m
+),
+adc AS (
+  SELECT a.id, sqrt(list_sum(list(l.d ORDER BY l.m))) AS dist
+  FROM (SELECT id, ccid, m, cid FROM pa1 WHERE rn = 1) a
+  JOIN lut l ON l.ccid = a.ccid AND l.m = a.m AND l.cid = a.cid
+  GROUP BY a.id
+),
+r1 AS (
+  SELECT adc.id, adc.dist,
+         row_number() OVER (ORDER BY adc.dist ASC, adc.id ASC) AS rn
+  FROM adc JOIN (SELECT id, label FROM a1 WHERE rn = 1) a ON a.id = adc.id
 ),
 refined AS (
   SELECT r.id, a.label,
@@ -1738,6 +2004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_search_ivfpq": q_collection_search_ivfpq,
     "collection_search_ivfpq_batch": q_collection_search_ivfpq_batch,
     "collection_search_ivfpq_delta": q_collection_search_ivfpq_delta,
+    "collection_search_ivfpq_opq": q_collection_search_ivfpq_opq,
     "collection_hybrid_ivf": q_collection_hybrid_ivf,
     "knn_f16": q_knn_f16,
     "knn_bf16": q_knn_bf16,
@@ -1749,7 +2016,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_block": q_knn_block,
 }
 
-ORACLES: dict[str, str] = {
+# values are SQL strings, or zero/one-arg callables returning the SQL
+# (lazy oracles whose inlined constants derive from the gate data) —
+# materialized by oracle.check_query and __spark_entry__.oracle_sql
+ORACLES: dict[str, str | Callable[..., str]] = {
     "knn_cosine": _ORACLE_KNN_COSINE,
     "knn_euclidean": _ORACLE_KNN_EUCLIDEAN,
     "knn_manhattan": _ORACLE_KNN_MANHATTAN,
@@ -1784,6 +2054,9 @@ ORACLES: dict[str, str] = {
         label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
         cand_where="WHERE a.label <> 5",
     ),
+    # stored as a CALLABLE, materialized lazily: the inlined (R, book)
+    # constants derive from the gate data (see _opq_collection_constants)
+    "collection_search_ivfpq_opq": _collection_ivfpq_opq_oracle,
     "knn_f16": _quantized_oracle("f16"),
     "knn_bf16": _quantized_oracle("bf16"),
     "knn_f8": _quantized_oracle("f8"),
@@ -1911,12 +2184,17 @@ _KEY_ORDER = [
     "text_script_profile",                 # ledger: last driver signal r8
     "dedup_containment_bytes",                 # ledger: last driver signal r8
     "bpe_train",                 # ledger: last driver signal r8
-    "bpe_encode",                 # ledger: last driver signal r8
+    # -- new in r11 ----------------------------------------------------
+    "collection_search_ivfpq_opq",  # new r11: OPQ rotation through the
+    #    product surface (VERDICT r10 #2) — layout="ivfpq", opq=True
+    #    collection; rotation trained at flush, frozen across deltas;
+    #    oracle replays serving in SQL over the inlined (R, book)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "bpe_encode",                 # ledger: r8 overflow, round-12 priority
     "media_exif",                 # ledger: r8 overflow, round-12 priority
     "media_exif_orientation",                 # ledger: r8 overflow, round-12 priority
     "pack_sequences_firstfit",                 # ledger: r8 overflow, round-12 priority
@@ -2058,6 +2336,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _delta_ivf_collection(spark, sf_dir)
     _ivf_collection(spark, sf_dir)
     _ivfpq_collection(spark, sf_dir)
+    _ivfpq_opq_collection(spark, sf_dir)
     _delta_ivfpq_collection(spark, sf_dir)
     for kind in ("f16", "bf16", "f8", "bq", "sq8"):
         _quantized_collection(spark, sf_dir, kind)

@@ -439,3 +439,116 @@ def test_opq_improves_anisotropic_adc_and_keeps_exact_refine(spark):
             assert round(x["dist"], 8) == t[key]
             hits += 1
     assert hits > 0
+
+def test_opq_through_collection_surface(spark):
+    """VERDICT r10 #2: the anisotropic ADC gain must be reachable
+    through ``create_collection(layout="ivfpq", opq=True)`` — the
+    rotation trains at flush, lands as rotation.npy beside the
+    codebooks, applies to both the stored-residual encode and the
+    query residual, stays FROZEN across delta flushes, and the refined
+    output's distances remain exact raw-space euclidean (rotation
+    invariance). The refined rerank keeps the r10 scale contract: its
+    only file inputs are the probed lists' vecs tree."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.schema import IndexField
+
+    emb = _aniso_corpus(spark)
+    qs = {
+        j: list(emb.filter(F.col("vec_id") == 137 * j).first()["embedding"])
+        for j in range(4)
+    }
+    # truth over the STORED values: the collection casts vectors to
+    # float32 at write (normalize-at-write discipline), so the exact
+    # rerank's distances are doubles over the float32-cast corpus
+    stored = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").cast("array<double>").alias(
+            "embedding"
+        ),
+    )
+    truth = brute_topk(
+        stored, qs, id_col="vec_id", vec_col="embedding", k=K, distance="euclidean"
+    ).collect()
+    t_ids: dict[int, set[str]] = {}
+    t_dist: dict[tuple[int, str], float] = {}
+    for r in truth:
+        t_ids.setdefault(int(r["query_id"]), set()).add(str(r["vec_id"]))
+        t_dist[(int(r["query_id"]), str(r["vec_id"]))] = round(float(r["dist"]), 8)
+    colls = {}
+    for opq in (False, True):
+        cat = Catalog(spark, tempfile.mkdtemp(prefix=f"wh_opq{int(opq)}_"))
+        coll = cat.create_collection(
+            "c", dim=32, distance="euclidean",
+            fields=[IndexField("id", "string", primary_key=True)],
+            layout="ivfpq", ivf_centroids=4, ivf_nprobe=4,
+            pq_subspaces=4, pq_codes=16, opq=opq, block_dtype="float64",
+        )
+        coll.upsert_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("embedding").alias("vector"),
+            ),
+            dedupe_batch=False,
+        )
+        coll.flush()
+        colls[opq] = coll
+    d = colls[True]._ivf_dir("vector")
+    R = np.load(os.path.join(d, "rotation.npy"))
+    assert np.allclose(R @ R.T, np.eye(32), atol=1e-9)
+    assert not os.path.isfile(
+        os.path.join(colls[False]._ivf_dir("vector"), "rotation.npy")
+    )
+    # ADC-only recall at the same (M, ks, nprobe) budget: OPQ >= PQ on
+    # the anisotropic corpus (nprobe = all lists isolates ADC quality)
+    rec = {}
+    for opq, coll in colls.items():
+        hits = 0
+        for j, q in qs.items():
+            got = {r["id"] for r in coll.search(q, limit=K, refine=0).collect()}
+            hits += len(got & t_ids[j])
+        rec[opq] = hits / (K * len(qs))
+    assert rec[True] >= rec[False], rec
+    # refined output: exact raw-space distances, rerank path-pruned
+    refined = colls[True].search(qs[0], limit=K)
+    hits = 0
+    for r in refined.collect():
+        key = (0, r["id"])
+        if key in t_dist:
+            assert round(float(r["dist"]), 8) == t_dist[key]
+            hits += 1
+    assert hits > 0
+    for f in refined.inputFiles():
+        assert "vecs/centroid=" in f or f"vecs{os.sep}centroid=" in f, f
+    # batch path rotates the whole (query, list) residual batch once:
+    # batch == per-query loop, row for row
+    batch = colls[True].search_batch({0: qs[0], 1: qs[1]}, limit=K).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["dist"], r["id"])):
+        by_q.setdefault(int(r["query_id"]), []).append((r["id"], round(r["dist"], 8)))
+    for j in (0, 1):
+        seq = [
+            (r["id"], round(r["dist"], 8))
+            for r in colls[True].search(qs[j], limit=K).collect()
+        ]
+        assert by_q[j] == seq
+    # delta flush freezes the rotation alongside the codebooks
+    coll = colls[True]
+    coll.upsert_df(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").alias("vector"),
+        ),
+        dedupe_batch=False,
+    )
+    coll.flush()
+    R2 = np.load(os.path.join(coll._ivf_dir("vector"), "rotation.npy"))
+    assert np.array_equal(R, R2)
+    for r in coll.search(qs[0], limit=K).collect():
+        key = (0, r["id"])
+        if key in t_dist:
+            assert round(float(r["dist"]), 8) == t_dist[key]

@@ -94,12 +94,12 @@ ROTATION_LEDGER_R11 = [
     "text_script_profile",
     "dedup_containment_bytes",
     "bpe_train",
-    "bpe_encode",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "bpe_encode",
     "media_exif",
     "media_exif_orientation",
     "pack_sequences_firstfit",
@@ -130,6 +130,9 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         == R12_PRIORITY
     )
     # new/touched this round — seats land here as they ship
-    new_or_touched: set[str] = set()
+    new_or_touched: set[str] = {
+        # new r11: OPQ rotation through the Collection product surface
+        "collection_search_ivfpq_opq",
+    }
     must_check = set(ROTATION_LEDGER_R11) | new_or_touched
     assert must_check <= window, sorted(must_check - window)
