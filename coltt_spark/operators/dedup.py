@@ -641,6 +641,47 @@ def sign_block_sql(vec_expr: str, *, bits: int = 16) -> str:
     )
 
 
+def sign_bands(vec_col, *, bands: int = 4, band_bits: int = 8):
+    """Multi-band sign-LSH keys (VERDICT r10 #3): band ``k`` covers the
+    DISJOINT coordinate slice ``[k·band_bits, (k+1)·band_bits)`` and
+    contributes the key ``k·2^band_bits + Σ 2^i·[x_{k·band_bits+i} ≥ 0]``
+    — the MinHash banding discipline applied to sign bits. A pair is a
+    candidate when ANY band agrees (OR-union of the per-band blocks),
+    so a near-dup that flips up to ``bands − 1`` component signs inside
+    the banded coordinates STILL collides by pigeonhole — where the
+    single-block :func:`sign_block` is a guaranteed miss on the first
+    flipped bit. Still axis-aligned, so every band is exactly
+    replayable in SQL (:func:`sign_bands_sql`) and blocked near-dup /
+    decontamination stays value-checked end-to-end. Returns an
+    ``array<long>`` of ``bands`` keys; explode + equi-join per key."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    keys = []
+    for k in range(bands):
+        out = F.lit(k * (1 << band_bits))
+        for i in range(band_bits):
+            out = out + F.when(
+                c[k * band_bits + i] >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        keys.append(out.cast("long"))
+    return F.array(*keys)
+
+
+def sign_bands_sql(vec_expr: str, *, bands: int = 4, band_bits: int = 8) -> list[str]:
+    """DuckDB mirrors of :func:`sign_bands` (1-based list indexing),
+    one key expression per band — oracles ``unnest`` the list to
+    replay the OR-union blocking bit-for-bit."""
+    return [
+        f"({k * (1 << band_bits)} + "
+        + " + ".join(
+            f"(CASE WHEN {vec_expr}[{k * band_bits + i + 1}] >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(band_bits)
+        )
+        + ")"
+        for k in range(bands)
+    ]
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -648,25 +689,61 @@ def embedding_neardup_pairs(
     *,
     threshold: float = 0.95,
     block_col: str | None = None,
+    bands_col: str | None = None,
     strategy: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos_sim ≥ threshold).
 
     With ``block_col`` the self-join is an equi-join within blocks
-    (e.g. an LSH bucket or cluster id) — the scale path. Without it
-    the pair space is O(n²): ``strategy="expr"`` evaluates it as a
-    Catalyst cross join (exact left-fold arithmetic, oracle-grade);
-    ``strategy="blas"`` broadcasts the corpus matrix and computes one
-    numpy matmul per partition — orders of magnitude faster, values
-    equal to the expr path up to BLAS summation order (≪1e-12, safe
-    under round-4 output).
+    (e.g. an LSH bucket or cluster id) — the scale path. With
+    ``bands_col`` (an array of per-band keys, :func:`sign_bands`) the
+    keys explode and the equi-join runs per band with an OR-union of
+    candidates — same scale shape, but a pair survives a sign flip in
+    any ``bands − 1`` bands (VERDICT r10 #3); duplicate cross-band
+    candidates collapse on the pair key before the cosine verify.
+    Without either the pair space is O(n²): ``strategy="expr"``
+    evaluates it as a Catalyst cross join (exact left-fold arithmetic,
+    oracle-grade); ``strategy="blas"`` broadcasts the corpus matrix
+    and computes one numpy matmul per partition — orders of magnitude
+    faster, values equal to the expr path up to BLAS summation order
+    (≪1e-12, safe under round-4 output).
     """
     if strategy not in ("expr", "blas"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if block_col is not None and bands_col is not None:
+        raise ValueError("block_col and bands_col are mutually exclusive")
     if strategy == "blas":
-        if block_col is not None:
-            raise ValueError("blas strategy implies all-pairs; drop block_col")
+        if block_col is not None or bands_col is not None:
+            raise ValueError("blas strategy implies all-pairs; drop blocking")
         return _neardup_blas(df, id_col, vec_col, threshold=threshold)
+    if bands_col is not None:
+        a = df.select(
+            F.col(id_col).alias(f"{id_col}_a"),
+            F.col(vec_col).alias(f"{vec_col}_a"),
+            F.explode(F.col(bands_col)).alias("_bkey"),
+        )
+        b = df.select(
+            F.col(id_col).alias(f"{id_col}_b"),
+            F.col(vec_col).alias(f"{vec_col}_b"),
+            F.explode(F.col(bands_col)).alias("_bkey"),
+        )
+        va, vb = F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")
+        return (
+            a.join(b, on="_bkey")
+            .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            # OR-union: a pair agreeing in several bands appears once
+            # per agreeing band — collapse on the pair key BEFORE the
+            # cosine verify (both sides carry identical vector copies,
+            # so which duplicate survives is immaterial)
+            .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+            .withColumn("cos_sim", dot(va, vb) / (l2_norm(va) * l2_norm(vb)))
+            .filter(F.col("cos_sim") >= threshold)
+            .select(
+                F.col(f"{id_col}_a").alias("id_a"),
+                F.col(f"{id_col}_b").alias("id_b"),
+                F.round("cos_sim", 4).alias("cos_sim"),
+            )
+        )
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     base = df.select(*cols)
     a = base.select(

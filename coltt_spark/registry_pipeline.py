@@ -96,17 +96,27 @@ HAVING count(DISTINCT t.sh) >= 1
 """
 
 
+from coltt_spark.registry_dedup import (  # noqa: E402
+    _FLIPPED_PLANTS_SQL,
+    _flipped_bench_plants,
+)
+
+
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-space decontamination: every 50th embedding plays the
-    benchmark suite; the training corpus contains BOTH the benchmark
-    rows verbatim (the common raw-leak case) AND planted ×1.2-scaled
-    copies under new ids (cosine-invariant — "the eval item re-embedded
-    inside a training document", the paraphrase-class leakage n-gram
-    checks can't see). Sign-LSH blocks make the bipartite comparison a
-    within-block equi-join with the tiny benchmark side broadcast; the
-    scaled copies keep every component sign, so they land in their
-    original's block by construction. The oracle replays blocking,
-    the cosine folds, the threshold, and the per-id aggregation."""
+    benchmark suite; the training corpus contains the benchmark rows
+    verbatim (the common raw-leak case), planted ×1.2-scaled copies
+    (cosine-invariant — "the eval item re-embedded inside a training
+    document"), AND planted sign-flip paraphrases — copies whose 1-3
+    smallest components among the first 16 flip sign, the leak class
+    the r10 single-block sign-LSH missed by construction (VERDICT r10
+    #2). Multi-band sign-LSH (4 bands × 8 bits over disjoint
+    coordinate slices, OR-union of candidate blocks) makes the
+    bipartite comparison an equi-join on the exploded band key with
+    the tiny benchmark side broadcast; ≤ 3 flips dirty ≤ 3 bands, so
+    every planted paraphrase still collides by pigeonhole. The oracle
+    replays the plants, every band key, the cosine folds, the
+    threshold, and the per-id aggregation."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -115,35 +125,39 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.2)).alias("embedding"),
     )
-    train = emb.unionByName(copies)
+    train = emb.unionByName(copies).unionByName(_flipped_bench_plants(bench))
     return semantic_decontaminate(
-        train, bench, "vec_id", "embedding", threshold=0.95, bits=16
+        train, bench, "vec_id", "embedding", threshold=0.95, bands=4, band_bits=8
     )
 
 
 def _decontaminate_semantic_oracle() -> str:
-    from coltt_spark.operators.dedup import sign_block_sql
+    from coltt_spark.operators.dedup import sign_bands_sql
 
-    blk = sign_block_sql("v", bits=16)
-    bblk = sign_block_sql("bv", bits=16)
+    tkeys = ", ".join(sign_bands_sql("v", bands=4, band_bits=8))
+    bkeys = ", ".join(sign_bands_sql("bv", bands=4, band_bits=8))
     return f"""
 WITH bench AS (
   SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
   FROM embeddings WHERE vec_id % 50 = 0
 ),
-bb AS (SELECT bench_id, bv, {bblk} AS blk FROM bench),
+bb AS (SELECT bench_id, bv, unnest([{bkeys}]) AS bkey FROM bench),
 train AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.2)
   FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+{_FLIPPED_PLANTS_SQL}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 50 = 0)
 ),
-tb AS (SELECT vec_id, v, {blk} AS blk FROM train),
+tb AS (SELECT vec_id, v, unnest([{tkeys}]) AS bkey FROM train),
 hits AS (
   SELECT t.vec_id, b.bench_id,
          list_dot_product(t.v, b.bv) /
          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS cs
-  FROM tb t JOIN bb b USING (blk)
+  FROM tb t JOIN bb b USING (bkey)
 )
 SELECT vec_id,
        CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_hits,

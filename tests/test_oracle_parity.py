@@ -92,13 +92,13 @@ ROTATION_LEDGER_R11 = [
     "ann_ivfpq",
     "decontaminate_bytes",
     "text_script_profile",
-    "dedup_containment_bytes",
-    "bpe_train",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "dedup_containment_bytes",
+    "bpe_train",
     "bpe_encode",
     "media_exif",
     "media_exif_orientation",
@@ -133,6 +133,10 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     new_or_touched: set[str] = {
         # new r11: OPQ rotation through the Collection product surface
         "collection_search_ivfpq_opq",
+        # touched r11: multi-band sign-LSH blocking (VERDICT r10 #3)
+        # + planted sign-flip paraphrase fixtures
+        "decontaminate_semantic",
+        "neardup_cosine",
     }
     must_check = set(ROTATION_LEDGER_R11) | new_or_touched
     assert must_check <= window, sorted(must_check - window)
