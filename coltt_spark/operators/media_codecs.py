@@ -164,6 +164,25 @@ def _g711_table(law: str) -> np.ndarray:
     return out
 
 
+def g711_mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """Linear int16 → G.711 μ-law companded codes (the Sun ulaw
+    convention :func:`_g711_table` expands): clamp to 32635, add the
+    0x84 bias, segment = position of the magnitude's top bit above
+    bit 7, 4-bit mantissa under the segment shift, then invert. The
+    round trip ``_g711_table("mu")[g711_mulaw_compress(s)]`` is the
+    standard μ-law quantization — pinned against the expansion table
+    for every int16 value in tests, and replayed in integer SQL by the
+    audio-dedup oracle (the fixture's "re-encoded clip" role)."""
+    s = np.asarray(samples).astype(np.int64)
+    sign = (s < 0).astype(np.int64)
+    m = np.minimum(np.abs(s), 32635) + 132
+    e = np.zeros_like(m)
+    for thr_exp in range(8, 15):  # m >= 2^8 .. 2^14 → segments 1..7
+        e += (m >= (1 << thr_exp)).astype(np.int64)
+    mant = (m >> (e + 3)) & 0x0F
+    return (255 - (sign * 128 + e * 16 + mant)).astype(np.uint8)
+
+
 #: IMA/DVI ADPCM step-size table (the 89-entry table every IMA
 #: implementation shares — verified against stdlib ``audioop``'s
 #: Intel/DVI coder for random nibble streams in tests).

@@ -1103,3 +1103,142 @@ def dhash_pairs(sig: DataFrame, id_col: str, *, max_hamming: int = 3) -> DataFra
             "hamming",
         )
     )
+
+def audio_dedup_table(documents: DataFrame) -> DataFrame:
+    """Fabricate REAL audio containers with PLANTED perceptual
+    near-dups for the audio rows (``doc_id % 3 == 1``, matching
+    :func:`media_table`'s round-robin): consecutive audio rows form
+    3-clip CLUSTERS (``cluster = doc_id // 9``) whose 136 base int16
+    samples — 17 fingerprint windows × 8 samples — come from
+    ``md5('adp:' || cluster || ':' || window)`` digests taken as
+    big-endian pairs. Per-row role (``(doc_id / 3) % 3``):
+
+    - 0 — the base clip, PCM16 in RIFF/WAVE;
+    - 1 — GAIN-SHIFTED ``⌊3s/4⌋``, big-endian AIFF: band energies
+      scale ~uniformly, so the sign-of-difference fingerprint is
+      near-identical (measured hamming 0 on the fixture stream) — the
+      re-normalized copy every crawl corpus carries;
+    - 2 — RE-ENCODED through a REAL lossy codec: the base samples
+      G.711 μ-law companded
+      (:func:`~coltt_spark.operators.media_codecs.g711_mulaw_compress`)
+      and stored as the codes in an AU/Sun container — decode expands
+      through the spec table, so the clip carries genuine quantization
+      noise (measured hamming ≤ 2) — the transcoded duplicate.
+
+    Three containers → the entry exercises all three container walks
+    of ``decode_audio``. Real containers, deterministic samples: the
+    SQL oracle regenerates samples + roles from the hash stream
+    (replaying the μ-law quantization in integer SQL) and never sees
+    the container bytes — the :func:`dhash_image_table` discipline on
+    audio."""
+    n_windows = 17
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import (
+            encode_aiff,
+            encode_au,
+            encode_wav,
+            g711_mulaw_compress,
+        )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cluster, role = d // 9, (d // 3) % 3
+                raw = b"".join(
+                    hashlib.md5(f"adp:{cluster}:{w}".encode()).digest()
+                    for w in range(n_windows)
+                )
+                base = np.frombuffer(raw, dtype=">i2").astype(np.int64)
+                if role == 0:
+                    payloads.append(encode_wav(base.astype(np.int16), 8000))
+                elif role == 1:
+                    payloads.append(
+                        encode_aiff(((base * 3) // 4).astype(np.int16), 8000)
+                    )
+                else:
+                    codes = g711_mulaw_compress(base)
+                    payloads.append(encode_au(codes, 8000, law="mu"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return audio.mapInPandas(kernel, out_schema)
+
+
+def audio_fingerprint(audio: DataFrame, *, decoder=None) -> DataFrame:
+    """64-bit chromaprint-style acoustic fingerprint per clip — ONE
+    narrow Arrow-batched decode stage, no shuffle: decode the real
+    container (magic-sniffing ``decode_audio`` by default), frame the
+    samples into 17 windows of 8, compute 4 integer Haar band energies
+    per window (DC², top-split², Σ mid-detail², Σ fine-detail² — an
+    integer filterbank, the spectrogram proxy), and set bit
+    ``w·4 + b`` when band ``b``'s energy RISES from window ``w`` to
+    ``w+1`` — the sign-of-difference-over-(time × band) design of
+    Chromaprint/AcoustID. Emitted as four 16-bit words
+    (:data:`DHASH_SCHEMA` — the words double as Hamming bands, so
+    :func:`dhash_pairs` serves the pair generation unchanged).
+
+    Integer end-to-end over ≤16-bit samples (energies ≤ 8·32768² ≪
+    2^63), so the registry oracle regenerates the fingerprint from the
+    md5 sample stream in SQL. Gain shifts scale all band energies
+    ~uniformly and lossy re-encodes perturb them below the window-to-
+    window contrast, so both stay within Hamming 3 of the original
+    (measured on the fixture; cross-content clips sit at ~32)."""
+    n_windows = 17
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_audio
+
+        decode = decoder if decoder is not None else decode_audio
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("doc_id", "w0", "w1", "w2", "w3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode(bytes(payload))
+                s = samples.astype(np.int64)
+                if len(s) != 8 * n_windows:
+                    raise ValueError(
+                        f"doc {doc_id}: {len(s)} samples — the fingerprint "
+                        f"frames exactly {8 * n_windows}"
+                    )
+                x = s.reshape(n_windows, 8)
+                d1 = x[:, 0::2] - x[:, 1::2]
+                a1 = x[:, 0::2] + x[:, 1::2]
+                d2 = a1[:, 0::2] - a1[:, 1::2]
+                a2 = a1[:, 0::2] + a1[:, 1::2]
+                d3 = a2[:, 0] - a2[:, 1]
+                a3 = a2[:, 0] + a2[:, 1]
+                en = np.stack(
+                    [
+                        a3 * a3,
+                        d3 * d3,
+                        (d2 * d2).sum(axis=1),
+                        (d1 * d1).sum(axis=1),
+                    ],
+                    axis=1,
+                )  # (n_windows, 4)
+                bits = (en[1:] > en[:-1]).ravel().astype(np.int64)  # bit w*4+b
+                rows["doc_id"].append(doc_id)
+                for k in range(4):
+                    rows[f"w{k}"].append(
+                        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return audio.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)

@@ -2181,8 +2181,11 @@ _KEY_ORDER = [
     "dedup_minhash_bytes",                 # ledger: last driver signal r8
     "ann_ivfpq",                 # ledger: last driver signal r8
     "decontaminate_bytes",                 # ledger: last driver signal r8
-    "text_script_profile",                 # ledger: last driver signal r8
     # -- new in r11 ----------------------------------------------------
+    "media_audio_dedup",  # new r11: chromaprint-style acoustic near-dup
+    #    (sign-of-change over 4 integer Haar band energies x 16 window
+    #    transitions), Hamming-banded; fixture plants gain-shifted +
+    #    mu-law re-encoded clips across all 3 container walks
     "collection_search_ivfpq_opq",  # new r11: OPQ rotation through the
     #    product surface (VERDICT r10 #2) — layout="ivfpq", opq=True
     #    collection; rotation trained at flush, frozen across deltas;
@@ -2198,6 +2201,7 @@ _KEY_ORDER = [
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "text_script_profile",                 # ledger: r8 overflow, round-12 priority
     "dedup_containment_bytes",                 # ledger: r8 overflow, round-12 priority
     "bpe_train",                 # ledger: r8 overflow, round-12 priority
     "bpe_encode",                 # ledger: r8 overflow, round-12 priority

@@ -8,7 +8,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coltt_spark.operators.multimodal import (
+    audio_dedup_table,
     audio_features,
+    audio_fingerprint,
     audio_wav_table,
     dhash_image_table,
     dhash_pairs,
@@ -826,6 +828,118 @@ SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 """
 
 
+def q_media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup dedup — the LAST uncovered dedup modality
+    (text/byte/embedding/span/line/pixel done; VERDICT r10 #6): a
+    64-bit chromaprint-style fingerprint (sign of window-to-window
+    change across 4 integer Haar band energies — the
+    sign-of-difference-over-(time × band) design of
+    Chromaprint/AcoustID) over REAL-decoded audio, Hamming-banded
+    candidate blocking (the four 16-bit words are the bands — lossless
+    at hamming ≤ 3 by pigeonhole), exact-Hamming verify — the
+    ``media_image_dedup`` discipline on sound. The fixture plants
+    GAIN-SHIFTED (⌊3s/4⌋, AIFF) and RE-ENCODED (G.711 μ-law
+    compress→expand through a real AU container — genuine codec
+    quantization noise) variants in 3-clip clusters across all three
+    container walks; the oracle regenerates samples + roles from the
+    md5 stream in SQL — replaying the μ-law quantization in integer
+    arithmetic, never seeing container bytes — and brute-forces all
+    pairs, which equals the banded result exactly because blocking is
+    lossless at this threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = audio_fingerprint(audio_dedup_table(docs))
+    return dhash_pairs(sig, "doc_id", max_hamming=3)
+
+
+def _mulaw_q_sql(s: str) -> str:
+    """Integer SQL for the G.711 μ-law quantization round trip
+    (compress→expand) of linear sample ``s`` — the oracle replay of
+    g711_mulaw_compress ∘ _g711_table: bias to m, segment from m's
+    top bit above bit 7, 4-bit mantissa, rebuild."""
+    m = f"(least(abs({s}), 32635) + 132)"
+    e = (
+        f"(CASE WHEN {m} >= 16384 THEN 7 WHEN {m} >= 8192 THEN 6 "
+        f"WHEN {m} >= 4096 THEN 5 WHEN {m} >= 2048 THEN 4 "
+        f"WHEN {m} >= 1024 THEN 3 WHEN {m} >= 512 THEN 2 "
+        f"WHEN {m} >= 256 THEN 1 ELSE 0 END)"
+    )
+    q = f"((({m} // (1 << ({e} + 3))) % 16) * 8 + 132) * (1 << {e}) - 132"
+    return f"CASE WHEN {s} < 0 THEN -({q}) ELSE ({q}) END"
+
+
+#: per-(window, ordinal) big-endian int16 from the cluster-keyed md5
+#: stream — the SQL twin of audio_dedup_table's sample generator
+_ADP_H = (
+    "('0x' || substr(md5('adp:' || CAST(doc_id // 9 AS VARCHAR) || ':' || "
+    "CAST(w AS VARCHAR)), 4*i + 1, 4))::BIGINT"
+)
+
+_ORACLE_MEDIA_AUDIO_DEDUP = f"""
+WITH wds AS (
+  SELECT doc_id, unnest(range(0, 17)) AS w FROM documents WHERE doc_id % 3 = 1
+),
+sm AS (
+  SELECT doc_id, w,
+         list_transform(range(0, 8), i ->
+           CASE WHEN {_ADP_H} >= 32768 THEN {_ADP_H} - 65536 ELSE {_ADP_H} END) AS x
+  FROM wds
+),
+xt AS (
+  SELECT doc_id, w,
+         CASE CAST((doc_id // 3) % 3 AS INT)
+           WHEN 0 THEN x
+           WHEN 1 THEN list_transform(x, s -> CAST(floor(s * 3 / 4.0) AS BIGINT))
+           ELSE list_transform(x, s -> {_mulaw_q_sql("s")})
+         END AS x
+  FROM sm
+),
+en AS (
+  SELECT doc_id, w,
+    (x[1]+x[2]+x[3]+x[4]+x[5]+x[6]+x[7]+x[8])
+      * (x[1]+x[2]+x[3]+x[4]+x[5]+x[6]+x[7]+x[8]) AS e0,
+    ((x[1]+x[2]+x[3]+x[4]) - (x[5]+x[6]+x[7]+x[8]))
+      * ((x[1]+x[2]+x[3]+x[4]) - (x[5]+x[6]+x[7]+x[8])) AS e1,
+    ((x[1]+x[2])-(x[3]+x[4]))*((x[1]+x[2])-(x[3]+x[4]))
+      + ((x[5]+x[6])-(x[7]+x[8]))*((x[5]+x[6])-(x[7]+x[8])) AS e2,
+    (x[1]-x[2])*(x[1]-x[2]) + (x[3]-x[4])*(x[3]-x[4])
+      + (x[5]-x[6])*(x[5]-x[6]) + (x[7]-x[8])*(x[7]-x[8]) AS e3
+  FROM xt
+),
+nx AS (
+  SELECT doc_id, w, e0, e1, e2, e3,
+         lead(e0) OVER pw AS n0, lead(e1) OVER pw AS n1,
+         lead(e2) OVER pw AS n2, lead(e3) OVER pw AS n3
+  FROM en WINDOW pw AS (PARTITION BY doc_id ORDER BY w)
+),
+bits AS (
+  SELECT doc_id, w * 4 + b.b AS idx,
+         CASE b.b
+           WHEN 0 THEN CASE WHEN n0 > e0 THEN 1 ELSE 0 END
+           WHEN 1 THEN CASE WHEN n1 > e1 THEN 1 ELSE 0 END
+           WHEN 2 THEN CASE WHEN n2 > e2 THEN 1 ELSE 0 END
+           ELSE CASE WHEN n3 > e3 THEN 1 ELSE 0 END
+         END AS bit
+  FROM nx, (SELECT unnest(range(0, 4)) AS b) b
+  WHERE w < 16
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN idx // 16 = 0 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w0,
+         SUM(CASE WHEN idx // 16 = 1 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w1,
+         SUM(CASE WHEN idx // 16 = 2 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w2,
+         SUM(CASE WHEN idx // 16 = 3 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w3
+  FROM bits GROUP BY doc_id
+),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+         bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pr WHERE hamming <= 3
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -841,6 +955,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_exif_orientation": q_media_exif_orientation,
     "media_image_dedup": q_media_image_dedup,
     "media_image_dedup_groups": q_media_image_dedup_groups,
+    "media_audio_dedup": q_media_audio_dedup,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -858,4 +973,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_exif_orientation": _ORACLE_MEDIA_EXIF_ORIENTATION,
     "media_image_dedup": _ORACLE_MEDIA_IMAGE_DEDUP,
     "media_image_dedup_groups": _ORACLE_MEDIA_IMAGE_DEDUP_GROUPS,
+    "media_audio_dedup": _ORACLE_MEDIA_AUDIO_DEDUP,
 }

@@ -758,3 +758,38 @@ def test_multiband_sign_lsh_catches_sign_flip_paraphrases(spark):
         ).collect()
     }
     assert planted <= got_multi, sorted(planted - got_multi)[:5]
+
+def test_audio_fingerprint_plants_within_banding_threshold(spark):
+    """The acoustic fingerprint's recall/precision contract, measured
+    end-to-end through the REAL containers: every planted 3-clip
+    cluster (base WAV / gain-shifted AIFF / μ-law-re-encoded AU) pairs
+    up within Hamming 3 — inside the lossless 4-band pigeonhole — and
+    NO cross-cluster pair does (unrelated md5 clips sit at hamming
+    ~32, so precision on the fixture is exact)."""
+    from coltt_spark.operators.multimodal import (
+        audio_dedup_table,
+        audio_fingerprint,
+        dhash_pairs,
+    )
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = audio_fingerprint(audio_dedup_table(docs))
+    pairs = dhash_pairs(sig, "doc_id", max_hamming=3).collect()
+    audio_ids = [
+        int(r["doc_id"]) for r in docs.filter("doc_id % 3 = 1").select("doc_id").collect()
+    ]
+    clusters: dict[int, list[int]] = {}
+    for d in audio_ids:
+        clusters.setdefault(d // 9, []).append(d)
+    expected = {
+        (a, b)
+        for mem in clusters.values()
+        for i, a in enumerate(sorted(mem))
+        for b in sorted(mem)[i + 1 :]
+    }
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == expected, (sorted(expected - got)[:5], sorted(got - expected)[:5])
+    assert all(r["hamming"] <= 3 for r in pairs)

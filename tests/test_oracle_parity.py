@@ -91,12 +91,12 @@ ROTATION_LEDGER_R11 = [
     "dedup_minhash_bytes",
     "ann_ivfpq",
     "decontaminate_bytes",
-    "text_script_profile",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "text_script_profile",
     "dedup_containment_bytes",
     "bpe_train",
     "bpe_encode",
@@ -133,6 +133,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     new_or_touched: set[str] = {
         # new r11: OPQ rotation through the Collection product surface
         "collection_search_ivfpq_opq",
+        # new r11: acoustic near-dup fingerprint dedup
+        "media_audio_dedup",
         # touched r11: multi-band sign-LSH blocking (VERDICT r10 #3)
         # + planted sign-flip paraphrase fixtures
         "decontaminate_semantic",

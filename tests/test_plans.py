@@ -1101,3 +1101,24 @@ def test_semantic_decontaminate_broadcasts_benchmark_no_allpairs(spark):
     assert has_broadcast_hash_join(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+def test_audio_dedup_plan_banded_no_allpairs(spark):
+    """The acoustic near-dup dedup must keep the image dedup's LSH
+    shape at 100 TB: candidates come from the 4-word Hamming-band
+    equi-join — never a cross join or nested-loop — and the sample
+    work is exactly TWO narrow Arrow stages (fixture fabricate +
+    decode/fingerprint) with no shuffle between payload and
+    signature."""
+    from coltt_spark.operators.multimodal import audio_dedup_table, audio_fingerprint
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.registry import QUERIES
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig_plan = executed_plan(audio_fingerprint(audio_dedup_table(docs)))
+    assert sig_plan.count("MapInPandas") == 2, sig_plan[:800]
+    assert "ENSURE_REQUIREMENTS" not in sig_plan
+    df = QUERIES["media_audio_dedup"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "band_idx" in plan and "band_val" in plan
