@@ -532,6 +532,7 @@ def unigram_train(
     piece_max_len: int = 6,
     em_iters: int = 2,
     word_max_len: int = 24,
+    seed_size: int | None = None,
 ) -> list[tuple[str, int, int, float]]:
     """Train the fixed-vocabulary unigram-LM tokenizer on the
     distinct-word frequency table (the same vocabulary-sized training
@@ -555,7 +556,21 @@ def unigram_train(
        keeps the published model family while every quantity stays an
        integer count or an exact double division — the property that
        lets the SQL oracle replay TRAINING, not just encoding.
-    3. IDS: rank (final usage DESC, piece ASC) − 1.
+    3. PRUNE (``seed_size`` set, the SentencePiece ``--vocab_size``
+       discipline completing Kudo 2018): the vocabulary seeds
+       OVERSIZED at ``seed_size`` and each M-step drops the
+       lowest-usage multi-character pieces down a LINEAR integer
+       schedule ``k_t = max(target, (seed·(T−t) + target·t) // T)``
+       that lands exactly on ``vocab_size`` at the last round —
+       single characters are never pruned (segmentability), survivors
+       renormalize, and the next E-step re-segments under the pruned
+       model. Kudo prunes by soft-EM likelihood loss
+       (``freq·(log p − log p_alt)``); ``log`` is the one primitive
+       whose last ulp is not bit-portable across engines, so this
+       variant ranks by the hard-EM usage counts — the dominant
+       frequency factor of that loss — and stays exactly
+       SQL-replayable (the documented boundary, VERDICT r10 #5).
+    4. IDS: rank (final usage DESC, piece ASC) − 1.
 
     Returns ``[(piece, piece_id, usage, prob)]`` ordered by id.
     Words longer than ``word_max_len`` fail loudly (the unrolled
@@ -588,18 +603,23 @@ def unigram_train(
             f"vocab_size={vocab_size} cannot hold the {len(singles)} "
             "single-character pieces the corpus needs"
         )
+    seed = vocab_size if seed_size is None else seed_size
+    if seed < vocab_size:
+        raise ValueError(f"seed_size={seed} must be >= vocab_size={vocab_size}")
     multi = (
         pf.filter(F.length("piece") > 1)
         .orderBy(F.col("freq").desc(), F.col("piece").asc())
-        .limit(vocab_size - len(singles))
+        .limit(seed - len(singles))
         .collect()
     )
     freq = dict(singles)
     freq.update({r["piece"]: int(r["freq"]) for r in multi})
     total = sum(freq.values())
     probs = {pc: f / total for pc, f in freq.items()}
+    seed_multi = len(freq) - len(singles)
+    target_multi = vocab_size - len(singles)
     usage: dict[str, int] = {}
-    for _ in range(em_iters):
+    for t in range(1, em_iters + 1):
         seg = words.select(
             "cnt", _unigram_seg_udf(probs, piece_max_len)(F.col("word")).alias("s")
         )
@@ -613,6 +633,19 @@ def unigram_train(
         usage = {
             pc: u.get(pc, 0) + (1 if len(pc) == 1 else 0) for pc in probs
         }
+        if seed_multi > target_multi:
+            # integer-exact linear prune schedule, landing on the
+            # target at the last round; rank (usage DESC, piece ASC)
+            k_t = max(
+                target_multi,
+                (seed_multi * (em_iters - t) + target_multi * t) // em_iters,
+            )
+            keep = sorted(
+                ((pc, c) for pc, c in usage.items() if len(pc) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:k_t]
+            usage = {pc: c for pc, c in usage.items() if len(pc) == 1}
+            usage.update(dict(keep))
         tot_u = sum(usage.values())
         probs = {pc: c / tot_u for pc, c in usage.items()}
     ranked = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -2180,8 +2180,10 @@ _KEY_ORDER = [
     "token_count_unicode",                 # ledger: last driver signal r8
     "dedup_minhash_bytes",                 # ledger: last driver signal r8
     "ann_ivfpq",                 # ledger: last driver signal r8
-    "decontaminate_bytes",                 # ledger: last driver signal r8
     # -- new in r11 ----------------------------------------------------
+    "unigram_train_pruned",  # new r11: Kudo 2018 completed — oversized
+    #    seed + per-round usage-ranked pruning down an integer-linear
+    #    schedule; oracle replays training INCLUDING both prune layers
     "media_audio_dedup",  # new r11: chromaprint-style acoustic near-dup
     #    (sign-of-change over 4 integer Haar band energies x 16 window
     #    transitions), Hamming-banded; fixture plants gain-shifted +
@@ -2201,6 +2203,7 @@ _KEY_ORDER = [
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "decontaminate_bytes",                 # ledger: r8 overflow, round-12 priority
     "text_script_profile",                 # ledger: r8 overflow, round-12 priority
     "dedup_containment_bytes",                 # ledger: r8 overflow, round-12 priority
     "bpe_train",                 # ledger: r8 overflow, round-12 priority

@@ -1284,11 +1284,20 @@ def _unigram_viterbi_sql(ptab: str, tag: str) -> str:
     return ",\n".join(parts)
 
 
-def _unigram_ctes() -> str:
+def _unigram_ctes(seed: int | None = None) -> str:
     """Seeding + hard-EM replay → final usage table ``uf``(piece,
     usage) and prob table ``pf_final``(piece, pr), plus the shared
-    word/tok CTEs."""
+    word/tok CTEs. With ``seed`` (> vocab_size) the vocabulary seeds
+    OVERSIZED and each round ends with the PRUNE layer: drop
+    lowest-usage multi-char pieces down the same integer-linear
+    schedule the engine runs (``k_t = max(target, (seed_multi·(T−t) +
+    target_multi·t) // T)``), renormalize survivors — the replay of
+    unigram_train's SentencePiece-style vocabulary pruning. The
+    schedule constants inline k_t as the count of KEPT multi pieces
+    relative to the round-1 single-char count, which both sides derive
+    from the same corpus scan."""
     V, L, T_ = _UNI_VSIZE, _UNI_PLEN, _UNI_EMS
+    seed_v = V if seed is None else seed
     parts = [f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 wt AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -1310,15 +1319,17 @@ v0 AS MATERIALIZED (
     SELECT piece, freq,
            row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
     FROM pfr WHERE length(piece) > 1
-  ) WHERE rn <= {V} - (SELECT count(*) FROM pfr WHERE length(piece) = 1)
+  ) WHERE rn <= {seed_v} - (SELECT count(*) FROM pfr WHERE length(piece) = 1)
 ),
 p0 AS MATERIALIZED (
   SELECT piece, freq::DOUBLE / (SELECT SUM(freq) FROM v0) AS pr FROM v0
 )"""]
     prev = "p0"
+    vocab_tbl = "v0"
+    final_u = f"u{T_}"
     for t in range(1, T_ + 1):
         parts.append(_unigram_viterbi_sql(prev, f"e{t}").lstrip())
-        parts.append(f"""us{t} AS (
+        block = f"""us{t} AS (
   SELECT piece, SUM(cnt) AS u
   FROM (SELECT unnest(pcs) AS piece, cnt FROM sege{t})
   GROUP BY piece
@@ -1326,13 +1337,35 @@ p0 AS MATERIALIZED (
 u{t} AS MATERIALIZED (
   SELECT v.piece,
          COALESCE(s.u, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS usage
-  FROM v0 v LEFT JOIN us{t} s USING (piece)
-),
+  FROM {vocab_tbl} v LEFT JOIN us{t} s USING (piece)
+)"""
+        final_u = f"u{t}"
+        if seed is not None:
+            # prune layer: k_t kept multi pieces, the engine's integer
+            # schedule with seed_multi/target_multi derived from the
+            # same round-0 vocabulary counts
+            block += f""",
+uP{t} AS MATERIALIZED (
+  SELECT piece, usage FROM u{t} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, usage FROM (
+    SELECT piece, usage,
+           row_number() OVER (ORDER BY usage DESC, piece ASC) AS rn
+    FROM u{t} WHERE length(piece) > 1
+  ) WHERE rn <= (
+      SELECT greatest({V} - ns.n, (cm.n * {T_ - t} + ({V} - ns.n) * {t}) // {T_})
+      FROM (SELECT count(*) AS n FROM v0 WHERE length(piece) = 1) ns,
+           (SELECT count(*) AS n FROM v0 WHERE length(piece) > 1) cm)
+)"""
+            final_u = f"uP{t}"
+            vocab_tbl = f"uP{t}"
+        block += f""",
 p{t} AS MATERIALIZED (
-  SELECT piece, usage::DOUBLE / (SELECT SUM(usage) FROM u{t}) AS pr FROM u{t}
-)""")
+  SELECT piece, usage::DOUBLE / (SELECT SUM(usage) FROM {final_u}) AS pr FROM {final_u}
+)"""
+        parts.append(block)
         prev = f"p{t}"
-    return ",\n".join(parts), f"u{T_}", prev
+    return ",\n".join(parts), final_u, prev
 
 
 def _unigram_train_oracle() -> str:
@@ -1380,6 +1413,67 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
+_UNI_SEED = 72
+
+_UNIGRAM_PRUNED_CACHE: dict[str, list] = {}
+
+
+def _unigram_pruned_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """Model trained ONCE per sf_dir with the OVERSIZED seed +
+    per-round pruning (the SentencePiece --vocab_size discipline)."""
+    if sf_dir not in _UNIGRAM_PRUNED_CACHE:
+        from coltt_spark.operators.tokenize import unigram_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_PRUNED_CACHE[sf_dir] = unigram_train(
+            docs, "text", vocab_size=_UNI_VSIZE, seed_size=_UNI_SEED,
+            piece_max_len=_UNI_PLEN, em_iters=_UNI_EMS,
+        )
+    return _UNIGRAM_PRUNED_CACHE[sf_dir]
+
+
+def q_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with VOCABULARY PRUNING — the remaining
+    published half of Kudo 2018 (VERDICT r10 #5, the SentencePiece
+    ``--vocab_size`` discipline): the vocabulary seeds OVERSIZED
+    (72 pieces) and each of the two hard-EM rounds ends by dropping
+    the lowest-usage multi-character pieces down an integer-linear
+    schedule that lands exactly on the 48-piece target — single
+    characters are never pruned, survivors renormalize, and the next
+    E-step re-segments under the pruned model. Kudo ranks prune
+    candidates by soft-EM likelihood loss (freq·(log p − log p_alt));
+    ``log``'s last ulp is not bit-portable across engines, so this
+    ranks by the hard-EM usage counts — the dominant frequency factor
+    of that loss — the documented boundary that keeps TRAINING
+    replayable: the oracle replays the oversized seeding, BOTH
+    rounds' Viterbi E-steps, the usage sums, BOTH prune layers (rank
+    + integer schedule), and the final ranking in SQL."""
+    model = _unigram_pruned_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, int(i), int(u), round(pr, 4)) for p, i, u, pr in model],
+        T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("piece_id", T.LongType(), False),
+                T.StructField("usage", T.LongType(), False),
+                T.StructField("prob", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def _unigram_train_pruned_oracle() -> str:
+    ctes, uf, _pf = _unigram_ctes(seed=_UNI_SEED)
+    return f"""
+WITH {ctes}
+SELECT piece,
+       CAST(row_number() OVER (ORDER BY usage DESC, piece ASC) - 1 AS BIGINT) AS piece_id,
+       CAST(usage AS BIGINT) AS usage,
+       round(usage::DOUBLE / (SELECT SUM(usage) FROM {uf}), 4) AS prob
+FROM {uf}
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -1398,6 +1492,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_ids": q_bpe_encode_ids,
     "unigram_train": q_unigram_train,
+    "unigram_train_pruned": q_unigram_train_pruned,
     "unigram_encode_ids": q_unigram_encode_ids,
     "token_fertility_by_lang": q_token_fertility_by_lang,
     "bpe_encode_ids_pretok": q_bpe_encode_ids_pretok,
@@ -1427,6 +1522,7 @@ TEXT_ORACLES: dict[str, str] = {
     ),
     "bpe_encode_ids": _bpe_encode_ids_oracle(BPE_MERGES_BYTES),
     "unigram_train": _unigram_train_oracle(),
+    "unigram_train_pruned": _unigram_train_pruned_oracle(),
     "unigram_encode_ids": _unigram_encode_ids_oracle(),
     "token_fertility_by_lang": _token_fertility_oracle(),
     "bpe_encode_ids_pretok": _bpe_pretok_oracle(BPE_MERGES_BYTES),

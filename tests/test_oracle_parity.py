@@ -90,12 +90,12 @@ ROTATION_LEDGER_R11 = [
     "token_count_unicode",
     "dedup_minhash_bytes",
     "ann_ivfpq",
-    "decontaminate_bytes",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "decontaminate_bytes",
     "text_script_profile",
     "dedup_containment_bytes",
     "bpe_train",
@@ -135,6 +135,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "collection_search_ivfpq_opq",
         # new r11: acoustic near-dup fingerprint dedup
         "media_audio_dedup",
+        # new r11: unigram vocabulary pruning (Kudo 2018 completed)
+        "unigram_train_pruned",
         # touched r11: multi-band sign-LSH blocking (VERDICT r10 #3)
         # + planted sign-flip paraphrase fixtures
         "decontaminate_semantic",
