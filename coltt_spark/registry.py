@@ -2179,7 +2179,6 @@ _KEY_ORDER = [
     "range_search",                 # ledger: last driver signal r8
     "token_count_unicode",                 # ledger: last driver signal r8
     "dedup_minhash_bytes",                 # ledger: last driver signal r8
-    "ann_ivfpq",                 # ledger: last driver signal r8
     # -- new in r11 ----------------------------------------------------
     "unigram_train_pruned",  # new r11: Kudo 2018 completed — oversized
     #    seed + per-round usage-ranked pruning down an integer-linear
@@ -2198,11 +2197,15 @@ _KEY_ORDER = [
     #    paraphrases the old blocking missed by construction
     "neardup_cosine",  # r11: same multi-band blocking on the self-join
     #    near-dup path (bands_col explode + per-pair collapse)
+    "web_url_psl",  # r11: PSL snapshot 2574 -> 2920 rules (tranche 5:
+    #    .no municipal/county registry + gs school grids, fastly +
+    #    site-builder private families)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "ann_ivfpq",                 # ledger: r8 overflow, round-12 priority
     "decontaminate_bytes",                 # ledger: r8 overflow, round-12 priority
     "text_script_profile",                 # ledger: r8 overflow, round-12 priority
     "dedup_containment_bytes",                 # ledger: r8 overflow, round-12 priority
@@ -2260,8 +2263,9 @@ _KEY_ORDER = [
     "bpe_encode_ids",                 # ledger: last driver signal r9
     "text_lang_id_unicode",                 # ledger: last driver signal r9
     "text_lang_id",                 # ledger: last driver signal r9
-    # -- the 48 r10-green entries, r10-window order (decontaminate_semantic
-    # -- / neardup_cosine left this block when promoted as touched):
+    # -- the 47 r10-green entries, r10-window order (decontaminate_semantic
+    # -- / neardup_cosine / web_url_psl left this block when promoted
+    # -- as touched):
     "upsert_delete",                 # ledger: last driver signal r10
     "filter_coercion",                 # ledger: last driver signal r10
     "filter_search",                 # ledger: last driver signal r10
@@ -2309,7 +2313,6 @@ _KEY_ORDER = [
     "unigram_encode_ids",                 # ledger: last driver signal r10
     "collection_search_ivfpq",                 # ledger: last driver signal r10
     "collection_search_ivfpq_delta",                 # ledger: last driver signal r10
-    "web_url_psl",                 # ledger: last driver signal r10
 ]
 
 

@@ -89,12 +89,12 @@ ROTATION_LEDGER_R11 = [
     "range_search",
     "token_count_unicode",
     "dedup_minhash_bytes",
-    "ann_ivfpq",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "ann_ivfpq",
     "decontaminate_bytes",
     "text_script_profile",
     "dedup_containment_bytes",
@@ -141,6 +141,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         # + planted sign-flip paraphrase fixtures
         "decontaminate_semantic",
         "neardup_cosine",
+        # touched r11: PSL tranche 5 (2574 -> 2920 rules)
+        "web_url_psl",
     }
     must_check = set(ROTATION_LEDGER_R11) | new_or_touched
     assert must_check <= window, sorted(must_check - window)

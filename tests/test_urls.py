@@ -351,6 +351,18 @@ def test_expanded_psl_suffixes_resolve(spark):
         ("x.y.go.th", "y.go.th"),                  # Thailand
         ("firm.com.sa", "firm.com.sa"),            # Saudi Arabia
         ("a.gop.pk", "a.gop.pk"),                  # Pakistan provincial gov
+        # -- r11 tranche 5 (VERDICT r10 #4): registries covered only by
+        # the 2920-rule snapshot
+        ("www.kirke.bergen.no", "kirke.bergen.no"),  # .no municipality
+        ("a.b.nes.no", "b.nes.no"),                  # .no municipality
+        ("skole.gs.oslo.no", "skole.gs.oslo.no"),    # gs county grid
+        ("x.gs.mr.no", "x.gs.mr.no"),                # gs two-letter county
+        ("www.telemark.no", "www.telemark.no"),      # .no county name
+        ("firma.example.no", "example.no"),          # plain .no still eTLD+1
+        ("cdn.a.ssl.fastly.net", "cdn.a.ssl.fastly.net"),  # fastly family
+        ("shop.myshopify.com", "shop.myshopify.com"),      # site builder
+        ("team.notion.site", "team.notion.site"),
+        ("docs.gitbook.io", "docs.gitbook.io"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [
