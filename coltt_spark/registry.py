@@ -2099,6 +2099,19 @@ from coltt_spark.registry_streaming import (  # noqa: E402
 )
 
 QUERIES.update(STREAMING_QUERIES)
+# streaming ∘ ivfpq composition (VERDICT r10 #8): the query lives in
+# registry_streaming; its oracle is the ivfpq-collection replay with
+# the delta fixture's label patch + tombstone mask — generated here
+# because registry_streaming loads before _collection_ivfpq_oracle
+from coltt_spark.registry_streaming import q_stream_ingest_ivfpq  # noqa: E402
+
+QUERIES["stream_ingest_ivfpq"] = q_stream_ingest_ivfpq
+ORACLES["stream_ingest_ivfpq"] = _collection_ivfpq_oracle(
+    k=5,
+    batch_ids=(0, 1, 2),
+    label_sql="CASE WHEN vec_id < 10 THEN label + 100 ELSE label END",
+    cand_where="WHERE a.label <> 5",
+)
 ORACLES.update(STREAMING_ORACLES)
 
 from coltt_spark.registry_fulltext import (  # noqa: E402
@@ -2178,8 +2191,10 @@ _KEY_ORDER = [
     "semantic_dedup",                 # ledger: last driver signal r8
     "range_search",                 # ledger: last driver signal r8
     "token_count_unicode",                 # ledger: last driver signal r8
-    "dedup_minhash_bytes",                 # ledger: last driver signal r8
     # -- new in r11 ----------------------------------------------------
+    "stream_ingest_ivfpq",  # new r11: streaming ∘ ivfpq composition —
+    #    every row arrives via foreachBatch micro-batches, delta flush
+    #    under the frozen quantizer, served through the batched ADC path
     "unigram_train_pruned",  # new r11: Kudo 2018 completed — oversized
     #    seed + per-round usage-ranked pruning down an integer-linear
     #    schedule; oracle replays training INCLUDING both prune layers
@@ -2205,6 +2220,7 @@ _KEY_ORDER = [
     # -- pytest run; driver rotation continues next round.
     # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
     # -- round's new/touched seats), in r8 order:
+    "dedup_minhash_bytes",                 # ledger: r8 overflow, round-12 priority
     "ann_ivfpq",                 # ledger: r8 overflow, round-12 priority
     "decontaminate_bytes",                 # ledger: r8 overflow, round-12 priority
     "text_script_profile",                 # ledger: r8 overflow, round-12 priority
@@ -2375,6 +2391,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # the streaming replay IS this fixture's ingest; the registry
     # query then measures the search over the landed state
     _streamed_collection(spark, sf_dir)
+    from coltt_spark.registry_streaming import _streamed_ivfpq_collection
+
+    _streamed_ivfpq_collection(spark, sf_dir)
     from coltt_spark.registry_fulltext import (
         _text_index,
         q_bm25_index_deleted,

@@ -88,12 +88,12 @@ ROTATION_LEDGER_R11 = [
     "semantic_dedup",
     "range_search",
     "token_count_unicode",
-    "dedup_minhash_bytes",
 ]
 
 #: the r8 overflow tail — displaced from the round-11 window by this
 #: round's new/touched seats; they lead the round-12 rotation queue
 R12_PRIORITY = [
+    "dedup_minhash_bytes",
     "ann_ivfpq",
     "decontaminate_bytes",
     "text_script_profile",
@@ -137,6 +137,8 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
         "media_audio_dedup",
         # new r11: unigram vocabulary pruning (Kudo 2018 completed)
         "unigram_train_pruned",
+        # new r11: streaming -> ivfpq composition through the batched ADC
+        "stream_ingest_ivfpq",
         # touched r11: multi-band sign-LSH blocking (VERDICT r10 #3)
         # + planted sign-flip paraphrase fixtures
         "decontaminate_semantic",
