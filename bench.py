@@ -625,6 +625,103 @@ def _bench_opq_recall_dim128(
     return out
 
 
+def _bench_opq_collection_recall_dim128(
+    spark,
+    *,
+    dim: int = 128,
+    n_rows: int = 50_000,
+    n_centroids: int = 64,
+    nprobe: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 64,
+    refines=(0, 100),
+    n_queries: int = 8,
+) -> dict:
+    """The anisotropic OPQ gain measured THROUGH THE PRODUCT SURFACE
+    (the r11 closing of VERDICT r10 #2): two ``layout="ivfpq"``
+    euclidean collections — ``opq=False`` vs ``opq=True``, identical
+    geometry — built over the same decaying-spectrum corpus recipe as
+    the operator micro (scaled to 50k: the product path pays
+    upsert + flush + the vecs rerank tree per build, and the signal is
+    a recall DELTA, not a throughput number), probed with
+    ``search_batch`` at refine 0 and 100 against the exact euclidean
+    top-10 over the stored float32 corpus. Deterministic corpus,
+    md5-seeded coarse k-means, and deterministic OPQ training →
+    recall values are bit-stable across runs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from coltt_spark.catalog import Catalog
+    from coltt_spark.operators.ann import brute_topk
+    from coltt_spark.schema import IndexField
+
+    scale = 1.0 / np.sqrt(1.0 + np.arange(dim))
+    Q, _ = np.linalg.qr(np.random.default_rng(54321).normal(size=(dim, dim)))
+    A = np.diag(scale) @ Q
+    corpus, centers = _clustered_corpus(spark, dim=dim, n_rows=n_rows, transform=A)
+    corpus = corpus.cache()
+    corpus.count()
+    n_clusters = len(centers)
+    qs = {
+        j: [
+            float(x)
+            for x in (
+                centers[(j * 37) % n_clusters]
+                + np.random.default_rng(7_000_000 + j).normal(0.0, 1.0, dim)
+            )
+            @ A
+        ]
+        for j in range(n_queries)
+    }
+    exact_rows = brute_topk(
+        corpus, qs, id_col="vec_id", vec_col="embedding", k=10,
+        distance="euclidean", strategy="blas",
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in exact_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["dist"]), int(r["vec_id"]))
+        )
+    exact = {q: {i for _, i in sorted(v)[:10]} for q, v in by_q.items()}
+    out: dict = {
+        "rows": n_rows, "dim": dim, "n_centroids": n_centroids,
+        "nprobe": nprobe, "n_queries": n_queries,
+        "curve": {}, "build_sec": {},
+    }
+    ingest = corpus.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    for variant in ("pq", "opq"):
+        cat = Catalog(spark, tempfile.mkdtemp(prefix=f"bench_opq_coll_{variant}_"))
+        t0 = time.perf_counter()
+        coll = cat.create_collection(
+            f"c_{variant}", dim=dim, distance="euclidean",
+            fields=[IndexField("id", "string", primary_key=True)],
+            layout="ivfpq", ivf_centroids=n_centroids, ivf_nprobe=nprobe,
+            pq_subspaces=n_subspaces, pq_codes=n_codes,
+            opq=(variant == "opq"),
+        )
+        coll.upsert_df(ingest, dedupe_batch=False)
+        coll.flush()
+        out["build_sec"][variant] = round(time.perf_counter() - t0, 4)
+        curve = {}
+        for refine in refines:
+            rows = coll.search_batch(qs, limit=10, refine=refine).collect()
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+            recall = sum(
+                len(got.get(q, set()) & exact[q]) / 10.0 for q in qs
+            ) / n_queries
+            curve[str(refine)] = {"recall_at_10": round(recall, 4)}
+        out["curve"][variant] = curve
+        cat.drop_collection(f"c_{variant}")
+    corpus.unpersist()
+    return out
+
+
 def _bench_ivf_recall_curve(
     spark, *, dim: int = 64, n_centroids: int = 64, nprobes=(1, 2, 4, 8, 16, 64)
 ) -> dict:
@@ -845,6 +942,7 @@ def main() -> None:
     )
     ivfpq_recall_curve_dim128 = _bench_ivfpq_recall_curve(spark)
     opq_recall_dim128 = _bench_opq_recall_dim128(spark)
+    opq_collection_recall = _bench_opq_collection_recall_dim128(spark)
     skew = _bench_skew(spark, sf_dir)
 
     # build the shared ingest fixtures once, outside the per-query
@@ -979,6 +1077,7 @@ def main() -> None:
                 "ivf_recall_curve_dim128": ivf_recall_curve_dim128,
                 "ivfpq_recall_curve_dim128": ivfpq_recall_curve_dim128,
                 "opq_recall_dim128": opq_recall_dim128,
+                "opq_collection_recall_dim128": opq_collection_recall,
                 "skew": skew,
                 # mover/recheck detail lives HERE (and in
                 # bench_keys.json), NOT in the compact summary — in r9
@@ -1063,6 +1162,12 @@ def main() -> None:
                 "opq_recall_dim128": {
                     cfg: {r: v["recall_at_10"] for r, v in curve.items()}
                     for cfg, curve in opq_recall_dim128["curve"].items()
+                },
+                # the same anisotropic gain THROUGH the Collection
+                # surface (layout="ivfpq", opq=True; 50k x 128)
+                "opq_collection_recall": {
+                    cfg: {r: v["recall_at_10"] for r, v in curve.items()}
+                    for cfg, curve in opq_collection_recall["curve"].items()
                 },
                 "skew_bm25_hot_token": skew["bm25_hot_token_sec"],
                 "skew_minhash_megacluster": skew["minhash_megacluster_sec"],
