@@ -145,7 +145,7 @@ def semantic_decontaminate(
     *,
     threshold: float = 0.95,
     bands: int = 4,
-    band_bits: int = 8,
+    band_bits: int = 16,
 ) -> DataFrame:
     """EMBEDDING-space benchmark decontamination — the semantic
     sibling of :func:`decontaminate`: flag training rows whose

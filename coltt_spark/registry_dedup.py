@@ -702,7 +702,7 @@ _FLIPPED_PLANTS_SQL = """
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked embedding near-dup — the 100 TB shape: MULTI-BAND
-    sign-LSH keys (4 bands × 8 bits over disjoint coordinate slices,
+    sign-LSH keys (4 bands × 16 bits over disjoint coordinate slices,
     axis-aligned so every band is SQL-mirrorable) turn the self-join
     into an equi-join on the exploded band key with an OR-union of
     candidate blocks; no driver collect anywhere in the plan. The
@@ -723,7 +723,14 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         emb.unionByName(copies)
         .unionByName(_flipped_bench_plants(bench))
-        .withColumn("bkeys", sign_bands("embedding", bands=4, band_bits=8))
+        # checkpoint BETWEEN the plants and the band keys (the dhash
+        # discipline): each of the 64 sign-bit extractions re-inlines
+        # the element's full derivation tree otherwise (Catalyst does
+        # not CSE through higher-order lambdas — the r8 lang-id
+        # lesson), and the optimizer pass alone cost ~4 s per run on
+        # the planted fixture's flip/sort expressions
+        .localCheckpoint(eager=False)
+        .withColumn("bkeys", sign_bands("embedding", bands=4, band_bits=16))
     )
     return embedding_neardup_pairs(
         corpus, "vec_id", "embedding", threshold=0.95, bands_col="bkeys"
@@ -743,7 +750,7 @@ WITH corpus AS (
 ),
 blocked AS (
   SELECT vec_id, embedding,
-         unnest([{", ".join(sign_bands_sql('embedding', bands=4, band_bits=8))}]) AS bkey
+         unnest([{", ".join(sign_bands_sql('embedding', bands=4, band_bits=16))}]) AS bkey
   FROM corpus
 ),
 pr AS (

@@ -110,7 +110,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     document"), AND planted sign-flip paraphrases — copies whose 1-3
     smallest components among the first 16 flip sign, the leak class
     the r10 single-block sign-LSH missed by construction (VERDICT r10
-    #2). Multi-band sign-LSH (4 bands × 8 bits over disjoint
+    #2). Multi-band sign-LSH (4 bands × 16 bits over disjoint
     coordinate slices, OR-union of candidate blocks) makes the
     bipartite comparison an equi-join on the exploded band key with
     the tiny benchmark side broadcast; ≤ 3 flips dirty ≤ 3 bands, so
@@ -127,15 +127,15 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = emb.unionByName(copies).unionByName(_flipped_bench_plants(bench))
     return semantic_decontaminate(
-        train, bench, "vec_id", "embedding", threshold=0.95, bands=4, band_bits=8
+        train, bench, "vec_id", "embedding", threshold=0.95, bands=4, band_bits=16
     )
 
 
 def _decontaminate_semantic_oracle() -> str:
     from coltt_spark.operators.dedup import sign_bands_sql
 
-    tkeys = ", ".join(sign_bands_sql("v", bands=4, band_bits=8))
-    bkeys = ", ".join(sign_bands_sql("bv", bands=4, band_bits=8))
+    tkeys = ", ".join(sign_bands_sql("v", bands=4, band_bits=16))
+    bkeys = ", ".join(sign_bands_sql("bv", bands=4, band_bits=16))
     return f"""
 WITH bench AS (
   SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv

@@ -714,7 +714,7 @@ def test_multiband_sign_lsh_catches_sign_flip_paraphrases(spark):
     smallest-|x| components among the FIRST 16 negated — cosine stays
     ≥ 0.99) are missed by the r10 single-block sign-LSH on EVERY plant
     (any flipped bit changes the 16-bit block id — recall 0.0 by
-    construction), while the 4×8-bit multi-band OR-union recalls ALL
+    construction), while the 4×16-bit multi-band OR-union recalls ALL
     of them (≤ 3 flips dirty ≤ 3 bands, so one band always survives —
     pigeonhole, the same discipline as dHash's Hamming bands). Both
     paths run the same cosine threshold, so the delta is pure
@@ -749,7 +749,7 @@ def test_multiband_sign_lsh_catches_sign_flip_paraphrases(spark):
     }
     assert not (got_single & planted), sorted(got_single & planted)[:5]
     multi = corpus.withColumn(
-        "bkeys", sign_bands("embedding", bands=4, band_bits=8)
+        "bkeys", sign_bands("embedding", bands=4, band_bits=16)
     )
     got_multi = {
         (r["id_a"], r["id_b"])
