@@ -377,3 +377,41 @@ def test_expanded_psl_suffixes_resolve(spark):
             f"FROM (SELECT ? AS h)", [host]
         ).fetchone()[0]
         assert w == want, f"duckdb: {host} -> {w}, want {want}"
+
+def test_domain_quota_caps_at_tranche5_granularity(spark):
+    """The VERDICT r10 #4 failure mode, pinned on the tranche-5
+    registries: before the .no municipal rules shipped,
+    ``registrable_domain`` returned ``bergen.no`` for every
+    ``*.bergen.no`` host — so a per-domain quota would cap ALL of a
+    municipality's distinct sites under ONE bucket. With the rules,
+    each ``<site>.bergen.no`` is its own registrable domain and the
+    cap applies per site; a gs-grid school host likewise caps under
+    its own ``<school>.gs.oslo.no``."""
+    from coltt_spark.operators.pipeline import domain_quota
+
+    rows = []
+    i = 0
+    for site in ("kirke", "skole", "havn"):
+        for k in range(4):  # 4 docs per site, cap=2 keeps 2 each
+            rows.append((i, f"p{k}.{site}.bergen.no", float(10 - k)))
+            i += 1
+    for k in range(4):
+        rows.append((i, f"c{k}.voss.gs.oslo.no", float(k)))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id long, host string, pri double")
+    out = (
+        domain_quota(
+            df.withColumn("domain", registrable_domain(F.col("host"))),
+            "doc_id", "domain", "pri", cap=2,
+        )
+        .groupBy("domain")
+        .count()
+        .collect()
+    )
+    got = {r["domain"]: r["count"] for r in out}
+    assert got == {
+        "kirke.bergen.no": 2,
+        "skole.bergen.no": 2,
+        "havn.bergen.no": 2,
+        "voss.gs.oslo.no": 2,
+    }, got
