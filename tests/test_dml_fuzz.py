@@ -61,7 +61,7 @@ def _check_search(coll, model, q):
     assert got == want
 
 
-@pytest.mark.parametrize("layout", ["rows", "blocks", "ivf", "ivfpq"])
+@pytest.mark.parametrize("layout", ["rows", "blocks", "ivf", "ivfpq", "ivfpq_opq"])
 def test_dml_state_machine_fuzz(spark, tmp_path, layout):
     # ivfpq arm: nprobe = n_centroids (every list probed) and the
     # default refine (50) ≥ the 40-id key space, so the ADC funnel
@@ -75,8 +75,15 @@ def test_dml_state_machine_fuzz(spark, tmp_path, layout):
     kwargs = {} if layout == "rows" else {"block_dtype": "float64"}
     if layout == "ivf":
         kwargs.update(ivf_centroids=4, ivf_nprobe=4)
-    if layout == "ivfpq":
+    if layout.startswith("ivfpq"):
         kwargs.update(ivf_centroids=4, ivf_nprobe=4, pq_subspaces=4, pq_codes=8)
+    if layout == "ivfpq_opq":
+        # the OPQ arm: the rotation trains at every full build, stays
+        # FROZEN across delta flushes, and must be as invisible to the
+        # exhaustive-funnel equivalence as the codebooks are (nprobe =
+        # all lists + refine >= key space => search == brute force)
+        kwargs.update(opq=True)
+        layout = "ivfpq"
     coll = cat.create_collection(
         "fuzz", dim=DIM, distance="euclidean", fields=FIELDS,
         layout=layout, **kwargs,
