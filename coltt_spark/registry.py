@@ -2417,3 +2417,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     # unigram-LM tokenizer (substring seeding + hard-EM rounds)
     _unigram_fixture(spark, sf_dir)
+    from coltt_spark.registry_text import _unigram_pruned_fixture
+
+    # oversized-seed + per-round-pruned twin (Kudo 2018 completed)
+    _unigram_pruned_fixture(spark, sf_dir)
