@@ -793,3 +793,68 @@ def test_audio_fingerprint_plants_within_banding_threshold(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == expected, (sorted(expected - got)[:5], sorted(got - expected)[:5])
     assert all(r["hamming"] <= 3 for r in pairs)
+
+def test_sign_bands_cross_engine_and_block_consistency(spark):
+    """The oracle-critical blocking expressions on ADVERSARIAL vectors
+    (±0.0, exact zeros, tiny/huge magnitudes, sign boundaries):
+    (a) Spark sign_bands ≡ the DuckDB sign_bands_sql mirror key for
+    key; (b) band 0 of the 16-bit banding ≡ the legacy single
+    sign_block(bits=16) (the banding is a strict refinement, so every
+    old-block collision survives in band 0); (c) the flip-plant
+    expression agrees across engines on the same vectors."""
+    import duckdb as dd
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from coltt_spark.operators.dedup import sign_bands, sign_bands_sql, sign_block
+    from coltt_spark.registry_dedup import _FLIPPED_PLANTS_SQL, _flipped_bench_plants
+
+    rng = np.random.default_rng(9119)
+    vecs = []
+    for i in range(200):
+        v = rng.normal(0.0, 1.0, 64)
+        # adversarial edits: plant exact 0.0, -0.0, tiny magnitudes
+        v[i % 64] = [0.0, -0.0, 1e-300, -1e-300, 1e300][i % 5]
+        vecs.append([float(x) for x in v])
+    rows = [(50 * i, v) for i, v in enumerate(vecs)]  # ids % 50 == 0 for plants
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        int(r["vec_id"]): list(r["k"])
+        for r in df.select(
+            "vec_id", sign_bands("embedding", bands=4, band_bits=16).alias("k")
+        ).collect()
+    }
+    blk = {
+        int(r["vec_id"]): int(r["b"])
+        for r in df.select(
+            "vec_id", sign_block("embedding", bits=16).alias("b")
+        ).collect()
+    }
+    con = dd.connect()
+    con.execute("CREATE TABLE t(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    keys = ", ".join(sign_bands_sql("embedding", bands=4, band_bits=16))
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT vec_id, [{keys}] FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    for vid, ks in got.items():
+        assert ks[0] == blk[vid]  # band 0 ≡ the legacy 16-bit block
+    # flip plants: Spark vs DuckDB on the same rows
+    sp = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in _flipped_bench_plants(df).collect()
+    }
+    dk = {
+        r[0]: [float(x) for x in r[1]]
+        for r in con.execute(
+            "WITH b AS (SELECT vec_id, embedding AS v FROM t)"
+            + _FLIPPED_PLANTS_SQL
+            + " FROM b"
+        ).fetchall()
+    }
+    assert sp == dk

@@ -1922,3 +1922,35 @@ def test_g711_mulaw_compress_matches_expansion_table():
     # monotone in the magnitude domain
     pos = q[s >= 0]
     assert (np.diff(pos) >= 0).all()
+
+def test_g711_mulaw_compress_vs_stdlib_audioop():
+    """Independent cross-check of the μ-law COMPRESSOR: stdlib
+    audioop's lin2ulaw runs the CCITT 14-bit reference pipeline
+    (magnitude pre-truncated by 2 bits before the bias), so 381 of the
+    65536 int16 values land one code away from our full-16-bit
+    truncating encoder. Pin the relationship exactly: codes agree
+    everywhere else, never differ by more than one, and on every
+    disagreement OUR code's expanded value is strictly NEARER the
+    input (the pre-truncation loses exactly that information)."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in 3.13
+    import numpy as np
+
+    from coltt_spark.operators.media_codecs import (
+        _g711_table,
+        g711_mulaw_compress,
+    )
+
+    s = np.arange(-32768, 32768, dtype=np.int64)
+    want = np.frombuffer(
+        audioop.lin2ulaw(s.astype("<i2").tobytes(), 2), dtype=np.uint8
+    )
+    got = g711_mulaw_compress(s)
+    diff = np.nonzero(want != got)[0]
+    assert len(diff) == 381
+    assert (np.abs(want[diff].astype(int) - got[diff].astype(int)) == 1).all()
+    table = _g711_table("mu").astype(np.int64)
+    err_ours = np.abs(table[got[diff]] - s[diff])
+    err_aop = np.abs(table[want[diff]] - s[diff])
+    assert (err_ours < err_aop).all()
