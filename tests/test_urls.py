@@ -363,6 +363,11 @@ def test_expanded_psl_suffixes_resolve(spark):
         ("shop.myshopify.com", "shop.myshopify.com"),      # site builder
         ("team.notion.site", "team.notion.site"),
         ("docs.gitbook.io", "docs.gitbook.io"),
+        # -- r11 tranche 5c: the .jp municipal registry subset
+        ("www.shibuya.tokyo.jp", "www.shibuya.tokyo.jp"),  # Tokyo ward
+        ("a.b.kamakura.kanagawa.jp", "b.kamakura.kanagawa.jp"),
+        ("site.pref.hokkaido.jp", "pref.hokkaido.jp"),  # pref rule intact
+        ("x.tokyo.jp", "x.tokyo.jp"),  # non-municipal 3rd level = eTLD+1
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [
