@@ -29,5 +29,19 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (same column
     aliases; keys missing here get the weaker rows-only check). Lazy
     oracles (callables whose SQL inlines constants derived from the
-    sf0.01 gate data, e.g. the OPQ rotation) materialize here."""
-    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+    sf0.01 gate data, e.g. the OPQ rotation) materialize here.
+
+    Materialization is per-key fault-isolated: a lazy oracle that
+    raises (gate data missing / mid-regeneration) degrades ONLY its
+    own key to the weaker rows-only check instead of taking down the
+    entire oracle contract."""
+    out: dict[str, str] = {}
+    for k, v in ORACLES.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception:  # noqa: BLE001 — degrade this key only
+                continue
+        else:
+            out[k] = v
+    return out

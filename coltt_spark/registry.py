@@ -1409,25 +1409,15 @@ def _sql_double_list(vals) -> str:
 _OPQ_CONSTS_CACHE: dict[str, tuple[str, str]] = {}
 
 
-def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
-    """Derive the OPQ collection's (rotation, codebook) as SQL VALUES
-    rows — training replayed OUTSIDE SQL, serving replayed IN SQL.
-    OPQ's Procrustes step is an SVD, which SQL cannot express, so the
-    oracle's independence boundary sits exactly at training: the
-    residual sample is produced by DuckDB running the SAME
-    coarse-k-means replay the oracle itself trusts (sequential-fold
-    parity with the engine, drift <= 1e-15 from avg fold order), the
-    deterministic trainer (:func:`~coltt_spark.operators.pq.opq_train_np`
-    — identity init, sample-row seeds, fixed iteration counts) maps it
-    to (R, book), and everything downstream — rotate, encode, probe,
-    LUT, ADC, refine cut, exact rerank — is independent SQL over the
-    inlined constants (VERDICT r10 next #2: "the oracle inlines R as a
-    constant table exactly like the codebooks"). Engine/oracle
-    training inputs drift only in the last float bit, so code and
-    probe DECISIONS are stable and the output distances are exact
-    stored-vector dots either way."""
-    if sf_dir in _OPQ_CONSTS_CACHE:
-        return _OPQ_CONSTS_CACHE[sf_dir]
+def _opq_collection_arrays(sf_dir: str = _SF_GATE):
+    """Numeric (R, book) of the gate OPQ collection, derived the
+    oracle's way (DuckDB-replayed residual sample -> opq_train_np).
+    Split out of :func:`_opq_collection_constants` so a parity test
+    can np.allclose these against the collection's persisted
+    rotation.npy/book.npy — a fragile training run (near-tie k-means
+    assignment, Procrustes sign flip cascading into divergent books)
+    then fails loudly instead of surfacing as a gate hash mismatch
+    (ADVICE r11)."""
     import hashlib
 
     import numpy as np
@@ -1454,7 +1444,29 @@ def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
         key=lambda t: t[0],
     )
     X = np.array([v for _, v in keep], dtype=np.float64)
-    rot, book = opq_train_np(X, n_subspaces=8, n_codes=16)
+    return opq_train_np(X, n_subspaces=8, n_codes=16)
+
+
+def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
+    """Derive the OPQ collection's (rotation, codebook) as SQL VALUES
+    rows — training replayed OUTSIDE SQL, serving replayed IN SQL.
+    OPQ's Procrustes step is an SVD, which SQL cannot express, so the
+    oracle's independence boundary sits exactly at training: the
+    residual sample is produced by DuckDB running the SAME
+    coarse-k-means replay the oracle itself trusts (sequential-fold
+    parity with the engine, drift <= 1e-15 from avg fold order), the
+    deterministic trainer (:func:`~coltt_spark.operators.pq.opq_train_np`
+    — identity init, sample-row seeds, fixed iteration counts) maps it
+    to (R, book), and everything downstream — rotate, encode, probe,
+    LUT, ADC, refine cut, exact rerank — is independent SQL over the
+    inlined constants (VERDICT r10 next #2: "the oracle inlines R as a
+    constant table exactly like the codebooks"). Engine/oracle
+    training inputs drift only in the last float bit, so code and
+    probe DECISIONS are stable and the output distances are exact
+    stored-vector dots either way."""
+    if sf_dir in _OPQ_CONSTS_CACHE:
+        return _OPQ_CONSTS_CACHE[sf_dir]
+    rot, book = _opq_collection_arrays(sf_dir)
     rot_vals = ",\n".join(
         f"({i}, {_sql_double_list(rot[i])})" for i in range(rot.shape[0])
     )
@@ -2141,97 +2153,24 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-11 window: the r10 rotation ledger — the 9 r7-overflow
-    # -- entries FIRST (displaced from the r10 window by its 9
+    # -- round-12 window: the r11 rotation ledger — the 11 r8-overflow
+    # -- entries FIRST (displaced from the r11 window by its 7
     # -- new/touched seats, oldest driver signal on the board), then
-    # -- the r8-green entries in r8 order. New/touched r11 seats land
-    # -- at the window tail and displace the r8 block's tail past the
-    # -- boundary with round-12 priority. See CLAUDE.md
+    # -- the r9-green entries in r9-window order. New/touched r12
+    # -- seats land at the window tail and displace the r9 block's
+    # -- tail past the boundary with round-13 priority. See CLAUDE.md
     # -- 'Driver-check rotation ledger'.
-    "knn_two_phase",                 # ledger: r7 overflow, last driver signal r7
-    "ann_topk_blas",                 # ledger: r7 overflow, last driver signal r7
-    "media_metadata",                 # ledger: r7 overflow, last driver signal r7
-    "events_hourly",                 # ledger: r7 overflow, last driver signal r7
-    "token_count",                 # ledger: r7 overflow, last driver signal r7
-    "cube_revenue",                 # ledger: r7 overflow, last driver signal r7
-    "set_intersect",                 # ledger: r7 overflow, last driver signal r7
-    "top_revenue_orders",                 # ledger: r7 overflow, last driver signal r7
-    "knn_wide",                 # ledger: r7 overflow, last driver signal r7
-    "events_json",                 # ledger: last driver signal r8
-    "text_redact_pii",                 # ledger: last driver signal r8
-    "collection_hybrid_ivf",                 # ledger: last driver signal r8
-    "bm25_index_deleted",                 # ledger: last driver signal r8
-    "collection_search_grouped",                 # ledger: last driver signal r8
-    "media_knn",                 # ledger: last driver signal r8
-    "media_frames",                 # ledger: last driver signal r8
-    "schemaless_pure_search",                 # ledger: last driver signal r8
-    "schemaless_update_delete",                 # ledger: last driver signal r8
-    "hybrid_search",                 # ledger: last driver signal r8
-    "doc_chunk",                 # ledger: last driver signal r8
-    "decontaminate",                 # ledger: last driver signal r8
-    "sample_stratified",                 # ledger: last driver signal r8
-    "sample_fraction",                 # ledger: last driver signal r8
-    "source_mix",                 # ledger: last driver signal r8
-    "export_shards",                 # ledger: last driver signal r8
-    "pack_sequences",                 # ledger: last driver signal r8
-    "stream_hourly",                 # ledger: last driver signal r8
-    "stream_sessionize",                 # ledger: last driver signal r8
-    "stream_dedup",                 # ledger: last driver signal r8
-    "collection_search_blocks_filtered",                 # ledger: last driver signal r8
-    "events_asof",                 # ledger: last driver signal r8
-    "ann_bq",                 # ledger: last driver signal r8
-    "ann_pq",                 # ledger: last driver signal r8
-    "embed_cluster_sizes",                 # ledger: last driver signal r8
-    "sample_cluster_balanced",                 # ledger: last driver signal r8
-    "dedup_spans",                 # ledger: last driver signal r8
-    "text_repetition",                 # ledger: last driver signal r8
-    "stream_ingest",                 # ledger: last driver signal r8
-    "knn_bq",                 # ledger: last driver signal r8
-    "knn_sq8",                 # ledger: last driver signal r8
-    "semantic_dedup",                 # ledger: last driver signal r8
-    "range_search",                 # ledger: last driver signal r8
-    "token_count_unicode",                 # ledger: last driver signal r8
-    # -- new in r11 ----------------------------------------------------
-    "stream_ingest_ivfpq",  # new r11: streaming ∘ ivfpq composition —
-    #    every row arrives via foreachBatch micro-batches, delta flush
-    #    under the frozen quantizer, served through the batched ADC path
-    "unigram_train_pruned",  # new r11: Kudo 2018 completed — oversized
-    #    seed + per-round usage-ranked pruning down an integer-linear
-    #    schedule; oracle replays training INCLUDING both prune layers
-    "media_audio_dedup",  # new r11: chromaprint-style acoustic near-dup
-    #    (sign-of-change over 4 integer Haar band energies x 16 window
-    #    transitions), Hamming-banded; fixture plants gain-shifted +
-    #    mu-law re-encoded clips across all 3 container walks
-    "collection_search_ivfpq_opq",  # new r11: OPQ rotation through the
-    #    product surface (VERDICT r10 #2) — layout="ivfpq", opq=True
-    #    collection; rotation trained at flush, frozen across deltas;
-    #    oracle replays serving in SQL over the inlined (R, book)
-    # -- implementation touched this round ----------------------------
-    "decontaminate_semantic",  # r11: single-block sign-LSH -> 4x8-bit
-    #    multi-band OR-union (VERDICT r10 #3); fixture plants sign-flip
-    #    paraphrases the old blocking missed by construction
-    "neardup_cosine",  # r11: same multi-band blocking on the self-join
-    #    near-dup path (bands_col explode + per-pair collapse)
-    "web_url_psl",  # r11: PSL snapshot 2574 -> 2920 rules (tranche 5:
-    #    .no municipal/county registry + gs school grids, fastly +
-    #    site-builder private families)
-    # ------------------------------------------------------------------
-    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
-    # -- pytest run; driver rotation continues next round.
-    # -- r8 overflow tail — ROUND-12 PRIORITY (displaced by this
-    # -- round's new/touched seats), in r8 order:
-    "dedup_minhash_bytes",                 # ledger: r8 overflow, round-12 priority
-    "ann_ivfpq",                 # ledger: r8 overflow, round-12 priority
-    "decontaminate_bytes",                 # ledger: r8 overflow, round-12 priority
-    "text_script_profile",                 # ledger: r8 overflow, round-12 priority
-    "dedup_containment_bytes",                 # ledger: r8 overflow, round-12 priority
-    "bpe_train",                 # ledger: r8 overflow, round-12 priority
-    "bpe_encode",                 # ledger: r8 overflow, round-12 priority
-    "media_exif",                 # ledger: r8 overflow, round-12 priority
-    "media_exif_orientation",                 # ledger: r8 overflow, round-12 priority
-    "pack_sequences_firstfit",                 # ledger: r8 overflow, round-12 priority
-    "embed_outliers",                 # ledger: r8 overflow, round-12 priority
-    # -- the 47 r9-green entries, r9-window order:
+    "dedup_minhash_bytes",                 # ledger: r8 overflow, last driver signal r8
+    "ann_ivfpq",                 # ledger: r8 overflow, last driver signal r8
+    "decontaminate_bytes",                 # ledger: r8 overflow, last driver signal r8
+    "text_script_profile",                 # ledger: r8 overflow, last driver signal r8
+    "dedup_containment_bytes",                 # ledger: r8 overflow, last driver signal r8
+    "bpe_train",                 # ledger: r8 overflow, last driver signal r8
+    "bpe_encode",                 # ledger: r8 overflow, last driver signal r8
+    "media_exif",                 # ledger: r8 overflow, last driver signal r8
+    "media_exif_orientation",                 # ledger: r8 overflow, last driver signal r8
+    "pack_sequences_firstfit",                 # ledger: r8 overflow, last driver signal r8
+    "embed_outliers",                 # ledger: r8 overflow, last driver signal r8
     "token_vocab",                 # ledger: last driver signal r9
     "doc_lm_score",                 # ledger: last driver signal r9
     "filter_extended",                 # ledger: last driver signal r9
@@ -2271,17 +2210,23 @@ _KEY_ORDER = [
     "media_audio_features",                 # ledger: last driver signal r9
     "media_video_stats",                 # ledger: last driver signal r9
     "collection_search_blocks",                 # ledger: last driver signal r9
-    "web_domain_quota",                 # ledger: last driver signal r9
-    "token_fertility_by_lang",                 # ledger: last driver signal r9
-    "bpe_encode_ids_pretok",                 # ledger: last driver signal r9
-    "pack_sequences_ids",                 # ledger: last driver signal r9
-    "bpe_train_bytes",                 # ledger: last driver signal r9
-    "bpe_encode_ids",                 # ledger: last driver signal r9
-    "text_lang_id_unicode",                 # ledger: last driver signal r9
-    "text_lang_id",                 # ledger: last driver signal r9
-    # -- the 47 r10-green entries, r10-window order (decontaminate_semantic
-    # -- / neardup_cosine / web_url_psl left this block when promoted
-    # -- as touched):
+    # -- new in r12 / touched this round: seats land here as they
+    # -- ship, each displacing the last r9 entry above past the
+    # -- boundary (to the FRONT of the r13-priority block below)
+    # ------------------------------------------------------------------
+    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
+    # -- pytest run; driver rotation continues next round.
+    # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
+    # -- window composition), in r9 order:
+    "web_domain_quota",                 # ledger: r9 overflow, round-13 priority
+    "token_fertility_by_lang",                 # ledger: r9 overflow, round-13 priority
+    "bpe_encode_ids_pretok",                 # ledger: r9 overflow, round-13 priority
+    "pack_sequences_ids",                 # ledger: r9 overflow, round-13 priority
+    "bpe_train_bytes",                 # ledger: r9 overflow, round-13 priority
+    "bpe_encode_ids",                 # ledger: r9 overflow, round-13 priority
+    "text_lang_id_unicode",                 # ledger: r9 overflow, round-13 priority
+    "text_lang_id",                 # ledger: r9 overflow, round-13 priority
+    # -- the 47 r10-green entries, r10-window order:
     "upsert_delete",                 # ledger: last driver signal r10
     "filter_coercion",                 # ledger: last driver signal r10
     "filter_search",                 # ledger: last driver signal r10
@@ -2329,6 +2274,57 @@ _KEY_ORDER = [
     "unigram_encode_ids",                 # ledger: last driver signal r10
     "collection_search_ivfpq",                 # ledger: last driver signal r10
     "collection_search_ivfpq_delta",                 # ledger: last driver signal r10
+    # -- the 50 r11-green entries, r11-window order:
+    "knn_two_phase",                 # ledger: last driver signal r11
+    "ann_topk_blas",                 # ledger: last driver signal r11
+    "media_metadata",                 # ledger: last driver signal r11
+    "events_hourly",                 # ledger: last driver signal r11
+    "token_count",                 # ledger: last driver signal r11
+    "cube_revenue",                 # ledger: last driver signal r11
+    "set_intersect",                 # ledger: last driver signal r11
+    "top_revenue_orders",                 # ledger: last driver signal r11
+    "knn_wide",                 # ledger: last driver signal r11
+    "events_json",                 # ledger: last driver signal r11
+    "text_redact_pii",                 # ledger: last driver signal r11
+    "collection_hybrid_ivf",                 # ledger: last driver signal r11
+    "bm25_index_deleted",                 # ledger: last driver signal r11
+    "collection_search_grouped",                 # ledger: last driver signal r11
+    "media_knn",                 # ledger: last driver signal r11
+    "media_frames",                 # ledger: last driver signal r11
+    "schemaless_pure_search",                 # ledger: last driver signal r11
+    "schemaless_update_delete",                 # ledger: last driver signal r11
+    "hybrid_search",                 # ledger: last driver signal r11
+    "doc_chunk",                 # ledger: last driver signal r11
+    "decontaminate",                 # ledger: last driver signal r11
+    "sample_stratified",                 # ledger: last driver signal r11
+    "sample_fraction",                 # ledger: last driver signal r11
+    "source_mix",                 # ledger: last driver signal r11
+    "export_shards",                 # ledger: last driver signal r11
+    "pack_sequences",                 # ledger: last driver signal r11
+    "stream_hourly",                 # ledger: last driver signal r11
+    "stream_sessionize",                 # ledger: last driver signal r11
+    "stream_dedup",                 # ledger: last driver signal r11
+    "collection_search_blocks_filtered",                 # ledger: last driver signal r11
+    "events_asof",                 # ledger: last driver signal r11
+    "ann_bq",                 # ledger: last driver signal r11
+    "ann_pq",                 # ledger: last driver signal r11
+    "embed_cluster_sizes",                 # ledger: last driver signal r11
+    "sample_cluster_balanced",                 # ledger: last driver signal r11
+    "dedup_spans",                 # ledger: last driver signal r11
+    "text_repetition",                 # ledger: last driver signal r11
+    "stream_ingest",                 # ledger: last driver signal r11
+    "knn_bq",                 # ledger: last driver signal r11
+    "knn_sq8",                 # ledger: last driver signal r11
+    "semantic_dedup",                 # ledger: last driver signal r11
+    "range_search",                 # ledger: last driver signal r11
+    "token_count_unicode",                 # ledger: last driver signal r11
+    "stream_ingest_ivfpq",                 # ledger: last driver signal r11
+    "unigram_train_pruned",                 # ledger: last driver signal r11
+    "media_audio_dedup",                 # ledger: last driver signal r11
+    "collection_search_ivfpq_opq",                 # ledger: last driver signal r11
+    "decontaminate_semantic",                 # ledger: last driver signal r11
+    "neardup_cosine",                 # ledger: last driver signal r11
+    "web_url_psl",                 # ledger: last driver signal r11
 ]
 
 

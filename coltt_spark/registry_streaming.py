@@ -99,7 +99,9 @@ GROUP BY user_id, session_id
 """
 
 
-_INGEST_CACHE: dict[str, object] = {}
+#: keyed uniformly by (sf_dir, layout-flavor) — "rows" for the plain
+#: streamed collection, "ivfpq" for the streamed-IVFADC one
+_INGEST_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _streamed_collection(spark: SparkSession, sf_dir: str):
@@ -121,8 +123,8 @@ def _streamed_collection(spark: SparkSession, sf_dir: str):
     from coltt_spark.sources.tables import load_table
     from coltt_spark.streaming.ingest import read_table_stream, stream_upsert
 
-    if sf_dir in _INGEST_CACHE:
-        return _INGEST_CACHE[sf_dir]
+    if (sf_dir, "rows") in _INGEST_CACHE:
+        return _INGEST_CACHE[(sf_dir, "rows")]
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     cat = Catalog(spark, scratch_dir(prefix="coltt_stream_wh_"))
@@ -151,7 +153,7 @@ def _streamed_collection(spark: SparkSession, sf_dir: str):
         )
     )
     stream_upsert(mutated, coll)
-    _INGEST_CACHE[sf_dir] = coll
+    _INGEST_CACHE[(sf_dir, "rows")] = coll
     return coll
 
 
