@@ -1242,3 +1242,213 @@ def audio_fingerprint(audio: DataFrame, *, decoder=None) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def video_dedup_table(documents: DataFrame) -> DataFrame:
+    """Fabricate REAL video containers with PLANTED perceptual
+    near-dups for the video rows (``doc_id % 3 == 2``, matching
+    :func:`media_table`'s round-robin): consecutive video rows form
+    3-clip CLUSTERS (``cluster = doc_id // 9``) sharing 17 base frames
+    of 16×16 pixels in a 2×2 grid of constant 8×8 blocks whose
+    (Y, Cb, Cr) triples come from ``md5('vdp:' || cluster || ':' ||
+    frame)`` digest bytes (block ``b`` reads bytes ``3b..3b+2``; the
+    pinned floor(x+0.5) BT.601 rounding maps them to RGB). Roles 0/2
+    emit the block grid at 2×2 PIXELS while role 1 emits it at 16×16
+    — the temporal fingerprint is RESOLUTION-INVARIANT (each band's
+    energy scales by a per-clip constant, and bits compare energies
+    within a clip across time), so the thumbnail still matches its
+    full-size re-encode: the cross-resolution dup every crawl corpus
+    carries. Per-row role (``(doc_id / 3) % 3``):
+
+    - 0 — the base clip: 17 RGB frames (2×2) in an uncompressed-DIB
+      AVI;
+    - 1 — RE-ENCODED through the real JPEG path: the SAME YCbCr
+      blocks encoded DC-only per frame under flat quant tables
+      q=24 and wrapped as Motion-JPEG AVI — the (24/8=3)-step DC
+      round trip ``v' = clip(3·⌊(v−128)/3 + ½⌋ + 128)`` is provably
+      TIE-FREE at both encode (8(v−128) ≡ 12 mod 24 is unsolvable)
+      and decode (3·zz0 is integral, so the +128.5 level shift sits
+      exactly 0.5 from every floor boundary), which is what lets the
+      SQL oracle replay genuine requantization noise exactly — the
+      transcoded duplicate;
+    - 2 — RE-GRADED + TAIL-EXTENDED: the base RGB frames (2×2)
+      scaled ``⌊3v/4⌋`` per channel plus 4 EXTRA trailing frames
+      (same hash stream continued), palette-packed into an animated
+      GIF89a — the brightness-regraded re-upload; the extra tail
+      pins that the fingerprint is head-aligned-trim tolerant (the
+      base IS the 17-frame head trim of this clip).
+
+    Three containers → the entry exercises all three container walks
+    of ``decode_video``. Real containers, deterministic pixels: the
+    SQL oracle regenerates block values + roles from the hash stream
+    (replaying the DC quantization and the gain floor in arithmetic)
+    and never sees the container bytes — :func:`audio_dedup_table`'s
+    discipline on video. EVEN clusters only (``(doc_id // 9) % 2 ==
+    0``) — the bench-cost dial on a fixture whose 17-frame × 3-codec
+    fabricate+decode is single-core codec work by design (the
+    documents scan is one parquet file; the plan guard pins the
+    narrow no-Exchange shape, which is the correct one at 100 TB)."""
+    n_frames = 17
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import (
+            encode_avi,
+            encode_avi_mjpeg,
+            encode_gif_frames,
+            encode_jpeg,
+        )
+
+        qt24 = np.full(64, 24, dtype=np.int64)
+
+        def ycc_frame(cluster: int, f: int) -> np.ndarray:
+            raw = hashlib.md5(f"vdp:{cluster}:{f}".encode()).digest()[:12]
+            return np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3)
+
+        def to_rgb(ycc: np.ndarray) -> np.ndarray:
+            out = np.empty_like(ycc)
+            for i in range(2):
+                for j in range(2):
+                    y, cb, cr = (int(v) for v in ycc[i, j])
+                    r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+                    g = math.floor(
+                        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                    )
+                    b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+                    out[i, j] = [
+                        min(max(c, 0), 255) for c in (r, g, b)
+                    ]
+            return out
+
+        def expand(block_grid: np.ndarray) -> np.ndarray:
+            return np.repeat(np.repeat(block_grid, 8, axis=0), 8, axis=1)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cluster, role = d // 9, (d // 3) % 3
+                if role == 1:
+                    jpegs = [
+                        encode_jpeg(
+                            expand(ycc_frame(cluster, f)),
+                            input_color="ycbcr",
+                            luma_quant=qt24,
+                            chroma_quant=qt24,
+                        )
+                        for f in range(n_frames)
+                    ]
+                    payloads.append(encode_avi_mjpeg(jpegs, 16, 16, 5.0))
+                    continue
+                total = n_frames + (4 if role == 2 else 0)
+                frames = [
+                    to_rgb(ycc_frame(cluster, f)) for f in range(total)
+                ]
+                if role == 0:
+                    payloads.append(encode_avi(frames, 5.0))
+                else:
+                    frames = [(3 * f.astype(np.int64)) // 4 for f in frames]
+                    frames = [f.astype(np.uint8) for f in frames]
+                    stack = np.stack(frames).reshape(-1, 3)
+                    palette, inverse = np.unique(
+                        stack, axis=0, return_inverse=True
+                    )
+                    idx_frames = list(
+                        inverse.astype(np.uint8).reshape(total, 2, 2)
+                    )
+                    payloads.append(
+                        encode_gif_frames(idx_frames, palette, delay_cs=20)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = documents.filter(
+        (F.col("doc_id") % 3 == 2) & (F.expr("(doc_id div 9) % 2") == 0)
+    ).select("doc_id")
+    return vids.mapInPandas(kernel, out_schema)
+
+
+def video_fingerprint(videos: DataFrame, *, decoder=None) -> DataFrame:
+    """64-bit temporal video fingerprint per clip — ONE narrow
+    Arrow-batched decode stage, no shuffle: decode the real container
+    (magic-sniffing ``decode_video`` by default), take the FIRST 17
+    frames (head alignment makes the signature invariant to trailing
+    trims/extensions), compute 4 integer spatial Haar band energies
+    per frame over the BT.601 per-mille luma quadrant sums (total,
+    (left−right)², (top−bottom)², (diag−antidiag)² — the 2-D
+    filterbank), and set bit ``t·4 + b`` when band ``b``'s energy
+    RISES from frame ``t`` to ``t+1`` — the audio fingerprint's
+    sign-of-difference-over-(time × band) design
+    (:func:`audio_fingerprint`) with space standing in for frequency,
+    the temporal-ordinal video fingerprint family. Emitted as four
+    16-bit words (:data:`DHASH_SCHEMA` — the words double as Hamming
+    bands, so :func:`dhash_pairs` serves the pair generation
+    unchanged).
+
+    Integer end-to-end over pixel sums, so the registry oracle
+    regenerates the sign decisions from the md5 block stream in SQL
+    (per-block luma energies — a positive constant multiple of the
+    kernel's per-pixel quadrant sums on the constant-block fixture,
+    so every comparison agrees). Re-grades scale all band energies
+    ~uniformly and DC requantization perturbs them below the
+    frame-to-frame contrast, so both stay within Hamming 3 of the
+    base (measured on the fixture; cross-content clips sit at ~32)."""
+    n_frames = 17
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import decode_video
+
+        decode = decoder if decoder is not None else decode_video
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("doc_id", "w0", "w1", "w2", "w3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = decode(bytes(payload))
+                if len(frames) < n_frames:
+                    raise ValueError(
+                        f"doc {doc_id}: {len(frames)} frames — the "
+                        f"fingerprint reads the first {n_frames}"
+                    )
+                en = np.empty((n_frames, 4), dtype=np.int64)
+                for t in range(n_frames):
+                    img = frames[t][:, :, :3].astype(np.int64)
+                    h, w, _ = img.shape
+                    luma = (
+                        299 * img[:, :, 0]
+                        + 587 * img[:, :, 1]
+                        + 114 * img[:, :, 2]
+                    )
+                    hh, hw = h // 2, w // 2
+                    tl = int(luma[:hh, :hw].sum())
+                    tr = int(luma[:hh, hw:].sum())
+                    bl = int(luma[hh:, :hw].sum())
+                    br = int(luma[hh:, hw:].sum())
+                    en[t] = [
+                        tl + tr + bl + br,
+                        ((tl + bl) - (tr + br)) ** 2,
+                        ((tl + tr) - (bl + br)) ** 2,
+                        ((tl + br) - (tr + bl)) ** 2,
+                    ]
+                bits = (en[1:] > en[:-1]).ravel().astype(np.int64)  # bit t*4+b
+                rows["doc_id"].append(doc_id)
+                for k in range(4):
+                    rows[f"w{k}"].append(
+                        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return videos.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)

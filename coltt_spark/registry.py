@@ -2209,15 +2209,20 @@ _KEY_ORDER = [
     "bm25_index_merged",                 # ledger: last driver signal r9
     "media_audio_features",                 # ledger: last driver signal r9
     "media_video_stats",                 # ledger: last driver signal r9
-    "collection_search_blocks",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
+    "media_video_dedup",  # new r12: temporal-ordinal video near-dup
+    #    (sign-of-change over 4 spatial Haar luma band energies x 16
+    #    frame transitions), Hamming-banded; fixture plants Motion-JPEG
+    #    DC-requantized (tie-free q=24 round trip) + regraded/
+    #    tail-extended clips across all 3 decode_video container walks
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "collection_search_blocks",                 # ledger: r9 overflow, round-13 priority
     "web_domain_quota",                 # ledger: r9 overflow, round-13 priority
     "token_fertility_by_lang",                 # ledger: r9 overflow, round-13 priority
     "bpe_encode_ids_pretok",                 # ledger: r9 overflow, round-13 priority

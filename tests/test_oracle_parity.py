@@ -99,7 +99,6 @@ ROTATION_LEDGER_R12 = [
     "bm25_index_merged",
     "media_audio_features",
     "media_video_stats",
-    "collection_search_blocks",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -107,6 +106,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "collection_search_blocks",
     "web_domain_quota",
     "token_fertility_by_lang",
     "bpe_encode_ids_pretok",
@@ -119,7 +119,10 @@ R13_PRIORITY = [
 
 #: new/touched this round — seats land at the window tail as they
 #: ship, each displacing the ledger's last r9 entry into R13_PRIORITY
-NEW_OR_TOUCHED_R12: list[str] = []
+NEW_OR_TOUCHED_R12: list[str] = [
+    # new r12: temporal-ordinal video near-dup dedup (VERDICT r11 #2)
+    "media_video_dedup",
+]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():

@@ -1122,3 +1122,24 @@ def test_audio_dedup_plan_banded_no_allpairs(spark):
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert "band_idx" in plan and "band_val" in plan
+
+def test_video_dedup_plan_banded_no_allpairs(spark):
+    """The video near-dup dedup must keep the audio dedup's LSH shape
+    at 100 TB: candidates come from the 4-word Hamming-band equi-join
+    — never a cross join or nested-loop — and the sample work is
+    exactly TWO narrow Arrow stages (fixture fabricate +
+    decode/fingerprint) with no shuffle between payload and
+    signature."""
+    from coltt_spark.operators.multimodal import video_dedup_table, video_fingerprint
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.registry import QUERIES
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig_plan = executed_plan(video_fingerprint(video_dedup_table(docs)))
+    assert sig_plan.count("MapInPandas") == 2, sig_plan[:800]
+    assert "ENSURE_REQUIREMENTS" not in sig_plan
+    df = QUERIES["media_video_dedup"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "band_idx" in plan and "band_val" in plan
