@@ -119,12 +119,19 @@ def _initial_symbols(word: Column, byte_level: bool = False) -> Column:
     return F.concat(syms, F.array(F.lit(EOW)))
 
 
-def merge_fold(syms: Column, left: str, right: str) -> Column:
-    """Apply ONE merge ``(left, right) → left+right`` to a symbol
-    array: greedy left-to-right non-overlapping — the canonical BPE
+def merge_fold(
+    syms: Column, left: str, right: str, merged: str | None = None
+) -> Column:
+    """Apply ONE merge ``(left, right) → merged`` to a symbol array:
+    greedy left-to-right non-overlapping — the canonical BPE
     application, as a left fold (``[a,a,a]`` under ``(a,a)`` gives
     ``[aa,a]``, never ``[a,aa]``). Mirrored exactly by the oracle's
-    DuckDB ``list_reduce`` (registry_text._bpe_chain_sql)."""
+    DuckDB ``list_reduce`` (registry_text._bpe_chain_sql). ``merged``
+    defaults to plain concatenation (BPE); WordPiece passes
+    ``left + right-without-##`` so the continuation marker collapses
+    at the seam."""
+    if merged is None:
+        merged = left + right
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
@@ -134,7 +141,7 @@ def merge_fold(syms: Column, left: str, right: str) -> Column:
             & (x == F.lit(right)),
             F.concat(
                 F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(left + right)),
+                F.array(F.lit(merged)),
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
@@ -714,5 +721,273 @@ def unigram_encode_ids(
         .select(
             F.col(id_col),
             F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012, "Japanese and Korean Voice
+# Search", ICASSP — the BERT-family tokenizer): BPE-shaped iterative
+# merge training, but pairs are scored by LIKELIHOOD GAIN
+# count(ab) / (count(a) · count(b)) instead of raw count, and encoding
+# is greedy longest-match-first over the final vocabulary with ``##``
+# continuation pieces (word-internal position is marked on the symbol,
+# not with an end-of-word sentinel). Same parity discipline as the
+# unigram trainer: every score is integer counts and ONE IEEE double
+# division, so the SQL oracle replays training argmaxes bit-for-bit,
+# and greedy encoding is a deterministic forward walk the oracle
+# unrolls one step per materialized CTE layer (the Viterbi-walk
+# discipline of registry_text._unigram_viterbi_sql).
+
+#: the continuation marker — '#' is outside the char path's [a-z0-9]
+#: alphabet, so '##'-prefixed symbols can never collide with corpus
+#: symbols (the same non-collision argument as EOW)
+CONT = "##"
+
+#: the BERT convention's unknown-word token: greedy matching FAILS a
+#: word only when it contains a character outside the trained
+#: alphabet; the whole word then encodes as this single piece
+UNK = "[UNK]"
+
+
+def wordpiece_initial_symbols(word: Column) -> Column:
+    """word → its WordPiece start symbols: first character plain,
+    every later character ``##``-prefixed (``"hello"`` →
+    ``['h', '##e', '##l', '##l', '##o']``)."""
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.transform(
+        chars,
+        lambda x, i: F.when(i == F.lit(0), x).otherwise(
+            F.concat(F.lit(CONT), x)
+        ),
+    )
+
+
+def wordpiece_learn(
+    df: DataFrame, text_col: str, num_merges: int
+) -> tuple[list[tuple[str, str, str]], DataFrame]:
+    """Train ``num_merges`` WordPiece merges on the corpus. Returns
+    the ordered ``(lhs, rhs, merged)`` list — ``merged`` is
+    ``lhs + rhs-without-##``, keeping lhs's position marker — and the
+    final word-segmentation table ``(word, s, cnt)``.
+
+    Each step is TWO vocabulary-sized jobs on the distinct-word table
+    (the same k-scans discipline as ``bpe_learn``): a symbol-count
+    aggregate (BOUNDED collect — ≤ 2·alphabet + step symbols, the
+    centroid/codebook discipline) whose counts ride back into the
+    pair-count aggregate as a literal map, and the pair argmax by
+    ``count(ab) / (count(a)·count(b))`` — integer counts, one IEEE
+    division, ties broken by lexicographically smallest ``(a, b)`` —
+    exactly the ordering the SQL oracle replays. The per-step word
+    table is lazily localCheckpointed like BPE's (the fold-chain
+    analysis blowup)."""
+    base = bpe_word_table(df, text_col)
+    cur = base.select(
+        "word", wordpiece_initial_symbols(F.col("word")).alias("s"), "cnt"
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, str]] = []
+    for _ in range(num_merges):
+        sym_counts = {
+            r["sym"]: int(r["c"])
+            for r in cur.select(F.explode("s").alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("c"))
+            .collect()
+        }
+        cmap = F.create_map(
+            *[F.lit(x) for k in sorted(sym_counts) for x in (k, sym_counts[k])]
+        )
+        s = F.col("s")
+        pairs = F.transform(
+            F.slice(s, 1, F.size(s) - 1),
+            lambda x, i: F.struct(x.alias("a"), F.get(s, i + 1).alias("b")),
+        )
+        top = (
+            cur.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("c").cast("double")
+                    / (
+                        # long math before the multiply: int32 symbol
+                        # counts would wrap on the product
+                        F.element_at(cmap, F.col("a")).cast("long")
+                        * F.element_at(cmap, F.col("b")).cast("long")
+                    ).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
+        merges.append((a, b, merged))
+        cur = cur.select(
+            "word", merge_fold(F.col("s"), a, b, merged).alias("s"), "cnt"
+        ).localCheckpoint(eager=False)
+    return merges, cur
+
+
+def wordpiece_train(
+    spark: SparkSession, df: DataFrame, text_col: str, num_merges: int
+) -> DataFrame:
+    """The merge table ``(rank, lhs, rhs, merged)`` in training order
+    — WordPiece's model artifact alongside the vocabulary."""
+    merges, _ = wordpiece_learn(df, text_col, num_merges)
+    return spark.createDataFrame(
+        [(i + 1, a, b, m) for i, (a, b, m) in enumerate(merges)],
+        MERGE_SCHEMA,
+    )
+
+
+def wordpiece_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """The corpus's start-symbol set (plain first characters +
+    ``##``-prefixed continuations actually present), sorted — a
+    BOUNDED collect (≤ 2·36 on the char path)."""
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .select(
+            F.explode(wordpiece_initial_symbols(F.col("word"))).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["sym"] for r in rows)
+
+
+def wordpiece_vocab(
+    base_symbols: list[str], merges: list[tuple[str, str, str]]
+) -> list[tuple[str, int]]:
+    """``(piece, id)`` pairs: ``[UNK]`` at id 0 (the BERT reserved
+    slot this engine models), sorted start symbols next, then merged
+    pieces by rank (keep-first on duplicates)."""
+    vocab: list[tuple[str, int]] = [(UNK, 0)]
+    seen: set[str] = {UNK}
+    for sym in sorted(base_symbols):
+        if sym not in seen:
+            vocab.append((sym, len(vocab)))
+            seen.add(sym)
+    for _a, _b, m in merges:
+        if m not in seen:
+            vocab.append((m, len(vocab)))
+            seen.add(m)
+    return vocab
+
+
+def _wordpiece_greedy(
+    word: str, pieces: set, max_core_len: int
+) -> list[str]:
+    """Greedy longest-match-first segmentation — the published
+    WordPiece encoder: at each position take the LONGEST vocabulary
+    piece (``##``-prefixed off the word start) matching the remaining
+    text; a position with no match fails the whole word to
+    ``[UNK]``."""
+    n = len(word)
+    out: list[str] = []
+    pos = 0
+    while pos < n:
+        found = None
+        for ln in range(min(max_core_len, n - pos), 0, -1):
+            cand = word[pos : pos + ln]
+            if pos > 0:
+                cand = CONT + cand
+            if cand in pieces:
+                found = cand
+                break
+        if found is None:
+            return [UNK]
+        out.append(found)
+        pos += len(found) - (len(CONT) if pos > 0 else 0)
+    return out
+
+
+def _wordpiece_seg_udf(pieces: set, max_core_len: int):
+    """(word) → greedy pieces array, Arrow-batched — the ONE encoder
+    kernel (the ``_unigram_seg_udf`` convention)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ps = set(pieces)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(s):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _wordpiece_greedy(w, ps, max_core_len)
+                if w is not None
+                else None
+                for w in s
+            ]
+        )
+
+    return _seg
+
+
+def wordpiece_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[tuple[str, int]],
+) -> DataFrame:
+    """Per-document token-id sequences ``(id, token_ids array<int>)``
+    under a trained WordPiece vocabulary — greedy longest-match per
+    DISTINCT word (memoized, joined back order-preserving; the
+    ``bpe_encode_ids``/``unigram_encode_ids`` shape). Unknown words
+    encode as the single ``[UNK]`` id; documents with no tokens yield
+    an EMPTY array."""
+    pieces = {p for p, _i in vocab}
+    ids = dict(vocab)
+    max_core = max(
+        (len(p) - len(CONT) if p.startswith(CONT) else len(p))
+        for p in pieces
+        if p != UNK
+    )
+    id_map = F.create_map(*[F.lit(x) for p, i in vocab for x in (p, i)])
+    word_ids = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            _wordpiece_seg_udf(pieces, max_core)(F.col("word")).alias("s"),
+        )
+        .select(
+            "word",
+            F.transform(F.col("s"), lambda sym: F.element_at(id_map, sym))
+            .cast("array<int>")
+            .alias("ids"),
+        )
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias("pos", "word"),
+    )
+    joined = occ.join(word_ids, on="word", how="left").select(
+        id_col,
+        "pos",
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda st: st["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias(
+                "token_ids"
+            ),
         )
     )

@@ -2207,8 +2207,6 @@ _KEY_ORDER = [
     "dedup_simhash",                 # ledger: last driver signal r9
     "collection_hybrid_text",                 # ledger: last driver signal r9
     "bm25_index_merged",                 # ledger: last driver signal r9
-    "media_audio_features",                 # ledger: last driver signal r9
-    "media_video_stats",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2217,11 +2215,18 @@ _KEY_ORDER = [
     #    frame transitions), Hamming-banded; fixture plants Motion-JPEG
     #    DC-requantized (tie-free q=24 round trip) + regraded/
     #    tail-extended clips across all 3 decode_video container walks
+    "wordpiece_train",  # new r12: WordPiece likelihood-scored merge
+    #    training (Schuster & Nakajima 2012, VERDICT r11 #3); oracle
+    #    replays per-step symbol counts + score argmax + fold
+    "wordpiece_encode",  # new r12: greedy longest-match-first encode
+    #    with ## continuations; oracle retrains + replays the walk
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "media_audio_features",                 # ledger: r9 overflow, round-13 priority
+    "media_video_stats",                 # ledger: r9 overflow, round-13 priority
     "collection_search_blocks",                 # ledger: r9 overflow, round-13 priority
     "web_domain_quota",                 # ledger: r9 overflow, round-13 priority
     "token_fertility_by_lang",                 # ledger: r9 overflow, round-13 priority
@@ -2422,3 +2427,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     # oversized-seed + per-round-pruned twin (Kudo 2018 completed)
     _unigram_pruned_fixture(spark, sf_dir)
+    from coltt_spark.registry_text import _wordpiece_fixture
+
+    # WordPiece merges + id-assigned vocabulary (likelihood argmaxes)
+    _wordpiece_fixture(spark, sf_dir)

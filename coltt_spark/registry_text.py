@@ -1474,6 +1474,273 @@ FROM {uf}
 """
 
 
+# -- WordPiece (Schuster & Nakajima 2012 — the BERT-family tokenizer;
+# -- VERDICT r11 #3): likelihood-scored merge training + greedy
+# -- longest-match-first encoding with ## continuation pieces. Same
+# -- parity recipe as BPE/unigram: integer counts, ONE IEEE double
+# -- division per score, fold/walk replays in SQL.
+
+WP_MERGES = 16
+_WP_WMAX = 24  # word-length bound shared with the unigram walk
+
+_WP_CACHE: dict[str, tuple] = {}
+
+
+def _wordpiece_fixture(spark: SparkSession, sf_dir: str):
+    """The trained WordPiece model — (lhs, rhs, merged) list + the
+    id-assigned vocabulary — built ONCE per process per sf_dir
+    (prewarm_fixtures convention; training is 2k vocabulary-sized
+    jobs booked into fixture_build_sec, like the BPE merges)."""
+    if sf_dir not in _WP_CACHE:
+        from coltt_spark.operators.tokenize import (
+            wordpiece_alphabet,
+            wordpiece_learn,
+            wordpiece_vocab,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges, _seg = wordpiece_learn(docs, "text", WP_MERGES)
+        vocab = wordpiece_vocab(wordpiece_alphabet(docs, "text"), merges)
+        _WP_CACHE[sf_dir] = (merges, vocab)
+    return _WP_CACHE[sf_dir]
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training (Schuster & Nakajima 2012): k merge steps
+    over the distinct-word table — BPE's loop, but the argmax pair
+    maximizes the LIKELIHOOD GAIN count(ab)/(count(a)·count(b)) over
+    the current segmentation (integer counts, one IEEE division —
+    ties by lexicographically smallest pair), first-character symbols
+    plain and continuations ##-prefixed, merged symbols collapsing
+    the marker at the seam. The oracle replays ALL k steps in SQL —
+    per-step symbol counts, pair counts, the score argmax, and the
+    greedy left-fold application — and must land on the identical
+    ordered merge table."""
+    from coltt_spark.operators.tokenize import MERGE_SCHEMA
+
+    merges, _ = _wordpiece_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, a, b, m) for i, (a, b, m) in enumerate(merges)],
+        MERGE_SCHEMA,
+    )
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece encoding — greedy LONGEST-MATCH-FIRST per distinct
+    word over the trained vocabulary ([UNK] at id 0, sorted start
+    symbols, then merged pieces by rank), memoized and joined back
+    order-preserving. The oracle retrains in SQL and replays the
+    greedy walk itself — one position step per materialized CTE layer
+    (the unigram-walk discipline) probing piece lengths descending —
+    so train and the published encoder must agree end-to-end."""
+    from coltt_spark.operators.tokenize import wordpiece_encode_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = _wordpiece_fixture(spark, sf_dir)
+    enc = wordpiece_encode_ids(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_csv"),
+    )
+
+
+def _wordpiece_chain_sql(k: int) -> str:
+    """The WordPiece training replay: words → wp0 (first char plain,
+    continuations ##-prefixed) → k × (symbol counts sc_i, pair counts
+    pp_i, likelihood argmax wb_i, fold wp_i). Same MATERIALIZED-layer
+    and empty-argmax (LEFT JOIN ON true) disciplines as
+    :func:`_bpe_chain_sql`; the score is CAST(c AS DOUBLE) /
+    CAST(c_a · c_b AS DOUBLE) — BIGINT products below 2^53, one
+    correctly-rounded division, so the ordering is bit-portable."""
+    sql = f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+wp0 AS MATERIALIZED (
+  SELECT word,
+         list_transform(generate_series(1, length(word)),
+           i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                     ELSE '##' || substr(word, i, 1) END) AS s,
+         cnt
+  FROM words
+)"""
+    for i in range(1, k + 1):
+        prev = f"wp{i - 1}"
+        sql += f""",
+sc{i} AS MATERIALIZED (
+  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT unnest(s) AS sym, cnt FROM {prev})
+  GROUP BY sym
+),
+pp{i} AS MATERIALIZED (
+  SELECT s[j] AS a, s[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS j FROM {prev})
+  GROUP BY 1, 2
+),
+wb{i} AS MATERIALIZED (
+  SELECT p.a, p.b, p.a || substr(p.b, 3) AS m
+  FROM pp{i} p
+  JOIN sc{i} sa ON sa.sym = p.a
+  JOIN sc{i} sb ON sb.sym = p.b
+  ORDER BY CAST(p.c AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE) DESC, p.a, p.b
+  LIMIT 1
+),
+wp{i} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN wb{i}.a IS NULL THEN s ELSE list_reduce(
+           list_transform(s, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = wb{i}.a
+                                 AND x[1] = wb{i}.b
+                            THEN list_append(acc[1:len(acc) - 1], wb{i}.m)
+                            ELSE list_concat(acc, x) END
+         ) END AS s,
+         cnt
+  FROM {prev} LEFT JOIN wb{i} ON true
+)"""
+    return sql
+
+
+def _wordpiece_train_oracle(k: int) -> str:
+    body = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS lhs, b AS rhs, "
+        f"m AS merged FROM wb{i}"
+        for i in range(1, k + 1)
+    )
+    return _wordpiece_chain_sql(k) + "\n" + body
+
+
+def _wordpiece_vocab_ctes(k: int) -> str:
+    """vocab(piece, pid): [UNK] at 0, sorted start symbols, merged
+    pieces by first rank (keep-first dedup — merged cores are ≥ 2
+    chars so they can never collide with the 1-char-core alphabet)."""
+    mts = "\nUNION ALL\n".join(
+        f"    SELECT CAST({i} AS BIGINT) AS rank, m FROM wb{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""alpha AS (
+  SELECT DISTINCT sym AS piece FROM (SELECT unnest(s) AS sym FROM wp0)
+),
+mts AS (
+{mts}
+),
+mrk AS (SELECT m, min(rank) AS rk FROM mts GROUP BY m),
+vocab AS MATERIALIZED (
+  SELECT '[UNK]' AS piece, CAST(0 AS INT) AS pid
+  UNION ALL
+  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS INT) AS pid
+  FROM alpha
+  UNION ALL
+  SELECT m AS piece,
+         CAST((SELECT count(*) FROM alpha)
+              + row_number() OVER (ORDER BY rk) AS INT) AS pid
+  FROM mrk
+)"""
+
+
+def _wordpiece_walk_sql() -> str:
+    """The greedy longest-match walk → ``wpseg``(word, pcs): one
+    position STEP per materialized CTE layer (lateral-alias inlining
+    is the same hazard the unigram walk documents), each probing
+    candidate lengths DESCENDING against the vocab map —
+    ``##``-prefixed off the word start. ln = 0 is exhaustion, −1 is
+    match failure (a character outside the alphabet) → the word
+    encodes as ['[UNK]']."""
+    W = _WP_WMAX
+    parts = [
+        """gw0 AS MATERIALIZED (
+  SELECT word, vm, CAST(0 AS BIGINT) AS pos0
+  FROM words, (SELECT map(list(piece), list(pid)) AS vm FROM vocab)
+)"""
+    ]
+    for s in range(1, W + 1):
+        p = f"pos{s - 1}"
+        probes = " ".join(
+            f"WHEN {p} + {L} <= length(word) AND map_extract(vm, "
+            f"CASE WHEN {p} = 0 THEN substr(word, 1, {L}) "
+            f"ELSE '##' || substr(word, CAST({p} AS INT) + 1, {L}) END"
+            f") <> [] THEN CAST({L} AS BIGINT)"
+            for L in range(W, 0, -1)
+        )
+        parts.append(
+            f"""gw{s} AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN {p} < 0 OR {p} >= length(word) THEN CAST(0 AS BIGINT)
+         {probes}
+         ELSE CAST(-1 AS BIGINT) END AS ln{s},
+    CASE WHEN {p} < 0 OR {p} >= length(word) THEN {p}
+         WHEN (CASE WHEN {p} < 0 OR {p} >= length(word) THEN CAST(0 AS BIGINT)
+                    {probes} ELSE CAST(-1 AS BIGINT) END) = -1
+           THEN CAST(-1 AS BIGINT)
+         ELSE {p} + (CASE WHEN {p} < 0 OR {p} >= length(word)
+                          THEN CAST(0 AS BIGINT) {probes}
+                          ELSE CAST(-1 AS BIGINT) END) END AS pos{s}
+  FROM gw{s - 1}
+)"""
+        )
+    pc_case = " ".join(f"WHEN {s} THEN pos{s - 1}" for s in range(1, W + 1))
+    ln_case = " ".join(f"WHEN {s} THEN ln{s}" for s in range(1, W + 1))
+    lns = ", ".join(f"ln{s}" for s in range(1, W + 1))
+    parts.append(
+        f"""wpok AS MATERIALIZED (
+  SELECT word, list(
+           CASE WHEN posP = 0 THEN substr(word, 1, CAST(l AS INT))
+                ELSE '##' || substr(word, CAST(posP AS INT) + 1, CAST(l AS INT))
+           END ORDER BY k) AS pcs
+  FROM (
+    SELECT word, CAST(kt.k AS INT) AS k,
+      CASE CAST(kt.k AS INT) {pc_case} END AS posP,
+      CASE CAST(kt.k AS INT) {ln_case} END AS l
+    FROM gw{W} CROSS JOIN (SELECT unnest(range(1, {W} + 1)) AS k) kt
+    WHERE least({lns}) >= 0
+  )
+  WHERE l > 0
+  GROUP BY word
+),
+wpseg AS MATERIALIZED (
+  SELECT word, pcs FROM wpok
+  UNION ALL
+  SELECT word, ['[UNK]'] AS pcs FROM gw{W} WHERE least({lns}) < 0
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _wordpiece_encode_oracle(k: int) -> str:
+    return (
+        _wordpiece_chain_sql(k)
+        + ",\n"
+        + _wordpiece_vocab_ctes(k)
+        + ",\n"
+        + _wordpiece_walk_sql()
+        + f""",
+idm AS (SELECT map(list(piece), list(pid)) AS im FROM vocab),
+wids AS (
+  SELECT word, list_transform(pcs, pc -> map_extract(im, pc)[1]) AS ids
+  FROM wpseg, idm
+),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+docw AS (
+  SELECT doc_id, unnest(tk) AS word, unnest(range(1, len(tk) + 1)) AS pos
+  FROM toks
+),
+enc AS (
+  SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.pos)) AS token_ids
+  FROM docw dw JOIN wids w USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
+       COALESCE(array_to_string(e.token_ids, '-'), '') AS ids_csv
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+    )
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -1497,6 +1764,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_fertility_by_lang": q_token_fertility_by_lang,
     "bpe_encode_ids_pretok": q_bpe_encode_ids_pretok,
     "pack_sequences_ids": q_pack_sequences_ids,
+    "wordpiece_train": q_wordpiece_train,
+    "wordpiece_encode": q_wordpiece_encode,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -1529,4 +1798,6 @@ TEXT_ORACLES: dict[str, str] = {
     "pack_sequences_ids": _pack_ids_oracle(
         BPE_MERGES_BYTES, PACK_IDS_BUDGET, PACK_IDS_SHARDS
     ),
+    "wordpiece_train": _wordpiece_train_oracle(WP_MERGES),
+    "wordpiece_encode": _wordpiece_encode_oracle(WP_MERGES),
 }

@@ -1026,3 +1026,136 @@ def test_unigram_pruning_schedule_and_survivors(spark):
     target_multi = 48 - len(singles_pruned)
     k1 = max(target_multi, (seed_multi * 1 + target_multi * 1) // 2)
     assert target_multi <= k1 <= seed_multi  # schedule is monotone
+
+
+# --- WordPiece (Schuster & Nakajima 2012) -----------------------------------
+
+
+def _ref_wordpiece(word_counts: dict, k: int):
+    """Independent pure-Python WordPiece trainer (deliberately a
+    different shape: dict folds, no Spark/SQL) — likelihood-scored
+    argmax with (score DESC, a ASC, b ASC) tie-break."""
+    segs = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in word_counts
+    }
+    merges = []
+    for _ in range(k):
+        sym: dict = {}
+        pair: dict = {}
+        for w, cnt in word_counts.items():
+            s = segs[w]
+            for x in s:
+                sym[x] = sym.get(x, 0) + cnt
+            for x, y in zip(s, s[1:]):
+                pair[(x, y)] = pair.get((x, y), 0) + cnt
+        if not pair:
+            break
+        best = min(
+            pair.items(),
+            key=lambda kv: (-(kv[1] / (sym[kv[0][0]] * sym[kv[0][1]])), kv[0]),
+        )[0]
+        a, b = best
+        merged = a + b[2:]
+        merges.append((a, b, merged))
+        for w in segs:
+            s = segs[w]
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges, segs
+
+
+def test_wordpiece_train_matches_independent_reference(spark):
+    from coltt_spark.operators.tokenize import wordpiece_learn
+
+    k = 16
+    ref_merges, ref_segs = _ref_wordpiece(_ref_words(_CORPUS), k)
+    merges, seg = wordpiece_learn(_spark_corpus(spark), "text", k)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["s"]) for r in seg.collect()}
+    assert got == ref_segs
+
+
+def test_wordpiece_train_matches_reference_on_random_vocab(spark):
+    import hashlib
+
+    words = []
+    for i in range(300):
+        h = hashlib.md5(f"wp-fuzz:{i}".encode()).hexdigest()
+        words.append(h[: 3 + i % 9])
+    texts = [" ".join(words[i::5]) for i in range(5)]
+    from coltt_spark.operators.tokenize import wordpiece_learn
+
+    k = 10
+    ref_merges, ref_segs = _ref_wordpiece(_ref_words(texts), k)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, seg = wordpiece_learn(df, "text", k)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["s"]) for r in seg.collect()}
+    assert got == ref_segs
+
+
+def test_wordpiece_scores_likelihood_not_count(spark):
+    """The defining WordPiece-vs-BPE distinction: an EXCLUSIVE pair
+    (always together) must beat a more frequent but promiscuous one.
+    'xq' appears 5×, always adjacent and nowhere else (score
+    5/(5·5) = 0.2); 'ab' appears 9× but a and b each appear 25×
+    elsewhere (score ≪ 0.2). BPE picks (a,##b) on raw count;
+    WordPiece must pick (x,##q)."""
+    from coltt_spark.operators.tokenize import bpe_learn, wordpiece_learn
+
+    text = " ".join(["xq"] * 5 + ["ab"] * 9 + ["am"] * 8 + ["an"] * 8
+                    + ["eb"] * 8 + ["ib"] * 8)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    wp, _ = wordpiece_learn(df, "text", 1)
+    assert wp[0][:2] == ("x", "##q"), wp
+    bp, _ = bpe_learn(df, "text", 1)
+    assert bp[0] == ("a", "b") or bp[0][1] == "</w>"  # count-driven, not (x,##q)
+    assert bp[0][:2] != ("x", "##q")
+
+
+def test_wordpiece_greedy_longest_match_and_unk(spark):
+    from coltt_spark.operators.tokenize import (
+        _wordpiece_greedy,
+        wordpiece_encode_ids,
+    )
+
+    pieces = {"un", "##able", "##a", "##b", "##l", "##e", "u", "##n",
+              "unable", "[UNK]"}
+    # longest-match-first: whole-word piece wins
+    assert _wordpiece_greedy("unable", pieces, 6) == ["unable"]
+    # prefix piece + longest continuation
+    assert _wordpiece_greedy("unablea", pieces, 6) == ["unable", "##a"]
+    # out-of-alphabet char fails the WHOLE word to [UNK]
+    assert _wordpiece_greedy("unxble", pieces, 6) == ["[UNK]"]
+    # end-to-end ids: UNK maps to id 0, empty docs to []
+    vocab = [("[UNK]", 0), ("##z", 1), ("q", 2), ("z", 3)]
+    df = spark.createDataFrame(
+        [(0, "qzz zz q"), (1, "qx"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in wordpiece_encode_ids(df, "doc_id", "text", vocab).collect()
+    }
+    assert got[0] == [2, 1, 1, 3, 1, 2]
+    assert got[1] == [0]
+    assert got[2] == []
+
+
+def test_wordpiece_vocab_contract():
+    from coltt_spark.operators.tokenize import wordpiece_vocab
+
+    vocab = wordpiece_vocab(
+        ["##a", "##b", "a", "b"],
+        [("a", "##b", "ab"), ("##a", "##b", "##ab"), ("a", "##b", "ab")],
+    )
+    assert vocab[0] == ("[UNK]", 0)
+    assert vocab[1:5] == [("##a", 1), ("##b", 2), ("a", 3), ("b", 4)]
+    # keep-first dedup on the repeated merge
+    assert vocab[5:] == [("ab", 5), ("##ab", 6)]

@@ -97,8 +97,6 @@ ROTATION_LEDGER_R12 = [
     "dedup_simhash",
     "collection_hybrid_text",
     "bm25_index_merged",
-    "media_audio_features",
-    "media_video_stats",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -106,6 +104,8 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "media_audio_features",
+    "media_video_stats",
     "collection_search_blocks",
     "web_domain_quota",
     "token_fertility_by_lang",
@@ -122,6 +122,9 @@ R13_PRIORITY = [
 NEW_OR_TOUCHED_R12: list[str] = [
     # new r12: temporal-ordinal video near-dup dedup (VERDICT r11 #2)
     "media_video_dedup",
+    # new r12: WordPiece tokenizer family (VERDICT r11 #3)
+    "wordpiece_train",
+    "wordpiece_encode",
 ]
 
 
