@@ -1479,22 +1479,21 @@ def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
     return _OPQ_CONSTS_CACHE[sf_dir]
 
 
-def _collection_ivfpq_opq_oracle(sf_dir: str = _SF_GATE) -> str:
-    """SQL replay of the OPQ ivfpq-collection search. Stored in
-    :data:`ORACLES` as a CALLABLE and materialized lazily
-    (oracle.check_query / __spark_entry__.oracle_sql) because the
-    inlined (R, book) constants derive from the gate data — see
-    :func:`_opq_collection_constants` for the independence argument.
-    Structure: the shared coarse replay (:func:`_ivfpq_coarse_sql`),
-    residuals rotated through the inlined ``rot`` table by plain
-    join-index-sum-regroup (no multi-column list lambdas — the
-    documented DuckDB 1.0 misalignment hazard), encode against the
-    inlined ``pb1`` codebook, then the identical probe/LUT/ADC/refine
-    tail as the plain oracle with the query residual rotated the same
-    way. Defaults mirror the fixture: 16 lists, nprobe 4, M=8, ks=16,
-    refine 50, k=10."""
+def _opq_funnel_sql(sf_dir: str = _SF_GATE) -> str:
+    """The OPQ ivfpq-collection serving replay as a CTE chain ending
+    in ``refined``(id, label, dist) — the exact-reranked candidate
+    pool. Shared by :func:`_collection_ivfpq_opq_oracle` (top-k cut)
+    and the hybrid-fusion oracle (rank leg). Structure: the shared
+    coarse replay (:func:`_ivfpq_coarse_sql`), residuals rotated
+    through the inlined ``rot`` table by plain join-index-sum-regroup
+    (no multi-column list lambdas — the documented DuckDB 1.0
+    misalignment hazard), encode against the inlined ``pb1``
+    codebook, then the identical probe/LUT/ADC/refine tail as the
+    plain oracle with the query residual rotated the same way.
+    Constants mirror the fixture: 16 lists, nprobe 4, M=8, ks=16,
+    refine 50."""
     rot_vals, book_vals = _opq_collection_constants(sf_dir)
-    m, nprobe, refine, k = 8, 4, 50, 10
+    m, nprobe, refine = 8, 4, 50
     dsub_sql = f"(len_d.dim // {m})"
     sq = (
         "list_sum(list_transform(list_zip({a}, {b}), "
@@ -1575,11 +1574,24 @@ refined AS (
   FROM r1 r
   JOIN (SELECT id, label, v FROM a1 WHERE rn = 1) a ON a.id = r.id, qn
   WHERE r.rn <= {refine}
-)
+)"""
+
+
+def _collection_ivfpq_opq_oracle(sf_dir: str = _SF_GATE) -> str:
+    """SQL replay of the OPQ ivfpq-collection search — the shared
+    funnel (:func:`_opq_funnel_sql`) + the top-10 exact cut. Stored in
+    :data:`ORACLES` as a CALLABLE and materialized lazily
+    (oracle.check_query / __spark_entry__.oracle_sql) because the
+    inlined (R, book) constants derive from the gate data — see
+    :func:`_opq_collection_constants` for the independence argument."""
+    return (
+        _opq_funnel_sql(sf_dir)
+        + """
 SELECT id, CAST(label AS BIGINT) AS label, round(dist, 4) AS dist,
        round((2.0 - dist) / 2.0 * 100.0, 4) AS score
-FROM refined ORDER BY dist ASC, id ASC LIMIT {k}
+FROM refined ORDER BY dist ASC, id ASC LIMIT 10
 """
+    )
 
 
 def q_collection_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,7 +2218,6 @@ _KEY_ORDER = [
     "ann_lsh",                 # ledger: last driver signal r9
     "dedup_simhash",                 # ledger: last driver signal r9
     "collection_hybrid_text",                 # ledger: last driver signal r9
-    "bm25_index_merged",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2220,11 +2231,15 @@ _KEY_ORDER = [
     #    replays per-step symbol counts + score argmax + fold
     "wordpiece_encode",  # new r12: greedy longest-match-first encode
     #    with ## continuations; oracle retrains + replays the walk
+    "collection_hybrid_ivfpq",  # new r12: text+vector RRF through the
+    #    quantized layout (VERDICT r11 #7) — the full IVFADC+OPQ
+    #    funnel as the vector leg; oracle replays both legs + the fold
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "bm25_index_merged",                 # ledger: r9 overflow, round-13 priority
     "media_audio_features",                 # ledger: r9 overflow, round-13 priority
     "media_video_stats",                 # ledger: r9 overflow, round-13 priority
     "collection_search_blocks",                 # ledger: r9 overflow, round-13 priority

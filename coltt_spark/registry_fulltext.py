@@ -363,6 +363,67 @@ FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
 
 
+def q_collection_hybrid_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector through the QUANTIZED layout (VERDICT r11
+    #7): the ``layout="ivfpq", opq=True`` collection's full serving
+    funnel — coarse probe → OPQ-rotated residual → LUT → batched ADC
+    → refine cut → exact rerank — produces the vector candidate leg,
+    fused with the inverted BM25 index's lexical leg by reciprocal-
+    rank fusion on the primary key (`Collection.search_hybrid_text`,
+    the same composed product path the blocks-layout twin verifies).
+    The oracle replays BOTH legs end-to-end: the entire IVFADC+OPQ
+    funnel over the inlined (R, book) constants and the BM25 scoring,
+    then the identical RRF fold — so the quantized layout serves the
+    full hybrid contract, not just its KNN half."""
+    from coltt_spark.registry import _ivfpq_opq_collection, _query_vec
+
+    coll = _ivfpq_opq_collection(spark, sf_dir)
+    idx = _text_index(spark, sf_dir, str_ids=True)
+    return coll.search_hybrid_text(
+        idx, _BM25_QUERY, _query_vec(spark, sf_dir)
+    )
+
+
+def _collection_hybrid_ivfpq_oracle(sf_dir: str | None = None) -> str:
+    """Lazy (callable) oracle — the OPQ funnel constants derive from
+    the gate data. Vector leg: the shared funnel replay's ``refined``
+    pool ranked (dist ASC, id ASC); lexical leg: the BM25 core ranked
+    (score DESC, id ASC) over VARCHAR ids; RRF fold identical to
+    _ORACLE_COLLECTION_HYBRID_TEXT."""
+    from coltt_spark.registry import _SF_GATE, _opq_funnel_sql
+
+    return (
+        _opq_funnel_sql(sf_dir if sf_dir is not None else _SF_GATE)
+        + f""",
+{_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)},
+lex_top AS (
+  SELECT CAST(doc_id AS VARCHAR) AS lid, score
+  FROM agg ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 50
+),
+lexr AS (
+  SELECT lid, row_number() OVER (ORDER BY score DESC, lid ASC) AS r
+  FROM lex_top
+),
+vec_top AS (
+  SELECT id, dist FROM refined ORDER BY dist ASC, id ASC LIMIT 50
+),
+vecr AS (
+  SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS r
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(l.lid, v.id) AS id,
+         coalesce(l.r, 0) AS bm25_rank, coalesce(v.r, 0) AS vec_rank,
+         coalesce(1.0 / (60.0 + l.r), 0.0)
+           + coalesce(1.0 / (60.0 + v.r), 0.0) AS rrf
+  FROM lexr l FULL JOIN vecr v ON l.lid = v.id
+)
+SELECT id, bm25_rank, vec_rank, round(rrf, 4) AS rrf_score
+FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
+"""
+    )
+
+
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user counts per event type (m=256
     registers over [[hash60]]), with the exact count alongside for
@@ -522,6 +583,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_batch": q_bm25_batch,
     "hybrid_rrf": q_hybrid_rrf,
     "collection_hybrid_text": q_collection_hybrid_text,
+    "collection_hybrid_ivfpq": q_collection_hybrid_ivfpq,
     "bm25_index_merged": q_bm25_index_merged,
     "bm25_index_deleted": q_bm25_index_deleted,
     "distinct_sketch": q_distinct_sketch,
@@ -529,12 +591,14 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
 }
 
-FULLTEXT_ORACLES: dict[str, str] = {
+FULLTEXT_ORACLES: dict[str, str | Callable[..., str]] = {
     "bm25_search": _ORACLE_BM25,
     "bm25_indexed": _ORACLE_BM25,
     "bm25_topk_batch": _bm25_batch_oracle(),
     "hybrid_rrf": _ORACLE_HYBRID_RRF,
     "collection_hybrid_text": _ORACLE_COLLECTION_HYBRID_TEXT,
+    # lazy: the OPQ funnel constants derive from the gate data
+    "collection_hybrid_ivfpq": _collection_hybrid_ivfpq_oracle,
     "bm25_index_merged": _ORACLE_BM25,
     "bm25_index_deleted": _ORACLE_BM25_DELETED,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,

@@ -96,7 +96,6 @@ ROTATION_LEDGER_R12 = [
     "ann_lsh",
     "dedup_simhash",
     "collection_hybrid_text",
-    "bm25_index_merged",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -104,6 +103,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "bm25_index_merged",
     "media_audio_features",
     "media_video_stats",
     "collection_search_blocks",
@@ -125,6 +125,9 @@ NEW_OR_TOUCHED_R12: list[str] = [
     # new r12: WordPiece tokenizer family (VERDICT r11 #3)
     "wordpiece_train",
     "wordpiece_encode",
+    # new r12: hybrid text+vector through the IVFADC+OPQ funnel
+    # (VERDICT r11 #7)
+    "collection_hybrid_ivfpq",
 ]
 
 
