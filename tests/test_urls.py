@@ -368,6 +368,22 @@ def test_expanded_psl_suffixes_resolve(spark):
         ("a.b.kamakura.kanagawa.jp", "b.kamakura.kanagawa.jp"),
         ("site.pref.hokkaido.jp", "pref.hokkaido.jp"),  # pref rule intact
         ("x.tokyo.jp", "x.tokyo.jp"),  # non-municipal 3rd level = eTLD+1
+        # -- r12 tranche 6: punycoded UTF-8 .no municipal/county names
+        # (real crawled hosts arrive in punycode — xn--lesund-hua.no is
+        # ålesund.no, xn--bod-2na.no is bodø.no; hand-derived eTLD+1)
+        ("www.xn--lesund-hua.no", "www.xn--lesund-hua.no"),  # ålesund
+        ("a.b.xn--bod-2na.no", "b.xn--bod-2na.no"),          # bodø
+        ("x.xn--troms-zua.no", "x.xn--troms-zua.no"),        # tromsø
+        ("skole.xn--brum-voa.no", "skole.xn--brum-voa.no"),  # bærum
+        # the county itself stays a suffix: host+1 label registers
+        ("nav.xn--stfold-9xa.no", "nav.xn--stfold-9xa.no"),  # østfold
+        # county-qualified duplicated municipal name (3-label rule)
+        ("a.xn--b-5ga.telemark.no", "a.xn--b-5ga.telemark.no"),  # bø
+        ("x.os.hedmark.no", "x.os.hedmark.no"),
+        # māori.nz — the UTF-8 twin of maori.nz
+        ("iwi.xn--mori-qsa.nz", "iwi.xn--mori-qsa.nz"),
+        ("site.sogn-og-fjordane.no", "site.sogn-og-fjordane.no"),
+        ("a.b.kiwi.nz", "b.kiwi.nz"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [
