@@ -531,6 +531,86 @@ def _unigram_seg_udf(probs: dict, piece_max_len: int):
     return _seg
 
 
+def _unigram_soft_expected(
+    word: str, probs: dict, piece_max_len: int
+) -> list[tuple[str, float]]:
+    """Soft-EM expected piece counts for one word — the
+    forward-backward pass over the segmentation lattice (Kudo 2018's
+    actual E-step; the hard-EM path keeps only the Viterbi argmax):
+    ``alpha[i]`` = total probability of all segmentations of the
+    prefix ``word[:i]``, ``beta[i]`` of the suffix ``word[i:]``;
+    the expected count of the piece occurrence spanning ``(i−l, i]``
+    is ``alpha[i−l] · p(piece) · beta[i] / alpha[n]``.
+
+    Deliberately LOG-FREE, like the Viterbi kernel: piece
+    probabilities are exact integer-count divisions and every lattice
+    quantity is a product/sum of ≤ ``word_max_len`` of them — far
+    above the double underflow floor — so the math is plain IEEE
+    arithmetic with no transcendental in sight (the property that
+    would let a SQL replay reproduce each word's expected counts
+    bit-for-bit; the M-step's cross-word float SUM is the documented
+    boundary that keeps soft mode property-tested rather than
+    oracle-replayed)."""
+    n = len(word)
+    alpha = [1.0] + [0.0] * n
+    for i in range(1, n + 1):
+        acc = 0.0
+        for l in range(1, min(piece_max_len, i) + 1):
+            pc = probs.get(word[i - l : i])
+            if pc is not None:
+                acc += alpha[i - l] * pc
+        alpha[i] = acc
+    beta = [0.0] * n + [1.0]
+    for i in range(n - 1, -1, -1):
+        acc = 0.0
+        for l in range(1, min(piece_max_len, n - i) + 1):
+            pc = probs.get(word[i : i + l])
+            if pc is not None:
+                acc += pc * beta[i + l]
+        beta[i] = acc
+    z = alpha[n]
+    if z <= 0.0:  # unsegmentable under the vocab (cannot happen when
+        return []  # all single chars are present — the Laplace guard)
+    out: dict[str, float] = {}
+    for i in range(1, n + 1):
+        for l in range(1, min(piece_max_len, i) + 1):
+            piece = word[i - l : i]
+            pc = probs.get(piece)
+            if pc is not None and alpha[i - l] > 0.0 and beta[i] > 0.0:
+                out[piece] = out.get(piece, 0.0) + alpha[i - l] * pc * beta[i] / z
+    return sorted(out.items())
+
+
+def _unigram_soft_udf(probs: dict, piece_max_len: int):
+    """(word) → array<struct<piece, c>> of soft-EM expected counts."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = dict(probs)
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("c", T.DoubleType(), False),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _exp(s):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _unigram_soft_expected(w, p, piece_max_len)
+                if w is not None
+                else None
+                for w in s
+            ]
+        )
+
+    return _exp
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str,
@@ -540,6 +620,7 @@ def unigram_train(
     em_iters: int = 2,
     word_max_len: int = 24,
     seed_size: int | None = None,
+    soft: bool = False,
 ) -> list[tuple[str, int, int, float]]:
     """Train the fixed-vocabulary unigram-LM tokenizer on the
     distinct-word frequency table (the same vocabulary-sized training
@@ -579,10 +660,24 @@ def unigram_train(
        SQL-replayable (the documented boundary, VERDICT r10 #5).
     4. IDS: rank (final usage DESC, piece ASC) − 1.
 
-    Returns ``[(piece, piece_id, usage, prob)]`` ordered by id.
-    Words longer than ``word_max_len`` fail loudly (the unrolled
-    oracle walk — and any sane word tokenizer — bounds word length;
-    raw web junk should be length-capped upstream)."""
+    ``soft=True`` (VERDICT r11 #5) swaps the E-step for Kudo 2018's
+    published SOFT one: forward-backward EXPECTED piece counts over
+    the full segmentation lattice (:func:`_unigram_soft_expected` —
+    log-free products of exact-double probabilities), so usage
+    becomes fractional and low-probability alternative segmentations
+    contribute mass the Viterbi argmax discards. The per-word lattice
+    math is deterministic IEEE arithmetic, but the M-step then SUMS
+    doubles across words — a distributed float reduction whose order
+    Spark does not fix — so soft mode is property-tested (vs hard-EM
+    agreement on dominated corpora, vs brute-force lattice enumeration
+    on tiny vocabularies, and the Σ expected·len == word-len
+    invariant) rather than oracle-replayed: the documented boundary.
+
+    Returns ``[(piece, piece_id, usage, prob)]`` ordered by id
+    (``usage`` is an int in hard mode, a float in soft mode). Words
+    longer than ``word_max_len`` fail loudly (the unrolled oracle
+    walk — and any sane word tokenizer — bounds word length; raw web
+    junk should be length-capped upstream)."""
     words = bpe_word_table(df, text_col).localCheckpoint(eager=True)
     too_long = words.filter(F.length("word") > word_max_len).limit(1).collect()
     if too_long:
@@ -625,18 +720,40 @@ def unigram_train(
     probs = {pc: f / total for pc, f in freq.items()}
     seed_multi = len(freq) - len(singles)
     target_multi = vocab_size - len(singles)
-    usage: dict[str, int] = {}
+    usage: dict[str, float] = {}
     for t in range(1, em_iters + 1):
-        seg = words.select(
-            "cnt", _unigram_seg_udf(probs, piece_max_len)(F.col("word")).alias("s")
-        )
-        used = (
-            seg.select(F.explode("s").alias("piece"), "cnt")
-            .groupBy("piece")
-            .agg(F.sum("cnt").alias("u"))
-            .collect()
-        )
-        u = {r["piece"]: int(r["u"]) for r in used}
+        if soft:
+            # soft E-step: forward-backward EXPECTED counts over the
+            # whole segmentation lattice (Kudo 2018's published
+            # E-step), fractional contributions weighted by word count
+            exp = words.select(
+                "cnt",
+                F.explode(
+                    _unigram_soft_udf(probs, piece_max_len)(F.col("word"))
+                ).alias("pc"),
+            )
+            used = (
+                exp.select(
+                    F.col("pc.piece").alias("piece"),
+                    (F.col("pc.c") * F.col("cnt")).alias("u"),
+                )
+                .groupBy("piece")
+                .agg(F.sum("u").alias("u"))
+                .collect()
+            )
+            u = {r["piece"]: float(r["u"]) for r in used}
+        else:
+            seg = words.select(
+                "cnt",
+                _unigram_seg_udf(probs, piece_max_len)(F.col("word")).alias("s"),
+            )
+            used = (
+                seg.select(F.explode("s").alias("piece"), "cnt")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("u"))
+                .collect()
+            )
+            u = {r["piece"]: int(r["u"]) for r in used}
         usage = {
             pc: u.get(pc, 0) + (1 if len(pc) == 1 else 0) for pc in probs
         }

@@ -552,3 +552,47 @@ def test_opq_through_collection_surface(spark):
         key = (0, r["id"])
         if key in t_dist:
             assert round(float(r["dist"]), 8) == t_dist[key]
+    # compact() RE-TRAINS R+book on the merged corpus (VERDICT r11
+    # #8): change some stored values via upsert (so the deterministic
+    # trainer sees a different residual sample), compact, and verify
+    # (a) the persisted rotation is a NEW orthogonal matrix, (b) the
+    # refined search is exact brute force over the UPDATED corpus —
+    # search correctness holds across the retrain boundary.
+    mutated = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.reverse(F.col("embedding")).alias("vector"),
+    )
+    coll.upsert_df(mutated, dedupe_batch=False)
+    coll.compact()
+    R3 = np.load(os.path.join(coll._ivf_dir("vector"), "rotation.npy"))
+    assert np.allclose(R3 @ R3.T, np.eye(32), atol=1e-9)
+    assert not np.array_equal(R, R3)  # retrained, not carried over
+    stored3 = (
+        emb.filter(F.col("vec_id") >= 3)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 3).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("embedding")
+            .cast("array<float>")
+            .cast("array<double>")
+            .alias("embedding"),
+        )
+    )
+    truth3 = brute_topk(
+        stored3, {0: qs[0]}, id_col="vec_id", vec_col="embedding", k=K,
+        distance="euclidean",
+    ).collect()
+    t3 = {
+        str(r["vec_id"]): round(float(r["dist"]), 8) for r in truth3
+    }
+    hits = 0
+    for r in coll.search(qs[0], limit=K).collect():
+        if r["id"] in t3:
+            assert round(float(r["dist"]), 8) == t3[r["id"]]
+            hits += 1
+    assert hits > 0

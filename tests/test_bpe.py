@@ -1159,3 +1159,138 @@ def test_wordpiece_vocab_contract():
     assert vocab[1:5] == [("##a", 1), ("##b", 2), ("a", 3), ("b", 4)]
     # keep-first dedup on the repeated merge
     assert vocab[5:] == [("ab", 5), ("##ab", 6)]
+
+
+# --- soft-EM unigram (Kudo 2018's published E-step) --------------------------
+
+
+def _brute_expected(word, probs, L):
+    """Exact expected piece counts by FULL segmentation enumeration —
+    the independent reference the forward-backward kernel is pinned
+    against (exponential; fine for short words)."""
+    segs = []
+
+    def rec(pos, cur, p):
+        if pos == len(word):
+            segs.append((list(cur), p))
+            return
+        for l in range(1, min(L, len(word) - pos) + 1):
+            pc = probs.get(word[pos : pos + l])
+            if pc is not None:
+                cur.append(word[pos : pos + l])
+                rec(pos + l, cur, p * pc)
+                cur.pop()
+
+    rec(0, [], 1.0)
+    z = sum(p for _s, p in segs)
+    out: dict[str, float] = {}
+    for s, p in segs:
+        for pc in s:
+            out[pc] = out.get(pc, 0.0) + p / z
+    return out
+
+
+def test_unigram_soft_expected_matches_brute_force():
+    """The forward-backward kernel vs exact enumeration on ambiguous
+    words under a tiny vocabulary, plus the coverage invariant
+    Σ E[count(piece)] · len(piece) == len(word)."""
+    import numpy as np
+
+    from coltt_spark.operators.tokenize import _unigram_soft_expected
+
+    probs = {"a": 0.2, "b": 0.15, "ab": 0.25, "ba": 0.1, "aba": 0.2,
+             "bb": 0.1}
+    for word in ("abab", "aba", "bbbb", "ababab", "abba"):
+        got = dict(_unigram_soft_expected(word, probs, 3))
+        want = _brute_expected(word, probs, 3)
+        assert set(got) == set(want), (word, got, want)
+        for pc in want:
+            assert np.isclose(got[pc], want[pc], rtol=1e-12), (word, pc)
+        covered = sum(c * len(pc) for pc, c in got.items())
+        assert np.isclose(covered, len(word), rtol=1e-12)
+
+
+def test_unigram_soft_em_agrees_with_hard_on_dominated_corpus(spark):
+    """When one segmentation per word dominates the lattice mass
+    (each word IS a high-frequency piece, so the whole-word path
+    outweighs the per-character one ~p²:1), soft-EM expected counts
+    converge to the Viterbi counts — engineered corpus of disjoint
+    trigrams, where the only alternatives are character splits."""
+    import numpy as np
+
+    from coltt_spark.operators.tokenize import unigram_train
+
+    text = " ".join(["xyz"] * 40 + ["qrs"] * 30 + ["tuv"] * 30)
+    docs = spark.createDataFrame([(0, text), (1, text)], ["doc_id", "text"])
+    hard = unigram_train(docs, "text", vocab_size=24, piece_max_len=3)
+    soft = unigram_train(
+        docs, "text", vocab_size=24, piece_max_len=3, soft=True
+    )
+    hu = {p: u for p, _i, u, _pr in hard}
+    su = {p: u for p, _i, u, _pr in soft}
+    assert set(hu) == set(su)
+    # dominated lattice: every piece's soft usage within 10% + 1 of
+    # its hard count, and the id ranking of the word pieces agrees
+    for p in hu:
+        assert abs(su[p] - hu[p]) <= 0.1 * hu[p] + 1.0, (p, hu[p], su[p])
+    assert [p for p, *_ in hard[:3]] == [p for p, *_ in soft[:3]]
+    # determinism: same call → identical output (the per-word kernel
+    # is deterministic; the local plan is stable for a fixed input)
+    soft2 = unigram_train(
+        docs, "text", vocab_size=24, piece_max_len=3, soft=True
+    )
+    assert soft == soft2
+
+
+def test_unigram_soft_em_exact_coverage_on_corpus(spark):
+    """EXACT conservation on the real gate corpus, both modes: every
+    word's segmentation mass covers its characters exactly once, so
+    Σ usage·len(piece) == Σ cnt(word)·len(word) + the single-char +1
+    Laplace floors — integer-exact for hard-EM, float-tight for
+    soft-EM (the per-word lattice is exactly normalized; only the
+    cross-word sum accumulates rounding)."""
+    import numpy as np
+
+    from coltt_spark.operators.tokenize import bpe_word_table, unigram_train
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hard = unigram_train(docs, "text", vocab_size=48)
+    soft = unigram_train(docs, "text", vocab_size=48, soft=True)
+    hu = {p: u for p, _i, u, _pr in hard}
+    su = {p: u for p, _i, u, _pr in soft}
+    assert set(hu) == set(su)
+    wt = bpe_word_table(docs, "text").collect()
+    total_chars = sum(int(r["cnt"]) * len(r["word"]) for r in wt)
+    n_singles = sum(1 for p in hu if len(p) == 1)
+    assert sum(hu[p] * len(p) for p in hu) == total_chars + n_singles
+    assert np.isclose(
+        sum(su[p] * len(p) for p in su), total_chars + n_singles, rtol=1e-9
+    )
+
+
+def test_unigram_soft_em_prunes_and_encodes(spark):
+    """Soft mode composes with the oversized-seed prune schedule and
+    the Viterbi encoder: vocab lands exactly on the target, single
+    chars survive, usage is fractional, probabilities normalize."""
+    import numpy as np
+
+    from coltt_spark.operators.tokenize import unigram_encode_ids, unigram_train
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = unigram_train(
+        docs, "text", vocab_size=48, seed_size=72, soft=True
+    )
+    assert len(model) == 48
+    singles = {p for p, *_ in model if len(p) == 1}
+    assert all(any(p == s for p, *_ in model) for s in singles)
+    assert any(isinstance(u, float) and u != int(u) for _p, _i, u, _pr in model)
+    assert np.isclose(sum(pr for *_x, pr in model), 1.0, rtol=1e-9)
+    enc = unigram_encode_ids(docs, "doc_id", "text", model)
+    row = enc.orderBy("doc_id").first()
+    assert row["token_ids"] is not None and len(row["token_ids"]) > 0
