@@ -2217,7 +2217,6 @@ _KEY_ORDER = [
     "stream_quantile",                 # ledger: last driver signal r9
     "ann_lsh",                 # ledger: last driver signal r9
     "dedup_simhash",                 # ledger: last driver signal r9
-    "collection_hybrid_text",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2234,11 +2233,15 @@ _KEY_ORDER = [
     "collection_hybrid_ivfpq",  # new r12: text+vector RRF through the
     #    quantized layout (VERDICT r11 #7) — the full IVFADC+OPQ
     #    funnel as the vector leg; oracle replays both legs + the fold
+    "media_video_dedup_groups",  # new r12: connected components over
+    #    the video pair edges (the image-groups twin); oracle replays
+    #    the full chain + a recursive-CTE transitive closure
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "collection_hybrid_text",                 # ledger: r9 overflow, round-13 priority
     "bm25_index_merged",                 # ledger: r9 overflow, round-13 priority
     "media_audio_features",                 # ledger: r9 overflow, round-13 priority
     "media_video_stats",                 # ledger: r9 overflow, round-13 priority

@@ -829,7 +829,6 @@ sizes AS (SELECT root, count(*) AS group_size FROM comp GROUP BY root)
 SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
 """
 
-
 def q_media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic near-dup dedup — the LAST uncovered dedup modality
     (text/byte/embedding/span/line/pixel done; VERDICT r10 #6): a
@@ -1000,11 +999,12 @@ _VDP_R, _VDP_G, _VDP_B = _ycc_rgb_sql("y", "cb", "cr")
 
 # NOTE: the oracle's band energies are per-BLOCK luma sums; the
 # engine's kernel sums per-PIXEL luma over quadrants, which on the
-# constant-8x8-block fixture is exactly 64x (e0) / 4096x (the squared
-# bands) the oracle's values — a positive per-band constant factor,
-# so every frame-to-frame sign comparison agrees.
-_ORACLE_MEDIA_VIDEO_DEDUP = f"""
-WITH fb AS (
+# constant-block fixture is a positive per-band constant multiple of
+# the oracle's values (64x/4096x on the 16x16 MJPEG role, 1x on the
+# 2x2 roles), so every frame-to-frame sign comparison agrees.
+# Shared through ``sig``(doc_id, w0..w3) by the pairs and groups
+# oracles.
+_VIDEO_SIG_CTES = f"""fb AS (
   SELECT doc_id, CAST((doc_id // 3) % 3 AS INT) AS role,
          CAST(ff.f AS BIGINT) AS f, CAST(bb.b AS BIGINT) AS b
   FROM documents,
@@ -1076,7 +1076,10 @@ sig AS (
          SUM(CASE WHEN idx // 16 = 2 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w2,
          SUM(CASE WHEN idx // 16 = 3 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w3
   FROM bits GROUP BY doc_id
-),
+)"""
+
+_ORACLE_MEDIA_VIDEO_DEDUP = f"""
+WITH {{SIG}},
 pr AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
@@ -1085,6 +1088,60 @@ pr AS (
 )
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pr WHERE hamming <= 3
 """
+
+
+def q_media_video_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup GROUP resolution: connected components over the
+    temporal-fingerprint pair edges (min-label propagation; root =
+    canonical survivor) — the step a video-corpus pipeline runs after
+    pair generation, composing two green components exactly like the
+    image twin (`media_image_dedup_groups`). The planted 3-clip
+    clusters (base / MJPEG-requantized / regraded+tail-extended) must
+    resolve to 3-member groups rooted at the base doc_id wherever all
+    pairwise hammings clear the threshold. The oracle replays the
+    whole chain: block regeneration, both plant transforms, the
+    fingerprint, the pairs, and a recursive-CTE transitive closure."""
+    from coltt_spark.operators.components import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dhash_pairs(
+        video_fingerprint(video_dedup_table(docs)), "doc_id", max_hamming=3
+    )
+    return dedup_groups(pairs)
+
+
+_ORACLE_MEDIA_VIDEO_DEDUP_GROUPS = f"""
+WITH RECURSIVE {{SIG}},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a, sig b
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS id, least(s, min(t)) AS root FROM reach GROUP BY s),
+sizes AS (SELECT root, count(*) AS group_size FROM comp GROUP BY root)
+SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
+"""
+
+# splice the shared signature chain into both video oracles (kept as
+# a {SIG} placeholder above so the two bodies read as plain SQL)
+_ORACLE_MEDIA_VIDEO_DEDUP = _ORACLE_MEDIA_VIDEO_DEDUP.format(
+    SIG=_VIDEO_SIG_CTES
+)
+_ORACLE_MEDIA_VIDEO_DEDUP_GROUPS = _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS.format(
+    SIG=_VIDEO_SIG_CTES
+)
 
 
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1104,6 +1161,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_image_dedup_groups": q_media_image_dedup_groups,
     "media_audio_dedup": q_media_audio_dedup,
     "media_video_dedup": q_media_video_dedup,
+    "media_video_dedup_groups": q_media_video_dedup_groups,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -1123,4 +1181,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_image_dedup_groups": _ORACLE_MEDIA_IMAGE_DEDUP_GROUPS,
     "media_audio_dedup": _ORACLE_MEDIA_AUDIO_DEDUP,
     "media_video_dedup": _ORACLE_MEDIA_VIDEO_DEDUP,
+    "media_video_dedup_groups": _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS,
 }

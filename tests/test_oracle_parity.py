@@ -95,7 +95,6 @@ ROTATION_LEDGER_R12 = [
     "stream_quantile",
     "ann_lsh",
     "dedup_simhash",
-    "collection_hybrid_text",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -103,6 +102,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "collection_hybrid_text",
     "bm25_index_merged",
     "media_audio_features",
     "media_video_stats",
@@ -128,6 +128,8 @@ NEW_OR_TOUCHED_R12: list[str] = [
     # new r12: hybrid text+vector through the IVFADC+OPQ funnel
     # (VERDICT r11 #7)
     "collection_hybrid_ivfpq",
+    # new r12: connected components over the video pair edges
+    "media_video_dedup_groups",
 ]
 
 
