@@ -725,8 +725,14 @@ def unigram_train(
         if soft:
             # soft E-step: forward-backward EXPECTED counts over the
             # whole segmentation lattice (Kudo 2018's published
-            # E-step), fractional contributions weighted by word count
+            # E-step), fractional contributions weighted by word
+            # count. The cross-word reduction is an ORDERED left fold
+            # (contributions sorted by word) — a distributed float
+            # F.sum would be partition-order-dependent, and the fixed
+            # order is what lets the SQL oracle replay the M-step
+            # bit-for-bit (list_sum(list(u ORDER BY word)))
             exp = words.select(
+                "word",
                 "cnt",
                 F.explode(
                     _unigram_soft_udf(probs, piece_max_len)(F.col("word"))
@@ -734,11 +740,18 @@ def unigram_train(
             )
             used = (
                 exp.select(
+                    "word",
                     F.col("pc.piece").alias("piece"),
                     (F.col("pc.c") * F.col("cnt")).alias("u"),
                 )
                 .groupBy("piece")
-                .agg(F.sum("u").alias("u"))
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("word", "u"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["u"],
+                    ).alias("u")
+                )
                 .collect()
             )
             u = {r["piece"]: float(r["u"]) for r in used}
@@ -770,7 +783,12 @@ def unigram_train(
             )[:k_t]
             usage = {pc: c for pc, c in usage.items() if len(pc) == 1}
             usage.update(dict(keep))
-        tot_u = sum(usage.values())
+        # piece-sorted left fold: exact anyway on the hard path's int
+        # counts, and the FIXED order the soft path's oracle replays
+        # (list_sum(list(usage ORDER BY piece)))
+        tot_u = 0.0 if soft else 0
+        for pc in sorted(usage):
+            tot_u += usage[pc]
         probs = {pc: c / tot_u for pc, c in usage.items()}
     ranked = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))
     return [

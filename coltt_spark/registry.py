@@ -2216,7 +2216,6 @@ _KEY_ORDER = [
     "collection_search_ivf_delta",                 # ledger: last driver signal r9
     "stream_quantile",                 # ledger: last driver signal r9
     "ann_lsh",                 # ledger: last driver signal r9
-    "dedup_simhash",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2236,11 +2235,16 @@ _KEY_ORDER = [
     "media_video_dedup_groups",  # new r12: connected components over
     #    the video pair edges (the image-groups twin); oracle replays
     #    the full chain + a recursive-CTE transitive closure
+    "unigram_train_soft",  # new r12: Kudo 2018's published SOFT
+    #    E-step (forward-backward expected counts, log-free); every
+    #    order-dependent float reduction pinned to an ordered fold so
+    #    the oracle replays training end-to-end, bit-exact doubles
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "dedup_simhash",                 # ledger: r9 overflow, round-13 priority
     "collection_hybrid_text",                 # ledger: r9 overflow, round-13 priority
     "bm25_index_merged",                 # ledger: r9 overflow, round-13 priority
     "media_audio_features",                 # ledger: r9 overflow, round-13 priority
@@ -2449,3 +2453,7 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     # WordPiece merges + id-assigned vocabulary (likelihood argmaxes)
     _wordpiece_fixture(spark, sf_dir)
+    from coltt_spark.registry_text import _unigram_soft_fixture
+
+    # soft-EM unigram twin (forward-backward expected counts)
+    _unigram_soft_fixture(spark, sf_dir)

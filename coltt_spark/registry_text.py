@@ -1284,21 +1284,11 @@ def _unigram_viterbi_sql(ptab: str, tag: str) -> str:
     return ",\n".join(parts)
 
 
-def _unigram_ctes(seed: int | None = None) -> str:
-    """Seeding + hard-EM replay → final usage table ``uf``(piece,
-    usage) and prob table ``pf_final``(piece, pr), plus the shared
-    word/tok CTEs. With ``seed`` (> vocab_size) the vocabulary seeds
-    OVERSIZED and each round ends with the PRUNE layer: drop
-    lowest-usage multi-char pieces down the same integer-linear
-    schedule the engine runs (``k_t = max(target, (seed_multi·(T−t) +
-    target_multi·t) // T)``), renormalize survivors — the replay of
-    unigram_train's SentencePiece-style vocabulary pruning. The
-    schedule constants inline k_t as the count of KEPT multi pieces
-    relative to the round-1 single-char count, which both sides derive
-    from the same corpus scan."""
-    V, L, T_ = _UNI_VSIZE, _UNI_PLEN, _UNI_EMS
-    seed_v = V if seed is None else seed
-    parts = [f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+def _unigram_seed_block(seed_v: int) -> str:
+    """The shared seeding CTEs (toks/wt/occ/pfr/v0/p0) — single source
+    for the hard-EM, pruned, and soft-EM training replays."""
+    L = _UNI_PLEN
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 wt AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(tk) AS w FROM toks)
@@ -1323,7 +1313,24 @@ v0 AS MATERIALIZED (
 ),
 p0 AS MATERIALIZED (
   SELECT piece, freq::DOUBLE / (SELECT SUM(freq) FROM v0) AS pr FROM v0
-)"""]
+)"""
+
+
+def _unigram_ctes(seed: int | None = None) -> str:
+    """Seeding + hard-EM replay → final usage table ``uf``(piece,
+    usage) and prob table ``pf_final``(piece, pr), plus the shared
+    word/tok CTEs. With ``seed`` (> vocab_size) the vocabulary seeds
+    OVERSIZED and each round ends with the PRUNE layer: drop
+    lowest-usage multi-char pieces down the same integer-linear
+    schedule the engine runs (``k_t = max(target, (seed_multi·(T−t) +
+    target_multi·t) // T)``), renormalize survivors — the replay of
+    unigram_train's SentencePiece-style vocabulary pruning. The
+    schedule constants inline k_t as the count of KEPT multi pieces
+    relative to the round-1 single-char count, which both sides derive
+    from the same corpus scan."""
+    V, L, T_ = _UNI_VSIZE, _UNI_PLEN, _UNI_EMS
+    seed_v = V if seed is None else seed
+    parts = [_unigram_seed_block(seed_v)]
     prev = "p0"
     vocab_tbl = "v0"
     final_u = f"u{T_}"
@@ -1472,6 +1479,212 @@ SELECT piece,
        round(usage::DOUBLE / (SELECT SUM(usage) FROM {uf}), 4) AS prob
 FROM {uf}
 """
+
+
+def _unigram_soft_estep_sql(ptab: str, tag: str) -> str:
+    """CTE chain computing the SOFT E-step's per-piece expected usage
+    over every distinct word of ``wt`` under prob table
+    ``ptab``(piece, pr) → ``use{tag}``(piece, u). Mirrors
+    operators/tokenize._unigram_soft_expected exactly:
+
+    - alpha unrolled one POSITION per materialized layer (the Viterbi
+      dp discipline — lateral aliases inline, materialization keeps
+      the plan linear); each layer is ``0.0 + t_1 + … + t_L`` with
+      absent pieces contributing a literal ``0.0`` (IEEE-exact no-op,
+      ≡ the kernel skipping them), terms ``alpha[i−l] · p`` in the
+      kernel's operand order;
+    - beta unrolled by DISTANCE-from-the-end (``bt{tag}{{j}}`` = beta
+      at position ``length(word) − j``), terms ``p · beta[i+l]``;
+    - the (i, l) occurrence grid emits
+      ``alpha[i−l] · p · beta[i] / z`` per term under the kernel's
+      positivity guards, per-(word, piece) totals fold in (i, l)
+      order, and the cross-word M-step folds in word order — both
+      via ``list_sum(list(x ORDER BY …))``, the exact orders the
+      engine now fixes (ordered folds, not F.sum).
+
+    No multi-column list lambdas anywhere (the documented DuckDB 1.0
+    misalignment hazard)."""
+    L = _UNI_PLEN
+    W = 24
+    parts = [
+        f"""sf{tag}0 AS MATERIALIZED (
+  SELECT word, cnt, mp, CAST(1.0 AS DOUBLE) AS a0
+  FROM wt, (SELECT map(list(piece), list(pr)) AS mp FROM {ptab})
+)"""
+    ]
+    for i in range(1, W + 1):
+
+        def at(l: int) -> str:
+            sub = f"substr(word, {i - l + 1}, {l})"
+            return (
+                f"(CASE WHEN map_extract(mp, {sub}) <> [] "
+                f"THEN a{i - l} * map_extract(mp, {sub})[1] ELSE 0.0 END)"
+            )
+
+        terms = " + ".join(at(l) for l in range(1, min(L, i) + 1))
+        parts.append(
+            f"""sf{tag}{i} AS MATERIALIZED (
+  SELECT *, CASE WHEN {i} > length(word) THEN 0.0
+                 ELSE 0.0 + {terms} END AS a{i}
+  FROM sf{tag}{i - 1}
+)"""
+        )
+    parts.append(
+        f"""bt{tag}0 AS MATERIALIZED (
+  SELECT *, CAST(1.0 AS DOUBLE) AS b0 FROM sf{tag}{W}
+)"""
+    )
+    for j in range(1, W + 1):
+
+        def bt(l: int) -> str:
+            sub = f"substr(word, length(word) - {j} + 1, {l})"
+            return (
+                f"(CASE WHEN map_extract(mp, {sub}) <> [] "
+                f"THEN map_extract(mp, {sub})[1] * b{j - l} ELSE 0.0 END)"
+            )
+
+        terms = " + ".join(bt(l) for l in range(1, min(L, j) + 1))
+        parts.append(
+            f"""bt{tag}{j} AS MATERIALIZED (
+  SELECT *, CASE WHEN {j} > length(word) THEN 0.0
+                 ELSE 0.0 + {terms} END AS b{j}
+  FROM bt{tag}{j - 1}
+)"""
+        )
+    z_case = " ".join(f"WHEN {k} THEN a{k}" for k in range(1, W + 1))
+    a_case = "CASE i - l WHEN 0 THEN CAST(1.0 AS DOUBLE) " + " ".join(
+        f"WHEN {k} THEN a{k}" for k in range(1, W)
+    ) + " END"
+    b_case = (
+        "CASE CAST(length(word) AS INT) - i WHEN 0 THEN CAST(1.0 AS DOUBLE) "
+        + " ".join(f"WHEN {k} THEN b{k}" for k in range(1, W))
+        + " END"
+    )
+    parts.append(
+        f"""zt{tag} AS MATERIALIZED (
+  SELECT *, CASE CAST(length(word) AS INT) {z_case} END AS z
+  FROM bt{tag}{W}
+),
+gr{tag} AS (
+  SELECT word, cnt, mp, z,
+         CAST(g.i AS INT) AS i, CAST(g.l AS INT) AS l,
+         substr(word, CAST(g.i AS INT) - CAST(g.l AS INT) + 1,
+                CAST(g.l AS INT)) AS piece,
+         {a_case} AS av,
+         {b_case} AS bv
+  FROM zt{tag}
+  CROSS JOIN (
+    SELECT ii.i, ll.l
+    FROM (SELECT unnest(range(1, {W} + 1)) AS i) ii,
+         (SELECT unnest(range(1, {L} + 1)) AS l) ll
+    WHERE ll.l <= ii.i
+  ) g
+  WHERE CAST(g.i AS INT) <= length(word)
+),
+tm{tag} AS (
+  SELECT word, cnt, i, l, piece,
+         av * map_extract(mp, piece)[1] * bv / z AS term
+  FROM gr{tag}
+  WHERE map_extract(mp, piece) <> [] AND av > 0.0 AND bv > 0.0
+),
+wc{tag} AS (
+  SELECT word, cnt, piece, list_sum(list(term ORDER BY i, l)) AS c
+  FROM tm{tag} GROUP BY word, cnt, piece
+),
+use{tag} AS MATERIALIZED (
+  SELECT piece, list_sum(list(c * cnt ORDER BY word)) AS u
+  FROM wc{tag} GROUP BY piece
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _unigram_soft_ctes() -> tuple[str, str]:
+    """Soft-EM training replay → the final usage table name. Same
+    shape as :func:`_unigram_ctes` with the Viterbi E-steps swapped
+    for the forward-backward chains; re-estimation totals are ORDERED
+    folds (list_sum over piece-sorted usage), matching the engine's
+    fixed-order reduction."""
+    T_ = _UNI_EMS
+    parts = [_unigram_seed_block(_UNI_VSIZE)]
+    prev = "p0"
+    final_u = ""
+    for t in range(1, T_ + 1):
+        parts.append(_unigram_soft_estep_sql(prev, f"e{t}"))
+        parts.append(
+            f"""u{t} AS MATERIALIZED (
+  SELECT v.piece,
+         COALESCE(s.u, 0.0)
+           + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS usage
+  FROM v0 v LEFT JOIN usee{t} s USING (piece)
+),
+p{t} AS MATERIALIZED (
+  SELECT piece,
+         usage / (SELECT list_sum(list(usage ORDER BY piece)) FROM u{t}) AS pr
+  FROM u{t}
+)"""
+        )
+        final_u = f"u{t}"
+        prev = f"p{t}"
+    return ",\n".join(parts), final_u
+
+
+def _unigram_train_soft_oracle() -> str:
+    ctes, uf = _unigram_soft_ctes()
+    return f"""
+WITH {ctes}
+SELECT piece,
+       CAST(row_number() OVER (ORDER BY usage DESC, piece ASC) - 1 AS BIGINT) AS piece_id,
+       round(usage, 4) AS usage,
+       round(usage / (SELECT list_sum(list(usage ORDER BY piece)) FROM {uf}), 4) AS prob
+FROM {uf}
+"""
+
+
+_UNIGRAM_SOFT_CACHE: dict[str, list] = {}
+
+
+def _unigram_soft_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """Soft-EM model trained ONCE per sf_dir (prewarm convention)."""
+    if sf_dir not in _UNIGRAM_SOFT_CACHE:
+        from coltt_spark.operators.tokenize import unigram_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_SOFT_CACHE[sf_dir] = unigram_train(
+            docs, "text", vocab_size=_UNI_VSIZE,
+            piece_max_len=_UNI_PLEN, em_iters=_UNI_EMS, soft=True,
+        )
+    return _UNIGRAM_SOFT_CACHE[sf_dir]
+
+
+def q_unigram_train_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with Kudo 2018's PUBLISHED soft E-step:
+    forward-backward EXPECTED piece counts over the full segmentation
+    lattice (log-free products of exact-double probabilities), so
+    fractional usage flows to the alternative segmentations the
+    Viterbi argmax discards. Every float reduction with
+    engine-dependent order is pinned to an ORDERED left fold
+    (contributions by word in the M-step, usage by piece in the
+    renormalization), which is what lets the oracle replay TRAINING
+    end-to-end in SQL: the seeding, BOTH rounds' per-word
+    forward-backward lattices (alpha unrolled one position per
+    materialized CTE layer, beta by distance-from-end), the
+    per-occurrence expected-count grid with the kernel's exact
+    operand order and positivity guards, the ordered M-step folds,
+    the +1 single-char floors, and the final ranking — parity is
+    bit-exact doubles, not a tolerance."""
+    model = _unigram_soft_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, int(i), round(float(u), 4), round(pr, 4)) for p, i, u, pr in model],
+        T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("piece_id", T.LongType(), False),
+                T.StructField("usage", T.DoubleType(), False),
+                T.StructField("prob", T.DoubleType(), False),
+            ]
+        ),
+    )
 
 
 # -- WordPiece (Schuster & Nakajima 2012 — the BERT-family tokenizer;
@@ -1766,6 +1979,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_ids": q_pack_sequences_ids,
     "wordpiece_train": q_wordpiece_train,
     "wordpiece_encode": q_wordpiece_encode,
+    "unigram_train_soft": q_unigram_train_soft,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -1800,4 +2014,5 @@ TEXT_ORACLES: dict[str, str] = {
     ),
     "wordpiece_train": _wordpiece_train_oracle(WP_MERGES),
     "wordpiece_encode": _wordpiece_encode_oracle(WP_MERGES),
+    "unigram_train_soft": _unigram_train_soft_oracle(),
 }

@@ -94,7 +94,6 @@ ROTATION_LEDGER_R12 = [
     "collection_search_ivf_delta",
     "stream_quantile",
     "ann_lsh",
-    "dedup_simhash",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -102,6 +101,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "dedup_simhash",
     "collection_hybrid_text",
     "bm25_index_merged",
     "media_audio_features",
@@ -130,6 +130,8 @@ NEW_OR_TOUCHED_R12: list[str] = [
     "collection_hybrid_ivfpq",
     # new r12: connected components over the video pair edges
     "media_video_dedup_groups",
+    # new r12: soft-EM unigram training with a full replay oracle
+    "unigram_train_soft",
 ]
 
 
