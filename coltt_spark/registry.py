@@ -2457,3 +2457,8 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     # soft-EM unigram twin (forward-backward expected counts)
     _unigram_soft_fixture(spark, sf_dir)
+    from coltt_spark.registry_media import _video_sig_fixture
+
+    # video fingerprint table (three-codec fabricate+decode, shared
+    # by the pairs and groups entries)
+    _video_sig_fixture(spark, sf_dir)
