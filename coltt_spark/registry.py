@@ -2215,7 +2215,6 @@ _KEY_ORDER = [
     "collection_search_ivf",                 # ledger: last driver signal r9
     "collection_search_ivf_delta",                 # ledger: last driver signal r9
     "stream_quantile",                 # ledger: last driver signal r9
-    "ann_lsh",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2239,11 +2238,14 @@ _KEY_ORDER = [
     #    E-step (forward-backward expected counts, log-free); every
     #    order-dependent float reduction pinned to an ordered fold so
     #    the oracle replays training end-to-end, bit-exact doubles
+    "web_url_psl",  # touched r12: PSL tranche 6 (3091 -> 3199 rules —
+    #    the punycoded UTF-8 .no municipal/county registry, māori.nz)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "ann_lsh",                 # ledger: r9 overflow, round-13 priority
     "dedup_simhash",                 # ledger: r9 overflow, round-13 priority
     "collection_hybrid_text",                 # ledger: r9 overflow, round-13 priority
     "bm25_index_merged",                 # ledger: r9 overflow, round-13 priority
@@ -2356,7 +2358,6 @@ _KEY_ORDER = [
     "collection_search_ivfpq_opq",                 # ledger: last driver signal r11
     "decontaminate_semantic",                 # ledger: last driver signal r11
     "neardup_cosine",                 # ledger: last driver signal r11
-    "web_url_psl",                 # ledger: last driver signal r11
 ]
 
 

@@ -93,7 +93,6 @@ ROTATION_LEDGER_R12 = [
     "collection_search_ivf",
     "collection_search_ivf_delta",
     "stream_quantile",
-    "ann_lsh",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -101,6 +100,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "ann_lsh",
     "dedup_simhash",
     "collection_hybrid_text",
     "bm25_index_merged",
@@ -132,6 +132,8 @@ NEW_OR_TOUCHED_R12: list[str] = [
     "media_video_dedup_groups",
     # new r12: soft-EM unigram training with a full replay oracle
     "unigram_train_soft",
+    # touched r12: PSL tranche 6 (3091 -> 3199 rules)
+    "web_url_psl",
 ]
 
 
