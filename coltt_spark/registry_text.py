@@ -1703,15 +1703,30 @@ def _wordpiece_fixture(spark: SparkSession, sf_dir: str):
     """The trained WordPiece model — (lhs, rhs, merged) list + the
     id-assigned vocabulary — built ONCE per process per sf_dir
     (prewarm_fixtures convention; training is 2k vocabulary-sized
-    jobs booked into fixture_build_sec, like the BPE merges)."""
+    jobs booked into fixture_build_sec, like the BPE merges). Words
+    longer than the unrolled greedy-walk bound fail loudly — the
+    unigram_train discipline — instead of silently diverging from the
+    24-step walk oracle on a regenerated corpus."""
     if sf_dir not in _WP_CACHE:
         from coltt_spark.operators.tokenize import (
+            bpe_word_table,
             wordpiece_alphabet,
             wordpiece_learn,
             wordpiece_vocab,
         )
 
         docs = load_table(spark, sf_dir, "documents")
+        too_long = (
+            bpe_word_table(docs, "text")
+            .filter(F.length("word") > _WP_WMAX)
+            .limit(1)
+            .collect()
+        )
+        if too_long:
+            raise ValueError(
+                f"wordpiece fixture: word {too_long[0]['word']!r} exceeds "
+                f"the {_WP_WMAX}-step greedy-walk bound"
+            )
         merges, _seg = wordpiece_learn(docs, "text", WP_MERGES)
         vocab = wordpiece_vocab(wordpiece_alphabet(docs, "text"), merges)
         _WP_CACHE[sf_dir] = (merges, vocab)
