@@ -1126,3 +1126,50 @@ def wordpiece_encode_ids(
             ),
         )
     )
+
+
+def wordpiece_save(
+    spark: SparkSession,
+    merges: list[tuple[str, str, str]],
+    vocab: list[tuple[str, int]],
+    path: str,
+) -> None:
+    """Persist the trained WordPiece model: the rank-ordered merge
+    table (``MERGE_SCHEMA``) under ``<path>/merges`` and the
+    ``(piece, piece_id)`` vocabulary under ``<path>/vocab`` — the two
+    artifacts a WordPiece tokenizer ships (BERT's vocab.txt is the
+    id-ordered piece list). Engine-agnostic parquet; one driver-side
+    write of ≤ vocab-size rows each."""
+    import os as _os
+
+    spark.createDataFrame(
+        [(i + 1, a, b, m) for i, (a, b, m) in enumerate(merges)],
+        MERGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "merges"))
+    spark.createDataFrame(
+        vocab,
+        T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("piece_id", T.IntegerType(), False),
+            ]
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "vocab"))
+
+
+def wordpiece_load(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[str, str, str]], list[tuple[str, int]]]:
+    """Reload a :func:`wordpiece_save` artifact — BOUNDED collects
+    (vocab-sized). Feeding the vocab to :func:`wordpiece_encode_ids`
+    reproduces the training-time tokenizer bit-for-bit."""
+    import os as _os
+
+    mrows = spark.read.parquet(_os.path.join(path, "merges")).orderBy("rank").collect()
+    vrows = (
+        spark.read.parquet(_os.path.join(path, "vocab")).orderBy("piece_id").collect()
+    )
+    return (
+        [(r["lhs"], r["rhs"], r["merged"]) for r in mrows],
+        [(r["piece"], int(r["piece_id"])) for r in vrows],
+    )

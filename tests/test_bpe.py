@@ -1294,3 +1294,32 @@ def test_unigram_soft_em_prunes_and_encodes(spark):
     enc = unigram_encode_ids(docs, "doc_id", "text", model)
     row = enc.orderBy("doc_id").first()
     assert row["token_ids"] is not None and len(row["token_ids"]) > 0
+
+
+def test_wordpiece_model_save_load_roundtrip(spark, tmp_path):
+    """The persisted (merges, vocab) artifact reloads to an identical
+    model, and encode under the reloaded vocab is bit-identical."""
+    from coltt_spark.operators.tokenize import (
+        wordpiece_alphabet,
+        wordpiece_encode_ids,
+        wordpiece_learn,
+        wordpiece_load,
+        wordpiece_save,
+        wordpiece_vocab,
+    )
+
+    df = _spark_corpus(spark)
+    merges, _ = wordpiece_learn(df, "text", 8)
+    vocab = wordpiece_vocab(wordpiece_alphabet(df, "text"), merges)
+    wordpiece_save(spark, merges, vocab, str(tmp_path / "wp"))
+    m2, v2 = wordpiece_load(spark, str(tmp_path / "wp"))
+    assert m2 == merges and v2 == vocab
+    a = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in wordpiece_encode_ids(df, "doc_id", "text", vocab).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in wordpiece_encode_ids(df, "doc_id", "text", v2).collect()
+    }
+    assert a == b
