@@ -86,6 +86,47 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lang_id_windows(
+    df: DataFrame, id_col: str, text_col: str, *, window: int = 32
+) -> DataFrame:
+    """Windowed language SEGMENTATION — the code-switch detector a
+    multilingual pipeline runs before doc-level filtering (a document
+    that flips language mid-stream should be split or flagged, not
+    averaged): the marker scorer applied per fixed-size token window.
+    One row per (doc, window) with the window's argmax language and
+    marker hits; documents with no tokens emit no windows; the final
+    window is the remainder. Same fixed-order tie-break and ``und``
+    fallback as :func:`lang_id`, pure codegen (token array
+    materialized once, windows sliced from it — no second
+    tokenization, no shuffle: posexplode is a narrow fan-out)."""
+    df = ensure_parallelism(df, id_col)
+    df = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    n_win = F.ceil(F.size("_tk") / F.lit(window)).cast("int")
+    wins = F.when(F.size("_tk") == 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.slice(F.col("_tk"), i * window + 1, window),
+        )
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(wins).alias("window_idx", "_wt")
+    )
+    scores = {
+        lang: _marker_score(F.col("_wt"), lang) for lang in _LANG_ORDER
+    }
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return ex.select(
+        F.col(id_col),
+        F.col("window_idx").cast("long").alias("window_idx"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
 def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Script-aware language ID (VERDICT r7 #7, unlocked by the byte
     path): the stopword scorer is blind to non-Latin scripts — every

@@ -2214,7 +2214,6 @@ _KEY_ORDER = [
     "media_png_features",                 # ledger: last driver signal r9
     "collection_search_ivf",                 # ledger: last driver signal r9
     "collection_search_ivf_delta",                 # ledger: last driver signal r9
-    "stream_quantile",                 # ledger: last driver signal r9
     # -- new in r12 / touched this round: seats land here as they
     # -- ship, each displacing the last r9 entry above past the
     # -- boundary (to the FRONT of the r13-priority block below)
@@ -2240,11 +2239,15 @@ _KEY_ORDER = [
     #    the oracle replays training end-to-end, bit-exact doubles
     "web_url_psl",  # touched r12: PSL tranche 6 (3091 -> 3199 rules —
     #    the punycoded UTF-8 .no municipal/county registry, māori.nz)
+    "text_lang_id_windows",  # new r12: windowed language segmentation
+    #    (code-switch detection) — the marker scorer per 32-token
+    #    window; oracle re-slices the same windows in SQL
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
     # -- window composition), in r9 order:
+    "stream_quantile",                 # ledger: r9 overflow, round-13 priority
     "ann_lsh",                 # ledger: r9 overflow, round-13 priority
     "dedup_simhash",                 # ledger: r9 overflow, round-13 priority
     "collection_hybrid_text",                 # ledger: r9 overflow, round-13 priority

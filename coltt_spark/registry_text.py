@@ -50,6 +50,53 @@ FROM b
 """
 
 
+_LANG_WIN = 32
+
+
+def q_lang_id_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed language segmentation (code-switch detection): the
+    marker scorer per 32-token window — one row per (doc, window),
+    the signal a multilingual pipeline uses to split or flag
+    mixed-language documents instead of averaging them into one
+    doc-level label. The oracle re-slices the same token windows in
+    SQL (constant range + filter — no correlated lateral range, the
+    documented DuckDB hazard) and replays the scorer per window."""
+    from coltt_spark.operators.textstats import lang_id_windows
+
+    return lang_id_windows(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        window=_LANG_WIN,
+    )
+
+
+def _lang_windows_oracle() -> str:
+    def marker_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+    W = _LANG_WIN
+    scores = ", ".join(
+        f"len(list_filter(wt, t -> list_contains({marker_list(lang)}, t))) AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_ORDER) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANG_ORDER)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+w AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS window_idx,
+         tk[CAST(g.i AS INT) * {W} + 1 : CAST(g.i AS INT) * {W} + {W}] AS wt
+  FROM toks, (SELECT unnest(range(0, 4096)) AS i) g
+  WHERE CAST(g.i AS INT) * {W} < len(tk)
+),
+sc AS (SELECT doc_id, window_idx, {scores} FROM w),
+b AS (SELECT *, {best} AS best FROM sc)
+SELECT doc_id, window_idx,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+       CAST(best AS BIGINT) AS marker_hits
+FROM b
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1995,6 +2042,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_train": q_wordpiece_train,
     "wordpiece_encode": q_wordpiece_encode,
     "unigram_train_soft": q_unigram_train_soft,
+    "text_lang_id_windows": q_lang_id_windows,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -2030,4 +2078,5 @@ TEXT_ORACLES: dict[str, str] = {
     "wordpiece_train": _wordpiece_train_oracle(WP_MERGES),
     "wordpiece_encode": _wordpiece_encode_oracle(WP_MERGES),
     "unigram_train_soft": _unigram_train_soft_oracle(),
+    "text_lang_id_windows": _lang_windows_oracle(),
 }

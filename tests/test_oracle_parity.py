@@ -92,7 +92,6 @@ ROTATION_LEDGER_R12 = [
     "media_png_features",
     "collection_search_ivf",
     "collection_search_ivf_delta",
-    "stream_quantile",
 ]
 
 #: the r9 overflow tail — displaced from the round-12 window by this
@@ -100,6 +99,7 @@ ROTATION_LEDGER_R12 = [
 #: Each new/touched r12 seat moves one more entry from the ledger's
 #: r9 tail to the FRONT of this block (keep both lists in sync).
 R13_PRIORITY = [
+    "stream_quantile",
     "ann_lsh",
     "dedup_simhash",
     "collection_hybrid_text",
@@ -134,6 +134,8 @@ NEW_OR_TOUCHED_R12: list[str] = [
     "unigram_train_soft",
     # touched r12: PSL tranche 6 (3091 -> 3199 rules)
     "web_url_psl",
+    # new r12: windowed language segmentation (code-switch detection)
+    "text_lang_id_windows",
 ]
 
 
