@@ -60,13 +60,25 @@ def q_lang_id_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed-language documents instead of averaging them into one
     doc-level label. The oracle re-slices the same token windows in
     SQL (constant range + filter — no correlated lateral range, the
-    documented DuckDB hazard) and replays the scorer per window."""
+    documented DuckDB hazard) and replays the scorer per window. The
+    oracle's window grid is a 4096-row constant range, so a document
+    longer than 4096 windows fails LOUDLY here instead of silently
+    truncating the replay (the unigram word_max_len discipline)."""
     from coltt_spark.operators.textstats import lang_id_windows
+    from coltt_spark.functions.text import tokens
 
-    return lang_id_windows(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        window=_LANG_WIN,
+    docs = load_table(spark, sf_dir, "documents")
+    too_long = (
+        docs.filter(F.size(tokens("text")) > 4096 * _LANG_WIN)
+        .limit(1)
+        .collect()
     )
+    if too_long:
+        raise ValueError(
+            f"text_lang_id_windows: doc {too_long[0]['doc_id']} exceeds "
+            f"the oracle's 4096-window grid"
+        )
+    return lang_id_windows(docs, "doc_id", "text", window=_LANG_WIN)
 
 
 def _lang_windows_oracle() -> str:
