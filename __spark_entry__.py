@@ -34,14 +34,30 @@ def oracle_sql() -> dict[str, str]:
     Materialization is per-key fault-isolated: a lazy oracle that
     raises (gate data missing / mid-regeneration) degrades ONLY its
     own key to the weaker rows-only check instead of taking down the
-    entire oracle contract."""
+    entire oracle contract. Degraded keys are recorded in the
+    module-level ``DEGRADED`` list and summarized on stderr so a
+    driver-side downgrade is observable, not silent (ADVICE r12)."""
+    import sys
+
     out: dict[str, str] = {}
+    DEGRADED.clear()
     for k, v in ORACLES.items():
         if callable(v):
             try:
                 out[k] = v()
-            except Exception:  # noqa: BLE001 — degrade this key only
+            except Exception as exc:  # noqa: BLE001 — degrade this key only
+                DEGRADED.append((k, f"{type(exc).__name__}: {exc}"))
+                print(
+                    f"oracle_sql: lazy oracle for {k!r} degraded to "
+                    f"rows-only ({type(exc).__name__}: {exc})",
+                    file=sys.stderr,
+                )
                 continue
         else:
             out[k] = v
     return out
+
+
+#: keys whose lazy oracle failed to materialize in the last
+#: ``oracle_sql()`` call, as (key, exception summary) pairs.
+DEGRADED: list[tuple[str, str]] = []

@@ -1080,11 +1080,19 @@ def wordpiece_encode_ids(
     an EMPTY array."""
     pieces = {p for p, _i in vocab}
     ids = dict(vocab)
-    max_core = max(
+    core_lens = [
         (len(p) - len(CONT) if p.startswith(CONT) else len(p))
         for p in pieces
         if p != UNK
-    )
+    ]
+    if not core_lens:
+        raise ValueError(
+            "wordpiece_encode_ids: vocab contains no pieces besides "
+            f"{UNK!r} — a trained WordPiece vocab must carry at least "
+            "the single-character alphabet (empty corpus or degenerate "
+            "artifact load?)"
+        )
+    max_core = max(core_lens)
     id_map = F.create_map(*[F.lit(x) for p, i in vocab for x in (p, i)])
     word_ids = (
         df.select(F.explode(tokens(text_col)).alias("word"))

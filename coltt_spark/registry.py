@@ -2165,105 +2165,29 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-12 window: the r11 rotation ledger — the 11 r8-overflow
-    # -- entries FIRST (displaced from the r11 window by its 7
-    # -- new/touched seats, oldest driver signal on the board), then
-    # -- the r9-green entries in r9-window order. New/touched r12
-    # -- seats land at the window tail and displace the r9 block's
-    # -- tail past the boundary with round-13 priority. See CLAUDE.md
+    # -- round-13 window: the r12 rotation ledger — the 16 r9-overflow
+    # -- entries FIRST (displaced from the r12 window by its 8
+    # -- new/touched seats, now the oldest driver signal on the
+    # -- board), then the r10-green entries in r10-window order. The
+    # -- r10 block TAIL is displaced past the boundary as new/touched
+    # -- r13 seats land, keeping round-14 priority. See CLAUDE.md
     # -- 'Driver-check rotation ledger'.
-    "dedup_minhash_bytes",                 # ledger: r8 overflow, last driver signal r8
-    "ann_ivfpq",                 # ledger: r8 overflow, last driver signal r8
-    "decontaminate_bytes",                 # ledger: r8 overflow, last driver signal r8
-    "text_script_profile",                 # ledger: r8 overflow, last driver signal r8
-    "dedup_containment_bytes",                 # ledger: r8 overflow, last driver signal r8
-    "bpe_train",                 # ledger: r8 overflow, last driver signal r8
-    "bpe_encode",                 # ledger: r8 overflow, last driver signal r8
-    "media_exif",                 # ledger: r8 overflow, last driver signal r8
-    "media_exif_orientation",                 # ledger: r8 overflow, last driver signal r8
-    "pack_sequences_firstfit",                 # ledger: r8 overflow, last driver signal r8
-    "embed_outliers",                 # ledger: r8 overflow, last driver signal r8
-    "token_vocab",                 # ledger: last driver signal r9
-    "doc_lm_score",                 # ledger: last driver signal r9
-    "filter_extended",                 # ledger: last driver signal r9
-    "collection_time_travel",                 # ledger: last driver signal r9
-    "jsonl_roundtrip",                 # ledger: last driver signal r9
-    "ann_recall",                 # ledger: last driver signal r9
-    "stream_join",                 # ledger: last driver signal r9
-    "embed_project",                 # ledger: last driver signal r9
-    "sample_temperature",                 # ledger: last driver signal r9
-    "bm25_search",                 # ledger: last driver signal r9
-    "distinct_sketch",                 # ledger: last driver signal r9
-    "quantile_sketch",                 # ledger: last driver signal r9
-    "decontaminate_bloom",                 # ledger: last driver signal r9
-    "bm25_indexed",                 # ledger: last driver signal r9
-    "collection_search",                 # ledger: last driver signal r9
-    "media_jpeg_features",                 # ledger: last driver signal r9
-    "media_gif_features",                 # ledger: last driver signal r9
-    "format_roundtrip",                 # ledger: last driver signal r9
-    "media_tiff_features",                 # ledger: last driver signal r9
-    "archive_roundtrip",                 # ledger: last driver signal r9
-    "warc_html_extract",                 # ledger: last driver signal r9
-    "web_url_dedup",                 # ledger: last driver signal r9
-    "line_dedup",                 # ledger: last driver signal r9
-    "bucketed_join",                 # ledger: last driver signal r9
-    "web_robots_filter",                 # ledger: last driver signal r9
-    "doc_ppl_bigram",                 # ledger: last driver signal r9
-    "dedup_span_removal",                 # ledger: last driver signal r9
-    "zorder_layout",                 # ledger: last driver signal r9
-    "media_png_features",                 # ledger: last driver signal r9
-    "collection_search_ivf",                 # ledger: last driver signal r9
-    "collection_search_ivf_delta",                 # ledger: last driver signal r9
-    # -- new in r12 / touched this round: seats land here as they
-    # -- ship, each displacing the last r9 entry above past the
-    # -- boundary (to the FRONT of the r13-priority block below)
-    "media_video_dedup",  # new r12: temporal-ordinal video near-dup
-    #    (sign-of-change over 4 spatial Haar luma band energies x 16
-    #    frame transitions), Hamming-banded; fixture plants Motion-JPEG
-    #    DC-requantized (tie-free q=24 round trip) + regraded/
-    #    tail-extended clips across all 3 decode_video container walks
-    "wordpiece_train",  # new r12: WordPiece likelihood-scored merge
-    #    training (Schuster & Nakajima 2012, VERDICT r11 #3); oracle
-    #    replays per-step symbol counts + score argmax + fold
-    "wordpiece_encode",  # new r12: greedy longest-match-first encode
-    #    with ## continuations; oracle retrains + replays the walk
-    "collection_hybrid_ivfpq",  # new r12: text+vector RRF through the
-    #    quantized layout (VERDICT r11 #7) — the full IVFADC+OPQ
-    #    funnel as the vector leg; oracle replays both legs + the fold
-    "media_video_dedup_groups",  # new r12: connected components over
-    #    the video pair edges (the image-groups twin); oracle replays
-    #    the full chain + a recursive-CTE transitive closure
-    "unigram_train_soft",  # new r12: Kudo 2018's published SOFT
-    #    E-step (forward-backward expected counts, log-free); every
-    #    order-dependent float reduction pinned to an ordered fold so
-    #    the oracle replays training end-to-end, bit-exact doubles
-    "web_url_psl",  # touched r12: PSL tranche 6 (3091 -> 3199 rules —
-    #    the punycoded UTF-8 .no municipal/county registry, māori.nz)
-    "text_lang_id_windows",  # new r12: windowed language segmentation
-    #    (code-switch detection) — the marker scorer per 32-token
-    #    window; oracle re-slices the same windows in SQL
-    # ------------------------------------------------------------------
-    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
-    # -- pytest run; driver rotation continues next round.
-    # -- r9 overflow tail — ROUND-13 PRIORITY (displaced by the r12
-    # -- window composition), in r9 order:
-    "stream_quantile",                 # ledger: r9 overflow, round-13 priority
-    "ann_lsh",                 # ledger: r9 overflow, round-13 priority
-    "dedup_simhash",                 # ledger: r9 overflow, round-13 priority
-    "collection_hybrid_text",                 # ledger: r9 overflow, round-13 priority
-    "bm25_index_merged",                 # ledger: r9 overflow, round-13 priority
-    "media_audio_features",                 # ledger: r9 overflow, round-13 priority
-    "media_video_stats",                 # ledger: r9 overflow, round-13 priority
-    "collection_search_blocks",                 # ledger: r9 overflow, round-13 priority
-    "web_domain_quota",                 # ledger: r9 overflow, round-13 priority
-    "token_fertility_by_lang",                 # ledger: r9 overflow, round-13 priority
-    "bpe_encode_ids_pretok",                 # ledger: r9 overflow, round-13 priority
-    "pack_sequences_ids",                 # ledger: r9 overflow, round-13 priority
-    "bpe_train_bytes",                 # ledger: r9 overflow, round-13 priority
-    "bpe_encode_ids",                 # ledger: r9 overflow, round-13 priority
-    "text_lang_id_unicode",                 # ledger: r9 overflow, round-13 priority
-    "text_lang_id",                 # ledger: r9 overflow, round-13 priority
-    # -- the 47 r10-green entries, r10-window order:
+    "stream_quantile",                 # ledger: r9 overflow, last driver signal r9
+    "ann_lsh",                 # ledger: r9 overflow, last driver signal r9
+    "dedup_simhash",                 # ledger: r9 overflow, last driver signal r9
+    "collection_hybrid_text",                 # ledger: r9 overflow, last driver signal r9
+    "bm25_index_merged",                 # ledger: r9 overflow, last driver signal r9
+    "media_audio_features",                 # ledger: r9 overflow, last driver signal r9
+    "media_video_stats",                 # ledger: r9 overflow, last driver signal r9
+    "collection_search_blocks",                 # ledger: r9 overflow, last driver signal r9
+    "web_domain_quota",                 # ledger: r9 overflow, last driver signal r9
+    "token_fertility_by_lang",                 # ledger: r9 overflow, last driver signal r9
+    "bpe_encode_ids_pretok",                 # ledger: r9 overflow, last driver signal r9
+    "pack_sequences_ids",                 # ledger: r9 overflow, last driver signal r9
+    "bpe_train_bytes",                 # ledger: r9 overflow, last driver signal r9
+    "bpe_encode_ids",                 # ledger: r9 overflow, last driver signal r9
+    "text_lang_id_unicode",                 # ledger: r9 overflow, last driver signal r9
+    "text_lang_id",                 # ledger: r9 overflow, last driver signal r9
     "upsert_delete",                 # ledger: last driver signal r10
     "filter_coercion",                 # ledger: last driver signal r10
     "filter_search",                 # ledger: last driver signal r10
@@ -2298,20 +2222,28 @@ _KEY_ORDER = [
     "events_sessionize",                 # ledger: last driver signal r10
     "media_features",                 # ledger: last driver signal r10
     "quality_classifier",                 # ledger: last driver signal r10
-    "web_sitemap",                 # ledger: last driver signal r10
-    "knn_euclidean",                 # ledger: last driver signal r10
-    "knn_manhattan",                 # ledger: last driver signal r10
-    "compare_dist",                 # ledger: last driver signal r10
-    "knn_f8",                 # ledger: last driver signal r10
-    "knn_bf16",                 # ledger: last driver signal r10
-    "media_image_dedup",                 # ledger: last driver signal r10
-    "collection_search_ivfpq_batch",                 # ledger: last driver signal r10
-    "media_image_dedup_groups",                 # ledger: last driver signal r10
-    "unigram_train",                 # ledger: last driver signal r10
-    "unigram_encode_ids",                 # ledger: last driver signal r10
-    "collection_search_ivfpq",                 # ledger: last driver signal r10
-    "collection_search_ivfpq_delta",                 # ledger: last driver signal r10
-    # -- the 50 r11-green entries, r11-window order:
+    # -- new in r13 / touched this round: seats land here as they
+    # -- ship, each displacing the last r10 entry above past the
+    # -- boundary (to the FRONT of the r14-priority block below)
+    # ------------------------------------------------------------------
+    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
+    # -- pytest run; driver rotation continues next round.
+    # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
+    # -- composition), in r10 order:
+    "web_sitemap",                 # ledger: r10 overflow, round-14 priority
+    "knn_euclidean",                 # ledger: r10 overflow, round-14 priority
+    "knn_manhattan",                 # ledger: r10 overflow, round-14 priority
+    "compare_dist",                 # ledger: r10 overflow, round-14 priority
+    "knn_f8",                 # ledger: r10 overflow, round-14 priority
+    "knn_bf16",                 # ledger: r10 overflow, round-14 priority
+    "media_image_dedup",                 # ledger: r10 overflow, round-14 priority
+    "collection_search_ivfpq_batch",                 # ledger: r10 overflow, round-14 priority
+    "media_image_dedup_groups",                 # ledger: r10 overflow, round-14 priority
+    "unigram_train",                 # ledger: r10 overflow, round-14 priority
+    "unigram_encode_ids",                 # ledger: r10 overflow, round-14 priority
+    "collection_search_ivfpq",                 # ledger: r10 overflow, round-14 priority
+    "collection_search_ivfpq_delta",                 # ledger: r10 overflow, round-14 priority
+    # -- the 49 r11-green entries, r11-window order:
     "knn_two_phase",                 # ledger: last driver signal r11
     "ann_topk_blas",                 # ledger: last driver signal r11
     "media_metadata",                 # ledger: last driver signal r11
@@ -2361,6 +2293,57 @@ _KEY_ORDER = [
     "collection_search_ivfpq_opq",                 # ledger: last driver signal r11
     "decontaminate_semantic",                 # ledger: last driver signal r11
     "neardup_cosine",                 # ledger: last driver signal r11
+    # -- the 50 r12-green entries, r12-window order:
+    "dedup_minhash_bytes",                 # ledger: last driver signal r12
+    "ann_ivfpq",                 # ledger: last driver signal r12
+    "decontaminate_bytes",                 # ledger: last driver signal r12
+    "text_script_profile",                 # ledger: last driver signal r12
+    "dedup_containment_bytes",                 # ledger: last driver signal r12
+    "bpe_train",                 # ledger: last driver signal r12
+    "bpe_encode",                 # ledger: last driver signal r12
+    "media_exif",                 # ledger: last driver signal r12
+    "media_exif_orientation",                 # ledger: last driver signal r12
+    "pack_sequences_firstfit",                 # ledger: last driver signal r12
+    "embed_outliers",                 # ledger: last driver signal r12
+    "token_vocab",                 # ledger: last driver signal r12
+    "doc_lm_score",                 # ledger: last driver signal r12
+    "filter_extended",                 # ledger: last driver signal r12
+    "collection_time_travel",                 # ledger: last driver signal r12
+    "jsonl_roundtrip",                 # ledger: last driver signal r12
+    "ann_recall",                 # ledger: last driver signal r12
+    "stream_join",                 # ledger: last driver signal r12
+    "embed_project",                 # ledger: last driver signal r12
+    "sample_temperature",                 # ledger: last driver signal r12
+    "bm25_search",                 # ledger: last driver signal r12
+    "distinct_sketch",                 # ledger: last driver signal r12
+    "quantile_sketch",                 # ledger: last driver signal r12
+    "decontaminate_bloom",                 # ledger: last driver signal r12
+    "bm25_indexed",                 # ledger: last driver signal r12
+    "collection_search",                 # ledger: last driver signal r12
+    "media_jpeg_features",                 # ledger: last driver signal r12
+    "media_gif_features",                 # ledger: last driver signal r12
+    "format_roundtrip",                 # ledger: last driver signal r12
+    "media_tiff_features",                 # ledger: last driver signal r12
+    "archive_roundtrip",                 # ledger: last driver signal r12
+    "warc_html_extract",                 # ledger: last driver signal r12
+    "web_url_dedup",                 # ledger: last driver signal r12
+    "line_dedup",                 # ledger: last driver signal r12
+    "bucketed_join",                 # ledger: last driver signal r12
+    "web_robots_filter",                 # ledger: last driver signal r12
+    "doc_ppl_bigram",                 # ledger: last driver signal r12
+    "dedup_span_removal",                 # ledger: last driver signal r12
+    "zorder_layout",                 # ledger: last driver signal r12
+    "media_png_features",                 # ledger: last driver signal r12
+    "collection_search_ivf",                 # ledger: last driver signal r12
+    "collection_search_ivf_delta",                 # ledger: last driver signal r12
+    "media_video_dedup",                 # ledger: last driver signal r12
+    "wordpiece_train",                 # ledger: last driver signal r12
+    "wordpiece_encode",                 # ledger: last driver signal r12
+    "collection_hybrid_ivfpq",                 # ledger: last driver signal r12
+    "media_video_dedup_groups",                 # ledger: last driver signal r12
+    "unigram_train_soft",                 # ledger: last driver signal r12
+    "web_url_psl",                 # ledger: last driver signal r12
+    "text_lang_id_windows",                 # ledger: last driver signal r12
 ]
 
 

@@ -1161,6 +1161,19 @@ def test_wordpiece_vocab_contract():
     assert vocab[5:] == [("ab", 5), ("##ab", 6)]
 
 
+def test_wordpiece_encode_ids_rejects_unk_only_vocab(spark):
+    """ADVICE r12: a vocab holding only [UNK] (empty corpus /
+    degenerate artifact load) must raise a clear contract error, not
+    an opaque ``max() arg is an empty sequence``."""
+    import pytest as _pytest
+
+    from coltt_spark.operators.tokenize import wordpiece_encode_ids
+
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="no pieces besides"):
+        wordpiece_encode_ids(df, "doc_id", "text", [("[UNK]", 0)])
+
+
 # --- soft-EM unigram (Kudo 2018's published E-step) --------------------------
 
 

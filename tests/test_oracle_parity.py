@@ -37,68 +37,17 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-11 rotation ledger (CLAUDE.md): entries promised a
-#: round-12 driver slot — the 11 r8-overflow entries lead (displaced
-#: from the r11 window by its 7 new/touched seats, the oldest driver
-#: signal on the board), then the r9-green entries in r9-window
-#: order. The r9 block's TAIL overflows as this round's new/touched
-#: seats land and keeps round-13 priority. Machine-checked against
+#: The round-12 rotation ledger (CLAUDE.md): entries promised a
+#: round-13 driver slot — the 16 r9-overflow entries lead (displaced
+#: from the r12 window by its 8 new/touched seats, the oldest driver
+#: signal on the board), then the r10-green entries in r10-window
+#: order. The r10 block's TAIL overflows as this round's new/touched
+#: seats land and keeps round-14 priority. Machine-checked against
 #: _KEY_ORDER below so the ledger promise cannot silently drift
 #: (ADVICE r3 #1).
-ROTATION_LEDGER_R12 = [
-    # the 11 r8-overflow entries, r8 order (r12 priority per the
-    # r11 ledger — oldest driver signal on the board)
-    "dedup_minhash_bytes",
-    "ann_ivfpq",
-    "decontaminate_bytes",
-    "text_script_profile",
-    "dedup_containment_bytes",
-    "bpe_train",
-    "bpe_encode",
-    "media_exif",
-    "media_exif_orientation",
-    "pack_sequences_firstfit",
-    "embed_outliers",
-    # the r9-green block in r9-window order; its tail is displaced
-    # past the boundary as new/touched r12 seats land
-    "token_vocab",
-    "doc_lm_score",
-    "filter_extended",
-    "collection_time_travel",
-    "jsonl_roundtrip",
-    "ann_recall",
-    "stream_join",
-    "embed_project",
-    "sample_temperature",
-    "bm25_search",
-    "distinct_sketch",
-    "quantile_sketch",
-    "decontaminate_bloom",
-    "bm25_indexed",
-    "collection_search",
-    "media_jpeg_features",
-    "media_gif_features",
-    "format_roundtrip",
-    "media_tiff_features",
-    "archive_roundtrip",
-    "warc_html_extract",
-    "web_url_dedup",
-    "line_dedup",
-    "bucketed_join",
-    "web_robots_filter",
-    "doc_ppl_bigram",
-    "dedup_span_removal",
-    "zorder_layout",
-    "media_png_features",
-    "collection_search_ivf",
-    "collection_search_ivf_delta",
-]
-
-#: the r9 overflow tail — displaced from the round-12 window by this
-#: round's new/touched seats; they lead the round-13 rotation queue.
-#: Each new/touched r12 seat moves one more entry from the ledger's
-#: r9 tail to the FRONT of this block (keep both lists in sync).
-R13_PRIORITY = [
+ROTATION_LEDGER_R13 = [
+    # the 16 r9-overflow entries, r9 order (r13 priority per the
+    # r12 ledger — oldest driver signal on the board)
     "stream_quantile",
     "ann_lsh",
     "dedup_simhash",
@@ -115,39 +64,78 @@ R13_PRIORITY = [
     "bpe_encode_ids",
     "text_lang_id_unicode",
     "text_lang_id",
+    # the r10-green block in r10-window order; its tail is displaced
+    # past the boundary as new/touched r13 seats land
+    "upsert_delete",
+    "filter_coercion",
+    "filter_search",
+    "multi_vector_search",
+    "dedup_minhash_lsh",
+    "stream_distinct",
+    "collection_search_blocks_delta",
+    "knn_cosine",
+    "ann_ivf",
+    "collection_search_batch",
+    "freq_sketch",
+    "dedup_canonical",
+    "knn_filtered",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_ngram_jaccard",
+    "collection_search_batch_filtered",
+    "hybrid_rrf",
+    "bm25_topk_batch",
+    "text_quality",
+    "doc_fingerprint",
+    "pricing_summary",
+    "region_revenue",
+    "window_top_orders",
+    "price_percentiles",
+    "knn_f16",
+    "ann_topk_batch",
+    "knn_pagination",
+    "knn_block",
+    "dedup_containment",
+    "rollup_revenue",
+    "events_sessionize",
+    "media_features",
+    "quality_classifier",
+]
+
+#: the r10 overflow tail — displaced from the round-13 window by this
+#: round's new/touched seats; they lead the round-14 rotation queue.
+#: Each new/touched r13 seat moves one more entry from the ledger's
+#: r10 tail to the FRONT of this block (keep both lists in sync).
+R14_PRIORITY = [
+    "web_sitemap",
+    "knn_euclidean",
+    "knn_manhattan",
+    "compare_dist",
+    "knn_f8",
+    "knn_bf16",
+    "media_image_dedup",
+    "collection_search_ivfpq_batch",
+    "media_image_dedup_groups",
+    "unigram_train",
+    "unigram_encode_ids",
+    "collection_search_ivfpq",
+    "collection_search_ivfpq_delta",
 ]
 
 #: new/touched this round — seats land at the window tail as they
-#: ship, each displacing the ledger's last r9 entry into R13_PRIORITY
-NEW_OR_TOUCHED_R12: list[str] = [
-    # new r12: temporal-ordinal video near-dup dedup (VERDICT r11 #2)
-    "media_video_dedup",
-    # new r12: WordPiece tokenizer family (VERDICT r11 #3)
-    "wordpiece_train",
-    "wordpiece_encode",
-    # new r12: hybrid text+vector through the IVFADC+OPQ funnel
-    # (VERDICT r11 #7)
-    "collection_hybrid_ivfpq",
-    # new r12: connected components over the video pair edges
-    "media_video_dedup_groups",
-    # new r12: soft-EM unigram training with a full replay oracle
-    "unigram_train_soft",
-    # touched r12: PSL tranche 6 (3091 -> 3199 rules)
-    "web_url_psl",
-    # new r12: windowed language segmentation (code-switch detection)
-    "text_lang_id_windows",
-]
+#: ship, each displacing the ledger's last r10 entry into R14_PRIORITY
+NEW_OR_TOUCHED_R13: list[str] = []
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-11 rotation-ledger entries (11 r8-overflow +
-    the leading r9-green block) LEAD the round-12 window, every entry
+    exactly; the round-12 rotation-ledger entries (16 r9-overflow +
+    the leading r10-green block) LEAD the round-13 window, every entry
     new or touched this round is inside it (at the window tail), and
-    the r9 overflow tail sits FIRST past the boundary with round-13
-    priority. Past the boundary after it: the 47 r10-green entries in
-    r10-window order, then the 50 r11-green entries in r11-window
+    the r10 overflow tail sits FIRST past the boundary with round-14
+    priority. Past the boundary after it: the 49 r11-green entries in
+    r11-window order, then the 50 r12-green entries in r12-window
     order. Every past-window entry is re-oracled by the local gate
     every pytest run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
@@ -155,16 +143,16 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     assert list(QUERIES) == _KEY_ORDER
     # ledger entries lead the window, in ledger order; new/touched
     # seats fill the window tail
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R12)] == ROTATION_LEDGER_R12
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R13)] == ROTATION_LEDGER_R13
     assert (
-        _KEY_ORDER[len(ROTATION_LEDGER_R12) : _DRIVER_WINDOW]
-        == NEW_OR_TOUCHED_R12
+        _KEY_ORDER[len(ROTATION_LEDGER_R13) : _DRIVER_WINDOW]
+        == NEW_OR_TOUCHED_R13
     )
-    assert len(ROTATION_LEDGER_R12) + len(NEW_OR_TOUCHED_R12) == _DRIVER_WINDOW
+    assert len(ROTATION_LEDGER_R13) + len(NEW_OR_TOUCHED_R13) == _DRIVER_WINDOW
     # the displaced r9 tail sits first past the boundary (r13 queue)
     assert (
-        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R13_PRIORITY)]
-        == R13_PRIORITY
+        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R14_PRIORITY)]
+        == R14_PRIORITY
     )
 
 
