@@ -332,6 +332,57 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3)
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_sig_fp(sh: DataFrame, id_col: str) -> DataFrame:
+    """Per-key MinHash signature columns ``mh0..mh{k-1}`` plus the
+    exact-content fingerprint ``_fp`` (md5 over the sorted distinct
+    shingle hashes — deterministic, internal only), in ONE pass over
+    a ``(id, sh)`` shingle table."""
+    aggs = [
+        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy(id_col).agg(
+        *aggs,
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("sh")),
+                    lambda c: c.cast("string"),
+                ),
+            )
+        ).alias("_fp"),
+    )
+
+
+def _band_stack(sig: DataFrame, key_col: str, bands: int) -> DataFrame:
+    """``(key, band_idx, band_hash)`` rows — one per band per
+    signature row; band_hash is md5 over the band's k/bands minhash
+    columns, so a band bucket is an equi-join key."""
+    k = len(MINHASH_PARAMS)
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(key_col), *band_cols)
+    return banded.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(key_col, "_b.band_idx", "_b.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -363,7 +414,6 @@ def minhash_lsh_pairs(
     inherently quadratic in true-duplicate cluster size), but the
     join/verify work is bounded by distinct-content counts."""
     k = len(MINHASH_PARAMS)
-    rows_per_band = k // bands
     # the shingle table feeds the content collapse, the signature
     # aggregation AND the candidate-verify join; materialize it once
     # (explode+hash+distinct is the dominant cost) instead of
@@ -373,26 +423,9 @@ def minhash_lsh_pairs(
         if shingles is not None
         else shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     )
-    aggs = [
-        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
     # ONE pass over the shingle table computes both the 16 minhashes
-    # and the exact-content fingerprint (md5 over the sorted distinct
-    # shingle hashes — deterministic; internal only, the oracle never
-    # sees it)
-    per_doc = sh.groupBy(id_col).agg(
-        *aggs,
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_set("sh")),
-                    lambda c: c.cast("string"),
-                ),
-            )
-        ).alias("_fp"),
-    ).localCheckpoint(eager=False)
+    # and the exact-content fingerprint
+    per_doc = _minhash_sig_fp(sh, id_col).localCheckpoint(eager=False)
     reps = per_doc.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
     rep_of = per_doc.select(F.col(id_col).alias("_member"), "_fp").join(
         reps, on="_fp"
@@ -403,26 +436,7 @@ def minhash_lsh_pairs(
     sig = per_doc.join(
         reps.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
     ).select(id_col, *[f"mh{i}" for i in range(k)])
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, "_b.band_idx", "_b.band_hash")
+    stacked = _band_stack(sig, id_col, bands)
     a = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     candidates = (
@@ -480,6 +494,272 @@ def minhash_lsh_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+class MinHashIndex:
+    """Persisted MinHash/LSH signature index — the frozen-corpus side
+    of INCREMENTAL near-dup dedup (the daily-crawl shape: dedup a new
+    batch against an already-processed corpus WITHOUT recomputing the
+    corpus side).
+
+    Artifacts under ``root`` (parquet snapshots, the packed-index
+    flush discipline of ``TextIndex`` / ``Collection``):
+
+    - ``members/``      ``(member, fp)`` — one row per indexed doc;
+      ``fp`` is the exact-content fingerprint (md5 of the sorted
+      distinct shingle hashes), the mega-duplicate-guard key.
+    - ``band_keys/``    ``(fp, band_idx, band_hash)`` — LSH band keys
+      per DISTINCT content, not per doc: a 10⁴-copy template costs
+      ``bands`` rows, not ``bands``·10⁴ (the content collapse is
+      baked into the stored layout).
+    - ``fp_shingles/``  ``(fp, sh)`` — shingle sets per distinct
+      content, the exact-Jaccard verify side.
+    - ``pairs/``        ``(id_a, id_b, jaccard)`` — verified near-dup
+      pairs WITHIN the indexed corpus.
+    - ``meta.json``     shingle width / bands / threshold.
+
+    Pair membership is PAIRWISE-determined: (a, b) is emitted iff
+    their signatures share a band (each signature is a function of
+    its own document's shingle set alone) and exact Jaccard ≥
+    threshold. Hence results compose exactly across batches —
+    ``pairs(old ∪ new) = pairs(old) ∪ delta(new vs old) ∪
+    pairs(new)`` — and ``delta_pairs`` can return the full updated
+    table whose oracle is the FROM-SCRATCH oracle over the union
+    corpus (the ``bm25_index_merged`` equivalence discipline).
+
+    100 TB posture: the delta never touches corpus text — the old
+    side enters only through the three index artifacts (``band_keys``
+    equi-join on (band_idx, band_hash) for candidates; ``fp_shingles``
+    equi-join on fp for verification; ``members`` equi-join on fp for
+    pair expansion), each written hash-distributed by its join key so
+    a daily delta shuffles new-batch rows plus matched index
+    partitions only. ``merge`` is append-only at this scale because
+    artifacts are keyed by content fingerprint: re-snapshot under a
+    version directory (the catalog versioning discipline) when
+    atomicity across the four artifacts matters.
+    """
+
+    _ARTIFACTS = ("members", "band_keys", "fp_shingles", "pairs")
+
+    def __init__(self, spark, root: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "meta.json")) as fh:
+            self.meta = json.load(fh)
+
+    # -- construction -------------------------------------------------
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        root: str,
+        *,
+        n: int = 3,
+        bands: int = 4,
+        threshold: float = 0.5,
+        shingles: DataFrame | None = None,
+        n_files: int = 8,
+    ) -> "MinHashIndex":
+        """Index a corpus: signatures + content collapse + band keys,
+        plus the corpus's own verified pairs (so the index answers
+        "all pairs so far" without rescoring history)."""
+        import json
+        import os
+
+        spark = df.sparkSession
+        sh = (
+            shingles
+            if shingles is not None
+            else shingle_table(df, id_col, text_col, n)
+        ).localCheckpoint(eager=False)
+        per_doc = _minhash_sig_fp(sh, id_col).localCheckpoint(eager=False)
+        members = per_doc.select(
+            F.col(id_col).alias("member"), F.col("_fp").alias("fp")
+        )
+        reps = per_doc.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
+        rep_sig = per_doc.join(
+            reps.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        )
+        band_keys = _band_stack(
+            rep_sig.select("_fp", *[f"mh{i}" for i in range(len(MINHASH_PARAMS))]),
+            "_fp",
+            bands,
+        ).withColumnRenamed("_fp", "fp")
+        fp_shingles = sh.join(
+            reps.select(F.col("_rep").alias(id_col), F.col("_fp").alias("fp")),
+            on=id_col,
+        ).select("fp", "sh")
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n=n, bands=bands, threshold=threshold, shingles=sh
+        )
+        # hash-distribute each artifact by its delta-side join key
+        members.repartition(n_files, "fp").write.mode("overwrite").parquet(
+            os.path.join(root, "members")
+        )
+        band_keys.repartition(n_files, "band_hash").write.mode("overwrite").parquet(
+            os.path.join(root, "band_keys")
+        )
+        fp_shingles.repartition(n_files, "fp").write.mode("overwrite").parquet(
+            os.path.join(root, "fp_shingles")
+        )
+        pairs.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(root, "pairs")
+        )
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "n": n,
+                    "bands": bands,
+                    "threshold": threshold,
+                    "k": len(MINHASH_PARAMS),
+                },
+                fh,
+            )
+        return MinHashIndex(spark, root)
+
+    def _read(self, name: str) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.root, name))
+
+    # -- incremental dedup --------------------------------------------
+
+    def _delta_parts(
+        self, new_df: DataFrame, id_col: str, text_col: str
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        """(members_new, band_keys_new, fp_shingles_new, new_pairs)
+        where new_pairs = pairs involving at least one new-batch doc:
+        new-vs-new via the standard operator, new-vs-old via band-key
+        candidates against the STORED index, verified with exact
+        Jaccard on stored shingle sets, expanded through the
+        content-group maps on both sides. New-batch ids must be
+        disjoint from indexed ids (snowflake/monotonic ids — the
+        upsert discipline handles re-crawled ids upstream)."""
+        meta = self.meta
+        n, bands, threshold = meta["n"], meta["bands"], meta["threshold"]
+        sh_new = shingle_table(new_df, id_col, text_col, n).localCheckpoint(
+            eager=False
+        )
+        nn = minhash_lsh_pairs(
+            new_df, id_col, text_col, n=n, bands=bands, threshold=threshold,
+            shingles=sh_new,
+        )
+        per_new = _minhash_sig_fp(sh_new, id_col).localCheckpoint(eager=False)
+        members_new = per_new.select(
+            F.col(id_col).alias("member"), F.col("_fp").alias("fp")
+        )
+        reps_new = per_new.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
+        rep_sig_new = per_new.join(
+            reps_new.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        )
+        band_keys_new = _band_stack(
+            rep_sig_new.select(
+                "_fp", *[f"mh{i}" for i in range(len(MINHASH_PARAMS))]
+            ),
+            "_fp",
+            bands,
+        ).withColumnRenamed("_fp", "fp")
+        fp_sh_new = sh_new.join(
+            reps_new.select(F.col("_rep").alias(id_col), F.col("_fp").alias("fp")),
+            on=id_col,
+        ).select("fp", "sh")
+        # candidates: new band keys against the stored index ONLY —
+        # the frozen corpus contributes parquet scans, never a
+        # re-shingle. Same-content matches (equal fp) ride the same
+        # path: identical signatures share every band, and the verify
+        # division yields exactly 1.0.
+        cand = (
+            band_keys_new.withColumnRenamed("fp", "fp_n")
+            .join(
+                self._read("band_keys").withColumnRenamed("fp", "fp_o"),
+                on=["band_idx", "band_hash"],
+            )
+            .select("fp_n", "fp_o")
+            .distinct()
+        )
+        old_sh = self._read("fp_shingles").withColumnRenamed("fp", "fp_o")
+        sz_n = fp_sh_new.groupBy("fp").agg(F.count("*").alias("_sza"))
+        sz_o = old_sh.groupBy("fp_o").agg(F.count("*").alias("_szb"))
+        inter = (
+            cand.join(fp_sh_new.withColumnRenamed("fp", "fp_n"), on="fp_n")
+            .join(old_sh, on=["fp_o", "sh"])
+            .groupBy("fp_n", "fp_o")
+            .agg(F.count("*").alias("_inter"))
+        )
+        fpairs = (
+            inter.join(sz_n.withColumnRenamed("fp", "fp_n"), on="fp_n")
+            .join(sz_o, on="fp_o")
+            .withColumn(
+                "jaccard",
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        m_new = members_new.select(
+            F.col("member").alias("_mn"), F.col("fp").alias("fp_n")
+        )
+        m_old = self._read("members").select(
+            F.col("member").alias("_mo"), F.col("fp").alias("fp_o")
+        )
+        cross = (
+            fpairs.join(m_new, on="fp_n")
+            .join(m_old, on="fp_o")
+            .select(
+                F.least("_mn", "_mo").alias("id_a"),
+                F.greatest("_mn", "_mo").alias("id_b"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+        )
+        return members_new, band_keys_new, fp_sh_new, nn.unionByName(cross)
+
+    def delta_pairs(
+        self, new_df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Full UPDATED pairs table for the union corpus: stored
+        corpus pairs ∪ pairs involving the new batch. Equals the
+        from-scratch result over old ∪ new (pairwise determination,
+        see the class docstring) — the registry oracle replays exactly
+        that, so incremental == from-scratch is driver-checked."""
+        _, _, _, new_pairs = self._delta_parts(new_df, id_col, text_col)
+        return self._read("pairs").unionByName(new_pairs)
+
+    def merge(self, new_df: DataFrame, id_col: str, text_col: str) -> None:
+        """Fold the new batch into the index: members and delta pairs
+        always append; band_keys/fp_shingles append only fingerprints
+        NOT already indexed (content-keyed artifacts are naturally
+        idempotent under duplicates). All appends are materialized
+        BEFORE any write so no job reads a directory it is appending
+        to. After merge the batch is frozen corpus and subsequent
+        deltas compose exactly (three-batch == from-scratch is pinned
+        by tests/test_dedup.py)."""
+        import os
+
+        members_new, band_keys_new, fp_sh_new, new_pairs = self._delta_parts(
+            new_df, id_col, text_col
+        )
+        known_fps = self._read("band_keys").select("fp").distinct()
+        fresh_bands = band_keys_new.join(
+            known_fps, on="fp", how="left_anti"
+        ).localCheckpoint(eager=True)
+        fresh_sh = fp_sh_new.join(
+            known_fps, on="fp", how="left_anti"
+        ).localCheckpoint(eager=True)
+        members_new = members_new.localCheckpoint(eager=True)
+        new_pairs = new_pairs.localCheckpoint(eager=True)
+        members_new.write.mode("append").parquet(os.path.join(self.root, "members"))
+        fresh_bands.write.mode("append").parquet(
+            os.path.join(self.root, "band_keys")
+        )
+        fresh_sh.write.mode("append").parquet(
+            os.path.join(self.root, "fp_shingles")
+        )
+        new_pairs.write.mode("append").parquet(os.path.join(self.root, "pairs"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:

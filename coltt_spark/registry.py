@@ -2221,15 +2221,20 @@ _KEY_ORDER = [
     "rollup_revenue",                 # ledger: last driver signal r10
     "events_sessionize",                 # ledger: last driver signal r10
     "media_features",                 # ledger: last driver signal r10
-    "quality_classifier",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
+    "dedup_minhash_delta",  # new r13: incremental near-dup dedup
+    #    against a FROZEN MinHash/LSH signature index (VERDICT r12
+    #    #2) — the daily-crawl shape; oracle = the from-scratch
+    #    minhash oracle over the union corpus (incremental ==
+    #    from-scratch, the bm25_index_merged equivalence discipline)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "quality_classifier",                 # ledger: r10 overflow, round-14 priority
     "web_sitemap",                 # ledger: r10 overflow, round-14 priority
     "knn_euclidean",                 # ledger: r10 overflow, round-14 priority
     "knn_manhattan",                 # ledger: r10 overflow, round-14 priority
@@ -2449,3 +2454,9 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # video fingerprint table (three-codec fabricate+decode, shared
     # by the pairs and groups entries)
     _video_sig_fixture(spark, sf_dir)
+    from coltt_spark.registry_dedup import _MINHASH_INDEX_CACHE, q_dedup_minhash_delta
+
+    # frozen MinHash signature index (the incremental-dedup corpus
+    # side); the registry key then times the DELTA probe against it
+    if sf_dir not in _MINHASH_INDEX_CACHE:
+        q_dedup_minhash_delta(spark, sf_dir).take(1)

@@ -954,3 +954,86 @@ def test_jpeg_dc24_round_trip_matches_closed_form():
                     block[0, 0],
                     (r, g, b),
                 )
+
+
+# --- incremental dedup against a frozen MinHashIndex (r13) -------------------
+
+
+def test_minhash_index_delta_equals_from_scratch(spark, tmp_path):
+    """Pairwise determination makes incremental composition exact:
+    index 2/3 of the corpus, delta the held-out batch — the full
+    updated pairs table must equal the from-scratch operator on the
+    union, row for row."""
+    from coltt_spark.operators.dedup import MinHashIndex
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = MinHashIndex.build(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        "doc_id",
+        "text",
+        str(tmp_path / "idx"),
+    )
+    inc = sorted(
+        map(tuple, idx.delta_pairs(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text"
+        ).collect())
+    )
+    full = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert inc == full
+
+
+def test_minhash_index_merge_composes_across_batches(spark, tmp_path):
+    """The daily-crawl lifecycle: build on batch 0, merge batch 1,
+    delta batch 2 — still equal to from-scratch over all three. Also
+    pins merge idempotence on content: batch 1 re-plants batch-0
+    content (same fp), which must not duplicate band_keys or
+    fp_shingles rows."""
+    from coltt_spark.operators.dedup import MinHashIndex
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 1)
+    b1 = docs.filter(F.col("doc_id") % 3 == 2)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = MinHashIndex.build(b0, "doc_id", "text", str(tmp_path / "idx"))
+    idx.merge(b1, "doc_id", "text")
+    inc = sorted(
+        map(tuple, idx.delta_pairs(b2, "doc_id", "text").collect())
+    )
+    full = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert inc == full
+    # content-keyed artifacts stay unique per fingerprint after merge
+    bands = idx._read("band_keys")
+    assert (
+        bands.groupBy("fp", "band_idx").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_minhash_index_delta_exact_copy_of_old_doc(spark, tmp_path):
+    """A new-batch document whose content EXACTLY matches an indexed
+    document must pair with it at jaccard 1.0 through the stored
+    band keys (equal fingerprints share every band; the verify
+    division yields exactly 1.0)."""
+    from coltt_spark.operators.dedup import MinHashIndex
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = MinHashIndex.build(old, "doc_id", "text", str(tmp_path / "idx"))
+    # new batch: an exact copy of old doc 1 plus an unrelated doc
+    src = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(900001).alias("doc_id"), "text"
+    )
+    other = spark.createDataFrame(
+        [(900002, "completely unrelated text with no shingle overlap at all")],
+        ["doc_id", "text"],
+    )
+    out = idx.delta_pairs(src.unionByName(other), "doc_id", "text")
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got.get((1, 900001)) == 1.0
+    assert not any(900002 in p for p in got)

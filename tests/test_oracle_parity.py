@@ -99,7 +99,6 @@ ROTATION_LEDGER_R13 = [
     "rollup_revenue",
     "events_sessionize",
     "media_features",
-    "quality_classifier",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -107,6 +106,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "quality_classifier",
     "web_sitemap",
     "knn_euclidean",
     "knn_manhattan",
@@ -124,7 +124,11 @@ R14_PRIORITY = [
 
 #: new/touched this round — seats land at the window tail as they
 #: ship, each displacing the ledger's last r10 entry into R14_PRIORITY
-NEW_OR_TOUCHED_R13: list[str] = []
+NEW_OR_TOUCHED_R13: list[str] = [
+    # new r13: incremental dedup against a frozen MinHash/LSH
+    # signature index (VERDICT r12 #2)
+    "dedup_minhash_delta",
+]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():

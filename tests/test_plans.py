@@ -1143,3 +1143,30 @@ def test_video_dedup_plan_banded_no_allpairs(spark):
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert "band_idx" in plan and "band_val" in plan
+
+
+def test_minhash_delta_serves_old_side_from_index_only(spark, tmp_path):
+    """Incremental dedup must NOT recompute the frozen corpus: the
+    delta plan's only parquet sources are the four MinHashIndex
+    artifacts (band_keys / fp_shingles / members / pairs) — zero
+    scans of the corpus documents table. The new batch enters through
+    its one materialized shingle table; the old side is equi-joins
+    against the stored layout (band_hash, fp), which is what keeps a
+    daily delta proportional to the batch, not the corpus, at 100 TB."""
+    from coltt_spark.operators.dedup import MinHashIndex
+    from coltt_spark.plans.inspect import explain_formatted
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = MinHashIndex.build(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        "doc_id",
+        "text",
+        str(tmp_path / "idx"),
+    )
+    delta = idx.delta_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text"
+    )
+    plan = explain_formatted(delta)
+    assert "documents.parquet" not in plan
+    for artifact in ("band_keys", "fp_shingles", "members", "pairs"):
+        assert artifact in plan, f"missing index artifact scan: {artifact}"
