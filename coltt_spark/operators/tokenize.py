@@ -59,11 +59,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from coltt_spark.functions.text import (
+    hash60,
     pre_tokens_gpt2,
     tokens,
     tokens_ws,
     utf8_byte_symbols,
 )
+
+#: bucket count for the soft-EM M-step's two-level deterministic fold
+#: (VERDICT r12 #4): words hash into this many fixed buckets, each
+#: bucket folds its contributions in word order, and bucket partials
+#: fold in bucket order — both orders SQL-replayable, and the largest
+#: in-memory array per (piece, bucket) group shrinks from the whole
+#: distinct-word table to 1/256th of it. The registry oracle imports
+#: this constant so the two engines always bucket identically.
+SOFT_FOLD_BUCKETS = 256
 
 #: the paper's end-of-word marker — a symbol that can never collide
 #: with corpus symbols (the char path admits only [a-z0-9]; the byte
@@ -726,11 +736,17 @@ def unigram_train(
             # soft E-step: forward-backward EXPECTED counts over the
             # whole segmentation lattice (Kudo 2018's published
             # E-step), fractional contributions weighted by word
-            # count. The cross-word reduction is an ORDERED left fold
-            # (contributions sorted by word) — a distributed float
-            # F.sum would be partition-order-dependent, and the fixed
-            # order is what lets the SQL oracle replay the M-step
-            # bit-for-bit (list_sum(list(u ORDER BY word)))
+            # count. The cross-word reduction is a TWO-LEVEL ordered
+            # fold (VERDICT r12 #4): words hash into
+            # SOFT_FOLD_BUCKETS fixed buckets, contributions fold in
+            # word order within each bucket, bucket partials fold in
+            # bucket order — a distributed float F.sum would be
+            # partition-order-dependent, a single-level fold gathers
+            # the whole distinct-word table into one array per piece
+            # (executor-memory-bound at web-crawl vocabularies), and
+            # the fixed two-level order is what the SQL oracle
+            # replays bit-for-bit (list_sum(list(... ORDER BY word))
+            # within bucket, then ORDER BY bucket across partials)
             exp = words.select(
                 "word",
                 "cnt",
@@ -738,16 +754,29 @@ def unigram_train(
                     _unigram_soft_udf(probs, piece_max_len)(F.col("word"))
                 ).alias("pc"),
             )
-            used = (
+            lvl1 = (
                 exp.select(
                     "word",
                     F.col("pc.piece").alias("piece"),
                     (F.col("pc.c") * F.col("cnt")).alias("u"),
+                    F.pmod(
+                        hash60(F.col("word")), F.lit(SOFT_FOLD_BUCKETS)
+                    ).alias("bkt"),
                 )
-                .groupBy("piece")
+                .groupBy("piece", "bkt")
                 .agg(
                     F.aggregate(
                         F.array_sort(F.collect_list(F.struct("word", "u"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["u"],
+                    ).alias("u")
+                )
+            )
+            used = (
+                lvl1.groupBy("piece")
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("bkt", "u"))),
                         F.lit(0.0),
                         lambda acc, x: acc + x["u"],
                     ).alias("u")

@@ -2220,7 +2220,6 @@ _KEY_ORDER = [
     "dedup_containment",                 # ledger: last driver signal r10
     "rollup_revenue",                 # ledger: last driver signal r10
     "events_sessionize",                 # ledger: last driver signal r10
-    "media_features",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2229,11 +2228,18 @@ _KEY_ORDER = [
     #    #2) — the daily-crawl shape; oracle = the from-scratch
     #    minhash oracle over the union corpus (incremental ==
     #    from-scratch, the bm25_index_merged equivalence discipline)
+    "unigram_train_soft",  # touched r13: the soft-EM M-step fold is
+    #    now TWO-LEVEL (words hash into SOFT_FOLD_BUCKETS fixed
+    #    buckets; ordered fold within bucket, ordered fold of bucket
+    #    partials — VERDICT r12 #4) so no single array ever gathers
+    #    the whole distinct-word table; oracle replays the same
+    #    two-level order, parity still bit-exact doubles
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "media_features",                 # ledger: r10 overflow, round-14 priority
     "quality_classifier",                 # ledger: r10 overflow, round-14 priority
     "web_sitemap",                 # ledger: r10 overflow, round-14 priority
     "knn_euclidean",                 # ledger: r10 overflow, round-14 priority
@@ -2346,7 +2352,6 @@ _KEY_ORDER = [
     "wordpiece_encode",                 # ledger: last driver signal r12
     "collection_hybrid_ivfpq",                 # ledger: last driver signal r12
     "media_video_dedup_groups",                 # ledger: last driver signal r12
-    "unigram_train_soft",                 # ledger: last driver signal r12
     "web_url_psl",                 # ledger: last driver signal r12
     "text_lang_id_windows",                 # ledger: last driver signal r12
 ]

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from coltt_spark.functions.text import HASH_P
+from coltt_spark.operators.tokenize import SOFT_FOLD_BUCKETS
 from coltt_spark.operators.textstats import (
     _LANG_ORDER,
     BPE_PATTERN,
@@ -1650,9 +1651,18 @@ wc{tag} AS (
   SELECT word, cnt, piece, list_sum(list(term ORDER BY i, l)) AS c
   FROM tm{tag} GROUP BY word, cnt, piece
 ),
+bk{tag} AS (
+  SELECT word, piece, c * cnt AS u,
+         ('0x' || substr(md5(word), 1, 15))::BIGINT % {SOFT_FOLD_BUCKETS} AS bkt
+  FROM wc{tag}
+),
+l1{tag} AS (
+  SELECT piece, bkt, list_sum(list(u ORDER BY word)) AS u
+  FROM bk{tag} GROUP BY piece, bkt
+),
 use{tag} AS MATERIALIZED (
-  SELECT piece, list_sum(list(c * cnt ORDER BY word)) AS u
-  FROM wc{tag} GROUP BY piece
+  SELECT piece, list_sum(list(u ORDER BY bkt)) AS u
+  FROM l1{tag} GROUP BY piece
 )"""
     )
     return ",\n".join(parts)

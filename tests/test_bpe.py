@@ -1255,6 +1255,49 @@ def test_unigram_soft_em_agrees_with_hard_on_dominated_corpus(spark):
     assert soft == soft2
 
 
+def test_unigram_soft_fold_bucket_boundary_independence(spark, monkeypatch):
+    """VERDICT r12 #4: the two-level M-step fold must be a pure
+    reassociation — it may change float ASSOCIATION (last-ulp, which
+    the oracle replays exactly via the shared SOFT_FOLD_BUCKETS
+    constant) but never drop, duplicate, or reweight a contribution.
+    Two pins: (a) a disjoint-alphabet corpus where every piece
+    receives exactly ONE word's contribution — any bucket count,
+    including the degenerate single-bucket fold (≡ the old
+    single-level order), must produce the bit-identical model; (b)
+    the real smoke corpus at realistic fan-in — bucket counts 1 vs
+    256 agree to the oracle's 4-decimal precision on every piece."""
+    import coltt_spark.operators.tokenize as tok
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    text = " ".join(["xyz"] * 40 + ["qrs"] * 30 + ["tuv"] * 30)
+    docs = spark.createDataFrame([(0, text), (1, text)], ["doc_id", "text"])
+    models = []
+    for nb in (1, 7, 256):
+        monkeypatch.setattr(tok, "SOFT_FOLD_BUCKETS", nb)
+        models.append(
+            tok.unigram_train(
+                docs, "text", vocab_size=24, piece_max_len=3, soft=True
+            )
+        )
+    assert models[0] == models[1] == models[2]
+
+    real = load_table(spark, SF_SMOKE, "documents")
+    by_bkt = []
+    for nb in (1, 256):
+        monkeypatch.setattr(tok, "SOFT_FOLD_BUCKETS", nb)
+        by_bkt.append(
+            {
+                p: (round(u, 4), round(pr, 4))
+                for p, _i, u, pr in tok.unigram_train(
+                    real, "text", vocab_size=48, piece_max_len=4, soft=True
+                )
+            }
+        )
+    assert by_bkt[0] == by_bkt[1]
+
+
 def test_unigram_soft_em_exact_coverage_on_corpus(spark):
     """EXACT conservation on the real gate corpus, both modes: every
     word's segmentation mass covers its characters exactly once, so

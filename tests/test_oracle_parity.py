@@ -98,7 +98,6 @@ ROTATION_LEDGER_R13 = [
     "dedup_containment",
     "rollup_revenue",
     "events_sessionize",
-    "media_features",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -106,6 +105,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "media_features",
     "quality_classifier",
     "web_sitemap",
     "knn_euclidean",
@@ -128,6 +128,9 @@ NEW_OR_TOUCHED_R13: list[str] = [
     # new r13: incremental dedup against a frozen MinHash/LSH
     # signature index (VERDICT r12 #2)
     "dedup_minhash_delta",
+    # touched r13: two-level (bucketed) ordered fold in the soft-EM
+    # M-step (VERDICT r12 #4)
+    "unigram_train_soft",
 ]
 
 
