@@ -942,6 +942,60 @@ class Collection:
             F.round("rrf_score", 4).alias("rrf_score"),
         )
 
+    def search_hybrid_text_batch(
+        self,
+        text_index,
+        queries: dict[int, tuple[str, list[float]]],
+        *,
+        vector_field: str | None = None,
+        filter_ast: dict[str, Any] | None = None,
+        candidates: int = 50,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """Batched hybrid serving: B (query_text, query_vector) pairs
+        answered together — the vector legs ride ONE
+        :meth:`search_batch` job over the union of probed lists, the
+        lexical legs ONE pruned postings read
+        (``TextIndex.search_batch``), and fusion is the per-query RRF
+        fold (:func:`~coltt_spark.operators.fulltext.rrf_fuse_batch`).
+        Returns (query_id, pk, bm25_rank, vec_rank, rrf_score);
+        batch ≡ sequential :meth:`search_hybrid_text` is pinned by
+        tests/test_fulltext.py."""
+        from coltt_spark.operators.fulltext import _ranked_batch, rrf_fuse_batch
+
+        pk = self.manifest.index_design.primary_key
+        vec = self.search_batch(
+            {int(i): v for i, (_t, v) in queries.items()},
+            vector_field=vector_field,
+            filter_ast=filter_ast,
+            limit=candidates,
+        )
+        vec_ranked = _ranked_batch(vec, pk, F.col("dist").asc(), candidates)
+        lex = text_index.search_batch(
+            {int(i): t for i, (t, _v) in queries.items()},
+            k=candidates,
+            raw_scores=True,
+        )
+        if text_index.id_col != pk:
+            lex = lex.withColumnRenamed(text_index.id_col, pk)
+        lex_type = dict(lex.dtypes)[pk]
+        vec_type = dict(vec.dtypes)[pk]
+        if lex_type != vec_type:
+            raise ValueError(
+                f"search_hybrid_text_batch: text index id type {lex_type!r} "
+                f"!= collection pk type {vec_type!r} — build the index with "
+                f"ids cast to the collection's primary-key type"
+            )
+        lex_ranked = _ranked_batch(lex, pk, F.col("score").desc(), candidates)
+        fused = rrf_fuse_batch([lex_ranked, vec_ranked], pk, top_k=top_k)
+        return fused.select(
+            "query_id",
+            F.col(pk),
+            F.coalesce(F.col("rank_0"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("rank_1"), F.lit(0)).alias("vec_rank"),
+            F.round("rrf_score", 4).alias("rrf_score"),
+        )
+
     def _search_grouped_blocks(
         self,
         qv: list[float],

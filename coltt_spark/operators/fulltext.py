@@ -274,6 +274,62 @@ def _ranked(df: DataFrame, id_col: str, order: Column, k: int) -> DataFrame:
     )
 
 
+def _ranked_batch(df: DataFrame, id_col: str, order, k: int) -> DataFrame:
+    """Per-query top-k cut + rank assignment for a batch candidate
+    table carrying ``query_id``: one window partitioned by query (K
+    rows per partition — a query-time constant, not a data-sized
+    global window). The batch twin of :func:`_ranked`."""
+    w = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "rank")
+    )
+
+
+def rrf_fuse_batch(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    top_k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of pre-ranked batch candidate
+    lists (each with columns (query_id, id, rank)): the
+    :func:`rrf_fuse` fold keyed by (query_id, id), then a per-query
+    top-k cut. Output ``(query_id, id_col, rank_0 .., rrf_score)`` —
+    batch ≡ sequential is pinned by tests."""
+    if not rankings:
+        raise ValueError("rrf_fuse_batch: no rankings to fuse")
+    keys = ["query_id", id_col]
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(*keys, F.col("rank").alias(f"rank_{i}"))
+        fused = part if fused is None else fused.join(part, on=keys, how="full")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.select(
+            *keys,
+            *[F.col(f"rank_{i}") for i in range(len(rankings))],
+            score.alias("rrf_score"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

@@ -1479,7 +1479,7 @@ def _opq_collection_constants(sf_dir: str = _SF_GATE) -> tuple[str, str]:
     return _OPQ_CONSTS_CACHE[sf_dir]
 
 
-def _opq_funnel_sql(sf_dir: str = _SF_GATE) -> str:
+def _opq_funnel_sql(sf_dir: str = _SF_GATE, *, qv_sql: str = _QV_SQL) -> str:
     """The OPQ ivfpq-collection serving replay as a CTE chain ending
     in ``refined``(id, label, dist) — the exact-reranked candidate
     pool. Shared by :func:`_collection_ivfpq_opq_oracle` (top-k cut)
@@ -1527,7 +1527,7 @@ pa1 AS (
              ORDER BY {sq.format(a="rs.sv", b="b.cv")} ASC, b.cid ASC) AS rn
   FROM rs JOIN pb1 b ON b.m = rs.m
 ),
-q0 AS ({_QV_SQL}),
+q0 AS ({qv_sql}),
 qn AS (SELECT {u.format(v="qv")} AS q1 FROM q0),
 prb AS (
   SELECT cid AS ccid FROM (
@@ -2219,7 +2219,6 @@ _KEY_ORDER = [
     "knn_block",                 # ledger: last driver signal r10
     "dedup_containment",                 # ledger: last driver signal r10
     "rollup_revenue",                 # ledger: last driver signal r10
-    "events_sessionize",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2234,11 +2233,16 @@ _KEY_ORDER = [
     #    partials — VERDICT r12 #4) so no single array ever gathers
     #    the whole distinct-word table; oracle replays the same
     #    two-level order, parity still bit-exact doubles
+    "collection_hybrid_ivfpq_batch",  # new r13: batched hybrid
+    #    serving (VERDICT r12 #7) — B text+vector pairs through ONE
+    #    batched-ADC job + ONE pruned postings read + per-query RRF
+    #    folds; oracle = the single-query replay per query_id
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "events_sessionize",                 # ledger: r10 overflow, round-14 priority
     "media_features",                 # ledger: r10 overflow, round-14 priority
     "quality_classifier",                 # ledger: r10 overflow, round-14 priority
     "web_sitemap",                 # ledger: r10 overflow, round-14 priority

@@ -390,12 +390,31 @@ def _collection_hybrid_ivfpq_oracle(sf_dir: str | None = None) -> str:
     pool ranked (dist ASC, id ASC); lexical leg: the BM25 core ranked
     (score DESC, id ASC) over VARCHAR ids; RRF fold identical to
     _ORACLE_COLLECTION_HYBRID_TEXT."""
+    return _hybrid_ivfpq_single_sql(sf_dir, 0, _BM25_QUERY)
+
+
+def _hybrid_ivfpq_single_sql(
+    sf_dir: str | None, vec_id: int, query_text: str
+) -> str:
+    """One (query_text, query_vector) hybrid replay — the funnel with
+    the query vector swapped in (``qv_sql``), the BM25 core over the
+    text's terms, the RRF fold. The single-query oracle IS the
+    ``vec_id=0, _BM25_QUERY`` instance; the batch oracle UNION ALLs
+    one instance per query_id (each branch a self-contained
+    WITH-subquery, so the replay per query is literally the verified
+    single-query replay)."""
     from coltt_spark.registry import _SF_GATE, _opq_funnel_sql
 
+    qv_sql = (
+        "SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        f"WHERE vec_id = {int(vec_id)}"
+    )
     return (
-        _opq_funnel_sql(sf_dir if sf_dir is not None else _SF_GATE)
+        _opq_funnel_sql(
+            sf_dir if sf_dir is not None else _SF_GATE, qv_sql=qv_sql
+        )
         + f""",
-{_bm25_sql_core(query_terms(_BM25_QUERY), k1=BM25_K1, b=BM25_B)},
+{_bm25_sql_core(query_terms(query_text), k1=BM25_K1, b=BM25_B)},
 lex_top AS (
   SELECT CAST(doc_id AS VARCHAR) AS lid, score
   FROM agg ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 50
@@ -421,6 +440,62 @@ fused AS (
 SELECT id, bm25_rank, vec_rank, round(rrf, 4) AS rrf_score
 FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
+    )
+
+
+#: the batch-hybrid query set: (query_text, embeddings vec_id) per
+#: query_id — three distinct texts over the corpus vocabulary, three
+#: distinct query vectors
+_HYBRID_BATCH_QUERIES: list[tuple[str, int]] = [
+    (_BM25_QUERY, 0),
+    ("scan filter merge sort", 1),
+    ("stream window group batch", 2),
+]
+
+
+def q_collection_hybrid_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid serving through the quantized layout (VERDICT
+    r12 #7): three (query_text, query_vector) pairs answered together
+    — the vector legs ride ONE batched-ADC job over the union of
+    probed lists (`Collection.search_batch`'s ivfpq path), the
+    lexical legs ONE pruned postings read
+    (`TextIndex.search_batch`), and fusion is the per-query RRF fold.
+    Batch ≡ sequential `search_hybrid_text` is pinned by
+    tests/test_fulltext.py; the oracle replays each query_id's ENTIRE
+    funnel + BM25 + fusion as its own WITH-branch — literally the
+    verified single-query replay, three times."""
+    from coltt_spark.registry import _ivfpq_opq_collection, _query_vec
+
+    coll = _ivfpq_opq_collection(spark, sf_dir)
+    idx = _text_index(spark, sf_dir, str_ids=True)
+    queries = {
+        qid: (text, _query_vec(spark, sf_dir, vid))
+        for qid, (text, vid) in enumerate(_HYBRID_BATCH_QUERIES)
+    }
+    res = coll.search_hybrid_text_batch(idx, queries)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "id",
+        "bm25_rank",
+        "vec_rank",
+        "rrf_score",
+    )
+
+
+def _collection_hybrid_ivfpq_batch_oracle(sf_dir: str | None = None) -> str:
+    """Lazy batch oracle: UNION ALL of the single-query hybrid replay
+    per query_id (DuckDB WITH-subquery branches — each branch is the
+    self-contained verified single replay with its own funnel over
+    that query's vector and its own BM25 terms)."""
+    branches = [
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, * FROM "
+        f"({_hybrid_ivfpq_single_sql(sf_dir, vid, text)})"
+        for qid, (text, vid) in enumerate(_HYBRID_BATCH_QUERIES)
+    ]
+    return (
+        "SELECT query_id, id, bm25_rank, vec_rank, rrf_score FROM ("
+        + "\nUNION ALL\n".join(branches)
+        + ")"
     )
 
 
@@ -584,6 +659,7 @@ FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "collection_hybrid_text": q_collection_hybrid_text,
     "collection_hybrid_ivfpq": q_collection_hybrid_ivfpq,
+    "collection_hybrid_ivfpq_batch": q_collection_hybrid_ivfpq_batch,
     "bm25_index_merged": q_bm25_index_merged,
     "bm25_index_deleted": q_bm25_index_deleted,
     "distinct_sketch": q_distinct_sketch,
@@ -599,6 +675,8 @@ FULLTEXT_ORACLES: dict[str, str | Callable[..., str]] = {
     "collection_hybrid_text": _ORACLE_COLLECTION_HYBRID_TEXT,
     # lazy: the OPQ funnel constants derive from the gate data
     "collection_hybrid_ivfpq": _collection_hybrid_ivfpq_oracle,
+    # lazy callable — three WITH-branches of the single-query replay
+    "collection_hybrid_ivfpq_batch": _collection_hybrid_ivfpq_batch_oracle,
     "bm25_index_merged": _ORACLE_BM25,
     "bm25_index_deleted": _ORACLE_BM25_DELETED,
     "distinct_sketch": _ORACLE_DISTINCT_SKETCH,

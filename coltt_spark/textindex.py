@@ -312,18 +312,24 @@ class TextIndex:
         k: int = 10,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        raw_scores: bool = False,
     ) -> DataFrame:
         """Batch serving from the index: top-k per query for B
         queries in ONE pruned postings read. Returns (query_id, id,
         n_terms_hit, score) — same scoring as the ad-hoc
         ``bm25_topk_batch`` (pinned by test), per-query
-        partitioned-window cut."""
+        partitioned-window cut. ``raw_scores=True`` skips the
+        4-decimal display rounding (rank consumers — batched RRF
+        fusion — order by the raw double, mirroring ``search``)."""
         from pyspark.sql import Window
 
         terms_by_q = {int(q): query_terms(t) for q, t in queries.items()}
         scored = self._scored(terms_by_q, k1=k1, b=b)
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        out_score = (
+            F.col("score") if raw_scores else F.round("score", 4).alias("score")
         )
         return (
             scored.withColumn("_rn", F.row_number().over(w))
@@ -332,7 +338,7 @@ class TextIndex:
                 "query_id",
                 F.col(self.id_col),
                 "n_terms_hit",
-                F.round("score", 4).alias("score"),
+                out_score,
             )
         )
 

@@ -451,3 +451,37 @@ def test_textindex_delete_rejects_mismatched_id_type(spark, tmp_path):
     ok = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
     idx.delete(ok)
     assert idx.search("the", top_k=5).count() >= 0
+
+
+def test_hybrid_batch_equals_sequential(spark):
+    """Batched hybrid serving ≡ per-query sequential hybrid through
+    the SAME quantized collection + text index fixtures the registry
+    serves (gate scale) — per query_id, row for row."""
+    from coltt_spark.registry import _ivfpq_opq_collection, _query_vec
+    from coltt_spark.registry_fulltext import (
+        _HYBRID_BATCH_QUERIES,
+        _text_index,
+    )
+
+    from .conftest import SF_CORRECT
+
+    coll = _ivfpq_opq_collection(spark, SF_CORRECT)
+    idx = _text_index(spark, SF_CORRECT, str_ids=True)
+    queries = {
+        qid: (text, _query_vec(spark, SF_CORRECT, vid))
+        for qid, (text, vid) in enumerate(_HYBRID_BATCH_QUERIES)
+    }
+    batch = coll.search_hybrid_text_batch(idx, queries)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["id"], r["bm25_rank"], r["vec_rank"], r["rrf_score"])
+        )
+    for qid, (text, _vid) in enumerate(_HYBRID_BATCH_QUERIES):
+        single = [
+            (r["id"], r["bm25_rank"], r["vec_rank"], r["rrf_score"])
+            for r in coll.search_hybrid_text(
+                idx, text, queries[qid][1]
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid

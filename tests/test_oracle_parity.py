@@ -97,7 +97,6 @@ ROTATION_LEDGER_R13 = [
     "knn_block",
     "dedup_containment",
     "rollup_revenue",
-    "events_sessionize",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -105,6 +104,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "events_sessionize",
     "media_features",
     "quality_classifier",
     "web_sitemap",
@@ -131,6 +131,9 @@ NEW_OR_TOUCHED_R13: list[str] = [
     # touched r13: two-level (bucketed) ordered fold in the soft-EM
     # M-step (VERDICT r12 #4)
     "unigram_train_soft",
+    # new r13: batched hybrid serving through the quantized layout
+    # (VERDICT r12 #7)
+    "collection_hybrid_ivfpq_batch",
 ]
 
 
