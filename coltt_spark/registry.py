@@ -2218,7 +2218,6 @@ _KEY_ORDER = [
     "knn_pagination",                 # ledger: last driver signal r10
     "knn_block",                 # ledger: last driver signal r10
     "dedup_containment",                 # ledger: last driver signal r10
-    "rollup_revenue",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2237,11 +2236,15 @@ _KEY_ORDER = [
     #    serving (VERDICT r12 #7) — B text+vector pairs through ONE
     #    batched-ADC job + ONE pruned postings read + per-query RRF
     #    folds; oracle = the single-query replay per query_id
+    "web_url_psl",  # touched r13: PSL tranche 7 (3199 -> 3262 rules —
+    #    the .ua modern-transliteration registry + the punycoded IDN
+    #    second-level registries of .ไทย/.ישראל/.срб/.香港/.中国/.tw)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "rollup_revenue",                 # ledger: r10 overflow, round-14 priority
     "events_sessionize",                 # ledger: r10 overflow, round-14 priority
     "media_features",                 # ledger: r10 overflow, round-14 priority
     "quality_classifier",                 # ledger: r10 overflow, round-14 priority
@@ -2356,7 +2359,6 @@ _KEY_ORDER = [
     "wordpiece_encode",                 # ledger: last driver signal r12
     "collection_hybrid_ivfpq",                 # ledger: last driver signal r12
     "media_video_dedup_groups",                 # ledger: last driver signal r12
-    "web_url_psl",                 # ledger: last driver signal r12
     "text_lang_id_windows",                 # ledger: last driver signal r12
 ]
 

@@ -96,7 +96,6 @@ ROTATION_LEDGER_R13 = [
     "knn_pagination",
     "knn_block",
     "dedup_containment",
-    "rollup_revenue",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -104,6 +103,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "rollup_revenue",
     "events_sessionize",
     "media_features",
     "quality_classifier",
@@ -134,6 +134,8 @@ NEW_OR_TOUCHED_R13: list[str] = [
     # new r13: batched hybrid serving through the quantized layout
     # (VERDICT r12 #7)
     "collection_hybrid_ivfpq_batch",
+    # touched r13: PSL tranche 7 (3199 -> 3262 rules)
+    "web_url_psl",
 ]
 
 

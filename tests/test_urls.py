@@ -159,6 +159,36 @@ def test_registrable_domain_pinned_cases():
     assert dom("www.ck") == "www.ck"
     assert dom("sub.www.ck") == "www.ck"
     assert dom("b.a.np") == "b.a.np"
+    # tranche 7 (r13): .ua modern transliterations — both romanizations
+    # now resolve at registry granularity
+    assert dom("www.site.kyiv.ua") == "site.kyiv.ua"
+    assert dom("site.kharkiv.ua") == "site.kharkiv.ua"
+    assert dom("a.b.odesa.ua") == "b.odesa.ua"
+    assert dom("shop.kiev.ua") == "shop.kiev.ua"  # the old form still
+    # tranche 7: punycoded IDN second-level registries — the implicit
+    # '*' default used to stop one label short on these
+    assert (  # มหาวิทยาลัย.ศึกษา.ไทย (a university under ศึกษา.ไทย)
+        dom("xn--12c1fe0br.xn--o3cw4h") == "xn--12c1fe0br.xn--o3cw4h"
+    )  # bare suffix stays whole
+    assert (
+        dom("uni.xn--12c1fe0br.xn--o3cw4h")
+        == "uni.xn--12c1fe0br.xn--o3cw4h"
+    )
+    assert (  # צהל.ישראל military branch host
+        dom("unit.xn--8dbq2a.xn--4dbrk0ce") == "unit.xn--8dbq2a.xn--4dbrk0ce"
+    )
+    assert (  # орг.срб organization
+        dom("a.b.xn--c1avg.xn--90a3ac") == "b.xn--c1avg.xn--90a3ac"
+    )
+    assert (  # 公司.香港 company host
+        dom("firm.xn--55qx5d.xn--j6w193g") == "firm.xn--55qx5d.xn--j6w193g"
+    )
+    assert (  # 网络.cn
+        dom("x.y.xn--io0a7i.cn") == "y.xn--io0a7i.cn"
+    )
+    assert (  # 網路.tw
+        dom("srv.xn--zf0ao64a.tw") == "srv.xn--zf0ao64a.tw"
+    )
 
 
 def _ref_psl_registrable(host: str, rules: list[str]) -> str:
