@@ -634,6 +634,8 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     the stdlib-shipped pluck corpus)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_audio(payload)
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(payload)
     if payload[:4] == b".snd":
@@ -755,8 +757,14 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 if sub == b"avih":
                     (usec_per_frame,) = struct.unpack_from("<I", sbody, 0)
                 elif sub == b"LIST" and sbody[:4] == b"strl":
+                    # stream-aware: strh's fccType gates the strf
+                    # parse — an interleaved auds stream carries a
+                    # WAVEFORMATEX strf, not a BITMAPINFOHEADER
+                    fcc_type = None
                     for s2, s2body in _riff_subchunks(sbody[4:]):
-                        if s2 == b"strf":
+                        if s2 == b"strh":
+                            fcc_type = s2body[:4]
+                        elif s2 == b"strf" and fcc_type == b"vids":
                             _, width, height, _, bpp, compression = struct.unpack_from(
                                 "<IiiHHI", s2body, 0
                             )
@@ -830,6 +838,115 @@ def encode_avi(frames: list[np.ndarray], fps: float = 5.0) -> bytes:
         + chunk(b"idx1", b"".join(idx))
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_av(
+    frames: list[np.ndarray],
+    samples: np.ndarray,
+    rate: int,
+    fps: float = 5.0,
+) -> bytes:
+    """AVI with TWO interleaved streams — stream 0 ``vids``/DIB
+    (uncompressed 24-bit frames, '00db' chunks) and stream 1
+    ``auds``/PCM16 mono (WAVEFORMATEX strf, one '01wb' chunk) — the
+    audio-visual container real re-upload dedup must read BOTH tracks
+    of. Standards-shaped hdrl (dwStreams=2) + idx1 (fixture
+    helper)."""
+    if not frames:
+        raise ValueError("no frames")
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim != 1:
+        raise ValueError("expected (n,) mono int16 samples")
+    audio_data = arr.astype("<i2").tobytes()
+    h, w, _ = frames[0].shape
+    frame_size = ((w * 3 + 3) & ~3) * h
+    usec = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, int(round(frame_size * fps)) + 2 * rate, 0, 0x10,
+        len(frames), 0, 2,
+        frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1000, int(round(fps * 1000)), 0,
+        len(frames), frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, int(rate), 0,
+        len(arr), len(audio_data), 0xFFFFFFFF, 2, 0, 0, 0, 0,
+    )
+    # WAVEFORMATEX: PCM (tag 1), mono, 16-bit
+    strf_a = struct.pack("<HHIIHHH", 1, 1, int(rate), int(rate) * 2, 2, 16, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    strl_v = b"strl" + chunk(b"strh", strh_v) + chunk(b"strf", strf_v)
+    strl_a = b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", strf_a)
+    hdrl = (
+        b"hdrl"
+        + chunk(b"avih", avih)
+        + chunk(b"LIST", strl_v)
+        + chunk(b"LIST", strl_a)
+    )
+    movi_items = [chunk(b"01wb", audio_data)] + [
+        chunk(b"00db", _encode_dib_rows(f)) for f in frames
+    ]
+    movi = b"movi" + b"".join(movi_items)
+    idx, offset = [], 4
+    for item in movi_items:
+        idx.append(struct.pack("<4sIII", item[:4], 0x10, offset, len(item) - 8))
+        offset += len(item)
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi)
+        + chunk(b"idx1", b"".join(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Extract the audio track of an AVI → ``(samples, rate)``: walk
+    hdrl for the ``auds`` stream's WAVEFORMATEX (PCM16 mono only —
+    loud on anything else) and concatenate its ``##wb`` movi chunks.
+    The audio-seam twin of :func:`decode_avi` on the same
+    container."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fmt = None
+    audio_bodies: list[bytes] = []
+    for cid, body in _riff_subchunks(payload[12:]):
+        if cid != b"LIST":
+            continue
+        list_type = body[:4]
+        if list_type == b"hdrl":
+            for sub, sbody in _riff_subchunks(body[4:]):
+                if sub == b"LIST" and sbody[:4] == b"strl":
+                    fcc_type = None
+                    for s2, s2body in _riff_subchunks(sbody[4:]):
+                        if s2 == b"strh":
+                            fcc_type = s2body[:4]
+                        elif s2 == b"strf" and fcc_type == b"auds":
+                            fmt = struct.unpack_from("<HHIIHH", s2body, 0)
+        elif list_type == b"movi":
+            for sub, sbody in _riff_subchunks(body[4:]):
+                if sub[2:4] == b"wb":
+                    audio_bodies.append(sbody)
+    if fmt is None:
+        raise ValueError("AVI has no auds stream")
+    tag, channels, rate, _avg, _align, bits = fmt
+    if tag != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported AVI audio (tag={tag}, channels={channels}, "
+            f"bits={bits}) — PCM16 mono only"
+        )
+    data = b"".join(audio_bodies)
+    return np.frombuffer(data, dtype="<i2").astype(np.int16), int(rate)
 
 
 def encode_avi_mjpeg(

@@ -1178,6 +1178,58 @@ def audio_dedup_table(documents: DataFrame) -> DataFrame:
     return audio.mapInPandas(kernel, out_schema)
 
 
+def _haar_sig_words(en: np.ndarray) -> list[int]:
+    """Pack the sign-of-rise bits of a (T, 4) band-energy matrix
+    (bit ``t·4 + b`` set when band ``b`` rises from row ``t`` to
+    ``t+1``) into four 16-bit words — the shared tail of the audio,
+    video, and AV fingerprints."""
+    bits = (en[1:] > en[:-1]).ravel().astype(np.int64)
+    return [
+        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+        for k in range(4)
+    ]
+
+
+def _audio_band_energies(s: np.ndarray, n_windows: int) -> np.ndarray:
+    """(n_windows, 4) integer Haar band energies of a
+    ``8·n_windows``-sample int64 stream (DC², top-split², Σ
+    mid-detail², Σ fine-detail²)."""
+    x = s.reshape(n_windows, 8)
+    d1 = x[:, 0::2] - x[:, 1::2]
+    a1 = x[:, 0::2] + x[:, 1::2]
+    d2 = a1[:, 0::2] - a1[:, 1::2]
+    a2 = a1[:, 0::2] + a1[:, 1::2]
+    d3 = a2[:, 0] - a2[:, 1]
+    a3 = a2[:, 0] + a2[:, 1]
+    return np.stack(
+        [a3 * a3, d3 * d3, (d2 * d2).sum(axis=1), (d1 * d1).sum(axis=1)],
+        axis=1,
+    )
+
+
+def _video_band_energies(frames: list, n_frames: int) -> np.ndarray:
+    """(n_frames, 4) integer spatial Haar band energies over the
+    BT.601 per-mille luma quadrant sums of the first ``n_frames``
+    frames (total, (left−right)², (top−bottom)², (diag−antidiag)²)."""
+    en = np.empty((n_frames, 4), dtype=np.int64)
+    for t in range(n_frames):
+        img = frames[t][:, :, :3].astype(np.int64)
+        h, w, _ = img.shape
+        luma = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+        hh, hw = h // 2, w // 2
+        tl = int(luma[:hh, :hw].sum())
+        tr = int(luma[:hh, hw:].sum())
+        bl = int(luma[hh:, :hw].sum())
+        br = int(luma[hh:, hw:].sum())
+        en[t] = [
+            tl + tr + bl + br,
+            ((tl + bl) - (tr + br)) ** 2,
+            ((tl + tr) - (bl + br)) ** 2,
+            ((tl + br) - (tr + bl)) ** 2,
+        ]
+    return en
+
+
 def audio_fingerprint(audio: DataFrame, *, decoder=None) -> DataFrame:
     """64-bit chromaprint-style acoustic fingerprint per clip — ONE
     narrow Arrow-batched decode stage, no shuffle: decode the real
@@ -1217,28 +1269,10 @@ def audio_fingerprint(audio: DataFrame, *, decoder=None) -> DataFrame:
                         f"doc {doc_id}: {len(s)} samples — the fingerprint "
                         f"frames exactly {8 * n_windows}"
                     )
-                x = s.reshape(n_windows, 8)
-                d1 = x[:, 0::2] - x[:, 1::2]
-                a1 = x[:, 0::2] + x[:, 1::2]
-                d2 = a1[:, 0::2] - a1[:, 1::2]
-                a2 = a1[:, 0::2] + a1[:, 1::2]
-                d3 = a2[:, 0] - a2[:, 1]
-                a3 = a2[:, 0] + a2[:, 1]
-                en = np.stack(
-                    [
-                        a3 * a3,
-                        d3 * d3,
-                        (d2 * d2).sum(axis=1),
-                        (d1 * d1).sum(axis=1),
-                    ],
-                    axis=1,
-                )  # (n_windows, 4)
-                bits = (en[1:] > en[:-1]).ravel().astype(np.int64)  # bit w*4+b
+                words = _haar_sig_words(_audio_band_energies(s, n_windows))
                 rows["doc_id"].append(doc_id)
                 for k in range(4):
-                    rows[f"w{k}"].append(
-                        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
-                    )
+                    rows[f"w{k}"].append(words[k])
             yield pd.DataFrame(rows)
 
     return audio.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
@@ -1423,32 +1457,220 @@ def video_fingerprint(videos: DataFrame, *, decoder=None) -> DataFrame:
                         f"doc {doc_id}: {len(frames)} frames — the "
                         f"fingerprint reads the first {n_frames}"
                     )
-                en = np.empty((n_frames, 4), dtype=np.int64)
-                for t in range(n_frames):
-                    img = frames[t][:, :, :3].astype(np.int64)
-                    h, w, _ = img.shape
-                    luma = (
-                        299 * img[:, :, 0]
-                        + 587 * img[:, :, 1]
-                        + 114 * img[:, :, 2]
-                    )
-                    hh, hw = h // 2, w // 2
-                    tl = int(luma[:hh, :hw].sum())
-                    tr = int(luma[:hh, hw:].sum())
-                    bl = int(luma[hh:, :hw].sum())
-                    br = int(luma[hh:, hw:].sum())
-                    en[t] = [
-                        tl + tr + bl + br,
-                        ((tl + bl) - (tr + br)) ** 2,
-                        ((tl + tr) - (bl + br)) ** 2,
-                        ((tl + br) - (tr + bl)) ** 2,
-                    ]
-                bits = (en[1:] > en[:-1]).ravel().astype(np.int64)  # bit t*4+b
+                words = _haar_sig_words(_video_band_energies(frames, n_frames))
                 rows["doc_id"].append(doc_id)
                 for k in range(4):
-                    rows[f"w{k}"].append(
-                        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
-                    )
+                    rows[f"w{k}"].append(words[k])
             yield pd.DataFrame(rows)
 
     return videos.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+#: AV fingerprint schema: four video words + four audio words per clip
+AV_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("v0", T.IntegerType(), False),
+        T.StructField("v1", T.IntegerType(), False),
+        T.StructField("v2", T.IntegerType(), False),
+        T.StructField("v3", T.IntegerType(), False),
+        T.StructField("a0", T.IntegerType(), False),
+        T.StructField("a1", T.IntegerType(), False),
+        T.StructField("a2", T.IntegerType(), False),
+        T.StructField("a3", T.IntegerType(), False),
+    ]
+)
+
+
+def av_dedup_table(documents: DataFrame) -> DataFrame:
+    """Fabricate REAL audio-visual containers (two-stream AVI:
+    vids/DIB + auds/PCM16, :func:`~coltt_spark.operators.media_codecs.
+    encode_avi_av`) with PLANTED joint near-dups for the AV rows
+    (``doc_id % 3 == 0``, even clusters only — the
+    :func:`video_dedup_table` cost dial): consecutive rows form
+    3-clip CLUSTERS (``cluster = doc_id // 9``) sharing 17 base
+    video frames (16×16-px 2×2 grids of constant 8×8 blocks, YCbCr
+    from ``md5('avv:' || cluster || ':' || frame)``, the pinned
+    BT.601 rounding) and 136 base int16 samples (17 windows × 8,
+    from ``md5('ava:' || cluster || ':' || window)`` big-endian
+    pairs). Per-row role (``(doc_id / 3) % 3``):
+
+    - 0 — the base clip: base frames + base soundtrack;
+    - 1 — the TRUE RE-UPLOAD: video re-graded ``⌊3v/4⌋`` per channel
+      AND audio gain-shifted ``⌊3s/4⌋`` — both tracks near-dup, the
+      pair the operator must emit;
+    - 2 — the SOUNDTRACK SWAP: the base frames EXACTLY but audio from
+      a DIFFERENT hash stream (``'ava2:'``) — a video-band candidate
+      the audio verify must KILL (same footage, new narration: a
+      derived work, not a re-upload).
+
+    Real containers, deterministic content: the SQL oracle
+    regenerates both tracks from the md5 streams and never sees the
+    container bytes (the :func:`audio_dedup_table` /
+    :func:`video_dedup_table` discipline, composed)."""
+    n_frames, n_windows = 17, 17
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import encode_avi_av
+
+        def ycc_frame(cluster: int, f: int) -> np.ndarray:
+            raw = hashlib.md5(f"avv:{cluster}:{f}".encode()).digest()[:12]
+            return np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3)
+
+        def to_rgb(ycc: np.ndarray) -> np.ndarray:
+            out = np.empty_like(ycc)
+            for i in range(2):
+                for j in range(2):
+                    y, cb, cr = (int(v) for v in ycc[i, j])
+                    r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+                    g = math.floor(
+                        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                    )
+                    b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+                    out[i, j] = [min(max(c, 0), 255) for c in (r, g, b)]
+            return out
+
+        def samples(prefix: str, cluster: int) -> np.ndarray:
+            raw = b"".join(
+                hashlib.md5(f"{prefix}:{cluster}:{w}".encode()).digest()
+                for w in range(n_windows)
+            )
+            return np.frombuffer(raw, dtype=">i2").astype(np.int64)
+
+        def expand(block_grid: np.ndarray) -> np.ndarray:
+            return np.repeat(np.repeat(block_grid, 8, axis=0), 8, axis=1)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cluster, role = d // 9, (d // 3) % 3
+                frames = [
+                    expand(to_rgb(ycc_frame(cluster, f)))
+                    for f in range(n_frames)
+                ]
+                if role == 1:
+                    frames = [
+                        ((3 * f.astype(np.int64)) // 4).astype(np.uint8)
+                        for f in frames
+                    ]
+                    s = (3 * samples("ava", cluster)) // 4
+                elif role == 2:
+                    s = samples("ava2", cluster)
+                else:
+                    s = samples("ava", cluster)
+                payloads.append(
+                    encode_avi_av(frames, s.astype(np.int16), 8000, fps=5.0)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avs = documents.filter(
+        (F.col("doc_id") % 3 == 0) & (F.expr("(doc_id div 9) % 2") == 0)
+    ).select("doc_id")
+    return avs.mapInPandas(kernel, out_schema)
+
+
+def av_fingerprint(avs: DataFrame, *, decoder=None, audio_decoder=None) -> DataFrame:
+    """Joint fingerprint of BOTH tracks of an audio-visual container
+    in ONE narrow Arrow-batched decode stage — (doc_id, v0..v3,
+    a0..a3): the :func:`video_fingerprint` temporal-ordinal signature
+    of the video track and the :func:`audio_fingerprint`
+    chromaprint-style signature of the audio track (both
+    sign-of-difference over (time × 4 integer Haar bands), packed as
+    16-bit words that double as Hamming bands). Same integer
+    end-to-end math, so the registry oracle regenerates both halves
+    from the md5 streams in SQL."""
+    n_frames, n_windows = 17, 17
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from coltt_spark.operators.media_codecs import (
+            decode_avi_audio,
+            decode_video,
+        )
+
+        vdec = decoder if decoder is not None else decode_video
+        adec = audio_decoder if audio_decoder is not None else decode_avi_audio
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {
+                k: []
+                for k in ("doc_id", "v0", "v1", "v2", "v3", "a0", "a1", "a2", "a3")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = vdec(bytes(payload))
+                if len(frames) < n_frames:
+                    raise ValueError(
+                        f"doc {doc_id}: {len(frames)} frames — the "
+                        f"fingerprint reads the first {n_frames}"
+                    )
+                s, _rate = adec(bytes(payload))
+                s = s.astype(np.int64)
+                if len(s) != 8 * n_windows:
+                    raise ValueError(
+                        f"doc {doc_id}: {len(s)} samples — the fingerprint "
+                        f"frames exactly {8 * n_windows}"
+                    )
+                vw = _haar_sig_words(_video_band_energies(frames, n_frames))
+                aw = _haar_sig_words(_audio_band_energies(s, n_windows))
+                rows["doc_id"].append(doc_id)
+                for k in range(4):
+                    rows[f"v{k}"].append(vw[k])
+                    rows[f"a{k}"].append(aw[k])
+            yield pd.DataFrame(rows)
+
+    return avs.select("doc_id", "payload").mapInPandas(kernel, AV_SIG_SCHEMA)
+
+
+def av_dedup_pairs(
+    sig: DataFrame, id_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Joint AV near-dup pairs: candidates from the VIDEO track's
+    Hamming bands (:func:`dhash_pairs` over v0..v3 — lossless at
+    hamming ≤ 3 by pigeonhole), then an AND-verify on the AUDIO
+    track's Hamming distance — a pair survives only when BOTH tracks
+    match, which kills same-footage/new-narration derived works
+    without any new kernel math. Returns (id_a, id_b, v_hamming,
+    a_hamming). An audio-only match (same soundtrack, different
+    footage) is out of contract BY DESIGN: candidates come from the
+    video track, the re-upload's invariant."""
+    sig = sig.localCheckpoint(eager=False)
+    vp = dhash_pairs(
+        sig.select(
+            F.col(id_col), *[F.col(f"v{k}").alias(f"w{k}") for k in range(4)]
+        ),
+        id_col,
+        max_hamming=max_hamming,
+    ).withColumnRenamed("hamming", "v_hamming")
+    aa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"a{k}").alias(f"a{k}_a") for k in range(4)]
+    )
+    ab = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"a{k}").alias(f"a{k}_b") for k in range(4)]
+    )
+    ham = None
+    for k in range(4):
+        t = F.bit_count(F.col(f"a{k}_a").bitwiseXOR(F.col(f"a{k}_b")))
+        ham = t if ham is None else ham + t
+    return (
+        vp.join(aa, on="id_a")
+        .join(ab, on="id_b")
+        .withColumn("a_hamming", ham.cast("long"))
+        .filter(F.col("a_hamming") <= max_hamming)
+        .select("id_a", "id_b", "v_hamming", "a_hamming")
+    )

@@ -2217,7 +2217,6 @@ _KEY_ORDER = [
     "ann_topk_batch",                 # ledger: last driver signal r10
     "knn_pagination",                 # ledger: last driver signal r10
     "knn_block",                 # ledger: last driver signal r10
-    "dedup_containment",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2239,11 +2238,18 @@ _KEY_ORDER = [
     "web_url_psl",  # touched r13: PSL tranche 7 (3199 -> 3262 rules —
     #    the .ua modern-transliteration registry + the punycoded IDN
     #    second-level registries of .ไทย/.ישראל/.срб/.香港/.中国/.tw)
+    "media_av_dedup",  # new r13: audio-visual JOINT near-dup dedup
+    #    (VERDICT r12 #6) — two-stream AVI (vids/DIB + auds/PCM16)
+    #    fingerprinted on both tracks in one narrow stage;
+    #    video-band candidates AND-verified on audio Hamming (the
+    #    soundtrack-swap plant is a candidate the audio verify
+    #    kills); oracle regenerates both tracks from the md5 streams
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "dedup_containment",                 # ledger: r10 overflow, round-14 priority
     "rollup_revenue",                 # ledger: r10 overflow, round-14 priority
     "events_sessionize",                 # ledger: r10 overflow, round-14 priority
     "media_features",                 # ledger: r10 overflow, round-14 priority
@@ -2465,6 +2471,12 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # video fingerprint table (three-codec fabricate+decode, shared
     # by the pairs and groups entries)
     _video_sig_fixture(spark, sf_dir)
+    from coltt_spark.registry_media import _av_sig_fixture
+
+    # joint AV fingerprint table (two-stream AVI fabricate+decode,
+    # both tracks) — the av-dedup entry times the banded join +
+    # audio verify against it
+    _av_sig_fixture(spark, sf_dir)
     from coltt_spark.registry_dedup import _MINHASH_INDEX_CACHE, q_dedup_minhash_delta
 
     # frozen MinHash signature index (the incremental-dedup corpus

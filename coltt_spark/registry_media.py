@@ -1161,6 +1161,204 @@ _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS = _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS.format(
 )
 
 
+_AV_SIG_CACHE: dict[str, DataFrame] = {}
+
+
+def _av_sig_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint AV fingerprint table (doc_id, v0..v3, a0..a3),
+    fabricated + decoded ONCE per sf_dir and checkpointed — the
+    :func:`_video_sig_fixture` convention on the two-stream AVI
+    fixture (fabricate+decode books into fixture_build_sec; the
+    registry key times the banded join + audio verify)."""
+    from coltt_spark.operators.multimodal import av_dedup_table, av_fingerprint
+
+    if sf_dir not in _AV_SIG_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _AV_SIG_CACHE[sf_dir] = av_fingerprint(
+            av_dedup_table(docs)
+        ).localCheckpoint(eager=True)
+    return _AV_SIG_CACHE[sf_dir]
+
+
+def q_media_av_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-visual JOINT near-dup dedup (VERDICT r12 #6 — the
+    modality matrix's AND-composition): real two-stream AVI
+    containers (vids/DIB + auds/PCM16) fingerprinted on BOTH tracks
+    in one narrow decode stage, video-band candidates
+    (Hamming-banded, lossless at ≤ 3 by pigeonhole) AND-verified on
+    the audio track's Hamming distance — a pair survives only when
+    both tracks match, so the planted SOUNDTRACK SWAP (identical
+    footage, different narration — a derived work, not a re-upload)
+    is a candidate the audio verify kills, while the TRUE RE-UPLOAD
+    (video re-graded ⌊3v/4⌋ AND audio gain-shifted ⌊3s/4⌋) survives.
+    The oracle regenerates both tracks from the md5 streams
+    (per-block luma energies ∝ the kernel's per-pixel sums on the
+    constant-block fixture; integer Haar bands on the samples),
+    replays both fingerprints, and brute-forces all pairs under BOTH
+    constraints — equal to the banded result exactly because video
+    blocking is lossless at this threshold."""
+    from coltt_spark.operators.multimodal import av_dedup_pairs
+
+    return av_dedup_pairs(
+        _av_sig_fixture(spark, sf_dir), "doc_id", max_hamming=3
+    )
+
+
+#: per-(frame, block) YCbCr byte for the AV fixture's video track
+_AVV_H = (
+    "('0x' || substr(md5('avv:' || CAST(doc_id // 9 AS VARCHAR) || ':' || "
+    "CAST(f AS VARCHAR)), 6*b + {off}, 2))::BIGINT"
+)
+
+#: per-(window, ordinal) big-endian int16 for the AV fixture's audio
+#: track — role 2 reads the SWAPPED stream ('ava2:')
+_AVA_H = (
+    "('0x' || substr(md5((CASE WHEN CAST((doc_id // 3) % 3 AS INT) = 2 "
+    "THEN 'ava2:' ELSE 'ava:' END) || CAST(doc_id // 9 AS VARCHAR) || ':' "
+    "|| CAST(w AS VARCHAR)), 4*i + 1, 4))::BIGINT"
+)
+
+_AVV_R, _AVV_G, _AVV_B = _ycc_rgb_sql("y", "cb", "cr")
+
+_ORACLE_MEDIA_AV_DEDUP = f"""
+WITH fbv AS (
+  SELECT doc_id, CAST((doc_id // 3) % 3 AS INT) AS role,
+         CAST(ff.f AS BIGINT) AS f, CAST(bb.b AS BIGINT) AS b
+  FROM documents,
+       (SELECT unnest(range(0, 17)) AS f) ff,
+       (SELECT unnest(range(0, 4)) AS b) bb
+  WHERE doc_id % 3 = 0 AND (doc_id // 9) % 2 = 0
+),
+yccv AS (
+  SELECT doc_id, role, f, b,
+         {_AVV_H.format(off=1)} AS y,
+         {_AVV_H.format(off=3)} AS cb,
+         {_AVV_H.format(off=5)} AS cr
+  FROM fbv
+),
+rgbv AS (
+  SELECT doc_id, role, f, b,
+         {_AVV_R} AS r, {_AVV_G} AS g, {_AVV_B} AS bl
+  FROM yccv
+),
+rgb2v AS (
+  SELECT doc_id, f, b,
+         CASE WHEN role = 1 THEN CAST(floor(r * 3 / 4.0) AS BIGINT) ELSE r END AS r,
+         CASE WHEN role = 1 THEN CAST(floor(g * 3 / 4.0) AS BIGINT) ELSE g END AS g,
+         CASE WHEN role = 1 THEN CAST(floor(bl * 3 / 4.0) AS BIGINT) ELSE bl END AS bl
+  FROM rgbv
+),
+luv AS (
+  SELECT doc_id, f, b, 299*r + 587*g + 114*bl AS l FROM rgb2v
+),
+env AS (
+  SELECT doc_id, f,
+         SUM(l) AS e0,
+         (SUM(CASE WHEN b IN (0, 2) THEN l ELSE -l END))
+           * (SUM(CASE WHEN b IN (0, 2) THEN l ELSE -l END)) AS e1,
+         (SUM(CASE WHEN b IN (0, 1) THEN l ELSE -l END))
+           * (SUM(CASE WHEN b IN (0, 1) THEN l ELSE -l END)) AS e2,
+         (SUM(CASE WHEN b IN (0, 3) THEN l ELSE -l END))
+           * (SUM(CASE WHEN b IN (0, 3) THEN l ELSE -l END)) AS e3
+  FROM luv GROUP BY doc_id, f
+),
+nxv AS (
+  SELECT doc_id, f, e0, e1, e2, e3,
+         lead(e0) OVER pw AS n0, lead(e1) OVER pw AS n1,
+         lead(e2) OVER pw AS n2, lead(e3) OVER pw AS n3
+  FROM env WINDOW pw AS (PARTITION BY doc_id ORDER BY f)
+),
+bitsv AS (
+  SELECT doc_id, f * 4 + b.b AS idx,
+         CASE b.b
+           WHEN 0 THEN CASE WHEN n0 > e0 THEN 1 ELSE 0 END
+           WHEN 1 THEN CASE WHEN n1 > e1 THEN 1 ELSE 0 END
+           WHEN 2 THEN CASE WHEN n2 > e2 THEN 1 ELSE 0 END
+           ELSE CASE WHEN n3 > e3 THEN 1 ELSE 0 END
+         END AS bit
+  FROM nxv, (SELECT unnest(range(0, 4)) AS b) b
+  WHERE f < 16
+),
+sigv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN idx // 16 = 0 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w0,
+         SUM(CASE WHEN idx // 16 = 1 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w1,
+         SUM(CASE WHEN idx // 16 = 2 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w2,
+         SUM(CASE WHEN idx // 16 = 3 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w3
+  FROM bitsv GROUP BY doc_id
+),
+wdsa AS (
+  SELECT doc_id, unnest(range(0, 17)) AS w
+  FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 9) % 2 = 0
+),
+sma AS (
+  SELECT doc_id, w,
+         list_transform(range(0, 8), i ->
+           CASE WHEN {_AVA_H} >= 32768 THEN {_AVA_H} - 65536 ELSE {_AVA_H} END) AS x
+  FROM wdsa
+),
+xta AS (
+  SELECT doc_id, w,
+         CASE WHEN CAST((doc_id // 3) % 3 AS INT) = 1
+           THEN list_transform(x, s -> CAST(floor(s * 3 / 4.0) AS BIGINT))
+           ELSE x
+         END AS x
+  FROM sma
+),
+ena AS (
+  SELECT doc_id, w,
+    (x[1]+x[2]+x[3]+x[4]+x[5]+x[6]+x[7]+x[8])
+      * (x[1]+x[2]+x[3]+x[4]+x[5]+x[6]+x[7]+x[8]) AS e0,
+    ((x[1]+x[2]+x[3]+x[4]) - (x[5]+x[6]+x[7]+x[8]))
+      * ((x[1]+x[2]+x[3]+x[4]) - (x[5]+x[6]+x[7]+x[8])) AS e1,
+    ((x[1]+x[2])-(x[3]+x[4]))*((x[1]+x[2])-(x[3]+x[4]))
+      + ((x[5]+x[6])-(x[7]+x[8]))*((x[5]+x[6])-(x[7]+x[8])) AS e2,
+    (x[1]-x[2])*(x[1]-x[2]) + (x[3]-x[4])*(x[3]-x[4])
+      + (x[5]-x[6])*(x[5]-x[6]) + (x[7]-x[8])*(x[7]-x[8]) AS e3
+  FROM xta
+),
+nxa AS (
+  SELECT doc_id, w, e0, e1, e2, e3,
+         lead(e0) OVER pw AS n0, lead(e1) OVER pw AS n1,
+         lead(e2) OVER pw AS n2, lead(e3) OVER pw AS n3
+  FROM ena WINDOW pw AS (PARTITION BY doc_id ORDER BY w)
+),
+bitsa AS (
+  SELECT doc_id, w * 4 + b.b AS idx,
+         CASE b.b
+           WHEN 0 THEN CASE WHEN n0 > e0 THEN 1 ELSE 0 END
+           WHEN 1 THEN CASE WHEN n1 > e1 THEN 1 ELSE 0 END
+           WHEN 2 THEN CASE WHEN n2 > e2 THEN 1 ELSE 0 END
+           ELSE CASE WHEN n3 > e3 THEN 1 ELSE 0 END
+         END AS bit
+  FROM nxa, (SELECT unnest(range(0, 4)) AS b) b
+  WHERE w < 16
+),
+siga AS (
+  SELECT doc_id,
+         SUM(CASE WHEN idx // 16 = 0 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w0,
+         SUM(CASE WHEN idx // 16 = 1 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w1,
+         SUM(CASE WHEN idx // 16 = 2 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w2,
+         SUM(CASE WHEN idx // 16 = 3 THEN bit * (1::BIGINT << (idx % 16)) ELSE 0 END) AS w3
+  FROM bitsa GROUP BY doc_id
+),
+pr AS (
+  SELECT va.doc_id AS id_a, vb.doc_id AS id_b,
+         bit_count(xor(va.w0, vb.w0)) + bit_count(xor(va.w1, vb.w1)) +
+         bit_count(xor(va.w2, vb.w2)) + bit_count(xor(va.w3, vb.w3)) AS v_hamming,
+         bit_count(xor(aa.w0, ab.w0)) + bit_count(xor(aa.w1, ab.w1)) +
+         bit_count(xor(aa.w2, ab.w2)) + bit_count(xor(aa.w3, ab.w3)) AS a_hamming
+  FROM sigv va
+  JOIN sigv vb ON va.doc_id < vb.doc_id
+  JOIN siga aa ON aa.doc_id = va.doc_id
+  JOIN siga ab ON ab.doc_id = vb.doc_id
+)
+SELECT id_a, id_b, CAST(v_hamming AS BIGINT) AS v_hamming,
+       CAST(a_hamming AS BIGINT) AS a_hamming
+FROM pr WHERE v_hamming <= 3 AND a_hamming <= 3
+"""
+
+
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -1179,6 +1377,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_dedup": q_media_audio_dedup,
     "media_video_dedup": q_media_video_dedup,
     "media_video_dedup_groups": q_media_video_dedup_groups,
+    "media_av_dedup": q_media_av_dedup,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -1199,4 +1398,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_audio_dedup": _ORACLE_MEDIA_AUDIO_DEDUP,
     "media_video_dedup": _ORACLE_MEDIA_VIDEO_DEDUP,
     "media_video_dedup_groups": _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS,
+    "media_av_dedup": _ORACLE_MEDIA_AV_DEDUP,
 }

@@ -1037,3 +1037,54 @@ def test_minhash_index_delta_exact_copy_of_old_doc(spark, tmp_path):
     got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
     assert got.get((1, 900001)) == 1.0
     assert not any(900002 in p for p in got)
+
+
+def test_av_dedup_joint_contract(spark):
+    """The AV AND-composition's recall/precision contract, measured
+    end-to-end through the REAL two-stream containers: in every
+    planted 3-clip cluster, the TRUE RE-UPLOAD pair (base, regraded
+    video + gain-shifted audio) is emitted, while BOTH
+    soundtrack-swap pairs — (base, swap) and (re-upload, swap), each
+    an exact-or-near VIDEO match — are video-band candidates the
+    audio verify kills; no cross-cluster pair appears."""
+    from coltt_spark.operators.multimodal import (
+        av_dedup_pairs,
+        av_dedup_table,
+        av_fingerprint,
+        dhash_pairs,
+    )
+    from coltt_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = av_fingerprint(av_dedup_table(docs)).localCheckpoint(eager=True)
+    pairs = av_dedup_pairs(sig, "doc_id").collect()
+    av_ids = [
+        int(r["doc_id"])
+        for r in docs.filter(
+            "doc_id % 3 = 0 AND (doc_id div 9) % 2 = 0"
+        ).select("doc_id").collect()
+    ]
+    full = {c for c in {d // 9 for d in av_ids}
+            if sum(1 for d in av_ids if d // 9 == c) == 3}
+    expected = {(9 * c, 9 * c + 3) for c in full}
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == expected, (sorted(expected - got)[:5], sorted(got - expected)[:5])
+    assert all(r["v_hamming"] <= 3 and r["a_hamming"] <= 3 for r in pairs)
+    # the audio verify did real work: video-only candidates include
+    # the soundtrack swaps (role 2 shares the base frames exactly)
+    vonly = {
+        (r["id_a"], r["id_b"])
+        for r in dhash_pairs(
+            sig.select(
+                "doc_id", *[F.col(f"v{k}").alias(f"w{k}") for k in range(4)]
+            ),
+            "doc_id",
+            max_hamming=3,
+        ).collect()
+    }
+    killed = vonly - got
+    assert {(9 * c, 9 * c + 6) for c in full} <= vonly
+    assert all((b - a) in (3, 6) for a, b in killed)
+    assert len(killed) >= 2 * len(full)

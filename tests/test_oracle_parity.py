@@ -95,7 +95,6 @@ ROTATION_LEDGER_R13 = [
     "ann_topk_batch",
     "knn_pagination",
     "knn_block",
-    "dedup_containment",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -103,6 +102,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "dedup_containment",
     "rollup_revenue",
     "events_sessionize",
     "media_features",
@@ -136,6 +136,8 @@ NEW_OR_TOUCHED_R13: list[str] = [
     "collection_hybrid_ivfpq_batch",
     # touched r13: PSL tranche 7 (3199 -> 3262 rules)
     "web_url_psl",
+    # new r13: audio-visual joint near-dup dedup (VERDICT r12 #6)
+    "media_av_dedup",
 ]
 
 

@@ -1170,3 +1170,25 @@ def test_minhash_delta_serves_old_side_from_index_only(spark, tmp_path):
     assert "documents.parquet" not in plan
     for artifact in ("band_keys", "fp_shingles", "members", "pairs"):
         assert artifact in plan, f"missing index artifact scan: {artifact}"
+
+
+def test_av_dedup_plan_banded_no_allpairs(spark):
+    """The joint AV dedup must keep the banded shape: BOTH tracks
+    fingerprinted in exactly TWO narrow Arrow stages (fixture
+    fabricate + decode/fingerprint, no shuffle between payload and
+    signature), candidates from the video Hamming-band equi-join,
+    audio verify as equi-joins on the pair ids — never a cross join
+    or nested loop."""
+    from coltt_spark.operators.multimodal import av_dedup_table, av_fingerprint
+    from coltt_spark.plans import executed_plan
+    from coltt_spark.registry import QUERIES
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig_plan = executed_plan(av_fingerprint(av_dedup_table(docs)))
+    assert sig_plan.count("MapInPandas") == 2, sig_plan[:800]
+    assert "ENSURE_REQUIREMENTS" not in sig_plan
+    df = QUERIES["media_av_dedup"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "band_idx" in plan and "band_val" in plan
