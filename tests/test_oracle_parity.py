@@ -94,7 +94,6 @@ ROTATION_LEDGER_R13 = [
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
-    "knn_block",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -102,6 +101,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "knn_block",
     "dedup_containment",
     "rollup_revenue",
     "events_sessionize",
@@ -138,6 +138,8 @@ NEW_OR_TOUCHED_R13: list[str] = [
     "web_url_psl",
     # new r13: audio-visual joint near-dup dedup (VERDICT r12 #6)
     "media_av_dedup",
+    # new r13: incremental canonical assignments over the delta pairs
+    "dedup_minhash_delta_canonical",
 ]
 
 
