@@ -2215,7 +2215,6 @@ _KEY_ORDER = [
     "price_percentiles",                 # ledger: last driver signal r10
     "knn_f16",                 # ledger: last driver signal r10
     "ann_topk_batch",                 # ledger: last driver signal r10
-    "knn_pagination",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2247,11 +2246,15 @@ _KEY_ORDER = [
     #    selection over the frozen-index delta's updated pairs —
     #    incremental canonical == from-scratch canonical (shares
     #    dedup_canonical's oracle verbatim)
+    "media_av_dedup_groups",  # new r13: connected components over
+    #    the AND-composed AV pair edges (the image/video groups
+    #    twins); oracle replays both tracks + a recursive closure
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "knn_pagination",                 # ledger: r10 overflow, round-14 priority
     "knn_block",                 # ledger: r10 overflow, round-14 priority
     "dedup_containment",                 # ledger: r10 overflow, round-14 priority
     "rollup_revenue",                 # ledger: r10 overflow, round-14 priority

@@ -1204,6 +1204,25 @@ def q_media_av_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_av_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV near-dup GROUP resolution: connected components over the
+    joint (video-band AND audio-verified) pair edges — the
+    image/video groups twins' discipline on the AND-composed
+    modality. The soundtrack-swap role never joins a group (its
+    audio kills every edge to the cluster), so planted groups are
+    exactly the {base, true-re-upload} 2-member components rooted at
+    the base doc_id. The oracle replays both track regenerations,
+    both fingerprints, the AND-constrained pairs, and a
+    recursive-CTE transitive closure."""
+    from coltt_spark.operators.components import dedup_groups
+    from coltt_spark.operators.multimodal import av_dedup_pairs
+
+    pairs = av_dedup_pairs(
+        _av_sig_fixture(spark, sf_dir), "doc_id", max_hamming=3
+    )
+    return dedup_groups(pairs)
+
+
 #: per-(frame, block) YCbCr byte for the AV fixture's video track
 _AVV_H = (
     "('0x' || substr(md5('avv:' || CAST(doc_id // 9 AS VARCHAR) || ':' || "
@@ -1264,9 +1283,9 @@ env AS (
 ),
 nxv AS (
   SELECT doc_id, f, e0, e1, e2, e3,
-         lead(e0) OVER pw AS n0, lead(e1) OVER pw AS n1,
-         lead(e2) OVER pw AS n2, lead(e3) OVER pw AS n3
-  FROM env WINDOW pw AS (PARTITION BY doc_id ORDER BY f)
+         lead(e0) OVER pwv AS n0, lead(e1) OVER pwv AS n1,
+         lead(e2) OVER pwv AS n2, lead(e3) OVER pwv AS n3
+  FROM env WINDOW pwv AS (PARTITION BY doc_id ORDER BY f)
 ),
 bitsv AS (
   SELECT doc_id, f * 4 + b.b AS idx,
@@ -1319,9 +1338,9 @@ ena AS (
 ),
 nxa AS (
   SELECT doc_id, w, e0, e1, e2, e3,
-         lead(e0) OVER pw AS n0, lead(e1) OVER pw AS n1,
-         lead(e2) OVER pw AS n2, lead(e3) OVER pw AS n3
-  FROM ena WINDOW pw AS (PARTITION BY doc_id ORDER BY w)
+         lead(e0) OVER pwa AS n0, lead(e1) OVER pwa AS n1,
+         lead(e2) OVER pwa AS n2, lead(e3) OVER pwa AS n3
+  FROM ena WINDOW pwa AS (PARTITION BY doc_id ORDER BY w)
 ),
 bitsa AS (
   SELECT doc_id, w * 4 + b.b AS idx,
@@ -1358,6 +1377,34 @@ SELECT id_a, id_b, CAST(v_hamming AS BIGINT) AS v_hamming,
 FROM pr WHERE v_hamming <= 3 AND a_hamming <= 3
 """
 
+# groups twin: the identical two-track replay chain (everything up to
+# the final SELECT is shared verbatim via string surgery below), then
+# the AND-constrained pairs feed a recursive-CTE transitive closure —
+# the _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS discipline on the AV edges
+_AV_CHAIN = _ORACLE_MEDIA_AV_DEDUP.split("\nSELECT id_a", 1)[0].split(
+    "WITH ", 1
+)[1]
+
+_ORACLE_MEDIA_AV_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_AV_CHAIN},
+avpairs AS (
+  SELECT id_a, id_b FROM pr WHERE v_hamming <= 3 AND a_hamming <= 3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM avpairs
+  UNION
+  SELECT id_b, id_a FROM avpairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS id, least(s, min(t)) AS root FROM reach GROUP BY s),
+sizes AS (SELECT root, count(*) AS group_size FROM comp GROUP BY root)
+SELECT comp.id, comp.root, sizes.group_size FROM comp JOIN sizes USING (root)
+"""
+
 
 MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
@@ -1378,6 +1425,7 @@ MEDIA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_video_dedup": q_media_video_dedup,
     "media_video_dedup_groups": q_media_video_dedup_groups,
     "media_av_dedup": q_media_av_dedup,
+    "media_av_dedup_groups": q_media_av_dedup_groups,
 }
 
 MEDIA_ORACLES: dict[str, str] = {
@@ -1399,4 +1447,5 @@ MEDIA_ORACLES: dict[str, str] = {
     "media_video_dedup": _ORACLE_MEDIA_VIDEO_DEDUP,
     "media_video_dedup_groups": _ORACLE_MEDIA_VIDEO_DEDUP_GROUPS,
     "media_av_dedup": _ORACLE_MEDIA_AV_DEDUP,
+    "media_av_dedup_groups": _ORACLE_MEDIA_AV_DEDUP_GROUPS,
 }

@@ -93,7 +93,6 @@ ROTATION_LEDGER_R13 = [
     "price_percentiles",
     "knn_f16",
     "ann_topk_batch",
-    "knn_pagination",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -101,6 +100,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "knn_pagination",
     "knn_block",
     "dedup_containment",
     "rollup_revenue",
@@ -140,6 +140,8 @@ NEW_OR_TOUCHED_R13: list[str] = [
     "media_av_dedup",
     # new r13: incremental canonical assignments over the delta pairs
     "dedup_minhash_delta_canonical",
+    # new r13: connected components over the AV pair edges
+    "media_av_dedup_groups",
 ]
 
 
