@@ -630,7 +630,12 @@ class MinHashIndex:
     # -- incremental dedup --------------------------------------------
 
     def _delta_parts(
-        self, new_df: DataFrame, id_col: str, text_col: str
+        self,
+        new_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        shingles: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
         """(members_new, band_keys_new, fp_shingles_new, new_pairs)
         where new_pairs = pairs involving at least one new-batch doc:
@@ -642,9 +647,14 @@ class MinHashIndex:
         upsert discipline handles re-crawled ids upstream)."""
         meta = self.meta
         n, bands, threshold = meta["n"], meta["bands"], meta["threshold"]
-        sh_new = shingle_table(new_df, id_col, text_col, n).localCheckpoint(
-            eager=False
-        )
+        # the shingle seam: pass the SAME shingler's output the index
+        # was built with (e.g. shingle_table_bytes for the
+        # script-agnostic path) — word shingles are the default
+        sh_new = (
+            shingles
+            if shingles is not None
+            else shingle_table(new_df, id_col, text_col, n)
+        ).localCheckpoint(eager=False)
         nn = minhash_lsh_pairs(
             new_df, id_col, text_col, n=n, bands=bands, threshold=threshold,
             shingles=sh_new,
@@ -719,17 +729,31 @@ class MinHashIndex:
         return members_new, band_keys_new, fp_sh_new, nn.unionByName(cross)
 
     def delta_pairs(
-        self, new_df: DataFrame, id_col: str, text_col: str
+        self,
+        new_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        shingles: DataFrame | None = None,
     ) -> DataFrame:
         """Full UPDATED pairs table for the union corpus: stored
         corpus pairs ∪ pairs involving the new batch. Equals the
         from-scratch result over old ∪ new (pairwise determination,
         see the class docstring) — the registry oracle replays exactly
         that, so incremental == from-scratch is driver-checked."""
-        _, _, _, new_pairs = self._delta_parts(new_df, id_col, text_col)
+        _, _, _, new_pairs = self._delta_parts(
+            new_df, id_col, text_col, shingles=shingles
+        )
         return self._read("pairs").unionByName(new_pairs)
 
-    def merge(self, new_df: DataFrame, id_col: str, text_col: str) -> None:
+    def merge(
+        self,
+        new_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        shingles: DataFrame | None = None,
+    ) -> None:
         """Fold the new batch into the index: members and delta pairs
         always append; band_keys/fp_shingles append only fingerprints
         NOT already indexed (content-keyed artifacts are naturally
@@ -741,7 +765,7 @@ class MinHashIndex:
         import os
 
         members_new, band_keys_new, fp_sh_new, new_pairs = self._delta_parts(
-            new_df, id_col, text_col
+            new_df, id_col, text_col, shingles=shingles
         )
         known_fps = self._read("band_keys").select("fp").distinct()
         fresh_bands = band_keys_new.join(

@@ -2214,7 +2214,6 @@ _KEY_ORDER = [
     "window_top_orders",                 # ledger: last driver signal r10
     "price_percentiles",                 # ledger: last driver signal r10
     "knn_f16",                 # ledger: last driver signal r10
-    "ann_topk_batch",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2249,11 +2248,15 @@ _KEY_ORDER = [
     "media_av_dedup_groups",  # new r13: connected components over
     #    the AND-composed AV pair edges (the image/video groups
     #    twins); oracle replays both tracks + a recursive closure
+    "dedup_minhash_delta_bytes",  # new r13: the frozen-index delta
+    #    through the byte-shingle seam (script-agnostic incremental
+    #    dedup); oracle = dedup_minhash_bytes' verbatim
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "ann_topk_batch",                 # ledger: r10 overflow, round-14 priority
     "knn_pagination",                 # ledger: r10 overflow, round-14 priority
     "knn_block",                 # ledger: r10 overflow, round-14 priority
     "dedup_containment",                 # ledger: r10 overflow, round-14 priority
@@ -2490,3 +2493,11 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # side); the registry key then times the DELTA probe against it
     if sf_dir not in _MINHASH_INDEX_CACHE:
         q_dedup_minhash_delta(spark, sf_dir).take(1)
+    from coltt_spark.registry_dedup import (
+        _MINHASH_BYTES_INDEX_CACHE,
+        q_dedup_minhash_delta_bytes,
+    )
+
+    # byte-shingle twin (script-agnostic incremental dedup)
+    if sf_dir not in _MINHASH_BYTES_INDEX_CACHE:
+        q_dedup_minhash_delta_bytes(spark, sf_dir).take(1)

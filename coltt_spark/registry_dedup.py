@@ -808,6 +808,45 @@ def q_dedup_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.delta_pairs(new, "doc_id", "text")
 
 
+#: sf_dir → byte-shingle MinHashIndex root (frozen multilingual
+#: corpus side)
+_MINHASH_BYTES_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_dedup_minhash_delta_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-agnostic INCREMENTAL dedup: the frozen-index delta
+    through the byte-shingle seam — `MinHashIndex.build` and
+    `delta_pairs` both take the SAME caller-provided shingle table
+    (`shingle_table_bytes`, 12-byte hex-slice n-grams), so the
+    CJK/Cyrillic/accented corpora the word tokenizer cannot see get
+    the identical daily-crawl composition: index 2/3 of the
+    multilingual near-dup fixture once, delta the held-out third
+    against stored band keys / fingerprint shingle sets. Incremental
+    == from-scratch exactly (pairwise determination is
+    shingle-source-agnostic), so this entry shares
+    ``dedup_minhash_bytes``'s from-scratch oracle VERBATIM."""
+    import os
+
+    from coltt_spark.operators.dedup import MinHashIndex, shingle_table_bytes
+    from coltt_spark.tmpdirs import scratch_dir
+
+    corpus = _uni_neardup_docs(spark, sf_dir)
+    if sf_dir not in _MINHASH_BYTES_INDEX_CACHE:
+        root = os.path.join(scratch_dir(prefix="coltt_minhash_bidx_"), "idx")
+        old = corpus.filter(F.col("doc_id") % 3 != 0)
+        MinHashIndex.build(
+            old, "doc_id", "text", root,
+            shingles=shingle_table_bytes(old, "doc_id", "text", 12),
+        )
+        _MINHASH_BYTES_INDEX_CACHE[sf_dir] = root
+    idx = MinHashIndex(spark, _MINHASH_BYTES_INDEX_CACHE[sf_dir])
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    return idx.delta_pairs(
+        new, "doc_id", "text",
+        shingles=shingle_table_bytes(new, "doc_id", "text", 12),
+    )
+
+
 def q_dedup_minhash_delta_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second half of the incremental-dedup contract (VERDICT r12
     #2: "pairs + updated canonical assignments"): canonical-survivor
@@ -843,6 +882,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_delta": q_dedup_minhash_delta,
     "dedup_minhash_delta_canonical": q_dedup_minhash_delta_canonical,
+    "dedup_minhash_delta_bytes": q_dedup_minhash_delta_bytes,
     "dedup_minhash_bytes": q_dedup_minhash_bytes,
     "dedup_containment_bytes": q_dedup_containment_bytes,
     "dedup_groups": q_dedup_groups,
@@ -864,6 +904,9 @@ DEDUP_ORACLES: dict[str, str] = {
     # incremental canonical == from-scratch canonical: shares
     # dedup_canonical's oracle verbatim
     "dedup_minhash_delta_canonical": _canonical_oracle(),
+    # incremental == from-scratch through the byte-shingle seam:
+    # shares dedup_minhash_bytes' oracle verbatim
+    "dedup_minhash_delta_bytes": _minhash_oracle(_BYTE_JACCARD),
     "dedup_minhash_bytes": _minhash_oracle(_BYTE_JACCARD),
     "dedup_containment_bytes": _ORACLE_CONTAINMENT_BYTES,
     "dedup_groups": _groups_oracle(),

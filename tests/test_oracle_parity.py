@@ -92,7 +92,6 @@ ROTATION_LEDGER_R13 = [
     "window_top_orders",
     "price_percentiles",
     "knn_f16",
-    "ann_topk_batch",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -100,6 +99,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "ann_topk_batch",
     "knn_pagination",
     "knn_block",
     "dedup_containment",
@@ -142,6 +142,8 @@ NEW_OR_TOUCHED_R13: list[str] = [
     "dedup_minhash_delta_canonical",
     # new r13: connected components over the AV pair edges
     "media_av_dedup_groups",
+    # new r13: the frozen-index delta through the byte-shingle seam
+    "dedup_minhash_delta_bytes",
 ]
 
 
