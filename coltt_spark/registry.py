@@ -2213,7 +2213,6 @@ _KEY_ORDER = [
     "region_revenue",                 # ledger: last driver signal r10
     "window_top_orders",                 # ledger: last driver signal r10
     "price_percentiles",                 # ledger: last driver signal r10
-    "knn_f16",                 # ledger: last driver signal r10
     # -- new in r13 / touched this round: seats land here as they
     # -- ship, each displacing the last r10 entry above past the
     # -- boundary (to the FRONT of the r14-priority block below)
@@ -2251,11 +2250,16 @@ _KEY_ORDER = [
     "dedup_minhash_delta_bytes",  # new r13: the frozen-index delta
     #    through the byte-shingle seam (script-agnostic incremental
     #    dedup); oracle = dedup_minhash_bytes' verbatim
+    "stream_dedup_index",  # new r13: the daily-crawl loop as a
+    #    stream — three document batches fold into a persisted
+    #    MinHashIndex via foreachBatch (build, then merges); landed
+    #    pairs == from-scratch (dedup_minhash_lsh's oracle verbatim)
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
     # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
     # -- composition), in r10 order:
+    "knn_f16",                 # ledger: r10 overflow, round-14 priority
     "ann_topk_batch",                 # ledger: r10 overflow, round-14 priority
     "knn_pagination",                 # ledger: r10 overflow, round-14 priority
     "knn_block",                 # ledger: r10 overflow, round-14 priority
@@ -2501,3 +2505,12 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     # byte-shingle twin (script-agnostic incremental dedup)
     if sf_dir not in _MINHASH_BYTES_INDEX_CACHE:
         q_dedup_minhash_delta_bytes(spark, sf_dir).take(1)
+    from coltt_spark.registry_streaming import (
+        _STREAM_MHIDX_CACHE,
+        q_stream_dedup_index,
+    )
+
+    # streamed MinHashIndex (three availableNow replays: build + two
+    # merges) — the registry key then reads the landed pairs artifact
+    if sf_dir not in _STREAM_MHIDX_CACHE:
+        q_stream_dedup_index(spark, sf_dir).take(1)

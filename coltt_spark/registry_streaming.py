@@ -284,6 +284,42 @@ def q_stream_ingest_ivfpq(spark, sf_dir: str):
     )
 
 
+#: sf_dir → streamed MinHashIndex root (built once per process)
+_STREAM_MHIDX_CACHE: dict[str, str] = {}
+
+
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup maintained ONLY through the streaming path —
+    the daily-crawl loop end-to-end: the documents table replays as
+    three bounded streams (doc_id mod 3 — the way crawl days land),
+    each micro-batch folding into a persisted MinHashIndex via
+    ``foreachBatch`` (`stream_minhash_merge`: batch 1 bootstraps with
+    ``build``, batches 2/3 ``merge`` — delta-vs-landed + batch-internal
+    pairs appended, signatures over the BATCH only). The landed pairs
+    artifact must equal a from-scratch dedup of the full corpus, so
+    this entry shares ``dedup_minhash_lsh``'s oracle VERBATIM — the
+    streaming ∘ incremental-index composition is what the driver
+    checks (the ``stream_ingest`` discipline on the dedup surface)."""
+    import os
+
+    from coltt_spark.operators.dedup import MinHashIndex
+    from coltt_spark.streaming.ingest import (
+        read_table_stream,
+        stream_minhash_merge,
+    )
+    from coltt_spark.tmpdirs import scratch_dir
+
+    if sf_dir not in _STREAM_MHIDX_CACHE:
+        root = os.path.join(scratch_dir(prefix="coltt_stream_mhidx_"), "idx")
+        for i in (1, 2, 0):
+            batch = read_table_stream(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 3 == i
+            ).select("doc_id", "text")
+            stream_minhash_merge(batch, "doc_id", "text", root)
+        _STREAM_MHIDX_CACHE[sf_dir] = root
+    return MinHashIndex(spark, _STREAM_MHIDX_CACHE[sf_dir])._read("pairs")
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase ← same-user clicks in the
     preceding hour) replayed to completion — watermarked on both
@@ -399,6 +435,10 @@ SELECT hour, q, n_rows, round(b * 8.0 + 4.0, 4) AS est FROM picked
 """
 
 
+from coltt_spark.registry_dedup import _minhash_oracle  # noqa: E402
+
+_STREAM_DEDUP_INDEX_ORACLE = _minhash_oracle()
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_distinct": q_stream_distinct,
@@ -406,6 +446,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_ingest": q_stream_ingest,
+    "stream_dedup_index": q_stream_dedup_index,
     "stream_join": q_stream_join,
 }
 
@@ -416,5 +457,8 @@ STREAMING_ORACLES: dict[str, str] = {
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_ingest": _ORACLE_STREAM_INGEST,
+    # the streamed index's landed pairs == from-scratch dedup: shares
+    # dedup_minhash_lsh's oracle verbatim
+    "stream_dedup_index": _STREAM_DEDUP_INDEX_ORACLE,
     "stream_join": _ORACLE_STREAM_JOIN,
 }

@@ -106,3 +106,39 @@ def stream_text_index(
     if not shards:
         raise ValueError("stream_text_index: the stream delivered no documents")
     return TextIndex.merge(shards, os.path.join(root, "merged"))
+
+
+def stream_minhash_merge(
+    docs: DataFrame, id_col: str, text_col: str, root: str
+) -> None:
+    """Continuous near-dup index maintenance — the daily-crawl loop
+    as a stream: each micro-batch of a document stream folds into the
+    persisted :class:`~coltt_spark.operators.dedup.MinHashIndex` at
+    ``root`` (the first batch bootstraps it with ``build``, every
+    later batch ``merge``s: delta pairs vs the already-landed corpus
+    + batch-internal pairs appended, signatures computed over the
+    BATCH only — never the corpus). The signature analogue of
+    :func:`stream_text_index`: maintenance cost scales with the
+    CHANGE, and the landed pairs table equals a from-scratch dedup of
+    the full landed corpus exactly (pairwise determination — pinned
+    through the registry oracle). Blocks until the ``availableNow``
+    replay completes."""
+    from coltt_spark.operators.dedup import MinHashIndex
+
+    def sink(batch: DataFrame, _epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if os.path.exists(os.path.join(root, "meta.json")):
+            MinHashIndex(batch.sparkSession, root).merge(
+                batch, id_col, text_col
+            )
+        else:
+            MinHashIndex.build(batch, id_col, text_col, root)
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", scratch_dir(prefix="coltt_mhidx_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

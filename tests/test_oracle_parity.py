@@ -91,7 +91,6 @@ ROTATION_LEDGER_R13 = [
     "region_revenue",
     "window_top_orders",
     "price_percentiles",
-    "knn_f16",
 ]
 
 #: the r10 overflow tail — displaced from the round-13 window by this
@@ -99,6 +98,7 @@ ROTATION_LEDGER_R13 = [
 #: Each new/touched r13 seat moves one more entry from the ledger's
 #: r10 tail to the FRONT of this block (keep both lists in sync).
 R14_PRIORITY = [
+    "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
     "knn_block",
@@ -144,6 +144,9 @@ NEW_OR_TOUCHED_R13: list[str] = [
     "media_av_dedup_groups",
     # new r13: the frozen-index delta through the byte-shingle seam
     "dedup_minhash_delta_bytes",
+    # new r13: streaming MinHashIndex maintenance (build + merges via
+    # foreachBatch)
+    "stream_dedup_index",
 ]
 
 
