@@ -785,6 +785,35 @@ class MinHashIndex:
         )
         new_pairs.write.mode("append").parquet(os.path.join(self.root, "pairs"))
 
+    def compact(self, root: str, *, n_files: int = 8) -> "MinHashIndex":
+        """Rewrite the index as a fresh snapshot under ``root`` —
+        the ``TextIndex.compact`` discipline on the signature
+        artifacts: daily ``merge``s append small files (one set per
+        batch), and a weekly compact folds each artifact back into
+        ``n_files`` hash-distributed by its delta-side join key.
+        Content is copied verbatim (no recompute, no re-shingle), so
+        every subsequent ``delta_pairs`` answer is unchanged — pinned
+        by tests/test_dedup.py."""
+        import json
+        import os
+
+        for name, key in (
+            ("members", "fp"),
+            ("band_keys", "band_hash"),
+            ("fp_shingles", "fp"),
+            ("pairs", None),
+        ):
+            df = self._read(name)
+            part = (
+                df.repartition(n_files, key)
+                if key is not None
+                else df.repartition(n_files)
+            )
+            part.write.mode("overwrite").parquet(os.path.join(root, name))
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(self.meta, fh)
+        return MinHashIndex(self.spark, root)
+
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
     """60-bit SimHash per document: bit j of the fingerprint is the

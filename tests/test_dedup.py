@@ -1088,3 +1088,34 @@ def test_av_dedup_joint_contract(spark):
     assert {(9 * c, 9 * c + 6) for c in full} <= vonly
     assert all((b - a) in (3, 6) for a, b in killed)
     assert len(killed) >= 2 * len(full)
+
+
+def test_minhash_index_compact_preserves_delta_answers(spark, tmp_path):
+    """The merge→compact lifecycle: after two merges (many small
+    appended files), compact rewrites the snapshot into n_files per
+    artifact WITHOUT recompute — and the delta answer over a fresh
+    batch is unchanged, still equal to from-scratch over the union."""
+    import os
+
+    from coltt_spark.operators.dedup import MinHashIndex
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 1)
+    b1 = docs.filter(F.col("doc_id") % 3 == 2)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = MinHashIndex.build(b0, "doc_id", "text", str(tmp_path / "idx"))
+    idx.merge(b1, "doc_id", "text")
+    before = sorted(map(tuple, idx.delta_pairs(b2, "doc_id", "text").collect()))
+    cidx = idx.compact(str(tmp_path / "compacted"), n_files=2)
+    after = sorted(map(tuple, cidx.delta_pairs(b2, "doc_id", "text").collect()))
+    assert before == after
+    full = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert after == full
+    # the compacted layout is actually smaller-file-count
+    n_band_files = len(
+        [f for f in os.listdir(tmp_path / "compacted" / "band_keys")
+         if f.endswith(".parquet")]
+    )
+    assert n_band_files <= 2
