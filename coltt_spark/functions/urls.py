@@ -194,6 +194,56 @@ def registrable_domain(host: Column) -> Column:
     return out
 
 
+def _spark_registrable_domain_sql(h: str) -> str:
+    """The SAME generated rule chain as :func:`registrable_domain`,
+    emitted as ONE Spark-SQL ``CASE`` string over the SQL fragment
+    ``h`` (typically a column name). Why a string: building the chain
+    as Column objects marshals every rule literal through an
+    individual py4j ``lit`` round-trip — ~3.3k calls ≈ 2-4 s of pure
+    driver-side Python per query construction (measured r13-opt; the
+    data work itself is microseconds). ``F.expr`` ships the whole
+    chain in one call and the JVM parser ingests it in milliseconds;
+    the parsed tree is the identical CaseWhen/In over
+    ``regexp_extract`` the Column form produced, so plans and results
+    are byte-for-byte unchanged. WHEN order mirrors
+    :func:`_psl_plan` precedence exactly (the order the DuckDB oracle
+    replays). Backslashes are doubled — Spark SQL string literals
+    process escapes where DuckDB passes them through verbatim."""
+
+    def last(k: int) -> str:
+        rx = _last_labels_re(k).replace("\\", "\\\\")
+        return f"regexp_extract({h}, '{rx}', 1)"
+
+    whens = []
+    for kind, k, reg in _psl_plan(_PSL):
+        vals = _psl_set(_PSL, kind, k)
+        assert all("'" not in v for v in vals)  # PSL labels: [a-z0-9.-]
+        inlist = "', '".join(vals)
+        cond = f"{last(k)} IN ('{inlist}')"
+        if kind == "exc":
+            then = last(reg)
+        else:
+            then = f"CASE WHEN {last(reg)} <> '' THEN {last(reg)} ELSE {h} END"
+        whens.append(f"WHEN {cond} THEN {then}")
+    return (
+        "CASE "
+        + " ".join(whens)
+        + f" WHEN {last(2)} = '' THEN {h} ELSE {last(2)} END"
+    )
+
+
+def registrable_domain_expr(host_col: str) -> Column:
+    """:func:`registrable_domain` over a NAMED column, parsed JVM-side
+    in one py4j call (see :func:`_spark_registrable_domain_sql`).
+    Callers that compute the host inline alias it first —
+    ``df.select(..., host.alias("_h")).select(...,
+    registrable_domain_expr("_h").alias("domain"))`` — which stays a
+    pure codegen projection (the plan guards pin it)."""
+    if _PSL is None:
+        return registrable_domain_heuristic(F.col(host_col))
+    return F.expr(_spark_registrable_domain_sql(host_col))
+
+
 def url_normalize(url: Column) -> Column:
     """Apply the five-step normalization contract (module docstring)
     → the canonical URL string, NULL-free ('' stays '')."""

@@ -392,10 +392,19 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    sig_fp: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified against exact
     Jaccard (candidates only — the verify join touches O(candidates)
     rows, not O(n²)).
+
+    ``sig_fp``: a precomputed (and checkpointed)
+    ``_minhash_sig_fp(shingles, id_col)`` table, when the caller has
+    already paid for it — ``MinHashIndex.build``/``_delta_parts``
+    need the same signature+fingerprint aggregation for the index
+    artifacts, and without sharing it the 16-permutation + sorted-
+    fingerprint aggregation over the batch ran TWICE per delta
+    (r13-opt, guide §1.2 "don't compute things you throw away").
 
     k=16 signature split into ``bands`` bands of k/bands rows; a pair
     is a candidate iff some band hashes identically. With 4 bands × 4
@@ -425,7 +434,11 @@ def minhash_lsh_pairs(
     )
     # ONE pass over the shingle table computes both the 16 minhashes
     # and the exact-content fingerprint
-    per_doc = _minhash_sig_fp(sh, id_col).localCheckpoint(eager=False)
+    per_doc = (
+        sig_fp
+        if sig_fp is not None
+        else _minhash_sig_fp(sh, id_col).localCheckpoint(eager=False)
+    )
     reps = per_doc.groupBy("_fp").agg(F.min(F.col(id_col)).alias("_rep"))
     rep_of = per_doc.select(F.col(id_col).alias("_member"), "_fp").join(
         reps, on="_fp"
@@ -595,7 +608,8 @@ class MinHashIndex:
             on=id_col,
         ).select("fp", "sh")
         pairs = minhash_lsh_pairs(
-            df, id_col, text_col, n=n, bands=bands, threshold=threshold, shingles=sh
+            df, id_col, text_col, n=n, bands=bands, threshold=threshold,
+            shingles=sh, sig_fp=per_doc,
         )
         # hash-distribute each artifact by its delta-side join key
         members.repartition(n_files, "fp").write.mode("overwrite").parquet(
@@ -655,11 +669,11 @@ class MinHashIndex:
             if shingles is not None
             else shingle_table(new_df, id_col, text_col, n)
         ).localCheckpoint(eager=False)
+        per_new = _minhash_sig_fp(sh_new, id_col).localCheckpoint(eager=False)
         nn = minhash_lsh_pairs(
             new_df, id_col, text_col, n=n, bands=bands, threshold=threshold,
-            shingles=sh_new,
+            shingles=sh_new, sig_fp=per_new,
         )
-        per_new = _minhash_sig_fp(sh_new, id_col).localCheckpoint(eager=False)
         members_new = per_new.select(
             F.col(id_col).alias("member"), F.col("_fp").alias("fp")
         )

@@ -538,7 +538,7 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, the param filter, the port/fragment rules, or the
     domain heuristic breaks value parity."""
     from coltt_spark.functions.urls import (
-        registrable_domain,
+        registrable_domain_expr,
         url_host,
         url_normalize,
     )
@@ -562,10 +562,18 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     messy = F.concat(
         scheme, F.lit("://"), host, F.lit("/Articles/"), base, query, frag
     )
+    # two-step select: alias the host once, then apply the PSL chain
+    # via registrable_domain_expr — ONE JVM-parsed expression instead
+    # of ~3.3k per-literal py4j round-trips per query construction
+    # (r13-opt; results and physical plan unchanged)
     urls = docs.select(
         "doc_id",
         url_normalize(messy).alias("url"),
-        registrable_domain(url_host(messy)).alias("domain"),
+        url_host(messy).alias("_h"),
+    ).select(
+        "doc_id",
+        "url",
+        registrable_domain_expr("_h").alias("domain"),
     )
     return (
         urls.groupBy("url", "domain")
@@ -591,7 +599,7 @@ def q_web_url_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERATED from the same parsed rule file, so any drift in rule
     precedence (exceptions > most-labels), wildcard arithmetic, or
     the whole-host fallback breaks value parity."""
-    from coltt_spark.functions.urls import registrable_domain
+    from coltt_spark.functions.urls import registrable_domain_expr
 
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
@@ -613,10 +621,15 @@ def q_web_url_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 12 == 10, F.lit("github.io"))  # bare suffix
         .otherwise(F.lit("localhost"))  # single label
     )
+    # alias-then-apply: the PSL chain parses JVM-side in one call
+    # (r13-opt, see registrable_domain_expr) — same plan, same values
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         host.alias("host"),
-        registrable_domain(host).alias("domain"),
+    ).select(
+        "doc_id",
+        "host",
+        registrable_domain_expr("host").alias("domain"),
     )
 
 
@@ -664,7 +677,7 @@ def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — provably equivalent to the salted two-phase rank — so
     any divergence in rule precedence, priority order, tie-break, or
     the pre-quota domain counts breaks value parity."""
-    from coltt_spark.functions.urls import registrable_domain
+    from coltt_spark.functions.urls import registrable_domain_expr
     from coltt_spark.operators.pipeline import domain_quota
 
     docs = load_table(spark, sf_dir, "documents")
@@ -679,10 +692,16 @@ def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 11 == 9, F.concat(F.lit("w"), (d % 4).cast("string"), F.lit(".org.mw")))
         .otherwise(F.lit("localhost"))
     )
+    # alias-then-apply (r13-opt): one JVM-parsed PSL chain, not ~3.3k
+    # py4j literal calls — same domain values, same plan shape
     rows = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        registrable_domain(host).alias("domain"),
+        host.alias("_h"),
         ((d * 37) % 101).cast("long").alias("score"),
+    ).select(
+        "doc_id",
+        registrable_domain_expr("_h").alias("domain"),
+        "score",
     )
     # target sized so the fixture megadomain actually fans out
     # (sf0.01: 184 rows -> 3 salts; sf0.1: 1847 -> 29) — the driver
