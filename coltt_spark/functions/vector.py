@@ -27,13 +27,56 @@ from pyspark.sql import functions as F
 DISTANCES = ("cosine", "euclidean", "manhattan", "dot")
 
 
+def lit_double_array(xs: Sequence[float]) -> Column:
+    """``array<double>`` literal in ONE py4j round-trip: the element
+    list is rendered as a Spark-SQL array literal and parsed JVM-side.
+    ``F.array(*[F.lit(x) ...])`` costs one gateway round-trip per
+    element — a 64-dim query vector is ~130 calls, and a PQ codebook
+    or JL plane set multiplies that by ks/out_dim (measured r13-opt:
+    literal marshaling was the dominant cost of constructing every
+    KNN/projection query). ``repr`` round-trips doubles exactly and
+    the SQL parser is correctly-rounded, so values are BIT-IDENTICAL
+    to the per-element form (probed incl. subnormals/scientific)."""
+    return F.expr(sql_double_array(xs))
+
+
+def sql_double_array(xs: Sequence[float]) -> str:
+    """The SQL-text form of :func:`lit_double_array` — for callers
+    composing larger single-parse expressions."""
+    parts = []
+    for x in xs:
+        v = float(x)
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {v!r} in vector literal")
+        parts.append(repr(v) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def dot_fold_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`dot` (same zip_with/aggregate left
+    fold, so values are bit-identical) — one parser call instead of
+    per-operator py4j round-trips when both operands are expressible
+    as SQL fragments."""
+    return (
+        f"aggregate(zip_with(CAST({a_sql} AS ARRAY<DOUBLE>), "
+        f"CAST({b_sql} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def lit_long_array(xs: Sequence[int]) -> Column:
+    """``array<bigint>`` literal in one py4j round-trip (see
+    :func:`lit_double_array`)."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
+
+
 def _as_double_array(v: Column | Sequence[float] | str) -> Column:
     """Accept a column (by name or Column) or a Python literal vector."""
     if isinstance(v, str):
         v = F.col(v)
     if isinstance(v, Column):
         return v.cast("array<double>")
-    return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+    return lit_double_array(v).cast("array<double>")
 
 
 def dot(a, b) -> Column:

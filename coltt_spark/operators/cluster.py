@@ -91,17 +91,19 @@ def random_projection(
     (same seeded generator as the LSH hyperplanes, so a SQL oracle
     inlines identical planes and replays every value exactly); no
     shuffle, no Python, no driver collect."""
-    from coltt_spark.functions.vector import dot
+    from coltt_spark.functions.vector import dot_fold_sql, sql_double_array
     from coltt_spark.operators.ann import lsh_planes
 
     planes = lsh_planes(
         len(corpus.select(vec_col).first()[0]), out_dim, seed
     )
-    v = F.col(vec_col).cast("array<double>")
+    # one parsed expression per output coordinate (r13-opt): the
+    # Column form marshaled every plane element through py4j — the
+    # fold is the same zip_with/aggregate, values bit-identical
     cols = [
-        F.round(dot(v, F.array(*[F.lit(float(x)) for x in planes[j]])), 4).alias(
-            f"p{j}"
-        )
+        F.expr(
+            f"round({dot_fold_sql(f'`{vec_col}`', sql_double_array(planes[j]))}, 4)"
+        ).alias(f"p{j}")
         for j in range(out_dim)
     ]
     return corpus.select(F.col(id_col), *cols)

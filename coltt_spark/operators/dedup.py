@@ -27,10 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coltt_spark.functions.text import (
+    HASH_P,
     MINHASH_PARAMS,
     byte_shingles,
     hash60,
-    minhash_term,
     norm_text,
     word_shingles,
 )
@@ -320,16 +320,25 @@ def ngram_containment_pairs(
     )
 
 
+def _minhash_agg_exprs() -> list:
+    """The k=16 ``min((a·(sh mod P) + b) mod P)`` aggregate columns,
+    each parsed as ONE SQL expression (r13-opt — the Column form cost
+    ~10 py4j round-trips per permutation of construction time; the
+    integer math is identical either way)."""
+    return [
+        F.expr(
+            f"min(({a}L * (sh % {HASH_P}L) + {b}L) % {HASH_P}L)"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
     """k=16 MinHash signature columns mh0..mh15 per document.
     Documents with no shingles (fewer than n tokens) are dropped —
     they have no set to sketch."""
     sh = shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*_minhash_agg_exprs())
 
 
 def _minhash_sig_fp(sh: DataFrame, id_col: str) -> DataFrame:
@@ -337,20 +346,11 @@ def _minhash_sig_fp(sh: DataFrame, id_col: str) -> DataFrame:
     exact-content fingerprint ``_fp`` (md5 over the sorted distinct
     shingle hashes — deterministic, internal only), in ONE pass over
     a ``(id, sh)`` shingle table."""
-    aggs = [
-        F.min(minhash_term(F.col("sh"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
     return sh.groupBy(id_col).agg(
-        *aggs,
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_set("sh")),
-                    lambda c: c.cast("string"),
-                ),
-            )
+        *_minhash_agg_exprs(),
+        F.expr(
+            "md5(concat_ws(',', transform(sort_array(collect_set(sh)),"
+            " c -> CAST(c AS STRING))))"
         ).alias("_fp"),
     )
 
@@ -361,25 +361,23 @@ def _band_stack(sig: DataFrame, key_col: str, bands: int) -> DataFrame:
     columns, so a band bucket is an equi-join key."""
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
+    # single-parse expressions (r13-opt): the per-column Column form
+    # cost ~0.6 s of py4j round-trips per call on the delta path
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+        F.expr(
+            "md5(concat_ws('-', "
+            + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + "))"
         ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(key_col), *band_cols)
+    stack = ", ".join(
+        f"struct({b} AS band_idx, band{b} AS band_hash)" for b in range(bands)
+    )
     return banded.select(
         F.col(key_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
+        F.expr(f"explode(array({stack}))").alias("_b"),
     ).select(key_col, "_b.band_idx", "_b.band_hash")
 
 
@@ -854,14 +852,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     # distinct tokens/doc): each token adds bit_j << (21·slot), so one
     # int64 sum carries 3 independent per-bit popcounts. bits/3 agg
     # columns instead of `bits` — 3× less codegen and hashmap update
-    # work for the same exact result.
+    # work for the same exact result. Each pack is ONE parsed SQL
+    # expression (r13-opt): the per-operator Column form cost ~15 py4j
+    # round-trips per pack — construction, not execution, dominated
+    # the key.
     packs = []
     for g in range(0, bits, 3):
-        term = None
-        for s, j in enumerate(range(g, min(g + 3, bits))):
-            t = F.shiftleft(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)), 21 * s)
-            term = t if term is None else term + t
-        packs.append(F.sum(term).alias(f"_p{g // 3}"))
+        terms = " + ".join(
+            f"shiftleft(shiftright(h, {j}) & 1, {21 * s})"
+            for s, j in enumerate(range(g, min(g + 3, bits)))
+        )
+        packs.append(F.expr(f"sum({terms})").alias(f"_p{g // 3}"))
     agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packs)
     # the packed 21-bit counters are exact only while every per-bit
     # popcount (≤ _n) stays below 2^21; a pathological document with
@@ -884,14 +885,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
             ).cast("long"),
         ).otherwise(F.col("_n")),
     )
-    sim = None
-    for j in range(bits):
-        ones_j = F.shiftright(F.col(f"_p{j // 3}"), 21 * (j % 3)).bitwiseAND(
-            F.lit((1 << 21) - 1)
-        )
-        term = F.when(F.lit(2) * ones_j - F.col("_n") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    # one parsed expression for the 60-term fingerprint rebuild too
+    # (same r13-opt rationale; bit-identical integer math)
+    mask = (1 << 21) - 1
+    sim_terms = " + ".join(
+        f"(CASE WHEN 2 * (shiftright(_p{j // 3}, {21 * (j % 3)}) & {mask}) - _n > 0"
+        f" THEN {1 << j}L ELSE 0L END)"
+        for j in range(bits)
+    )
+    sim = F.expr(f"CAST({sim_terms} AS BIGINT)")
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -973,7 +976,15 @@ def sign_block(vec_col, *, bits: int = 16):
     chosen over random hyperplanes so the blocking is exactly
     expressible in the DuckDB oracle and blocked near-dup stays
     value-checked end-to-end."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        # one parsed expression (r13-opt): the per-bit Column form cost
+        # ~10 py4j round-trips per bit of pure construction time
+        terms = " + ".join(
+            f"(CASE WHEN `{vec_col}`[{i}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
+    c = vec_col
     out = F.lit(0)
     for i in range(bits):
         out = out + F.when(c[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -1012,7 +1023,19 @@ def sign_bands(vec_col, *, bands: int = 4, band_bits: int = 16):
     (null comparisons are false), so shorter vectors degrade to fewer
     effective bands rather than erroring. Returns an ``array<long>``
     of ``bands`` keys; explode + equi-join per key."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        # one parsed expression per band (r13-opt): the per-bit Column
+        # form was ~650 py4j round-trips of construction per call
+        keys_sql = []
+        for k in range(bands):
+            terms = " + ".join(
+                f"(CASE WHEN `{vec_col}`[{k * band_bits + i}] >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i in range(band_bits)
+            )
+            keys_sql.append(f"CAST({k * (1 << band_bits)} + {terms} AS BIGINT)")
+        return F.expr("array(" + ", ".join(keys_sql) + ")")
+    c = vec_col
     keys = []
     for k in range(bands):
         out = F.lit(k * (1 << band_bits))

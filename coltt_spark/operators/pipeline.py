@@ -177,15 +177,22 @@ def semantic_decontaminate(
     from coltt_spark.operators.dedup import sign_bands
 
     tv = F.col(vec_col).cast("array<double>")
+    # pass the column NAME so sign_bands takes its single-parse SQL
+    # path (r13-opt); the sign of a float is the sign of its double
+    # cast, so the band keys are identical
     t = train.select(
         F.col(id_col),
         tv.alias("_tv"),
-        F.explode(sign_bands(tv, bands=bands, band_bits=band_bits)).alias("_bkey"),
+        F.explode(
+            sign_bands(vec_col, bands=bands, band_bits=band_bits)
+        ).alias("_bkey"),
     )
     b = benchmark.select(
         F.col(id_col).alias("_bench_id"),
         tv.alias("_bv"),
-        F.explode(sign_bands(tv, bands=bands, band_bits=band_bits)).alias("_bkey"),
+        F.explode(
+            sign_bands(vec_col, bands=bands, band_bits=band_bits)
+        ).alias("_bkey"),
     )
     cos = dot(F.col("_tv"), F.col("_bv")) / (
         l2_norm(F.col("_tv")) * l2_norm(F.col("_bv"))

@@ -62,7 +62,9 @@ def sign_words(vec: Column | str, dim: int) -> Column:
     words = []
     for w in range(0, dim, 64):
         width = min(64, dim - w)
-        powers = F.array(*[F.lit(_pow2_long(i)).cast("long") for i in range(width)])
+        from coltt_spark.functions.vector import lit_long_array
+
+        powers = lit_long_array([_pow2_long(i) for i in range(width)])
         words.append(
             F.aggregate(
                 F.zip_with(
@@ -158,7 +160,9 @@ def bq_topk(
 
 def _sq_dist(sub: Column, centroid: Sequence[float]) -> Column:
     """Σ (xᵢ-cᵢ)² as a sequential left fold in double (oracle-exact)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    from coltt_spark.functions.vector import lit_double_array
+
+    lit = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
