@@ -2406,111 +2406,148 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     views, and the shingle table — so per-query timings measure the
     QUERY against a warm store (the posture of the reference's
     numbers, which scan an already-built in-memory shard). Ingest
-    cost doesn't vanish: bench.py reports it as fixture_build_sec."""
-    from coltt_spark.registry_dedup import _doc_shingles
-    from coltt_spark.registry_schemaless import _docs_collection, _emb_schemaless
+    cost doesn't vanish: bench.py reports it as fixture_build_sec.
 
-    from coltt_spark.registry_streaming import _streamed_collection
+    Fixtures run as independent CHAINS on a small thread pool
+    (optimization guide §2.6 — overlap independent jobs): each build
+    is dozens of tiny sequential local jobs that leave most cores
+    idle, so sequential prewarm was wall-clock-bound by the job-floor
+    tail, not by work (measured 115 s solo sequential at sf0.1;
+    chains overlap to ~the longest chain). A chain is the unit of
+    ordering: fixtures that share a sub-fixture or artifact live in
+    ONE chain in dependency order, so no cache is ever raced. Every
+    chain failure propagates (future.result), preserving the loud
+    sequential failure behavior; results are the same per-sf_dir
+    module caches, built exactly once each."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    _embeddings_collection(spark, sf_dir)
-    _blocks_collection(spark, sf_dir)
-    _delta_blocks_collection(spark, sf_dir)
-    _delta_ivf_collection(spark, sf_dir)
-    _ivf_collection(spark, sf_dir)
-    _ivfpq_collection(spark, sf_dir)
-    _ivfpq_opq_collection(spark, sf_dir)
-    _delta_ivfpq_collection(spark, sf_dir)
-    for kind in ("f16", "bf16", "f8", "bq", "sq8"):
-        _quantized_collection(spark, sf_dir, kind)
+    from pyspark import inheritable_thread_target
+
     from coltt_spark.registry_ann import _ivfpq_index, _kmeans_fixture, _pq_book
-
-    _pq_book(spark, sf_dir)
-    _kmeans_fixture(spark, sf_dir)
-    _ivfpq_index(spark, sf_dir)
-    from coltt_spark.registry_media import _media_feats
-
-    _media_feats(spark, sf_dir)
-    from coltt_spark.registry_pipeline import q_jsonl_roundtrip
-
-    q_jsonl_roundtrip(spark, sf_dir)  # builds the JSONL shard tree
-    from coltt_spark.registry_dedup import _dedup_groups_table
-
-    _dedup_groups_table(spark, sf_dir)
-    _doc_shingles(spark, sf_dir)
-    _docs_collection(spark, sf_dir)
-    _emb_schemaless(spark, sf_dir)
-    # the streaming replay IS this fixture's ingest; the registry
-    # query then measures the search over the landed state
-    _streamed_collection(spark, sf_dir)
-    from coltt_spark.registry_streaming import _streamed_ivfpq_collection
-
-    _streamed_ivfpq_collection(spark, sf_dir)
+    from coltt_spark.registry_dedup import (
+        _MINHASH_BYTES_INDEX_CACHE,
+        _MINHASH_INDEX_CACHE,
+        _dedup_groups_table,
+        _doc_shingles,
+        q_dedup_minhash_delta,
+        q_dedup_minhash_delta_bytes,
+    )
     from coltt_spark.registry_fulltext import (
         _text_index,
         q_bm25_index_deleted,
         q_bm25_index_merged,
     )
-
-    _text_index(spark, sf_dir)  # inverted BM25 postings index
-    _text_index(spark, sf_dir, str_ids=True)  # hybrid product surface
-    q_bm25_index_merged(spark, sf_dir)  # sharded build + merged index
-    q_bm25_index_deleted(spark, sf_dir)  # tombstoned-index fixture
-    from coltt_spark.registry_text import _bpe_bytes_fixture, _bpe_fixture
-
-    _bpe_fixture(spark, sf_dir)  # trained BPE merges + word->n_tok table
-    # byte-level twin: merges + word->segmentation + base alphabet
-    _bpe_bytes_fixture(spark, sf_dir)
-    from coltt_spark.registry_text import _bpe_bytes_pretok_fixture
-
-    # GPT-2-pretok twin (trained model on the punctuation fixture)
-    _bpe_bytes_pretok_fixture(spark, sf_dir)
-    from coltt_spark.registry_text import _unigram_fixture
-
-    # unigram-LM tokenizer (substring seeding + hard-EM rounds)
-    _unigram_fixture(spark, sf_dir)
-    from coltt_spark.registry_text import _unigram_pruned_fixture
-
-    # oversized-seed + per-round-pruned twin (Kudo 2018 completed)
-    _unigram_pruned_fixture(spark, sf_dir)
-    from coltt_spark.registry_text import _wordpiece_fixture
-
-    # WordPiece merges + id-assigned vocabulary (likelihood argmaxes)
-    _wordpiece_fixture(spark, sf_dir)
-    from coltt_spark.registry_text import _unigram_soft_fixture
-
-    # soft-EM unigram twin (forward-backward expected counts)
-    _unigram_soft_fixture(spark, sf_dir)
-    from coltt_spark.registry_media import _video_sig_fixture
-
-    # video fingerprint table (three-codec fabricate+decode, shared
-    # by the pairs and groups entries)
-    _video_sig_fixture(spark, sf_dir)
-    from coltt_spark.registry_media import _av_sig_fixture
-
-    # joint AV fingerprint table (two-stream AVI fabricate+decode,
-    # both tracks) — the av-dedup entry times the banded join +
-    # audio verify against it
-    _av_sig_fixture(spark, sf_dir)
-    from coltt_spark.registry_dedup import _MINHASH_INDEX_CACHE, q_dedup_minhash_delta
-
-    # frozen MinHash signature index (the incremental-dedup corpus
-    # side); the registry key then times the DELTA probe against it
-    if sf_dir not in _MINHASH_INDEX_CACHE:
-        q_dedup_minhash_delta(spark, sf_dir).take(1)
-    from coltt_spark.registry_dedup import (
-        _MINHASH_BYTES_INDEX_CACHE,
-        q_dedup_minhash_delta_bytes,
+    from coltt_spark.registry_media import (
+        _av_sig_fixture,
+        _media_feats,
+        _video_sig_fixture,
     )
-
-    # byte-shingle twin (script-agnostic incremental dedup)
-    if sf_dir not in _MINHASH_BYTES_INDEX_CACHE:
-        q_dedup_minhash_delta_bytes(spark, sf_dir).take(1)
+    from coltt_spark.registry_pipeline import q_jsonl_roundtrip
+    from coltt_spark.registry_schemaless import _docs_collection, _emb_schemaless
     from coltt_spark.registry_streaming import (
         _STREAM_MHIDX_CACHE,
+        _streamed_collection,
+        _streamed_ivfpq_collection,
         q_stream_dedup_index,
     )
+    from coltt_spark.registry_text import (
+        _bpe_bytes_fixture,
+        _bpe_bytes_pretok_fixture,
+        _bpe_fixture,
+        _unigram_fixture,
+        _unigram_pruned_fixture,
+        _unigram_soft_fixture,
+        _wordpiece_fixture,
+    )
 
-    # streamed MinHashIndex (three availableNow replays: build + two
-    # merges) — the registry key then reads the landed pairs artifact
-    if sf_dir not in _STREAM_MHIDX_CACHE:
-        q_stream_dedup_index(spark, sf_dir).take(1)
+    def _minhash_idx():
+        # frozen MinHash signature index (the incremental-dedup corpus
+        # side); the registry key then times the DELTA probe against it
+        if sf_dir not in _MINHASH_INDEX_CACHE:
+            q_dedup_minhash_delta(spark, sf_dir).take(1)
+
+    def _minhash_bytes_idx():
+        # byte-shingle twin (script-agnostic incremental dedup)
+        if sf_dir not in _MINHASH_BYTES_INDEX_CACHE:
+            q_dedup_minhash_delta_bytes(spark, sf_dir).take(1)
+
+    def _stream_mhidx():
+        # streamed MinHashIndex (three availableNow replays: build +
+        # two merges) — the key then reads the landed pairs artifact
+        if sf_dir not in _STREAM_MHIDX_CACHE:
+            q_stream_dedup_index(spark, sf_dir).take(1)
+
+    chains: list[list] = [
+        # flat/blocked/ivf collection family (each its own catalog dir)
+        [
+            _embeddings_collection,
+            _blocks_collection,
+            _delta_blocks_collection,
+            _delta_ivf_collection,
+            _ivf_collection,
+        ],
+        # the PQ-quantized product surface
+        [
+            _ivfpq_collection,
+            _ivfpq_opq_collection,
+            _delta_ivfpq_collection,
+            _streamed_ivfpq_collection,
+        ],
+        # quantized row stores + the fused IVF-PQ ANN index
+        # (_ivfpq_index is independent of _pq_book/_kmeans_fixture
+        # build-wise, but they share the ANN registry module caches —
+        # keep them one chain)
+        [
+            lambda s, d: [_quantized_collection(s, d, k) for k in ("f16", "bf16", "f8", "bq", "sq8")],
+            _pq_book,
+            _kmeans_fixture,
+            _ivfpq_index,
+            _streamed_collection,
+        ],
+        # dedup artifacts: the shingle table feeds the groups table;
+        # the MinHash indexes and the streamed index share the
+        # dedup-module corpora
+        [
+            _doc_shingles,
+            _dedup_groups_table,
+            lambda s, d: _minhash_idx(),
+            lambda s, d: _minhash_bytes_idx(),
+            lambda s, d: _stream_mhidx(),
+        ],
+        # tokenizer training fixtures (driver-sequential argmax jobs)
+        [
+            _bpe_fixture,
+            _bpe_bytes_fixture,
+            _bpe_bytes_pretok_fixture,
+            _unigram_fixture,
+            _unigram_pruned_fixture,
+        ],
+        [
+            _wordpiece_fixture,
+            _unigram_soft_fixture,
+            _media_feats,
+            q_jsonl_roundtrip,
+            _docs_collection,
+            _emb_schemaless,
+        ],
+        # fulltext indexes + media fingerprint tables
+        [
+            lambda s, d: _text_index(s, d),
+            lambda s, d: _text_index(s, d, str_ids=True),
+            q_bm25_index_merged,
+            q_bm25_index_deleted,
+            _video_sig_fixture,
+            _av_sig_fixture,
+        ],
+    ]
+
+    def run_chain(chain):
+        for step in chain:
+            step(spark, sf_dir)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(run_chain), c) for c in chains
+        ]
+        for f in futures:
+            f.result()
