@@ -39,16 +39,30 @@ _NANO_TS_COLS = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (sf_dir, name) → resolved DataFrame — the catalog role: a real
+#: deployment registers a table once and reuses the resolved relation;
+#: re-running ``spark.read.parquet`` per query re-read footers and
+#: re-inferred the schema every time (~0.1 s × ~700 calls per bench
+#: pass, r13-opt). The cached object is a LAZY plan — every action
+#: still scans the parquet files, so no results are ever cached.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. ``name`` must be in :data:`TABLE_NAMES`."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     if name in _NANO_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -73,6 +87,16 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     splits than the session's parallelism, so it never adds a shuffle
     of a large input."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # the ``.rdd`` probe replans the DataFrame every call (~50 ms);
+    # memoize it on the (immutable, now catalog-cached) object so
+    # repeated queries over the same table skip the replan (r13-opt)
+    nparts = getattr(df, "_coltt_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._coltt_nparts = nparts
+        except AttributeError:
+            pass
+    if nparts >= target:
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
