@@ -2547,7 +2547,8 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         futures = [
-            pool.submit(inheritable_thread_target(run_chain), c) for c in chains
+            pool.submit(inheritable_thread_target(spark)(run_chain), c)
+            for c in chains
         ]
         for f in futures:
             f.result()
