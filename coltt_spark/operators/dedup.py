@@ -1019,10 +1019,11 @@ def sign_bands(vec_col, *, bands: int = 4, band_bits: int = 16):
     corpus scale (measured 7× slower on the sf0.1 fixture before this
     default was widened). With the 4×16 default the bands tile the
     FULL 64 dimensions, so ≤ 3 sign flips ANYWHERE still leave one
-    clean band. Components past the vector's length contribute 0 bits
-    (null comparisons are false), so shorter vectors degrade to fewer
-    effective bands rather than erroring. Returns an ``array<long>``
-    of ``bands`` keys; explode + equi-join per key."""
+    clean band. A vector shorter than ``bands·band_bits`` fails loudly
+    (ANSI out-of-bounds — the Spark 4 default; identical in both
+    construction paths, pinned by tests/test_expr_parity.py). Returns
+    an ``array<long>`` of ``bands`` keys; explode + equi-join per
+    key."""
     if isinstance(vec_col, str):
         # one parsed expression per band (r13-opt): the per-bit Column
         # form was ~650 py4j round-trips of construction per call
