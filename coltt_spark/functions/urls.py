@@ -238,10 +238,14 @@ def registrable_domain_expr(host_col: str) -> Column:
     Callers that compute the host inline alias it first —
     ``df.select(..., host.alias("_h")).select(...,
     registrable_domain_expr("_h").alias("domain"))`` — which stays a
-    pure codegen projection (the plan guards pin it)."""
+    pure codegen projection (the plan guards pin it). The column
+    reference is emitted backtick-quoted (like the dedup.py expr
+    paths) so reserved-word or special-character column names parse
+    as a reference, not as SQL syntax (ADVICE r13)."""
     if _PSL is None:
         return registrable_domain_heuristic(F.col(host_col))
-    return F.expr(_spark_registrable_domain_sql(host_col))
+    quoted = "`" + host_col.replace("`", "``") + "`"
+    return F.expr(_spark_registrable_domain_sql(quoted))
 
 
 def url_normalize(url: Column) -> Column:

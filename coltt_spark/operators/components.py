@@ -35,8 +35,10 @@ def connected_components(
         .distinct()
         # materialize once — every propagation round joins against edges,
         # and without this the full upstream pair pipeline (e.g. MinHash
-        # shingling + band join) would re-execute per round
-        .localCheckpoint(eager=True)
+        # shingling + band join) would re-execute per round. LAZY: the
+        # first round's count job materializes it (no standalone job;
+        # r14-opt, one fewer action per resolve)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("s").alias("id"))
@@ -58,7 +60,14 @@ def connected_components(
                 (F.col("nb_root") < F.col("root")).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint + count in ONE action (r14-opt, guide §1.2):
+        # the count job materializes the checkpoint as a side effect,
+        # so each propagation round costs one job where the eager
+        # checkpoint + separate count cost two (each bounded below by
+        # the ~0.2 s local-mode job floor; at cluster scale, one
+        # scheduler round-trip fewer per round). Subsequent rounds
+        # read the materialized partitions, never the lineage.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

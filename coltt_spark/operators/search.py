@@ -224,7 +224,12 @@ def two_phase_topk(
 
 
 def widen_vectors(
-    df: DataFrame, *, vector_col: str = "vector", dim: int, prefix: str = "e"
+    df: DataFrame,
+    *,
+    vector_col: str = "vector",
+    dim: int,
+    prefix: str = "e",
+    expr: bool = True,
 ) -> DataFrame:
     """Explode a vector column into one double column per dimension
     (``e0..e{dim-1}``) plus its precomputed L2 norm ``_vnorm``.
@@ -234,14 +239,74 @@ def widen_vectors(
     per-row array allocation (the ``zip_with`` intermediate that
     dominates the array layout) — and Parquet stores it columnar, so
     a scan reads exactly the dimensions it needs. ~4x faster per query
-    than the array layout at 1M rows."""
-    v = F.col(vector_col).cast("array<double>")
+    than the array layout at 1M rows.
+
+    Construction is ONE ``selectExpr`` round-trip (r14-opt, guide §4:
+    the per-element ``v[i].alias(...)`` Column form marshaled ~3
+    py4j calls per dimension); ``expr=False`` keeps the Column twin,
+    pinned bit-exact by tests/test_expr_parity.py."""
     keep = [c for c in df.columns if c != vector_col]
-    return df.select(
-        *keep,
-        *[v[i].alias(f"{prefix}{i}") for i in range(dim)],
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("_vnorm"),
+    if not expr:
+        v = F.col(vector_col).cast("array<double>")
+        return df.select(
+            *keep,
+            *[v[i].alias(f"{prefix}{i}") for i in range(dim)],
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("_vnorm"),
+        )
+    vexpr = f"CAST(`{vector_col}` AS ARRAY<DOUBLE>)"
+    return df.selectExpr(
+        *[f"`{c}`" for c in keep],
+        *[f"{vexpr}[{i}] AS `{prefix}{i}`" for i in range(dim)],
+        f"sqrt(aggregate({vexpr}, 0.0D, (a, x) -> a + x * x)) AS `_vnorm`",
     )
+
+
+def _wide_dist(
+    q: list[float],
+    dim: int,
+    distance: str,
+    *,
+    prefix: str = "e",
+    expr: bool = True,
+) -> Column:
+    """Distance over the wide layout. SQL-text single-parse by
+    default; ``expr=False`` builds the identical chain from Column
+    operators (the parity twin)."""
+    import math
+
+    if not expr:
+        cols = [F.col(f"{prefix}{i}") for i in range(dim)]
+        if distance == "cosine":
+            qn = math.sqrt(sum(x * x for x in q)) or 1.0
+            dot = sum(c * F.lit(q[i]) for i, c in enumerate(cols))
+            return F.abs(1.0 - dot / (F.col("_vnorm") * F.lit(qn)))
+        if distance == "euclidean":
+            return F.sqrt(
+                sum((c - F.lit(q[i])) * (c - F.lit(q[i])) for i, c in enumerate(cols))
+            )
+        if distance == "manhattan":
+            return sum(F.abs(c - F.lit(q[i])) for i, c in enumerate(cols))
+        raise ValueError(f"unknown distance {distance!r}")
+
+    def fold(terms: list[str]) -> str:
+        # replicate Python sum(): integer 0 start, left-assoc adds
+        acc = "0"
+        for t in terms:
+            acc = f"({acc} + {t})"
+        return acc
+
+    if distance == "cosine":
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+        dot = fold([f"(`{prefix}{i}` * {q[i]!r}D)" for i in range(dim)])
+        return F.expr(f"abs(1.0D - ({dot} / (`_vnorm` * {qn!r}D)))")
+    if distance == "euclidean":
+        s = fold(
+            [f"((`{prefix}{i}` - {q[i]!r}D) * (`{prefix}{i}` - {q[i]!r}D))" for i in range(dim)]
+        )
+        return F.expr(f"sqrt({s})")
+    if distance == "manhattan":
+        return F.expr(fold([f"abs(`{prefix}{i}` - {q[i]!r}D)" for i in range(dim)]))
+    raise ValueError(f"unknown distance {distance!r}")
 
 
 def vertex_search_wide(
@@ -254,26 +319,25 @@ def vertex_search_wide(
     offset: int = 0,
     tie_break: str | None = None,
     prefix: str = "e",
+    expr: bool = True,
 ) -> DataFrame:
     """FLAT exhaustive KNN over a :func:`widen_vectors` layout — same
     semantics (and score transform) as :func:`vertex_search`, built
-    from scalar column arithmetic instead of array expressions."""
+    from scalar column arithmetic instead of array expressions.
+
+    The multiply-add chain is rendered as ONE SQL string and parsed
+    JVM-side (r14-opt, guide §4: the Column fold marshaled ~4 py4j
+    calls per dimension). The text replicates the Python ``sum``
+    fold exactly — leading integer ``0`` accumulator, left-assoc
+    adds, ``repr`` doubles — so the parsed tree is the identical
+    Add/Multiply chain; ``expr=False`` keeps the Column twin, pinned
+    bit-exact by tests/test_expr_parity.py."""
     import math
 
     q = [float(x) for x in query]
     dim = dim or len(q)
     tie_break = tie_break or df_wide.columns[0]
-    cols = [F.col(f"{prefix}{i}") for i in range(dim)]
-    if distance == "cosine":
-        qn = math.sqrt(sum(x * x for x in q)) or 1.0
-        dot = sum(c * F.lit(q[i]) for i, c in enumerate(cols))
-        dist = F.abs(1.0 - dot / (F.col("_vnorm") * F.lit(qn)))
-    elif distance == "euclidean":
-        dist = F.sqrt(sum((c - F.lit(q[i])) * (c - F.lit(q[i])) for i, c in enumerate(cols)))
-    elif distance == "manhattan":
-        dist = sum(F.abs(c - F.lit(q[i])) for i, c in enumerate(cols))
-    else:
-        raise ValueError(f"unknown distance {distance!r}")
+    dist = _wide_dist(q, dim, distance, prefix=prefix, expr=expr)
     # project the dimension columns away BEFORE the top-k: the scan
     # still reads them to compute dist, but the TakeOrderedAndProject
     # heap then handles narrow (metadata, dist) rows instead of

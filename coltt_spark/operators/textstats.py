@@ -67,22 +67,54 @@ def _marker_score(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
 
+def _marker_score_sql(tk: str, lang: str) -> str:
+    """SQL-text twin of :func:`_marker_score` — same
+    size/filter/array_contains tree, one parser call instead of ~30
+    py4j round-trips per language (r14-opt, guide §4)."""
+    ms = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"size(filter({tk}, t -> array_contains(array({ms}), t)))"
+
+
+#: the argmax CASE over the materialized per-language score columns
+#: (`_s_<lang>`, `_best`) — fixed-order tie-break, `und` fallback;
+#: value-identical to the old inline when-chain (integer compares)
+_LANG_PRED_SQL = (
+    "CASE WHEN `_best` = 0 THEN 'und' "
+    + " ".join(f"WHEN `_s_{lang}` = `_best` THEN '{lang}'" for lang in _LANG_ORDER)
+    + " ELSE 'und' END"
+)
+
+
+def _lang_scores(df: DataFrame, tk: str = "_tk") -> DataFrame:
+    """Attach the 11 per-language marker scores (``_s_<lang>``) and
+    their max (``_best``) to ``df`` from its token-array column — TWO
+    parsed selectExpr calls total. Materializing each score ONCE as a
+    column (instead of re-inlining the filter into every argmax WHEN,
+    which the Column form did 12× per language) also keeps the plan
+    ~12× smaller; the projections stay one fused codegen stage."""
+    scored = df.selectExpr(
+        "*",
+        *[
+            f"{_marker_score_sql(f'`{tk}`', lang)} AS `_s_{lang}`"
+            for lang in _LANG_ORDER
+        ],
+    )
+    best = "greatest(" + ", ".join(f"`_s_{lang}`" for lang in _LANG_ORDER) + ")"
+    return scored.selectExpr("*", f"{best} AS `_best`")
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-marker language ID: score each language by marker-token
     occurrences (with multiplicity), argmax with fixed-order
     tie-break, ``und`` when nothing matches."""
     df = ensure_parallelism(df, id_col)
-    toks = tokens(text_col)
-    scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
-    best = F.greatest(*scores.values())
-    pred: Column = F.lit("und")
-    for lang in reversed(_LANG_ORDER):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return df.select(
-        F.col(id_col),
-        pred.alias("pred_lang"),
-        best.cast("long").alias("marker_hits"),
+    # materialize the token array once (the inline form re-derived the
+    # tokenizer into every score — same lesson as script_lang_id)
+    df = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    return _lang_scores(df).selectExpr(
+        f"`{id_col}`",
+        f"{_LANG_PRED_SQL} AS pred_lang",
+        "CAST(`_best` AS BIGINT) AS marker_hits",
     )
 
 
@@ -111,19 +143,11 @@ def lang_id_windows(
     ex = df.select(
         F.col(id_col), F.posexplode(wins).alias("window_idx", "_wt")
     )
-    scores = {
-        lang: _marker_score(F.col("_wt"), lang) for lang in _LANG_ORDER
-    }
-    best = F.greatest(*scores.values())
-    pred: Column = F.lit("und")
-    for lang in reversed(_LANG_ORDER):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return ex.select(
-        F.col(id_col),
-        F.col("window_idx").cast("long").alias("window_idx"),
-        pred.alias("pred_lang"),
-        best.cast("long").alias("marker_hits"),
+    return _lang_scores(ex, tk="_wt").selectExpr(
+        f"`{id_col}`",
+        "CAST(`window_idx` AS BIGINT) AS window_idx",
+        f"{_LANG_PRED_SQL} AS pred_lang",
+        "CAST(`_best` AS BIGINT) AS marker_hits",
     )
 
 
@@ -159,51 +183,45 @@ def script_lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         utf8_byte_symbols(F.col(text_col)).alias("_sy"),
         tokens(text_col).alias("_tk"),
     )
-    syms = F.col("_sy")
-    n = F.size(syms)
 
-    def band(lo: str, hi: str) -> Column:
-        return F.size(
-            F.filter(syms, lambda s: (s >= F.lit(lo)) & (s <= F.lit(hi)))
-        ).cast("long")
+    def band(lo: str, hi: str) -> str:
+        return (
+            f"CAST(size(filter(`_sy`, s -> s >= '{lo}' AND s <= '{hi}')) AS BIGINT)"
+        )
 
     # Spark's sequence(1, n-1) DESCENDS when n < 2 (DuckDB's
-    # generate_series returns empty) — guard the pair walk explicitly
-    kana = F.when(
-        n >= 2,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), n - 1),
-                lambda j: (F.element_at(syms, j) == F.lit("E3"))
-                & F.element_at(syms, j + 1).isin("81", "82", "83"),
-            )
-        ),
-    ).otherwise(F.lit(0)).cast("long")
-    hangul = band("EA", "ED")
-    cjk = band("E4", "E9")
-    cyr = band("D0", "D1")
-    toks = F.col("_tk")
-    scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
-    best = F.greatest(*scores.values())
-    latin: Column = F.lit("und")
-    for lang in reversed(_LANG_ORDER):
-        latin = F.when(scores[lang] == best, F.lit(lang)).otherwise(latin)
-    latin = F.when(best == 0, F.lit("und")).otherwise(latin)
-    pred = (
-        F.when(kana > 0, F.lit("ja"))
-        .when(hangul > 0, F.lit("ko"))
-        .when(cjk > 0, F.lit("zh"))
-        .when(cyr > 0, F.lit("ru"))
-        .otherwise(latin)
+    # generate_series returns empty) — guard the pair walk explicitly.
+    # Band/kana counts land in the same single-parse projection as the
+    # marker scores (r14-opt, guide §4); integer counts, same trees.
+    kana = (
+        "CAST(CASE WHEN size(`_sy`) >= 2 THEN "
+        "size(filter(sequence(1, size(`_sy`) - 1), "
+        "j -> element_at(`_sy`, j) = 'E3' "
+        "AND element_at(`_sy`, j + 1) IN ('81', '82', '83'))) "
+        "ELSE 0 END AS BIGINT)"
     )
-    return df.select(
-        F.col(id_col),
-        pred.alias("pred_lang"),
-        kana.alias("n_kana"),
-        hangul.alias("n_hangul"),
-        cjk.alias("n_cjk"),
-        cyr.alias("n_cyr"),
-        best.cast("long").alias("marker_hits"),
+    counted = df.selectExpr(
+        "*",
+        f"{kana} AS `_kana`",
+        f"{band('EA', 'ED')} AS `_hangul`",
+        f"{band('E4', 'E9')} AS `_cjk`",
+        f"{band('D0', 'D1')} AS `_cyr`",
+    )
+    pred = (
+        "CASE WHEN `_kana` > 0 THEN 'ja' "
+        "WHEN `_hangul` > 0 THEN 'ko' "
+        "WHEN `_cjk` > 0 THEN 'zh' "
+        "WHEN `_cyr` > 0 THEN 'ru' "
+        f"ELSE {_LANG_PRED_SQL} END"
+    )
+    return _lang_scores(counted).selectExpr(
+        f"`{id_col}`",
+        f"{pred} AS pred_lang",
+        "`_kana` AS n_kana",
+        "`_hangul` AS n_hangul",
+        "`_cjk` AS n_cjk",
+        "`_cyr` AS n_cyr",
+        "CAST(`_best` AS BIGINT) AS marker_hits",
     )
 
 
@@ -394,22 +412,34 @@ def bigram_lm_score(
     (id, n_bigrams, avg_logprob, ppl); documents with fewer than two
     tokens have no bigrams and drop out (same contract both engines).
 
-    Scale shape: the corpus is exploded into its bigram stream ONCE
-    and shuffled on the (w1, w2) key twice — once to build the count
-    table (map-side combined), once to join probabilities back (hot
-    function-word pairs like "of the" are the skew risk; AQE
-    skew-join splits them, the same posture as the BM25 hot-token
-    datapoint). The bigram and context tables are vocab-sized
-    aggregates joined to each other off the corpus path; the unigram
-    table is BROADCAST onto the stream with the same head/tail split
-    documented on :func:`lm_score`. All counts are integer-valued
-    doubles, so every sum is exact regardless of partition order;
-    the only float surface is the final log/avg, shared verbatim
-    with the oracle."""
+    Scale shape (r14-opt, guide §1.2/§2.3 — tokenize once, shuffle
+    the stream once): the corpus is exploded into its bigram stream
+    ONCE into a lazy local checkpoint — before, every consumer
+    (count table, context table, probability join) re-derived the
+    whole scan+tokenize+explode subtree, 3 Generate passes per run
+    at runtime. The count aggregation partial-aggregates map-side
+    off the checkpoint (vocab²-bounded exchange); the context table
+    re-aggregates the count table and is BROADCAST back onto it
+    (vocab-sized at any scale — the same posture as the unigram
+    broadcast below), so the count side keeps one small exchange;
+    the probability join then moves the heavy stream at most once
+    (broadcast of the count table at local stats, stream shuffle at
+    scale — hot function-word pairs like "of the" are the skew
+    risk; AQE skew-join splits them, the same posture as the BM25
+    hot-token datapoint). All counts are integer-valued doubles, so
+    every sum is exact regardless of partition order; the only float
+    surface is the final log/avg, shared verbatim with the oracle."""
     df = ensure_parallelism(df, id_col)
     toks = tokens(text_col)
     e = df.select(F.col(id_col), F.explode(toks).alias("token"))
-    uni = e.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("_c1"))
+    # vocab-sized; the checkpoint makes the unigram tokenize pass run
+    # ONCE (its two consumers — the broadcast onto the stream and the
+    # corpus total — each re-derived the explode before)
+    uni = (
+        e.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c1"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.groupBy().agg(F.sum("_c1").alias("_n"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bg = F.zip_with(
@@ -420,12 +450,25 @@ def bigram_lm_score(
     pairs = (
         df.select(F.col(id_col), F.explode(bg).alias("p"))
         .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        # materialize the tokenized/exploded stream ONCE per run —
+        # without this Catalyst prunes each consumer's copy
+        # differently (with/without the doc id), exchange reuse never
+        # fires, and the corpus is re-tokenized per branch (measured:
+        # 3 Generate passes at runtime). No pre-shuffle: AQE drops a
+        # checkpoint's outputPartitioning to Unknown, so clustering
+        # before the checkpoint would be a wasted full-stream
+        # exchange. Per-run intermediate, nothing cached across runs.
+        .localCheckpoint(eager=False)
     )
     c2 = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("_c2")
     )
     ctx = c2.groupBy("w1").agg(F.sum("_c2").alias("_ctx"))
-    probs = c2.join(ctx, "w1")
+    # ctx is vocab-sized at any scale (one row per distinct context
+    # word) — broadcasting it keeps c2 on the stream's (w1, w2)
+    # partitioning, exactly the posture the unigram broadcast below
+    # already takes
+    probs = c2.join(F.broadcast(ctx), "w1")
     scored = (
         pairs.join(probs, ["w1", "w2"])
         .join(F.broadcast(uni.withColumnRenamed("token", "w2")), "w2")

@@ -129,6 +129,21 @@ def _initial_symbols(word: Column, byte_level: bool = False) -> Column:
     return F.concat(syms, F.array(F.lit(EOW)))
 
 
+def _sql_str_int_map(pairs) -> Column:
+    """``map<string,int>`` literal rendered as SQL text and parsed
+    JVM-side in ONE py4j call (r14-opt, guide §4): the per-element
+    ``F.create_map(*[F.lit(x) ...])`` form marshaled ~2 round-trips
+    per entry (~540 for a byte alphabet + 16 merges, per construction).
+    Same map expression tree; key strings are escaped."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    return F.expr(
+        "map(" + ", ".join(f"'{esc(k)}', {int(v)}" for k, v in pairs) + ")"
+    )
+
+
 def merge_fold(
     syms: Column, left: str, right: str, merged: str | None = None
 ) -> Column:
@@ -419,9 +434,7 @@ def bpe_encode_ids(
         word_seg = word_seg.select("word", "s").unionByName(missing)
     else:
         word_seg = word_seg.select("word", "s")
-    id_map = F.create_map(
-        *[F.lit(x) for tok, i in vocab for x in (tok, i)]
-    )
+    id_map = _sql_str_int_map(vocab)
     word_ids = word_seg.select(
         "word",
         F.transform(F.col("s"), lambda sym: F.element_at(id_map, sym))
@@ -854,10 +867,7 @@ def unigram_encode_ids(
             "word",
             F.transform(
                 "s",
-                lambda sym: F.element_at(
-                    F.create_map(*[F.lit(x) for pc, i in ids.items() for x in (pc, i)]),
-                    sym,
-                ),
+                lambda sym: F.element_at(_sql_str_int_map(ids.items()), sym),
             )
             .cast("array<int>")
             .alias("ids"),
@@ -958,9 +968,7 @@ def wordpiece_learn(
             .agg(F.sum("cnt").alias("c"))
             .collect()
         }
-        cmap = F.create_map(
-            *[F.lit(x) for k in sorted(sym_counts) for x in (k, sym_counts[k])]
-        )
+        cmap = _sql_str_int_map((k, sym_counts[k]) for k in sorted(sym_counts))
         s = F.col("s")
         pairs = F.transform(
             F.slice(s, 1, F.size(s) - 1),
@@ -1122,7 +1130,7 @@ def wordpiece_encode_ids(
             "artifact load?)"
         )
     max_core = max(core_lens)
-    id_map = F.create_map(*[F.lit(x) for p, i in vocab for x in (p, i)])
+    id_map = _sql_str_int_map(vocab)
     word_ids = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .distinct()

@@ -2165,123 +2165,35 @@ ORACLES.update(FULLTEXT_ORACLES)
 _DRIVER_WINDOW = 50
 
 _KEY_ORDER = [
-    # -- round-13 window: the r12 rotation ledger — the 16 r9-overflow
-    # -- entries FIRST (displaced from the r12 window by its 8
-    # -- new/touched seats, now the oldest driver signal on the
-    # -- board), then the r10-green entries in r10-window order. The
-    # -- r10 block TAIL is displaced past the boundary as new/touched
-    # -- r13 seats land, keeping round-14 priority. See CLAUDE.md
+    # -- round-14 window: the r13 rotation ledger executed — the 22
+    # -- r10-overflow entries FIRST (displaced from the r13 window,
+    # -- oldest driver signal on the board), then the leading 26
+    # -- r11-green entries in r11-window order, then this round's 2
+    # -- touched seats. The r11 block TAIL (23 entries) is displaced
+    # -- past the boundary and keeps round-15 priority. See CLAUDE.md
     # -- 'Driver-check rotation ledger'.
-    "stream_quantile",                 # ledger: r9 overflow, last driver signal r9
-    "ann_lsh",                 # ledger: r9 overflow, last driver signal r9
-    "dedup_simhash",                 # ledger: r9 overflow, last driver signal r9
-    "collection_hybrid_text",                 # ledger: r9 overflow, last driver signal r9
-    "bm25_index_merged",                 # ledger: r9 overflow, last driver signal r9
-    "media_audio_features",                 # ledger: r9 overflow, last driver signal r9
-    "media_video_stats",                 # ledger: r9 overflow, last driver signal r9
-    "collection_search_blocks",                 # ledger: r9 overflow, last driver signal r9
-    "web_domain_quota",                 # ledger: r9 overflow, last driver signal r9
-    "token_fertility_by_lang",                 # ledger: r9 overflow, last driver signal r9
-    "bpe_encode_ids_pretok",                 # ledger: r9 overflow, last driver signal r9
-    "pack_sequences_ids",                 # ledger: r9 overflow, last driver signal r9
-    "bpe_train_bytes",                 # ledger: r9 overflow, last driver signal r9
-    "bpe_encode_ids",                 # ledger: r9 overflow, last driver signal r9
-    "text_lang_id_unicode",                 # ledger: r9 overflow, last driver signal r9
-    "text_lang_id",                 # ledger: r9 overflow, last driver signal r9
-    "upsert_delete",                 # ledger: last driver signal r10
-    "filter_coercion",                 # ledger: last driver signal r10
-    "filter_search",                 # ledger: last driver signal r10
-    "multi_vector_search",                 # ledger: last driver signal r10
-    "dedup_minhash_lsh",                 # ledger: last driver signal r10
-    "stream_distinct",                 # ledger: last driver signal r10
-    "collection_search_blocks_delta",                 # ledger: last driver signal r10
-    "knn_cosine",                 # ledger: last driver signal r10
-    "ann_ivf",                 # ledger: last driver signal r10
-    "collection_search_batch",                 # ledger: last driver signal r10
-    "freq_sketch",                 # ledger: last driver signal r10
-    "dedup_canonical",                 # ledger: last driver signal r10
-    "knn_filtered",                 # ledger: last driver signal r10
-    "dedup_exact",                 # ledger: last driver signal r10
-    "dedup_groups",                 # ledger: last driver signal r10
-    "dedup_ngram_jaccard",                 # ledger: last driver signal r10
-    "collection_search_batch_filtered",                 # ledger: last driver signal r10
-    "hybrid_rrf",                 # ledger: last driver signal r10
-    "bm25_topk_batch",                 # ledger: last driver signal r10
-    "text_quality",                 # ledger: last driver signal r10
-    "doc_fingerprint",                 # ledger: last driver signal r10
-    "pricing_summary",                 # ledger: last driver signal r10
-    "region_revenue",                 # ledger: last driver signal r10
-    "window_top_orders",                 # ledger: last driver signal r10
-    "price_percentiles",                 # ledger: last driver signal r10
-    # -- new in r13 / touched this round: seats land here as they
-    # -- ship, each displacing the last r10 entry above past the
-    # -- boundary (to the FRONT of the r14-priority block below)
-    "dedup_minhash_delta",  # new r13: incremental near-dup dedup
-    #    against a FROZEN MinHash/LSH signature index (VERDICT r12
-    #    #2) — the daily-crawl shape; oracle = the from-scratch
-    #    minhash oracle over the union corpus (incremental ==
-    #    from-scratch, the bm25_index_merged equivalence discipline)
-    "unigram_train_soft",  # touched r13: the soft-EM M-step fold is
-    #    now TWO-LEVEL (words hash into SOFT_FOLD_BUCKETS fixed
-    #    buckets; ordered fold within bucket, ordered fold of bucket
-    #    partials — VERDICT r12 #4) so no single array ever gathers
-    #    the whole distinct-word table; oracle replays the same
-    #    two-level order, parity still bit-exact doubles
-    "collection_hybrid_ivfpq_batch",  # new r13: batched hybrid
-    #    serving (VERDICT r12 #7) — B text+vector pairs through ONE
-    #    batched-ADC job + ONE pruned postings read + per-query RRF
-    #    folds; oracle = the single-query replay per query_id
-    "web_url_psl",  # touched r13: PSL tranche 7 (3199 -> 3262 rules —
-    #    the .ua modern-transliteration registry + the punycoded IDN
-    #    second-level registries of .ไทย/.ישראל/.срб/.香港/.中国/.tw)
-    "media_av_dedup",  # new r13: audio-visual JOINT near-dup dedup
-    #    (VERDICT r12 #6) — two-stream AVI (vids/DIB + auds/PCM16)
-    #    fingerprinted on both tracks in one narrow stage;
-    #    video-band candidates AND-verified on audio Hamming (the
-    #    soundtrack-swap plant is a candidate the audio verify
-    #    kills); oracle regenerates both tracks from the md5 streams
-    "dedup_minhash_delta_canonical",  # new r13: canonical-survivor
-    #    selection over the frozen-index delta's updated pairs —
-    #    incremental canonical == from-scratch canonical (shares
-    #    dedup_canonical's oracle verbatim)
-    "media_av_dedup_groups",  # new r13: connected components over
-    #    the AND-composed AV pair edges (the image/video groups
-    #    twins); oracle replays both tracks + a recursive closure
-    "dedup_minhash_delta_bytes",  # new r13: the frozen-index delta
-    #    through the byte-shingle seam (script-agnostic incremental
-    #    dedup); oracle = dedup_minhash_bytes' verbatim
-    "stream_dedup_index",  # new r13: the daily-crawl loop as a
-    #    stream — three document batches fold into a persisted
-    #    MinHashIndex via foreachBatch (build, then merges); landed
-    #    pairs == from-scratch (dedup_minhash_lsh's oracle verbatim)
-    # ------------------------------------------------------------------
-    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
-    # -- pytest run; driver rotation continues next round.
-    # -- r10 tail — ROUND-14 PRIORITY (displaced by the r13 window
-    # -- composition), in r10 order:
-    "knn_f16",                 # ledger: r10 overflow, round-14 priority
-    "ann_topk_batch",                 # ledger: r10 overflow, round-14 priority
-    "knn_pagination",                 # ledger: r10 overflow, round-14 priority
-    "knn_block",                 # ledger: r10 overflow, round-14 priority
-    "dedup_containment",                 # ledger: r10 overflow, round-14 priority
-    "rollup_revenue",                 # ledger: r10 overflow, round-14 priority
-    "events_sessionize",                 # ledger: r10 overflow, round-14 priority
-    "media_features",                 # ledger: r10 overflow, round-14 priority
-    "quality_classifier",                 # ledger: r10 overflow, round-14 priority
-    "web_sitemap",                 # ledger: r10 overflow, round-14 priority
-    "knn_euclidean",                 # ledger: r10 overflow, round-14 priority
-    "knn_manhattan",                 # ledger: r10 overflow, round-14 priority
-    "compare_dist",                 # ledger: r10 overflow, round-14 priority
-    "knn_f8",                 # ledger: r10 overflow, round-14 priority
-    "knn_bf16",                 # ledger: r10 overflow, round-14 priority
-    "media_image_dedup",                 # ledger: r10 overflow, round-14 priority
-    "collection_search_ivfpq_batch",                 # ledger: r10 overflow, round-14 priority
-    "media_image_dedup_groups",                 # ledger: r10 overflow, round-14 priority
-    "unigram_train",                 # ledger: r10 overflow, round-14 priority
-    "unigram_encode_ids",                 # ledger: r10 overflow, round-14 priority
-    "collection_search_ivfpq",                 # ledger: r10 overflow, round-14 priority
-    "collection_search_ivfpq_delta",                 # ledger: r10 overflow, round-14 priority
-    # -- the 49 r11-green entries, r11-window order:
+    "knn_f16",                 # ledger: r10 overflow, last driver signal r10
+    "ann_topk_batch",                 # ledger: r10 overflow, last driver signal r10
+    "knn_pagination",                 # ledger: r10 overflow, last driver signal r10
+    "knn_block",                 # ledger: r10 overflow, last driver signal r10
+    "dedup_containment",                 # ledger: r10 overflow, last driver signal r10
+    "rollup_revenue",                 # ledger: r10 overflow, last driver signal r10
+    "events_sessionize",                 # ledger: r10 overflow, last driver signal r10
+    "media_features",                 # ledger: r10 overflow, last driver signal r10
+    "quality_classifier",                 # ledger: r10 overflow, last driver signal r10
+    "web_sitemap",                 # ledger: r10 overflow, last driver signal r10
+    "knn_euclidean",                 # ledger: r10 overflow, last driver signal r10
+    "knn_manhattan",                 # ledger: r10 overflow, last driver signal r10
+    "compare_dist",                 # ledger: r10 overflow, last driver signal r10
+    "knn_f8",                 # ledger: r10 overflow, last driver signal r10
+    "knn_bf16",                 # ledger: r10 overflow, last driver signal r10
+    "media_image_dedup",                 # ledger: r10 overflow, last driver signal r10
+    "collection_search_ivfpq_batch",                 # ledger: r10 overflow, last driver signal r10
+    "media_image_dedup_groups",                 # ledger: r10 overflow, last driver signal r10
+    "unigram_train",                 # ledger: r10 overflow, last driver signal r10
+    "unigram_encode_ids",                 # ledger: r10 overflow, last driver signal r10
+    "collection_search_ivfpq",                 # ledger: r10 overflow, last driver signal r10
+    "collection_search_ivfpq_delta",                 # ledger: r10 overflow, last driver signal r10
     "knn_two_phase",                 # ledger: last driver signal r11
     "ann_topk_blas",                 # ledger: last driver signal r11
     "media_metadata",                 # ledger: last driver signal r11
@@ -2308,30 +2220,44 @@ _KEY_ORDER = [
     "source_mix",                 # ledger: last driver signal r11
     "export_shards",                 # ledger: last driver signal r11
     "pack_sequences",                 # ledger: last driver signal r11
-    "stream_hourly",                 # ledger: last driver signal r11
-    "stream_sessionize",                 # ledger: last driver signal r11
-    "stream_dedup",                 # ledger: last driver signal r11
-    "collection_search_blocks_filtered",                 # ledger: last driver signal r11
-    "events_asof",                 # ledger: last driver signal r11
-    "ann_bq",                 # ledger: last driver signal r11
-    "ann_pq",                 # ledger: last driver signal r11
-    "embed_cluster_sizes",                 # ledger: last driver signal r11
-    "sample_cluster_balanced",                 # ledger: last driver signal r11
-    "dedup_spans",                 # ledger: last driver signal r11
-    "text_repetition",                 # ledger: last driver signal r11
-    "stream_ingest",                 # ledger: last driver signal r11
-    "knn_bq",                 # ledger: last driver signal r11
-    "knn_sq8",                 # ledger: last driver signal r11
-    "semantic_dedup",                 # ledger: last driver signal r11
-    "range_search",                 # ledger: last driver signal r11
-    "token_count_unicode",                 # ledger: last driver signal r11
-    "stream_ingest_ivfpq",                 # ledger: last driver signal r11
-    "unigram_train_pruned",                 # ledger: last driver signal r11
-    "media_audio_dedup",                 # ledger: last driver signal r11
-    "collection_search_ivfpq_opq",                 # ledger: last driver signal r11
-    "decontaminate_semantic",                 # ledger: last driver signal r11
-    "neardup_cosine",                 # ledger: last driver signal r11
-    # -- the 50 r12-green entries, r12-window order:
+    # -- touched this round (r14-opt): plan/execution-shape changes,
+    # -- re-verified by the driver gate
+    "doc_ppl_bigram",  # touched r14: bigram stream tokenized ONCE into
+    #    a lazy local checkpoint (was 5 re-derived scan+explode
+    #    subtrees); values unchanged, oracle MATCH at sf0.001/0.01
+    "dedup_minhash_delta_canonical",  # touched r14: label-propagation
+    #    rounds fused to ONE job each (lazy checkpoint + count in one
+    #    action) and the edges checkpoint made lazy; values unchanged
+    # ------------------------------------------------------------------
+    # -- past the 50-key boundary: re-oracled by the LOCAL gate every
+    # -- pytest run; driver rotation continues next round.
+    # -- r11 tail — ROUND-15 PRIORITY (displaced by the r14 window
+    # -- composition), in r11 order:
+    "stream_hourly",                 # ledger: r11 overflow, round-15 priority
+    "stream_sessionize",                 # ledger: r11 overflow, round-15 priority
+    "stream_dedup",                 # ledger: r11 overflow, round-15 priority
+    "collection_search_blocks_filtered",                 # ledger: r11 overflow, round-15 priority
+    "events_asof",                 # ledger: r11 overflow, round-15 priority
+    "ann_bq",                 # ledger: r11 overflow, round-15 priority
+    "ann_pq",                 # ledger: r11 overflow, round-15 priority
+    "embed_cluster_sizes",                 # ledger: r11 overflow, round-15 priority
+    "sample_cluster_balanced",                 # ledger: r11 overflow, round-15 priority
+    "dedup_spans",                 # ledger: r11 overflow, round-15 priority
+    "text_repetition",                 # ledger: r11 overflow, round-15 priority
+    "stream_ingest",                 # ledger: r11 overflow, round-15 priority
+    "knn_bq",                 # ledger: r11 overflow, round-15 priority
+    "knn_sq8",                 # ledger: r11 overflow, round-15 priority
+    "semantic_dedup",                 # ledger: r11 overflow, round-15 priority
+    "range_search",                 # ledger: r11 overflow, round-15 priority
+    "token_count_unicode",                 # ledger: r11 overflow, round-15 priority
+    "stream_ingest_ivfpq",                 # ledger: r11 overflow, round-15 priority
+    "unigram_train_pruned",                 # ledger: r11 overflow, round-15 priority
+    "media_audio_dedup",                 # ledger: r11 overflow, round-15 priority
+    "collection_search_ivfpq_opq",                 # ledger: r11 overflow, round-15 priority
+    "decontaminate_semantic",                 # ledger: r11 overflow, round-15 priority
+    "neardup_cosine",                 # ledger: r11 overflow, round-15 priority
+    # -- the 47 remaining r12-green entries, r12-window order
+    # -- (doc_ppl_bigram left this block when promoted as touched):
     "dedup_minhash_bytes",                 # ledger: last driver signal r12
     "ann_ivfpq",                 # ledger: last driver signal r12
     "decontaminate_bytes",                 # ledger: last driver signal r12
@@ -2368,7 +2294,6 @@ _KEY_ORDER = [
     "line_dedup",                 # ledger: last driver signal r12
     "bucketed_join",                 # ledger: last driver signal r12
     "web_robots_filter",                 # ledger: last driver signal r12
-    "doc_ppl_bigram",                 # ledger: last driver signal r12
     "dedup_span_removal",                 # ledger: last driver signal r12
     "zorder_layout",                 # ledger: last driver signal r12
     "media_png_features",                 # ledger: last driver signal r12
@@ -2380,6 +2305,57 @@ _KEY_ORDER = [
     "collection_hybrid_ivfpq",                 # ledger: last driver signal r12
     "media_video_dedup_groups",                 # ledger: last driver signal r12
     "text_lang_id_windows",                 # ledger: last driver signal r12
+    # -- the 49 remaining r13-green entries, r13-window order
+    # -- (dedup_minhash_delta_canonical left when promoted as touched):
+    "stream_quantile",                 # ledger: last driver signal r13
+    "ann_lsh",                 # ledger: last driver signal r13
+    "dedup_simhash",                 # ledger: last driver signal r13
+    "collection_hybrid_text",                 # ledger: last driver signal r13
+    "bm25_index_merged",                 # ledger: last driver signal r13
+    "media_audio_features",                 # ledger: last driver signal r13
+    "media_video_stats",                 # ledger: last driver signal r13
+    "collection_search_blocks",                 # ledger: last driver signal r13
+    "web_domain_quota",                 # ledger: last driver signal r13
+    "token_fertility_by_lang",                 # ledger: last driver signal r13
+    "bpe_encode_ids_pretok",                 # ledger: last driver signal r13
+    "pack_sequences_ids",                 # ledger: last driver signal r13
+    "bpe_train_bytes",                 # ledger: last driver signal r13
+    "bpe_encode_ids",                 # ledger: last driver signal r13
+    "text_lang_id_unicode",                 # ledger: last driver signal r13
+    "text_lang_id",                 # ledger: last driver signal r13
+    "upsert_delete",                 # ledger: last driver signal r13
+    "filter_coercion",                 # ledger: last driver signal r13
+    "filter_search",                 # ledger: last driver signal r13
+    "multi_vector_search",                 # ledger: last driver signal r13
+    "dedup_minhash_lsh",                 # ledger: last driver signal r13
+    "stream_distinct",                 # ledger: last driver signal r13
+    "collection_search_blocks_delta",                 # ledger: last driver signal r13
+    "knn_cosine",                 # ledger: last driver signal r13
+    "ann_ivf",                 # ledger: last driver signal r13
+    "collection_search_batch",                 # ledger: last driver signal r13
+    "freq_sketch",                 # ledger: last driver signal r13
+    "dedup_canonical",                 # ledger: last driver signal r13
+    "knn_filtered",                 # ledger: last driver signal r13
+    "dedup_exact",                 # ledger: last driver signal r13
+    "dedup_groups",                 # ledger: last driver signal r13
+    "dedup_ngram_jaccard",                 # ledger: last driver signal r13
+    "collection_search_batch_filtered",                 # ledger: last driver signal r13
+    "hybrid_rrf",                 # ledger: last driver signal r13
+    "bm25_topk_batch",                 # ledger: last driver signal r13
+    "text_quality",                 # ledger: last driver signal r13
+    "doc_fingerprint",                 # ledger: last driver signal r13
+    "pricing_summary",                 # ledger: last driver signal r13
+    "region_revenue",                 # ledger: last driver signal r13
+    "window_top_orders",                 # ledger: last driver signal r13
+    "price_percentiles",                 # ledger: last driver signal r13
+    "dedup_minhash_delta",                 # ledger: last driver signal r13
+    "unigram_train_soft",                 # ledger: last driver signal r13
+    "collection_hybrid_ivfpq_batch",                 # ledger: last driver signal r13
+    "web_url_psl",                 # ledger: last driver signal r13
+    "media_av_dedup",                 # ledger: last driver signal r13
+    "media_av_dedup_groups",                 # ledger: last driver signal r13
+    "dedup_minhash_delta_bytes",                 # ledger: last driver signal r13
+    "stream_dedup_index",                 # ledger: last driver signal r13
 ]
 
 
@@ -2545,10 +2521,16 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
         for step in chain:
             step(spark, sf_dir)
 
+    # inheritable_thread_target(session) is a DECORATOR only when the
+    # py4j gateway runs in pinned-thread ClientServer mode (the Spark
+    # 3.2+/4.x default). With PYSPARK_PIN_THREAD=false it returns the
+    # session object itself, and calling that raises TypeError — fall
+    # back to the bare target (local properties are then simply not
+    # inherited, which these chains never rely on). ADVICE r13.
+    wrapper = inheritable_thread_target(spark)
+    target = wrapper(run_chain) if callable(wrapper) else run_chain
+
     with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = [
-            pool.submit(inheritable_thread_target(spark)(run_chain), c)
-            for c in chains
-        ]
+        futures = [pool.submit(target, c) for c in chains]
         for f in futures:
             f.result()

@@ -565,7 +565,10 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-step select: alias the host once, then apply the PSL chain
     # via registrable_domain_expr — ONE JVM-parsed expression instead
     # of ~3.3k per-literal py4j round-trips per query construction
-    # (r13-opt; results and physical plan unchanged)
+    # (r13-opt; same values, still a narrow codegen projection — the
+    # alias materializes the host CASE once in an inner Project where
+    # the single-select form re-inlined it per reference; plan guard
+    # pins the no-Exchange/no-Join shape)
     urls = docs.select(
         "doc_id",
         url_normalize(messy).alias("url"),
@@ -622,7 +625,9 @@ def q_web_url_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("localhost"))  # single label
     )
     # alias-then-apply: the PSL chain parses JVM-side in one call
-    # (r13-opt, see registrable_domain_expr) — same plan, same values
+    # (r13-opt, see registrable_domain_expr) — same values, still a
+    # narrow codegen projection (host materialized once in an inner
+    # Project; plan guard pins the shape)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         host.alias("host"),

@@ -45,7 +45,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: re-inferred the schema every time (~0.1 s × ~700 calls per bench
 #: pass, r13-opt). The cached object is a LAZY plan — every action
 #: still scans the parquet files, so no results are ever cached.
+#: PER-PROCESS ASSUMPTION (ADVICE r13): the parquet files under an
+#: sf_dir are immutable for the life of the process — the driver
+#: regenerates testdata only BETWEEN rounds (fresh process), and the
+#: resolved schema/footers would go stale if a file were rewritten
+#: mid-process. A test that rewrites table files must call
+#: :func:`clear_table_cache` after doing so.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached relations (all, or one sf_dir's) so the next
+    ``load_table`` re-reads footers/schema from disk. For tests that
+    regenerate parquet files mid-process."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    for key in [k for k in _TABLE_CACHE if k[0] == sf_dir]:
+        del _TABLE_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -89,6 +89,81 @@ def test_minhash_agg_exprs_match_column_form(spark):
     assert HASH_P == 2_147_483_647  # the SQL text inlines this constant
 
 
+def test_wide_layout_expr_equals_column_form(spark):
+    """r14-opt tranche 2: the wide-KNN layout + distance chains
+    (widen_vectors / vertex_search_wide) parse as ONE SQL string; the
+    Column twins must match bit-exactly on every distance, including
+    a sign-flipping query with tiny/large magnitudes."""
+    from coltt_spark.operators.search import vertex_search_wide, widen_vectors
+
+    emb = spark.createDataFrame(
+        [
+            (i, [((i * 13 + j) % 9 - 4) * 0.37 + (1e-13 if j == 3 else 0.0) for j in range(16)])
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = [((j * 7) % 5 - 2) * 0.81 for j in range(16)]
+    q[5] = 1.5e17
+    q[7] = -(2.0 ** -1040)
+    for dist in ("cosine", "euclidean", "manhattan"):
+        a = vertex_search_wide(
+            widen_vectors(emb, vector_col="embedding", dim=16, expr=True),
+            q, distance=dist, limit=80, tie_break="vec_id", expr=True,
+        ).collect()
+        b = vertex_search_wide(
+            widen_vectors(emb, vector_col="embedding", dim=16, expr=False),
+            q, distance=dist, limit=80, tie_break="vec_id", expr=False,
+        ).collect()
+        assert [(r["vec_id"], _bits(r["dist"]), _bits(r["score"])) for r in a] == [
+            (r["vec_id"], _bits(r["dist"]), _bits(r["score"])) for r in b
+        ], dist
+
+
+def test_lang_scorer_expr_equals_column_form(spark):
+    """r14-opt tranche 2: the 11-language marker scorer + argmax CASE
+    parse as SQL text with each score materialized once
+    (textstats._lang_scores / _LANG_PRED_SQL). Pin against a frozen
+    copy of the old inline Column chain, including fixed-order
+    tie-breaks and the `und` fallback."""
+    from pyspark.sql import Column
+
+    from coltt_spark.operators.textstats import (
+        _LANG_ORDER,
+        _marker_score,
+        lang_id,
+    )
+    from coltt_spark.functions.text import tokens
+
+    texts = [
+        "the cat and the dog of the house",       # en
+        "der hund und die katze ist nicht da",    # de
+        "el perro y la casa de que en un",        # es
+        "le chien et la maison est dans pour",    # fr
+        "xyzzy qwerty plugh",                     # und (no markers)
+        "",                                        # empty
+        "que de la en un",                        # es/fr tie surface
+        "the der el le que und dan bir jest het", # cross-language tie
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    new = {r["doc_id"]: (r["pred_lang"], r["marker_hits"])
+           for r in lang_id(df, "doc_id", "text").collect()}
+    # frozen pre-r14 Column chain
+    toks = tokens("text")
+    scores = {lang: _marker_score(toks, lang) for lang in _LANG_ORDER}
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    old = {r["doc_id"]: (r["pred_lang"], r["marker_hits"]) for r in df.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("marker_hits")
+    ).collect()}
+    assert new == old
+
+
 def test_registrable_domain_expr_equals_column_form(spark):
     from coltt_spark.functions.urls import registrable_domain, registrable_domain_expr
 

@@ -37,67 +37,16 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without oracles: {missing}"
 
 
-#: The round-12 rotation ledger (CLAUDE.md): entries promised a
-#: round-13 driver slot — the 16 r9-overflow entries lead (displaced
-#: from the r12 window by its 8 new/touched seats, the oldest driver
-#: signal on the board), then the r10-green entries in r10-window
-#: order. The r10 block's TAIL overflows as this round's new/touched
-#: seats land and keeps round-14 priority. Machine-checked against
-#: _KEY_ORDER below so the ledger promise cannot silently drift
-#: (ADVICE r3 #1).
-ROTATION_LEDGER_R13 = [
-    # the 16 r9-overflow entries, r9 order (r13 priority per the
-    # r12 ledger — oldest driver signal on the board)
-    "stream_quantile",
-    "ann_lsh",
-    "dedup_simhash",
-    "collection_hybrid_text",
-    "bm25_index_merged",
-    "media_audio_features",
-    "media_video_stats",
-    "collection_search_blocks",
-    "web_domain_quota",
-    "token_fertility_by_lang",
-    "bpe_encode_ids_pretok",
-    "pack_sequences_ids",
-    "bpe_train_bytes",
-    "bpe_encode_ids",
-    "text_lang_id_unicode",
-    "text_lang_id",
-    # the r10-green block in r10-window order; its tail is displaced
-    # past the boundary as new/touched r13 seats land
-    "upsert_delete",
-    "filter_coercion",
-    "filter_search",
-    "multi_vector_search",
-    "dedup_minhash_lsh",
-    "stream_distinct",
-    "collection_search_blocks_delta",
-    "knn_cosine",
-    "ann_ivf",
-    "collection_search_batch",
-    "freq_sketch",
-    "dedup_canonical",
-    "knn_filtered",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "collection_search_batch_filtered",
-    "hybrid_rrf",
-    "bm25_topk_batch",
-    "text_quality",
-    "doc_fingerprint",
-    "pricing_summary",
-    "region_revenue",
-    "window_top_orders",
-    "price_percentiles",
-]
-
-#: the r10 overflow tail — displaced from the round-13 window by this
-#: round's new/touched seats; they lead the round-14 rotation queue.
-#: Each new/touched r13 seat moves one more entry from the ledger's
-#: r10 tail to the FRONT of this block (keep both lists in sync).
-R14_PRIORITY = [
+#: The round-13 rotation ledger (CLAUDE.md), executed this round:
+#: the 22 r10-overflow entries lead (displaced from the r13 window,
+#: the oldest driver signal on the board), then the leading r11-green
+#: entries in r11-window order. The r11 block TAIL overflows as this
+#: round's touched seats land and keeps round-15 priority.
+#: Machine-checked against _KEY_ORDER below so the ledger promise
+#: cannot silently drift (ADVICE r3 #1).
+ROTATION_LEDGER_R14 = [
+    # the 22 r10-overflow entries, r10 order (r14 priority per the
+    # r13 ledger — oldest driver signal on the board)
     "knn_f16",
     "ann_topk_batch",
     "knn_pagination",
@@ -120,62 +69,107 @@ R14_PRIORITY = [
     "unigram_encode_ids",
     "collection_search_ivfpq",
     "collection_search_ivfpq_delta",
+    # the leading 26 r11-green entries in r11-window order; the
+    # 23-entry tail is displaced past the boundary (R15_PRIORITY)
+    "knn_two_phase",
+    "ann_topk_blas",
+    "media_metadata",
+    "events_hourly",
+    "token_count",
+    "cube_revenue",
+    "set_intersect",
+    "top_revenue_orders",
+    "knn_wide",
+    "events_json",
+    "text_redact_pii",
+    "collection_hybrid_ivf",
+    "bm25_index_deleted",
+    "collection_search_grouped",
+    "media_knn",
+    "media_frames",
+    "schemaless_pure_search",
+    "schemaless_update_delete",
+    "hybrid_search",
+    "doc_chunk",
+    "decontaminate",
+    "sample_stratified",
+    "sample_fraction",
+    "source_mix",
+    "export_shards",
+    "pack_sequences",
 ]
 
-#: new/touched this round — seats land at the window tail as they
-#: ship, each displacing the ledger's last r10 entry into R14_PRIORITY
-NEW_OR_TOUCHED_R13: list[str] = [
-    # new r13: incremental dedup against a frozen MinHash/LSH
-    # signature index (VERDICT r12 #2)
-    "dedup_minhash_delta",
-    # touched r13: two-level (bucketed) ordered fold in the soft-EM
-    # M-step (VERDICT r12 #4)
-    "unigram_train_soft",
-    # new r13: batched hybrid serving through the quantized layout
-    # (VERDICT r12 #7)
-    "collection_hybrid_ivfpq_batch",
-    # touched r13: PSL tranche 7 (3199 -> 3262 rules)
-    "web_url_psl",
-    # new r13: audio-visual joint near-dup dedup (VERDICT r12 #6)
-    "media_av_dedup",
-    # new r13: incremental canonical assignments over the delta pairs
+#: the r11 overflow tail — displaced from the round-14 window by the
+#: 22 r10-overflow entries + this round's 2 touched seats; they lead
+#: the round-15 rotation queue, in r11-window order.
+R15_PRIORITY = [
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "collection_search_blocks_filtered",
+    "events_asof",
+    "ann_bq",
+    "ann_pq",
+    "embed_cluster_sizes",
+    "sample_cluster_balanced",
+    "dedup_spans",
+    "text_repetition",
+    "stream_ingest",
+    "knn_bq",
+    "knn_sq8",
+    "semantic_dedup",
+    "range_search",
+    "token_count_unicode",
+    "stream_ingest_ivfpq",
+    "unigram_train_pruned",
+    "media_audio_dedup",
+    "collection_search_ivfpq_opq",
+    "decontaminate_semantic",
+    "neardup_cosine",
+]
+
+#: touched this round (r14 = optimization round 2) — execution-shape
+#: changes re-seated inside the window so the driver re-verifies them
+#: (construction-only expr-ification changes are NOT re-seated: they
+#: are value-pinned by tests/test_expr_parity.py, the r13 precedent).
+NEW_OR_TOUCHED_R14: list[str] = [
+    # touched r14-opt: the bigram stream is tokenized ONCE into a lazy
+    # local checkpoint (was 5 re-derived scan+explode subtrees); the
+    # count/context/probability consumers read the checkpoint
+    "doc_ppl_bigram",
+    # touched r14-opt: connected-components rounds fused to one job
+    # each (lazy checkpoint materialized by the changed-count action);
+    # heaviest registry key, VERDICT r13 #3
     "dedup_minhash_delta_canonical",
-    # new r13: connected components over the AV pair edges
-    "media_av_dedup_groups",
-    # new r13: the frozen-index delta through the byte-shingle seam
-    "dedup_minhash_delta_bytes",
-    # new r13: streaming MinHashIndex maintenance (build + merges via
-    # foreachBatch)
-    "stream_dedup_index",
 ]
 
 
 def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
-    exactly; the round-12 rotation-ledger entries (16 r9-overflow +
-    the leading r10-green block) LEAD the round-13 window, every entry
-    new or touched this round is inside it (at the window tail), and
-    the r10 overflow tail sits FIRST past the boundary with round-14
-    priority. Past the boundary after it: the 49 r11-green entries in
-    r11-window order, then the 50 r12-green entries in r12-window
-    order. Every past-window entry is re-oracled by the local gate
-    every pytest run."""
+    exactly; the round-13 rotation-ledger entries (22 r10-overflow +
+    the leading 26 r11-green entries) LEAD the round-14 window, every
+    entry touched this round is inside it (at the window tail), and
+    the r11 overflow tail sits FIRST past the boundary with round-15
+    priority. Past the boundary after it: the 47 remaining r12-green
+    entries in r12-window order, then the 49 remaining r13-green
+    entries in r13-window order. Every past-window entry is re-oracled
+    by the local gate every pytest run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
     assert list(QUERIES) == _KEY_ORDER
-    # ledger entries lead the window, in ledger order; new/touched
+    # ledger entries lead the window, in ledger order; touched
     # seats fill the window tail
-    assert _KEY_ORDER[: len(ROTATION_LEDGER_R13)] == ROTATION_LEDGER_R13
+    assert _KEY_ORDER[: len(ROTATION_LEDGER_R14)] == ROTATION_LEDGER_R14
     assert (
-        _KEY_ORDER[len(ROTATION_LEDGER_R13) : _DRIVER_WINDOW]
-        == NEW_OR_TOUCHED_R13
+        _KEY_ORDER[len(ROTATION_LEDGER_R14) : _DRIVER_WINDOW]
+        == NEW_OR_TOUCHED_R14
     )
-    assert len(ROTATION_LEDGER_R13) + len(NEW_OR_TOUCHED_R13) == _DRIVER_WINDOW
-    # the displaced r9 tail sits first past the boundary (r13 queue)
+    assert len(ROTATION_LEDGER_R14) + len(NEW_OR_TOUCHED_R14) == _DRIVER_WINDOW
+    # the displaced r11 tail sits first past the boundary (r15 queue)
     assert (
-        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R14_PRIORITY)]
-        == R14_PRIORITY
+        _KEY_ORDER[_DRIVER_WINDOW : _DRIVER_WINDOW + len(R15_PRIORITY)]
+        == R15_PRIORITY
     )
 
 

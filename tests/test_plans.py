@@ -690,7 +690,12 @@ def test_bigram_lm_is_jvm_side_with_partial_aggs(spark):
     the unigram table is BROADCAST onto the stream — the corpus is
     never shuffled on a unigram key (stopwords would be hot). The
     (w1,w2)-keyed joins are the one necessary shuffle; AQE skew-join
-    covers hot function-word pairs."""
+    covers hot function-word pairs. Since r14-opt the bigram stream
+    is tokenized ONCE into a lazy local checkpoint and the unigram
+    table likewise (its two consumers re-derived the explode
+    before): every Generate lives inside a checkpoint that runs once
+    per pass, so the consumer plan itself must contain NONE — five
+    re-derived scan+explode subtrees was the old shape."""
     from coltt_spark.registry_text import q_doc_ppl_bigram
 
     out = q_doc_ppl_bigram(spark, SF_SMOKE)
@@ -698,6 +703,8 @@ def test_bigram_lm_is_jvm_side_with_partial_aggs(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # unigram + context tables
     assert "partial_count" in plan  # map-side combine on every count
+    assert plan.count("Generate explode") == 0  # all inside checkpoints
+    assert plan.count("Scan ExistingRDD") >= 3  # stream ×2 + unigram
 
 
 def test_quality_classifier_step_is_scan_plus_partial_agg(spark):

@@ -272,10 +272,20 @@ def test_registrable_domain_matches_spec_reference():
         hosts += [base, f"one.{base}", f"two.one.{base}"]
     hosts += ["localhost", "com", "a.b.c.d.e.example.com"]
 
+    # ONE query over all ~9.8k hosts: executing the ~40 KB generated
+    # CASE per host re-parsed/re-bound it ~9.8k times (measured 387 s
+    # — the whole suite's slowest test by 13x); the set-based form
+    # runs the identical expression on the identical hosts in ~2 s
+    # (r14-opt, VERDICT r13 #1 — same coverage, same assertions)
     con = dd.connect()
-    q = f"SELECT {DD_REGISTRABLE_DOMAIN.format(h='h')} FROM (SELECT ? AS h)"
-    for h in hosts:
-        got = con.execute(q, [h]).fetchone()[0]
+    got_rows = con.execute(
+        f"SELECT h, {DD_REGISTRABLE_DOMAIN.format(h='h')} "
+        "FROM (SELECT unnest(?::VARCHAR[]) AS h) t",
+        [hosts],
+    ).fetchall()
+    assert len(got_rows) == len(hosts)
+    for (h, got), h2 in zip(got_rows, hosts):
+        assert h == h2  # unnest preserves input order
         want = _ref_psl_registrable(h, rules)
         assert got == want, f"{h}: generated={got} spec={want}"
 
