@@ -42,7 +42,7 @@ import numpy as np
 
 from coltt_spark.filters import compile_filter, validate_delete_key
 from coltt_spark.functions.quantization import dequantize, quantize, quantize_np
-from coltt_spark.functions.vector import score as score_expr, vector_distance
+from coltt_spark.functions.vector import lit_double_array, score as score_expr, vector_distance
 from coltt_spark.operators.search import _paginate_topk, multi_vector_search
 from coltt_spark.schema import SPARK_TYPES as _SPARK_META
 from coltt_spark.schema import _NULL_DEFAULT, IndexDesign, validate_metadata, validate_vector
@@ -592,7 +592,7 @@ class Collection:
                 - F.aggregate(
                     F.zip_with(
                         F.col(vc).cast("array<double>"),
-                        F.array(*[F.lit(float(x)) for x in qv]),
+                        lit_double_array(qv),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),
@@ -2099,7 +2099,7 @@ class Collection:
                 - F.aggregate(
                     F.zip_with(
                         F.col("_v").cast("array<double>"),
-                        F.array(*[F.lit(float(x)) for x in qv]),
+                        lit_double_array(qv),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from coltt_spark.functions.vector import vector_distance
+from coltt_spark.functions.vector import lit_double_array, vector_distance
 
 
 
@@ -449,7 +449,7 @@ def ivf_probe(
         # executes as TakeOrderedAndProject — per-partition top-k,
         # driver merge, no broadcast join and no window exchange
         ((qid, v),) = queries.items()
-        qlit = F.array(*[F.lit(float(x)) for x in v])
+        qlit = lit_double_array(v)
         return (
             assigned.filter(F.col("centroid").isin(touched))
             .withColumn("dist", vector_distance(distance, F.col(vec_col), qlit))

@@ -399,11 +399,14 @@ def hybrid_rrf_search(
     TakeOrdered over the embedding scan), each emitting K rows; the
     fusion join and window touch only 2·K rows.
     """
-    from coltt_spark.functions.vector import vector_distance
+    from coltt_spark.functions.vector import (
+        lit_double_array,
+        vector_distance,
+    )
 
     lex = bm25_score(docs, doc_id, text_col, query_text)
     lex_ranked = _ranked(lex, doc_id, F.col("score").desc(), candidates)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_double_array(query_vec)
     vec = emb.select(
         F.col(vec_id).alias(doc_id),
         vector_distance(

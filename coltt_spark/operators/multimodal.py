@@ -1043,63 +1043,56 @@ def dhash_pairs(sig: DataFrame, id_col: str, *, max_hamming: int = 3) -> DataFra
     ONE row per join bucket instead of cluster-size rows, the
     join-skew killer), then expands back to document pairs; signature
     tuples order lexicographically via struct comparison."""
+    # column plumbing rendered as selectExpr/expr strings — ONE parse
+    # per projection instead of ~700 py4j round-trips per construction
+    # (r14-opt, guide §4; six media dedup keys share this operator).
+    # Integer/struct ops only: the parsed trees are identical.
     ws = ["w0", "w1", "w2", "w3"]
     sig = sig.localCheckpoint(eager=False)
     usig = sig.select(*ws).distinct()
-    chunks = usig.select(
-        *ws,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band_idx"),
-                        F.col(ws[k]).alias("band_val"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("_c"),
-    ).select(*ws, "_c.band_idx", "_c.band_val")
-    a = chunks.select(
-        *[F.col(w).alias(f"{w}_a") for w in ws], "band_idx", "band_val"
+    stack = ", ".join(f"struct({k} AS band_idx, {ws[k]} AS band_val)" for k in range(4))
+    chunks = usig.selectExpr(
+        *ws, f"explode(array({stack})) AS _c"
+    ).selectExpr(*ws, "_c.band_idx", "_c.band_val")
+    a = chunks.selectExpr(
+        *[f"{w} AS {w}_a" for w in ws], "band_idx", "band_val"
     )
-    b = chunks.select(
-        *[F.col(w).alias(f"{w}_b") for w in ws], "band_idx", "band_val"
+    b = chunks.selectExpr(
+        *[f"{w} AS {w}_b" for w in ws], "band_idx", "band_val"
     )
-    sa = F.struct(*[F.col(f"{w}_a") for w in ws])
-    sb = F.struct(*[F.col(f"{w}_b") for w in ws])
-    ham = None
-    for w in ws:
-        t = F.bit_count(F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")))
-        ham = t if ham is None else ham + t
+    sa_sql = "struct(" + ", ".join(f"{w}_a" for w in ws) + ")"
+    sb_sql = "struct(" + ", ".join(f"{w}_b" for w in ws) + ")"
+    ham_terms = [f"bit_count({w}_a ^ {w}_b)" for w in ws]
+    ham = ham_terms[0]
+    for t in ham_terms[1:]:
+        ham = f"({ham} + {t})"
     sig_pairs = (
         a.join(b, on=["band_idx", "band_val"])
         # <= keeps the (s, s) diagonal: exact-duplicate cliques expand
         # to within-cluster pairs below
-        .filter(sa <= sb)
-        .select(
+        .filter(F.expr(f"{sa_sql} <= {sb_sql}"))
+        .selectExpr(
             *[f"{w}_a" for w in ws],
             *[f"{w}_b" for w in ws],
-            ham.cast("long").alias("hamming"),
+            f"CAST({ham} AS BIGINT) AS hamming",
         )
         .filter(F.col("hamming") <= max_hamming)
         # a signature pair appears once per agreeing band (≤ 4)
         .distinct()
     )
-    da = sig.select(
-        F.col(id_col).alias("_ida"), *[F.col(w).alias(f"{w}_a") for w in ws]
+    da = sig.selectExpr(
+        f"`{id_col}` AS _ida", *[f"{w} AS {w}_a" for w in ws]
     )
-    db = sig.select(
-        F.col(id_col).alias("_idb"), *[F.col(w).alias(f"{w}_b") for w in ws]
+    db = sig.selectExpr(
+        f"`{id_col}` AS _idb", *[f"{w} AS {w}_b" for w in ws]
     )
     return (
         sig_pairs.join(da, on=[f"{w}_a" for w in ws])
         .join(db, on=[f"{w}_b" for w in ws])
-        .filter(F.col("_ida") != F.col("_idb"))
-        .filter((sa < sb) | (F.col("_ida") < F.col("_idb")))
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
+        .filter(F.expr(f"_ida <> _idb AND ({sa_sql} < {sb_sql} OR _ida < _idb)"))
+        .selectExpr(
+            "least(_ida, _idb) AS id_a",
+            "greatest(_ida, _idb) AS id_b",
             "hamming",
         )
     )

@@ -519,6 +519,26 @@ def _qc_features(text_col: str) -> list[Column]:
     ]
 
 
+def _qc_step_aggs(w: list[float]) -> list[Column]:
+    """One training step's four quantized-gradient sums as
+    single-parse SQL expressions — the exact trees the Column form
+    built: z = ((w0·x0 + w1·x1) + w2·x2) + w3·x3 (left-assoc),
+    p = round(1/(1+exp(-z)), 12) — the 12-decimal quantization that
+    keeps a 1-ulp JVM-vs-DuckDB exp() divergence from flipping the
+    gradient integer — then sum(CAST(round((p - y)·xj·QC_QUANT) AS
+    BIGINT)) per feature."""
+    z = f"(({w[0]!r}D * `_x0`) + ({w[1]!r}D * `_x1`))"
+    for j in (2, 3):
+        z = f"({z} + ({w[j]!r}D * `_x{j}`))"
+    p = f"round(1.0D / (1.0D + exp(-{z})), 12)"
+    return [
+        F.expr(
+            f"sum(CAST(round(({p} - `_y`) * `_x{j}` * {QC_QUANT}) AS BIGINT))"
+        ).alias(f"s{j}")
+        for j in range(4)
+    ]
+
+
 def train_quality_classifier(
     df: DataFrame,
     text_col: str,
@@ -558,22 +578,15 @@ def train_quality_classifier(
         n_docs = feats.count()
         w = [0.0, 0.0, 0.0, 0.0]
         for _ in range(steps):
-            z = sum(
-                (F.lit(w[j]) * F.col(f"_x{j}") for j in range(1, 4)),
-                F.lit(w[0]) * F.col("_x0"),
-            )
-            # quantize p to 12 decimals (mirrored in the SQL oracle):
-            # a 1-ulp JVM-vs-DuckDB exp() divergence cannot flip the
-            # quantized gradient integer unless p sits within ~1e-13
-            # of a rounding boundary.
-            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
-            sums = feats.agg(*[
-                F.sum(
-                    F.round((p - F.col("_y")) * F.col(f"_x{j}") * QC_QUANT)
-                    .cast("long")
-                ).alias(f"s{j}")
-                for j in range(4)
-            ]).collect()[0]
+            # the whole step's four gradient aggregates parse as SQL
+            # text in ONE call each (r14-opt, guide §4 — the Column
+            # form marshaled ~1.6k py4j round-trips per 3-step
+            # construction); `repr` round-trips the weight doubles
+            # bit-exactly, and the quantize-to-12-decimals /
+            # integer-sum contract (see below) is unchanged — pinned
+            # by tests/test_expr_parity.py and the oracle's replay of
+            # the full trajectory.
+            sums = feats.agg(*_qc_step_aggs(w)).collect()[0]
             w = [
                 w[j] - lr * (sums[f"s{j}"] / (QC_QUANT * n_docs))
                 for j in range(4)
@@ -626,6 +639,29 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _run_stats_expr(col: str) -> Column:
+    """(max gram count, Σ counts over grams with count > 1) via a
+    run-length fold over a pre-sorted gram array column — rendered as
+    ONE SQL string (r14-opt, guide §4: the Column fold marshaled ~40
+    py4j round-trips per signal). Integer-only state; the parsed tree
+    is the identical aggregate/named_struct fold, pinned against the
+    frozen Column twin in tests/test_expr_parity.py."""
+    same = "coalesce(x = acc.p, false)"
+    r2 = f"CASE WHEN {same} THEN acc.r + 1 ELSE CAST(1 AS BIGINT) END"
+    return F.expr(
+        f"aggregate(`{col}`, "
+        "named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), "
+        "'mx', CAST(0 AS BIGINT), 'dp', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        f"'p', x, 'r', {r2}, 'mx', greatest(acc.mx, {r2}), "
+        f"'dp', acc.dp + CASE WHEN NOT {same} AND acc.r > 1 "
+        "THEN acc.r ELSE CAST(0 AS BIGINT) END), "
+        "acc -> named_struct('mx', acc.mx, "
+        "'dp', acc.dp + CASE WHEN acc.r > 1 THEN acc.r "
+        "ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, *, ngram: int = 5
 ) -> DataFrame:
@@ -650,40 +686,6 @@ def repetition_stats(
 
     df = ensure_parallelism(df, id_col)
 
-    def run_stats(sorted_grams) -> Column:
-        """(max gram count, Σ counts over grams with count > 1) via a
-        run-length fold over a pre-sorted gram array."""
-        init = F.struct(
-            F.lit(None).cast("string").alias("p"),
-            F.lit(0).cast("long").alias("r"),
-            F.lit(0).cast("long").alias("mx"),
-            F.lit(0).cast("long").alias("dp"),
-        )
-
-        def merge(acc, x):
-            same = F.coalesce(x == acc["p"], F.lit(False))
-            r2 = F.when(same, acc["r"] + 1).otherwise(F.lit(1).cast("long"))
-            dp2 = acc["dp"] + F.when(
-                ~same & (acc["r"] > 1), acc["r"]
-            ).otherwise(F.lit(0).cast("long"))
-            return F.struct(
-                x.alias("p"),
-                r2.alias("r"),
-                F.greatest(acc["mx"], r2).alias("mx"),
-                dp2.alias("dp"),
-            )
-
-        def finish(acc):
-            return F.struct(
-                acc["mx"].alias("mx"),
-                (
-                    acc["dp"]
-                    + F.when(acc["r"] > 1, acc["r"]).otherwise(F.lit(0).cast("long"))
-                ).alias("dp"),
-            )
-
-        return F.aggregate(sorted_grams, init, merge, finish)
-
     # materialize each gram array once (sorted) so the fold and the
     # size() don't re-derive the tokenization — keeps the expression
     # tree (and its codegen) linear in the number of signals
@@ -696,11 +698,11 @@ def repetition_stats(
     base = grams.select(
         F.col(id_col),
         F.size("_u").cast("long").alias("u_tot"),
-        run_stats(F.col("_u")).alias("u"),
+        _run_stats_expr("_u").alias("u"),
         F.size("_b").cast("long").alias("b_tot"),
-        run_stats(F.col("_b")).alias("b"),
+        _run_stats_expr("_b").alias("b"),
         F.size("_n").cast("long").alias("n_tot"),
-        run_stats(F.col("_n")).alias("n"),
+        _run_stats_expr("_n").alias("n"),
     ).filter(F.col("u_tot") > 0)
     return base.select(
         F.col(id_col),

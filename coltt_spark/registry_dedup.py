@@ -112,24 +112,25 @@ def _uni_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     7th document gains a near-duplicate copy (1-char CJK suffix,
     byte-Jaccard ≈ 0.9) and every 11th an exact copy up to trailing
     whitespace (normalizes to an identical shingle set — exercises
-    the mega-duplicate collapse's within-cluster emission)."""
-    from coltt_spark.functions.text import hash60
+    the mega-duplicate collapse's within-cluster emission).
 
-    vocab = F.array(*[F.lit(w) for w in _BYTE_VOCAB])
+    The 8 hash-picked words parse as ONE selectExpr (r14-opt, guide
+    §4: the Column form marshaled ~900 py4j round-trips per
+    construction, shared by 4 byte-path keys); the hash60/element_at
+    trees are identical and the md5 pick is pinned against the
+    Column twin in tests/test_expr_parity.py."""
     v = len(_BYTE_VOCAB)
+    vocab_sql = "array(" + ", ".join(f"'{w}'" for w in _BYTE_VOCAB) + ")"
     words = [
-        F.element_at(
-            vocab,
-            (
-                hash60(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i}")))
-                % v
-                + 1
-            ).cast("int"),
-        )
+        # hash60 twin: CAST(conv(substring(md5(x), 1, 15), 16, 10) AS
+        # BIGINT), then the same % / + 1 / INT-cast pick
+        f"element_at({vocab_sql}, CAST(CAST(conv(substring(md5("
+        f"concat(CAST(doc_id AS STRING), '-{i}')), 1, 15), 16, 10) "
+        f"AS BIGINT) % {v} + 1 AS INT))"
         for i in range(8)
     ]
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.concat_ws(" ", *words).alias("text")
+    base = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "concat_ws(' ', " + ", ".join(words) + ") AS text"
     )
     near = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 500000).alias("doc_id"),

