@@ -284,9 +284,17 @@ def test_registrable_domain_matches_spec_reference():
         [hosts],
     ).fetchall()
     assert len(got_rows) == len(hosts)
+    # a rule can only match a host whose LAST label equals the rule's
+    # last label (every match is a ≥1-label suffix match), so bucket
+    # the rules once — the reference algorithm is unchanged, it just
+    # never scans rules that cannot match (9.8k hosts x 3.3k rules
+    # was ~30 s of pure Python)
+    by_last: dict = {}
+    for r in rules:
+        by_last.setdefault(r.lstrip("!").rsplit(".", 1)[-1], []).append(r)
     for (h, got), h2 in zip(got_rows, hosts):
         assert h == h2  # unnest preserves input order
-        want = _ref_psl_registrable(h, rules)
+        want = _ref_psl_registrable(h, by_last.get(h.rsplit(".", 1)[-1], []))
         assert got == want, f"{h}: generated={got} spec={want}"
 
 
