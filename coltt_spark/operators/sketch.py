@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from coltt_spark.functions.memo import memo_columns
 from coltt_spark.functions.text import (
     MINHASH_PARAMS,
     hash60,
@@ -184,13 +185,17 @@ def cm_build(df: DataFrame, key_col: str) -> DataFrame:
     # projection — the four cells then derive from the column, not
     # from four copies of the md5 expression tree
     hashed = df.select(hash60(F.col(key_col).cast("string")).alias("_h"))
-    rc = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("r"), c.alias("cell"))
-                for i, c in enumerate(_cm_cells(F.col("_h")))
-            ]
-        )
+    # fixed tree over _h — built once per session (r14-opt, guide §4)
+    rc = memo_columns(
+        "sketch.cm_build.rc",
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), c.alias("cell"))
+                    for i, c in enumerate(_cm_cells(F.col("_h")))
+                ]
+            )
+        ),
     )
     return (
         hashed.select(rc.alias("_rc"))
@@ -208,14 +213,17 @@ def cm_estimate(sketch: DataFrame, keys: list[str]) -> DataFrame:
         raise ValueError("cm_estimate: no probe keys")
     spark = sketch.sparkSession
     probe = spark.createDataFrame([(k,) for k in keys], ["key"])
-    h = hash60(F.col("key"))
-    rc = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("r"), c.alias("cell"))
-                for i, c in enumerate(_cm_cells(h))
-            ]
-        )
+    # fixed tree over the probe key column — built once per session
+    rc = memo_columns(
+        "sketch.cm_estimate.rc",
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), c.alias("cell"))
+                    for i, c in enumerate(_cm_cells(hash60(F.col("key"))))
+                ]
+            )
+        ),
     )
     pr = probe.select("key", rc.alias("_rc")).select(
         "key", F.col("_rc.r").alias("r"), F.col("_rc.cell").alias("cell")

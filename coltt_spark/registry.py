@@ -2219,7 +2219,6 @@ _KEY_ORDER = [
     "sample_fraction",                 # ledger: last driver signal r11
     "source_mix",                 # ledger: last driver signal r11
     "export_shards",                 # ledger: last driver signal r11
-    "pack_sequences",                 # ledger: last driver signal r11
     # -- touched this round (r14-opt): plan/execution-shape changes,
     # -- re-verified by the driver gate
     "doc_ppl_bigram",  # touched r14: bigram stream tokenized ONCE into
@@ -2228,11 +2227,16 @@ _KEY_ORDER = [
     "dedup_minhash_delta_canonical",  # touched r14: label-propagation
     #    rounds fused to ONE job each (lazy checkpoint + count in one
     #    action) and the edges checkpoint made lazy; values unchanged
+    "web_domain_quota",  # touched r14: the PSL-resolved (doc_id,
+    #    domain, score) projection lands in a lazy localCheckpoint so
+    #    the ~2.6k-rule domain CASE is evaluated once, not once per
+    #    domain_quota plan branch; values unchanged, oracle MATCH
     # ------------------------------------------------------------------
     # -- past the 50-key boundary: re-oracled by the LOCAL gate every
     # -- pytest run; driver rotation continues next round.
-    # -- r11 tail — ROUND-15 PRIORITY (displaced by the r14 window
-    # -- composition), in r11 order:
+    # -- displaced r11 entries — ROUND-15 PRIORITY (pack_sequences
+    # -- demoted by the third r14 touched seat), in r11 order:
+    "pack_sequences",                 # ledger: last driver signal r11
     "stream_hourly",                 # ledger: r11 overflow, round-15 priority
     "stream_sessionize",                 # ledger: r11 overflow, round-15 priority
     "stream_dedup",                 # ledger: r11 overflow, round-15 priority
@@ -2315,7 +2319,6 @@ _KEY_ORDER = [
     "media_audio_features",                 # ledger: last driver signal r13
     "media_video_stats",                 # ledger: last driver signal r13
     "collection_search_blocks",                 # ledger: last driver signal r13
-    "web_domain_quota",                 # ledger: last driver signal r13
     "token_fertility_by_lang",                 # ledger: last driver signal r13
     "bpe_encode_ids_pretok",                 # ledger: last driver signal r13
     "pack_sequences_ids",                 # ledger: last driver signal r13

@@ -708,6 +708,16 @@ def q_web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain_expr("_h").alias("domain"),
         "score",
     )
+    # Materialize the PSL-resolved (doc_id, domain, score) projection
+    # ONCE (r14-opt, guide §1.2/§5): domain_quota consumes its input
+    # in two plan branches (the counts aggregate and the join side),
+    # and Catalyst never shares consumer subtrees — without the
+    # checkpoint the ~2.6k-rule registrable-domain CASE is evaluated
+    # and codegen-compiled per branch. A real pipeline materializes
+    # the domain column once; the lazy checkpoint (materialized
+    # inside the first consuming job — no standalone action) models
+    # exactly that. Per-run intermediate, nothing cached across runs.
+    rows = rows.localCheckpoint(eager=False)
     # target sized so the fixture megadomain actually fans out
     # (sf0.01: 184 rows -> 3 salts; sf0.1: 1847 -> 29) — the driver
     # check exercises the salted machinery, not just its salts_d=1
@@ -1117,9 +1127,33 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp-matched rules, so a bug in group selection, directive
     parsing, wildcard/anchor regexification, specificity, or the
     tie rule breaks value parity."""
-    from coltt_spark.operators.robots import parse_robots, robots_decision
+    from coltt_spark.functions.memo import memo_columns
 
     docs = load_table(spark, sf_dir, "documents")
+    ex = memo_columns("q_web_robots_filter.exprs", _robots_exprs)
+    urls = docs.select(
+        "doc_id", ex["domain_of_doc"].alias("domain"), ex["path"].alias("path")
+    )
+    domains = spark.range(4).select(
+        ex["domain_of_id"].alias("domain"), ex["rules"].alias("rules")
+    )
+    joined = urls.join(F.broadcast(domains), "domain")
+    return joined.select(
+        "doc_id",
+        "domain",
+        "path",
+        ex["allowed"].alias("allowed"),
+        ex["rule_len"].alias("rule_len"),
+    )
+
+
+def _robots_exprs() -> dict:
+    """The web_robots_filter fabrication + RFC 9309 parse/decision
+    Columns — fixed formulas over ``doc_id``/``id``/the join aliases,
+    built once per session via memo_columns (~2.9k py4j round-trips
+    to describe — r14-opt, guide §4)."""
+    from coltt_spark.operators.robots import parse_robots, robots_decision
+
     d, k = F.col("doc_id") % 4, (F.col("doc_id") % 97).cast("string")
     path = (
         F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/articles/p"), k))
@@ -1128,11 +1162,6 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/tmp/p"), k, F.lit(".json")))
         .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("/tmp/p"), k, F.lit(".html")))
         .otherwise(F.concat(F.lit("/private/ok/p"), k))
-    )
-    urls = docs.select(
-        "doc_id",
-        F.concat(F.lit("site"), d.cast("string"), F.lit(".com")).alias("domain"),
-        path.alias("path"),
     )
     dd = F.col("id")
     robots_txt = F.concat(
@@ -1148,19 +1177,17 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dd % 2 == 1, F.lit("Allow: /\n")).otherwise(F.lit("")),
         F.when(dd == 3, F.lit("Disallow:\n")).otherwise(F.lit("")),
     )
-    domains = spark.range(4).select(
-        F.concat(F.lit("site"), dd.cast("string"), F.lit(".com")).alias("domain"),
-        parse_robots(robots_txt, "colttbot").alias("rules"),
-    )
-    joined = urls.join(F.broadcast(domains), "domain")
     best = robots_decision(F.col("path"), F.col("rules"))
-    return joined.select(
-        "doc_id",
-        "domain",
-        "path",
-        best["allow"].alias("allowed"),
-        best["rlen"].cast("long").alias("rule_len"),
-    )
+    return {
+        "domain_of_doc": F.concat(
+            F.lit("site"), d.cast("string"), F.lit(".com")
+        ),
+        "path": path,
+        "domain_of_id": F.concat(F.lit("site"), dd.cast("string"), F.lit(".com")),
+        "rules": parse_robots(robots_txt, "colttbot"),
+        "allowed": best["allow"],
+        "rule_len": best["rlen"].cast("long"),
+    }
 
 
 _ORACLE_WEB_ROBOTS = r"""
@@ -1225,10 +1252,44 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and index entries with the subset schema. A divergence in block
     splitting, CDATA/entity handling, field defaulting, or
     normalization breaks value parity."""
+    from coltt_spark.functions.memo import memo_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = memo_columns("q_web_sitemap.exprs", _sitemap_exprs)
+    leaf = docs.select(
+        F.col("doc_id").cast("long").alias("src_id"), ex["leaf_xml"].alias("xml")
+    )
+    idx = spark.range(4).select(
+        (F.col("id") + 1000000).cast("long").alias("src_id"),
+        ex["idx_xml"].alias("xml"),
+    )
+    sm = leaf.unionByName(idx)
+    parsed = sm.select(
+        "src_id",
+        ex["kind"].alias("kind"),
+        F.posexplode(ex["entries"]).alias("ord", "e"),
+    )
+    return parsed.select(
+        "src_id",
+        "kind",
+        F.col("ord").cast("long").alias("ord"),
+        ex["loc"].alias("loc"),
+        ex["host"].alias("host"),
+        F.col("e.lastmod_s").alias("lastmod"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.round(F.col("e.priority"), 4).alias("priority"),
+    )
+
+
+def _sitemap_exprs() -> dict:
+    """The web_sitemap fabrication + parse Columns — every tree here
+    is a fixed formula over ``doc_id``/``id``/the parse aliases, so
+    the whole dict is built once per session via
+    :func:`coltt_spark.functions.memo.memo_columns` (the chain is
+    ~2.7k py4j round-trips to describe — r14-opt, guide §4)."""
     from coltt_spark.functions.urls import url_host, url_normalize
     from coltt_spark.operators.sitemaps import sitemap_entries, sitemap_kind
 
-    docs = load_table(spark, sf_dir, "documents")
     d = (F.col("doc_id") % 4).cast("string")
 
     def urlblock(j: Column) -> Column:
@@ -1318,9 +1379,6 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("\n</urlset>\n"),
     )
-    leaf = docs.select(
-        F.col("doc_id").cast("long").alias("src_id"), leaf_xml.alias("xml")
-    )
     i = F.col("id").cast("string")
     idx_xml = F.concat(
         F.lit(
@@ -1338,26 +1396,15 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         i,
         F.lit(".example.com/sitemap-1.xml </loc></sitemap>\n</sitemapindex>"),
     )
-    idx = spark.range(4).select(
-        (F.col("id") + 1000000).cast("long").alias("src_id"), idx_xml.alias("xml")
-    )
-    sm = leaf.unionByName(idx)
-    parsed = sm.select(
-        "src_id",
-        sitemap_kind(F.col("xml")).alias("kind"),
-        F.posexplode(sitemap_entries(F.col("xml"))).alias("ord", "e"),
-    )
     loc_n = url_normalize(F.col("e.loc"))
-    return parsed.select(
-        "src_id",
-        "kind",
-        F.col("ord").cast("long").alias("ord"),
-        loc_n.alias("loc"),
-        url_host(loc_n).alias("host"),
-        F.col("e.lastmod_s").alias("lastmod"),
-        F.col("e.changefreq").alias("changefreq"),
-        F.round(F.col("e.priority"), 4).alias("priority"),
-    )
+    return {
+        "leaf_xml": leaf_xml,
+        "idx_xml": idx_xml,
+        "kind": sitemap_kind(F.col("xml")),
+        "entries": sitemap_entries(F.col("xml")),
+        "loc": loc_n,
+        "host": url_host(loc_n),
+    }
 
 
 _ORACLE_WEB_SITEMAP = """

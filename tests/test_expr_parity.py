@@ -299,3 +299,46 @@ def test_registrable_domain_expr_equals_column_form(spark):
     ).collect()
     for r in rows:
         assert r["e"] == r["c"], r["host"]
+
+
+def test_memo_columns_identity_and_session_invalidation(spark):
+    """r14-opt: memo_columns returns the SAME Column tree within one
+    session (the whole point — zero repeat py4j round-trips, values
+    identical by object identity), is rebuilt after clear_column_memo,
+    and a memoized tree still evaluates correctly when reused across
+    two different DataFrames."""
+    from coltt_spark.functions.memo import clear_column_memo, memo_columns
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return F.col("x") * 2 + 1
+
+    try:
+        a = memo_columns("_test.tree", build)
+        b = memo_columns("_test.tree", build)
+        assert a is b and calls["n"] == 1
+        clear_column_memo()
+        c = memo_columns("_test.tree", build)
+        assert calls["n"] == 2
+        # one memoized tree, two different source DataFrames
+        df1 = spark.createDataFrame([(1,), (2,)], "x long")
+        df2 = spark.createDataFrame([(10,)], "x long")
+        assert [r[0] for r in df1.select(c.alias("y")).collect()] == [3, 5]
+        assert [r[0] for r in df2.select(c.alias("y")).collect()] == [21]
+    finally:
+        clear_column_memo()
+
+
+def test_memo_columns_registry_trees_stable_across_constructions(spark):
+    """Constructing web_sitemap / web_robots_filter twice (the memo-hit
+    path) yields identical rows both times — the oracle parity suite
+    covers values; this pins the reuse path specifically."""
+    from coltt_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for key in ("web_sitemap", "web_robots_filter"):
+        r1 = sorted(map(tuple, QUERIES[key](spark, sf).collect()))
+        r2 = sorted(map(tuple, QUERIES[key](spark, sf).collect()))
+        assert r1 == r2 and r1, key

@@ -69,8 +69,8 @@ ROTATION_LEDGER_R14 = [
     "unigram_encode_ids",
     "collection_search_ivfpq",
     "collection_search_ivfpq_delta",
-    # the leading 26 r11-green entries in r11-window order; the
-    # 23-entry tail is displaced past the boundary (R15_PRIORITY)
+    # the leading 25 r11-green entries in r11-window order; the
+    # 24-entry tail is displaced past the boundary (R15_PRIORITY)
     "knn_two_phase",
     "ann_topk_blas",
     "media_metadata",
@@ -96,13 +96,15 @@ ROTATION_LEDGER_R14 = [
     "sample_fraction",
     "source_mix",
     "export_shards",
-    "pack_sequences",
 ]
 
 #: the r11 overflow tail — displaced from the round-14 window by the
-#: 22 r10-overflow entries + this round's 2 touched seats; they lead
-#: the round-15 rotation queue, in r11-window order.
+#: 22 r10-overflow entries + this round's 3 touched seats; they lead
+#: the round-15 rotation queue, in r11-window order (pack_sequences
+#: was the last leading-block entry until web_domain_quota's touched
+#: seat displaced it).
 R15_PRIORITY = [
+    "pack_sequences",
     "stream_hourly",
     "stream_sessionize",
     "stream_dedup",
@@ -141,6 +143,11 @@ NEW_OR_TOUCHED_R14: list[str] = [
     # each (lazy checkpoint materialized by the changed-count action);
     # heaviest registry key, VERDICT r13 #3
     "dedup_minhash_delta_canonical",
+    # touched r14-opt: the PSL-resolved (doc_id, domain, score)
+    # projection lands in a lazy localCheckpoint so the ~2.6k-rule
+    # domain CASE is evaluated once, not once per domain_quota plan
+    # branch (tranche-3 continuation of the doc_ppl_bigram pattern)
+    "web_domain_quota",
 ]
 
 
@@ -148,12 +155,13 @@ def test_registry_order_puts_unverified_entries_in_driver_window():
     """The driver hash-checks only the first _DRIVER_WINDOW queries()
     keys. Pin the ordering contract: the registry follows _KEY_ORDER
     exactly; the round-13 rotation-ledger entries (22 r10-overflow +
-    the leading 26 r11-green entries) LEAD the round-14 window, every
+    the leading 25 r11-green entries) LEAD the round-14 window, every
     entry touched this round is inside it (at the window tail), and
     the r11 overflow tail sits FIRST past the boundary with round-15
     priority. Past the boundary after it: the 47 remaining r12-green
-    entries in r12-window order, then the 49 remaining r13-green
-    entries in r13-window order. Every past-window entry is re-oracled
+    entries in r12-window order, then the 48 remaining r13-green
+    entries in r13-window order (web_domain_quota left that block
+    when promoted as touched). Every past-window entry is re-oracled
     by the local gate every pytest run."""
     from coltt_spark.registry import _DRIVER_WINDOW, _KEY_ORDER, QUERIES
 
