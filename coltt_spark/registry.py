@@ -2167,9 +2167,9 @@ _DRIVER_WINDOW = 50
 _KEY_ORDER = [
     # -- round-14 window: the r13 rotation ledger executed — the 22
     # -- r10-overflow entries FIRST (displaced from the r13 window,
-    # -- oldest driver signal on the board), then the leading 26
-    # -- r11-green entries in r11-window order, then this round's 2
-    # -- touched seats. The r11 block TAIL (23 entries) is displaced
+    # -- oldest driver signal on the board), then the leading 25
+    # -- r11-green entries in r11-window order, then this round's 3
+    # -- touched seats. The r11 block TAIL (24 entries) is displaced
     # -- past the boundary and keeps round-15 priority. See CLAUDE.md
     # -- 'Driver-check rotation ledger'.
     "knn_f16",                 # ledger: r10 overflow, last driver signal r10
